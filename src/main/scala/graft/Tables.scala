@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Helpers for loading the driver-generated TPC-H-ish testdata tables
+  * (TESTDATA.md). One parquet file per table under the sf directory.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Spark session with scale-aware defaults; used by tests and mains.
+    * Shuffle partitions sized to local cores (not the 200 default) and AQE
+    * on so skewed shuffles re-plan at runtime — both matter at cluster
+    * scale too, where AQE coalesces post-shuffle partitions.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

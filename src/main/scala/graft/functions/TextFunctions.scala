@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale training-data
+  * pipelines: tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs), so the expressions stay inside whole-stage codegen and
+  * the scan keeps column pruning — the hot path over 100 TB of text is a
+  * single projected pass.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (lower-cased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Token count on raw whitespace split. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish subword count estimate: word-piece regex over lowercase
+    * letters/digits/punctuation runs. A cheap proxy for tokenizer cost
+    * accounting when the real tokenizer is off-cluster. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Mean token length in characters (quality signal). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    totalLen.cast("double") / size(toks)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+      length(text)
+
+  /** Fraction of tokens found in `stopwords` — the classic
+    * quality / language signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    hits.cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with low
+    * punctuation noise and a natural stopword rate score high. Weights are
+    * heuristic; the point is a single cheap codegen'd expression. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
+    round(lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + stop * lit(0.3), 6)
+  }
+
+  /** Per-language stopword tables for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: they broadcast as literals into the
+    * expression, no join needed. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+    "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "in", "che", "per")
+  )
+
+  /** Language ID: argmax over per-language stopword hit counts, 'und'
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * language code. */
+  def langId(text: Column, tables: Map[String, Seq[String]] = langStopwords): Column = {
+    val toks = tokens(text)
+    // struct(-hits, lang) min ⇒ max hits, ties to alphabetically-first lang
+    val scored = tables.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isin(words.map(lit): _*)))).as("negHits"),
+        lit(lang).as("lang"))
+    }
+    val best = least(scored: _*)
+    when(best.getField("negHits") < 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint à la key-collision clustering: md5 over the
+    * sorted set of lower-cased tokens. Portable (md5 is engine-agnostic)
+    * and robust to token order / duplication. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Character n-gram shingles of the lower-cased, whitespace-normalized
+    * text. `transform(sequence(...))` keeps it inside codegen. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val count = greatest(length(norm) - lit(n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), count), i => substring(norm, i, n)))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - lit(n - 1), lit(1))
+    array_distinct(
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, n))))
+  }
+
+  /** Jaccard similarity of two pre-distinct arrays:
+    * |A∩B| / (|A|+|B|−|A∩B|). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

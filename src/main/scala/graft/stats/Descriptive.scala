@@ -1,0 +1,82 @@
+package graft.stats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Single-pass descriptive-statistics kernel.
+  *
+  * The reference computes n/sum/min/max/mean/median/variance/stdev with one
+  * MongoDB mapReduce job *per metric field* (sentinel
+  * `processors/StatsProcessor.scala:76-165`, Chan/Welford pairwise-merge
+  * variance in the reduce step). Spark's hash aggregate uses the same
+  * partial/merge algebra internally, and we compute *all* metrics of a
+  * request in one scan (`agg(m1 exprs ++ m2 exprs ...)`) — a structural win
+  * at any scale: k metrics cost one shuffle, not k.
+  *
+  * Exactness: the reference's variance is the *population* variance
+  * (`diff / n`, StatsProcessor.scala:150-152) and its median is the exact
+  * sorted-middle (`:154-160`) — so `var_pop`/`stddev_pop`/`percentile(0.5)`,
+  * never the sample variants or approximations.
+  *
+  * For oracle-comparable output (driver hash-compares against DuckDB) the
+  * `exact*` variants below avoid float non-associativity entirely: sums are
+  * taken over integers or fixed-point decimals (exact, order-independent),
+  * and derived stats (mean/variance/stdev) are single IEEE-double
+  * expressions over those exact sums — bit-identical in any engine.
+  */
+object Descriptive {
+
+  /** n/sum/min/max/mean/median/var_pop/stdev for an integer-valued metric.
+    * All sums are exact (bigint); mean/var/stdev are doubles derived from
+    * exact sums, so they are reproducible bit-for-bit across engines.
+    * var_pop = (n*Σx² − (Σx)²) / n² evaluated with exact integer numerator.
+    */
+  def exactIntStats(metric: Column, prefix: String): Seq[Column] = {
+    val x = metric.cast("bigint")
+    val n = count(x)
+    val s = sum(x)
+    val sq = sum(x * x)
+    val varPop = (sq.cast("double") * n - s.cast("double") * s) / (n * n)
+    Seq(
+      n.as(s"${prefix}_n"),
+      s.as(s"${prefix}_sum"),
+      min(x).as(s"${prefix}_min"),
+      max(x).as(s"${prefix}_max"),
+      (s.cast("double") / n).as(s"${prefix}_mean"),
+      percentile(x, lit(0.5)).as(s"${prefix}_median"),
+      varPop.as(s"${prefix}_var_pop"),
+      sqrt(varPop).as(s"${prefix}_stdev")
+    )
+  }
+
+  /** Same for a fixed-point (price-like) metric: sums over DECIMAL are
+    * exact and order-independent; final cast to double for a stable
+    * cross-engine representation. `scale` must cover the data's true
+    * decimal precision. */
+  def exactDecimalStats(metric: Column, prefix: String, scale: Int = 2): Seq[Column] = {
+    val d = metric.cast(s"decimal(18,$scale)")
+    val n = count(d)
+    val s = sum(d).cast("double")
+    Seq(
+      n.as(s"${prefix}_n"),
+      s.as(s"${prefix}_sum"),
+      min(d).cast("double").as(s"${prefix}_min"),
+      max(d).cast("double").as(s"${prefix}_max"),
+      (s / n).as(s"${prefix}_mean")
+    )
+  }
+
+  /** The reference's full per-metric aggregate vocabulary (`AggrStat` enum,
+    * sentinel models/package.scala:71-81) using Spark built-ins — the
+    * idiomatic form when cross-engine bit-exactness is not required. */
+  def sparkNativeStats(metric: Column, prefix: String): Seq[Column] = Seq(
+    count(metric).as(s"${prefix}_n"),
+    sum(metric).as(s"${prefix}_sum"),
+    min(metric).as(s"${prefix}_min"),
+    max(metric).as(s"${prefix}_max"),
+    avg(metric).as(s"${prefix}_mean"),
+    percentile(metric, lit(0.5)).as(s"${prefix}_median"),
+    var_pop(metric).as(s"${prefix}_var_pop"),
+    stddev_pop(metric).as(s"${prefix}_stdev")
+  )
+}

@@ -1,0 +1,73 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.selector.Selector
+
+/** The reference's two analytical query families, Spark-first.
+  *
+  * - `getStats` (sentinel `processors/StatsProcessor.scala:180-248`):
+  *   filtered, projected, time-sorted-or-shuffled, limited data points.
+  *   One lazy DataFrame: filter → select → orderBy → limit; Catalyst pushes
+  *   the filter and projection into the scan, and `orderBy(..).limit(n)`
+  *   compiles to `TakeOrderedAndProject` (no full sort at scale).
+  *
+  * - `getAggregateStats` (sentinel `processors/StatsProcessor.scala:261-324`):
+  *   per-metric descriptive stats. The reference runs one mapReduce per
+  *   metric; we compute every metric in a single `agg()` scan.
+  *
+  * - `globalRunStats` (sentinel `processors/CompositeRunsProcessor
+  *   .scala:256-278`): the per-pipeline rollup.
+  */
+object StatsProcessor {
+
+  /** Data-point query. `sortOrRandom`: Left(seed) ⇒ deterministic random
+    * shuffle (reference shuffles client-side, StatsProcessor.scala:240-241;
+    * we push `rand(seed)` into the engine so it distributes); Right(col) ⇒
+    * sort descending by that column (the reference's `timeSorted`). */
+  def getStats(
+      units: DataFrame,
+      selectors: Seq[Selector],
+      projection: Seq[Column],
+      sortOrRandom: Either[Long, String],
+      nLimit: Option[Int]): DataFrame = {
+    val filtered = units.filter(Selector.combineAnd(selectors))
+    val projected =
+      if (projection.isEmpty) filtered else filtered.select(projection: _*)
+    val ordered = sortOrRandom match {
+      case Right(sortCol) => projected.orderBy(desc(sortCol))
+      case Left(seed)     => projected.orderBy(rand(seed))
+    }
+    nLimit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** Aggregate query: all requested metrics in ONE pass. `metrics` maps an
+    * output prefix to the metric column (possibly nested, e.g.
+    * `col("stats.nReadsInput")`). */
+  def getAggregateStats(
+      units: DataFrame,
+      selectors: Seq[Selector],
+      metrics: Seq[(String, Column)]): DataFrame = {
+    val aggs = metrics.flatMap { case (prefix, c) =>
+      Descriptive.sparkNativeStats(c, prefix)
+    }
+    units.filter(Selector.combineAnd(selectors)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group rollup: the reference's `$match notDeleted → $group by
+    * pipeline {nRuns, nSamples, nReadGroups} → $sort` — a textbook partial
+    * (map-side) + final hash aggregate in Spark. */
+  def globalRunStats(
+      runs: DataFrame,
+      groupCol: String = "pipeline",
+      counters: Seq[String] = Seq("nSamples", "nReadGroups")): DataFrame = {
+    val aggs = count(lit(1)).as("nRuns") +:
+      counters.map(c => sum(col(c)).as(c))
+    runs
+      .filter(col("deletionTimeUtc").isNull)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(groupCol))
+  }
+}
