@@ -1,13 +1,409 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.operators.{Dedup, Similarity}
+import graft.selector._
+import graft.stats.{Descriptive, StatsProcessor}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the LLM-data-pipeline extensions) is
+  * registered here as a named query over the driver testdata, with a
+  * value-equivalent DuckDB oracle in [[oracleSql]]. Determinism rules the
+  * oracle compare imposes (and how each query satisfies them):
+  *
+  *  - integer/decimal aggregates only (exact, order-independent sums);
+  *    doubles appear only as (a) raw column pass-throughs, identical bits in
+  *    both engines, or (b) single IEEE expressions over exact aggregates.
+  *  - fold-based vector math replays the same element order in DuckDB
+  *    (`list_reduce` over `list_transform`), so dot/cosine match bit-for-bit.
+  *  - limits are only applied under a total (tie-broken) order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's global-run-stats rollup shape (A1) over lineitem. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumn("deletionTimeUtc", lit(null).cast("timestamp"))
+    StatsProcessor.globalRunStats(li, "l_returnflag", Seq("l_orderkey"))
+  }
+
+  // ---- shared helpers ----------------------------------------------------
+
+  private val enStop = T.langStopwords("en")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 OneMatchOne — scalar equality pushed to the parquet scan
+    "sel_eq" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(OneMatchOne("l_returnflag", "R").toColumn)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    // F2 OneOptMatchOne (Some + None no-op) + F8 combineAnd
+    "sel_opt_eq" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(Selector.combineAnd(Seq(
+          OneOptMatchOne("o_orderstatus", Some("F")),
+          OneOptMatchOne("o_orderpriority", None))))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")),
+
+    // F5 ManyContainOne — IN-set predicate
+    "sel_in" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(ManyContainOne("o_orderpriority", Seq("1-URGENT", "2-HIGH")).toColumn)
+        .select("o_orderkey", "o_orderpriority")),
+
+    // F7 Not — null-safe negation
+    "sel_not" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(Not(OneMatchOne("l_linestatus", "O")).toColumn)
+        .select("l_orderkey", "l_linenumber", "l_linestatus")),
+
+    // F8 combineAnd with a raw predicate escape hatch
+    "sel_and" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(Selector.combineAnd(Seq(
+          OneMatchOne("l_returnflag", "A"),
+          RawPred(col("l_quantity") >= 30))))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // F3 OneInMany — array-contains over a computed token array
+    "sel_array_contains" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .filter(OneInMany("toks", "the").toColumn)
+        .select("doc_id", "lang")),
+
+    // F6 ManyIntersectMany — arrays_overlap
+    "sel_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .filter(ManyIntersectMany("toks", Seq("spark", "window")).toColumn)
+        .select("doc_id", "lang")),
+
+    // P1 + O1 + O3: getStats filter → project → time-sort desc → limit
+    "stats_points_sorted" -> ((s, d) =>
+      StatsProcessor.getStats(
+          t(s, d, "events"),
+          Seq(OneMatchOne("event_type", "click")),
+          Seq(col("event_id"), col("user_id"), col("value"), col("ts")),
+          Right("ts"),
+          Some(100))
+        .select("event_id", "user_id", "value")),
+
+    // A2/A3: single-pass multi-stat aggregate, exact-integer kernel
+    "stats_agg_quantity" -> ((s, d) =>
+      StatsProcessor.getAggregateStats(
+        t(s, d, "lineitem"),
+        Seq(OneMatchOne("l_returnflag", "A")),
+        Seq("qty" -> col("l_quantity")),
+        Descriptive.exactIntStats)),
+
+    // A2 decimal variant: exact fixed-point sums
+    "stats_agg_price" -> ((s, d) =>
+      StatsProcessor.getAggregateStats(
+        t(s, d, "lineitem"),
+        Seq.empty,
+        Seq("price" -> col("l_extendedprice")),
+        (c, p) => Descriptive.exactDecimalStats(c, p))),
+
+    // A1 + F11 + O5: global rollup (group-by + count + sum + sort)
+    "global_rollup" -> ((s, d) =>
+      StatsProcessor.globalRunStats(
+        t(s, d, "orders").withColumn("deletionTimeUtc", lit(null).cast("timestamp")),
+        "o_orderstatus",
+        Seq("o_custkey"))),
+
+    // A2 grouped: per-group descriptive stats in one pass
+    "group_stats_quantity" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(Descriptive.exactIntStats(col("l_quantity"), "qty").head,
+          Descriptive.exactIntStats(col("l_quantity"), "qty").tail: _*)),
+
+    // O1+O3 top-k: orderBy().limit() → TakeOrderedAndProject
+    "topk_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // J-family: broadcast dimension join chain
+    "join_customer_geo" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("c_custkey", "c_name", "n_name")),
+
+    // Exact dedup: hash-agg on content digest
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))),
+
+    // SimHash buckets (8-bit so sf0.01's 500 docs actually collide)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashBuckets(t(s, d, "documents"), nBits = 8)),
+
+    // MinHash+LSH candidate pairs (portable md5 hash family)
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)),
+
+    // Blocked n-gram Jaccard pairs (block = source)
+    "shingle_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", shingleN = 3)),
+
+    // Text analysis: token counts + quality ratios (codegen'd, no UDFs)
+    "text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        T.subwordCount(col("text")).cast("bigint").as("n_subwords"),
+        T.meanTokenLen(col("text")).as("mean_token_len"),
+        T.punctRatio(col("text")).as("punct_ratio"))),
+
+    // Language ID + composite quality score
+    "text_quality_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.langId(col("text")).as("lang_id"),
+        T.qualityScore(col("text"), enStop).as("quality"))),
+
+    // Document fingerprint (order/duplication-robust content key)
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.contentFingerprint(col("text")).as("fp"))),
+
+    // Brute-force cosine top-k (broadcast queries, corpus never shuffled)
+    "vector_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).drop("rank")
+    }),
+
+    // Blocked embedding near-dup pairs (block = label)
+    "vector_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25))
+  )
+
+  // ---- DuckDB oracle SQL -------------------------------------------------
+
+  /** Tokens of `text`, lower-cased, as the engines both compute them. */
+  private val toksSql = """string_split_regex(lower(text), '\s+')"""
+
+  /** DuckDB replay of [[Descriptive.exactIntStats]] over bigint column
+    * expression `v` (inside a CTE named x). */
+  private def intStatsSql(prefix: String): String =
+    s"""CAST(count(v) AS BIGINT) AS ${prefix}_n,
+       |CAST(sum(v) AS BIGINT) AS ${prefix}_sum,
+       |min(v) AS ${prefix}_min,
+       |max(v) AS ${prefix}_max,
+       |CAST(sum(v) AS DOUBLE) / count(v) AS ${prefix}_mean,
+       |quantile_cont(v, 0.5) AS ${prefix}_median,
+       |CAST(count(v)*sum(v*v) - sum(v)*sum(v) AS DOUBLE)
+       |  / CAST(count(v)*count(v) AS DOUBLE) AS ${prefix}_var_pop,
+       |sqrt(CAST(count(v)*sum(v*v) - sum(v)*sum(v) AS DOUBLE)
+       |  / CAST(count(v)*count(v) AS DOUBLE)) AS ${prefix}_stdev""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.VectorFunctions.dot]]: same
+    * element-order fold in double, so results match bit-for-bit. */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** DuckDB replay of [[H.simhash]] over the token array of `text`. */
+  private def simhashSql(nBits: Int): String = {
+    val odd = H.oddHex.map(h => s"'$h'").mkString(", ")
+    val bits = (0 until nBits).map { k =>
+      s"CASE WHEN 2 * len(list_filter(hs, h -> substr(h, ${k + 1}, 1) IN ($odd))) " +
+        s"> len(hs) THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"(SELECT $bits FROM (SELECT list_transform($toksSql, t -> md5(t)) AS hs) _sh)"
+  }
+
+  /** DuckDB replay of [[T.charShingles]] (n=5). */
+  private val charShingles5Sql: String =
+    """list_distinct(list_transform(
+      |  range(1, greatest(length(norm) - 4, 1) + 1),
+      |  i -> substr(norm, CAST(i AS INT), 5)))""".stripMargin
+
+  /** DuckDB replay of [[H.minhashSignatureMd5]] slot `i` over shingles `sh`. */
+  private def minhashSlotSql(i: Int): String =
+    s"list_aggregate(list_transform(sh, s -> md5(concat('$i:', s))), 'min')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "sel_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "sel_opt_eq" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "sel_in" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+
+    "sel_not" ->
+      """SELECT l_orderkey, l_linenumber, l_linestatus
+        |FROM lineitem WHERE l_linestatus IS DISTINCT FROM 'O'""".stripMargin,
+
+    "sel_and" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 30""".stripMargin,
+
+    "sel_array_contains" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE list_contains($toksSql, 'the')""".stripMargin,
+
+    "sel_overlap" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE len(list_intersect($toksSql, ['spark', 'window'])) > 0""".stripMargin,
+
+    "stats_points_sorted" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  ORDER BY ts DESC LIMIT 100)""".stripMargin,
+
+    "stats_agg_quantity" ->
+      s"""WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+         |           WHERE l_returnflag = 'A')
+         |SELECT ${intStatsSql("qty")} FROM x""".stripMargin,
+
+    "stats_agg_price" ->
+      """WITH x AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem)
+        |SELECT CAST(count(v) AS BIGINT) AS price_n,
+        |       CAST(sum(v) AS DOUBLE) AS price_sum,
+        |       CAST(min(v) AS DOUBLE) AS price_min,
+        |       CAST(max(v) AS DOUBLE) AS price_max,
+        |       CAST(sum(v) AS DOUBLE) / count(v) AS price_mean
+        |FROM x""".stripMargin,
+
+    "global_rollup" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS "nRuns",
+        |       CAST(sum(o_custkey) AS BIGINT) AS o_custkey
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "group_stats_quantity" ->
+      s"""WITH x AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem)
+         |SELECT l_returnflag, ${intStatsSql("qty")} FROM x GROUP BY l_returnflag""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "join_customer_geo" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |       min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH h AS (SELECT doc_id AS id, ${simhashSql(8)} AS simhash FROM documents)
+         |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(id) AS keep_id
+         |FROM h GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val slots = (0 until 8).map(minhashSlotSql)
+      val sig = s"[${slots.mkString(",\n  ")}]"
+      val bandKeys = (0 until 4).map { b =>
+        s"md5(concat_ws('|', '$b', sig[${2 * b + 1}], sig[${2 * b + 2}]))"
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, $charShingles5Sql AS sh
+         |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |        FROM documents)),
+         |sig AS (SELECT id, $sig AS sig FROM sh),
+         |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8
+         |    AS est_jaccard
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id""".stripMargin
+    },
+
+    "shingle_jaccard_pairs" -> {
+      val inter = "len(list_intersect(a.s, b.s))"
+      s"""WITH sh AS (
+         |  SELECT source AS block, doc_id AS id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' '))) AS s
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents))
+         |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+         |  CAST($inter AS DOUBLE) / greatest(len(a.s) + len(b.s) - $inter, 1) AS jaccard
+         |FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id""".stripMargin
+    },
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         |    AS n_subwords,
+         |  CAST(list_reduce(list_transform($toksSql, t -> CAST(length(t) AS BIGINT)),
+         |      (a, b) -> a + b) AS DOUBLE)
+         |    / greatest(len($toksSql), 1) AS mean_token_len,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         |FROM documents""".stripMargin,
+
+    "text_quality_langid" -> {
+      val langs = T.langStopwords.toSeq.sortBy(_._1)
+      val scored = langs.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"{'negHits': -len(list_filter($toksSql, t -> t IN ($set))), 'lang': '$lang'}"
+      }.mkString("[", ",\n  ", "]")
+      val en = enStop.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang_id,
+         |  round(
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |        / greatest(length(text), 1)) * 0.3
+         |    + least((CAST(len(list_filter($toksSql, t -> t IN ($en))) AS DOUBLE)
+         |        / greatest(len($toksSql), 1)) * 4.0, 1.0) * 0.3, 6) AS quality
+         |FROM (SELECT *, list_sort($scored)[1] AS best FROM documents)""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents""".stripMargin,
+
+    "vector_knn" -> {
+      val cos = s"round(${cosineSql("q.embedding", "c.embedding", 64)}, 6)"
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cosine
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, cosine FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cosine DESC, neighbor_id) <= 3""".stripMargin
+    },
+
+    "vector_neardup" -> {
+      val cos = cosineSql("a.embedding", "b.embedding", 64)
+      s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos > 0.25""".stripMargin
+    }
+  )
 }

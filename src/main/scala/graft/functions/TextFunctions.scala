@@ -25,24 +25,25 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Mean token length in characters (quality signal). */
+  /** Mean token length in characters (quality signal). Denominator guarded
+    * against empty docs (Spark 4 ANSI mode throws on divide-by-zero). */
   def meanTokenLen(text: Column): Column = {
     val toks = split(text, "\\s+")
     val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    totalLen.cast("double") / size(toks)
+    totalLen.cast("double") / greatest(size(toks), lit(1))
   }
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
-      length(text)
+      greatest(length(text), lit(1))
 
   /** Fraction of tokens found in `stopwords` — the classic
     * quality / language signal. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
     val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-    hits.cast("double") / size(toks)
+    hits.cast("double") / greatest(size(toks), lit(1))
   }
 
   /** Composite quality score in [0,1]: long-enough docs with low
@@ -92,7 +93,7 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     val count = greatest(length(norm) - lit(n - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), count), i => substring(norm, i, n)))
+    array_distinct(transform(sequence(lit(1), count), i => substring(norm, i, lit(n))))
   }
 
   /** Word n-gram shingles. */
@@ -101,13 +102,13 @@ object TextFunctions {
     val count = greatest(size(toks) - lit(n - 1), lit(1))
     array_distinct(
       transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
   /** Jaccard similarity of two pre-distinct arrays:
-    * |A∩B| / (|A|+|B|−|A∩B|). */
+    * |A∩B| / (|A|+|B|−|A∩B|); 0.0 when both sides are empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    inter / greatest(size(a) + size(b) - inter, lit(1))
   }
 }

@@ -41,6 +41,9 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 16,
       bands: Int = 8): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must be positive and divide k ($k); " +
+        "otherwise band keys degenerate and the join goes quadratic")
     val rowsPerBand = k / bands
     val sigs = docs.select(
       col(idCol).as("id"),

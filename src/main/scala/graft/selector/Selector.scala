@@ -59,9 +59,14 @@ final case class ManyIntersectMany(attr: String, values: Seq[Any]) extends Selec
     else arrays_overlap(col(attr), array(values.map(lit): _*))
 }
 
-/** Negation of any selector (reference Selector.scala:29-32). */
+/** Negation of any selector (reference Selector.scala:29-32).
+  *
+  * Null-safe: Mongo's `$not` matches documents where the attribute is
+  * absent, whereas SQL `!(col === v)` is NULL (row dropped) on null
+  * columns. `coalesce(_, true)` restores the reference semantics: a row
+  * whose attribute is null *does* match the negated query. */
 final case class Not(inner: Selector) extends Selector {
-  def toColumn: Column = !inner.toColumn
+  def toColumn: Column = coalesce(!inner.toColumn, lit(true))
 }
 
 /** Raw column escape hatch for predicates with no named shape. */

@@ -33,10 +33,17 @@ object Descriptive {
     */
   def exactIntStats(metric: Column, prefix: String): Seq[Column] = {
     val x = metric.cast("bigint")
+    // Σx² in decimal so it can neither overflow bigint (ANSI throws) nor
+    // lose bits in double; the n·Σx² − (Σx)² numerator stays exact in
+    // decimal(38,0) and only the final ratio rounds to double.
+    val xd = x.cast("decimal(18,0)")
     val n = count(x)
     val s = sum(x)
-    val sq = sum(x * x)
-    val varPop = (sq.cast("double") * n - s.cast("double") * s) / (n * n)
+    val sq = sum(xd * xd)
+    val nd = n.cast("decimal(38,0)")
+    val numer = (sq * nd - s.cast("decimal(38,0)") * s.cast("decimal(38,0)"))
+      .cast("double")
+    val varPop = numer / (nd * nd).cast("double")
     Seq(
       n.as(s"${prefix}_n"),
       s.as(s"${prefix}_sum"),

@@ -48,10 +48,9 @@ object StatsProcessor {
   def getAggregateStats(
       units: DataFrame,
       selectors: Seq[Selector],
-      metrics: Seq[(String, Column)]): DataFrame = {
-    val aggs = metrics.flatMap { case (prefix, c) =>
-      Descriptive.sparkNativeStats(c, prefix)
-    }
+      metrics: Seq[(String, Column)],
+      kernel: (Column, String) => Seq[Column] = Descriptive.sparkNativeStats): DataFrame = {
+    val aggs = metrics.flatMap { case (prefix, c) => kernel(c, prefix) }
     units.filter(Selector.combineAnd(selectors)).agg(aggs.head, aggs.tail: _*)
   }
 
