@@ -190,7 +190,15 @@ object SparkEntry {
 
     // Blocked embedding near-dup pairs (block = label)
     "vector_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25))
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
+
+    // IVF ANN: zero-shuffle cell assignment, per-cell candidate join
+    "vector_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 5), e.filter(col("vec_id") < 8), 3)
+        .drop("rank")
+    })
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -332,11 +340,13 @@ object SparkEntry {
          |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
          |        FROM documents)),
          |sig AS (SELECT id, $sig AS sig FROM sh),
-         |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig)
+         |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig),
+         |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+         |capped AS (SELECT banded.* FROM banded JOIN kept USING (band))
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |  CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8
          |    AS est_jaccard
-         |FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id""".stripMargin
+         |FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id""".stripMargin
     },
 
     "shingle_jaccard_pairs" -> {
@@ -404,6 +414,25 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos > 0.25""".stripMargin
+    },
+
+    "vector_ivf_topk" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn
+         |      WHERE vec_id < 5)
+         |SELECT q.query_id, c.neighbor_id, $cos AS cosine
+         |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
     }
   )
 }

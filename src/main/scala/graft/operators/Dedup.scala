@@ -33,32 +33,72 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash + LSH banding.
     * shingleN-char shingles → k-slot signature → `bands` band keys →
     * equi-join on band key. Returns distinct candidate pairs (a < b) with
-    * the estimated Jaccard (fraction of matching signature slots). */
+    * the estimated Jaccard (fraction of matching signature slots).
+    *
+    * Physical shape (matters at 100 TB):
+    *  - Signatures are computed by EXPLODING shingles and hash-aggregating
+    *    `min(md5(i:shingle))` per doc — `md5`/`min` are codegen'd and the
+    *    min partial-aggregates map-side, so the shuffle carries only k
+    *    minima per doc. (The arrays-with-`transform` formulation is ~50×
+    *    slower: Spark's higher-order functions are interpreted, and it
+    *    re-walks the shingle array k times per doc.) Shingle duplicates
+    *    don't change a min, so no distinct step is needed.
+    *  - `maxBucketSize` caps the band-bucket self-join: one degenerate
+    *    band key (empty/boilerplate docs) would otherwise produce a
+    *    quadratic hot partition. Dropping over-full buckets is the
+    *    standard LSH-dedup guard; the bucket census reuses the same
+    *    shuffle key as the join, so it costs one cheap pre-aggregation.
+    */
   def minhashLsh(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 5,
       k: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must be positive and divide k ($k); " +
         "otherwise band keys degenerate and the join goes quadratic")
     val rowsPerBand = k / bands
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      H.minhashSignatureMd5(T.charShingles(col(textCol), shingleN), k).as("sig"))
+    // norm + positional explode: one row per (doc, shingle position)
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val shingled = docs
+      .select(col(idCol).as("id"), norm.as("norm"))
+      .select(col("id"), col("norm"),
+        explode(sequence(lit(1),
+          greatest(length(col("norm")) - lit(shingleN - 1), lit(1)))).as("pos"))
+      .select(col("id"), col("norm").substr(col("pos"), lit(shingleN)).as("sh"))
+    // k codegen'd seeded md5s per shingle, partial-min-aggregated per doc
+    val hashed = shingled.select(
+      col("id") +: (0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i")): _*)
+    val minAggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sigs = hashed
+      .groupBy(col("id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(H.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val l = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // skew guard: drop band buckets larger than maxBucketSize
+    val keptBands = banded.groupBy("band")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select("band")
+    val capped = banded.join(keptBands, Seq("band"))
+    val l = capped.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // codegen'd slot-match count (getItem + sum, no interpreted lambda)
+    val matches = (0 until k)
+      .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
     l.join(r, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(sequence(lit(1), lit(k)),
-          i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
-          .cast("double") / k).as("est_jaccard"))
+        (matches.cast("double") / k).as("est_jaccard"))
       .distinct()
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,9 +13,8 @@ import graft.functions.{VectorFunctions => V}
   *   executor scans its partitions once. This is the right *exact* plan
   *   at any corpus size when |queries| is small.
   * - `ivfTopK`: IVF-style coarse quantization — corpus rows are assigned
-  *   to their nearest anchor ("centroid", here: deterministic anchor
-  *   vectors taken from the corpus), queries probe only their own cell.
-  *   Turns the n·q term into n·q/cells on average; the standard ANN
+  *   to their nearest anchor ("centroid"), queries probe only their own
+  *   cell. Turns the n·q term into n·q/cells on average; the standard ANN
   *   scale path when brute force stops fitting the latency budget.
   */
 object Similarity {
@@ -40,9 +39,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Nearest-anchor cell id for a vector column, computed as a PER-ROW
+    * expression over anchor literals: `least` over `struct(-cos, id)`
+    * implements argmax-cosine with ties to the smallest anchor id.
+    * No join, no shuffle — the anchors ride into the expression tree the
+    * way a broadcast variable would, and cell assignment stays inside the
+    * scan's projection. `anchors` must be driver-collectable (that is the
+    * IVF contract: centroid count ≪ corpus size). */
+  def cellOf(anchors: Seq[(Long, Seq[Float])], vec: Column): Column = {
+    require(anchors.nonEmpty, "ivf needs at least one anchor")
+    val scored = anchors.sortBy(_._1).map { case (aid, av) =>
+      struct((-V.cosine(vec, typedLit(av))).as("negCos"), lit(aid).as("aid"))
+    }
+    if (scored.size == 1) lit(anchors.head._1)
+    else least(scored: _*).getField("aid")
+  }
+
   /** IVF-bucketed ANN: assign every vector to its argmax-cosine anchor,
-    * then brute-force only within the query's cell (nprobe=1). `anchors`
-    * must be small (broadcast). */
+    * then brute-force only within the query's cell (nprobe=1). The anchor
+    * set is collected to the driver once (broadcast-sized by contract)
+    * and cell assignment is a zero-shuffle projection — the only shuffle
+    * in the plan is the final per-cell candidate join. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -50,23 +67,16 @@ object Similarity {
       k: Int,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    // cell(v) = anchor id with max cosine(v, anchor); ties → smallest id
-    def withCell(df: DataFrame, id: String): DataFrame = {
-      val a = broadcast(anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("av")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("anchor_cos").desc, col("anchor_id").asc)
-      df.select(col(id), col(vecCol).as("v"))
-        .crossJoin(a)
-        .withColumn("anchor_cos", V.cosine(col("v"), col("av")))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-        .select(col(id), col("anchor_id").as("cell"), col("v"))
-    }
-    val c = withCell(corpus, idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("v").as("cv"))
-    val q = broadcast(
-      withCell(queries, idCol)
-        .select(col(idCol).as("query_id"), col("cell"), col("v").as("qv")))
+    val anchorSeq: Seq[(Long, Seq[Float])] =
+      anchors.select(col(idCol).cast("bigint"), col(vecCol)).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def withCell(df: DataFrame, outId: String): DataFrame =
+      df.select(
+        col(idCol).as(outId),
+        cellOf(anchorSeq, col(vecCol)).as("cell"),
+        col(vecCol).as("v"))
+    val c = withCell(corpus, "neighbor_id").withColumnRenamed("v", "cv")
+    val q = broadcast(withCell(queries, "query_id").withColumnRenamed("v", "qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("cell"))

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  "tokenCount" should "count whitespace tokens" in {
+    one[Int](TextFunctions.tokenCount(col("text")), "the quick  brown\tfox") shouldBe 4
+  }
+
+  "subwordCount" should "count letter/digit/punct runs" in {
+    // "don't stop123" → don + ' + t + stop + 123 = 5
+    one[Int](TextFunctions.subwordCount(col("text")), "don't stop123") shouldBe 5
+  }
+
+  "punctRatio" should "not divide by zero on empty docs (ANSI mode)" in {
+    one[Double](TextFunctions.punctRatio(col("text")), "") shouldBe 0.0
+    one[Double](TextFunctions.punctRatio(col("text")), "a,b") shouldBe (1.0 / 3) +- 1e-12
+  }
+
+  "meanTokenLen" should "handle empty input safely" in {
+    noException should be thrownBy
+      one[Double](TextFunctions.meanTokenLen(col("text")), "")
+    one[Double](TextFunctions.meanTokenLen(col("text")), "ab cdef") shouldBe 3.0
+  }
+
+  "stopwordRatio" should "compute the hit fraction" in {
+    one[Double](TextFunctions.stopwordRatio(col("text"), Seq("the", "a")),
+      "The cat in a hat") shouldBe 0.4 +- 1e-12
+  }
+
+  "langId" should "pick the language with most stopword hits" in {
+    one[String](TextFunctions.langId(col("text")),
+      "the cat and the dog in the house") shouldBe "en"
+    one[String](TextFunctions.langId(col("text")),
+      "der hund und die katze ist nicht da") shouldBe "de"
+    one[String](TextFunctions.langId(col("text")), "zzz qqq xxx") shouldBe "und"
+  }
+
+  "contentFingerprint" should "be order- and duplication-invariant" in {
+    val a = one[String](TextFunctions.contentFingerprint(col("text")), "b a c a")
+    val b = one[String](TextFunctions.contentFingerprint(col("text")), "c b a")
+    a shouldBe b
+  }
+
+  "charShingles" should "produce n-grams of the normalized text" in {
+    val r = one[collection.Seq[String]](TextFunctions.charShingles(col("text"), 3), "ab  cd")
+    r should contain allOf ("ab ", "b c", " cd")
+  }
+
+  "wordShingles" should "produce word n-grams" in {
+    val r = one[collection.Seq[String]](TextFunctions.wordShingles(col("text"), 2), "a b c")
+    r.toSeq shouldBe Seq("a b", "b c")
+  }
+
+  "jaccard" should "compute set overlap and survive empty arrays" in {
+    val df = Seq((Seq("a", "b"), Seq("b", "c")), (Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b")
+    val r = df.select(TextFunctions.jaccard(col("a"), col("b")).as("j"))
+      .as[Double].collect()
+    r(0) shouldBe (1.0 / 3) +- 1e-12
+    r(1) shouldBe 0.0
+  }
+
+  "qualityScore" should "rank clean text above noise" in {
+    val noisy = "!!! ??? ### $$$ %%%"
+    val clean = "the house and the garden are in a quiet part of the town " * 10
+    val df = Seq(clean, noisy).toDF("text")
+      .select(TextFunctions.qualityScore(col("text"), TextFunctions.langStopwords("en")).as("q"))
+      .as[Double].collect()
+    df(0) should be > df(1)
+  }
+}

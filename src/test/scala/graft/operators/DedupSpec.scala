@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "s1"), // near dup of 1
+    (4L, "completely different text about spark query engines", "s2"),
+    (5L, "another unrelated document mentioning window functions", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  "exact" should "group identical texts and keep the minimum id" in {
+    val r = Dedup.exact(docs).collect()
+    r.map(_.getAs[Long]("n_copies")).sum shouldBe 5
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    dup.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  "minhashLsh" should "surface exact and near duplicates as candidates" in {
+    val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4)
+      .select("id_a", "id_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) shouldBe 1.0 // identical docs agree on every slot
+    // near-dup 1-3 should collide on at least one band too
+    pairs.keySet should contain((1L, 3L))
+    pairs((1L, 3L)) should be >= 0.25
+  }
+
+  it should "reject invalid banding" in {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashLsh(docs, k = 8, bands = 3)
+  }
+
+  it should "drop over-full band buckets (skew guard)" in {
+    // 20 identical docs: every band bucket has 20 members > cap 10 ⇒ no pairs
+    val many = (1L to 20L).map(i => (i, "same text for everyone", "s")).toDF("doc_id", "text", "source")
+    Dedup.minhashLsh(many, k = 8, bands = 4, maxBucketSize = 10).count() shouldBe 0
+    // raising the cap admits them again
+    Dedup.minhashLsh(many, k = 8, bands = 4, maxBucketSize = 100).count() shouldBe 190
+  }
+
+  "simhashBuckets" should "bucket identical docs together" in {
+    val r = Dedup.simhashBuckets(docs, nBits = 16).collect()
+    r.length should be >= 1
+    val b = r.find(_.getAs[Long]("n_docs") >= 2).get
+    b.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  "ngramJaccardPairs" should "score within-block similarity" in {
+    val r = Dedup.ngramJaccardPairs(docs, "source", shingleN = 2)
+      .collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) -> x.getAs[Double]("jaccard"))
+      .toMap
+    r((1L, 2L)) shouldBe 1.0
+    r((1L, 3L)) should (be > 0.5 and be < 1.0)
+    // cross-block pairs must not appear
+    r.keySet should not contain ((1L, 4L))
+  }
+
+  "embeddingNearDup" should "find high-cosine pairs within a block" in {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0f), 0),  // near dup of 1
+      (3L, Seq(0f, 1f, 0f), 0),       // orthogonal
+      (4L, Seq(1f, 0f, 0f), 1)        // same direction but other block
+    ).toDF("vec_id", "embedding", "label")
+    val r = Dedup.embeddingNearDup(vecs, "label", 0.9)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+    r should contain theSameElementsAs Seq((1L, 2L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DescriptiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aggAll(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[org.apache.spark.sql.Column]) =
+    df.agg(cols.head, cols.tail: _*).collect()(0)
+
+  // Reference maple fixture numbers (SURVEY §7.2 step 2): nReadsInput
+  // values 10000, 20000, 40000 → n=3, mean=23333.33, median=20000.
+  "exactIntStats" should "reproduce the reference's descriptive stats" in {
+    val df = Seq(10000L, 20000L, 40000L).toDF("v")
+    val r = aggAll(df, Descriptive.exactIntStats(col("v"), "m"))
+    r.getAs[Long]("m_n") shouldBe 3L
+    r.getAs[Long]("m_sum") shouldBe 70000L
+    r.getAs[Long]("m_min") shouldBe 10000L
+    r.getAs[Long]("m_max") shouldBe 40000L
+    r.getAs[Double]("m_mean") shouldBe 23333.333333333332 +- 1e-9
+    r.getAs[Double]("m_median") shouldBe 20000.0
+    // population variance (reference divides by n, not n-1)
+    r.getAs[Double]("m_var_pop") shouldBe 1.5555555555555556e8 +- 1e-1
+    r.getAs[Double]("m_stdev") shouldBe math.sqrt(1.5555555555555556e8) +- 1e-4
+  }
+
+  it should "interpolate the median on even counts" in {
+    val r = aggAll(Seq(1L, 2L, 3L, 4L).toDF("v"),
+      Descriptive.exactIntStats(col("v"), "m"))
+    r.getAs[Double]("m_median") shouldBe 2.5
+  }
+
+  it should "match a naive computation on seeded random integer data" in {
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val xs = List.fill(1 + rnd.nextInt(50))((rnd.nextInt(2000001) - 1000000).toLong)
+      val r = aggAll(xs.toDF("v"), Descriptive.exactIntStats(col("v"), "m"))
+      val n = xs.size.toDouble
+      val mean = xs.sum.toDouble / n
+      val varPop = xs.map(x => (x - mean) * (x - mean)).sum / n
+      r.getAs[Long]("m_n") shouldBe xs.size.toLong
+      r.getAs[Long]("m_sum") shouldBe xs.sum
+      r.getAs[Double]("m_mean") shouldBe mean +- (math.abs(mean) * 1e-12 + 1e-9)
+      r.getAs[Double]("m_var_pop") shouldBe varPop +- (math.abs(varPop) * 1e-9 + 1e-6)
+    }
+  }
+
+  "exactDecimalStats" should "sum fixed-point exactly" in {
+    val r = aggAll(Seq(1.11, 2.22, 3.33).toDF("v"),
+      Descriptive.exactDecimalStats(col("v"), "p"))
+    r.getAs[Long]("p_n") shouldBe 3L
+    r.getAs[Double]("p_sum") shouldBe 6.66
+    r.getAs[Double]("p_min") shouldBe 1.11
+    r.getAs[Double]("p_max") shouldBe 3.33
+    r.getAs[Double]("p_mean") shouldBe 2.22
+  }
+
+  "sparkNativeStats" should "agree with the exact kernel on clean data" in {
+    val df = Seq(5L, 7L, 11L, 13L).toDF("v")
+    val e = aggAll(df, Descriptive.exactIntStats(col("v"), "m"))
+    val s = aggAll(df, Descriptive.sparkNativeStats(col("v"), "m"))
+    s.getAs[Long]("m_n") shouldBe e.getAs[Long]("m_n")
+    s.getAs[Double]("m_mean") shouldBe e.getAs[Double]("m_mean") +- 1e-9
+    s.getAs[Double]("m_var_pop") shouldBe e.getAs[Double]("m_var_pop") +- 1e-6
+    s.getAs[Double]("m_median") shouldBe e.getAs[Double]("m_median")
+  }
+}
