@@ -192,6 +192,17 @@ object SparkEntry {
     "vector_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
 
+    // S2/S4 JSON parse + shred: from_json on a JSON column, projected
+    // into typed fields — the scan-side half of the ingest explode path
+    "json_shred_props" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))),
+
     // IVF ANN: zero-shuffle cell assignment, per-cell candidate join
     "vector_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -415,6 +426,10 @@ object SparkEntry {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos > 0.25""".stripMargin
     },
+
+    "json_shred_props" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "vector_ivf_topk" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)

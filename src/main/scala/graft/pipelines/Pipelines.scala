@@ -1,0 +1,172 @@
+package graft.pipelines
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline plugin registry — the reference's only extensibility axis
+  * (SURVEY §2.10): a pipeline contributes schema validation plus the
+  * JSON→units shred. Adding a pipeline never touches core.
+  *
+  * The shred is the canonical Spark explode pipeline (SURVEY §2.1 S4):
+  * `from_json` with a typed nested schema, then one `explode` per
+  * hierarchy level. It runs distributed — one uploaded file is one row,
+  * a bulk backfill is millions of rows, same plan.
+  */
+trait PipelinePlugin {
+  def name: String
+
+  /** Schema validation errors; empty means valid (reference
+    * `utils/JsonValidator.scala:32-77`, HTTP 422 on non-empty). */
+  def validate(json: JsonNode): Seq[String]
+
+  def sampleStatsSchema: Option[StructType]
+  def readGroupStatsSchema: Option[StructType]
+
+  /** Shred a raw-upload frame (`runId, uploaderId, content,
+    * creationTimeUtc`) into per-unit frames. */
+  def shred(raw: DataFrame): Shredded
+}
+
+/** Per-level unit frames produced by a shred; None = level not present. */
+final case class Shredded(samples: Option[DataFrame], readGroups: Option[DataFrame])
+
+object PipelinePlugin {
+  /** Deterministic unit id, computed engine-side; must agree with
+    * [[graft.ingest.Ingest.unitId]]. */
+  def idCol(parts: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    md5(concat_ws(" ", parts: _*))
+
+  val nullString: org.apache.spark.sql.Column = lit(null).cast(StringType)
+  val emptyTags: org.apache.spark.sql.Column =
+    map().cast(MapType(StringType, StringType))
+
+  def labelsCol(
+      runName: org.apache.spark.sql.Column,
+      sampleName: org.apache.spark.sql.Column = nullString,
+      readGroupName: org.apache.spark.sql.Column = nullString): org.apache.spark.sql.Column =
+    struct(
+      runName.as("runName"),
+      sampleName.as("sampleName"),
+      readGroupName.as("readGroupName"),
+      nullString.as("notes"),
+      emptyTags.as("tags"))
+}
+
+/** The reference's example full pipeline: samples with `nSnps`, read
+  * groups with `nReadsInput`/`nReadsAligned`
+  * (reference `exts/maple/MapleRunsProcessor.scala:73-112`,
+  * `exts/maple/MapleRunRecord.scala:27-74`,
+  * schema `schema_examples/maple.json`). */
+object MaplePipeline extends PipelinePlugin {
+  import PipelinePlugin._
+
+  val name = "maple"
+
+  val sampleStatsSchema: Option[StructType] =
+    Some(StructType(Seq(StructField("nSnps", LongType))))
+  val readGroupStatsSchema: Option[StructType] =
+    Some(StructType(Seq(
+      StructField("nReadsInput", LongType),
+      StructField("nReadsAligned", LongType))))
+
+  /** Hand-rolled draft-04 subset check of `schema_examples/maple.json`:
+    * required samples+runName; per sample required readGroups+nSnps
+    * (integer); per read group required integer nReadsInput/nReadsAligned. */
+  def validate(json: JsonNode): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    if (!json.isObject) errs += "root: expected an object"
+    else {
+      if (!json.has("runName") || !json.get("runName").isTextual)
+        errs += "runName: required string"
+      val samples = json.get("samples")
+      if (samples == null || !samples.isObject)
+        errs += "samples: required object"
+      else samples.properties().asScala.foreach { e =>
+        val (sName, s) = (e.getKey, e.getValue)
+        if (!s.isObject) errs += s"samples/$sName: expected an object"
+        else {
+          if (!s.has("nSnps") || !s.get("nSnps").isIntegralNumber)
+            errs += s"samples/$sName/nSnps: required integer"
+          val rgs = s.get("readGroups")
+          if (rgs == null || !rgs.isObject)
+            errs += s"samples/$sName/readGroups: required object"
+          else rgs.properties().asScala.foreach { rg =>
+            val (rgName, r) = (rg.getKey, rg.getValue)
+            Seq("nReadsInput", "nReadsAligned").foreach { f =>
+              if (!r.has(f) || !r.get(f).isIntegralNumber)
+                errs += s"samples/$sName/readGroups/$rgName/$f: required integer"
+            }
+          }
+        }
+      }
+    }
+    errs.result()
+  }
+
+  /** Typed parse schema for the whole summary document. */
+  private val docSchema = StructType(Seq(
+    StructField("runName", StringType),
+    StructField("samples", MapType(StringType, StructType(Seq(
+      StructField("nSnps", LongType),
+      StructField("readGroups", MapType(StringType, StructType(Seq(
+        StructField("nReadsInput", LongType),
+        StructField("nReadsAligned", LongType)))))))))))
+
+  def shred(raw: DataFrame): Shredded = {
+    val parsed = raw.select(
+      col("runId"), col("uploaderId"), col("creationTimeUtc"),
+      from_json(col("content"), docSchema).as("doc"))
+
+    val samples = parsed
+      .select(col("runId"), col("uploaderId"), col("creationTimeUtc"),
+        col("doc.runName").as("runName"),
+        explode(col("doc.samples")).as(Seq("sampleName", "sample")))
+      .select(
+        idCol(col("runId"), col("sampleName")).as("_id"),
+        col("runId"), col("uploaderId"), col("creationTimeUtc"),
+        labelsCol(col("runName"), col("sampleName")).as("labels"),
+        struct(col("sample.nSnps").as("nSnps")).as("stats"))
+
+    val readGroups = parsed
+      .select(col("runId"), col("uploaderId"), col("creationTimeUtc"),
+        col("doc.runName").as("runName"),
+        explode(col("doc.samples")).as(Seq("sampleName", "sample")))
+      .select(col("runId"), col("uploaderId"), col("creationTimeUtc"),
+        col("runName"), col("sampleName"),
+        explode(col("sample.readGroups")).as(Seq("readGroupName", "rg")))
+      .select(
+        idCol(col("runId"), col("sampleName"), col("readGroupName")).as("_id"),
+        idCol(col("runId"), col("sampleName")).as("sampleId"),
+        col("runId"), col("uploaderId"),
+        // maple read groups are paired-end by definition
+        // (exts/maple/MapleRunRecord.scala:63 isPaired = true)
+        lit(true).as("isPaired"),
+        col("creationTimeUtc"),
+        labelsCol(col("runName"), col("sampleName"), col("readGroupName")).as("labels"),
+        struct(
+          col("rg.nReadsInput").as("nReadsInput"),
+          col("rg.nReadsAligned").as("nReadsAligned")).as("stats"))
+
+    Shredded(Some(samples), Some(readGroups))
+  }
+}
+
+/** Schema-free catch-all: accepts any non-empty JSON object/array, stores
+  * only the raw file + run record (reference
+  * `exts/plain/PlainRunsProcessor.scala:33-56`, `schemas/plain.json`). */
+object PlainPipeline extends PipelinePlugin {
+  val name = "plain"
+  val sampleStatsSchema: Option[StructType] = None
+  val readGroupStatsSchema: Option[StructType] = None
+
+  def validate(json: JsonNode): Seq[String] =
+    if (json.isObject && json.size() >= 1) Seq.empty
+    else if (json.isArray && json.size() >= 1) Seq.empty
+    else Seq("root: expected a non-empty object or array")
+
+  def shred(raw: DataFrame): Shredded = Shredded(None, None)
+}

@@ -1,0 +1,112 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned parquet warehouse with copy-on-write mutation — the narrow
+  * storage interface SURVEY §7.3 calls for (so a Delta-style backend could
+  * replace it without touching callers).
+  *
+  * Layout: `root/<table>/v<N>/part-*.parquet` plus a `_latest` pointer
+  * file holding N. Reads resolve the pointer; appends add part-files to
+  * the current version (parquet append); mutations (update/delete) write
+  * a full new version directory and then atomically swing the pointer —
+  * readers never observe a half-written table, which is the same
+  * snapshot-isolation trick every table format (Delta/Iceberg/Hudi) uses.
+  * The reference delegated all this to MongoDB
+  * (`adapters/MongodbAdapter.scala:36-65`); an immutable-file engine has
+  * to do it with snapshots.
+  *
+  * Concurrency: single-writer per table (the reference serialized writes
+  * through one Mongo connection too — SURVEY §7.4); `synchronized` guards
+  * the pointer swap for in-process callers.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def pointerFile(name: String): Path = tableDir(name).resolve("_latest")
+  private def versionDir(name: String, v: Int): Path = tableDir(name).resolve(s"v$v")
+
+  def currentVersion(name: String): Int = {
+    val p = pointerFile(name)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+    else -1
+  }
+
+  private def setVersion(name: String, v: Int): Unit = {
+    val tmp = tableDir(name).resolve(s"_latest.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def exists(name: String): Boolean = currentVersion(name) >= 0
+
+  /** Read the table's current snapshot. */
+  def read(name: String): DataFrame = {
+    val v = currentVersion(name)
+    require(v >= 0, s"table $name does not exist in $root")
+    spark.read.parquet(versionDir(name, v).toString)
+  }
+
+  /** Read, or an empty frame of `schema` when the table doesn't exist yet
+    * (first upload of a pipeline). */
+  def readOr(name: String, schema: StructType): DataFrame =
+    if (exists(name)) read(name)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Append rows (new part-files into the current version — no rewrite). */
+  def append(name: String, df: DataFrame): Unit = synchronized {
+    val v = currentVersion(name)
+    if (v < 0) {
+      Files.createDirectories(tableDir(name))
+      df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, 0).toString)
+      setVersion(name, 0)
+    } else {
+      df.write.mode(SaveMode.Append).parquet(versionDir(name, v).toString)
+    }
+  }
+
+  /** Copy-on-write mutation: materialize `f(current)` as version N+1 and
+    * swing the pointer. The transform must be a pure DataFrame transform
+    * (filter/withColumn/...); it executes distributed, and only the
+    * pointer update is driver-side. */
+  def rewrite(name: String, f: DataFrame => DataFrame): Unit = synchronized {
+    val v = currentVersion(name)
+    require(v >= 0, s"cannot rewrite missing table $name")
+    val next = v + 1
+    f(read(name)).write.mode(SaveMode.Overwrite).parquet(versionDir(name, next).toString)
+    setVersion(name, next)
+    deleteRecursively(versionDir(name, v))
+  }
+
+  /** Replace the table wholesale (used by tests/bootstrap). */
+  def overwrite(name: String, df: DataFrame): Unit = synchronized {
+    val next = currentVersion(name) + 1
+    Files.createDirectories(tableDir(name))
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, next).toString)
+    setVersion(name, next)
+    if (next > 0) deleteRecursively(versionDir(name, next - 1))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+}
+
+object Warehouse {
+  /** Table names (reference `adapters/MongodbAdapter.scala:36-65`). */
+  val Runs = "runs"
+  val Files = "files"
+  val Users = "users"
+  val References = "references"
+  val Annotations = "annotations"
+  def samples(pipeline: String): String = s"${pipeline}_samples"
+  def readGroups(pipeline: String): String = s"${pipeline}_readGroups"
+}
