@@ -1,0 +1,168 @@
+package graft.lifecycle
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.RunIngestor
+import graft.lifecycle.JsonPatch._
+import graft.model.Records.User
+import graft.pipelines.{MaplePipeline, PlainPipeline}
+import graft.store.Warehouse
+
+/** Mirrors the reference's PatchRunIdRunsControllerSpec /
+  * DeleteRunIdRunsControllerSpec semantics over the fixture corpus. */
+class RunsLifecycleSpec extends SparkSpec {
+
+  private val avg = User("avg", "avg@test.id")
+  private val avg2 = User("avg2", "avg2@test.id")
+  private val admin = User("admin", "admin@test.id", isAdmin = true)
+
+  private def fixture(path: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(getClass.getResource(s"/fixtures/$path").toURI))
+
+  private def freshRun(): (Warehouse, String) = {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    val ing = new RunIngestor(wh,
+      Map("maple" -> MaplePipeline, "plain" -> PlainPipeline),
+      () => Timestamp.valueOf("2024-06-01 12:00:00"))
+    val runId = ing.upload(
+      fixture("maple/maple_multi_sample_multi_rg.json"), "m.json", "maple", avg)
+    (wh, runId)
+  }
+
+  "patchRun" should "replace runName and propagate to all children (M3)" in {
+    val (wh, runId) = freshRun()
+    val counts = RunsLifecycle.patchRun(wh, runId, avg,
+      List(ReplaceOp("/labels/runName", "Renamed")))
+    counts shouldBe ((1, 2, 3))
+    wh.read(Warehouse.Runs).filter(col("runId") === runId)
+      .select("labels.runName").collect()(0).getString(0) shouldBe "Renamed"
+    wh.read(Warehouse.samples("maple")).select("labels.runName")
+      .distinct().collect().map(_.getString(0)) shouldBe Array("Renamed")
+    wh.read(Warehouse.readGroups("maple")).select("labels.runName")
+      .distinct().collect().map(_.getString(0)) shouldBe Array("Renamed")
+  }
+
+  it should "route sampleLabels patches and propagate sampleName to its read groups" in {
+    val (wh, runId) = freshRun()
+    val sampleBId = wh.read(Warehouse.samples("maple"))
+      .filter(col("labels.sampleName") === "sampleB")
+      .select("_id").collect()(0).getString(0)
+    val counts = RunsLifecycle.patchRun(wh, runId, avg,
+      List(ReplaceOp(s"/sampleLabels/$sampleBId/sampleName", "renamedB")))
+    counts shouldBe ((1, 1, 2)) // sampleB + its 2 read groups
+    wh.read(Warehouse.samples("maple")).filter(col("_id") === sampleBId)
+      .select("labels.sampleName").collect()(0).getString(0) shouldBe "renamedB"
+    wh.read(Warehouse.readGroups("maple"))
+      .filter(col("sampleId") === sampleBId)
+      .select("labels.sampleName").distinct().collect()
+      .map(_.getString(0)) shouldBe Array("renamedB")
+  }
+
+  it should "support tags add/replace/remove and notes, rejecting bad removes" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.patchRun(wh, runId, avg, List(
+      AddOp("/labels/tags/phase", "qc"),
+      AddOp("/labels/tags/attempt", 2),
+      AddOp("/labels/notes", "checked")))
+    val labels = wh.read(Warehouse.Runs).filter(col("runId") === runId)
+      .select("labels").collect()(0).getStruct(0)
+    labels.getAs[Map[String, String]]("tags") shouldBe
+      Map("phase" -> "qc", "attempt" -> "2")
+    labels.getAs[String]("notes") shouldBe "checked"
+
+    RunsLifecycle.patchRun(wh, runId, avg, List(RemoveOp("/labels/tags/phase")))
+    wh.read(Warehouse.Runs).filter(col("runId") === runId)
+      .select("labels.tags").collect()(0)
+      .getAs[Map[String, String]](0) shouldBe Map("attempt" -> "2")
+
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(RemoveOp("/labels/tags/nope")))
+  }
+
+  it should "reject non-whitelisted paths and wrong value types (422)" in {
+    val (wh, runId) = freshRun()
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(ReplaceOp("/uploaderId", "x")))
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(ReplaceOp("/labels/runName", 42)))
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg,
+        List(ReplaceOp("/sampleLabels/zzz/sampleName", "x")))
+  }
+
+  it should "enforce per-row authorization (403) but allow admins" in {
+    val (wh, runId) = freshRun()
+    a[RunsLifecycle.ForbiddenException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg2, List(ReplaceOp("/labels/runName", "x")))
+    RunsLifecycle.patchRun(wh, runId, admin,
+      List(ReplaceOp("/labels/runName", "byAdmin")))._1 shouldBe 1
+  }
+
+  "deleteRun" should "cascade-delete children, tombstone the run, and 410 on repeat (M5)" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.deleteRun(wh, runId, avg)
+
+    wh.read(Warehouse.Files).filter(col("runId") === runId).count() shouldBe 0
+    wh.read(Warehouse.samples("maple")).count() shouldBe 0
+    wh.read(Warehouse.readGroups("maple")).count() shouldBe 0
+    // tombstoned, not removed
+    val run = wh.read(Warehouse.Runs).filter(col("runId") === runId).collect()(0)
+    run.getAs[Timestamp]("deletionTimeUtc") should not be null
+    // excluded from listings and global stats
+    RunsLifecycle.getRuns(wh, avg).count() shouldBe 0
+    // second delete is distinguishable: 410, not 404
+    a[RunsLifecycle.GoneException] should be thrownBy
+      RunsLifecycle.deleteRun(wh, runId, avg)
+    // point get also reports gone
+    a[RunsLifecycle.GoneException] should be thrownBy
+      RunsLifecycle.getRun(wh, runId, avg)
+  }
+
+  "getRun" should "enrich with child label maps when asked (J2)" in {
+    val (wh, runId) = freshRun()
+    val enriched = RunsLifecycle.getRun(wh, runId, avg, showUnitsLabels = true)
+      .collect()(0)
+    val sampleLabels = enriched.getAs[Map[String, org.apache.spark.sql.Row]]("sampleLabels")
+    sampleLabels should have size 2
+    sampleLabels.values.map(_.getAs[String]("sampleName")).toSet shouldBe
+      Set("sampleA", "sampleB")
+    enriched.getAs[Map[String, org.apache.spark.sql.Row]]("readGroupLabels") should have size 3
+    // hidden attributes stay hidden (P4)
+    enriched.schema.fieldNames should not contain "sampleIds"
+  }
+
+  "getRuns" should "scope visibility and sort by time desc (F10, O1)" in {
+    val (wh, _) = freshRun()
+    RunsLifecycle.getRuns(wh, avg).count() shouldBe 1
+    RunsLifecycle.getRuns(wh, avg2).count() shouldBe 0
+    RunsLifecycle.getRuns(wh, admin).count() shouldBe 1
+    RunsLifecycle.getRuns(wh, avg, Seq("plain")).count() shouldBe 0
+  }
+
+  "getUnitsByIds" should "enforce the strict cardinality check (J1)" in {
+    val (wh, _) = freshRun()
+    val samples = wh.read(Warehouse.samples("maple"))
+    val ids = samples.select("_id").collect().map(_.getString(0)).toSeq
+    RunsLifecycle.getUnitsByIds(samples, ids) should have size 2
+    a[RunsLifecycle.NotFoundException] should be thrownBy
+      RunsLifecycle.getUnitsByIds(samples, ids :+ ("0" * 32))
+  }
+
+  "JsonPatch.parse" should "parse arrays and auto-wrap single ops, rejecting junk" in {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    JsonPatch.parse(m.readTree(
+      """[{"op":"replace","path":"/labels/runName","value":"x"}]""")) should have size 1
+    JsonPatch.parse(m.readTree(
+      """{"op":"remove","path":"/labels/notes"}""")) should have size 1
+    a[PatchParseException] should be thrownBy
+      JsonPatch.parse(m.readTree("""{"op":"frobnicate","path":"/x"}"""))
+    a[PatchParseException] should be thrownBy
+      JsonPatch.parse(m.readTree("""{"op":"add","path":"no-slash","value":1}"""))
+    a[PatchParseException] should be thrownBy JsonPatch.parse(m.readTree("[]"))
+  }
+}
