@@ -62,31 +62,38 @@ final class RunIngestor(
     val runId = unitId(fileMd5, uploader.id)
     val now = clock()
 
+    // dictionary get-or-create hook (S8) before anything is stored
+    val ctx = plugin.prepare(json, wh, now)
+
     val fileRow = spark.createDataFrame(
       java.util.List.of(Row(runId, fileMd5, uploader.id, pipelineName,
         fileName, "application/json", now, bytes)),
       Records.fileSchema)
     wh.append(Warehouse.Files, fileRow)
 
-    val raw = rawFrame(Seq((runId, uploader.id, new String(content, "UTF-8"), now)))
+    val raw = rawFrame(Seq((runId, uploader.id, new String(content, "UTF-8"), now)), ctx)
     val shredded = plugin.shred(raw)
     val (sampleIds, readGroupIds) = storeUnits(plugin, shredded)
 
     val runName = Option(json.get("runName")).filter(_.isTextual).map(_.asText)
+    // dictionary ids (refId/annotIds) ride in the run's label tags so the
+    // fixed runs schema carries per-pipeline extras without a fork
     val runRow = spark.createDataFrame(
       java.util.List.of(Row(runId, uploader.id, pipelineName,
         sampleIds, readGroupIds, sampleIds.size.toLong, readGroupIds.size.toLong,
-        Row(runName.orNull, null, null, null, Map.empty[String, String]),
+        Row(runName.orNull, null, null, null, ctx),
         null, now)),
       Records.runSchema)
     wh.append(Warehouse.Runs, runRow)
     runId
   }
 
-  private def rawFrame(rows: Seq[(String, String, String, Timestamp)]): DataFrame = {
+  private def rawFrame(rows: Seq[(String, String, String, Timestamp)],
+      ctx: Map[String, String]): DataFrame = {
     val s = spark
     import s.implicits._
     rows.toDF("runId", "uploaderId", "content", "creationTimeUtc")
+      .withColumn("context", typedLit(ctx))
   }
 
   private def storeUnits(
@@ -138,7 +145,8 @@ final class RunIngestor(
       col("creationTimeUtc"), col("content").cast("binary").as("content")))
 
     val shredded = plugin.shred(
-      fresh.select("runId", "uploaderId", "content", "creationTimeUtc"))
+      fresh.select("runId", "uploaderId", "content", "creationTimeUtc")
+        .withColumn("context", typedLit(Map.empty[String, String])))
     shredded.samples.foreach(s => wh.append(Warehouse.samples(plugin.name), s))
     shredded.readGroups.foreach(r => wh.append(Warehouse.readGroups(plugin.name), r))
 

@@ -26,8 +26,14 @@ trait PipelinePlugin {
   def sampleStatsSchema: Option[StructType]
   def readGroupStatsSchema: Option[StructType]
 
+  /** Pre-shred hook for dictionary get-or-create (pref/pann): returns a
+    * small string context (e.g. refId) that rides into [[shred]] as a
+    * `context` map column and into the run record's label tags. */
+  def prepare(json: JsonNode, wh: graft.store.Warehouse,
+      now: java.sql.Timestamp): Map[String, String] = Map.empty
+
   /** Shred a raw-upload frame (`runId, uploaderId, content,
-    * creationTimeUtc`) into per-unit frames. */
+    * creationTimeUtc, context: map<string,string>`) into per-unit frames. */
   def shred(raw: DataFrame): Shredded
 }
 
@@ -54,6 +60,40 @@ object PipelinePlugin {
       readGroupName.as("readGroupName"),
       nullString.as("notes"),
       emptyTags.as("tags"))
+
+  /** Shared validator for the pref/pann sample shape:
+    * `samples: {<name>: {num: <integer>}}`. */
+  def validateNumSamples(json: JsonNode): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val samples = json.get("samples")
+    if (samples == null || !samples.isObject) errs += "samples: required object"
+    else samples.properties().asScala.foreach { e =>
+      if (!e.getValue.has("num") || !e.getValue.get("num").isIntegralNumber)
+        errs += s"samples/${e.getKey}/num: required integer"
+    }
+    errs.result()
+  }
+
+  /** Shared shred for the pref/pann sample shape; keeps the `context`
+    * column for the caller to mine and drop. */
+  def shredNumSamples(raw: DataFrame): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("runName", StringType),
+      StructField("samples", MapType(StringType,
+        StructType(Seq(StructField("num", LongType)))))))
+    raw.select(
+      col("runId"), col("uploaderId"), col("creationTimeUtc"), col("context"),
+      from_json(col("content"), docSchema).as("doc"))
+      .select(col("runId"), col("uploaderId"), col("creationTimeUtc"), col("context"),
+        col("doc.runName").as("runName"),
+        explode(col("doc.samples")).as(Seq("sampleName", "sample")))
+      .select(
+        idCol(col("runId"), col("sampleName")).as("_id"),
+        col("runId"), col("uploaderId"), col("creationTimeUtc"),
+        labelsCol(col("runName"), col("sampleName")).as("labels"),
+        struct(col("sample.num").as("num")).as("stats"),
+        col("context"))
+  }
 }
 
 /** The reference's example full pipeline: samples with `nSnps`, read
@@ -153,6 +193,95 @@ object MaplePipeline extends PipelinePlugin {
 
     Shredded(Some(samples), Some(readGroups))
   }
+}
+
+/** Reference-dictionary pipeline (reference
+  * `exts/pref/PrefRunsProcessor.scala:50-115`): extracts a reference
+  * record, get-or-creates it by combinedMd5 (S8), attaches the refId to
+  * every sample row and the run's label tags. */
+object PrefPipeline extends PipelinePlugin {
+  import PipelinePlugin._
+  import graft.store.Dictionaries
+
+  val name = "pref"
+
+  val sampleStatsSchema: Option[StructType] =
+    Some(StructType(Seq(StructField("num", LongType))))
+  val readGroupStatsSchema: Option[StructType] = None
+
+  def validate(json: JsonNode): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val ref = json.get("reference")
+    if (ref == null || !ref.isObject || ref.get("contigs") == null ||
+        !ref.get("contigs").isObject)
+      errs += "reference/contigs: required object"
+    else ref.get("contigs").properties().asScala.foreach { c =>
+      if (!c.getValue.has("md5") || !c.getValue.get("md5").isTextual)
+        errs += s"reference/contigs/${c.getKey}/md5: required string"
+      if (!c.getValue.has("length") || !c.getValue.get("length").isIntegralNumber)
+        errs += s"reference/contigs/${c.getKey}/length: required integer"
+    }
+    errs ++= validateNumSamples(json)
+    errs.result()
+  }
+
+  override def prepare(json: JsonNode, wh: graft.store.Warehouse,
+      now: java.sql.Timestamp): Map[String, String] = {
+    val ref = json.get("reference")
+    val contigs = ref.get("contigs").properties().asScala.toSeq.map { e =>
+      Dictionaries.Contig(e.getKey, e.getValue.get("length").asLong,
+        e.getValue.get("md5").asText)
+    }
+    val refName = Option(ref.get("name")).filter(_.isTextual).map(_.asText)
+    Map("refId" -> Dictionaries.getOrCreateReference(wh, refName, contigs, now))
+  }
+
+  def shred(raw: DataFrame): Shredded =
+    Shredded(Some(shredNumSamples(raw)
+      .withColumn("refId", col("context").getItem("refId"))
+      .drop("context")), None)
+}
+
+/** Annotation-dictionary pipeline (reference
+  * `exts/pann/PannRunsProcessor.scala:50-95`): get-or-creates each
+  * annotation by annotMd5 (S8), samples carry the annotId array. */
+object PannPipeline extends PipelinePlugin {
+  import PipelinePlugin._
+  import graft.store.Dictionaries
+
+  val name = "pann"
+
+  val sampleStatsSchema: Option[StructType] =
+    Some(StructType(Seq(StructField("num", LongType))))
+  val readGroupStatsSchema: Option[StructType] = None
+
+  def validate(json: JsonNode): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val ann = json.get("annotations")
+    if (ann == null || !ann.isObject) errs += "annotations: required object"
+    else ann.properties().asScala.foreach { a =>
+      if (!a.getValue.has("md5") || !a.getValue.get("md5").isTextual)
+        errs += s"annotations/${a.getKey}/md5: required string"
+    }
+    errs ++= validateNumSamples(json)
+    errs.result()
+  }
+
+  override def prepare(json: JsonNode, wh: graft.store.Warehouse,
+      now: java.sql.Timestamp): Map[String, String] = {
+    val ids = json.get("annotations").properties().asScala.toSeq.map { a =>
+      Dictionaries.getOrCreateAnnotation(wh,
+        a.getValue.get("md5").asText,
+        Option(a.getValue.get("path")).filter(_.isTextual).map(_.asText),
+        now)
+    }
+    Map("annotIds" -> ids.mkString(","))
+  }
+
+  def shred(raw: DataFrame): Shredded =
+    Shredded(Some(shredNumSamples(raw)
+      .withColumn("annotIds", split(col("context").getItem("annotIds"), ","))
+      .drop("context")), None)
 }
 
 /** Schema-free catch-all: accepts any non-empty JSON object/array, stores
