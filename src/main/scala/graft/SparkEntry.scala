@@ -192,6 +192,40 @@ object SparkEntry {
     "vector_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
 
+    // F12 point lookup: predicate pushdown to a single key
+    "sel_by_id" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") === lit(42L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")),
+
+    // A4 fragment stats: read1/read2/readAll nested agg with libType gate
+    "fragment_stats" -> ((s, d) => {
+      val frag = t(s, d, "lineitem").select(
+        (col("l_linenumber") % 2 === 0).as("isPaired"),
+        struct(
+          struct(col("l_quantity").cast("bigint").as("qty")).as("read1"),
+          struct(col("l_partkey").as("qty")).as("read2"),
+          struct((col("l_quantity").cast("bigint") + col("l_partkey")).as("qty"))
+            .as("readAll")).as("stats"))
+      graft.stats.FragmentStats.aggregate(
+        frag, col("stats"), Seq("qty"), Some(Selector.Paired),
+        kernel = Descriptive.exactIntStats)
+    }),
+
+    // A5 distinct
+    "agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey").distinct()),
+
+    // A6 count
+    "agg_count" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"))),
+
+    // C3 pctOf as a projected scalar
+    "pct_of" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Scalars.pctOf(lit(50))(col("l_quantity")).as("qty_pct"))),
+
     // S2/S4 JSON parse + shred: from_json on a JSON column, projected
     // into typed fields — the scan-side half of the ingest explode path
     "json_shred_props" -> ((s, d) =>
@@ -219,17 +253,17 @@ object SparkEntry {
 
   /** DuckDB replay of [[Descriptive.exactIntStats]] over bigint column
     * expression `v` (inside a CTE named x). */
-  private def intStatsSql(prefix: String): String =
-    s"""CAST(count(v) AS BIGINT) AS ${prefix}_n,
-       |CAST(sum(v) AS BIGINT) AS ${prefix}_sum,
-       |min(v) AS ${prefix}_min,
-       |max(v) AS ${prefix}_max,
-       |CAST(sum(v) AS DOUBLE) / count(v) AS ${prefix}_mean,
-       |quantile_cont(v, 0.5) AS ${prefix}_median,
-       |CAST(count(v)*sum(v*v) - sum(v)*sum(v) AS DOUBLE)
-       |  / CAST(count(v)*count(v) AS DOUBLE) AS ${prefix}_var_pop,
-       |sqrt(CAST(count(v)*sum(v*v) - sum(v)*sum(v) AS DOUBLE)
-       |  / CAST(count(v)*count(v) AS DOUBLE)) AS ${prefix}_stdev""".stripMargin
+  private def intStatsSql(prefix: String, v: String = "v"): String =
+    s"""CAST(count($v) AS BIGINT) AS ${prefix}_n,
+       |CAST(sum($v) AS BIGINT) AS ${prefix}_sum,
+       |min($v) AS ${prefix}_min,
+       |max($v) AS ${prefix}_max,
+       |CAST(sum($v) AS DOUBLE) / count($v) AS ${prefix}_mean,
+       |quantile_cont($v, 0.5) AS ${prefix}_median,
+       |CAST(count($v)*sum($v*$v) - sum($v)*sum($v) AS DOUBLE)
+       |  / CAST(count($v)*count($v) AS DOUBLE) AS ${prefix}_var_pop,
+       |sqrt(CAST(count($v)*sum($v*$v) - sum($v)*sum($v) AS DOUBLE)
+       |  / CAST(count($v)*count($v) AS DOUBLE)) AS ${prefix}_stdev""".stripMargin
 
   /** DuckDB replay of [[graft.functions.VectorFunctions.dot]]: same
     * element-order fold in double, so results match bit-for-bit. */
@@ -426,6 +460,30 @@ object SparkEntry {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos > 0.25""".stripMargin
     },
+
+    "sel_by_id" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey = 42""".stripMargin,
+
+    "fragment_stats" ->
+      s"""WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS q1,
+         |                  l_partkey AS q2,
+         |                  CAST(l_quantity AS BIGINT) + l_partkey AS qa
+         |           FROM lineitem WHERE l_linenumber % 2 = 0)
+         |SELECT ${intStatsSql("read1_qty", "q1")},
+         |       ${intStatsSql("read2_qty", "q2")},
+         |       ${intStatsSql("readAll_qty", "qa")}
+         |FROM x""".stripMargin,
+
+    "agg_distinct" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem",
+
+    "agg_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem WHERE l_returnflag = 'R'",
+
+    "pct_of" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity * 100.0 / 50 AS qty_pct
+        |FROM lineitem""".stripMargin,
 
     "json_shred_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -316,6 +316,17 @@ object RunsLifecycle {
         .drop("__newLabels"))
   }
 
+  /** S9: raw-file download (reference `processors/CompositeRunsProcessor
+    * .scala:120-125`, `api/RunsController.scala:246-257`): the stored
+    * upload bytes, gated by the same 404/403/410 checks as point gets. */
+  def getRunFile(wh: Warehouse, runId: String, user: Records.User): Array[Byte] = {
+    loadRun(wh, runId, user)
+    val rows = wh.read(Warehouse.Files)
+      .filter(col("runId") === runId).select("content").collect()
+    if (rows.isEmpty) throw new NotFoundException(s"file for run $runId not found")
+    rows(0).getAs[Array[Byte]](0)
+  }
+
   // ---- delete (M5, M6 analog) --------------------------------------------
 
   /** Soft delete + cascade (reference `processors/RunsProcessor
