@@ -79,9 +79,14 @@ object Dedup {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    // persisted: three consumers below (bucket census + both join sides)
+    // would otherwise re-run the whole explode→md5→agg pipeline each —
+    // n·bands rows of (id, sig, band) is tiny next to that recompute,
+    // and MEMORY_AND_DISK spills gracefully at scale
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(H.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop band buckets larger than maxBucketSize
     val keptBands = banded.groupBy("band")
       .agg(count(lit(1)).as("_bn"))
@@ -103,17 +108,39 @@ object Dedup {
   }
 
   /** SimHash bucketing: docs sharing an identical nBits-bit SimHash are
-    * near-dup candidates. Returns buckets with >1 member. */
+    * near-dup candidates. Returns buckets with >1 member.
+    *
+    * Same physical shape as [[minhashLsh]]: explode tokens → one
+    * codegen'd md5 per token → nBits codegen'd parity columns →
+    * partial-sum hash agg per doc (the array-HOF formulation in
+    * [[H.simhash]] is interpreted; kept for expression-level use). */
   def simhashBuckets(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      nBits: Int = 16): DataFrame =
-    docs
-      .select(col(idCol).as("id"), H.simhash(T.tokens(col(textCol)), nBits).as("simhash"))
+      nBits: Int = 16): DataFrame = {
+    require(nBits <= 32, "md5 hex has 32 nibbles")
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
+    // bit k of token t = low bit of hex nibble k of md5(t)
+    val parities = hashed.select(
+      col("id") +: (0 until nBits).map(k =>
+        when(substring(col("h"), k + 1, 1).isin(H.oddHex: _*), 1L)
+          .otherwise(0L).as(s"p$k")): _*)
+    val aggs = count(lit(1)).as("n") +:
+      (0 until nBits).map(k => sum(col(s"p$k")).as(s"p$k"))
+    val sims = parities.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until nBits).map(k =>
+          when(col(s"p$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    sims
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
     * (same `blockCol` value). Quadratic only per block. */

