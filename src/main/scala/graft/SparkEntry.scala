@@ -152,9 +152,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashBuckets(t(s, d, "documents"), nBits = 8)),
 
-    // MinHash+LSH candidate pairs (portable md5 hash family)
+    // MinHash+LSH candidate pairs (portable md5 hash family — oracle tier)
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)),
+
+    // Production tier: xxhash64 family. Same plan shape, no cross-engine
+    // replay — no oracleSql entry, driver records a rows-only check.
+    "dedup_minhash_fast" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4,
+        tier = Dedup.FastXx)),
 
     // Blocked n-gram Jaccard pairs (block = source)
     "shingle_jaccard_pairs" -> ((s, d) =>
@@ -191,6 +197,27 @@ object SparkEntry {
     // Blocked embedding near-dup pairs (block = label)
     "vector_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
+
+    // U1 union: the cross-pipeline fan-out concatenation (J4/§2.7)
+    "union_pipelines" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus").as("tag"))
+        .unionByName(
+          o.filter(col("o_orderstatus") === "P")
+            .select(col("o_orderkey"), col("o_orderstatus").as("tag")))
+    }),
+
+    // A3 multi-metric single-pass aggregate: both metrics in ONE agg/scan
+    // (the reference ran one mapReduce per metric)
+    "stats_agg_multi" -> ((s, d) =>
+      StatsProcessor.getAggregateStats(
+        t(s, d, "lineitem"),
+        Seq(OneMatchOne("l_linestatus", "F")),
+        // explicit round: cast(double as bigint) truncates in Spark but
+        // rounds in DuckDB — 5.999999 would diverge
+        Seq("qty" -> col("l_quantity"), "tax" -> round(col("l_tax") * 100)),
+        Descriptive.exactIntStats)),
 
     // F12 point lookup: predicate pushdown to a single key
     "sel_by_id" -> ((s, d) =>
@@ -460,6 +487,17 @@ object SparkEntry {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos > 0.25""".stripMargin
     },
+
+    "union_pipelines" ->
+      """SELECT o_orderkey, o_orderstatus AS tag FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus AS tag FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "stats_agg_multi" ->
+      s"""WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         |                  CAST(round(l_tax * 100) AS BIGINT) AS t
+         |           FROM lineitem WHERE l_linestatus = 'F')
+         |SELECT ${intStatsSql("qty", "q")}, ${intStatsSql("tax", "t")} FROM x""".stripMargin,
 
     "sel_by_id" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders

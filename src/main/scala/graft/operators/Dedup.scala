@@ -49,6 +49,14 @@ object Dedup {
     *    standard LSH-dedup guard; the bucket census reuses the same
     *    shuffle key as the join, so it costs one cheap pre-aggregation.
     */
+  /** Hash tiers for MinHash signatures: `PortableMd5` replays identically
+    * in any engine (the oracle-checked path); `FastXx` uses Spark's
+    * native xxhash64 — far cheaper per shingle, the production tier at
+    * 100 TB where no cross-engine replay is needed. */
+  sealed trait HashTier
+  case object PortableMd5 extends HashTier
+  case object FastXx extends HashTier
+
   def minhashLsh(
       docs: DataFrame,
       textCol: String = "text",
@@ -56,7 +64,8 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 16,
       bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      tier: HashTier = PortableMd5): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must be positive and divide k ($k); " +
         "otherwise band keys degenerate and the join goes quadratic")
@@ -69,23 +78,32 @@ object Dedup {
         explode(sequence(lit(1),
           greatest(length(col("norm")) - lit(shingleN - 1), lit(1)))).as("pos"))
       .select(col("id"), col("norm").substr(col("pos"), lit(shingleN)).as("sh"))
-    // k codegen'd seeded md5s per shingle, partial-min-aggregated per doc
+    // k codegen'd seeded hashes per shingle, partial-min-aggregated per doc
+    def slotHash(i: Int): Column = tier match {
+      case PortableMd5 => md5(concat(lit(s"$i:"), col("sh")))
+      case FastXx      => xxhash64(lit(i), col("sh"))
+    }
     val hashed = shingled.select(
-      col("id") +: (0 until k).map(i =>
-        md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i")): _*)
+      col("id") +: (0 until k).map(i => slotHash(i).as(s"h$i")): _*)
     val minAggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
     val sigs = hashed
       .groupBy(col("id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val bandKeys = tier match {
+      case PortableMd5 => H.lshBandKeys(col("sig"), bands, rowsPerBand)
+      case FastXx => array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r))): _*).cast("string")
+      }: _*)
+    }
     // persisted: three consumers below (bucket census + both join sides)
-    // would otherwise re-run the whole explode→md5→agg pipeline each —
+    // would otherwise re-run the whole explode→hash→agg pipeline each —
     // n·bands rows of (id, sig, band) is tiny next to that recompute,
     // and MEMORY_AND_DISK spills gracefully at scale
     val banded = sigs.select(
-      col("id"), col("sig"),
-      explode(H.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      col("id"), col("sig"), explode(bandKeys).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop band buckets larger than maxBucketSize
     val keptBands = banded.groupBy("band")
