@@ -1,0 +1,71 @@
+package graft
+
+/** Physical-plan audits over the sf0.001 testdata: the properties that
+  * make these operators scale are asserted here so they cannot silently
+  * regress — filters reach the scan, projections prune columns, small
+  * dimensions broadcast, aggregates partial-aggregate map-side, and
+  * top-k compiles to TakeOrderedAndProject. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  "sel_eq" should "push the equality filter into the parquet scan" in {
+    val plan = executed("sel_eq")
+    plan should include("PushedFilters")
+    plan should include("EqualTo(l_returnflag,R)")
+  }
+
+  "text_stats" should "prune the scan to the referenced columns only" in {
+    val plan = executed("text_stats")
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string")
+    plan should not include "n_chars"
+  }
+
+  "topk_orders" should "compile orderBy().limit() to TakeOrderedAndProject" in {
+    executed("topk_orders") should include("TakeOrderedAndProject")
+  }
+
+  "join_customer_geo" should "broadcast the dimension sides" in {
+    val plan = executed("join_customer_geo")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  "stats_agg_quantity" should "partial-aggregate map-side" in {
+    val plan = executed("stats_agg_quantity")
+    plan should include("partial_count")
+    plan should include("partial_sum")
+  }
+
+  "dedup_exact" should "be a hash aggregate with map-side partials, never a pairwise join" in {
+    val plan = executed("dedup_exact")
+    plan should include("HashAggregate")
+    plan should not include "Join"
+  }
+
+  "vector_ivf_topk" should "assign cells without a cartesian product" in {
+    val plan = executed("vector_ivf_topk")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "vector_knn" should "broadcast the query side and push the per-group top-k" in {
+    val plan = executed("vector_knn")
+    // non-equi self-exclusion condition ⇒ nested-loop, but with the tiny
+    // query side BROADCAST (BuildRight) — the corpus streams exactly once
+    plan should include("BroadcastNestedLoopJoin BuildRight")
+    // Spark 4 pushes rank()<=k down as a partial per-group limit
+    plan should include("WindowGroupLimit")
+  }
+
+  "dedup_minhash_pairs" should "partial-min the signature aggregation" in {
+    executed("dedup_minhash_pairs") should include("partial_min")
+  }
+
+  "entry" should "smoke on sf0.001 with rows" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
