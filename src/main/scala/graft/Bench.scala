@@ -28,6 +28,13 @@ object Bench {
         case c            => c.toString
       }
 
+    // warm the session (codegen, file listing, shuffle machinery) so the
+    // alphabetically-first query doesn't absorb ~4s of one-time JVM cost
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =

@@ -198,6 +198,43 @@ object SparkEntry {
     "vector_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
 
+    // Event-time tumbling window aggregation (streaming module's batch
+    // parity). ts is read as bigint nanos (TIMESTAMP(NANOS) parquet);
+    // decimal sum keeps the oracle order-independent.
+    "window_counts_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .select(
+          timestamp_micros((col("ts") / 1000).cast("bigint")).as("tts"),
+          col("event_type"), col("value"))
+        .groupBy(window(col("tts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))),
+
+    // O2 seeded random shuffle + limit: deterministic per seed but not
+    // SQL-replayable — no oracle entry, rows-only check
+    "sample_random" -> ((s, d) =>
+      StatsProcessor.getStats(
+        t(s, d, "events"),
+        Seq(OneMatchOne("event_type", "view")),
+        Seq(col("event_id"), col("user_id")),
+        Left(42L),
+        Some(50))),
+
+    // Custom-state sessionization (flatMapGroupsWithState) — rows-only
+    "sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select(
+        col("user_id"),
+        timestamp_micros((col("ts") / 1000).cast("bigint")).as("ts"),
+        col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionize(ev).toDF()
+    }),
+
     // U1 union: the cross-pipeline fan-out concatenation (J4/§2.7)
     "union_pipelines" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -487,6 +524,13 @@ object SparkEntry {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos > 0.25""".stripMargin
     },
+
+    "window_counts_hourly" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "union_pipelines" ->
       """SELECT o_orderkey, o_orderstatus AS tag FROM orders WHERE o_orderstatus = 'F'
