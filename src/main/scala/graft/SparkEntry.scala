@@ -301,6 +301,11 @@ object SparkEntry {
               org.apache.spark.sql.types.LongType))))
           .getField("k").as("k"))),
 
+    // Sign-LSH blocked near-dup: label-free bucketing via seeded random
+    // hyperplanes (zero-shuffle assignment), exact cosine within buckets
+    "vector_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), threshold = 0.0)),
+
     // IVF ANN: zero-shuffle cell assignment, per-cell candidate join
     "vector_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -570,6 +575,32 @@ object SparkEntry {
     "json_shred_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "vector_neardup_lsh" -> {
+      // identical hyperplanes to the Spark side (same seed/dim/count);
+      // float literals round-trip via the printed representation
+      val planes = Dedup.lshPlanes(64, 8, 7L)
+      val planeRows = planes.zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n  ")
+      val planeDot = "list_reduce(list_transform(range(1, 65), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(p.pl[i] AS FLOAT) AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+      val cos = cosineSql("a.embedding", "b.embedding", 64)
+      s"""WITH planes(pidx, pl) AS (VALUES
+         |  $planeRows),
+         |bk AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN $planeDot >= 0
+         |                       THEN (CAST(1 AS BIGINT) << p.pidx) ELSE 0 END) AS BIGINT)
+         |           AS bucket
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id)
+         |SELECT ba.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |FROM embeddings a JOIN bk ba ON a.vec_id = ba.vec_id
+         |JOIN bk bb ON ba.bucket = bb.bucket
+         |JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+         |WHERE $cos > 0.0""".stripMargin
+    },
 
     "vector_ivf_topk" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)

@@ -180,6 +180,41 @@ object Dedup {
         T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Deterministic random hyperplanes for sign-LSH over embeddings:
+    * `nPlanes` vectors of dimension `dim`, seeded — the same plane set can
+    * be regenerated anywhere (including inside an oracle query). */
+  def lshPlanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-LSH bucket key for an embedding column: bit p = sign of the dot
+    * product with hyperplane p. Vectors in the same bucket are near-dup
+    * candidates — the label-free blocking scheme for [[embeddingNearDup]]
+    * when no natural block column exists. Pure per-row expression (native
+    * codegen'd dot), zero shuffle to assign. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(V.dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup via sign-LSH blocking: bucket on `nPlanes` random
+    * hyperplane signs, then exact cosine within buckets. The quadratic
+    * term shrinks by ~2^nPlanes for random data; recall is tunable via
+    * nPlanes (fewer planes = bigger buckets = higher recall). */
+  def embeddingNearDupLsh(
+      vecs: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      seed: Long = 7L,
+      dim: Int = 64,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    embeddingNearDup(
+      vecs.withColumn("__bucket", lshBucket(col(vecCol), lshPlanes(dim, nPlanes, seed))),
+      "__bucket", threshold, vecCol, idCol)
+      .withColumnRenamed("block", "bucket")
+
   /** Embedding near-dup pairs: cosine over pairs blocked by `blockCol`
     * (e.g. a cluster/label/LSH-bucket column) above a threshold. */
   def embeddingNearDup(

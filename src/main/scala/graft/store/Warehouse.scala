@@ -59,15 +59,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (exists(name)) read(name)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** Hive-style partition columns per table: `runs` is laid out by
+    * pipeline (SURVEY §4 "partition-per-pipeline data layout") so
+    * pipeline-scoped queries prune whole directories before any IO. */
+  private def partitionColsOf(name: String): Seq[String] =
+    if (name == Warehouse.Runs) Seq("pipeline") else Seq.empty
+
+  private def write(df: DataFrame, name: String, path: String, mode: SaveMode): Unit = {
+    val cols = partitionColsOf(name)
+    val w = if (cols.isEmpty) df.write else df.write.partitionBy(cols: _*)
+    w.mode(mode).parquet(path)
+  }
+
   /** Append rows (new part-files into the current version — no rewrite). */
   def append(name: String, df: DataFrame): Unit = synchronized {
     val v = currentVersion(name)
     if (v < 0) {
       Files.createDirectories(tableDir(name))
-      df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, 0).toString)
+      write(df, name, versionDir(name, 0).toString, SaveMode.Overwrite)
       setVersion(name, 0)
     } else {
-      df.write.mode(SaveMode.Append).parquet(versionDir(name, v).toString)
+      write(df, name, versionDir(name, v).toString, SaveMode.Append)
     }
   }
 
@@ -79,7 +91,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val v = currentVersion(name)
     require(v >= 0, s"cannot rewrite missing table $name")
     val next = v + 1
-    f(read(name)).write.mode(SaveMode.Overwrite).parquet(versionDir(name, next).toString)
+    write(f(read(name)), name, versionDir(name, next).toString, SaveMode.Overwrite)
     setVersion(name, next)
     deleteRecursively(versionDir(name, v))
   }
@@ -88,7 +100,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def overwrite(name: String, df: DataFrame): Unit = synchronized {
     val next = currentVersion(name) + 1
     Files.createDirectories(tableDir(name))
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, next).toString)
+    write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
     setVersion(name, next)
     if (next > 0) deleteRecursively(versionDir(name, next - 1))
   }
