@@ -86,11 +86,15 @@ object Dedup {
     val hashed = shingled.select(
       col("id") +: (0 until k).map(i => slotHash(i).as(s"h$i")): _*)
     val minAggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
+    // persisted: consumed by the banding below AND the two score joins at
+    // the end — recomputing would re-run the explode→hash→agg pipeline
+    // each time. n rows × k hashes; MEMORY_AND_DISK spills at scale.
     val sigs = hashed
       .groupBy(col("id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = tier match {
       case PortableMd5 => H.lshBandKeys(col("sig"), bands, rowsPerBand)
       case FastXx => array((0 until bands).map { b =>
@@ -98,31 +102,35 @@ object Dedup {
           col("sig").getItem(b * rowsPerBand + r))): _*).cast("string")
       }: _*)
     }
-    // persisted: three consumers below (bucket census + both join sides)
-    // would otherwise re-run the whole explode→hash→agg pipeline each —
-    // n·bands rows of (id, sig, band) is tiny next to that recompute,
-    // and MEMORY_AND_DISK spills gracefully at scale
-    val banded = sigs.select(
-      col("id"), col("sig"), explode(bandKeys).as("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"), explode(bandKeys).as("band"))
     // skew guard: drop band buckets larger than maxBucketSize
     val keptBands = banded.groupBy("band")
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize)
       .select("band")
     val capped = banded.join(keptBands, Seq("band"))
-    val l = capped.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // Pair generation carries ONLY (band, id): a doc sharing several bands
+    // with a partner would otherwise push its whole signature array
+    // through the join and the distinct — for the md5 tier that is 8×32
+    // bytes per side per candidate row, the dominant shuffle. Signatures
+    // re-attach to the deduplicated pair set afterwards (two slim joins;
+    // AQE broadcasts the sig table when it fits).
+    val l = capped.select(col("band"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
     // codegen'd slot-match count (getItem + sum, no interpreted lambda)
     val matches = (0 until k)
       .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
         .otherwise(0))
       .reduce(_ + _)
-    l.join(r, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / k).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash bucketing: docs sharing an identical nBits-bit SimHash are
