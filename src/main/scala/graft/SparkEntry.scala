@@ -182,6 +182,18 @@ object SparkEntry {
         T.langId(col("text")).as("lang_id"),
         T.qualityScore(col("text"), enStop).as("quality"))),
 
+    // Composite curation pipeline: score → filter → exact-dedup keep-first
+    "curate_corpus" -> ((s, d) =>
+      graft.operators.Curation.curate(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+          col("n_tokens"), col("lang_id"), col("quality"))),
+
+    // Deterministic token-budget sampling over the curated set
+    "curate_sample" -> ((s, d) =>
+      graft.operators.Curation.sampleToTokenBudget(
+        graft.operators.Curation.curate(t(s, d, "documents")), 10000L)
+        .select("doc_id", "n_tokens", "cum_tokens")),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -343,6 +355,48 @@ object SparkEntry {
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** DuckDB replay of [[T.langId]] (struct-sort argmax, alphabetical
+    * tie-break, 'und' when no stopword hits). */
+  private val langIdSql: String = {
+    val langs = T.langStopwords.toSeq.sortBy(_._1)
+    val scored = langs.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'negHits': -len(list_filter($toksSql, t -> t IN ($set))), 'lang': '$lang'}"
+    }.mkString("[", ",\n  ", "]")
+    s"(list_sort($scored)[1])"
+  }
+
+  /** DuckDB replay of [[T.qualityScore]] with the English stopword table. */
+  private val qualitySql: String = {
+    val en = enStop.map(w => s"'$w'").mkString(", ")
+    s"""round(
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |        / greatest(length(text), 1)) * 0.3
+       |    + least((CAST(len(list_filter($toksSql, t -> t IN ($en))) AS DOUBLE)
+       |        / greatest(len($toksSql), 1)) * 4.0, 1.0) * 0.3, 6)""".stripMargin
+  }
+
+  /** DuckDB replay of the [[graft.operators.Curation.curate]] pipeline
+    * (score → filter → keep-first exact dedup on fingerprint). */
+  private val curatedSql: String =
+    s"""scored AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang_id,
+       |    $qualitySql AS quality,
+       |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+       |  FROM (SELECT *, $langIdSql AS best FROM documents)),
+       |filtered AS (
+       |  SELECT * FROM scored
+       |  WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')
+       |    AND quality >= 0.3),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+       |curated AS (
+       |  SELECT f.doc_id, f.n_chars, f.n_tokens, f.lang_id, f.quality
+       |  FROM filtered f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)""".stripMargin
+
   /** DuckDB replay of [[H.simhash]] over the token array of `text`. */
   private def simhashSql(nBits: Int): String = {
     val odd = H.oddHex.map(h => s"'$h'").mkString(", ")
@@ -488,23 +542,24 @@ object SparkEntry {
          |    / greatest(length(text), 1) AS punct_ratio
          |FROM documents""".stripMargin,
 
-    "text_quality_langid" -> {
-      val langs = T.langStopwords.toSeq.sortBy(_._1)
-      val scored = langs.map { case (lang, words) =>
-        val set = words.map(w => s"'$w'").mkString(", ")
-        s"{'negHits': -len(list_filter($toksSql, t -> t IN ($set))), 'lang': '$lang'}"
-      }.mkString("[", ",\n  ", "]")
-      val en = enStop.map(w => s"'$w'").mkString(", ")
+    "text_quality_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang_id,
-         |  round(
-         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-         |        / greatest(length(text), 1)) * 0.3
-         |    + least((CAST(len(list_filter($toksSql, t -> t IN ($en))) AS DOUBLE)
-         |        / greatest(len($toksSql), 1)) * 4.0, 1.0) * 0.3, 6) AS quality
-         |FROM (SELECT *, list_sort($scored)[1] AS best FROM documents)""".stripMargin
-    },
+         |  $qualitySql AS quality
+         |FROM (SELECT *, $langIdSql AS best FROM documents)""".stripMargin,
+
+    "curate_corpus" ->
+      s"""WITH $curatedSql
+         |SELECT * FROM curated""".stripMargin,
+
+    "curate_sample" ->
+      s"""WITH $curatedSql
+         |SELECT doc_id, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM curated)
+         |WHERE cum_tokens <= 10000""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,
