@@ -50,4 +50,17 @@ object Joins {
   def keyFrequency(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(desc("n")).limit(topN)
+
+  /** Persist a table bucketed (and sorted) by the join key: two tables
+    * bucketed the same way join with NO exchange on either side — the
+    * co-location is decided at write time, which is how a 100 TB fact
+    * table avoids re-shuffling on every join. Registers in the session
+    * catalog (a metastore carries the bucket spec in production). */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
 }
