@@ -162,6 +162,11 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4,
         tier = Dedup.FastXx)),
 
+    // Candidate pairs → dedup clusters (min-label connected components)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4))),
+
     // Blocked n-gram Jaccard pairs (block = source)
     "shingle_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", shingleN = 3)),
@@ -397,6 +402,27 @@ object SparkEntry {
        |  SELECT f.doc_id, f.n_chars, f.n_tokens, f.lang_id, f.quality
        |  FROM filtered f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)""".stripMargin
 
+  /** DuckDB replay of [[Dedup.minhashLsh]] (md5 tier, k=8, bands=4). */
+  private lazy val minhashPairsSql: String = {
+    val slots = (0 until 8).map(minhashSlotSql)
+    val sig = s"[${slots.mkString(",\n  ")}]"
+    val bandKeys = (0 until 4).map { b =>
+      s"md5(concat_ws('|', '$b', sig[${2 * b + 1}], sig[${2 * b + 2}]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, $charShingles5Sql AS sh
+       |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)),
+       |sig AS (SELECT id, $sig AS sig FROM sh),
+       |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig),
+       |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+       |capped AS (SELECT banded.* FROM banded JOIN kept USING (band))
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8
+       |    AS est_jaccard
+       |FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id""".stripMargin
+  }
+
   /** DuckDB replay of [[H.simhash]] over the token array of `text`. */
   private def simhashSql(nBits: Int): String = {
     val odd = H.oddHex.map(h => s"'$h'").mkString(", ")
@@ -497,25 +523,21 @@ object SparkEntry {
          |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(id) AS keep_id
          |FROM h GROUP BY simhash HAVING count(*) > 1""".stripMargin,
 
-    "dedup_minhash_pairs" -> {
-      val slots = (0 until 8).map(minhashSlotSql)
-      val sig = s"[${slots.mkString(",\n  ")}]"
-      val bandKeys = (0 until 4).map { b =>
-        s"md5(concat_ws('|', '$b', sig[${2 * b + 1}], sig[${2 * b + 2}]))"
-      }.mkString("[", ", ", "]")
-      s"""WITH sh AS (
-         |  SELECT doc_id AS id, $charShingles5Sql AS sh
-         |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-         |        FROM documents)),
-         |sig AS (SELECT id, $sig AS sig FROM sh),
-         |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig),
-         |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
-         |capped AS (SELECT banded.* FROM banded JOIN kept USING (band))
-         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |  CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8
-         |    AS est_jaccard
-         |FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id""".stripMargin
-    },
+    "dedup_minhash_pairs" -> minhashPairsSql,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
 
     "shingle_jaccard_pairs" -> {
       val inter = "len(list_intersect(a.s, b.s))"

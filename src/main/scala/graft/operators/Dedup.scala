@@ -168,6 +168,50 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Connected components over a candidate-pair set: near-dup PAIRS only
+    * become deduplicatable once grouped into clusters (keep one doc per
+    * component). Min-label propagation: every node repeatedly takes the
+    * minimum label among itself and its neighbors until fixpoint — the
+    * final label is the smallest id in the component, a deterministic
+    * cluster key.
+    *
+    * Each iteration is one join + one partial-min aggregate; lineage is
+    * truncated per iteration (`localCheckpoint`) so the plan doesn't grow
+    * unboundedly — swap for `checkpoint` with a reliable dir on a real
+    * cluster. Convergence takes O(component diameter) rounds; near-dup
+    * components are near-cliques, so a handful. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") < col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
     * (same `blockCol` value). Quadratic only per block. */
   def ngramJaccardPairs(

@@ -8,6 +8,18 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   "writeBucketed" should "join two co-bucketed tables without any shuffle" in {
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations survive on disk — clear both before writing
+    Seq("b_orders", "b_customers").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     val orders = (1L to 1000L).map(i => (i, i % 7, s"o$i")).toDF("o_id", "cust", "tag")
     val customers = (0L to 6L).map(i => (i, s"c$i")).toDF("cust", "name")
 

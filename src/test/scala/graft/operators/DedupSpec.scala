@@ -46,6 +46,21 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashLsh(many, k = 8, bands = 4, maxBucketSize = 100).count() shouldBe 190
   }
 
+  "connectedComponents" should "label each node with its component's min id" in {
+    // components: {1,2,3} (chain), {7,9}; singleton 11 never appears
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+  }
+
+  it should "converge on a long chain (diameter > 2)" in {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(chain).collect()
+    r.map(_.getLong(1)).distinct shouldBe Array(1L)
+    r.length shouldBe 12
+  }
+
   "simhashBuckets" should "bucket identical docs together" in {
     val r = Dedup.simhashBuckets(docs, nBits = 16).collect()
     r.length should be >= 1
