@@ -205,6 +205,12 @@ object SparkEntry {
         col("doc_id"),
         T.contentFingerprint(col("text")).as("fp"))),
 
+    // Rolling polynomial fingerprint (order-sensitive Rabin–Karp family)
+    "text_rolling_fp" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.rollingFingerprint(col("text")).as("rfp"))),
+
     // Brute-force cosine top-k (broadcast queries, corpus never shuffled)
     "vector_knn" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -587,6 +593,14 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents""".stripMargin,
+
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS rfp
+        |FROM documents""".stripMargin,
 
     "vector_knn" -> {
       val cos = s"round(${cosineSql("q.embedding", "c.embedding", 64)}, 6)"

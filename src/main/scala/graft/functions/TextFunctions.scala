@@ -88,6 +88,17 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Rolling polynomial fingerprint (Rabin–Karp family): fold
+    * h ← (h·31 + code(c)) mod 1e9+7 over the document's characters.
+    * Order-SENSITIVE (unlike [[contentFingerprint]]) — the right key when
+    * exact byte order matters; the modulus keeps every intermediate in
+    * bigint range so the fold replays exactly in any engine. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c).cast("bigint"), lit(1000000007L)))
+
   /** Character n-gram shingles of the lower-cased, whitespace-normalized
     * text. `transform(sequence(...))` keeps it inside codegen. */
   def charShingles(text: Column, n: Int): Column = {

