@@ -69,14 +69,21 @@ object Multimodal {
   }
 
   /** Batched decode / feature extraction over the binary column.
-    * `mapPartitions` so a real kernel can amortize per-batch init
-    * (model load, codec contexts) exactly like a pandas-UDF batch would. */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    * `mapPartitions` so a real kernel amortizes per-partition init (model
+    * load, codec contexts), and records flow through in fixed-size
+    * batches — the same batch shape a vectorized/pandas-style decode UDF
+    * sees, so swapping in a real kernel changes only `stubDecodeKernel`
+    * (per record) or the batch loop (per batch). */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition init for the real kernel would happen here
-      it.map(stubDecodeKernel)
+      // per-partition init for the real kernel happens here (once)
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch decode: a real kernel hands `batch` to the native
+        // decoder in one call; the stub maps records individually
+        batch.map(stubDecodeKernel)
+      }
     }
   }
 
