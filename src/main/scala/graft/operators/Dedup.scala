@@ -192,9 +192,16 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease, so Σcomp is strictly monotone until the
+    // fixpoint — an O(1)-output aggregate per round replaces a join-based
+    // change count
+    def sumComp(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = sumComp(labels)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
@@ -203,8 +210,9 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") < col("old")).count()
+      val s = sumComp(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
