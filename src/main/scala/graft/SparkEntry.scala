@@ -211,6 +211,19 @@ object SparkEntry {
         col("doc_id"),
         T.rollingFingerprint(col("text")).as("rfp"))),
 
+    // Multimodal plumbing: binary payload + metadata → batched decode.
+    // The stub kernel is deterministic (byte stats), so even this is
+    // oracle-checkable end to end.
+    "multimodal_decode" -> ((s, d) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.fakeMediaTable(t(s, d, "documents")))
+        .toDF()),
+
+    // Frame-sampling fan-out (video rows only, every 4th frame)
+    "multimodal_frames" -> ((s, d) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.fakeMediaTable(t(s, d, "documents")))),
+
     // Brute-force cosine top-k (broadcast queries, corpus never shuffled)
     "vector_knn" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -601,6 +614,23 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS rfp
         |FROM documents""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mediaType,
+        |  CAST(length(text) AS BIGINT) AS byteLen,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> h + c) % 256 AS checksumByte,
+        |  CAST(least(doc_id % 30 + 1, 8) AS INT) AS sampledFrames
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS nFrames,
+        |  CAST(unnest(range(0, CAST(doc_id % 30 + 1 AS INT), 4)) AS INT) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "vector_knn" -> {
       val cos = s"round(${cosineSql("q.embedding", "c.embedding", 64)}, 6)"
