@@ -26,21 +26,61 @@ object Curation {
 
   /** Score + filter + exact-dedup (keep smallest id per content
     * fingerprint). Output: one row per surviving doc with its quality
-    * metrics attached. */
+    * metrics attached.
+    *
+    * Token statistics use the explode → codegen'd flags → partial-agg
+    * shape rather than the per-column array combinators in
+    * [[T]]: `filter(toks, _.isin(...))` is an interpreted lambda per doc
+    * per language, while an exploded `IN` predicate is whole-stage
+    * codegen'd and partial-aggregates map-side. Results are identical —
+    * same counts, same ratios, same fingerprint — just a plan that holds
+    * at 100 TB. Row-local scores (length, punctuation) stay row-level. */
   def curate(
       docs: DataFrame,
       cfg: Config = Config(),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val text = col(textCol)
-    val scored = docs.select(
-      col(idCol),
-      text,
+    val langs = T.langStopwords.toSeq.sortBy(_._1)
+
+    // one explode pass: per-token language/stopword flags, all codegen'd
+    val tokenRows = docs
+      .select(col(idCol), explode(T.tokens(text)).as("tok"))
+    val langHitAggs = langs.map { case (lang, words) =>
+      sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"hits_$lang")
+    }
+    val tokenAggs = Seq(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok").isin(cfg.stopwords: _*), 1L).otherwise(0L)).as("stop_hits"),
+      md5(concat_ws(" ", array_sort(collect_set(col("tok"))))).as("fp")
+    ) ++ langHitAggs
+    val tokenStats = tokenRows.groupBy(col(idCol))
+      .agg(tokenAggs.head, tokenAggs.tail: _*)
+
+    // argmax over the aggregated hit counts — tiny struct-least, same
+    // tie-break as T.langId (alphabetical)
+    val best = least(langs.map { case (lang, _) =>
+      struct((-col(s"hits_$lang")).as("negHits"), lit(lang).as("lang"))
+    }: _*)
+    val langId = when(best.getField("negHits") < 0, best.getField("lang"))
+      .otherwise(lit("und"))
+
+    val rowLocal = docs.select(
+      col(idCol), text,
       length(text).as("n_chars"),
-      T.tokenCount(text).cast("bigint").as("n_tokens"),
-      T.langId(text).as("lang_id"),
-      T.qualityScore(text, cfg.stopwords).as("quality"),
-      T.contentFingerprint(text).as("fp"))
+      T.punctRatio(text).as("punct_ratio"))
+
+    val lenScore = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(
+      (col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1))) * 4.0,
+      lit(1.0))
+    val quality = round(
+      lenScore * lit(0.4) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
+        stopScore * lit(0.3), 6)
+
+    val scored = rowLocal.join(tokenStats, Seq(idCol))
+      .select(col(idCol), text, col("n_chars"), col("n_tokens"),
+        langId.as("lang_id"), quality.as("quality"), col("fp"))
     val filtered = scored.filter(
       col("n_chars").between(cfg.minChars, cfg.maxChars) &&
         col("lang_id").isin(cfg.languages: _*) &&
