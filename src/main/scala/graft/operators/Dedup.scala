@@ -185,39 +185,78 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val fullEdges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+
     // labels only ever decrease, so Σcomp is strictly monotone until the
     // fixpoint — an O(1)-output aggregate per round replaces a join-based
     // change count
     def sumComp(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
-    var prevSum = sumComp(labels)
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val s = sumComp(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      i += 1
+
+    def propagate(edges: DataFrame, labels0: DataFrame, rounds: Int): DataFrame = {
+      var labels = labels0
+      var prevSum = sumComp(labels)
+      var i = 0
+      var converged = false
+      while (!converged && i < rounds) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("comp")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val s = sumComp(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        i += 1
+      }
+      labels
     }
-    edges.unpersist()
-    labels
+
+    // Round 1 over the full edge set, then CONTRACT: near-dup components
+    // are near-cliques, so one round collapses most of the graph and the
+    // contracted component graph is orders of magnitude smaller — the
+    // remaining fixpoint iterations run on that. Contraction preserves
+    // connectivity, and contracted node ids are first-round labels
+    // (original ids), so the component minimum survives.
+    val initial = fullEdges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    val labels1 = propagate(fullEdges, initial, 1)
+    val contracted = fullEdges
+      .join(labels1.withColumnRenamed("id", "src")
+        .withColumnRenamed("comp", "csrc"), Seq("src"))
+      .join(labels1.withColumnRenamed("id", "dst")
+        .withColumnRenamed("comp", "cdst"), Seq("dst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    fullEdges.unpersist()
+
+    val resolved =
+      if (contracted.isEmpty) labels1
+      else {
+        val cInitial = contracted.select(col("src").as("id")).distinct()
+          .union(contracted.select(col("dst").as("id")).distinct())
+          .distinct()
+          .withColumn("comp", col("id"))
+          .localCheckpoint()
+        val cLabels = propagate(contracted, cInitial, maxIter)
+        // final label: node → round-1 comp → contracted-graph comp
+        labels1
+          .join(cLabels.withColumnRenamed("comp", "super")
+            .withColumnRenamed("id", "comp"), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("super"), col("comp")).as("comp"))
+      }
+    resolved
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
