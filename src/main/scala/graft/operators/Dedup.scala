@@ -185,8 +185,13 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val fullEdges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // both directions from ONE pass over pairs (a union would execute the
+    // upstream candidate-pair pipeline twice)
+    val fullEdges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -226,10 +231,13 @@ object Dedup {
     // remaining fixpoint iterations run on that. Contraction preserves
     // connectivity, and contracted node ids are first-round labels
     // (original ids), so the component minimum survives.
-    val initial = fullEdges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // round 1 needs no join: with identity labels, the neighbor minimum
+    // of a node is simply min(src) over its incoming edges
+    val labels1 = fullEdges
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint()
-    val labels1 = propagate(fullEdges, initial, 1)
     val contracted = fullEdges
       .join(labels1.withColumnRenamed("id", "src")
         .withColumnRenamed("comp", "csrc"), Seq("src"))
