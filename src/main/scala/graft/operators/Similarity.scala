@@ -55,28 +55,44 @@ object Similarity {
     else least(scored: _*).getField("aid")
   }
 
-  /** IVF-bucketed ANN: assign every vector to its argmax-cosine anchor,
-    * then brute-force only within the query's cell (nprobe=1). The anchor
-    * set is collected to the driver once (broadcast-sized by contract)
-    * and cell assignment is a zero-shuffle projection — the only shuffle
-    * in the plan is the final per-cell candidate join. */
+  /** The `nprobe` nearest anchor ids, best first — still a per-row
+    * expression (sort a tiny anchor-score array, no join/shuffle). */
+  def cellsOf(anchors: Seq[(Long, Seq[Float])], vec: Column, nprobe: Int): Column = {
+    require(anchors.nonEmpty, "ivf needs at least one anchor")
+    val scored = anchors.sortBy(_._1).map { case (aid, av) =>
+      struct((-V.cosine(vec, typedLit(av))).as("negCos"), lit(aid).as("aid"))
+    }
+    slice(
+      transform(array_sort(array(scored: _*)), s => s.getField("aid")),
+      1, math.min(nprobe, anchors.size))
+  }
+
+  /** IVF-bucketed ANN: assign every corpus vector to its argmax-cosine
+    * anchor; each query probes its `nprobe` nearest cells. The anchor set
+    * is collected to the driver once (broadcast-sized by contract) and
+    * cell assignment is a zero-shuffle projection — the only shuffle in
+    * the plan is the final per-cell candidate join. `nprobe` is the
+    * recall/latency knob: corpus rows live in exactly one cell, so probed
+    * cells never produce duplicate candidates. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       anchors: DataFrame,
       k: Int,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      nprobe: Int = 1): DataFrame = {
     val anchorSeq: Seq[(Long, Seq[Float])] =
       anchors.select(col(idCol).cast("bigint"), col(vecCol)).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def withCell(df: DataFrame, outId: String): DataFrame =
-      df.select(
-        col(idCol).as(outId),
-        cellOf(anchorSeq, col(vecCol)).as("cell"),
-        col(vecCol).as("v"))
-    val c = withCell(corpus, "neighbor_id").withColumnRenamed("v", "cv")
-    val q = broadcast(withCell(queries, "query_id").withColumnRenamed("v", "qv"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      cellOf(anchorSeq, col(vecCol)).as("cell"),
+      col(vecCol).as("cv"))
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"),
+        explode(cellsOf(anchorSeq, col(vecCol), nprobe)).as("cell"),
+        col(vecCol).as("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("cell"))

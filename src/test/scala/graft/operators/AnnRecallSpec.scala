@@ -34,6 +34,19 @@ class AnnRecallSpec extends SparkSpec {
     // and every returned neighbor must actually share the query's cell —
     // sanity that the approximation error is the *designed* one
     approx.values.foreach(_.size should be <= k)
+
+    // nprobe is the recall knob: probing more cells can only widen the
+    // candidate set, so recall must not degrade
+    val approx2 = neighbors(Similarity.ivfTopK(
+      emb, queries, emb.filter(col("vec_id") < 4), k, nprobe = 2))
+    val mean2 = exact.map { case (q, truth) =>
+      approx2.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / exact.size
+    mean2 should be >= mean
+    // probing every cell recovers the exact ranking
+    val approxAll = neighbors(Similarity.ivfTopK(
+      emb, queries, emb.filter(col("vec_id") < 4), k, nprobe = 4))
+    approxAll shouldBe exact
   }
 
   "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
