@@ -86,14 +86,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Copy-on-write mutation: materialize `f(current)` as version N+1 and
     * swing the pointer. The transform must be a pure DataFrame transform
     * (filter/withColumn/...); it executes distributed, and only the
-    * pointer update is driver-side. */
+    * pointer update is driver-side.
+    *
+    * Snapshot retention: the immediately-previous version is kept on disk
+    * (only N−1 is vacuumed) so lazy DataFrames opened before the rewrite
+    * stay evaluable — the same grace window table formats provide via
+    * time-travel retention. */
   def rewrite(name: String, f: DataFrame => DataFrame): Unit = synchronized {
     val v = currentVersion(name)
     require(v >= 0, s"cannot rewrite missing table $name")
     val next = v + 1
     write(f(read(name)), name, versionDir(name, next).toString, SaveMode.Overwrite)
     setVersion(name, next)
-    deleteRecursively(versionDir(name, v))
+    deleteRecursively(versionDir(name, v - 1))
   }
 
   /** Replace the table wholesale (used by tests/bootstrap). */
@@ -102,7 +107,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Files.createDirectories(tableDir(name))
     write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
     setVersion(name, next)
-    if (next > 0) deleteRecursively(versionDir(name, next - 1))
+    deleteRecursively(versionDir(name, next - 2))
   }
 
   private def deleteRecursively(p: Path): Unit =

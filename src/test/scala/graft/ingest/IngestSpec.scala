@@ -164,4 +164,20 @@ class IngestSpec extends SparkSpec {
     wh.currentVersion("t") shouldBe 1
     wh.read("t").select("id").as[Int].collect() shouldBe Array(2)
   }
+
+  it should "keep the previous snapshot readable for already-open frames" in {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    wh.append("t", Seq((1, "a"), (2, "b")).toDF("id", "x"))
+    val openBefore = wh.read("t") // lazy frame over v0
+    wh.rewrite("t", _.filter(col("id") =!= 1))
+    // the reader opened before the rewrite still evaluates (v0 retained)
+    openBefore.count() shouldBe 2
+    wh.read("t").count() shouldBe 1
+    // a second rewrite vacuums v0
+    wh.rewrite("t", identity)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "t", "v0")) shouldBe false
+  }
 }

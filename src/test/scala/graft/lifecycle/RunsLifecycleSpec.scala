@@ -123,6 +123,44 @@ class RunsLifecycleSpec extends SparkSpec {
       RunsLifecycle.getRun(wh, runId, avg)
   }
 
+  it should "refuse patches on deleted runs with 410" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.deleteRun(wh, runId, avg)
+    a[RunsLifecycle.GoneException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(ReplaceOp("/labels/runName", "x")))
+  }
+
+  it should "apply mixed run-level and routed ops in one request" in {
+    val (wh, runId) = freshRun()
+    val sampleAId = wh.read(Warehouse.samples("maple"))
+      .filter(col("labels.sampleName") === "sampleA")
+      .select("_id").collect()(0).getString(0)
+    val counts = RunsLifecycle.patchRun(wh, runId, avg, List(
+      ReplaceOp("/labels/runName", "Mixed"),
+      AddOp(s"/sampleLabels/$sampleAId/tags/batch", 7)))
+    counts shouldBe ((1, 2, 3)) // runName propagates everywhere; tag on A
+    wh.read(Warehouse.samples("maple")).filter(col("_id") === sampleAId)
+      .select("labels.tags").collect()(0)
+      .getAs[Map[String, String]](0) shouldBe Map("batch" -> "7")
+    wh.read(Warehouse.readGroups("maple")).select("labels.runName")
+      .distinct().collect().map(_.getString(0)) shouldBe Array("Mixed")
+  }
+
+  it should "handle pipelines without read groups (pref)" in {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    val ing = new RunIngestor(wh,
+      Map("pref" -> graft.pipelines.PrefPipeline),
+      () => Timestamp.valueOf("2024-06-01 12:00:00"))
+    val runId = ing.upload(fixture("pref/pref_01.json"), "p.json", "pref", avg)
+    // runName propagation with no readGroups table: (1, 2, 0)
+    RunsLifecycle.patchRun(wh, runId, avg,
+      List(ReplaceOp("/labels/runName", "P2"))) shouldBe ((1, 2, 0))
+    // cascade delete without a readGroups table
+    RunsLifecycle.deleteRun(wh, runId, avg)
+    wh.read(Warehouse.samples("pref")).count() shouldBe 0
+  }
+
   "getRun" should "enrich with child label maps when asked (J2)" in {
     val (wh, runId) = freshRun()
     val enriched = RunsLifecycle.getRun(wh, runId, avg, showUnitsLabels = true)
