@@ -28,7 +28,7 @@ object Joins {
     // deterministic spread: hash the whole fact row across the salt range
     // (rand() would break retry/replay semantics of a failed task)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFact

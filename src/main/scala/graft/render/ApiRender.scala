@@ -31,7 +31,7 @@ object ApiRender {
   /** Rows → JSON strings engine-side; null fields dropped by the codegen'd
     * `to_json`, container pruning left to [[pruneBlanks]]. */
   def toJsonRows(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*),
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*),
       Map("ignoreNullFields" -> "true")).as("json"))
 
   private val mapper = new ObjectMapper()
