@@ -162,6 +162,10 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4,
         tier = Dedup.FastXx)),
 
+    // SimHash Hamming near-dup pairs: banded LSH + bit_count(xor) filter
+    "dedup_simhash_hamming" -> ((s, d) =>
+      Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
+
     // Candidate pairs → dedup clusters (min-label connected components)
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
@@ -543,6 +547,20 @@ object SparkEntry {
          |FROM h GROUP BY simhash HAVING count(*) > 1""".stripMargin,
 
     "dedup_minhash_pairs" -> minhashPairsSql,
+
+    "dedup_simhash_hamming" -> {
+      val bands = (0 until 4).map { b =>
+        s"concat(CAST($b AS VARCHAR), ':', CAST((simhash >> ${8 * b}) & 255 AS VARCHAR))"
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id AS id, ${simhashSql(32)} AS simhash FROM documents),
+         |banded AS (SELECT id, unnest($bands) AS band FROM h),
+         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |      FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
+         |SELECT p.id_a, p.id_b,
+         |       CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+         |FROM p JOIN h ha ON p.id_a = ha.id JOIN h hb ON p.id_b = hb.id
+         |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 3""".stripMargin
+    },
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (

@@ -140,7 +140,9 @@ object Dedup {
     * codegen'd md5 per token → nBits codegen'd parity columns →
     * partial-sum hash agg per doc (the array-HOF formulation in
     * [[H.simhash]] is interpreted; kept for expression-level use). */
-  def simhashBuckets(
+  /** Per-doc nBits-bit SimHash via the explode + codegen + partial-agg
+    * shape (see [[simhashBuckets]]); returns (id, simhash). */
+  def simhashPerDoc(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
@@ -156,16 +158,58 @@ object Dedup {
           .otherwise(0L).as(s"p$k")): _*)
     val aggs = count(lit(1)).as("n") +:
       (0 until nBits).map(k => sum(col(s"p$k")).as(s"p$k"))
-    val sims = parities.groupBy("id")
+    parities.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         (0 until nBits).map(k =>
           when(col(s"p$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-    sims
+  }
+
+  def simhashBuckets(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBits: Int = 16): DataFrame =
+    simhashPerDoc(docs, textCol, idCol, nBits)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** SimHash near-dup PAIRS under a Hamming-distance radius: identical
+    * buckets miss near-misses, so band the hash (`nBands` contiguous
+    * bit-groups — by pigeonhole, any two hashes within distance
+    * `nBands − 1` share at least one full band), equi-join on band keys,
+    * then filter exactly with codegen'd `bit_count(a XOR b)`. The classic
+    * simhash dedup join; every step whole-stage codegen'd. */
+  def simhashNearDup(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBits: Int = 32,
+      nBands: Int = 4): DataFrame = {
+    require(nBits % nBands == 0, "bands must evenly split the hash bits")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sims = simhashPerDoc(docs, textCol, idCol, nBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sims.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        concat_ws(":", lit(b),
+          shiftright(col("simhash"), b * bandBits) .bitwiseAND(mask)))
+        : _*)).as("band"))
+    val pairs = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sims.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sims.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Connected components over a candidate-pair set: near-dup PAIRS only

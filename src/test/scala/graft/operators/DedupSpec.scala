@@ -68,6 +68,17 @@ class DedupSpec extends SparkSpec {
     b.getAs[Long]("keep_id") shouldBe 1L
   }
 
+  "simhashNearDup" should "find hamming-close pairs without exact bucket equality" in {
+    val r = Dedup.simhashNearDup(docs, maxHamming = 8, nBits = 32)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // identical docs: distance 0
+    r((1L, 2L)) shouldBe 0L
+    // near-dup differs by one word: small but possibly nonzero distance
+    r.get((1L, 3L)).foreach(_ should be <= 8L)
+    // hamming values must respect the radius
+    r.values.foreach(_ should be <= 8L)
+  }
+
   "ngramJaccardPairs" should "score within-block similarity" in {
     val r = Dedup.ngramJaccardPairs(docs, "source", shingleN = 2)
       .collect()
