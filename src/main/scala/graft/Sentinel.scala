@@ -90,6 +90,18 @@ final class Sentinel(
     StatsProcessor.getAggregateStats(units, selectors, metrics,
       Descriptive.sparkNativeStats)
 
+  /** §2.11 endpoint shape: accLevel/libType/runIds/references/annotations/
+    * timeSorted/nLimit as a typed params object. */
+  def getStats(pipeline: String, params: graft.stats.StatsParams,
+      projection: Seq[Column]): DataFrame =
+    StatsProcessor.getStats(unitsOf(pipeline, params.accLevel),
+      params.selectors, projection, params.sortOrRandom, params.nLimit)
+
+  def getAggregateStats(pipeline: String, params: graft.stats.StatsParams,
+      metrics: Seq[(String, Column)]): DataFrame =
+    StatsProcessor.getAggregateStats(unitsOf(pipeline, params.accLevel),
+      params.selectors, metrics, Descriptive.sparkNativeStats)
+
   def globalRunStats(): DataFrame =
     StatsProcessor.globalRunStats(warehouse.read(Warehouse.Runs))
 

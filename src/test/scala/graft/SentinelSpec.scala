@@ -65,4 +65,36 @@ class SentinelSpec extends SparkSpec {
     // dictionaries listed
     s.listReferences().count() shouldBe 1
   }
+
+  it should "answer §2.11-shaped stats requests (params object)" in {
+    val s = new Sentinel(spark,
+      Files.createTempDirectory("graft-sentinel").toString,
+      clock = () => Timestamp.valueOf("2024-06-01 12:00:00"))
+    s.addUser("uzr", "u@test.id", "Passw0rd", "Passw0rd", verified = true)
+    val u = s.getUser("uzr").get
+    val m4 = s.upload(fixture("maple/maple_multi_sample_multi_rg.json"), "a.json", "maple", u)
+    s.upload(fixture("maple/maple_single_sample_single_rg.json"), "b.json", "maple", u)
+    s.upload(fixture("pref/pref_01.json"), "p1.json", "pref", u)
+    s.upload(fixture("pref/pref_02.json"), "p2.json", "pref", u)
+
+    // runIds narrowing at read-group level
+    val agg = s.getAggregateStats("maple",
+      graft.stats.StatsParams(runIds = Seq(m4)),
+      Seq("reads" -> col("stats.nReadsInput"))).collect()(0)
+    agg.getAs[Long]("reads_n") shouldBe 3L
+
+    // references narrowing at sample level (pref_01's dictionary only)
+    val refId = s.warehouse.read(graft.store.Warehouse.References)
+      .filter(col("refName") === "testRef").select("refId")
+      .collect()(0).getString(0)
+    s.getStats("pref",
+      graft.stats.StatsParams(
+        accLevel = AccLevel.Sample, references = Seq(refId), timeSorted = true),
+      Seq(col("_id"), col("creationTimeUtc"))).count() shouldBe 2
+
+    // libType gate at read-group level (maple is paired-end by definition)
+    s.getStats("maple",
+      graft.stats.StatsParams(libType = Some(Selector.Single), nLimit = Some(10)),
+      Seq(col("_id"), col("creationTimeUtc"))).count() shouldBe 0
+  }
 }
