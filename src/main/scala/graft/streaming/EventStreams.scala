@@ -86,6 +86,51 @@ object EventStreams {
       }
   }
 
+  /** Streaming-correct sessionization: state survives across
+    * micro-batches and sessions close via EVENT-TIME TIMEOUT — a user's
+    * session is emitted when the watermark passes their last activity
+    * plus the gap, so state is bounded and eviction is deterministic.
+    * (The batch [[sessionize]] closes everything at the end instead.) */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.nEvents, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMillis =>
+                  cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.last, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming entry: tail a directory of event parquet and maintain the
     * windowed counts (the `readStream → transform → writeStream` shape). */
   def streamWindowedCounts(

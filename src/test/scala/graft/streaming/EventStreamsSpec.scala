@@ -47,6 +47,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "sessionizeStream" should "close sessions via event-time timeout across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(stream.toDS(), gapMillis = 30 * 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: one open session for user 7
+      stream.addData(
+        EventStreams.Event(7L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        EventStreams.Event(7L, ts("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      spark.table("sessions").count() shouldBe 0 // still open
+
+      // batch 2 advances the watermark far past 10:50 → timeout pending
+      stream.addData(EventStreams.Event(9L, ts("2024-01-01 13:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      // batch 3 triggers the timed-out state's emission
+      stream.addData(EventStreams.Event(9L, ts("2024-01-01 13:01:00"), "view", 1.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      sessions should contain((7L, 2L, 3.0))
+    } finally q.stop()
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
