@@ -554,8 +554,10 @@ object SparkEntry {
       }.mkString("[", ", ", "]")
       s"""WITH h AS (SELECT doc_id AS id, ${simhashSql(32)} AS simhash FROM documents),
          |banded AS (SELECT id, unnest($bands) AS band FROM h),
+         |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+         |capped AS (SELECT banded.* FROM banded JOIN kept USING (band)),
          |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |      FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
+         |      FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id)
          |SELECT p.id_a, p.id_b,
          |       CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
          |FROM p JOIN h ha ON p.id_a = ha.id JOIN h hb ON p.id_b = hb.id

@@ -188,7 +188,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       nBits: Int = 32,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(nBits % nBands == 0, "bands must evenly split the hash bits")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
@@ -199,8 +200,16 @@ object Dedup {
         concat_ws(":", lit(b),
           shiftright(col("simhash"), b * bandBits) .bitwiseAND(mask)))
         : _*)).as("band"))
-    val pairs = banded.select(col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+    // the same skew guard as minhashLsh: simhash values of homogeneous
+    // corpora concentrate, and one degenerate band bucket makes the
+    // self-join quadratic
+    val keptBands = banded.groupBy("band")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select("band")
+    val capped = banded.join(keptBands, Seq("band"))
+    val pairs = capped.select(col("band"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
