@@ -244,7 +244,7 @@ object SparkEntry {
     "window_counts_hourly" -> ((s, d) =>
       t(s, d, "events")
         .select(
-          timestamp_micros((col("ts") / 1000).cast("bigint")).as("tts"),
+          timestamp_micros(expr("ts div 1000")).as("tts"),
           col("event_type"), col("value"))
         .groupBy(window(col("tts"), "1 hour").as("w"), col("event_type"))
         .agg(
@@ -264,15 +264,22 @@ object SparkEntry {
         Left(42L),
         Some(50))),
 
-    // Custom-state sessionization (flatMapGroupsWithState) — rows-only
+    // Custom-state sessionization (flatMapGroupsWithState). Projected to
+    // epoch-micros + counts so the gap semantics replay as SQL window
+    // functions in the oracle (value sums stay out: their fold order
+    // isn't SQL-replayable).
     "sessionize" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events").select(
         col("user_id"),
-        timestamp_micros((col("ts") / 1000).cast("bigint")).as("ts"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
       graft.streaming.EventStreams.sessionize(ev).toDF()
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
     }),
 
     // U1 union: the cross-pipeline fan-out concatenation (J4/§2.7)
@@ -677,6 +684,24 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "union_pipelines" ->
       """SELECT o_orderkey, o_orderstatus AS tag FROM orders WHERE o_orderstatus = 'F'
