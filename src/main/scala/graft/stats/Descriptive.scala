@@ -86,4 +86,17 @@ object Descriptive {
     var_pop(metric).as(s"${prefix}_var_pop"),
     stddev_pop(metric).as(s"${prefix}_stdev")
   )
+
+  /** The 100 TB tier SURVEY §7.3 anticipates "behind a flag": exact
+    * `percentile` is a sort-based aggregate and `count distinct` a full
+    * shuffle — at scale swap in the sketch versions. Single pass, bounded
+    * memory, tunable error. */
+  def approxStats(metric: Column, prefix: String,
+      accuracy: Int = 10000, rsd: Double = 0.05): Seq[Column] = Seq(
+    count(metric).as(s"${prefix}_n"),
+    approx_count_distinct(metric, rsd).as(s"${prefix}_approx_distinct"),
+    avg(metric).as(s"${prefix}_mean"),
+    percentile_approx(metric, lit(0.5), lit(accuracy)).as(s"${prefix}_median_approx"),
+    stddev_pop(metric).as(s"${prefix}_stdev")
+  )
 }

@@ -131,6 +131,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: the arrival-time half of [[graft.operators
+    * .Dedup.exact]] — drop rows whose content digest was already seen,
+    * with a watermark bounding the dedup state (late duplicates beyond
+    * the delay are accepted again; that is the documented trade of
+    * streaming dedup). Works identically on batch frames. */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("content_md5")
+
   /** Streaming entry: tail a directory of event parquet and maintain the
     * windowed counts (the `readStream → transform → writeStream` shape). */
   def streamWindowedCounts(

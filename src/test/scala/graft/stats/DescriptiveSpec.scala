@@ -58,6 +58,15 @@ class DescriptiveSpec extends SparkSpec {
     r.getAs[Double]("p_mean") shouldBe 2.22
   }
 
+  "approxStats" should "land near the exact answers within sketch error" in {
+    val xs = (1L to 10000L).toDF("v")
+    val r = aggAll(xs, Descriptive.approxStats(col("v"), "m"))
+    r.getAs[Long]("m_n") shouldBe 10000L
+    r.getAs[Long]("m_approx_distinct").toDouble shouldBe 10000.0 +- 10000 * 0.1
+    r.getAs[Double]("m_mean") shouldBe 5000.5
+    r.getAs[Long]("m_median_approx").toDouble shouldBe 5000.0 +- 10.0
+  }
+
   "sparkNativeStats" should "agree with the exact kernel on clean data" in {
     val df = Seq(5L, 7L, 11L, 13L).toDF("v")
     val e = aggAll(df, Descriptive.exactIntStats(col("v"), "m"))

@@ -76,6 +76,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "dedupStream" should "drop duplicate content within the watermark, batch and stream alike" in {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch parity
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), "same text"),
+      (ts("2024-01-01 10:05:00"), "same text"),
+      (ts("2024-01-01 10:06:00"), "other text")
+    ).toDF("ts", "text")
+    EventStreams.dedupStream(batch).count() shouldBe 2
+
+    // streaming: duplicate arrives in a later micro-batch, still dropped
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.dedupStream(
+        stream.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts("2024-01-01 10:00:00"), "same text"))
+      q.processAllAvailable()
+      stream.addData(
+        (ts("2024-01-01 10:05:00"), "same text"),
+        (ts("2024-01-01 10:06:00"), "other text"))
+      q.processAllAvailable()
+      spark.table("dedup_out").select("text").as[String].collect().sorted shouldBe
+        Array("other text", "same text")
+    } finally q.stop()
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
