@@ -59,6 +59,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (exists(name)) read(name)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** Time travel within the retention window: read a specific snapshot
+    * version (the previous one is kept after each mutation). */
+  def readVersion(name: String, version: Int): DataFrame = {
+    val dir = versionDir(name, version)
+    require(Files.exists(dir),
+      s"version $version of $name is not retained (current: ${currentVersion(name)})")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Compaction: appends accumulate one part-file batch per call (the
+    * small-files problem); rewrite the current snapshot into
+    * `numFiles` files without changing its rows. */
+  def compact(name: String, numFiles: Int = 1): Unit =
+    rewrite(name, _.repartition(numFiles))
+
   /** Hive-style partition columns per table: `runs` is laid out by
     * pipeline (SURVEY §4 "partition-per-pipeline data layout") so
     * pipeline-scoped queries prune whole directories before any IO. */

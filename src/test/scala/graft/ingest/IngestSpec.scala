@@ -165,6 +165,28 @@ class IngestSpec extends SparkSpec {
     wh.read("t").select("id").as[Int].collect() shouldBe Array(2)
   }
 
+  it should "time-travel to the retained previous version and compact small files" in {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    (1 to 5).foreach(i => wh.append("t", Seq((i, s"v$i")).toDF("id", "x")))
+    val beforeFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "t", "v0")).filter(p =>
+      p.toString.endsWith(".parquet")).count()
+    beforeFiles should be >= 5L // one part batch per append
+
+    wh.compact("t")
+    wh.read("t").count() shouldBe 5
+    val afterFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "t", s"v${wh.currentVersion("t")}"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    afterFiles shouldBe 1L
+
+    // time travel: v0 (pre-compaction) is retained and readable
+    wh.readVersion("t", 0).count() shouldBe 5
+    an[IllegalArgumentException] should be thrownBy wh.readVersion("t", 99)
+  }
+
   it should "keep the previous snapshot readable for already-open frames" in {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-wh").toString
