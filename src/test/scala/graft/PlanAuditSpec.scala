@@ -65,6 +65,18 @@ class PlanAuditSpec extends SparkSpec {
     executed("dedup_minhash_pairs") should include("partial_min")
   }
 
+  "dedup_simhash_hamming" should "partial-aggregate the bit parities and avoid cartesian joins" in {
+    val plan = executed("dedup_simhash_hamming")
+    plan should include("partial_sum")
+    plan should not include "CartesianProduct"
+  }
+
+  "curate_corpus" should "prune the document scan to id+text" in {
+    val plan = executed("curate_corpus")
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    plan should not include "n_chars:bigint," // source column never read
+  }
+
   "entry" should "smoke on sf0.001 with rows" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
