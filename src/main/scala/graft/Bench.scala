@@ -40,6 +40,11 @@ object Bench {
       val outcome =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      // drop intermediates persisted inside operators (minhash sigs,
+      // simhash tables): queries sharing an identical sub-plan would
+      // otherwise reuse (or re-register — "already cached" warnings) the
+      // previous query's blocks, contaminating both timings and memory
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
     val ok = results.filter(_._3.isEmpty)

@@ -264,10 +264,11 @@ object SparkEntry {
         Left(42L),
         Some(50))),
 
-    // Custom-state sessionization (flatMapGroupsWithState). Projected to
-    // epoch-micros + counts so the gap semantics replay as SQL window
-    // functions in the oracle (value sums stay out: their fold order
-    // isn't SQL-replayable).
+    // Batch sessionization: the lag/gap-flag/cumsum window formulation
+    // (partitioned by user; the streaming path keeps custom state).
+    // Projected to epoch-micros + counts so the gap semantics replay as
+    // SQL window functions in the oracle (value sums stay out: their
+    // fold order isn't SQL-replayable).
     "sessionize" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events").select(
@@ -624,8 +625,9 @@ object SparkEntry {
       s"""WITH $curatedSql
          |SELECT doc_id, n_tokens, cum_tokens FROM (
          |  SELECT doc_id, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-         |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
          |  FROM curated)
          |WHERE cum_tokens <= 10000""".stripMargin,
 

@@ -94,19 +94,63 @@ object Curation {
   }
 
   /** Deterministic token-budget sample: highest-quality docs first (ties
-    * by id) until the running token budget is exhausted. The running sum
-    * is a window over the global quality order — at scale, prefer
-    * quality-band bucketing; this exact form is for request-sized curation
-    * and oracle checks. */
+    * by id) until the running token budget is exhausted.
+    *
+    * The naive form is a running sum over ONE global window
+    * (`Window.orderBy(quality desc, id)`) — every row moves to a single
+    * partition and the whole corpus serializes through one task. This
+    * implementation is the scale-safe two-pass prefix sum instead:
+    *
+    *  1. bucket rows into disjoint quality-value bands (a pure per-row
+    *     expression — band order equals quality order across bands);
+    *  2. aggregate per-band token totals (map-side partial agg, ≤
+    *     `qualityBands` result rows), collect that tiny table and turn it
+    *     into cumulative band offsets on the driver;
+    *  3. running sum per band — a PARTITIONED window, every band in
+    *     parallel — plus the broadcast band offset = the identical global
+    *     prefix sum.
+    *
+    * Bands whose offset already exceeds the budget are pruned before the
+    * window (their rows can never be selected), so the expensive pass
+    * touches only candidate bands. `curated` is evaluated by both passes;
+    * pass 1 is aggregate-only (projection pruned to quality + n_tokens),
+    * and callers looping over budgets should persist `curated` first. */
   def sampleToTokenBudget(
       curated: DataFrame,
       tokenBudget: Long,
-      idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+      idCol: String = "doc_id",
+      qualityBands: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // disjoint value ranges, clamped: higher quality ⇒ lower band index.
+    // floor() is monotone, so cross-band order is exactly quality order;
+    // intra-band order is restored by the partitioned window below.
+    val bandCol = least(
+      greatest(floor((lit(1.0) - col("quality")) * qualityBands), lit(0.0)),
+      lit((qualityBands - 1).toDouble)).cast("int")
+    val banded = curated.withColumn("q_band", bandCol)
+
+    // pass 1: per-band totals — ≤ qualityBands rows, safe to collect
+    val totals = banded.groupBy(col("q_band"))
+      .agg(sum(col("n_tokens")).as("band_tokens"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, tk) =>
+      val row = (b, acc); acc += tk; row
+    }.filter(_._2 <= tokenBudget) // band can't contribute once its offset is spent
+
+    // pass 2: per-band running sum + broadcast cumulative offset
+    val spark = curated.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("q_band", "band_offset")
+    val w = Window.partitionBy(col("q_band"))
       .orderBy(col("quality").desc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    curated
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .join(broadcast(offsetsDf), Seq("q_band"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("band_offset"))
       .filter(col("cum_tokens") <= tokenBudget)
+      .drop("q_band", "band_offset")
   }
 }

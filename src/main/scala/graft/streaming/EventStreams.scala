@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -48,42 +49,40 @@ object EventStreams {
       n_events: Long,
       total_value: Double)
 
-  /** Gap-based sessionization: a user's events belong to one session
-    * until `gapMillis` of inactivity. The canonical
-    * `flatMapGroupsWithState` custom-state pattern; with event-time
-    * timeout the state store stays bounded by the watermark. */
+  /** Gap-based sessionization, BATCH path: a user's events belong to one
+    * session until `gapMillis` of inactivity.
+    *
+    * This is the window-function formulation (lag → gap flag → running
+    * sum → group), not custom state: every window is PARTITIONED by
+    * user, the per-user sort is Spark's spillable external sort, and the
+    * final rollup partial-aggregates map-side. The custom-state
+    * alternative (`groupByKey` + `flatMapGroupsWithState`) materializes
+    * and sorts each user's events in executor heap — one whale user (bot
+    * traffic) OOMs a task; that pattern is kept for streams in
+    * [[sessionizeStream]], where the watermark bounds state. */
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-mode evaluation: fold the user's events in time order,
-          // emitting a session each time the gap is exceeded
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = Seq.newBuilder[Session]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts.getTime - s.last.getTime <= gapMillis =>
-                cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1,
-                  totalValue = s.totalValue + e.value))
-              case Some(s) =>
-                out += Session(userId, s.start, s.last, s.nEvents, s.totalValue)
-                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
-            }
-          }
-          // close the final session in batch mode; in a true stream this
-          // would wait for the event-time timeout instead
-          cur.foreach(s => out += Session(userId, s.start, s.last, s.nEvents, s.totalValue))
-          state.remove()
-          out.result().iterator
-      }
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val newSession = when(
+      prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) > gapMillis * 1000L,
+      1L).otherwise(0L)
+    events.toDF()
+      .withColumn("__new_s", newSession)
+      .withColumn("__sid", sum(col("__new_s")).over(cum))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[Session]
   }
 
   /** Streaming-correct sessionization: state survives across

@@ -77,6 +77,26 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "n_chars:bigint," // source column never read
   }
 
+  "curate_sample" should "use a partitioned window plus broadcast offsets, not a global window" in {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("curate_sample")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    windows should not be empty
+    all(windows.map(_.partitionSpec)) should not be empty
+  }
+
+  "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val unpartitioned = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"query $name has a global (unpartitioned) window: ") {
+        unpartitioned shouldBe empty
+      }
+    }
+  }
+
   "entry" should "smoke on sf0.001 with rows" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

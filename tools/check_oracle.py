@@ -43,8 +43,10 @@ n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
         mine = con.sql(f"SELECT * FROM '{OUT_DIR}/{name}/*.parquet'")
+        mtypes = dict(zip(mine.columns, (str(t) for t in mine.types)))
         mcols, mrows = canon(mine.fetchall(), mine.columns)
         ref = con.sql(sql)
+        rtypes = dict(zip(ref.columns, (str(t) for t in ref.types)))
         rcols, rrows = canon(ref.fetchall(), ref.columns)
     except Exception as e:
         print(f"FAIL {name}: exception {e}")
@@ -52,6 +54,14 @@ for name, sql in sorted(oracle.items()):
         continue
     if [c.lower() for c in mcols] != [c.lower() for c in rcols]:
         print(f"FAIL {name}: columns {mcols} vs {rcols}")
+        n_fail += 1
+        continue
+    # The driver hashes typed values, so a HUGEINT oracle column vs a
+    # BIGINT spark column fails its gate even when every value is equal.
+    # Compare declared types so the local check can't be looser.
+    tbad = [(c, mtypes[c], rtypes[c]) for c in mcols if mtypes[c] != rtypes[c]]
+    if tbad:
+        print(f"FAIL {name}: column types differ {tbad}")
         n_fail += 1
         continue
     if len(mrows) != len(rrows):
