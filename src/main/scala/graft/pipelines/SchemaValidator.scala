@@ -102,7 +102,7 @@ final class SchemaValidator(val schema: JsonNode) {
         if (j.size() < m.asInt) errs += s"$here: expected at least ${m.asInt} items"
       }
       Option(s.get("items")).filter(_.isObject).foreach { it =>
-        j.elements().asScala.asInstanceOf[Iterator[JsonNode]].zipWithIndex.foreach {
+        j.elements().asScala.zipWithIndex.foreach {
           case (el, i) => errs ++= check(it, el, at(i.toString))
         }
       }
