@@ -645,6 +645,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "multimodal_decode" ->
+      // the fake media table's payloads are utf-8 text, never a decodable
+      // encoded image, so the real ImageIO columns are deterministically
+      // NULL here (they are exercised with real PNG bytes in MultimodalSpec)
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mediaType,
@@ -653,7 +656,10 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, c) -> h + c) % 256 AS checksumByte,
-        |  CAST(least(doc_id % 30 + 1, 8) AS INT) AS sampledFrames
+        |  CAST(least(doc_id % 30 + 1, 8) AS INT) AS sampledFrames,
+        |  CAST(NULL AS INTEGER) AS decodedWidth,
+        |  CAST(NULL AS INTEGER) AS decodedHeight,
+        |  CAST(NULL AS DOUBLE) AS meanLuma
         |FROM documents""".stripMargin,
 
     "multimodal_frames" ->

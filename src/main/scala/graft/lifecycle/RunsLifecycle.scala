@@ -264,16 +264,20 @@ object RunsLifecycle {
       merge(merge(fromRun, rgFromSamples), routed.readGroupOps)
     }
 
-    // validate + compute new labels driver-side (point data), then one
+    // validate + compute ALL new labels driver-side FIRST: a 422 anywhere
+    // in the batch must reject the whole request with nothing written
+    // (reference PatchRunIdRunsControllerSpec pins "invalid entry ⇒ run
+    // unchanged when queried afterwards") — only then commit one
     // distributed rewrite per touched table
-    val nSamples = patchUnits(wh, samplesTable, samplePatches, SampleLevel)
-    val nRgs = patchUnits(wh, rgTable, rgPatches, ReadGroupLevel)
-
     val newRunLabels = routed.runOps.foldLeft(
       Labels.fromRow(run.getAs[Row]("labels")))((l, op) => applyOp(l, op, RunLevel))
-    rewriteLabels(wh, Warehouse.Runs, "runId",
-      Map(runId -> newRunLabels))
-    (1, nSamples, nRgs)
+    val newSampleLabels = computeUnitLabels(wh, samplesTable, samplePatches, SampleLevel)
+    val newRgLabels = computeUnitLabels(wh, rgTable, rgPatches, ReadGroupLevel)
+
+    rewriteLabels(wh, samplesTable, "_id", newSampleLabels)
+    rewriteLabels(wh, rgTable, "_id", newRgLabels)
+    rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels))
+    (1, newSampleLabels.size, newRgLabels.size)
   }
 
   private def merge(a: Map[String, List[PatchOp]],
@@ -281,20 +285,20 @@ object RunsLifecycle {
     (a.keySet ++ b.keySet).map(k =>
       k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil))).toMap
 
-  private def patchUnits(wh: Warehouse, table: String,
-      patches: Map[String, List[PatchOp]], level: Level): Int = {
-    if (patches.isEmpty) return 0
+  /** Validation half of a unit patch: load the targeted rows (404 on any
+    * miss) and fold the ops into their new labels (422 on any bad op).
+    * Pure driver-side computation — nothing is written. */
+  private def computeUnitLabels(wh: Warehouse, table: String,
+      patches: Map[String, List[PatchOp]], level: Level): Map[String, Labels] = {
+    if (patches.isEmpty) return Map.empty
     if (!wh.exists(table))
       throw new NotFoundException(s"no units table $table to patch")
-    val units = wh.read(table)
-    val rows = getUnitsByIds(units, patches.keys.toSeq)
-    val newLabels = rows.map { r =>
+    val rows = getUnitsByIds(wh.read(table), patches.keys.toSeq)
+    rows.map { r =>
       val id = r.getAs[String]("_id")
       id -> patches(id).foldLeft(Labels.fromRow(r.getAs[Row]("labels")))(
         (l, op) => applyOp(l, op, level))
     }.toMap
-    rewriteLabels(wh, table, "_id", newLabels)
-    newLabels.size
   }
 
   /** Distributed copy-on-write labels update: broadcast-join the patched

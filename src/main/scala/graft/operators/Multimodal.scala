@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * predicates prune at the parquet level without ever materializing the
   * bytes, and the binary column is only read by stages that decode.
   *
-  * The decode itself (image decode / resize / frame sampling) needs native
-  * media libraries that are NOT in this container, so `decodeFeatures`
-  * routes every batch through a clearly-marked STUB kernel that derives
+  * IMAGE decode is REAL: payloads that are valid PNG/JPEG/GIF/BMP decode
+  * through the JDK's `javax.imageio` inside the batch loop, yielding the
+  * actual dimensions and a sampled mean luminance. Audio/video decode
+  * needs native codec libraries that are NOT in this container, so those
+  * rows route through a clearly-marked STUB kernel that derives
   * deterministic pseudo-features from the bytes. The Spark-side shape —
   * schema, partition-preserving `mapPartitions`, batch iteration, feature
-  * struct — is the real, tested plumbing; swapping the stub for a JNI/
-  * OpenCV kernel touches only `stubDecodeKernel`.
+  * struct — is real, tested plumbing either way; swapping the stub for a
+  * JNI/ffmpeg kernel touches only `stubDecodeKernel`.
   */
 object Multimodal {
 
@@ -34,8 +36,13 @@ object Multimodal {
       doc_id: Long,
       mediaType: String,
       byteLen: Long,
-      checksumByte: Long, // stub "decoded" signal: payload byte sum mod 256
-      sampledFrames: Int)
+      checksumByte: Long, // byte-level signal: payload byte sum mod 256
+      sampledFrames: Int,
+      // real image decode (javax.imageio); None for audio/video rows and
+      // for image rows whose payload is not a decodable encoded image
+      decodedWidth: Option[Int],
+      decodedHeight: Option[Int],
+      meanLuma: Option[Double])
 
   /** Wrap a text table into a fake media table: payload = utf-8 bytes,
     * metadata derived deterministically. Stands in for a real
@@ -53,10 +60,41 @@ object Multimodal {
         (col(idCol) % 30 + 1).cast("int").as("nFrames")).as("meta"),
       encode(col(textCol), "UTF-8").cast("binary").as("payload"))
 
-  /** STUB decode kernel — replace with the real media decoder. Must stay
-    * deterministic: features are pure functions of (meta, payload). */
+  /** REAL image decode via the JDK's ImageIO: dimensions plus mean
+    * luminance over a bounded (≤64×64) pixel sample grid, so cost per
+    * image is capped regardless of resolution. Returns None when the
+    * bytes are not a decodable image — deterministic either way. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val stepX = math.max(1, w / 64)
+          val stepY = math.max(1, h / 64)
+          var sum = 0.0
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          (w, h, if (n == 0) 0.0 else sum / n)
+        }
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decode kernel for AUDIO/VIDEO — replace with a real native
+    * decoder. Must stay deterministic: features are pure functions of
+    * (meta, payload). */
   private def stubDecodeKernel(r: MediaRecord): MediaFeatures = {
-    // ??? <- real image/audio decode goes here (lib not in container)
+    // ??? <- real audio/video decode goes here (codec libs not in container)
     var s = 0L
     var i = 0
     while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 1 }
@@ -65,7 +103,23 @@ object Multimodal {
       mediaType = r.meta.mediaType,
       byteLen = r.payload.length.toLong,
       checksumByte = s % 256,
-      sampledFrames = math.min(r.meta.nFrames, 8))
+      sampledFrames = math.min(r.meta.nFrames, 8),
+      decodedWidth = None,
+      decodedHeight = None,
+      meanLuma = None)
+  }
+
+  /** Full kernel: byte stats for every row; real ImageIO decode for image
+    * rows (None when the payload isn't an encoded image). */
+  private def decodeKernel(r: MediaRecord): MediaFeatures = {
+    val base = stubDecodeKernel(r)
+    if (r.meta.mediaType == "image")
+      decodeImage(r.payload) match {
+        case Some((w, h, luma)) => base.copy(
+          decodedWidth = Some(w), decodedHeight = Some(h), meanLuma = Some(luma))
+        case None => base
+      }
+    else base
   }
 
   /** Batched decode / feature extraction over the binary column.
@@ -78,11 +132,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition init for the real kernel happens here (once)
+      // per-partition init for a native kernel happens here (once);
+      // ImageIO is JDK-resident so images need none
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch decode: a real kernel hands `batch` to the native
-        // decoder in one call; the stub maps records individually
-        batch.map(stubDecodeKernel)
+        // per-batch decode: a native kernel hands `batch` to the decoder
+        // in one call; ImageIO/the stub map records individually
+        batch.map(decodeKernel)
       }
     }
   }

@@ -191,6 +191,157 @@ class RunsLifecycleSpec extends SparkSpec {
       RunsLifecycle.getUnitsByIds(samples, ids :+ ("0" * 32))
   }
 
+  // ---- reference it-suite permutations (PatchRunIdRunsControllerSpec /
+  // DeleteRunIdRunsControllerSpec high-value cases) ------------------------
+
+  private def freshTwoRuns(): (Warehouse, String, String) = {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    val ing = new RunIngestor(wh,
+      Map("maple" -> MaplePipeline, "plain" -> PlainPipeline),
+      () => Timestamp.valueOf("2024-06-01 12:00:00"))
+    val runA = ing.upload(
+      fixture("maple/maple_multi_sample_multi_rg.json"), "a.json", "maple", avg)
+    val runB = ing.upload(
+      fixture("maple/maple_single_sample_multi_rg.json"), "b.json", "maple", avg2)
+    (wh, runA, runB)
+  }
+
+  "patchRun (permutations)" should "patch a read group directly via readGroupLabels" in {
+    val (wh, runId) = freshRun()
+    val rgId = wh.read(Warehouse.readGroups("maple"))
+      .filter(col("labels.readGroupName") === "rg1" &&
+        col("labels.sampleName") === "sampleB")
+      .select("_id").collect()(0).getString(0)
+    RunsLifecycle.patchRun(wh, runId, avg,
+      List(ReplaceOp(s"/readGroupLabels/$rgId/readGroupName", "renamedRg"))) shouldBe
+      ((1, 0, 1))
+    wh.read(Warehouse.readGroups("maple")).filter(col("_id") === rgId)
+      .select("labels.readGroupName").collect()(0).getString(0) shouldBe "renamedRg"
+  }
+
+  it should "not propagate run-level tag/notes ops to children" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.patchRun(wh, runId, avg, List(
+      AddOp("/labels/tags/phase", "qc"),
+      AddOp("/labels/notes", "n"))) shouldBe ((1, 0, 0))
+    wh.read(Warehouse.samples("maple"))
+      .filter(org.apache.spark.sql.functions.size(col("labels.tags")) > 0)
+      .count() shouldBe 0
+  }
+
+  it should "treat a repeated tag add as replace (idempotent), repeated remove as 422" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.patchRun(wh, runId, avg, List(AddOp("/labels/tags/t", "v1")))
+    // add again: overwrite, not duplicate, not error (reference: 'add' again → 200)
+    RunsLifecycle.patchRun(wh, runId, avg, List(AddOp("/labels/tags/t", "v2")))
+    wh.read(Warehouse.Runs).filter(col("runId") === runId)
+      .select("labels.tags").collect()(0)
+      .getAs[Map[String, String]](0) shouldBe Map("t" -> "v2")
+    RunsLifecycle.patchRun(wh, runId, avg, List(RemoveOp("/labels/tags/t")))
+    // remove again: 422 (reference: 'remove' again → 400-class, run unchanged)
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(RemoveOp("/labels/tags/t")))
+  }
+
+  it should "apply sequential ops on the same path in order (last wins)" in {
+    val (wh, runId) = freshRun()
+    RunsLifecycle.patchRun(wh, runId, avg, List(
+      ReplaceOp("/labels/runName", "first"),
+      ReplaceOp("/labels/runName", "second"))) shouldBe ((1, 2, 3))
+    wh.read(Warehouse.Runs).filter(col("runId") === runId)
+      .select("labels.runName").collect()(0).getString(0) shouldBe "second"
+  }
+
+  it should "reject the WHOLE batch when any op is invalid — nothing written" in {
+    val (wh, runId) = freshRun()
+    val sampleAId = wh.read(Warehouse.samples("maple"))
+      .filter(col("labels.sampleName") === "sampleA")
+      .select("_id").collect()(0).getString(0)
+    a[PatchValidationException] should be thrownBy
+      RunsLifecycle.patchRun(wh, runId, avg, List(
+        AddOp(s"/sampleLabels/$sampleAId/tags/ok", "yes"), // valid
+        ReplaceOp("/uploaderId", "evil"))) // invalid ⇒ 422 for the batch
+    // the valid op must NOT have been applied (reference: 'when the run is
+    // queried afterwards' → unchanged)
+    wh.read(Warehouse.samples("maple")).filter(col("_id") === sampleAId)
+      .select("labels.tags").collect()(0)
+      .getAs[Map[String, String]](0) shouldBe Map.empty
+  }
+
+  it should "count mixed batches across all three levels correctly" in {
+    val (wh, runId) = freshRun()
+    val samples = wh.read(Warehouse.samples("maple"))
+    val sampleAId = samples.filter(col("labels.sampleName") === "sampleA")
+      .select("_id").collect()(0).getString(0)
+    val rgId = wh.read(Warehouse.readGroups("maple"))
+      .filter(col("labels.sampleName") === "sampleB" &&
+        col("labels.readGroupName") === "rg2")
+      .select("_id").collect()(0).getString(0)
+    // runName → run + all children; plus direct tag ops at each level
+    RunsLifecycle.patchRun(wh, runId, avg, List(
+      ReplaceOp("/labels/runName", "R2"),
+      AddOp(s"/sampleLabels/$sampleAId/tags/sTag", 1),
+      AddOp(s"/readGroupLabels/$rgId/tags/rTag", 2))) shouldBe ((1, 2, 3))
+    wh.read(Warehouse.samples("maple")).filter(col("_id") === sampleAId)
+      .select("labels.tags").collect()(0)
+      .getAs[Map[String, String]](0) shouldBe Map("sTag" -> "1")
+    wh.read(Warehouse.readGroups("maple")).filter(col("_id") === rgId)
+      .select("labels.runName", "labels.tags").collect()(0) match {
+      case r =>
+        r.getString(0) shouldBe "R2"
+        r.getAs[Map[String, String]](1) shouldBe Map("rTag" -> "2")
+    }
+  }
+
+  it should "leave other runs' children untouched (multi-run isolation)" in {
+    val (wh, runA, runB) = freshTwoRuns()
+    RunsLifecycle.patchRun(wh, runA, avg,
+      List(ReplaceOp("/labels/runName", "patchedA"))) shouldBe ((1, 2, 3))
+    // run B (different uploader, same pipeline tables) is untouched
+    wh.read(Warehouse.samples("maple")).filter(col("runId") === runB)
+      .select("labels.runName").distinct().collect()
+      .map(_.getString(0)) shouldBe Array("Maple_02")
+    wh.read(Warehouse.Runs).filter(col("runId") === runB)
+      .select("labels.runName").collect()(0).getString(0) shouldBe "Maple_02"
+  }
+
+  "deleteRun (permutations)" should "refuse a non-owner delete with 403, run intact" in {
+    val (wh, runA, _) = freshTwoRuns()
+    a[RunsLifecycle.ForbiddenException] should be thrownBy
+      RunsLifecycle.deleteRun(wh, runA, avg2)
+    wh.read(Warehouse.Runs).filter(col("runId") === runA)
+      .collect()(0).getAs[Timestamp]("deletionTimeUtc") shouldBe null
+  }
+
+  it should "let an admin delete another user's run; the owner then sees 410" in {
+    val (wh, runA, _) = freshTwoRuns()
+    RunsLifecycle.deleteRun(wh, runA, admin)
+    a[RunsLifecycle.GoneException] should be thrownBy
+      RunsLifecycle.getRun(wh, runA, avg)
+  }
+
+  it should "cascade only the deleted run; other users' data and listings survive" in {
+    val (wh, runA, runB) = freshTwoRuns()
+    RunsLifecycle.deleteRun(wh, runA, avg)
+    // A's children gone, B's intact (same pipeline tables)
+    wh.read(Warehouse.samples("maple")).filter(col("runId") === runA).count() shouldBe 0
+    wh.read(Warehouse.samples("maple")).filter(col("runId") === runB).count() shouldBe 1
+    wh.read(Warehouse.readGroups("maple")).filter(col("runId") === runB).count() shouldBe 2
+    // visibility: owner of A sees nothing, owner of B unaffected, admin sees B only
+    RunsLifecycle.getRuns(wh, avg).count() shouldBe 0
+    RunsLifecycle.getRuns(wh, avg2).count() shouldBe 1
+    RunsLifecycle.getRuns(wh, admin).count() shouldBe 1
+    // B's raw file still downloads; A's reports gone
+    RunsLifecycle.getRunFile(wh, runB, avg2) should not be empty
+    a[RunsLifecycle.GoneException] should be thrownBy
+      RunsLifecycle.getRunFile(wh, runA, avg)
+    // global stats see only B: 1 run, 1 sample, 2 read groups
+    graft.stats.StatsProcessor.globalRunStats(wh.read(Warehouse.Runs)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
+      Array(("maple", 1L, 1L, 2L))
+  }
+
   "JsonPatch.parse" should "parse arrays and auto-wrap single ops, rejecting junk" in {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     JsonPatch.parse(m.readTree(

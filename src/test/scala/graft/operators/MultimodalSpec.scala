@@ -41,6 +41,40 @@ class MultimodalSpec extends SparkSpec {
     plan should not include "payload"
   }
 
+  private def encodeImage(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  "decodeFeatures" should "really decode PNG and JPEG bytes via ImageIO" in {
+    val png = encodeImage(20, 10, 0x336699, "png")
+    val jpg = encodeImage(8, 8, 0x808080, "jpg")
+    val media = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.MediaMeta("image", 20, 10, 1), png),
+      Multimodal.MediaRecord(3L, Multimodal.MediaMeta("image", 8, 8, 1), jpg),
+      // an "image" whose payload is not an encoded image → decode fields null
+      Multimodal.MediaRecord(6L, Multimodal.MediaMeta("image", 1, 1, 1),
+        "not an image".getBytes("UTF-8")),
+      // audio stays stubbed: no decode attempt
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 1), png)
+    ).toDS().toDF()
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.doc_id -> x).toMap
+
+    f(0L).decodedWidth shouldBe Some(20)
+    f(0L).decodedHeight shouldBe Some(10)
+    // solid 0x336699 → exact Rec.601 luma on every sampled pixel
+    f(0L).meanLuma.get shouldBe (0.299 * 0x33 + 0.587 * 0x66 + 0.114 * 0x99) +- 1e-9
+    f(3L).decodedWidth shouldBe Some(8)
+    f(3L).meanLuma.get shouldBe 128.0 +- 3.0 // jpeg is lossy
+    f(6L).decodedWidth shouldBe None
+    f(6L).byteLen shouldBe 12L // byte stats still computed
+    f(1L).decodedWidth shouldBe None // audio never decodes
+  }
+
   "sampleFrames" should "fan out one row per sampled frame, video only" in {
     val media = Multimodal.fakeMediaTable(docs)
     val frames = Multimodal.sampleFrames(media, everyNth = 4)
