@@ -1,0 +1,125 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.http.HttpShim
+import graft.store.Warehouse
+
+/** End-to-end wire test: drives [[Sentinel]] through the [[HttpShim]] over
+  * a real socket, exercising the documented error taxonomy the way the
+  * reference's it-suite does (`PostRunsControllerSpec`,
+  * `PatchRunIdRunsControllerSpec`, `DeleteRunIdRunsControllerSpec`):
+  * upload → stats → patch → download → delete, plus every failure status. */
+class SentinelHttpSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-http").toString
+  private lazy val sentinel = new Sentinel(spark, root,
+    clock = () => Timestamp.valueOf("2024-06-01 12:00:00"))
+  private lazy val shim = new HttpShim(sentinel)
+  private lazy val port = {
+    sentinel.addUser("avg", "avg@test.id", "Abc123", "Abc123", verified = true)
+    sentinel.addUser("avg2", "avg2@test.id", "Abc123", "Abc123", verified = true)
+    sentinel.addUser("unv", "unv@test.id", "Abc123", "Abc123", verified = false)
+    shim.start()
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def keyOf(id: String): String =
+    sentinel.warehouse.read(Warehouse.Users).filter(col("id") === id)
+      .select("activeKey").collect()(0).getString(0)
+
+  private def fixture(path: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(getClass.getResource(s"/fixtures/$path").toURI))
+
+  private def req(method: String, pathAndQuery: String, user: String = null,
+      body: Array[Byte] = Array.empty,
+      key: String = null): HttpResponse[String] = {
+    val uri = s"http://127.0.0.1:$port$pathAndQuery" +
+      (if (user == null) "" else s"${if (pathAndQuery.contains("?")) "&" else "?"}userId=$user")
+    val b = HttpRequest.newBuilder(URI.create(uri))
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+    if (user != null)
+      b.header("X-API-Key", if (key == null) keyOf(user) else key)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  "the HTTP shim" should "run the full upload→stats→patch→download→delete round-trip" in {
+    val maple = fixture("maple/maple_multi_sample_multi_rg.json")
+
+    // auth ladder: no userId → 400; wrong key → 401; unverified → 403
+    req("POST", "/runs?pipeline=maple", body = maple).statusCode() shouldBe 400
+    req("POST", "/runs?pipeline=maple", "avg", maple, key = "wrong").statusCode() shouldBe 401
+    req("POST", "/runs?pipeline=maple", "unv", maple).statusCode() shouldBe 403
+
+    // ingest failures: bad schema → 422 with hints; not JSON → 400;
+    // unknown pipeline → 400; no pipeline → 400
+    val bad = req("POST", "/runs?pipeline=maple", "avg", fixture("invalid.json"))
+    bad.statusCode() shouldBe 422
+    bad.body() should include("hints")
+    req("POST", "/runs?pipeline=maple", "avg", fixture("not.json")).statusCode() shouldBe 400
+    req("POST", "/runs?pipeline=nope", "avg", maple).statusCode() shouldBe 400
+    req("POST", "/runs", "avg", maple).statusCode() shouldBe 400
+
+    // happy path → 201 {runId}; duplicate content → 409 {existingRunId}
+    val created = req("POST", "/runs?pipeline=maple", "avg", maple)
+    created.statusCode() shouldBe 201
+    val runId = created.body().split("\"")(3)
+    val dup = req("POST", "/runs?pipeline=maple", "avg", maple)
+    dup.statusCode() shouldBe 409
+    dup.body() should include(runId)
+
+    // reads: owner 200 (hidden attrs pruned), other user 403, missing 404
+    val got = req("GET", s"/runs/$runId", "avg")
+    got.statusCode() shouldBe 200
+    got.body() should include("Maple_04")
+    got.body() should not include "sampleIds"
+    req("GET", s"/runs/$runId", "avg2").statusCode() shouldBe 403
+    req("GET", s"/runs/${"0" * 32}", "avg").statusCode() shouldBe 404
+    // listing scoped per user
+    req("GET", "/runs", "avg").body() should include(runId)
+    req("GET", "/runs", "avg2").body() shouldBe "[]"
+
+    // public stats endpoint sees the upload
+    val stats = req("GET", "/stats/runs")
+    stats.statusCode() shouldBe 200
+    stats.body() should include("maple")
+
+    // patch: propagating rename → counts; 422 on bad op leaves run intact;
+    // non-JSON body → 400
+    val patched = req("PATCH", s"/runs/$runId", "avg",
+      """[{"op":"replace","path":"/labels/runName","value":"Overwire"}]""".getBytes)
+    patched.statusCode() shouldBe 200
+    patched.body() shouldBe
+      """{"runsModified":1,"samplesModified":2,"readGroupsModified":3}"""
+    req("PATCH", s"/runs/$runId", "avg",
+      """[{"op":"replace","path":"/uploaderId","value":"x"}]""".getBytes)
+      .statusCode() shouldBe 422
+    req("PATCH", s"/runs/$runId", "avg", "not json".getBytes).statusCode() shouldBe 400
+    req("GET", s"/runs/$runId", "avg").body() should include("Overwire")
+
+    // download returns the stored bytes verbatim
+    val dl = req("GET", s"/runs/$runId?download=true", "avg")
+    dl.statusCode() shouldBe 200
+    dl.body() shouldBe new String(maple, "UTF-8")
+
+    // delete: owner 204; repeat 410; subsequent reads/patches 410
+    req("DELETE", s"/runs/$runId", "avg2").statusCode() shouldBe 403
+    req("DELETE", s"/runs/$runId", "avg").statusCode() shouldBe 204
+    req("DELETE", s"/runs/$runId", "avg").statusCode() shouldBe 410
+    req("GET", s"/runs/$runId", "avg").statusCode() shouldBe 410
+    req("PATCH", s"/runs/$runId", "avg",
+      """[{"op":"replace","path":"/labels/runName","value":"x"}]""".getBytes)
+      .statusCode() shouldBe 410
+    req("GET", "/runs", "avg").body() shouldBe "[]"
+  }
+
+  override def afterAll(): Unit = {
+    shim.stop()
+    super.afterAll()
+  }
+}
