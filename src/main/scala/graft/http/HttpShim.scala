@@ -39,6 +39,12 @@ final class HttpShim(sentinel: Sentinel) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
+  /** Wire-level patch-document gate, mirroring the reference's validation
+    * of PATCH bodies against `schemas/json_patch.json` before any op is
+    * interpreted (RFC 6902 array shape; 400 on violation). */
+  private val patchSchema =
+    graft.pipelines.SchemaValidator.fromResource("/schemas/json_patch.json")
+
   /** HTTP status for an engine exception — the [[Sentinel]] taxonomy. */
   def statusOf(e: Throwable): Int = e match {
     case _: Ingest.NotJsonException            => 400
@@ -158,6 +164,10 @@ final class HttpShim(sentinel: Sentinel) {
             }
           if (node == null)
             throw new JsonPatch.PatchParseException("patch is empty")
+          val schemaErrs = patchSchema.validate(node)
+          if (schemaErrs.nonEmpty)
+            throw new JsonPatch.PatchParseException(
+              s"patch document invalid: ${schemaErrs.mkString("; ")}")
           val (r, s, g) = sentinel.patchRun(id, user, JsonPatch.parse(node))
           json(ex, 200,
             s"""{"runsModified":$r,"samplesModified":$s,"readGroupsModified":$g}""")

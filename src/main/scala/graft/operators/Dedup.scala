@@ -151,14 +151,18 @@ object Dedup {
       idCol: String = "doc_id",
       nBits: Int = 16): DataFrame = {
     require(nBits <= 32, "md5 hex has 32 nibbles")
+    // bit k of token t = low bit of hex nibble k of md5(t). One translate
+    // maps odd nibbles to '1' / even to '0' for the whole digest, then each
+    // bit is plain arithmetic (ascii-48) — far cheaper than nBits
+    // substring-IN-set comparisons per token (8 string equality tests per
+    // bit), and identical in value.
     val hashed = docs
       .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"))
-    // bit k of token t = low bit of hex nibble k of md5(t)
+      .select(col("id"),
+        translate(md5(col("tok")), "13579bdf02468ace", "1111111100000000").as("b"))
     val parities = hashed.select(
       col("id") +: (0 until nBits).map(k =>
-        when(substring(col("h"), k + 1, 1).isin(H.oddHex: _*), 1L)
-          .otherwise(0L).as(s"p$k")): _*)
+        (ascii(substring(col("b"), k + 1, 1)) - 48).cast("long").as(s"p$k")): _*)
     val aggs = count(lit(1)).as("n") +:
       (0 until nBits).map(k => sum(col(s"p$k")).as(s"p$k"))
     parities.groupBy("id")
@@ -253,7 +257,9 @@ object Dedup {
 
     // labels only ever decrease, so Σcomp is strictly monotone until the
     // fixpoint — an O(1)-output aggregate per round replaces a join-based
-    // change count
+    // change count. The aggregate rides the SAME job that materializes the
+    // round's labels (`observe` + eager localCheckpoint): one pass per
+    // round, no separate convergence scan.
     def sumComp(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
@@ -268,11 +274,13 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("nmin"))
+        val obs = org.apache.spark.sql.Observation()
         val next = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        val s = sumComp(next)
+          .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp"))
+          .localCheckpoint() // eager: runs the job, publishing the metric
+        val s = obs.get("sumComp").asInstanceOf[java.math.BigDecimal]
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         labels = next

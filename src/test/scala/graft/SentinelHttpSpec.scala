@@ -100,6 +100,15 @@ class SentinelHttpSpec extends SparkSpec {
       """[{"op":"replace","path":"/uploaderId","value":"x"}]""".getBytes)
       .statusCode() shouldBe 422
     req("PATCH", s"/runs/$runId", "avg", "not json".getBytes).statusCode() shouldBe 400
+    // wire-level RFC-6902 schema gate: non-array, empty array, add-without-
+    // value, malformed pointer — all 400 before any op is interpreted
+    req("PATCH", s"/runs/$runId", "avg",
+      """{"op":"remove","path":"/labels/notes"}""".getBytes).statusCode() shouldBe 400
+    req("PATCH", s"/runs/$runId", "avg", "[]".getBytes).statusCode() shouldBe 400
+    req("PATCH", s"/runs/$runId", "avg",
+      """[{"op":"add","path":"/labels/notes"}]""".getBytes).statusCode() shouldBe 400
+    req("PATCH", s"/runs/$runId", "avg",
+      """[{"op":"add","path":"no-slash","value":1}]""".getBytes).statusCode() shouldBe 400
     req("GET", s"/runs/$runId", "avg").body() should include("Overwire")
 
     // download returns the stored bytes verbatim
