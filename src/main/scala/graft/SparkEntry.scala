@@ -470,9 +470,14 @@ object SparkEntry {
       |  range(1, greatest(length(norm) - 4, 1) + 1),
       |  i -> substr(norm, CAST(i AS INT), 5)))""".stripMargin
 
-  /** DuckDB replay of [[H.minhashSignatureMd5]] slot `i` over shingles `sh`. */
+  /** DuckDB replay of the portable minhash slot `i` over shingles `sh`:
+    * slot i = min over shingles of the BIGINT value of the 8-hex-char
+    * slice i%4 of seeded digest md5('⌊i/4⌋:' || s) — matching
+    * [[Dedup.minhashLsh]]'s PortableMd5 tier exactly. */
   private def minhashSlotSql(i: Int): String =
-    s"list_aggregate(list_transform(sh, s -> md5(concat('$i:', s))), 'min')"
+    s"list_aggregate(list_transform(sh, " +
+      s"s -> CAST(concat('0x', substr(md5(concat('${i / 4}:', s)), " +
+      s"${(i % 4) * 8 + 1}, 8)) AS BIGINT)), 'min')"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

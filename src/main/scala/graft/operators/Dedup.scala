@@ -81,13 +81,27 @@ object Dedup {
         explode(sequence(lit(1),
           greatest(length(col("norm")) - lit(shingleN - 1), lit(1)))).as("pos"))
       .select(col("id"), col("norm").substr(col("pos"), lit(shingleN)).as("sh"))
-    // k codegen'd seeded hashes per shingle, partial-min-aggregated per doc
-    def slotHash(i: Int): Column = tier match {
-      case PortableMd5 => md5(concat(lit(s"$i:"), col("sh")))
-      case FastXx      => xxhash64(lit(i), col("sh"))
+    // k codegen'd seeded hash slots per shingle, partial-min-aggregated per
+    // doc. Portable tier: k slots are the BIGINT values of the 8-hex-char
+    // (32-bit) SLICES of ceil(k/4) seeded md5 digests. Two wins over the
+    // naive one-md5-per-slot-as-string form: 4x fewer digests in the
+    // explode-stage hot loop, and — because the min-agg buffers become
+    // fixed-width longs instead of var-length strings — the signature
+    // aggregate stays a codegen'd HashAggregate rather than falling back
+    // to ObjectHashAggregate. DuckDB replays the slices verbatim
+    // (('0x'||slice)::BIGINT).
+    val hashed = tier match {
+      case PortableMd5 =>
+        val nDigests = (k + 3) / 4
+        shingled
+          .select(col("id") +: (0 until nDigests).map(d =>
+            md5(concat(lit(s"$d:"), col("sh"))).as(s"d$d")): _*)
+          .select(col("id") +: (0 until k).map(i =>
+            conv(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+              .cast("bigint").as(s"h$i")): _*)
+      case FastXx => shingled.select(
+        col("id") +: (0 until k).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
     }
-    val hashed = shingled.select(
-      col("id") +: (0 until k).map(i => slotHash(i).as(s"h$i")): _*)
     val minAggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
     // persisted: consumed by the banding below AND the two score joins at
     // the end — recomputing would re-run the explode→hash→agg pipeline
