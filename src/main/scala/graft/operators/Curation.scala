@@ -112,9 +112,10 @@ object Curation {
     *
     * Bands whose offset already exceeds the budget are pruned before the
     * window (their rows can never be selected), so the expensive pass
-    * touches only candidate bands. `curated` is evaluated by both passes;
-    * pass 1 is aggregate-only (projection pruned to quality + n_tokens),
-    * and callers looping over budgets should persist `curated` first. */
+    * touches only candidate bands. The banded input is persisted
+    * (MEMORY_AND_DISK) so pass 2 reads pass 1's materialization instead of
+    * recomputing the upstream curation pipeline; callers that keep the
+    * result around long-term can `unpersist` via the catalog. */
   def sampleToTokenBudget(
       curated: DataFrame,
       tokenBudget: Long,
@@ -128,6 +129,7 @@ object Curation {
       greatest(floor((lit(1.0) - col("quality")) * qualityBands), lit(0.0)),
       lit((qualityBands - 1).toDouble)).cast("int")
     val banded = curated.withColumn("q_band", bandCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: per-band totals — ≤ qualityBands rows, safe to collect
     val totals = banded.groupBy(col("q_band"))
