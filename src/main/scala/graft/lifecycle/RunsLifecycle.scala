@@ -274,9 +274,13 @@ object RunsLifecycle {
     val newSampleLabels = computeUnitLabels(wh, samplesTable, samplePatches, SampleLevel)
     val newRgLabels = computeUnitLabels(wh, rgTable, rgPatches, ReadGroupLevel)
 
-    rewriteLabels(wh, samplesTable, "_id", newSampleLabels)
-    rewriteLabels(wh, rgTable, "_id", newRgLabels)
-    rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels))
+    // every touched unit belongs to THIS run, so each table rewrite is
+    // scoped to the run's hash bucket (runs: its pipeline partition) —
+    // O(bucket), not O(table)
+    rewriteLabels(wh, samplesTable, "_id", newSampleLabels, Some(runId))
+    rewriteLabels(wh, rgTable, "_id", newRgLabels, Some(runId))
+    rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels),
+      scopeRunId = None, scopePipeline = Some(pipeline))
     (1, newSampleLabels.size, newRgLabels.size)
   }
 
@@ -302,9 +306,12 @@ object RunsLifecycle {
   }
 
   /** Distributed copy-on-write labels update: broadcast-join the patched
-    * (id → labels) set and coalesce. */
+    * (id → labels) set and coalesce. Scoped to the owning run's bucket
+    * (or the run table's pipeline partition) when known, so only the
+    * touched partition rewrites. */
   private def rewriteLabels(wh: Warehouse, table: String, key: String,
-      newLabels: Map[String, Labels]): Unit = {
+      newLabels: Map[String, Labels], scopeRunId: Option[String] = None,
+      scopePipeline: Option[String] = None): Unit = {
     if (newLabels.isEmpty) return
     val spark = wh.spark
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -314,10 +321,15 @@ object RunsLifecycle {
     val patchRows = newLabels.toSeq.map { case (id, l) => Row(id, l.toRow) }
     val patchDf = spark.createDataFrame(
       spark.sparkContext.parallelize(patchRows, 1), schema)
-    wh.rewrite(table, df =>
+    val f = (df: DataFrame) =>
       df.join(broadcast(patchDf), Seq(key), "left")
         .withColumn("labels", coalesce(col("__newLabels"), col("labels")))
-        .drop("__newLabels"))
+        .drop("__newLabels")
+    (scopeRunId, scopePipeline) match {
+      case (Some(rid), _) => wh.rewriteForRuns(table, Seq(rid), f)
+      case (_, Some(p))   => wh.rewriteScoped(table, Seq(p), f)
+      case _              => wh.rewrite(table, f)
+    }
   }
 
   /** S9: raw-file download (reference `processors/CompositeRunsProcessor
@@ -344,12 +356,15 @@ object RunsLifecycle {
       throw new GoneException(s"run $runId already deleted")
     val pipeline = run.getAs[String]("pipeline")
 
-    wh.rewrite(Warehouse.Files, _.filter(col("runId") =!= runId))
+    // run-scoped cascade: each table rewrite touches only the run's hash
+    // bucket (runs: its pipeline partition)
+    wh.rewriteForRuns(Warehouse.Files, Seq(runId), _.filter(col("runId") =!= runId))
     Seq(Warehouse.samples(pipeline), Warehouse.readGroups(pipeline)).foreach { t =>
-      if (wh.exists(t)) wh.rewrite(t, _.filter(col("runId") =!= runId))
+      if (wh.exists(t))
+        wh.rewriteForRuns(t, Seq(runId), _.filter(col("runId") =!= runId))
     }
     val ts = now()
-    wh.rewrite(Warehouse.Runs, df =>
+    wh.rewriteScoped(Warehouse.Runs, Seq(pipeline), df =>
       df.withColumn("deletionTimeUtc",
         when(col("runId") === runId, lit(ts)).otherwise(col("deletionTimeUtc"))))
   }

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, crc32, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned parquet warehouse with copy-on-write mutation — the narrow
@@ -46,11 +47,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def exists(name: String): Boolean = currentVersion(name) >= 0
 
-  /** Read the table's current snapshot. */
+  /** Read the table's current snapshot. The internal `runBucket`
+    * partition column (mutation-scoping detail) is never exposed. */
   def read(name: String): DataFrame = {
     val v = currentVersion(name)
     require(v >= 0, s"table $name does not exist in $root")
-    spark.read.parquet(versionDir(name, v).toString)
+    spark.read.parquet(versionDir(name, v).toString).drop(Warehouse.BucketCol)
   }
 
   /** Read, or an empty frame of `schema` when the table doesn't exist yet
@@ -65,7 +67,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val dir = versionDir(name, version)
     require(Files.exists(dir),
       s"version $version of $name is not retained (current: ${currentVersion(name)})")
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(dir.toString).drop(Warehouse.BucketCol)
   }
 
   /** Compaction: appends accumulate one part-file batch per call (the
@@ -76,13 +78,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Hive-style partition columns per table: `runs` is laid out by
     * pipeline (SURVEY §4 "partition-per-pipeline data layout") so
-    * pipeline-scoped queries prune whole directories before any IO. */
+    * pipeline-scoped queries prune whole directories before any IO, and
+    * the run-keyed bulk tables (files + per-pipeline units) are laid out
+    * by a runId hash bucket so RUN-SCOPED MUTATIONS rewrite one bucket,
+    * not the table (see [[rewriteForRuns]]). */
   private def partitionColsOf(name: String): Seq[String] =
-    if (name == Warehouse.Runs) Seq("pipeline") else Seq.empty
+    if (name == Warehouse.Runs) Seq("pipeline")
+    else if (Warehouse.isRunBucketed(name)) Seq(Warehouse.BucketCol)
+    else Seq.empty
 
   private def write(df: DataFrame, name: String, path: String, mode: SaveMode): Unit = {
     val cols = partitionColsOf(name)
-    val w = if (cols.isEmpty) df.write else df.write.partitionBy(cols: _*)
+    val df2 =
+      if (cols == Seq(Warehouse.BucketCol) && !df.columns.contains(Warehouse.BucketCol))
+        df.withColumn(Warehouse.BucketCol, Warehouse.bucketCol(col("runId")))
+      else df
+    val w = if (cols.isEmpty) df2.write else df2.write.partitionBy(cols: _*)
     w.mode(mode).parquet(path)
   }
 
@@ -116,6 +127,88 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     deleteRecursively(versionDir(name, v - 1))
   }
 
+  /** Run-scoped copy-on-write: rewrite ONLY the hash-bucket partitions the
+    * given runs live in; every other partition of the new snapshot is a
+    * HARD LINK to the previous version's files (an object-store backend
+    * would reference the unchanged files in table metadata the same way —
+    * this is exactly Delta/Iceberg's file-reuse commit). Mutation cost is
+    * O(touched runs' buckets), not O(table) — the difference between a
+    * label patch rewriting ~1/64th of a 100 TB units table and rewriting
+    * all of it.
+    *
+    * `f` sees only the touched buckets' rows and must keep every row's
+    * runId (it may drop rows entirely — deletes — or update columns). */
+  def rewriteForRuns(name: String, runIds: Seq[String], f: DataFrame => DataFrame): Unit =
+    rewriteScoped(name, runIds.map(Warehouse.bucketOf(_).toString).distinct, f)
+
+  /** Partition-scoped copy-on-write over the table's partition column
+    * (`pipeline` for runs, the runId bucket for units/files): rewrite the
+    * named partitions, hard-link the rest. */
+  def rewriteScoped(name: String, partitionValues: Seq[String],
+      f: DataFrame => DataFrame): Unit = synchronized {
+    val pcols = partitionColsOf(name)
+    if (pcols.isEmpty) { rewrite(name, f); return }
+    val pcol = pcols.head
+    val v = currentVersion(name)
+    require(v >= 0, s"cannot rewrite missing table $name")
+    val next = v + 1
+    val prevDir = versionDir(name, v)
+    val nextDir = versionDir(name, next)
+
+    // partition pruning makes this read touch only the scoped directories
+    val touched = spark.read.parquet(prevDir.toString)
+      .filter(col(pcol).cast("string").isin(partitionValues: _*))
+      .drop(Warehouse.BucketCol)
+    write(f(touched), name, nextDir.toString, SaveMode.Overwrite)
+
+    // link every untouched partition dir from the previous snapshot
+    val touchedDirs = partitionValues.map(vv => s"$pcol=$vv").toSet
+    if (Files.exists(prevDir)) Files.list(prevDir).forEach { p =>
+      val leaf = p.getFileName.toString
+      if (Files.isDirectory(p) && leaf.startsWith(s"$pcol=") && !touchedDirs(leaf))
+        linkTree(p, nextDir.resolve(leaf))
+    }
+    // a fully-empty result writes no files at all; park an empty (but
+    // schema-bearing) parquet inside a partition dir so the snapshot stays
+    // readable and layout-consistent with future appends
+    if (!hasParquet(nextDir)) {
+      val schema = f(touched).schema
+      val tmp = Files.createTempDirectory(tableDir(name), "_empty")
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val slot = nextDir.resolve(s"$pcol=0")
+      Files.createDirectories(slot)
+      Files.list(tmp).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, slot.resolve(p.getFileName.toString))
+      }
+      deleteRecursively(tmp)
+    }
+    setVersion(name, next)
+    deleteRecursively(versionDir(name, v - 1))
+  }
+
+  private def hasParquet(dir: Path): Boolean = {
+    val s = Files.walk(dir)
+    try s.anyMatch(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    finally s.close()
+  }
+
+  /** Hard-link a partition directory tree into the new snapshot (copy as
+    * the fallback for filesystems without link support). */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        try Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, t) }
+      }
+    } finally s.close()
+  }
+
   /** Replace the table wholesale (used by tests/bootstrap). */
   def overwrite(name: String, df: DataFrame): Unit = synchronized {
     val next = currentVersion(name) + 1
@@ -141,4 +234,25 @@ object Warehouse {
   val Annotations = "annotations"
   def samples(pipeline: String): String = s"${pipeline}_samples"
   def readGroups(pipeline: String): String = s"${pipeline}_readGroups"
+
+  /** Internal partition column for run-scoped mutation (never exposed by
+    * [[Warehouse.read]]). */
+  val BucketCol = "runBucket"
+  val NumBuckets = 64
+
+  /** Tables keyed by runId whose mutations are run-scoped. */
+  def isRunBucketed(name: String): Boolean =
+    name == Files || name.endsWith("_samples") || name.endsWith("_readGroups")
+
+  /** Engine-side bucket expression; must agree with [[bucketOf]]. */
+  def bucketCol(runId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(crc32(runId.cast("binary")), lit(NumBuckets.toLong)).cast("int")
+
+  /** Driver-side bucket of a runId — java.util.zip.CRC32 computes the
+    * identical polynomial as Spark's `crc32`. */
+  def bucketOf(runId: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(runId.getBytes(StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, NumBuckets.toLong).toInt
+  }
 }

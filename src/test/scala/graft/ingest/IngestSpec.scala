@@ -187,6 +187,48 @@ class IngestSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy wh.readVersion("t", 99)
   }
 
+  "Warehouse.rewriteForRuns" should "rewrite only the touched bucket and hard-link the rest" in {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    // runIds spread across several hash buckets
+    val runIds = (1 to 20).map(i => f"run$i%02d")
+    wh.append("demo_samples",
+      runIds.map(r => (r, s"unit-$r", 1L)).toDF("runId", "_id", "v"))
+    val target = runIds.head
+    val targetBucket = Warehouse.bucketOf(target)
+    runIds.map(Warehouse.bucketOf).distinct.size should be > 1 // scoping is meaningful
+
+    wh.rewriteForRuns("demo_samples", Seq(target),
+      _.withColumn("v", when(col("runId") === target, lit(99L)).otherwise(col("v"))))
+
+    // semantics: only the target run changed, all rows survive
+    val after = wh.read("demo_samples")
+    after.count() shouldBe 20
+    after.filter(col("v") === 99L).select("runId").as[String].collect() shouldBe
+      Array(target)
+
+    // physics: an untouched bucket's file in v1 IS v0's file (hard link)
+    val otherBucket = runIds.map(Warehouse.bucketOf).find(_ != targetBucket).get
+    def bucketFiles(version: Int, bucket: Int) = {
+      val d = java.nio.file.Paths.get(root, "demo_samples", s"v$version",
+        s"${Warehouse.BucketCol}=$bucket")
+      java.nio.file.Files.list(d).filter(_.toString.endsWith(".parquet"))
+        .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+    }
+    val (before0, after0) = (bucketFiles(0, otherBucket), bucketFiles(1, otherBucket))
+    after0.length shouldBe before0.length
+    java.nio.file.Files.isSameFile(before0.head, after0.head) shouldBe true
+    // while the touched bucket was genuinely rewritten
+    java.nio.file.Files.isSameFile(
+      bucketFiles(0, targetBucket).head, bucketFiles(1, targetBucket).head) shouldBe false
+
+    // deleting the run empties its bucket but leaves everything else linked
+    wh.rewriteForRuns("demo_samples", Seq(target), _.filter(col("runId") =!= target))
+    wh.read("demo_samples").count() shouldBe 19
+    wh.read("demo_samples").filter(col("runId") === target).count() shouldBe 0
+  }
+
   it should "keep the previous snapshot readable for already-open frames" in {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-wh").toString
