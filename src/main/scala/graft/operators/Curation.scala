@@ -43,13 +43,23 @@ object Curation {
     val text = col(textCol)
     val langs = T.langStopwords.toSeq.sortBy(_._1)
 
-    // one explode pass: per-token language/stopword flags, all codegen'd
+    // ONE pass over docs: row-local metrics (n_chars, punct ratio, the
+    // text itself) ride through the token explode and re-emerge from the
+    // group-by via first() — constant within a doc's group, so first is
+    // deterministic. This removes the second docs scan and the
+    // rowLocal⋈tokenStats shuffle join the two-branch formulation needs.
     val tokenRows = docs
-      .select(col(idCol), explode(T.tokens(text)).as("tok"))
+      .select(col(idCol), text.as("__text"),
+        length(text).as("__n_chars"), T.punctRatio(text).as("__punct"))
+      .select(col(idCol), col("__text"), col("__n_chars"), col("__punct"),
+        explode(T.tokens(col("__text"))).as("tok"))
     val langHitAggs = langs.map { case (lang, words) =>
       sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"hits_$lang")
     }
     val tokenAggs = Seq(
+      first(col("__text")).as("__text"),
+      first(col("__n_chars")).as("n_chars"),
+      first(col("__punct")).as("punct_ratio"),
       count(lit(1)).as("n_tokens"),
       sum(when(col("tok").isin(cfg.stopwords: _*), 1L).otherwise(0L)).as("stop_hits"),
       md5(concat_ws(" ", array_sort(collect_set(col("tok"))))).as("fp")
@@ -65,11 +75,6 @@ object Curation {
     val langId = when(best.getField("negHits") < 0, best.getField("lang"))
       .otherwise(lit("und"))
 
-    val rowLocal = docs.select(
-      col(idCol), text,
-      length(text).as("n_chars"),
-      T.punctRatio(text).as("punct_ratio"))
-
     val lenScore = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(
       (col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1))) * 4.0,
@@ -78,9 +83,9 @@ object Curation {
       lenScore * lit(0.4) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
         stopScore * lit(0.3), 6)
 
-    val scored = rowLocal.join(tokenStats, Seq(idCol))
-      .select(col(idCol), text, col("n_chars"), col("n_tokens"),
-        langId.as("lang_id"), quality.as("quality"), col("fp"))
+    val scored = tokenStats
+      .select(col(idCol), col("__text").as(textCol), col("n_chars"),
+        col("n_tokens"), langId.as("lang_id"), quality.as("quality"), col("fp"))
     val filtered = scored.filter(
       col("n_chars").between(cfg.minChars, cfg.maxChars) &&
         col("lang_id").isin(cfg.languages: _*) &&

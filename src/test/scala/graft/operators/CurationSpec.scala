@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox and the lazy dog sit in a field of tall grass " * 3),
+    (2L, "the quick brown fox and the lazy dog sit in a field of tall grass " * 3), // dup of 1
+    (3L, "der hund und die katze sind nicht auf der wiese mit dem ball und der " * 3),
+    (4L, "!!!! ???? ++++ #### %%%% " * 10), // punctuation junk
+    (5L, "tiny"), // too short
+    (6L, "it was the best of times and it was the worst of times in the city " * 3)
+  ).toDF("doc_id", "text")
+
+  "curate" should "keep first of exact dups, drop junk/short/foreign docs" in {
+    val out = Curation.curate(docs).select("doc_id").as[Long].collect().sorted
+    // 2 deduped against 1; 3 is German (langs=en only); 4 junk quality; 5 short
+    out shouldBe Array(1L, 6L)
+  }
+
+  it should "score quality in [0,1] with en stopword and length signals" in {
+    val scored = Curation.curate(docs, Curation.Config(
+      minChars = 1, minQuality = 0.0, languages = Seq("en", "de", "und")))
+    val q = scored.select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    all(q.values) should (be >= 0.0 and be <= 1.0)
+    q(1L) should be > q(4L) // real text beats punctuation soup
+  }
+
+  "sampleToTokenBudget" should "match the naive global-window formulation exactly" in {
+    // 200 docs with clashing qualities and varied token counts
+    val curated = spark.range(1, 201).select(
+      col("id").as("doc_id"),
+      round((col("id") % 17).cast("double") / 17.0, 6).as("quality"),
+      (col("id") % 29 + 1).cast("bigint").as("n_tokens"))
+    val budget = 900L
+    val naive = {
+      val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      curated.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    }
+    val banded = Curation.sampleToTokenBudget(curated, budget)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    banded shouldBe naive
+    banded should not be empty
+  }
+
+  it should "respect an exact-boundary budget" in {
+    val curated = Seq(
+      (1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.7, 10L)
+    ).toDF("doc_id", "quality", "n_tokens")
+    Curation.sampleToTokenBudget(curated, 20L)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    Curation.sampleToTokenBudget(curated, 9L).count() shouldBe 0L
+  }
+}
