@@ -360,6 +360,16 @@ object SparkEntry {
       Similarity.ivfTopK(
         e, e.filter(col("vec_id") < 5), e.filter(col("vec_id") < 8), 3)
         .drop("rank")
+    }),
+
+    // IVF with Lloyd-refined anchors (each refinement round = one
+    // distributed pass). Anchors come from iterative Spark jobs — no SQL
+    // replay, driver records a rows-only check (like dedup_minhash_fast).
+    "vector_ivf_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopKKmeans(
+        e, e.filter(col("vec_id") < 5), nCells = 8, k = 3, iters = 3, nprobe = 2)
+        .drop("rank")
     })
   )
 

@@ -68,6 +68,7 @@ final class HttpShim(sentinel: Sentinel) {
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/runs", (ex: HttpExchange) => safely(ex)(handleRuns))
+    server.createContext("/users", (ex: HttpExchange) => safely(ex)(handleUsers))
     server.createContext("/stats/runs", (ex: HttpExchange) => safely(ex) { e =>
       json(e, 200, ApiRender.renderRows(sentinel.globalRunStats()))
     })
@@ -177,6 +178,59 @@ final class HttpShim(sentinel: Sentinel) {
         case _ =>
           json(ex, 405, """{"message":"method not allowed"}""")
       }
+    }
+  }
+
+  /** Users surface (reference `api/UsersController.scala:96-186`):
+    * `POST /users` is open (self-registration, created unverified);
+    * get/patch/delete authenticate and authorize per UsersOps. */
+  private def handleUsers(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod.toUpperCase
+    val target = if (path == "/users") None else Some(path.stripPrefix("/users/"))
+    (method, target) match {
+      case ("POST", None) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val node =
+          try mapper.readTree(body)
+          catch { case e: Exception =>
+            throw new Ingest.NotJsonException(s"user payload is not JSON: ${e.getMessage}") }
+        def field(n: String): String =
+          Option(node.get(n)).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new UsersOps.ValidationException(Seq(s"$n: required string")))
+        sentinel.addUser(field("id"), field("email"),
+          field("password"), field("confirmPassword"))
+        json(ex, 201, s"""{"id":"${field("id")}"}""")
+      case _ =>
+        authed(ex).foreach { user =>
+          (method, target) match {
+            case ("GET", Some(id)) =>
+              // self-or-admin, like the reference's user point-get
+              if (user.id != id && !user.isAdmin)
+                throw new RunsLifecycle.ForbiddenException(s"cannot view user $id")
+              sentinel.getUser(id) match {
+                case Some(u) => json(ex, 200,
+                  s"""{"id":"${u.id}","email":"${u.email}","verified":${u.verified}}""")
+                case None => throw new RunsLifecycle.NotFoundException(s"user $id not found")
+              }
+            case ("PATCH", Some(id)) =>
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              val node =
+                try mapper.readTree(body)
+                catch { case e: Exception =>
+                  throw new JsonPatch.PatchParseException(s"patch is not JSON: ${e.getMessage}") }
+              val schemaErrs = patchSchema.validate(node)
+              if (schemaErrs.nonEmpty)
+                throw new JsonPatch.PatchParseException(
+                  s"patch document invalid: ${schemaErrs.mkString("; ")}")
+              sentinel.patchUser(user, id, JsonPatch.parse(node))
+              ex.sendResponseHeaders(204, -1)
+            case ("DELETE", Some(id)) =>
+              sentinel.deleteUser(user, id)
+              ex.sendResponseHeaders(204, -1)
+            case _ => json(ex, 405, """{"message":"method not allowed"}""")
+          }
+        }
     }
   }
 

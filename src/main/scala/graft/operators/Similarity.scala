@@ -67,6 +67,64 @@ object Similarity {
       1, math.min(nprobe, anchors.size))
   }
 
+  /** Lloyd-refined IVF anchors: start from a deterministic sample of the
+    * corpus and run `iters` k-means rounds. Each round is ONE distributed
+    * pass — zero-shuffle cell assignment (the [[cellOf]] expression) then
+    * a posexplode + hash-aggregate for the per-cell element-wise means
+    * (map-side partials; the shuffle carries cells×dim partial sums, not
+    * vectors). Only the cells×dim mean table ever reaches the driver, so
+    * the method honors the same anchors ≪ corpus contract as [[ivfTopK]].
+    * Refined anchors tighten cells around the data's actual clusters,
+    * which is what makes low-nprobe probing accurate at scale. */
+  def kmeansAnchors(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Seq[(Long, Seq[Float])] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    var anchors: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol).cast("string"), lit(seed)))
+      .limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    for (_ <- 0 until iters) {
+      val moments = corpus
+        .select(cellOf(anchors, col(vecCol)).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = moments.groupBy(_.getLong(0))
+      anchors = anchors.map { case (aid, old) =>
+        byCell.get(aid) match {
+          case Some(rows) =>
+            val mean = new Array[Float](old.size)
+            rows.foreach(r => mean(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            (aid, mean.toSeq)
+          case None => (aid, old) // empty cell: keep the previous centroid
+        }
+      }
+    }
+    anchors
+  }
+
+  /** [[ivfTopK]] with anchors refined by [[kmeansAnchors]] instead of a
+    * caller-supplied anchor table. */
+  def ivfTopKKmeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      nCells: Int,
+      k: Int,
+      iters: Int = 5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      nprobe: Int = 1): DataFrame =
+    ivfTopKWith(corpus, queries, kmeansAnchors(corpus, nCells, iters, 42L, vecCol, idCol),
+      k, vecCol, idCol, nprobe)
+
   /** IVF-bucketed ANN: assign every corpus vector to its argmax-cosine
     * anchor; each query probes its `nprobe` nearest cells. The anchor set
     * is collected to the driver once (broadcast-sized by contract) and
@@ -85,6 +143,18 @@ object Similarity {
     val anchorSeq: Seq[(Long, Seq[Float])] =
       anchors.select(col(idCol).cast("bigint"), col(vecCol)).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    ivfTopKWith(corpus, queries, anchorSeq, k, vecCol, idCol, nprobe)
+  }
+
+  /** Core IVF probe over a driver-resident anchor set. */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      anchorSeq: Seq[(Long, Seq[Float])],
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      nprobe: Int = 1): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       cellOf(anchorSeq, col(vecCol)).as("cell"),

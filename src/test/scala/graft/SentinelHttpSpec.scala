@@ -127,6 +127,49 @@ class SentinelHttpSpec extends SparkSpec {
     req("GET", "/runs", "avg").body() shouldBe "[]"
   }
 
+  it should "serve the users surface with the reference's status ladder" in {
+    // self-registration (open, created unverified): 201; dup id: 409;
+    // weak password: 422 with hints; junk: 400
+    req("POST", "/users",
+      body = """{"id":"newbie","email":"n@test.id","password":"Abc123","confirmPassword":"Abc123"}""".getBytes)
+      .statusCode() shouldBe 201
+    req("POST", "/users",
+      body = """{"id":"newbie","email":"n@test.id","password":"Abc123","confirmPassword":"Abc123"}""".getBytes)
+      .statusCode() shouldBe 409
+    val weak = req("POST", "/users",
+      body = """{"id":"w","email":"bad","password":"x","confirmPassword":"y"}""".getBytes)
+    weak.statusCode() shouldBe 422
+    weak.body() should include("hints")
+    req("POST", "/users", body = "not json".getBytes).statusCode() shouldBe 400
+
+    // point-get: self 200 (no password material), other-user 403, missing 404
+    val me = req("GET", "/users/avg", "avg")
+    me.statusCode() shouldBe 200
+    me.body() should include("avg@test.id")
+    me.body() should not include "password"
+    req("GET", "/users/avg2", "avg").statusCode() shouldBe 403
+    req("GET", "/users/nobody", "avg") // authed as avg, asking for missing id
+      .statusCode() shouldBe 403 // non-admin can't probe others; admin would see 404
+
+    // patch: self email 204; /verified non-admin 403; bad path 422
+    req("PATCH", "/users/avg", "avg",
+      """[{"op":"replace","path":"/email","value":"new@test.id"}]""".getBytes)
+      .statusCode() shouldBe 204
+    req("GET", "/users/avg", "avg").body() should include("new@test.id")
+    req("PATCH", "/users/avg", "avg",
+      """[{"op":"replace","path":"/verified","value":true}]""".getBytes)
+      .statusCode() shouldBe 403
+    req("PATCH", "/users/avg", "avg",
+      """[{"op":"replace","path":"/isAdmin","value":true}]""".getBytes)
+      .statusCode() shouldBe 422
+
+    // delete: other-user 403; self 204; key is dead afterwards (401)
+    req("DELETE", "/users/avg", "avg2").statusCode() shouldBe 403
+    val key = keyOf("newbie")
+    req("DELETE", "/users/newbie", "newbie", key = key).statusCode() shouldBe 204
+    req("GET", "/users/newbie", "newbie", key = key).statusCode() shouldBe 401
+  }
+
   override def afterAll(): Unit = {
     shim.stop()
     super.afterAll()

@@ -187,6 +187,19 @@ class IngestSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy wh.readVersion("t", 99)
   }
 
+  "getRuns" should "prune the runs scan to the requested pipeline partitions" in {
+    val (wh, ing) = freshIngestor()
+    ing.upload(fixture("maple/maple_single_sample_single_rg.json"), "m.json", "maple", avg)
+    ing.upload(fixture("plain/plain.json"), "p.json", "plain", avg)
+    val plan = graft.lifecycle.RunsLifecycle.getRuns(wh, avg, Seq("maple"))
+      .queryExecution.executedPlan.toString
+    // the pipeline filter must reach the partitioned scan as a partition
+    // filter (directory pruning), not a post-scan predicate
+    plan should include("PartitionFilters")
+    plan should include("pipeline")
+    graft.lifecycle.RunsLifecycle.getRuns(wh, avg, Seq("maple")).count() shouldBe 1
+  }
+
   "Warehouse.rewriteForRuns" should "rewrite only the touched bucket and hard-link the rest" in {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-wh").toString

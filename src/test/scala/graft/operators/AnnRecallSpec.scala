@@ -49,6 +49,31 @@ class AnnRecallSpec extends SparkSpec {
     approxAll shouldBe exact
   }
 
+  "kmeansAnchors" should "refine cells so recall does not regress vs sampled anchors" in {
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = neighbors(Similarity.bruteForceTopK(emb, queries, k))
+    def meanRecall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+
+    val sampledRecall = meanRecall(neighbors(
+      Similarity.ivfTopK(emb, queries, emb.filter(col("vec_id") < 4), k, nprobe = 2)))
+    val kmeansRecall = meanRecall(neighbors(
+      Similarity.ivfTopKKmeans(emb, queries, nCells = 4, k = k, iters = 4, nprobe = 2)))
+    // Lloyd refinement tightens cells around the data's clusters; on random
+    // data it must at least hold the line vs arbitrary sampled anchors
+    kmeansRecall should be >= (sampledRecall - 0.05)
+    kmeansRecall should be > 0.2
+
+    // determinism: the seeded init + deterministic assignment must yield
+    // identical anchors across runs
+    val a1 = Similarity.kmeansAnchors(emb, 4, iters = 2)
+    val a2 = Similarity.kmeansAnchors(emb, 4, iters = 2)
+    a1 shouldBe a2
+  }
+
   "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
     import spark.implicits._
     val t = 0.3
