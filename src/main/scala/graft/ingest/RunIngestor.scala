@@ -115,6 +115,38 @@ final class RunIngestor(
     * Invalid/duplicate rows are dropped (keep-first by fileName within the
     * batch); returns the number of runs ingested. All heavy lifting —
     * digesting, dedup, shredding, run-record assembly — is engine-side. */
+  /** Continuous ingest: tail a directory of run-summary JSON files and run
+    * [[bulkIngest]] once per micro-batch (`readStream` → `foreachBatch`).
+    * Exactly-once into the warehouse comes from two layers: the stream
+    * checkpoint replays unprocessed files only, and bulkIngest's
+    * (md5, uploader) anti-join makes replays of a processed batch no-ops —
+    * so a crash between the two cannot double-ingest. One file = one
+    * upload (`wholetext`), mirroring the reference's per-request POST but
+    * with the engine-side bulk path per batch. */
+  def streamIngest(
+      inputDir: String,
+      checkpointDir: String,
+      pipelineName: String,
+      uploaderId: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(registry.contains(pipelineName),
+      s"unknown pipeline $pipelineName") // fail at start, not mid-stream
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(inputDir)
+      .select(
+        col("value").as("content"),
+        element_at(split(input_file_name(), "/"), -1).as("fileName"),
+        lit(uploaderId).as("uploaderId"))
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bulkIngest(batch, pipelineName)
+        ()
+      }
+      .start()
+  }
+
   def bulkIngest(uploads: DataFrame, pipelineName: String): Long = {
     val plugin = registry.getOrElse(pipelineName,
       throw new UnknownPipelineException(pipelineName))
@@ -131,13 +163,19 @@ final class RunIngestor(
         org.apache.spark.sql.expressions.Window
           .partitionBy("md5", "uploaderId").orderBy("fileName")))
       .filter(col("_rn") === 1).drop("_rn")
+    // EAGER snapshot, not cache(): the appends below call Spark's
+    // refreshByPath on the files table, which invalidates both a cache of
+    // this plan and the files table's file index — a later job would
+    // re-evaluate the anti-join against the just-appended files and see
+    // its own batch as "already stored", silently dropping the run/unit
+    // records. localCheckpoint pins the rows and truncates the lineage so
+    // nothing downstream can observe the mid-ingest table state.
     val fresh =
-      if (wh.exists(Warehouse.Files))
+      (if (wh.exists(Warehouse.Files))
         batchDeduped.join(
           wh.read(Warehouse.Files).select("md5", "uploaderId"),
           Seq("md5", "uploaderId"), "left_anti")
-      else batchDeduped
-    fresh.cache()
+      else batchDeduped).localCheckpoint()
 
     wh.append(Warehouse.Files, fresh.select(
       col("runId"), col("md5"), col("uploaderId"), lit(pipelineName).as("pipeline"),
@@ -175,7 +213,7 @@ final class RunIngestor(
     wh.append(Warehouse.Runs, runRows)
 
     val n = fresh.count()
-    fresh.unpersist()
+    fresh.unpersist() // releases the localCheckpoint blocks
     n
   }
 }

@@ -152,6 +152,17 @@ class IngestSpec extends SparkSpec {
     // idempotent: re-ingesting the same batch adds nothing
     ing.bulkIngest(batch, "maple") shouldBe 0
     wh.read(Warehouse.Runs).count() shouldBe 2
+
+    // regression: NEW content into a non-empty warehouse must land fully —
+    // the anti-join is snapshotted before the files append invalidates the
+    // table's file index, or the run/unit records silently vanish
+    val batch2 = Seq(
+      (new String(fixture("maple/maple_single_sample_multi_rg.json"), "UTF-8"),
+        "c.json", "avg")
+    ).toDF("content", "fileName", "uploaderId")
+    ing.bulkIngest(batch2, "maple") shouldBe 1
+    wh.read(Warehouse.Runs).count() shouldBe 3
+    wh.read(Warehouse.samples("maple")).count() shouldBe 4 // 3 + 1 new
   }
 
   "Warehouse.rewrite" should "produce a new snapshot version atomically" in {

@@ -49,4 +49,39 @@ class FileStreamSpec extends SparkSpec {
     result should contain(
       (ts("2024-01-01 10:00:00"), "click", 2L))
   }
+
+  "streamIngest" should "tail an upload directory into the warehouse, exactly-once" in {
+    import java.nio.file.{Files => JFiles, Paths}
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val whRoot = Files.createTempDirectory("graft-ingest-wh").toString
+    val wh = new graft.store.Warehouse(spark, whRoot)
+    val ing = new graft.ingest.RunIngestor(wh,
+      Map("maple" -> graft.pipelines.MaplePipeline),
+      () => ts("2024-06-01 12:00:00"))
+    def fixture(p: String): Array[Byte] =
+      JFiles.readAllBytes(Paths.get(getClass.getResource(s"/fixtures/$p").toURI))
+
+    JFiles.write(Paths.get(in, "a.json"),
+      fixture("maple/maple_multi_sample_multi_rg.json"))
+    val q = ing.streamIngest(in, ckpt, "maple", "avg")
+    try q.processAllAvailable() finally q.stop()
+    wh.read(graft.store.Warehouse.Runs).count() shouldBe 1
+    wh.read(graft.store.Warehouse.samples("maple")).count() shouldBe 2
+
+    // second batch: one duplicate of a processed file + one new upload —
+    // the duplicate is a no-op (bulkIngest anti-join), the new one lands
+    JFiles.write(Paths.get(in, "dup.json"),
+      fixture("maple/maple_multi_sample_multi_rg.json"))
+    JFiles.write(Paths.get(in, "b.json"),
+      fixture("maple/maple_single_sample_single_rg.json"))
+    val q2 = ing.streamIngest(in, ckpt, "maple", "avg")
+    try q2.processAllAvailable() finally q2.stop()
+
+    wh.read(graft.store.Warehouse.Runs).count() shouldBe 2
+    graft.stats.StatsProcessor.globalRunStats(
+      wh.read(graft.store.Warehouse.Runs)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array(("maple", 2L, 3L))
+  }
 }
