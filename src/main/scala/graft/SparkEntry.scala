@@ -203,6 +203,11 @@ object SparkEntry {
         graft.operators.Curation.curate(t(s, d, "documents")), 10000L)
         .select("doc_id", "n_tokens", "cum_tokens")),
 
+    // Curation funnel: per-gate survivor counts + kept token mass in one
+    // pass (the stage-loss report a production curation run ships with)
+    "curation_funnel" -> ((s, d) =>
+      graft.operators.Curation.funnel(t(s, d, "documents"))),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -645,6 +650,20 @@ object SparkEntry {
          |      AS cum_tokens
          |  FROM curated)
          |WHERE cum_tokens <= 10000""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH $curatedSql
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_input,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     WHERE n_chars BETWEEN 50 AND 1048576) AS n_len_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')) AS n_lang_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')
+         |       AND quality >= 0.3) AS n_qual_ok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM curated) AS n_dedup,
+         |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM curated) AS kept_tokens""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -40,6 +40,27 @@ object Curation {
       cfg: Config = Config(),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val scored = scoredFrame(docs, cfg, textCol, idCol)
+    val filtered = scored.filter(
+      col("n_chars").between(cfg.minChars, cfg.maxChars) &&
+        col("lang_id").isin(cfg.languages: _*) &&
+        col("quality") >= cfg.minQuality)
+    // keep-first exact dedup on the order/duplication-robust fingerprint:
+    // one shuffle, map-side partial min
+    val keep = filtered
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+    filtered.join(keep, Seq("fp", idCol)).drop("fp")
+  }
+
+  /** Scored, unfiltered frame: every doc with its n_chars/n_tokens/
+    * lang_id/quality/fingerprint — the input both [[curate]]'s gates and
+    * [[funnel]]'s accounting read. */
+  private def scoredFrame(
+      docs: DataFrame,
+      cfg: Config,
+      textCol: String,
+      idCol: String): DataFrame = {
     val text = col(textCol)
     val langs = T.langStopwords.toSeq.sortBy(_._1)
 
@@ -83,19 +104,34 @@ object Curation {
       lenScore * lit(0.4) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
         stopScore * lit(0.3), 6)
 
-    val scored = tokenStats
+    tokenStats
       .select(col(idCol), col("__text").as(textCol), col("n_chars"),
         col("n_tokens"), langId.as("lang_id"), quality.as("quality"), col("fp"))
-    val filtered = scored.filter(
-      col("n_chars").between(cfg.minChars, cfg.maxChars) &&
-        col("lang_id").isin(cfg.languages: _*) &&
-        col("quality") >= cfg.minQuality)
-    // keep-first exact dedup on the order/duplication-robust fingerprint:
-    // one shuffle, map-side partial min
-    val keep = filtered
-      .groupBy(col("fp"))
-      .agg(min(col(idCol)).as(idCol))
-    filtered.join(keep, Seq("fp", idCol)).drop("fp")
+  }
+
+  /** Stage-loss accounting for the curation pipeline: how many documents
+    * survive each gate (length → language → quality → dedup) and how many
+    * tokens the survivors carry. ONE row out, ONE pass over the scored
+    * frame (conditional aggregates instead of per-stage jobs) plus the
+    * dedup survivor count — the funnel report every production curation
+    * run ships with, oracle-checked like any other query. */
+  def funnel(
+      docs: DataFrame,
+      cfg: Config = Config(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = scoredFrame(docs, cfg, textCol, idCol)
+    val lenOk = col("n_chars").between(cfg.minChars, cfg.maxChars)
+    val langOk = lenOk && col("lang_id").isin(cfg.languages: _*)
+    val qualOk = langOk && col("quality") >= cfg.minQuality
+    val kept = curate(docs, cfg, textCol, idCol)
+      .agg(count(lit(1)).as("n_dedup"), sum(col("n_tokens")).as("kept_tokens"))
+    scored.agg(
+      count(lit(1)).as("n_input"),
+      sum(lenOk.cast("long")).as("n_len_ok"),
+      sum(langOk.cast("long")).as("n_lang_ok"),
+      sum(qualOk.cast("long")).as("n_qual_ok"))
+      .crossJoin(kept) // both sides are single rows
   }
 
   /** Deterministic token-budget sample: highest-quality docs first (ties

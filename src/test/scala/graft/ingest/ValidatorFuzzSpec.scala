@@ -44,6 +44,24 @@ class ValidatorFuzzSpec extends SparkSpec {
     }
   }
 
+  "JsonPatch.parse" should "reject arbitrary JSON with typed errors, never other exceptions (seeded fuzz)" in {
+    import graft.lifecycle.JsonPatch
+    val rnd = new Random(4321)
+    val docs =
+      Seq("[]", "{}", "null", "42", "\"op\"",
+        """[{"op":"add"}]""", """[{"path":"/x"}]""",
+        """[{"op":"move","path":"/a"}]""", """{"op":"test","path":"/a"}""") ++
+        (1 to 200).map(_ => randomJson(rnd))
+    docs.foreach { doc =>
+      val node = mapper.readTree(doc)
+      try { JsonPatch.parse(node); () }
+      catch {
+        case _: JsonPatch.PatchParseException      => () // 400 material
+        case _: JsonPatch.PatchValidationException => () // 422 material
+      }
+    }
+  }
+
   "Ingest.parseJson" should "reject junk with typed errors, never other exceptions" in {
     val rnd = new Random(99)
     val junk = Seq("", "not json", "{", "[1,", "\"scalar\"", "42", "true") ++
