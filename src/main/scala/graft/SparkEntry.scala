@@ -175,6 +175,13 @@ object SparkEntry {
     "shingle_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", shingleN = 3)),
 
+    // Line-level boilerplate strip (CCNet/RefinedWeb-style). The synthetic
+    // docs share no exact lines, so this doubles as a byte-exact
+    // split→reassemble round-trip pin across engines; the removal
+    // semantics are exercised with crafted docs in DedupSpec.
+    "dedup_lines" -> ((s, d) =>
+      Dedup.stripBoilerplate(t(s, d, "documents"))),
+
     // Text analysis: token counts + quality ratios (codegen'd, no UDFs)
     "text_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -573,6 +580,20 @@ object SparkEntry {
       s"""WITH h AS (SELECT doc_id AS id, ${simhashSql(8)} AS simhash FROM documents)
          |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(id) AS keep_id
          |FROM h GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        |  FROM documents),
+        |b AS (SELECT line FROM l WHERE length(line) > 0
+        |      GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN b USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |      FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "dedup_minhash_pairs" -> minhashPairsSql,
 

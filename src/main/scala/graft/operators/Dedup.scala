@@ -345,6 +345,42 @@ object Dedup {
     resolved
   }
 
+  /** LINE-level boilerplate stripping — the dedup layer document-level
+    * dedup misses: navigation headers, cookie banners, licence footers
+    * repeat across pages without making whole documents duplicates
+    * (CCNet / RefinedWeb-style line dedup). A line occurring in at least
+    * `minDocs` DISTINCT documents is removed everywhere; survivors are
+    * reassembled in original order.
+    *
+    * Shape at scale: posexplode → two-phase count-distinct keyed by the
+    * line text → left-anti join → per-doc collect_list sorted by position.
+    * Every shuffle is keyed (line / doc id); nothing global. The empty
+    * string from consecutive separators is preserved (`split` limit -1)
+    * so a document with no boilerplate round-trips byte-for-byte. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, "a line must repeat across documents to be boilerplate")
+    val lines = docs.select(
+      col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    // blank lines are document structure, not boilerplate — never removed
+    val boiler = lines.filter(length(col("line")) > 0)
+      .groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    docs.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
     * (same `blockCol` value). Quadratic only per block. */
   def ngramJaccardPairs(

@@ -79,6 +79,36 @@ class DedupSpec extends SparkSpec {
     r.values.foreach(_ should be <= 8L)
   }
 
+  "stripBoilerplate" should "remove cross-document lines, keep unique lines in order" in {
+    val pages = Seq(
+      (1L, "SITE NAV\nunique article one\nline A\nCOOKIE FOOTER"),
+      (2L, "SITE NAV\nunique article two\nCOOKIE FOOTER"),
+      (3L, "SITE NAV\nCOOKIE FOOTER"), // all boilerplate → empty
+      (4L, "standalone page\nwith its own\nlines only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(pages)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "unique article one\nline A"
+    out(2L) shouldBe "unique article two"
+    out(3L) shouldBe ""
+    out(4L) shouldBe "standalone page\nwith its own\nlines only" // byte round-trip
+  }
+
+  it should "preserve blank lines, and only count distinct documents" in {
+    val pages = Seq(
+      // the repeated line appears twice in ONE doc: not boilerplate
+      (1L, "repeat me\nbody\nrepeat me"),
+      // blank lines repeat across docs but are structure, never removed
+      (2L, "other\n\nafter blank"),
+      (3L, "more\n\nblank users")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(pages)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "repeat me\nbody\nrepeat me"
+    out(2L) shouldBe "other\n\nafter blank"
+    out(3L) shouldBe "more\n\nblank users"
+  }
+
   "ngramJaccardPairs" should "score within-block similarity" in {
     val r = Dedup.ngramJaccardPairs(docs, "source", shingleN = 2)
       .collect()
