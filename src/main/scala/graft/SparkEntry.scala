@@ -215,6 +215,12 @@ object SparkEntry {
     "curation_funnel" -> ((s, d) =>
       graft.operators.Curation.funnel(t(s, d, "documents"))),
 
+    // Fixed-size token chunking with overlap (sequence prep) — zero
+    // shuffle, the fan-out pipelines inside the scan stage
+    "chunk_tokens" -> ((s, d) =>
+      graft.operators.Curation.chunkTokens(
+        t(s, d, "documents"), chunkSize = 64, overlap = 16)),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -685,6 +691,19 @@ object SparkEntry {
          |       AND quality >= 0.3) AS n_qual_ok,
          |  (SELECT CAST(count(*) AS BIGINT) FROM curated) AS n_dedup,
          |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM curated) AS kept_tokens""".stripMargin,
+
+    "chunk_tokens" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS INT), 1) AS nc
+         |      FROM tk),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')
+         |    AS chunk_text,
+         |  CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+         |    AS n_tokens
+         |FROM c""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -134,6 +134,43 @@ object Curation {
       .crossJoin(kept) // both sides are single rows
   }
 
+  /** Fixed-size token chunking with overlap — the sequence-prep step
+    * between curation and tokenizer: split each document into windows of
+    * `chunkSize` tokens advancing by `stride = chunkSize - overlap`, so
+    * consecutive chunks share `overlap` tokens of context. One row out
+    * per (doc, chunk), original order preserved by `chunk_idx`.
+    *
+    * Pure per-row plan: tokenize once, `explode` a chunk-index sequence,
+    * `slice` the token array — no shuffle at all; the fan-out stays
+    * pipelined inside the scan stage. A short document yields exactly one
+    * (possibly short) chunk. */
+  def chunkTokens(
+      docs: DataFrame,
+      chunkSize: Int = 512,
+      overlap: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = T.tokens(col(textCol))
+    // number of stride steps whose window still contains a fresh token:
+    // ceil((n - overlap) / stride), floored at 1 for short docs
+    val nChunks = greatest(
+      ceil((size(col("__toks")) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("bigint").as("n_tokens"))
+  }
+
   /** Deterministic token-budget sample: highest-quality docs first (ties
     * by id) until the running token budget is exhausted.
     *

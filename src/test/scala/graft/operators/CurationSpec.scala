@@ -51,6 +51,23 @@ class CurationSpec extends SparkSpec {
     banded should not be empty
   }
 
+  "chunkTokens" should "window tokens with overlap, preserving order and short tails" in {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val out = Curation.chunkTokens(
+      Seq((1L, doc), (2L, "only three tokens")).toDF("doc_id", "text"),
+      chunkSize = 4, overlap = 1) // stride 3 → chunks at 0,3,6,9
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    out.filter(_._1 == 1L).map(_._3) shouldBe Array(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10")
+    out.filter(_._1 == 1L).map(_._4) shouldBe Array(4L, 4L, 4L)
+    // short doc → exactly one (short) chunk
+    out.filter(_._1 == 2L) shouldBe Array((2L, 0, "only three tokens", 3L))
+    // every token of the source appears in some chunk (coverage)
+    out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet shouldBe
+      (1 to 10).map(i => s"t$i").toSet
+  }
+
   it should "respect an exact-boundary budget" in {
     val curated = Seq(
       (1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.7, 10L)
