@@ -221,6 +221,13 @@ object SparkEntry {
       graft.operators.Curation.chunkTokens(
         t(s, d, "documents"), chunkSize = 64, overlap = 16)),
 
+    // Deterministic hash-Bernoulli mixture sampling (retry/engine-stable,
+    // unlike rand()): keep 80% of src0, 20% of src1, drop the rest
+    "hash_sample" -> ((s, d) =>
+      graft.operators.Curation.hashSample(t(s, d, "documents"), "source",
+        Map("src0" -> 0.8, "src1" -> 0.2), seed = 7L)
+        .select("doc_id", "source")),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -691,6 +698,15 @@ object SparkEntry {
          |       AND quality >= 0.3) AS n_qual_ok,
          |  (SELECT CAST(count(*) AS BIGINT) FROM curated) AS n_dedup,
          |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM curated) AS kept_tokens""".stripMargin,
+
+    "hash_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+        |         AS BIGINT) % 1000000 AS bucket,
+        |    CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2 END AS frac
+        |  FROM documents)
+        |WHERE bucket < frac * 1000000""".stripMargin,
 
     "chunk_tokens" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

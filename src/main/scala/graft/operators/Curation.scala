@@ -134,6 +134,32 @@ object Curation {
       .crossJoin(kept) // both sides are single rows
   }
 
+  /** Deterministic stratified sampling by content hash — mixture
+    * weighting (e.g. 80% web, 20% code) the reproducible way: a row is
+    * kept iff `hash(seed, id) mod 1e6 < fraction(stratum) * 1e6`. Unlike
+    * `rand()`-based sampling this is stable under task retries, partition
+    * reshuffles, AND across engines (md5 is portable), so the same seed
+    * always yields the same corpus — a property training-data pipelines
+    * need for auditability. Strata without a configured fraction are
+    * dropped. Pure per-row predicate: no shuffle, pushes past column
+    * pruning like any filter. */
+  def hashSample(
+      docs: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("bigint"),
+      lit(1000000L))
+    val fracOf = fractions.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, f)) => when(col(strataCol) === k, f).otherwise(acc)
+    }
+    docs.filter(bucket < (fracOf * 1000000L)) // null fraction ⇒ dropped
+  }
+
   /** Fixed-size token chunking with overlap — the sequence-prep step
     * between curation and tokenizer: split each document into windows of
     * `chunkSize` tokens advancing by `stride = chunkSize - overlap`, so

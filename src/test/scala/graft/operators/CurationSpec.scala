@@ -68,6 +68,20 @@ class CurationSpec extends SparkSpec {
       (1 to 10).map(i => s"t$i").toSet
   }
 
+  "hashSample" should "be deterministic per seed, honor fractions, drop unmapped strata" in {
+    val pool = spark.range(0, 2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val s1 = Curation.hashSample(pool, "src", Map("a" -> 0.5), seed = 1L)
+    s1.select("doc_id").as[Long].collect().sorted shouldBe
+      Curation.hashSample(pool, "src", Map("a" -> 0.5), seed = 1L)
+        .select("doc_id").as[Long].collect().sorted
+    s1.filter(col("src") === "b").count() shouldBe 0
+    s1.count().toDouble / 1000 shouldBe 0.5 +- 0.08
+    val s2 = Curation.hashSample(pool, "src", Map("a" -> 0.5), seed = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    s2 should not equal s1.select("doc_id").as[Long].collect().toSet
+  }
+
   it should "respect an exact-boundary budget" in {
     val curated = Seq(
       (1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.7, 10L)
