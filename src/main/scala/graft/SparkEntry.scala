@@ -191,6 +191,16 @@ object SparkEntry {
         T.meanTokenLen(col("text")).as("mean_token_len"),
         T.punctRatio(col("text")).as("punct_ratio"))),
 
+    // PII detection + redaction: typed placeholders, per-doc counts.
+    // The synthetic docs carry no PII, so this doubles as an identity
+    // round-trip pin; the redaction semantics live in TextFunctionsSpec.
+    "pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.piiCount(col("text"), T.piiEmailPattern).as("n_emails"),
+        T.piiCount(col("text"), T.piiIpv4Pattern).as("n_ips"),
+        T.redactPii(col("text")).as("redacted"))),
+
     // Language ID + composite quality score
     "text_quality_langid" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -664,6 +674,18 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS punct_ratio
          |FROM documents""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "text_quality_langid" ->
       s"""SELECT doc_id,

@@ -122,4 +122,25 @@ object TextFunctions {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / greatest(size(a) + size(b) - inter, lit(1))
   }
+
+  // ---- PII detection / redaction -----------------------------------------
+  // Patterns chosen to behave identically under Java regex and RE2-style
+  // engines (no backrefs/lookaround), so detection counts replay in the
+  // oracle. Codegen'd regexp functions — per-row, no shuffle.
+
+  /** Email address (conservative RFC-ish form). */
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literal. */
+  val piiIpv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails then IPv4 literals with typed placeholders. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, piiEmailPattern, "<EMAIL>"),
+      piiIpv4Pattern, "<IP>")
+
+  /** Match count for a PII pattern (detection/reporting side). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("bigint")
 }

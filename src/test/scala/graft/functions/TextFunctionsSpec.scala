@@ -76,4 +76,20 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Double].collect()
     df(0) should be > df(1)
   }
+
+  "redactPii" should "replace emails and IPv4 literals with typed placeholders" in {
+    val docs = Seq(
+      "contact jane.doe+spam@corp-mail.example.com or 10.0.42.7 today",
+      "two mails a@b.co c@d.org and ip 192.168.1.1; versions like 1.2.3 stay",
+      "nothing sensitive here"
+    ).toDF("text")
+    val out = docs.select(
+      TextFunctions.redactPii(col("text")).as("r"),
+      TextFunctions.piiCount(col("text"), TextFunctions.piiEmailPattern).as("ne"),
+      TextFunctions.piiCount(col("text"), TextFunctions.piiIpv4Pattern).as("ni"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out(0) shouldBe (("contact <EMAIL> or <IP> today", 1L, 1L))
+    out(1) shouldBe (("two mails <EMAIL> <EMAIL> and ip <IP>; versions like 1.2.3 stay", 2L, 1L))
+    out(2) shouldBe (("nothing sensitive here", 0L, 0L)) // identity round-trip
+  }
 }
