@@ -191,6 +191,14 @@ object SparkEntry {
         T.meanTokenLen(col("text")).as("mean_token_len"),
         T.punctRatio(col("text")).as("punct_ratio"))),
 
+    // Gopher-style repetition signals: repeated-token ratio + in-document
+    // duplicate-line fraction (loop/boilerplate smells)
+    "text_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(T.repeatTokenRatio(col("text")), 6).as("repeat_token_ratio"),
+        round(T.dupLineFraction(col("text")), 6).as("dup_line_fraction"))),
+
     // PII detection + redaction: typed placeholders, per-doc counts.
     // The synthetic docs carry no PII, so this doubles as an identity
     // round-trip pin; the redaction semantics live in TextFunctionsSpec.
@@ -673,6 +681,14 @@ object SparkEntry {
          |    / greatest(len($toksSql), 1) AS mean_token_len,
          |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS punct_ratio
+         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct($toksSql)) AS DOUBLE)
+         |    / greatest(len($toksSql), 1), 6) AS repeat_token_ratio,
+         |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+         |    / greatest(len(string_split(text, chr(10))), 1), 6) AS dup_line_fraction
          |FROM documents""".stripMargin,
 
     "pii_redact" ->

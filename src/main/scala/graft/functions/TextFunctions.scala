@@ -123,6 +123,27 @@ object TextFunctions {
     inter / greatest(size(a) + size(b) - inter, lit(1))
   }
 
+  // ---- repetition signals (Gopher-style quality gates) -------------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct|/|all|. High values flag keyword-stuffed or looping
+    * machine-generated text. */
+  def repeatTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Fraction of newline-separated lines that are duplicates of an
+    * earlier line within the SAME document (boilerplate/loop smell;
+    * cross-document repetition is [[graft.operators.Dedup.stripBoilerplate]]'s
+    * job). */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    lit(1.0) - size(array_distinct(lines)).cast("double") /
+      greatest(size(lines), lit(1))
+  }
+
   // ---- PII detection / redaction -----------------------------------------
   // Patterns chosen to behave identically under Java regex and RE2-style
   // engines (no backrefs/lookaround), so detection counts replay in the

@@ -77,6 +77,19 @@ class TextFunctionsSpec extends SparkSpec {
     df(0) should be > df(1)
   }
 
+  "repetition signals" should "flag looping tokens and duplicate lines" in {
+    val looping = ("buy now " * 50).trim            // 100 tokens, 2 distinct
+    val varied = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dupLines = "header\nbody one\nheader\nbody two\nheader"
+    val r = Seq(looping, varied, dupLines).toDF("text").select(
+      TextFunctions.repeatTokenRatio(col("text")).as("rt"),
+      TextFunctions.dupLineFraction(col("text")).as("dl"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    r(0)._1 shouldBe 0.98 +- 1e-9  // 1 - 2/100
+    r(1)._1 shouldBe 0.0
+    r(2)._2 shouldBe 0.4 +- 1e-9   // 5 lines, 3 distinct → 1 − 3/5
+  }
+
   "redactPii" should "replace emails and IPv4 literals with typed placeholders" in {
     val docs = Seq(
       "contact jane.doe+spam@corp-mail.example.com or 10.0.42.7 today",
