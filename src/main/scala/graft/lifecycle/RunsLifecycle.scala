@@ -337,7 +337,8 @@ object RunsLifecycle {
     * upload bytes, gated by the same 404/403/410 checks as point gets. */
   def getRunFile(wh: Warehouse, runId: String, user: Records.User): Array[Byte] = {
     loadRun(wh, runId, user)
-    val rows = wh.read(Warehouse.Files)
+    // partition-pruned: only the run's hash bucket is listed and scanned
+    val rows = wh.readForRuns(Warehouse.Files, Seq(runId))
       .filter(col("runId") === runId).select("content").collect()
     if (rows.isEmpty) throw new NotFoundException(s"file for run $runId not found")
     rows(0).getAs[Array[Byte]](0)

@@ -55,6 +55,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     spark.read.parquet(versionDir(name, v).toString).drop(Warehouse.BucketCol)
   }
 
+  /** Partition-pruned read of a run-bucketed table: only the named runs'
+    * hash-bucket directories are listed/scanned — the right entry point
+    * for point lookups (file download, per-run unit reads) where
+    * [[read]] would touch every bucket. Falls back to [[read]] for
+    * unbucketed tables. */
+  def readForRuns(name: String, runIds: Seq[String]): DataFrame =
+    if (!Warehouse.isRunBucketed(name)) read(name)
+    else {
+      val buckets = runIds.map(Warehouse.bucketOf).distinct
+      val v = currentVersion(name)
+      require(v >= 0, s"table $name does not exist in $root")
+      spark.read.parquet(versionDir(name, v).toString)
+        .filter(col(Warehouse.BucketCol).isin(buckets: _*))
+        .drop(Warehouse.BucketCol)
+    }
+
   /** Read, or an empty frame of `schema` when the table doesn't exist yet
     * (first upload of a pipeline). */
   def readOr(name: String, schema: StructType): DataFrame =
