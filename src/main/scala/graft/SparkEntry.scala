@@ -239,6 +239,15 @@ object SparkEntry {
       graft.operators.Curation.chunkTokens(
         t(s, d, "documents"), chunkSize = 64, overlap = 16)),
 
+    // Sequence packing: chunk stream → fixed-256-token training bins via
+    // the banded two-pass prefix sum (no global window)
+    "pack_sequences" -> ((s, d) =>
+      graft.operators.Curation.packSequences(
+        graft.operators.Curation.chunkTokens(
+          t(s, d, "documents"), chunkSize = 64, overlap = 16),
+        binTokens = 256)
+        .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")),
+
     // Deterministic hash-Bernoulli mixture sampling (retry/engine-stable,
     // unlike rand()): keep 80% of src0, 20% of src1, drop the rest
     "hash_sample" -> ((s, d) =>
@@ -736,6 +745,26 @@ object SparkEntry {
          |       AND quality >= 0.3) AS n_qual_ok,
          |  (SELECT CAST(count(*) AS BIGINT) FROM curated) AS n_dedup,
          |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM curated) AS kept_tokens""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS INT), 1) AS nc
+         |      FROM tk),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
+         |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+         |           AS n_tokens
+         |       FROM c),
+         |s AS (SELECT doc_id, chunk_idx, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          - n_tokens AS strt
+         |      FROM ch),
+         |b AS (SELECT *, CAST(floor(strt / 256.0) AS BIGINT) AS bin_id FROM s)
+         |SELECT doc_id, chunk_idx, n_tokens, bin_id,
+         |  CAST(strt - bin_id * 256 AS BIGINT) AS bin_pos
+         |FROM b""".stripMargin,
 
     "hash_sample" ->
       """SELECT doc_id, source FROM (

@@ -134,6 +134,48 @@ object Curation {
       .crossJoin(kept) // both sides are single rows
   }
 
+  /** Sequence packing: lay the chunk stream end-to-end in deterministic
+    * (doc, chunk) order and cut it into fixed-`binTokens` training bins —
+    * the "concatenate then chunk" batch-prep step of LLM pretraining.
+    * Emits each chunk's `bin_id` and its token offset `bin_pos` inside
+    * the bin (a chunk straddling a boundary starts in its `bin_id` bin).
+    *
+    * Scale shape: the global prefix sum uses the same two-pass banded
+    * pattern as [[sampleToTokenBudget]] — band on doc-id ranges (monotone
+    * with the pack order), per-band partitioned running sums, broadcast
+    * cumulative band offsets. No global window, no single-partition
+    * stage; identical output to the naive `Window.orderBy` form. */
+  def packSequences(
+      chunks: DataFrame,
+      binTokens: Long,
+      docsPerBand: Long = 10000L,
+      idCol: String = "doc_id",
+      idxCol: String = "chunk_idx"): DataFrame = {
+    require(binTokens > 0 && docsPerBand > 0, "positive bin/band sizes")
+    import org.apache.spark.sql.expressions.Window
+    val banded = chunks
+      .withColumn("__band", floor(col(idCol) / docsPerBand).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = banded.groupBy(col("__band"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val row = (b, acc); acc += t; row }
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__band", "__offset")
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col(idCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .join(broadcast(offsetsDf), Seq("__band"))
+      .withColumn("__start",
+        sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+      .withColumn("bin_id", floor(col("__start") / binTokens).cast("bigint"))
+      .withColumn("bin_pos", (col("__start") - col("bin_id") * binTokens).cast("bigint"))
+      .drop("__band", "__offset", "__start")
+  }
+
   /** Deterministic stratified sampling by content hash — mixture
     * weighting (e.g. 80% web, 20% code) the reproducible way: a row is
     * kept iff `hash(seed, id) mod 1e6 < fraction(stratum) * 1e6`. Unlike

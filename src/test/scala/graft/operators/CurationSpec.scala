@@ -68,6 +68,39 @@ class CurationSpec extends SparkSpec {
       (1 to 10).map(i => s"t$i").toSet
   }
 
+  "packSequences" should "cut the ordered chunk stream into fixed-token bins" in {
+    val chunks = Seq(
+      (1L, 0, 10L), (1L, 1, 10L), (2L, 0, 7L), (3L, 0, 10L), (3L, 1, 3L)
+    ).toDF("doc_id", "chunk_idx", "n_tokens")
+    val out = Curation.packSequences(chunks, binTokens = 16L)
+      .select("doc_id", "chunk_idx", "bin_id", "bin_pos")
+      .as[(Long, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // stream offsets: 0,10,20,27,37 → bins of 16: 0,0,1,1,2
+    out shouldBe Array(
+      (1L, 0, 0L, 0L), (1L, 1, 0L, 10L),
+      (2L, 0, 1L, 4L),
+      (3L, 0, 1L, 11L), (3L, 1, 2L, 5L))
+  }
+
+  it should "match the naive global-window packing on many bands" in {
+    val chunks = spark.range(0, 3000).select(
+      (col("id") / 3).cast("long").as("doc_id"),
+      (col("id") % 3).cast("int").as("chunk_idx"),
+      (col("id") % 7 + 1).cast("bigint").as("n_tokens"))
+    val naive = {
+      val w = Window.orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      chunks.withColumn("s", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("chunk_idx"),
+          floor(col("s") / 128L).cast("bigint").as("bin_id"))
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    // tiny bands so the offsets path actually exercises many bands
+    Curation.packSequences(chunks, binTokens = 128L, docsPerBand = 50L)
+      .select("doc_id", "chunk_idx", "bin_id")
+      .as[(Long, Int, Long)].collect().toSet shouldBe naive
+  }
+
   "hashSample" should "be deterministic per seed, honor fractions, drop unmapped strata" in {
     val pool = spark.range(0, 2000).select(col("id").as("doc_id"),
       when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
