@@ -166,10 +166,14 @@ object SparkEntry {
     "dedup_simhash_hamming" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
 
-    // Candidate pairs → dedup clusters (min-label connected components)
+    // Candidate pairs → dedup clusters (min-label connected components).
+    // Fed the SLIM pair set (no est_jaccard): CC reads only the topology,
+    // and the scored variant's two signature re-attach joins are inner
+    // joins Catalyst cannot prove away — feeding minhashLsh here executed
+    // and shuffled them only to discard the score.
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4))),
+        Dedup.minhashCandidatePairs(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4))),
 
     // Blocked n-gram Jaccard pairs (block = source)
     "shingle_jaccard_pairs" -> ((s, d) =>

@@ -152,10 +152,18 @@ object Curation {
       idCol: String = "doc_id",
       idxCol: String = "chunk_idx"): DataFrame = {
     require(binTokens > 0 && docsPerBand > 0, "positive bin/band sizes")
+    require(chunks.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences bands on floor($idCol / docsPerBand): '$idCol' must be " +
+        s"numeric, got ${chunks.schema(idCol).dataType.simpleString}")
     import org.apache.spark.sql.expressions.Window
+    // eager localCheckpoint, not persist: pass 1's collect and pass 2 both
+    // read the materialized blocks, which are NOT registered in the SQL
+    // cache (nothing for a long-lived session to leak — blocks are freed
+    // by the ContextCleaner once the result frame is unreachable)
     val banded = chunks
       .withColumn("__band", floor(col(idCol) / docsPerBand).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val totals = banded.groupBy(col("__band"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -258,10 +266,11 @@ object Curation {
     *
     * Bands whose offset already exceeds the budget are pruned before the
     * window (their rows can never be selected), so the expensive pass
-    * touches only candidate bands. The banded input is persisted
-    * (MEMORY_AND_DISK) so pass 2 reads pass 1's materialization instead of
-    * recomputing the upstream curation pipeline; callers that keep the
-    * result around long-term can `unpersist` via the catalog. */
+    * touches only candidate bands. The banded input is materialized once
+    * via eager `localCheckpoint` so pass 2 reads pass 1's blocks instead
+    * of recomputing the upstream curation pipeline; unlike a `persist`,
+    * nothing is registered in the SQL cache, so a long-lived session holds
+    * no cached entries once the result frame is dropped. */
   def sampleToTokenBudget(
       curated: DataFrame,
       tokenBudget: Long,
@@ -275,7 +284,7 @@ object Curation {
       greatest(floor((lit(1.0) - col("quality")) * qualityBands), lit(0.0)),
       lit((qualityBands - 1).toDouble)).cast("int")
     val banded = curated.withColumn("q_band", bandCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // pass 1: per-band totals — ≤ qualityBands rows, safe to collect
     val totals = banded.groupBy(col("q_band"))

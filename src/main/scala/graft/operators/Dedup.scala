@@ -60,19 +60,23 @@ object Dedup {
   case object PortableMd5 extends HashTier
   case object FastXx extends HashTier
 
-  def minhashLsh(
+  /** Per-doc MinHash signatures: (id, sig: array<bigint>[k]).
+    *
+    * No persist: every consumer plan referencing this frame more than once
+    * (banding + the two score joins in [[minhashLsh]], or the self-join in
+    * [[minhashCandidatePairs]]) shares the signature aggregate's shuffle via
+    * Spark's ReuseExchange rule — the expensive explode→hash→partial-min
+    * scan below the `groupBy(id)` exchange runs ONCE per job and its
+    * shuffle files are read by every consumer. Keeping the operator
+    * persist-free means a long-lived session (the HttpShim server) holds
+    * no cached blocks after the query completes. */
+  def minhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 5,
       k: Int = 16,
-      bands: Int = 8,
-      maxBucketSize: Int = 1000,
       tier: HashTier = PortableMd5): DataFrame = {
-    require(bands > 0 && k % bands == 0,
-      s"bands ($bands) must be positive and divide k ($k); " +
-        "otherwise band keys degenerate and the join goes quadratic")
-    val rowsPerBand = k / bands
     // norm + positional explode: one row per (doc, shingle position)
     val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
     val shingled = docs
@@ -103,15 +107,33 @@ object Dedup {
         col("id") +: (0 until k).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
     }
     val minAggs = (0 until k).map(i => min(col(s"h$i")).as(s"h$i"))
-    // persisted: consumed by the banding below AND the two score joins at
-    // the end — recomputing would re-run the explode→hash→agg pipeline
-    // each time. n rows × k hashes; MEMORY_AND_DISK spills at scale.
-    val sigs = hashed
+    hashed
       .groupBy(col("id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Distinct near-dup candidate pairs (id_a < id_b), WITHOUT the
+    * estimated-Jaccard score — the frame to feed [[connectedComponents]].
+    * Clustering needs only the pair topology; attaching `est_jaccard`
+    * (two extra joins re-materializing signatures per side) is work an
+    * inner-join-based plan cannot eliminate downstream, so the scored
+    * variant [[minhashLsh]] is a separate operator layered on this one. */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      tier: HashTier = PortableMd5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must be positive and divide k ($k); " +
+        "otherwise band keys degenerate and the join goes quadratic")
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k, tier)
     val bandKeys = tier match {
       case PortableMd5 => H.lshBandKeys(col("sig"), bands, rowsPerBand)
       case FastXx => array((0 until bands).map { b =>
@@ -134,10 +156,24 @@ object Dedup {
     // AQE broadcasts the sig table when it fits).
     val l = capped.select(col("band"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band"))
+    l.join(r, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      tier: HashTier = PortableMd5): DataFrame = {
+    val pairs = minhashCandidatePairs(
+      docs, textCol, idCol, shingleN, k, bands, maxBucketSize, tier)
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k, tier)
     // codegen'd slot-match count (getItem + sum, no interpreted lambda)
     val matches = (0 until k)
       .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
@@ -214,8 +250,12 @@ object Dedup {
     require(nBits % nBands == 0, "bands must evenly split the hash bits")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
+    // no persist: the banding branch and the two score joins all sit above
+    // the per-doc simhash aggregate's `groupBy(id)` exchange, which
+    // ReuseExchange dedups within the plan — the token explode + md5 scan
+    // runs once per job, and no cached blocks outlive the query (matters
+    // for the long-lived HttpShim session)
     val sims = simhashPerDoc(docs, textCol, idCol, nBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         concat_ws(":", lit(b),
@@ -250,15 +290,27 @@ object Dedup {
     * cluster key.
     *
     * Each iteration is one join + one partial-min aggregate; lineage is
-    * truncated per iteration (`localCheckpoint`) so the plan doesn't grow
-    * unboundedly — swap for `checkpoint` with a reliable dir on a real
-    * cluster. Convergence takes O(component diameter) rounds; near-dup
-    * components are near-cliques, so a handful. */
+    * truncated per iteration so the plan doesn't grow unboundedly.
+    * Truncation is `localCheckpoint` by default (blocks on executors —
+    * fine single-machine, lost with an executor on a cluster); pass
+    * `checkpointDir` (HDFS/object-store path on a real cluster) to switch
+    * every truncation to a RELIABLE `checkpoint`, making each iteration
+    * durable against executor loss. Reliable checkpoint computes the
+    * frame twice (once for the materializing action, once for the
+    * checkpoint write job) — the per-iteration frames here are label
+    * tables, orders of magnitude smaller than the corpus, so durability
+    * costs little. Convergence takes O(component diameter) rounds;
+    * near-dup components are near-cliques, so a handful. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // one lineage-truncation policy for the whole algorithm
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // both directions from ONE pass over pairs (a union would execute the
     // upstream candidate-pair pipeline twice)
     val fullEdges = pairs
@@ -289,11 +341,11 @@ object Dedup {
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("nmin"))
         val obs = org.apache.spark.sql.Observation()
-        val next = labels.join(neighborMin, Seq("id"), "left")
+        // eager snap: runs the job, publishing the observed metric
+        val next = snap(labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-          .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp"))
-          .localCheckpoint() // eager: runs the job, publishing the metric
+          .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp")))
         val s = obs.get("sumComp").asInstanceOf[java.math.BigDecimal]
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -311,30 +363,27 @@ object Dedup {
     // (original ids), so the component minimum survives.
     // round 1 needs no join: with identity labels, the neighbor minimum
     // of a node is simply min(src) over its incoming edges
-    val labels1 = fullEdges
+    val labels1 = snap(fullEdges
       .groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-      .localCheckpoint()
-    val contracted = fullEdges
+      .select(col("id"), least(col("id"), col("nmin")).as("comp")))
+    val contracted = snap(fullEdges
       .join(labels1.withColumnRenamed("id", "src")
         .withColumnRenamed("comp", "csrc"), Seq("src"))
       .join(labels1.withColumnRenamed("id", "dst")
         .withColumnRenamed("comp", "cdst"), Seq("dst"))
       .select(col("csrc").as("src"), col("cdst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     fullEdges.unpersist()
 
     val resolved =
       if (contracted.isEmpty) labels1
       else {
-        val cInitial = contracted.select(col("src").as("id")).distinct()
+        val cInitial = snap(contracted.select(col("src").as("id")).distinct()
           .union(contracted.select(col("dst").as("id")).distinct())
           .distinct()
-          .withColumn("comp", col("id"))
-          .localCheckpoint()
+          .withColumn("comp", col("id")))
         val cLabels = propagate(contracted, cInitial, maxIter)
         // final label: node → round-1 comp → contracted-graph comp
         labels1
@@ -382,19 +431,30 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
-    * (same `blockCol` value). Quadratic only per block. */
+    * (same `blockCol` value). Quadratic only per block — and, like the LSH
+    * paths, capped: one whale block (a single crawl source dominating the
+    * corpus is the normal case, not the pathology) would otherwise make
+    * the per-block quadratic global. Blocks larger than `maxBlockSize`
+    * are dropped entirely; the census shuffles on the same key as the
+    * join, so the guard costs one cheap pre-aggregation. */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       textCol: String = "text",
       idCol: String = "doc_id",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxBlockSize: Int = 1000): DataFrame = {
     val sh = docs.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
       T.wordShingles(col(textCol), shingleN).as("sh"))
-    val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val keptBlocks = sh.groupBy("block")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBlockSize)
+      .select("block")
+    val capped = sh.join(keptBlocks, Seq("block"))
+    val l = capped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = capped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),

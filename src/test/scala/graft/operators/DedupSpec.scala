@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashLsh(many, k = 8, bands = 4, maxBucketSize = 100).count() shouldBe 190
   }
 
+  "minhashCandidatePairs" should "emit exactly the scored variant's pair topology" in {
+    val slim = Dedup.minhashCandidatePairs(docs, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scored = Dedup.minhashLsh(docs, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    slim shouldBe scored
+    slim should contain((1L, 2L))
+  }
+
   "connectedComponents" should "label each node with its component's min id" in {
     // components: {1,2,3} (chain), {7,9}; singleton 11 never appears
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
@@ -59,6 +68,20 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.connectedComponents(chain).collect()
     r.map(_.getLong(1)).distinct shouldBe Array(1L)
     r.length shouldBe 12
+  }
+
+  it should "produce identical labels under a reliable checkpoint dir" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+      val r = Dedup.connectedComponents(pairs, checkpointDir = Some(dir.toString))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   "simhashBuckets" should "bucket identical docs together" in {
@@ -118,6 +141,20 @@ class DedupSpec extends SparkSpec {
     r((1L, 3L)) should (be > 0.5 and be < 1.0)
     // cross-block pairs must not appear
     r.keySet should not contain ((1L, 4L))
+  }
+
+  it should "drop whale blocks (maxBlockSize guard) while keeping small ones" in {
+    val whale = (100L to 111L).map(i => (i, s"unique text number $i here", "whale"))
+    val mixed = docs.union(whale.toDF("doc_id", "text", "source"))
+    val r = Dedup.ngramJaccardPairs(mixed, "source", shingleN = 2, maxBlockSize = 10)
+      .collect().map(_.getAs[String]("block")).toSet
+    // the 12-doc whale block exceeds the cap and contributes no pairs;
+    // the small s1/s2 blocks still do
+    r should not contain "whale"
+    r should contain("s1")
+    // raising the cap re-admits the whale block: 12 choose 2 pairs
+    Dedup.ngramJaccardPairs(mixed, "source", shingleN = 2, maxBlockSize = 100)
+      .filter(col("block") === "whale").count() shouldBe 66
   }
 
   "embeddingNearDup" should "find high-cosine pairs within a block" in {
