@@ -671,18 +671,34 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
 
-    "shingle_jaccard_pairs" -> {
-      val inter = "len(list_intersect(a.s, b.s))"
+    // sparse similarity join (overlapping pairs only), mirroring
+    // Dedup.ngramJaccardPairs' exploded shape and both skew guards
+    "shingle_jaccard_pairs" ->
       s"""WITH sh AS (
          |  SELECT source AS block, doc_id AS id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len(toks) - 2, 1)),
          |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' '))) AS s
-         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents))
-         |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
-         |  CAST($inter AS DOUBLE) / greatest(len(a.s) + len(b.s) - $inter, 1) AS jaccard
-         |FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id""".stripMargin
-    },
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+         |capped AS (
+         |  SELECT sh.* FROM sh JOIN (
+         |    SELECT block FROM sh GROUP BY block HAVING count(*) <= 1000) kb
+         |  USING (block)),
+         |ex AS (SELECT block, id, unnest(s) AS t FROM capped),
+         |exk AS (
+         |  SELECT ex.* FROM ex JOIN (
+         |    SELECT block, t FROM ex GROUP BY block, t HAVING count(*) <= 1000) ks
+         |  USING (block, t)),
+         |sizes AS (SELECT block, id, len(s) AS n FROM capped),
+         |inter AS (
+         |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b, count(*) AS ni
+         |  FROM exk a JOIN exk b ON a.block = b.block AND a.t = b.t AND a.id < b.id
+         |  GROUP BY 1, 2, 3)
+         |SELECT i.block AS block, i.id_a AS id_a, i.id_b AS id_b,
+         |  CAST(i.ni AS DOUBLE) / greatest(sa.n + sb.n - i.ni, 1) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.block = sa.block AND i.id_a = sa.id
+         |JOIN sizes sb ON i.block = sb.block AND i.id_b = sb.id""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id,

@@ -430,35 +430,72 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs *within a block*
-    * (same `blockCol` value). Quadratic only per block — and, like the LSH
-    * paths, capped: one whale block (a single crawl source dominating the
-    * corpus is the normal case, not the pathology) would otherwise make
-    * the per-block quadratic global. Blocks larger than `maxBlockSize`
-    * are dropped entirely; the census shuffles on the same key as the
-    * join, so the guard costs one cheap pre-aggregation. */
+  /** Exact n-gram Jaccard similarity for OVERLAPPING pairs within a block
+    * (same `blockCol` value). Pairs sharing no shingle are not emitted —
+    * they are not dedup candidates, and materializing every within-block
+    * pair with a 0.0 score IS the quadratic blow-up this operator exists
+    * to avoid (at sf0.1 that is 622k scored pairs of which <10% overlap;
+    * at 100 TB it is the job that never finishes).
+    *
+    * Sparse shape: explode each doc's distinct shingle set, equi-join on
+    * (block, shingle), count matches per pair — |A∩B| from a keyed
+    * shuffle with map-side partial counts, never a per-pair array
+    * intersection, and the shingle arrays themselves never cross a
+    * shuffle. Two skew guards, both mirrored by the oracle:
+    *  - `maxBlockSize`: blocks with more docs are dropped whole (one
+    *    crawl source dominating the corpus is the normal case);
+    *  - `maxShingleDf`: shingles occurring in more docs of a block are
+    *    dropped before the join (the classic stop-shingle guard — a
+    *    boilerplate shingle shared by f docs contributes f² join rows). */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 3,
-      maxBlockSize: Int = 1000): DataFrame = {
-    val sh = docs.select(
-      col(blockCol).as("block"),
-      col(idCol).as("id"),
-      T.wordShingles(col(textCol), shingleN).as("sh"))
-    val keptBlocks = sh.groupBy("block")
+      maxBlockSize: Int = 1000,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val keptBlocks = docs.groupBy(col(blockCol).as("block"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBlockSize)
       .select("block")
-    val capped = sh.join(keptBlocks, Seq("block"))
-    val l = capped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = capped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("block"))
+    val capped = docs
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        T.tokens(col(textCol)).as("toks"))
+      .join(keptBlocks, Seq("block"))
+    // shingle stream built explode-first with codegen'd slice/concat_ws —
+    // NOT via wordShingles' `transform`, which is an interpreted HOF and
+    // would dominate the runtime (same reasoning as minhashSignatures);
+    // distinct() restores per-doc set semantics in one keyed shuffle whose
+    // exchange every downstream consumer (census, sizes, both join sides)
+    // then shares via ReuseExchange
+    val ex = capped
+      .select(col("block"), col("id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p"))
+      .select(col("block"), col("id"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s"))
+      .distinct()
+    val sizes = ex.groupBy(col("block"), col("id"))
+      .agg(count(lit(1)).as("_n"))
+    val keptShingles = ex.groupBy("block", "s")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxShingleDf)
+      .select("block", "s")
+    val exk = ex.join(keptShingles, Seq("block", "s"))
+    val inter = exk.select(col("block"), col("s"), col("id").as("id_a"))
+      .join(exk.select(col("block"), col("s"), col("id").as("id_b")), Seq("block", "s"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("block", "id_a", "id_b")
+      .agg(count(lit(1)).as("_int"))
+    inter
+      .join(sizes.select(col("block"), col("id").as("id_a"), col("_n").as("_na")),
+        Seq("block", "id_a"))
+      .join(sizes.select(col("block"), col("id").as("id_b"), col("_n").as("_nb")),
+        Seq("block", "id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        T.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("_int").cast("double") /
+          greatest(col("_na") + col("_nb") - col("_int"), lit(1))).as("jaccard"))
   }
 
   /** Deterministic random hyperplanes for sign-LSH over embeddings:

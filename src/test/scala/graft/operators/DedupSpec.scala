@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     r((1L, 3L)) should (be > 0.5 and be < 1.0)
     // cross-block pairs must not appear
     r.keySet should not contain ((1L, 4L))
+    // zero-overlap pairs are not candidates and are not emitted (sparse join)
+    r.keySet should not contain ((4L, 5L))
+  }
+
+  it should "drop stop-shingles above maxShingleDf before pairing" in {
+    // all 12 docs share exactly one shingle ("unique text number"); with the
+    // stop-shingle guard below its document frequency, no overlap remains
+    val whale = (100L to 111L).map(i => (i, s"unique text number $i here", "w"))
+      .toDF("doc_id", "text", "source")
+    Dedup.ngramJaccardPairs(whale, "source", shingleN = 3, maxShingleDf = 5)
+      .count() shouldBe 0
+    Dedup.ngramJaccardPairs(whale, "source", shingleN = 3, maxShingleDf = 12)
+      .count() shouldBe 66
   }
 
   it should "drop whale blocks (maxBlockSize guard) while keeping small ones" in {
