@@ -113,6 +113,13 @@ final class Sentinel(
   def listAnnotations(maxReturn: Option[Int] = None): DataFrame =
     Dictionaries.listAnnotations(warehouse, maxReturn)
 
+  /** Point-gets: 404 (NotFoundException) on invalid or unknown id. */
+  def getReference(refId: String): DataFrame =
+    Dictionaries.getReference(warehouse, refId)
+
+  def getAnnotation(annotId: String): DataFrame =
+    Dictionaries.getAnnotation(warehouse, annotId)
+
   // ---- users (S10, M6) ---------------------------------------------------
 
   def addUser(id: String, email: String, password: String,

@@ -28,6 +28,8 @@ import graft.render.ApiRender
   *  - `PATCH  /runs/{id}?userId=U`        body = JSON patch   → 200 {counts}
   *  - `DELETE /runs/{id}?userId=U`                            → 204
   *  - `GET    /stats/runs`                                    → 200 [rollup]
+  *  - `GET    /stats/{pipeline}[/aggregate]?accLevel=..&...`  → 200 (public)
+  *  - `GET    /references[/{id}]` / `GET /annotations[/{id}]` → 200 | 404
   *
   * Auth mirrors the reference's SimpleKeyAuthStrategy: `userId` query param
   * (400 when missing) + `X-API-Key` header matched against the user's
@@ -69,8 +71,19 @@ final class HttpShim(sentinel: Sentinel) {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/runs", (ex: HttpExchange) => safely(ex)(handleRuns))
     server.createContext("/users", (ex: HttpExchange) => safely(ex)(handleUsers))
+    // longest-prefix context match: /stats/runs wins over the /stats
+    // fallback handling the per-pipeline endpoints
     server.createContext("/stats/runs", (ex: HttpExchange) => safely(ex) { e =>
       json(e, 200, ApiRender.renderRows(sentinel.globalRunStats()))
+    })
+    server.createContext("/stats", (ex: HttpExchange) => safely(ex)(handleStats))
+    server.createContext("/references", (ex: HttpExchange) => safely(ex) { e =>
+      handleDictionary(e, "/references",
+        n => sentinel.listReferences(n), id => sentinel.getReference(id))
+    })
+    server.createContext("/annotations", (ex: HttpExchange) => safely(ex) { e =>
+      handleDictionary(e, "/annotations",
+        n => sentinel.listAnnotations(n), id => sentinel.getAnnotation(id))
     })
     server.start()
     server.getAddress.getPort
@@ -140,7 +153,7 @@ final class HttpShim(sentinel: Sentinel) {
               val bytes = ex.getRequestBody.readAllBytes()
               val id = sentinel.upload(
                 bytes, q.getOrElse("fileName", "upload.json"), pipeline, user)
-              json(ex, 201, s"""{"runId":"$id"}""")
+              json(ex, 201, obj("runId" -> id))
           }
         case ("GET", None) =>
           val pipelines = q.get("pipelines").map(_.split(',').toSeq).getOrElse(Seq.empty)
@@ -170,8 +183,8 @@ final class HttpShim(sentinel: Sentinel) {
             throw new JsonPatch.PatchParseException(
               s"patch document invalid: ${schemaErrs.mkString("; ")}")
           val (r, s, g) = sentinel.patchRun(id, user, JsonPatch.parse(node))
-          json(ex, 200,
-            s"""{"runsModified":$r,"samplesModified":$s,"readGroupsModified":$g}""")
+          json(ex, 200, obj("runsModified" -> r,
+            "samplesModified" -> s, "readGroupsModified" -> g))
         case ("DELETE", Some(id)) =>
           sentinel.deleteRun(id, user)
           ex.sendResponseHeaders(204, -1)
@@ -200,7 +213,7 @@ final class HttpShim(sentinel: Sentinel) {
             .getOrElse(throw new UsersOps.ValidationException(Seq(s"$n: required string")))
         sentinel.addUser(field("id"), field("email"),
           field("password"), field("confirmPassword"))
-        json(ex, 201, s"""{"id":"${field("id")}"}""")
+        json(ex, 201, obj("id" -> field("id")))
       case _ =>
         authed(ex).foreach { user =>
           (method, target) match {
@@ -209,8 +222,8 @@ final class HttpShim(sentinel: Sentinel) {
               if (user.id != id && !user.isAdmin)
                 throw new RunsLifecycle.ForbiddenException(s"cannot view user $id")
               sentinel.getUser(id) match {
-                case Some(u) => json(ex, 200,
-                  s"""{"id":"${u.id}","email":"${u.email}","verified":${u.verified}}""")
+                case Some(u) => json(ex, 200, obj(
+                  "id" -> u.id, "email" -> u.email, "verified" -> u.verified))
                 case None => throw new RunsLifecycle.NotFoundException(s"user $id not found")
               }
             case ("PATCH", Some(id)) =>
@@ -234,10 +247,124 @@ final class HttpShim(sentinel: Sentinel) {
     }
   }
 
+  /** Dictionary surface (reference `api/ReferencesController.scala:64-86`,
+    * `api/AnnotationsController.scala:64-87`): public like the reference's
+    * dictionary browse — list with optional `maxReturn`, point-get by id
+    * with 404 on an invalid OR unknown id. */
+  private def handleDictionary(ex: HttpExchange, prefix: String,
+      list: Option[Int] => org.apache.spark.sql.DataFrame,
+      get: String => org.apache.spark.sql.DataFrame): Unit = {
+    if (ex.getRequestMethod.toUpperCase != "GET") {
+      json(ex, 405, """{"message":"method not allowed"}"""); return
+    }
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val target = if (path == prefix) None else Some(path.stripPrefix(prefix + "/"))
+    target match {
+      case None =>
+        val maxReturn = query(ex).get("maxReturn").map(parseIntParam("maxReturn"))
+        json(ex, 200, ApiRender.renderRows(list(maxReturn), showBlanks = false))
+      case Some(id) =>
+        json(ex, 200, ApiRender.renderRows(get(id), showBlanks = false))
+    }
+  }
+
+  /** Per-pipeline stats endpoints (reference
+    * `api/BaseStatsController.scala:66-71` + the param converters of
+    * `api/SentinelServlet.scala:219-273`):
+    *  - `GET /stats/{pipeline}` → data points (accLevel, libType, runIds,
+    *    references, annotations, timeSorted, nLimit)
+    *  - `GET /stats/{pipeline}/aggregate` → descriptive stats over the
+    *    pipeline's numeric metrics (optionally narrowed via `metrics`).
+    * Error taxonomy: unknown pipeline / bad enum / malformed id ⇒ 400,
+    * like the reference's param-conversion halts. Public, like all stats
+    * endpoints. */
+  private def handleStats(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod.toUpperCase != "GET") {
+      json(ex, 405, """{"message":"method not allowed"}"""); return
+    }
+    val parts = ex.getRequestURI.getPath.stripSuffix("/").stripPrefix("/stats")
+      .stripPrefix("/").split('/').toSeq.filter(_.nonEmpty)
+    val (pipeline, aggregate) = parts match {
+      case Seq(p)              => (p, false)
+      case Seq(p, "aggregate") => (p, true)
+      case _ =>
+        throw new RunsLifecycle.NotFoundException(
+          s"no such stats endpoint: ${ex.getRequestURI.getPath}")
+    }
+    val plugin = sentinel.pipelines.getOrElse(pipeline,
+      throw new Ingest.UnknownPipelineException(pipeline))
+    val q = query(ex)
+    def idsParam(name: String): Seq[String] = {
+      val raw = Scalars.splitParam(q.get(name))
+      val (ok, bad) = Scalars.partitionIds(raw)
+      if (bad.nonEmpty) throw new Scalars.InvalidEnumException(name, bad.head)
+      ok
+    }
+    val params = graft.stats.StatsParams(
+      accLevel = q.get("accLevel").map(Scalars.AccLevel.parse)
+        .getOrElse(Scalars.AccLevel.ReadGroup),
+      libType = q.get("libType").map(Scalars.parseLibType),
+      runIds = idsParam("runIds"),
+      references = idsParam("references"),
+      annotations = idsParam("annotations"),
+      timeSorted = q.get("timeSorted").contains("true"),
+      nLimit = q.get("nLimit").map(parseIntParam("nLimit")))
+    val statsSchema = (params.accLevel match {
+      case Scalars.AccLevel.Sample    => plugin.sampleStatsSchema
+      case Scalars.AccLevel.ReadGroup => plugin.readGroupStatsSchema
+    }).getOrElse(throw new Scalars.InvalidEnumException(
+      "accLevel", s"$pipeline has no ${params.accLevel} units"))
+    if (!aggregate) {
+      val projection = Seq(org.apache.spark.sql.functions.col("_id"),
+        org.apache.spark.sql.functions.col("runId"),
+        org.apache.spark.sql.functions.col("creationTimeUtc"),
+        org.apache.spark.sql.functions.col("stats"))
+      json(ex, 200, ApiRender.renderRows(
+        sentinel.getStats(pipeline, params, projection), showBlanks = false))
+    } else {
+      val numeric = statsSchema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          f.name
+      }.toSeq
+      val wanted = Scalars.splitParam(q.get("metrics")) match {
+        case Seq() => numeric
+        case ms =>
+          ms.foreach(m => if (!numeric.contains(m))
+            throw new Scalars.InvalidEnumException("metrics", m))
+          ms
+      }
+      val metrics = wanted.map(m =>
+        m -> org.apache.spark.sql.functions.col(s"stats.$m"))
+      json(ex, 200, ApiRender.renderRows(
+        sentinel.getAggregateStats(pipeline, params, metrics)))
+    }
+  }
+
+  private def parseIntParam(name: String)(v: String): Int =
+    try v.toInt
+    catch { case _: NumberFormatException =>
+      throw new Scalars.InvalidEnumException(name, v) }
+
   private def json(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
+  }
+
+  /** Serialize a response object through Jackson — user-controlled values
+    * (ids, emails, file names) must never be string-interpolated into a
+    * JSON body: a quote or backslash in a registered value would produce
+    * malformed JSON (injection). */
+  private def obj(kvs: (String, Any)*): String = {
+    val node = mapper.createObjectNode()
+    kvs.foreach {
+      case (k, v: String)  => node.put(k, v)
+      case (k, v: Int)     => node.put(k, v)
+      case (k, v: Long)    => node.put(k, v)
+      case (k, v: Boolean) => node.put(k, v)
+      case (k, v)          => node.put(k, String.valueOf(v))
+    }
+    node.toString
   }
 }

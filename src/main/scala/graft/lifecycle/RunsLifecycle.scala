@@ -271,16 +271,21 @@ object RunsLifecycle {
     // distributed rewrite per touched table
     val newRunLabels = routed.runOps.foldLeft(
       Labels.fromRow(run.getAs[Row]("labels")))((l, op) => applyOp(l, op, RunLevel))
-    val newSampleLabels = computeUnitLabels(wh, samplesTable, samplePatches, SampleLevel)
-    val newRgLabels = computeUnitLabels(wh, rgTable, rgPatches, ReadGroupLevel)
+    val (newSampleLabels, sampleRunIds) =
+      computeUnitLabels(wh, samplesTable, samplePatches, SampleLevel)
+    val (newRgLabels, rgRunIds) =
+      computeUnitLabels(wh, rgTable, rgPatches, ReadGroupLevel)
 
-    // every touched unit belongs to THIS run, so each table rewrite is
-    // scoped to the run's hash bucket (runs: its pipeline partition) —
-    // O(bucket), not O(table)
-    rewriteLabels(wh, samplesTable, "_id", newSampleLabels, Some(runId))
-    rewriteLabels(wh, rgTable, "_id", newRgLabels, Some(runId))
+    // each table rewrite is scoped to the hash buckets of the patched
+    // units' OWNING runs — taken from the loaded rows, not from the
+    // request's runId: unit ops address units by _id table-wide (matching
+    // the reference), so a directly-addressed unit of another run must
+    // rewrite that run's bucket, not this one's — O(touched buckets),
+    // not O(table)
+    rewriteLabels(wh, samplesTable, "_id", newSampleLabels, sampleRunIds.toSeq.sorted)
+    rewriteLabels(wh, rgTable, "_id", newRgLabels, rgRunIds.toSeq.sorted)
     rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels),
-      scopeRunId = None, scopePipeline = Some(pipeline))
+      scopeRunIds = Nil, scopePipeline = Some(pipeline))
     (1, newSampleLabels.size, newRgLabels.size)
   }
 
@@ -291,18 +296,22 @@ object RunsLifecycle {
 
   /** Validation half of a unit patch: load the targeted rows (404 on any
     * miss) and fold the ops into their new labels (422 on any bad op).
-    * Pure driver-side computation — nothing is written. */
+    * Pure driver-side computation — nothing is written. Returns the new
+    * labels AND the distinct runIds owning the touched units, which scope
+    * the subsequent bucket rewrite. */
   private def computeUnitLabels(wh: Warehouse, table: String,
-      patches: Map[String, List[PatchOp]], level: Level): Map[String, Labels] = {
-    if (patches.isEmpty) return Map.empty
+      patches: Map[String, List[PatchOp]],
+      level: Level): (Map[String, Labels], Set[String]) = {
+    if (patches.isEmpty) return (Map.empty, Set.empty)
     if (!wh.exists(table))
       throw new NotFoundException(s"no units table $table to patch")
     val rows = getUnitsByIds(wh.read(table), patches.keys.toSeq)
-    rows.map { r =>
+    val labels = rows.map { r =>
       val id = r.getAs[String]("_id")
       id -> patches(id).foldLeft(Labels.fromRow(r.getAs[Row]("labels")))(
         (l, op) => applyOp(l, op, level))
     }.toMap
+    (labels, rows.map(_.getAs[String]("runId")).toSet)
   }
 
   /** Distributed copy-on-write labels update: broadcast-join the patched
@@ -310,7 +319,7 @@ object RunsLifecycle {
     * (or the run table's pipeline partition) when known, so only the
     * touched partition rewrites. */
   private def rewriteLabels(wh: Warehouse, table: String, key: String,
-      newLabels: Map[String, Labels], scopeRunId: Option[String] = None,
+      newLabels: Map[String, Labels], scopeRunIds: Seq[String] = Nil,
       scopePipeline: Option[String] = None): Unit = {
     if (newLabels.isEmpty) return
     val spark = wh.spark
@@ -325,10 +334,10 @@ object RunsLifecycle {
       df.join(broadcast(patchDf), Seq(key), "left")
         .withColumn("labels", coalesce(col("__newLabels"), col("labels")))
         .drop("__newLabels")
-    (scopeRunId, scopePipeline) match {
-      case (Some(rid), _) => wh.rewriteForRuns(table, Seq(rid), f)
-      case (_, Some(p))   => wh.rewriteScoped(table, Seq(p), f)
-      case _              => wh.rewrite(table, f)
+    (scopeRunIds, scopePipeline) match {
+      case (rids, _) if rids.nonEmpty => wh.rewriteForRuns(table, rids, f)
+      case (_, Some(p))               => wh.rewriteScoped(table, Seq(p), f)
+      case _                          => wh.rewrite(table, f)
     }
   }
 

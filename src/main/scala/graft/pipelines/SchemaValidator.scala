@@ -33,13 +33,29 @@ final class SchemaValidator(val schema: JsonNode) {
   }
   walkRefs(schema)
 
+  /** Resolve a `$ref` fully: a ref may point at a node that is itself a
+    * ref (chained refs), so follow until the target has none — with a
+    * seen-set so a ref cycle is a load-time schema error, not an
+    * infinite loop (or, worse, a schema that silently validates
+    * everything). */
   private def resolveRef(ref: String): JsonNode = {
-    require(ref.startsWith("#/"), s"only intra-document $$refs are supported: $ref")
-    ref.stripPrefix("#/").split('/').foldLeft(schema) { (n, seg) =>
-      val child = n.get(seg)
-      require(child != null, s"unresolvable $$ref: $ref")
-      child
+    var cur = ref
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (true) {
+      require(seen.add(cur), s"$$ref cycle: ${seen.mkString(" -> ")} -> $cur")
+      require(cur.startsWith("#/"), s"only intra-document $$refs are supported: $cur")
+      val node = cur.stripPrefix("#/").split('/').foldLeft(schema) { (n, seg) =>
+        val child = n.get(seg)
+        require(child != null, s"unresolvable $$ref: $cur")
+        child
+      }
+      val next = Option(node.get("$ref")).filter(_ => node.isObject)
+      next match {
+        case Some(r) => cur = r.asText
+        case None    => return node
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Validation errors for `instance`; empty means valid. */

@@ -90,6 +90,30 @@ object Dictionaries {
     limitOpt(wh.readOr(Warehouse.Annotations, Records.annotationSchema)
       .orderBy(desc("creationTimeUtc")), maxReturn)
 
+  /** Point-get by id, 404 on an invalid OR unknown id — the reference
+    * folds both into 404 (`api/ReferencesController.scala:64-86`,
+    * `api/AnnotationsController.scala:64-87`: an unparseable ObjectId and
+    * a missing record return the same "not found"). The invalid-id check
+    * short-circuits the scan entirely. */
+  def getReference(wh: Warehouse, refId: String): org.apache.spark.sql.DataFrame =
+    pointGet(wh, Warehouse.References, Records.referenceSchema, "refId", refId,
+      s"reference $refId not found")
+
+  def getAnnotation(wh: Warehouse, annotId: String): org.apache.spark.sql.DataFrame =
+    pointGet(wh, Warehouse.Annotations, Records.annotationSchema, "annotId", annotId,
+      s"annotation $annotId not found")
+
+  private def pointGet(wh: Warehouse, table: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      id: String, notFoundMsg: String): org.apache.spark.sql.DataFrame = {
+    if (!graft.functions.Scalars.isValidId(id))
+      throw new graft.lifecycle.RunsLifecycle.NotFoundException(notFoundMsg)
+    val df = wh.readOr(table, schema).filter(col(idCol) === id)
+    if (df.limit(1).count() == 0)
+      throw new graft.lifecycle.RunsLifecycle.NotFoundException(notFoundMsg)
+    df
+  }
+
   private def limitOpt(df: org.apache.spark.sql.DataFrame, n: Option[Int]) =
     n.filter(_ > 0).map(df.limit).getOrElse(df)
 }

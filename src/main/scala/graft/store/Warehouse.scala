@@ -177,12 +177,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .drop(Warehouse.BucketCol)
     write(f(touched), name, nextDir.toString, SaveMode.Overwrite)
 
-    // link every untouched partition dir from the previous snapshot
-    val touchedDirs = partitionValues.map(vv => s"$pcol=$vv").toSet
+    // link every untouched partition dir from the previous snapshot.
+    // Spark percent-escapes special characters in partition directory
+    // names, so the touched-set match decodes the on-disk leaf value
+    // (ExternalCatalogUtils.unescapePathName) before comparing — matching
+    // on the raw string would miss an escaped touched partition and
+    // hard-link the PREVIOUS snapshot's files over the rewritten one
+    val touchedValues = partitionValues.toSet
     if (Files.exists(prevDir)) Files.list(prevDir).forEach { p =>
       val leaf = p.getFileName.toString
-      if (Files.isDirectory(p) && leaf.startsWith(s"$pcol=") && !touchedDirs(leaf))
-        linkTree(p, nextDir.resolve(leaf))
+      val untouched = Files.isDirectory(p) && leaf.startsWith(s"$pcol=") &&
+        !touchedValues(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(leaf.stripPrefix(s"$pcol=")))
+      if (untouched) linkTree(p, nextDir.resolve(leaf))
     }
     // a fully-empty result writes no files at all; park an empty (but
     // schema-bearing) parquet inside a partition dir so the snapshot stays

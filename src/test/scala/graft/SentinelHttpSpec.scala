@@ -170,6 +170,74 @@ class SentinelHttpSpec extends SparkSpec {
     req("GET", "/users/newbie", "newbie", key = key).statusCode() shouldBe 401
   }
 
+  it should "serve /references and /annotations lists and point-gets with 404s" in {
+    // a pref upload get-or-creates a reference dictionary entry; a pann
+    // upload an annotation entry
+    req("POST", "/runs?pipeline=pref", "avg",
+      fixture("pref/pref_01.json")).statusCode() shouldBe 201
+    req("POST", "/runs?pipeline=pann", "avg",
+      fixture("pann/pann_01.json")).statusCode() shouldBe 201
+
+    // list (public, no auth): contains the created entries
+    val refs = req("GET", "/references")
+    refs.statusCode() shouldBe 200
+    refs.body() should include("refId")
+    val annots = req("GET", "/annotations")
+    annots.statusCode() shouldBe 200
+    annots.body() should include("annotId")
+    // maxReturn honored; junk maxReturn → 400
+    req("GET", "/references?maxReturn=1").statusCode() shouldBe 200
+    req("GET", "/references?maxReturn=junk").statusCode() shouldBe 400
+
+    // point-get by id round-trips; unknown and invalid ids are both 404
+    // (reference ReferencesControllerSpec/AnnotationsControllerSpec)
+    val refId = refs.body().split("\"refId\":\"")(1).split("\"")(0)
+    val got = req("GET", s"/references/$refId")
+    got.statusCode() shouldBe 200
+    got.body() should include(refId)
+    req("GET", s"/references/${"0" * 32}").statusCode() shouldBe 404
+    req("GET", "/references/not-an-id").statusCode() shouldBe 404
+    val annotId = annots.body().split("\"annotId\":\"")(1).split("\"")(0)
+    req("GET", s"/annotations/$annotId").statusCode() shouldBe 200
+    req("GET", s"/annotations/${"f" * 32}").statusCode() shouldBe 404
+    req("GET", "/annotations/nope").statusCode() shouldBe 404
+    // only GET is served
+    req("DELETE", s"/references/$refId", "avg").statusCode() shouldBe 405
+  }
+
+  it should "serve per-pipeline stats endpoints with the param-error taxonomy" in {
+    req("POST", "/runs?pipeline=maple", "avg",
+      fixture("maple/maple_single_sample_multi_rg.json")).statusCode() shouldBe 201
+
+    // data points at both accLevels (public)
+    val rg = req("GET", "/stats/maple?accLevel=readGroup&timeSorted=true")
+    rg.statusCode() shouldBe 200
+    rg.body() should include("nReadsInput")
+    val sm = req("GET", "/stats/maple?accLevel=sample&nLimit=1")
+    sm.statusCode() shouldBe 200
+
+    // aggregate: descriptive stats for every numeric metric, or a subset
+    val agg = req("GET", "/stats/maple/aggregate?accLevel=readGroup")
+    agg.statusCode() shouldBe 200
+    agg.body() should include("nReadsInput_mean")
+    val one = req("GET", "/stats/maple/aggregate?accLevel=readGroup&metrics=nReadsInput")
+    one.statusCode() shouldBe 200
+    one.body() should not include "nReadsAligned_mean"
+
+    // param taxonomy: unknown pipeline, bad enum, malformed id, junk
+    // nLimit, unknown metric → all 400, like the reference's converters
+    req("GET", "/stats/nope").statusCode() shouldBe 400
+    req("GET", "/stats/maple?accLevel=bogus").statusCode() shouldBe 400
+    req("GET", "/stats/maple?libType=bogus").statusCode() shouldBe 400
+    req("GET", "/stats/maple?runIds=not-hex").statusCode() shouldBe 400
+    req("GET", "/stats/maple?nLimit=junk").statusCode() shouldBe 400
+    req("GET", "/stats/maple/aggregate?metrics=bogus").statusCode() shouldBe 400
+    // plain has no unit levels at all
+    req("GET", "/stats/plain?accLevel=sample").statusCode() shouldBe 400
+    // deeper unknown paths under /stats are 404
+    req("GET", "/stats/maple/aggregate/extra").statusCode() shouldBe 404
+  }
+
   override def afterAll(): Unit = {
     shim.stop()
     super.afterAll()

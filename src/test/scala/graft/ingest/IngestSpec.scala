@@ -253,6 +253,25 @@ class IngestSpec extends SparkSpec {
     wh.read("demo_samples").filter(col("runId") === target).count() shouldBe 0
   }
 
+  "Warehouse.rewriteScoped" should "match touched partitions whose values Spark percent-escapes" in {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    // 'a:b' is stored as pipeline=a%3Ab on disk; a raw-string dir match
+    // would treat the touched partition as untouched and hard-link the
+    // previous snapshot's files next to the rewritten ones (row dupes)
+    wh.append(Warehouse.Runs,
+      Seq(("r1", "a:b", 1L), ("r2", "plain", 1L)).toDF("runId", "pipeline", "v"))
+    wh.rewriteScoped(Warehouse.Runs, Seq("a:b"),
+      _.withColumn("v", lit(99L)))
+    val after = wh.read(Warehouse.Runs)
+    after.count() shouldBe 2
+    after.filter(col("pipeline") === "a:b").select("v").as[Long].collect() shouldBe
+      Array(99L)
+    after.filter(col("pipeline") === "plain").select("v").as[Long].collect() shouldBe
+      Array(1L)
+  }
+
   it should "keep the previous snapshot readable for already-open frames" in {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-wh").toString

@@ -95,4 +95,25 @@ class SchemaValidatorSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       SchemaValidator.fromResource("/schemas/nope.json")
   }
+
+  it should "follow chained $refs to the terminal schema" in {
+    // a -> b -> the actual integer schema; a one-level dereference would
+    // see {"$ref": ...} as an empty schema and validate anything
+    val v = SchemaValidator.fromString(
+      """{"$ref": "#/definitions/a",
+        |"definitions": {
+        |  "a": {"$ref": "#/definitions/b"},
+        |  "b": {"type": "integer"}}}""".stripMargin)
+    v.validate(j("3")) shouldBe empty
+    v.validate(j(""""not an int"""")) should not be empty
+  }
+
+  it should "reject $ref cycles at load time" in {
+    an[IllegalArgumentException] should be thrownBy
+      SchemaValidator.fromString(
+        """{"$ref": "#/definitions/a",
+          |"definitions": {
+          |  "a": {"$ref": "#/definitions/b"},
+          |  "b": {"$ref": "#/definitions/a"}}}""".stripMargin)
+  }
 }

@@ -63,6 +63,28 @@ class RunsLifecycleSpec extends SparkSpec {
       .map(_.getString(0)) shouldBe Array("renamedB")
   }
 
+  it should "persist a patch to a unit owned by a DIFFERENT run (bucket scope bug)" in {
+    // two runs in one warehouse: unit ops address units by _id table-wide
+    // (reference semantics), so patching run A with an op targeting run
+    // B's sample must rewrite run B's hash bucket — the regression was a
+    // 200 response counting the unit as modified while only run A's
+    // bucket was rewritten (63/64 chance the unit lived elsewhere)
+    val (wh, runA) = freshRun()
+    val ing = new RunIngestor(wh,
+      Map("maple" -> MaplePipeline, "plain" -> PlainPipeline),
+      () => Timestamp.valueOf("2024-06-02 12:00:00"))
+    val runB = ing.upload(
+      fixture("maple/maple_single_sample_single_rg.json"), "b.json", "maple", avg)
+    runB should not be runA
+    val bSampleId = wh.read(Warehouse.samples("maple"))
+      .filter(col("runId") === runB).select("_id").collect()(0).getString(0)
+    val counts = RunsLifecycle.patchRun(wh, runA, avg,
+      List(ReplaceOp(s"/sampleLabels/$bSampleId/sampleName", "crossPatched")))
+    counts._2 shouldBe 1
+    wh.read(Warehouse.samples("maple")).filter(col("_id") === bSampleId)
+      .select("labels.sampleName").collect()(0).getString(0) shouldBe "crossPatched"
+  }
+
   it should "support tags add/replace/remove and notes, rejecting bad removes" in {
     val (wh, runId) = freshRun()
     RunsLifecycle.patchRun(wh, runId, avg, List(
