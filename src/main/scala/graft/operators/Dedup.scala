@@ -306,7 +306,8 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // one lineage-truncation policy for the whole algorithm
     def snap(df: DataFrame): DataFrame =
@@ -377,9 +378,61 @@ object Dedup {
       .distinct())
     fullEdges.unpersist()
 
+    // After one contraction the component graph is usually orders of
+    // magnitude smaller than the corpus. Below `maxDriverEdges` (~16 MB of
+    // long pairs) the remaining fixpoint is FINISHED ON THE DRIVER with
+    // union-find: each distributed iteration costs a full job (fixed
+    // scheduling overhead dominates on a tiny graph), while driver-side
+    // union-find on the collected edge list is microseconds, and the
+    // result returns as one broadcast join. Above the guard — a graph
+    // that genuinely doesn't fit a driver — the distributed min-label
+    // loop runs as before. Both paths produce identical labels (the
+    // component's minimum original id).
+    val nEdges = contracted.count()
     val resolved =
-      if (contracted.isEmpty) labels1
-      else {
+      if (nEdges == 0) labels1
+      else if (nEdges <= maxDriverEdges) {
+        import scala.collection.mutable
+        val parent = mutable.Map.empty[Any, Any]
+        val minOf = mutable.Map.empty[Any, Any]
+        val seen = mutable.Set.empty[Any]
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent(c); parent(c) = r; c = next
+          }
+          r
+        }
+        def union(a: Any, b: Any): Unit = {
+          seen += a; seen += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            parent(rb) = ra
+            val m = Seq(minOf.getOrElse(ra, ra), minOf.getOrElse(rb, rb))
+              .reduce((x, y) => if (lt(x, y)) x else y)
+            minOf(ra) = m
+          }
+        }
+        contracted.collect().foreach(r => union(r.get(0), r.get(1)))
+        val compType = labels1.schema("comp").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("comp", compType),
+          org.apache.spark.sql.types.StructField("super", compType)))
+        val rows = seen.map { k =>
+          val r = find(k)
+          org.apache.spark.sql.Row(k, minOf.getOrElse(r, r))
+        }.toSeq
+        val spark = pairs.sparkSession
+        val superDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        labels1
+          .join(broadcast(superDf), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("super"), col("comp")).as("comp"))
+      } else {
         val cInitial = snap(contracted.select(col("src").as("id")).distinct()
           .union(contracted.select(col("dst").as("id")).distinct())
           .distinct()

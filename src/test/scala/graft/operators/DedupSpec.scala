@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     r.length shouldBe 12
   }
 
+  it should "produce identical labels via the driver union-find and the distributed loop" in {
+    // chains + a clique + singleton-free edges across several components;
+    // maxDriverEdges = 0 forces the distributed propagate path
+    val edges = ((1L until 12L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 40L))).toDF("id_a", "id_b")
+    def labelsOf(maxDriver: Long) =
+      Dedup.connectedComponents(edges, maxDriverEdges = maxDriver)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = labelsOf(1000000L)
+    val viaCluster = labelsOf(0L)
+    viaDriver shouldBe viaCluster
+    viaDriver(12L) shouldBe 1L
+    viaDriver(22L) shouldBe 20L
+    viaDriver(40L) shouldBe 30L
+  }
+
   it should "produce identical labels under a reliable checkpoint dir" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     try {
