@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Dedup, Similarity}
 import graft.selector._
 import graft.stats.{Descriptive, StatsProcessor}
@@ -259,6 +259,22 @@ object SparkEntry {
         Map("src0" -> 0.8, "src1" -> 0.2), seed = 7L)
         .select("doc_id", "source")),
 
+    // Benchmark decontamination: src0 plays the held-out eval set; every
+    // other doc gets its distinct-3-gram overlap with the benchmark
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        shingleN = 3, maxOverlap = 0.2)
+    }),
+
+    // Corpus vocabulary: top-100 bigrams by occurrence (tokenizer / stop-
+    // list construction pass); TakeOrderedAndProject, no global sort
+    "vocab_topk" -> ((s, d) =>
+      graft.operators.Curation.ngramVocabulary(
+        t(s, d, "documents"), shingleN = 2, topK = 100)),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -426,6 +442,16 @@ object SparkEntry {
       Similarity.ivfTopKKmeans(
         e, e.filter(col("vec_id") < 5), nCells = 8, k = 3, iters = 3, nprobe = 2)
         .drop("rank")
+    }),
+
+    // Symmetric int8 embedding quantization (4x storage shrink for ANN
+    // candidate retrieval): per-row projection, halfway rule written as
+    // floor(x/s + 0.5) so every engine computes the identical integer
+    "vector_quantize" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.withColumn("scale", V.quantScale(col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          V.quantize(col("embedding"), col("scale")).as("qvec"))
     })
   )
 
@@ -794,6 +820,59 @@ object SparkEntry {
         |    CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2 END AS frac
         |  FROM documents)
         |WHERE bucket < frac * 1000000""".stripMargin,
+
+    // mirrors Curation.decontaminate: per-doc distinct 3-gram sets on both
+    // sides, left join corpus shingles against the benchmark set
+    "decontaminate" -> {
+      def sh(filter: String, withId: Boolean) = {
+        val idSel = if (withId) "doc_id AS id, " else "DISTINCT "
+        s"""SELECT ${idSel}unnest(list_distinct(list_transform(
+           |    range(0, greatest(len(toks) - 2, 1)),
+           |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $filter)""".stripMargin
+      }
+      s"""WITH csh AS (
+         |${sh("source <> 'src0'", withId = true)}),
+         |bsh AS (
+         |${sh("source = 'src0'", withId = false)})
+         |SELECT c.id AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*) >= 0.2)
+         |    AS contaminated
+         |FROM csh c LEFT JOIN bsh b ON c.s = b.s
+         |GROUP BY 1""".stripMargin
+    },
+
+    // mirrors Curation.ngramVocabulary (bigrams, top-100, count desc then
+    // gram asc — the tie-break makes the LIMIT deterministic)
+    "vocab_topk" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ex AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+         |  FROM base WHERE len(toks) >= 2),
+         |grams AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 2 AS INT)), ' ') AS gram
+         |  FROM ex)
+         |SELECT gram,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM grams GROUP BY 1
+         |ORDER BY n_occurrences DESC, gram
+         |LIMIT 100""".stripMargin,
+
+    // mirrors VectorFunctions.quantScale/quantize: identical double
+    // arithmetic (maxabs/127, floor(x/s + 0.5)) in both engines
+    "vector_quantize" ->
+      """SELECT vec_id, s AS scale,
+        |  list_transform(embedding, x -> CAST(
+        |    CASE WHEN s = 0 THEN 0
+        |         ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS INT)) AS qvec
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s
+        |  FROM embeddings)""".stripMargin,
 
     "chunk_tokens" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

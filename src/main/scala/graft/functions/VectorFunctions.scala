@@ -30,4 +30,25 @@ object VectorFunctions {
 
   /** Cosine similarity in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Symmetric int8 quantization scale: max |vᵢ| / 127 in double.
+    * 0.0 for the all-zero vector (whose quantized form is all zeros). */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x))).cast("double") / 127.0
+
+  /** Symmetric int8 quantization of an `array<float>` embedding:
+    * qᵢ = ⌊vᵢ/scale + 0.5⌋ (explicit floor-of-shifted instead of a
+    * `round()` so the halfway rule is the same expression in every
+    * engine — an oracle replays it verbatim). The all-zero vector maps
+    * to all zeros. Per-row projection, no shuffle; int8 storage is the
+    * standard 4× shrink for ANN candidate retrieval at the 100 TB scale,
+    * with [[dequantize]] restoring approximate floats for re-ranking. */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / scale + 0.5d).cast("int")))
+
+  /** Approximate inverse of [[quantize]]: qᵢ·scale in double. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

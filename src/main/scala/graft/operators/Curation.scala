@@ -184,6 +184,85 @@ object Curation {
       .drop("__band", "__offset", "__start")
   }
 
+  /** Benchmark decontamination — the gate every pretraining corpus runs
+    * before release: a training document sharing too many n-grams with an
+    * evaluation/benchmark document leaks the test set into the training
+    * set. Returns per-doc overlap counts:
+    * (idCol, n_shingles, n_hits, contaminated), where `n_hits` counts the
+    * doc's DISTINCT n-grams that appear anywhere in the benchmark and
+    * `contaminated` marks docs with `n_hits / n_shingles >= maxOverlap`
+    * (single-shingle docs with any hit included).
+    *
+    * Scale shape: the benchmark's distinct shingle set is usually tiny
+    * relative to the corpus (eval suites are MBs, corpora are TBs), so
+    * the plan is corpus-explode → LEFT SEMI-shape join against the
+    * benchmark shingle set on the shingle key (AQE broadcasts it when it
+    * fits) → per-doc conditional count. The corpus is never pairwise
+    * compared with anything; cost is O(corpus tokens) + one keyed join. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      maxOverlap: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def shingleStream(df: DataFrame, id: Option[String]): DataFrame = {
+      val base = df.select(
+        (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
+          T.tokens(col(textCol)).as("toks")): _*)
+      base
+        .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
+          explode(sequence(lit(1),
+            greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p")): _*)
+        .select((id.map(_ => col("id")).toSeq :+
+          concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s")): _*)
+        .distinct()
+    }
+    val benchShingles = shingleStream(benchmark, None)
+    val corpusShingles = shingleStream(corpus, Some(idCol))
+    val flagged = corpusShingles
+      .join(benchShingles.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+    flagged.select(col(idCol), col("n_shingles"), col("n_hits"),
+      (col("n_hits").cast("double") / col("n_shingles") >= maxOverlap)
+        .as("contaminated"))
+  }
+
+  /** Corpus n-gram vocabulary: the `topK` most frequent token n-grams with
+    * their occurrence and document-frequency counts — the corpus-analysis
+    * pass behind tokenizer training, stop-list construction, and the
+    * boilerplate lists the dedup layer consumes. Deterministic order:
+    * count desc, then n-gram asc.
+    *
+    * Shape: tokenize → explode positions → codegen'd slice/concat (no
+    * interpreted HOF) → one hash-agg keyed by the n-gram (map-side
+    * partial counts) → `TakeOrderedAndProject` for the top-k (never a
+    * global sort). */
+  def ngramVocabulary(
+      docs: DataFrame,
+      shingleN: Int = 1,
+      topK: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val ex = docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("toks")) - lit(shingleN - 1))).as("p"),
+        col("toks"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("gram"))
+    ex.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /** Deterministic stratified sampling by content hash — mixture
     * weighting (e.g. 80% web, 20% code) the reproducible way: a row is
     * kept iff `hash(seed, id) mod 1e6 < fraction(stratum) * 1e6`. Unlike

@@ -58,4 +58,26 @@ class VectorExpressionsSpec extends SparkSpec {
     r(0) shouldBe 1.0
     r(1) shouldBe 0.0
   }
+
+  "quantize" should "map to int8 range symmetrically and round-trip within one step" in {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f, 2.0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)) // zero vector: scale 0, all-zero qvec
+    ).toDF("vec_id", "v")
+      .withColumn("scale", VectorFunctions.quantScale(col("v")))
+      .withColumn("q", VectorFunctions.quantize(col("v"), col("scale")))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getSeq[Int](3))).toMap
+    rows(1L)._1 shouldBe (2.0 / 127.0) +- 1e-12
+    rows(1L)._2 shouldBe Seq(64, -127, 32, 127) // floor(x/s + 0.5)
+    rows(2L)._1 shouldBe 0.0
+    rows(2L)._2 shouldBe Seq(0, 0, 0, 0)
+    // dequantize restores within one quantization step
+    val back = df.select(col("vec_id"),
+      VectorFunctions.dequantize(col("q"), col("scale")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    back(1L).zip(Seq(1.0, -2.0, 0.5, 2.0)).foreach { case (a, e) =>
+      math.abs(a - e) should be <= (2.0 / 127.0)
+    }
+  }
 }

@@ -123,4 +123,37 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
     Curation.sampleToTokenBudget(curated, 9L).count() shouldBe 0L
   }
+
+  "decontaminate" should "flag docs overlapping the benchmark and pass clean ones" in {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains benchmark 3-grams
+      (2L, "totally unrelated content about nothing at all"),
+      (3L, "alpha beta gamma but then it diverges completely from here")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((99L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, benchmark, shingleN = 3, maxOverlap = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Boolean]("contaminated"))).toMap
+    // doc 1: 4 shingles, 3 of them ("alpha beta gamma", "beta gamma delta",
+    // "gamma delta epsilon") in the benchmark -> 0.75 >= 0.5
+    r(1L) shouldBe ((3L, true))
+    r(2L)._1 shouldBe 0L
+    r(2L)._2 shouldBe false
+    // doc 3: only "alpha beta gamma" hits; 1/8 < 0.5
+    r(3L) shouldBe ((1L, false))
+  }
+
+  "ngramVocabulary" should "rank n-grams by occurrence with deterministic ties" in {
+    val corpus = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to be is to do")
+    ).toDF("doc_id", "text")
+    val top = Curation.ngramVocabulary(corpus, shingleN = 2, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "to be" occurs 3x across both docs; remaining bigrams occur once and
+    // tie-break alphabetically
+    top(0) shouldBe (("to be", 3L, 2L))
+    top(1)._2 shouldBe 1L
+    top.map(_._1).slice(1, 3) shouldBe top.map(_._1).slice(1, 3).sorted
+  }
 }
