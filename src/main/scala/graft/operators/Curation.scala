@@ -69,9 +69,11 @@ object Curation {
     // group-by via first() — constant within a doc's group, so first is
     // deterministic. This removes the second docs scan and the
     // rowLocal⋈tokenStats shuffle join the two-branch formulation needs.
-    val tokenRows = docs
+    // Fan.spread: the token explode multiplies rows ~100x — a compact
+    // input must not run the scoring hot loop on one core (see [[Fan]])
+    val tokenRows = Fan.spread(docs
       .select(col(idCol), text.as("__text"),
-        length(text).as("__n_chars"), T.punctRatio(text).as("__punct"))
+        length(text).as("__n_chars"), T.punctRatio(text).as("__punct")))
       .select(col(idCol), col("__text"), col("__n_chars"), col("__punct"),
         explode(T.tokens(col("__text"))).as("tok"))
     val langHitAggs = langs.map { case (lang, words) =>
@@ -207,9 +209,9 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     def shingleStream(df: DataFrame, id: Option[String]): DataFrame = {
-      val base = df.select(
+      val base = Fan.spread(df.select(
         (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
-          T.tokens(col(textCol)).as("toks")): _*)
+          T.tokens(col(textCol)).as("toks")): _*))
       base
         .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
           explode(sequence(lit(1),
@@ -248,8 +250,8 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val ex = docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+    val ex = Fan.spread(docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
       .filter(size(col("toks")) >= shingleN)
       .select(col("id"),
         explode(sequence(lit(1), size(col("toks")) - lit(shingleN - 1))).as("p"),
@@ -309,12 +311,13 @@ object Curation {
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
     val toks = T.tokens(col(textCol))
+    val spreadDocs = Fan.spread(docs.select(col(idCol), col(textCol)))
     // number of stride steps whose window still contains a fresh token:
     // ceil((n - overlap) / stride), floored at 1 for short docs
     val nChunks = greatest(
       ceil((size(col("__toks")) - lit(overlap)).cast("double") / stride).cast("int"),
       lit(1))
-    docs
+    spreadDocs
       .select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))

@@ -62,14 +62,13 @@ object Dedup {
 
   /** Per-doc MinHash signatures: (id, sig: array<bigint>[k]).
     *
-    * No persist: every consumer plan referencing this frame more than once
-    * (banding + the two score joins in [[minhashLsh]], or the self-join in
-    * [[minhashCandidatePairs]]) shares the signature aggregate's shuffle via
-    * Spark's ReuseExchange rule — the expensive explode→hash→partial-min
-    * scan below the `groupBy(id)` exchange runs ONCE per job and its
-    * shuffle files are read by every consumer. Keeping the operator
-    * persist-free means a long-lived session (the HttpShim server) holds
-    * no cached blocks after the query completes. */
+    * Lazy — no persist, no checkpoint. A single-consumer chain
+    * ([[minhashCandidatePairs]]) pipelines it straight into banding, with
+    * the census and pair-join branches sharing the banded exchange via
+    * stage reuse. [[minhashLsh]], whose three consumers AQE does not
+    * collapse, materializes this frame once via eager `localCheckpoint`
+    * (invisible to the SQL cache; blocks freed by the ContextCleaner once
+    * the result is dropped — nothing for a long-lived session to leak). */
   def minhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
@@ -77,10 +76,11 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 16,
       tier: HashTier = PortableMd5): DataFrame = {
-    // norm + positional explode: one row per (doc, shingle position)
+    // norm + positional explode: one row per (doc, shingle position).
+    // Fan.spread: the explode below multiplies rows ~1000x — a compact
+    // input must not run that on one core (see [[Fan]])
     val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
-    val shingled = docs
-      .select(col(idCol).as("id"), norm.as("norm"))
+    val shingled = Fan.spread(docs.select(col(idCol).as("id"), norm.as("norm")))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - lit(shingleN - 1), lit(1)))).as("pos"))
@@ -128,12 +128,21 @@ object Dedup {
       k: Int = 16,
       bands: Int = 8,
       maxBucketSize: Int = 1000,
-      tier: HashTier = PortableMd5): DataFrame = {
+      tier: HashTier = PortableMd5): DataFrame =
+    pairsFromSigs(
+      minhashSignatures(docs, textCol, idCol, shingleN, k, tier),
+      k, bands, maxBucketSize, tier)
+
+  private def pairsFromSigs(
+      sigs: DataFrame,
+      k: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      tier: HashTier): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must be positive and divide k ($k); " +
         "otherwise band keys degenerate and the join goes quadratic")
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k, tier)
     val bandKeys = tier match {
       case PortableMd5 => H.lshBandKeys(col("sig"), bands, rowsPerBand)
       case FastXx => array((0 until bands).map { b =>
@@ -171,9 +180,15 @@ object Dedup {
       bands: Int = 8,
       maxBucketSize: Int = 1000,
       tier: HashTier = PortableMd5): DataFrame = {
-    val pairs = minhashCandidatePairs(
-      docs, textCol, idCol, shingleN, k, bands, maxBucketSize, tier)
+    // eager localCheckpoint, NOT a lazy rebuild per subtree: the banding
+    // branch and the two score joins would each re-run the explode→hash→
+    // min-agg pipeline (AQE's stage reuse does not collapse them — the
+    // materialized stages sit under differently-shaped parents), and NOT
+    // a persist: localCheckpoint blocks are invisible to the SQL cache
+    // and the ContextCleaner frees them once the result frame is dropped
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k, tier)
+      .localCheckpoint()
+    val pairs = pairsFromSigs(sigs, k, bands, maxBucketSize, tier)
     // codegen'd slot-match count (getItem + sum, no interpreted lambda)
     val matches = (0 until k)
       .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
@@ -206,8 +221,8 @@ object Dedup {
     // bit is plain arithmetic (ascii-48) — far cheaper than nBits
     // substring-IN-set comparisons per token (8 string equality tests per
     // bit), and identical in value.
-    val hashed = docs
-      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("tok"))
+    val hashed = Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(T.tokens(col("__t"))).as("tok"))
       .select(col("id"),
         translate(md5(col("tok")), "13579bdf02468ace", "1111111100000000").as("b"))
     val parities = hashed.select(
@@ -250,12 +265,11 @@ object Dedup {
     require(nBits % nBands == 0, "bands must evenly split the hash bits")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    // no persist: the banding branch and the two score joins all sit above
-    // the per-doc simhash aggregate's `groupBy(id)` exchange, which
-    // ReuseExchange dedups within the plan — the token explode + md5 scan
-    // runs once per job, and no cached blocks outlive the query (matters
-    // for the long-lived HttpShim session)
+    // eager localCheckpoint for the same reasons as [[minhashLsh]]'s sigs:
+    // three consumers (banding + two score joins) would each re-run the
+    // token explode + md5 + parity aggregate
     val sims = simhashPerDoc(docs, textCol, idCol, nBits)
+      .localCheckpoint()
     val banded = sims.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         concat_ws(":", lit(b),
@@ -465,7 +479,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(minDocs >= 2, "a line must repeat across documents to be boilerplate")
-    val lines = docs.select(
+    val lines = Fan.spread(docs.select(col(idCol), col(textCol))).select(
       col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
     // blank lines are document structure, not boilerplate — never removed
     val boiler = lines.filter(length(col("line")) > 0)
@@ -512,9 +526,12 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBlockSize)
       .select("block")
-    val capped = docs
+    // spread BEFORE tokenize+explode: the broadcast census join preserves
+    // the (possibly single-partition) scan partitioning
+    val capped = Fan.spread(docs
       .select(col(blockCol).as("block"), col(idCol).as("id"),
-        T.tokens(col(textCol)).as("toks"))
+        col(textCol).as("__t")))
+      .withColumn("toks", T.tokens(col("__t"))).drop("__t")
       .join(keptBlocks, Seq("block"))
     // shingle stream built explode-first with codegen'd slice/concat_ws —
     // NOT via wordShingles' `transform`, which is an interpreted HOF and

@@ -18,24 +18,32 @@ object Scratch {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
-    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet()
-        tasks.addAndGet(sc.stageInfo.numTasks)
+        val si = sc.stageInfo
+        val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s)
+          .getOrElse(-1L)
+        stageLog.add((si.stageId, si.numTasks, ms,
+          si.rddInfos.sortBy(_.id).map(_.name).mkString(">").take(90)))
       }
     })
+    val verbose = sys.env.contains("SPARK_GRAFT_STAGES")
     names.foreach { name =>
-      stages.set(0); tasks.set(0)
+      stageLog.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(300) // let listener drain
-      println(f"SCRATCH $name%-28s $sec%8.2f s  stages=${stages.get}  tasks=${tasks.get}")
+      import scala.jdk.CollectionConverters._
+      val st = stageLog.asScala.toSeq
+      println(f"SCRATCH $name%-28s $sec%8.2f s  stages=${st.size}  tasks=${st.map(_._2).sum}")
+      if (verbose) st.sortBy(-_._3).take(8).foreach { case (id, n, ms, nm) =>
+        println(f"  stage $id%4d  $ms%6d ms  $n%4d tasks  $nm")
+      }
     }
     spark.stop()
   }

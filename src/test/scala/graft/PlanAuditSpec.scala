@@ -61,14 +61,27 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
-  "dedup_minhash_pairs" should "partial-min the signature aggregation" in {
-    executed("dedup_minhash_pairs") should include("partial_min")
+  // the scored variants checkpoint their signature frame at construction,
+  // so the partial-aggregate property is audited on the signature frames
+  // themselves (the plans that actually run the hot explode+hash loop)
+  "minhash signatures" should "partial-min the signature aggregation" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Dedup.minhashSignatures(docs, k = 8)
+      .queryExecution.executedPlan.toString should include("partial_min")
   }
 
-  "dedup_simhash_hamming" should "partial-aggregate the bit parities and avoid cartesian joins" in {
-    val plan = executed("dedup_simhash_hamming")
-    plan should include("partial_sum")
-    plan should not include "CartesianProduct"
+  "simhash per-doc" should "partial-aggregate the bit parities" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Dedup.simhashPerDoc(docs, nBits = 32)
+      .queryExecution.executedPlan.toString should include("partial_sum")
+  }
+
+  "dedup_minhash_pairs" should "avoid cartesian joins" in {
+    executed("dedup_minhash_pairs") should not include "CartesianProduct"
+  }
+
+  "dedup_simhash_hamming" should "avoid cartesian joins" in {
+    executed("dedup_simhash_hamming") should not include "CartesianProduct"
   }
 
   "curate_corpus" should "prune the document scan to id+text" in {

@@ -25,18 +25,21 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
   private def persistentIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  "minhashLsh, minhashCandidatePairs and simhashNearDup" should
+  "single-consumer-chain LSH operators" should
     "register no persistent blocks at all" in {
     val before = persistentIds
-    Dedup.minhashLsh(docs, k = 8, bands = 4).count()
     Dedup.minhashCandidatePairs(docs, k = 8, bands = 4).count()
-    Dedup.simhashNearDup(docs, maxHamming = 4).count()
+    Dedup.simhashBuckets(docs, nBits = 8).count()
     (persistentIds -- before) shouldBe empty
   }
 
-  "the two-pass curation operators" should
+  "multi-consumer operators (checkpointed intermediates)" should
     "hold blocks only through the result frame, freed once it is dropped" in {
     val before = persistentIds
+    var scored: DataFrame = Dedup.minhashLsh(docs, k = 8, bands = 4)
+    scored.count()
+    var near: DataFrame = Dedup.simhashNearDup(docs, maxHamming = 4)
+    near.count()
     var pack: DataFrame = Curation.packSequences(
       Curation.chunkTokens(docs, chunkSize = 8, overlap = 2), binTokens = 64)
     pack.count()
@@ -46,6 +49,8 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     sample.count()
     // drop the results; the ContextCleaner reclaims the checkpoint blocks
     // without any catalog.clearCache() intervention
+    scored = null
+    near = null
     pack = null
     sample = null
     eventually(timeout(Span(30, Seconds))) {
