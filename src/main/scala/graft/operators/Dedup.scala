@@ -611,7 +611,8 @@ object Dedup {
       threshold: Double,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val v = vecs.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
+    val v = Fan.spread(
+      vecs.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v")))
     val l = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
     val r = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("block"))

@@ -28,7 +28,9 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Fan.spread: the per-row scoring (|q| cosines per corpus row) must
+    // not run on a one-row-group scan's single task
+    val c = Fan.spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
@@ -91,7 +93,7 @@ object Similarity {
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
     for (_ <- 0 until iters) {
-      val moments = corpus
+      val moments = Fan.spread(corpus.select(col(vecCol)))
         .select(cellOf(anchors, col(vecCol)).as("cell"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -155,10 +157,11 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       nprobe: Int = 1): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      cellOf(anchorSeq, col(vecCol)).as("cell"),
-      col(vecCol).as("cv"))
+    val c = Fan.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(
+        col(idCol).as("neighbor_id"),
+        cellOf(anchorSeq, col(vecCol)).as("cell"),
+        col(vecCol).as("cv"))
     val q = broadcast(queries.select(
         col(idCol).as("query_id"),
         explode(cellsOf(anchorSeq, col(vecCol), nprobe)).as("cell"),
