@@ -452,6 +452,56 @@ object SparkEntry {
       e.withColumn("scale", V.quantScale(col("embedding")))
         .select(col("vec_id"), col("scale"),
           V.quantize(col("embedding"), col("scale")).as("qvec"))
+    }),
+
+    // As-of join: each purchase gets the user's most recent prior-or-equal
+    // view (union + partitioned running last — one shuffle, never a range
+    // join). ts is bigint nanos (TIMESTAMP(NANOS) parquet), truncated to
+    // epoch-µs like sessionize: DuckDB reads nanos parquet at µs precision
+    "asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+          col("value").as("view_value"))
+      graft.operators.Joins.asOfJoin(purchases, views, Seq("user_id"), "ts",
+        seqCol = "view_id", attach = Seq("view_id", "view_value"))
+    }),
+
+    // Range join via bin bucketing: purchases paired with every click
+    // whose ±10-minute window contains them (cross-user time proximity —
+    // an equi-join on bin keys, never BroadcastNestedLoop). Same epoch-µs
+    // truncation as asof_join.
+    "range_join_events" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val halfWin = 600L * 1000 * 1000 // ±10 min in micros
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          (col("ts") - halfWin).as("w_start"), (col("ts") + halfWin).as("w_end"))
+      graft.operators.Joins.rangeJoin(purchases, clicks,
+        "p_ts", "w_start", "w_end", binWidth = 2 * halfWin)
+        .select(col("p_id"), col("c_id"), (col("p_ts") - col("c_ts")).as("dt_us"))
+    }),
+
+    // TF-IDF + BM25 keyword extraction: top-5 terms per document
+    "tfidf_topk" -> ((s, d) =>
+      graft.operators.Curation.tfidfTopTerms(t(s, d, "documents"), topK = 5)),
+
+    // Stratified mixture sampling: independent greedy quality-first fills
+    // to per-source token budgets (domain mixing weights)
+    "mixture_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        T.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        T.qualityScore(col("text"), enStop).as("quality"))
+      graft.operators.Curation.mixtureSample(docs, "source",
+        Map("src0" -> 800L, "src1" -> 500L, "src2" -> 300L))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
     })
   )
 
@@ -1031,6 +1081,86 @@ object SparkEntry {
          |JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
          |WHERE $cos > 0.0""".stripMargin
     },
+
+    // window-based replay of the as-of (not DuckDB's ASOF JOIN: that
+    // leaves the equal-ts tie among right rows unspecified, while the
+    // operator pins it to the greatest seqCol — the window replays the
+    // exact same ordering)
+    "asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, 9223372036854775807 AS seq,
+        |         event_id, value,
+        |         CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id, value
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (SELECT *,
+        |    last_value(v_id IGNORE NULLS) OVER win AS asof_view_id,
+        |    last_value(v_val IGNORE NULLS) OVER win AS asof_view_value,
+        |    last_value(CASE WHEN v_id IS NOT NULL THEN tsu END IGNORE NULLS)
+        |      OVER win AS asof_ts
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, seq
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, tsu AS ts, value,
+        |       asof_ts, asof_view_id, asof_view_value
+        |FROM w WHERE event_id IS NOT NULL""".stripMargin,
+
+    // the oracle states containment directly (BETWEEN join); the engine's
+    // bin-bucketed equi-join must produce the identical pair set
+    "range_join_events" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 600000000
+        |                        AND epoch_us(c.ts) + 600000000""".stripMargin,
+
+    // identical expression trees (operand order matters: the compare is a
+    // bit-hash after round-6 and FP arithmetic is not associative)
+    "tfidf_topk" ->
+      s"""WITH tr AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tr GROUP BY 1, 2),
+         |tfdl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(d) AS DOUBLE) / count(*) AS avgdl
+         |           FROM (SELECT doc_id, sum(tf) AS d FROM tf GROUP BY 1)),
+         |scored AS (
+         |  SELECT t.doc_id, t.term, t.tf, f.df,
+         |    round(CAST(t.tf AS DOUBLE)
+         |      * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 1.0))
+         |         + 1.0), 6) AS tfidf,
+         |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |                   / (CAST(f.df AS DOUBLE) + 0.5))
+         |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(t.tf AS DOUBLE)
+         |         + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(t.dl AS DOUBLE)) / avgdl)),
+         |      6) AS bm25
+         |  FROM tfdl t JOIN dfr f USING (term) CROSS JOIN corpus)
+         |SELECT doc_id, term, tf, df, tfidf, bm25 FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY tfidf DESC, term) <= 5""".stripMargin,
+
+    "mixture_sample" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |w AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |                             ORDER BY quality DESC, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM x)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM w
+         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
+         |                                WHEN 'src1' THEN 500 ELSE 300 END""".stripMargin,
 
     "vector_ivf_topk" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)

@@ -329,6 +329,126 @@ object Curation {
         size(col("__chunk")).cast("bigint").as("n_tokens"))
   }
 
+  /** Per-term relevance scoring: TF-IDF and BM25 for every (doc, term),
+    * keeping each document's `topK` terms — the keyword-extraction /
+    * doc-representation pass behind sparse retrieval and topic labeling.
+    *
+    * Shape: tokenize → explode → (doc, term) hash-agg for term frequency
+    * (map-side partial counts, the only pass over the token stream) →
+    * per-doc length via a partitioned window over the much smaller tf
+    * frame → term-keyed equi-join against the document-frequency
+    * aggregate. The df side is keyed by term — vocabulary-sized, NOT
+    * broadcastable at corpus scale, so it stays a shuffled equi-join and
+    * the corpus-level constants (N, avgdl) ride in via a broadcast
+    * single-row cross join. Top-k per doc is a partitioned window, never
+    * a global sort.
+    *
+    * Scores are rounded to 6 places and ordered (score desc, term asc) so
+    * the per-doc top-k is deterministic across engines. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      topK: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val tokenRows = Fan.spread(docs.select(col(idCol), T.tokens(col(textCol)).as("toks")))
+      .select(col(idCol), explode(col("toks")).as("term"))
+    val tf = tokenRows.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = sum(col("tf")).over(Window.partitionBy(col(idCol)))
+    val tfDl = tf.withColumn("dl", dl)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("d"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("d")).cast("double") / count(lit(1))).as("avgdl"))
+    val joined = tfDl.join(df, "term").crossJoin(broadcast(corpus))
+
+    // both scores written as the exact expression trees the oracle
+    // replays (same operand order: FP addition/multiplication is not
+    // associative, and the compare is bit-hash after round-6)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val idf = log((nD + 1.0) / (dfD + 1.0)) + 1.0
+    val tfidf = round(tfD * idf, 6)
+    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val bm25 = round(
+      bm25Idf * (tfD * (k1 + 1.0)) /
+        (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl")))), 6)
+
+    val scored = joined.select(col(idCol), col("term"), col("tf"), col("df"),
+      tfidf.as("tfidf"), bm25.as("bm25"))
+    val rank = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc))
+    scored.withColumn("__rank", rank).filter(col("__rank") <= topK).drop("__rank")
+  }
+
+  /** Stratified mixture sampling to per-stratum token budgets — domain
+    * mixing ("30 B web tokens, 10 B code, 5 B books") with the greedy
+    * quality-first fill of [[sampleToTokenBudget]] applied independently
+    * inside every stratum. Strata without a budget are dropped.
+    *
+    * Scale shape: the per-stratum running sum reuses the banded two-pass
+    * prefix sum — bands on `orderCol` value ranges WITHIN each stratum,
+    * so no window ever spans a whole stratum (strata are few and huge: a
+    * per-stratum window would put all of "web" through one task). Pass 1
+    * collects ≤ |budgets|×bands (stratum, band) token totals; pass 2 runs
+    * partitioned running sums plus broadcast cumulative offsets. Bands
+    * whose stratum budget is already exhausted by preceding bands are
+    * pruned before the window. `orderCol` must lie in [0, 1] (a quality
+    * score); higher values are kept first, ties broken by `idCol`. */
+  def mixtureSample(
+      docs: DataFrame,
+      strataCol: String,
+      budgets: Map[String, Long],
+      orderCol: String = "quality",
+      idCol: String = "doc_id",
+      tokenCol: String = "n_tokens",
+      bandsPerStratum: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val bandCol = least(
+      greatest(floor((lit(1.0) - col(orderCol)) * bandsPerStratum), lit(0.0)),
+      lit((bandsPerStratum - 1).toDouble)).cast("int")
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (k, t)) =>
+        when(col(strataCol) === k, t).otherwise(acc)
+      }
+    val banded = docs
+      .filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__band", bandCol)
+      .localCheckpoint() // eager: pass 1's collect + pass 2 share the blocks
+
+    val totals = banded.groupBy(col(strataCol), col("__band"))
+      .agg(sum(col(tokenCol)).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (s, b, _) => (s, b) }
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (stratum, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).flatMap { case (_, band, t) =>
+        val keep = if (acc <= budgets(stratum)) Some((stratum, band, acc)) else None
+        acc += t
+        keep
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF(strataCol, "__band", "__offset")
+    val w = Window.partitionBy(col(strataCol), col("__band"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .join(broadcast(offsetsDf), Seq(strataCol, "__band"))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w) + col("__offset"))
+      .filter(col("cum_tokens") <= budgetCol)
+      .drop("__band", "__offset")
+  }
+
   /** Deterministic token-budget sample: highest-quality docs first (ties
     * by id) until the running token budget is exhausted.
     *

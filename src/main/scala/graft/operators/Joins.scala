@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for scale: salting for skewed keys and explicit
@@ -50,6 +51,118 @@ object Joins {
   def keyFrequency(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(desc("n")).limit(topN)
+
+  /** As-of join: for each left row, attach the most recent right row with
+    * `right.ts <= left.ts` within the same `keys` group (the point-in-time
+    * join behind feature lookups, price marks, "state at event time").
+    * Spark has no ASOF JOIN operator; the naive formulations — a range
+    * join (quadratic blow-up) or a per-row subquery — do not survive
+    * scale. This is the scalable classic instead: tag both sides, union,
+    * ONE shuffle on `keys`, and a partitioned running `last(ignoreNulls)`
+    * window carries the latest right payload forward into each left row.
+    * Cost is a single exchange + sort, identical to sessionization's
+    * shape (same whale-key caveat, same mitigation).
+    *
+    * Determinism: right rows sharing one (keys, ts) are ordered by
+    * `seqCol` (a unique right-side column, e.g. its id) and the LAST one
+    * wins; left rows order after right rows at equal ts (MaxValue seq),
+    * so a right row at exactly `left.ts` matches (inclusive as-of).
+    *
+    * Output: left.* ++ (prefix+tsCol, attach.map(prefix+_)) — all null
+    * when no right row precedes (left-outer semantics). `maxStaleness`
+    * (same units as a numeric `tsCol`) nulls matches older than
+    * `left.ts - maxStaleness`, evaluated AFTER the window: a too-stale
+    * match is rejected, not replaced by an even staler one. */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      seqCol: String,
+      attach: Seq[String],
+      prefix: String = "asof_",
+      maxStaleness: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val rPayload = struct(
+      (col(tsCol).as("__rts") +: attach.map(col)): _*)
+    val rightTagged = right.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        col(seqCol).cast("long").as("__seq") :+ rPayload.as("__r")): _*)
+    val lPayload = struct(leftCols.map(col): _*)
+    val leftTagged = left.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        lit(Long.MaxValue).as("__seq") :+
+        lit(null).cast(rightTagged.schema("__r").dataType).as("__r") :+
+        lPayload.as("__l")): _*)
+    val unioned = rightTagged.withColumn("__l",
+      lit(null).cast(leftTagged.schema("__l").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = maxStaleness match {
+      case Some(tol) => when(
+        col("__ts") - matchedRaw.getField("__rts") <= tol, matchedRaw)
+      case None => matchedRaw
+    }
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__l").isNotNull)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as(s"$prefix$tsCol") +:
+          attach.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
+  }
+
+  /** Range (interval containment) join: pair each point row with every
+    * interval row whose `[startCol, endCol]` contains `pointCol`
+    * (optionally also matching `keys`). Spark's built-in plan for a
+    * BETWEEN join predicate is BroadcastNestedLoop — O(|points| ×
+    * |intervals|) and a non-starter at scale. This uses bin bucketing:
+    * each interval is exploded to the fixed-width bins it covers, each
+    * point belongs to exactly ONE bin, and the join becomes an equi-join
+    * on the bin key with an exact containment post-filter. Each
+    * qualifying pair is produced exactly once (the point's bin), so no
+    * dedup pass is needed. Cost: one keyed shuffle of points + intervals
+    * × avg-bins-per-interval — linear, AQE-skew-splittable.
+    *
+    * Skew guard: an interval spanning more than `maxBinsPerInterval`
+    * bins (a "whale" — one row exploding into millions of bin keys) is
+    * dropped, mirroring the LSH operators' `maxBucketSize` policy; size
+    * `binWidth` near the typical interval length so common intervals
+    * cover 1-2 bins. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      keys: Seq[String] = Seq.empty,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint (rename first): ${overlap.mkString(", ")}")
+    // exact integer division, NOT floor(c / w): double division of
+    // nanosecond-epoch magnitudes (~1.7e18) is inexact near bin edges and
+    // could bin a point outside its containing interval's bin range.
+    // `div` truncates toward zero but is monotone, so s<=p<=e still
+    // implies sbin<=pbin<=ebin — the only property binning needs.
+    def bin(c: String): Column = expr(s"`$c` div ${binWidth}L")
+    val s = col(startCol)
+    val e = col(endCol)
+    val binned = intervals
+      .filter(e >= s && (bin(endCol) - bin(startCol)) < maxBinsPerInterval)
+      .withColumn("__bin", explode(sequence(bin(startCol), bin(endCol))))
+    val pointsBinned = points.withColumn("__bin", bin(pointCol))
+    pointsBinned
+      .join(binned, (keys :+ "__bin").toSeq)
+      .filter(col(pointCol).between(s, e))
+      .drop("__bin")
+  }
 
   /** Persist a table bucketed (and sorted) by the join key: two tables
     * bucketed the same way join with NO exchange on either side — the

@@ -98,6 +98,19 @@ class PlanAuditSpec extends SparkSpec {
     all(windows.map(_.partitionSpec)) should not be empty
   }
 
+  "asof_join" should "be one keyed window pass, never a range join" in {
+    val plan = executed("asof_join")
+    plan should include("Window")
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+  }
+
+  "range_join_events" should "equi-join on bin keys, never BroadcastNestedLoop" in {
+    val plan = executed("range_join_events")
+    plan should not include "NestedLoop"
+    plan should not include "CartesianProduct"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -143,6 +143,61 @@ class CurationSpec extends SparkSpec {
     r(3L) shouldBe ((1L, false))
   }
 
+  "mixtureSample" should "fill each stratum's token budget independently" in {
+    val docs = Seq(
+      (1L, "A", 100L, 0.9), (2L, "A", 100L, 0.8), (3L, "A", 100L, 0.7),
+      (4L, "B", 100L, 0.95), (5L, "B", 100L, 0.1),
+      (6L, "C", 100L, 0.9) // no budget for C → dropped
+    ).toDF("doc_id", "source", "n_tokens", "quality")
+    val r = Curation.mixtureSample(docs, "source",
+      Map("A" -> 250L, "B" -> 100L))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cum_tokens"))
+      .toMap
+    // A: quality-desc greedy fill — 1 (cum 100), 2 (cum 200); 3 would hit 300 > 250
+    // B: 4 (cum 100 == budget, kept); 5 (cum 200) dropped
+    r shouldBe Map(1L -> 100L, 2L -> 200L, 4L -> 100L)
+  }
+
+  it should "break quality ties by id and respect a zero budget" in {
+    val docs = Seq(
+      (2L, "A", 50L, 0.5), (1L, "A", 50L, 0.5), (3L, "B", 10L, 0.9)
+    ).toDF("doc_id", "source", "n_tokens", "quality")
+    val kept = Curation.mixtureSample(docs, "source",
+      Map("A" -> 50L, "B" -> 0L))
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(1L) // tie at 0.5 → lower id first; B budget 0 keeps nothing
+  }
+
+  "tfidfTopTerms" should "compute tf, df and scores matching the formula" in {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Curation.tfidfTopTerms(docs, topK = 5)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("term")) ->
+        (x.getAs[Long]("tf"), x.getAs[Long]("df"),
+          x.getAs[Double]("tfidf"), x.getAs[Double]("bm25"))).toMap
+    val (tfA, dfA, tfidfA, bm25A) = r((1L, "a"))
+    tfA shouldBe 2L
+    dfA shouldBe 1L
+    // N=2 docs, avgdl=(3+2)/2=2.5; tfidf = tf * (ln((N+1)/(df+1)) + 1)
+    tfidfA shouldBe math.rint(2.0 * (math.log(3.0 / 2.0) + 1.0) * 1e6) / 1e6
+    // bm25 = ln(1+(N-df+0.5)/(df+0.5)) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    val expBm25 = math.log(1.0 + 1.5 / 1.5) * (2.0 * 2.2) /
+      (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.5))
+    bm25A shouldBe (expBm25 +- 1e-6)
+    r((1L, "b"))._3 shouldBe 1.0 // df=2=N → idf exactly 1, tfidf = tf = 1
+  }
+
+  it should "keep only each document's topK terms, rarest-first" in {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val top1 = Curation.tfidfTopTerms(docs, topK = 1)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("term")).toMap
+    top1 should have size 3
+    // doc 1: z and w both df=1 tf=1 → tie broken alphabetically → w
+    top1(1L) shouldBe "w"
+    top1(2L) shouldBe "y" // y (df=2) beats x (df=3)
+  }
+
   "ngramVocabulary" should "rank n-grams by occurrence with deterministic ties" in {
     val corpus = Seq(
       (1L, "to be or not to be"),

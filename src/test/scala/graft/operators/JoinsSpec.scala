@@ -52,4 +52,89 @@ class JoinsSpec extends SparkSpec {
     r(0).getString(0) shouldBe "hot"
     r(0).getLong(1) shouldBe 3L
   }
+
+  private lazy val trades = Seq(
+    (1L, "a", 100L, 9.0), (2L, "a", 205L, 8.0), (3L, "b", 50L, 7.0)
+  ).toDF("id", "key", "ts", "px")
+
+  private lazy val quotes = Seq(
+    (10L, "a", 100L, 1.0), // equal-ts → inclusive match for trade 1
+    (11L, "a", 200L, 2.0),
+    (12L, "a", 200L, 3.0), // equal-ts tie among quotes → max seq wins
+    (13L, "b", 60L, 9.0)   // after trade 3 → never matched
+  ).toDF("qid", "key", "ts", "qv")
+
+  private def asOfRows(maxStaleness: Option[Long] = None) =
+    Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qid", "qv"),
+      maxStaleness = maxStaleness)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("asof_qid")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong))).toMap
+
+  "asOfJoin" should "attach the most recent right row at or before each left ts" in {
+    val m = asOfRows()
+    m(1L) shouldBe (Some(10L), Some(100L)) // inclusive: right at exactly left.ts
+    m(2L) shouldBe (Some(12L), Some(200L)) // tie at ts=200 broken by max seq
+    m(3L) shouldBe (None, None)            // only future right rows → left-outer nulls
+  }
+
+  it should "preserve every left row and column" in {
+    val out = Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qv"))
+    out.count() shouldBe 3
+    out.columns.toSeq shouldBe Seq("id", "key", "ts", "px", "asof_ts", "asof_qv")
+  }
+
+  it should "null out matches older than maxStaleness without substituting staler ones" in {
+    // trade 2 at 205 matches quote at 200: staleness 5
+    asOfRows(maxStaleness = Some(5L))(2L) shouldBe (Some(12L), Some(200L))
+    asOfRows(maxStaleness = Some(4L))(2L) shouldBe (None, None)
+  }
+
+  it should "shuffle once on the keys (single window, no range join)" in {
+    val plan = Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qv"))
+      .queryExecution.executedPlan.toString
+    plan should include("Window")
+    (plan should not).include("NestedLoop")
+  }
+
+  private lazy val pts = Seq((1L, 5L), (2L, 10L), (3L, 99L)).toDF("pid", "x")
+  private lazy val ivs = Seq(
+    (10L, 0L, 5L),   // contains 5 at its end boundary
+    (11L, 6L, 10L),  // contains 10
+    (13L, 5L, 7L)    // contains 5 at its start boundary
+  ).toDF("iid", "s", "e")
+
+  "rangeJoin" should "pair points with containing intervals, boundaries inclusive" in {
+    val got = Joins.rangeJoin(pts, ivs, "x", "s", "e", binWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 10L), (1L, 13L), (2L, 11L))
+  }
+
+  it should "match the naive BETWEEN join on random data" in {
+    val rnd = new scala.util.Random(42)
+    val p = (1L to 60L).map(i => (i, rnd.nextLong(1000L))).toDF("pid", "x")
+    val iv = (1L to 40L).map { i =>
+      val s = rnd.nextLong(1000L); (i, s, s + rnd.nextLong(120L))
+    }.toDF("iid", "s", "e")
+    val naive = p.crossJoin(iv).filter(col("x").between(col("s"), col("e")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = Joins.rangeJoin(p, iv, "x", "s", "e", binWidth = 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    binned shouldBe naive
+    naive should not be empty
+  }
+
+  it should "drop whale intervals exceeding maxBinsPerInterval" in {
+    val whale = Seq((99L, 0L, 1000L)).toDF("iid", "s", "e")
+    val got = Joins.rangeJoin(pts, whale.union(ivs), "x", "s", "e",
+      binWidth = 10L, maxBinsPerInterval = 50)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 101 bins ≥ 50 → the whale is excluded, everything else unchanged
+    got shouldBe Set((1L, 10L), (1L, 13L), (2L, 11L))
+  }
+
+  it should "reject colliding non-key column names" in {
+    an[IllegalArgumentException] should be thrownBy
+      Joins.rangeJoin(pts, pts.withColumnRenamed("pid", "iid"), "x", "x", "x", 10L)
+  }
 }
