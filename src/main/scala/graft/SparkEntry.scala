@@ -502,6 +502,24 @@ object SparkEntry {
       graft.operators.Curation.mixtureSample(docs, "source",
         Map("src0" -> 800L, "src1" -> 500L, "src2" -> 300L))
         .select("doc_id", "source", "n_tokens", "cum_tokens")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis with a
+    // deterministic md5-uniform): 25 docs, long docs favored
+    "weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        T.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.operators.Curation.weightedSample(docs, "n_tokens", k = 25)
+    }),
+
+    // Deterministic training-shard assignment + per-shard mass accounting
+    "shard_assign" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), T.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.store.Export.assignShards(docs, nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     })
   )
 
@@ -1161,6 +1179,27 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, cum_tokens FROM w
          |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
          |                                WHEN 'src1' THEN 500 ELSE 300 END""".stripMargin,
+
+    // same A-ES key arithmetic: md5-uniform u = (bucket+0.5)/2^32 (exact
+    // power-of-two divisor), key = ln(u)/w, top-k by (key desc, id)
+    "weighted_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    ln((CAST(concat('0x', substr(md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+        |             AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS es_key
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) > 0)
+        |SELECT doc_id, source, n_tokens FROM x
+        |ORDER BY es_key DESC, doc_id LIMIT 25""".stripMargin,
+
+    "shard_assign" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+        |            AS BIGINT) % 8 AS INT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "vector_ivf_topk" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)

@@ -449,6 +449,39 @@ object Curation {
       .drop("__band", "__offset")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): item i gets key `ln(u_i) / w_i` with `u_i` a
+    * deterministic md5-uniform in (0, 1); the k largest keys are exactly
+    * a w-weighted sample without replacement. Same auditability story as
+    * [[hashSample]] — retry-stable, partition-order-independent, and the
+    * identical arithmetic replays in SQL — but with per-row weights
+    * (sample long documents proportionally more often) and an exact
+    * sample SIZE instead of an expected rate.
+    *
+    * Scale shape: the key is a per-row projection and the top-k compiles
+    * to `TakeOrderedAndProject` (per-partition heaps + driver merge of k
+    * rows), never a global sort. Rows with non-positive weight are
+    * excluded (they'd get key NaN/∞). */
+  def weightedSample(
+      docs: DataFrame,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bucket = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("bigint")
+    // (bucket + 0.5) / 2^32: exact in IEEE double (power-of-two divisor),
+    // strictly inside (0, 1) so ln never sees 0
+    val u = (bucket.cast("double") + 0.5) / 4294967296.0
+    docs.filter(col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Deterministic token-budget sample: highest-quality docs first (ties
     * by id) until the running token budget is exhausted.
     *

@@ -145,6 +145,44 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("content_md5")
 
+  /** Stream-stream interval join: every left event paired with the right
+    * events at most `windowSeconds` away — the streaming counterpart of
+    * [[graft.operators.Joins.rangeJoin]], and it uses the SAME bin-key
+    * trick, for two reasons. First, legality: Structured Streaming
+    * rejects stream-stream joins without an equality predicate; the bin
+    * key (left = its bin, right exploded to the ≤2 bins its window
+    * covers) provides one. Second, scale: the equi-key hash-partitions
+    * the join state instead of comparing every buffered pair. Both sides
+    * carry watermarks and the time-range condition lets the state store
+    * evict a buffered row once the other side's watermark guarantees no
+    * future match. Output: (l_id, l_ts, r_id, r_ts).
+    *
+    * Runs identically on bounded frames (batch parity is spec'd), where
+    * the bin key keeps it an equi-join rather than BroadcastNestedLoop. */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      windowSeconds: Long = 600L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val winUs = windowSeconds * 1000000L
+    val binUs = 2 * winUs
+    val l = left.select(col("event_id").as("l_id"),
+        col("ts").cast("timestamp").as("l_ts"))
+      .withWatermark("l_ts", watermarkDelay)
+      .withColumn("__lbin", expr(s"unix_micros(l_ts) div ${binUs}L"))
+    val r = right.select(col("event_id").as("r_id"),
+        col("ts").cast("timestamp").as("r_ts"))
+      .withWatermark("r_ts", watermarkDelay)
+      .withColumn("__rbin", explode(sequence(
+        expr(s"(unix_micros(r_ts) - ${winUs}L) div ${binUs}L"),
+        expr(s"(unix_micros(r_ts) + ${winUs}L) div ${binUs}L"))))
+    l.join(r,
+      col("__lbin") === col("__rbin") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("l_ts") <= col("r_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select("l_id", "l_ts", "r_id", "r_ts")
+  }
+
   /** Streaming entry: tail a directory of event parquet and maintain the
     * windowed counts (the `readStream → transform → writeStream` shape). */
   def streamWindowedCounts(

@@ -168,6 +168,29 @@ class CurationSpec extends SparkSpec {
     kept shouldBe Set(1L) // tie at 0.5 → lower id first; B budget 0 keeps nothing
   }
 
+  "weightedSample" should "draw a deterministic sample of exactly k rows" in {
+    val docs = (1L to 50L).map(i => (i, i * 10L)).toDF("doc_id", "w")
+    val a = Curation.weightedSample(docs, "w", k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Curation.weightedSample(docs, "w", k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    a shouldBe b // same seed → same sample, independent of execution
+    a should have size 5
+    a.toSet.subsetOf((1L to 50L).toSet) shouldBe true
+  }
+
+  it should "exclude non-positive weights and compile to a top-k, not a global sort" in {
+    val docs = Seq((1L, 0L), (2L, -3L), (3L, 5L), (4L, 5L))
+      .toDF("doc_id", "w")
+    Curation.weightedSample(docs, "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(3L, 4L)
+    // plan shape asserted where k < input rows (a limit covering the whole
+    // input is legitimately eliminated by EliminateLimits)
+    val many = (1L to 50L).map(i => (i, i)).toDF("doc_id", "w")
+    Curation.weightedSample(many, "w", k = 5)
+      .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   "tfidfTopTerms" should "compute tf, df and scores matching the formula" in {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val r = Curation.tfidfTopTerms(docs, topK = 5)

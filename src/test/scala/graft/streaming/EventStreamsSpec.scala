@@ -47,6 +47,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "intervalJoinStreams" should "pair events within the time window on streams" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = MemoryStream[(Long, Timestamp)]
+    val rhs = MemoryStream[(Long, Timestamp)]
+    lhs.addData((100L, ts("2024-01-01 10:00:00")), (101L, ts("2024-01-01 11:00:00")))
+    rhs.addData((200L, ts("2024-01-01 10:05:00")), (201L, ts("2024-01-01 10:30:00")),
+      (202L, ts("2024-01-01 12:00:00")))
+    val joined = EventStreams.intervalJoinStreams(
+      lhs.toDF().toDF("event_id", "ts"), rhs.toDF().toDF("event_id", "ts"),
+      windowSeconds = 600L)
+    val q = joined.writeStream.format("memory")
+      .queryName("interval_pairs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("interval_pairs").collect()
+        .map(x => (x.getLong(0), x.getLong(2))).toSet
+      // only purchase 100 has a click within ±10 min (200 at +5 min)
+      r shouldBe Set((100L, 200L))
+    } finally q.stop()
+  }
+
+  it should "give the same pairs on bounded frames (batch parity)" in {
+    val l = Seq((100L, ts("2024-01-01 10:00:00")), (101L, ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "ts")
+    val r = Seq((200L, ts("2024-01-01 10:05:00")), (201L, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "ts")
+    EventStreams.intervalJoinStreams(l, r, windowSeconds = 600L)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet shouldBe
+      Set((100L, 200L))
+  }
+
   "sessionizeStream" should "close sessions via event-time timeout across micro-batches" in {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
