@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, Joins}
 
 /** Scale-up stress: synthesize an n-doc corpus engine-side (no driver
   * data, fully codegen'd generation) and run the heavy operators,
@@ -39,6 +39,33 @@ object StressScale {
       (label, (System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // noop-sink timing (count() would let Catalyst prune the projections
+    // being measured); the untimed count afterwards is only the row tally
+    def timeNoop(label: String)(df: org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (label, secs, df.count())
+    }
+
+    // synthetic event stream at the same row scale: ~100 events/user
+    // spread over 30 days (µs), split into two interleaved streams
+    val spanUs = 30L * 24 * 3600 * 1000000L
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") % greatest(lit(n / 100L), lit(1L))).as("user_id"),
+      pmod(xxhash64(col("id")), lit(spanUs)).as("ts"))
+      .persist()
+    events.count()
+    val lhs = events.filter(col("event_id") % 2 === 0)
+    val rhs = events.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("rid"), col("user_id"), col("ts"))
+    val pts = events.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val ivs = events.filter(col("event_id") % 10 === 5)
+      .select(col("event_id").as("i_id"),
+        (col("ts") - 300000000L).as("w_start"), (col("ts") + 300000000L).as("w_end"))
+
     val results = Seq(
       time("dedup_exact")(Dedup.exact(docs).count()),
       time("minhash_fast")(
@@ -47,7 +74,16 @@ object StressScale {
       time("curate")(Curation.curate(docs).count()),
       time("clusters_fast")(
         Dedup.connectedComponents(
-          Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)).count())
+          Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)).count()),
+      timeNoop("asof_join")(
+        Joins.asOfJoin(lhs, rhs, Seq("user_id"), "ts", "rid", Seq("rid"))),
+      timeNoop("range_join")(
+        Joins.rangeJoin(pts, ivs, "p_ts", "w_start", "w_end",
+          binWidth = 600000000L)),
+      timeNoop("tfidf_topk")(Curation.tfidfTopTerms(docs)),
+      timeNoop("weighted_sample")(
+        Curation.weightedSample(
+          docs.withColumn("w", col("doc_id") % 97 + 1), "w", k = 1000))
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
