@@ -354,8 +354,11 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK > 0, "topK must be positive")
-    val tokenRows = Fan.spread(docs.select(col(idCol), T.tokens(col(textCol)).as("toks")))
-      .select(col(idCol), explode(col("toks")).as("term"))
+    // spread the RAW text before tokenizing: the tokens projection is the
+    // hot loop, and computing it pre-spread would run it inside the
+    // (possibly single-task) scan stage
+    val tokenRows = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
     val tf = tokenRows.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = sum(col("tf")).over(Window.partitionBy(col(idCol)))
