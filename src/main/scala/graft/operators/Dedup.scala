@@ -62,13 +62,13 @@ object Dedup {
 
   /** Per-doc MinHash signatures: (id, sig: array<bigint>[k]).
     *
-    * Lazy — no persist, no checkpoint. A single-consumer chain
-    * ([[minhashCandidatePairs]]) pipelines it straight into banding, with
-    * the census and pair-join branches sharing the banded exchange via
-    * stage reuse. [[minhashLsh]], whose three consumers AQE does not
-    * collapse, materializes this frame once via eager `localCheckpoint`
-    * (invisible to the SQL cache; blocks freed by the ContextCleaner once
-    * the result is dropped — nothing for a long-lived session to leak). */
+    * Lazy — no persist, no checkpoint. [[minhashCandidatePairs]] pipelines
+    * it straight into banding and materializes only the slim banded frame
+    * (see [[pairsFromSigs]]); [[minhashLsh]], whose score re-attach needs
+    * the signatures themselves again, materializes this frame once via
+    * eager `localCheckpoint` (invisible to the SQL cache; blocks freed by
+    * the ContextCleaner once the result is dropped — nothing for a
+    * long-lived session to leak). */
   def minhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
@@ -150,7 +150,15 @@ object Dedup {
           col("sig").getItem(b * rowsPerBand + r))): _*).cast("string")
       }: _*)
     }
+    // eager localCheckpoint: the banded frame has TWO consumers whose
+    // exchanges differ — the census shuffle partial-aggregates map-side,
+    // the pair join's does not — so neither ReuseExchange nor AQE stage
+    // reuse can collapse them, and without materialization the whole
+    // shingle+signature pipeline upstream executes TWICE (measured as two
+    // ~2 s scan+sig stage chains at sf0.1). The banded frame is tiny
+    // (docs × bands rows of (id, 32-hex band)), the cheapest point to cut.
     val banded = sigs.select(col("id"), explode(bandKeys).as("band"))
+      .localCheckpoint()
     // skew guard: drop band buckets larger than maxBucketSize
     val keptBands = banded.groupBy("band")
       .agg(count(lit(1)).as("_bn"))

@@ -28,7 +28,6 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
   "single-consumer-chain LSH operators" should
     "register no persistent blocks at all" in {
     val before = persistentIds
-    Dedup.minhashCandidatePairs(docs, k = 8, bands = 4).count()
     Dedup.simhashBuckets(docs, nBits = 8).count()
     (persistentIds -- before) shouldBe empty
   }
@@ -38,6 +37,10 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     val before = persistentIds
     var scored: DataFrame = Dedup.minhashLsh(docs, k = 8, bands = 4)
     scored.count()
+    // slim pair path: checkpoints only the banded frame (its census and
+    // join consumers have non-collapsible exchanges)
+    var pairs: DataFrame = Dedup.minhashCandidatePairs(docs, k = 8, bands = 4)
+    pairs.count()
     var near: DataFrame = Dedup.simhashNearDup(docs, maxHamming = 4)
     near.count()
     var pack: DataFrame = Curation.packSequences(
@@ -50,6 +53,7 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     // drop the results; the ContextCleaner reclaims the checkpoint blocks
     // without any catalog.clearCache() intervention
     scored = null
+    pairs = null
     near = null
     pack = null
     sample = null
