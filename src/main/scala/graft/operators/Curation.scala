@@ -40,17 +40,21 @@ object Curation {
       cfg: Config = Config(),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = scoredFrame(docs, cfg, textCol, idCol)
     val filtered = scored.filter(
       col("n_chars").between(cfg.minChars, cfg.maxChars) &&
         col("lang_id").isin(cfg.languages: _*) &&
         col("quality") >= cfg.minQuality)
-    // keep-first exact dedup on the order/duplication-robust fingerprint:
-    // one shuffle, map-side partial min
-    val keep = filtered
-      .groupBy(col("fp"))
-      .agg(min(col(idCol)).as(idCol))
-    filtered.join(keep, Seq("fp", idCol)).drop("fp")
+    // keep-first exact dedup on the order/duplication-robust fingerprint,
+    // as a partitioned-window pick, NOT a min-id census joined back: the
+    // census and join branches would be two consumers of `filtered` with
+    // non-collapsible exchanges, executing the whole scoring pipeline
+    // twice (the same trap pairsFromSigs documents). One shuffle on fp,
+    // one row per group out.
+    val rn = row_number().over(Window.partitionBy(col("fp")).orderBy(col(idCol)))
+    filtered.withColumn("__rn", rn).filter(col("__rn") === 1)
+      .drop("__rn", "fp")
   }
 
   /** Scored, unfiltered frame: every doc with its n_chars/n_tokens/
