@@ -164,7 +164,16 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize)
       .select("band")
+    // EXPLICIT partition count on the self-join input: AQE coalesces by
+    // shuffle BYTES, and the banded frame is tiny — but the join below
+    // multiplies rows quadratically per bucket, so a byte-based coalesce
+    // to one partition serializes the heavy stage. A numbered repartition
+    // is exempt from AQE coalescing; hash-on-band keeps it join-aligned
+    // (no further exchange) and both join sides read the ONE shared
+    // exchange.
+    val nPart = sigs.sparkSession.sparkContext.defaultParallelism
     val capped = banded.join(keptBands, Seq("band"))
+      .repartition(nPart, col("band"))
     // Pair generation carries ONLY (band, id): a doc sharing several bands
     // with a partner would otherwise push its whole signature array
     // through the join and the distinct — for the md5 tier that is 8×32
@@ -273,16 +282,24 @@ object Dedup {
     require(nBits % nBands == 0, "bands must evenly split the hash bits")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    // eager localCheckpoint for the same reasons as [[minhashLsh]]'s sigs:
-    // three consumers (banding + two score joins) would each re-run the
-    // token explode + md5 + parity aggregate
-    val sims = simhashPerDoc(docs, textCol, idCol, nBits)
+    // A simhash is ONE long, so — unlike minhash signatures (k×8 bytes,
+    // see pairsFromSigs) — it rides through the banding and the pair join
+    // for 8 bytes/row, and the Hamming distance computes inline from the
+    // joined hashes. That removes the two score re-joins entirely AND
+    // lets the radius filter run BEFORE the pair distinct, so the distinct
+    // shuffle carries only true near-dups, not every band collision.
+    //
+    // Eager localCheckpoint on the slim banded frame: its census and join
+    // consumers have non-collapsible exchanges (same reasoning as
+    // pairsFromSigs); Fan.spread first so the materialization and
+    // everything reading the pinned blocks stays parallel.
+    val banded = Fan.spread(simhashPerDoc(docs, textCol, idCol, nBits))
+      .select(col("id"), col("simhash"),
+        explode(array((0 until nBands).map(b =>
+          concat_ws(":", lit(b),
+            shiftright(col("simhash"), b * bandBits) .bitwiseAND(mask)))
+          : _*)).as("band"))
       .localCheckpoint()
-    val banded = sims.select(col("id"), col("simhash"),
-      explode(array((0 until nBands).map(b =>
-        concat_ws(":", lit(b),
-          shiftright(col("simhash"), b * bandBits) .bitwiseAND(mask)))
-        : _*)).as("band"))
     // the same skew guard as minhashLsh: simhash values of homogeneous
     // corpora concentrate, and one degenerate band bucket makes the
     // self-join quadratic
@@ -290,18 +307,18 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize)
       .select("band")
+    // numbered repartition: same AQE-coalesce exemption as pairsFromSigs —
+    // the self-join's row fan-out is invisible to byte-based coalescing
     val capped = banded.join(keptBands, Seq("band"))
-    val pairs = capped.select(col("band"), col("id").as("id_a"))
-      .join(capped.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("band"))
+    capped.select(col("band"), col("id").as("id_a"), col("simhash").as("sh_a"))
+      .join(capped.select(col("band"), col("id").as("id_b"), col("simhash").as("sh_b")),
+        Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(sims.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sims.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over a candidate-pair set: near-dup PAIRS only
