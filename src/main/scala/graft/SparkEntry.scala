@@ -175,6 +175,16 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4))),
 
+    // End-to-end near-dup removal: clusters → keep the canonical doc per
+    // component → anti-join = the deduplicated corpus
+    "dedup_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.applyClusters(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashCandidatePairs(docs, shingleN = 5, k = 8, bands = 4)))
+        .select("doc_id", "source")
+    }),
+
     // Blocked n-gram Jaccard pairs (block = source)
     "shingle_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", shingleN = 3)),
@@ -614,6 +624,24 @@ object SparkEntry {
        |FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id""".stripMargin
   }
 
+  /** Shared CTE chain: minhash candidate pairs → undirected edges →
+    * recursive reachability → per-node min label (= the cluster keeper).
+    * `dedup_clusters` selects the labels; `dedup_apply` anti-joins the
+    * non-keepers against the corpus. */
+  private lazy val clustersCteSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$minhashPairsSql
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
   /** DuckDB replay of [[H.simhash]] over the token array of `text`. */
   private def simhashSql(nBits: Int): String = {
     val odd = H.oddHex.map(h => s"'$h'").mkString(", ")
@@ -752,18 +780,14 @@ object SparkEntry {
     },
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |$minhashPairsSql
-         |),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM pairs),
-         |reach(id, comp) AS (
-         |  SELECT DISTINCT src AS id, src AS comp FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
+      s"""$clustersCteSql
+         |SELECT id, comp FROM labels""".stripMargin,
+
+    "dedup_apply" ->
+      s"""$clustersCteSql,
+         |losers AS (SELECT id FROM labels WHERE id <> comp)
+         |SELECT d.doc_id, d.source
+         |FROM documents d ANTI JOIN losers l ON d.doc_id = l.id""".stripMargin,
 
     // sparse similarity join (overlapping pairs only), mirroring
     // Dedup.ngramJaccardPairs' exploded shape and both skew guards

@@ -321,6 +321,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Apply near-dup clusters to the corpus — the step the whole dedup
+    * family exists for: drop every clustered document except its
+    * component's canonical keeper (the minimum id, which IS the component
+    * label [[connectedComponents]] assigns). Unclustered documents pass
+    * through untouched. One left-anti join against the non-keeper id set,
+    * which is at most (clustered docs − clusters) rows — tiny next to the
+    * corpus, so AQE broadcasts it and the corpus never shuffles. */
+  def applyClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a candidate-pair set: near-dup PAIRS only
     * become deduplicatable once grouped into clusters (keep one doc per
     * component). Min-label propagation: every node repeatedly takes the

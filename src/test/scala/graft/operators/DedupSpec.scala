@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
   }
 
+  "applyClusters" should "keep one canonical doc per cluster and pass unclustered docs" in {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"), (9L, "e"), (11L, "f"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
+    val kept = Dedup.applyClusters(corpus, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3} keeps 1; {7,9} keeps 7; 11 was never clustered
+    kept shouldBe Set(1L, 7L, 11L)
+  }
+
   it should "converge on a long chain (diameter > 2)" in {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val r = Dedup.connectedComponents(chain).collect()
