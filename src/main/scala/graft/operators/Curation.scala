@@ -418,6 +418,10 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "need at least one stratum budget")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(docs.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"mixtureSample strata must be strings (budget keys are): '$strataCol' " +
+        s"is ${docs.schema(strataCol).dataType.simpleString}")
     val bandCol = least(
       greatest(floor((lit(1.0) - col(orderCol)) * bandsPerStratum), lit(0.0)),
       lit((bandsPerStratum - 1).toDouble)).cast("int")

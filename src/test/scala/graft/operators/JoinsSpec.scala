@@ -90,6 +90,27 @@ class JoinsSpec extends SparkSpec {
     asOfRows(maxStaleness = Some(4L))(2L) shouldBe (None, None)
   }
 
+  it should "match a naive per-row maximum on random data" in {
+    val rnd = new scala.util.Random(7)
+    val l = (1L to 80L).map(i => (i, s"k${rnd.nextInt(5)}", rnd.nextLong(500L)))
+      .toDF("id", "key", "ts")
+    val r = (101L to 160L).map(i => (i, s"k${rnd.nextInt(5)}", rnd.nextLong(500L), i * 1.0))
+      .toDF("qid", "key", "ts", "qv")
+    val got = Joins.asOfJoin(l, r, Seq("key"), "ts", "qid", Seq("qid"))
+      .collect().map(x => x.getAs[Long]("id") ->
+        Option(x.getAs[java.lang.Long]("asof_qid")).map(_.toLong)).toMap
+    // naive oracle: per left row, the right row with max (ts, qid) among
+    // rights at-or-before it in the same key group
+    val rights = r.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val expected = l.collect().map { x =>
+      val (id, key, ts) = (x.getLong(0), x.getString(1), x.getLong(2))
+      val cands = rights.filter(q => q._2 == key && q._3 <= ts)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(q => (q._3, q._1))._1))
+    }.toMap
+    got shouldBe expected
+  }
+
   it should "shuffle once on the keys (single window, no range join)" in {
     val plan = Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qv"))
       .queryExecution.executedPlan.toString
