@@ -514,6 +514,17 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     }),
 
+    // BPE tokenizer: merges trained on the vocabulary-sized word-freq
+    // table (driver loop never touches the corpus), corpus encoded via a
+    // broadcast segmentation lookup. Iterative training has no SQL
+    // replay — rows-only check; semantics pinned in BpeSpec.
+    "bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Bpe.encode(docs,
+        graft.operators.Bpe.train(docs, nMerges = 20))
+        .select("doc_id", "pos", "word", "n_subwords")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis with a
     // deterministic md5-uniform): 25 docs, long docs favored
     "weighted_sample" -> ((s, d) => {
