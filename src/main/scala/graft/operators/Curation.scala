@@ -126,18 +126,27 @@ object Curation {
       cfg: Config = Config(),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = scoredFrame(docs, cfg, textCol, idCol)
     val lenOk = col("n_chars").between(cfg.minChars, cfg.maxChars)
     val langOk = lenOk && col("lang_id").isin(cfg.languages: _*)
     val qualOk = langOk && col("quality") >= cfg.minQuality
-    val kept = curate(docs, cfg, textCol, idCol)
-      .agg(count(lit(1)).as("n_dedup"), sum(col("n_tokens")).as("kept_tokens"))
-    scored.agg(
-      count(lit(1)).as("n_input"),
-      sum(lenOk.cast("long")).as("n_len_ok"),
-      sum(langOk.cast("long")).as("n_lang_ok"),
-      sum(qualOk.cast("long")).as("n_qual_ok"))
-      .crossJoin(kept) // both sides are single rows
+    // dedup-survivor flag WITHOUT re-running the scoring pipeline through
+    // curate(): the keeper of a fingerprint group is the minimum id among
+    // its gate-surviving rows, computable as a conditional window min —
+    // one scan, one fp-partitioned window, one aggregate
+    val minQualId = min(when(qualOk, col(idCol)))
+      .over(Window.partitionBy(col("fp")))
+    val survivor = qualOk && col(idCol) === minQualId
+    scored
+      .withColumn("__surv", survivor)
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(lenOk.cast("long")).as("n_len_ok"),
+        sum(langOk.cast("long")).as("n_lang_ok"),
+        sum(qualOk.cast("long")).as("n_qual_ok"),
+        sum(col("__surv").cast("long")).as("n_dedup"),
+        sum(when(col("__surv"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
   }
 
   /** Sequence packing: lay the chunk stream end-to-end in deterministic
