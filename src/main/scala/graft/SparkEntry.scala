@@ -1150,15 +1150,16 @@ object SparkEntry {
         |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id, value
         |  FROM events WHERE event_type = 'view'),
         |w AS (SELECT *,
-        |    last_value(v_id IGNORE NULLS) OVER win AS asof_view_id,
-        |    last_value(v_val IGNORE NULLS) OVER win AS asof_view_value,
-        |    last_value(CASE WHEN v_id IS NOT NULL THEN tsu END IGNORE NULLS)
-        |      OVER win AS asof_ts
+        |    last_value(CASE WHEN v_id IS NOT NULL
+        |               THEN struct_pack(id := v_id, val := v_val, ts := tsu) END
+        |               IGNORE NULLS) OVER win AS m
         |  FROM tagged
         |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, seq
         |                 ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, user_id, tsu AS ts, value,
-        |       asof_ts, asof_view_id, asof_view_value
+        |       struct_extract(m, 'ts') AS asof_ts,
+        |       struct_extract(m, 'id') AS asof_view_id,
+        |       struct_extract(m, 'val') AS asof_view_value
         |FROM w WHERE event_id IS NOT NULL""".stripMargin,
 
     // the oracle states containment directly (BETWEEN join); the engine's
@@ -1176,7 +1177,7 @@ object SparkEntry {
     "tfidf_topk" ->
       s"""WITH tr AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tr GROUP BY 1, 2),
+         |       FROM tr WHERE length(term) > 0 GROUP BY 1, 2),
          |tfdl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
          |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
          |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

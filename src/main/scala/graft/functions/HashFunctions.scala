@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
+  /** Deterministic uniform bucket in [0, 2^32) from a seeded md5 of an
+    * id — the shared primitive behind hash-Bernoulli sampling
+    * ([[graft.operators.Curation.hashSample]]), weighted sampling
+    * ([[graft.operators.Curation.weightedSample]]) and shard assignment
+    * ([[graft.store.Export.assignShards]]). Engine-portable: the same
+    * arithmetic replays verbatim in SQL (`('0x' || substr(md5(...), 1,
+    * 8))::BIGINT`), so every sampler/assigner keeps its cross-engine
+    * determinism from ONE definition. */
+  def md5Bucket(seed: Long, id: Column): Column =
+    conv(substring(
+      md5(concat_ws(":", lit(seed.toString), id.cast("string"))),
+      1, 8), 16, 10).cast("bigint")
+
   /** MinHash signature (portable): array of k minima of seeded md5 over
     * the shingle set. */
   def minhashSignatureMd5(shingles: Column, k: Int): Column =

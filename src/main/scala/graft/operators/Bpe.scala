@@ -113,11 +113,13 @@ object Bpe {
         case Some(row) =>
           val (a, b) = (row.getString(0), row.getString(1))
           merges += ((a, b))
-          val prev = seg
+          // the superseded iteration frame becomes unreachable here; its
+          // checkpoint blocks are reclaimed by the ContextCleaner
+          // (Dataset.unpersist would be a no-op: it only touches the SQL
+          // cache, never checkpoint block storage)
           seg = seg.select(col("word"), col("freq"),
             applyMerge(col("syms"), a, b).as("syms"))
             .localCheckpoint()
-          prev.unpersist()
           i += 1
         case None => exhausted = true
       }

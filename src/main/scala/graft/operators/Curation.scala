@@ -146,7 +146,9 @@ object Curation {
         sum(langOk.cast("long")).as("n_lang_ok"),
         sum(qualOk.cast("long")).as("n_qual_ok"),
         sum(col("__surv").cast("long")).as("n_dedup"),
-        sum(when(col("__surv"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        // no otherwise(0): with zero survivors the sum must be NULL (the
+        // oracle aggregates an empty CTE), not 0
+        sum(when(col("__surv"), col("n_tokens"))).as("kept_tokens"))
   }
 
   /** Sequence packing: lay the chunk stream end-to-end in deterministic
@@ -295,8 +297,7 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
     val bucket = pmod(
-      conv(substring(md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
-        1, 8), 16, 10).cast("bigint"),
+      graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
       lit(1000000L))
     val fracOf = fractions.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
       case (acc, (k, f)) => when(col(strataCol) === k, f).otherwise(acc)
@@ -372,6 +373,9 @@ object Curation {
     // (possibly single-task) scan stage
     val tokenRows = Fan.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      // \s+-split emits an empty token for leading whitespace / empty
+      // text; a phantom '' term would enter tf/df and the BM25 length
+      .filter(length(col("term")) > 0)
     val tf = tokenRows.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = sum(col("tf")).over(Window.partitionBy(col(idCol)))
@@ -489,9 +493,7 @@ object Curation {
       seed: Long = 42L,
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val bucket = conv(substring(
-      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
-      1, 8), 16, 10).cast("bigint")
+    val bucket = graft.functions.HashFunctions.md5Bucket(seed, col(idCol))
     // (bucket + 0.5) / 2^32: exact in IEEE double (power-of-two divisor),
     // strictly inside (0, 1) so ln never sees 0
     val u = (bucket.cast("double") + 0.5) / 4294967296.0
@@ -530,39 +532,13 @@ object Curation {
       curated: DataFrame,
       tokenBudget: Long,
       idCol: String = "doc_id",
-      qualityBands: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // disjoint value ranges, clamped: higher quality ⇒ lower band index.
-    // floor() is monotone, so cross-band order is exactly quality order;
-    // intra-band order is restored by the partitioned window below.
-    val bandCol = least(
-      greatest(floor((lit(1.0) - col("quality")) * qualityBands), lit(0.0)),
-      lit((qualityBands - 1).toDouble)).cast("int")
-    val banded = curated.withColumn("q_band", bandCol)
-      .localCheckpoint()
-
-    // pass 1: per-band totals — ≤ qualityBands rows, safe to collect
-    val totals = banded.groupBy(col("q_band"))
-      .agg(sum(col("n_tokens")).as("band_tokens"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, tk) =>
-      val row = (b, acc); acc += tk; row
-    }.filter(_._2 <= tokenBudget) // band can't contribute once its offset is spent
-
-    // pass 2: per-band running sum + broadcast cumulative offset
-    val spark = curated.sparkSession
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("q_band", "band_offset")
-    val w = Window.partitionBy(col("q_band"))
-      .orderBy(col("quality").desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    banded
-      .join(broadcast(offsetsDf), Seq("q_band"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("band_offset"))
-      .filter(col("cum_tokens") <= tokenBudget)
-      .drop("q_band", "band_offset")
-  }
+      qualityBands: Int = 1024): DataFrame =
+    // exactly the single-stratum case of [[mixtureSample]] — one shared
+    // implementation of the banded prefix-sum machinery
+    mixtureSample(
+      curated.withColumn("__stratum", lit("all")),
+      "__stratum", Map("all" -> tokenBudget),
+      orderCol = "quality", idCol = idCol, tokenCol = "n_tokens",
+      bandsPerStratum = qualityBands)
+      .drop("__stratum")
 }

@@ -84,6 +84,11 @@ object Joins {
       maxStaleness: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asOfJoin needs at least one equi-key")
     val leftCols = left.columns.toSeq
+    val outNames = (s"$prefix$tsCol" +: attach.map(c => s"$prefix$c")).toSet
+    val clash = leftCols.toSet.intersect(outNames)
+    require(clash.isEmpty,
+      s"left columns collide with attached output names (change `prefix`): " +
+        clash.mkString(", "))
     val rPayload = struct(
       (col(tsCol).as("__rts") +: attach.map(col)): _*)
     val rightTagged = right.select(

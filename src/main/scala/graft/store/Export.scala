@@ -24,9 +24,7 @@ object Export {
       seed: Long = 42L,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val bucket = conv(substring(
-      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
-      1, 8), 16, 10).cast("bigint")
+    val bucket = graft.functions.HashFunctions.md5Bucket(seed, col(idCol))
     df.withColumn("shard", pmod(bucket, lit(nShards.toLong)).cast("int"))
   }
 

@@ -143,6 +143,14 @@ class CurationSpec extends SparkSpec {
     r(3L) shouldBe ((1L, false))
   }
 
+  "funnel" should "report NULL kept_tokens when nothing survives (oracle parity)" in {
+    val docs = Seq((1L, "tiny"), (2L, "also")).toDF("doc_id", "text") // all < minChars
+    val r = Curation.funnel(docs).collect()(0)
+    r.getAs[Long]("n_input") shouldBe 2L
+    r.getAs[Long]("n_dedup") shouldBe 0L
+    r.isNullAt(r.fieldIndex("kept_tokens")) shouldBe true
+  }
+
   "mixtureSample" should "fill each stratum's token budget independently" in {
     val docs = Seq(
       (1L, "A", 100L, 0.9), (2L, "A", 100L, 0.8), (3L, "A", 100L, 0.7),

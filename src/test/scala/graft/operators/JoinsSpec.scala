@@ -111,6 +111,12 @@ class JoinsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  it should "reject left columns that collide with attached output names" in {
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoin(trades.withColumn("asof_ts", lit(0L)), quotes,
+        Seq("key"), "ts", "qid", Seq("qv"))
+  }
+
   it should "shuffle once on the keys (single window, no range join)" in {
     val plan = Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qv"))
       .queryExecution.executedPlan.toString
