@@ -514,6 +514,44 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     }),
 
+    // Corpus length distribution per source: exact interpolated
+    // percentiles (Spark's sort-based percentile aggregate, not the
+    // approximate sketch — bit-identical to DuckDB's quantile_cont)
+    "length_quantiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), T.tokenCount(col("text")).cast("bigint").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n"), lit(0.5)).as("p50"),
+          percentile(col("n"), lit(0.9)).as("p90"),
+          percentile(col("n"), lit(0.99)).as("p99"))),
+
+    // Event-rate anomaly detection: hourly per-type counts more than 3
+    // population-sigmas above that type's mean. Variance from EXACT
+    // integer sums ((n·Σx² − (Σx)²)/n², the Descriptive kernel) — both
+    // engines then evaluate the identical IEEE boundary expression, so
+    // the flagged row set matches bit-for-bit.
+    "window_anomalies" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = t(s, d, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tts"), col("event_type"))
+        .groupBy(window(col("tts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"))
+      val win = Window.partitionBy(col("event_type"))
+      val n = col("n_events")
+      val c = count(lit(1)).over(win)
+      val s1 = sum(n).over(win)
+      val s2 = sum(n * n).over(win)
+      val mean = s1.cast("double") / c
+      val sd = sqrt((c * s2 - s1 * s1).cast("double") / (c * c).cast("double"))
+      hourly
+        .withColumn("__thr", mean + lit(3.0) * sd)
+        .filter(n.cast("double") > col("__thr"))
+        .select("window_start", "event_type", "n_events")
+    }),
+
     // BPE tokenizer: merges trained on the vocabulary-sized word-freq
     // table (driver loop never touches the corpus), corpus encoded via a
     // broadcast segmentation lookup. Iterative training has no SQL
@@ -1215,6 +1253,33 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, cum_tokens FROM w
          |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
          |                                WHEN 'src1' THEN 500 ELSE 300 END""".stripMargin,
+
+    "length_quantiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n, 0.5) AS p50,
+        |  quantile_cont(n, 0.9) AS p90,
+        |  quantile_cont(n, 0.99) AS p99
+        |FROM (SELECT source,
+        |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+
+    "window_anomalies" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |           AS window_start,
+        |         event_type, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS c,
+        |         CAST(sum(n_events) OVER win AS BIGINT) AS s1,
+        |         CAST(sum(n_events * n_events) OVER win AS BIGINT) AS s2
+        |  FROM h WINDOW win AS (PARTITION BY event_type))
+        |SELECT window_start, event_type, n_events FROM w
+        |WHERE CAST(n_events AS DOUBLE) >
+        |      CAST(s1 AS DOUBLE) / c
+        |      + 3.0 * sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)
+        |                   / CAST(c * c AS DOUBLE))""".stripMargin,
 
     // same A-ES key arithmetic: md5-uniform u = (bucket+0.5)/2^32 (exact
     // power-of-two divisor), key = ln(u)/w, top-k by (key desc, id)
