@@ -454,14 +454,26 @@ object SparkEntry {
         .drop("rank")
     }),
 
+    // Quantized retrieval: top-k by cosine of the int8-quantized vectors
+    // (exact integer dots, one double division) — quantization in USE,
+    // not just produced. The 4x-smaller resident corpus is the scale win.
+    "vector_knn_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopKInt8(e, e.filter(col("vec_id") < 5), 3)
+        .drop("rank")
+    }),
+
     // Symmetric int8 embedding quantization (4x storage shrink for ANN
     // candidate retrieval): per-row projection, halfway rule written as
     // floor(x/s + 0.5) so every engine computes the identical integer
     "vector_quantize" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      // qvec is serialized to its JSON text ("[1,-3,…]") so the result is
+      // all-scalar: the driver's differ canonicalizes rows by hashing and
+      // cannot sort/hash a list-typed column (r4's one red row).
       e.withColumn("scale", V.quantScale(col("embedding")))
         .select(col("vec_id"), col("scale"),
-          V.quantize(col("embedding"), col("scale")).as("qvec"))
+          to_json(V.quantize(col("embedding"), col("scale"))).as("qvec"))
     }),
 
     // As-of join: each purchase gets the user's most recent prior-or-equal
@@ -1003,13 +1015,43 @@ object SparkEntry {
          |ORDER BY n_occurrences DESC, gram
          |LIMIT 100""".stripMargin,
 
+    // quantize → integer dots → one double division: every step exact or
+    // single-IEEE, so the scores (and the top-k cut) replay bit-for-bit
+    "vector_knn_int8" -> {
+      def idot(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS BIGINT) * $b[i]), (x, y) -> x + y)"
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(
+         |      CASE WHEN s = 0 THEN 0
+         |           ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS INT)) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+         |            / 127.0 AS s
+         |        FROM embeddings)),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(${idot("q.qv", "c.qv")} AS DOUBLE) /
+         |      sqrt(CAST(${idot("q.qv", "q.qv")} AS DOUBLE) *
+         |           CAST(${idot("c.qv", "c.qv")} AS DOUBLE)) AS qcos
+         |  FROM qz c JOIN qz q
+         |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |  WHERE ${idot("q.qv", "q.qv")} > 0 AND ${idot("c.qv", "c.qv")} > 0)
+         |SELECT query_id, neighbor_id, qcos FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY qcos DESC, neighbor_id) <= 3""".stripMargin
+    },
+
     // mirrors VectorFunctions.quantScale/quantize: identical double
-    // arithmetic (maxabs/127, floor(x/s + 0.5)) in both engines
+    // arithmetic (maxabs/127, floor(x/s + 0.5)) in both engines; the int
+    // list is rendered as JSON text ("[1,-3,…]") on both sides so every
+    // output column is scalar-hashable by the driver's differ
     "vector_quantize" ->
       """SELECT vec_id, s AS scale,
-        |  list_transform(embedding, x -> CAST(
+        |  '[' || array_to_string(list_transform(embedding, x -> CAST(
         |    CASE WHEN s = 0 THEN 0
-        |         ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS INT)) AS qvec
+        |         ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS INT)), ',')
+        |      || ']' AS qvec
         |FROM (
         |  SELECT vec_id, embedding,
         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s

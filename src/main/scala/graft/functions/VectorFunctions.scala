@@ -25,6 +25,11 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Σ aᵢ·bᵢ over `array<int>` in long — exact integer arithmetic, the
+    * scoring primitive for int8-quantized candidate retrieval. */
+  def dotInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftFunctions.dotIntColumn(a, b)
+
   /** ‖a‖₂ in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -41,20 +41,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Nearest-anchor cell id for a vector column, computed as a PER-ROW
-    * expression over anchor literals: `least` over `struct(-cos, id)`
-    * implements argmax-cosine with ties to the smallest anchor id.
-    * No join, no shuffle — the anchors ride into the expression tree the
-    * way a broadcast variable would, and cell assignment stays inside the
-    * scan's projection. `anchors` must be driver-collectable (that is the
-    * IVF contract: centroid count ≪ corpus size). */
+  /** Top-k retrieval over int8-QUANTIZED vectors — the memory-bound scale
+    * path: quantization ([[V.quantScale]]/[[V.quantize]]) shrinks the
+    * resident corpus 4× and scoring becomes exact integer dot products
+    * ([[V.dotInt]], codegen'd long loop). The score is the cosine of the
+    * quantized vectors (per-vector scales cancel), computed as one double
+    * division of exact integers — deterministic in every engine, so the
+    * whole query replays in SQL. Zero-norm quantized vectors (cosine
+    * undefined) are excluded on both sides. Same broadcast-queries /
+    * corpus-never-shuffled plan as [[bruteForceTopK]]. */
+  def bruteForceTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    def quantized(df: DataFrame, id: String, v: String) = df.select(
+      col(idCol).as(id),
+      V.quantize(col(vecCol), V.quantScale(col(vecCol))).as(v))
+    val q = broadcast(quantized(queries, "query_id", "qq"))
+    val c = Fan.spread(quantized(corpus, "neighbor_id", "qc"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dqq", V.dotInt(col("qq"), col("qq")))
+      .withColumn("dcc", V.dotInt(col("qc"), col("qc")))
+      .filter(col("dqq") > 0 && col("dcc") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        (V.dotInt(col("qq"), col("qc")).cast("double") /
+          sqrt(col("dqq").cast("double") * col("dcc").cast("double"))).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Nearest-anchor cell id for a vector column — argmax-cosine with ties
+    * to the smallest anchor id, as a PER-ROW native expression
+    * ([[org.apache.spark.sql.graft.NearestCellF]]). No join, no shuffle —
+    * the anchors ride in the expression's codegen references the way a
+    * broadcast variable would, and cell assignment stays inside the
+    * scan's projection. Anchors-as-data (not unrolled literals) keeps the
+    * generated source value-independent, so Lloyd rounds with fresh
+    * anchors reuse ONE compiled class instead of recompiling ~2 s/round.
+    * `anchors` must be driver-collectable (that is the IVF contract:
+    * centroid count ≪ corpus size). */
   def cellOf(anchors: Seq[(Long, Seq[Float])], vec: Column): Column = {
     require(anchors.nonEmpty, "ivf needs at least one anchor")
-    val scored = anchors.sortBy(_._1).map { case (aid, av) =>
-      struct((-V.cosine(vec, typedLit(av))).as("negCos"), lit(aid).as("aid"))
+    val sorted = anchors.sortBy(_._1)
+    // ‖a‖ with the same ascending-index double fold + Math.sqrt that
+    // ConstantFolding used on the literal formulation — bit-identical
+    val norms = sorted.map { case (_, av) =>
+      math.sqrt(av.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
     }
-    if (scored.size == 1) lit(anchors.head._1)
-    else least(scored: _*).getField("aid")
+    org.apache.spark.sql.graft.GraftFunctions.nearestCellColumn(
+      vec, sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+      norms.toArray)
   }
 
   /** The `nprobe` nearest anchor ids, best first — still a per-row

@@ -2,11 +2,11 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense-vector dot product over
   * `array<float>` columns.
@@ -66,6 +66,167 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over `array<int>` columns (the int8-quantized
+  * ANN scoring hot loop — after [[graft.functions.VectorFunctions.quantize]]
+  * shrinks embeddings 4×, candidate scoring runs on these). Long
+  * accumulator: products of int8-range values can't overflow it at any
+  * realistic dimension, and exact integer results make the score
+  * oracle-replayable bit-for-bit (no FP fold-order concerns at all). */
+case class DotProductI(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-anchor (IVF cell) assignment over an `array<float>` vector
+  * column, with the anchor set carried as PLAIN DATA on the expression
+  * (not as child literals).
+  *
+  * Why not `least(struct(-cosine(vec, lit(anchor)), lit(aid)), …)`: that
+  * formulation contains `sqrt(graft_dot(lit, lit))` sub-expressions which
+  * ConstantFolding collapses into bare double literals INLINED into the
+  * generated Java source. Different anchor values ⇒ different source ⇒ a
+  * fresh Janino compile for every anchor set — in k-means refinement
+  * (each Lloyd round produces new anchors) every round recompiled its
+  * assignment stage, ~2 s/round of pure compilation at any data size.
+  * Here the anchors live in the codegen `references` array, the generated
+  * source is value-independent, and ONE compiled class serves every round
+  * and every anchor set.
+  *
+  * Semantics are bit-identical to the folded formulation (and to the
+  * DuckDB oracle replay): cosᵢ = dot(v,aᵢ) / (‖v‖·‖aᵢ‖) with the same
+  * ascending-index double fold for dots, driver-precomputed ‖aᵢ‖ equal to
+  * what ConstantFolding produced (`Math.sqrt` of the self-dot), argmin of
+  * (-cosᵢ, aidᵢ) under Spark's double ordering
+  * ([[org.apache.spark.sql.catalyst.util.SQLOrderingUtil]], the same
+  * comparator struct-`least` uses) with ties to the smallest anchor id.
+  * `aids`/`anchors`/`norms` must be parallel arrays sorted by aid.
+  */
+case class NearestCellF(
+    child: Expression,
+    aids: Array[Long],
+    anchors: Array[Array[Float]],
+    norms: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(aids.nonEmpty && aids.length == anchors.length &&
+    aids.length == norms.length, "aids/anchors/norms must be parallel and non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var nv = 0.0
+    var j = 0
+    while (j < n) {
+      nv += v.getFloat(j).toDouble * v.getFloat(j).toDouble
+      j += 1
+    }
+    nv = java.lang.Math.sqrt(nv)
+    var bestNeg = 0.0
+    var bestId = 0L
+    var i = 0
+    while (i < anchors.length) {
+      val anchor = anchors(i)
+      val m = math.min(n, anchor.length)
+      var d = 0.0
+      j = 0
+      while (j < m) {
+        d += v.getFloat(j).toDouble * anchor(j).toDouble
+        j += 1
+      }
+      val neg = -(d / (nv * norms(i)))
+      if (i == 0 || SQLOrderingUtil.compareDoubles(neg, bestNeg) < 0) {
+        bestNeg = neg
+        bestId = aids(i)
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aidsRef = ctx.addReferenceObj("aids", aids, "long[]")
+      val anchRef = ctx.addReferenceObj("anchors", anchors, "float[][]")
+      val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val n = ctx.freshName("n")
+      val nv = ctx.freshName("nv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val neg = ctx.freshName("neg")
+      val bestNeg = ctx.freshName("bestNeg")
+      val anchor = ctx.freshName("anchor")
+      s"""
+         |int $n = $a.numElements();
+         |double $nv = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $nv += (double) $a.getFloat($j) * (double) $a.getFloat($j);
+         |}
+         |$nv = java.lang.Math.sqrt($nv);
+         |double $bestNeg = 0.0;
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $anchRef.length; $i++) {
+         |  float[] $anchor = $anchRef[$i];
+         |  int $m = java.lang.Math.min($n, $anchor.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $d += (double) $a.getFloat($j) * (double) $anchor[$j];
+         |  }
+         |  double $neg = -($d / ($nv * $normRef[$i]));
+         |  if ($i == 0 ||
+         |      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($neg, $bestNeg) < 0) {
+         |    $bestNeg = $neg;
+         |    ${ev.value} = $aidsRef[$i];
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellF =
+    copy(child = newChild)
+}
+
 /** SQL-surface registration: `SELECT graft_dot(a, b)` after installing
   * via `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
@@ -90,4 +251,16 @@ object GraftFunctions {
   def dotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductF(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** DataFrame-API surface for the exact integer dot product. */
+  def dotIntColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductI(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** DataFrame-API surface for nearest-cell assignment; parallel arrays
+    * sorted by aid, `norms(i)` = ‖anchors(i)‖₂ in double. */
+  def nearestCellColumn(vec: Column, aids: Array[Long],
+      anchors: Array[Array[Float]], norms: Array[Double]): Column =
+    ExpressionUtils.column(NearestCellF(
+      ExpressionUtils.expression(vec), aids, anchors, norms))
 }
