@@ -18,9 +18,30 @@ import org.apache.spark.sql.DataFrame
   * partitions and then fans out, so the guard is not a test-only hack.
   */
 private[operators] object Fan {
+
+  /** Decide from logical-plan statistics, not from a materialized RDD.
+    *
+    * The previous probe (`df.rdd.getNumPartitions`) forced a full
+    * physical plan + RDD DAG per spread site just to count partitions.
+    * Catalyst's leaf statistics already know the scan size (file sources
+    * report listed bytes; local relations report row bytes), and the scan
+    * splits at `spark.sql.files.maxPartitionBytes` per partition — so
+    * `bytes / maxPartitionBytes` estimates the scan's partition count
+    * with no physical planning at all. The guard fires when that estimate
+    * is at most half the session parallelism, same threshold as before.
+    * (Conservative for heavily-filtered scans: without CBO a Filter keeps
+    * its child's sizeInBytes, so a big-but-filtered input is left alone —
+    * exactly the case where a repartition shuffle could be expensive.)
+    */
   def spread(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= parallelism) df.repartition(parallelism)
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val bytesPerSplit =
+      BigInt(spark.sessionState.conf.filesMaxPartitionBytes.max(1L))
+    val estPartitions =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes + bytesPerSplit - 1) /
+        bytesPerSplit
+    if (estPartitions * 2 <= parallelism) df.repartition(parallelism)
     else df
   }
 }
