@@ -22,7 +22,8 @@ import graft.render.ApiRender
   * `HttpShimSpec`.
   *
   * Routes (reference RunsController surface):
-  *  - `POST   /runs?userId=U&pipeline=P`  body = upload bytes → 201 {runId}
+  *  - `POST   /runs?userId=U&pipeline=P`  body = upload bytes, raw or
+  *    multipart/form-data with a file part named `run`     → 201 {runId}
   *  - `GET    /runs?userId=U[&pipelines=a,b]`                 → 200 [runs]
   *  - `GET    /runs/{id}?userId=U[&download=true]`            → 200
   *  - `PATCH  /runs/{id}?userId=U`        body = JSON patch   → 200 {counts}
@@ -33,8 +34,11 @@ import graft.render.ApiRender
   *
   * Auth mirrors the reference's SimpleKeyAuthStrategy: `userId` query param
   * (400 when missing) + `X-API-Key` header matched against the user's
-  * active key (401 when absent or wrong). `/stats/runs` is public, like the
-  * reference's stats endpoints.
+  * active key (401 when absent or wrong). `PATCH /users/{id}` instead uses
+  * HTTP Basic (reference `api/auth/BasicAuthStrategy.scala`): 401 +
+  * `WWW-Authenticate` challenge on missing/wrong credentials, 403 on an
+  * unverified account. `/stats/runs` is public, like the reference's stats
+  * endpoints.
   */
 final class HttpShim(sentinel: Sentinel) {
 
@@ -139,6 +143,38 @@ final class HttpShim(sentinel: Sentinel) {
         }
     }
 
+  /** HTTP Basic authentication (reference `api/auth/BasicAuthStrategy
+    * .scala`): missing/malformed credentials or a wrong password → 401
+    * with the `WWW-Authenticate` challenge; valid credentials on an
+    * unverified account → 403 (the reference's afterAuthenticate halt).
+    * None ⇒ the response was already sent. */
+  private def basicAuthed(ex: HttpExchange): Option[Records.User] = {
+    def challenge(): Option[Records.User] = {
+      ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"Sentinel Admins\"")
+      json(ex, 401, """{"message":"Authentication required to access resource."}""")
+      None
+    }
+    Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+      case Some(h) if h.regionMatches(true, 0, "Basic ", 0, 6) =>
+        val decoded =
+          try new String(java.util.Base64.getDecoder.decode(h.substring(6).trim),
+            StandardCharsets.UTF_8)
+          catch { case _: IllegalArgumentException => "" }
+        decoded.split(":", 2) match {
+          case Array(id, password) =>
+            UsersOps.authenticateByPassword(sentinel.warehouse, id, password) match {
+              case None => challenge()
+              case Some(u) if !u.verified =>
+                json(ex, 403, """{"message":"Unauthorized to access resource."}""")
+                None
+              case some => some
+            }
+          case _ => challenge()
+        }
+      case _ => challenge()
+    }
+  }
+
   private def handleRuns(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod.toUpperCase
@@ -150,10 +186,27 @@ final class HttpShim(sentinel: Sentinel) {
           q.get("pipeline") match {
             case None => json(ex, 400, """{"message":"Pipeline not specified."}""")
             case Some(pipeline) =>
-              val bytes = ex.getRequestBody.readAllBytes()
-              val id = sentinel.upload(
-                bytes, q.getOrElse("fileName", "upload.json"), pipeline, user)
-              json(ex, 201, obj("runId" -> id))
+              val raw = ex.getRequestBody.readAllBytes()
+              val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+              // multipart framing (reference RunsController:294-316): the
+              // upload is the file part named "run"; raw-body posts stay
+              // accepted as the simpler equivalent framing
+              val upload =
+                if (ct.toLowerCase.startsWith("multipart/form-data"))
+                  Multipart.boundaryOf(ct)
+                    .map(Multipart.parse(raw, _)).getOrElse(Seq.empty)
+                    .find(_.name == "run") match {
+                    case None =>
+                      json(ex, 400, """{"message":"Run summary file not specified."}""")
+                      None
+                    case some => some
+                  }
+                else Some(Multipart.Part("run", q.get("fileName"), raw))
+              upload.foreach { p =>
+                val id = sentinel.upload(
+                  p.bytes, p.fileName.getOrElse("upload.json"), pipeline, user)
+                json(ex, 201, obj("runId" -> id))
+              }
           }
         case ("GET", None) =>
           val pipelines = q.get("pipelines").map(_.split(',').toSeq).getOrElse(Seq.empty)
@@ -214,6 +267,22 @@ final class HttpShim(sentinel: Sentinel) {
         sentinel.addUser(field("id"), field("email"),
           field("password"), field("confirmPassword"))
         json(ex, 201, obj("id" -> field("id")))
+      case ("PATCH", Some(id)) =>
+        // the one HTTP-Basic route, like the reference
+        // (UsersController.scala:102 `val user = basicAuth()`)
+        basicAuthed(ex).foreach { user =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val node =
+            try mapper.readTree(body)
+            catch { case e: Exception =>
+              throw new JsonPatch.PatchParseException(s"patch is not JSON: ${e.getMessage}") }
+          val schemaErrs = patchSchema.validate(node)
+          if (schemaErrs.nonEmpty)
+            throw new JsonPatch.PatchParseException(
+              s"patch document invalid: ${schemaErrs.mkString("; ")}")
+          sentinel.patchUser(user, id, JsonPatch.parse(node))
+          ex.sendResponseHeaders(204, -1)
+        }
       case _ =>
         authed(ex).foreach { user =>
           (method, target) match {
@@ -226,18 +295,6 @@ final class HttpShim(sentinel: Sentinel) {
                   "id" -> u.id, "email" -> u.email, "verified" -> u.verified))
                 case None => throw new RunsLifecycle.NotFoundException(s"user $id not found")
               }
-            case ("PATCH", Some(id)) =>
-              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-              val node =
-                try mapper.readTree(body)
-                catch { case e: Exception =>
-                  throw new JsonPatch.PatchParseException(s"patch is not JSON: ${e.getMessage}") }
-              val schemaErrs = patchSchema.validate(node)
-              if (schemaErrs.nonEmpty)
-                throw new JsonPatch.PatchParseException(
-                  s"patch document invalid: ${schemaErrs.mkString("; ")}")
-              sentinel.patchUser(user, id, JsonPatch.parse(node))
-              ex.sendResponseHeaders(204, -1)
             case ("DELETE", Some(id)) =>
               sentinel.deleteUser(user, id)
               ex.sendResponseHeaders(204, -1)

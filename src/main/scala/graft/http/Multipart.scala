@@ -1,0 +1,75 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal `multipart/form-data` (RFC 7578) reader for the upload route —
+  * the reference accepts run summaries as a multipart file part named
+  * `run` (`api/RunsController.scala:294-316`, Scalatra's
+  * `FileUploadSupport`); this gives the shim the same wire framing
+  * without a servlet container. Byte-exact part bodies (uploads are
+  * arbitrary binary: gzip, UTF-8 JSON), CRLF-delimited per the RFC.
+  */
+private[http] object Multipart {
+
+  final case class Part(name: String, fileName: Option[String], bytes: Array[Byte])
+
+  /** The `boundary` parameter of a `multipart/form-data` Content-Type,
+    * unquoted; None when absent (⇒ not parseable as multipart). */
+  def boundaryOf(contentType: String): Option[String] =
+    contentType.split(';').map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("boundary=") =>
+        val v = p.substring("boundary=".length)
+        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+          v.substring(1, v.length - 1)
+        else v
+    }.filter(_.nonEmpty)
+
+  /** Split a multipart body into its parts. Tolerates a missing final
+    * CRLF before the closing delimiter; malformed part headers are
+    * skipped rather than failed (the caller 400s on a missing required
+    * part, mirroring the reference's fileParams lookup). */
+  def parse(body: Array[Byte], boundary: String): Seq[Part] = {
+    val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    val crlf = Array[Byte]('\r', '\n')
+    val marks = Iterator.iterate(indexOf(body, delim, 0))(p =>
+      if (p < 0) -1 else indexOf(body, delim, p + delim.length))
+      .takeWhile(_ >= 0).toSeq
+    marks.sliding(2).collect { case Seq(a, b) =>
+      // content of one part: after "--boundary" + CRLF, up to the CRLF
+      // preceding the next "--boundary"
+      val start = a + delim.length + crlf.length
+      val end = math.max(start, b - crlf.length)
+      if (start >= body.length || body(a + delim.length) == '-') None // closing "--"
+      else headerSplit(body, start, end)
+    }.flatten.toSeq
+  }
+
+  /** Parse one part: headers until CRLFCRLF, then the raw body. */
+  private def headerSplit(body: Array[Byte], start: Int, end: Int): Option[Part] = {
+    val sep = Array[Byte]('\r', '\n', '\r', '\n')
+    val hEnd = indexOf(body, sep, start)
+    if (hEnd < 0 || hEnd > end) return None
+    val headers = new String(body, start, hEnd - start, StandardCharsets.ISO_8859_1)
+    val disposition = headers.split("\r\n")
+      .find(_.toLowerCase.startsWith("content-disposition:"))
+      .getOrElse(return None)
+    def param(name: String): Option[String] =
+      s"""$name="([^"]*)"""".r.findFirstMatchIn(disposition).map(_.group(1))
+    param("name").map { n =>
+      Part(n, param("filename"),
+        java.util.Arrays.copyOfRange(body, hEnd + sep.length, end))
+    }
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

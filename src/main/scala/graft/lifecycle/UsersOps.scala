@@ -16,12 +16,13 @@ import graft.store.Warehouse
 /** User management (S10, M6, C8, C9 — reference `models/User.scala:41-138`,
   * `adapters/UsersAdapter.scala:46-133`).
   *
-  * Divergence note: the reference hashes with jBCrypt; that library isn't
-  * available offline, so passwords are hashed with the JDK-native
-  * PBKDF2WithHmacSHA256 (salted, 100k iterations) in the same
-  * `algo$salt$hash` self-describing format. The adapter surface —
-  * validation rules, 409/404/403 semantics, patchable paths — matches
-  * the reference exactly.
+  * Passwords hash with [[Bcrypt]] in the reference's exact `$2a$` format
+  * (`models/User.scala:77` `BCrypt.hashpw(password, BCrypt.gensalt())`) —
+  * implemented in-repo from the public algorithm since the offline build
+  * has no jBCrypt jar. Hashes produced by the r1-r4 interim scheme
+  * (`pbkdf2$salt$hash`, self-describing prefix) still verify. The adapter
+  * surface — validation rules, 409/404/403 semantics, patchable paths —
+  * matches the reference exactly.
   */
 object UsersOps {
 
@@ -61,20 +62,21 @@ object UsersOps {
 
   // ---- C9: password hashing + API key gen --------------------------------
 
+  private[lifecycle] def pbkdf2ForTest(password: String, salt: String): String =
+    pbkdf2(password, salt)
+
   private def pbkdf2(password: String, salt: String): String = {
     val spec = new PBEKeySpec(password.toCharArray, salt.getBytes("UTF-8"), 100000, 256)
     SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded.map(b => f"${b & 0xff}%02x").mkString
   }
 
-  def hashPassword(password: String): String = {
-    val salt = Ingest.md5Hex(
-      password + System.nanoTime().toString).substring(0, 16)
-    s"pbkdf2$$$salt$$${pbkdf2(password, salt)}"
-  }
+  def hashPassword(password: String): String =
+    Bcrypt.hashpw(password, Bcrypt.gensalt())
 
   def verifyPassword(password: String, stored: String): Boolean =
-    stored.split('$') match {
+    if (stored.startsWith("$2a$")) Bcrypt.checkpw(password, stored)
+    else stored.split('$') match { // r1-r4 interim PBKDF2 hashes
       case Array("pbkdf2", salt, hash) => pbkdf2(password, salt) == hash
       case _                           => false
     }
@@ -107,6 +109,18 @@ object UsersOps {
   def getUser(wh: Warehouse, id: String): Option[Records.User] =
     if (!wh.exists(Warehouse.Users)) None
     else wh.read(Warehouse.Users).filter(col("id") === id).collect().headOption
+      .map(r => Records.User(r.getAs[String]("id"), r.getAs[String]("email"),
+        r.getAs[Boolean]("verified"), r.getAs[Boolean]("isAdmin")))
+
+  /** HTTP Basic credential check (reference `api/auth/BasicAuthStrategy
+    * .scala:54-62` → `models/User.scala:63-77` passwordMatches): user row
+    * by id, stored hash verified against the presented password. Returns
+    * the user regardless of `verified` — the 403-on-unverified gate is
+    * the caller's (afterAuthenticate in the reference). */
+  def authenticateByPassword(wh: Warehouse, id: String, password: String): Option[Records.User] =
+    if (!wh.exists(Warehouse.Users)) None
+    else wh.read(Warehouse.Users).filter(col("id") === id).collect().headOption
+      .filter(r => verifyPassword(password, r.getAs[String]("hashedPassword")))
       .map(r => Records.User(r.getAs[String]("id"), r.getAs[String]("email"),
         r.getAs[Boolean]("verified"), r.getAs[Boolean]("isAdmin")))
 

@@ -48,6 +48,33 @@ class SentinelHttpSpec extends SparkSpec {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  /** Request with HTTP Basic credentials (the PATCH /users route). */
+  private def basicReq(method: String, path: String, userPass: String,
+      body: Array[Byte] = Array.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+    if (userPass != null)
+      b.header("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString(userPass.getBytes("UTF-8")))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** multipart/form-data body with one file part per (name, filename,
+    * bytes) triple — the reference's upload framing. */
+  private def multipart(boundary: String,
+      parts: (String, String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach { case (name, fileName, bytes) =>
+      out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+        s"""name="$name"; filename="$fileName"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8"))
+      out.write(bytes)
+      out.write("\r\n".getBytes("UTF-8"))
+    }
+    out.write(s"--$boundary--\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
   "the HTTP shim" should "run the full upload→stats→patch→download→delete round-trip" in {
     val maple = fixture("maple/maple_multi_sample_multi_rg.json")
 
@@ -127,6 +154,35 @@ class SentinelHttpSpec extends SparkSpec {
     req("GET", "/runs", "avg").body() shouldBe "[]"
   }
 
+  it should "accept multipart/form-data uploads via the file part named 'run'" in {
+    port // force server start + users
+    // reference RunsController:294-316: the upload rides in the file part
+    // named "run"; a multipart body without that part is 400, like the
+    // reference's fileParams halt
+    def mpPost(body: Array[Byte]): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/runs?pipeline=maple&userId=avg2"))
+        .header("X-API-Key", keyOf("avg2"))
+        .header("Content-Type", "multipart/form-data; boundary=GraftBoundary42")
+        .method("POST", HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    val payload = fixture("maple/maple_multi_sample_single_rg.json")
+    val mpResp = mpPost(multipart("GraftBoundary42",
+      ("run", "mp_upload.json", payload),
+      ("notes", "notes.txt", "ignored sibling part".getBytes)))
+    mpResp.statusCode() shouldBe 201
+    val mpRun = mpResp.body().split("\"")(3)
+    // the stored file round-trips byte-exact through the multipart framing
+    req("GET", s"/runs/$mpRun?download=true", "avg2").body() shouldBe
+      new String(payload, "UTF-8")
+    // a multipart body whose parts don't include "run" → 400
+    val mpMissing = mpPost(multipart("GraftBoundary42",
+      ("other", "x.json", "{}".getBytes)))
+    mpMissing.statusCode() shouldBe 400
+    mpMissing.body() should include("Run summary file not specified")
+  }
+
   it should "serve the users surface with the reference's status ladder" in {
     // self-registration (open, created unverified): 201; dup id: 409;
     // weak password: 422 with hints; junk: 400
@@ -151,15 +207,28 @@ class SentinelHttpSpec extends SparkSpec {
     req("GET", "/users/nobody", "avg") // authed as avg, asking for missing id
       .statusCode() shouldBe 403 // non-admin can't probe others; admin would see 404
 
-    // patch: self email 204; /verified non-admin 403; bad path 422
-    req("PATCH", "/users/avg", "avg",
+    // patch authenticates with HTTP Basic (reference UsersController:102):
+    // no credentials and wrong password → 401 with the WWW-Authenticate
+    // challenge; unverified account → 403; then self email 204,
+    // /verified non-admin 403, bad path 422
+    val noAuth = basicReq("PATCH", "/users/avg", null,
+      """[{"op":"replace","path":"/email","value":"new@test.id"}]""".getBytes)
+    noAuth.statusCode() shouldBe 401
+    noAuth.headers().firstValue("WWW-Authenticate").get() should include("Basic")
+    basicReq("PATCH", "/users/avg", "avg:WrongPass1",
+      """[{"op":"replace","path":"/email","value":"new@test.id"}]""".getBytes)
+      .statusCode() shouldBe 401
+    basicReq("PATCH", "/users/unv", "unv:Abc123",
+      """[{"op":"replace","path":"/email","value":"new@test.id"}]""".getBytes)
+      .statusCode() shouldBe 403
+    basicReq("PATCH", "/users/avg", "avg:Abc123",
       """[{"op":"replace","path":"/email","value":"new@test.id"}]""".getBytes)
       .statusCode() shouldBe 204
     req("GET", "/users/avg", "avg").body() should include("new@test.id")
-    req("PATCH", "/users/avg", "avg",
+    basicReq("PATCH", "/users/avg", "avg:Abc123",
       """[{"op":"replace","path":"/verified","value":true}]""".getBytes)
       .statusCode() shouldBe 403
-    req("PATCH", "/users/avg", "avg",
+    basicReq("PATCH", "/users/avg", "avg:Abc123",
       """[{"op":"replace","path":"/isAdmin","value":true}]""".getBytes)
       .statusCode() shouldBe 422
 
