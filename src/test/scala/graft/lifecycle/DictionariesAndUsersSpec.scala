@@ -99,13 +99,17 @@ class DictionariesAndUsersSpec extends SparkSpec {
     e.errors.size should be >= 3
   }
 
-  it should "hash and verify passwords (C9, PBKDF2 divergence documented)" in {
+  it should "hash and verify passwords (C9, bcrypt $2a$ like the reference)" in {
     val h = UsersOps.hashPassword("Passw0rd")
-    h should startWith("pbkdf2$")
+    h should startWith("$2a$")
     UsersOps.verifyPassword("Passw0rd", h) shouldBe true
     UsersOps.verifyPassword("wrong", h) shouldBe false
     // salted: same password, different hash
     UsersOps.hashPassword("Passw0rd") should not be h
+    // r1-r4 interim pbkdf2 hashes still verify (legacy acceptance)
+    val legacySalt = "0123456789abcdef"
+    UsersOps.verifyPassword("Passw0rd",
+      s"pbkdf2$$$legacySalt$$${UsersOps.pbkdf2ForTest("Passw0rd", legacySalt)}") shouldBe true
   }
 
   it should "patch /verified admin-only, /email and /password with validation" in {
