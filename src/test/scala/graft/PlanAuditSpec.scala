@@ -61,6 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
+  "vector_knn_int8" should "score with the codegen'd integer dot under the same broadcast plan" in {
+    val plan = executed("vector_knn_int8")
+    plan should include("BroadcastNestedLoopJoin BuildRight")
+    plan should include("graft_dot_int")
+    plan should include("WindowGroupLimit")
+  }
+
   // the scored variants checkpoint their signature frame at construction,
   // so the partial-aggregate property is audited on the signature frames
   // themselves (the plans that actually run the hot explode+hash loop)

@@ -50,6 +50,63 @@ class VectorExpressionsSpec extends SparkSpec {
     plan should include("*(1) Project [graft_dot")
   }
 
+  "DotProductI" should "compute exact integer dots in long" in {
+    val d = Seq(
+      (Seq(127, -127, 3), Seq(127, 127, 2)),
+      (Seq.empty[Int], Seq.empty[Int])
+    ).toDF("a", "b")
+    val r = d.select(VectorFunctions.dotInt(col("a"), col("b")).as("d"))
+      .as[Long].collect()
+    r(0) shouldBe (127L * 127 - 127L * 127 + 6)
+    r(1) shouldBe 0L
+  }
+
+  it should "agree between codegen and interpreted eval" in {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val lit = Literal.create(new GenericArrayData(Array(5, -3, 7)),
+      ArrayType(IntegerType))
+    val expr = org.apache.spark.sql.graft.DotProductI(lit, lit)
+    expr.eval(null) shouldBe (25L + 9 + 49) // interpreted path
+  }
+
+  "NearestCellF" should "assign argmax-cosine cells with ties to the smallest aid" in {
+    val anchors = Seq(
+      (0L, Seq(1f, 0f)),   // +x
+      (1L, Seq(0f, 1f)),   // +y
+      (2L, Seq(-1f, 0f)))  // -x
+    val d = Seq(
+      (10L, Seq(3f, 0.1f)),   // near +x -> 0
+      (11L, Seq(-2f, 0.2f)),  // near -x -> 2
+      (12L, Seq(0.1f, 5f)),   // near +y -> 1
+      (13L, Seq(1f, 1f))      // exact tie between 0 and 1 -> smallest aid 0
+    ).toDF("id", "v")
+    val cells = d.select(col("id"),
+      graft.operators.Similarity.cellOf(anchors, col("v")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cells shouldBe Map(10L -> 0L, 11L -> 2L, 12L -> 1L, 13L -> 0L)
+  }
+
+  it should "generate value-independent codegen source across anchor sets" in {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // the whole point of anchors-as-data: two DIFFERENT anchor sets must
+    // produce byte-identical generated source (one Janino compile serves
+    // every Lloyd round), with values reaching the code via references
+    def sourceFor(seed: Float): String = {
+      val ctx = new CodegenContext
+      val e = org.apache.spark.sql.graft.NearestCellF(
+        BoundReference(0, ArrayType(FloatType), nullable = false),
+        Array(0L, 1L), Array(Array(seed, 1f), Array(2f, seed)),
+        Array(1.0, 2.0))
+      val code = e.genCode(ctx)
+      code.code.toString
+    }
+    sourceFor(1.5f) shouldBe sourceFor(-42f)
+  }
+
   "cosine" should "compute the normalized similarity" in {
     val r = Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
       .toDF("a", "b")
