@@ -285,6 +285,13 @@ object SparkEntry {
       graft.operators.Curation.ngramVocabulary(
         t(s, d, "documents"), shingleN = 2, topK = 100)),
 
+    // Cross-document repeated-substring spans (ExactSubstr signal):
+    // 8-gram hits in >=2 distinct docs, merged into excisable per-doc
+    // token spans
+    "dedup_substrings" -> ((s, d) =>
+      graft.operators.Dedup.repeatedSubstringSpans(
+        t(s, d, "documents"), gramN = 8, minDf = 2)),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -996,6 +1003,38 @@ object SparkEntry {
          |FROM csh c LEFT JOIN bsh b ON c.s = b.s
          |GROUP BY 1""".stripMargin
     },
+
+    // mirrors Dedup.repeatedSubstringSpans: 8-gram df>=2 hits, span merge
+    // via the same lag/cumsum window (positions unique per doc => the
+    // window order is total and both engines agree exactly)
+    "dedup_substrings" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ex AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+         |  FROM base WHERE len(toks) >= 8),
+         |grams AS (
+         |  SELECT doc_id, p,
+         |    array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
+         |  FROM ex),
+         |rep AS (
+         |  SELECT gram FROM grams
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM grams JOIN rep USING (gram)),
+         |marked AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |spans AS (
+         |  SELECT doc_id, p,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+         |                  ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked)
+         |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+         |  CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) + 7 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM spans GROUP BY 1, 2""".stripMargin,
 
     // mirrors Curation.ngramVocabulary (bigrams, top-100, count desc then
     // gram asc — the tie-break makes the LIMIT deterministic)

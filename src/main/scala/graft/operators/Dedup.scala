@@ -502,6 +502,61 @@ object Dedup {
     resolved
   }
 
+  /** Cross-document repeated-SUBSTRING spans — the ExactSubstr signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a token n-gram occurring in ≥ `minDf` DISTINCT documents
+    * marks a memorizable region, and overlapping/adjacent marked grams
+    * merge into per-document spans `[span_start, span_end]` (token
+    * positions, 1-based) a curation pass can excise. Catches the middle
+    * ground line-dedup and whole-doc dedup both miss: multi-line license
+    * blocks, quoted paragraphs, syndicated passages.
+    *
+    * Shape at scale: tokenize → position explode → gram slice (all
+    * codegen projections) → one hash-agg keyed by gram for the distinct-
+    * doc frequency → keyed equi-join back (inner, ≤1 match per row — no
+    * fan-out; AQE's skew split handles whale grams) → per-document
+    * ordered window for the span merge (never a global window). The
+    * shuffles carry (gram) and (doc, pos) pairs, not documents. */
+  def repeatedSubstringSpans(
+      docs: DataFrame,
+      gramN: Int = 8,
+      minDf: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(gramN >= 2 && minDf >= 2, "gramN and minDf must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = Fan.spread(docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) >= gramN)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("toks")) - lit(gramN - 1))).as("p"),
+        col("toks"))
+      .select(col("id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(gramN))).as("gram"))
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val hits = grams.join(repeated, Seq("gram")).select(col("id"), col("p"))
+    // a hit opens a new span iff it doesn't overlap/touch the previous
+    // gram's [prev, prev + gramN - 1] token window
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    hits
+      .withColumn("ns",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") > lag(col("p"), 1).over(w) + gramN, 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(
+        Window.partitionBy(col("id")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id").as("doc_id"), col("span_id"))
+      .agg(
+        min(col("p")).cast("bigint").as("span_start"),
+        (max(col("p")) + lit(gramN - 1)).cast("bigint").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        col("span_end"), col("n_grams"))
+  }
+
   /** LINE-level boilerplate stripping — the dedup layer document-level
     * dedup misses: navigation headers, cookie banners, licence footers
     * repeat across pages without making whole documents duplicates

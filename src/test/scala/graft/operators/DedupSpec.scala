@@ -144,6 +144,40 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe "standalone page\nwith its own\nlines only" // byte round-trip
   }
 
+  "repeatedSubstringSpans" should "merge overlapping cross-doc gram hits into spans" in {
+    // shared license block = tokens "l1 ... l6" (6 tokens): with gramN=4
+    // and minDf=2 it yields 3 overlapping hits in each doc that must
+    // merge into ONE span covering the block
+    val license = "l1 l2 l3 l4 l5 l6"
+    val docs = Seq(
+      (1L, s"alpha beta $license gamma"),
+      (2L, s"$license delta epsilon zeta eta"),
+      (3L, "totally unrelated words only here now") // no repeated grams
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, gramN = 4, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: license at token positions 3-8; doc 2: positions 1-6
+    spans shouldBe Array((1L, 3L, 8L, 3L), (2L, 1L, 6L, 3L))
+  }
+
+  it should "split hits separated by more than a gram width into distinct spans" in {
+    val repA = "a1 a2 a3 a4"
+    val repB = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"$repA x1 x2 x3 x4 x5 $repB"), // two far-apart repeated blocks
+      (2L, s"$repA y1 y2 y3 y4 y5 $repB")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, gramN = 4, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    spans shouldBe Array(
+      (1L, 1L, 4L), (1L, 10L, 13L),
+      (2L, 1L, 4L), (2L, 10L, 13L))
+  }
+
   it should "preserve blank lines, and only count distinct documents" in {
     val pages = Seq(
       // the repeated line appears twice in ONE doc: not boilerplate
