@@ -64,6 +64,15 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // touch every timed-SF table once (footer/row-group metadata + OS page
+    // cache): the code warm-up above ran on the sf0.001 files, so without
+    // this the first timed query per table pays its cold-file cost
+    // (observed: fragment_stats pass1 3.4 s vs pass2 0.7 s)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
 
     // timed passes: noop-sink write (consumes full rows, writes nothing),
     // cold dataset cache per query

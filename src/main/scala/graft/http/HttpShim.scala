@@ -33,7 +33,7 @@ import graft.render.ApiRender
   *  - `GET    /references[/{id}]` / `GET /annotations[/{id}]` → 200 | 404
   *
   * Auth mirrors the reference's SimpleKeyAuthStrategy: `userId` query param
-  * (400 when missing) + `X-API-Key` header matched against the user's
+  * (400 when missing) + `X-Sentinel-Key` header matched against the user's
   * active key (401 when absent or wrong). `PATCH /users/{id}` instead uses
   * HTTP Basic (reference `api/auth/BasicAuthStrategy.scala`): 401 +
   * `WWW-Authenticate` challenge on missing/wrong credentials, 403 on an
@@ -132,7 +132,7 @@ final class HttpShim(sentinel: Sentinel) {
         json(ex, 400, """{"message":"User ID not specified."}""")
         None
       case Some(userId) =>
-        Option(ex.getRequestHeaders.getFirst("X-API-Key")) match {
+        Option(ex.getRequestHeaders.getFirst("X-Sentinel-Key")) match {
           case None =>
             json(ex, 401, """{"message":"Authentication required."}""")
             None

@@ -57,6 +57,15 @@ object StressScale {
       pmod(xxhash64(col("id")), lit(spanUs)).as("ts"))
       .persist()
     events.count()
+    // deterministic 64-dim embeddings in [-1, 1) for the int8 ANN path
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
+          .cast("float") / 1000f).as("embedding"))
+      .persist()
+    emb.count()
+
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("rid"), col("user_id"), col("ts"))
@@ -83,7 +92,18 @@ object StressScale {
       timeNoop("tfidf_topk")(Curation.tfidfTopTerms(docs)),
       timeNoop("weighted_sample")(
         Curation.weightedSample(
-          docs.withColumn("w", col("doc_id") % 97 + 1), "w", k = 1000))
+          docs.withColumn("w", col("doc_id") % 97 + 1), "w", k = 1000)),
+      // adversarial for substring spans: 3-grams over the 30-word vocab
+      // (27k possible grams ≪ corpus grams) make nearly every position a
+      // repeated hit, so the span-merge window sees ~n*48 rows and every
+      // doc collapses to one wall-to-wall span — the worst case for the
+      // gram join AND the merge window
+      timeNoop("substring_spans")(
+        Dedup.repeatedSubstringSpans(docs, gramN = 3)),
+      // int8 retrieval at corpus scale: 32 queries against all n docs
+      // (embeddings pre-materialized so generation isn't timed)
+      timeNoop("knn_int8")(graft.operators.Similarity.bruteForceTopKInt8(
+        emb, emb.filter(col("vec_id") < 32), k = 10))
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""

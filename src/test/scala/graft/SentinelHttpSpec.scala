@@ -44,7 +44,7 @@ class SentinelHttpSpec extends SparkSpec {
     val b = HttpRequest.newBuilder(URI.create(uri))
       .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
     if (user != null)
-      b.header("X-API-Key", if (key == null) keyOf(user) else key)
+      b.header("X-Sentinel-Key", if (key == null) keyOf(user) else key)
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
@@ -162,7 +162,7 @@ class SentinelHttpSpec extends SparkSpec {
     def mpPost(body: Array[Byte]): HttpResponse[String] = client.send(
       HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:$port/runs?pipeline=maple&userId=avg2"))
-        .header("X-API-Key", keyOf("avg2"))
+        .header("X-Sentinel-Key", keyOf("avg2"))
         .header("Content-Type", "multipart/form-data; boundary=GraftBoundary42")
         .method("POST", HttpRequest.BodyPublishers.ofByteArray(body)).build(),
       HttpResponse.BodyHandlers.ofString())
