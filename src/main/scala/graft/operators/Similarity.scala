@@ -99,15 +99,19 @@ object Similarity {
   }
 
   /** The `nprobe` nearest anchor ids, best first — still a per-row
-    * expression (sort a tiny anchor-score array, no join/shuffle). */
+    * expression (no join/shuffle). Interpreted on purpose
+    * ([[org.apache.spark.sql.graft.NearestCellsF]] is `CodegenFallback`):
+    * it runs only over the broadcast QUERY frame, so skipping codegen
+    * costs nothing per row and saves a per-anchor-set compile. */
   def cellsOf(anchors: Seq[(Long, Seq[Float])], vec: Column, nprobe: Int): Column = {
     require(anchors.nonEmpty, "ivf needs at least one anchor")
-    val scored = anchors.sortBy(_._1).map { case (aid, av) =>
-      struct((-V.cosine(vec, typedLit(av))).as("negCos"), lit(aid).as("aid"))
+    val sorted = anchors.sortBy(_._1)
+    val norms = sorted.map { case (_, av) =>
+      math.sqrt(av.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
     }
-    slice(
-      transform(array_sort(array(scored: _*)), s => s.getField("aid")),
-      1, math.min(nprobe, anchors.size))
+    org.apache.spark.sql.graft.GraftFunctions.nearestCellsColumn(
+      vec, sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+      norms.toArray, nprobe)
   }
 
   /** Lloyd-refined IVF anchors: start from a deterministic sample of the

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -227,6 +227,62 @@ case class NearestCellF(
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest anchors, best-first — [[NearestCellF]]'s
+  * multi-cell sibling for the QUERY side of an IVF probe. Deliberately
+  * `CodegenFallback`: it runs only over the broadcast query frame (a
+  * handful of rows by the IVF contract), where interpreted eval costs
+  * nothing and skipping codegen means zero compile cost per anchor set —
+  * the corpus-side hot path stays [[NearestCellF]]. Ordering is the same
+  * (-cos, aid) comparator, so cell 1 of `nprobe` cells always equals
+  * [[NearestCellF]]'s assignment. */
+case class NearestCellsF(
+    child: Expression,
+    aids: Array[Long],
+    anchors: Array[Array[Float]],
+    norms: Array[Double],
+    nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(aids.nonEmpty && aids.length == anchors.length &&
+    aids.length == norms.length && nprobe >= 1,
+    "aids/anchors/norms must be parallel and non-empty, nprobe >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var nv = 0.0
+    var j = 0
+    while (j < n) {
+      nv += v.getFloat(j).toDouble * v.getFloat(j).toDouble
+      j += 1
+    }
+    nv = java.lang.Math.sqrt(nv)
+    val scored = Array.tabulate(anchors.length) { i =>
+      val anchor = anchors(i)
+      val m = math.min(n, anchor.length)
+      var d = 0.0
+      var k = 0
+      while (k < m) {
+        d += v.getFloat(k).toDouble * anchor(k).toDouble
+        k += 1
+      }
+      (-(d / (nv * norms(i))), aids(i))
+    }
+    val best = scored.sortWith { (x, y) =>
+      val c = SQLOrderingUtil.compareDoubles(x._1, y._1)
+      c < 0 || (c == 0 && x._2 < y._2)
+    }.take(math.min(nprobe, aids.length)).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsF =
+    copy(child = newChild)
+}
+
 /** SQL-surface registration: `SELECT graft_dot(a, b)` after installing
   * via `.withExtensions(new GraftExtensions)` or config
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
@@ -263,4 +319,10 @@ object GraftFunctions {
       anchors: Array[Array[Float]], norms: Array[Double]): Column =
     ExpressionUtils.column(NearestCellF(
       ExpressionUtils.expression(vec), aids, anchors, norms))
+
+  /** DataFrame-API surface for the nprobe-nearest-cells (query-side) variant. */
+  def nearestCellsColumn(vec: Column, aids: Array[Long],
+      anchors: Array[Array[Float]], norms: Array[Double], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCellsF(
+      ExpressionUtils.expression(vec), aids, anchors, norms, nprobe))
 }

@@ -88,6 +88,24 @@ class VectorExpressionsSpec extends SparkSpec {
     cells shouldBe Map(10L -> 0L, 11L -> 2L, 12L -> 1L, 13L -> 0L)
   }
 
+  "NearestCellsF" should "return nprobe cells best-first, first equal to cellOf" in {
+    val anchors = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f)))
+    val d = Seq(
+      (10L, Seq(3f, 1f)),    // closest +x, then +y
+      (11L, Seq(-1f, 4f))    // closest +y, then -x
+    ).toDF("id", "v")
+    val r = d.select(col("id"),
+      graft.operators.Similarity.cellsOf(anchors, col("v"), 2).as("cells"),
+      graft.operators.Similarity.cellOf(anchors, col("v")).as("cell"))
+      .collect().map(x => x.getLong(0) -> (x.getSeq[Long](1), x.getLong(2))).toMap
+    r(10L) shouldBe (Seq(0L, 1L), 0L)
+    r(11L) shouldBe (Seq(1L, 2L), 1L)
+    // nprobe past the anchor count is clamped
+    d.select(graft.operators.Similarity.cellsOf(anchors, col("v"), 99).as("c"))
+      .collect().foreach(_.getSeq[Long](0).size shouldBe 3)
+  }
+
   it should "generate value-independent codegen source across anchor sets" in {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
     import org.apache.spark.sql.catalyst.expressions.BoundReference
