@@ -292,6 +292,14 @@ object SparkEntry {
       graft.operators.Dedup.repeatedSubstringSpans(
         t(s, d, "documents"), gramN = 8, minDf = 2)),
 
+    // ...and the excision applying those spans: cleaned corpus with the
+    // repeated regions removed (docs that were wall-to-wall repeats drop)
+    "dedup_substrings_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.exciseSpans(docs,
+        graft.operators.Dedup.repeatedSubstringSpans(docs, gramN = 8, minDf = 2))
+    }),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -1035,6 +1043,46 @@ object SparkEntry {
          |  CAST(max(p) + 7 AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Dedup.exciseSpans over repeatedSubstringSpans: span
+    // positions exploded, anti-joined away, survivors reassembled in
+    // position order (string_agg ORDER BY = sort_array(collect_list))
+    "dedup_substrings_apply" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ex AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+         |  FROM base WHERE len(toks) >= 8),
+         |grams AS (
+         |  SELECT doc_id, p,
+         |    array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
+         |  FROM ex),
+         |rep AS (
+         |  SELECT gram FROM grams
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM grams JOIN rep USING (gram)),
+         |marked AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |spans AS (
+         |  SELECT doc_id, p,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+         |                  ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked),
+         |spanagg AS (
+         |  SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+         |  FROM spans GROUP BY doc_id, span_id),
+         |cut AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spanagg),
+         |toks2 AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+         |  FROM base),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.toks[t.p] AS tok
+         |  FROM toks2 t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.p IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |FROM kept GROUP BY 1""".stripMargin,
 
     // mirrors Curation.ngramVocabulary (bigrams, top-100, count desc then
     // gram asc — the tie-break makes the LIMIT deterministic)

@@ -557,6 +557,39 @@ object Dedup {
         col("span_end"), col("n_grams"))
   }
 
+  /** Apply [[repeatedSubstringSpans]]: remove every token whose position
+    * falls inside a span and reassemble the survivors in order — the
+    * ExactSubstr EXCISION step (find → apply symmetry, like
+    * [[applyClusters]] for cluster dedup). Documents with no spans
+    * round-trip token-exact (whitespace is normalized by tokenization,
+    * as in every token-level operator here).
+    *
+    * Scale shape: spans explode to their member positions
+    * (`sequence(start, end)` — span width is bounded by document length,
+    * so the explode is at worst one row per document token), then one
+    * keyed ANTI-join on (doc, position) drops excised tokens, and a
+    * per-doc sort_array(collect_list) reassembles. All shuffles keyed by
+    * doc/position; no windows, no HOF filtering per row. A document whose
+    * EVERY token is excised (or that had no tokens) has no surviving rows
+    * and is dropped from the output — wall-to-wall repeated content is a
+    * duplicate, and this IS its removal. */
+  def exciseSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok")) // 1-based like spans
+    val cut = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    toks.join(cut, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+  }
+
   /** LINE-level boilerplate stripping — the dedup layer document-level
     * dedup misses: navigation headers, cookie banners, licence footers
     * repeat across pages without making whole documents duplicates

@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     spans shouldBe Array((1L, 3L, 8L, 3L), (2L, 1L, 6L, 3L))
   }
 
+  "exciseSpans" should "remove span tokens and keep everything else in order" in {
+    val license = "l1 l2 l3 l4 l5 l6"
+    val docs = Seq(
+      (1L, s"alpha beta $license gamma"),
+      (2L, s"$license delta epsilon zeta eta"),
+      (3L, "totally unrelated words only here now")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, gramN = 4, minDf = 2)
+    val out = Dedup.exciseSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "alpha beta gamma"
+    out(2L) shouldBe "delta epsilon zeta eta"
+    out(3L) shouldBe "totally unrelated words only here now"
+  }
+
+  it should "drop documents excised wall-to-wall" in {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), // identical docs: every position repeated
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "keeps its own words here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, gramN = 4, minDf = 2)
+    val out = Dedup.exciseSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.keySet shouldBe Set(3L)
+    out(3L) shouldBe "keeps its own words here"
+  }
+
   it should "split hits separated by more than a gram width into distinct spans" in {
     val repA = "a1 a2 a3 a4"
     val repB = "b1 b2 b3 b4"
