@@ -59,25 +59,28 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.toString else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    suite.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    // touch every timed-SF table once (footer/row-group metadata + OS page
-    // cache): the code warm-up above ran on the sf0.001 files, so without
-    // this the first timed query per table pays its cold-file cost
-    // (observed: fragment_stats pass1 3.4 s vs pass2 0.7 s)
+    // touch every timed-SF table once, full rows through the noop sink:
+    // footers AND data pages reach the OS page cache (a count() would read
+    // only row-group metadata). The code warm-up above ran on the sf0.001
+    // files, so without this the first timed query per table pays its
+    // cold-file cost (observed: fragment_stats pass1 3.4 s vs pass2 0.7 s)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
     // timed passes: noop-sink write (consumes full rows, writes nothing),
     // cold dataset cache per query
     def timedPass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val outcome =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -103,7 +106,7 @@ object Bench {
       .mkString("{", ",", "}")
     val runsJson = results
       .map { case (k, runs, _) =>
-        s""""${esc(k)}":[${runs.map(r => f"$r%.3f").mkString(",")}]"""
+        s""""${esc(k)}":[${runs.map(r => String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))).mkString(",")}]"""
       }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>

@@ -53,8 +53,11 @@ private[http] object Multipart {
     val disposition = headers.split("\r\n")
       .find(_.toLowerCase.startsWith("content-disposition:"))
       .getOrElse(return None)
+    // parameter-boundary anchor: a bare `name="…"` pattern would also
+    // match the tail of `filename="…"` when the client orders filename
+    // first (RFC 7578 imposes no parameter order)
     def param(name: String): Option[String] =
-      s"""$name="([^"]*)"""".r.findFirstMatchIn(disposition).map(_.group(1))
+      s"""(?:^|[;\\s])$name="([^"]*)"""".r.findFirstMatchIn(disposition).map(_.group(1))
     param("name").map { n =>
       Part(n, param("filename"),
         java.util.Arrays.copyOfRange(body, hEnd + sep.length, end))

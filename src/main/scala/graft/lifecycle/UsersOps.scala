@@ -62,10 +62,7 @@ object UsersOps {
 
   // ---- C9: password hashing + API key gen --------------------------------
 
-  private[lifecycle] def pbkdf2ForTest(password: String, salt: String): String =
-    pbkdf2(password, salt)
-
-  private def pbkdf2(password: String, salt: String): String = {
+  private[lifecycle] def pbkdf2(password: String, salt: String): String = {
     val spec = new PBEKeySpec(password.toCharArray, salt.getBytes("UTF-8"), 100000, 256)
     SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded.map(b => f"${b & 0xff}%02x").mkString

@@ -548,12 +548,12 @@ object Dedup {
       .withColumn("span_id", sum(col("ns")).over(
         Window.partitionBy(col("id")).orderBy(col("p"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("id").as("doc_id"), col("span_id"))
+      .groupBy(col("id").as(idCol), col("span_id"))
       .agg(
         min(col("p")).cast("bigint").as("span_start"),
         (max(col("p")) + lit(gramN - 1)).cast("bigint").as("span_end"),
         count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_id"), col("span_start"),
+      .select(col(idCol), col("span_id"), col("span_start"),
         col("span_end"), col("n_grams"))
   }
 

@@ -24,23 +24,29 @@ private[operators] object Fan {
     * The previous probe (`df.rdd.getNumPartitions`) forced a full
     * physical plan + RDD DAG per spread site just to count partitions.
     * Catalyst's leaf statistics already know the scan size (file sources
-    * report listed bytes; local relations report row bytes), and the scan
-    * splits at `spark.sql.files.maxPartitionBytes` per partition — so
-    * `bytes / maxPartitionBytes` estimates the scan's partition count
-    * with no physical planning at all. The guard fires when that estimate
-    * is at most half the session parallelism, same threshold as before.
-    * (Conservative for heavily-filtered scans: without CBO a Filter keeps
-    * its child's sizeInBytes, so a big-but-filtered input is left alone —
-    * exactly the case where a repartition shuffle could be expensive.)
+    * report listed bytes; local relations report row bytes), and the
+    * split size replicates `FilePartition.maxSplitBytes`:
+    * `min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))` —
+    * Spark shrinks splits below `maxPartitionBytes` when the file set is
+    * small relative to the core count, so a plain `bytes/128MB` estimate
+    * would under-count partitions for mid-size scans (128 MB–4 GB at 32
+    * cores) and bolt a redundant full-input shuffle onto exactly the
+    * inputs where it hurts. The guard fires when the estimated partition
+    * count is at most half the session parallelism, same threshold as the
+    * old probe. (Conservative for heavily-filtered scans: without CBO a
+    * Filter keeps its child's sizeInBytes, so a big-but-filtered input is
+    * left alone — exactly the case where a repartition could be
+    * expensive.)
     */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
-    val bytesPerSplit =
-      BigInt(spark.sessionState.conf.filesMaxPartitionBytes.max(1L))
-    val estPartitions =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes + bytesPerSplit - 1) /
-        bytesPerSplit
+    val parallelism = spark.sparkContext.defaultParallelism.max(1)
+    val conf = spark.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytesPerSplit = BigInt(conf.filesMaxPartitionBytes.max(1L))
+      .min(BigInt(conf.filesOpenCostInBytes.max(1L)).max(bytes / parallelism))
+      .max(1)
+    val estPartitions = (bytes + bytesPerSplit - 1) / bytesPerSplit
     if (estPartitions * 2 <= parallelism) df.repartition(parallelism)
     else df
   }

@@ -181,6 +181,18 @@ class SentinelHttpSpec extends SparkSpec {
       ("other", "x.json", "{}".getBytes)))
     mpMissing.statusCode() shouldBe 400
     mpMissing.body() should include("Run summary file not specified")
+
+    // RFC 7578 puts no order constraint on disposition parameters:
+    // filename BEFORE name must still resolve the part name as "run"
+    // (a naive name=... regex would match the tail of filename=...)
+    val reversed =
+      ("--GraftBoundary42\r\nContent-Disposition: form-data; " +
+        "filename=\"rev.json\"; name=\"run\"\r\n\r\n").getBytes("UTF-8") ++
+        fixture("maple/maple_multi_sample_single_rg.json") ++
+        "\r\n--GraftBoundary42--\r\n".getBytes("UTF-8")
+    // duplicate content for avg2 → 409 proves the part WAS found and
+    // ingested down the normal path (a parse miss would be a 400)
+    mpPost(reversed).statusCode() shouldBe 409
   }
 
   it should "serve the users surface with the reference's status ladder" in {

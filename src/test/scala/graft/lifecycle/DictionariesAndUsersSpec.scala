@@ -109,7 +109,7 @@ class DictionariesAndUsersSpec extends SparkSpec {
     // r1-r4 interim pbkdf2 hashes still verify (legacy acceptance)
     val legacySalt = "0123456789abcdef"
     UsersOps.verifyPassword("Passw0rd",
-      s"pbkdf2$$$legacySalt$$${UsersOps.pbkdf2ForTest("Passw0rd", legacySalt)}") shouldBe true
+      s"pbkdf2$$$legacySalt$$${UsersOps.pbkdf2("Passw0rd", legacySalt)}") shouldBe true
   }
 
   it should "patch /verified admin-only, /email and /password with validation" in {
