@@ -136,6 +136,28 @@ object SparkEntry {
         .limit(10)
         .select("o_orderkey", "o_totalprice")),
 
+    // Star-schema revenue rollup: the canonical 100 TB fact/dim pattern —
+    // the lineitem fact streams ONCE through three broadcast hash joins
+    // (part/supplier/nation dims), then one partial-agg shuffle on the
+    // group keys. Exact decimal revenue keeps the oracle order-free.
+    "star_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand")))
+      val su = broadcast(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val na = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(na, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+            .cast("double").as("revenue"))
+    }),
+
     // J-family: broadcast dimension join chain
     "join_customer_geo" -> ((s, d) =>
       t(s, d, "customer")
@@ -805,6 +827,20 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // mirrors star_revenue's exact decimal arithmetic: both engines sum
+    // identical DECIMAL products, so the final double cast is bit-equal
+    "star_revenue" ->
+      """SELECT p_brand, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "join_customer_geo" ->
       """SELECT c_custkey, c_name, n_name

@@ -61,6 +61,14 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
+  "star_revenue" should "stream the fact once through broadcast dim joins, partial-agg the rollup" in {
+    val plan = executed("star_revenue")
+    plan should include("BroadcastHashJoin")
+    // the fact side must never sort-merge against a dim
+    plan should not include "SortMergeJoin"
+    plan should include("partial_sum")
+  }
+
   "vector_knn_int8" should "score with the codegen'd integer dot under the same broadcast plan" in {
     val plan = executed("vector_knn_int8")
     plan should include("BroadcastNestedLoopJoin BuildRight")
