@@ -289,6 +289,7 @@ case class NearestCellsF(
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.dotIntDescriptor)
   }
 }
 
@@ -298,10 +299,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProductF(children(0), children(1)))
 
-  /** Imperative registration for sessions built without extensions. */
+  val dotIntDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot_int"),
+    new ExpressionInfo(classOf[DotProductI].getName, "graft_dot_int"),
+    (children: Seq[Expression]) => DotProductI(children(0), children(1)))
+
+  /** Imperative registration for sessions built without extensions.
+    * (NearestCellF/NearestCellsF carry driver-side anchor arrays and have
+    * no SQL-literal surface — DataFrame builders below only.) */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    Seq(dotDescriptor, dotIntDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 
   /** DataFrame-API surface for the native dot product. */
   def dotColumn(a: Column, b: Column): Column =

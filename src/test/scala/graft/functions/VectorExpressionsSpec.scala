@@ -38,6 +38,9 @@ class VectorExpressionsSpec extends SparkSpec {
     df.createOrReplaceTempView("vecs")
     spark.sql("SELECT graft_dot(a, b) AS d FROM vecs")
       .as[Double].collect().toSet shouldBe Set(32.0, -1.0)
+    Seq((Seq(2, 3), Seq(4, 5))).toDF("ia", "ib").createOrReplaceTempView("ivecs")
+    spark.sql("SELECT graft_dot_int(ia, ib) AS d FROM ivecs")
+      .as[Long].collect().toSeq shouldBe Seq(23L)
   }
 
   it should "appear inside a whole-stage codegen span" in {
