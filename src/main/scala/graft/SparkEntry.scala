@@ -184,6 +184,18 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4,
         tier = Dedup.FastXx)),
 
+    // Incremental admission: src0 is the incoming batch; admit only its
+    // docs with no >=0.5-est-jaccard partner among the existing corpus
+    // (batch-vs-batch dups are applyClusters' job on the admitted set)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.incrementalFilter(
+        docs,
+        Dedup.minhashLsh(docs, shingleN = 5, k = 8, bands = 4),
+        isNew = col("source") === "src0", minJaccard = 0.5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // SimHash Hamming near-dup pairs: banded LSH + bit_count(xor) filter
     "dedup_simhash_hamming" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
@@ -874,6 +886,24 @@ object SparkEntry {
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "dedup_minhash_pairs" -> minhashPairsSql,
+
+    // mirrors Dedup.incrementalFilter over the same md5-tier pairs: a new
+    // (src0) doc is blocked iff some >=0.5 pair links it to an existing doc
+    "dedup_incremental" ->
+      s"""WITH pairs AS (
+         |$minhashPairsSql
+         |),
+         |blocked AS (
+         |  SELECT p.id_a AS self FROM pairs p
+         |  JOIN documents o ON p.id_b = o.doc_id AND o.source <> 'src0'
+         |  WHERE p.est_jaccard >= 0.5
+         |  UNION
+         |  SELECT p.id_b AS self FROM pairs p
+         |  JOIN documents o ON p.id_a = o.doc_id AND o.source <> 'src0'
+         |  WHERE p.est_jaccard >= 0.5)
+         |SELECT d.doc_id, d.source FROM documents d
+         |ANTI JOIN blocked b ON d.doc_id = b.self
+         |WHERE d.source = 'src0'""".stripMargin,
 
     "dedup_simhash_hamming" -> {
       val bands = (0 until 4).map { b =>

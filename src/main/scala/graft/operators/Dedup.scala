@@ -502,6 +502,37 @@ object Dedup {
     resolved
   }
 
+  /** Incremental (batch-vs-corpus) near-dup admission: given the full
+    * document set, a predicate marking the INCOMING batch, and scored
+    * candidate pairs over the union, admit only incoming documents with
+    * no near-dup partner (`est_jaccard ≥ minJaccard`) among the EXISTING
+    * documents. Incoming-vs-incoming duplicates are NOT dropped here —
+    * that is [[applyClusters]]' job on the admitted batch; this operator
+    * is the production admission gate that avoids re-deduplicating 100 TB
+    * of corpus for every new shard.
+    *
+    * Scale shape: pairs are already banded/skew-guarded; classification
+    * of pair sides is one semi-join against the existing-id set and the
+    * admission is one anti-join — all keyed, nothing quadratic, the
+    * corpus text never moves (only ids). */
+  def incrementalFilter(
+      docs: DataFrame,
+      pairs: DataFrame,
+      isNew: Column,
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
+    val existing = docs.filter(!isNew).select(col(idCol).as("__other"))
+    // each scored pair, seen from both sides: (self, other)
+    val sides = pairs.filter(col("est_jaccard") >= minJaccard)
+      .select(explode(array(
+        struct(col("id_a").as("__self"), col("id_b").as("__other")),
+        struct(col("id_b").as("__self"), col("id_a").as("__other")))).as("e"))
+      .select(col("e.__self").as("__self"), col("e.__other").as("__other"))
+    val blocked = sides.join(existing, Seq("__other"), "left_semi")
+      .select(col("__self").as(idCol)).distinct()
+    docs.filter(isNew).join(blocked, Seq(idCol), "left_anti")
+  }
+
   /** Cross-document repeated-SUBSTRING spans — the ExactSubstr signal
     * (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): a token n-gram occurring in ≥ `minDf` DISTINCT documents

@@ -144,6 +144,27 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe "standalone page\nwith its own\nlines only" // byte round-trip
   }
 
+  "incrementalFilter" should "admit only incoming docs with no existing near-dup" in {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    val docs = Seq(
+      (1L, "old corpus document one", "old"),
+      (2L, "old corpus document two", "old"),
+      (10L, "new near dup of one", "new"),   // pairs with existing 1 -> blocked
+      (11L, "fresh new content here", "new"),
+      (12L, "another new thing entirely", "new"), // pairs with new 13 only -> admitted
+      (13L, "another new thing entirely!", "new")
+    ).toDF("doc_id", "text", "source")
+    // hand-built scored pairs: (10,1) cross-generation, (12,13) in-batch
+    val pairs = Seq((10L, 1L, 0.9), (12L, 13L, 0.9), (11L, 2L, 0.2))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val admitted = Dedup.incrementalFilter(
+      docs, pairs, isNew = col("source") === "new", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 blocked (near-dups existing 1); 11 kept (score below threshold);
+    // 12/13 kept (their dup is batch-internal, applyClusters' job)
+    admitted shouldBe Set(11L, 12L, 13L)
+  }
+
   "repeatedSubstringSpans" should "merge overlapping cross-doc gram hits into spans" in {
     // shared license block = tokens "l1 ... l6" (6 tokens): with gramN=4
     // and minDf=2 it yields 3 overlapping hits in each doc that must
