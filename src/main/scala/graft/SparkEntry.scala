@@ -703,7 +703,8 @@ object SparkEntry {
        |    CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang_id,
        |    $qualitySql AS quality,
        |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
-       |  FROM (SELECT *, $langIdSql AS best FROM documents)),
+       |  FROM (SELECT *, $langIdSql AS best
+       |        FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents))),
        |filtered AS (
        |  SELECT * FROM scored
        |  WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')
@@ -1063,7 +1064,8 @@ object SparkEntry {
         s"""SELECT ${idSel}unnest(list_distinct(list_transform(
            |    range(0, greatest(len(toks) - 2, 1)),
            |    i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
-           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $filter)""".stripMargin
+           |  FROM (SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+           |        FROM documents WHERE $filter)""".stripMargin
       }
       s"""WITH csh AS (
          |${sh("source <> 'src0'", withId = true)}),
@@ -1153,7 +1155,8 @@ object SparkEntry {
     // mirrors Curation.ngramVocabulary (bigrams, top-100, count desc then
     // gram asc — the tie-break makes the LIMIT deterministic)
     "vocab_topk" ->
-      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH base AS (SELECT doc_id,
+         |  list_filter($toksSql, t -> t <> '') AS toks FROM documents),
          |ex AS (
          |  SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
          |  FROM base WHERE len(toks) >= 2),

@@ -184,7 +184,9 @@ object RunsLifecycle {
     val visible = if (user.isAdmin) lit(true) else col("uploaderId") === user.id
     val pipelineSel =
       if (pipelines.isEmpty) lit(true) else col("pipeline").isin(pipelines: _*)
-    wh.read(Warehouse.Runs)
+    // readOr: a fresh deployment with no upload yet must list [] like the
+    // reference's empty collection, not fail on a missing table
+    wh.readOr(Warehouse.Runs, Records.runSchema)
       .filter(visible && pipelineSel && col("deletionTimeUtc").isNull)
       .orderBy(desc("creationTimeUtc"))
       .drop("sampleIds", "readGroupIds")
@@ -284,8 +286,14 @@ object RunsLifecycle {
     // not O(table)
     rewriteLabels(wh, samplesTable, "_id", newSampleLabels, sampleRunIds.toSeq.sorted)
     rewriteLabels(wh, rgTable, "_id", newRgLabels, rgRunIds.toSeq.sorted)
-    rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels),
-      scopeRunIds = Nil, scopePipeline = Some(pipeline))
+    // unit-only patches leave the run's labels untouched: skip the run
+    // table's partition rewrite entirely (the reference re-writes the
+    // identical dbo — same observable state, ours without copying a whole
+    // pipeline partition for a no-op). The returned runsModified stays 1,
+    // matching the reference's always-written run count.
+    if (routed.runOps.nonEmpty)
+      rewriteLabels(wh, Warehouse.Runs, "runId", Map(runId -> newRunLabels),
+        scopeRunIds = Nil, scopePipeline = Some(pipeline))
     (1, newSampleLabels.size, newRgLabels.size)
   }
 

@@ -78,8 +78,15 @@ object UsersOps {
       case _                           => false
     }
 
-  def generateApiKey(id: String): String =
-    Ingest.md5Hex(s"key $id ${System.nanoTime()}")
+  private val keyRng = new java.security.SecureRandom()
+
+  /** 32-hex bearer key from a CSPRNG (the reference's KeyGenerator is
+    * HmacSHA1-random too — a time-derived hash would be guessable). */
+  def generateApiKey(id: String): String = {
+    val b = new Array[Byte](16)
+    keyRng.synchronized(keyRng.nextBytes(b))
+    b.map(x => f"${x & 0xff}%02x").mkString
+  }
 
   // ---- S10: insert with 409 ----------------------------------------------
 
@@ -90,12 +97,17 @@ object UsersOps {
     val errors = idMessages(id) ++ passwordMessages(password, confirmPassword) ++
       emailMessages(email)
     if (errors.nonEmpty) throw new ValidationException(errors)
-    if (userExists(wh, id))
-      throw new ConflictException(s"user $id already exists")
-    val row = Row(id, email, hashPassword(password), generateApiKey(id),
-      verified, isAdmin, now(), null)
-    wh.append(Warehouse.Users,
-      wh.spark.createDataFrame(java.util.List.of(row), Records.userSchema))
+    // exists-check + append under the warehouse lock: without it two
+    // concurrent registrations of the same id both pass the 409 gate and
+    // append duplicate rows (the reference relied on a Mongo unique index)
+    wh.synchronized {
+      if (userExists(wh, id))
+        throw new ConflictException(s"user $id already exists")
+      val row = Row(id, email, hashPassword(password), generateApiKey(id),
+        verified, isAdmin, now(), null)
+      wh.append(Warehouse.Users,
+        wh.spark.createDataFrame(java.util.List.of(row), Records.userSchema))
+    }
   }
 
   /** A6: existence = filtered count, limit-1 short circuit. */

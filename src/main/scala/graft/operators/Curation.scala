@@ -75,9 +75,13 @@ object Curation {
     // rowLocal⋈tokenStats shuffle join the two-branch formulation needs.
     // Fan.spread: the token explode multiplies rows ~100x — a compact
     // input must not run the scoring hot loop on one core (see [[Fan]])
+    // NULL text must still COUNT as an input doc (it fails the gates, it
+    // does not vanish): tokens of NULL would explode to zero rows and the
+    // funnel would silently under-report n_input
+    val safeText = coalesce(text, lit(""))
     val tokenRows = Fan.spread(docs
-      .select(col(idCol), text.as("__text"),
-        length(text).as("__n_chars"), T.punctRatio(text).as("__punct")))
+      .select(col(idCol), safeText.as("__text"),
+        length(safeText).as("__n_chars"), T.punctRatio(safeText).as("__punct")))
       .select(col(idCol), col("__text"), col("__n_chars"), col("__punct"),
         explode(T.tokens(col("__text"))).as("tok"))
     val langHitAggs = langs.map { case (lang, words) =>
@@ -224,9 +228,11 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     def shingleStream(df: DataFrame, id: Option[String]): DataFrame = {
+      // drop the phantom empty token a leading-whitespace text produces:
+      // shingles like " a b" would otherwise pollute the overlap sets
       val base = Fan.spread(df.select(
         (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
-          T.tokens(col(textCol)).as("toks")): _*))
+          array_remove(T.tokens(col(textCol)), "").as("toks")): _*))
       base
         .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
           explode(sequence(lit(1),
@@ -265,8 +271,12 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(topK > 0, "topK must be positive")
+    // array_remove: the phantom empty token from leading whitespace must
+    // not become a vocabulary entry ("" for n=1, " tok" inside bigrams) —
+    // same hazard tfidfTopTerms filters per-term
     val ex = Fan.spread(docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .select(col(idCol).as("id"),
+        array_remove(T.tokens(col(textCol)), "").as("toks")))
       .filter(size(col("toks")) >= shingleN)
       .select(col("id"),
         explode(sequence(lit(1), size(col("toks")) - lit(shingleN - 1))).as("p"),

@@ -48,15 +48,20 @@ object Dictionaries {
       now: Timestamp): String = {
     val key = combinedMd5(contigs)
     val refId = Ingest.unitId("ref", key)
-    val exists = wh.exists(Warehouse.References) &&
-      wh.read(Warehouse.References)
-        .filter(col("combinedMd5") === key).limit(1).count() > 0
-    if (!exists) {
-      val row = Row(refId, refName.orNull, key, now,
-        contigs.map(c => Row(c.name, c.length, c.md5,
-          c.assembly.orNull, c.species.orNull, c.uri.orNull)))
-      wh.append(Warehouse.References,
-        wh.spark.createDataFrame(java.util.List.of(row), Records.referenceSchema))
+    // probe + append under the warehouse lock: concurrent ingests of the
+    // same reference must not both pass the probe and double-insert (the
+    // reference leaned on a Mongo unique index for this)
+    wh.synchronized {
+      val exists = wh.exists(Warehouse.References) &&
+        wh.read(Warehouse.References)
+          .filter(col("combinedMd5") === key).limit(1).count() > 0
+      if (!exists) {
+        val row = Row(refId, refName.orNull, key, now,
+          contigs.map(c => Row(c.name, c.length, c.md5,
+            c.assembly.orNull, c.species.orNull, c.uri.orNull)))
+        wh.append(Warehouse.References,
+          wh.spark.createDataFrame(java.util.List.of(row), Records.referenceSchema))
+      }
     }
     refId
   }
@@ -68,14 +73,16 @@ object Dictionaries {
       fileName: Option[String],
       now: Timestamp): String = {
     val annotId = Ingest.unitId("annot", annotMd5)
-    val exists = wh.exists(Warehouse.Annotations) &&
-      wh.read(Warehouse.Annotations)
-        .filter(col("annotMd5") === annotMd5).limit(1).count() > 0
-    if (!exists) {
-      val row = Row(annotId, annotMd5, fileName.orNull,
-        extensionOf(fileName).orNull, now)
-      wh.append(Warehouse.Annotations,
-        wh.spark.createDataFrame(java.util.List.of(row), Records.annotationSchema))
+    wh.synchronized { // same probe+append race guard as references
+      val exists = wh.exists(Warehouse.Annotations) &&
+        wh.read(Warehouse.Annotations)
+          .filter(col("annotMd5") === annotMd5).limit(1).count() > 0
+      if (!exists) {
+        val row = Row(annotId, annotMd5, fileName.orNull,
+          extensionOf(fileName).orNull, now)
+        wh.append(Warehouse.Annotations,
+          wh.spark.createDataFrame(java.util.List.of(row), Records.annotationSchema))
+      }
     }
     annotId
   }

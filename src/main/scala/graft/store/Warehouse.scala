@@ -184,13 +184,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // on the raw string would miss an escaped touched partition and
     // hard-link the PREVIOUS snapshot's files over the rewritten one
     val touchedValues = partitionValues.toSet
-    if (Files.exists(prevDir)) Files.list(prevDir).forEach { p =>
-      val leaf = p.getFileName.toString
-      val untouched = Files.isDirectory(p) && leaf.startsWith(s"$pcol=") &&
-        !touchedValues(
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(leaf.stripPrefix(s"$pcol=")))
-      if (untouched) linkTree(p, nextDir.resolve(leaf))
+    if (Files.exists(prevDir)) {
+      val ls = Files.list(prevDir)
+      try ls.forEach { p =>
+        val leaf = p.getFileName.toString
+        val untouched = Files.isDirectory(p) && leaf.startsWith(s"$pcol=") &&
+          !touchedValues(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(leaf.stripPrefix(s"$pcol=")))
+        if (untouched) linkTree(p, nextDir.resolve(leaf))
+      } finally ls.close()
     }
     // a fully-empty result writes no files at all; park an empty (but
     // schema-bearing) parquet inside a partition dir so the snapshot stays
@@ -202,10 +205,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val slot = nextDir.resolve(s"$pcol=0")
       Files.createDirectories(slot)
-      Files.list(tmp).forEach { p =>
+      val ls = Files.list(tmp)
+      try ls.forEach { p =>
         if (p.getFileName.toString.endsWith(".parquet"))
           Files.move(p, slot.resolve(p.getFileName.toString))
-      }
+      } finally ls.close()
       deleteRecursively(tmp)
     }
     setVersion(name, next)
@@ -244,8 +248,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
     }
 }
 

@@ -151,6 +151,16 @@ class CurationSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("kept_tokens")) shouldBe true
   }
 
+  it should "count NULL-text docs as inputs that fail the gates, never drop them" in {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("ok " * 40)))
+      .toDF("doc_id", "text")
+    val r = Curation.funnel(docs).collect()(0)
+    // the NULL doc is an input (the whole point of a loss report); it
+    // fails the length gate rather than silently vanishing at the explode
+    r.getAs[Long]("n_input") shouldBe 2L
+    r.getAs[Long]("n_len_ok") shouldBe 1L
+  }
+
   "mixtureSample" should "fill each stratum's token budget independently" in {
     val docs = Seq(
       (1L, "A", 100L, 0.9), (2L, "A", 100L, 0.8), (3L, "A", 100L, 0.7),
@@ -241,5 +251,18 @@ class CurationSpec extends SparkSpec {
     top(0) shouldBe (("to be", 3L, 2L))
     top(1)._2 shouldBe 1L
     top.map(_._1).slice(1, 3) shouldBe top.map(_._1).slice(1, 3).sorted
+  }
+
+  it should "ignore the phantom empty token of leading-whitespace text" in {
+    val corpus = Seq(
+      (1L, "  padded doc"), // leading whitespace => tokens ["", padded, doc]
+      (2L, " padded doc")
+    ).toDF("doc_id", "text")
+    val grams = Curation.ngramVocabulary(corpus, shingleN = 2, topK = 10)
+      .collect().map(_.getString(0))
+    grams should contain("padded doc")
+    // no gram built from the empty token ("" alone or " padded")
+    grams.foreach { g => g should not startWith " " }
+    grams.foreach { g => g.nonEmpty shouldBe true }
   }
 }
