@@ -1174,8 +1174,10 @@ object SparkEntry {
     // quantize → integer dots → one double division: every step exact or
     // single-IEEE, so the scores (and the top-k cut) replay bit-for-bit
     "vector_knn_int8" -> {
+      // dim derived from the list itself (not a hardcoded fixture width)
+      // so a changed embeddings dimension diverges loudly, not silently
       def idot(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, 65), " +
+        s"list_reduce(list_transform(range(1, len($a) + 1), " +
           s"i -> CAST($a[i] AS BIGINT) * $b[i]), (x, y) -> x + y)"
       s"""WITH qz AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(

@@ -30,16 +30,33 @@ private[http] object Multipart {
     * part, mirroring the reference's fileParams lookup). */
   def parse(body: Array[Byte], boundary: String): Seq[Part] = {
     val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
-    val crlf = Array[Byte]('\r', '\n')
-    val marks = Iterator.iterate(indexOf(body, delim, 0))(p =>
-      if (p < 0) -1 else indexOf(body, delim, p + delim.length))
+    // RFC 2046: the delimiter is CRLF + "--boundary" (that CRLF belongs to
+    // the delimiter, not to the part body); only the very first delimiter
+    // may omit the leading CRLF. Anchoring the scan keeps a binary part
+    // body that merely contains the boundary bytes mid-line from being
+    // mis-split.
+    def nextDelim(from: Int): Int = {
+      var p = indexOf(body, delim, from)
+      while (p > 0 && !(p >= 2 && body(p - 2) == '\r' && body(p - 1) == '\n'))
+        p = indexOf(body, delim, p + 1)
+      p
+    }
+    val marks = Iterator.iterate(nextDelim(0))(p =>
+      if (p < 0) -1 else nextDelim(p + delim.length))
       .takeWhile(_ >= 0).toSeq
     marks.sliding(2).collect { case Seq(a, b) =>
-      // content of one part: after "--boundary" + CRLF, up to the CRLF
-      // preceding the next "--boundary"
-      val start = a + delim.length + crlf.length
-      val end = math.max(start, b - crlf.length)
-      if (start >= body.length || body(a + delim.length) == '-') None // closing "--"
+      val afterDelim = a + delim.length
+      // part content: after "--boundary" + its terminating CRLF, up to the
+      // CRLF that opens the next delimiter — each stripped only when
+      // actually present, so a part not terminated by CRLF stays byte-exact
+      val start =
+        if (afterDelim + 1 < body.length &&
+          body(afterDelim) == '\r' && body(afterDelim + 1) == '\n') afterDelim + 2
+        else afterDelim
+      val end =
+        if (b >= 2 && body(b - 2) == '\r' && body(b - 1) == '\n') math.max(start, b - 2)
+        else math.max(start, b)
+      if (afterDelim >= body.length || body(afterDelim) == '-') None // closing "--"
       else headerSplit(body, start, end)
     }.flatten.toSeq
   }

@@ -236,8 +236,10 @@ object Bcrypt {
 
   private val rng = new SecureRandom()
 
-  /** A fresh `$2a$NN$…` salt string. */
+  /** A fresh `$2a$NN$…` salt string. Cost must be in bcrypt's 4..30 range
+    * (also keeps the two-digit `%02d` format [[hashpw]] parses honest). */
   def gensalt(cost: Int = 10): String = {
+    require(cost >= 4 && cost <= 30, s"bcrypt cost must be in 4..30, got $cost")
     val s = new Array[Byte](16)
     rng.nextBytes(s)
     f"$$2a$$$cost%02d$$${encodeB64(s, 16)}"

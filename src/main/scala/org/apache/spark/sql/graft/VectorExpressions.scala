@@ -139,13 +139,21 @@ case class DotProductI(left: Expression, right: Expression)
   */
 case class NearestCellF(
     child: Expression,
-    aids: Array[Long],
-    anchors: Array[Array[Float]],
-    norms: Array[Double])
+    aids: Seq[Long],
+    anchors: Seq[Seq[Float]],
+    norms: Seq[Double])
     extends UnaryExpression with ExpectsInputTypes {
 
   require(aids.nonEmpty && aids.length == anchors.length &&
     aids.length == norms.length, "aids/anchors/norms must be parallel and non-empty")
+
+  // Seq fields give case-class equals structural semantics (Array fields
+  // compare by reference identity, silently defeating semanticEquals /
+  // canonicalization / subexpression reuse); eval and codegen still run
+  // over primitive arrays via these transient caches.
+  @transient private lazy val aidsArr: Array[Long] = aids.toArray
+  @transient private lazy val anchorsArr: Array[Array[Float]] = anchors.map(_.toArray).toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
@@ -164,8 +172,8 @@ case class NearestCellF(
     var bestNeg = 0.0
     var bestId = 0L
     var i = 0
-    while (i < anchors.length) {
-      val anchor = anchors(i)
+    while (i < anchorsArr.length) {
+      val anchor = anchorsArr(i)
       val m = math.min(n, anchor.length)
       var d = 0.0
       j = 0
@@ -173,10 +181,10 @@ case class NearestCellF(
         d += v.getFloat(j).toDouble * anchor(j).toDouble
         j += 1
       }
-      val neg = -(d / (nv * norms(i)))
+      val neg = -(d / (nv * normsArr(i)))
       if (i == 0 || SQLOrderingUtil.compareDoubles(neg, bestNeg) < 0) {
         bestNeg = neg
-        bestId = aids(i)
+        bestId = aidsArr(i)
       }
       i += 1
     }
@@ -185,9 +193,9 @@ case class NearestCellF(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val aidsRef = ctx.addReferenceObj("aids", aids, "long[]")
-      val anchRef = ctx.addReferenceObj("anchors", anchors, "float[][]")
-      val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val aidsRef = ctx.addReferenceObj("aids", aidsArr, "long[]")
+      val anchRef = ctx.addReferenceObj("anchors", anchorsArr, "float[][]")
+      val normRef = ctx.addReferenceObj("norms", normsArr, "double[]")
       val n = ctx.freshName("n")
       val nv = ctx.freshName("nv")
       val i = ctx.freshName("i")
@@ -237,15 +245,21 @@ case class NearestCellF(
   * [[NearestCellF]]'s assignment. */
 case class NearestCellsF(
     child: Expression,
-    aids: Array[Long],
-    anchors: Array[Array[Float]],
-    norms: Array[Double],
+    aids: Seq[Long],
+    anchors: Seq[Seq[Float]],
+    norms: Seq[Double],
     nprobe: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(aids.nonEmpty && aids.length == anchors.length &&
     aids.length == norms.length && nprobe >= 1,
     "aids/anchors/norms must be parallel and non-empty, nprobe >= 1")
+
+  // Seq fields for structural case-class equality (see [[NearestCellF]]);
+  // interpreted eval runs over these primitive caches.
+  @transient private lazy val aidsArr: Array[Long] = aids.toArray
+  @transient private lazy val anchorsArr: Array[Array[Float]] = anchors.map(_.toArray).toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -261,8 +275,8 @@ case class NearestCellsF(
       j += 1
     }
     nv = java.lang.Math.sqrt(nv)
-    val scored = Array.tabulate(anchors.length) { i =>
-      val anchor = anchors(i)
+    val scored = Array.tabulate(anchorsArr.length) { i =>
+      val anchor = anchorsArr(i)
       val m = math.min(n, anchor.length)
       var d = 0.0
       var k = 0
@@ -270,12 +284,12 @@ case class NearestCellsF(
         d += v.getFloat(k).toDouble * anchor(k).toDouble
         k += 1
       }
-      (-(d / (nv * norms(i))), aids(i))
+      (-(d / (nv * normsArr(i))), aidsArr(i))
     }
     val best = scored.sortWith { (x, y) =>
       val c = SQLOrderingUtil.compareDoubles(x._1, y._1)
       c < 0 || (c == 0 && x._2 < y._2)
-    }.take(math.min(nprobe, aids.length)).map(_._2)
+    }.take(math.min(nprobe, aidsArr.length)).map(_._2)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(best)
   }
 
@@ -327,11 +341,13 @@ object GraftFunctions {
   def nearestCellColumn(vec: Column, aids: Array[Long],
       anchors: Array[Array[Float]], norms: Array[Double]): Column =
     ExpressionUtils.column(NearestCellF(
-      ExpressionUtils.expression(vec), aids, anchors, norms))
+      ExpressionUtils.expression(vec),
+      aids.toSeq, anchors.map(_.toSeq).toSeq, norms.toSeq))
 
   /** DataFrame-API surface for the nprobe-nearest-cells (query-side) variant. */
   def nearestCellsColumn(vec: Column, aids: Array[Long],
       anchors: Array[Array[Float]], norms: Array[Double], nprobe: Int): Column =
     ExpressionUtils.column(NearestCellsF(
-      ExpressionUtils.expression(vec), aids, anchors, norms, nprobe))
+      ExpressionUtils.expression(vec),
+      aids.toSeq, anchors.map(_.toSeq).toSeq, norms.toSeq, nprobe))
 }

@@ -120,12 +120,30 @@ class VectorExpressionsSpec extends SparkSpec {
       val ctx = new CodegenContext
       val e = org.apache.spark.sql.graft.NearestCellF(
         BoundReference(0, ArrayType(FloatType), nullable = false),
-        Array(0L, 1L), Array(Array(seed, 1f), Array(2f, seed)),
-        Array(1.0, 2.0))
+        Seq(0L, 1L), Seq(Seq(seed, 1f), Seq(2f, seed)),
+        Seq(1.0, 2.0))
       val code = e.genCode(ctx)
       code.code.toString
     }
     sourceFor(1.5f) shouldBe sourceFor(-42f)
+  }
+
+  it should "compare structurally (semanticEquals) across separately-built instances" in {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // anchors carried as Seq, not Array: two independently-constructed but
+    // value-identical expressions must be equal, or canonicalization /
+    // subexpression reuse silently never fires
+    def mk = org.apache.spark.sql.graft.NearestCellF(
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      Seq(0L, 1L), Seq(Seq(1f, 2f), Seq(3f, 4f)), Seq(1.0, 2.0))
+    mk shouldBe mk
+    assert(mk.semanticEquals(mk))
+    def mks = org.apache.spark.sql.graft.NearestCellsF(
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      Seq(0L, 1L), Seq(Seq(1f, 2f), Seq(3f, 4f)), Seq(1.0, 2.0), 2)
+    mks shouldBe mks
+    assert(mks.semanticEquals(mks))
   }
 
   "cosine" should "compute the normalized similarity" in {
