@@ -640,6 +640,59 @@ object SparkEntry {
       graft.store.Export.assignShards(docs, nShards = 8)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // Gopher-style quality-rule battery: every metric + the combined
+    // verdict per doc. The stopword set is widened with the corpus's
+    // actual function words so the >= 2 distinct-hits rule discriminates
+    // on this vocabulary.
+    "quality_gopher" -> ((s, d) =>
+      graft.operators.Quality.gopherRules(
+        t(s, d, "documents"), minWords = 20,
+        stopwords = Seq("the", "a", "to", "of", "and", "that", "have", "with"))),
+
+    // Corpus-trained bigram LM negative log-likelihood (perplexity-proxy
+    // quality signal); position-ordered FP fold, so it replays hash-exact
+    "lm_score" -> ((s, d) =>
+      graft.operators.Quality.lmScore(t(s, d, "documents"))),
+
+    // BM25 retrieval for a fixed query against the whole corpus
+    "bm25_search" -> ((s, d) =>
+      graft.operators.Curation.bm25Search(
+        t(s, d, "documents"), Seq("spark", "vector", "customer"), topK = 10)),
+
+    // SemDeDup: k-means-cell blocking (seed anchors vec_id < 8, the same
+    // deterministic cell assignment vector_ivf_topk replays) + within-cell
+    // cosine >= 0.25, keep the smallest id of each near-dup neighborhood
+    "semantic_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Dedup.semanticDedup(e, e.filter(col("vec_id") < 8), 0.25)
+    }),
+
+    // Deterministic stratum-stable train/val/test split (hash-cut, not
+    // rand(): docs keep their split across corpus versions)
+    "split_assign" -> ((s, d) =>
+      graft.operators.Curation.splitAssign(
+        t(s, d, "documents"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    // Domain-mixture report: per-source corpus composition (docs, tokens,
+    // token share) — the accounting a mixture-weights decision reads
+    "domain_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val perSrc = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(T.tokens(col("text")), tk => length(tk) > 0))
+          .cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      val total = broadcast(perSrc.agg(sum(col("n_tokens")).as("total_tokens")))
+      perSrc.crossJoin(total).select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"))
     })
   )
 
@@ -1519,6 +1572,152 @@ object SparkEntry {
          |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
-    }
+    },
+
+    // mirrors Quality.gopherRules: row-local line metrics + one token
+    // explode; every ratio is a single double division of exact integers
+    "quality_gopher" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis,
+         |    (length(text) - length(regexp_replace(text, '#', '', 'g')))
+         |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+         |      + (length(text) - length(regexp_replace(text, '…', '', 'g'))) AS n_symbols
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_symbols,
+         |    unnest(list_filter($toksSql, t -> t <> '')) AS tok
+         |  FROM pre),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(length(tok)) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+         |    CAST(count(DISTINCT CASE WHEN tok IN
+         |      ('the','a','to','of','and','that','have','with') THEN tok END) AS BIGINT) AS n_stop_words,
+         |    any_value(n_lines) AS n_lines, any_value(n_bullet) AS n_bullet,
+         |    any_value(n_ellipsis) AS n_ellipsis, any_value(n_symbols) AS n_symbols
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id, n_words,
+         |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha_words,
+         |  n_stop_words,
+         |  CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS frac_bullet_lines,
+         |  CAST(n_ellipsis AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS frac_ellipsis_lines,
+         |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+         |  (n_words BETWEEN 20 AND 100000
+         |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+         |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+         |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+         |    AND n_stop_words >= 2
+         |    AND CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.9
+         |    AND CAST(n_ellipsis AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.3
+         |    AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1) AS pass
+         |FROM agg""".stripMargin,
+
+    // mirrors Quality.lmScore: add-one bigram LM trained on the corpus,
+    // per-doc mean NLL via a position-ordered list fold (one defined FP
+    // addition order in both engines)
+    "lm_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(range(1, len(toks) + 1)) AS pos
+         |  FROM base),
+         |bi AS (
+         |  SELECT doc_id, pos, tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM tok QUALIFY w2 IS NOT NULL),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+         |sc AS (
+         |  SELECT b.doc_id, b.pos,
+         |    ln((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE))) AS lnp
+         |  FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, list(lnp ORDER BY pos) AS xs, count(*) AS nb FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+         |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nb AS DOUBLE), 6) AS nll
+         |FROM agg""".stripMargin,
+
+    // mirrors Curation.bm25Search: query-term-filtered tf, full-stream
+    // doc lengths, the exact tfidfTopTerms BM25 expression tree, and an
+    // ascending-term fold for the per-doc sum
+    "bm25_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+         |agg AS (
+         |  SELECT doc_id, list(s ORDER BY term) AS xs,
+         |    CAST(count(*) AS BIGINT) AS n_hit_terms
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_hit_terms,
+         |  round(list_reduce(xs, (x, y) -> x + y), 6) AS bm25
+         |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirrors Dedup.semanticDedup: the vector_ivf_topk cell-assignment
+    // replay (argmax cosine, ties to smallest aid) + within-cell losers
+    "semantic_dedup" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = cosineSql("x.embedding", "y.embedding", 64)
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |losers AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE $cos >= 0.25)
+         |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,
+         |  (l.vec_id IS NULL) AS kept
+         |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
+    },
+
+    // mirrors Curation.splitAssign: md5Bucket cut at the exact integer
+    // thresholds round(cum * 1e6) = 800000 / 900000 / 1000000
+    "split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN bucket < 800000 THEN 'train'
+        |       WHEN bucket < 900000 THEN 'val'
+        |       WHEN bucket < 1000000 THEN 'test'
+        |       ELSE NULL END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+        |         AS BIGINT) % 1000000 AS bucket
+        |  FROM documents)""".stripMargin,
+
+    "domain_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(list_filter($toksSql, t -> t <> ''))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+         |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
+         |FROM per CROSS JOIN tot""".stripMargin
   )
 }

@@ -551,4 +551,96 @@ object Curation {
       orderCol = "quality", idCol = idCol, tokenCol = "n_tokens",
       bandsPerStratum = qualityBands)
       .drop("__stratum")
+
+  /** Deterministic train/val/test assignment: hash every unit into the
+    * [0, 1e6) bucket space ([[graft.functions.HashFunctions.md5Bucket]],
+    * the same portable md5 arithmetic the samplers and the shard assigner
+    * use) and cut it at the cumulative split fractions, in declaration
+    * order. Stable under retries/reshuffles and across engines, and —
+    * unlike a `rand()` split — a document keeps its split when the corpus
+    * around it grows, which is what keeps eval sets uncontaminated across
+    * dataset versions. Pure per-row projection: no shuffle, no state.
+    *
+    * `splits` are (name, fraction) in order; fractions must be positive
+    * and sum to at most 1 (+ FP slack). Rows past the last cut (when the
+    * sum is < 1) get a null split — callers usually treat that as "drop".
+    * Cut points are computed as exact integer thresholds so the same
+    * literals replay in SQL. */
+  def splitAssign(
+      docs: DataFrame,
+      splits: Seq[(String, Double)],
+      seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive fractions")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val bucket = pmod(
+      graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
+      lit(1000000L))
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.round(c * 1000000L))
+    val label = splits.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), cut)) => Some(when(bucket < cut, name))
+      case (Some(c), ((name, _), cut)) => Some(c.when(bucket < cut, name))
+    }.get.otherwise(lit(null).cast("string"))
+    docs.withColumn("split", label)
+  }
+
+  /** BM25 retrieval: score every document against a fixed bag of query
+    * terms and return the top `topK` by total BM25 — the classic inverted
+    * index probe, expressed as a filtered aggregation instead of an index
+    * lookup.
+    *
+    * Scale shape: the token stream is filtered to the query terms BEFORE
+    * the tf aggregation (an `IN` predicate over the explode — the shuffle
+    * only ever carries query-term hits, the analogue of reading |terms|
+    * posting lists), while document lengths and the corpus stats come
+    * from a separate count-only aggregation over the full stream.
+    * Per-document scores sum the per-term BM25 contributions with an
+    * ascending-term fold over a sorted array (FP addition order is
+    * defined, so the score replays hash-exact in SQL); the final top-k is
+    * an `orderBy().limit()` → `TakeOrderedAndProject`, never a global
+    * sort. Ties break by id ascending. */
+  def bm25Search(
+      docs: DataFrame,
+      terms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val tokenRows = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    // full-stream doc lengths (BM25's dl/avgdl read ALL tokens, not just
+    // query-term hits); count-only shuffle — no strings, just (id, n)
+    val docLens = tokenRows.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = broadcast(docLens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val tf = tokenRows.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(df), "term")
+      .join(docLens, idCol).crossJoin(corpus)
+    // the exact expression tree tfidfTopTerms commits to (same operand
+    // order — the oracle replays it verbatim)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val contrib = bm25Idf * (tfD * (k1 + 1.0)) /
+      (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+    joined
+      .select(col(idCol), col("term"), contrib.as("s"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("s")))).as("__xs"),
+        count(lit(1)).as("n_hit_terms"))
+      .select(col(idCol), col("n_hit_terms"),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("s")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -781,4 +781,46 @@ object Dedup {
         V.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every vector to its nearest anchor cell — a zero-shuffle per-row
+    * projection ([[Similarity.cellOf]], anchors ride in the expression
+    * like a broadcast variable) — then within each cell mark as a
+    * duplicate any vector that has a SMALLER-id neighbor at cosine >=
+    * `threshold`. Returns every input row with its cell and a `kept`
+    * verdict, so the caller can either drop duplicates or audit them.
+    *
+    * The quadratic term is per-cell (the SemDeDup trick: k-means first,
+    * compare only inside clusters), the same bounded-block contract as
+    * [[embeddingNearDup]]; the anchor set must satisfy the IVF contract
+    * (cells ≪ corpus). The loser set is keyed by id only — the wide
+    * vectors never travel through the final join. */
+  def semanticDedup(
+      vecs: DataFrame,
+      anchors: DataFrame,
+      threshold: Double): DataFrame = {
+    val anchorSeq = anchors
+      .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    semanticDedup(vecs, anchorSeq, threshold)
+  }
+
+  def semanticDedup(
+      vecs: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val assigned = Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("cell", Similarity.cellOf(anchors, col("v")))
+    val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    val losers = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    assigned
+      .join(losers, assigned("id") === losers("__loser"), "left")
+      .select(col("id").as(idCol), col("cell"), col("__loser").isNull.as("kept"))
+  }
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Document-quality scoring beyond the row-local heuristics in
+  * [[graft.functions.TextFunctions]]: the Gopher-style rule battery
+  * (Rae et al. 2021, "Scaling Language Models", appendix A1.1) and a
+  * corpus-trained bigram language-model scorer (the classic
+  * perplexity-proxy filter: CCNet/RedPajama-style pipelines gate on LM
+  * NLL; here the LM is trained on the corpus itself in the same job).
+  *
+  * Both operators are one declarative plan: the rule battery is one token
+  * explode + one keyed aggregation (line-level metrics stay row-local and
+  * ride through the explode as constants), the LM scorer is the token
+  * explode plus two keyed count aggregations re-joined to the bigram
+  * stream. Nothing iterates, nothing collects.
+  */
+object Quality {
+
+  /** Gopher's "contains at least two of these" English function words. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule battery. One row per document with every
+    * metric the rules read plus the combined `pass` verdict, so the
+    * caller can re-threshold without recomputing:
+    *
+    * - `n_words`, `mean_word_len` — word count in [minWords, maxWords],
+    *   mean word length in [3, 10]
+    * - `frac_alpha_words` — fraction of words containing a letter (> 0.8)
+    * - `n_stop_words` — distinct hits in `stopwords` (>= 2)
+    * - `frac_bullet_lines` (< 0.9), `frac_ellipsis_lines` (< 0.3)
+    * - `symbol_ratio` — `#`/ellipsis occurrences per word (< 0.1)
+    *
+    * Scale shape: line metrics are per-row expressions over the line
+    * vector (never exploded); word metrics explode once and aggregate
+    * with map-side partials; the line metrics ride through the explode as
+    * tiny long columns recovered by `first()` (constant within a doc).
+    * One shuffle total, keyed by `idCol`. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      stopwords: Seq[String] = gopherStopwords,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "need 0 <= minWords <= maxWords")
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    // LIKE-pattern flags (not regex): the patterns are literal prefixes /
+    // suffixes and LIKE replays identically in any SQL engine
+    val pre = docs.select(
+      col(idCol),
+      text.as("__text"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l =>
+        l.like("- %") || l.like("* %") || l.like("• %"))).as("n_bullet_lines"),
+      size(filter(lines, l =>
+        l.like("%...") || l.like("%…"))).as("n_ellipsis_lines"),
+      ((length(text) - length(regexp_replace(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+        (length(text) - length(regexp_replace(text, "…", "")))).as("n_symbols"))
+    val toks = Fan.spread(pre)
+      .select(col(idCol), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_symbols"),
+        explode(T.tokens(col("__text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val agg = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("tok")).cast("long")).as("__sum_len"),
+      sum(when(col("tok").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("__n_alpha"),
+      countDistinct(when(col("tok").isin(stopwords: _*), col("tok"))).as("n_stop_words"),
+      first(col("n_lines")).as("__n_lines"),
+      first(col("n_bullet_lines")).as("__n_bullet"),
+      first(col("n_ellipsis_lines")).as("__n_ellipsis"),
+      first(col("n_symbols")).as("__n_symbols"))
+    // every ratio is ONE double division of exact integers — deterministic
+    // bit-for-bit in any engine, so no rounding is needed
+    val nW = col("n_words").cast("double")
+    val nL = greatest(col("__n_lines"), lit(1L)).cast("double")
+    val meanLen = col("__sum_len").cast("double") / nW
+    val fracAlpha = col("__n_alpha").cast("double") / nW
+    val fracBullet = col("__n_bullet").cast("double") / nL
+    val fracEllipsis = col("__n_ellipsis").cast("double") / nL
+    val symbolRatio = col("__n_symbols").cast("double") / nW
+    agg.select(
+      col(idCol),
+      col("n_words"),
+      meanLen.as("mean_word_len"),
+      fracAlpha.as("frac_alpha_words"),
+      col("n_stop_words"),
+      fracBullet.as("frac_bullet_lines"),
+      fracEllipsis.as("frac_ellipsis_lines"),
+      symbolRatio.as("symbol_ratio"),
+      (col("n_words").between(minWords, maxWords) &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        fracAlpha > 0.8 &&
+        col("n_stop_words") >= 2 &&
+        fracBullet < 0.9 &&
+        fracEllipsis < 0.3 &&
+        symbolRatio < 0.1).as("pass"))
+  }
+
+  /** Bigram language-model scoring: train add-one-smoothed bigram
+    * probabilities on the corpus, score every document by its mean
+    * negative log-likelihood — the perplexity-proxy quality signal
+    * (low NLL = fluent/common phrasing, high NLL = noise).
+    *
+    *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+    *   nll(doc)   = -(Σ ln p over the doc's bigrams, in position order)
+    *                / n_bigrams
+    *
+    * Train and score are the SAME pass over the data: the bigram stream
+    * (tokenize → position window → lead) feeds two keyed count
+    * aggregations — c(w1,w2) and the context total c(w1·) — which join
+    * straight back onto the stream; V (distinct unigrams) is a broadcast
+    * one-row frame. Documents with fewer than two tokens have no bigrams
+    * and drop out.
+    *
+    * Determinism: the per-document Σ ln p is an ascending-position fold
+    * over a sorted array (`sort_array` + `aggregate`), NOT a float `sum()`
+    * — FP addition is order-sensitive and a hash-exact oracle replay
+    * needs one defined order. Rounded to 6 decimals like the other FP
+    * scores. The per-doc array is bounded by document length, the same
+    * contract the chunker relies on. */
+  def lmScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(filter(T.tokens(col(textCol)), t => length(t) > 0))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("pos"), col("tok").as("w1"), col("w2"))
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = broadcast(toks.agg(countDistinct(col("tok")).as("v")))
+    val scored = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(vocab)
+      .select(col(idCol), col("pos"),
+        log((col("cb").cast("double") + 1.0) /
+          (col("cu").cast("double") + col("v").cast("double"))).as("lnp"))
+    scored.groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("lnp")))).as("__xs"),
+        count(lit(1)).as("n_bigrams"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        round(
+          negate(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("lnp"))) /
+            col("n_bigrams").cast("double"), 6).as("nll"))
+  }
+}

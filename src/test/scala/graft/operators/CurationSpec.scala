@@ -265,4 +265,67 @@ class CurationSpec extends SparkSpec {
     grams.foreach { g => g should not startWith " " }
     grams.foreach { g => g.nonEmpty shouldBe true }
   }
+
+  "splitAssign" should "cut the hash space at the cumulative fractions, deterministically" in {
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val r = Curation.splitAssign(docs, splits)
+      .groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.keySet shouldBe Set("train", "val", "test") // fractions cover 1 => no nulls
+    r.values.sum shouldBe 1000L
+    // md5 buckets are uniform enough for a coarse window at n=1000
+    r("train").toDouble should (be > 700.0 and be < 900.0)
+    // per-row determinism: identical assignment on a permuted, re-built frame
+    val again = Curation.splitAssign(docs.orderBy(rand(1)), splits)
+      .select("doc_id", "split").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val first = Curation.splitAssign(docs, splits)
+      .select("doc_id", "split").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    again shouldBe first
+  }
+
+  it should "leave rows past the configured mass unassigned" in {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    val r = Curation.splitAssign(docs, Seq(("train", 0.5)))
+      .select("split").collect().map(x => Option(x.getString(0)))
+    r.count(_.isEmpty) should be > 0
+    r.flatten.toSet shouldBe Set("train")
+  }
+
+  "bm25Search" should "rank by hand-computed BM25 and exclude docs without query terms" in {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "kiwi kiwi")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25Search(docs, Seq("apple"), topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    out.map(_._1) should contain theSameElementsAs Seq(1L, 2L) // 3 has no hits
+    val k1 = 1.2; val b = 0.75
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val avgdl = 7.0 / 3.0
+    def s(tf: Double, dl: Double) =
+      idf * (tf * (k1 + 1.0)) / (tf + (k1 * ((1.0 - b) + (b * dl) / avgdl)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = out.map(x => x._1 -> x).toMap
+    byId(1L)._3 shouldBe r6(0.0 + s(2.0, 3.0))
+    byId(2L)._3 shouldBe r6(0.0 + s(1.0, 2.0))
+    out.head._1 shouldBe 1L // higher tf wins
+    byId(1L)._2 shouldBe 1L // one query term hit
+  }
+
+  it should "sum multi-term contributions in ascending-term order and honor topK" in {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana banana banana"),
+      (3L, "apple"),
+      (4L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25Search(docs, Seq("banana", "apple"), topK = 2).collect()
+    out.length shouldBe 2
+    // doc 1 hits both terms
+    out.map(_.getLong(0)) should contain(1L)
+    val nHits = out.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    nHits(1L) shouldBe 2L
+  }
 }

@@ -291,4 +291,33 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
     r should contain theSameElementsAs Seq((1L, 2L))
   }
+
+  "semanticDedup" should "drop smaller-id-dominated vectors within their cell only" in {
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),      // cell 0, kept (smallest id in its neighborhood)
+      (2L, Seq(0.99f, 0.1f)), // cell 0, near-dup of 1 => dropped
+      (3L, Seq(0f, 1f)),      // cell 1, kept
+      (4L, Seq(-0.1f, 1f))    // cell 1, cos vs 3 ~ 0.995 => dropped
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(vecs, anchors, 0.9)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    r(1L) shouldBe ((0L, true))
+    r(2L) shouldBe ((0L, false))
+    r(3L) shouldBe ((1L, true))
+    r(4L) shouldBe ((1L, false))
+  }
+
+  it should "never compare across cells even at an identical direction" in {
+    // v2 duplicates v1's direction but its own cell has no smaller id;
+    // cells block the comparison so it stays kept
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.45f)))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.9f, 0.44f)) // argmax cosine lands in cell 1, alone there
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(vecs, anchors, 0.5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> true, 2L -> true)
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "gopherRules"
+
+  it should "compute line, word, and symbol metrics on crafted docs" in {
+    val docs = Seq(
+      // all-bullet lines, 1-char words
+      (1L, "- a\n- b"),
+      // clean passable prose
+      (2L, "the cat and the dog have words of that size with more text here now"),
+      // symbol soup: 5 '#' + one '...'
+      (3L, "x #### ... more #things here okay fine"),
+      // ellipsis line endings, both styles
+      (4L, "words trail off…\nanother line...")
+    ).toDF("doc_id", "text")
+    val r = Quality.gopherRules(docs, minWords = 5,
+        stopwords = Seq("the", "a", "b", "and", "have", "of", "that", "with"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    val d1 = r(1L)
+    d1.getAs[Long]("n_words") shouldBe 4L
+    d1.getAs[Double]("mean_word_len") shouldBe 1.0
+    d1.getAs[Double]("frac_alpha_words") shouldBe 0.5
+    d1.getAs[Long]("n_stop_words") shouldBe 2L // 'a' and 'b'
+    d1.getAs[Double]("frac_bullet_lines") shouldBe 1.0
+    d1.getAs[Boolean]("pass") shouldBe false // mean_word_len < 3
+
+    val d2 = r(2L)
+    d2.getAs[Long]("n_words") shouldBe 15L
+    d2.getAs[Double]("mean_word_len") shouldBe (53.0 / 15.0)
+    d2.getAs[Double]("frac_alpha_words") shouldBe 1.0
+    d2.getAs[Long]("n_stop_words") should be >= 2L
+    d2.getAs[Boolean]("pass") shouldBe true
+
+    val d3 = r(3L)
+    d3.getAs[Double]("symbol_ratio") shouldBe (6.0 / 8.0)
+    d3.getAs[Boolean]("pass") shouldBe false
+
+    val d4 = r(4L)
+    d4.getAs[Double]("frac_ellipsis_lines") shouldBe 1.0
+    d4.getAs[Boolean]("pass") shouldBe false
+  }
+
+  it should "gate on the word-count window" in {
+    val docs = Seq((1L, "three tiny words")).toDF("doc_id", "text")
+    val strict = Quality.gopherRules(docs, minWords = 5).collect().head
+    strict.getAs[Boolean]("pass") shouldBe false
+    val loose = Quality.gopherRules(docs, minWords = 1,
+      stopwords = Seq("three", "tiny")).collect().head
+    loose.getAs[Boolean]("pass") shouldBe true
+  }
+
+  behavior of "lmScore"
+
+  it should "match the hand-computed add-one bigram NLL" in {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = Quality.lmScore(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // cb: (a,b)=3, (b,a)=1, (b,c)=1; cu: a=3, b=2; V=3
+    val pab = math.log(4.0 / 6.0) // (3+1)/(3+3)
+    val pba = math.log(2.0 / 5.0) // (1+1)/(2+3)
+    val pbc = math.log(2.0 / 5.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r(1L)._1 shouldBe 3L
+    r(1L)._2 shouldBe r6(-(((0.0 + pab) + pba) + pab) / 3.0)
+    r(2L)._1 shouldBe 2L
+    r(2L)._2 shouldBe r6(-((0.0 + pab) + pbc) / 2.0)
+  }
+
+  it should "drop docs with fewer than two tokens and score common phrasing lower" in {
+    val docs = Seq(
+      (1L, "one"),
+      (2L, ""),
+      (3L, "the same phrase repeats"),
+      (4L, "the same phrase repeats"),
+      (5L, "utterly different gibberish here")
+    ).toDF("doc_id", "text")
+    val r = Quality.lmScore(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    r.keySet shouldBe Set(3L, 4L, 5L)
+    // the repeated phrase's bigrams are twice as frequent => lower NLL
+    r(3L) shouldBe r(4L)
+    r(3L) should be < r(5L)
+  }
+}
