@@ -669,6 +669,16 @@ object SparkEntry {
       graft.operators.Dedup.semanticDedup(e, e.filter(col("vec_id") < 8), 0.25)
     }),
 
+    // Corpus-wide kNN graph (every vector's top-3 same-cell neighbors):
+    // cell-blocked self-join, one keyed shuffle, per-cell quadratic
+    "knn_graph" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Similarity.knnGraph(e, anchors, k = 3).drop("rank")
+    }),
+
     // Deterministic stratum-stable train/val/test split (hash-cut, not
     // rand(): docs keep their split across corpus versions)
     "split_assign" -> ((s, d) =>
@@ -1650,12 +1660,15 @@ object SparkEntry {
     // doc lengths, the exact tfidfTopTerms BM25 expression tree, and an
     // ascending-term fold for the per-doc sum
     "bm25_search" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
          |  FROM documents),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
          |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
          |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
          |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -1692,6 +1705,26 @@ object SparkEntry {
          |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,
          |  (l.vec_id IS NULL) AS kept
          |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.knnGraph: the vector_ivf_topk cell-assignment
+    // replay with the corpus itself as the query side
+    "knn_graph" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn)
+         |SELECT q.query_id, c.neighbor_id, $cos AS cosine
+         |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
     },
 
     // mirrors Curation.splitAssign: md5Bucket cut at the exact integer

@@ -593,8 +593,9 @@ object Curation {
     * Scale shape: the token stream is filtered to the query terms BEFORE
     * the tf aggregation (an `IN` predicate over the explode — the shuffle
     * only ever carries query-term hits, the analogue of reading |terms|
-    * posting lists), while document lengths and the corpus stats come
-    * from a separate count-only aggregation over the full stream.
+    * posting lists), while document lengths are a ROW-LOCAL array-length
+    * projection (never a second explode of the corpus: BM25's dl needs a
+    * count, not a stream) and the corpus stats aggregate those counts.
     * Per-document scores sum the per-term BM25 contributions with an
     * ascending-term fold over a sorted array (FP addition order is
     * defined, so the score replays hash-exact in SQL); the final top-k is
@@ -609,16 +610,18 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
-    val tokenRows = Fan.spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-    // full-stream doc lengths (BM25's dl/avgdl read ALL tokens, not just
-    // query-term hits); count-only shuffle — no strings, just (id, n)
-    val docLens = tokenRows.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val base = Fan.spread(docs.select(col(idCol), col(textCol)))
+    // doc length as a per-row count over the (empty-filtered) token
+    // vector; docs with zero tokens still count toward n_docs/avgdl
+    val docLens = base.select(col(idCol),
+      size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
+        .cast("long").as("dl"))
     val corpus = broadcast(docLens.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-    val tf = tokenRows.filter(col("term").isin(terms: _*))
+    val tf = base
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0 && col("term").isin(terms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = tf.join(broadcast(df), "term")

@@ -75,6 +75,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-nearest-neighbor GRAPH over the whole corpus: every vector's top-k
+    * same-cell neighbors by cosine — the candidate-generation step of
+    * graph-based clustering and SemDeDup-style pipelines. Unlike
+    * [[ivfTopK]] the queries ARE the corpus, so nothing is broadcast:
+    * vectors get their cell from the zero-shuffle [[cellOf]] projection
+    * and self-join per cell (ONE keyed shuffle); the quadratic term is
+    * per-cell — the same bounded-block contract as
+    * [[Dedup.embeddingNearDup]], with the anchor count as the knob that
+    * keeps cells executor-sized at any corpus scale. Vectors alone in
+    * their cell emit no rows (no neighbors at nprobe=1 — the documented
+    * recall trade of cell-blocked candidate generation). */
+  def knnGraph(
+      corpus: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val assigned = Fan.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("id"), cellOf(anchors, col(vecCol)).as("cell"),
+        col(vecCol).as("v"))
+    val l = assigned.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val r = assigned.select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = l.join(r, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Nearest-anchor cell id for a vector column — argmax-cosine with ties
     * to the smallest anchor id, as a PER-ROW native expression
     * ([[org.apache.spark.sql.graft.NearestCellF]]). No join, no shuffle —

@@ -49,4 +49,30 @@ class SimilaritySpec extends SparkSpec {
     plan.toLowerCase should not include "cartesianproduct"
     plan.toLowerCase should not include "cross"
   }
+
+  "knnGraph" should "give every vector its top-k same-cell neighbors" in {
+    val anchors = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val r = Similarity.knnGraph(vecs, anchors, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // cell 0 holds {0, 1}; cell 2 holds {2, 3, 4}
+    r(0L) shouldBe 1L
+    r(1L) shouldBe 0L
+    // 2=(0,1) and 3=(0.1,1): mutual nearest within cell 2; 4=(-1,0) picks
+    // 3 over 2 by cosine (slightly positive vs 0), not by id
+    r(2L) shouldBe 3L
+    r(3L) shouldBe 2L
+    r(4L) should (be(2L) or be(3L))
+    // the graph never crosses cells
+    val pairs = Similarity.knnGraph(vecs, anchors, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val cellOfId = Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 2L)
+    pairs.foreach { case (q, n) => cellOfId(q) shouldBe cellOfId(n) }
+  }
+
+  it should "stay an equi-join plan (no cartesian product)" in {
+    val anchors = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val plan = Similarity.knnGraph(vecs, anchors, k = 2)
+      .queryExecution.optimizedPlan.toString
+    plan.toLowerCase should not include "cartesianproduct"
+  }
 }
