@@ -669,6 +669,14 @@ object SparkEntry {
       graft.operators.Dedup.semanticDedup(e, e.filter(col("vec_id") < 8), 0.25)
     }),
 
+    // Unicode-canonical text normalization (native codegen'd NFC → lower
+    // → whitespace collapse) + the dedup key it feeds
+    "text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.normalizeText(col("text")).as("norm_text"),
+        md5(T.normalizeText(col("text"))).as("norm_fp"))),
+
     // Corpus-wide kNN graph (every vector's top-3 same-cell neighbors):
     // cell-blocked self-join, one keyed shuffle, per-cell quadratic
     "knn_graph" -> ((s, d) => {
@@ -1706,6 +1714,13 @@ object SparkEntry {
          |  (l.vec_id IS NULL) AS kept
          |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
     },
+
+    // mirrors TextFunctions.normalizeText (NFC → lower → collapse → trim)
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents""".stripMargin,
 
     // mirrors Similarity.knnGraph: the vector_ivf_topk cell-assignment
     // replay with the corpus itself as the query side

@@ -155,6 +155,21 @@ object TextFunctions {
   /** Dotted-quad IPv4 literal. */
   val piiIpv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
+  /** Canonical text normalization for dedup/fingerprint keys: Unicode NFC
+    * (native codegen'd [[org.apache.spark.sql.graft.NfcNormalize]] — the
+    * composed form, so visually-identical strings compare equal), then
+    * lower-case, then whitespace runs collapsed to single spaces and
+    * trimmed. Row-local, codegen'd end to end; replays in SQL as
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))`.
+    * (Locale-sensitive lower-case edge cases — Turkish dotted İ, German ß
+    * — can differ between Unicode implementations; the operators here
+    * only feed normalized text into HASHES, where any self-consistent
+    * engine is correct.) */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(org.apache.spark.sql.graft.TextExpressionFunctions.nfcColumn(text)),
+      "\\s+", " "))
+
   /** Redact emails then IPv4 literals with typed placeholders. */
   def redactPii(text: Column): Column =
     regexp_replace(

@@ -304,6 +304,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.dotIntDescriptor)
+    ext.injectFunction(TextExpressionFunctions.nfcDescriptor)
   }
 }
 
@@ -322,9 +323,10 @@ object GraftFunctions {
     * (NearestCellF/NearestCellsF carry driver-side anchor arrays and have
     * no SQL-literal surface — DataFrame builders below only.) */
   def register(spark: SparkSession): Unit =
-    Seq(dotDescriptor, dotIntDescriptor).foreach { d =>
-      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
-    }
+    Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor)
+      .foreach { d =>
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+      }
 
   /** DataFrame-API surface for the native dot product. */
   def dotColumn(a: Column, b: Column): Column =

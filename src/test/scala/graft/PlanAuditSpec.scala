@@ -126,6 +126,54 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "quality_gopher" should "prune the scan to id+text and partial-aggregate the token stats" in {
+    val plan = executed("quality_gopher")
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    plan should include("partial_count")
+  }
+
+  "lm_score" should "prune the scan and keep every join an equi- or broadcast join" in {
+    val plan = executed("lm_score")
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin" // count frames broadcast at this SF
+  }
+
+  "bm25_search" should "take the top-k without a global sort and aggregate tf map-side" in {
+    val plan = executed("bm25_search")
+    plan should include("TakeOrderedAndProject")
+    plan should include("partial_count")
+  }
+
+  "semantic_dedup" should "block by cell with an equi-join, never a cartesian product" in {
+    val plan = executed("semantic_dedup")
+    plan should not include "CartesianProduct"
+  }
+
+  "knn_graph" should "block by cell with an equi-join, never a cartesian product" in {
+    val plan = executed("knn_graph")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit") // rank<=k pushed as a group limit
+  }
+
+  "text_normalize" should "stay a shuffle-free projection with graft_nfc inside the codegen span" in {
+    val plan = executed("text_normalize")
+    plan should not include "Exchange"
+    plan should include("graft_nfc")
+    plan should include("*(1) Project") // whole-stage codegen, not fallback
+  }
+
+  "split_assign" should "stay a pure per-row projection (no exchange at all)" in {
+    val plan = executed("split_assign")
+    plan should not include "Exchange"
+  }
+
+  "domain_mix" should "partial-aggregate the per-source stats map-side" in {
+    val plan = executed("domain_mix")
+    plan should include("partial_count")
+    plan should include("partial_sum")
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -146,6 +146,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mks.semanticEquals(mks))
   }
 
+  "graft_nfc / normalizeText" should "compose combining marks and canonicalize whitespace" in {
+    import graft.functions.TextFunctions
+    val eAcuteDecomposed = "e\u0301" // e + COMBINING ACUTE
+    val eAcuteComposed = "\u00e9"
+    val docs = Seq(
+      (1L, s"Caf$eAcuteDecomposed  du\tMonde "),
+      (2L, s"Caf$eAcuteComposed du monde"),
+      (3L, "plain ascii text")
+    ).toDF("id", "t")
+    val r = docs.select(col("id"), TextFunctions.normalizeText(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    r(1L) shouldBe s"caf$eAcuteComposed du monde"
+    r(1L) shouldBe r(2L)
+    r(3L) shouldBe "plain ascii text"
+    // SQL surface registered alongside the dot products
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sql(s"SELECT graft_nfc('$eAcuteDecomposed') AS x")
+      .as[String].collect().head shouldBe eAcuteComposed
+  }
+
+  it should "skip the copy when the input is already NFC" in {
+    import org.apache.spark.sql.graft.NfcHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("A\u030a b e\u0301") // A-ring, e-acute decomposed
+    NfcHelper.nfc(decomposed).toString shouldBe "\u00c5 b \u00e9"
+    // already-NFC input comes back as the SAME object (no copy on the hot path)
+    val ascii = UTF8String.fromString("just ascii")
+    NfcHelper.nfc(ascii) should be theSameInstanceAs ascii
+  }
+
   "cosine" should "compute the normalized similarity" in {
     val r = Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
       .toDF("a", "b")
