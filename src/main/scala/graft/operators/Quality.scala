@@ -141,7 +141,10 @@ object Quality {
       .filter(col("w2").isNotNull)
       .select(col(idCol), col("pos"), col("tok").as("w1"), col("w2"))
     val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // context totals derive from the bigram-count TABLE (c(w1·) = Σ_w2
+    // c(w1,w2)): aggregating |vocab|² rows instead of re-shuffling the
+    // full N-token bigram stream a second time
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val vocab = broadcast(toks.agg(countDistinct(col("tok")).as("v")))
     val scored = bi
       .join(cb, Seq("w1", "w2"))

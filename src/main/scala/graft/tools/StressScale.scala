@@ -61,8 +61,8 @@ object StressScale {
     val emb = spark.range(n).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
-        i => (pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
-          .cast("float") / 1000f).as("embedding"))
+        i => ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
       .persist()
     emb.count()
 
@@ -103,7 +103,21 @@ object StressScale {
       // int8 retrieval at corpus scale: 32 queries against all n docs
       // (embeddings pre-materialized so generation isn't timed)
       timeNoop("knn_int8")(graft.operators.Similarity.bruteForceTopKInt8(
-        emb, emb.filter(col("vec_id") < 32), k = 10))
+        emb, emb.filter(col("vec_id") < 32), k = 10)),
+      // corpus-trained bigram LM over every doc: the heaviest token-stream
+      // op (explode + window + two keyed counts + re-join)
+      timeNoop("lm_score")(graft.operators.Quality.lmScore(docs)),
+      timeNoop("gopher_rules")(graft.operators.Quality.gopherRules(docs)),
+      // kNN graph with cells sized n/256: per-cell quadratic at its
+      // contract boundary (anchors = first 256 vectors)
+      timeNoop("knn_graph") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
+      },
+      timeNoop("bm25_search")(
+        Curation.bm25Search(docs, Seq("spark", "merge", "customer"), topK = 100))
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
