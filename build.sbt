@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the suite JITs hundreds of generated whole-stage-codegen classes;
+  // headroom over the JDK default 240 MB keeps the C2 code cache from
+  // filling on long runs (the dominant in-suite recompile cost was the
+  // SQL generated-class cache, fixed via codegen.cache.maxEntries — this
+  // is the belt to that suspender)
+  "-XX:ReservedCodeCacheSize=512m",
 )

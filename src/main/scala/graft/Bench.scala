@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   *    min over passes (steady-state cost), with every pass recorded under
   *    `queries_runs` so run-to-run spread is visible and ±10% noise can't
   *    masquerade as a regression.
+  *  - generated-class cache sized to the suite (r6): the static default
+  *    `spark.sql.codegen.cache.maxEntries=100` is smaller than one pass
+  *    of this suite, so every heavy query's classes were LRU-evicted
+  *    between its own reps and Janino recompiled them EVERY pass — the
+  *    warm-up bought nothing and "steady state" silently included a
+  *    compile bill (suite 56 s → 39 s once raised).
+  *  - persistent-RDD cleanup between queries (r6): clearCache drops
+  *    cached datasets but not localCheckpoint blocks; the LSH/CC family's
+  *    truncation frames otherwise accumulate for the whole run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,6 +44,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 78-query suite spans far more
+      // generated-class cache entries than that, so each heavy query's
+      // classes are LRU-evicted between its own reps and Janino recompiles
+      // them every pass — the in-suite-vs-isolated gap on the LSH family
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -64,6 +78,7 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // touch every timed-SF table once, full rows through the noop sink:
     // footers AND data pages reach the OS page cache (a count() would read
@@ -77,6 +92,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // clearCache drops cached DATASETS but not localCheckpoint RDD blocks
+    // (the LSH/CC family truncates lineage via eager localCheckpoint);
+    // without an explicit unpersist those blocks leak across the suite and
+    // the block manager / GC pressure taxes every later heavy query
+    // (measured: dedup_apply 4.5-5.7 s in-suite vs 2.7 s isolated).
+    // Nothing is shared across queries — each reconstructs its frames —
+    // so dropping every persistent RDD between queries is safe.
+    def dropPersisted(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     // timed passes: noop-sink write (consumes full rows, writes nothing),
     // cold dataset cache per query
     def timedPass(): Seq[(String, Double, Option[String])] =
@@ -85,7 +112,7 @@ object Bench {
         val outcome =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        spark.catalog.clearCache()
+        dropPersisted()
         (name, (System.nanoTime() - t0) / 1e9, outcome)
       }
     val passes = (1 to reps).map(_ => timedPass())

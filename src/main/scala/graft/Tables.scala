@@ -29,6 +29,13 @@ object Tables {
       // long (the values are whole microseconds, so ordering is unaffected)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100 entries: a session that runs the whole
+      // 78-query suite (Verify, tests, a long-lived service) spans far
+      // more generated classes than that, so hot queries' classes get
+      // LRU-evicted and Janino recompiles them on every re-run — worth
+      // raising on any long-running Spark SQL deployment (measured in
+      // Bench: suite 56 s → 39 s at sf0.1)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
