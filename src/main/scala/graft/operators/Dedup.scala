@@ -133,23 +133,45 @@ object Dedup {
       minhashSignatures(docs, textCol, idCol, shingleN, k, tier),
       k, bands, maxBucketSize, tier)
 
+  /** The k/bands LSH band-key array of a signature column — ONE shared
+    * definition so batch pair generation, incremental admission, and the
+    * streaming admission gate can never disagree on the banding. */
+  private def bandKeyArray(sig: Column, k: Int, bands: Int, tier: HashTier): Column = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must be positive and divide k ($k); " +
+        "otherwise band keys degenerate and the join goes quadratic")
+    val rowsPerBand = k / bands
+    tier match {
+      case PortableMd5 => H.lshBandKeys(sig, bands, rowsPerBand)
+      case FastXx => array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          sig.getItem(b * rowsPerBand + r))): _*).cast("string")
+      }: _*)
+    }
+  }
+
+  /** Per-doc LSH band keys, exploded to (id, band) — the "posting list"
+    * an admission gate joins against. Computed once over the corpus and
+    * persisted, it is the index that lets a new batch (or stream) be
+    * admitted WITHOUT re-deduplicating the corpus. */
+  def bandKeys(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      tier: HashTier = PortableMd5): DataFrame =
+    minhashSignatures(docs, textCol, idCol, shingleN, k, tier)
+      .select(col("id"), explode(bandKeyArray(col("sig"), k, bands, tier)).as("band"))
+
   private def pairsFromSigs(
       sigs: DataFrame,
       k: Int,
       bands: Int,
       maxBucketSize: Int,
       tier: HashTier): DataFrame = {
-    require(bands > 0 && k % bands == 0,
-      s"bands ($bands) must be positive and divide k ($k); " +
-        "otherwise band keys degenerate and the join goes quadratic")
-    val rowsPerBand = k / bands
-    val bandKeys = tier match {
-      case PortableMd5 => H.lshBandKeys(col("sig"), bands, rowsPerBand)
-      case FastXx => array((0 until bands).map { b =>
-        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r))): _*).cast("string")
-      }: _*)
-    }
+    val bandKeys = bandKeyArray(col("sig"), k, bands, tier)
     // eager localCheckpoint: the banded frame has TWO consumers whose
     // exchanges differ — the census shuffle partial-aggregates map-side,
     // the pair join's does not — so neither ReuseExchange nor AQE stage

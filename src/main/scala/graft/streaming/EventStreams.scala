@@ -145,6 +145,45 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("content_md5")
 
+  /** Streaming NEAR-dup admission — the streaming twin of
+    * [[graft.operators.Dedup.incrementalFilter]]: each micro-batch of
+    * incoming documents is admitted only when none of its MinHash-LSH
+    * band keys collide with the static corpus's band set
+    * ([[graft.operators.Dedup.bandKeys]] — the persisted "index" a
+    * 100 TB corpus exposes so new data never forces a re-dedup).
+    *
+    * Shape: `foreachBatch`, deliberately. The signature aggregation is an
+    * explode → partial-min groupBy — a batch plan — and foreachBatch is
+    * Structured Streaming's sanctioned escape hatch for exactly this
+    * stream/batch hybrid: every micro-batch gets the full Catalyst plan
+    * (including AQE) against the static band frame, and only the
+    * micro-batch's own rows ever shuffle. Band collision = LSH candidate,
+    * so admission is conservative (any colliding band rejects the doc) —
+    * the same pre-gate the batch incremental filter applies before exact
+    * scoring. `sink` receives each micro-batch's admitted rows.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def admissionStream(
+      incoming: DataFrame,
+      corpusBands: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val collided = graft.operators.Dedup
+          .bandKeys(batch, textCol, idCol, shingleN, k, bands)
+          .join(corpusBands.select(col("band")), Seq("band"), "left_semi")
+          .select(col("id").as(idCol))
+          .distinct()
+        sink(batch.join(collided, Seq(idCol), "left_anti"), batchId)
+      }
+      .start()
+
   /** Stream-stream interval join: every left event paired with the right
     * events at most `windowSeconds` away — the streaming counterpart of
     * [[graft.operators.Joins.rangeJoin]], and it uses the SAME bin-key

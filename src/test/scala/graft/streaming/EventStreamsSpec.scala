@@ -136,6 +136,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "admissionStream" should "admit only docs with no LSH band collision against the corpus" in {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog in the field today"),
+      (101L, "completely unrelated corpus text about database engines and joins")
+    ).toDF("doc_id", "text")
+    val corpusBands = graft.operators.Dedup
+      .bandKeys(corpus, k = 16, bands = 4).persist()
+    corpusBands.count()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStreams.admissionStream(
+      stream.toDF().toDF("doc_id", "text"),
+      corpusBands,
+      (batch, _) => admitted.synchronized {
+        admitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      },
+      k = 16, bands = 4)
+    try {
+      stream.addData(
+        // near-dup of corpus 100 (one word changed => most bands collide)
+        (1L, "the quick brown fox jumps over the lazy dog in the field tonight"),
+        // novel document, no collision
+        (2L, "entirely fresh content with zero overlap whatsoever anywhere"))
+      q.processAllAvailable()
+      stream.addData((3L, "the quick brown fox jumps over the lazy dog in the field today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    corpusBands.unpersist()
+    // 1 collides (near-dup), 3 collides (exact dup), 2 is admitted
+    admitted.sorted shouldBe Seq(2L)
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
