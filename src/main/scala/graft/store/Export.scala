@@ -49,4 +49,40 @@ object Export {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)
+
+  /** JSONL (one JSON object per line) shard export — the interchange
+    * format tokenizer/training toolchains actually read. Same
+    * deterministic shard layout, sort, and file-size bound as
+    * [[exportShards]], but gzip-compressed text: Spark's JSON sink writes
+    * line-delimited records natively, and gzip'd JSONL shards are
+    * splittable at the FILE level (which is why the per-file record cap
+    * matters more here than for parquet — a file is the parallelism unit
+    * on read). */
+  def exportJsonl(
+      df: DataFrame,
+      path: String,
+      nShards: Int,
+      seed: Long = 42L,
+      idCol: String = "doc_id",
+      maxRecordsPerFile: Long = 1000000L,
+      compression: String = "gzip"): Unit =
+    assignShards(df, nShards, seed, idCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write
+      .partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
+      .mode("overwrite")
+      .json(path)
+
+  /** Read a JSONL export back with an explicit schema — schema inference
+    * over 100 TB of text is a full extra pass, so production reads always
+    * supply the schema (here: taken from the caller, typically the
+    * writing frame's). */
+  def readJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

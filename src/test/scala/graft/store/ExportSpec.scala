@@ -60,4 +60,33 @@ class ExportSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  "exportJsonl" should "write gzip'd line-JSON shards that round-trip with an explicit schema" in {
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    try {
+      val path = s"${dir.getAbsolutePath}/jsonl"
+      Export.exportJsonl(docs, path, nShards = 4)
+      val shardDirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      shardDirs.map(_.getName).toSet shouldBe (0 until 4).map(i => s"shard=$i").toSet
+      // files are gzip'd line-JSON
+      val files = shardDirs.flatMap(_.listFiles()).filter(_.getName.endsWith(".json.gz"))
+      files should not be empty
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(files.head))
+      val firstLine = scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      firstLine should startWith("{")
+      firstLine should include("\"doc_id\"")
+      in.close()
+      // schema-supplied read-back round-trips content exactly
+      val back = Export.readJsonl(spark, path,
+        org.apache.spark.sql.types.StructType(docs.schema.fields))
+      back.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+        docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
