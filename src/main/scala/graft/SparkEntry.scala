@@ -669,6 +669,25 @@ object SparkEntry {
       graft.operators.Dedup.semanticDedup(e, e.filter(col("vec_id") < 8), 0.25)
     }),
 
+    // Product quantization, encode side: 64-dim → 8 codes via the
+    // per-slice argmin-L2 expression; deterministic seed codebook (first
+    // 16 vectors' slices) so the assignment replays in SQL
+    "vector_pq_encode" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Similarity.pqTrainSeed(e, m = 8, kPerSub = 16, dim = 64)
+      Similarity.pqEncode(e, cb)
+        .select(col("vec_id"), to_json(col("codes")).as("codes"))
+    }),
+
+    // PQ retrieval via asymmetric distance computation: broadcast
+    // (query, sub, code) → partial-L2² table joined against the encoded
+    // corpus; ascending-subspace ADC fold, ties by neighbor id
+    "vector_pq_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Similarity.pqTrainSeed(e, m = 8, kPerSub = 16, dim = 64)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), cb, k = 3).drop("rank")
+    }),
+
     // Unicode-canonical text normalization (native codegen'd NFC → lower
     // → whitespace collapse) + the dedup key it feeds
     "text_normalize" -> ((s, d) =>
@@ -741,6 +760,16 @@ object SparkEntry {
 
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** DuckDB replay of [[org.apache.spark.sql.graft.NearestCellL2F]]'s
+    * per-slice squared L2: ascending-index fold of (v[sub*8+j] - c[j])²
+    * over the 8-wide subspace `sub` (the fold's first element serves as
+    * the init, which equals the expression's 0.0-seeded fold exactly). */
+  private def pqL2Sql(v: String, c: String, sub: String): String =
+    s"""list_reduce(list_transform(range(1, 9),
+       |    j -> (CAST($v[$sub*8 + j] AS DOUBLE) - CAST($c[$sub*8 + j] AS DOUBLE))
+       |       * (CAST($v[$sub*8 + j] AS DOUBLE) - CAST($c[$sub*8 + j] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
 
   /** DuckDB replay of [[T.langId]] (struct-sort argmax, alphabetical
     * tie-break, 'und' when no stopword hits). */
@@ -1713,6 +1742,59 @@ object SparkEntry {
          |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,
          |  (l.vec_id IS NULL) AS kept
          |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.pqEncode with the seed codebook: per-subspace
+    // argmin of the ascending-index squared-L2 fold, ties to smallest cid
+    "vector_pq_encode" -> {
+      val dist = pqL2Sql("e.embedding", "d.cv", "s.sub")
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |asn AS (
+         |  SELECT e.vec_id, s.sub, d.cid, $dist AS dist
+         |  FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds d),
+         |best AS (
+         |  SELECT vec_id, sub, cid FROM asn
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY dist, cid) = 1)
+         |SELECT vec_id,
+         |  CAST(to_json(list(cid ORDER BY sub)) AS VARCHAR) AS codes
+         |FROM best GROUP BY 1""".stripMargin
+    },
+
+    // mirrors Similarity.pqTopK: the same code assignment, each query's
+    // (sub, cid) partial-L2² table, ascending-subspace ADC fold
+    "vector_pq_topk" -> {
+      val dist = pqL2Sql("e.embedding", "d.cv", "s.sub")
+      val qdist = pqL2Sql("q.qv", "d.cv", "s.sub")
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |best AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT e.vec_id, s.sub, d.cid, $dist AS dist
+         |    FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds d)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY dist, cid) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 5),
+         |dt AS (
+         |  SELECT q.query_id, s.sub, d.cid, $qdist AS d
+         |  FROM q CROSS JOIN subs s CROSS JOIN seeds d),
+         |sc AS (
+         |  SELECT dt.query_id, b.vec_id AS neighbor_id,
+         |    list(dt.d ORDER BY dt.sub) AS ds
+         |  FROM best b JOIN dt ON b.sub = dt.sub AND b.cid = dt.cid
+         |  WHERE dt.query_id <> b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(ds, (x, y) -> x + y) AS adc FROM sc)
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc, neighbor_id) <= 3""".stripMargin
     },
 
     // mirrors TextFunctions.normalizeText (NFC → lower → collapse → trim)

@@ -107,6 +107,164 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** A trained product-quantization codebook: `m` contiguous subspaces of
+    * `width` dims each, every subspace with its own (cid, centroid)
+    * anchors sorted by cid. */
+  final case class PqCodebook(width: Int, books: Seq[Seq[(Long, Seq[Float])]]) {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebook")
+    def m: Int = books.size
+  }
+
+  /** Deterministic seed codebook: subspace s's centroids are the s-th
+    * slices of the first `kPerSub` corpus vectors by id — the replayable
+    * baseline ([[pqTrainKmeans]] is the refined tier). */
+  def pqTrainSeed(
+      corpus: DataFrame,
+      m: Int,
+      kPerSub: Int,
+      dim: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): PqCodebook = {
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val width = dim / m
+    val seeds = corpus.select(col(idCol).cast("bigint"), col(vecCol))
+      .orderBy(col(idCol)).limit(kPerSub)
+      .collect().toSeq.map(r => r.getSeq[Float](1))
+    PqCodebook(width, (0 until m).map { s =>
+      seeds.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.slice(s * width, (s + 1) * width))
+      }
+    })
+  }
+
+  /** Lloyd-refined codebook: [[kmeansAnchors]] run independently per
+    * subspace over the sliced corpus — m × iters distributed passes,
+    * driver holds only m × k × width floats. Iterative ⇒ rows-only
+    * checks downstream (same contract as [[ivfTopKKmeans]]). */
+  def pqTrainKmeans(
+      corpus: DataFrame,
+      m: Int,
+      kPerSub: Int,
+      dim: Int,
+      iters: Int = 3,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): PqCodebook = {
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val width = dim / m
+    PqCodebook(width, (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol), s * width + 1, width).as(vecCol))
+      kmeansAnchors(sliced, kPerSub, iters, 42L + s, vecCol, idCol)
+    })
+  }
+
+  /** PQ-encode the corpus: one `smallint`-range code per subspace, from
+    * the codegen'd per-slice argmin-L2 expression
+    * ([[org.apache.spark.sql.graft.NearestCellL2F]] — the slice never
+    * materializes, the codebook rides in the codegen references). Pure
+    * per-row projection: the 100 TB corpus becomes m bytes-ish per row
+    * with zero shuffle. */
+  def pqEncode(
+      corpus: DataFrame,
+      cb: PqCodebook,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val codeCols = cb.books.zipWithIndex.map { case (book, s) =>
+      val sorted = book.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
+        col(vecCol), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, s * cb.width, cb.width)
+        .cast("int").as(s"c$s")
+    }
+    Fan.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol) +: codeCols: _*)
+      .select(col(idCol),
+        array((0 until cb.m).map(s => col(s"c$s")): _*).as("codes"))
+  }
+
+  /** PQ top-k retrieval via asymmetric distance computation (ADC): each
+    * query precomputes its (subspace, code) → partial-L2² table — m×k
+    * doubles, driver-side, broadcast as a FRAME — and the encoded corpus
+    * is scored with one broadcast equi-join on (subspace, code) plus a
+    * keyed sum. No vector math ever touches the corpus at query time;
+    * the join input is the codes frame (m rows per doc after the
+    * explode), which is the whole point of PQ at 100 TB: the resident
+    * index is codes, not floats. Ties break by neighbor id. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cb: PqCodebook,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    // driver-side distance tables: |queries| × m × kPerSub rows
+    val qRows = queries.select(col(idCol).cast("bigint"), col(vecCol)).collect()
+    val dtable = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      cb.books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { case (cid, cv) =>
+          var d = 0.0
+          var j = 0
+          while (j < cb.width) {
+            val x = if (s * cb.width + j < qv.length) qv(s * cb.width + j).toDouble else 0.0
+            val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
+            d += diff * diff
+            j += 1
+          }
+          (qid, s, cid.toInt, d)
+        }
+      }
+    }
+    import spark.implicits._
+    val dt = broadcast(dtable.toDF("query_id", "sub", "code", "d"))
+    val exploded = pqEncode(corpus, cb, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    // ascending-subspace fold, not sum(): m doubles per group, and the
+    // one defined addition order is what lets ADC scores replay hash-exact
+    val scored = exploded.join(dt, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("d")))).as("__ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("__ds"), lit(0.0), (acc, x) => acc + x("d")).as("adc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** PQ retrieval with exact re-ranking — the production shape: the ADC
+    * pass produces a `shortlist` of candidates per query from codes alone
+    * (cheap, index-resident), then ONLY the shortlist's real vectors are
+    * fetched (one keyed join against the corpus) and re-scored with the
+    * exact squared L2 via the codegen'd dot identity
+    * ‖q−c‖² = q·q − 2 q·c + c·c. Recall is set by `shortlist`, latency by
+    * the ADC pass; the full-precision corpus is touched only
+    * |queries| × shortlist times. */
+  def pqTopKRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cb: PqCodebook,
+      k: Int,
+      shortlist: Int = 100,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cand = pqTopK(corpus, queries, cb, shortlist, vecCol, idCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val d = V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("cv")) +
+      V.dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    cand.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), d.as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Nearest-anchor cell id for a vector column — argmax-cosine with ties
     * to the smallest anchor id, as a PER-ROW native expression
     * ([[org.apache.spark.sql.graft.NearestCellF]]). No join, no shuffle —

@@ -235,6 +235,97 @@ case class NearestCellF(
     copy(child = newChild)
 }
 
+/** [[NearestCellF]]'s L2 sibling: nearest anchor by SQUARED Euclidean
+  * distance over a SLICE of the input vector — the per-subspace code
+  * assignment of product quantization (PQ splits a d-dim vector into m
+  * contiguous sub-vectors and quantizes each against its own codebook;
+  * slicing inside the expression means the plan never materializes m
+  * slice arrays per row). Same anchors-as-data design (codegen source is
+  * value-independent; one compiled class serves every codebook), argmin
+  * with ties to the smallest anchor id, `SQLOrderingUtil` double order.
+  * `offset` is 0-based; elements past the vector's length are treated as
+  * absent (distance contribution of the anchor element alone). */
+case class NearestCellL2F(
+    child: Expression,
+    aids: Seq[Long],
+    anchors: Seq[Seq[Float]],
+    offset: Int,
+    width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(aids.nonEmpty && aids.length == anchors.length &&
+    offset >= 0 && width > 0,
+    "aids/anchors must be parallel and non-empty; offset >= 0; width > 0")
+
+  @transient private lazy val aidsArr: Array[Long] = aids.toArray
+  @transient private lazy val anchorsArr: Array[Array[Float]] = anchors.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_cell_l2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bestD = 0.0
+    var bestId = 0L
+    var i = 0
+    while (i < anchorsArr.length) {
+      val anchor = anchorsArr(i)
+      var d = 0.0
+      var j = 0
+      while (j < width && j < anchor.length) {
+        val x = if (offset + j < n) v.getFloat(offset + j).toDouble else 0.0
+        val diff = x - anchor(j).toDouble
+        d += diff * diff
+        j += 1
+      }
+      if (i == 0 || SQLOrderingUtil.compareDoubles(d, bestD) < 0) {
+        bestD = d
+        bestId = aidsArr(i)
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aidsRef = ctx.addReferenceObj("aids", aidsArr, "long[]")
+      val anchRef = ctx.addReferenceObj("anchors", anchorsArr, "float[][]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      val anchor = ctx.freshName("anchor")
+      s"""
+         |int $n = $a.numElements();
+         |double $bestD = 0.0;
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $anchRef.length; $i++) {
+         |  float[] $anchor = $anchRef[$i];
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $width && $j < $anchor.length; $j++) {
+         |    double $x = ($offset + $j < $n) ? (double) $a.getFloat($offset + $j) : 0.0;
+         |    double $diff = $x - (double) $anchor[$j];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($i == 0 ||
+         |      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($d, $bestD) < 0) {
+         |    $bestD = $d;
+         |    ${ev.value} = $aidsRef[$i];
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellL2F =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest anchors, best-first — [[NearestCellF]]'s
   * multi-cell sibling for the QUERY side of an IVF probe. Deliberately
   * `CodegenFallback`: it runs only over the broadcast query frame (a
@@ -345,6 +436,17 @@ object GraftFunctions {
     ExpressionUtils.column(NearestCellF(
       ExpressionUtils.expression(vec),
       aids.toSeq, anchors.map(_.toSeq).toSeq, norms.toSeq))
+
+  /** DataFrame-API surface for per-subspace PQ code assignment: argmin
+    * squared-L2 over `anchors` against the vector slice
+    * [offset, offset+width). Anchor VALUES ride as codegen references
+    * (one compiled class per (offset, width) slice shape, reused across
+    * every codebook — k-means refinement never recompiles). */
+  def nearestCellL2Column(vec: Column, aids: Array[Long],
+      anchors: Array[Array[Float]], offset: Int, width: Int): Column =
+    ExpressionUtils.column(NearestCellL2F(
+      ExpressionUtils.expression(vec),
+      aids.toSeq, anchors.map(_.toSeq).toSeq, offset, width))
 
   /** DataFrame-API surface for the nprobe-nearest-cells (query-side) variant. */
   def nearestCellsColumn(vec: Column, aids: Array[Long],
