@@ -156,6 +156,18 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit") // rank<=k pushed as a group limit
   }
 
+  "vector_pq_encode" should "assign codes inside the codegen span with no join at all" in {
+    val plan = executed("vector_pq_encode")
+    plan should include("graft_nearest_cell_l2")
+    plan should not include "Join"
+  }
+
+  "vector_pq_topk" should "score ADC via an equi-join on (sub, code), never a cartesian product" in {
+    val plan = executed("vector_pq_topk")
+    plan should not include "CartesianProduct"
+    plan should include("graft_nearest_cell_l2")
+  }
+
   "text_normalize" should "stay a shuffle-free projection with graft_nfc inside the codegen span" in {
     val plan = executed("text_normalize")
     plan should not include "Exchange"
