@@ -117,7 +117,24 @@ object StressScale {
         graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
       },
       timeNoop("bm25_search")(
-        Curation.bm25Search(docs, Seq("spark", "merge", "customer"), topK = 100))
+        Curation.bm25Search(docs, Seq("spark", "merge", "customer"), topK = 100)),
+      // PQ at corpus scale: encode is a zero-shuffle projection; topk
+      // joins the code stream against a broadcast 32x8x16 distance table
+      timeNoop("pq_encode") {
+        val cb = graft.operators.Similarity.pqTrainSeed(emb, m = 8, kPerSub = 16, dim = 64)
+        graft.operators.Similarity.pqEncode(emb, cb)
+      },
+      timeNoop("pq_topk_rerank") {
+        val cb = graft.operators.Similarity.pqTrainSeed(emb, m = 8, kPerSub = 16, dim = 64)
+        graft.operators.Similarity.pqTopKRerank(
+          emb, emb.filter(col("vec_id") < 32), cb, k = 10, shortlist = 100)
+      },
+      timeNoop("semantic_dedup") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        graft.operators.Dedup.semanticDedup(emb, anchors, 0.9)
+      }
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
