@@ -60,4 +60,44 @@ class MultipartSpec extends AnyFlatSpec with Matchers {
     parsed.map(_.name) shouldBe Seq("only")
     parsed.head.bytes shouldBe Array.emptyByteArray
   }
+
+  it should "round-trip random binary parts, including bodies containing boundary-like bytes" in {
+    val rnd = new scala.util.Random(99)
+    val boundary = "graftB7"
+    val boundaryBytes = bytes(s"--$boundary")
+    for (_ <- 1 to 200) {
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = (1 to nParts).map { i =>
+        val len = rnd.nextInt(400)
+        val data = new Array[Byte](len)
+        rnd.nextBytes(data)
+        // plant adversarial fragments: the raw boundary mid-body (NOT
+        // CRLF-preceded — replace any accidental preceding CRLF), bare
+        // CR/LF runs, and a trailing CR
+        if (len > boundaryBytes.length + 4 && rnd.nextBoolean()) {
+          val at = 1 + rnd.nextInt(len - boundaryBytes.length - 2)
+          System.arraycopy(boundaryBytes, 0, data, at, boundaryBytes.length)
+          if (data(at - 1) == '\n') data(at - 1) = 'x'
+          if (at >= 2 && data(at - 2) == '\r') data(at - 2) = 'x'
+        }
+        // a body must not itself contain the CRLF+delimiter sequence
+        // (that IS a delimiter per the RFC); scrub any accidental one
+        val crlfDelim = bytes("\r\n--" + boundary)
+        def scrub(): Unit = {
+          var p = 0
+          while (p + crlfDelim.length <= data.length) {
+            if (data.slice(p, p + crlfDelim.length).sameElements(crlfDelim)) data(p) = 'x'
+            p += 1
+          }
+        }
+        scrub()
+        s"p$i" -> data
+      }
+      val parsed = Multipart.parse(body(boundary, parts: _*), boundary)
+      parsed.map(_.name) shouldBe parts.map(_._1)
+      parsed.zip(parts).foreach { case (got, (_, want)) =>
+        got.bytes shouldBe want
+      }
+    }
+  }
 }
