@@ -714,6 +714,30 @@ object SparkEntry {
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // One-row corpus health report: the daily-operations rollup (size,
+    // token mass, exact-dup count, mean quality, dominant language).
+    // Quality rides as DECIMAL(18,6) so the mean is one exact sum + one
+    // double division — deterministic without an ordered fold.
+    "corpus_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(
+        size(filter(T.tokens(col("text")), tk => length(tk) > 0))
+          .cast("long").as("ntok"),
+        T.contentFingerprint(col("text")).as("fp"),
+        T.qualityScore(col("text"), enStop).cast("decimal(18,6)").as("q"),
+        T.langId(col("text")).as("lang"))
+      val stats = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        (sum(col("q")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_quality"))
+      val top = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang").asc).limit(1)
+        .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+      stats.crossJoin(broadcast(top))
+    }),
+
     // Domain-mixture report: per-source corpus composition (docs, tokens,
     // token share) — the accounting a mixture-weights decision reads
     "domain_mix" -> ((s, d) => {
@@ -1837,6 +1861,27 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 8))
         |         AS BIGINT) % 1000000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    // mirrors the corpus_report rollup: same fingerprint/quality/langid
+    // replays as their standalone queries, quality summed as DECIMAL
+    "corpus_report" ->
+      s"""WITH scored AS (
+         |  SELECT
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS ntok,
+         |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+         |    CAST($qualitySql AS DECIMAL(18,6)) AS q,
+         |    CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang
+         |  FROM (SELECT *, $langIdSql AS best FROM documents)),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+         |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_quality
+         |  FROM scored),
+         |top AS (
+         |  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+         |  FROM scored GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1)
+         |SELECT * FROM stats CROSS JOIN top""".stripMargin,
 
     "domain_mix" ->
       s"""WITH per AS (
