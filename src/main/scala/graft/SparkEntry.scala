@@ -158,6 +158,42 @@ object SparkEntry {
             .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q8-class market share: NATION_8's slice of ASIA-customer
+    // revenue per order year. Two fact shuffles (lineitem⋈orders,
+    // +customer), every dimension broadcast; decimal sums keep the
+    // revenue exact so share = one IEEE division of two exact doubles
+    "market_share" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cnat = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+      val reg = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey")))
+      val sup = broadcast(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val snat = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation")))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(cnat, col("c_nationkey") === col("cn_key"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(snat, col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(rev).cast("double").as("total_rev"),
+          sum(when(col("s_nation") === "NATION_8", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            .as("nation_rev"))
+        .select(col("o_year"), col("n_lines"), col("total_rev"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"))
+    }),
+
     // J-family: broadcast dimension join chain
     "join_customer_geo" -> ((s, d) =>
       t(s, d, "customer")
@@ -313,6 +349,18 @@ object SparkEntry {
         shingleN = 3, maxOverlap = 0.2)
     }),
 
+    // Bloom-tier decontamination: same semantics, benchmark compiled into
+    // one broadcast Bloom filter, corpus probed row-locally (no corpus
+    // shuffle). Bloom bits aren't SQL-replayable → rows-only; CurationSpec
+    // pins the flagged-superset property against the exact variant
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.decontaminateBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        shingleN = 3, maxOverlap = 0.2)
+    }),
+
     // Corpus vocabulary: top-100 bigrams by occurrence (tokenizer / stop-
     // list construction pass); TakeOrderedAndProject, no global sort
     "vocab_topk" -> ((s, d) =>
@@ -462,6 +510,18 @@ object SparkEntry {
     "agg_count" -> ((s, d) =>
       t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .agg(count(lit(1)).as("n"))),
+
+    // HLL distinct-count sketch (custom TypedImperativeAggregate) next to
+    // the exact count it approximates. Deterministic (register-max is
+    // order-blind) but approximate, so no single-SQL oracle replay —
+    // rows-only here; HllSpec pins error bounds, merge laws, and
+    // partitioning invariance
+    "hll_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(
+          org.apache.spark.sql.graft.SketchFunctions
+            .hllCount(xxhash64(col("user_id"))).as("hll_users"),
+          count_distinct(col("user_id")).as("exact_users"))),
 
     // C3 pctOf as a projected scalar
     "pct_of" -> ((s, d) =>
@@ -656,6 +716,31 @@ object SparkEntry {
     "lm_score" -> ((s, d) =>
       graft.operators.Quality.lmScore(t(s, d, "documents"))),
 
+    // Hashed-feature linear classifier score (fastText-style gate with a
+    // frozen md5-derived weight vector); dyadic weights + position-ordered
+    // fold → the double replays hash-exact with no rounding
+    "quality_classifier" -> ((s, d) =>
+      graft.operators.Quality.linearClassifier(t(s, d, "documents"))),
+
+    // Per-doc OOV rate against the corpus's own top-500 unigram vocab
+    "vocab_coverage" -> ((s, d) =>
+      graft.operators.Curation.vocabCoverage(t(s, d, "documents"))),
+
+    // α=0.5 temperature-resampling weights per source (√tokens / Σ√tokens)
+    "temperature_mix" -> ((s, d) =>
+      graft.operators.Curation.temperatureMix(t(s, d, "documents"))),
+
+    // Winnowing (MOSS) fingerprint selection: k=5 char grams, w=4 window,
+    // rightmost-min — row-local selection, explode only the survivors.
+    // The hash stream gets its own projection (winnowFromHashes contract)
+    "winnow_fingerprints" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), T.gramHashes(col("text"), k = 5).as("__hs"))
+        .select(col("doc_id"),
+          explode(T.winnowFromHashes(col("__hs"), w = 4)).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))),
+
     // BM25 retrieval for a fixed query against the whole corpus
     "bm25_search" -> ((s, d) =>
       graft.operators.Curation.bm25Search(
@@ -704,6 +789,17 @@ object SparkEntry {
         .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
+    }),
+
+    // Semantic-cluster topic labels: nearest-cell assignment (same seed
+    // anchors as semantic_dedup) × documents join → per-cell top-5 terms
+    // by tf·idf-over-cells
+    "cluster_topics" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Similarity.clusterTopics(t(s, d, "documents"), e, anchors, topK = 5)
     }),
 
     // Deterministic stratum-stable train/val/test split (hash-cut, not
@@ -978,6 +1074,30 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors the market_share join tree; decimal sums are exact, so the
+    // doubles (and the share division) replay bit-for-bit
+    "market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+        |       AS DOUBLE) AS total_rev,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_8'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+        |       AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "join_customer_geo" ->
       """SELECT c_custkey, c_name, n_name
@@ -1717,6 +1837,86 @@ object SparkEntry {
          |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nb AS DOUBLE), 6) AS nll
          |FROM agg""".stripMargin,
 
+    // mirrors Quality.linearClassifier: bucket = md5(tok) mod 1024, weight
+    // = md5("w:"+bucket)/2^32 - 0.5 (dyadic → exact double), left-to-right
+    // fold over token positions, one IEEE division — hash-exact unrounded
+    "quality_classifier" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(toks, t ->
+         |        CAST(('0x' || substr(md5('w:' ||
+         |          CAST(CAST(('0x' || substr(md5(t),1,8)) AS BIGINT) % 1024
+         |            AS VARCHAR)),1,8)) AS BIGINT) / 4294967296.0 - 0.5)),
+         |    (a, b) -> a + b) / greatest(len(toks), 1) AS qscore
+         |  FROM base)
+         |SELECT doc_id, n_tokens, qscore, qscore >= 0 AS keep FROM sc""".stripMargin,
+
+    // mirrors Curation.vocabCoverage: top-500 unigram vocab (count desc,
+    // token asc — deterministic cut), then per-doc OOV counting
+    "vocab_coverage" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+         |vocab AS (SELECT tok AS vtok FROM (
+         |  SELECT tok, count(*) AS n FROM tok GROUP BY 1
+         |  ORDER BY n DESC, tok LIMIT 500) _v)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS oov_rate
+         |FROM tok LEFT JOIN vocab ON tok = vtok
+         |GROUP BY 1""".stripMargin,
+
+    // mirrors Curation.temperatureMix: exact integer token counts, sqrt
+    // (correctly-rounded IEEE), normalizer folded over sources in sorted
+    // order — the one FP sum order both engines replay
+    "temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(
+        |        list_sort(list(struct_pack(s := source,
+        |          q := sqrt(CAST(n_tokens AS DOUBLE))))),
+        |        x -> x.q)),
+        |    (a, b) -> a + b) AS zz
+        |  FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / total AS natural_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / zz AS temp_share
+        |FROM per CROSS JOIN z""".stripMargin,
+
+    // mirrors TextFunctions.winnow (k=5, w=4): per-window rightmost-min
+    // over the md5-hex-prefix hash stream; DISTINCT replays Spark's
+    // row-local array_distinct
+    "winnow_fingerprints" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) - 4 AS m
+        |  FROM documents WHERE length(text) >= 5),
+        |h AS (
+        |  SELECT doc_id, m, least(m, 4) AS wl,
+        |    list_transform(range(0, m), i ->
+        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
+        |        AS BIGINT)) AS hs
+        |  FROM base),
+        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
+        |sel AS (
+        |  SELECT doc_id,
+        |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
+        |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
+        |             = list_min(list_slice(hs, j, j + wl - 1))
+        |           THEN q ELSE 0 END)) - 1 AS pos,
+        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
+        |  FROM w)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""".stripMargin,
+
     // mirrors Curation.bm25Search: query-term-filtered tf, full-stream
     // doc lengths, the exact tfidfTopTerms BM25 expression tree, and an
     // ascending-term fold for the per-doc sum
@@ -1766,6 +1966,39 @@ object SparkEntry {
          |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,
          |  (l.vec_id IS NULL) AS kept
          |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.clusterTopics: same cell assignment as
+    // semantic_dedup, tf·idf over cells, round-6 ln (lm_score contract)
+    "cluster_topics" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 32),
+         |asn AS (
+         |  SELECT e.vec_id, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |toks AS (
+         |  SELECT d.doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents d),
+         |cnt AS (
+         |  SELECT cell, term, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks JOIN asn ON toks.doc_id = asn.vec_id
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT count(DISTINCT cell) AS ncells FROM asn),
+         |df AS (SELECT term, count(*) AS dfc FROM cnt GROUP BY 1),
+         |scored AS (
+         |  SELECT cell, cnt.term, n,
+         |    round(CAST(n AS DOUBLE) *
+         |      ln((CAST(ncells AS DOUBLE) + 1.0) / (CAST(dfc AS DOUBLE) + 1.0)),
+         |      6) AS score
+         |  FROM cnt JOIN df ON cnt.term = df.term CROSS JOIN nc)
+         |SELECT CAST(cell AS BIGINT) AS cell, term, n, score,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY score DESC, term) AS BIGINT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 5""".stripMargin
     },
 
     // mirrors Similarity.pqEncode with the seed codebook: per-subspace

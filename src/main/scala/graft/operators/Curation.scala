@@ -254,6 +254,57 @@ object Curation {
         .as("contaminated"))
   }
 
+  /** Bloom-tier decontamination — [[decontaminate]]'s semantics with the
+    * benchmark side compiled into ONE ~MB Bloom filter instead of a
+    * shuffle join: the benchmark's distinct n-grams fold into a
+    * [[org.apache.spark.sql.graft.BloomBuildAgg]] partial aggregate
+    * (buffers bit-or on merge; only buffers cross the wire), the
+    * serialized filter is a bounded driver probe (like the k-means cell
+    * moments and the BPE vocab probe), and the corpus side counts
+    * overlaps ROW-LOCALLY with a codegen'd
+    * [[org.apache.spark.sql.graft.BloomMightContain]] probe inside one
+    * projection — the 100 TB corpus never shuffles at all (the exact
+    * variant shuffles its full n-gram stream). False positives only ever
+    * OVER-count hits by ~`fpp`, so the gate over-flags, never leaks a
+    * contaminated doc ([[CurationSpec]] pins the superset property
+    * against [[decontaminate]]). */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      maxOverlap: Double = 0.5,
+      fpp: Double = 0.001,
+      expectedItems: Long = 1L << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val benchGrams = Fan.spread(benchmark
+        .select(array_remove(T.tokens(col(textCol)), "").as("toks")))
+      .select(col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p"))
+      .select(concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s"))
+      .distinct()
+    val bloom = benchGrams
+      .agg(BloomFunctions.bloomBuild(col("s"), expectedItems, fpp))
+      .collect()(0).getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol), array_remove(T.tokens(col(textCol)), "").as("__toks"))
+      .select(col(idCol), array_distinct(transform(
+        sequence(lit(1),
+          greatest(size(col("__toks")) - lit(shingleN - 1), lit(1))),
+        p => concat_ws(" ", slice(col("__toks"), p, lit(shingleN)))))
+        .as("__grams"))
+      .select(col(idCol),
+        size(col("__grams")).cast("long").as("n_shingles"),
+        size(filter(col("__grams"),
+          g => BloomFunctions.bloomContains(g, bloom))).cast("long")
+          .as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles") >= maxOverlap)
+          .as("contaminated"))
+  }
+
   /** Corpus n-gram vocabulary: the `topK` most frequent token n-grams with
     * their occurrence and document-frequency counts — the corpus-analysis
     * pass behind tokenizer training, stop-list construction, and the
@@ -288,6 +339,73 @@ object Curation {
         count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(topK)
+  }
+
+  /** Per-document vocabulary coverage against the corpus's own top-`topK`
+    * unigram vocabulary — the OOV-rate signal tokenizer-budget planning
+    * and quality gating read (a doc whose tokens mostly miss the corpus
+    * vocabulary is boilerplate, another language, or noise). Vocabulary =
+    * [[ngramVocabulary]] at n=1 (count desc, token asc tie-break, so the
+    * top-K cut is deterministic in every engine).
+    *
+    * Shape: the corpus vocab pass is one keyed agg + `TakeOrderedAndProject`
+    * (topK rows, broadcast); the per-doc pass is one explode + broadcast
+    * hash join + one keyed agg. The big side shuffles once, keyed by doc. */
+  def vocabCoverage(
+      docs: DataFrame,
+      topK: Int = 500,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val vocab = ngramVocabulary(docs, shingleN = 1, topK = topK,
+      textCol = textCol, idCol = idCol).select(col("gram").as("__vtok"))
+    val ex = Fan.spread(docs.select(col(idCol).as("id"),
+        array_remove(T.tokens(col(textCol)), "").as("toks")))
+      .select(col("id"), explode(col("toks")).as("tok"))
+    ex.join(broadcast(vocab), col("tok") === col("__vtok"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Temperature-weighted domain mixture (α = 0.5): the resampling-weight
+    * table multilingual/multi-domain training runs use to up-weight small
+    * sources (Devlin et al. 2019 exponentiated-share sampling; the
+    * Pile/ROOTS mixture recipe). Per source: document and token counts,
+    * the natural token share, and the α=0.5 temperature share
+    * √tokens / Σ√tokens. α is fixed at 0.5 because `sqrt` is
+    * correctly-rounded IEEE in every engine while `pow(x, α)` is not —
+    * the one exponent that keeps the operator hash-exact cross-engine.
+    * The normalizer folds over sources in sorted order (FP addition is
+    * order-sensitive; ~dozens of sources, so the fold is trivially
+    * driver-bounded — it lives in a 1-row broadcast frame).
+    *
+    * Shape: one keyed agg over the corpus (map-side partials), a 1-row
+    * all-sources rollup, and a broadcast join back — the corpus scans
+    * once. */
+  def temperatureMix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col(textCol)).cast("bigint")).as("n_tokens"))
+    val z = broadcast(per.agg(
+      sum(col("n_tokens")).as("__total"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(
+            col(sourceCol).as("s"),
+            sqrt(col("n_tokens").cast("double")).as("q")))),
+          x => x.getField("q")),
+        lit(0.0), (a, b) => a + b).as("__z")))
+    per.crossJoin(z)
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total")).as("natural_share"),
+        (sqrt(col("n_tokens").cast("double")) / col("__z")).as("temp_share"))
   }
 
   /** Deterministic stratified sampling by content hash — mixture

@@ -164,4 +164,47 @@ object Quality {
           negate(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("lnp"))) /
             col("n_bigrams").cast("double"), 6).as("nll"))
   }
+
+  /** Hashed-feature linear quality classifier — the fastText-style gate
+    * (Joulin et al. 2016) most production corpus pipelines run after the
+    * rule batteries: tokens hash into `nBuckets` feature buckets, each
+    * bucket carries a fixed weight, and the document score is the mean
+    * bucket weight. Here the weight vector is itself md5-derived (a
+    * frozen random-projection model), which keeps the operator fully
+    * deterministic AND cross-engine replayable; swapping in trained
+    * weights is a one-line change (join or literal map over the same
+    * bucket id).
+    *
+    * Determinism contract (what makes the double hash-exact in any
+    * engine): bucket = first 8 md5 hex digits of the token, mod
+    * `nBuckets` — exact integer ops; weight = first 8 md5 hex digits of
+    * `"w:" + bucket` / 2^32 − 0.5 — a dyadic rational with ≤ 32
+    * significant bits, so the double is exact; the per-doc sum folds
+    * left-to-right over token positions (`aggregate`, not a float
+    * `sum()`), one defined order every engine replays; the final mean is
+    * a single IEEE division. No rounding needed anywhere.
+    *
+    * Scale shape: one row-local projection — no explode, no join, no
+    * shuffle; the scan's column pruning survives. */
+  def linearClassifier(
+      docs: DataFrame,
+      nBuckets: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def weight(tok: Column): Column =
+      conv(substring(md5(concat(lit("w:"),
+        (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") %
+          nBuckets).cast("string"))), 1, 8), 16, 10).cast("bigint") /
+        lit(4294967296.0) - lit(0.5)
+    docs
+      .select(col(idCol),
+        array_remove(T.tokens(col(textCol)), "").as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        (aggregate(col("__toks"), lit(0.0), (acc, t) => acc + weight(t)) /
+          greatest(size(col("__toks")), lit(1))).as("qscore"))
+      .select(col(idCol), col("n_tokens"), col("qscore"),
+        (col("qscore") >= 0).as("keep"))
+  }
 }

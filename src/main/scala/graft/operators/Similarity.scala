@@ -275,6 +275,50 @@ object Similarity {
     * anchors reuse ONE compiled class instead of recompiling ~2 s/round.
     * `anchors` must be driver-collectable (that is the IVF contract:
     * centroid count ≪ corpus size). */
+  /** Semantic-cluster labeling: assign every embedding to its nearest
+    * anchor cell (the zero-shuffle [[cellOf]] projection), join the
+    * documents table on id, and surface each cell's `topK` most
+    * characteristic terms by a tf·idf score over CELLS as the "documents"
+    * (idf = ln((cells+1)/(cells-with-term+1))) — the topic-labeling pass
+    * that makes an embedding clustering auditable by humans.
+    *
+    * Shape: one keyed shuffle joins the exploded token stream to the slim
+    * (id, cell) assignment; per-(cell, term) counts partial-aggregate
+    * map-side; the cell count rides a broadcast 1-row frame; the per-cell
+    * top-k is a cell-partitioned window (`WindowGroupLimit` pushes the
+    * cut). Score rounded to 6 — `ln` is the one non-correctly-rounded
+    * step (same contract as the LM scorer's oracle replay). */
+  def clusterTopics(
+      docs: DataFrame,
+      vecs: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      topK: Int = 5,
+      textCol: String = "text",
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val assigned = Fan.spread(
+      vecs.select(col(vecIdCol).as("__vid"), col(vecCol).as("__v")))
+      .select(col("__vid"), cellOf(anchors, col("__v")).as("cell"))
+    val toks = docs.select(col(docIdCol).as("__did"),
+      explode(array_remove(T.tokens(col(textCol)), "")).as("term"))
+    val cnt = toks.join(assigned, col("__did") === col("__vid"))
+      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("n"))
+    val nCells = broadcast(assigned.agg(
+      countDistinct(col("cell")).as("__nc")))
+    val df = cnt.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("score").desc, col("term").asc)
+    cnt.join(df, Seq("term")).crossJoin(nCells)
+      .select(col("cell"), col("term"), col("n"),
+        round(col("n").cast("double") *
+          log((col("__nc").cast("double") + 1.0) /
+            (col("__df").cast("double") + 1.0)), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
   def cellOf(anchors: Seq[(Long, Seq[Float])], vec: Column): Column = {
     require(anchors.nonEmpty, "ivf needs at least one anchor")
     val sorted = anchors.sortBy(_._1)

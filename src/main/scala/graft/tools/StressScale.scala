@@ -134,7 +134,36 @@ object StressScale {
           .select(col("vec_id"), col("embedding")).collect().toSeq
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
         graft.operators.Dedup.semanticDedup(emb, anchors, 0.9)
-      }
+      },
+      // winnowing at ~250 chars/doc: the row-local argmin selection is the
+      // hot loop (no shuffle; only survivors explode)
+      timeNoop("winnow_fp") {
+        import graft.functions.{TextFunctions => T}
+        docs.filter(length(col("text")) >= 5)
+          .select(col("doc_id"), T.gramHashes(col("text"), 5).as("__hs"))
+          .select(col("doc_id"),
+            explode(T.winnowFromHashes(col("__hs"), 4)).as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+      },
+      timeNoop("quality_classifier")(
+        graft.operators.Quality.linearClassifier(docs)),
+      timeNoop("vocab_coverage")(Curation.vocabCoverage(docs)),
+      // bloom decontamination: benchmark = 1/20 of the corpus; the corpus
+      // side must stay shuffle-free at any n
+      timeNoop("decon_bloom")(Curation.decontaminateBloom(
+        docs.filter(col("source") =!= "0"), docs.filter(col("source") === "0"),
+        shingleN = 3, maxOverlap = 0.2)),
+      timeNoop("cluster_topics") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        graft.operators.Similarity.clusterTopics(docs, emb, anchors, topK = 5)
+      },
+      // HLL sketch over the event stream: 16 groups, n/100 distinct users
+      timeNoop("hll_distinct")(
+        events.groupBy((col("event_id") % 16).as("etype"))
+          .agg(org.apache.spark.sql.graft.SketchFunctions
+            .hllCount(xxhash64(col("user_id"))).as("hll_users")))
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""

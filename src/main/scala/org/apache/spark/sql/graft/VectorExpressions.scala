@@ -396,6 +396,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.dotIntDescriptor)
     ext.injectFunction(TextExpressionFunctions.nfcDescriptor)
+    ext.injectFunction(SketchFunctions.hllDescriptor)
   }
 }
 
@@ -414,7 +415,8 @@ object GraftFunctions {
     * (NearestCellF/NearestCellsF carry driver-side anchor arrays and have
     * no SQL-literal surface — DataFrame builders below only.) */
   def register(spark: SparkSession): Unit =
-    Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor)
+    Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor,
+      SketchFunctions.hllDescriptor)
       .foreach { d =>
         spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
       }

@@ -186,6 +186,39 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("partial_sum")
   }
 
+  "quality_classifier" should "stay one row-local projection (no exchange) on a pruned scan" in {
+    val plan = executed("quality_classifier")
+    plan should not include "Exchange"
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string")
+  }
+
+  "winnow_fingerprints" should "select fingerprints row-locally (no exchange)" in {
+    val plan = executed("winnow_fingerprints")
+    plan should not include "Exchange"
+  }
+
+  "temperature_mix" should "broadcast the 1-row normalizer back over the per-source aggregate" in {
+    val plan = executed("temperature_mix")
+    plan should include("Broadcast")
+    plan should include("partial_count")
+  }
+
+  "vocab_coverage" should "broadcast the top-K vocabulary into the token join" in {
+    val plan = executed("vocab_coverage")
+    plan should include("BroadcastHashJoin")
+  }
+
+  "market_share" should "broadcast every dimension and never cross-join" in {
+    val plan = executed("market_share")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  "hll_distinct" should "run the sketch as a partial aggregate (buffers shuffle, not rows)" in {
+    val plan = executed("hll_distinct")
+    plan should include("partial_graft_hll_count")
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64Function}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{HllCountAgg, SketchFunctions}
+import org.apache.spark.sql.types.LongType
+
+import graft.SparkSpec
+
+/** HyperLogLog sketch aggregate: error bounds at several cardinalities,
+  * merge laws (the property that makes it a correct PARTIAL aggregate),
+  * partitioning invariance, and the SQL registration. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(n: Long, parts: Int): Long =
+    spark.range(n).repartition(parts)
+      .agg(SketchFunctions.hllCount(xxhash64(col("id"))).as("est"))
+      .collect()(0).getLong(0)
+
+  behavior of "HllCountAgg"
+
+  it should "estimate within 3 sigma (1.04/sqrt(4096)) across cardinalities" in {
+    for (n <- Seq(100L, 5000L, 50000L, 500000L)) {
+      val est = estimate(n, 8)
+      val relErr = math.abs(est - n).toDouble / n
+      withClue(s"n=$n est=$est: ") { relErr should be < 3 * 1.04 / 64.0 }
+    }
+  }
+
+  it should "be exact-ish at tiny cardinalities (linear counting regime)" in {
+    estimate(10L, 4) shouldBe 10L
+    estimate(1L, 1) shouldBe 1L
+  }
+
+  it should "return 0 for an empty input" in {
+    spark.range(10).filter(col("id") < 0)
+      .agg(SketchFunctions.hllCount(xxhash64(col("id"))))
+      .collect()(0).getLong(0) shouldBe 0L
+  }
+
+  it should "be invariant to partitioning (merge is order-blind)" in {
+    val a = estimate(40000L, 1)
+    val b = estimate(40000L, 32)
+    a shouldBe b
+  }
+
+  it should "merge as elementwise register max (associative, commutative)" in {
+    val agg = HllCountAgg(BoundReference(0, LongType, nullable = false))
+    def sketch(vals: Seq[Long]): Array[Byte] = {
+      val b = agg.createAggregationBuffer()
+      vals.foreach { v =>
+        agg.update(b, InternalRow(XxHash64Function.hash(v, LongType, 42L)))
+      }
+      b
+    }
+    val x = sketch((1L to 1000L).toSeq)
+    val y = sketch((500L to 1500L).toSeq)
+    val xy = agg.merge(x.clone(), y.clone())
+    val yx = agg.merge(y.clone(), x.clone())
+    xy.toSeq shouldBe yx.toSeq
+    // merged estimate ~= union cardinality (1500 distinct)
+    val est = agg.eval(xy).asInstanceOf[Long]
+    math.abs(est - 1500L).toDouble / 1500.0 should be < 0.1
+  }
+
+  it should "answer through the SQL surface after registration" in {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.range(20000).createOrReplaceTempView("__hll_in")
+    val est = spark.sql(
+      "SELECT graft_hll_count(xxhash64(id)) FROM __hll_in")
+      .collect()(0).getLong(0)
+    math.abs(est - 20000L).toDouble / 20000.0 should be < 0.05
+  }
+
+  it should "skip null inputs (hash guarded by isNotNull)" in {
+    val df = Seq(Some(1L), None, Some(2L), None, Some(3L)).toDF("v")
+    df.agg(SketchFunctions.hllCount(
+        when(col("v").isNotNull, xxhash64(col("v")))))
+      .collect()(0).getLong(0) shouldBe 3L
+  }
+}

@@ -143,6 +143,38 @@ class CurationSpec extends SparkSpec {
     r(3L) shouldBe ((1L, false))
   }
 
+  "decontaminateBloom" should "match the exact variant's counts modulo bloom over-counting" in {
+    // the real sf0.001 corpus: src0 as the benchmark, same params as the
+    // decontaminate/decontaminate_bloom query pair
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Curation.decontaminate(corpus, bench, shingleN = 3, maxOverlap = 0.2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_hits"),
+          x.getAs[Boolean]("contaminated"))).toMap
+    val bloom = Curation.decontaminateBloom(corpus, bench, shingleN = 3,
+        maxOverlap = 0.2, fpp = 0.001)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_hits"),
+          x.getAs[Boolean]("contaminated"))).toMap
+    bloom.keySet shouldBe exact.keySet
+    var extraHits = 0L
+    var totalShingles = 0L
+    for ((id, (nExact, hExact, fExact)) <- exact) {
+      val (nBloom, hBloom, fBloom) = bloom(id)
+      withClue(s"doc $id: ") {
+        nBloom shouldBe nExact // shingle counts identical
+        hBloom should be >= hExact // no false negatives, ever
+        if (fExact) fBloom shouldBe true // a contaminated doc never leaks
+      }
+      extraHits += hBloom - hExact
+      totalShingles += nExact
+    }
+    // over-count bounded by ~fpp (generous 10x headroom for a small corpus)
+    extraHits.toDouble / totalShingles should be < 0.01
+  }
+
   "funnel" should "report NULL kept_tokens when nothing survives (oracle parity)" in {
     val docs = Seq((1L, "tiny"), (2L, "also")).toDF("doc_id", "text") // all < minChars
     val r = Curation.funnel(docs).collect()(0)
