@@ -50,6 +50,117 @@ object NfcHelper {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken) as ONE
+  * native expression: k-char-gram md5 hashes + sliding rightmost-min
+  * window + dedupe, all in a single compiled pass over the row.
+  *
+  * Why native: the declarative formulation
+  * ([[graft.functions.TextFunctions.winnowFromHashes]], kept as the
+  * executable reference spec) nests lambdas inside `transform`, and
+  * Spark's higher-order functions are interpreted with NO common
+  * subexpression reuse — every window re-walks its slice, ~10 boxed
+  * element touches per window, which measured 17 s for the sf0.1 corpus.
+  * This expression computes the same selection in O(m·w) primitive ops
+  * (m = chars−k+1): one UTF-8 offset walk, one md5 per gram (identical
+  * bytes to `md5(substring(text, i, k))`, so the fp values — first 4
+  * digest bytes as an unsigned int — replay verbatim in the DuckDB
+  * oracle), one boolean mark per window, selections emitted in ascending
+  * position order exactly like `array_sort(array_distinct(...))` on the
+  * reference formulation ([[graft.functions.TextFunctionsSpec]] pins the
+  * parity on real and adversarial strings). Single `eval` call per row
+  * (CodegenFallback placement); the loop IS the work. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowHelper.winnow(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowHelper {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def winnow(s: UTF8String, k: Int, w: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val m = nChars - k + 1
+    if (m <= 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    }
+    // char -> byte-offset table (one UTF-8 walk)
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    var p = 0
+    while (p < bytes.length) {
+      starts(ci) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      ci += 1
+    }
+    starts(nChars) = bytes.length
+    // gram hashes: first 4 md5 digest bytes as an unsigned 32-bit value —
+    // byte-identical to conv(substr(md5(gram), 1, 8), 16, 10)
+    val digest = md.get()
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      digest.reset()
+      digest.update(bytes, starts(g), starts(g + k) - starts(g))
+      val d = digest.digest()
+      hs(g) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      g += 1
+    }
+    // sliding window, rightmost min (<= keeps the latest index)
+    val wl = math.min(m, w)
+    val nw = m - wl + 1
+    val sel = new Array[Boolean](m)
+    var nSel = 0
+    var j = 0
+    while (j < nw) {
+      var best = j
+      var q = j + 1
+      while (q < j + wl) {
+        if (hs(q) <= hs(best)) best = q
+        q += 1
+      }
+      if (!sel(best)) { sel(best) = true; nSel += 1 }
+      j += 1
+    }
+    // emit in ascending position order (== array_sort on (pos, fp))
+    val out = new Array[Any](nSel)
+    var o = 0
+    var i = 0
+    while (i < m) {
+      if (sel(i)) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong, hs(i)))
+        o += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExpressionFunctions {
   val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
@@ -59,4 +170,9 @@ object TextExpressionFunctions {
   /** DataFrame-API surface. */
   def nfcColumn(s: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(s)))
+
+  /** DataFrame-API surface for the native winnowing selection. */
+  def winnowColumn(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(
+      WinnowFingerprints(ExpressionUtils.expression(text), k, w))
 }

@@ -105,4 +105,42 @@ class TextFunctionsSpec extends SparkSpec {
     out(1) shouldBe (("two mails <EMAIL> <EMAIL> and ip <IP>; versions like 1.2.3 stay", 2L, 1L))
     out(2) shouldBe (("nothing sensitive here", 0L, 0L)) // identity round-trip
   }
+
+  "WinnowFingerprints (native)" should "match the declarative reference formulation exactly" in {
+    // real corpus docs + adversarial strings: multibyte UTF-8, ties
+    // (repeated grams), all-same-char, length == k (single window)
+    val crafted = Seq(
+      "héllo wörld héllo wörld héllo wörld",
+      "aaaaaaaaaaaaaaaaaaaa",
+      "中文字符串的指纹选择测试中文字符串",
+      "abcde",
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    for (docs <- Seq(crafted, real)) {
+      val base = docs.filter(org.apache.spark.sql.functions.length(col("text")) >= 5)
+      val native = base
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.TextExpressionFunctions
+            .winnowColumn(col("text"), 5, 4)).as("w"))
+        .select(col("doc_id"), col("w.pos"), col("w.fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val reference = base
+        .select(col("doc_id"), TextFunctions.gramHashes(col("text"), 5).as("__hs"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFromHashes(col("__hs"), 4)).as("w"))
+        .select(col("doc_id"), col("w.pos"), col("w.fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      native shouldBe reference
+      native should not be empty
+    }
+  }
+
+  it should "return an empty selection for texts shorter than k" in {
+    Seq("abcd").toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressionFunctions
+        .winnowColumn(col("text"), 5, 4).as("w"))
+      .collect()(0).getSeq[Any](0) shouldBe empty
+  }
 }
