@@ -448,6 +448,35 @@ object SparkEntry {
     // Projected to epoch-micros + counts so the gap semantics replay as
     // SQL window functions in the oracle (value sums stay out: their
     // fold order isn't SQL-replayable).
+    // Sequential conversion funnel view -> click -> purchase: each step's
+    // cohort = users whose step-k event falls in (t_{k-1}, t_{k-1}+24h]
+    // after their step-(k-1) first event (min-ts chaining — three aggs +
+    // two joins, all keyed by user_id so the exchanges line up on one
+    // partitioning). ts is nanos-as-long, so 24h = 86400e9
+    "event_funnel" -> ((s, d) => {
+      val stepNs = 86400L * 1000000000L
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + stepNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + stepNs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / greatest(col("n_view"), lit(1)))
+            .as("view_to_click"),
+          (col("n_purchase").cast("double") / greatest(col("n_click"), lit(1)))
+            .as("click_to_purchase"))
+    }),
+
     "sessionize" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events").select(
@@ -647,6 +676,21 @@ object SparkEntry {
           percentile(col("n"), lit(0.9)).as("p90"),
           percentile(col("n"), lit(0.99)).as("p99"))),
 
+    // ...and the sketch tier of the same rollup: percentile_approx
+    // (Greenwald–Khanna, Spark's built-in mergeable quantile sketch) —
+    // the constant-memory path when the exact per-group sort stops
+    // fitting. Deterministic given the data but algorithm-specific, so
+    // no cross-engine oracle (rows-only); StatsProcessorSpec bounds its
+    // error against the exact percentiles
+    "length_quantiles_approx" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), T.tokenCount(col("text")).cast("bigint").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("n"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("n"), lit(0.9), lit(1000)).as("p90"),
+          percentile_approx(col("n"), lit(0.99), lit(1000)).as("p99"))),
+
     // Event-rate anomaly detection: hourly per-type counts more than 3
     // population-sigmas above that type's mean. Variance from EXACT
     // integer sums ((n·Σx² − (Σx)²)/n², the Descriptive kernel) — both
@@ -741,6 +785,13 @@ object SparkEntry {
           explode(org.apache.spark.sql.graft.TextExpressionFunctions
             .winnowColumn(col("text"), 5, 4)).as("w"))
         .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))),
+
+    // MOSS detector join step: docs sharing >= 20 winnowed fingerprints
+    // (df-capped) are partial-copy candidates — local-overlap near-dup
+    // that whole-doc MinHash dilutes away
+    "dedup_winnow_pairs" -> ((s, d) =>
+      graft.operators.Dedup.winnowPairs(t(s, d, "documents"),
+        k = 5, w = 4, minShared = 20, maxFpDf = 100)),
 
     // BM25 retrieval for a fixed query against the whole corpus
     "bm25_search" -> ((s, d) =>
@@ -1535,6 +1586,31 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // mirrors the event_funnel min-ts chaining; counts only, so the
+    // nanos-vs-timestamp representation difference never surfaces
+    "event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOURS GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+        |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |    / greatest((SELECT count(*) FROM s1), 1) AS view_to_click,
+        |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |    / greatest((SELECT count(*) FROM s2), 1) AS click_to_purchase""".stripMargin,
+
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
@@ -1917,6 +1993,33 @@ object SparkEntry {
         |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
         |  FROM w)
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""".stripMargin,
+
+    // mirrors Dedup.winnowPairs: the winnow CTE feeds a df-capped
+    // fingerprint self-join with the shared-count threshold
+    "dedup_winnow_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) - 4 AS m
+        |  FROM documents WHERE length(text) >= 5),
+        |h AS (
+        |  SELECT doc_id, m, least(m, 4) AS wl,
+        |    list_transform(range(0, m), i ->
+        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
+        |        AS BIGINT)) AS hs
+        |  FROM base),
+        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
+        |  FROM w),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |kept AS (
+        |  SELECT doc_id, fp FROM fps
+        |  QUALIFY count(*) OVER (PARTITION BY fp) <= 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 20""".stripMargin,
 
     // mirrors Curation.bm25Search: query-term-filtered tf, full-stream
     // doc lengths, the exact tfidfTopTerms BM25 expression tree, and an

@@ -750,6 +750,48 @@ object Dedup {
           greatest(col("_na") + col("_nb") - col("_int"), lit(1))).as("jaccard"))
   }
 
+  /** Winnowing-fingerprint candidate pairs (the MOSS detector's join
+    * step): documents sharing at least `minShared` winnowed fingerprints
+    * ([[org.apache.spark.sql.graft.WinnowFingerprints]], k-gram window
+    * sketch with the match-length guarantee) are near-dup/overlap
+    * candidates. Complements the MinHash tier: winnowing keys on LOCAL
+    * verbatim runs (k+w−1 chars), so it surfaces partial-copy/quotation
+    * overlap that whole-document MinHash dilutes away.
+    *
+    * Scale shape: fingerprint selection is row-local (native expression,
+    * no shuffle); only the slim (id, fp) pairs shuffle; `maxFpDf` drops
+    * boilerplate fingerprints BEFORE the self-join (the same whale guard
+    * as [[ngramJaccardPairs]]'s `maxShingleDf` — per-fp join fan-out is
+    * bounded by maxFpDf²); the pair aggregation is one keyed shuffle. */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Long = 20,
+      maxFpDf: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = Fan.spread(docs
+        .filter(length(col(textCol)) >= k)
+        .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(org.apache.spark.sql.graft.TextExpressionFunctions
+          .winnowColumn(col("__t"), k, w)).as("__w"))
+      .select(col("id"), col("__w.fp").as("fp"))
+      .distinct()
+    val keptFps = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFpDf)
+      .select("fp")
+    val fk = fps.join(keptFps, Seq("fp"))
+    fk.select(col("fp"), col("id").as("id_a"))
+      .join(fk.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH over embeddings:
     * `nPlanes` vectors of dimension `dim`, seeded — the same plane set can
     * be regenerated anywhere (including inside an oracle query). */

@@ -135,16 +135,18 @@ object StressScale {
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
         graft.operators.Dedup.semanticDedup(emb, anchors, 0.9)
       },
-      // winnowing at ~250 chars/doc: the row-local argmin selection is the
-      // hot loop (no shuffle; only survivors explode)
+      // winnowing at ~250 chars/doc: the native one-pass selection (no
+      // shuffle; only survivors explode)
       timeNoop("winnow_fp") {
-        import graft.functions.{TextFunctions => T}
         docs.filter(length(col("text")) >= 5)
-          .select(col("doc_id"), T.gramHashes(col("text"), 5).as("__hs"))
           .select(col("doc_id"),
-            explode(T.winnowFromHashes(col("__hs"), 4)).as("w"))
+            explode(org.apache.spark.sql.graft.TextExpressionFunctions
+              .winnowColumn(col("text"), 5, 4)).as("w"))
           .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
       },
+      // ...and the MOSS pair-join step over those fingerprints
+      timeNoop("winnow_pairs")(
+        Dedup.winnowPairs(docs, k = 5, w = 4, minShared = 8, maxFpDf = 200)),
       timeNoop("quality_classifier")(
         graft.operators.Quality.linearClassifier(docs)),
       timeNoop("vocab_coverage")(Curation.vocabCoverage(docs)),

@@ -219,6 +219,22 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("partial_graft_hll_count")
   }
 
+  "dedup_winnow_pairs" should "select fingerprints natively and never cross-join" in {
+    val plan = executed("dedup_winnow_pairs")
+    plan should include("graft_winnow")
+    plan should not include "CartesianProduct"
+  }
+
+  "event_funnel" should "broadcast the 1-row step counts, never a cartesian join" in {
+    val plan = executed("event_funnel")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  "length_quantiles_approx" should "run the GK sketch as a partial aggregate" in {
+    executed("length_quantiles_approx") should include("partial_percentile_approx")
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

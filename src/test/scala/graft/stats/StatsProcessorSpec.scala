@@ -60,4 +60,23 @@ class StatsProcessorSpec extends SparkSpec {
     maple.getAs[Long]("nSamples") shouldBe 5
     maple.getAs[Long]("nReadGroups") shouldBe 7
   }
+
+  "length_quantiles_approx" should "track the exact percentiles within GK accuracy" in {
+    val sf = "/root/testdata/sf0.001"
+    def byKey(name: String): Map[String, org.apache.spark.sql.Row] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val exact = byKey("length_quantiles")
+    val approx = byKey("length_quantiles_approx")
+    approx.keySet shouldBe exact.keySet
+    for ((src, a) <- approx; e = exact(src); p <- Seq("p50", "p90", "p99")) {
+      // GK with accuracy 1000 on ~25-doc groups is exact up to rank
+      // rounding; allow one rank step of slack via a 20% value band
+      val ev = e.getAs[Double](p)
+      val av = a.getAs[Long](p).toDouble
+      withClue(s"$src/$p exact=$ev approx=$av: ") {
+        math.abs(av - ev) should be <= math.max(ev * 0.2, 2.0)
+      }
+    }
+  }
 }
