@@ -382,6 +382,16 @@ object SparkEntry {
         graft.operators.Dedup.repeatedSubstringSpans(docs, gramN = 8, minDf = 2))
     }),
 
+    // Deflate compression ratio (repetition/boilerplate proxy): zlib is
+    // not SQL-replayable -> rows-only; TextFunctionsSpec pins the
+    // discrimination property and the empty-input contract
+    "text_compress_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          org.apache.spark.sql.graft.TextExpressionFunctions
+            .deflateRatioColumn(col("text")).as("deflate_ratio"))
+        .withColumn("repetitive", col("deflate_ratio") < 0.3)),
+
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(

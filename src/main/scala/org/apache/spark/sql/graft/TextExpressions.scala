@@ -161,6 +161,48 @@ object WinnowHelper {
   }
 }
 
+/** Deflate compression ratio `compressed_bytes / raw_bytes` — the classic
+  * cheap repetition/boilerplate proxy (highly repetitive or templated
+  * text compresses far below natural prose; corpus pipelines gate on it
+  * next to the token-level repetition signals). Level-6 Deflate with the
+  * default strategy, so the ratio is deterministic for a given corpus; no
+  * SQL engine replays zlib, so queries over this are rows-only with a
+  * spec pinning the discrimination property. Native expression for the
+  * usual reason: a UDF would sever whole-stage codegen around the scan.
+  * Empty input → ratio 1.0 (nothing to compress, nothing saved). */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override def nullSafeEval(s: Any): Any =
+    DeflateHelper.ratio(s.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+object DeflateHelper {
+  private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val deflater = new java.util.zip.Deflater(6, true)
+    try {
+      deflater.setInput(bytes)
+      deflater.finish()
+      var total = 0L
+      val b = buf.get()
+      while (!deflater.finished()) total += deflater.deflate(b)
+      total.toDouble / bytes.length
+    } finally deflater.end()
+  }
+}
+
 object TextExpressionFunctions {
   val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
@@ -175,4 +217,8 @@ object TextExpressionFunctions {
   def winnowColumn(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(
       WinnowFingerprints(ExpressionUtils.expression(text), k, w))
+
+  /** DataFrame-API surface for the deflate compression-ratio signal. */
+  def deflateRatioColumn(text: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
 }

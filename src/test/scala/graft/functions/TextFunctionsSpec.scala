@@ -137,6 +137,23 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  "DeflateRatio" should "separate repetitive from diverse text and honor the empty contract" in {
+    def ratio(s: String): Double =
+      Seq(s).toDF("text")
+        .select(org.apache.spark.sql.graft.TextExpressionFunctions
+          .deflateRatioColumn(col("text")).as("r"))
+        .collect()(0).getDouble(0)
+    val repetitive = ratio("spam ham " * 200)
+    val diverse = ratio(
+      (1 to 200).map(i => s"w${i * 7919}q${i * 104729}").mkString(" "))
+    repetitive should be < 0.05
+    diverse should be > 0.3
+    repetitive should be < diverse / 5
+    ratio("") shouldBe 1.0
+    // deterministic across evaluations
+    ratio("the same text") shouldBe ratio("the same text")
+  }
+
   it should "return an empty selection for texts shorter than k" in {
     Seq("abcd").toDF("text")
       .select(org.apache.spark.sql.graft.TextExpressionFunctions
