@@ -658,6 +658,25 @@ object SparkEntry {
         .select(col("p_id"), col("c_id"), (col("p_ts") - col("c_ts")).as("dt_us"))
     }),
 
+    // Interval-overlap join: per-user click sessions (±10 min) overlapping
+    // error windows (±5 min) — binned equi-join on (user, bin), each pair
+    // emitted once via the first-overlap-bin rule, exact post-filter
+    "overlap_join_events" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      val cHalf = 600L * 1000 * 1000
+      val eHalf = 300L * 1000 * 1000
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          (col("ts") - cHalf).as("c_start"), (col("ts") + cHalf).as("c_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"),
+          (col("ts") - eHalf).as("e_start"), (col("ts") + eHalf).as("e_end"))
+      graft.operators.Joins.intervalOverlapJoin(clicks, errors,
+        "c_start", "c_end", "e_start", "e_end",
+        binWidth = 2 * cHalf, keys = Seq("user_id"))
+        .select(col("user_id"), col("c_id"), col("e_id"))
+    }),
+
     // TF-IDF + BM25 keyword extraction: top-5 terms per document
     "tfidf_topk" -> ((s, d) =>
       graft.operators.Curation.tfidfTopTerms(t(s, d, "documents"), topK = 5)),
@@ -1740,6 +1759,21 @@ object SparkEntry {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 600000000
         |                        AND epoch_us(c.ts) + 600000000""".stripMargin,
+
+    // mirrors Joins.intervalOverlapJoin on the click/error windows:
+    // overlap iff c_start <= e_end AND e_start <= c_end, same-user only
+    "overlap_join_events" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id,
+        |             epoch_us(ts) - 600000000 AS c_start,
+        |             epoch_us(ts) + 600000000 AS c_end
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS e_id,
+        |        epoch_us(ts) - 300000000 AS e_start,
+        |        epoch_us(ts) + 300000000 AS e_end
+        |      FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c_id, e_id
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND c_start <= e_end AND e_start <= c_end""".stripMargin,
 
     // identical expression trees (operand order matters: the compare is a
     // bit-hash after round-6 and FP arithmetic is not associative)

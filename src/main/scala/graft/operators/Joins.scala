@@ -169,6 +169,45 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pair every left interval `[lStart, lEnd]`
+    * with every right interval `[rStart, rEnd]` that overlaps it
+    * (`lStart <= rEnd AND rStart <= lEnd`, optionally key-matched) — the
+    * session-vs-outage / exposure-vs-campaign shape that a BETWEEN
+    * predicate would again turn into a BroadcastNestedLoop. Same bin
+    * bucketing as [[rangeJoin]], with BOTH sides exploded to their
+    * covered bins; a pair sharing several bins is emitted exactly once
+    * via the first-overlap-bin rule (`bin == bin(max(lStart, rStart))`,
+    * a per-row predicate) so no distinct pass is needed. Whale guard on
+    * both sides. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long,
+      keys: Seq[String] = Seq.empty,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint (rename first): ${overlap.mkString(", ")}")
+    def bin(c: String): Column = expr(s"`$c` div ${binWidth}L")
+    val lb = left
+      .filter(col(lEnd) >= col(lStart) &&
+        (bin(lEnd) - bin(lStart)) < maxBinsPerInterval)
+      .withColumn("__bin", explode(sequence(bin(lStart), bin(lEnd))))
+    val rb = right
+      .filter(col(rEnd) >= col(rStart) &&
+        (bin(rEnd) - bin(rStart)) < maxBinsPerInterval)
+      .withColumn("__bin", explode(sequence(bin(rStart), bin(rEnd))))
+    lb.join(rb, (keys :+ "__bin").toSeq)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // emit once: only in the first bin both intervals cover
+      .filter(col("__bin") ===
+        expr(s"greatest(`$lStart`, `$rStart`) div ${binWidth}L"))
+      .drop("__bin")
+  }
+
   /** Persist a table bucketed (and sorted) by the join key: two tables
     * bucketed the same way join with NO exchange on either side — the
     * co-location is decided at write time, which is how a 100 TB fact

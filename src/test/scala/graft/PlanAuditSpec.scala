@@ -235,6 +235,12 @@ class PlanAuditSpec extends SparkSpec {
     executed("length_quantiles_approx") should include("partial_percentile_approx")
   }
 
+  "overlap_join_events" should "stay an equi-join on (user, bin) — never a nested-loop" in {
+    val plan = executed("overlap_join_events")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -164,4 +164,30 @@ class JoinsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Joins.rangeJoin(pts, pts.withColumnRenamed("pid", "iid"), "x", "x", "x", 10L)
   }
+
+  "intervalOverlapJoin" should "match a naive overlap cross-join, one row per pair" in {
+    // intervals spanning multiple bins (binWidth 10), touching endpoints,
+    // disjoint pairs, and a negative-coordinate case
+    val l = Seq((1L, 0L, 25L), (2L, 30L, 31L), (3L, -15L, -5L), (4L, 100L, 200L))
+      .toDF("l_id", "ls", "le")
+    val r = Seq((10L, 20L, 40L), (11L, 31L, 33L), (12L, -6L, 4L), (13L, 500L, 600L))
+      .toDF("r_id", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", binWidth = 10L)
+      .select("l_id", "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l_id", "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    got shouldBe naive
+    // multi-bin overlapping pair (1,10) must appear exactly once
+    got.count(_ == ((1L, 10L))) shouldBe 1
+  }
+
+  it should "drop whale intervals exceeding maxBinsPerInterval" in {
+    val l = Seq((1L, 0L, 1000000L)).toDF("l_id", "ls", "le") // 100k bins
+    val r = Seq((10L, 5L, 6L)).toDF("r_id", "rs", "re")
+    Joins.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 10L, maxBinsPerInterval = 1000).count() shouldBe 0L
+  }
 }
