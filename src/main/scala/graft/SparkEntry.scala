@@ -803,6 +803,20 @@ object SparkEntry {
     "temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(t(s, d, "documents"))),
 
+    // Group-wise deterministic reservoir: 5 docs per source by seeded
+    // md5 order (stable under retries/growth within the kept prefix);
+    // WindowGroupLimit pushes the per-group cut before the sort
+    "sample_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(graft.functions.HashFunctions.md5Bucket(11L, col("doc_id")),
+          col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }),
+
     // Winnowing (MOSS) fingerprint selection: k=5 char grams, w=4 window,
     // rightmost-min — the native one-pass expression (the declarative
     // HOF formulation is the executable reference spec; it measured 17 s
@@ -820,6 +834,12 @@ object SparkEntry {
     // that whole-doc MinHash dilutes away
     "dedup_winnow_pairs" -> ((s, d) =>
       graft.operators.Dedup.winnowPairs(t(s, d, "documents"),
+        k = 5, w = 4, minShared = 20, maxFpDf = 100)),
+
+    // ...and the asymmetric containment over the same sketch: catches a
+    // small doc contained in a large one, which symmetric Jaccard dilutes
+    "winnow_containment" -> ((s, d) =>
+      graft.operators.Dedup.winnowContainment(t(s, d, "documents"),
         k = 5, w = 4, minShared = 20, maxFpDf = 100)),
 
     // BM25 retrieval for a fixed query against the whole corpus
@@ -2014,6 +2034,16 @@ object SparkEntry {
         |  sqrt(CAST(n_tokens AS DOUBLE)) / zz AS temp_share
         |FROM per CROSS JOIN z""".stripMargin,
 
+    // mirrors sample_per_group: md5Bucket(11, doc_id) replayed as the
+    // hex-prefix cast, doc_id tiebreak makes every rank deterministic
+    "sample_per_group" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |               AS BIGINT), doc_id) AS BIGINT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 5""".stripMargin,
+
     // mirrors TextFunctions.winnow (k=5, w=4): per-window rightmost-min
     // over the md5-hex-prefix hash stream; DISTINCT replays Spark's
     // row-local array_distinct
@@ -2064,6 +2094,41 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 20""".stripMargin,
+
+    // mirrors Dedup.winnowContainment: the pairs CTE joined to per-doc
+    // fingerprint counts; exact int/int -> one IEEE division per side
+    "winnow_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) - 4 AS m
+        |  FROM documents WHERE length(text) >= 5),
+        |h AS (
+        |  SELECT doc_id, m, least(m, 4) AS wl,
+        |    list_transform(range(0, m), i ->
+        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
+        |        AS BIGINT)) AS hs
+        |  FROM base),
+        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
+        |  FROM w),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |kept AS (
+        |  SELECT doc_id, fp FROM fps
+        |  QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 20)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / sa.n AS contain_a,
+        |  CAST(n_shared AS DOUBLE) / sb.n AS contain_b
+        |FROM pairs
+        |JOIN sizes sa ON pairs.id_a = sa.doc_id
+        |JOIN sizes sb ON pairs.id_b = sb.doc_id""".stripMargin,
 
     // mirrors Curation.bm25Search: query-term-filtered tf, full-stream
     // doc lengths, the exact tfidfTopTerms BM25 expression tree, and an

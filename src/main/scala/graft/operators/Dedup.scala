@@ -771,6 +771,20 @@ object Dedup {
       maxFpDf: Int = 100,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val fk = keptWinnowFps(docs, k, w, maxFpDf, textCol, idCol)
+    fk.select(col("fp"), col("id").as("id_a"))
+      .join(fk.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Df-capped per-doc winnowed fingerprint set (id, fp) — the shared
+    * first stage of [[winnowPairs]] and [[winnowContainment]]. */
+  private def keptWinnowFps(
+      docs: DataFrame, k: Int, w: Int, maxFpDf: Int,
+      textCol: String, idCol: String): DataFrame = {
     val fps = Fan.spread(docs
         .filter(length(col(textCol)) >= k)
         .select(col(idCol).as("id"), col(textCol).as("__t")))
@@ -783,13 +797,38 @@ object Dedup {
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxFpDf)
       .select("fp")
-    val fk = fps.join(keptFps, Seq("fp"))
-    fk.select(col("fp"), col("id").as("id_a"))
+    fps.join(keptFps, Seq("fp"))
+  }
+
+  /** Asymmetric containment from the winnow sketch: for each candidate
+    * pair, `n_shared / n_a` and `n_shared / n_b` over the df-capped
+    * fingerprint sets — the "doc A is mostly a copy of part of B" signal
+    * (Broder's containment, estimated on local fingerprints), which the
+    * symmetric Jaccard/minhash tier under-reports for containments of a
+    * small doc in a large one. Same join topology as [[winnowPairs]]
+    * plus two broadcast-size joins against per-doc fingerprint counts. */
+  def winnowContainment(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Long = 20,
+      maxFpDf: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fk = keptWinnowFps(docs, k, w, maxFpDf, textCol, idCol)
+    val sizes = fk.groupBy(col("id")).agg(count(lit(1)).as("_n"))
+    val pairs = fk.select(col("fp"), col("id").as("id_a"))
       .join(fk.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("_na")).as("contain_a"),
+        (col("n_shared").cast("double") / col("_nb")).as("contain_b"))
   }
 
   /** Deterministic random hyperplanes for sign-LSH over embeddings:

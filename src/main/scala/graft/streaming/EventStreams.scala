@@ -40,6 +40,28 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Tumbling-window APPROXIMATE distinct users per type — the
+    * [[org.apache.spark.sql.graft.HllCountAgg]] sketch running as a
+    * streaming aggregate. Exact streaming distinct-count needs per-key
+    * state proportional to the distinct set (or a second dedup stage);
+    * the HLL buffer is a constant 4 KiB per (window, type) group in the
+    * state store, merged register-max across micro-batches — unbounded
+    * cardinality, bounded state, the same estimate a batch run over the
+    * full window would produce (the aggregate is order-blind). Works on
+    * both batch and streaming frames. */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(org.apache.spark.sql.graft.SketchFunctions
+        .hllCount(xxhash64(col("user_id"))).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("approx_users"))
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(

@@ -47,6 +47,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "windowedDistinctUsers" should "run the HLL sketch as a streaming aggregate across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val counts = EventStreams.windowedDistinctUsers(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_distinct").outputMode("complete").start()
+    try {
+      // users 1..40 in batch one, 21..60 in batch two → 60 distinct,
+      // accumulated across micro-batches by the state-store merge
+      stream.addData((1L to 40L).map(u =>
+        (u, ts("2024-01-01 10:05:00"), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      stream.addData((21L to 60L).map(u =>
+        (u + 100, ts("2024-01-01 10:25:00"), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val r = spark.table("win_distinct").collect()
+        .map(x => (x.getString(1), x.getLong(2))).toMap
+      // p=12 HLL is exact in the linear-counting regime at n=60
+      r shouldBe Map("click" -> 60L)
+    } finally q.stop()
+  }
+
+  it should "match the batch run over the same rows (order-blind merge)" in {
+    val rows = ((1L to 40L) ++ (21L to 60L)).zipWithIndex.map { case (u, i) =>
+      (i.toLong, ts("2024-01-01 10:05:00"), u, "click", 1.0)
+    }
+    val batch = EventStreams.windowedDistinctUsers(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"), "1 hour")
+      .collect().map(x => (x.getString(1), x.getLong(2))).toMap
+    batch shouldBe Map("click" -> 60L)
+  }
+
   "intervalJoinStreams" should "pair events within the time window on streams" in {
     implicit val sqlCtx = spark.sqlContext
     val lhs = MemoryStream[(Long, Timestamp)]
