@@ -241,6 +241,10 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "sample_per_group" should "push the per-group cut as WindowGroupLimit" in {
+    executed("sample_per_group") should include("WindowGroupLimit")
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
