@@ -558,8 +558,11 @@ object SparkEntry {
     "hll_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(
+          // isNotNull guard: xxhash64(NULL) is the seed (non-null), so an
+          // unguarded compose would count nulls where count_distinct won't
           org.apache.spark.sql.graft.SketchFunctions
-            .hllCount(xxhash64(col("user_id"))).as("hll_users"),
+            .hllCount(when(col("user_id").isNotNull,
+              xxhash64(col("user_id")))).as("hll_users"),
           count_distinct(col("user_id")).as("exact_users"))),
 
     // C3 pctOf as a projected scalar

@@ -128,9 +128,14 @@ object TextFunctions {
     * start). Caller filters docs shorter than `k` chars. */
   def gramHashes(text: Column, k: Int): Column = {
     require(k >= 1, "need k >= 1")
-    transform(sequence(lit(1), length(text) - lit(k - 1)),
-      i => conv(substring(md5(substring(text, i, lit(k))), 1, 8), 16, 10)
-        .cast("bigint"))
+    // explicit empty guard: sequence(1, m) with m <= 0 infers step -1 and
+    // yields [1, 0, ...] — without the when() a doc shorter than k would
+    // produce wrap-around garbage grams instead of no grams
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => conv(substring(md5(substring(text, i, lit(k))), 1, 8), 16, 10)
+          .cast("bigint")))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Winnowing selection over a MATERIALIZED hash-stream column. `hs`
@@ -153,7 +158,9 @@ object TextFunctions {
         q => when(element_at(sl, q) === mn, q).otherwise(lit(0))))
       struct((j + rightmost - 2).cast("long").as("pos"), mn.as("fp"))
     })
-    array_sort(array_distinct(sels))
+    // empty-stream guard (same sequence(1, 0) hazard as gramHashes)
+    when(m > 0, array_sort(array_distinct(sels)))
+      .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>"))
   }
 
   /** Word n-gram shingles. */

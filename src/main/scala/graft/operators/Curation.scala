@@ -220,6 +220,27 @@ object Curation {
     * benchmark shingle set on the shingle key (AQE broadcasts it when it
     * fits) → per-doc conditional count. The corpus is never pairwise
     * compared with anything; cost is O(corpus tokens) + one keyed join. */
+  /** Distinct word-n-gram stream of `df` — the ONE construction both
+    * decontamination tiers key on (a semantic drift between them would
+    * silently break the exact-vs-bloom superset property CurationSpec
+    * pins). Emits `s` (the shingle) plus `id` when requested. */
+  private def shingleStream(
+      df: DataFrame, textCol: String, shingleN: Int,
+      id: Option[String]): DataFrame = {
+    // drop the phantom empty token a leading-whitespace text produces:
+    // shingles like " a b" would otherwise pollute the overlap sets
+    val base = Fan.spread(df.select(
+      (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
+        array_remove(T.tokens(col(textCol)), "").as("toks")): _*))
+    base
+      .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p")): _*)
+      .select((id.map(_ => col("id")).toSeq :+
+        concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s")): _*)
+      .distinct()
+  }
+
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -227,22 +248,8 @@ object Curation {
       maxOverlap: Double = 0.5,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def shingleStream(df: DataFrame, id: Option[String]): DataFrame = {
-      // drop the phantom empty token a leading-whitespace text produces:
-      // shingles like " a b" would otherwise pollute the overlap sets
-      val base = Fan.spread(df.select(
-        (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
-          array_remove(T.tokens(col(textCol)), "").as("toks")): _*))
-      base
-        .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
-          explode(sequence(lit(1),
-            greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p")): _*)
-        .select((id.map(_ => col("id")).toSeq :+
-          concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s")): _*)
-        .distinct()
-    }
-    val benchShingles = shingleStream(benchmark, None)
-    val corpusShingles = shingleStream(corpus, Some(idCol))
+    val benchShingles = shingleStream(benchmark, textCol, shingleN, None)
+    val corpusShingles = shingleStream(corpus, textCol, shingleN, Some(idCol))
     val flagged = corpusShingles
       .join(benchShingles.withColumn("__hit", lit(1)), Seq("s"), "left")
       .groupBy(col("id").as(idCol))
@@ -278,16 +285,19 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.graft.BloomFunctions
-    val benchGrams = Fan.spread(benchmark
-        .select(array_remove(T.tokens(col(textCol)), "").as("toks")))
-      .select(col("toks"),
-        explode(sequence(lit(1),
-          greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p"))
-      .select(concat_ws(" ", slice(col("toks"), col("p"), lit(shingleN))).as("s"))
-      .distinct()
-    val bloom = benchGrams
-      .agg(BloomFunctions.bloomBuild(col("s"), expectedItems, fpp))
-      .collect()(0).getAs[Array[Byte]](0)
+    val benchGrams = shingleStream(benchmark, textCol, shingleN, None)
+    val built = benchGrams
+      .agg(count(lit(1)).as("__n"),
+        BloomFunctions.bloomBuild(col("s"), expectedItems, fpp).as("__bloom"))
+      .collect()(0)
+    // saturation guard: past expectedItems the filter overfills and the
+    // real FP rate climbs without bound — the documented "over-flags by
+    // ~fpp" contract would silently break, so fail loudly instead
+    val nGrams = built.getAs[Long]("__n")
+    require(nGrams <= expectedItems,
+      s"benchmark has $nGrams distinct ${shingleN}-grams > expectedItems=" +
+        s"$expectedItems; raise expectedItems to keep the fpp contract")
+    val bloom = built.getAs[Array[Byte]]("__bloom")
     corpus
       .select(col(idCol), array_remove(T.tokens(col(textCol)), "").as("__toks"))
       .select(col(idCol), array_distinct(transform(

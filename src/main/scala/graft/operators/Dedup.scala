@@ -771,14 +771,20 @@ object Dedup {
       maxFpDf: Int = 100,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val fk = keptWinnowFps(docs, k, w, maxFpDf, textCol, idCol)
+    pairsFromFps(keptWinnowFps(docs, k, w, maxFpDf, textCol, idCol), minShared)
+  }
+
+  /** Candidate pairs from a (id, fp) fingerprint stream: self-join on fp,
+    * ordered ids, shared-count threshold — the one topology both winnow
+    * tiers use (a drift between them would make the MOSS pair and
+    * containment views disagree). */
+  private def pairsFromFps(fk: DataFrame, minShared: Long): DataFrame =
     fk.select(col("fp"), col("id").as("id_a"))
       .join(fk.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Df-capped per-doc winnowed fingerprint set (id, fp) — the shared
     * first stage of [[winnowPairs]] and [[winnowContainment]]. */
@@ -817,13 +823,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val fk = keptWinnowFps(docs, k, w, maxFpDf, textCol, idCol)
     val sizes = fk.groupBy(col("id")).agg(count(lit(1)).as("_n"))
-    val pairs = fk.select(col("fp"), col("id").as("id_a"))
-      .join(fk.select(col("fp"), col("id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-    pairs
+    pairsFromFps(fk, minShared)
       .join(sizes.select(col("id").as("id_a"), col("_n").as("_na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("_n").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"),

@@ -57,8 +57,11 @@ object EventStreams {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      // isNotNull guard: xxhash64(NULL) is the (non-null) seed, so an
+      // unguarded compose would count null users as one phantom distinct
       .agg(org.apache.spark.sql.graft.SketchFunctions
-        .hllCount(xxhash64(col("user_id"))).as("approx_users"))
+        .hllCount(when(col("user_id").isNotNull, xxhash64(col("user_id"))))
+        .as("approx_users"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("approx_users"))
 

@@ -165,7 +165,8 @@ object StressScale {
       timeNoop("hll_distinct")(
         events.groupBy((col("event_id") % 16).as("etype"))
           .agg(org.apache.spark.sql.graft.SketchFunctions
-            .hllCount(xxhash64(col("user_id"))).as("hll_users")))
+            .hllCount(when(col("user_id").isNotNull,
+              xxhash64(col("user_id")))).as("hll_users")))
     )
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""

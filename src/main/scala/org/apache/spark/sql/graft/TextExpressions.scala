@@ -187,19 +187,23 @@ case class DeflateRatio(child: Expression)
 
 object DeflateHelper {
   private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+  // one native zlib stream per executor thread, reset() per row — a
+  // per-row Deflater would pay native init/end (malloc + free) on every
+  // document of the corpus
+  private val defl = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(6, true))
 
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 1.0
-    val deflater = new java.util.zip.Deflater(6, true)
-    try {
-      deflater.setInput(bytes)
-      deflater.finish()
-      var total = 0L
-      val b = buf.get()
-      while (!deflater.finished()) total += deflater.deflate(b)
-      total.toDouble / bytes.length
-    } finally deflater.end()
+    val deflater = defl.get()
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    var total = 0L
+    val b = buf.get()
+    while (!deflater.finished()) total += deflater.deflate(b)
+    total.toDouble / bytes.length
   }
 }
 

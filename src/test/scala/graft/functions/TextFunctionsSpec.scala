@@ -154,10 +154,16 @@ class TextFunctionsSpec extends SparkSpec {
     ratio("the same text") shouldBe ratio("the same text")
   }
 
-  it should "return an empty selection for texts shorter than k" in {
+  it should "return an empty selection for texts shorter than k (both formulations)" in {
     Seq("abcd").toDF("text")
       .select(org.apache.spark.sql.graft.TextExpressionFunctions
         .winnowColumn(col("text"), 5, 4).as("w"))
       .collect()(0).getSeq[Any](0) shouldBe empty
+    // the declarative reference must agree even WITHOUT the caller-side
+    // length filter (sequence(1, m<=0) would otherwise fabricate grams)
+    Seq("abcd", "").toDF("text")
+      .select(TextFunctions.gramHashes(col("text"), 5).as("__hs"))
+      .select(TextFunctions.winnowFromHashes(col("__hs"), 4).as("w"))
+      .collect().foreach(_.getSeq[Any](0) shouldBe empty)
   }
 }
