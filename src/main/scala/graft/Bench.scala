@@ -77,8 +77,7 @@ object Bench {
     suite.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      Tables.dropPersisted(spark)
     }
     // touch every timed-SF table once, full rows through the noop sink:
     // footers AND data pages reach the OS page cache (a count() would read
@@ -99,10 +98,7 @@ object Bench {
     // (measured: dedup_apply 4.5-5.7 s in-suite vs 2.7 s isolated).
     // Nothing is shared across queries — each reconstructs its frames —
     // so dropping every persistent RDD between queries is safe.
-    def dropPersisted(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    def dropPersisted(): Unit = Tables.dropPersisted(spark)
 
     // timed passes: noop-sink write (consumes full rows, writes nothing),
     // cold dataset cache per query

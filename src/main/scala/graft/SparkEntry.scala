@@ -1925,12 +1925,14 @@ object SparkEntry {
          |  FROM documents),
          |tok AS (
          |  SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_symbols,
-         |    unnest(list_filter($toksSql, t -> t <> '')) AS tok
+         |    unnest(CASE WHEN len(list_filter($toksSql, t -> t <> '')) = 0
+         |           THEN [CAST(NULL AS VARCHAR)]
+         |           ELSE list_filter($toksSql, t -> t <> '') END) AS tok
          |  FROM pre),
          |agg AS (
          |  SELECT doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(sum(length(tok)) AS BIGINT) AS sum_len,
+         |    CAST(count(tok) AS BIGINT) AS n_words,
+         |    CAST(coalesce(sum(length(tok)), 0) AS BIGINT) AS sum_len,
          |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
          |    CAST(count(DISTINCT CASE WHEN tok IN
          |      ('the','a','to','of','and','that','have','with') THEN tok END) AS BIGINT) AS n_stop_words,
@@ -1938,13 +1940,20 @@ object SparkEntry {
          |    any_value(n_ellipsis) AS n_ellipsis, any_value(n_symbols) AS n_symbols
          |  FROM tok GROUP BY 1)
          |SELECT doc_id, n_words,
-         |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-         |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha_words,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    ELSE 0.0 END AS frac_alpha_words,
          |  n_stop_words,
          |  CAST(n_bullet AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS frac_bullet_lines,
          |  CAST(n_ellipsis AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE) AS frac_ellipsis_lines,
-         |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    ELSE 0.0 END AS symbol_ratio,
          |  (n_words BETWEEN 20 AND 100000
+         |    AND n_words > 0
          |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
          |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
          |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8

@@ -40,4 +40,14 @@ object Tables {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop cached datasets AND persisted RDD blocks. `clearCache` alone
+    * leaves `localCheckpoint` blocks behind (they are persisted RDDs, not
+    * catalog-cached datasets) — the ONE session-hygiene routine Bench's
+    * warm-up, Bench's per-query reset, and Verify all share, so a future
+    * fix (e.g. also dropping broadcast blocks) lands everywhere at once. */
+  def dropPersisted(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

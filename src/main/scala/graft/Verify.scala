@@ -28,9 +28,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // cached datasets AND localCheckpoint blocks (clearCache leaves the
-      // latter behind — see Bench.dropPersisted)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // latter behind) — the shared Tables.dropPersisted hygiene routine
+      Tables.dropPersisted(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -741,9 +741,15 @@ object Curation {
     val base = Fan.spread(docs.select(col(idCol), col(textCol)))
     // doc length as a per-row count over the (empty-filtered) token
     // vector; docs with zero tokens still count toward n_docs/avgdl
+    // eager localCheckpoints (the minhashLsh policy): docLens feeds both
+    // the corpus rollup and the scoring join, tf feeds both the df
+    // aggregation and the join — without them each consumer re-scans and
+    // re-tokenizes the full corpus (4 text passes instead of 2); both
+    // frames are slim (2-3 columns, docs/terms rows, never token-scale)
     val docLens = base.select(col(idCol),
       size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
         .cast("long").as("dl"))
+      .localCheckpoint()
     val corpus = broadcast(docLens.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
@@ -751,6 +757,7 @@ object Curation {
       .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0 && col("term").isin(terms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = tf.join(broadcast(df), "term")
       .join(docLens, idCol).crossJoin(corpus)

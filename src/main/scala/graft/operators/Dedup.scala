@@ -901,11 +901,21 @@ object Dedup {
   def semanticDedup(
       vecs: DataFrame,
       anchors: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    semanticDedup(vecs, anchors, threshold, "embedding", "vec_id")
+
+  // (defaults live on the Seq overload only — Scala forbids default args
+  // on more than one alternative of an overloaded method)
+  def semanticDedup(
+      vecs: DataFrame,
+      anchors: DataFrame,
+      threshold: Double,
+      vecCol: String,
+      idCol: String): DataFrame = {
     val anchorSeq = anchors
-      .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+      .select(col(idCol).cast("bigint"), col(vecCol)).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    semanticDedup(vecs, anchorSeq, threshold)
+    semanticDedup(vecs, anchorSeq, threshold, vecCol, idCol)
   }
 
   def semanticDedup(

@@ -64,14 +64,17 @@ object Quality {
       ((length(text) - length(regexp_replace(text, "#", ""))) +
         (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
         (length(text) - length(regexp_replace(text, "…", "")))).as("n_symbols"))
+    // explode_outer over the cleaned token array: an all-whitespace doc
+    // yields ONE null-token row instead of vanishing from the groupBy —
+    // "one row per document" holds for exactly the garbage docs the
+    // rules most need to report (null-safe counts below ignore the null)
     val toks = Fan.spread(pre)
       .select(col(idCol), col("n_lines"), col("n_bullet_lines"),
         col("n_ellipsis_lines"), col("n_symbols"),
-        explode(T.tokens(col("__text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
+        explode_outer(array_remove(T.tokens(col("__text")), "")).as("tok"))
     val agg = toks.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_words"),
-      sum(length(col("tok")).cast("long")).as("__sum_len"),
+      count(col("tok")).as("n_words"),
+      coalesce(sum(length(col("tok")).cast("long")), lit(0L)).as("__sum_len"),
       sum(when(col("tok").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("__n_alpha"),
       countDistinct(when(col("tok").isin(stopwords: _*), col("tok"))).as("n_stop_words"),
       first(col("n_lines")).as("__n_lines"),
@@ -79,14 +82,17 @@ object Quality {
       first(col("n_ellipsis_lines")).as("__n_ellipsis"),
       first(col("n_symbols")).as("__n_symbols"))
     // every ratio is ONE double division of exact integers — deterministic
-    // bit-for-bit in any engine, so no rounding is needed
+    // bit-for-bit in any engine, so no rounding is needed; zero-word docs
+    // get explicit 0.0 ratios (never NaN) and always fail `pass`
     val nW = col("n_words").cast("double")
     val nL = greatest(col("__n_lines"), lit(1L)).cast("double")
-    val meanLen = col("__sum_len").cast("double") / nW
-    val fracAlpha = col("__n_alpha").cast("double") / nW
+    def zeroGuard(x: Column): Column =
+      when(col("n_words") > 0, x).otherwise(lit(0.0))
+    val meanLen = zeroGuard(col("__sum_len").cast("double") / nW)
+    val fracAlpha = zeroGuard(col("__n_alpha").cast("double") / nW)
     val fracBullet = col("__n_bullet").cast("double") / nL
     val fracEllipsis = col("__n_ellipsis").cast("double") / nL
-    val symbolRatio = col("__n_symbols").cast("double") / nW
+    val symbolRatio = zeroGuard(col("__n_symbols").cast("double") / nW)
     agg.select(
       col(idCol),
       col("n_words"),
@@ -136,6 +142,14 @@ object Quality {
         posexplode(filter(T.tokens(col(textCol)), t => length(t) > 0))
           .as(Seq("pos", "tok")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // The bigram stream has two consumers (the count-table aggregation
+    // and the scoring join), so it IS recomputed — deliberately NOT
+    // localCheckpoint'd like minhashLsh's signatures: the checkpoint
+    // would materialize a TOKEN-scale frame (it grows exactly as fast as
+    // the recompute it saves, unlike the slim per-doc frames bm25Search
+    // checkpoints), and an A/B at sf0.1 measured the checkpointed form
+    // ~8% slower. Recompute-vs-materialize is a wash that tips toward
+    // recompute when the intermediate is as big as the input.
     val bi = toks
       .withColumn("w2", lead(col("tok"), 1).over(w))
       .filter(col("w2").isNotNull)

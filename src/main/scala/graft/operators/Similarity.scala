@@ -154,7 +154,11 @@ object Similarity {
     PqCodebook(width, (0 until m).map { s =>
       val sliced = corpus.select(col(idCol),
         slice(col(vecCol), s * width + 1, width).as(vecCol))
-      kmeansAnchors(sliced, kPerSub, iters, 42L + s, vecCol, idCol)
+      // l2Assign: PQ encodes and scores under squared-L2, so the Lloyd
+      // step must assign under the same metric — cosine-trained centroids
+      // are never L2-optimal for the cells that use them
+      kmeansAnchors(sliced, kPerSub, iters, 42L + s, vecCol, idCol,
+        l2Assign = true)
     })
   }
 
@@ -356,14 +360,25 @@ object Similarity {
     * vectors). Only the cells×dim mean table ever reaches the driver, so
     * the method honors the same anchors ≪ corpus contract as [[ivfTopK]].
     * Refined anchors tighten cells around the data's actual clusters,
-    * which is what makes low-nprobe probing accurate at scale. */
+    * which is what makes low-nprobe probing accurate at scale.
+    *
+    * `l2Assign` switches the Lloyd assignment step from argmax-cosine
+    * ([[cellOf]], the IVF-cosine retrieval metric) to argmin squared-L2
+    * ([[org.apache.spark.sql.graft.NearestCellL2F]]) — REQUIRED when the
+    * trained codebook will be consumed under L2, as in PQ: training under
+    * cosine but encoding under L2 silently yields centroids that are
+    * never L2-optimal for the cells that use them (magnitude-varying
+    * slices degrade ADC accuracy). Element-wise-mean updates are the
+    * correct Lloyd step for L2; for cosine they are the standard
+    * spherical-kmeans-without-renormalization approximation. */
   def kmeansAnchors(
       corpus: DataFrame,
       k: Int,
       iters: Int = 5,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): Seq[(Long, Seq[Float])] = {
+      idCol: String = "vec_id",
+      l2Assign: Boolean = false): Seq[(Long, Seq[Float])] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
     var anchors: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol))
@@ -371,9 +386,16 @@ object Similarity {
       .limit(k)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    def assign(vec: Column): Column =
+      if (l2Assign) {
+        val sorted = anchors.sortBy(_._1)
+        org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
+          vec, sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+          offset = 0, width = sorted.head._2.size)
+      } else cellOf(anchors, vec)
     for (_ <- 0 until iters) {
       val moments = Fan.spread(corpus.select(col(vecCol)))
-        .select(cellOf(anchors, col(vecCol)).as("cell"),
+        .select(assign(col(vecCol)).as("cell"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))

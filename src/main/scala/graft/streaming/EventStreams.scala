@@ -194,14 +194,21 @@ object EventStreams {
       sink: (DataFrame, Long) => Unit,
       shingleN: Int = 5,
       k: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8,
+      tier: graft.operators.Dedup.HashTier = graft.operators.Dedup.PortableMd5,
       textCol: String = "text",
       idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    // CONTRACT: (shingleN, k, bands, tier) must equal the parameters the
+    // corpus band index was built with — band keys hash the banding
+    // definition, so differing parameters produce disjoint key spaces and
+    // the gate would silently admit everything. The defaults here are
+    // Dedup.bandKeys' defaults for exactly that reason (default-vs-default
+    // is pinned by EventStreamsSpec).
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val collided = graft.operators.Dedup
-          .bandKeys(batch, textCol, idCol, shingleN, k, bands)
+          .bandKeys(batch, textCol, idCol, shingleN, k, bands, tier)
           .join(corpusBands.select(col("band")), Seq("band"), "left_semi")
           .select(col("id").as(idCol))
           .distinct()

@@ -42,8 +42,13 @@ case class NfcNormalize(child: Expression)
 
 object NfcHelper {
   /** NFC-normalize, returning the input object untouched when already
-    * normalized (ASCII and most real text). */
+    * normalized. Two tiers: pure-ASCII (the common corpus case) is NFC by
+    * construction and detected on the RAW UTF-8 bytes (`isFullAscii`, a
+    * scan with zero decode/allocation); only non-ASCII rows pay the
+    * String decode for `Normalizer.isNormalized`, and only actually
+    * non-normalized rows allocate a new string. */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -9,6 +9,22 @@ class QualitySpec extends SparkSpec {
 
   behavior of "gopherRules"
 
+  it should "keep a row (with zeroed metrics, pass=false) for token-free docs" in {
+    val docs = Seq((1L, ""), (2L, "  \n\t "), (3L, "real words here now"))
+      .toDF("doc_id", "text")
+    val r = Quality.gopherRules(docs, minWords = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L)
+    for (id <- Seq(1L, 2L)) {
+      r(id).getAs[Long]("n_words") shouldBe 0L
+      r(id).getAs[Double]("mean_word_len") shouldBe 0.0
+      r(id).getAs[Double]("frac_alpha_words") shouldBe 0.0
+      r(id).getAs[Double]("symbol_ratio") shouldBe 0.0
+      r(id).getAs[Boolean]("pass") shouldBe false
+    }
+    r(3L).getAs[Long]("n_words") shouldBe 4L
+  }
+
   it should "compute line, word, and symbol metrics on crafted docs" in {
     val docs = Seq(
       // all-bullet lines, 1-char words

@@ -175,8 +175,10 @@ class EventStreamsSpec extends SparkSpec {
       (100L, "the quick brown fox jumps over the lazy dog in the field today"),
       (101L, "completely unrelated corpus text about database engines and joins")
     ).toDF("doc_id", "text")
-    val corpusBands = graft.operators.Dedup
-      .bandKeys(corpus, k = 16, bands = 4).persist()
+    // DEFAULT banding on both sides on purpose: the gate's parameters
+    // must equal the index's, and default-vs-default is the contract
+    // (a bands mismatch makes the key spaces disjoint and admits all)
+    val corpusBands = graft.operators.Dedup.bandKeys(corpus).persist()
     corpusBands.count()
 
     implicit val sqlCtx = spark.sqlContext
@@ -187,8 +189,7 @@ class EventStreamsSpec extends SparkSpec {
       corpusBands,
       (batch, _) => admitted.synchronized {
         admitted ++= batch.select("doc_id").collect().map(_.getLong(0))
-      },
-      k = 16, bands = 4)
+      })
     try {
       stream.addData(
         // near-dup of corpus 100 (one word changed => most bands collide)
