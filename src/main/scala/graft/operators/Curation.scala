@@ -205,21 +205,6 @@ object Curation {
       .drop("__band", "__offset", "__start")
   }
 
-  /** Benchmark decontamination — the gate every pretraining corpus runs
-    * before release: a training document sharing too many n-grams with an
-    * evaluation/benchmark document leaks the test set into the training
-    * set. Returns per-doc overlap counts:
-    * (idCol, n_shingles, n_hits, contaminated), where `n_hits` counts the
-    * doc's DISTINCT n-grams that appear anywhere in the benchmark and
-    * `contaminated` marks docs with `n_hits / n_shingles >= maxOverlap`
-    * (single-shingle docs with any hit included).
-    *
-    * Scale shape: the benchmark's distinct shingle set is usually tiny
-    * relative to the corpus (eval suites are MBs, corpora are TBs), so
-    * the plan is corpus-explode → LEFT SEMI-shape join against the
-    * benchmark shingle set on the shingle key (AQE broadcasts it when it
-    * fits) → per-doc conditional count. The corpus is never pairwise
-    * compared with anything; cost is O(corpus tokens) + one keyed join. */
   /** Distinct word-n-gram stream of `df` — the ONE construction both
     * decontamination tiers key on (a semantic drift between them would
     * silently break the exact-vs-bloom superset property CurationSpec
@@ -241,6 +226,21 @@ object Curation {
       .distinct()
   }
 
+  /** Benchmark decontamination — the gate every pretraining corpus runs
+    * before release: a training document sharing too many n-grams with an
+    * evaluation/benchmark document leaks the test set into the training
+    * set. Returns per-doc overlap counts:
+    * (idCol, n_shingles, n_hits, contaminated), where `n_hits` counts the
+    * doc's DISTINCT n-grams that appear anywhere in the benchmark and
+    * `contaminated` marks docs with `n_hits / n_shingles >= maxOverlap`
+    * (single-shingle docs with any hit included).
+    *
+    * Scale shape: the benchmark's distinct shingle set is usually tiny
+    * relative to the corpus (eval suites are MBs, corpora are TBs), so
+    * the plan is corpus-explode → LEFT SEMI-shape join against the
+    * benchmark shingle set on the shingle key (AQE broadcasts it when it
+    * fits) → per-doc conditional count. The corpus is never pairwise
+    * compared with anything; cost is O(corpus tokens) + one keyed join. */
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,

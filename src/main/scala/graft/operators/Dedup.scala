@@ -860,25 +860,35 @@ object Dedup {
       seed: Long = 7L,
       dim: Int = 64,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id",
+      maxBucketSize: Int = 100000): DataFrame =
     embeddingNearDup(
       vecs.withColumn("__bucket", lshBucket(col(vecCol), lshPlanes(dim, nPlanes, seed))),
-      "__bucket", threshold, vecCol, idCol)
+      "__bucket", threshold, vecCol, idCol, maxBucketSize)
       .withColumnRenamed("block", "bucket")
 
   /** Embedding near-dup pairs: cosine over pairs blocked by `blockCol`
-    * (e.g. a cluster/label/LSH-bucket column) above a threshold. */
+    * (e.g. a cluster/label/LSH-bucket column) above a threshold.
+    *
+    * `maxBlockSize` enforces the bounded-block contract the caller's
+    * blocking is supposed to provide ([[Guards.subSplit]]): a whale block
+    * is hash-split and pairs are generated within sub-blocks only —
+    * bit-identical results until a block exceeds the cap, bounded work
+    * (at ~1/nSub in-whale recall) past it. */
   def embeddingNearDup(
       vecs: DataFrame,
       blockCol: String,
       threshold: Double,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val v = Fan.spread(
-      vecs.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v")))
-    val l = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("block"))
+      idCol: String = "vec_id",
+      maxBlockSize: Int = 100000): DataFrame = {
+    val v = Guards.subSplit(
+      Fan.spread(
+        vecs.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))),
+      "block", "id", maxBlockSize)
+    val l = v.select(col("block"), col("__sub"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = v.select(col("block"), col("__sub"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("block", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
         V.cosine(col("v_a"), col("v_b")).as("cosine"))
@@ -923,12 +933,18 @@ object Dedup {
       anchors: Seq[(Long, Seq[Float])],
       threshold: Double,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val assigned = Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
-      .withColumn("cell", Similarity.cellOf(anchors, col("v")))
-    val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    val losers = l.join(r, Seq("cell"))
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): DataFrame = {
+    // subSplit (same guard as knnGraph): a whale cell compares within its
+    // hash-split sub-cells only — conservative (fewer losers found) but
+    // bounded; identical results while every cell fits the cap
+    val assigned = Guards.subSplit(
+      Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+        .withColumn("cell", Similarity.cellOf(anchors, col("v"))),
+      "cell", "id", maxCellSize)
+    val l = assigned.select(col("cell"), col("__sub"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("__sub"), col("id").as("id_b"), col("v").as("v_b"))
+    val losers = l.join(r, Seq("cell", "__sub"))
       .filter(col("id_a") < col("id_b") &&
         V.cosine(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_b").as("__loser")).distinct()

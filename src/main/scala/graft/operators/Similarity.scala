@@ -85,20 +85,32 @@ object Similarity {
     * [[Dedup.embeddingNearDup]], with the anchor count as the knob that
     * keeps cells executor-sized at any corpus scale. Vectors alone in
     * their cell emit no rows (no neighbors at nprobe=1 — the documented
-    * recall trade of cell-blocked candidate generation). */
+    * recall trade of cell-blocked candidate generation).
+    *
+    * Anchor count alone cannot bound the quadratic under skew (one
+    * dominant semantic cluster pulls N/2 vectors into one cell), so
+    * `maxCellSize` ENFORCES the bound via [[Guards.subSplit]]: over-full
+    * cells are hash-split into ~maxCellSize sub-cells and candidates are
+    * generated within sub-cells only. Results are bit-identical until a
+    * cell actually exceeds the cap; past it, a vector in a whale cell
+    * sees ~1/nSub of its cell-mates as candidates (graceful recall
+    * degradation instead of an unbounded task). */
   def knnGraph(
       corpus: DataFrame,
       anchors: Seq[(Long, Seq[Float])],
       k: Int,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): DataFrame = {
     require(k > 0, "k must be positive")
-    val assigned = Fan.spread(corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol).as("id"), cellOf(anchors, col(vecCol)).as("cell"),
-        col(vecCol).as("v"))
-    val l = assigned.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
-    val r = assigned.select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val scored = l.join(r, Seq("cell"))
+    val assigned = Guards.subSplit(
+      Fan.spread(corpus.select(col(idCol), col(vecCol)))
+        .select(col(idCol).as("id"), cellOf(anchors, col(vecCol)).as("cell"),
+          col(vecCol).as("v")),
+      "cell", "id", maxCellSize)
+    val l = assigned.select(col("cell"), col("__sub"), col("id").as("query_id"), col("v").as("qv"))
+    val r = assigned.select(col("cell"), col("__sub"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = l.join(r, Seq("cell", "__sub"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
@@ -193,14 +205,22 @@ object Similarity {
     * keyed sum. No vector math ever touches the corpus at query time;
     * the join input is the codes frame (m rows per doc after the
     * explode), which is the whole point of PQ at 100 TB: the resident
-    * index is codes, not floats. Ties break by neighbor id. */
+    * index is codes, not floats. Ties break by neighbor id.
+    *
+    * `excludeSelf` (default true) assumes queries SHARE the corpus id
+    * space (queries drawn from the corpus, the [[ivfTopK]] convention)
+    * and drops the query_id == neighbor_id match. For a DISJOINT-id query
+    * frame pass `excludeSelf = false` — otherwise a query whose id
+    * happens to collide with an unrelated corpus row silently loses that
+    * candidate. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
       cb: PqCodebook,
       k: Int,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = corpus.sparkSession
     // driver-side distance tables: |queries| × m × kPerSub rows
@@ -233,7 +253,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("sub"), col("d")))).as("__ds"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(col("__ds"), lit(0.0), (acc, x) => acc + x("d")).as("adc"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -254,9 +274,10 @@ object Similarity {
       k: Int,
       shortlist: Int = 100,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val cand = pqTopK(corpus, queries, cb, shortlist, vecCol, idCol)
+    val cand = pqTopK(corpus, queries, cb, shortlist, vecCol, idCol, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))

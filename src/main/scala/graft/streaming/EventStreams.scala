@@ -24,6 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Event-time column, type-aware: a timestamp-typed `ts` passes
+    * through; an INTEGRAL `ts` is interpreted as NANOS since epoch (the
+    * repo's events parquet stores TIMESTAMP(NANOS) read back as bigint).
+    * A plain `cast("timestamp")` would read a bigint as SECONDS — feeding
+    * the parquet table directly then yields windows thousands of years
+    * out — so the nanos→micros division is explicit here instead of a
+    * trap left to every caller. */
+  private def eventTime(events: DataFrame): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        // integer `div`, not `/`: float division of epoch-nanos loses
+        // precision past 2^53 (any modern timestamp)
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
   /** Tumbling-window per-type counts with a watermark. Works on both
     * batch and streaming frames. */
   def windowedCounts(
@@ -31,7 +48,7 @@ object EventStreams {
       windowLength: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", eventTime(events))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(
@@ -54,7 +71,7 @@ object EventStreams {
       windowLength: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", eventTime(events))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       // isNotNull guard: xxhash64(NULL) is the (non-null) seed, so an

@@ -65,6 +65,21 @@ object StressScale {
           .cast("double") / 1000.0).cast("float")).as("embedding"))
       .persist()
     emb.count()
+    // adversarially SKEWED embeddings: half the corpus collapses into one
+    // semantic cluster (first coord ~1, tiny noise elsewhere) — one whale
+    // cell that no anchor count can split; the other half stays uniform
+    val embSkew = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") % 2 === 0,
+        transform(sequence(lit(0), lit(63)),
+          i => (when(i === lit(0), lit(1000.0))
+            .otherwise((pmod(xxhash64(col("id"), i), lit(20)) - 10).cast("double"))
+            / 1000.0).cast("float")))
+        .otherwise(transform(sequence(lit(0), lit(63)),
+          i => ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
+            .cast("double") / 1000.0).cast("float"))).as("embedding"))
+      .persist()
+    embSkew.count()
 
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
@@ -115,6 +130,16 @@ object StressScale {
           .select(col("vec_id"), col("embedding")).collect().toSeq
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
         graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
+      },
+      // the SAME graph over the skewed corpus with the subSplit guard at
+      // 1000: the n/2-row whale cell hash-splits into ~n/2000 sub-cells,
+      // so wall time stays linear-ish instead of quadratic in the whale
+      timeNoop("knn_graph_skew") {
+        val anchors = embSkew.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        graft.operators.Similarity.knnGraph(embSkew, anchors, k = 5,
+          maxCellSize = 1000)
       },
       timeNoop("bm25_search")(
         Curation.bm25Search(docs, Seq("spark", "merge", "customer"), topK = 100)),

@@ -116,8 +116,16 @@ object SketchFunctions {
     new ExpressionInfo(classOf[HllCountAgg].getName, "graft_hll_count"),
     (children: Seq[Expression]) => children match {
       case Seq(c) => HllCountAgg(c)
-      case Seq(c, p) => HllCountAgg(c,
-        p.eval(null).asInstanceOf[Number].intValue())
+      case Seq(c, p) =>
+        // foldability guard: a non-literal precision would otherwise hit
+        // eval(null) and die with an opaque NPE inside analysis
+        if (!p.foldable) throw new IllegalArgumentException(
+          "graft_hll_count(hashedLong[, precision]): precision must be a literal")
+        p.eval(null) match {
+          case n: Number => HllCountAgg(c, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_hll_count(hashedLong[, precision]): integer precision expected, got $other")
+        }
       case _ => throw new IllegalArgumentException(
         "graft_hll_count(hashedLong[, precision])")
     })

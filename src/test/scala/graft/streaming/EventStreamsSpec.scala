@@ -28,6 +28,18 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 11:00:00"), "view", 1L, 4.0))
   }
 
+  it should "interpret an integral ts column as epoch NANOS (the events parquet layout)" in {
+    // same rows, ts as bigint nanos — a plain cast("timestamp") would
+    // read these as SECONDS and put every window thousands of years out
+    val nanos = events.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    val r = EventStreams.windowedCounts(nanos, "1 hour").collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+      .toSet
+    r shouldBe Set(
+      (ts("2024-01-01 10:00:00"), "click", 3L, 11.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 4.0))
+  }
+
   it should "run the same plan as a stream over MemoryStream" in {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
