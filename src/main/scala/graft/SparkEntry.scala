@@ -877,6 +877,32 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), cb, k = 3).drop("rank")
     }),
 
+    // Index persistence round-trip IN USE: train the seed codebook, save
+    // it to a Warehouse (schema-stable parquet tables), load it back, and
+    // retrieve with the LOADED artifact. Oracle-identical to
+    // vector_pq_topk — which is the point: persisted-then-loaded indexes
+    // must reproduce the in-memory artifact bit-for-bit.
+    "vector_pq_persisted" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Similarity.pqTrainSeed(e, m = 8, kPerSub = 16, dim = 64)
+      val wh = new graft.store.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft_ann_wh").toString)
+      graft.store.AnnArtifacts.savePqCodebook(wh, "pq_main", cb)
+      val loaded = graft.store.AnnArtifacts.loadPqCodebook(wh, "pq_main")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), loaded, k = 3).drop("rank")
+    }),
+
+    // PQ retrieval with the Lloyd-TRAINED codebook + exact re-rank — the
+    // production tier (a real retrieval stack never ships seed codebooks).
+    // Training is iterative Spark jobs ⇒ rows-only check (same contract as
+    // vector_ivf_kmeans); AnnRecallSpec pins trained-vs-seed recall@10.
+    "vector_pq_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 3)
+      Similarity.pqTopKRerank(e, e.filter(col("vec_id") < 5), cb, k = 3,
+        shortlist = 20).drop("rank")
+    }),
+
     // Unicode-canonical text normalization (native codegen'd NFC → lower
     // → whitespace collapse) + the dedup key it feeds
     "text_normalize" -> ((s, d) =>
@@ -1104,7 +1130,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // vector_pq_persisted retrieves with a saved-then-loaded codebook; a
+    // correct round-trip is bit-identical to the in-memory tier, so it
+    // replays the SAME SQL as vector_pq_topk
+    ("vector_pq_persisted" -> oracleSqlBase("vector_pq_topk"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -233,6 +233,25 @@ object EventStreams {
       }
       .start()
 
+  /** [[admissionStream]] against a PERSISTED band index: the band frame
+    * and — crucially — the banding parameters come from the
+    * [[graft.store.AnnArtifacts]] tables, so the stream can never probe
+    * with a different (shingleN, k, bands, tier) than the index was built
+    * with (the disjoint-key-space trap the admissionStream contract
+    * documents becomes structurally impossible). This is the production
+    * wiring: the corpus trains its index once, the stream loads it. */
+  def admissionStreamIndexed(
+      incoming: DataFrame,
+      wh: graft.store.Warehouse,
+      indexName: String,
+      sink: (DataFrame, Long) => Unit,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (bandFrame, meta) = graft.store.AnnArtifacts.loadBandIndex(wh, indexName)
+    admissionStream(incoming, bandFrame, sink,
+      meta.shingleN, meta.k, meta.bands, meta.tier, textCol, idCol)
+  }
+
   /** Stream-stream interval join: every left event paired with the right
     * events at most `windowSeconds` away — the streaming counterpart of
     * [[graft.operators.Joins.rangeJoin]], and it uses the SAME bin-key

@@ -154,6 +154,15 @@ object StressScale {
         graft.operators.Similarity.pqTopKRerank(
           emb, emb.filter(col("vec_id") < 32), cb, k = 10, shortlist = 100)
       },
+      // the trained tier end-to-end: m × iters Lloyd passes + the same
+      // ADC/re-rank retrieval (training dominates; it amortizes over
+      // every query the codebook serves)
+      timeNoop("pq_kmeans_rerank") {
+        val cb = graft.operators.Similarity.pqTrainKmeans(
+          emb, m = 8, kPerSub = 16, dim = 64, iters = 2)
+        graft.operators.Similarity.pqTopKRerank(
+          emb, emb.filter(col("vec_id") < 32), cb, k = 10, shortlist = 100)
+      },
       timeNoop("semantic_dedup") {
         val anchors = emb.filter(col("vec_id") < 256)
           .select(col("vec_id"), col("embedding")).collect().toSeq
@@ -193,10 +202,39 @@ object StressScale {
             .hllCount(when(col("user_id").isNotNull,
               xxhash64(col("user_id")))).as("hll_users")))
     )
+    // PQ retrieval QUALITY at corpus scale (not a timing): recall@10 of
+    // the seed vs Lloyd-trained codebook against the exact-L2 ranking for
+    // 32 queries — the number that justifies shipping the trained tier
+    val pqRecall: (Double, Double) = {
+      import org.apache.spark.sql.expressions.Window
+      val V = graft.functions.VectorFunctions
+      val queries = emb.filter(col("vec_id") < 32)
+      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val d = V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("cv")) +
+        V.dot(col("cv"), col("cv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("neighbor_id").asc)
+      val exact = c.join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), d.as("d"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(cb: graft.operators.Similarity.PqCodebook): Double = {
+        val got = graft.operators.Similarity
+          .pqTopKRerank(emb, queries, cb, k = 10, shortlist = 100)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        exact.map { case (qid, truth) =>
+          got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+        }.sum / exact.size
+      }
+      (recallOf(graft.operators.Similarity.pqTrainSeed(emb, 8, 16, 64)),
+        recallOf(graft.operators.Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)))
+    }
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
     }.mkString("{", ",", "}")
-    println(s"""{"nDocs":$n,"ops":$qs}""")
+    println(f"""{"nDocs":$n,"pq_recall_seed":${pqRecall._1}%.3f,"pq_recall_trained":${pqRecall._2}%.3f,"ops":$qs}""")
     spark.stop()
   }
 }
