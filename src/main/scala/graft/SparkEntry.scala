@@ -382,6 +382,13 @@ object SparkEntry {
         graft.operators.Dedup.repeatedSubstringSpans(docs, gramN = 8, minDf = 2))
     }),
 
+    // EXACT repeated-substring tier (full ExactSubstr discipline): only
+    // spans verbatim-equal to a span in another doc, via gram-seeded
+    // constant-offset run alignment — catches what gram-df mis-merges
+    "dedup_substrings_exact" -> ((s, d) =>
+      graft.operators.Dedup.repeatedSubstringSpansExact(
+        t(s, d, "documents"), minLen = 12, gramN = 8)),
+
     // Deflate compression ratio (repetition/boilerplate proxy): zlib is
     // not SQL-replayable -> rows-only; TextFunctionsSpec pins the
     // discrimination property and the empty-input contract
@@ -1490,6 +1497,67 @@ object SparkEntry {
          |  CAST(min(p) AS BIGINT) AS span_start,
          |  CAST(max(p) + 7 AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Dedup.repeatedSubstringSpansExact: md5-gram occurrences,
+    // cross-doc pairs at constant offset, runs of consecutive positions
+    // (exact repeats because every covering gram window matches), span
+    // projection to both sides, per-doc interval merge — windows ordered
+    // by unique keys, so both engines agree exactly
+    "dedup_substrings_exact" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ex AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+         |  FROM base WHERE len(toks) >= 8),
+         |grams AS (
+         |  SELECT doc_id, p,
+         |    md5(array_to_string(list_slice(toks, p, p + 7), ' ')) AS g
+         |  FROM ex),
+         |kept AS (
+         |  SELECT g FROM grams
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
+         |hits AS (SELECT doc_id, p, g FROM grams JOIN kept USING (g)),
+         |aligned AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.p - b.p AS off, a.p AS pa
+         |  FROM hits a JOIN hits b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |marked AS (
+         |  SELECT id_a, id_b, off, pa,
+         |    CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 1
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM aligned WINDOW w AS (PARTITION BY id_a, id_b, off ORDER BY pa)),
+         |runs0 AS (
+         |  SELECT id_a, id_b, off, pa,
+         |    sum(ns) OVER (PARTITION BY id_a, id_b, off ORDER BY pa
+         |                  ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM marked),
+         |runs AS (
+         |  SELECT id_a, id_b, off, min(pa) AS sa, max(pa) AS ea
+         |  FROM runs0 GROUP BY 1, 2, 3, run_id
+         |  HAVING max(pa) - min(pa) + 8 >= 12),
+         |sides AS (
+         |  SELECT DISTINCT id, s, e FROM (
+         |    SELECT id_a AS id, sa AS s, ea + 7 AS e FROM runs
+         |    UNION ALL
+         |    SELECT id_b AS id, sa - off AS s, ea - off + 7 AS e FROM runs)),
+         |pm AS (
+         |  SELECT id, s, e,
+         |    max(e) OVER (PARTITION BY id ORDER BY s, e
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |  FROM sides),
+         |marked2 AS (
+         |  SELECT id, s, e,
+         |    CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END AS ns
+         |  FROM pm),
+         |spans AS (
+         |  SELECT id, s, e,
+         |    sum(ns) OVER (PARTITION BY id ORDER BY s, e
+         |                  ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked2)
+         |SELECT id AS doc_id, CAST(span_id AS BIGINT) AS span_id,
+         |  CAST(min(s) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_runs
          |FROM spans GROUP BY 1, 2""".stripMargin,
 
     // mirrors Dedup.exciseSpans over repeatedSubstringSpans: span

@@ -610,6 +610,106 @@ object Dedup {
         col("span_end"), col("n_grams"))
   }
 
+  /** EXACT cross-document repeated substrings of at least `minLen`
+    * tokens — the full ExactSubstr discipline (Lee et al. §4.1: their
+    * suffix array finds byte-exact repeats ≥ 50 tokens), where
+    * [[repeatedSubstringSpans]] is the cheaper gram-df approximation.
+    * The gram tier can MIS-MERGE: two different repeated grams that
+    * happen to sit near each other in one document fuse into a span that
+    * is not an exact repeat of anything. This tier only reports spans
+    * that are verbatim-equal to a span in another document.
+    *
+    * The suffix-array idea re-expressed Spark-first: a repeat of length
+    * L ≥ minLen between docs A and B covers L−gramN+1 CONSECUTIVE
+    * matching gram positions at ONE constant alignment offset
+    * (pa − pb). So: seed with gramN-grams occurring in ≥2 docs (the
+    * cross-partition candidate step — a partition-local suffix array
+    * would still need this to see repeats spanning partitions), equi-join
+    * occurrences into cross-doc pairs, and group by (id_a, id_b, offset):
+    * runs of consecutive pa are exact matches because every covering
+    * gram window matches. Runs shorter than minLen−gramN+1 grams are
+    * discarded, surviving runs project to per-doc spans, and overlapping
+    * spans merge per doc (two partners' repeats can overlap).
+    *
+    * Scale shape: everything is keyed — gram census (partial-agg), pair
+    * equi-join (repartitioned by gram, AQE-exempt), per-(pair, offset)
+    * window, per-doc merge window. The pair join is quadratic per gram:
+    * `maxGramDf` drops whale grams (df > cap) exactly like winnow's
+    * `maxFpDf` — those grams are boilerplate that line-dedup owns, and a
+    * repeat is still found if ANY of its covering grams survives the cap
+    * (only repeats ALL of whose grams are whales are lost). Grams travel
+    * as md5 (collision odds ~2⁻¹²⁸ — the standard ExactSubstr
+    * hash-not-text trick to keep the shuffle slim). */
+  def repeatedSubstringSpansExact(
+      docs: DataFrame,
+      minLen: Int = 20,
+      gramN: Int = 8,
+      maxGramDf: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minLen >= gramN, "minLen must be >= gramN")
+    require(maxGramDf >= 2, "maxGramDf must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    // slim (g, id, p) occurrence stream; localCheckpoint for the same
+    // reason as the LSH banded frame — two consumers (census + pair join)
+    // whose exchanges differ, so the tokenize+gram pipeline would run twice
+    val grams = Fan.spread(docs
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) >= gramN)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("toks")) - lit(gramN - 1))).as("p"),
+        col("toks"))
+      .select(col("id"), col("p"),
+        md5(concat_ws(" ", slice(col("toks"), col("p"), lit(gramN)))).as("g"))
+      .localCheckpoint()
+    val kept = grams.groupBy(col("g"))
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxGramDf)
+      .select(col("g"))
+    val nPart = docs.sparkSession.sparkContext.defaultParallelism
+    val hits = grams.join(kept, Seq("g")).repartition(nPart, col("g"))
+    val l = hits.select(col("g"), col("id").as("id_a"), col("p").as("pa"))
+    val r = hits.select(col("g"), col("id").as("id_b"), col("p").as("pb"))
+    val aligned = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("off"),
+        col("pa"))
+      // duplicate grams WITHIN one doc can land the same (pair, off, pa)
+      // row twice; the run window needs unique positions
+      .distinct()
+    val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("off"))
+      .orderBy(col("pa"))
+    val runs = aligned
+      .withColumn("ns", when(lag(col("pa"), 1).over(wRun).isNull ||
+        col("pa") > lag(col("pa"), 1).over(wRun) + 1, 1).otherwise(0))
+      .withColumn("run_id", sum(col("ns")).over(
+        wRun.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id_a"), col("id_b"), col("off"), col("run_id"))
+      .agg(min(col("pa")).as("sa"), max(col("pa")).as("ea"))
+      .filter(col("ea") - col("sa") + lit(gramN) >= minLen)
+    // each surviving run is an exact repeat in BOTH documents
+    val sides = runs.select(explode(array(
+        struct(col("id_a").as("id"), col("sa").as("s"),
+          (col("ea") + lit(gramN - 1)).as("e")),
+        struct(col("id_b").as("id"), (col("sa") - col("off")).as("s"),
+          (col("ea") - col("off") + lit(gramN - 1)).as("e")))).as("x"))
+      .select(col("x.id").as("id"), col("x.s").as("s"), col("x.e").as("e"))
+      .distinct()
+    // per-doc interval merge (overlapping or adjacent spans fuse)
+    val wm = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    sides
+      .withColumn("pe", max(col("e")).over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pe").isNull || col("s") > col("pe") + 1, 1)
+        .otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(
+        wm.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id").as(idCol), col("span_id"))
+      .agg(min(col("s")).cast("bigint").as("span_start"),
+        max(col("e")).cast("bigint").as("span_end"),
+        count(lit(1)).cast("bigint").as("n_runs"))
+  }
+
   /** Apply [[repeatedSubstringSpans]]: remove every token whose position
     * falls inside a span and reassemble the survivors in order — the
     * ExactSubstr EXCISION step (find → apply symmetry, like

@@ -115,6 +115,12 @@ object StressScale {
       // gram join AND the merge window
       timeNoop("substring_spans")(
         Dedup.repeatedSubstringSpans(docs, gramN = 3)),
+      // exact tier over the same corpus: 5-grams over a 30-word vocab
+      // give ~2M random cross-doc gram collisions — a full-weight pair
+      // join whose aligned runs then (correctly) almost never reach
+      // minLen, so the census + join stages carry the cost
+      timeNoop("substring_exact")(
+        Dedup.repeatedSubstringSpansExact(docs, minLen = 10, gramN = 5)),
       // int8 retrieval at corpus scale: 32 queries against all n docs
       // (embeddings pre-materialized so generation isn't timed)
       timeNoop("knn_int8")(graft.operators.Similarity.bruteForceTopKInt8(
@@ -202,10 +208,15 @@ object StressScale {
             .hllCount(when(col("user_id").isNotNull,
               xxhash64(col("user_id")))).as("hll_users")))
     )
-    // PQ retrieval QUALITY at corpus scale (not a timing): recall@10 of
-    // the seed vs Lloyd-trained codebook against the exact-L2 ranking for
-    // 32 queries — the number that justifies shipping the trained tier
-    val pqRecall: (Double, Double) = {
+    // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
+    // quantization distortion (the training objective — deterministic and
+    // strictly better trained) and recall@10 vs exact L2 for 32 queries.
+    // On THIS synthetic corpus recall is concentration-limited (64
+    // uniform dims: the true 1st and 100th neighbor are nearly
+    // equidistant, so ADC ranking is noise for any codebook and seed can
+    // beat trained by luck); the distortion row is the robust signal, and
+    // AnnRecallSpec carries the real-embedding recall comparison.
+    val pqQuality: (Double, Double, Double, Double) = {
       import org.apache.spark.sql.expressions.Window
       val V = graft.functions.VectorFunctions
       val queries = emb.filter(col("vec_id") < 32)
@@ -228,13 +239,30 @@ object StressScale {
           got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
         }.sum / exact.size
       }
-      (recallOf(graft.operators.Similarity.pqTrainSeed(emb, 8, 16, 64)),
-        recallOf(graft.operators.Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)))
+      def distortionOf(cb: graft.operators.Similarity.PqCodebook): Double = {
+        val sample = emb.filter(col("vec_id") % 37 === 0)
+          .select(col("embedding")).collect().map(_.getSeq[Float](0))
+        sample.map { v =>
+          cb.books.zipWithIndex.map { case (book, s) =>
+            book.map { case (_, cv) =>
+              (0 until cb.width).map { j =>
+                val x = if (s * cb.width + j < v.length) v(s * cb.width + j).toDouble else 0.0
+                val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
+                diff * diff
+              }.sum
+            }.min
+          }.sum
+        }.sum / sample.length
+      }
+      val seedCb = graft.operators.Similarity.pqTrainSeed(emb, 8, 16, 64)
+      val trainedCb = graft.operators.Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)
+      (recallOf(seedCb), recallOf(trainedCb),
+        distortionOf(seedCb), distortionOf(trainedCb))
     }
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
     }.mkString("{", ",", "}")
-    println(f"""{"nDocs":$n,"pq_recall_seed":${pqRecall._1}%.3f,"pq_recall_trained":${pqRecall._2}%.3f,"ops":$qs}""")
+    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,"ops":$qs}""")
     spark.stop()
   }
 }

@@ -227,6 +227,74 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 4L), (2L, 10L, 13L))
   }
 
+  "repeatedSubstringSpansExact" should "report a shared passage with exact boundaries in both docs" in {
+    val passage = (1 to 15).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"d1 $passage d2 d3"),        // passage at tokens 2..16
+      (2L, s"e1 e2 e3 $passage e4")      // passage at tokens 4..18
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpansExact(docs, minLen = 12, gramN = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    spans shouldBe Array((1L, 2L, 16L), (2L, 4L, 18L))
+  }
+
+  it should "NOT fuse two short repeats the gram tier mis-merges" in {
+    val g1 = "a b c d e f g h"
+    val g2 = "q r s t u v w x"
+    val docs = Seq(
+      (1L, s"fa fb $g1 $g2 fc fd"),  // g1 at 3..10, g2 at 11..18 — adjacent
+      (2L, s"m1 m2 $g1 m3 m4"),      // shares ONLY g1
+      (3L, s"n1 n2 $g2 n3 n4")       // shares ONLY g2
+    ).toDF("doc_id", "text")
+    // gram tier: doc 1's hits at p=3 and p=11 are within gramN, so they
+    // FUSE into one 16-token span that is an exact repeat of nothing
+    val gram = Dedup.repeatedSubstringSpans(docs, gramN = 8, minDf = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    gram shouldBe Array((3L, 18L))
+    // exact tier at minLen=12: each aligned run is only 8 tokens — below
+    // the threshold, so no span survives anywhere
+    Dedup.repeatedSubstringSpansExact(docs, minLen = 12, gramN = 8)
+      .count() shouldBe 0
+    // at minLen=8 the two real 8-token repeats surface SEPARATELY (and
+    // doc 1's adjacent spans merge into one excisable region, while docs
+    // 2 and 3 each carry only their own repeat)
+    val exact8 = Dedup.repeatedSubstringSpansExact(docs, minLen = 8, gramN = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    exact8 shouldBe Array((1L, 3L, 18L), (2L, 3L, 10L), (3L, 3L, 10L))
+  }
+
+  it should "stay within the gram tier's span regions (exact ⊆ approximate)" in {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 $passage x3"),
+      (2L, s"$passage y1 y2"),
+      (3L, "unrelated words that repeat nowhere in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val gram = Dedup.repeatedSubstringSpans(docs, gramN = 8, minDf = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val exact = Dedup.repeatedSubstringSpansExact(docs, minLen = 12, gramN = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3))))
+    exact should not be empty
+    exact.foreach { case (id, (s, e)) =>
+      val (gs, ge) = gram(id)
+      s should be >= gs
+      e should be <= ge
+    }
+  }
+
+  it should "drop whale grams above maxGramDf before pairing" in {
+    // 12 docs all share one 8-gram: with the guard below its df the pair
+    // join sees nothing; raising the cap re-admits it
+    val shared = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val whale = (100L to 111L).map(i => (i, s"$shared own$i words$i"))
+      .toDF("doc_id", "text")
+    Dedup.repeatedSubstringSpansExact(whale, minLen = 8, gramN = 8, maxGramDf = 5)
+      .count() shouldBe 0
+    Dedup.repeatedSubstringSpansExact(whale, minLen = 8, gramN = 8, maxGramDf = 12)
+      .count() shouldBe 12
+  }
+
   it should "preserve blank lines, and only count distinct documents" in {
     val pages = Seq(
       // the repeated line appears twice in ONE doc: not boilerplate
