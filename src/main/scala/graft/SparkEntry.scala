@@ -300,6 +300,16 @@ object SparkEntry {
         T.langId(col("text")).as("lang_id"),
         T.qualityScore(col("text"), enStop).as("quality"))),
 
+    // Script-aware language ID: per-script character ratios (pure regex
+    // projections) + the CJK/Hangul decision tiers stopword tables cannot
+    // express, falling through to the 20-language stopword argmax
+    "text_langid_script" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.scriptRatio(col("text"), T.scriptClasses("latin")).as("latin_ratio"),
+        T.scriptRatio(col("text"), T.scriptClasses("han")).as("han_ratio"),
+        T.langIdScript(col("text")).as("lang"))),
+
     // Composite curation pipeline: score → filter → exact-dedup keep-first
     "curate_corpus" -> ((s, d) =>
       graft.operators.Curation.curate(t(s, d, "documents"))
@@ -1385,6 +1395,26 @@ object SparkEntry {
          |  CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END AS lang_id,
          |  $qualitySql AS quality
          |FROM (SELECT *, $langIdSql AS best FROM documents)""".stripMargin,
+
+    // mirrors T.langIdScript: RE2 script classes replay Java's IsXxx
+    // classes; ratios are exact integer-over-integer double divisions
+    "text_langid_script" -> {
+      def ratioSql(cls: String) =
+        s"""(CAST(length(regexp_replace(text, '[^\\p{$cls}]', '', 'g')) AS DOUBLE)
+           |   / greatest(CAST(length(text) AS DOUBLE), 1.0))""".stripMargin
+      s"""SELECT doc_id,
+         |  ${ratioSql("Latin")} AS latin_ratio,
+         |  ${ratioSql("Han")} AS han_ratio,
+         |  CASE
+         |    WHEN ${ratioSql("Hangul")} > 0.3 THEN 'ko'
+         |    WHEN (CAST(length(regexp_replace(text,
+         |            '[^\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS DOUBLE)
+         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) > 0.05 THEN 'ja'
+         |    WHEN ${ratioSql("Han")} > 0.3 THEN 'zh'
+         |    ELSE (CASE WHEN best.negHits < 0 THEN best.lang ELSE 'und' END)
+         |  END AS lang
+         |FROM (SELECT *, $langIdSql AS best FROM documents)""".stripMargin
+    },
 
     "curate_corpus" ->
       s"""WITH $curatedSql

@@ -58,13 +58,31 @@ object TextFunctions {
 
   /** Per-language stopword tables for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: they broadcast as literals into the
-    * expression, no join needed. */
+    * expression, no join needed. 20 languages; the non-Latin entries
+    * (ru/ar/hi) rely on [[tokens]]' whitespace split, which those scripts
+    * use — CJK (no whitespace) is handled by the SCRIPT signal in
+    * [[langIdScript]], not by stopwords. */
   val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
-    "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "in", "che", "per")
+    "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "in", "che", "per"),
+    "pt" -> Seq("o", "de", "e", "que", "em", "um", "uma", "para", "com", "não"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "dat", "op", "te", "niet", "voor"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "da" -> Seq("og", "i", "det", "at", "en", "den", "til", "er", "som", "ikke"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "że", "jest", "do", "to", "jak"),
+    "cs" -> Seq("se", "na", "je", "že", "o", "s", "z", "do", "ale", "jsem"),
+    "ro" -> Seq("și", "de", "în", "la", "cu", "pe", "este", "un", "o", "care"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok", "daha"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "ovat", "kun"),
+    "hu" -> Seq("az", "és", "hogy", "nem", "is", "egy", "van", "de", "ez", "már"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "một", "cho", "người"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "быть", "с", "он", "это", "как"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "هذا", "كان", "التي", "لا", "ما"),
+    "hi" -> Seq("के", "में", "है", "की", "को", "से", "का", "पर", "यह", "और")
   )
 
   /** Language ID: argmax over per-language stopword hit counts, 'und'
@@ -81,6 +99,42 @@ object TextFunctions {
     val best = least(scored: _*)
     when(best.getField("negHits") < 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Unicode-script character classes (Java regex script names; each also
+    * has an RE2 `\p{Name}` twin for SQL replay). */
+  val scriptClasses: Map[String, String] = Map(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "arabic" -> "\\p{IsArabic}",
+    "devanagari" -> "\\p{IsDevanagari}",
+    "han" -> "\\p{IsHan}",
+    "kana" -> "\\p{IsHiragana}\\p{IsKatakana}",
+    "hangul" -> "\\p{IsHangul}")
+
+  /** Fraction of the document's characters belonging to a script class
+    * (one of [[scriptClasses]]' values). Pure codegen'd regex — strip
+    * everything NOT in the class, compare lengths. */
+  def scriptRatio(text: Column, scriptClass: String): Column =
+    length(regexp_replace(text, s"[^$scriptClass]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Script-aware language ID — the tier that handles what stopword
+    * tables cannot: CJK text has no whitespace, so [[tokens]] yields one
+    * giant "token" and every stopword count is 0. Decision order: Hangul
+    * ratio → ko; any meaningful kana → ja (kana is unique to Japanese;
+    * han-heavy text WITH kana is still Japanese); han without kana → zh;
+    * otherwise fall through to the stopword argmax (which covers the
+    * space-separated scripts, Cyrillic/Arabic/Devanagari included, via
+    * their [[langStopwords]] rows). Thresholds are ratios of CHARACTERS,
+    * so short mixed-script web text degrades gracefully to 'und'/Latin
+    * rather than flipping on a single ideograph. */
+  def langIdScript(
+      text: Column,
+      tables: Map[String, Seq[String]] = langStopwords): Column =
+    when(scriptRatio(text, scriptClasses("hangul")) > 0.3, lit("ko"))
+      .when(scriptRatio(text, scriptClasses("kana")) > 0.05, lit("ja"))
+      .when(scriptRatio(text, scriptClasses("han")) > 0.3, lit("zh"))
+      .otherwise(langId(text, tables))
 
   /** Content fingerprint à la key-collision clustering: md5 over the
     * sorted set of lower-cased tokens. Portable (md5 is engine-agnostic)

@@ -43,6 +43,54 @@ class TextFunctionsSpec extends SparkSpec {
     one[String](TextFunctions.langId(col("text")), "zzz qqq xxx") shouldBe "und"
   }
 
+  it should "classify the widened language set, non-Latin scripts included" in {
+    val fixtures = Seq(
+      "pt" -> "o gato não está em casa para ver um rato com ele",
+      "nl" -> "de kat en de hond zijn niet voor het huis te zien",
+      "sv" -> "katten och hunden är det som en ser på gården för",
+      "tr" -> "bu ev için çok güzel bir bahçe ve daha fazla alan",
+      "fi" -> "kissa ja koira on mutta se ei että hän oli kun",
+      "id" -> "kucing itu ada di dalam rumah yang besar dan untuk tidur",
+      "vi" -> "con mèo và con chó của tôi là có trong một nhà cho người",
+      "ru" -> "кошка и собака не на улице что это как он быть с",
+      "ar" -> "القطة في البيت من على أن هذا إلى كان التي لا ما",
+      "hi" -> "बिल्ली घर के में है की को से का पर यह और")
+    fixtures.foreach { case (expected, text) =>
+      withClue(s"$expected: ") {
+        one[String](TextFunctions.langId(col("text")), text) shouldBe expected
+      }
+    }
+  }
+
+  "langIdScript" should "route CJK/Hangul by script and everything else to stopwords" in {
+    // CJK has no whitespace — the stopword path sees one giant token and
+    // returns 'und'; the script tier is what classifies these
+    one[String](TextFunctions.langIdScript(col("text")),
+      "数据处理系统的设计与实现非常重要") shouldBe "zh"
+    // han + kana mix is Japanese, not Chinese — kana wins
+    one[String](TextFunctions.langIdScript(col("text")),
+      "データ処理システムの設計はとても大切です") shouldBe "ja"
+    one[String](TextFunctions.langIdScript(col("text")),
+      "데이터 처리 시스템 설계가 중요합니다") shouldBe "ko"
+    // space-separated scripts keep flowing through stopwords
+    one[String](TextFunctions.langIdScript(col("text")),
+      "кошка и собака не на улице что это как он быть с") shouldBe "ru"
+    one[String](TextFunctions.langIdScript(col("text")),
+      "the cat and the dog in the house") shouldBe "en"
+    // a single ideograph inside Latin text must not flip the verdict
+    one[String](TextFunctions.langIdScript(col("text")),
+      "the word 猫 means cat and the rest of this text is english") shouldBe "en"
+  }
+
+  "scriptRatio" should "measure per-script character fractions" in {
+    one[Double](TextFunctions.scriptRatio(col("text"),
+      TextFunctions.scriptClasses("latin")), "abc де 猫") shouldBe (3.0 / 8) +- 1e-12
+    one[Double](TextFunctions.scriptRatio(col("text"),
+      TextFunctions.scriptClasses("han")), "abc де 猫") shouldBe (1.0 / 8) +- 1e-12
+    one[Double](TextFunctions.scriptRatio(col("text"),
+      TextFunctions.scriptClasses("latin")), "") shouldBe 0.0 +- 1e-12
+  }
+
   "contentFingerprint" should "be order- and duplication-invariant" in {
     val a = one[String](TextFunctions.contentFingerprint(col("text")), "b a c a")
     val b = one[String](TextFunctions.contentFingerprint(col("text")), "c b a")
