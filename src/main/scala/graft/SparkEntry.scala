@@ -604,6 +604,13 @@ object SparkEntry {
     "vector_neardup_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), threshold = 0.0)),
 
+    // Multi-probe sign-LSH: each vector also probes its lowest-margin
+    // bit-flip bucket — recall up at linear probe cost instead of the
+    // quadratic cost of coarser buckets
+    "vector_neardup_lsh_mp" -> ((s, d) =>
+      Dedup.embeddingNearDupLshMultiProbe(
+        t(s, d, "embeddings"), threshold = 0.0, nProbe = 2)),
+
     // IVF ANN: zero-shuffle cell assignment, per-cell candidate join
     "vector_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1873,6 +1880,51 @@ object SparkEntry {
          |FROM embeddings a JOIN bk ba ON a.vec_id = ba.vec_id
          |JOIN bk bb ON ba.bucket = bb.bucket
          |JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+         |WHERE $cos > 0.0""".stripMargin
+    },
+
+    // mirrors Dedup.embeddingNearDupLshMultiProbe at nProbe=2: same
+    // planes/bucket replay as vector_neardup_lsh + the lowest-|margin|
+    // bit flip per vector ((m, mask) ascending = the Spark sort key);
+    // primary × any-probe candidates, distinct pairs, IEEE-commutative
+    // cosine so both engines agree bit-for-bit
+    "vector_neardup_lsh_mp" -> {
+      val planes = Dedup.lshPlanes(64, 8, 7L)
+      val planeRows = planes.zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n  ")
+      val planeDot = "list_reduce(list_transform(range(1, 65), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(p.pl[i] AS FLOAT) AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+      val cos = cosineSql("a.embedding", "b.embedding", 64)
+      s"""WITH planes(pidx, pl) AS (VALUES
+         |  $planeRows),
+         |d AS (
+         |  SELECT e.vec_id, p.pidx, $planeDot AS d
+         |  FROM embeddings e CROSS JOIN planes p),
+         |bk AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << pidx)
+         |                  ELSE 0 END) AS BIGINT) AS b0
+         |  FROM d GROUP BY 1),
+         |fl AS (
+         |  SELECT vec_id, (CAST(1 AS BIGINT) << pidx) AS mask
+         |  FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY abs(d), (CAST(1 AS BIGINT) << pidx)) <= 1),
+         |probes AS (
+         |  SELECT vec_id, b0 AS bucket, true AS prim FROM bk
+         |  UNION ALL
+         |  SELECT f.vec_id, xor(b.b0, f.mask) AS bucket, false AS prim
+         |  FROM fl f JOIN bk b USING (vec_id)),
+         |cand AS (
+         |  SELECT DISTINCT least(l.vec_id, r.vec_id) AS id_a,
+         |    greatest(l.vec_id, r.vec_id) AS id_b
+         |  FROM probes l JOIN probes r
+         |    ON l.bucket = r.bucket AND l.prim AND l.vec_id <> r.vec_id)
+         |SELECT id_a, id_b, $cos AS cosine
+         |FROM cand JOIN embeddings a ON a.vec_id = id_a
+         |JOIN embeddings b ON b.vec_id = id_b
          |WHERE $cos > 0.0""".stripMargin
     },
 

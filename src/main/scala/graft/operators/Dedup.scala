@@ -967,6 +967,64 @@ object Dedup {
       "__bucket", threshold, vecCol, idCol, maxBucketSize)
       .withColumnRenamed("block", "bucket")
 
+  /** MULTI-PROBE sign-LSH near-dup — recall without bigger buckets: a
+    * near-identical pair can still straddle a hyperplane (one low-margin
+    * sign bit differs), and the single-probe variant's only fix is fewer
+    * planes ⇒ quadratically bigger buckets. Standard multi-probe instead
+    * ALSO probes the buckets at the vector's lowest-|margin| bit flips
+    * (margin = the dot product the sign came from — the planes the vector
+    * sits closest to, exactly the bits most likely to disagree between
+    * near-dups). Candidates are (primary bucket of one side) ×
+    * (any probe of the other): `nProbe − 1` extra slim probe rows per
+    * vector, NOT a bucket-size blow-up — probe volume scales linearly in
+    * nProbe while halving planes would square the per-bucket quadratic.
+    *
+    * Same guard story as [[embeddingNearDup]] (probes sub-split per
+    * bucket); pairs found via several probes dedupe exactly because
+    * cosine is IEEE-commutative. Output: (id_a, id_b, cosine), id_a <
+    * id_b. nProbe = 1 reduces to [[embeddingNearDupLsh]]'s pair set. */
+  def embeddingNearDupLshMultiProbe(
+      vecs: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      nProbe: Int = 2,
+      seed: Long = 7L,
+      dim: Int = 64,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nPlanes, "nProbe must be in [1, nPlanes]")
+    val planes = lshPlanes(dim, nPlanes, seed)
+    // (|margin|, bit mask) per plane, sorted ascending — the flip order
+    val cand = array_sort(array(planes.zipWithIndex.map { case (p, i) =>
+      struct(abs(V.dot(col("v"), typedLit(p))).as("m"), lit(1L << i).as("mask"))
+    }: _*))
+    val base = Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), col("v"),
+        lshBucket(col("v"), planes).as("__b0"), cand.as("__cand"))
+    val probes = base.select(col("id"), col("v"),
+      explode(concat(
+        array(struct(col("__b0").as("bucket"), lit(true).as("primary"))),
+        transform(slice(col("__cand"), 1, nProbe - 1),
+          x => struct(col("__b0").bitwiseXOR(x.getField("mask")).as("bucket"),
+            lit(false).as("primary"))))).as("pr"))
+      .select(col("id"), col("v"),
+        col("pr.bucket").as("bucket"), col("pr.primary").as("primary"))
+    val guarded = Guards.subSplit(probes, "bucket", "id", maxBucketSize)
+    val l = guarded.filter(col("primary"))
+      .select(col("bucket"), col("__sub"), col("id").as("id_l"), col("v").as("v_l"))
+    val r = guarded
+      .select(col("bucket"), col("__sub"), col("id").as("id_r"), col("v").as("v_r"))
+    l.join(r, Seq("bucket", "__sub"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        V.cosine(col("v_l"), col("v_r")).as("cosine"))
+      .filter(col("cosine") > threshold)
+      .distinct()
+  }
+
   /** Embedding near-dup pairs: cosine over pairs blocked by `blockCol`
     * (e.g. a cluster/label/LSH-bucket column) above a threshold.
     *

@@ -145,4 +145,34 @@ class AnnRecallSpec extends SparkSpec {
       lsh.diff(exhaustive) shouldBe empty // no false positives above t
     }
   }
+
+  "embeddingNearDupLshMultiProbe" should "lift recall over single-probe at linear probe cost" in {
+    import spark.implicits._
+    val t = 0.3
+    val v = emb.select(col("vec_id"), col("embedding"), lit(1).as("all"))
+    val exhaustive = Dedup.embeddingNearDup(v, "all", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def pairsAt(nProbe: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupLshMultiProbe(emb, t, nPlanes = 8, nProbe = nProbe, dim = 64)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p1 = pairsAt(1)
+    val p2 = pairsAt(2)
+    val p4 = pairsAt(4)
+    // nProbe=1 reduces exactly to the single-probe pair set
+    val single = Dedup.embeddingNearDupLsh(emb, t, nPlanes = 8, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    p1 shouldBe single
+    // probing can only widen the candidate set
+    p1.subsetOf(p2) shouldBe true
+    p2.subsetOf(p4) shouldBe true
+    if (exhaustive.nonEmpty) {
+      def recall(s: Set[(Long, Long)]) =
+        s.intersect(exhaustive).size.toDouble / exhaustive.size
+      info(f"recall nProbe=1 ${recall(p1)}%.3f, 2 ${recall(p2)}%.3f, 4 ${recall(p4)}%.3f")
+      recall(p4) should be >= recall(p1)
+      recall(p2) should be > recall(p1) // 8 planes, random 64-d: flips help
+      // every reported pair is a true pair (exact cosine inside buckets)
+      p4.diff(exhaustive) shouldBe empty
+    }
+  }
 }
