@@ -70,25 +70,37 @@ final class HttpShim(sentinel: Sentinel) {
     case _                                     => 500
   }
 
+  private val mounted = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def mount(path: String)(h: HttpExchange => Unit): Unit = {
+    mounted += path
+    server.createContext(path, (ex: HttpExchange) => safely(ex)(h))
+  }
+
+  /** Context prefixes registered at [[start]] — what the self-description
+    * must cover (spec-pinned). */
+  def mountedPrefixes: Seq[String] = mounted.toSeq
+
   /** Start on an ephemeral port; returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/runs", (ex: HttpExchange) => safely(ex)(handleRuns))
-    server.createContext("/users", (ex: HttpExchange) => safely(ex)(handleUsers))
+    mount("/runs")(handleRuns)
+    mount("/users")(handleUsers)
     // longest-prefix context match: /stats/runs wins over the /stats
     // fallback handling the per-pipeline endpoints
-    server.createContext("/stats/runs", (ex: HttpExchange) => safely(ex) { e =>
+    mount("/stats/runs") { e =>
       json(e, 200, ApiRender.renderRows(sentinel.globalRunStats()))
-    })
-    server.createContext("/stats", (ex: HttpExchange) => safely(ex)(handleStats))
-    server.createContext("/references", (ex: HttpExchange) => safely(ex) { e =>
+    }
+    mount("/stats")(handleStats)
+    mount("/references") { e =>
       handleDictionary(e, "/references",
         n => sentinel.listReferences(n), id => sentinel.getReference(id))
-    })
-    server.createContext("/annotations", (ex: HttpExchange) => safely(ex) { e =>
+    }
+    mount("/annotations") { e =>
       handleDictionary(e, "/annotations",
         n => sentinel.listAnnotations(n), id => sentinel.getAnnotation(id))
-    })
+    }
+    mount("/api-docs")(handleApiDocs)
     server.start()
     server.getAddress.getPort
   }
@@ -397,6 +409,44 @@ final class HttpShim(sentinel: Sentinel) {
     }
   }
 
+  /** Machine-readable API self-description (reference: every controller
+    * carries `SwaggerSupport` operation/param/error annotations and the
+    * app serves the spec — `api/RunsController.scala:40-67`,
+    * `api/SentinelServlet.scala`, `api/ResourceApp` wiring). Swagger-2
+    * shape: `{"swagger":"2.0","info":...,"paths":{path:{method:op}}}` with
+    * per-operation `summary`, `parameters` (name/in/required) and
+    * `responses` (status → description) drawn from the same taxonomy
+    * [[statusOf]] enforces. Public like the reference's spec route. */
+  private def handleApiDocs(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod.toUpperCase != "GET") {
+      json(ex, 405, """{"message":"method not allowed"}"""); return
+    }
+    val root = mapper.createObjectNode()
+    root.put("swagger", "2.0")
+    val info = root.putObject("info")
+    info.put("title", "Sentinel-on-Spark API")
+    info.put("version", "1")
+    val paths = root.putObject("paths")
+    HttpShim.routeDocs.foreach { r =>
+      val p = if (paths.has(r.path)) paths.get(r.path)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else paths.putObject(r.path)
+      val op = p.putObject(r.method.toLowerCase)
+      op.put("summary", r.summary)
+      op.put("security", r.auth)
+      val params = op.putArray("parameters")
+      r.params.foreach { pd =>
+        val n = params.addObject()
+        n.put("name", pd.name)
+        n.put("in", pd.in)
+        n.put("required", pd.required)
+      }
+      val resp = op.putObject("responses")
+      r.responses.foreach { case (code, desc) => resp.put(code.toString, desc) }
+    }
+    json(ex, 200, root.toString)
+  }
+
   private def parseIntParam(name: String)(v: String): Int =
     try v.toInt
     catch { case _: NumberFormatException =>
@@ -424,4 +474,79 @@ final class HttpShim(sentinel: Sentinel) {
     }
     node.toString
   }
+}
+
+object HttpShim {
+  final case class ParamDoc(name: String, in: String, required: Boolean)
+  final case class RouteDoc(
+      method: String,
+      path: String,
+      summary: String,
+      auth: String, // "key" (userId + X-Sentinel-Key), "basic", or "none"
+      params: Seq[ParamDoc],
+      responses: Map[Int, String])
+
+  private def q(name: String, required: Boolean = false) =
+    ParamDoc(name, "query", required)
+  private def p(name: String) = ParamDoc(name, "path", required = true)
+
+  /** The full route catalog — ONE entry per (method, path) the shim
+    * serves; the source of truth `/api-docs` renders and the coverage
+    * spec checks against [[HttpShim.mountedPrefixes]]. */
+  val routeDocs: Seq[RouteDoc] = Seq(
+    RouteDoc("POST", "/runs", "Upload a run summary (raw or multipart 'run' part)",
+      "key", Seq(q("userId", required = true), q("pipeline", required = true), q("fileName")),
+      Map(201 -> "created {runId}", 400 -> "bad payload / pipeline missing",
+        401 -> "bad key", 403 -> "not authorized", 409 -> "duplicate file",
+        413 -> "payload too large", 422 -> "schema violation")),
+    RouteDoc("GET", "/runs", "List the caller's runs",
+      "key", Seq(q("userId", required = true), q("pipelines")),
+      Map(200 -> "runs", 400 -> "userId missing", 401 -> "bad key")),
+    RouteDoc("GET", "/runs/{runId}", "Point-get a run (or download=true for the raw file)",
+      "key", Seq(p("runId"), q("userId", required = true), q("download"), q("showUnitsLabels")),
+      Map(200 -> "run | file bytes", 401 -> "bad key", 403 -> "not owner",
+        404 -> "unknown id", 410 -> "deleted")),
+    RouteDoc("PATCH", "/runs/{runId}", "Apply a JSON Patch to a run",
+      "key", Seq(p("runId"), q("userId", required = true)),
+      Map(200 -> "modification counts", 400 -> "malformed patch", 401 -> "bad key",
+        403 -> "not owner", 404 -> "unknown id", 410 -> "deleted",
+        422 -> "patch not applicable")),
+    RouteDoc("DELETE", "/runs/{runId}", "Soft-delete a run (cascades to units)",
+      "key", Seq(p("runId"), q("userId", required = true)),
+      Map(204 -> "deleted", 401 -> "bad key", 403 -> "not owner",
+        404 -> "unknown id", 410 -> "already deleted")),
+    RouteDoc("POST", "/users", "Self-register a user (created unverified)",
+      "none", Seq.empty,
+      Map(201 -> "created {id}", 400 -> "not JSON", 409 -> "id taken",
+        422 -> "validation errors")),
+    RouteDoc("GET", "/users/{id}", "Point-get a user (self or admin)",
+      "key", Seq(p("id"), q("userId", required = true)),
+      Map(200 -> "user", 401 -> "bad key", 403 -> "not self/admin", 404 -> "unknown id")),
+    RouteDoc("PATCH", "/users/{id}", "Patch a user (HTTP Basic, verified accounts only)",
+      "basic", Seq(p("id")),
+      Map(204 -> "patched", 400 -> "malformed patch", 401 -> "challenge",
+        403 -> "unverified account", 404 -> "unknown id", 422 -> "patch not applicable")),
+    RouteDoc("DELETE", "/users/{id}", "Delete a user (self or admin)",
+      "key", Seq(p("id"), q("userId", required = true)),
+      Map(204 -> "deleted", 401 -> "bad key", 403 -> "not self/admin", 404 -> "unknown id")),
+    RouteDoc("GET", "/stats/runs", "Global per-pipeline run/unit rollup (public)",
+      "none", Seq.empty, Map(200 -> "rollup rows")),
+    RouteDoc("GET", "/stats/{pipeline}", "Per-pipeline stats data points (public)",
+      "none", Seq(p("pipeline"), q("accLevel"), q("libType"), q("runIds"),
+        q("references"), q("annotations"), q("timeSorted"), q("nLimit")),
+      Map(200 -> "data points", 400 -> "unknown pipeline / bad enum / bad id")),
+    RouteDoc("GET", "/stats/{pipeline}/aggregate", "Descriptive stats over numeric metrics (public)",
+      "none", Seq(p("pipeline"), q("accLevel"), q("libType"), q("runIds"),
+        q("references"), q("annotations"), q("metrics")),
+      Map(200 -> "aggregates", 400 -> "unknown pipeline / bad enum / bad metric")),
+    RouteDoc("GET", "/references", "List reference records (public)",
+      "none", Seq(q("maxReturn")), Map(200 -> "references", 400 -> "bad maxReturn")),
+    RouteDoc("GET", "/references/{refId}", "Point-get a reference record (public)",
+      "none", Seq(p("refId")), Map(200 -> "reference", 404 -> "unknown id")),
+    RouteDoc("GET", "/annotations", "List annotation records (public)",
+      "none", Seq(q("maxReturn")), Map(200 -> "annotations", 400 -> "bad maxReturn")),
+    RouteDoc("GET", "/annotations/{annotId}", "Point-get an annotation record (public)",
+      "none", Seq(p("annotId")), Map(200 -> "annotation", 404 -> "unknown id")),
+    RouteDoc("GET", "/api-docs", "This machine-readable API description (public)",
+      "none", Seq.empty, Map(200 -> "swagger-2 spec")))
 }

@@ -319,6 +319,45 @@ class SentinelHttpSpec extends SparkSpec {
     req("GET", "/stats/maple/aggregate/extra").statusCode() shouldBe 404
   }
 
+  it should "serve a machine-readable self-description covering every mounted route" in {
+    port // force server start
+    val r = req("GET", "/api-docs")
+    r.statusCode() shouldBe 200
+    val spec = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    spec.get("swagger").asText() shouldBe "2.0"
+    val paths = spec.get("paths")
+    // every context prefix the server actually mounted is described by at
+    // least one documented path — docs cannot silently lag the router
+    shim.mountedPrefixes should not be empty
+    shim.mountedPrefixes.foreach { prefix =>
+      withClue(s"$prefix: ") {
+        val covered = paths.properties().iterator()
+        var hit = false
+        while (covered.hasNext && !hit) hit = covered.next().getKey.startsWith(prefix)
+        hit shouldBe true
+      }
+    }
+    // ...and every catalog entry renders with its method, params, and
+    // error taxonomy
+    HttpShim.routeDocs.foreach { rd =>
+      withClue(s"${rd.method} ${rd.path}: ") {
+        val op = paths.get(rd.path).get(rd.method.toLowerCase)
+        op should not be null
+        op.get("summary").asText() shouldBe rd.summary
+        op.get("parameters").size() shouldBe rd.params.size
+        rd.responses.keys.foreach { code =>
+          op.get("responses").has(code.toString) shouldBe true
+        }
+      }
+    }
+    // the description itself documents the documented-route invariant the
+    // other specs exercise: spot-check two status codes against reality
+    paths.get("/runs/{runId}").get("patch").get("responses").has("410") shouldBe true
+    paths.get("/users/{id}").get("patch").get("responses").has("403") shouldBe true
+    // non-GET on the docs route follows the shim's method taxonomy
+    req("POST", "/api-docs").statusCode() shouldBe 405
+  }
+
   override def afterAll(): Unit = {
     shim.stop()
     super.afterAll()
