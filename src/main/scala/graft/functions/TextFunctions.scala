@@ -40,8 +40,17 @@ object TextFunctions {
 
   /** Fraction of tokens found in `stopwords` — the classic
     * quality / language signal. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOnTokens(tokens(text), stopwords)
+
+  /** [[stopwordRatio]] over a pre-materialized token-array column. The
+    * split: `filter()` is a higher-order function — interpreted, no
+    * cross-expression CSE — so every hit-count that embeds `tokens(text)`
+    * re-tokenizes the document. Callers combining several token signals
+    * (langId's 20 tables, quality + langid in one projection) should
+    * `.as("__toks")` ONCE in their own projection and pass the attribute:
+    * CollapseProject keeps a non-cheap alias used more than once. */
+  def stopwordRatioOnTokens(toks: Column, stopwords: Seq[String]): Column = {
     val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     hits.cast("double") / greatest(size(toks), lit(1))
   }
@@ -49,10 +58,15 @@ object TextFunctions {
   /** Composite quality score in [0,1]: long-enough docs with low
     * punctuation noise and a natural stopword rate score high. Weights are
     * heuristic; the point is a single cheap codegen'd expression. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreOnTokens(text, tokens(text), stopwords)
+
+  /** [[qualityScore]] with the token array supplied (see
+    * [[stopwordRatioOnTokens]] for why callers materialize it). */
+  def qualityScoreOnTokens(text: Column, toks: Column, stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punct = punctRatio(text)
-    val stop = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
+    val stop = least(stopwordRatioOnTokens(toks, stopwords) * lit(4.0), lit(1.0))
     round(lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + stop * lit(0.3), 6)
   }
 
@@ -88,8 +102,13 @@ object TextFunctions {
   /** Language ID: argmax over per-language stopword hit counts, 'und'
     * (undetermined) when nothing matches. Deterministic tie-break by
     * language code. */
-  def langId(text: Column, tables: Map[String, Seq[String]] = langStopwords): Column = {
-    val toks = tokens(text)
+  def langId(text: Column, tables: Map[String, Seq[String]] = langStopwords): Column =
+    langIdOnTokens(tokens(text), tables)
+
+  /** [[langId]] over a pre-materialized token array — with 20 tables this
+    * is 20 interpreted `filter()` counts, so the one-tokenize discipline
+    * ([[stopwordRatioOnTokens]]) matters 20× here. */
+  def langIdOnTokens(toks: Column, tables: Map[String, Seq[String]] = langStopwords): Column = {
     // struct(-hits, lang) min ⇒ max hits, ties to alphabetically-first lang
     val scored = tables.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
@@ -131,10 +150,18 @@ object TextFunctions {
   def langIdScript(
       text: Column,
       tables: Map[String, Seq[String]] = langStopwords): Column =
+    langIdScriptOnTokens(text, tokens(text), tables)
+
+  /** [[langIdScript]] with the token array supplied (one-tokenize
+    * discipline — the stopword fallback is the 20-table scorer). */
+  def langIdScriptOnTokens(
+      text: Column,
+      toks: Column,
+      tables: Map[String, Seq[String]] = langStopwords): Column =
     when(scriptRatio(text, scriptClasses("hangul")) > 0.3, lit("ko"))
       .when(scriptRatio(text, scriptClasses("kana")) > 0.05, lit("ja"))
       .when(scriptRatio(text, scriptClasses("han")) > 0.3, lit("zh"))
-      .otherwise(langId(text, tables))
+      .otherwise(langIdOnTokens(toks, tables))
 
   /** Content fingerprint à la key-collision clustering: md5 over the
     * sorted set of lower-cased tokens. Portable (md5 is engine-agnostic)

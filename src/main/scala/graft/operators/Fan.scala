@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
   * heavily-filtered or compacted input collapses to a handful of
   * partitions and then fans out, so the guard is not a test-only hack.
   */
-private[operators] object Fan {
+private[graft] object Fan {
 
   /** Decide from logical-plan statistics, not from a materialized RDD.
     *

@@ -156,6 +156,27 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit") // rank<=k pushed as a group limit
   }
 
+  "dedup_substrings_exact" should "stay keyed end to end (census, pair join, windows)" in {
+    val plan = executed("dedup_substrings_exact")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("HashAggregate") // gram census partial-aggregates
+  }
+
+  "vector_neardup_lsh_mp" should "pair probes via the bucket equi-join, never a cartesian product" in {
+    val plan = executed("vector_neardup_lsh_mp")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "text_langid_script" should "stay a pure fan-out projection (no joins or aggregates)" in {
+    // row-local end to end; the only exchange allowed is Fan.spread's
+    // round-robin repartition unlocking cores for the 20-table scorer
+    val plan = executed("text_langid_script")
+    plan should not include "Join"
+    plan should not include "HashAggregate"
+  }
+
   "vector_pq_encode" should "assign codes inside the codegen span with no join at all" in {
     val plan = executed("vector_pq_encode")
     plan should include("graft_nearest_cell_l2")
