@@ -39,6 +39,20 @@ object SparkEntry {
 
   private val enStop = T.langStopwords("en")
 
+  /** Process-wide scratch warehouse for the persistence round-trip query,
+    * removed on JVM exit. */
+  private lazy val pqWarehouseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_wh")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+      finally s.close()
+    }))
+    dir.toString
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 OneMatchOne — scalar equality pushed to the parquet scan
@@ -917,8 +931,10 @@ object SparkEntry {
     "vector_pq_persisted" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cb = Similarity.pqTrainSeed(e, m = 8, kPerSub = 16, dim = 64)
-      val wh = new graft.store.Warehouse(s,
-        java.nio.file.Files.createTempDirectory("graft_ann_wh").toString)
+      // ONE process-wide temp warehouse, deleted on JVM exit — the query
+      // runs per bench rep / plan dump and must not leak a directory (and
+      // two write jobs' worth of files) per evaluation
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
       graft.store.AnnArtifacts.savePqCodebook(wh, "pq_main", cb)
       val loaded = graft.store.AnnArtifacts.loadPqCodebook(wh, "pq_main")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), loaded, k = 3).drop("rank")
@@ -989,7 +1005,7 @@ object SparkEntry {
         .select(
           size(filter(col("__toks"), tk => length(tk) > 0))
             .cast("long").as("ntok"),
-          md5(concat_ws(" ", array_sort(array_distinct(col("__toks"))))).as("fp"),
+          T.contentFingerprintOnTokens(col("__toks")).as("fp"),
           T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
             .cast("decimal(18,6)").as("q"),
           T.langIdOnTokens(col("__toks")).as("lang"))

@@ -167,7 +167,13 @@ object TextFunctions {
     * sorted set of lower-cased tokens. Portable (md5 is engine-agnostic)
     * and robust to token order / duplication. */
   def contentFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    contentFingerprintOnTokens(tokens(text))
+
+  /** [[contentFingerprint]] over a pre-materialized token array (the
+    * one-tokenize discipline — see [[stopwordRatioOnTokens]]); the ONE
+    * definition every fingerprint consumer must share. */
+  def contentFingerprintOnTokens(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
   /** Rolling polynomial fingerprint (Rabin–Karp family): fold
     * h ← (h·31 + code(c)) mod 1e9+7 over the document's characters.

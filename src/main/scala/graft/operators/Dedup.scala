@@ -635,9 +635,12 @@ object Dedup {
     * equi-join (repartitioned by gram, AQE-exempt), per-(pair, offset)
     * window, per-doc merge window. The pair join is quadratic per gram:
     * `maxGramDf` drops whale grams (df > cap) exactly like winnow's
-    * `maxFpDf` — those grams are boilerplate that line-dedup owns, and a
-    * repeat is still found if ANY of its covering grams survives the cap
-    * (only repeats ALL of whose grams are whales are lost). Grams travel
+    * `maxFpDf` — those grams are boilerplate that line-dedup owns. The
+    * precise recall contract: a repeat survives iff it still contains a
+    * run of ≥ minLen−gramN+1 CONSECUTIVE surviving gram positions, so an
+    * interior whale gram splits the run and can push both halves below
+    * minLen (a repeat barely over minLen with boilerplate in its middle
+    * is lost, not just trimmed). Grams travel
     * as md5 (collision odds ~2⁻¹²⁸ — the standard ExactSubstr
     * hash-not-text trick to keep the shuffle slim). */
   def repeatedSubstringSpansExact(
@@ -1010,7 +1013,10 @@ object Dedup {
             lit(false).as("primary"))))).as("pr"))
       .select(col("id"), col("v"),
         col("pr.bucket").as("bucket"), col("pr.primary").as("primary"))
-    val guarded = Guards.subSplit(probes, "bucket", "id", maxBucketSize)
+    // census over PRIMARY rows only: the split decision must not depend
+    // on nProbe, or probing more could shed pairs probing less finds
+    val guarded = Guards.subSplitBy(probes, "bucket", "id", maxBucketSize,
+      col("primary"))
     val l = guarded.filter(col("primary"))
       .select(col("bucket"), col("__sub"), col("id").as("id_l"), col("v").as("v_l"))
     val r = guarded

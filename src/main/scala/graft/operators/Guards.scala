@@ -35,13 +35,34 @@ private[operators] object Guards {
     * by the blocking contract). The big side is about to shuffle on the
     * block key anyway for the self-join.
     */
-  def subSplit(df: DataFrame, blockCol: String, idCol: String, maxSize: Int): DataFrame = {
+  def subSplit(df: DataFrame, blockCol: String, idCol: String, maxSize: Int): DataFrame =
+    subSplitBy(df, blockCol, idCol, maxSize, lit(true))
+
+  /** [[subSplit]] with the census restricted to rows matching
+    * `countFilter`. Multi-probe LSH needs this: its frame carries one
+    * PRIMARY row per resident vector plus visiting flip-probe rows, and a
+    * census over all rows would make the split point depend on nProbe —
+    * a bucket under the cap at nProbe=1 could sub-split at nProbe=2 and
+    * silently LOSE primary-primary pairs the single-probe pass finds
+    * (inverting the probing-only-widens contract). Counting primaries
+    * only keeps the split decision probe-count-invariant, and the pair
+    * work per sub-block stays bounded: ≤ maxSize census rows join
+    * ~1/nSub of the remaining rows. Blocks with no census rows (e.g.
+    * visitor-only buckets) default to one sub-block. */
+  def subSplitBy(
+      df: DataFrame,
+      blockCol: String,
+      idCol: String,
+      maxSize: Int,
+      countFilter: org.apache.spark.sql.Column): DataFrame = {
     require(maxSize > 0, "maxSize must be positive")
-    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
-    df.join(counts, Seq(blockCol))
+    val counts = df.filter(countFilter)
+      .groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+    df.join(counts, Seq(blockCol), "left")
       .withColumn("__sub",
         pmod(xxhash64(col(idCol).cast("string")),
-          greatest(lit(1L), ceil(col("__bn") / lit(maxSize.toDouble)).cast("long"))))
+          greatest(lit(1L),
+            ceil(coalesce(col("__bn"), lit(0L)) / lit(maxSize.toDouble)).cast("long"))))
       .drop("__bn")
   }
 }

@@ -213,6 +213,57 @@ object Similarity {
     * frame pass `excludeSelf = false` — otherwise a query whose id
     * happens to collide with an unrelated corpus row silently loses that
     * candidate. */
+  /** Squared L2 between a vector's s-th width-wide slice and a centroid —
+    * THE per-subspace metric every PQ consumer (ADC tables, distortion
+    * audits) must share; out-of-range positions read as 0 on both sides. */
+  private[operators] def sliceL2(
+      v: Seq[Float], s: Int, width: Int, cv: Seq[Float]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < width) {
+      val x = if (s * width + j < v.length) v(s * width + j).toDouble else 0.0
+      val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
+      d += diff * diff
+      j += 1
+    }
+    d
+  }
+
+  /** Mean PQ quantization distortion of driver-side vectors under `cb`:
+    * mean over vectors of Σ_s min_c ‖slice_s − c‖² — the objective
+    * [[pqTrainKmeans]] minimizes; the number that makes trained-vs-seed
+    * comparisons meaningful when recall is concentration-limited. */
+  def pqDistortion(vecs: Seq[Seq[Float]], cb: PqCodebook): Double = {
+    require(vecs.nonEmpty, "distortion of an empty sample")
+    vecs.map { v =>
+      cb.books.zipWithIndex.map { case (book, s) =>
+        book.map { case (_, cv) => sliceL2(v, s, cb.width, cv) }.min
+      }.sum
+    }.sum / vecs.length
+  }
+
+  /** Exact squared-L2 top-k — the ground truth the PQ tiers approximate
+    * (same broadcast-queries / corpus-never-shuffled plan as
+    * [[bruteForceTopK]], same ‖q−c‖² = q·q − 2 q·c + c·c codegen'd
+    * identity as [[pqTopKRerank]]'s re-rank). */
+  def exactTopKL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = Fan.spread(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    val d = V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("cv")) +
+      V.dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d.as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -230,15 +281,7 @@ object Similarity {
       val qv = r.getSeq[Float](1)
       cb.books.zipWithIndex.flatMap { case (book, s) =>
         book.map { case (cid, cv) =>
-          var d = 0.0
-          var j = 0
-          while (j < cb.width) {
-            val x = if (s * cb.width + j < qv.length) qv(s * cb.width + j).toDouble else 0.0
-            val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
-            d += diff * diff
-            j += 1
-          }
-          (qid, s, cid.toInt, d)
+          (qid, s, cid.toInt, sliceL2(qv, s, cb.width, cv))
         }
       }
     }

@@ -25,20 +25,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Event-time column, type-aware: a timestamp-typed `ts` passes
-    * through; an INTEGRAL `ts` is interpreted as NANOS since epoch (the
+    * through; a BIGINT `ts` is interpreted as NANOS since epoch (the
     * repo's events parquet stores TIMESTAMP(NANOS) read back as bigint).
     * A plain `cast("timestamp")` would read a bigint as SECONDS — feeding
     * the parquet table directly then yields windows thousands of years
     * out — so the nanos→micros division is explicit here instead of a
-    * trap left to every caller. */
-  private def eventTime(events: DataFrame): org.apache.spark.sql.Column =
-    events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType =>
+    * trap left to every caller. An INT `ts` keeps the seconds cast: an
+    * int cannot hold even three seconds of nanos, but int epoch-seconds
+    * are valid until 2038. */
+  private def eventTime(events: DataFrame, tsCol: String = "ts"): org.apache.spark.sql.Column =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
         // integer `div`, not `/`: float division of epoch-nanos loses
         // precision past 2^53 (any modern timestamp)
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
+        timestamp_micros(expr(s"$tsCol div 1000"))
+      case _ => col(tsCol).cast("timestamp")
     }
 
   /** Tumbling-window per-type counts with a watermark. Works on both
@@ -273,12 +274,13 @@ object EventStreams {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val winUs = windowSeconds * 1000000L
     val binUs = 2 * winUs
+    // same type-aware event time as the windowed ops: bigint ts = nanos
     val l = left.select(col("event_id").as("l_id"),
-        col("ts").cast("timestamp").as("l_ts"))
+        eventTime(left).as("l_ts"))
       .withWatermark("l_ts", watermarkDelay)
       .withColumn("__lbin", expr(s"unix_micros(l_ts) div ${binUs}L"))
     val r = right.select(col("event_id").as("r_id"),
-        col("ts").cast("timestamp").as("r_ts"))
+        eventTime(right).as("r_ts"))
       .withWatermark("r_ts", watermarkDelay)
       .withColumn("__rbin", explode(sequence(
         expr(s"(unix_micros(r_ts) - ${winUs}L) div ${binUs}L"),

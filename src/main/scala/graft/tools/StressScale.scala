@@ -217,47 +217,24 @@ object StressScale {
     // beat trained by luck); the distortion row is the robust signal, and
     // AnnRecallSpec carries the real-embedding recall comparison.
     val pqQuality: (Double, Double, Double, Double) = {
-      import org.apache.spark.sql.expressions.Window
-      val V = graft.functions.VectorFunctions
+      val Sim = graft.operators.Similarity
       val queries = emb.filter(col("vec_id") < 32)
-      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val d = V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("cv")) +
-        V.dot(col("cv"), col("cv"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("neighbor_id").asc)
-      val exact = c.join(q, col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), d.as("d"))
-        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
-        .select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      def recallOf(cb: graft.operators.Similarity.PqCodebook): Double = {
-        val got = graft.operators.Similarity
-          .pqTopKRerank(emb, queries, cb, k = 10, shortlist = 100)
-          .select("query_id", "neighbor_id").collect()
+      def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = neighbors(Sim.exactTopKL2(emb, queries, k = 10))
+      def recallOf(cb: Sim.PqCodebook): Double = {
+        val got = neighbors(Sim.pqTopKRerank(emb, queries, cb, k = 10, shortlist = 100))
         exact.map { case (qid, truth) =>
           got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
         }.sum / exact.size
       }
-      def distortionOf(cb: graft.operators.Similarity.PqCodebook): Double = {
-        val sample = emb.filter(col("vec_id") % 37 === 0)
-          .select(col("embedding")).collect().map(_.getSeq[Float](0))
-        sample.map { v =>
-          cb.books.zipWithIndex.map { case (book, s) =>
-            book.map { case (_, cv) =>
-              (0 until cb.width).map { j =>
-                val x = if (s * cb.width + j < v.length) v(s * cb.width + j).toDouble else 0.0
-                val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
-                diff * diff
-              }.sum
-            }.min
-          }.sum
-        }.sum / sample.length
-      }
-      val seedCb = graft.operators.Similarity.pqTrainSeed(emb, 8, 16, 64)
-      val trainedCb = graft.operators.Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)
+      val sample = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0)).toSeq
+      val seedCb = Sim.pqTrainSeed(emb, 8, 16, 64)
+      val trainedCb = Sim.pqTrainKmeans(emb, 8, 16, 64, iters = 2)
       (recallOf(seedCb), recallOf(trainedCb),
-        distortionOf(seedCb), distortionOf(trainedCb))
+        Sim.pqDistortion(sample, seedCb), Sim.pqDistortion(sample, trainedCb))
     }
     val qs = results.map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""

@@ -79,18 +79,7 @@ class AnnRecallSpec extends SparkSpec {
     val k = 10
     // PQ scores under L2; compare against the exact L2 ranking (cosine
     // and L2 rankings differ for unnormalized vectors)
-    val exactL2 = {
-      import org.apache.spark.sql.expressions.Window
-      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val d = graft.functions.VectorFunctions.dot(col("qv"), col("qv")) -
-        lit(2.0) * graft.functions.VectorFunctions.dot(col("qv"), col("cv")) +
-        graft.functions.VectorFunctions.dot(col("cv"), col("cv"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("neighbor_id").asc)
-      neighbors(c.join(q, col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), d.as("d"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k))
-    }
+    val exactL2 = neighbors(Similarity.exactTopKL2(emb, queries, k))
     def meanRecall(approx: Map[Long, Set[Long]]): Double =
       exactL2.map { case (q, truth) =>
         approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
@@ -100,19 +89,9 @@ class AnnRecallSpec extends SparkSpec {
     // the DIRECT training objective, deterministic at any SF: Lloyd
     // refinement must cut quantization distortion (mean Σ_s min_c
     // ‖slice_s − c‖²) vs the arbitrary first-16 seed slices
-    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0))
-    def distortion(cb: Similarity.PqCodebook): Double = vecs.map { v =>
-      cb.books.zipWithIndex.map { case (book, s) =>
-        book.map { case (_, c) =>
-          (0 until cb.width).map { j =>
-            val x = if (s * cb.width + j < v.length) v(s * cb.width + j).toDouble else 0.0
-            val diff = x - (if (j < c.length) c(j).toDouble else 0.0)
-            diff * diff
-          }.sum
-        }.min
-      }.sum
-    }.sum / vecs.length
-    val (seedDist, trainedDist) = (distortion(seedCb), distortion(trainedCb))
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val (seedDist, trainedDist) =
+      (Similarity.pqDistortion(vecs, seedCb), Similarity.pqDistortion(vecs, trainedCb))
     info(f"pq distortion: seed $seedDist%.3f, trained $trainedDist%.3f")
     trainedDist should be < seedDist
     // recall@10 downstream of distortion — noisy at this tiny SF (the

@@ -65,6 +65,22 @@ class GuardsSpec extends SparkSpec {
     fired.subsetOf(idle) shouldBe true
   }
 
+  it should "keep multi-probe LSH monotone in nProbe even when the bucket guard fires" in {
+    // 30 near-parallel vectors -> ONE sign-LSH bucket, over the cap of 8.
+    // The census counts PRIMARY rows only, so nProbe=1 and nProbe=2 make
+    // the identical split decision and probing can only add pairs
+    val vecs = (0L until 30L)
+      .map(i => (i, Seq(1f, (i % 5).toFloat / 100f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    def pairs(nProbe: Int) = Dedup.embeddingNearDupLshMultiProbe(
+      vecs, 0.5, nPlanes = 4, nProbe = nProbe, dim = 4, maxBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    p1 should not be empty
+    p1.subsetOf(p2) shouldBe true
+  }
+
   it should "keep semanticDedup bounded and conservative under a whale cell" in {
     // all 40 vectors near-identical -> one whale cell, everyone a near-dup
     val vecs = (0L until 40L)
