@@ -393,6 +393,18 @@ object SparkEntry {
         shingleN = 3, maxOverlap = 0.2)
     }),
 
+    // Fuzzy-tier decontamination: flag corpus docs near-duplicating ANY
+    // benchmark (src0) doc by banded MinHash similarity (md5 oracle tier,
+    // same k=8/bands=4 family as dedup_minhash_pairs) — catches the
+    // paraphrased leakage the exact n-gram gate misses
+    "decontaminate_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.decontaminateFuzzy(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        shingleN = 5, k = 8, bands = 4, minJaccard = 0.5)
+    }),
+
     // Corpus vocabulary: top-100 bigrams by occurrence (tokenizer / stop-
     // list construction pass); TakeOrderedAndProject, no global sort
     "vocab_topk" -> ((s, d) =>
@@ -1535,6 +1547,36 @@ object SparkEntry {
          |    AS contaminated
          |FROM csh c LEFT JOIN bsh b ON c.s = b.s
          |GROUP BY 1""".stripMargin
+    },
+
+    // mirrors Curation.decontaminateFuzzy: the minhashPairsSql machinery
+    // split corpus (source<>'src0') × benchmark (source='src0'), bench-side
+    // bucket guard, per-corpus-doc max est-jaccard (dyadic /8 => hash-exact)
+    "decontaminate_fuzzy" -> {
+      val slots = (0 until 8).map(minhashSlotSql)
+      val sig = s"[${slots.mkString(",\n  ")}]"
+      val bandKeys = (0 until 4).map { b =>
+        s"md5(concat_ws('|', '$b', sig[${2 * b + 1}], sig[${2 * b + 2}]))"
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, source, $charShingles5Sql AS sh
+         |  FROM (SELECT doc_id, source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |        FROM documents)),
+         |sig AS (SELECT id, source, $sig AS sig FROM sh),
+         |banded AS (SELECT id, source, sig, unnest($bandKeys) AS band FROM sig),
+         |bench AS (SELECT * FROM banded WHERE source = 'src0'),
+         |corp AS (SELECT * FROM banded WHERE source <> 'src0'),
+         |kept AS (SELECT band FROM bench GROUP BY band HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT c.id AS id, b.id AS bid,
+         |    CAST(len(list_filter(range(1, 9), i -> c.sig[i] = b.sig[i])) AS DOUBLE) / 8
+         |      AS ej
+         |  FROM corp c JOIN bench b ON c.band = b.band JOIN kept k ON c.band = k.band),
+         |scored AS (SELECT id, max(ej) AS mj FROM cand GROUP BY id)
+         |SELECT d.doc_id, coalesce(s.mj, 0.0) AS max_est_jaccard,
+         |  coalesce(s.mj >= 0.5, false) AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN scored s ON d.doc_id = s.id""".stripMargin
     },
 
     // mirrors Dedup.repeatedSubstringSpans: 8-gram df>=2 hits, span merge

@@ -315,6 +315,44 @@ object Curation {
           .as("contaminated"))
   }
 
+  /** Fuzzy-tier decontamination — [[decontaminate]]'s n-gram-overlap gate
+    * relaxed to MinHash/LSH near-duplicate similarity: a training doc
+    * whose estimated Jaccard against ANY benchmark doc reaches
+    * `minJaccard` is flagged. This catches paraphrased or lightly-edited
+    * benchmark leakage (reformatted whitespace, shuffled sentences,
+    * small wording drift) that exact n-gram membership misses, at the
+    * price of being a similarity gate rather than a containment gate —
+    * a short verbatim quote inside a long doc is the EXACT tier's job
+    * (low Jaccard), near-whole-document leakage is this one's.
+    *
+    * Output: (idCol, max_est_jaccard, contaminated) for EVERY corpus
+    * doc. Plan: [[Dedup.minhashLshCross]] — banded corpus×benchmark
+    * join, never corpus×corpus, benchmark-side bucket guard — then a
+    * per-doc max and a left join back to the corpus ids. At 100 TB the
+    * corpus contributes one signature scan plus slim (band, id) rows;
+    * the benchmark side broadcasts. */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleN: Int = 5,
+      k: Int = 8,
+      bands: Int = 4,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tier: Dedup.HashTier = Dedup.PortableMd5): DataFrame = {
+    val scored = Dedup.minhashLshCross(corpus, benchmark, textCol, idCol,
+        shingleN, k, bands, maxBucketSize, tier)
+      .groupBy(col("id_l").as(idCol))
+      .agg(max(col("est_jaccard")).as("__mj"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__mj"), lit(0.0)).as("max_est_jaccard"),
+        (coalesce(col("__mj"), lit(0.0)) >= minJaccard).as("contaminated"))
+  }
+
   /** Corpus n-gram vocabulary: the `topK` most frequent token n-grams with
     * their occurrence and document-frequency counts — the corpus-analysis
     * pass behind tokenizer training, stop-list construction, and the

@@ -240,6 +240,55 @@ object Dedup {
         (matches.cast("double") / k).as("est_jaccard"))
   }
 
+  /** Cross-frame MinHash/LSH near-dup scores: for each (left, right)
+    * candidate pair sharing an LSH band, the estimated Jaccard from
+    * signature agreement — [[minhashLsh]]'s machinery pointed ACROSS two
+    * frames instead of within one. Returns (id_l, id_r, est_jaccard);
+    * both frames must carry `idCol`/`textCol`.
+    *
+    * Scale shape: the banded join is left×right per band — never
+    * left×left — so a whale band on the left multiplies only against
+    * that band's right-side bucket; the guard therefore caps the RIGHT
+    * (reference) side at `maxBucketSize`, bounding the per-left-row
+    * multiplier while the left corpus never pairwise-compares with
+    * itself. With a benchmark-sized right frame its banded posting list
+    * broadcasts (AQE), and the left corpus ships only slim (band, id)
+    * rows. */
+  def minhashLshCross(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      tier: HashTier = PortableMd5): DataFrame = {
+    // both sigs have two consumers (banding, score re-attach): same
+    // eager-localCheckpoint rationale as [[minhashLsh]]
+    val sigsL = minhashSignatures(left, textCol, idCol, shingleN, k, tier)
+      .localCheckpoint()
+    val sigsR = minhashSignatures(right, textCol, idCol, shingleN, k, tier)
+      .localCheckpoint()
+    def banded(sigs: DataFrame, as: String): DataFrame = sigs.select(
+      col("id").as(as), explode(bandKeyArray(col("sig"), k, bands, tier)).as("band"))
+    val bandedR = banded(sigsR, "id_r")
+    val keptBands = bandedR.groupBy("band").agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize).select("band")
+    val cand = banded(sigsL, "id_l")
+      .join(bandedR.join(keptBands, Seq("band")), Seq("band"))
+      .select("id_l", "id_r").distinct()
+    val matches = (0 until k)
+      .map(i => when(col("sig_l").getItem(i) === col("sig_r").getItem(i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigsL.select(col("id").as("id_l"), col("sig").as("sig_l")), Seq("id_l"))
+      .join(sigsR.select(col("id").as("id_r"), col("sig").as("sig_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (matches.cast("double") / k).as("est_jaccard"))
+  }
+
   /** SimHash bucketing: docs sharing an identical nBits-bit SimHash are
     * near-dup candidates. Returns buckets with >1 member.
     *

@@ -175,6 +175,39 @@ class CurationSpec extends SparkSpec {
     extraHits.toDouble / totalShingles should be < 0.01
   }
 
+  "decontaminateFuzzy" should "flag near-duplicates of benchmark docs and keep every corpus doc in the output" in {
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim copy of the benchmark doc
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // light edit (one word changed): char-shingle Jaccard stays high
+      (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      // unrelated
+      (3L, "completely different subject matter involving spacecraft telemetry analysis")
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminateFuzzy(corpus, bench,
+        shingleN = 5, k = 8, bands = 4, minJaccard = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("max_est_jaccard"), x.getAs[Boolean]("contaminated"))).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L) // every corpus doc present
+    r(1L) shouldBe ((1.0, true)) // identical text -> identical signature
+    r(2L)._2 shouldBe true // near-dup caught despite the edit
+    r(3L) shouldBe ((0.0, false)) // no shared band, scored 0
+  }
+
+  it should "never compare corpus docs with each other (two corpus near-dups, clean benchmark)" in {
+    val bench = Seq((900L, "benchmark text about something entirely else")).toDF("doc_id", "text")
+    val dup = "repeated corpus document body that appears twice verbatim in the corpus"
+    val corpus = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
+    val r = Curation.decontaminateFuzzy(corpus, bench,
+        shingleN = 5, k = 8, bands = 4, minJaccard = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("contaminated")).toMap
+    // identical corpus twins are NOT contamination — only benchmark overlap is
+    r shouldBe Map(1L -> false, 2L -> false)
+  }
+
   "funnel" should "report NULL kept_tokens when nothing survives (oracle parity)" in {
     val docs = Seq((1L, "tiny"), (2L, "also")).toDF("doc_id", "text") // all < minChars
     val r = Curation.funnel(docs).collect()(0)
