@@ -269,6 +269,17 @@ object SparkEntry {
         .select("doc_id", "source")
     }),
 
+    // ...and the keep-BEST variant: canonical per component = the highest
+    // n_chars (ties → min id), the RefinedWeb-style keep-longest rule
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.applyClustersKeepBest(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashCandidatePairs(docs, shingleN = 5, k = 8, bands = 4)),
+        col("n_chars"))
+        .select("doc_id", "source")
+    }),
+
     // Blocked n-gram Jaccard pairs (block = source)
     "shingle_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", shingleN = 3)),
@@ -1378,6 +1389,21 @@ object SparkEntry {
     "dedup_apply" ->
       s"""$clustersCteSql,
          |losers AS (SELECT id FROM labels WHERE id <> comp)
+         |SELECT d.doc_id, d.source
+         |FROM documents d ANTI JOIN losers l ON d.doc_id = l.id""".stripMargin,
+
+    // mirrors Dedup.applyClustersKeepBest: argmax(n_chars, tie min id)
+    // per component instead of the min-id keeper
+    "dedup_keep_best" ->
+      s"""$clustersCteSql,
+         |scored AS (
+         |  SELECT l.id, l.comp, d.n_chars
+         |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+         |ranked AS (
+         |  SELECT id, row_number() OVER (
+         |    PARTITION BY comp ORDER BY n_chars DESC, id) AS rk
+         |  FROM scored),
+         |losers AS (SELECT id FROM ranked WHERE rk > 1)
          |SELECT d.doc_id, d.source
          |FROM documents d ANTI JOIN losers l ON d.doc_id = l.id""".stripMargin,
 

@@ -408,6 +408,39 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Apply near-dup clusters keeping the BEST document per component by a
+    * caller-supplied quality score (ties broken by minimum id) instead of
+    * [[applyClusters]]'s min-id keeper. Production pipelines keep the
+    * longest / highest-quality member of a near-dup cluster (RefinedWeb,
+    * Penedo et al. 2023 keeps by length) — the min-id rule is only the
+    * right default when no quality signal exists.
+    *
+    * `score` is evaluated against `docs`' columns (e.g. `col("n_chars")`
+    * or a classifier score column).
+    *
+    * Scale shape: the cluster label table is at most (clustered docs)
+    * rows — tiny next to the corpus — so the docs→labels join broadcasts
+    * and the corpus never shuffles; the argmax window runs on the slim
+    * scored label table only; the final anti-join broadcasts the loser id
+    * set exactly like [[applyClusters]]. */
+  def applyClustersKeepBest(
+      docs: DataFrame,
+      clusters: DataFrame,
+      score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col(idCol).as("id"), score.as("__score"))
+      .join(broadcast(clusters.select(col("id"), col("comp"))), Seq("id"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__score").desc, col("id"))
+    val losers = scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a candidate-pair set: near-dup PAIRS only
     * become deduplicatable once grouped into clusters (keep one doc per
     * component). Min-label propagation: every node repeatedly takes the

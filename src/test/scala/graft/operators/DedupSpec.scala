@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set(1L, 7L, 11L)
   }
 
+  "applyClustersKeepBest" should "keep the highest-scored doc per cluster, ties to min id" in {
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "b", 50L), (3L, "c", 50L), // cluster {1,2,3}: max score ties 2/3 → keep 2
+      (7L, "d", 5L), (9L, "e", 80L),                  // cluster {7,9}: keep 9
+      (11L, "f", 1L)                                  // unclustered: passes through
+    ).toDF("doc_id", "text", "n_chars")
+    val clusters = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
+    val kept = Dedup.applyClustersKeepBest(corpus, clusters, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(2L, 9L, 11L)
+    // min-id rule disagrees here — the two variants are genuinely different
+    Dedup.applyClusters(corpus, clusters)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 7L, 11L)
+  }
+
   it should "converge on a long chain (diameter > 2)" in {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val r = Dedup.connectedComponents(chain).collect()
