@@ -875,6 +875,29 @@ object SparkEntry {
     "temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(t(s, d, "documents"))),
 
+    // EXACT heavy hitters (unigram+bigram freq > N/512) via the two-pass
+    // Misra-Gries sketch-then-verify pattern: candidates from one
+    // constant-memory mergeable summary, exact counts for candidates only
+    "heavy_hitters" -> ((s, d) =>
+      graft.operators.Frequency.heavyHitters(t(s, d, "documents"), k = 512)),
+
+    // Day × day distinct-active-user overlap (the retention matrix) from
+    // KMV sketches (k smallest md5 hashes per day) — deterministic set
+    // intersection estimates HLL cannot produce; daily actives straddle
+    // k=128 so both the sketched and the exact-small branches execute
+    "kmv_overlap" -> ((s, d) =>
+      graft.operators.Frequency.kmvOverlap(
+        t(s, d, "events").select(
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+            .as("day"),
+          col("user_id")),
+        k = 128, groupCol = "day")),
+
+    // DSIR (Xie et al. 2023): importance-resample 100 raw docs toward the
+    // src0 hashed-gram profile; Gumbel top-n from md5-uniforms
+    "dsir_sample" -> ((s, d) =>
+      graft.operators.Curation.dsirSample(t(s, d, "documents"))),
+
     // Group-wise deterministic reservoir: 5 docs per source by seeded
     // md5 order (stable under retries/growth within the kept prefix);
     // WindowGroupLimit pushes the per-group cut before the sort
@@ -2328,6 +2351,116 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) / total AS natural_share,
         |  sqrt(CAST(n_tokens AS DOUBLE)) / zz AS temp_share
         |FROM per CROSS JOIN z""".stripMargin,
+
+    // mirrors Frequency.heavyHitters: the two-pass MG answer is EXACT, so
+    // the oracle is the plain GROUP BY ... HAVING count*k > N replay over
+    // the same unigram+bigram stream
+    "heavy_hitters" ->
+      s"""WITH base AS (
+         |  SELECT list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+         |grams AS (
+         |  SELECT unnest(list_concat(toks,
+         |    list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |      i -> concat(toks[i + 1], ' ', toks[i + 2])))) AS gram
+         |  FROM base),
+         |tot AS (SELECT count(*) AS n FROM grams)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+         |FROM grams GROUP BY gram
+         |HAVING count(*) * 512 > (SELECT n FROM tot)""".stripMargin,
+
+    // mirrors Frequency.kmvOverlap over daily-active-user sets: the KMV
+    // sketch is a deterministic function of the hashed id set (k smallest
+    // distinct md5Bucket(13) values), so a window-limit replay rebuilds
+    // the identical sketches and the identical estimator arithmetic
+    "kmv_overlap" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(('0x' || substr(md5('13:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS v
+        |  FROM events),
+        |rk AS (
+        |  SELECT day, v,
+        |    row_number() OVER (PARTITION BY day ORDER BY v) AS rk
+        |  FROM hv),
+        |sk AS (
+        |  SELECT day, list(v ORDER BY v) AS sk
+        |  FROM rk WHERE rk <= 128 GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.day AS group_a, b.day AS group_b, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.day < b.day),
+        |calc AS (
+        |  SELECT group_a, group_b, ska, skb,
+        |    list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 128) AS u
+        |  FROM pairs),
+        |est AS (
+        |  SELECT group_a, group_b,
+        |    u[len(u)] AS theta,
+        |    CAST(len(list_filter(list_intersect(ska, skb),
+        |      x -> x <= u[len(u)])) AS BIGINT) AS rho,
+        |    CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+        |         ELSE 127.0 * 4294967296.0 / CAST(u[len(u)] AS DOUBLE) END
+        |      AS est_union,
+        |    CAST(len(u) AS DOUBLE) AS usz
+        |  FROM calc)
+        |SELECT group_a, group_b, rho,
+        |  round(est_union, 6) AS est_distinct_union,
+        |  round(CAST(rho AS DOUBLE) / usz, 6) AS est_jaccard,
+        |  round(CAST(rho AS DOUBLE) / usz * est_union, 6) AS est_common_users
+        |FROM est""".stripMargin,
+
+    // mirrors Curation.dsirSample: md5 gram buckets, add-one-smoothed
+    // log-ratio table over all 1024 buckets, position-ordered per-doc
+    // fold (the lm_score pattern), Gumbel keys from md5-uniforms, rounded
+    // keys + doc_id tiebreak → a deterministic top-100
+    "dsir_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    list_concat(toks,
+         |      list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |        i -> concat(toks[i + 1], ' ', toks[i + 2]))) AS grams
+         |  FROM base),
+         |ex AS (
+         |  SELECT doc_id, source, unnest(grams) AS gram,
+         |    unnest(range(1, len(grams) + 1)) AS pos
+         |  FROM g),
+         |hb AS (
+         |  SELECT doc_id, source, pos,
+         |    CAST(('0x' || substr(md5('17:' || gram), 1, 8)) AS BIGINT) % 1024 AS b
+         |  FROM ex),
+         |cnt AS (
+         |  SELECT b,
+         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cq
+         |  FROM hb GROUP BY 1),
+         |tot AS (SELECT sum(cp) AS tp, sum(cq) AS tq FROM cnt),
+         |lr AS (
+         |  SELECT r.b,
+         |    ln((CAST(coalesce(c.cp, 0) AS DOUBLE) + 1.0)
+         |        / (CAST(tp AS DOUBLE) + 1024.0))
+         |  - ln((CAST(coalesce(c.cq, 0) AS DOUBLE) + 1.0)
+         |        / (CAST(tq AS DOUBLE) + 1024.0)) AS lr
+         |  FROM (SELECT unnest(range(0, 1024)) AS b) r
+         |  LEFT JOIN cnt c ON r.b = c.b CROSS JOIN tot),
+         |sc AS (
+         |  SELECT h.doc_id, h.source, list(l.lr ORDER BY h.pos) AS xs,
+         |    count(*) AS ng
+         |  FROM hb h JOIN lr l ON h.b = l.b
+         |  WHERE h.source <> 'src0' GROUP BY 1, 2),
+         |w AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(xs, (x, y) -> x + y) / CAST(ng AS DOUBLE) AS w
+         |  FROM sc),
+         |keyed AS (
+         |  SELECT doc_id, source, w,
+         |    round(w + (- ln(- ln(
+         |      (CAST(CAST(('0x' || substr(md5('19:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |         AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0))), 6) AS gkey
+         |  FROM w)
+         |SELECT doc_id, source, round(w, 6) AS dsir_w, gkey
+         |FROM keyed ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
 
     // mirrors sample_per_group: md5Bucket(11, doc_id) replayed as the
     // hex-prefix cast, doc_id tiebreak makes every rank deterministic

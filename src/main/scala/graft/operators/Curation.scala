@@ -819,4 +819,87 @@ object Curation {
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    * sample raw-corpus docs whose hashed-n-gram profile looks like a
+    * TARGET domain. The published recipe, Spark-shaped:
+    *
+    *  1. Feature space = unigrams+bigrams hashed into `buckets` buckets
+    *     (portable md5 hash, so the whole computation replays in SQL).
+    *  2. Fit two bag-of-grams distributions in ONE keyed aggregation over
+    *     one scan: p̂ from the target docs (`source = targetSource`), q̂
+    *     from the rest, both add-one smoothed. The totals derive from the
+    *     ≤`buckets`-row count table (the lmScore cu-from-cb trick), not a
+    *     second pass over the stream.
+    *  3. Per-doc importance weight w = mean over the doc's grams of
+    *     log p̂[h(g)] − log q̂[h(g)], folded in gram position order so the
+    *     double replays hash-exact (the lm_score pattern).
+    *  4. Gumbel top-n WITHOUT replacement: key = w + Gumbel(0,1) with the
+    *     Gumbel drawn from the doc-id's md5-uniform — deterministic,
+    *     seed-stable, and equivalent to softmax-weighted sampling without
+    *     replacement (Vieira 2014).
+    *
+    * Scale shape: the log-ratio table is ≤`buckets` rows and BROADCASTS
+    * to the probe join, so scoring is explode → broadcast-join → one
+    * per-doc aggregation; the only wide shuffles touch bucket counts
+    * (bounded) and per-doc rows. Docs with no grams (empty text) carry no
+    * signal and are excluded by construction.
+    *
+    * Reference surface: none (beyond-reference curation op per the
+    * brief); the sampling determinism matches the engine-portable
+    * md5-uniform contract of [[hashSample]] / [[weightedSample]].
+    */
+  def dsirSample(
+      docs: DataFrame,
+      targetSource: String = "src0",
+      buckets: Int = 1024,
+      n: Int = 100,
+      hashSeed: Long = 17L,
+      gumbelSeed: Long = 19L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val spark = docs.sparkSession
+    val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    val hb = Fan.spread(docs.select(col(idCol), col(sourceCol), col(textCol)))
+      .select(col(idCol), col(sourceCol),
+        posexplode(Frequency.gramsArray(toks)).as(Seq("pos", "gram")))
+      .select(col(idCol), col(sourceCol), col("pos"),
+        pmod(H.md5Bucket(hashSeed, col("gram")), lit(buckets.toLong)).as("b"))
+    val isTarget = col(sourceCol) === targetSource
+    val counts = hb
+      .groupBy(col("b"))
+      .agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("cp"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cq"))
+    val totals = broadcast(counts.agg(
+      sum(col("cp")).as("tp"), sum(col("cq")).as("tq")))
+    val bD = buckets.toDouble
+    val lr = broadcast(
+      spark.range(buckets).select(col("id").as("b"))
+        .join(counts, Seq("b"), "left")
+        .crossJoin(totals)
+        .select(col("b"),
+          (log((coalesce(col("cp"), lit(0L)).cast("double") + 1.0) /
+               (col("tp").cast("double") + bD)) -
+           log((coalesce(col("cq"), lit(0L)).cast("double") + 1.0) /
+               (col("tq").cast("double") + bD))).as("lr")))
+    val uniform =
+      (H.md5Bucket(gumbelSeed, col(idCol)).cast("double") + 0.5) / 4294967296.0
+    hb.filter(col(sourceCol) =!= targetSource)
+      .join(lr, Seq("b"))
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("lr")))).as("__xs"),
+        count(lit(1)).as("ng"))
+      .select(col(idCol), col(sourceCol),
+        (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("lr")) /
+          col("ng").cast("double")).as("w"))
+      .withColumn("gkey", round(col("w") + -log(-log(uniform)), 6))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col(sourceCol),
+        round(col("w"), 6).as("dsir_w"), col("gkey"))
+  }
 }

@@ -397,6 +397,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotIntDescriptor)
     ext.injectFunction(TextExpressionFunctions.nfcDescriptor)
     ext.injectFunction(SketchFunctions.hllDescriptor)
+    ext.injectFunction(FrequencyFunctions.mgDescriptor)
+    ext.injectFunction(FrequencyFunctions.kmvDescriptor)
   }
 }
 
@@ -416,7 +418,8 @@ object GraftFunctions {
     * no SQL-literal surface — DataFrame builders below only.) */
   def register(spark: SparkSession): Unit =
     Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor,
-      SketchFunctions.hllDescriptor)
+      SketchFunctions.hllDescriptor,
+      FrequencyFunctions.mgDescriptor, FrequencyFunctions.kmvDescriptor)
       .foreach { d =>
         spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
       }
