@@ -27,6 +27,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to epoch-micros BIGINT regardless of the
+    * file's physical type. The driver testdata has carried two shapes
+    * across rounds: TIMESTAMP(NANOS) (which Spark surfaces as bigint
+    * nanos) and timestamp[us] (surfaced as TIMESTAMP_NTZ). Sessions here
+    * run with spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast is
+    * epoch-exact and agrees with DuckDB's epoch_us(ts) over the same file. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val us = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("ts", us)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's global-run-stats rollup shape (A1) over lineitem. */
   def entry(spark: SparkSession): DataFrame = {
@@ -490,12 +505,12 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "label", 0.25)),
 
     // Event-time tumbling window aggregation (streaming module's batch
-    // parity). ts is read as bigint nanos (TIMESTAMP(NANOS) parquet);
-    // decimal sum keeps the oracle order-independent.
+    // parity). ts normalized to epoch-micros (see eventsUs); decimal sum
+    // keeps the oracle order-independent.
     "window_counts_hourly" -> ((s, d) =>
-      t(s, d, "events")
+      eventsUs(s, d)
         .select(
-          timestamp_micros(expr("ts div 1000")).as("tts"),
+          timestamp_micros(col("ts")).as("tts"),
           col("event_type"), col("value"))
         .groupBy(window(col("tts"), "1 hour").as("w"), col("event_type"))
         .agg(
@@ -524,20 +539,20 @@ object SparkEntry {
     // cohort = users whose step-k event falls in (t_{k-1}, t_{k-1}+24h]
     // after their step-(k-1) first event (min-ts chaining — three aggs +
     // two joins, all keyed by user_id so the exchanges line up on one
-    // partitioning). ts is nanos-as-long, so 24h = 86400e9
+    // partitioning). ts is epoch-micros (eventsUs), so 24h = 86400e6
     "event_funnel" -> ((s, d) => {
-      val stepNs = 86400L * 1000000000L
-      val e = t(s, d, "events")
+      val stepUs = 86400L * 1000000L
+      val e = eventsUs(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
       val s1 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
       val s2 = e.filter(col("event_type") === "click")
         .join(s1, Seq("user_id"))
-        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + stepNs)
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + stepUs)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
       val s3 = e.filter(col("event_type") === "purchase")
         .join(s2, Seq("user_id"))
-        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + stepNs)
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + stepUs)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       s1.agg(count(lit(1)).as("n_view"))
         .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"))))
@@ -551,9 +566,9 @@ object SparkEntry {
 
     "sessionize" -> ((s, d) => {
       import s.implicits._
-      val ev = t(s, d, "events").select(
+      val ev = eventsUs(s, d).select(
         col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        timestamp_micros(col("ts")).as("ts"),
         col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
       graft.streaming.EventStreams.sessionize(ev).toDF()
@@ -698,11 +713,9 @@ object SparkEntry {
 
     // As-of join: each purchase gets the user's most recent prior-or-equal
     // view (union + partitioned running last — one shuffle, never a range
-    // join). ts is bigint nanos (TIMESTAMP(NANOS) parquet), truncated to
-    // epoch-µs like sessionize: DuckDB reads nanos parquet at µs precision
+    // join). ts is epoch-µs (eventsUs), matching DuckDB's epoch_us(ts)
     "asof_join" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .withColumn("ts", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val views = ev.filter(col("event_type") === "view")
@@ -717,8 +730,7 @@ object SparkEntry {
     // an equi-join on bin keys, never BroadcastNestedLoop). Same epoch-µs
     // truncation as asof_join.
     "range_join_events" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .withColumn("ts", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val halfWin = 600L * 1000 * 1000 // ±10 min in micros
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
@@ -734,7 +746,7 @@ object SparkEntry {
     // error windows (±5 min) — binned equi-join on (user, bin), each pair
     // emitted once via the first-overlap-bin rule, exact post-filter
     "overlap_join_events" -> ((s, d) => {
-      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val cHalf = 600L * 1000 * 1000
       val eHalf = 300L * 1000 * 1000
       val clicks = ev.filter(col("event_type") === "click")
@@ -799,8 +811,8 @@ object SparkEntry {
     // the flagged row set matches bit-for-bit.
     "window_anomalies" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val hourly = t(s, d, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tts"), col("event_type"))
+      val hourly = eventsUs(s, d)
+        .select(timestamp_micros(col("ts")).as("tts"), col("event_type"))
         .groupBy(window(col("tts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .select(unix_timestamp(col("w.start")).as("window_start"),
@@ -887,8 +899,8 @@ object SparkEntry {
     // k=128 so both the sketched and the exact-small branches execute
     "kmv_overlap" -> ((s, d) =>
       graft.operators.Frequency.kmvOverlap(
-        t(s, d, "events").select(
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+        eventsUs(s, d).select(
+          date_format(timestamp_micros(col("ts")), "yyyy-MM-dd")
             .as("day"),
           col("user_id")),
         k = 128, groupCol = "day")),
