@@ -1013,6 +1013,23 @@ object SparkEntry {
         shortlist = 20).drop("rank")
     }),
 
+    // IVF-PQ (FAISS IVFADC): nearest-L2 coarse cells (seed anchors
+    // vec_id < 8), PQ codebook trained on the first-16 RESIDUALS, ADC
+    // restricted to each query's 2 probed cells — rows in unprobed cells
+    // never leave the scan. Seed tier, so the whole pipeline (cells,
+    // residuals, codes, ADC fold) replays in SQL.
+    "vector_ivfpq_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val res = Similarity.ivfResiduals(e, anchors)
+      val cb = Similarity.pqTrainSeed(res, m = 8, kPerSub = 16, dim = 64,
+        vecCol = "rv")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), anchors, cb,
+        k = 3, nProbe = 2).drop("rank")
+    }),
+
     // Unicode-canonical text normalization (native codegen'd NFC → lower
     // → whitespace collapse) + the dedup key it feeds
     "text_normalize" -> ((s, d) =>
@@ -1125,6 +1142,15 @@ object SparkEntry {
 
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** DuckDB replay of [[Similarity.fullL2]] / the full-width
+    * [[org.apache.spark.sql.graft.NearestCellL2F]]: ascending-index
+    * squared-L2 fold in double. */
+  private def l2Sql(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
 
   /** DuckDB replay of [[org.apache.spark.sql.graft.NearestCellL2F]]'s
     * per-slice squared L2: ascending-index fold of (v[sub*8+j] - c[j])²
@@ -2698,6 +2724,71 @@ object SparkEntry {
          |  SELECT dt.query_id, b.vec_id AS neighbor_id,
          |    list(dt.d ORDER BY dt.sub) AS ds
          |  FROM best b JOIN dt ON b.sub = dt.sub AND b.cid = dt.cid
+         |  WHERE dt.query_id <> b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(ds, (x, y) -> x + y) AS adc FROM sc)
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc, neighbor_id) <= 3""".stripMargin
+    },
+
+    // mirrors Similarity.ivfPqTopK end-to-end: nearest-L2 cell (tie by
+    // aid), float residual (double diff of floats is exact, so the FLOAT
+    // cast equals IEEE float subtraction), first-16-residual seed
+    // codebook, per-slice argmin-L2 codes, nProbe=2 probed cells, and the
+    // ascending-subspace ADC fold — each step the same arithmetic the
+    // Spark expressions run
+    "vector_ivfpq_topk" -> {
+      val asnL2 = l2Sql("e.embedding", "a.av", 64)
+      val probeL2 = l2Sql("q.qv", "a.av", 64)
+      val dist = pqL2Sql("r.rv", "d.cv", "s.sub")
+      val qdist = pqL2Sql("p.rq", "d.cv", "s.sub")
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell, a.av
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnL2, aid) = 1),
+         |res AS (
+         |  SELECT vec_id, cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) - CAST(av[i] AS DOUBLE)
+         |                AS FLOAT)) AS rv
+         |  FROM asn),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rv AS cv
+         |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |best AS (
+         |  SELECT vec_id, cell, sub, cid FROM (
+         |    SELECT r.vec_id, r.cell, s.sub, d.cid, $dist AS dist
+         |    FROM res r CROSS JOIN subs s CROSS JOIN seeds d)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY dist, cid) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT query_id, qv, aid AS cell, av FROM (
+         |    SELECT q.query_id, q.qv, a.aid, a.av,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |                         ORDER BY $probeL2, a.aid) AS rnk
+         |    FROM q CROSS JOIN a)
+         |  WHERE rnk <= 2),
+         |qres AS (
+         |  SELECT query_id, cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS DOUBLE) - CAST(av[i] AS DOUBLE)) AS rq
+         |  FROM probe),
+         |dt AS (
+         |  SELECT p.query_id, p.cell, s.sub, d.cid, $qdist AS d
+         |  FROM qres p CROSS JOIN subs s CROSS JOIN seeds d),
+         |sc AS (
+         |  SELECT dt.query_id, b.vec_id AS neighbor_id,
+         |    list(dt.d ORDER BY dt.sub) AS ds
+         |  FROM best b JOIN dt ON b.cell = dt.cell AND b.sub = dt.sub
+         |                     AND b.cid = dt.cid
          |  WHERE dt.query_id <> b.vec_id
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, adc FROM (

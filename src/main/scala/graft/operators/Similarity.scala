@@ -382,6 +382,150 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Full-width squared L2 between a driver-side vector and an anchor —
+    * ascending-index double fold, the same arithmetic the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCellL2F]] (offset 0, width dim)
+    * runs per corpus row, so driver-side probe selection and distributed
+    * cell assignment always agree. */
+  private def fullL2(v: Seq[Float], a: Seq[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = if (i < v.length) v(i).toDouble else 0.0
+      val diff = x - a(i).toDouble
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Corpus vectors with their nearest-L2 coarse cell and the FLOAT
+    * residual vector (vec − anchor[cell]) — the input both IVF-PQ stages
+    * (codebook training and encoding) share. Cell assignment is the
+    * zero-shuffle [[org.apache.spark.sql.graft.NearestCellL2F]] projection
+    * (anchors ride as codegen reference data); the residual is a
+    * broadcast join against the |anchors|-row frame plus one codegen'd
+    * `zip_with` — the corpus itself never shuffles. Float subtraction is
+    * exactly replayable cross-engine: the double difference of two floats
+    * is exact, so round-to-float equals IEEE float subtraction. */
+  def ivfResiduals(
+      corpus: DataFrame,
+      anchorSeq: Seq[(Long, Seq[Float])],
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(anchorSeq.nonEmpty, "ivfResiduals needs at least one anchor")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sorted = anchorSeq.sortBy(_._1)
+    val dim = sorted.head._2.size
+    val a = broadcast(sorted.toDF("cell", "av"))
+    Fan.spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
+          col(vecCol), sorted.map(_._1).toArray,
+          sorted.map(_._2.toArray).toArray, offset = 0, width = dim)
+          .as("cell"),
+        col(vecCol))
+      .join(a, Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("av"), (x, y) => (x - y).cast("float"))
+          .as("rv"))
+  }
+
+  /** IVF-PQ index (FAISS IVFADC, Jégou et al. 2011): every corpus vector
+    * becomes (id, coarse cell, m PQ codes of its RESIDUAL). Residual
+    * encoding is what separates IVF-PQ from flat PQ — within a cell the
+    * residuals are small and centered, so the same codebook budget buys a
+    * far finer quantization. Pure projection + broadcast join: the 100 TB
+    * corpus shrinks to cell + m small ints per row with zero shuffle. */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      anchorSeq: Seq[(Long, Seq[Float])],
+      cb: PqCodebook,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val res = ivfResiduals(corpus, anchorSeq, vecCol, idCol)
+    val codeCols = cb.books.zipWithIndex.map { case (book, s) =>
+      val sorted = book.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
+        col("rv"), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, s * cb.width, cb.width)
+        .cast("int").as(s"c$s")
+    }
+    res.select(Seq(col(idCol), col("cell")) ++ codeCols: _*)
+      .select(col(idCol), col("cell"),
+        array((0 until cb.m).map(s => col(s"c$s")): _*).as("codes"))
+  }
+
+  /** IVF-PQ top-k retrieval (IVFADC): each query probes its `nProbe`
+    * nearest coarse cells; within a probed cell the query's RESIDUAL
+    * against that cell's anchor drives an ADC table ((cell, sub, code) →
+    * partial L2², |queries|·nProbe·m·k doubles, driver-built and
+    * broadcast), and the encoded corpus is scored with one broadcast
+    * equi-join on (cell, sub, code) — rows in unprobed cells never leave
+    * the scan. This is the production ANN shape at 100 TB: the resident
+    * index is (cell, codes), query cost is data-proportional only in the
+    * probed fraction, and the one shuffle is the final per-query top-k.
+    * Ascending-subspace ADC fold (not `sum()`) keeps scores hash-exact
+    * for the oracle replay; ties break by neighbor id. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      anchorSeq: Seq[(Long, Seq[Float])],
+      cb: PqCodebook,
+      k: Int,
+      nProbe: Int = 2,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sorted = anchorSeq.sortBy(_._1)
+    val anchorById = sorted.toMap
+    val exploded = ivfPqEncode(corpus, sorted, cb, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    // driver-side ADC tables: |queries| × nProbe × m × kPerSub rows
+    val qRows = queries.select(col(idCol).cast("bigint"), col(vecCol)).collect()
+    val dtable = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val probed = sorted.map { case (aid, av) => (aid, fullL2(qv, av)) }
+        .sortBy { case (aid, d) => (d, aid) }.take(nProbe)
+      probed.flatMap { case (aid, _) =>
+        val av = anchorById(aid)
+        // query residual in DOUBLE (no float rounding: it never feeds the
+        // float-typed encoder, only the driver-side distance table)
+        val rq = qv.indices.map(i =>
+          qv(i).toDouble - (if (i < av.length) av(i).toDouble else 0.0))
+        cb.books.zipWithIndex.flatMap { case (book, s) =>
+          book.map { case (cid, cv) =>
+            var d = 0.0
+            var j = 0
+            while (j < cb.width) {
+              val x = if (s * cb.width + j < rq.length) rq(s * cb.width + j) else 0.0
+              val diff = x - (if (j < cv.length) cv(j).toDouble else 0.0)
+              d += diff * diff
+              j += 1
+            }
+            (qid, aid, s, cid.toInt, d)
+          }
+        }
+      }
+    }
+    val dt = broadcast(dtable.toDF("query_id", "cell", "sub", "code", "d"))
+    val scored = exploded.join(dt, Seq("cell", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("d")))).as("__ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("__ds"), lit(0.0), (acc, x) => acc + x("d")).as("adc"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Nearest-anchor cell id for a vector column — argmax-cosine with ties
     * to the smallest anchor id, as a PER-ROW native expression
     * ([[org.apache.spark.sql.graft.NearestCellF]]). No join, no shuffle —

@@ -169,6 +169,20 @@ object StressScale {
         graft.operators.Similarity.pqTopKRerank(
           emb, emb.filter(col("vec_id") < 32), cb, k = 10, shortlist = 100)
       },
+      // IVF-PQ (IVFADC) at corpus scale: 256-cell coarse quantizer,
+      // residual codebook, 32 queries probing 8 cells each — the scored
+      // stream is ~n/32 of the corpus' code rows, everything else is
+      // projections + broadcast joins
+      timeNoop("ivfpq_topk") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val res = graft.operators.Similarity.ivfResiduals(emb, anchors)
+        val cb = graft.operators.Similarity.pqTrainSeed(
+          res, m = 8, kPerSub = 16, dim = 64, vecCol = "rv")
+        graft.operators.Similarity.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 32), anchors, cb, k = 10, nProbe = 8)
+      },
       timeNoop("semantic_dedup") {
         val anchors = emb.filter(col("vec_id") < 256)
           .select(col("vec_id"), col("embedding")).collect().toSeq

@@ -109,6 +109,36 @@ class AnnRecallSpec extends SparkSpec {
       Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)
   }
 
+  "ivfPqTopK" should "hold an L2 recall floor and not collapse when probing wider" in {
+    import org.apache.spark.sql.DataFrame
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = neighbors(Similarity.exactTopKL2(emb, queries, k))
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val res = Similarity.ivfResiduals(emb, anchors)
+    val cb = Similarity.pqTrainSeed(res, m = 8, kPerSub = 16, dim = 64, vecCol = "rv")
+    def recallAt(df: DataFrame): Double = {
+      val approx = neighbors(df)
+      exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+    }
+    val r1 = recallAt(Similarity.ivfPqTopK(emb, queries, anchors, cb, k, nProbe = 1))
+    val r2 = recallAt(Similarity.ivfPqTopK(emb, queries, anchors, cb, k, nProbe = 2))
+    val r4 = recallAt(Similarity.ivfPqTopK(emb, queries, anchors, cb, k, nProbe = 4))
+    info(f"ivfpq recall@10: nProbe=1 $r1%.3f, 2 $r2%.3f, 4 $r4%.3f")
+    // near-random 64-d embeddings are the worst case for any coarse+PQ
+    // stack (see the flat-PQ floor above); residual coding must still
+    // beat noise, and widening the probe must not collapse recall (top-k
+    // over a candidate superset can shuffle individual neighbors, so
+    // strict monotonicity is NOT guaranteed — a small slack is)
+    withClue(f"nProbe=1 recall $r1%.3f: ") { r1 should be >= 0.1 }
+    r2 should be >= r1 - 0.1
+    r4 should be >= r2 - 0.1
+  }
+
   "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
     import spark.implicits._
     val t = 0.3

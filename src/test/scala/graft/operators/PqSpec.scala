@@ -141,4 +141,59 @@ class PqSpec extends SparkSpec {
       rrMean should be >= mean
     }
   }
+
+  behavior of "IVF-PQ"
+
+  it should "assign cells and float residuals exactly like the naive reference" in {
+    val rnd = new Random(23)
+    val dim = 8
+    val vecs = (1L to 60L).map(id => (id, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val anchors = vecs.take(3).map { case (id, v) => (id - 1, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfResiduals(df, anchors)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Float](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val (cell, _) = anchors.map { case (aid, av) =>
+        val d = av.indices.map(j => (v(j).toDouble - av(j).toDouble)).map(x => x * x).sum
+        (aid, d)
+      }.minBy { case (aid, d) => (d, aid) }
+      val expectedRv = v.zip(anchors.find(_._1 == cell).get._2).map { case (x, a) => x - a }
+      val (gotCell, gotRv) = got(id)
+      withClue(s"vec $id: ") {
+        gotCell shouldBe cell
+        gotRv shouldBe expectedRv
+      }
+    }
+  }
+
+  it should "retrieve with IVFADC restricted to probed cells, deterministically" in {
+    val rnd = new Random(29)
+    val dim = 16
+    val vecs = (1L to 120L).map(id => (id, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val anchors = vecs.take(4).map { case (id, v) => (id - 1, v) }
+    val res = Similarity.ivfResiduals(df, anchors)
+    val cb = Similarity.pqTrainSeed(res, m = 4, kPerSub = 8, dim = dim, vecCol = "rv")
+    val queries = df.filter(col("vec_id") <= 3)
+    val r1 = Similarity.ivfPqTopK(df, queries, anchors, cb, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val r2 = Similarity.ivfPqTopK(df, queries, anchors, cb, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    r1.toSeq.sorted shouldBe r2.toSeq.sorted
+    // every query returns exactly k ranked rows, self excluded
+    val byQ = r1.groupBy(_._1)
+    byQ.keySet shouldBe Set(1L, 2L, 3L)
+    byQ.values.foreach { rows =>
+      rows.length shouldBe 5
+      rows.map(_._4).sorted shouldBe (1 to 5)
+      rows.foreach { case (q, n, _, _) => n should not be q }
+    }
+    // candidates come only from probed cells: with nProbe = all cells the
+    // candidate pool is the whole corpus, so the result ranks >= as many
+    // true L2 neighbors (structural sanity, exactness is the oracle's job)
+    val all = Similarity.ivfPqTopK(df, queries, anchors, cb, k = 5,
+      nProbe = anchors.size)
+    all.groupBy(col("query_id")).count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
+  }
 }
