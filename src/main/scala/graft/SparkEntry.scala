@@ -893,6 +893,13 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(t(s, d, "documents"), k = 512)),
 
+    // Count-min point estimates next to the exact heavy-hitter counts:
+    // one pass folds the gram stream into a 4×1024 counter block (shuffle
+    // moves 32 KiB blocks, never the stream); md5Bucket double hashing
+    // makes sketch contents and min-over-rows estimates SQL-replayable
+    "cms_heavy_hitters" -> ((s, d) =>
+      graft.operators.Frequency.cmsHeavyHitters(t(s, d, "documents"), k = 512)),
+
     // Day × day distinct-active-user overlap (the retention matrix) from
     // KMV sketches (k smallest md5 hashes per day) — deterministic set
     // intersection estimates HLL cannot produce; daily actives straddle
@@ -2405,6 +2412,41 @@ object SparkEntry {
          |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
          |FROM grams GROUP BY gram
          |HAVING count(*) * 512 > (SELECT n FROM tot)""".stripMargin,
+
+    // mirrors Frequency.cmsHeavyHitters: rebuild the 4×1024 count-min
+    // counter table from the same gram stream (row i probes
+    // (h1 + i·h2) mod 1024 with the md5Bucket('1'/'2') hash pair), then
+    // each exact heavy hitter's estimate is the min over its 4 probed
+    // counters — integer-only arithmetic end to end
+    "cms_heavy_hitters" ->
+      s"""WITH base AS (
+         |  SELECT list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+         |grams AS (
+         |  SELECT unnest(list_concat(toks,
+         |    list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |      i -> concat(toks[i + 1], ' ', toks[i + 2])))) AS gram
+         |  FROM base),
+         |tot AS (SELECT count(*) AS n FROM grams),
+         |gh AS (
+         |  SELECT gram,
+         |    CAST(('0x' || substr(md5('1:' || gram), 1, 8)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5('2:' || gram), 1, 8)) AS BIGINT) AS h2
+         |  FROM (SELECT DISTINCT gram FROM grams)),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS i),
+         |counters AS (
+         |  SELECT r.i, (g.h1 + r.i * g.h2) % 1024 AS idx,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM grams gr JOIN gh g USING (gram) CROSS JOIN rows_ r
+         |  GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM grams GROUP BY gram
+         |  HAVING count(*) * 512 > (SELECT n FROM tot))
+         |SELECT hh.gram, hh.n_occ, min(c.c) AS n_est
+         |FROM hh JOIN gh g USING (gram)
+         |CROSS JOIN rows_ r
+         |JOIN counters c ON c.i = r.i AND c.idx = (g.h1 + r.i * g.h2) % 1024
+         |GROUP BY 1, 2""".stripMargin,
 
     // mirrors Frequency.kmvOverlap over daily-active-user sets: the KMV
     // sketch is a deterministic function of the hashed id set (k smallest

@@ -119,4 +119,37 @@ object Frequency {
         round(col("rho").cast("double") / size(col("u")).cast("double") *
           col("est_union"), 6).as("est_common_users"))
   }
+
+  /** Heavy hitters with count-min point estimates alongside the exact
+    * counts ([[org.apache.spark.sql.graft.CmsSketchAgg]], Cormode &
+    * Muthukrishnan 2005): ONE pass folds the unigram+bigram stream into a
+    * depth×width counter block (the shuffle moves 32 KiB blocks, never
+    * the stream), candidates come from the same exact two-pass
+    * [[heavyHitters]], and each candidate is probed against the broadcast
+    * 1-row sketch frame. `n_est >= n_occ` always (CMS overestimates,
+    * never under) with err ≤ εN, ε ≈ e/width — the constant-memory
+    * answer for "how often does ANY key occur" when the vocabulary is
+    * too large to count exactly. Portable md5Bucket double hashing, so
+    * sketch contents and estimates replay in plain SQL. */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      k: Int = 512,
+      depth: Int = 4,
+      width: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.SketchFunctions
+    def h1(c: Column) = H.md5Bucket(1L, c)
+    def h2(c: Column) = H.md5Bucket(2L, c)
+    val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    val grams = Fan.spread(docs.select(col(textCol)))
+      .select(explode(gramsArray(toks)).as("gram"))
+    val sketch = broadcast(grams.agg(
+      SketchFunctions.cmsSketch(h1(col("gram")), h2(col("gram")),
+        depth, width).as("__sk")))
+    heavyHitters(docs, k, textCol)
+      .crossJoin(sketch)
+      .select(col("gram"), col("n_occ"),
+        SketchFunctions.cmsEstimate(col("__sk"),
+          h1(col("gram")), h2(col("gram"))).as("n_est"))
+  }
 }

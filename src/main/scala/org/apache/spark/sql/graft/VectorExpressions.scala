@@ -397,6 +397,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotIntDescriptor)
     ext.injectFunction(TextExpressionFunctions.nfcDescriptor)
     ext.injectFunction(SketchFunctions.hllDescriptor)
+    ext.injectFunction(SketchFunctions.cmsDescriptor)
+    ext.injectFunction(SketchFunctions.cmsEstimateDescriptor)
     ext.injectFunction(FrequencyFunctions.mgDescriptor)
     ext.injectFunction(FrequencyFunctions.kmvDescriptor)
   }
@@ -419,6 +421,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor,
       SketchFunctions.hllDescriptor,
+      SketchFunctions.cmsDescriptor, SketchFunctions.cmsEstimateDescriptor,
       FrequencyFunctions.mgDescriptor, FrequencyFunctions.kmvDescriptor)
       .foreach { d =>
         spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)

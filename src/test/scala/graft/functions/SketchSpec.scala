@@ -80,4 +80,66 @@ class SketchSpec extends SparkSpec {
         when(col("v").isNotNull, xxhash64(col("v")))))
       .collect()(0).getLong(0) shouldBe 3L
   }
+
+  behavior of "CmsSketchAgg"
+
+  // Zipf-ish stream: key k appears ~N/k times — a realistic frequency
+  // skew with known exact counts
+  private def cmsStream(parts: Int) = {
+    val rows = (1L to 50L).flatMap(k => Seq.fill((500 / k).toInt)(k))
+    rows.toDF("k").repartition(parts)
+      .select(col("k"),
+        graft.functions.HashFunctions.md5Bucket(1L, col("k")).as("h1"),
+        graft.functions.HashFunctions.md5Bucket(2L, col("k")).as("h2"))
+  }
+
+  private def cmsEstimates(parts: Int, width: Int = 1024): Map[Long, Long] = {
+    val sk = cmsStream(parts)
+      .agg(SketchFunctions.cmsSketch(col("h1"), col("h2"), 4, width).as("sk"))
+    cmsStream(1).select(col("k"), col("h1"), col("h2")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("k"),
+        SketchFunctions.cmsEstimate(col("sk"), col("h1"), col("h2")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  it should "never underestimate, and be exact at a comfortable width" in {
+    val exact = (1L to 50L).map(k => k -> (500 / k)).toMap
+    val est = cmsEstimates(parts = 8)
+    exact.foreach { case (k, n) =>
+      withClue(s"key $k exact=$n est=${est(k)}: ") {
+        est(k) should be >= n.toLong // overestimate-only guarantee
+        // 50 distinct keys in 4x1024 counters: collisions are rare enough
+        // that the estimate should be exact for almost every key
+        est(k) should be <= n.toLong + 50L
+      }
+    }
+  }
+
+  it should "degrade to bounded overestimates when the width is squeezed" in {
+    val exact = (1L to 50L).map(k => k -> (500 / k)).toMap
+    val n = exact.values.sum // stream length
+    val est = cmsEstimates(parts = 4, width = 16)
+    // err <= eps*N with eps = e/width, here over a 4-row min — allow the
+    // full single-row bound
+    exact.foreach { case (k, cnt) =>
+      est(k) should be >= cnt.toLong
+      est(k) should be <= cnt.toLong + (math.E / 16.0 * n * 4).toLong
+    }
+  }
+
+  it should "be invariant to partitioning (merge is elementwise add)" in {
+    cmsEstimates(1) shouldBe cmsEstimates(32)
+  }
+
+  it should "register in SQL and agree with the DataFrame surface" in {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    cmsStream(4).createOrReplaceTempView("__cms_in")
+    val viaSql = spark.sql(
+      """SELECT k, graft_cms_estimate(sk, h1, h2) AS est
+        |FROM (SELECT DISTINCT k, h1, h2 FROM __cms_in)
+        |CROSS JOIN (SELECT graft_cms_sketch(h1, h2) AS sk FROM __cms_in)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSql shouldBe cmsEstimates(4)
+  }
 }
