@@ -1055,6 +1055,22 @@ object SparkEntry {
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
     }),
 
+    // PageRank centrality over the kNN graph in EXACT ppm-integer
+    // arithmetic (3 iterations, damping 85/100, truncating divisions) —
+    // deterministic semantics with no FP fold to pin, so the chained
+    // iteration replays as SQL CTEs. Scores documents by how central
+    // they sit in the semantic-neighbor graph.
+    "pagerank_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.pageRank(
+        edges, e.select(col("vec_id").as("id")), iters = 3)
+    }),
+
     // Semantic-cluster topic labels: nearest-cell assignment (same seed
     // anchors as semantic_dedup) × documents join → per-cell top-5 terms
     // by tf·idf-over-cells
@@ -2865,6 +2881,46 @@ object SparkEntry {
          |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
+    },
+
+    // mirrors Graphs.pageRank over the knn_graph edge set: the ranks are
+    // ppm integers with truncating division, so three chained CTE
+    // iterations reproduce the exact bits (no FP summation order anywhere)
+    "pagerank_knn" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      def iter(i: Int): String =
+        s"""s$i AS (
+           |  SELECT e.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+           |  FROM edges e JOIN outd o USING (src)
+           |  JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.id,
+           |    CAST(150000 + (85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id)""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |         FROM edges GROUP BY 1),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, r AS rank_ppm FROM r3""".stripMargin
     },
 
     // mirrors Curation.splitAssign: md5Bucket cut at the exact integer
