@@ -883,6 +883,12 @@ object SparkEntry {
     "vocab_coverage" -> ((s, d) =>
       graft.operators.Curation.vocabCoverage(t(s, d, "documents"))),
 
+    // Cumulative vocabulary-growth curve (Heaps-law report): running
+    // token and distinct-term totals in doc-id order — banded two-pass
+    // prefix sums, a term counted at its min-doc_id first occurrence
+    "vocab_growth" -> ((s, d) =>
+      graft.operators.Curation.vocabGrowth(t(s, d, "documents"))),
+
     // α=0.5 temperature-resampling weights per source (√tokens / Σ√tokens)
     "temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(t(s, d, "documents"))),
@@ -1034,6 +1040,27 @@ object SparkEntry {
       val cb = Similarity.pqTrainSeed(res, m = 8, kPerSub = 16, dim = 64,
         vecCol = "rv")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), anchors, cb,
+        k = 3, nProbe = 2).drop("rank")
+    }),
+
+    // ...and the same retrieval with BOTH artifacts (coarse anchors +
+    // residual codebook) saved to the Warehouse and loaded back — the
+    // production wiring (train once, persist, every retrieval job loads).
+    // Oracle-identical to vector_ivfpq_topk, which is the point.
+    "vector_ivfpq_persisted" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val res = Similarity.ivfResiduals(e, anchors)
+      val cb = Similarity.pqTrainSeed(res, m = 8, kPerSub = 16, dim = 64,
+        vecCol = "rv")
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      graft.store.AnnArtifacts.saveAnchors(wh, "ivfpq_anchors", anchors)
+      graft.store.AnnArtifacts.savePqCodebook(wh, "ivfpq_codebook", cb)
+      val la = graft.store.AnnArtifacts.loadAnchors(wh, "ivfpq_anchors")
+      val lcb = graft.store.AnnArtifacts.loadPqCodebook(wh, "ivfpq_codebook")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), la, lcb,
         k = 3, nProbe = 2).drop("rank")
     }),
 
@@ -1298,7 +1325,10 @@ object SparkEntry {
     // vector_pq_persisted retrieves with a saved-then-loaded codebook; a
     // correct round-trip is bit-identical to the in-memory tier, so it
     // replays the SAME SQL as vector_pq_topk
-    ("vector_pq_persisted" -> oracleSqlBase("vector_pq_topk"))
+    ("vector_pq_persisted" -> oracleSqlBase("vector_pq_topk")) +
+    // same contract for the IVF-PQ pair of artifacts (anchors + residual
+    // codebook): persisted-then-loaded must reproduce the in-memory bits
+    ("vector_ivfpq_persisted" -> oracleSqlBase("vector_ivfpq_topk"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->
@@ -2390,6 +2420,29 @@ object SparkEntry {
          |    / count(*) AS oov_rate
          |FROM tok LEFT JOIN vocab ON tok = vtok
          |GROUP BY 1""".stripMargin,
+
+    // mirrors Curation.vocabGrowth: per-doc token counts, each term
+    // credited to its min-doc_id first occurrence, two integer running
+    // sums in doc-id order — exact arithmetic end to end
+    "vocab_growth" ->
+      s"""WITH pd AS (SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |tr AS (SELECT doc_id, unnest(list_filter($toksSql, t -> t <> ''))
+         |         AS term
+         |       FROM documents),
+         |fs AS (SELECT term, min(doc_id) AS first_doc FROM tr GROUP BY 1),
+         |nd AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT)
+         |         AS new_terms
+         |       FROM fs GROUP BY 1)
+         |SELECT p.doc_id, p.n_tokens,
+         |  coalesce(nd.new_terms, 0) AS new_terms,
+         |  CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(coalesce(nd.new_terms, 0)) OVER (ORDER BY p.doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM pd p LEFT JOIN nd USING (doc_id)""".stripMargin,
 
     // mirrors Curation.temperatureMix: exact integer token counts, sqrt
     // (correctly-rounded IEEE), normalizer folded over sources in sorted

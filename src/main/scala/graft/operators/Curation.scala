@@ -902,4 +902,60 @@ object Curation {
       .select(col(idCol), col(sourceCol),
         round(col("w"), 6).as("dsir_w"), col("gkey"))
   }
+
+  /** Cumulative vocabulary-growth curve (the Heaps-law report): for every
+    * document in id order, the running token total and the running
+    * DISTINCT-term total V(n) — the curve that tells a corpus run whether
+    * its vocabulary is still growing (fresh content) or saturating
+    * (duplication / template text), and what a tokenizer's vocab budget
+    * buys at each corpus size.
+    *
+    * Shape: per-doc token counts are a row-local projection (no explode);
+    * the distinct-term side explodes ONCE into a (term → min doc_id)
+    * keyed agg — a term contributes to the curve exactly at its first
+    * document — then collapses to one slim row per first-seen doc. The
+    * two running sums use the same two-pass banded prefix pattern as
+    * [[packSequences]] (per-band partitioned windows + broadcast band
+    * offsets): no global single-partition window at any corpus size.
+    * Integer sums only, so the whole curve replays exactly in SQL. */
+  def vocabGrowth(
+      docs: DataFrame,
+      docsPerBand: Long = 10000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(docsPerBand > 0, "positive band size")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    val firstSeen = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col("term")).agg(min(col(idCol)).as("__fd"))
+    val newPerDoc = firstSeen.groupBy(col("__fd"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumnRenamed("__fd", idCol)
+    val base = docs.select(col(idCol),
+        size(toks).cast("bigint").as("n_tokens"))
+      .join(newPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("__band", floor(col(idCol) / docsPerBand).cast("long"))
+      .localCheckpoint() // pass 1's collect + pass 2 share the blocks
+    val totals = base.groupBy(col("__band"))
+      .agg(sum(col("n_tokens")).as("t"), sum(col("new_terms")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accT = 0L
+    var accV = 0L
+    val offsets = totals.map { case (b, tSum, vSum) =>
+      val row = (b, accT, accV); accT += tSum; accV += vSum; row
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__band", "__offT", "__offV")
+    val w = Window.partitionBy(col("__band")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsetsDf), Seq("__band"))
+      .select(col(idCol), col("n_tokens"), col("new_terms"),
+        (sum(col("n_tokens")).over(w) + col("__offT")).as("cum_tokens"),
+        (sum(col("new_terms")).over(w) + col("__offV")).as("cum_vocab"))
+  }
 }

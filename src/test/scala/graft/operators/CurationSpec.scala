@@ -393,4 +393,42 @@ class CurationSpec extends SparkSpec {
     val nHits = out.map(x => x.getLong(0) -> x.getLong(1)).toMap
     nHits(1L) shouldBe 2L
   }
+
+  behavior of "vocabGrowth"
+
+  it should "track the exact cumulative token and distinct-term curve" in {
+    val docs = Seq(
+      (1L, "a b a"),        // 3 toks, vocab {a, b}   -> 2 new
+      (2L, "b c"),          // 2 toks, c new          -> 1 new
+      (3L, ""),             // 0 toks                 -> 0 new
+      (4L, "c d d a"),      // 4 toks, d new          -> 1 new
+      (5L, "e")             // 1 tok, e new           -> 1 new
+    ).toDF("doc_id", "text")
+    val got = Curation.vocabGrowth(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    got shouldBe Map(
+      1L -> ((3L, 2L, 3L, 2L)),
+      2L -> ((2L, 1L, 5L, 3L)),
+      3L -> ((0L, 0L, 5L, 3L)),
+      4L -> ((4L, 1L, 9L, 4L)),
+      5L -> ((1L, 1L, 10L, 5L)))
+  }
+
+  it should "produce the same curve across band sizes (banded == global window)" in {
+    val docs = (1L to 200L)
+      .map(i => (i, s"tok${i % 37} tok${i % 11} tok${(i * 7) % 53}"))
+      .toDF("doc_id", "text").repartition(8)
+    def run(band: Long) = Curation.vocabGrowth(docs, docsPerBand = band)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val global = run(1000000L) // one band = plain global window
+    run(10L) shouldBe global
+    run(7L) shouldBe global
+    // the curve ends at the exact totals
+    global(200L)._1 shouldBe 600L
+    global(200L)._2 shouldBe (
+      (1L to 200L).flatMap(i =>
+        Seq(s"tok${i % 37}", s"tok${i % 11}", s"tok${(i * 7) % 53}")).distinct.size.toLong)
+  }
 }

@@ -38,6 +38,25 @@ class AnnArtifactsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  it should "retrieve identically through a persisted IVF-PQ artifact pair" in {
+    val wh = freshWh
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val res = Similarity.ivfResiduals(emb, anchors)
+    val cb = Similarity.pqTrainSeed(res, m = 4, kPerSub = 8, dim = 16, vecCol = "rv")
+    AnnArtifacts.saveAnchors(wh, "ipq_a", anchors)
+    AnnArtifacts.savePqCodebook(wh, "ipq_cb", cb)
+    val la = AnnArtifacts.loadAnchors(wh, "ipq_a")
+    val lcb = AnnArtifacts.loadPqCodebook(wh, "ipq_cb")
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = Similarity.ivfPqTopK(emb, queries, anchors, cb, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc").collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqTopK(emb, queries, la, lcb, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc").collect().map(_.toSeq).toSet
+    b shouldBe a
+  }
+
   "anchor persistence" should "round-trip an IVF anchor set" in {
     val wh = freshWh
     val anchors = Similarity.kmeansAnchors(emb, k = 4, iters = 2, vecCol = "embedding")
