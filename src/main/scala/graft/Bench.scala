@@ -51,6 +51,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftOptimizations.install(spark)
 
     def esc(s: String): String =
       s.flatMap {

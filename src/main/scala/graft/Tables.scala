@@ -38,6 +38,9 @@ object Tables {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the HOF→native rewrite is on wherever this library runs (the
+    // extension path does the same at session build)
+    org.apache.spark.sql.graft.GraftOptimizations.install(s)
     s
   }
 

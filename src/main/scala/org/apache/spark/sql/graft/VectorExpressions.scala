@@ -401,6 +401,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.cmsEstimateDescriptor)
     ext.injectFunction(FrequencyFunctions.mgDescriptor)
     ext.injectFunction(FrequencyFunctions.kmvDescriptor)
+    ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }
 
