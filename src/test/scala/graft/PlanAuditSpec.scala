@@ -266,6 +266,48 @@ class PlanAuditSpec extends SparkSpec {
     executed("sample_per_group") should include("WindowGroupLimit")
   }
 
+  "vector_ivfpq_topk" should "score through broadcast joins with map-side agg partials, per-group limit pushed" in {
+    val plan = executed("vector_ivfpq_topk")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "SortMergeJoin"
+    // the ADC fold partial-aggregates before the one keyed exchange, and
+    // the top-k cut is pushed as a partial per-group limit
+    plan should include("ObjectHashAggregate")
+    plan should include("WindowGroupLimit")
+  }
+
+  "pagerank_knn" should "iterate with keyed equi-joins over the checkpointed edge frame" in {
+    val plan = executed("pagerank_knn")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // edges come from the eager localCheckpoint, not a re-run of the kNN
+    // self-join — the scan side of each iteration is the materialized RDD
+    plan should include("Scan ExistingRDD")
+  }
+
+  "cms_heavy_hitters" should "probe a broadcast sketch and broadcast the bounded candidate set" in {
+    val plan = executed("cms_heavy_hitters")
+    plan should include("BroadcastHashJoin")
+    plan should include("graft_cms")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  "vocab_growth" should "run both prefix sums in one band-partitioned window over the checkpointed base" in {
+    val plan = executed("vocab_growth")
+    // the first-seen agg + join happen before the eager localCheckpoint,
+    // so the final plan reads the materialized blocks
+    plan should include("Scan ExistingRDD")
+    // banded two-pass prefix sum: both running sums ride ONE window
+    // partitioned by __band (the whole-suite audit below proves no
+    // global window anywhere)
+    plan should include("windowspecdefinition(__band")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
