@@ -11,6 +11,8 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional comma-separated query filter (matches graft.Verify's third arg)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +43,8 @@ def eq(a, b):
 
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
+    if ONLY is not None and name not in ONLY:
+        continue
     try:
         mine = con.sql(f"SELECT * FROM '{OUT_DIR}/{name}/*.parquet'")
         mtypes = dict(zip(mine.columns, (str(t) for t in mine.types)))
