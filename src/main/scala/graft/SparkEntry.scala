@@ -1043,6 +1043,22 @@ object SparkEntry {
         k = 3, nProbe = 2).drop("rank")
     }),
 
+    // The trained IVF-PQ tier: Lloyd-refined coarse anchors (L2
+    // assignment — the metric PQ consumes) and a Lloyd-refined RESIDUAL
+    // codebook. Both trainings are iterative Spark jobs ⇒ rows-only
+    // check (the vector_ivf_kmeans / vector_pq_kmeans contract);
+    // AnnRecallSpec pins recall against the seed tier.
+    "vector_ivfpq_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = Similarity.kmeansAnchors(e, k = 8, iters = 2,
+        l2Assign = true)
+      val res = Similarity.ivfResiduals(e, anchors)
+      val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
+        iters = 2, vecCol = "rv")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), anchors, cb,
+        k = 3, nProbe = 2).drop("rank")
+    }),
+
     // ...and the same retrieval with BOTH artifacts (coarse anchors +
     // residual codebook) saved to the Warehouse and loaded back — the
     // production wiring (train once, persist, every retrieval job loads).

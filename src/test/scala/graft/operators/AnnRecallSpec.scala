@@ -137,6 +137,17 @@ class AnnRecallSpec extends SparkSpec {
     withClue(f"nProbe=1 recall $r1%.3f: ") { r1 should be >= 0.1 }
     r2 should be >= r1 - 0.1
     r4 should be >= r2 - 0.1
+
+    // trained tier: Lloyd coarse anchors (L2) + Lloyd residual codebook.
+    // Recall must not collapse vs the seed tier (near-random data keeps
+    // both concentration-limited — same slack as the flat-PQ comparison)
+    val ta = Similarity.kmeansAnchors(emb, k = 4, iters = 2, l2Assign = true)
+    val tres = Similarity.ivfResiduals(emb, ta)
+    val tcb = Similarity.pqTrainKmeans(tres, m = 8, kPerSub = 16, dim = 64,
+      iters = 2, vecCol = "rv")
+    val rt = recallAt(Similarity.ivfPqTopK(emb, queries, ta, tcb, k, nProbe = 2))
+    info(f"ivfpq trained recall@10: nProbe=2 $rt%.3f (seed $r2%.3f)")
+    rt should be >= r2 - 0.15
   }
 
   "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
