@@ -893,6 +893,26 @@ object SparkEntry {
     "temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(t(s, d, "documents"))),
 
+    // Version-to-version corpus diff keyed by the normalized-text
+    // fingerprint: added/removed/kept doc + token mass between two crawl
+    // versions (simulated here as two doc_id-hash slices of the corpus)
+    "corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.corpusDiff(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0))
+    }),
+
+    // Term-frequency spectrum (count-of-counts / Zipf report): for each
+    // occurrence count, how many distinct terms carry it
+    "freq_spectrum" -> ((s, d) =>
+      graft.operators.Reports.freqSpectrum(t(s, d, "documents"))),
+
+    // Per-source quality stratification: ntile-10 buckets by
+    // (quality desc, doc_id), per-bucket docs/tokens/decimal-exact mean
+    "quality_deciles" -> ((s, d) =>
+      graft.operators.Reports.qualityDeciles(t(s, d, "documents"))),
+
     // EXACT heavy hitters (unigram+bigram freq > N/512) via the two-pass
     // Misra-Gries sketch-then-verify pattern: candidates from one
     // constant-memory mergeable summary, exact counts for candidates only
@@ -2436,6 +2456,64 @@ object SparkEntry {
          |    / count(*) AS oov_rate
          |FROM tok LEFT JOIN vocab ON tok = vtok
          |GROUP BY 1""".stripMargin,
+
+    // mirrors Reports.corpusDiff over the two doc_id-hash corpus slices:
+    // same normalized-text fingerprint as text_normalize, min token
+    // count per fp, full-outer join, integer masses
+    "corpus_diff" -> {
+      val fp = "md5(trim(regexp_replace(lower(nfc_normalize(text)), " +
+        "'\\s+', ' ', 'g')))"
+      s"""WITH keyed_o AS (
+         |  SELECT $fp AS fp,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS nt
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |o AS (SELECT fp, min(nt) AS o_tok FROM keyed_o GROUP BY 1),
+         |keyed_n AS (
+         |  SELECT $fp AS fp,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS nt
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |n AS (SELECT fp, min(nt) AS n_tok FROM keyed_n GROUP BY 1)
+         |SELECT
+         |  CASE WHEN o_tok IS NULL THEN 'added'
+         |       WHEN n_tok IS NULL THEN 'removed'
+         |       ELSE 'kept' END AS status,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(n_tok, o_tok)) AS BIGINT) AS n_tokens
+         |FROM o FULL OUTER JOIN n USING (fp)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // mirrors Reports.freqSpectrum: term counts, then counts-of-counts
+    "freq_spectrum" ->
+      s"""WITH tr AS (
+         |  SELECT unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+         |       FROM tr GROUP BY 1)
+         |SELECT f, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(f * count(*) AS BIGINT) AS token_mass
+         |FROM tf GROUP BY f""".stripMargin,
+
+    // mirrors Reports.qualityDeciles: identical quality expression as
+    // text_quality_langid, source-partitioned ntile over the tie-broken
+    // order, corpus_report's decimal-sum mean contract
+    "quality_deciles" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, $qualitySql AS quality,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS nt
+         |  FROM documents),
+         |b AS (
+         |  SELECT source,
+         |    ntile(10) OVER (PARTITION BY source
+         |                    ORDER BY quality DESC, doc_id) AS bucket,
+         |    quality, nt
+         |  FROM scored)
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS mean_quality
+         |FROM b GROUP BY 1, 2""".stripMargin,
 
     // mirrors Curation.vocabGrowth: per-doc token counts, each term
     // credited to its min-doc_id first occurrence, two integer running

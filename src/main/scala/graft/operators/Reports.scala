@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-level analysis reports — the rollups an operator of a corpus
+  * pipeline reads between runs (what changed, what the token
+  * distribution looks like, where the quality mass sits). All exact
+  * integer/decimal arithmetic so every report replays in plain SQL.
+  */
+object Reports {
+
+  /** Version-to-version corpus diff keyed by the normalized-text
+    * fingerprint ([[T.normalizeText]] md5 — same key as exact dedup, so
+    * a reformatted-but-identical doc counts as kept): per status
+    * (`added`, `removed`, `kept`) the document and token mass. The
+    * between-crawls questions — how much is new, how much churned —
+    * answered in one full-outer join of two slim (fp, n_tokens)
+    * aggregates; the full corpora shuffle once each, keyed by fp.
+    * Duplicate fingerprints within a version collapse to one row
+    * (min-doc-count semantics would double-count reformatted dups). */
+  def corpusDiff(
+      oldCorpus: DataFrame,
+      newCorpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def keyed(df: DataFrame) = Fan.spread(df.select(col(textCol)))
+      .select(md5(T.normalizeText(col(textCol))).as("fp"),
+        size(filter(T.tokens(col(textCol)), t => length(t) > 0))
+          .cast("bigint").as("n_tokens"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("n_tokens")).as("n_tokens"))
+    val o = keyed(oldCorpus).select(col("fp"), col("n_tokens").as("o_tok"))
+    val n = keyed(newCorpus).select(col("fp"), col("n_tokens").as("n_tok"))
+    o.join(n, Seq("fp"), "full_outer")
+      .select(
+        when(col("o_tok").isNull, "added")
+          .when(col("n_tok").isNull, "removed")
+          .otherwise("kept").as("status"),
+        coalesce(col("n_tok"), col("o_tok")).as("toks"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
+
+  /** Term-frequency spectrum (the Zipf / count-of-counts report): for
+    * each occurrence count f, how many distinct terms occur exactly f
+    * times, and the token mass they carry. The curve that diagnoses
+    * boilerplate (fat head), OCR noise (fat f=1 tail), and what a
+    * min-frequency vocab cut discards. Two keyed aggs — term counts,
+    * then counts-of-counts — all integers. */
+  def freqSpectrum(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    Fan.spread(docs.select(col(textCol)))
+      .select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_terms"),
+        (col("f") * count(lit(1))).as("token_mass"))
+  }
+
+  /** Per-source quality stratification: each source's documents cut into
+    * `n` quantile buckets by (quality, doc_id) — the tie-broken total
+    * order both engines replay — with per-bucket size, token mass, and
+    * decimal-exact mean quality. Where each domain's quality mass sits
+    * before choosing a filter threshold or mixture weight. The `ntile`
+    * window is PARTITIONED by source (the whole-suite plan audit bans
+    * unpartitioned windows — one skewed source is still bounded by that
+    * source's row count, the same contract as sessionize's per-user
+    * sort). */
+  def qualityDeciles(
+      docs: DataFrame,
+      n: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val enStop = T.langStopwords("en")
+    val scored = Fan.spread(docs.select(col(idCol), col(sourceCol), col(textCol)))
+      .select(col(idCol), col(sourceCol),
+        T.qualityScore(col(textCol), enStop).as("quality"),
+        size(filter(T.tokens(col(textCol)), t => length(t) > 0))
+          .cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    scored
+      .withColumn("bucket", ntile(n).over(w).cast("bigint"))
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // the corpus_report mean-quality contract: decimal sum (order-
+        // blind exact), ONE double division — identical IEEE expression
+        // in both engines
+        (sum(col("quality").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "corpusDiff"
+
+  it should "classify added/removed/kept by normalized fingerprint" in {
+    val old = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon"),
+      (3L, "unchanged text here")
+    ).toDF("doc_id", "text")
+    val now = Seq(
+      (10L, "  Alpha   beta GAMMA "), // reformatted ⇒ same normalized fp ⇒ kept
+      (11L, "unchanged text here"),   // kept verbatim
+      (12L, "brand new document"),    // added
+      (13L, "brand new document")     // in-version dup collapses to one fp
+    ).toDF("doc_id", "text")
+    val got = Reports.corpusDiff(old, now)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got("kept") shouldBe ((2L, 6L))    // alpha-beta-gamma (3) + unchanged (3)
+    got("removed") shouldBe ((1L, 2L)) // delta epsilon
+    got("added") shouldBe ((1L, 3L))   // brand new document, dup collapsed
+  }
+
+  behavior of "freqSpectrum"
+
+  it should "count terms per occurrence count with their token mass" in {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "b d")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1 → f=3: 2 terms (mass 6); f=1: 2 terms (mass 2)
+    val got = Reports.freqSpectrum(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe Map(3L -> ((2L, 6L)), 1L -> ((2L, 2L)))
+  }
+
+  behavior of "qualityDeciles"
+
+  it should "cut each source into balanced tie-broken buckets with exact masses" in {
+    val docs = (1L to 40L).map { i =>
+      (i, s"src${i % 2}",
+        ("the and with that " * ((i % 5).toInt + 1)).trim + s" filler$i")
+    }.toDF("doc_id", "source", "text")
+    val got = Reports.qualityDeciles(docs, n = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 20 docs per source over 4 buckets → 5 docs each (ntile balance)
+    got.keys.map(_._1).toSet shouldBe Set("src0", "src1")
+    got.values.foreach(_._1 shouldBe 5L)
+    // quality is non-increasing down the buckets within a source
+    for (src <- Seq("src0", "src1"); b <- 1L to 3L) {
+      got((src, b))._3 should be >= got((src, b + 1))._3
+    }
+    // token mass adds up to the per-source total
+    val totalToks = got.collect { case ((s, _), (_, t, _)) if s == "src0" => t }.sum
+    totalToks should be > 0L
+  }
+}
