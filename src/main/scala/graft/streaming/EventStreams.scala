@@ -83,6 +83,40 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("approx_users"))
 
+  /** Per-window count-min sketch of the user stream
+    * ([[org.apache.spark.sql.graft.CmsSketchAgg]] under a watermark):
+    * each event-time window folds its user ids into one depth×width
+    * counter block — the shuffle and the state store carry 32 KiB blocks
+    * per window, never per-user counts — and the emitted sketch answers
+    * "how often did user X appear in window W" for ANY user after the
+    * fact via [[org.apache.spark.sql.graft.SketchFunctions.cmsEstimate]]
+    * (overestimate-only). The streaming twin of the batch
+    * `cms_heavy_hitters` pass, same merge laws, so batch parity is exact
+    * (spec'd). */
+  def windowedUserSketch(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    events
+      .withColumn("ts", eventTime(events))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      // isNotNull guards: md5Bucket hashes a null id as the bare "seed:"
+      // string (concat_ws drops nulls), so unguarded composition would
+      // count null users under one phantom key; a null hash makes the
+      // aggregate skip the row instead
+      .agg(org.apache.spark.sql.graft.SketchFunctions.cmsSketch(
+          when(col("user_id").isNotNull, H.md5Bucket(1L, col("user_id"))),
+          when(col("user_id").isNotNull, H.md5Bucket(2L, col("user_id"))),
+          depth, width).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_sketch"),
+        col("n_events"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(

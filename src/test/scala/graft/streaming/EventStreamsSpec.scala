@@ -93,6 +93,54 @@ class EventStreamsSpec extends SparkSpec {
     batch shouldBe Map("click" -> 60L)
   }
 
+  "windowedUserSketch" should "accumulate a probe-able CMS across micro-batches, batch-identical" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.SketchFunctions
+    import graft.functions.{HashFunctions => H}
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sketch = EventStreams.windowedUserSketch(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 hour")
+    val q = sketch.writeStream.format("memory")
+      .queryName("win_sketch").outputMode("complete").start()
+    try {
+      // user 7 appears 3 times across two micro-batches, user 8 once
+      stream.addData(
+        (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0),
+        (3L, ts("2024-01-01 10:15:00"), 8L, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        (4L, ts("2024-01-01 10:40:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val row = spark.table("win_sketch").collect()
+      row.length shouldBe 1
+      row(0).getLong(2) shouldBe 4L // n_events
+      // probe the emitted sketch for per-user counts
+      val est = spark.table("win_sketch")
+        .select(explode(typedLit(Seq(7L, 8L, 999L))).as("u"),
+          col("user_sketch"))
+        .select(col("u"), SketchFunctions.cmsEstimate(col("user_sketch"),
+          H.md5Bucket(1L, col("u")), H.md5Bucket(2L, col("u"))).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      est(7L) shouldBe 3L
+      est(8L) shouldBe 1L
+      est(999L) shouldBe 0L // absent user: all four probed counters empty
+
+      // batch parity: same rows, same sketch bytes (elementwise-add merge
+      // is order-blind)
+      val batchBytes = EventStreams.windowedUserSketch(
+        Seq(
+          (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+          (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0),
+          (3L, ts("2024-01-01 10:15:00"), 8L, "click", 1.0),
+          (4L, ts("2024-01-01 10:40:00"), 7L, "click", 1.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"), "1 hour")
+        .collect()(0).getAs[Array[Byte]]("user_sketch")
+      row(0).getAs[Array[Byte]]("user_sketch") shouldBe batchBytes
+    } finally q.stop()
+  }
+
   "intervalJoinStreams" should "pair events within the time window on streams" in {
     implicit val sqlCtx = spark.sqlContext
     val lhs = MemoryStream[(Long, Timestamp)]
