@@ -143,11 +143,26 @@ object Frequency {
     val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
     val grams = Fan.spread(docs.select(col(textCol)))
       .select(explode(gramsArray(toks)).as("gram"))
-    val sketch = broadcast(grams.agg(
+    // the CMS rides the SAME aggregation job as the MG candidate pass
+    // (both are mergeable, so one scan folds both summaries) — the whole
+    // op costs the two scans [[heavyHitters]] already costs, not three.
+    // The 1-row summary is eagerly checkpointed: its two consumers (the
+    // candidate explode feeding the recount, the sketch probe at the
+    // end) must not each re-run the corpus aggregation, and the 32 KiB
+    // sketch must NOT ride the recount shuffle as a group key.
+    val summary = grams.agg(
+      FrequencyFunctions.mgCandidates(col("gram"), k).as("cand"),
+      count(lit(1)).as("n"),
       SketchFunctions.cmsSketch(h1(col("gram")), h2(col("gram")),
-        depth, width).as("__sk")))
-    heavyHitters(docs, k, textCol)
-      .crossJoin(sketch)
+        depth, width).as("__sk"))
+      .localCheckpoint()
+    val cand = summary.select(explode(col("cand")).as("gram"), col("n"))
+    grams
+      .join(broadcast(cand), Seq("gram"))
+      .groupBy(col("gram"), col("n"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * lit(k.toLong) > col("n"))
+      .crossJoin(broadcast(summary.select(col("__sk"))))
       .select(col("gram"), col("n_occ"),
         SketchFunctions.cmsEstimate(col("__sk"),
           h1(col("gram")), h2(col("gram"))).as("n_est"))

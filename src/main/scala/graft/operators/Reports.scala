@@ -31,7 +31,7 @@ object Reports {
         size(filter(T.tokens(col(textCol)), t => length(t) > 0))
           .cast("bigint").as("n_tokens"))
       .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n"), min(col("n_tokens")).as("n_tokens"))
+      .agg(min(col("n_tokens")).as("n_tokens"))
     val o = keyed(oldCorpus).select(col("fp"), col("n_tokens").as("o_tok"))
     val n = keyed(newCorpus).select(col("fp"), col("n_tokens").as("n_tok"))
     o.join(n, Seq("fp"), "full_outer")

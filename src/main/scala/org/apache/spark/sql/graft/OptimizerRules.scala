@@ -35,8 +35,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 
+  // containsNull must be FALSE: zip_with's lambda nulls the product for a
+  // null ELEMENT and the fold then returns null, while DotProductF reads
+  // the slot as 0.0 — rewriting a nullable-element array would change
+  // results. (The size guard below only covers length null-padding.)
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -58,11 +62,16 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
           ZipWith(l, r,
             LambdaFunction(Multiply(DoubleOf(x), DoubleOf(y), _),
               Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
-          Literal(0.0, DoubleType),
+          Literal(zero: Double, DoubleType),
           LambdaFunction(Add(a1: NamedLambdaVariable, a2: NamedLambdaVariable, _),
             Seq(m1: NamedLambdaVariable, m2: NamedLambdaVariable), _),
           finish)
-        if isFloatArray(l) && isFloatArray(r) &&
+        // raw-bits +0.0 only: -0.0 == 0.0 under pattern equality, but an
+        // empty-array fold seeded with -0.0 returns -0.0 while the native
+        // loop returns +0.0 — a bit-level divergence this codebase's
+        // hash-exact contract cannot absorb
+        if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+          isFloatArray(l) && isFloatArray(r) &&
           l.deterministic && r.deterministic &&
           x.exprId == xv.exprId && y.exprId == yv.exprId &&
           ((a1.exprId == m1.exprId && a2.exprId == m2.exprId) ||

@@ -58,6 +58,22 @@ class OptimizerRulesSpec extends SparkSpec {
     viaRule shouldBe viaNative
   }
 
+  it should "leave nullable-element arrays alone (null product poisons the fold; the native loop would read 0.0)" in {
+    GraftOptimizations.install(spark)
+    // when(...) makes the transform lambda nullable ⇒ containsNull=true
+    val nullable = spark.range(1, 4).select(
+      col("id"),
+      transform(sequence(lit(1), lit(3)),
+        i => when(i =!= 2, (i.cast("double") * col("id")).cast("float")))
+        .as("a"),
+      transform(sequence(lit(1), lit(3)),
+        i => (i.cast("double") + col("id")).cast("float")).as("b"))
+    val q = nullable.select(col("id"), expr(hofDot).as("d"))
+    q.queryExecution.optimizedPlan.toString should not include "graft_dot"
+    // and the un-rewritten semantics hold: every row's fold nulls out
+    q.collect().foreach(r => r.isNullAt(1) shouldBe true)
+  }
+
   it should "leave the float-multiply variant alone (different rounding)" in {
     GraftOptimizations.install(spark)
     val q = df.select(
