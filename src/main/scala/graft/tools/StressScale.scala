@@ -203,6 +203,34 @@ object StressScale {
         Dedup.winnowPairs(docs, k = 5, w = 4, minShared = 8, maxFpDf = 200)),
       timeNoop("quality_classifier")(
         graft.operators.Quality.linearClassifier(docs)),
+      // CMS heavy hitters: the fused summary pass (MG + CMS in one job)
+      // + the bounded-candidate recount — two corpus scans total
+      timeNoop("cms_heavy_hitters")(
+        graft.operators.Frequency.cmsHeavyHitters(docs, k = 512)),
+      // PageRank over the 200k-vector kNN graph: 3 iterations over ~1M
+      // edges after the one-time checkpoint of the edge frame
+      timeNoop("pagerank_knn") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val edges = graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        graft.operators.Graphs.pageRank(edges,
+          emb.select(col("vec_id").as("id")), iters = 3)
+      },
+      // vocab growth: one explode + first-seen agg + banded prefix sums
+      timeNoop("vocab_growth")(
+        graft.operators.Curation.vocabGrowth(docs)),
+      // the corpus reports: diff (two keyed aggs + full-outer), spectrum
+      // (two keyed aggs), per-source deciles (partitioned ntile)
+      timeNoop("corpus_diff")(
+        graft.operators.Reports.corpusDiff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0))),
+      timeNoop("freq_spectrum")(
+        graft.operators.Reports.freqSpectrum(docs)),
+      timeNoop("quality_deciles")(
+        graft.operators.Reports.qualityDeciles(docs)),
       timeNoop("vocab_coverage")(Curation.vocabCoverage(docs)),
       // bloom decontamination: benchmark = 1/20 of the corpus; the corpus
       // side must stay shuffle-free at any n
