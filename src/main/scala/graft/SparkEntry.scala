@@ -1118,6 +1118,18 @@ object SparkEntry {
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
     }),
 
+    // Hard-negative mining: per-vector top-3 same-cell neighbors below
+    // the near-dup band (cosine < 0.25 — informative negatives, not
+    // duplicates), ranked after the exclusion
+    "hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Similarity.hardNegatives(e, anchors, k = 3, dupThreshold = 0.25)
+        .drop("rank")
+    }),
+
     // PageRank centrality over the kNN graph in EXACT ppm-integer
     // arithmetic (3 iterations, damping 85/100, truncating divisions) —
     // deterministic semantics with no FP fold to pin, so the chained
@@ -3026,6 +3038,27 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn)
          |SELECT q.query_id, c.neighbor_id, $cos AS cosine
          |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
+    },
+
+    // mirrors Similarity.hardNegatives: the knn_graph candidate replay
+    // with the dup-band exclusion BEFORE the per-query window
+    "hard_negatives" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn)
+         |SELECT q.query_id, c.neighbor_id, $cos AS cosine
+         |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |WHERE $cos < 0.25
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
     },

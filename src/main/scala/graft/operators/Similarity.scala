@@ -95,6 +95,29 @@ object Similarity {
     * cell actually exceeds the cap; past it, a vector in a whale cell
     * sees ~1/nSub of its cell-mates as candidates (graceful recall
     * degradation instead of an unbounded task). */
+  /** Cell-blocked scored neighbor pairs — the shared candidate stage of
+    * [[knnGraph]] and [[hardNegatives]]: every (query, same-cell
+    * neighbor) pair with its rounded cosine, guarded by the subSplit
+    * whale cap. */
+  private def cellScoredPairs(
+      corpus: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      vecCol: String,
+      idCol: String,
+      maxCellSize: Int): DataFrame = {
+    val assigned = Guards.subSplit(
+      Fan.spread(corpus.select(col(idCol), col(vecCol)))
+        .select(col(idCol).as("id"), cellOf(anchors, col(vecCol)).as("cell"),
+          col(vecCol).as("v")),
+      "cell", "id", maxCellSize)
+    val l = assigned.select(col("cell"), col("__sub"), col("id").as("query_id"), col("v").as("qv"))
+    val r = assigned.select(col("cell"), col("__sub"), col("id").as("neighbor_id"), col("v").as("cv"))
+    l.join(r, Seq("cell", "__sub"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+  }
+
   def knnGraph(
       corpus: DataFrame,
       anchors: Seq[(Long, Seq[Float])],
@@ -103,17 +126,32 @@ object Similarity {
       idCol: String = "vec_id",
       maxCellSize: Int = 100000): DataFrame = {
     require(k > 0, "k must be positive")
-    val assigned = Guards.subSplit(
-      Fan.spread(corpus.select(col(idCol), col(vecCol)))
-        .select(col(idCol).as("id"), cellOf(anchors, col(vecCol)).as("cell"),
-          col(vecCol).as("v")),
-      "cell", "id", maxCellSize)
-    val l = assigned.select(col("cell"), col("__sub"), col("id").as("query_id"), col("v").as("qv"))
-    val r = assigned.select(col("cell"), col("__sub"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val scored = l.join(r, Seq("cell", "__sub"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val scored = cellScoredPairs(corpus, anchors, vecCol, idCol, maxCellSize)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training: each vector's top-k
+    * most-similar same-cell neighbors EXCLUDING near-duplicates — the
+    * pairs similar enough to be informative negatives but below the
+    * duplicate band (cosine < `dupThreshold`), ranked AFTER the
+    * exclusion so every query still gets k usable negatives when its
+    * cell allows. Same cell-blocked candidate stage (and whale guard) as
+    * [[knnGraph]]; the exclusion is a filter on the scored edge itself,
+    * not an extra join — the near-dup verdict IS the cosine the edge
+    * already carries. */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      k: Int,
+      dupThreshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = cellScoredPairs(corpus, anchors, vecCol, idCol, maxCellSize)
+      .filter(col("cosine") < dupThreshold)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -150,6 +150,27 @@ class AnnRecallSpec extends SparkSpec {
     rt should be >= r2 - 0.15
   }
 
+  "hardNegatives" should "exclude the dup band, rank after exclusion, and reduce to knnGraph when vacuous" in {
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val hn = Similarity.hardNegatives(emb, anchors, k = 5, dupThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    hn should not be empty
+    // no returned negative sits in the duplicate band
+    hn.foreach { case (_, _, cos, _) => cos should be < 0.2 }
+    // ranks are contiguous from 1 after the exclusion
+    hn.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._4).sorted shouldBe (1 to rows.length)
+    }
+    // a vacuous threshold reduces exactly to the kNN graph
+    val vac = Similarity.hardNegatives(emb, anchors, k = 5, dupThreshold = 2.0)
+      .collect().map(_.toSeq).toSet
+    val g = Similarity.knnGraph(emb, anchors, k = 5)
+      .collect().map(_.toSeq).toSet
+    vac shouldBe g
+  }
+
   "embeddingNearDupLsh" should "recover most high-cosine pairs found by exhaustive search" in {
     import spark.implicits._
     val t = 0.3
