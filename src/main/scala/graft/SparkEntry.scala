@@ -1118,6 +1118,15 @@ object SparkEntry {
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
     }),
 
+    // Train/val/test leakage report: MinHash near-dup pairs (same
+    // md5-tier parameters as dedup_minhash_pairs, est_jaccard >= 0.5)
+    // tallied by the split pair split_assign's hash cut lands them in
+    "split_leakage" -> ((s, d) =>
+      graft.operators.Reports.splitLeakage(
+        t(s, d, "documents"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        minJaccard = 0.5, shingleN = 5, k = 8, bands = 4)),
+
     // Hard-negative mining: per-vector top-3 same-cell neighbors below
     // the near-dup band (cosine < 0.25 — informative negatives, not
     // duplicates), ranked after the exclusion
@@ -1376,7 +1385,20 @@ object SparkEntry {
     ("vector_pq_persisted" -> oracleSqlBase("vector_pq_topk")) +
     // same contract for the IVF-PQ pair of artifacts (anchors + residual
     // codebook): persisted-then-loaded must reproduce the in-memory bits
-    ("vector_ivfpq_persisted" -> oracleSqlBase("vector_ivfpq_topk"))
+    ("vector_ivfpq_persisted" -> oracleSqlBase("vector_ivfpq_topk")) +
+    // composes the two replays it is built from: the md5-tier MinHash
+    // pair SQL and the split_assign hash cut, joined as derived tables
+    ("split_leakage" ->
+      s"""SELECT least(sa.split, sb.split) AS split_a,
+         |       greatest(sa.split, sb.split) AS split_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+         |         AS cross_split
+         |FROM (${oracleSqlBase("dedup_minhash_pairs")}) p
+         |JOIN (${oracleSqlBase("split_assign")}) sa ON p.id_a = sa.doc_id
+         |JOIN (${oracleSqlBase("split_assign")}) sb ON p.id_b = sb.doc_id
+         |WHERE p.est_jaccard >= 0.5
+         |GROUP BY 1, 2""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->

@@ -62,6 +62,38 @@ object Reports {
         (col("f") * count(lit(1))).as("token_mass"))
   }
 
+  /** Train/val/test leakage report: near-duplicate pairs (MinHash/LSH,
+    * est_jaccard >= `minJaccard`) tallied by the split pair they land in
+    * — the eval-hygiene check that a random document split silently
+    * fails (near-dups of training docs sitting in test inflate eval).
+    * Splits come from [[Curation.splitAssign]]'s deterministic hash cut,
+    * so the report is a pure function of the corpus. Output one row per
+    * unordered split pair: (split_a <= split_b, n_pairs, cross_split).
+    * Cost = the LSH pair pass (banded, whale-guarded, never all-pairs)
+    * plus two broadcast-sized split joins on the slim pair frame. */
+  def splitLeakage(
+      docs: DataFrame,
+      splits: Seq[(String, Double)],
+      minJaccard: Double = 0.5,
+      shingleN: Int = 5,
+      k: Int = 16,
+      bands: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands)
+      .filter(col("est_jaccard") >= minJaccard)
+    val s = Curation.splitAssign(docs, splits, idCol = idCol)
+      .select(col(idCol), col("split"))
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", col("split_a") =!= col("split_b"))
+  }
+
   /** Per-source quality stratification: each source's documents cut into
     * `n` quantile buckets by (quality, doc_id) — the tie-broken total
     * order both engines replay — with per-bucket size, token mass, and

@@ -39,6 +39,35 @@ class ReportsSpec extends SparkSpec {
     got shouldBe Map(3L -> ((2L, 6L)), 1L -> ((2L, 2L)))
   }
 
+  behavior of "splitLeakage"
+
+  it should "tally thresholded near-dup pairs by split pair, flagging cross-split rows" in {
+    // 30 docs in 10 near-dup triplets: identical text within a triplet
+    // (est_jaccard = 1.0); each triplet uses its own single letter, so
+    // the CHARACTER shingle sets are fully disjoint across triplets
+    val docs = (0L until 30L).map { i =>
+      val c = ('a' + (i / 3).toInt).toChar.toString
+      (i, s"$c$c$c $c$c $c$c$c$c $c $c$c$c")
+    }.toDF("doc_id", "text")
+    val out = Reports.splitLeakage(docs,
+      Seq(("train", 0.5), ("test", 0.5)), minJaccard = 0.5,
+      shingleN = 3, k = 8, bands = 4)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // every triplet contributes 3 pairs; totals conserved across buckets
+    out.values.map(_._1).sum shouldBe 30L
+    out.foreach { case ((a, b), (_, cross)) =>
+      cross shouldBe (a != b)
+      a should be <= b
+    }
+    // a single split captures every pair with no cross-split rows
+    val one = Reports.splitLeakage(docs, Seq(("all", 1.0)), minJaccard = 0.5,
+      shingleN = 3, k = 8, bands = 4).collect()
+    one.length shouldBe 1
+    one(0).getLong(2) shouldBe 30L
+    one(0).getBoolean(3) shouldBe false
+  }
+
   behavior of "qualityDeciles"
 
   it should "cut each source into balanced tie-broken buckets with exact masses" in {
