@@ -1118,6 +1118,15 @@ object SparkEntry {
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
     }),
 
+    // C4-style blocklist gate: token-occurrence and phrase tiers over a
+    // fixed banned list (here drawn from the synthetic vocabulary), pass
+    // verdict — row-local, zero shuffle
+    "blocklist_gate" -> ((s, d) =>
+      graft.operators.Quality.blocklistGate(
+        t(s, d, "documents"),
+        terms = Seq("merge", "window"),
+        phrases = Seq("fast table"))),
+
     // Train/val/test leakage report: MinHash near-dup pairs (same
     // md5-tier parameters as dedup_minhash_pairs, est_jaccard >= 0.5)
     // tallied by the split pair split_assign's hash cut lands them in
@@ -3063,6 +3072,21 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
     },
+
+    // mirrors Quality.blocklistGate: token-occurrence count over the
+    // same token replay, phrase containment over the same normalization
+    "blocklist_gate" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($toksSql, t -> t IN ('merge', 'window')))
+         |       AS BIGINT) AS n_blocked_terms,
+         |  CAST(CASE WHEN contains(
+         |      trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')),
+         |      'fast table') THEN 1 ELSE 0 END AS BIGINT) AS n_blocked_phrases,
+         |  len(list_filter($toksSql, t -> t IN ('merge', 'window'))) = 0
+         |    AND NOT contains(
+         |      trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')),
+         |      'fast table') AS pass
+         |FROM documents""".stripMargin,
 
     // mirrors Similarity.hardNegatives: the knn_graph candidate replay
     // with the dup-band exclusion BEFORE the per-query window

@@ -221,4 +221,39 @@ object Quality {
       .select(col(idCol), col("n_tokens"), col("qscore"),
         (col("qscore") >= 0).as("keep"))
   }
+
+  /** Blocklist gate — the C4-style banned-terms filter every public
+    * corpus pipeline runs (C4 dropped pages containing any "bad words"
+    * list entry; Gopher and successors keep a variant): per document,
+    * the number of token OCCURRENCES matching the term list, the number
+    * of blocked PHRASES present in the normalized text, and the combined
+    * pass verdict. Both tiers are row-local projections riding the
+    * shared tokenize — zero shuffle, the list folds into the generated
+    * code as literals (the broadcast-variable shape for a list of this
+    * size; a million-entry list would become a broadcast join instead).
+    * Case-insensitive via the shared lower-casing in [[T.tokens]] /
+    * [[T.normalizeText]]; terms must be single lower-case tokens and
+    * phrases lower-case normalized strings. */
+  def blocklistGate(
+      docs: DataFrame,
+      terms: Seq[String],
+      phrases: Seq[String] = Nil,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty || phrases.nonEmpty, "empty blocklist")
+    val toks = array_remove(T.tokens(col(textCol)), "")
+    val nTerms: Column =
+      if (terms.isEmpty) lit(0L)
+      else size(filter(toks, t => t.isin(terms: _*))).cast("bigint")
+    val nPhrases: Column =
+      if (phrases.isEmpty) lit(0L)
+      else phrases.map(p =>
+          when(T.normalizeText(col(textCol)).contains(p), 1L).otherwise(0L))
+        .reduce(_ + _)
+    docs.select(col(idCol),
+        nTerms.as("n_blocked_terms"),
+        nPhrases.as("n_blocked_phrases"))
+      .withColumn("pass",
+        col("n_blocked_terms") === 0 && col("n_blocked_phrases") === 0)
+  }
 }

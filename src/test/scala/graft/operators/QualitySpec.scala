@@ -105,4 +105,24 @@ class QualitySpec extends SparkSpec {
     r(3L) shouldBe r(4L)
     r(3L) should be < r(5L)
   }
+
+  behavior of "blocklistGate"
+
+  it should "count token occurrences and phrase hits case-insensitively with a combined verdict" in {
+    val docs = Seq(
+      (1L, "clean document with harmless words"),
+      (2L, "the Forbidden word appears twice: forbidden indeed"),
+      (3L, "contains the exact   Bad Phrase somewhere"),
+      (4L, "forbidden AND a bad phrase together"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Quality.blocklistGate(docs,
+      terms = Seq("forbidden"), phrases = Seq("bad phrase"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    got(1L) shouldBe ((0L, 0L, true))
+    got(2L) shouldBe ((2L, 0L, false)) // both casings counted
+    got(3L) shouldBe ((0L, 1L, false)) // whitespace-collapsed phrase hit
+    got(4L) shouldBe ((1L, 1L, false))
+    got(5L) shouldBe ((0L, 0L, true))
+  }
 }
