@@ -1118,6 +1118,12 @@ object SparkEntry {
       Similarity.knnGraph(e, anchors, k = 3).drop("rank")
     }),
 
+    // Content-defined chunking at winnow boundaries: shift-invariant
+    // sub-document dedup keys (an early edit re-keys only the chunks it
+    // touches) — one native winnow pass + row-local array fan-out
+    "chunk_cdc" -> ((s, d) =>
+      graft.operators.Curation.cdcChunks(t(s, d, "documents"))),
+
     // C4-style blocklist gate: token-occurrence and phrase tiers over a
     // fixed banned list (here drawn from the synthetic vocabulary), pass
     // verdict — row-local, zero shuffle
@@ -3072,6 +3078,48 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
     },
+
+    // mirrors Curation.cdcChunks: the winnow_fingerprints position
+    // replay turned into per-doc boundary lists (doc start prepended),
+    // then a list fan-out into (idx, start, len, md5(substr))
+    "chunk_cdc" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) - 4 AS m
+        |  FROM documents WHERE length(text) >= 5),
+        |h AS (
+        |  SELECT doc_id, m, least(m, 4) AS wl,
+        |    list_transform(range(0, m), i ->
+        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
+        |        AS BIGINT)) AS hs
+        |  FROM base),
+        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
+        |sel AS (
+        |  SELECT doc_id,
+        |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
+        |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
+        |             = list_min(list_slice(hs, j, j + wl - 1))
+        |           THEN q ELSE 0 END)) - 1 AS pos
+        |  FROM w),
+        |bpos AS (SELECT DISTINCT doc_id, CAST(pos + 1 AS BIGINT) AS b FROM sel),
+        |bounds AS (
+        |  SELECT d.doc_id, d.text,
+        |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+        |      coalesce(list(bpos.b), [])))) AS bs
+        |  FROM documents d LEFT JOIN bpos ON d.doc_id = bpos.doc_id
+        |  GROUP BY d.doc_id, d.text),
+        |fan AS (
+        |  SELECT doc_id, text,
+        |    unnest(list_transform(range(1, len(bs) + 1), j -> struct_pack(
+        |      idx := CAST(j AS BIGINT),
+        |      st := bs[CAST(j AS INT)],
+        |      ln := coalesce(bs[CAST(j + 1 AS INT)],
+        |                     CAST(length(text) + 1 AS BIGINT))
+        |            - bs[CAST(j AS INT)]))) AS c
+        |  FROM bounds)
+        |SELECT doc_id, c.idx AS chunk_idx, c.st AS start_pos,
+        |  c.ln AS chunk_len,
+        |  md5(substr(text, CAST(c.st AS INT), CAST(c.ln AS INT))) AS chunk_md5
+        |FROM fan""".stripMargin,
 
     // mirrors Quality.blocklistGate: token-occurrence count over the
     // same token replay, phrase containment over the same normalization

@@ -903,6 +903,58 @@ object Curation {
         round(col("w"), 6).as("dsir_w"), col("gkey"))
   }
 
+  /** Content-defined chunking via winnowing boundaries: split every
+    * document at the positions its winnowing sketch selects
+    * ([[org.apache.spark.sql.graft.WinnowFingerprints]] — robust local
+    * hash minima), emitting (chunk_idx, start_pos, chunk_len, chunk_md5)
+    * per chunk. Because boundaries are CONTENT-defined, an insertion
+    * early in a document shifts only the chunks it touches — later
+    * chunk hashes are unchanged, which is the property that makes
+    * sub-document dedup across near-identical docs work (fixed-size
+    * chunking re-keys everything after an edit). Chunk md5s are the
+    * dedup keys; [[Dedup.exact]]-style grouping on `chunk_md5` then
+    * finds shared runs across documents.
+    *
+    * Zero shuffle: the boundary array, the chunk fan-out, and the chunk
+    * hashes are all row-local codegen projections (one native winnow
+    * pass + array HOFs + substr/md5). Documents shorter than `k` produce
+    * one whole-document chunk (the winnow array is empty, the prepended
+    * doc-start boundary remains). */
+  def cdcChunks(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val wfs = org.apache.spark.sql.graft.TextExpressionFunctions
+      .winnowColumn(col(textCol), k, w)
+    // 1-based char boundaries: doc start + each selected gram start
+    // (winnow positions are 0-based)
+    val bounds = array_sort(array_distinct(concat(
+      array(lit(1L)),
+      transform(wfs, x => x("pos").cast("long") + 1L))))
+    val chunks = transform(
+      sequence(lit(0), size(col("__b")) - 1),
+      j => struct(
+        (j + 1).cast("long").as("chunk_idx"),
+        element_at(col("__b"), j + 1).as("start_pos"),
+        // try_element_at: the last chunk's j+2 lookup is past the end
+        // (ANSI element_at throws there) and falls back to doc end
+        (coalesce(try_element_at(col("__b"), j + 2),
+          length(col(textCol)).cast("long") + 1L)
+          - element_at(col("__b"), j + 1)).as("chunk_len")))
+    Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), col(textCol), bounds.as("__b"))
+      .select(col(idCol), col(textCol), explode(chunks).as("c"))
+      .select(col(idCol),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_pos").as("start_pos"),
+        col("c.chunk_len").as("chunk_len"),
+        md5(col(textCol).substr(
+          col("c.start_pos").cast("int"),
+          col("c.chunk_len").cast("int"))).as("chunk_md5"))
+  }
+
   /** Cumulative vocabulary-growth curve (the Heaps-law report): for every
     * document in id order, the running token total and the running
     * DISTINCT-term total V(n) — the curve that tells a corpus run whether

@@ -394,6 +394,57 @@ class CurationSpec extends SparkSpec {
     nHits(1L) shouldBe 2L
   }
 
+  behavior of "cdcChunks"
+
+  it should "partition every document exactly (no gaps, no overlaps) and key chunks by md5" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly today"),
+      (2L, "abc"), // shorter than k -> one whole-doc chunk
+      (3L, "")     // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val got = Curation.cdcChunks(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog repeatedly today",
+      2L -> "abc", 3L -> "")
+    for ((id, rows) <- got) {
+      val sorted = rows.sortBy(_._2)
+      sorted.head._3 shouldBe 1L // first chunk starts at doc start
+      // contiguous: each chunk starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._3 shouldBe a._3 + a._4
+        case _ =>
+      }
+      sorted.map(_._4).sum shouldBe texts(id).length.toLong
+      // chunk md5s match the substrings they claim
+      sorted.foreach { case (_, _, st, ln, fp) =>
+        val sub = texts(id).substring(st.toInt - 1, st.toInt - 1 + ln.toInt)
+        fp shouldBe java.security.MessageDigest.getInstance("MD5")
+          .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+    }
+    got(2L).length shouldBe 1
+    got(3L).length shouldBe 1
+    got(3L).head._4 shouldBe 0L
+  }
+
+  it should "keep chunk keys stable past an early edit (the CDC property)" in {
+    val tail = "shared suffix content that both documents carry onward " * 4
+    val a = "PREFIX-ONE " + tail
+    val b = "a completely different and longer preamble here " + tail
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val byDoc = Curation.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getString(4))).groupBy(_._1)
+    val shared = byDoc(1L).map(_._2).toSet.intersect(byDoc(2L).map(_._2).toSet)
+    // boundaries are content-local, so chunks inside the shared tail
+    // re-align after at most one boundary window — a fixed-size chunker
+    // would share (almost) nothing here because the prefixes differ in
+    // length
+    shared.size should be >= 3
+  }
+
   behavior of "vocabGrowth"
 
   it should "track the exact cumulative token and distinct-term curve" in {
