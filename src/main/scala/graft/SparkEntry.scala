@@ -1124,6 +1124,13 @@ object SparkEntry {
     "chunk_cdc" -> ((s, d) =>
       graft.operators.Curation.cdcChunks(t(s, d, "documents"))),
 
+    // Chunk-level duplication score over the CDC chunks: per doc, the
+    // fraction of character mass carried by chunks that appear in >= 2
+    // documents — partial-copy detection below document granularity
+    "dedup_chunks" -> ((s, d) =>
+      graft.operators.Curation.chunkDupScore(t(s, d, "documents"),
+        k = 8, w = 16)),
+
     // C4-style blocklist gate: token-occurrence and phrase tiers over a
     // fixed banned list (here drawn from the synthetic vocabulary), pass
     // verdict — row-local, zero shuffle
@@ -1265,6 +1272,50 @@ object SparkEntry {
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** DuckDB replay of [[graft.operators.Curation.cdcChunks]] for a given
+    * (k, w): the winnow position replay fanned into per-doc boundary
+    * lists and chunk rows. Shared by the chunk_cdc oracle (5, 4 — the
+    * winnow family's parameters) and dedup_chunks (8, 16 — chunk sizes
+    * at which cross-doc md5 equality means real shared content). */
+  private def cdcChunksSql(k: Int, w: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, length(text) - ${k - 1} AS m
+       |  FROM documents WHERE length(text) >= $k),
+       |h AS (
+       |  SELECT doc_id, m, least(m, $w) AS wl,
+       |    list_transform(range(0, m), i ->
+       |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), $k)),1,8))
+       |        AS BIGINT)) AS hs
+       |  FROM base),
+       |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
+       |sel AS (
+       |  SELECT doc_id,
+       |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
+       |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
+       |             = list_min(list_slice(hs, j, j + wl - 1))
+       |           THEN q ELSE 0 END)) - 1 AS pos
+       |  FROM w),
+       |bpos AS (SELECT DISTINCT doc_id, CAST(pos + 1 AS BIGINT) AS b FROM sel),
+       |bounds AS (
+       |  SELECT d.doc_id, d.text,
+       |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+       |      coalesce(list(bpos.b), [])))) AS bs
+       |  FROM documents d LEFT JOIN bpos ON d.doc_id = bpos.doc_id
+       |  GROUP BY d.doc_id, d.text),
+       |fan AS (
+       |  SELECT doc_id, text,
+       |    unnest(list_transform(range(1, len(bs) + 1), j -> struct_pack(
+       |      idx := CAST(j AS BIGINT),
+       |      st := bs[CAST(j AS INT)],
+       |      ln := coalesce(bs[CAST(j + 1 AS INT)],
+       |                     CAST(length(text) + 1 AS BIGINT))
+       |            - bs[CAST(j AS INT)]))) AS c
+       |  FROM bounds)
+       |SELECT doc_id, c.idx AS chunk_idx, c.st AS start_pos,
+       |  c.ln AS chunk_len,
+       |  md5(substr(text, CAST(c.st AS INT), CAST(c.ln AS INT))) AS chunk_md5
+       |FROM fan""".stripMargin
+
   /** DuckDB replay of [[Similarity.fullL2]] / the full-width
     * [[org.apache.spark.sql.graft.NearestCellL2F]]: ascending-index
     * squared-L2 fold in double. */
@@ -1401,6 +1452,30 @@ object SparkEntry {
     // same contract for the IVF-PQ pair of artifacts (anchors + residual
     // codebook): persisted-then-loaded must reproduce the in-memory bits
     ("vector_ivfpq_persisted" -> oracleSqlBase("vector_ivfpq_topk")) +
+    // composes the chunk_cdc replay: shared-chunk census + per-doc mass
+    ("dedup_chunks" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, chunk_len, chunk_md5
+         |  FROM (${cdcChunksSql(8, 16)})),
+         |shared AS (
+         |  SELECT chunk_md5 FROM ch
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks,
+         |    CAST(sum(chunk_len) AS BIGINT) AS dup_len
+         |  FROM ch SEMI JOIN shared USING (chunk_md5)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(chunk_len) AS BIGINT) AS total_len
+         |  FROM ch GROUP BY 1)
+         |SELECT t.doc_id, t.n_chunks,
+         |  coalesce(d.n_dup_chunks, 0) AS n_dup_chunks,
+         |  t.total_len,
+         |  coalesce(d.dup_len, 0) AS dup_len,
+         |  CAST(coalesce(d.dup_len, 0) AS DOUBLE)
+         |    / CAST(greatest(t.total_len, 1) AS DOUBLE) AS dup_frac
+         |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin) +
     // composes the two replays it is built from: the md5-tier MinHash
     // pair SQL and the split_assign hash cut, joined as derived tables
     ("split_leakage" ->
@@ -3082,44 +3157,7 @@ object SparkEntry {
     // mirrors Curation.cdcChunks: the winnow_fingerprints position
     // replay turned into per-doc boundary lists (doc start prepended),
     // then a list fan-out into (idx, start, len, md5(substr))
-    "chunk_cdc" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, length(text) - 4 AS m
-        |  FROM documents WHERE length(text) >= 5),
-        |h AS (
-        |  SELECT doc_id, m, least(m, 4) AS wl,
-        |    list_transform(range(0, m), i ->
-        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
-        |        AS BIGINT)) AS hs
-        |  FROM base),
-        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
-        |sel AS (
-        |  SELECT doc_id,
-        |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
-        |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
-        |             = list_min(list_slice(hs, j, j + wl - 1))
-        |           THEN q ELSE 0 END)) - 1 AS pos
-        |  FROM w),
-        |bpos AS (SELECT DISTINCT doc_id, CAST(pos + 1 AS BIGINT) AS b FROM sel),
-        |bounds AS (
-        |  SELECT d.doc_id, d.text,
-        |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
-        |      coalesce(list(bpos.b), [])))) AS bs
-        |  FROM documents d LEFT JOIN bpos ON d.doc_id = bpos.doc_id
-        |  GROUP BY d.doc_id, d.text),
-        |fan AS (
-        |  SELECT doc_id, text,
-        |    unnest(list_transform(range(1, len(bs) + 1), j -> struct_pack(
-        |      idx := CAST(j AS BIGINT),
-        |      st := bs[CAST(j AS INT)],
-        |      ln := coalesce(bs[CAST(j + 1 AS INT)],
-        |                     CAST(length(text) + 1 AS BIGINT))
-        |            - bs[CAST(j AS INT)]))) AS c
-        |  FROM bounds)
-        |SELECT doc_id, c.idx AS chunk_idx, c.st AS start_pos,
-        |  c.ln AS chunk_len,
-        |  md5(substr(text, CAST(c.st AS INT), CAST(c.ln AS INT))) AS chunk_md5
-        |FROM fan""".stripMargin,
+    "chunk_cdc" -> cdcChunksSql(5, 4),
 
     // mirrors Quality.blocklistGate: token-occurrence count over the
     // same token replay, phrase containment over the same normalization

@@ -955,6 +955,47 @@ object Curation {
           col("c.chunk_len").cast("int"))).as("chunk_md5"))
   }
 
+  /** Chunk-level duplication score — the consumer [[cdcChunks]] exists
+    * for: every chunk whose md5 appears in MORE THAN ONE document is
+    * duplicated sub-document content, and each document is scored by the
+    * fraction of its character mass such chunks carry. Catches partial
+    * copies (quoted passages, syndicated boilerplate, template middles)
+    * that document-level dedup misses entirely and line-level dedup only
+    * catches when the copy aligns with line breaks. One keyed agg over
+    * the slim (md5, doc, len) chunk frame + one join back — the chunk
+    * frame itself is the zero-shuffle [[cdcChunks]] projection. */
+  def chunkDupScore(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chunks = cdcChunks(docs, k, w, textCol, idCol)
+      .select(col(idCol), col("chunk_len"), col("chunk_md5"))
+    val shared = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("chunk_md5"))
+    chunks
+      .join(shared, Seq("chunk_md5"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("chunk_len")).as("dup_len"))
+      .join(
+        chunks.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).as("total_len")),
+        Seq(idCol), "right")
+      .select(col(idCol),
+        col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        col("total_len"),
+        coalesce(col("dup_len"), lit(0L)).as("dup_len"),
+        (coalesce(col("dup_len"), lit(0L)).cast("double") /
+          greatest(col("total_len"), lit(1L)).cast("double")).as("dup_frac"))
+  }
+
   /** Cumulative vocabulary-growth curve (the Heaps-law report): for every
     * document in id order, the running token total and the running
     * DISTINCT-term total V(n) — the curve that tells a corpus run whether

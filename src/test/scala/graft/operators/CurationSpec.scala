@@ -445,6 +445,35 @@ class CurationSpec extends SparkSpec {
     shared.size should be >= 3
   }
 
+  behavior of "chunkDupScore"
+
+  it should "score cross-document shared chunks and leave unique docs at zero" in {
+    val tail = "identical shared passage both documents repeat verbatim " * 4
+    val docs = Seq(
+      (1L, "first unique opening text here " + tail),
+      (2L, "second and rather different opening " + tail),
+      (3L, "entirely unrelated content with nothing shared at all anywhere")
+    ).toDF("doc_id", "text")
+    // k=8/w=16 (the dedup_chunks tier): chunks long enough that md5
+    // equality across docs means real shared content, not 2-char noise
+    val got = Curation.chunkDupScore(docs, k = 8, w = 16)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    // chunk mass always accounts for the whole document
+    got(1L)._3 shouldBe ("first unique opening text here " + tail).length.toLong
+    got(3L)._3 shouldBe
+      "entirely unrelated content with nothing shared at all anywhere".length.toLong
+    // the shared tail surfaces as duplicated mass in BOTH carriers
+    got(1L)._5 should be > 0.3
+    got(2L)._5 should be > 0.3
+    // and the unique doc is untouched
+    got(3L)._2 shouldBe 0L
+    got(3L)._5 shouldBe 0.0
+  }
+
   behavior of "vocabGrowth"
 
   it should "track the exact cumulative token and distinct-term curve" in {
