@@ -79,8 +79,10 @@ object Reports {
       k: Int = 16,
       bands: Int = 8,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands)
+      idCol: String = "doc_id",
+      tier: Dedup.HashTier = Dedup.PortableMd5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands,
+      tier = tier)
       .filter(col("est_jaccard") >= minJaccard)
     val s = Curation.splitAssign(docs, splits, idCol = idCol)
       .select(col(idCol), col("split"))

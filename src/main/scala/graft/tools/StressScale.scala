@@ -231,6 +231,33 @@ object StressScale {
         graft.operators.Reports.freqSpectrum(docs)),
       timeNoop("quality_deciles")(
         graft.operators.Reports.qualityDeciles(docs)),
+      // CDC chunk fan-out + the chunk-level dup census at dedup-tier
+      // parameters (k=8/w=16): the chunk frame is a zero-shuffle
+      // projection; the census is one keyed agg over slim rows
+      timeNoop("chunk_cdc")(
+        graft.operators.Curation.cdcChunks(docs, k = 8, w = 16)),
+      timeNoop("dedup_chunks")(
+        graft.operators.Curation.chunkDupScore(docs, k = 8, w = 16)),
+      timeNoop("blocklist_gate")(
+        graft.operators.Quality.blocklistGate(docs,
+          terms = Seq("merge", "window"), phrases = Seq("fast table"))),
+      // production tier (xxhash64) at the QUERY's banding (k=8, bands=4):
+      // this 30-word-vocab corpus is the adversarial everything-collides
+      // case — the bucket guard bounds candidates near minhash_fast's
+      // ~25M pairs, and bands=8 doubled that into heap territory (the
+      // md5 oracle tier measured 63.6 s at bands=8 before OOM margins)
+      timeNoop("split_leakage")(
+        graft.operators.Reports.splitLeakage(docs,
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          minJaccard = 0.5, k = 8, bands = 4,
+          tier = graft.operators.Dedup.FastXx)),
+      timeNoop("hard_negatives") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        graft.operators.Similarity.hardNegatives(emb, anchors, k = 5,
+          dupThreshold = 0.9)
+      },
       timeNoop("vocab_coverage")(Curation.vocabCoverage(docs)),
       // bloom decontamination: benchmark = 1/20 of the corpus; the corpus
       // side must stay shuffle-free at any n
