@@ -1277,8 +1277,15 @@ object SparkEntry {
     * lists and chunk rows. Shared by the chunk_cdc oracle (5, 4 — the
     * winnow family's parameters) and dedup_chunks (8, 16 — chunk sizes
     * at which cross-doc md5 equality means real shared content). */
-  private def cdcChunksSql(k: Int, w: Int): String =
-    s"""WITH base AS (
+  /** Shared winnowing-replay CTE chain (base/h/w/sel) for gram size `k`
+    * and window `w`: per-doc gram hashes, sliding window, rightmost-min
+    * selection. `sel` carries BOTH the selected position and the
+    * fingerprint, so every consumer — the fingerprint dump, the pair
+    * join, containment, and the CDC boundary fan-out — composes the ONE
+    * replay of [[org.apache.spark.sql.graft.WinnowFingerprints]] instead
+    * of carrying its own copy. */
+  private def winnowCtesSql(k: Int, w: Int): String =
+    s"""base AS (
        |  SELECT doc_id, text, length(text) - ${k - 1} AS m
        |  FROM documents WHERE length(text) >= $k),
        |h AS (
@@ -1293,8 +1300,12 @@ object SparkEntry {
        |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
        |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
        |             = list_min(list_slice(hs, j, j + wl - 1))
-       |           THEN q ELSE 0 END)) - 1 AS pos
-       |  FROM w),
+       |           THEN q ELSE 0 END)) - 1 AS pos,
+       |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
+       |  FROM w)""".stripMargin
+
+  private def cdcChunksSql(k: Int, w: Int): String =
+    s"""WITH ${winnowCtesSql(k, w)},
        |bpos AS (SELECT DISTINCT doc_id, CAST(pos + 1 AS BIGINT) AS b FROM sel),
        |bounds AS (
        |  SELECT d.doc_id, d.text,
@@ -1479,14 +1490,19 @@ object SparkEntry {
     // composes the two replays it is built from: the md5-tier MinHash
     // pair SQL and the split_assign hash cut, joined as derived tables
     ("split_leakage" ->
-      s"""SELECT least(sa.split, sb.split) AS split_a,
+      // coalesce mirrors the operator's unassigned bucket (relevant only
+      // when split fractions sum below 1.0 — a no-op for this query)
+      s"""WITH sp AS (
+         |  SELECT doc_id, coalesce(split, 'unassigned') AS split
+         |  FROM (${oracleSqlBase("split_assign")}))
+         |SELECT least(sa.split, sb.split) AS split_a,
          |       greatest(sa.split, sb.split) AS split_b,
          |       CAST(count(*) AS BIGINT) AS n_pairs,
          |       least(sa.split, sb.split) <> greatest(sa.split, sb.split)
          |         AS cross_split
          |FROM (${oracleSqlBase("dedup_minhash_pairs")}) p
-         |JOIN (${oracleSqlBase("split_assign")}) sa ON p.id_a = sa.doc_id
-         |JOIN (${oracleSqlBase("split_assign")}) sb ON p.id_b = sb.doc_id
+         |JOIN sp sa ON p.id_a = sa.doc_id
+         |JOIN sp sb ON p.id_b = sb.doc_id
          |WHERE p.est_jaccard >= 0.5
          |GROUP BY 1, 2""".stripMargin)
 
@@ -2843,44 +2859,14 @@ object SparkEntry {
     // over the md5-hex-prefix hash stream; DISTINCT replays Spark's
     // row-local array_distinct
     "winnow_fingerprints" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, length(text) - 4 AS m
-        |  FROM documents WHERE length(text) >= 5),
-        |h AS (
-        |  SELECT doc_id, m, least(m, 4) AS wl,
-        |    list_transform(range(0, m), i ->
-        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
-        |        AS BIGINT)) AS hs
-        |  FROM base),
-        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
-        |sel AS (
-        |  SELECT doc_id,
-        |    j - 1 + list_max(list_transform(range(1, wl + 1), q ->
-        |      CASE WHEN list_slice(hs, j, j + wl - 1)[q]
-        |             = list_min(list_slice(hs, j, j + wl - 1))
-        |           THEN q ELSE 0 END)) - 1 AS pos,
-        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
-        |  FROM w)
-        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""".stripMargin,
+      s"""WITH ${winnowCtesSql(5, 4)}
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""".stripMargin,
 
     // mirrors Dedup.winnowPairs: the winnow CTE feeds a df-capped
     // fingerprint self-join with the shared-count threshold
     "dedup_winnow_pairs" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, length(text) - 4 AS m
-        |  FROM documents WHERE length(text) >= 5),
-        |h AS (
-        |  SELECT doc_id, m, least(m, 4) AS wl,
-        |    list_transform(range(0, m), i ->
-        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
-        |        AS BIGINT)) AS hs
-        |  FROM base),
-        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
-        |sel AS (
-        |  SELECT doc_id,
-        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
-        |  FROM w),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      s"""WITH ${winnowCtesSql(5, 4)},
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
         |kept AS (
         |  SELECT doc_id, fp FROM fps
         |  QUALIFY count(*) OVER (PARTITION BY fp) <= 100)
@@ -2893,21 +2879,8 @@ object SparkEntry {
     // mirrors Dedup.winnowContainment: the pairs CTE joined to per-doc
     // fingerprint counts; exact int/int -> one IEEE division per side
     "winnow_containment" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, length(text) - 4 AS m
-        |  FROM documents WHERE length(text) >= 5),
-        |h AS (
-        |  SELECT doc_id, m, least(m, 4) AS wl,
-        |    list_transform(range(0, m), i ->
-        |      CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)),1,8))
-        |        AS BIGINT)) AS hs
-        |  FROM base),
-        |w AS (SELECT doc_id, unnest(range(1, m - wl + 2)) AS j, hs, wl FROM h),
-        |sel AS (
-        |  SELECT doc_id,
-        |    list_min(list_slice(hs, j, j + wl - 1)) AS fp
-        |  FROM w),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+      s"""WITH ${winnowCtesSql(5, 4)},
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
         |kept AS (
         |  SELECT doc_id, fp FROM fps
         |  QUALIFY count(*) OVER (PARTITION BY fp) <= 100),

@@ -970,8 +970,13 @@ object Curation {
       w: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // eager localCheckpoint (the minhashLsh policy): three differently-
+    // shaped consumers (md5 census, semi-join probe, per-doc totals)
+    // would otherwise each re-run the winnow pass + chunk fan-out —
+    // exchange reuse cannot collapse them
     val chunks = cdcChunks(docs, k, w, textCol, idCol)
       .select(col(idCol), col("chunk_len"), col("chunk_md5"))
+      .localCheckpoint()
     val shared = chunks
       .groupBy(col("chunk_md5"))
       .agg(countDistinct(col(idCol)).as("__nd"))

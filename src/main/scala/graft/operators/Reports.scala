@@ -84,8 +84,13 @@ object Reports {
     val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands,
       tier = tier)
       .filter(col("est_jaccard") >= minJaccard)
+    // splitAssign permits fractions summing below 1.0 and leaves the
+    // remainder's split NULL; least/greatest SKIP nulls, which would
+    // silently re-label a (train, unassigned) pair as (train, train).
+    // Surfacing those pairs under an explicit bucket keeps the report
+    // honest for partial split maps.
     val s = Curation.splitAssign(docs, splits, idCol = idCol)
-      .select(col(idCol), col("split"))
+      .select(col(idCol), coalesce(col("split"), lit("unassigned")).as("split"))
     pairs
       .join(s.select(col(idCol).as("id_a"), col("split").as("sa")), Seq("id_a"))
       .join(s.select(col(idCol).as("id_b"), col("split").as("sb")), Seq("id_b"))

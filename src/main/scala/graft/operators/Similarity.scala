@@ -75,26 +75,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** k-nearest-neighbor GRAPH over the whole corpus: every vector's top-k
-    * same-cell neighbors by cosine — the candidate-generation step of
-    * graph-based clustering and SemDeDup-style pipelines. Unlike
-    * [[ivfTopK]] the queries ARE the corpus, so nothing is broadcast:
-    * vectors get their cell from the zero-shuffle [[cellOf]] projection
-    * and self-join per cell (ONE keyed shuffle); the quadratic term is
-    * per-cell — the same bounded-block contract as
-    * [[Dedup.embeddingNearDup]], with the anchor count as the knob that
-    * keeps cells executor-sized at any corpus scale. Vectors alone in
-    * their cell emit no rows (no neighbors at nprobe=1 — the documented
-    * recall trade of cell-blocked candidate generation).
-    *
-    * Anchor count alone cannot bound the quadratic under skew (one
-    * dominant semantic cluster pulls N/2 vectors into one cell), so
-    * `maxCellSize` ENFORCES the bound via [[Guards.subSplit]]: over-full
-    * cells are hash-split into ~maxCellSize sub-cells and candidates are
-    * generated within sub-cells only. Results are bit-identical until a
-    * cell actually exceeds the cap; past it, a vector in a whale cell
-    * sees ~1/nSub of its cell-mates as candidates (graceful recall
-    * degradation instead of an unbounded task). */
   /** Cell-blocked scored neighbor pairs — the shared candidate stage of
     * [[knnGraph]] and [[hardNegatives]]: every (query, same-cell
     * neighbor) pair with its rounded cosine, guarded by the subSplit
@@ -118,6 +98,26 @@ object Similarity {
         round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
   }
 
+  /** k-nearest-neighbor GRAPH over the whole corpus: every vector's top-k
+    * same-cell neighbors by cosine — the candidate-generation step of
+    * graph-based clustering and SemDeDup-style pipelines. Unlike
+    * [[ivfTopK]] the queries ARE the corpus, so nothing is broadcast:
+    * vectors get their cell from the zero-shuffle [[cellOf]] projection
+    * and self-join per cell (ONE keyed shuffle); the quadratic term is
+    * per-cell — the same bounded-block contract as
+    * [[Dedup.embeddingNearDup]], with the anchor count as the knob that
+    * keeps cells executor-sized at any corpus scale. Vectors alone in
+    * their cell emit no rows (no neighbors at nprobe=1 — the documented
+    * recall trade of cell-blocked candidate generation).
+    *
+    * Anchor count alone cannot bound the quadratic under skew (one
+    * dominant semantic cluster pulls N/2 vectors into one cell), so
+    * `maxCellSize` ENFORCES the bound via [[Guards.subSplit]]: over-full
+    * cells are hash-split into ~maxCellSize sub-cells and candidates are
+    * generated within sub-cells only. Results are bit-identical until a
+    * cell actually exceeds the cap; past it, a vector in a whale cell
+    * sees ~1/nSub of its cell-mates as candidates (graceful recall
+    * degradation instead of an unbounded task). */
   def knnGraph(
       corpus: DataFrame,
       anchors: Seq[(Long, Seq[Float])],

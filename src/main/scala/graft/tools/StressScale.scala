@@ -40,9 +40,15 @@ object StressScale {
     }
 
     // noop-sink timing (count() would let Catalyst prune the projections
-    // being measured); the untimed count afterwards is only the row tally
-    def timeNoop(label: String)(df: org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+    // being measured); the untimed count afterwards is only the row tally.
+    // BY-NAME df: several operators do real work at DataFrame CONSTRUCTION
+    // (eager localCheckpoints of shared frames, driver-side codebook /
+    // anchor training) — a by-value parameter would evaluate all of that
+    // before the timer starts and under-report exactly the operators
+    // whose materialization discipline is the point being measured.
+    def timeNoop(label: String)(dfThunk: => org.apache.spark.sql.DataFrame): (String, Double, Long) = {
       val t0 = System.nanoTime()
+      val df = dfThunk
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       (label, secs, df.count())

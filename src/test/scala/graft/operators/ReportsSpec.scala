@@ -66,6 +66,18 @@ class ReportsSpec extends SparkSpec {
     one.length shouldBe 1
     one(0).getLong(2) shouldBe 30L
     one(0).getBoolean(3) shouldBe false
+    // PARTIAL split map: docs past the cut get the explicit 'unassigned'
+    // bucket — least/greatest would otherwise silently re-label a
+    // (train, NULL) pair as same-split
+    val part = Reports.splitLeakage(docs, Seq(("train", 0.4)),
+      minJaccard = 0.5, shingleN = 3, k = 8, bands = 4)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    part.values.map(_._1).sum shouldBe 30L
+    part.keys.flatMap { case (a, b) => Seq(a, b) }
+      .foreach(sp => Set("train", "unassigned") should contain(sp))
+    // with a 40% cut, some triplet must straddle the boundary
+    part.keys.exists { case (a, b) => a != b } shouldBe true
   }
 
   behavior of "qualityDeciles"
