@@ -1241,7 +1241,30 @@ object SparkEntry {
           .as("token_share"),
         (col("sum_chars").cast("double") / col("n_docs").cast("double"))
           .as("mean_chars"))
-    })
+    }),
+
+    // Robust per-language length statistics: nearest-rank percentiles
+    // (exact integer rank math, never interpolated quantiles), winsorized
+    // and trimmed means over clamped/filtered bigints, MAD via a second
+    // deviation rank — the whale-resistant length audit
+    "robust_stats" -> ((s, d) =>
+      Descriptive.robustGroupStats(t(s, d, "documents"), "lang", col("n_chars"))),
+
+    // ECDF quality normalization: percent_rank of the composite quality
+    // score WITHIN each language — the cross-lingual-comparable per-doc
+    // quality the mixture sampler thresholds on (raw scores are not
+    // comparable across languages; ranks are)
+    "quality_ecdf" -> ((s, d) =>
+      graft.operators.Fan.spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          T.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("lang"),
+          T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
+            .as("quality"))
+        .withColumn("pct_rank",
+          round(percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang")).orderBy(col("quality"))), 6)))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -3253,6 +3276,57 @@ object SparkEntry {
          |SELECT source, n_docs, n_tokens,
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
-         |FROM per CROSS JOIN tot""".stripMargin
+         |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Descriptive.robustGroupStats: nearest-rank percentiles via
+    // the same exact rank formula ceil(p·n) = floor((p·100·n + 99)/100),
+    // winsorized/trimmed sums over exact bigints, MAD from the second
+    // deviation rank — both engines run identical integer arithmetic and
+    // the two means are single IEEE divisions over exact sums
+    "robust_stats" ->
+      """WITH base AS (SELECT lang, n_chars AS v FROM documents),
+        |r AS (
+        |  SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM base),
+        |p AS (
+        |  SELECT lang, max(n) AS n,
+        |    max(CASE WHEN rn = CAST(floor((5 * n + 99) / 100) AS BIGINT)
+        |        THEN v END) AS p05,
+        |    max(CASE WHEN rn = CAST(floor((50 * n + 99) / 100) AS BIGINT)
+        |        THEN v END) AS median,
+        |    max(CASE WHEN rn = CAST(floor((95 * n + 99) / 100) AS BIGINT)
+        |        THEN v END) AS p95
+        |  FROM r GROUP BY 1),
+        |j AS (
+        |  SELECT b.lang, p.n, p.p05, p.median, p.p95,
+        |    greatest(least(b.v, p.p95), p.p05) AS clamped,
+        |    CASE WHEN b.v BETWEEN p.p05 AND p.p95 THEN b.v END AS inlier,
+        |    abs(b.v - p.median) AS absdev
+        |  FROM base b JOIN p USING (lang)),
+        |r2 AS (
+        |  SELECT j.*, row_number() OVER (PARTITION BY lang ORDER BY absdev)
+        |    AS rn2
+        |  FROM j)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n, max(p05) AS p05,
+        |  max(median) AS median, max(p95) AS p95,
+        |  CAST(sum(clamped) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    AS winsorized_mean,
+        |  CAST(sum(inlier) AS DOUBLE) / CAST(count(inlier) AS DOUBLE)
+        |    AS trimmed_mean,
+        |  max(CASE WHEN rn2 = CAST(floor((50 * n + 99) / 100) AS BIGINT)
+        |      THEN absdev END) AS mad
+        |FROM r2 GROUP BY 1""".stripMargin,
+
+    // mirrors the quality_ecdf window: same quality replay, percent_rank
+    // = (rank−1)/(n−1) in both engines, one division, rounded to 6
+    "quality_ecdf" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $qualitySql AS quality FROM documents)
+         |SELECT doc_id, lang, quality,
+         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
+         |    AS pct_rank
+         |FROM scored""".stripMargin
   )
 }

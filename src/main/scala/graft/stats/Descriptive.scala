@@ -1,6 +1,7 @@
 package graft.stats
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Single-pass descriptive-statistics kernel.
@@ -86,6 +87,67 @@ object Descriptive {
     var_pop(metric).as(s"${prefix}_var_pop"),
     stddev_pop(metric).as(s"${prefix}_stdev")
   )
+
+  /** Per-group ROBUST statistics for an integer-valued metric: nearest-rank
+    * percentiles (p05/median/p95), winsorized mean (values clamped to
+    * [p05, p95]), trimmed mean (values outside [p05, p95] dropped), and the
+    * median absolute deviation — the outlier-resistant vocabulary a corpus
+    * length/quality audit reads when means are whale-dominated (one 2 GB
+    * document should not move the "typical doc" number).
+    *
+    * Determinism contract (hash-exact in any engine, the exactIntStats
+    * discipline): percentiles are TYPE-1 / nearest-rank — the value at
+    * sorted position ceil(p·n) computed with exact integer arithmetic
+    * ((p·100·n + 99) div 100), never an interpolated quantile whose FP
+    * blend engines disagree on. Ties in the sort don't matter: the k-th
+    * order STATISTIC is tie-order-invariant even though row_number is not.
+    * Winsorized/trimmed sums clamp/filter bigints (exact, order-free);
+    * each mean is one IEEE division over exact sums. MAD re-ranks the
+    * integer deviations |x − median|, nearest-rank again.
+    *
+    * Scale shape: two per-group sort passes (rank by value, then rank by
+    * deviation) + two keyed aggregations — window sorts partition by the
+    * group key, so at 1000 executors each group sorts locally after one
+    * hash shuffle; nothing is quadratic, nothing collects. The stats-join
+    * back to rows is a per-group 1-row frame (broadcast under AQE).
+    */
+  def robustGroupStats(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val g = col(groupCol)
+    val base = df.select(g, metric.cast("bigint").as("v"))
+    val wOrd = Window.partitionBy(g).orderBy(col("v"))
+    val wAll = Window.partitionBy(g)
+    // ceil(p% · n) with exact integer arithmetic; n < 2^50 keeps the
+    // double product exact, and the bigint cast truncates (= floor here)
+    def kAt(p: Int): Column =
+      floor((lit(p) * col("n") + lit(99)) / lit(100)).cast("bigint")
+    val ranked = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def atRank(k: Column): Column = max(when(col("rn") === k, col("v")))
+    val pcts = ranked.groupBy(g).agg(
+      max(col("n")).as("n"),
+      atRank(kAt(5)).as("p05"),
+      atRank(kAt(50)).as("median"),
+      atRank(kAt(95)).as("p95"))
+    val joined = base.join(pcts, Seq(groupCol))
+      .select(g, col("n"), col("p05"), col("median"), col("p95"),
+        greatest(least(col("v"), col("p95")), col("p05")).as("clamped"),
+        when(col("v").between(col("p05"), col("p95")), col("v")).as("inlier"),
+        abs(col("v") - col("median")).as("absdev"))
+    val wDev = Window.partitionBy(g).orderBy(col("absdev"))
+    joined
+      .withColumn("rn2", row_number().over(wDev))
+      .groupBy(g).agg(
+        max(col("n")).as("n"),
+        max(col("p05")).as("p05"),
+        max(col("median")).as("median"),
+        max(col("p95")).as("p95"),
+        (sum(col("clamped")).cast("double") / max(col("n")).cast("double"))
+          .as("winsorized_mean"),
+        (sum(col("inlier")).cast("double") / count(col("inlier")).cast("double"))
+          .as("trimmed_mean"),
+        max(when(col("rn2") === kAt(50), col("absdev"))).as("mad"))
+  }
 
   /** The 100 TB tier SURVEY §7.3 anticipates "behind a flag": exact
     * `percentile` is a sort-based aggregate and `count distinct` a full

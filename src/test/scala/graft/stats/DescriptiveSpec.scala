@@ -76,4 +76,60 @@ class DescriptiveSpec extends SparkSpec {
     s.getAs[Double]("m_var_pop") shouldBe e.getAs[Double]("m_var_pop") +- 1e-6
     s.getAs[Double]("m_median") shouldBe e.getAs[Double]("m_median")
   }
+
+  // nearest-rank (type-1) percentile in plain Scala, the semantics
+  // robustGroupStats commits to: value at sorted position ceil(p·n)
+  private def nr(sorted: IndexedSeq[Long], p: Int): Long =
+    sorted((p * sorted.size + 99) / 100 - 1)
+
+  "robustGroupStats" should "match a hand-computed outlier example" in {
+    val df = ((1L to 20L) :+ 1000L).map(("a", _)).toDF("g", "v")
+    val r = Descriptive.robustGroupStats(df, "g", col("v")).collect()(0)
+    r.getAs[Long]("n") shouldBe 21L
+    r.getAs[Long]("p05") shouldBe 2L    // ceil(0.05·21) = 2nd smallest
+    r.getAs[Long]("median") shouldBe 11L
+    r.getAs[Long]("p95") shouldBe 20L   // the whale is clamped away
+    // clamped: 1→2, 1000→20; trimmed: exactly the values 2..20
+    r.getAs[Double]("winsorized_mean") shouldBe (2L + (2L to 20L).sum + 20L).toDouble / 21.0
+    r.getAs[Double]("trimmed_mean") shouldBe 11.0
+    // |v−11| sorted: 0,1,1,2,2,3,3,4,4,5,5,... → 11th is 5
+    r.getAs[Long]("mad") shouldBe 5L
+  }
+
+  it should "be unmoved by how extreme the whale is, unlike the mean" in {
+    def run(whale: Long) = Descriptive.robustGroupStats(
+      ((1L to 99L) :+ whale).map(("g", _)).toDF("g", "v"), "g", col("v"))
+      .collect()(0)
+    val a = run(1000L)
+    val b = run(1000000000L)
+    a.getAs[Long]("median") shouldBe b.getAs[Long]("median")
+    a.getAs[Long]("mad") shouldBe b.getAs[Long]("mad")
+    a.getAs[Double]("winsorized_mean") shouldBe b.getAs[Double]("winsorized_mean")
+    a.getAs[Double]("trimmed_mean") shouldBe b.getAs[Double]("trimmed_mean")
+  }
+
+  it should "match a naive per-group computation on seeded random data" in {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("x", "y", "z")
+      _ <- 1 to (20 + rnd.nextInt(60))
+    } yield (g, rnd.nextInt(100000).toLong)
+    val got = Descriptive.robustGroupStats(rows.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted.toIndexedSeq
+      val (p05, med, p95) = (nr(sorted, 5), nr(sorted, 50), nr(sorted, 95))
+      val r = got(g)
+      r.getAs[Long]("n") shouldBe sorted.size.toLong
+      r.getAs[Long]("p05") shouldBe p05
+      r.getAs[Long]("median") shouldBe med
+      r.getAs[Long]("p95") shouldBe p95
+      val clamped = sorted.map(v => math.max(p05, math.min(p95, v)))
+      r.getAs[Double]("winsorized_mean") shouldBe
+        clamped.sum.toDouble / sorted.size
+      val inliers = sorted.filter(v => v >= p05 && v <= p95)
+      r.getAs[Double]("trimmed_mean") shouldBe inliers.sum.toDouble / inliers.size
+      r.getAs[Long]("mad") shouldBe nr(sorted.map(v => math.abs(v - med)).sorted, 50)
+    }
+  }
 }
