@@ -1243,6 +1243,23 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Epoch plan: temperature-mix weights × a 1M-token budget → per-source
+    // repeat counts, capped at 4 epochs with the capped flag reported —
+    // the actionable schedule the mixture table feeds a training run
+    "epoch_plan" -> ((s, d) =>
+      graft.operators.Curation.epochPlan(
+        t(s, d, "documents"), budgetTokens = 1000000L, maxEpochs = 4.0)),
+
+    // Per-doc 5-gram novelty vs the doc_id%10==0 reference slice: the
+    // inverse decontamination signal (how much NEW text a candidate doc
+    // adds) — distinct-gram left join + keyed agg, NULL when undefined
+    "ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.ngramNovelty(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 5)
+    }),
+
     // Robust per-language length statistics: nearest-rank percentiles
     // (exact integer rank math, never interpolated quantiles), winsorized
     // and trimmed means over clamped/filtered bigints, MAD via a second
@@ -3277,6 +3294,69 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Curation.epochPlan: the temperature_mix replay extended by
+    // the same IEEE chain epochs = share·budget/tokens, least-capped,
+    // floored into the planned bigint
+    "epoch_plan" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(
+        |        list_sort(list(struct_pack(s := source,
+        |          q := sqrt(CAST(n_tokens AS DOUBLE))))),
+        |        x -> x.q)),
+        |    (a, b) -> a + b) AS zz
+        |  FROM per),
+        |mix AS (
+        |  SELECT source, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) / zz AS temp_share
+        |  FROM per CROSS JOIN z)
+        |SELECT source, n_tokens, temp_share,
+        |  round(least(temp_share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0), 6)
+        |    AS epochs,
+        |  temp_share * 1000000.0 / CAST(n_tokens AS DOUBLE) > 4.0 AS capped,
+        |  CAST(floor(least(temp_share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0)
+        |    * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+        |FROM mix""".stripMargin,
+
+    // mirrors Curation.ngramNovelty: same 5-gram windows over the same
+    // token replay, distinct-gram left join against the reference slice,
+    // NULL novelty for gramless docs
+    "ngram_novelty" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |rf AS (
+         |  SELECT list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |eg AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM ev WHERE len(toks) >= 5)),
+         |rg AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM rf WHERE len(toks) >= 5)),
+         |pd AS (
+         |  SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN rg.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM eg LEFT JOIN rg ON eg.gram = rg.gram GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(pd.n_grams, 0) > 0
+         |       THEN round(CAST(pd.n_novel AS DOUBLE)
+         |                  / CAST(pd.n_grams AS DOUBLE), 6)
+         |       END AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // mirrors Descriptive.robustGroupStats: nearest-rank percentiles via
     // the same exact rank formula ceil(p·n) = floor((p·100·n + 99)/100),

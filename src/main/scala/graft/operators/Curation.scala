@@ -456,6 +456,86 @@ object Curation {
         (sqrt(col("n_tokens").cast("double")) / col("__z")).as("temp_share"))
   }
 
+  /** Epoch plan: turn the [[temperatureMix]] weight table into the
+    * actionable per-source schedule a training run consumes — how many
+    * EPOCHS (repeats) of each source fill its temperature-weighted slice
+    * of a global token budget. Small sources get up-weighted by the α=0.5
+    * share and would repeat many times; `maxEpochs` caps the repeat count
+    * (the standard guard against memorizing a tiny source), and the
+    * `capped` flag tells the operator which sources the cap bit so the
+    * budget owner can re-allocate the shortfall.
+    *
+    * Determinism: epochs_raw = temp_share · budget / tokens is a single
+    * IEEE expression chain over the mix table's doubles (which are
+    * themselves exact-sum-derived); the cap is `least`, the reported
+    * token plan floors raw·tokens into a bigint. No new shuffle: one
+    * projection over the mix frame (itself one keyed agg + broadcast). */
+  def epochPlan(
+      docs: DataFrame,
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "need positive budget and cap")
+    val mix = temperatureMix(docs, sourceCol, textCol)
+    val raw = (col("temp_share") * lit(budgetTokens.toDouble)) /
+      col("n_tokens").cast("double")
+    mix.select(col(sourceCol), col("n_tokens"), col("temp_share"),
+      round(least(raw, lit(maxEpochs)), 6).as("epochs"),
+      (raw > lit(maxEpochs)).as("capped"),
+      floor(least(raw, lit(maxEpochs)) * col("n_tokens").cast("double"))
+        .cast("bigint").as("planned_tokens"))
+  }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the fraction
+    * of a doc's distinct token n-grams never seen in the reference — the
+    * inverse of the decontamination overlap, used to score candidate data
+    * for how much NEW text it adds to what a model has already trained on
+    * (novelty ≈ 0 → the doc is re-hashed existing content).
+    *
+    * Shape: both sides tokenize once and explode to distinct grams; the
+    * membership test is one gram-keyed equi-join (corpus-novel grams
+    * survive a left join with a null probe), then one keyed agg per doc.
+    * The reference side ships only DISTINCT grams. At 100 TB the same
+    * semantics can run corpus-shuffle-free through the Bloom tier
+    * ([[decontaminateBloom]]'s filter aggregate) at the price of a
+    * one-sided false-positive rate on `n_novel`. Docs shorter than `n`
+    * tokens have no grams: they report n_grams = 0 and a NULL novelty
+    * (not 0 or 1 — the signal is undefined, and the caller's threshold
+    * should not silently keep or drop them). */
+  def ngramNovelty(
+      corpus: DataFrame,
+      reference: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    def withGrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+      df.select(cols :+ toks.as("__toks"): _*)
+        .select(cols :+ explode(
+          when(size(col("__toks")) >= n,
+            transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+              i => array_join(slice(col("__toks"), i, lit(n)), " ")))
+            .otherwise(array())).as("gram"): _*)
+    }
+    val evalGrams = withGrams(corpus, Seq(col(idCol))).distinct()
+    val refGrams = withGrams(reference, Seq.empty)
+      .distinct().withColumn("__hit", lit(1))
+    val perDoc = evalGrams.join(refGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+  }
+
   /** Deterministic stratified sampling by content hash — mixture
     * weighting (e.g. 80% web, 20% code) the reproducible way: a row is
     * kept iff `hash(seed, id) mod 1e6 < fraction(stratum) * 1e6`. Unlike

@@ -511,4 +511,64 @@ class CurationSpec extends SparkSpec {
       (1L to 200L).flatMap(i =>
         Seq(s"tok${i % 37}", s"tok${i % 11}", s"tok${(i * 7) % 53}")).distinct.size.toLong)
   }
+
+  "epochPlan" should "cap tiny sources and leave big ones uncapped" in {
+    // big: ~4000 tokens, tiny: ~40 → the √-share forces many epochs on tiny
+    val docs = ((1 to 100).map(i => (i.toLong, "a b c d e f g h i j " * 4, "big")) ++
+      (1 to 2).map(i => (1000L + i, "a b c d e f g h i j ", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val plan = Curation.epochPlan(docs, budgetTokens = 5000L, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    plan("tiny").getAs[Boolean]("capped") shouldBe true
+    plan("tiny").getAs[Double]("epochs") shouldBe 4.0
+    plan("big").getAs[Boolean]("capped") shouldBe false
+    // planned tokens = epochs · source tokens (floored), never above cap·tokens
+    plan.values.foreach { r =>
+      val planned = r.getAs[Long]("planned_tokens")
+      planned should be <= (4.0 * r.getAs[Long]("n_tokens")).toLong
+      planned.toDouble shouldBe
+        (r.getAs[Double]("epochs") * r.getAs[Long]("n_tokens")) +- 1.0
+    }
+  }
+
+  it should "spend at most the budget when nothing is capped" in {
+    val docs = (1 to 50).map(i => (i.toLong, "a b c d e f g h i j " * 10,
+      s"src${i % 5}")).toDF("doc_id", "text", "source")
+    val plan = Curation.epochPlan(docs, budgetTokens = 4000L, maxEpochs = 100.0)
+      .collect()
+    plan.foreach(_.getAs[Boolean]("capped") shouldBe false)
+    // Σ planned ≈ budget (floor rounding only loses < 1 token per source)
+    val spent = plan.map(_.getAs[Long]("planned_tokens")).sum
+    spent should be <= 4000L
+    spent should be >= 4000L - plan.length.toLong
+  }
+
+  "ngramNovelty" should "score copies 0, fresh docs 1, short docs NULL" in {
+    val ref = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five six seven"), // wholly in ref
+      (2L, "alpha beta gamma delta epsilon zeta"), // wholly novel
+      (3L, "one two three four five NEW NEW2"),   // partially novel
+      (4L, "too short")                            // < 5 tokens → NULL
+    ).toDF("doc_id", "text")
+    val r = Curation.ngramNovelty(corpus, ref, n = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    r(1L).getAs[Double]("novelty") shouldBe 0.0
+    r(2L).getAs[Double]("novelty") shouldBe 1.0
+    // doc 3: grams at positions 1..3; only "one two three four five" is in ref
+    r(3L).getAs[Long]("n_grams") shouldBe 3L
+    r(3L).getAs[Long]("n_novel") shouldBe 2L
+    r(4L).getAs[Long]("n_grams") shouldBe 0L
+    assert(r(4L).isNullAt(r(4L).fieldIndex("novelty")))
+  }
+
+  it should "count distinct grams once however often they repeat" in {
+    val ref = Seq((9L, "x y z w v")).toDF("doc_id", "text")
+    val rep = Seq((1L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = Curation.ngramNovelty(rep, ref, n = 5).collect()(0)
+    // 11 gram positions but only 5 distinct cyclic grams
+    r.getAs[Long]("n_grams") shouldBe 5L
+    r.getAs[Long]("n_novel") shouldBe 5L
+    r.getAs[Double]("novelty") shouldBe 1.0
+  }
 }
