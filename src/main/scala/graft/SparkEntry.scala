@@ -1243,6 +1243,16 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Trigram stupid-backoff LM (Brants 2007): trained on the doc_id%10==0
+    // slice, scoring the rest — the held-out split makes the 0.4-weighted
+    // backoff tiers real. Per doc: trigram count, backoff count, mean NLL
+    "lm_score_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Quality.lmScoreBackoff(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
     // Epoch plan: temperature-mix weights × a 1M-token budget → per-source
     // repeat counts, capped at 4 epochs with the capped flag reported —
     // the actionable schedule the mixture table feeds a training run
@@ -3294,6 +3304,64 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Quality.lmScoreBackoff: train-slice gram tables, the same
+    // four left joins and tiered CASE, ln over one defined IEEE chain,
+    // position-ordered fold — the lm_score determinism contract
+    "lm_score_backoff" ->
+      s"""WITH sbase AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |tbase AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ttok AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(range(1, len(toks) + 1)) AS pos FROM tbase),
+         |tg AS (
+         |  SELECT doc_id, pos, tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+         |  FROM ttok),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg
+         |       WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tg
+         |       WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         |c1 AS (SELECT tok AS w1, count(*) AS c1 FROM ttok GROUP BY 1),
+         |nv AS (SELECT count(*) AS nn, count(DISTINCT tok) AS vv FROM ttok),
+         |stok AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(range(1, len(toks) + 1)) AS pos FROM sbase),
+         |tri AS (
+         |  SELECT doc_id, pos, tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+         |  FROM stok QUALIFY w3 IS NOT NULL),
+         |j AS (
+         |  SELECT t.doc_id, t.pos,
+         |    CASE WHEN c3.c3 IS NOT NULL
+         |           THEN CAST(c3.c3 AS DOUBLE) / CAST(cc.c2 AS DOUBLE)
+         |         WHEN sk.c2 IS NOT NULL
+         |           THEN 0.4 * (CAST(sk.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+         |         ELSE 0.16 * ((CAST(coalesce(u3.c1, 0) AS DOUBLE) + 1.0)
+         |           / (CAST(nn AS DOUBLE) + CAST(vv AS DOUBLE)))
+         |    END AS s,
+         |    CASE WHEN c3.c3 IS NOT NULL THEN 0
+         |         WHEN sk.c2 IS NOT NULL THEN 1 ELSE 2 END AS tier
+         |  FROM tri t
+         |  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+         |  LEFT JOIN c2 cc ON t.w1 = cc.w1 AND t.w2 = cc.w2
+         |  LEFT JOIN c2 sk ON t.w2 = sk.w1 AND t.w3 = sk.w2
+         |  LEFT JOIN c1 u2 ON t.w2 = u2.w1
+         |  LEFT JOIN c1 u3 ON t.w3 = u3.w1
+         |  CROSS JOIN nv),
+         |agg AS (
+         |  SELECT doc_id, list(ln(s) ORDER BY pos) AS xs, count(*) AS nt,
+         |    CAST(sum(CASE WHEN tier > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_backoff
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_trigrams, n_backoff,
+         |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nt AS DOUBLE), 6)
+         |    AS nll
+         |FROM agg""".stripMargin,
 
     // mirrors Curation.epochPlan: the temperature_mix replay extended by
     // the same IEEE chain epochs = share·budget/tokens, least-capped,

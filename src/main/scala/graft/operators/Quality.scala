@@ -179,6 +179,99 @@ object Quality {
             col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** Trigram language model with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the score web-scale
+    * pipelines use precisely because it needs no discounting pass):
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)                    if the trigram is seen
+    *              = 0.4 · c(w2w3)/c(w2)                  else if the bigram is
+    *              = 0.4² · (c(w3)+1)/(N+V)               else (add-one unigram)
+    *
+    * trained on `train` and scoring `score` — the held-out split is what
+    * makes the backoff tiers real (training on the scored corpus itself
+    * would make every trigram seen, reducing this to [[lmScore]]'s shape).
+    * Per doc: n_trigrams and the mean negative log-score.
+    *
+    * Determinism: every S is a short fixed chain of IEEE ops over exact
+    * integer counts (one division; backoff adds one multiply), `ln` on
+    * top, and the per-doc sum is the position-ordered fold the other LM
+    * scorers use; rounded to 6. Seen-trigram implies c(w1w2) > 0 and
+    * seen-bigram implies c(w2) > 0, so no division ever sees zero.
+    *
+    * Scale shape: count tables are keyed aggregations of the train
+    * corpus' gram streams (map-side partials); scoring is four equi-joins
+    * of the score-side trigram stream against those tables (trigram,
+    * context-bigram, skip-bigram, unigram) plus a broadcast 1-row (N, V)
+    * rollup. Gram tables are vocab-scale, not corpus-scale — they shuffle
+    * once each and AQE broadcasts them when small. Nothing iterates. */
+  def lmScoreBackoff(
+      score: DataFrame,
+      train: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def toks(df: DataFrame, keyAlias: String): DataFrame =
+      graft.operators.Fan.spread(
+        df.select(col(idCol).as(keyAlias), col(textCol)))
+        .select(Seq(col(keyAlias), posexplode(filter(T.tokens(col(textCol)),
+          t => length(t) > 0)).as(Seq("pos", "tok"))): _*)
+    // train-side gram tables, each one keyed agg over the token stream;
+    // the gram-building window is PER-DOCUMENT so no gram spans two docs
+    val trainTok = toks(train, "__tid")
+    val wDoc = Window.partitionBy(col("__tid")).orderBy(col("pos"))
+    val trainGrams = trainTok
+      .withColumn("w2", lead(col("tok"), 1).over(wDoc))
+      .withColumn("w3", lead(col("tok"), 2).over(wDoc))
+    val c3 = trainGrams.filter(col("w3").isNotNull)
+      .groupBy(col("tok").as("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = trainGrams.filter(col("w2").isNotNull)
+      .groupBy(col("tok").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = trainTok.groupBy(col("tok").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val nv = broadcast(trainTok.agg(
+      count(lit(1)).as("__n"), countDistinct(col("tok")).as("__v")))
+    // score-side trigram stream
+    val tri = toks(score, idCol)
+      .withColumn("w2", lead(col("tok"), 1).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .withColumn("w3", lead(col("tok"), 2).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("w3").isNotNull)
+      .select(col(idCol), col("pos"), col("tok").as("w1"), col("w2"), col("w3"))
+    val joined = tri
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2skip")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("c1").as("c1w3")),
+        Seq("w3"), "left")
+      .crossJoin(nv)
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("c2skip").isNotNull,
+        lit(0.4) * (col("c2skip").cast("double") / col("c1w2").cast("double")))
+      .otherwise(lit(0.16) *
+        ((coalesce(col("c1w3"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("__n").cast("double") + col("__v").cast("double"))))
+    joined
+      .select(col(idCol), col("pos"), log(s).as("lns"),
+        when(col("c3").isNotNull, 0L)
+          .when(col("c2skip").isNotNull, 1L).otherwise(2L).as("tier"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("lns")))).as("__xs"),
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") > 0, 1L).otherwise(0L)).as("n_backoff"))
+      .select(col(idCol), col("n_trigrams"), col("n_backoff"),
+        round(
+          negate(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("lns"))) /
+            col("n_trigrams").cast("double"), 6).as("nll"))
+  }
+
   /** Hashed-feature linear quality classifier — the fastText-style gate
     * (Joulin et al. 2016) most production corpus pipelines run after the
     * rule batteries: tokens hash into `nBuckets` feature buckets, each

@@ -125,4 +125,42 @@ class QualitySpec extends SparkSpec {
     got(4L) shouldBe ((1L, 1L, false))
     got(5L) shouldBe ((0L, 0L, true))
   }
+
+  behavior of "lmScoreBackoff"
+
+  it should "hit all three backoff tiers on a hand-built split" in {
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // trigrams of the scored doc:
+    //  (a,b,c): seen in train → tier 0, S = c3/c2(a,b) = 1/2
+    //  (b,c,x): unseen trigram, bigram (c,x) unseen, x unseen unigram
+    //           → tier 2, S = 0.16·(0+1)/(N+V) = 0.16/(6+4)
+    //  (c,x,a): unseen trigram, bigram (x,a) unseen, a seen (c1=2)
+    //           → tier 2, S = 0.16·(2+1)/10
+    val score = Seq((1L, "a b c x a")).toDF("doc_id", "text")
+    val r = Quality.lmScoreBackoff(score, train).collect()(0)
+    r.getAs[Long]("n_trigrams") shouldBe 3L
+    r.getAs[Long]("n_backoff") shouldBe 2L
+    val expected = -(math.log(1.0 / 2.0) + math.log(0.16 * 1.0 / 10.0) +
+      math.log(0.16 * 3.0 / 10.0)) / 3.0
+    r.getAs[Double]("nll") shouldBe expected +- 1e-6
+  }
+
+  it should "use the 0.4-weighted bigram tier when only the trigram is unseen" in {
+    // train has bigram (b,d) inside "a b d" but never trigram (c,b,d)
+    val train = Seq((100L, "a b d c b e")).toDF("doc_id", "text")
+    val score = Seq((1L, "c b d")).toDF("doc_id", "text")
+    val r = Quality.lmScoreBackoff(score, train).collect()(0)
+    r.getAs[Long]("n_trigrams") shouldBe 1L
+    r.getAs[Long]("n_backoff") shouldBe 1L
+    // S = 0.4 · c(b,d)/c1(b) = 0.4 · 1/2
+    r.getAs[Double]("nll") shouldBe -math.log(0.4 * 0.5) +- 1e-6
+  }
+
+  it should "never back off when scoring the training corpus itself" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps under the warm sun")).toDF("doc_id", "text")
+    val rows = Quality.lmScoreBackoff(docs, docs).collect()
+    rows.foreach(_.getAs[Long]("n_backoff") shouldBe 0L)
+  }
 }
