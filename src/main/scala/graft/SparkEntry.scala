@@ -1243,6 +1243,34 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 leg's top-20
+    // and the dense top-20 (query = vec_id 0) merge on ranks alone —
+    // 1/(60+rank) contributions, modality-ordered fold, top-10 cut
+    "rrf_fusion" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val sparse = graft.operators.Curation.bm25Search(
+        t(s, d, "documents"), Seq("spark", "vector", "customer"), topK = 20)
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("rank"))
+      val e = t(s, d, "embeddings")
+      val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq(("bm25", sparse), ("dense", dense)), k = 60, topK = 10)
+    }),
+
+    // MMR diversity re-rank of the dense top-10 shortlists (3 queries):
+    // 4 greedy unrolled iterations, λ=0.7 relevance vs max-cosine
+    // redundancy penalty — the de-duplicated result page
+    "mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cand = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 10)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+      graft.operators.Retrieval.mmrRerank(cand, k = 4, lambda = 0.7)
+    }),
+
     // Trigram stupid-backoff LM (Brants 2007): trained on the doc_id%10==0
     // slice, scoring the rest — the held-out split makes the 0.4-weighted
     // backoff tiers real. Per doc: trigram count, backoff count, mean NLL
@@ -3304,6 +3332,106 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Retrieval.rrfFuse over the two legs: the bm25_search replay
+    // cut at 20 with ranks, the vector_knn replay for query vec 0, then
+    // 1/(60+rank) contributions folded in modality order
+    "rrf_fusion" -> {
+      val cos = s"round(${cosineSql("e.embedding", "qv.qv", 64)}, 6)"
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |bsc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+         |bagg AS (
+         |  SELECT doc_id, round(list_reduce(list(s ORDER BY term),
+         |    (x, y) -> x + y), 6) AS bm25
+         |  FROM bsc GROUP BY 1),
+         |btop AS (SELECT doc_id, bm25 FROM bagg
+         |         ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |sp AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |       FROM btop),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS doc_id, $cos AS cosine
+         |        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         |dtop AS (SELECT doc_id, cosine FROM dsc
+         |         ORDER BY cosine DESC, doc_id LIMIT 20),
+         |dn AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+         |       FROM dtop),
+         |u AS (
+         |  SELECT doc_id, 'bm25' AS m,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sp
+         |  UNION ALL
+         |  SELECT doc_id, 'dense' AS m,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM dn),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rankings,
+         |        list(c ORDER BY m) AS xs
+         |      FROM u GROUP BY 1)
+         |SELECT doc_id, n_rankings,
+         |  round(list_reduce(xs, (x, y) -> x + y), 6) AS rrf_score
+         |FROM a ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // mirrors Retrieval.mmrRerank: the vector_knn candidate replay for 3
+    // queries, then 4 unrolled greedy CTE iterations — anti-join the
+    // selected set, max-cosine penalty, λ-weighted argmax, ties by id
+    "mmr_rerank" -> {
+      val lam = 0.7
+      val oneMinus = 1.0 - lam // same IEEE subtraction the Scala side does
+      val candCos = s"round(${cosineSql("e.embedding", "q.embedding", 64)}, 6)"
+      val simCos = s"round(${cosineSql("c.v", "s.v", 64)}, 6)"
+      def iter(i: Int): String =
+        s"""rem$i AS (
+           |  SELECT c.* FROM cand c
+           |  LEFT JOIN sel${i - 1} s ON c.query_id = s.query_id AND c.id = s.id
+           |  WHERE s.id IS NULL),
+           |pen$i AS (
+           |  SELECT c.query_id, c.id, any_value(c.rel) AS rel,
+           |    any_value(c.v) AS v, max($simCos) AS ms
+           |  FROM rem$i c JOIN sel${i - 1} s ON c.query_id = s.query_id
+           |  GROUP BY 1, 2),
+           |pick$i AS (
+           |  SELECT query_id, id, rel, v,
+           |    $lam * rel - $oneMinus * ms AS mmr, $i AS rank
+           |  FROM pen$i
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $lam * rel - $oneMinus * ms DESC, id) = 1),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+      s"""WITH cand AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS id, $candCos AS rel,
+         |    e.embedding AS v
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+         |    ON e.vec_id <> q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $candCos DESC, e.vec_id) <= 10),
+         |sel1 AS (
+         |  SELECT query_id, id, rel, v, $lam * rel AS mmr, 1 AS rank
+         |  FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $lam * rel DESC, id) = 1),
+         |${iter(2)},
+         |${iter(3)},
+         |${iter(4)}
+         |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) AS rank,
+         |  mmr AS mmr_score
+         |FROM sel4""".stripMargin
+    },
 
     // mirrors Quality.lmScoreBackoff: train-slice gram tables, the same
     // four left joins and tiered CASE, ln over one defined IEEE chain,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Retrieval composition on top of the ranking primitives: hybrid
+  * sparse+dense fusion and diversity re-ranking. The single-modality
+  * rankers live with their index structures ([[Curation.bm25Search]],
+  * [[Similarity.bruteForceTopK]] / IVF / PQ); this module combines their
+  * OUTPUTS, so it is shortlist-scale by construction — every frame here is
+  * |queries| × topN rows, never corpus-scale. That is the 100 TB shape:
+  * fusion and re-ranking cost nothing next to the retrieval legs, and the
+  * legs keep their own scale paths (posting-list filter, ANN cells).
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fused
+    * score(d) = Σ_rankings 1/(k + rank_r(d)), the standard way to merge a
+    * BM25 leg with a dense-vector leg without calibrating their
+    * incomparable scores — only RANKS cross the boundary, which is what
+    * makes the fusion robust (and deterministic: no score scaling).
+    *
+    * Determinism: each contribution is one IEEE division of exact
+    * integers; the per-doc sum folds over the rankings in MODALITY-NAME
+    * order (sorted struct fold — FP addition order pinned even with 3+
+    * legs), rounded to 6; the final cut is a total order (score desc, id
+    * asc) under `limit` → `TakeOrderedAndProject`.
+    *
+    * @param rankings (modalityName, frame) pairs; each frame carries
+    *                 (idCol, rank) with rank 1-based — the top-N output
+    *                 of a retrieval leg. Names must be distinct.
+    */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)],
+      k: Int = 60,
+      topK: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "modality names must be distinct")
+    require(k >= 0 && topK > 0, "need k >= 0 and topK > 0")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col(idCol), lit(name).as("__m"),
+        (lit(1.0) / (lit(k).cast("double") + col("rank").cast("double")))
+          .as("__c"))
+    }.reduce(_ unionByName _)
+    tagged.groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("__m"), col("__c")))).as("__xs"),
+        count(lit(1)).as("n_rankings"))
+      .select(col(idCol), col("n_rankings"),
+        round(aggregate(col("__xs"), lit(0.0), (a, x) => a + x("__c")), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick, per query, the candidate maximizing
+    *
+    *   mmr = λ·rel − (1−λ)·max_{s ∈ selected} cos(candidate, s)
+    *
+    * so the final top-k trades relevance against redundancy — the
+    * de-duplicated result page / diverse few-shot-example selection step.
+    * The first pick is the pure-relevance argmax (empty-set penalty 0).
+    *
+    * Greedy selection is inherently sequential in k, so the operator
+    * UNROLLS k iterations of dataframe ops: anti-join the selected set,
+    * one equi-join against the ≤(i−1)-row-per-query selected frame for
+    * the max-similarity penalty (max is order-independent), one window
+    * top-1 per query. Every frame is shortlist-scale (|queries|·topN);
+    * the candidates frame is localCheckpoint-ed once since all k
+    * iterations re-read it. Determinism: rel and sims are 6-rounded
+    * cosines, mmr is a fixed 3-op IEEE chain, ties break by id.
+    *
+    * @param candidates per-query shortlist: (queryCol, idCol, relCol,
+    *                   vecCol) — e.g. [[Similarity.bruteForceTopK]]
+    *                   joined back to its vectors
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      queryCol: String = "query_id",
+      idCol: String = "neighbor_id",
+      relCol: String = "cosine",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 100, s"k out of range: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda out of range: $lambda")
+    val cand = candidates.select(
+      col(queryCol), col(idCol), col(relCol).as("__rel"),
+      col(vecCol).as("__v")).localCheckpoint()
+    def top1(scored: DataFrame): DataFrame = scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("__mmr").desc, col(idCol).asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    var selected = top1(cand.withColumn("__mmr", lit(lambda) * col("__rel")))
+      .withColumn("rank", lit(1))
+    for (i <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col(queryCol), col(idCol)), Seq(queryCol, idCol),
+        "left_anti")
+      val penalized = remaining.join(
+        selected.select(col(queryCol), col("__v").as("__sv")), Seq(queryCol))
+        .groupBy(col(queryCol), col(idCol))
+        .agg(first(col("__rel")).as("__rel"), first(col("__v")).as("__v"),
+          max(round(V.cosine(col("__v"), col("__sv")), 6)).as("__ms"))
+      val pick = top1(penalized.withColumn("__mmr",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms")))
+        .withColumn("rank", lit(i))
+      selected = selected.unionByName(pick.select(selected.columns.map(col): _*))
+    }
+    // mmr_score ships UNROUNDED: the 3-op IEEE chain over 6-rounded
+    // inputs replays bit-for-bit in any engine, while round() itself is
+    // the one op engines disagree on at shortest-repr .5 straddles
+    selected.select(col(queryCol), col(idCol), col("rank"),
+      col("__mmr").as("mmr_score"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "rrfFuse"
+
+  it should "rank consensus docs above single-leg docs with exact scores" in {
+    val sparse = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq(("bm25", sparse), ("dense", dense)))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // doc 20 appears in both legs: 1/(60+2) + 1/(60+1)
+    r(20L)._1 shouldBe 2L
+    r(20L)._2 shouldBe
+      BigDecimal(1.0 / 62.0 + 1.0 / 61.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r(10L)._1 shouldBe 1L
+    // consensus beats both single-leg rank-1 contributions
+    r(20L)._2 should be > r(10L)._2
+    r(20L)._2 should be > r(40L)._2
+  }
+
+  it should "cut to topK under the total order and reject duplicate names" in {
+    val leg = (1L to 50L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
+    Retrieval.rrfFuse(Seq(("a", leg)), topK = 7).count() shouldBe 7L
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.rrfFuse(Seq(("a", leg), ("a", leg)))
+  }
+
+  behavior of "mmrRerank"
+
+  // query direction (1,0,0); c2 is nearly a copy of c1, c3 is distinct
+  private def cand3 = Seq(
+    (0L, 1L, 0.9, Array(0.9f, 0.436f, 0.0f)),
+    (0L, 2L, 0.89, Array(0.89f, 0.456f, 0.0f)),
+    (0L, 3L, 0.85, Array(0.85f, -0.527f, 0.0f))
+  ).toDF("query_id", "neighbor_id", "cosine", "embedding")
+
+  it should "trade relevance for diversity at moderate lambda" in {
+    val picks = Retrieval.mmrRerank(cand3, k = 2, lambda = 0.7)
+      .orderBy("rank").collect().map(_.getLong(1))
+    // rank 1 is the pure-relevance argmax; rank 2 skips the near-copy
+    picks shouldBe Array(1L, 3L)
+  }
+
+  it should "reduce to pure relevance order at lambda = 1" in {
+    val picks = Retrieval.mmrRerank(cand3, k = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1))
+    picks shouldBe Array(1L, 2L, 3L)
+  }
+
+  it should "stop early for queries with fewer candidates than k" in {
+    val cand = Seq(
+      (0L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.8, Array(0.0f, 1.0f)),
+      (1L, 7L, 0.5, Array(1.0f, 0.0f))
+    ).toDF("query_id", "neighbor_id", "cosine", "embedding")
+    val rows = Retrieval.mmrRerank(cand, k = 4, lambda = 0.7).collect()
+    rows.count(_.getLong(0) == 0L) shouldBe 2
+    rows.count(_.getLong(0) == 1L) shouldBe 1
+  }
+}
