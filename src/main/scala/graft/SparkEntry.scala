@@ -1243,6 +1243,35 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Deterministic synchronous label propagation over the symmetrized
+    // kNN graph (3 iterations, most-frequent neighbor label, ties to
+    // smallest) — community detection coarser than connected components,
+    // exact integer semantics so the iterations replay as unrolled CTEs
+    "label_prop" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.labelPropagation(
+        edges, e.select(col("vec_id").as("id")), iters = 3)
+    }),
+
+    // Z-order layout index over events (user_id × hour, 8 bits each):
+    // the Morton interleave + 32 equal z-range buckets that make min/max
+    // footer pruning work for two filter dimensions at once — pure
+    // row-local integer projection, the re-layout shuffle lives in
+    // Layout.zOrderWrite (spec-pinned disjoint file ranges)
+    "zorder_layout" -> ((s, d) =>
+      graft.operators.Layout.zOrderLayout(
+        eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        pmod(col("user_id"), lit(256L)),
+        pmod(expr("ts div 3600000000"), lit(256L)),
+        bits = 8, nBuckets = 32)
+        .select(col("event_id"), col("zx"), col("zy"),
+          col("zindex"), col("bucket"))),
+
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 leg's top-20
     // and the dense top-20 (query = vec_id 0) merge on ranks alone —
     // 1/(60+rank) contributions, modality-ordered fold, top-10 cut
@@ -3332,6 +3361,67 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Graphs.labelPropagation over the knn_graph edges: the same
+    // candidate replay symmetrized, then 3 unrolled mode-label CTEs
+    // (count desc, label asc argmax) — exact integers end to end
+    "label_prop" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      def iter(i: Int): String =
+        s"""cnt$i AS (
+           |  SELECT e.dst, l.label, count(*) AS c
+           |  FROM edges e JOIN lab${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+           |pk$i AS (
+           |  SELECT dst AS id, label FROM cnt$i
+           |  QUALIFY row_number() OVER (PARTITION BY dst
+           |                             ORDER BY c DESC, label) = 1),
+           |lab$i AS (
+           |  SELECT l.id, coalesce(p.label, l.label) AS label
+           |  FROM lab${i - 1} l LEFT JOIN pk$i p ON l.id = p.id)""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges0 AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM edges0)),
+         |lab0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, label AS community FROM lab3""".stripMargin
+    },
+
+    // mirrors Layout.zOrderLayout: the same unrolled div/mod Morton terms
+    // and the 2048-wide z-range cut — exact integer arithmetic only
+    "zorder_layout" -> {
+      val terms = (0 until 8).map { i =>
+        s"((zx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((zy // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |    CAST(user_id % 256 AS BIGINT) AS zx,
+         |    CAST((epoch_us(ts) // 3600000000) % 256 AS BIGINT) AS zy
+         |  FROM events),
+         |z AS (SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zindex
+         |      FROM e)
+         |SELECT event_id, zx, zy, zindex,
+         |  CAST(zindex // 2048 AS BIGINT) AS bucket
+         |FROM z""".stripMargin
+    },
 
     // mirrors Retrieval.rrfFuse over the two legs: the bm25_search replay
     // cut at 20 with ranks, the vector_knn replay for query vec 0, then

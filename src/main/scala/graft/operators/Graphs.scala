@@ -44,6 +44,59 @@ object Graphs {
     * @return (id, rank_ppm) — Σ rank_ppm ≈ 10^6 · |nodes| minus truncated
     *         and dangling mass
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC update rule: each iteration every node adopts the MOST
+    * FREQUENT label among its in-neighbors, ties broken by smallest
+    * label, isolated nodes keeping their own — the cheap community
+    * detector for the near-duplicate / semantic-neighbor graph (coarser
+    * than connected components, which union everything touching; LPA
+    * splits a chain of weak bridges into dense cores).
+    *
+    * Classic LPA is nondeterministic (random visit order, random ties);
+    * this variant is synchronous with a total tie order, so a fixed
+    * iteration count yields ONE defined answer that replays as unrolled
+    * SQL CTEs — the pageRank discipline. Labels are node ids (bigints);
+    * the mode is a count aggregation + one windowed argmax — exact
+    * integer semantics, nothing FP anywhere.
+    *
+    * Scale shape: the symmetrized edge frame is localCheckpoint-ed once;
+    * each iteration is one src-keyed join to the node-scale label frame,
+    * one (dst, label)-keyed count, one dst-partitioned window top-1, and
+    * a left join back to nodes — all slim frames, shuffles keyed by node
+    * id, no quadratic anywhere. `iters` is fixed and small, so lineage
+    * stays shallow.
+    *
+    * @param edges directed (src, dst) frame — symmetrized internally so
+    *              neighbor influence flows both ways
+    * @param nodes one-column (id) frame enumerating ALL nodes
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.select(col("id"))
+    var labels = n.select(col("id"), col("id").as("label"))
+    for (_ <- 0 until iters) {
+      val counts = e
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val pick = counts
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("label").as("__new"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+    }
+    labels.withColumnRenamed("label", "community")
+  }
+
   def pageRank(
       edges: DataFrame,
       nodes: DataFrame,

@@ -60,4 +60,39 @@ class GraphsSpec extends SparkSpec {
     val r = run(edges, (1L to 20L), 3)
     spokes.foreach(s => r(1L) should be > r(s))
   }
+
+  behavior of "labelPropagation"
+
+  private def lpa(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int) =
+    Graphs.labelPropagation(
+      edges.toDF("src", "dst"), nodes.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  it should "split two bridged triangles that connected components would merge" in {
+    // triangles {1,2,3} and {4,5,6} with one bridge 3-4; node 7 isolated.
+    // Hand-rolled synchronous mode/min updates give {1,2,3}→1, {4,5,6}→3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val r = lpa(edges, 1L to 7L, iters = 3)
+    Seq(1L, 2L, 3L).map(r) shouldBe Seq(1L, 1L, 1L)
+    Seq(4L, 5L, 6L).map(r) shouldBe Seq(3L, 3L, 3L)
+    r(7L) shouldBe 7L // isolated node keeps its own label
+  }
+
+  it should "symmetrize directed edges so influence flows both ways" in {
+    val r = lpa(Seq((1L, 2L)), Seq(1L, 2L), iters = 1)
+    // each adopts the other's (only) neighbor label, then min rules
+    r(1L) shouldBe 2L
+    r(2L) shouldBe 1L
+  }
+
+  it should "be invariant to input partitioning" in {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    def run(parts: Int) = Graphs.labelPropagation(
+      edges.toDF("src", "dst").repartition(parts), (0L until 40L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run(2) shouldBe run(13)
+  }
 }

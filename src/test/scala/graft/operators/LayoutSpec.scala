@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "morton2"
+
+  it should "interleave bits with x in the odd positions" in {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (3L, 3L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      Layout.morton2(col("x"), col("y"), bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got((0L, 0L)) shouldBe 0L
+    got((1L, 0L)) shouldBe 2L  // x bit 0 → position 1
+    got((0L, 1L)) shouldBe 1L  // y bit 0 → position 0
+    got((3L, 1L)) shouldBe 11L // 1011: x=11 odd positions, y=01 even
+    got((3L, 3L)) shouldBe 15L
+  }
+
+  it should "match a reference interleave on random 8-bit inputs" in {
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i + 1)) |
+        (((y >> i) & 1L) << (2 * i))).sum
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.morton2(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => got((x, y)) shouldBe ref(x, y) }
+  }
+
+  behavior of "zOrderLayout"
+
+  it should "cut buckets as equal-width z ranges and reject non-power-of-two" in {
+    val df = (0L until 256L).flatMap(x => Seq((x, x))).toDF("x", "y")
+    val laid = Layout.zOrderLayout(df, col("x"), col("y"), bits = 8, nBuckets = 32)
+      .collect()
+    laid.foreach { r =>
+      r.getAs[Long]("bucket") shouldBe r.getAs[Long]("zindex") / 2048L
+    }
+    // the diagonal walk starts in bucket 0 and ends in the last bucket,
+    // never leaving the 32-bucket range
+    val buckets = laid.map(_.getAs[Long]("bucket"))
+    buckets.min shouldBe 0L
+    buckets.max shouldBe 31L
+    all(buckets) should (be >= 0L and be <= 31L)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderLayout(df, col("x"), col("y"), 8, nBuckets = 5)
+  }
+
+  it should "keep a 2-D box query inside a small set of buckets" in {
+    val pts = for (x <- 0L until 256L by 4; y <- 0L until 256L by 4) yield (x, y)
+    val laid = Layout.zOrderLayout(pts.toDF("x", "y"), col("x"), col("y"), 8, 64)
+    // a 16×16 box in one corner of the 256×256 space: with z-order it
+    // touches very few of the 64 buckets (perfect locality would be 1)
+    val touched = laid.filter(col("zx") < 16 && col("zy") < 16)
+      .select(col("bucket")).distinct().count()
+    touched should be <= 4L
+    // the same box under a row-major layout (x*256+y) spans 16 stripes —
+    // z-order must beat that clustering by a wide margin
+    touched should be < 16L
+  }
+
+  behavior of "zOrderWrite"
+
+  it should "produce partitions covering disjoint zindex ranges" in {
+    val rnd = new scala.util.Random(9)
+    val pts = Seq.fill(2000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val laid = Layout.zOrderWrite(pts.toDF("x", "y"), col("x"), col("y"),
+      bits = 8, nPartitions = 8)
+    val ranges = laid
+      .select(spark_partition_id().as("pid"), col("zindex"))
+      .groupBy("pid").agg(min("zindex").as("lo"), max("zindex").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be <= lo2
+      case _ =>
+    }
+  }
+}
