@@ -1276,15 +1276,12 @@ object SparkEntry {
     // and the dense top-20 (query = vec_id 0) merge on ranks alone —
     // 1/(60+rank) contributions, modality-ordered fold, top-10 cut
     "rrf_fusion" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bm25").desc, col("doc_id").asc)
       val sparse = graft.operators.Curation.bm25Search(
         t(s, d, "documents"), Seq("spark", "vector", "customer"), topK = 20)
-        .withColumn("rank", row_number().over(w))
-        .select(col("doc_id"), col("rank"))
+        .select(col("doc_id"), col("bm25").as("score"))
       val e = t(s, d, "embeddings")
       val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 20)
-        .select(col("neighbor_id").as("doc_id"), col("rank"))
+        .select(col("neighbor_id").as("doc_id"), col("cosine").as("score"))
       graft.operators.Retrieval.rrfFuse(
         Seq(("bm25", sparse), ("dense", dense)), k = 60, topK = 10)
     }),

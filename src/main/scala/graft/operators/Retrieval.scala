@@ -29,25 +29,36 @@ object Retrieval {
     * legs), rounded to 6; the final cut is a total order (score desc, id
     * asc) under `limit` → `TakeOrderedAndProject`.
     *
+    * Ranks are assigned HERE, inside a window partitioned by the modality
+    * tag: each partition is one leg's already-cut top-N shortlist, so the
+    * window is bounded by construction (never corpus-scale — pass CUT
+    * legs, not full score tables).
+    *
     * @param rankings (modalityName, frame) pairs; each frame carries
-    *                 (idCol, rank) with rank 1-based — the top-N output
-    *                 of a retrieval leg. Names must be distinct.
+    *                 (idCol, score) — the top-N output of a retrieval
+    *                 leg, scored descending. Names must be distinct.
     */
   def rrfFuse(
       rankings: Seq[(String, DataFrame)],
       k: Int = 60,
       topK: Int = 10,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(rankings.map(_._1).distinct.size == rankings.size,
       "modality names must be distinct")
     require(k >= 0 && topK > 0, "need k >= 0 and topK > 0")
     val tagged = rankings.map { case (name, df) =>
-      df.select(col(idCol), lit(name).as("__m"),
+      df.select(col(idCol), lit(name).as("__m"), col(scoreCol).as("__s"))
+    }.reduce(_ unionByName _)
+    val ranked = tagged
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__m"))
+          .orderBy(col("__s").desc, col(idCol).asc)))
+      .select(col(idCol), col("__m"),
         (lit(1.0) / (lit(k).cast("double") + col("rank").cast("double")))
           .as("__c"))
-    }.reduce(_ unionByName _)
-    tagged.groupBy(col(idCol))
+    ranked.groupBy(col(idCol))
       .agg(
         sort_array(collect_list(struct(col("__m"), col("__c")))).as("__xs"),
         count(lit(1)).as("n_rankings"))
@@ -102,11 +113,15 @@ object Retrieval {
     var selected = top1(cand.withColumn("__mmr", lit(lambda) * col("__rel")))
       .withColumn("rank", lit(1))
     for (i <- 2 to k) {
+      // the selected frame is <= (i-1) rows per query — broadcast it
+      // explicitly (checkpointed inputs carry no stats, so the static
+      // planner would otherwise sort-merge a provably tiny side)
       val remaining = cand.join(
-        selected.select(col(queryCol), col(idCol)), Seq(queryCol, idCol),
-        "left_anti")
+        broadcast(selected.select(col(queryCol), col(idCol))),
+        Seq(queryCol, idCol), "left_anti")
       val penalized = remaining.join(
-        selected.select(col(queryCol), col("__v").as("__sv")), Seq(queryCol))
+        broadcast(selected.select(col(queryCol), col("__v").as("__sv"))),
+        Seq(queryCol))
         .groupBy(col(queryCol), col(idCol))
         .agg(first(col("__rel")).as("__rel"), first(col("__v")).as("__v"),
           max(round(V.cosine(col("__v"), col("__sv")), 6)).as("__ms"))

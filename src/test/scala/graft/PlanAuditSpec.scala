@@ -308,6 +308,59 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "robust_stats" should "sort per group (lang-partitioned windows), never globally" in {
+    val plan = executed("robust_stats")
+    plan should include("windowspecdefinition(lang")
+    plan should not include "CartesianProduct"
+    // the per-group 1-row percentile frame joins back by broadcast
+    plan should include("BroadcastHashJoin")
+  }
+
+  "quality_ecdf" should "rank inside lang partitions over one pruned scan" in {
+    val plan = executed("quality_ecdf")
+    plan should include("windowspecdefinition(lang")
+    plan should not include "Exchange hashpartitioning(doc_id"
+  }
+
+  "zorder_layout" should "be a pure row-local projection with no shuffle at all" in {
+    val plan = executed("zorder_layout")
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  "rrf_fusion" should "rank per modality and cut with TakeOrderedAndProject" in {
+    val plan = executed("rrf_fusion")
+    plan should include("windowspecdefinition(__m")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  "mmr_rerank" should "iterate over the checkpointed shortlist with keyed joins only" in {
+    val plan = executed("mmr_rerank")
+    plan should include("Scan ExistingRDD")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  "label_prop" should "iterate keyed equi-joins over the checkpointed symmetrized edges" in {
+    val plan = executed("label_prop")
+    plan should include("Scan ExistingRDD")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "lm_score_backoff" should "probe the count tables with equi-joins, partial-agg map-side" in {
+    val plan = executed("lm_score_backoff")
+    plan should not include "CartesianProduct"
+    plan should include("partial_count")
+  }
+
+  "ngram_novelty" should "aggregate grams with map-side partials and no cartesian" in {
+    val plan = executed("ngram_novelty")
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -10,11 +10,11 @@ class RetrievalSpec extends SparkSpec {
   behavior of "rrfFuse"
 
   it should "rank consensus docs above single-leg docs with exact scores" in {
-    val sparse = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
-    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val sparse = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
+    val dense = Seq((20L, 0.9), (40L, 0.5)).toDF("doc_id", "score")
     val r = Retrieval.rrfFuse(Seq(("bm25", sparse), ("dense", dense)))
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
-    // doc 20 appears in both legs: 1/(60+2) + 1/(60+1)
+    // doc 20 is sparse rank 2 and dense rank 1: 1/(60+2) + 1/(60+1)
     r(20L)._1 shouldBe 2L
     r(20L)._2 shouldBe
       BigDecimal(1.0 / 62.0 + 1.0 / 61.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -25,7 +25,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   it should "cut to topK under the total order and reject duplicate names" in {
-    val leg = (1L to 50L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
+    val leg = (1L to 50L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
     Retrieval.rrfFuse(Seq(("a", leg)), topK = 7).count() shouldBe 7L
     an[IllegalArgumentException] should be thrownBy
       Retrieval.rrfFuse(Seq(("a", leg), ("a", leg)))
