@@ -1243,6 +1243,26 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Per-doc token-distribution Shannon entropy: the repetition signal
+    // type/token ratio misses — row-local HOF counts over the doc's own
+    // token array, sorted-distinct fold, 0.0 for empty docs
+    "text_entropy" -> ((s, d) =>
+      graft.operators.Fan.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          filter(T.tokens(col("text")), tk => length(tk) > 0).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+          T.tokenEntropyOnTokens(col("__toks")).as("entropy"))),
+
+    // Per-language equi-width length histogram (10 × 100-char bins,
+    // last bin open): the distribution report beside robust_stats —
+    // exact integer bin math, one keyed agg, sparse bins
+    "hist_lengths" -> ((s, d) =>
+      graft.operators.Reports.lengthHistogram(
+        t(s, d, "documents"), "lang", col("n_chars"),
+        width = 100L, nBins = 10)),
+
     // Deterministic synchronous label propagation over the symmetrized
     // kNN graph (3 iterations, most-frequent neighbor label, ties to
     // smallest) — community detection coarser than connected components,
@@ -3358,6 +3378,34 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors T.tokenEntropyOnTokens: the same per-distinct-token filter
+    // counts and sorted subtract-fold (a − p·ln p), CASE-guarded empties
+    "text_entropy" -> {
+      val p = "(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))"
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(toks) > 0 THEN round(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(list_sort(list_distinct(toks)),
+         |          t -> $p * ln($p))),
+         |      (a, x) -> a - x), 6)
+         |    ELSE 0.0 END AS entropy
+         |FROM base""".stripMargin
+    },
+
+    // mirrors Reports.lengthHistogram: least(v div 100, 9) exact bin cut
+    "hist_lengths" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(least(n_chars // 100, 9) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bin * 100 AS BIGINT) AS bin_lo
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // mirrors Graphs.labelPropagation over the knn_graph edges: the same
     // candidate replay symmetrized, then 3 unrolled mode-label CTEs

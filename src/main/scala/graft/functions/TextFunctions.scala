@@ -25,6 +25,31 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Shannon entropy of the within-document token distribution,
+    * H = −Σ_t (c_t/n)·ln(c_t/n) over distinct tokens t — the repetition
+    * signal that catches what a type/token ratio misses (a doc cycling
+    * ten phrases has high distinct-ratio but low entropy). Row-local:
+    * the per-distinct-token counts come from HOF `filter` counts over
+    * the row's own token array (quadratic in the ROW's vocabulary —
+    * bounded by document length, never corpus-scale), and the sum folds
+    * over distinct tokens in sorted order so the FP addition order is
+    * pinned cross-engine. Empty docs report 0.0 (not NULL — an empty doc
+    * is maximally repetitive for gating purposes). */
+  def tokenEntropyOnTokens(toks: Column): Column = {
+    val dist = array_sort(array_distinct(toks))
+    val n = size(toks).cast("double")
+    // fold SUBTRACTS each term (acc − p·ln p): same bits as negating the
+    // sum, but a one-distinct-token doc yields +0.0, not the −0.0 whose
+    // sign engines disagree about after round()
+    val h = aggregate(
+      transform(dist, t => {
+        val p = size(filter(toks, x => x === t)).cast("double") / n
+        p * log(p)
+      }),
+      lit(0.0), (acc, x) => acc - x)
+    when(size(toks) > 0, round(h, 6)).otherwise(lit(0.0))
+  }
+
   /** Mean token length in characters (quality signal). Denominator guarded
     * against empty docs (Spark 4 ANSI mode throws on divide-by-zero). */
   def meanTokenLen(text: Column): Column = {

@@ -91,8 +91,12 @@ object Graphs {
             .orderBy(col("c").desc, col("label").asc)))
         .filter(col("__rn") === 1)
         .select(col("dst").as("id"), col("label").as("__new"))
+      // `labels` is referenced twice per iteration (the neighbor join and
+      // the keep-own fallback), so lineage doubles each round — truncate
+      // it; the frame is node-scale and the checkpoint is one slim job
       labels = labels.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
     }
     labels.withColumnRenamed("label", "community")
   }

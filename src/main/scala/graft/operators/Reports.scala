@@ -13,6 +13,28 @@ import graft.functions.{TextFunctions => T}
   */
 object Reports {
 
+  /** Per-group equi-width histogram of an integer metric: `(group, bin,
+    * n_rows)` with `bin = min(v div width, nBins−1)` — the length/size
+    * distribution report a corpus audit reads next to the robust stats
+    * (a median hides bimodality; the histogram shows it). Exact integer
+    * bin math, one keyed aggregation with map-side partials; bins with
+    * no mass are absent (sparse output — at 100 TB a dense 0-filled
+    * grid is the caller's trivial join against a bin spine). */
+  def lengthHistogram(
+      df: DataFrame,
+      groupCol: String,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 100L,
+      nBins: Int = 10): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    val v = metric.cast("bigint")
+    val bin = least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L))
+    df.select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo", col("bin") * lit(width))
+  }
+
   /** Version-to-version corpus diff keyed by the normalized-text
     * fingerprint ([[T.normalizeText]] md5 — same key as exact dedup, so
     * a reformatted-but-identical doc counts as kept): per status

@@ -128,7 +128,13 @@ object Retrieval {
       val pick = top1(penalized.withColumn("__mmr",
         lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms")))
         .withColumn("rank", lit(i))
+      // each iteration references `selected` THREE times (anti-join,
+      // penalty join, union): without truncating lineage the logical plan
+      // grows 3^k and the driver dies on plan serialization long before
+      // any executor works — the frame is |queries|·i rows, so an eager
+      // localCheckpoint per iteration is ~free
       selected = selected.unionByName(pick.select(selected.columns.map(col): _*))
+        .localCheckpoint()
     }
     // mmr_score ships UNROUNDED: the 3-op IEEE chain over 6-rounded
     // inputs replays bit-for-bit in any engine, while round() itself is

@@ -281,7 +281,71 @@ object StressScale {
         events.groupBy((col("event_id") % 16).as("etype"))
           .agg(org.apache.spark.sql.graft.SketchFunctions
             .hllCount(when(col("user_id").isNotNull,
-              xxhash64(col("user_id")))).as("hll_users")))
+              xxhash64(col("user_id")))).as("hll_users"))),
+      // robust stats: two per-group window sorts + two keyed aggs over
+      // the 20-source corpus — the sorts partition by source
+      timeNoop("robust_stats")(
+        graft.stats.Descriptive.robustGroupStats(
+          docs.select(col("source"), length(col("text")).as("len")),
+          "source", col("len"))),
+      // ECDF normalization: one source-partitioned percent_rank window
+      timeNoop("quality_ecdf")(
+        graft.operators.Fan.spread(docs)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("double").as("q"))
+          .withColumn("pct_rank", percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("q"))))),
+      // 5-gram novelty: distinct-gram left join, ref = 1/10 of corpus
+      timeNoop("ngram_novelty")(
+        Curation.ngramNovelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 5)),
+      // backoff LM: gram tables from the 1/10 train slice, four
+      // vocab-scale joins over the 9/10 scored trigram stream
+      timeNoop("lm_backoff")(
+        graft.operators.Quality.lmScoreBackoff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))),
+      // hybrid fusion: both legs run at corpus scale, fusion is
+      // shortlist-scale on top
+      timeNoop("rrf_fusion") {
+        val sparse = Curation.bm25Search(docs,
+          Seq("spark", "merge", "customer"), topK = 100)
+          .select(col("doc_id"), col("bm25").as("score"))
+        val dense = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), 100)
+          .select(col("neighbor_id").as("doc_id"), col("cosine").as("score"))
+        graft.operators.Retrieval.rrfFuse(
+          Seq(("bm25", sparse), ("dense", dense)), k = 60, topK = 10)
+      },
+      // MMR: 32 queries × 100-candidate shortlists, 10 unrolled greedy
+      // iterations — must stay shortlist-scale whatever n is
+      timeNoop("mmr_rerank") {
+        val cand = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 32), 100)
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+            Seq("neighbor_id"))
+        graft.operators.Retrieval.mmrRerank(cand, k = 10, lambda = 0.7)
+      },
+      // label propagation over the 200k-node kNN graph: 3 iterations of
+      // (join + mode-count + windowed argmax) over ~1M symmetrized edges
+      timeNoop("label_prop") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val edges = graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        graft.operators.Graphs.labelPropagation(edges,
+          emb.select(col("vec_id").as("id")), iters = 3)
+      },
+      // z-order index: a pure projection — this row exists to prove the
+      // layout math itself never becomes a shuffle at any n
+      timeNoop("zorder_layout")(
+        graft.operators.Layout.zOrderLayout(events,
+          pmod(col("user_id"), lit(256L)),
+          pmod(expr("ts div 3600000000"), lit(256L)),
+          bits = 8, nBuckets = 32))
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

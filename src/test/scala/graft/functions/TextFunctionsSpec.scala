@@ -214,4 +214,46 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.winnowFromHashes(col("__hs"), 4).as("w"))
       .collect().foreach(_.getSeq[Any](0) shouldBe empty)
   }
+
+  behavior of "tokenEntropyOnTokens"
+
+  private def entropyOf(text: String): Double =
+    Seq(text).toDF("text")
+      .select(TextFunctions.tokenEntropyOnTokens(
+        array_remove(TextFunctions.tokens(col("text")), ""))
+        .as("h"))
+      .collect()(0).getDouble(0)
+
+  it should "match closed-form values on hand cases" in {
+    entropyOf("a a a a") shouldBe 0.0
+    entropyOf("") shouldBe 0.0
+    entropyOf("a b") shouldBe
+      BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    entropyOf("a b c d") shouldBe
+      BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 3:1 split: H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    val h31 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    entropyOf("a a a b") shouldBe h31 +- 1e-6
+  }
+
+  it should "rank a phrase-cycling doc below a diverse doc of equal distinct ratio" in {
+    // both have 6 distinct tokens over 12 positions; the cycler's mass
+    // concentrates on two tokens
+    val cycling = entropyOf("x y x y x y x y a b c d")
+    val diverse = entropyOf("a a b b c c d d e e f f")
+    cycling should be < diverse
+  }
+
+  it should "agree with a naive per-doc computation on random corpora" in {
+    val rnd = new scala.util.Random(21)
+    val docs = Seq.fill(30)(Seq.fill(1 + rnd.nextInt(60))(
+      s"t${rnd.nextInt(12)}").mkString(" "))
+    docs.foreach { d =>
+      val toks = d.split("\\s+").toSeq
+      val n = toks.size.toDouble
+      val naive = -toks.groupBy(identity).values
+        .map(g => g.size / n * math.log(g.size / n)).sum
+      entropyOf(d) shouldBe naive +- 1e-6
+    }
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ReportsSpec extends SparkSpec {
@@ -101,5 +103,32 @@ class ReportsSpec extends SparkSpec {
     // token mass adds up to the per-source total
     val totalToks = got.collect { case ((s, _), (_, t, _)) if s == "src0" => t }.sum
     totalToks should be > 0L
+  }
+
+  "lengthHistogram" should "bin with exact integer cuts and clamp the last bin" in {
+    val rows = Seq(("a", 0L), ("a", 99L), ("a", 100L), ("a", 250L),
+      ("a", 999L), ("a", 5000L), ("b", 450L))
+    val got = Reports.lengthHistogram(
+      rows.toDF("g", "v"), "g", col("v"), width = 100L, nBins = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    got(("a", 0L)) shouldBe ((2L, 0L))    // 0 and 99
+    got(("a", 1L)) shouldBe ((1L, 100L))  // 100
+    got(("a", 2L)) shouldBe ((1L, 200L))  // 250
+    got(("a", 9L)) shouldBe ((2L, 900L))  // 999 and the clamped 5000
+    got(("b", 4L)) shouldBe ((1L, 400L))
+    // sparse: no empty bins materialize
+    got.keys.count(_._1 == "a") shouldBe 4
+  }
+
+  it should "conserve total row mass across bins" in {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(500)((s"g${rnd.nextInt(3)}", rnd.nextInt(2000).toLong))
+    val got = Reports.lengthHistogram(
+      rows.toDF("g", "v"), "g", col("v"), width = 100L, nBins = 10).collect()
+    got.map(_.getLong(2)).sum shouldBe 500L
+    // every bin id is inside [0, nBins)
+    all(got.map(_.getLong(1))) should (be >= 0L and be <= 9L)
   }
 }
