@@ -1243,6 +1243,26 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // LSH calibration: true char-shingle Jaccard beside the signature
+    // estimate for every MinHash candidate pair, rolled up per estimate
+    // level — the (k, bands) tuning measurement before a full dedup run
+    "lsh_calibration" -> ((s, d) =>
+      graft.operators.Reports.lshCalibration(
+        t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)),
+
+    // Count-sketch hash embedding (64-dim signed-count vector from the
+    // token stream, no model in the loop) — integer sketch as JSON plus
+    // the exact-sum-derived L2 norm
+    "embed_hash" -> ((s, d) =>
+      graft.operators.Fan.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          filter(T.tokens(col("text")), tk => length(tk) > 0).as("__toks"))
+        .select(col("doc_id"), T.hashSketchOnTokens(col("__toks"), 64).as("__v"))
+        .select(col("doc_id"),
+          to_json(col("__v")).as("sketch"),
+          sqrt(aggregate(col("__v"), lit(0L), (a, x) => a + x * x)
+            .cast("double")).as("norm"))),
+
     // Per-doc token-distribution Shannon entropy: the repetition signal
     // type/token ratio misses — row-local HOF counts over the doc's own
     // token array, sorted-distinct fold, 0.0 for empty docs
@@ -3378,6 +3398,56 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Reports.lshCalibration: the dedup_minhash_pairs replay
+    // joined against the charShingles truth sets, 6-rounded true
+    // jaccard / abs error, decimal sums per estimate level
+    "lsh_calibration" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |nrm AS (SELECT doc_id,
+         |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |sets AS (SELECT doc_id AS id, $charShingles5Sql AS s FROM nrm),
+         |j AS (
+         |  SELECT p.est_jaccard,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / greatest(len(a.s) + len(b.s)
+         |          - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE), 1), 6) AS tj
+         |  FROM pairs p
+         |  JOIN sets a ON p.id_a = a.id
+         |  JOIN sets b ON p.id_b = b.id),
+         |e AS (SELECT est_jaccard, tj,
+         |        round(abs(est_jaccard - tj), 6) AS err FROM j)
+         |SELECT est_jaccard, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(tj AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS mean_true_jaccard,
+         |  CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS mean_abs_err
+         |FROM e GROUP BY 1""".stripMargin,
+
+    // mirrors T.hashSketchOnTokens: same md5 bucket/sign per token, the
+    // per-dimension filtered sign fold, exact Σv² under one sqrt
+    "embed_hash" -> {
+      val b = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64"
+      val sg = "CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 * 2 - 1"
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, list_transform(range(0, 64), j ->
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(list_filter(toks, t -> $b = j),
+         |          t -> CAST($sg AS BIGINT))),
+         |      (a, x) -> a + x)) AS vec
+         |  FROM base)
+         |SELECT doc_id, CAST(to_json(vec) AS VARCHAR) AS sketch,
+         |  sqrt(CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(vec, x -> x * x)),
+         |    (a, x) -> a + x) AS DOUBLE)) AS norm
+         |FROM v""".stripMargin
+    },
 
     // mirrors T.tokenEntropyOnTokens: the same per-distinct-token filter
     // counts and sorted subtract-fold (a − p·ln p), CASE-guarded empties

@@ -50,6 +50,30 @@ object TextFunctions {
     when(size(toks) > 0, round(h, 6)).otherwise(lit(0.0))
   }
 
+  /** Count-sketch document embedding (feature hashing, Weinberger et al.
+    * 2009 / Charikar count-sketch): token t adds sign(t) ∈ {−1, +1} to
+    * dimension bucket(t), giving a `dim`-wide INTEGER vector whose dot
+    * products unbiasedly estimate token-multiset overlap — the model-free
+    * embedding that lets the ANN / near-dup stack run on corpora with no
+    * embedding model in the loop. bucket = first 8 md5 hex digits mod
+    * dim, sign = 9th hex digit parity — the portable-hash discipline, so
+    * the whole vector replays in SQL. Row-local; the per-token (bucket,
+    * sign) pairs are computed ONCE and each dimension folds the pairs
+    * that hash to it (dim · |doc| comparisons over a materialized pair
+    * array, never a recompute of md5 per dimension). Integer output —
+    * normalize with [[graft.functions.VectorFunctions]] when cosine
+    * geometry is wanted; Σv² is exact so the norm is one IEEE sqrt. */
+  def hashSketchOnTokens(toks: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    val pairs = transform(toks, t => struct(
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).as("b"),
+      (conv(substring(md5(t), 9, 1), 16, 10).cast("long") % 2 * 2 - 1).as("s")))
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(
+        filter(pairs, p => p.getField("b") === j.cast("long")),
+        lit(0L), (acc, p) => acc + p.getField("s")))
+  }
+
   /** Mean token length in characters (quality signal). Denominator guarded
     * against empty docs (Spark 4 ANSI mode throws on divide-by-zero). */
   def meanTokenLen(text: Column): Column = {

@@ -13,6 +13,51 @@ import graft.functions.{TextFunctions => T}
   */
 object Reports {
 
+  /** LSH parameter-calibration report: for every MinHash candidate pair,
+    * the TRUE char-shingle Jaccard next to the signature estimate,
+    * aggregated per estimate level (k slots ⇒ estimates are exact
+    * multiples of 1/k, so the estimate itself is the natural group key).
+    * This is the measurement loop that tunes (k, bands) on a sample
+    * before a 100 TB dedup run: mean true Jaccard per estimate level
+    * shows the bias, mean |est − true| the noise, and the pair counts
+    * where the banding spends its candidate budget.
+    *
+    * Scale shape: candidate pairs are already banding-bounded
+    * ([[Dedup.minhashLsh]]'s `maxBucketSize` guard); the truth join
+    * ships each doc's distinct shingle SET only to its candidate pairs
+    * (two keyed joins), and the final rollup is ≤ k+1 rows. Exactness:
+    * estimates are exact dyadics, true Jaccard/abs-error are 6-rounded
+    * and decimal-summed, means are single IEEE divisions. */
+  def lshCalibration(
+      docs: DataFrame,
+      shingleN: Int = 5,
+      k: Int = 8,
+      bands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tier: Dedup.HashTier = Dedup.PortableMd5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands,
+      tier = tier)
+    val sets = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        T.charShingles(col(textCol), shingleN).as("__s"))
+      .localCheckpoint() // two consumers (id_a side and id_b side)
+    pairs
+      .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .select(col("est_jaccard"),
+        round(T.jaccard(col("__sa"), col("__sb")), 6).as("__tj"))
+      .select(col("est_jaccard"), col("__tj"),
+        round(abs(col("est_jaccard") - col("__tj")), 6).as("__err"))
+      .groupBy(col("est_jaccard"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (sum(col("__tj").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_true_jaccard"),
+        (sum(col("__err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_abs_err"))
+  }
+
   /** Per-group equi-width histogram of an integer metric: `(group, bin,
     * n_rows)` with `bin = min(v div width, nBins−1)` — the length/size
     * distribution report a corpus audit reads next to the robust stats

@@ -345,7 +345,28 @@ object StressScale {
         graft.operators.Layout.zOrderLayout(events,
           pmod(col("user_id"), lit(256L)),
           pmod(expr("ts div 3600000000"), lit(256L)),
-          bits = 8, nBuckets = 32))
+          bits = 8, nBuckets = 32)),
+      // row-local projections at corpus scale: entropy's per-doc HOF
+      // quadratic and the 64-dim sketch fold are the CPU-bound pair
+      timeNoop("text_entropy")(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenEntropyOnTokens(
+            split(lower(col("text")), "\\s+")).as("h"))),
+      timeNoop("embed_hash")(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.hashSketchOnTokens(
+            split(lower(col("text")), "\\s+"), 64).as("v"))),
+      timeNoop("hist_lengths")(
+        graft.operators.Reports.lengthHistogram(
+          docs, "source", length(col("text")), width = 50L, nBins = 10)),
+      // LSH calibration runs on a 1/10 SAMPLE by design (it is a tuning
+      // measurement, not a corpus pass): the truth join ships shingle
+      // SETS onto every candidate pair, so sampling is its scale shape
+      timeNoop("lsh_calibration")(
+        graft.operators.Reports.lshCalibration(
+          docs.filter(col("doc_id") % 10 === 0),
+          shingleN = 5, k = 8, bands = 4,
+          tier = graft.operators.Dedup.FastXx))
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

@@ -361,6 +361,29 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  "text_entropy and embed_hash" should "stay row-local projections (no keyed shuffle)" in {
+    // Fan.spread's round-robin exchange is the deliberate CPU fan-out;
+    // what must not appear is a keyed shuffle or any join
+    for (q <- Seq("text_entropy", "embed_hash")) {
+      val plan = executed(q)
+      plan should not include "Exchange hashpartitioning"
+      plan should not include "Join"
+      plan should not include "Aggregate"
+    }
+  }
+
+  "hist_lengths" should "partial-aggregate the bin counts map-side with no join" in {
+    val plan = executed("hist_lengths")
+    plan should include("partial_count")
+    plan should not include "Join"
+  }
+
+  "lsh_calibration" should "join truth sets onto banded pairs, never all-pairs" in {
+    val plan = executed("lsh_calibration")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -256,4 +256,30 @@ class TextFunctionsSpec extends SparkSpec {
       entropyOf(d) shouldBe naive +- 1e-6
     }
   }
+
+  behavior of "hashSketchOnTokens"
+
+  private def sketchOf(text: String, dim: Int = 16): Seq[Long] =
+    Seq(text).toDF("text")
+      .select(TextFunctions.hashSketchOnTokens(
+        array_remove(TextFunctions.tokens(col("text")), ""), dim).as("v"))
+      .collect()(0).getSeq[Long](0).toSeq
+
+  it should "be a bag-of-tokens linear sketch" in {
+    // order-invariant (bag semantics)...
+    sketchOf("alpha beta gamma") shouldBe sketchOf("gamma alpha beta")
+    // ...and additive: doubling every token doubles the vector
+    val once = sketchOf("alpha beta gamma")
+    sketchOf("alpha alpha beta beta gamma gamma") shouldBe once.map(_ * 2)
+    // empty docs are the zero vector of the right width
+    sketchOf("") shouldBe Seq.fill(16)(0L)
+  }
+
+  it should "bound total mass by the token count and separate distinct docs" in {
+    val v = sketchOf("one two three four five six seven eight")
+    v.map(math.abs).sum should be <= 8L
+    v.length shouldBe 16
+    sketchOf("completely different vocabulary set") should not be
+      sketchOf("one two three four five six seven eight")
+  }
 }

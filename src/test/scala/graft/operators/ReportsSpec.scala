@@ -131,4 +131,29 @@ class ReportsSpec extends SparkSpec {
     // every bin id is inside [0, nBins)
     all(got.map(_.getLong(1))) should (be >= 0L and be <= 9L)
   }
+
+  behavior of "lshCalibration"
+
+  it should "report exact agreement for verbatim duplicates and conserve pair mass" in {
+    // 4 identical docs (est = true = 1.0) + 4 docs with pairwise-disjoint
+    // single-letter vocabularies (no shared shingles anywhere)
+    val docs = ((0L to 3L).map(i => (i, "the exact same content repeated verbatim here")) ++
+      (10L to 13L).map { i =>
+        val c = ('p' + (i - 10).toInt).toChar.toString
+        (i, s"$c$c$c $c$c $c$c$c$c $c $c$c$c")
+      }).toDF("doc_id", "text")
+    val cal = Reports.lshCalibration(docs, shingleN = 5, k = 8, bands = 4)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the est=1.0 level is exactly the 6 identical-doc pairs: true=1, err=0
+    cal(1.0)._1 shouldBe 6L
+    cal(1.0)._2 shouldBe 1.0 +- 1e-9
+    cal(1.0)._3 shouldBe 0.0 +- 1e-9
+    // pair mass equals the candidate-pair count from the same parameters
+    val nPairs = Dedup.minhashLsh(docs, shingleN = 5, k = 8, bands = 4).count()
+    cal.values.map(_._1).sum shouldBe nPairs
+    // estimates are exact multiples of 1/8 and errors live in [0, 1]
+    cal.keys.foreach(e => (e * 8).isWhole shouldBe true)
+    cal.values.foreach(_._3 should (be >= 0.0 and be <= 1.0))
+  }
 }
