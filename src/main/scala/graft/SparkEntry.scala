@@ -1243,6 +1243,27 @@ object SparkEntry {
           .as("mean_chars"))
     }),
 
+    // Per-user EWMA (α=1/2) over the event-time-ordered value stream:
+    // exact halving steps, one row-local fold per user — the smoothed
+    // baseline an anomaly detector compares raw values against
+    "ewma_smooth" -> ((s, d) =>
+      graft.streaming.EventStreams.ewmaSmooth(eventsUs(s, d))),
+
+    // Skip-gram (center, context) pair table within a ±2 window, pairs
+    // with corpus count >= 5 — row-local generation, one keyed count
+    "skipgram_pairs" -> ((s, d) =>
+      graft.operators.Curation.skipgramPairs(
+        t(s, d, "documents"), window = 2, minCount = 5L)),
+
+    // k-anonymity audit over (event_type, hour-of-day) quasi-identifiers:
+    // equivalence classes smaller than k=80 — the post-redaction privacy
+    // gate; empty output would certify k-anonymity
+    "k_anonymity" -> ((s, d) =>
+      graft.operators.Reports.kAnonymityViolations(
+        eventsUs(s, d).select(col("event_type"),
+          (expr("ts div 3600000000") % 24).as("hour")),
+        Seq("event_type", "hour"), k = 80L)),
+
     // LSH calibration: true char-shingle Jaccard beside the signature
     // estimate for every MinHash candidate pair, rolled up per estimate
     // level — the (k, bands) tuning measurement before a full dedup run
@@ -3398,6 +3419,49 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors EventStreams.ewmaSmooth: same (ts, event_id, value) struct
+    // sort, same NULL-seeded halving fold — exact scales, pinned order
+    "ewma_smooth" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(tsu) AS BIGINT) AS last_ts,
+        |  list_reduce(
+        |    list_prepend(CAST(NULL AS DOUBLE),
+        |      list_transform(
+        |        list_sort(list(struct_pack(t := tsu, i := event_id,
+        |                                   v := value))),
+        |        x -> x.v)),
+        |    (s, x) -> CASE WHEN s IS NULL THEN x
+        |                   ELSE s * 0.5 + x * 0.5 END) AS ewma
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // mirrors Curation.skipgramPairs: the same nested window transform
+    // over each doc's token list, keyed count, minCount cut
+    "skipgram_pairs" ->
+      s"""WITH base AS (
+         |  SELECT list_filter($toksSql, t -> t <> '') AS toks
+         |  FROM documents
+         |  WHERE len(list_filter($toksSql, t -> t <> '')) > 0),
+         |p AS (
+         |  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+         |    i -> list_transform(
+         |      list_filter(range(i - 2, i + 3),
+         |        j -> j >= 1 AND j <= len(toks) AND j <> i),
+         |      j -> struct_pack(center := toks[i], context := toks[j])))))
+         |    AS p
+         |  FROM base)
+         |SELECT p.center AS center, p.context AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // mirrors Reports.kAnonymityViolations over the same quasi columns
+    "k_anonymity" ->
+      """SELECT event_type,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM events GROUP BY 1, 2 HAVING count(*) < 80""".stripMargin,
 
     // mirrors Reports.lshCalibration: the dedup_minhash_pairs replay
     // joined against the charShingles truth sets, 6-rounded true

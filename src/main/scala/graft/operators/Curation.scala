@@ -456,6 +456,45 @@ object Curation {
         (sqrt(col("n_tokens").cast("double")) / col("__z")).as("temp_share"))
   }
 
+  /** Skip-gram training-pair extraction (word2vec-style, Mikolov et al.
+    * 2013): every (center, context) token pair within a ±`window`
+    * offset, counted corpus-wide, low-frequency pairs cut at `minCount`.
+    * The co-occurrence table embedding trainers and PMI/collocation
+    * analyses consume.
+    *
+    * Shape: pair GENERATION is row-local (a nested HOF over each doc's
+    * own token array — 2·window pairs per position, no self-join on the
+    * token stream, which is how a naive formulation accidentally goes
+    * quadratic in document length); the only shuffle is the final
+    * (center, context)-keyed count with map-side partials, bounded by
+    * distinct-pair vocabulary, not corpus size. */
+  def skipgramPairs(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Long = 5L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && window <= 16, s"window out of range: $window")
+    val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    val pairs = Fan.spread(docs.select(col(textCol)))
+      .select(toks.as("__toks"))
+      // empty docs out BEFORE sequence(1, size): sequence with an
+      // inverted range counts DOWN and would fabricate positions
+      .filter(size(col("__toks")) > 0)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__toks"))),
+        i => transform(
+          filter(sequence(i - window, i + window),
+            j => j >= 1 && j <= size(col("__toks")) && j =!= i),
+          j => struct(
+            element_at(col("__toks"), i).as("center"),
+            element_at(col("__toks"), j).as("context")))))).as("p"))
+    pairs
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   /** Epoch plan: turn the [[temperatureMix]] weight table into the
     * actionable per-source schedule a training run consumes — how many
     * EPOCHS (repeats) of each source fill its temperature-weighted slice

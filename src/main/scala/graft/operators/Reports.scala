@@ -80,6 +80,26 @@ object Reports {
       .withColumn("bin_lo", col("bin") * lit(width))
   }
 
+  /** k-anonymity audit (Sweeney 2002): every quasi-identifier
+    * combination whose equivalence class holds FEWER than `k` rows — the
+    * privacy gate a dataset release runs after PII redaction (redaction
+    * removes direct identifiers; small quasi-identifier classes still
+    * re-identify). Returns the violating combos with their class sizes;
+    * an empty result certifies k-anonymity for the chosen columns.
+    *
+    * One keyed aggregation with map-side partials + a size filter —
+    * the violating set is small by definition (each class < k rows), so
+    * the output is bounded even when the input is not. */
+  def kAnonymityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
   /** Version-to-version corpus diff keyed by the normalized-text
     * fingerprint ([[T.normalizeText]] md5 — same key as exact dedup, so
     * a reformatted-but-identical doc counts as kept): per status

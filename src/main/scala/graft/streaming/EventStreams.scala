@@ -137,6 +137,42 @@ object EventStreams {
     * and sorts each user's events in executor heap — one whale user (bot
     * traffic) OOMs a task; that pattern is kept for streams in
     * [[sessionizeStream]], where the watermark bounds state. */
+  /** Per-key EWMA (α = 1/2) over the event-time-ordered value stream:
+    * s₁ = x₁, sₜ = xₜ/2 + sₜ₋₁/2 — the smoothed per-user signal an
+    * anomaly detector compares the raw value against. α is fixed at 1/2
+    * deliberately: halving is EXACT in IEEE doubles, so every step is
+    * one exact scale + one rounding-deterministic add and the whole
+    * recursion replays bit-for-bit in any engine (a general α would
+    * multiply by an inexact constant — still deterministic, but 1/2
+    * makes the dyadic tail analyzable).
+    *
+    * EWMA is inherently recursive (no window formulation exists without
+    * recursion), so each key's ordered values fold in ONE row-local
+    * `aggregate` over the collected per-key array — the state per key is
+    * that key's own events, the same per-key-bounded contract
+    * sessionize's gap windows rely on. Order is pinned by the total
+    * (ts, event_id) sort inside the struct array. Returns one row per
+    * key: (key, n_events, last_ts, ewma). */
+  def ewmaSmooth(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val packed = events.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsCol)).as("last_ts"),
+        sort_array(collect_list(struct(
+          col(tsCol).as("t"), col(idCol).as("i"),
+          col(valueCol).cast("double").as("v")))).as("__xs"))
+    packed.select(col(keyCol), col("n_events"), col("last_ts"),
+      aggregate(col("__xs"), lit(null).cast("double"),
+        (s, x) => when(s.isNull, x.getField("v"))
+          .otherwise(s * lit(0.5) + x.getField("v") * lit(0.5)))
+        .as("ewma"))
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {

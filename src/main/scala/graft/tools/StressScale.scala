@@ -366,7 +366,21 @@ object StressScale {
         graft.operators.Reports.lshCalibration(
           docs.filter(col("doc_id") % 10 === 0),
           shingleN = 5, k = 8, bands = 4,
-          tier = graft.operators.Dedup.FastXx))
+          tier = graft.operators.Dedup.FastXx)),
+      // EWMA: one keyed agg folding each user's ~100-event array
+      timeNoop("ewma_smooth")(
+        graft.streaming.EventStreams.ewmaSmooth(
+          events.withColumn("value",
+            pmod(xxhash64(col("event_id")), lit(1000)).cast("double")))),
+      // skip-gram pairs: row-local fan-out (~4 pairs/token ⇒ 40M pair
+      // instances at 200k×50) into one keyed count
+      timeNoop("skipgram_pairs")(
+        Curation.skipgramPairs(docs, window = 2, minCount = 5L)),
+      timeNoop("k_anonymity")(
+        graft.operators.Reports.kAnonymityViolations(
+          events.select((col("user_id") % 64).as("ub"),
+            (expr("ts div 3600000000") % 24).as("hour")),
+          Seq("ub", "hour"), k = 100L))
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

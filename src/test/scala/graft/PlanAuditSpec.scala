@@ -384,6 +384,21 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "ewma_smooth" should "be one user-keyed aggregation with no join" in {
+    val plan = executed("ewma_smooth")
+    plan should include("Aggregate")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  "skipgram_pairs and k_anonymity" should "generate row-locally and count with map-side partials" in {
+    for (q <- Seq("skipgram_pairs", "k_anonymity")) {
+      val plan = executed(q)
+      plan should include("partial_count")
+      plan should not include "Join"
+    }
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

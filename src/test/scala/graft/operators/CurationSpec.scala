@@ -562,6 +562,28 @@ class CurationSpec extends SparkSpec {
     assert(r(4L).isNullAt(r(4L).fieldIndex("novelty")))
   }
 
+  "skipgramPairs" should "emit every in-window ordered pair exactly once per occurrence" in {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.skipgramPairs(docs, window = 1, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L)
+  }
+
+  it should "respect the window radius, cut at minCount, and skip empty docs" in {
+    val docs = Seq((1L, "x y z w"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val w2 = Curation.skipgramPairs(docs, window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    w2(("x", "z")) shouldBe 1L   // distance 2 inside the window
+    w2.get(("x", "w")) shouldBe None // distance 3 outside
+    w2(("x", "y")) shouldBe 2L   // docs 1 and 3 both contribute
+    // the count cut drops singletons
+    val cut = Curation.skipgramPairs(docs, window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    cut shouldBe Set(("x", "y"), ("y", "x"))
+  }
+
   it should "count distinct grams once however often they repeat" in {
     val ref = Seq((9L, "x y z w v")).toDF("doc_id", "text")
     val rep = Seq((1L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")

@@ -132,6 +132,21 @@ class ReportsSpec extends SparkSpec {
     all(got.map(_.getLong(1))) should (be >= 0L and be <= 9L)
   }
 
+  behavior of "kAnonymityViolations"
+
+  it should "flag only classes below k and certify with an empty result" in {
+    val rows = (Seq.fill(10)(("web", "morning")) ++ Seq.fill(3)(("web", "night")) ++
+      Seq.fill(7)(("app", "morning"))).toDF("channel", "period")
+    val bad = Reports.kAnonymityViolations(rows, Seq("channel", "period"), k = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    bad shouldBe Map(("web", "night") -> 3L)
+    // raising every class above k certifies: empty output
+    Reports.kAnonymityViolations(rows, Seq("channel", "period"), k = 2L)
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Reports.kAnonymityViolations(rows, Seq.empty, k = 5L)
+  }
+
   behavior of "lshCalibration"
 
   it should "report exact agreement for verbatim duplicates and conserve pair mass" in {

@@ -265,6 +265,31 @@ class EventStreamsSpec extends SparkSpec {
     admitted.sorted shouldBe Seq(2L)
   }
 
+  "ewmaSmooth" should "fold event-time-ordered halving steps per user" in {
+    // user 1 in scrambled input order: ts order is 10→20→30 with values
+    // 1, 2, 4 → s = 1, then 1.5, then 2.75; user 2 has one event
+    val ev = Seq(
+      (1L, 30L, 103L, 4.0),
+      (1L, 10L, 101L, 1.0),
+      (1L, 20L, 102L, 2.0),
+      (2L, 99L, 201L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = EventStreams.ewmaSmooth(ev)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    r(1L) shouldBe ((3L, 30L, 2.75))
+    r(2L) shouldBe ((1L, 99L, 7.5))
+  }
+
+  it should "weight recent values ~2x the full-history mean" in {
+    // constant 0 history then a spike: EWMA keeps half the spike, the
+    // mean dilutes it to 1/n
+    val ev = ((1L to 9L).map(t => (5L, t, t, 0.0)) :+ ((5L, 10L, 10L, 8.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = EventStreams.ewmaSmooth(ev).collect()(0)
+    r.getDouble(3) shouldBe 4.0 // half of the spike survives
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
