@@ -1255,6 +1255,18 @@ object SparkEntry {
       graft.operators.Curation.skipgramPairs(
         t(s, d, "documents"), window = 2, minCount = 5L)),
 
+    // PMI collocations from the skip-gram pair table: marginals + total
+    // from the pairs themselves, top-100 by association strength
+    "pmi_collocations" -> ((s, d) =>
+      graft.operators.Curation.pmiCollocations(
+        t(s, d, "documents"), window = 2, minCount = 5L, topK = 100)),
+
+    // Difficulty-proportional domain reweighting (DoReMi-flavoured):
+    // per-source mean bigram-LM NLL normalized into mixture weights —
+    // upweight what the reference model finds hardest
+    "domain_reweight" -> ((s, d) =>
+      graft.operators.Curation.domainReweight(t(s, d, "documents"))),
+
     // k-anonymity audit over (event_type, hour-of-day) quasi-identifiers:
     // equivalence classes smaller than k=80 — the post-redaction privacy
     // gate; empty output would certify k-anonymity
@@ -1617,6 +1629,50 @@ object SparkEntry {
     s"list_aggregate(list_transform(sh, " +
       s"s -> CAST(concat('0x', substr(md5(concat('${i / 4}:', s)), " +
       s"${(i % 4) * 8 + 1}, 8)) AS BIGINT)), 'min')"
+
+  /** DuckDB replay of [[graft.operators.Quality.lmScore]] (shared by
+    * lm_score and domain_reweight). */
+  private lazy val lmScoreSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM base),
+       |bi AS (
+       |  SELECT doc_id, pos, tok AS w1,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok QUALIFY w2 IS NOT NULL),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+       |sc AS (
+       |  SELECT b.doc_id, b.pos,
+       |    ln((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE))) AS lnp
+       |  FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, list(lnp ORDER BY pos) AS xs, count(*) AS nb FROM sc GROUP BY 1)
+       |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nb AS DOUBLE), 6) AS nll
+       |FROM agg""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Curation.skipgramPairs]] with
+    * window=2 and NO minCount cut (shared by skipgram_pairs and
+    * pmi_collocations). */
+  private lazy val skipgramTableSql: String =
+    s"""SELECT p.center AS center, p.context AS context,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM (
+       |  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+       |    i -> list_transform(
+       |      list_filter(range(i - 2, i + 3),
+       |        j -> j >= 1 AND j <= len(toks) AND j <> i),
+       |      j -> struct_pack(center := toks[i], context := toks[j])))))
+       |    AS p
+       |  FROM (SELECT list_filter($toksSql, t -> t <> '') AS toks
+       |        FROM documents
+       |        WHERE len(list_filter($toksSql, t -> t <> '')) > 0) _b) _p
+       |GROUP BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2704,29 +2760,42 @@ object SparkEntry {
     // mirrors Quality.lmScore: add-one bigram LM trained on the corpus,
     // per-doc mean NLL via a position-ordered list fold (one defined FP
     // addition order in both engines)
-    "lm_score" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks FROM documents),
-         |tok AS (
-         |  SELECT doc_id, unnest(toks) AS tok,
-         |    unnest(range(1, len(toks) + 1)) AS pos
-         |  FROM base),
-         |bi AS (
-         |  SELECT doc_id, pos, tok AS w1,
-         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-         |  FROM tok QUALIFY w2 IS NOT NULL),
-         |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-         |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
-         |sc AS (
-         |  SELECT b.doc_id, b.pos,
-         |    ln((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE))) AS lnp
-         |  FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
-         |agg AS (
-         |  SELECT doc_id, list(lnp ORDER BY pos) AS xs, count(*) AS nb FROM sc GROUP BY 1)
-         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
-         |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nb AS DOUBLE), 6) AS nll
-         |FROM agg""".stripMargin,
+    "lm_score" -> lmScoreSql,
+
+    // mirrors Curation.domainReweight: the lmScoreSql replay joined to
+    // sources, decimal-exact per-source mean, sorted-fold normalizer
+    "domain_reweight" ->
+      s"""WITH nll AS ($lmScoreSql),
+         |per AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(nll.nll AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS mean_nll
+         |  FROM nll JOIN documents d ON nll.doc_id = d.doc_id GROUP BY 1),
+         |z AS (SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(
+         |        list_sort(list(struct_pack(s := source, q := mean_nll))),
+         |        x -> x.q)),
+         |    (a, b) -> a + b) AS zz FROM per)
+         |SELECT source, n_docs, mean_nll, mean_nll / zz AS weight
+         |FROM per CROSS JOIN z""".stripMargin,
+
+    // mirrors Curation.pmiCollocations: marginals and total from the
+    // shared skip-gram pair table, one ln over exact integer products
+    "pmi_collocations" ->
+      s"""WITH pairs AS ($skipgramTableSql),
+         |cm AS (SELECT center, CAST(sum(n_pairs) AS BIGINT) AS n_center
+         |       FROM pairs GROUP BY 1),
+         |xm AS (SELECT context, CAST(sum(n_pairs) AS BIGINT) AS n_context
+         |       FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM pairs)
+         |SELECT center, context, n_pairs,
+         |  round(ln(CAST(n_pairs * n_total AS DOUBLE)
+         |           / CAST(n_center * n_context AS DOUBLE)), 6) AS pmi
+         |FROM pairs JOIN cm USING (center) JOIN xm USING (context)
+         |CROSS JOIN tot
+         |WHERE n_pairs >= 5
+         |ORDER BY pmi DESC, center, context LIMIT 100""".stripMargin,
 
     // mirrors Quality.linearClassifier: bucket = md5(tok) mod 1024, weight
     // = md5("w:"+bucket)/2^32 - 0.5 (dyadic → exact double), left-to-right
@@ -3437,24 +3506,10 @@ object SparkEntry {
         |                   ELSE s * 0.5 + x * 0.5 END) AS ewma
         |FROM e GROUP BY 1""".stripMargin,
 
-    // mirrors Curation.skipgramPairs: the same nested window transform
-    // over each doc's token list, keyed count, minCount cut
+    // mirrors Curation.skipgramPairs: the shared pair-table replay with
+    // the minCount cut on top
     "skipgram_pairs" ->
-      s"""WITH base AS (
-         |  SELECT list_filter($toksSql, t -> t <> '') AS toks
-         |  FROM documents
-         |  WHERE len(list_filter($toksSql, t -> t <> '')) > 0),
-         |p AS (
-         |  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
-         |    i -> list_transform(
-         |      list_filter(range(i - 2, i + 3),
-         |        j -> j >= 1 AND j <= len(toks) AND j <> i),
-         |      j -> struct_pack(center := toks[i], context := toks[j])))))
-         |    AS p
-         |  FROM base)
-         |SELECT p.center AS center, p.context AS context,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+      s"""SELECT * FROM ($skipgramTableSql) _sk WHERE n_pairs >= 5""",
 
     // mirrors Reports.kAnonymityViolations over the same quasi columns
     "k_anonymity" ->

@@ -495,6 +495,77 @@ object Curation {
       .filter(col("n_pairs") >= minCount)
   }
 
+  /** PMI collocations from the [[skipgramPairs]] co-occurrence table:
+    * pmi(c, x) = ln( n(c,x) · N / (n(c,·) · n(·,x)) ) with every count
+    * drawn from the pair table itself (marginals are per-side sums, N
+    * the total pair mass) — the association measure that surfaces real
+    * collocations ("new york") over merely-frequent pairs ("of the").
+    * Top-`topK` by (pmi desc, center, context) under a total order.
+    *
+    * Shape: the pair table is vocab²-bounded; marginals are two keyed
+    * sums re-joined onto it (AQE broadcasts them when small), the 1-row
+    * total broadcasts, and the cut is TakeOrderedAndProject. Exactness:
+    * one ln over a ratio of exact integer products, rounded to 6. */
+  def pmiCollocations(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Long = 5L,
+      topK: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = skipgramPairs(docs, window, minCount = 1L, textCol, idCol)
+      .localCheckpoint() // four consumers: marginals ×2, total, the join
+    val cm = pairs.groupBy(col("center")).agg(sum(col("n_pairs")).as("n_center"))
+    val xm = pairs.groupBy(col("context")).agg(sum(col("n_pairs")).as("n_context"))
+    val total = broadcast(pairs.agg(sum(col("n_pairs")).as("n_total")))
+    pairs.filter(col("n_pairs") >= minCount)
+      .join(cm, Seq("center"))
+      .join(xm, Seq("context"))
+      .crossJoin(total)
+      .select(col("center"), col("context"), col("n_pairs"),
+        round(log((col("n_pairs") * col("n_total")).cast("double") /
+          (col("n_center") * col("n_context")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("center").asc, col("context").asc)
+      .limit(topK)
+  }
+
+  /** Difficulty-proportional domain reweighting (a deterministic
+    * DoReMi-flavoured heuristic, Xie et al. 2023: upweight the domains
+    * the reference LM finds hardest): per-source mean NLL under the
+    * corpus-trained bigram LM ([[Quality.lmScore]]), normalized into
+    * mixture weights w_s = nll̄_s / Σ nll̄. Reweighting toward high-loss
+    * sources is the excess-loss signal without the proxy-model training
+    * loop — swap in real proxy losses by replacing the scorer.
+    *
+    * Exactness: per-doc nll is lmScore's 6-rounded fold; the per-source
+    * mean is a DECIMAL sum over those rounded values with one IEEE
+    * division; the normalizer folds over sources in sorted order
+    * (broadcast 1-row frame). One scorer pass + one slim join + two
+    * tiny aggs. */
+  def domainReweight(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nll = graft.operators.Quality.lmScore(docs, textCol, idCol)
+    val per = nll
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("nll").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"))
+    val z = broadcast(per.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(
+            col(sourceCol).as("s"), col("mean_nll").as("q")))),
+          x => x.getField("q")),
+        lit(0.0), (a, b) => a + b).as("__z")))
+    per.crossJoin(z)
+      .select(col(sourceCol), col("n_docs"), col("mean_nll"),
+        (col("mean_nll") / col("__z")).as("weight"))
+  }
+
   /** Epoch plan: turn the [[temperatureMix]] weight table into the
     * actionable per-source schedule a training run consumes — how many
     * EPOCHS (repeats) of each source fill its temperature-weighted slice

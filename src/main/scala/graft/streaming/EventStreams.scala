@@ -118,6 +118,8 @@ object EventStreams {
   }
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class EwmaState(s: Double, n: Long, lastTs: Long)
+  final case class EwmaPoint(user_id: Long, n_events: Long, last_ts: Timestamp, ewma: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(
       user_id: Long,
@@ -240,6 +242,34 @@ object EventStreams {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming twin of [[ewmaSmooth]]: per-user EWMA state carried
+    * across micro-batches with `mapGroupsWithState`, each batch emitting
+    * the user's updated smoothed point (Update output mode). Events
+    * WITHIN a batch fold in event-time order; cross-batch order is
+    * arrival order — the same trade [[dedupStream]] documents, and
+    * exactly the batch result whenever the stream delivers in order
+    * (parity pinned in `EventStreamsSpec`). State is three fixed-width
+    * fields per user — no growth with history, the shape that holds at
+    * any stream length. */
+  def ewmaSmoothStream(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaPoint](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(e.value, 1L, e.ts.getTime)
+              else EwmaState(st.s * 0.5 + e.value * 0.5, st.n + 1L,
+                math.max(st.lastTs, e.ts.getTime))
+          }
+          state.update(st)
+          EwmaPoint(uid, st.n, new Timestamp(st.lastTs), st.s)
       }
   }
 

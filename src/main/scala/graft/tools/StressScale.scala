@@ -380,7 +380,13 @@ object StressScale {
         graft.operators.Reports.kAnonymityViolations(
           events.select((col("user_id") % 64).as("ub"),
             (expr("ts div 3600000000") % 24).as("hour")),
-          Seq("ub", "hour"), k = 100L))
+          Seq("ub", "hour"), k = 100L)),
+      // PMI over the 40M-instance pair stream (vocab-bounded table)
+      timeNoop("pmi_collocations")(
+        Curation.pmiCollocations(docs, window = 2, minCount = 5L, topK = 100)),
+      // domain reweight = the full bigram-LM pass + two tiny aggs
+      timeNoop("domain_reweight")(
+        Curation.domainReweight(docs))
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

@@ -399,6 +399,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  "pmi_collocations" should "broadcast marginals onto the checkpointed pair table, cut via TakeOrdered" in {
+    val plan = executed("pmi_collocations")
+    plan should include("TakeOrderedAndProject")
+    plan should include("Scan ExistingRDD")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  "domain_reweight" should "join the slim nll frame and broadcast the 1-row normalizer" in {
+    val plan = executed("domain_reweight")
+    plan should not include "CartesianProduct"
+    plan should include("partial_count")
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -543,6 +543,41 @@ class CurationSpec extends SparkSpec {
     spent should be >= 4000L - plan.length.toLong
   }
 
+  "pmiCollocations" should "rank exclusive pairs above merely frequent ones" in {
+    // "alpha beta" always co-occur exclusively; "the x" pairs are
+    // frequent but "the" pairs with everything → low association
+    val docs = (1L to 20L).map(i =>
+      (i, s"alpha beta the w${i % 7} the w${(i * 3) % 7}")).toDF("doc_id", "text")
+    val got = Curation.pmiCollocations(docs, window = 1, minCount = 5L, topK = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val exclusive = got(("alpha", "beta"))
+    got.collect { case ((a, b), p) if a == "the" || b == "the" => p }
+      .foreach(p => exclusive should be > p)
+  }
+
+  it should "compute pmi from exact pair-table marginals" in {
+    // one doc "a b", window 1: pairs (a,b) and (b,a), N=2, each
+    // marginal 1 per side → pmi = ln(1·2/(1·1)) = ln 2
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = Curation.pmiCollocations(docs, window = 1, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    got(("a", "b")) shouldBe
+      BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  "domainReweight" should "upweight the source the LM finds hardest, weights summing to 1" in {
+    // src_easy: one repeated sentence (the corpus LM memorizes it);
+    // src_hard: unique token streams (high NLL under the same LM)
+    val docs = ((1L to 10L).map(i => (i, "the same simple sentence again", "src_easy")) ++
+      (11L to 20L).map(i => (i, (1 to 8).map(j => s"tok${i}_$j").mkString(" "), "src_hard")))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.domainReweight(docs)
+      .collect().map(x => x.getString(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    r("src_hard")._1 should be > r("src_easy")._1
+    r("src_hard")._2 should be > r("src_easy")._2
+    (r.values.map(_._2).sum) shouldBe 1.0 +- 1e-9
+  }
+
   "ngramNovelty" should "score copies 0, fresh docs 1, short docs NULL" in {
     val ref = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -281,6 +281,33 @@ class EventStreamsSpec extends SparkSpec {
     r(2L) shouldBe ((1L, 99L, 7.5))
   }
 
+  "ewmaSmoothStream" should "carry state across micro-batches and match the batch fold" in {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.ewmaSmoothStream(stream.toDS())
+      .writeStream.format("memory").queryName("ewma_pts")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        EventStreams.Event(7L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        EventStreams.Event(7L, ts("2024-01-01 10:10:00"), "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(
+        EventStreams.Event(7L, ts("2024-01-01 10:20:00"), "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update row per user is the stream's final state
+    val last = spark.table("ewma_pts").orderBy(col("n_events").desc)
+      .collect()(0)
+    last.getAs[Long]("n_events") shouldBe 3L
+    // ((1, then 1.5), then 2.75) — and identical to the batch operator
+    last.getAs[Double]("ewma") shouldBe 2.75
+    val batch = EventStreams.ewmaSmooth(
+      Seq((7L, 1L, 101L, 1.0), (7L, 2L, 102L, 2.0), (7L, 3L, 103L, 4.0))
+        .toDF("user_id", "ts", "event_id", "value")).collect()(0)
+    batch.getDouble(3) shouldBe last.getAs[Double]("ewma")
+  }
+
   it should "weight recent values ~2x the full-history mean" in {
     // constant 0 history then a spike: EWMA keeps half the spike, the
     // mean dilutes it to 1/n
