@@ -1255,6 +1255,33 @@ object SparkEntry {
       graft.operators.Curation.skipgramPairs(
         t(s, d, "documents"), window = 2, minCount = 5L)),
 
+    // Reliability diagram for the hashed classifier: 20 score bins ×
+    // rule-based quality agreement — one corpus projection + one keyed
+    // agg; decides whether the learned gate can replace the rule battery
+    "quality_calibration" -> ((s, d) =>
+      graft.operators.Quality.classifierCalibration(
+        t(s, d, "documents"), enStop)),
+
+    // Cross-source duplicate overlap: source pairs sharing bag-of-words-
+    // identical docs (content fingerprint) — the syndication detector
+    "source_overlap" -> ((s, d) =>
+      graft.operators.Reports.sourceOverlap(t(s, d, "documents"))),
+
+    // Data-quality expectation report over lineitem (dbt-tests shape):
+    // four row-level predicates in one scan + a composite-key uniqueness
+    // aggregate, one row per rule with the violation count
+    "dq_expectations" -> ((s, d) =>
+      graft.operators.Reports.expectationReport(
+        t(s, d, "lineitem"),
+        rowRules = Seq(
+          ("quantity_in_range", col("l_quantity").between(1, 50)),
+          ("price_positive", col("l_extendedprice") > 0),
+          ("discount_unit_interval", col("l_discount").between(0, 1)),
+          ("returnflag_domain", col("l_returnflag").isin("A", "N", "R"))),
+        uniqueRules = Seq(
+          ("order_line_unique",
+            concat_ws("|", col("l_orderkey"), col("l_linenumber")))))),
+
     // PMI collocations from the skip-gram pair table: marginals + total
     // from the pairs themselves, top-100 by association strength
     "pmi_collocations" -> ((s, d) =>
@@ -3488,6 +3515,82 @@ object SparkEntry {
          |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
          |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // mirrors Quality.classifierCalibration: the classifier qscore and
+    // quality replays binned with the same floor/clamp integer math
+    "quality_calibration" -> {
+      val toksClean = s"list_filter($toksSql, t -> t <> '')"
+      val c =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform($toksClean, t ->
+           |        CAST(('0x' || substr(md5('w:' ||
+           |          CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024
+           |            AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5)),
+           |      (a, b) -> a + b) / greatest(len($toksClean), 1)""".stripMargin
+      s"""WITH sc AS (
+         |  SELECT doc_id, $c AS c, $qualitySql AS q FROM documents),
+         |b AS (
+         |  SELECT least(greatest(CAST(floor((c + 0.5) * 20.0) AS BIGINT),
+         |    0), 19) AS bin, q
+         |  FROM sc)
+         |SELECT bin, CAST(bin AS DOUBLE) / 20.0 - 0.5 AS bin_lo,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS pass_rate
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    // mirrors Reports.sourceOverlap: the text_fingerprint replay as the
+    // key, distinct (source, fp), ordered self-join, keyed count
+    "source_overlap" ->
+      s"""WITH k AS (
+         |  SELECT DISTINCT source AS src,
+         |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+         |      AS fp
+         |  FROM documents)
+         |SELECT a.src AS source_a, b.src AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.src < b.src
+         |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Reports.expectationReport: one SELECT per rule unioned,
+    // NULL predicates counted as violations
+    "dq_expectations" ->
+      """SELECT 'quantity_in_range' AS rule,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+        |    THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+        |    THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_unit_interval',
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false)
+        |    THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'returnflag_domain',
+        |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+        |    THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'order_line_unique',
+        |  CAST(count(k) - count(DISTINCT k) AS BIGINT),
+        |  count(k) = count(DISTINCT k)
+        |FROM (SELECT concat_ws('|', l_orderkey, l_linenumber) AS k
+        |      FROM lineitem)""".stripMargin,
 
     // mirrors EventStreams.ewmaSmooth: same (ts, event_id, value) struct
     // sort, same NULL-seeded halving fold — exact scales, pinned order

@@ -293,26 +293,72 @@ object Quality {
     *
     * Scale shape: one row-local projection — no explode, no join, no
     * shuffle; the scan's column pruning survives. */
-  def linearClassifier(
-      docs: DataFrame,
-      nBuckets: Int = 1024,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+  /** The classifier score as a reusable column over a pre-cleaned token
+    * array (see [[linearClassifier]] for the full contract). */
+  def classifierScoreOnTokens(toks: Column, nBuckets: Int = 1024): Column = {
     require(nBuckets > 0, "nBuckets must be positive")
     def weight(tok: Column): Column =
       conv(substring(md5(concat(lit("w:"),
         (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") %
           nBuckets).cast("string"))), 1, 8), 16, 10).cast("bigint") /
         lit(4294967296.0) - lit(0.5)
+    aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)) /
+      greatest(size(toks), lit(1))
+  }
+
+  def linearClassifier(
+      docs: DataFrame,
+      nBuckets: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol),
         array_remove(T.tokens(col(textCol)), "").as("__toks"))
       .select(col(idCol),
         size(col("__toks")).cast("bigint").as("n_tokens"),
-        (aggregate(col("__toks"), lit(0.0), (acc, t) => acc + weight(t)) /
-          greatest(size(col("__toks")), lit(1))).as("qscore"))
+        classifierScoreOnTokens(col("__toks"), nBuckets).as("qscore"))
       .select(col(idCol), col("n_tokens"), col("qscore"),
         (col("qscore") >= 0).as("keep"))
+
+  /** Calibration table for the hashed classifier against the rule-based
+    * composite quality score: classifier scores cut into `nBins`
+    * equal-width bins over [-0.5, 0.5], each bin reporting how often the
+    * INDEPENDENT rule signal agrees (quality >= `qualityCut`) — the
+    * reliability diagram that decides whether a learned gate's threshold
+    * can replace the rule battery. Both signals are row-local, so the
+    * whole table is ONE corpus projection + one nBins-keyed aggregation;
+    * exact integer counts, one IEEE division per rate. */
+  def classifierCalibration(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      nBins: Int = 20,
+      qualityCut: Double = 0.5,
+      nBuckets: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val scored = docs
+      .select(col(idCol), col(textCol), T.tokens(col(textCol)).as("__raw"))
+      .select(col(idCol),
+        classifierScoreOnTokens(array_remove(col("__raw"), ""), nBuckets)
+          .as("__c"),
+        T.qualityScoreOnTokens(col(textCol), col("__raw"), stopwords)
+          .as("__q"))
+    scored
+      .select(
+        least(greatest(floor((col("__c") + lit(0.5)) * lit(nBins.toDouble))
+          .cast("bigint"), lit(0L)), lit(nBins - 1L)).as("bin"),
+        col("__q"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__q") >= qualityCut, 1L).otherwise(0L)).as("n_pass"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(nBins.toDouble) - lit(0.5))
+          .as("bin_lo"),
+        col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
   }
 
   /** Blocklist gate — the C4-style banned-terms filter every public

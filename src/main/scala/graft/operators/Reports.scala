@@ -80,6 +80,66 @@ object Reports {
       .withColumn("bin_lo", col("bin") * lit(width))
   }
 
+  /** Cross-source duplicate-overlap matrix: for every source pair, how
+    * many distinct normalized-text fingerprints both carry — the
+    * syndication / mirror detector (the same article on twenty domains
+    * inflates a naive per-source token count and double-trains the
+    * model). Keyed by the order/duplication-invariant CONTENT fingerprint
+    * ([[T.contentFingerprint]]: sorted distinct tokens), so "overlap"
+    * means bag-of-words-identical — reformatted syndication counts.
+    *
+    * Shape: one fingerprint projection + distinct (source, fp), then a
+    * fp-keyed self-join whose per-fp blow-up is bounded by the SOURCE
+    * COUNT squared (a fp present in all s sources yields s·(s−1)/2 pair
+    * rows — never corpus-scale), and a tiny keyed count. */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val keyed = Fan.spread(docs.select(col(sourceCol), col(textCol)))
+      .select(col(sourceCol).as("__src"),
+        T.contentFingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .localCheckpoint() // both sides of the self-join
+    keyed.select(col("__src").as("source_a"), col("fp"))
+      .join(keyed.select(col("__src").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Data-quality expectation report (the dbt-tests / Deequ shape): each
+    * named row-level predicate is evaluated corpus-wide in ONE scan (the
+    * rules explode row-locally, |rules| structs per row) and uniqueness
+    * expectations — not expressible per-row — run as count-vs-distinct
+    * aggregates unioned on. One row per rule: (rule, n_violations,
+    * pass). NULL predicate results count as violations (an expectation
+    * that cannot be evaluated is not met). */
+  def expectationReport(
+      df: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueRules: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no expectations")
+    val parts = Seq.newBuilder[DataFrame]
+    if (rowRules.nonEmpty) {
+      parts += df
+        .select(explode(array(rowRules.map { case (name, pred) =>
+          struct(lit(name).as("rule"),
+            when(!coalesce(pred, lit(false)), 1L).otherwise(0L).as("v"))
+        }: _*)).as("r"))
+        .groupBy(col("r.rule").as("rule"))
+        .agg(sum(col("r.v")).as("n_violations"))
+    }
+    uniqueRules.foreach { case (name, c) =>
+      parts += df.agg(
+        (count(c) - countDistinct(c)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }
+    parts.result().reduce(_ unionByName _)
+      .select(col("rule"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
   /** k-anonymity audit (Sweeney 2002): every quasi-identifier
     * combination whose equivalence class holds FEWER than `k` rows — the
     * privacy gate a dataset release runs after PII redaction (redaction

@@ -386,7 +386,18 @@ object StressScale {
         Curation.pmiCollocations(docs, window = 2, minCount = 5L, topK = 100)),
       // domain reweight = the full bigram-LM pass + two tiny aggs
       timeNoop("domain_reweight")(
-        Curation.domainReweight(docs))
+        Curation.domainReweight(docs)),
+      timeNoop("quality_calibration")(
+        graft.operators.Quality.classifierCalibration(docs,
+          graft.functions.TextFunctions.langStopwords("en"))),
+      timeNoop("source_overlap")(
+        graft.operators.Reports.sourceOverlap(docs)),
+      timeNoop("dq_expectations")(
+        graft.operators.Reports.expectationReport(docs,
+          rowRules = Seq(
+            ("text_nonempty", length(col("text")) > 0),
+            ("source_domain", col("source").isin((0 to 19).map(_.toString): _*))),
+          uniqueRules = Seq(("doc_id_unique", col("doc_id")))))
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

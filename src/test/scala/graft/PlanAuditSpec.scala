@@ -413,6 +413,25 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("partial_count")
   }
 
+  "quality_calibration" should "be one projection + one keyed agg, no join" in {
+    val plan = executed("quality_calibration")
+    plan should include("partial_count")
+    plan should not include "Join"
+  }
+
+  "source_overlap" should "self-join on the fingerprint key, never all-pairs" in {
+    val plan = executed("source_overlap")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Scan ExistingRDD") // the checkpointed keyed frame
+  }
+
+  "dq_expectations" should "partial-aggregate every rule in one scan per union leg" in {
+    val plan = executed("dq_expectations")
+    plan should include("partial_sum")
+    plan should not include "Join"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

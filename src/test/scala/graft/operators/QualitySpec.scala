@@ -126,6 +126,38 @@ class QualitySpec extends SparkSpec {
     got(5L) shouldBe ((0L, 0L, true))
   }
 
+  behavior of "classifierCalibration"
+
+  it should "conserve doc mass over in-range bins with exact bin edges" in {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (3 + (i % 9).toInt)).map(j => s"w${(i * j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cal = Quality.classifierCalibration(
+      docs, graft.functions.TextFunctions.langStopwords("en")).collect()
+    cal.map(_.getAs[Long]("n_docs")).sum shouldBe 60L
+    cal.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      bin should (be >= 0L and be <= 19L)
+      r.getAs[Double]("bin_lo") shouldBe (bin.toDouble / 20.0 - 0.5)
+      r.getAs[Long]("n_pass") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Double]("pass_rate") should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
+  it should "agree with the standalone classifier's binning doc by doc" in {
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 6).map(j => s"tok${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val perDoc = Quality.linearClassifier(docs).collect()
+      .map(r => math.min(math.max(
+        math.floor((r.getAs[Double]("qscore") + 0.5) * 20.0).toLong, 0L), 19L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cal = Quality.classifierCalibration(
+      docs, graft.functions.TextFunctions.langStopwords("en")).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_docs")).toMap
+    cal shouldBe perDoc
+  }
+
   behavior of "lmScoreBackoff"
 
   it should "hit all three backoff tiers on a hand-built split" in {

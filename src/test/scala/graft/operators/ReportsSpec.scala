@@ -132,6 +132,38 @@ class ReportsSpec extends SparkSpec {
     all(got.map(_.getLong(1))) should (be >= 0L and be <= 9L)
   }
 
+  behavior of "sourceOverlap"
+
+  it should "count bag-of-words-identical docs once per source pair" in {
+    val docs = Seq(
+      (1L, "shared article text here", "a"),
+      (2L, "Shared ARTICLE text HERE", "b"), // re-cased, same bag
+      (3L, "shared text here article shared", "c"), // reordered + dup token
+      (4L, "unique content one", "a"),
+      (5L, "unique content two", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = Reports.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L)
+  }
+
+  behavior of "expectationReport"
+
+  it should "count NULL predicates as violations and check composite uniqueness" in {
+    val rows = Seq(
+      (1L, Some(10.0)), (2L, Some(-3.0)), (3L, None), (1L, Some(5.0))
+    ).toDF("id", "v")
+    val got = Reports.expectationReport(rows,
+      rowRules = Seq(
+        ("v_positive", col("v") > 0),
+        ("id_small", col("id") < 100)),
+      uniqueRules = Seq(("id_unique", col("id"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    got("v_positive") shouldBe ((2L, false)) // the -3 and the NULL
+    got("id_small") shouldBe ((0L, true))
+    got("id_unique") shouldBe ((1L, false)) // id 1 twice
+  }
+
   behavior of "kAnonymityViolations"
 
   it should "flag only classes below k and certify with an empty result" in {
