@@ -1306,9 +1306,13 @@ object SparkEntry {
     // LSH calibration: true char-shingle Jaccard beside the signature
     // estimate for every MinHash candidate pair, rolled up per estimate
     // level — the (k, bands) tuning measurement before a full dedup run
+    // The calibration runs on the doc_id%5==0 SAMPLE — its own scale
+    // contract (a tuning measurement: the truth join ships shingle sets
+    // onto every candidate pair, so sampling bounds the pair mass)
     "lsh_calibration" -> ((s, d) =>
       graft.operators.Reports.lshCalibration(
-        t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)),
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        shingleN = 5, k = 8, bands = 4)),
 
     // Count-sketch hash embedding (64-dim signed-count vector from the
     // token stream, no model in the loop) — integer sketch as JSON plus
@@ -1433,19 +1437,18 @@ object SparkEntry {
 
     // ECDF quality normalization: percent_rank of the composite quality
     // score WITHIN each language — the cross-lingual-comparable per-doc
-    // quality the mixture sampler thresholds on (raw scores are not
-    // comparable across languages; ranks are)
+    // quality the mixture sampler thresholds on. Computed on the
+    // (lang, quality) histogram (Quality.ecdfByGroup), never a per-row
+    // window: 5 language partitions must not serialize a corpus sort
     "quality_ecdf" -> ((s, d) =>
-      graft.operators.Fan.spread(t(s, d, "documents"))
-        .select(col("doc_id"), col("lang"), col("text"),
-          T.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), col("lang"),
-          T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
-            .as("quality"))
-        .withColumn("pct_rank",
-          round(percent_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang")).orderBy(col("quality"))), 6)))
+      graft.operators.Quality.ecdfByGroup(
+        graft.operators.Fan.spread(t(s, d, "documents"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            T.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("lang"),
+            T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
+              .as("quality")),
+        "lang", "quality"))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -1594,7 +1597,7 @@ object SparkEntry {
        |  FROM filtered f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)""".stripMargin
 
   /** DuckDB replay of [[Dedup.minhashLsh]] (md5 tier, k=8, bands=4). */
-  private lazy val minhashPairsSql: String = {
+  private def minhashPairsSqlFor(docsWhere: String): String = {
     val slots = (0 until 8).map(minhashSlotSql)
     val sig = s"[${slots.mkString(",\n  ")}]"
     val bandKeys = (0 until 4).map { b =>
@@ -1603,7 +1606,7 @@ object SparkEntry {
     s"""WITH sh AS (
        |  SELECT doc_id AS id, $charShingles5Sql AS sh
        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-       |        FROM documents)),
+       |        FROM documents $docsWhere)),
        |sig AS (SELECT id, $sig AS sig FROM sh),
        |banded AS (SELECT id, sig, unnest($bandKeys) AS band FROM sig),
        |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
@@ -1613,6 +1616,8 @@ object SparkEntry {
        |    AS est_jaccard
        |FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id""".stripMargin
   }
+
+  private lazy val minhashPairsSql: String = minhashPairsSqlFor("")
 
   /** Shared CTE chain: minhash candidate pairs → undirected edges →
     * recursive reachability → per-node min label (= the cluster keeper).
@@ -3625,10 +3630,10 @@ object SparkEntry {
     // joined against the charShingles truth sets, 6-rounded true
     // jaccard / abs error, decimal sums per estimate level
     "lsh_calibration" ->
-      s"""WITH pairs AS ($minhashPairsSql),
+      s"""WITH pairs AS (${minhashPairsSqlFor("WHERE doc_id % 5 = 0")}),
          |nrm AS (SELECT doc_id,
          |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 5 = 0),
          |sets AS (SELECT doc_id AS id, $charShingles5Sql AS s FROM nrm),
          |j AS (
          |  SELECT p.est_jaccard,

@@ -179,6 +179,38 @@ object Quality {
             col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** Attach the within-group ECDF (percent_rank) of `valueCol` to every
+    * row of `scored` — WITHOUT a per-row window. percent_rank is a pure
+    * function of (group, value) — ties share one rank — so it computes on
+    * the (group, value) HISTOGRAM: rank_first = 1 + Σ counts of smaller
+    * values, pct = (rank_first − 1)/(n − 1), joined back onto the rows by
+    * (group, value). The corpus is touched by one keyed count and one
+    * keyed join; the window orders distinct VALUES per group, so a
+    * low-cardinality group key (5 languages at 100 TB) never serializes
+    * the sort onto a handful of tasks. Singleton groups report 0.0 (the
+    * percent_rank convention). Identical values to
+    * `percent_rank().over(partitionBy(group).orderBy(value))`, rounded
+    * to 6. */
+  def ecdfByGroup(
+      scored: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val hist = scored.groupBy(g, v).agg(count(lit(1)).as("__c"))
+    val wBefore = Window.partitionBy(g).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("__before", coalesce(sum(col("__c")).over(wBefore), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g)))
+      .select(g, v,
+        when(col("__n") > 1,
+          round(col("__before").cast("double") /
+            (col("__n") - lit(1L)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pct_rank"))
+    scored.join(ranked, Seq(groupCol, valueCol))
+  }
+
   /** Trigram language model with STUPID BACKOFF (Brants et al. 2007,
     * "Large Language Models in Machine Translation" — the score web-scale
     * pipelines use precisely because it needs no discounting pass):

@@ -105,48 +105,65 @@ object Descriptive {
     * each mean is one IEEE division over exact sums. MAD re-ranks the
     * integer deviations |x − median|, nearest-rank again.
     *
-    * Scale shape: two per-group sort passes (rank by value, then rank by
-    * deviation) + two keyed aggregations — window sorts partition by the
-    * group key, so at 1000 executors each group sorts locally after one
-    * hash shuffle; nothing is quadratic, nothing collects. The stats-join
-    * back to rows is a per-group 1-row frame (broadcast under AQE).
+    * Scale shape — the corpus is touched exactly ONCE, by a keyed count
+    * into a (group, value) HISTOGRAM; every subsequent step (cumulative
+    * ranks, percentile selection, winsorized/trimmed sums, the deviation
+    * re-rank for MAD) runs over that compact frame, bounded by value
+    * CARDINALITY, not row count. This matters because the group key is
+    * typically low-cardinality (languages, sources): a per-ROW window
+    * partitioned by 5 languages would serialize a 100 TB sort onto 5
+    * tasks, while the histogram's windows order a few thousand distinct
+    * values per group. Order statistics over a histogram are identical
+    * to order statistics over rows (ties collapse into counts).
     */
   def robustGroupStats(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
     val g = col(groupCol)
-    val base = df.select(g, metric.cast("bigint").as("v"))
-    val wOrd = Window.partitionBy(g).orderBy(col("v"))
-    val wAll = Window.partitionBy(g)
     // ceil(p% · n) with exact integer arithmetic; n < 2^50 keeps the
     // double product exact, and the bigint cast truncates (= floor here)
     def kAt(p: Int): Column =
       floor((lit(p) * col("n") + lit(99)) / lit(100)).cast("bigint")
-    val ranked = base
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-    def atRank(k: Column): Column = max(when(col("rn") === k, col("v")))
-    val pcts = ranked.groupBy(g).agg(
+    // the one corpus-scale pass: map-side-combined value histogram,
+    // checkpointed because three consumers re-read it
+    val hist = df.select(g, metric.cast("bigint").as("v"))
+      .groupBy(g, col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wOrd = Window.partitionBy(g).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(g)))
+    // k-th order statistic = smallest value whose cumulative count
+    // reaches k
+    def atRank(p: Int): Column = min(when(col("cum") >= kAt(p), col("v")))
+    val pcts = cum.groupBy(g).agg(
       max(col("n")).as("n"),
-      atRank(kAt(5)).as("p05"),
-      atRank(kAt(50)).as("median"),
-      atRank(kAt(95)).as("p95"))
-    val joined = base.join(pcts, Seq(groupCol))
-      .select(g, col("n"), col("p05"), col("median"), col("p95"),
-        greatest(least(col("v"), col("p95")), col("p05")).as("clamped"),
-        when(col("v").between(col("p05"), col("p95")), col("v")).as("inlier"),
-        abs(col("v") - col("median")).as("absdev"))
-    val wDev = Window.partitionBy(g).orderBy(col("absdev"))
-    joined
-      .withColumn("rn2", row_number().over(wDev))
-      .groupBy(g).agg(
-        max(col("n")).as("n"),
-        max(col("p05")).as("p05"),
-        max(col("median")).as("median"),
-        max(col("p95")).as("p95"),
-        (sum(col("clamped")).cast("double") / max(col("n")).cast("double"))
-          .as("winsorized_mean"),
-        (sum(col("inlier")).cast("double") / count(col("inlier")).cast("double"))
-          .as("trimmed_mean"),
-        max(when(col("rn2") === kAt(50), col("absdev"))).as("mad"))
+      atRank(5).as("p05"),
+      atRank(50).as("median"),
+      atRank(95).as("p95"))
+    val joined = hist.join(pcts, Seq(groupCol))
+    val main = joined.groupBy(g).agg(
+      max(col("n")).as("n"),
+      max(col("p05")).as("p05"),
+      max(col("median")).as("median"),
+      max(col("p95")).as("p95"),
+      (sum(col("c") * greatest(least(col("v"), col("p95")), col("p05")))
+        .cast("double") / max(col("n")).cast("double")).as("winsorized_mean"),
+      (sum(when(col("v").between(col("p05"), col("p95")),
+        col("c") * col("v"))).cast("double") /
+        sum(when(col("v").between(col("p05"), col("p95")), col("c")))
+          .cast("double")).as("trimmed_mean"))
+    // MAD: histogram of |v − median| (distinct deviations merge), same
+    // cumulative-rank selection
+    val devHist = joined
+      .select(g, col("n"), abs(col("v") - col("median")).as("ad"), col("c"))
+      .groupBy(g, col("n"), col("ad")).agg(sum(col("c")).as("c"))
+    val wDev = Window.partitionBy(g).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = devHist
+      .withColumn("cum", sum(col("c")).over(wDev))
+      .groupBy(g)
+      .agg(min(when(col("cum") >= kAt(50), col("ad"))).as("mad"))
+    main.join(mad, Seq(groupCol))
   }
 
   /** The 100 TB tier SURVEY §7.3 anticipates "behind a flag": exact

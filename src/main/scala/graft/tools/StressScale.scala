@@ -288,14 +288,13 @@ object StressScale {
         graft.stats.Descriptive.robustGroupStats(
           docs.select(col("source"), length(col("text")).as("len")),
           "source", col("len"))),
-      // ECDF normalization: one source-partitioned percent_rank window
+      // ECDF normalization on the value histogram (no per-row window)
       timeNoop("quality_ecdf")(
-        graft.operators.Fan.spread(docs)
-          .select(col("doc_id"), col("source"),
-            length(col("text")).cast("double").as("q"))
-          .withColumn("pct_rank", percent_rank().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("source")).orderBy(col("q"))))),
+        graft.operators.Quality.ecdfByGroup(
+          graft.operators.Fan.spread(docs)
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("double").as("q")),
+          "source", "q")),
       // 5-gram novelty: distinct-gram left join, ref = 1/10 of corpus
       timeNoop("ngram_novelty")(
         Curation.ngramNovelty(

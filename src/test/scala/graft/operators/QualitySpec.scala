@@ -126,6 +126,25 @@ class QualitySpec extends SparkSpec {
     got(5L) shouldBe ((0L, 0L, true))
   }
 
+  behavior of "ecdfByGroup"
+
+  it should "reproduce percent_rank exactly, ties and singletons included" in {
+    val rnd = new scala.util.Random(17)
+    // heavy ties (values drawn from 10 levels) + one singleton group
+    val rows = (Seq.fill(200)((s"g${rnd.nextInt(3)}", rnd.nextInt(10) / 10.0)) :+
+      (("solo", 0.7))).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "g", "v")
+    val viaWindow = df.withColumn("pct_rank",
+      round(org.apache.spark.sql.functions.percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val viaHist = Quality.ecdfByGroup(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    viaHist shouldBe viaWindow
+    viaHist(200L) shouldBe 0.0 // the singleton group
+  }
+
   behavior of "classifierCalibration"
 
   it should "conserve doc mass over in-range bins with exact bin edges" in {
