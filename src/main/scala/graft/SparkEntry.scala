@@ -1448,7 +1448,84 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"),
             T.qualityScoreOnTokens(col("text"), col("__toks"), enStop)
               .as("quality")),
-        "lang", "quality"))
+        "lang", "quality")),
+
+    // OLAP CUBE over the pricing-summary dims: all four grouping sets in
+    // ONE pass (Spark plans CUBE as a single Expand + hash-agg — one
+    // shuffle, not one per grouping set). grouping_id() disambiguates
+    // rolled-up NULLs from data NULLs; decimal sums keep qty/revenue
+    // exact so the doubles replay bit-for-bit
+    "cube_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+            .cast("double").as("revenue"))),
+
+    // Pivoted per-source language mix: one keyed agg, the lang axis
+    // pinned to an explicit value list (never pivot on discovered values
+    // — that is a collect of the key domain and a nondeterministic
+    // schema). count-valued cells, absent combos filled 0
+    "pivot_langs" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Trailing 3-bucket moving average over the hourly event series: the
+    // window runs on the PRE-AGGREGATED frame (one row per hour × type —
+    // calendar-bounded, not data-bounded), so the low-cardinality
+    // partition key is safe at any corpus size; the raw-event shuffle is
+    // the keyed hourly count that precedes it
+    "event_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = eventsUs(s, d)
+        .groupBy(expr("ts div 3600000000").as("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+        .rowsBetween(-2, 0)
+      hourly.select(
+        col("hour_id"), col("event_type"), col("n_events"),
+        sum(col("n_events")).over(w).as("sum_3h"),
+        (sum(col("n_events")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_3h"))
+    }),
+
+    // Lag-k autocorrelation of the hourly event-count series (k = 1..6):
+    // pairs come from an equi-join on hour_id + lag (NOT lead()-by-rows,
+    // which silently mispairs across missing hours), the moments are
+    // exact bigint sums, and the Pearson ratio is one IEEE expression
+    // over them. The series frame is hour-scale — localCheckpoint-ed once
+    // so the 6-lag join does not re-run the raw-event scan per lag
+    "event_autocorr" -> ((s, d) => {
+      val h = eventsUs(s, d)
+        .groupBy(expr("ts div 3600000000").as("hour_id"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val lags = broadcast(s.range(1, 7).select(col("id").as("lag")))
+      val pairs = h.select(col("hour_id"), col("n").as("xv"))
+        .crossJoin(lags)
+        .join(h.select(col("hour_id").as("__yh"), col("n").as("yv")),
+          col("__yh") === col("hour_id") + col("lag"))
+      pairs.groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("autocorr"))
+    })
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -4035,6 +4112,72 @@ object SparkEntry {
          |SELECT doc_id, lang, quality,
          |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
          |    AS pct_rank
-         |FROM scored""".stripMargin
+         |FROM scored""".stripMargin,
+
+    // mirrors cube_revenue: DuckDB's GROUPING(a, b) uses the same bit
+    // encoding as Spark's grouping_id() (first column = MSB, 1 = rolled
+    // up), verified on the data; decimal sums exact → doubles replay
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // mirrors pivot_langs: the pinned pivot value list as FILTER'd counts
+    "pivot_langs" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // mirrors event_moving_avg: identical frame spec over the identical
+    // pre-aggregated hourly series; sum/count are exact bigints, the avg
+    // one IEEE division
+    "event_moving_avg" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_id, event_type, n_events,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS sum_3h,
+        |  CAST(sum(n_events) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) AS avg_3h
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // mirrors event_autocorr: the same hour_id + lag equi-join pairs,
+    // the same exact-bigint moment sums, the same single Pearson ratio
+    "event_autocorr" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(lag AS BIGINT) AS lag
+        |      FROM (VALUES (1),(2),(3),(4),(5),(6)) AS t(lag)),
+        |p AS (
+        |  SELECT l.lag, x.n AS xv, y.n AS yv
+        |  FROM h x CROSS JOIN l
+        |  JOIN h y ON y.hour_id = x.hour_id + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |    CAST(sum(xv*yv) AS BIGINT) AS sxy,
+        |    CAST(sum(xv*xv) AS BIGINT) AS sxx,
+        |    CAST(sum(yv*yv) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))) AS autocorr
+        |FROM m""".stripMargin
   )
 }
