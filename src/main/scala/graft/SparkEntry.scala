@@ -1525,7 +1525,29 @@ object SparkEntry {
             (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
               sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("autocorr"))
-    })
+    }),
+
+    // Exact triangle counts + clustering coefficient over the kNN graph
+    // (same edge set as pagerank_knn): degree-ordered orientation keeps
+    // the wedge join sub-quadratic under any skew — see Graphs.triangles
+    "graph_triangles" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.triangles(
+        edges, e.select(col("vec_id").as("id")))
+    }),
+
+    // Sorted-neighborhood (SNM) near-dup pairs: normalized-key-prefix
+    // sort + fixed sliding window + exact token-Jaccard verify — the
+    // record-linkage classic whose candidate count is |N|·(w−1) by
+    // construction (no bucket distribution to guard)
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(t(s, d, "documents"),
+        window = 5, minJaccard = 0.3))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -4178,6 +4200,87 @@ object SparkEntry {
         |  CAST(n_pairs*sxy - sx*sy AS DOUBLE)
         |    / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
         |       * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))) AS autocorr
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // mirrors Graphs.triangles over the knn_graph edge replay: same
+    // symmetrize → (deg, id) orientation → wedge + closing-edge joins;
+    // all-integer output so the hash compare is exact
+    "graph_triangles" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |ori AS (
+         |  SELECT u.src AS a, u.dst AS b, db.deg AS bdeg
+         |  FROM und u
+         |  JOIN deg da ON da.id = u.src
+         |  JOIN deg db ON db.id = u.dst
+         |  WHERE da.deg < db.deg OR (da.deg = db.deg AND u.src < u.dst)),
+         |tri AS (
+         |  SELECT w1.a, w1.b, w2.b AS c
+         |  FROM ori w1 JOIN ori w2 ON w1.a = w2.a
+         |  JOIN ori cl ON cl.a = w1.b AND cl.b = w2.b
+         |  WHERE w1.bdeg < w2.bdeg OR (w1.bdeg = w2.bdeg AND w1.b < w2.b)),
+         |pn AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |    SELECT a AS id FROM tri
+         |    UNION ALL SELECT b AS id FROM tri
+         |    UNION ALL SELECT c AS id FROM tri) GROUP BY 1)
+         |SELECT n.vec_id AS id,
+         |  coalesce(deg.deg, 0) AS degree,
+         |  coalesce(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN coalesce(deg.deg, 0) >= 2
+         |    THEN (2 * coalesce(pn.n_triangles, 0) * 1000000)
+         |         // (deg.deg * (deg.deg - 1))
+         |    ELSE 0 END AS cc_ppm
+         |FROM embeddings n
+         |LEFT JOIN deg ON deg.id = n.vec_id
+         |LEFT JOIN pn ON pn.id = n.vec_id""".stripMargin
+    },
+
+    // mirrors Dedup.sortedNeighborhood: global row_number over the same
+    // (key, id) order (the banded two-pass rank equals it exactly), the
+    // same ≤ window−1 successor pairs, set-Jaccard on the same distinct
+    // token lists — exact ints, one IEEE division
+    "dedup_sorted_neighborhood" ->
+      s"""WITH k AS (
+         |  SELECT doc_id AS id,
+         |    substr(trim(regexp_replace(lower(nfc_normalize(text)),
+         |                               '\\s+', ' ', 'g')), 1, 24) AS key,
+         |    list_distinct($toksSql) AS toks
+         |  FROM documents),
+         |r AS (SELECT id, toks,
+         |        row_number() OVER (ORDER BY key, id) AS rk FROM k),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(b.rk - a.rk AS BIGINT) AS rank_dist,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
+         |    CAST(len(a.toks) + len(b.toks)
+         |         - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
+         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4)
+         |SELECT id_a, id_b, rank_dist,
+         |  CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE) AS jaccard
+         |FROM p
+         |WHERE CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE) >= 0.3""".stripMargin
   )
 }

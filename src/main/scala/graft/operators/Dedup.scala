@@ -935,6 +935,89 @@ object Dedup {
           greatest(col("_na") + col("_nb") - col("_int"), lit(1))).as("jaccard"))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995): sort
+    * the corpus by a normalized key prefix, pair every record with its
+    * `window − 1` successors in that order, verify candidates with exact
+    * token-set Jaccard. The classic record-linkage complement to the
+    * hash-bucket families: LSH/SimHash bucket on CONTENT OVERLAP, SNM
+    * catches prefix-clustered near-dups (title variants, serial-numbered
+    * boilerplate) with a candidate count that is |N|·(window−1) BY
+    * CONSTRUCTION — no bucket-size distribution to guard.
+    *
+    * The global sort rank is computed with the banded two-pass pattern
+    * ([[Curation.packSequences]]): band on a short prefix of the sort
+    * key (monotone with key order), per-band partitioned `row_number`,
+    * broadcast cumulative band offsets from a driver-bounded per-band
+    * census — identical output to `Window.orderBy(key)` with no
+    * single-partition stage. `bandLen` is the cardinality/skew knob: a
+    * corpus where most keys share one 2-char prefix degrades that band's
+    * window to a single sorted partition (the documented exposure; raise
+    * `bandLen` to sub-split). Pairing is one equi-join on rank buckets
+    * (successor ranks land in the same or next bucket — the right side
+    * probes both), then the ≤ window−1 distance filter; the Jaccard
+    * verify is row-local set arithmetic on the carried token arrays.
+    *
+    * Reference surface: the reference's checksum-sorted duplicate scan
+    * (sentinel-core store lookups order on md5) generalized to
+    * similarity-windowed linkage.
+    *
+    * @return (id_a, id_b, rank_dist, jaccard) — id_a is the rank-lower
+    *         record; jaccard = |A∩B| / |A∪B| over distinct lower-cased
+    *         whitespace tokens, one IEEE division of exact ints
+    */
+  def sortedNeighborhood(
+      docs: DataFrame,
+      window: Int = 5,
+      keyLen: Int = 24,
+      bandLen: Int = 2,
+      minJaccard: Double = 0.3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 2 && window <= 1000, s"window out of range: $window")
+    require(bandLen >= 1 && bandLen <= keyLen, "bandLen within key")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = Fan.spread(docs)
+      .select(col(idCol).as("id"),
+        substring(T.normalizeText(col(textCol)), 1, keyLen).as("__key"),
+        array_distinct(T.tokens(col(textCol))).as("__toks"))
+      .withColumn("__band", substring(col("__key"), 1, bandLen))
+      .localCheckpoint() // read by the census, the rank pass, and the join
+    val counts = keyed.groupBy(col("__band"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val row = (b, acc); acc += n; row }
+    val offsetsDf = offsets.toSeq.toDF("__band", "__offset")
+    val rankW = Window.partitionBy(col("__band"))
+      .orderBy(col("__key"), col("id"))
+    val ranked = keyed
+      .join(broadcast(offsetsDf), Seq("__band"))
+      .withColumn("__rk", col("__offset") + row_number().over(rankW))
+      .select(col("id"), col("__toks"), col("__rk"))
+    val dMax = (window - 1).toLong
+    val left = ranked.withColumn("__bk", expr(s"(__rk - 1) div $dMax"))
+    // each successor rank falls in the same bucket or the one before its
+    // own — probe both from the right side, one equi-join total
+    val right = ranked
+      .withColumn("__bk", explode(array(
+        expr(s"(__rk - 1) div $dMax"), expr(s"(__rk - 1) div $dMax - 1"))))
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    val uni = size(col("__ta")) + size(col("__tb")) -
+      size(array_intersect(col("__ta"), col("__tb")))
+    left.select(col("__bk"), col("id").as("id_a"),
+        col("__toks").as("__ta"), col("__rk").as("__ra"))
+      .join(right.select(col("__bk"), col("id").as("id_b"),
+        col("__toks").as("__tb"), col("__rk").as("__rb")), Seq("__bk"))
+      .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + dMax)
+      .select(col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("rank_dist"),
+        (inter.cast("double") / greatest(uni, lit(1)).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Winnowing-fingerprint candidate pairs (the MOSS detector's join
     * step): documents sharing at least `minShared` winnowed fingerprints
     * ([[org.apache.spark.sql.graft.WinnowFingerprints]], k-gram window

@@ -404,4 +404,65 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     r shouldBe Map(1L -> true, 2L -> true)
   }
+
+  behavior of "sortedNeighborhood"
+
+  /** Brute-force SNM replay: global (key, id) sort, all pairs within
+    * window − 1 ranks, token-set Jaccard. */
+  private def naiveSnm(
+      docs: Seq[(Long, String)], window: Int, keyLen: Int,
+      minJ: Double): Set[(Long, Long, Long)] = {
+    def norm(t: String) =
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        .toLowerCase.replaceAll("\\s+", " ").trim
+    def toks(t: String) = t.toLowerCase.split("\\s+").distinct.toSet
+    val ranked = docs.map { case (id, t) => (norm(t).take(keyLen), id, toks(t)) }
+      .sortBy(x => (x._1, x._2)).zipWithIndex
+    (for {
+      (a, ra) <- ranked
+      (b, rb) <- ranked
+      if rb > ra && rb <= ra + window - 1
+      i = (a._3 & b._3).size
+      u = (a._3 | b._3).size
+      if u > 0 && i.toDouble / u >= minJ
+    } yield (a._2, b._2, (rb - ra).toLong)).toSet
+  }
+
+  it should "pair exactly the window-adjacent records that pass the Jaccard gate" in {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma DELTA"),   // same normalized key + tokens
+      (12L, "alpha beta zeta eta"),      // shares prefix, half the tokens
+      (13L, "omega psi chi phi"),        // far away in sort order
+      (14L, "zzz completely different"),
+      (15L, "  Alpha   beta gamma delta ")) // normalization collapses to 10's key
+    for (parts <- Seq(1, 4)) {
+      val got = Dedup.sortedNeighborhood(
+        docs.toDF("doc_id", "text").repartition(parts),
+        window = 3, minJaccard = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"parts=$parts: ") {
+        got shouldBe naiveSnm(docs, window = 3, keyLen = 24, minJ = 0.4)
+      }
+    }
+  }
+
+  it should "bound candidates at |N|*(window-1) and respect the window" in {
+    // 20 docs with identical tokens: every window-adjacent pair passes
+    val docs = (0L until 20L).map(i => (i, s"tok$i common shared words"))
+    val got = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 4, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // distances only 1..3; total pairs = 19 + 18 + 17
+    got.map(_._3).toSet shouldBe Set(1L, 2L, 3L)
+    got.length shouldBe (19 + 18 + 17)
+  }
+
+  it should "compute exact set Jaccard on the carried token arrays" in {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"))
+    val r = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 2, minJaccard = 0.0).collect()
+    r.length shouldBe 1
+    r.head.getDouble(3) shouldBe (3.0 / 5.0)
+  }
 }

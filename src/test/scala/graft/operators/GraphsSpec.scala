@@ -95,4 +95,70 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     run(2) shouldBe run(13)
   }
+
+  behavior of "Graphs.triangles"
+
+  /** Brute-force reference: count distinct unordered triples with all
+    * three undirected edges present. */
+  private def naiveTri(
+      edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, (Long, Long)] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tris = nodes.combinations(3).filter { case Seq(a, b, c) =>
+      adj.getOrElse(a, Set()).contains(b) &&
+        adj.getOrElse(b, Set()).contains(c) &&
+        adj.getOrElse(a, Set()).contains(c)
+    }.toSeq
+    nodes.map { n =>
+      val d = adj.getOrElse(n, Set()).size.toLong
+      val t = tris.count(_.contains(n)).toLong
+      n -> (d, t)
+    }.toMap
+  }
+
+  private def runTri(
+      edges: Seq[(Long, Long)], nodes: Seq[Long],
+      parts: Int = 4): Map[Long, (Long, Long, Long)] =
+    Graphs.triangles(
+      edges.toDF("src", "dst").repartition(parts), nodes.toDF("id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  it should "match the brute-force count on a hand-built graph" in {
+    // two triangles sharing edge (1,2), one dangling spoke, one isolate
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 2L, 2L -> 5L)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val got = runTri(edges, nodes)
+    val want = naiveTri(edges, nodes)
+    nodes.foreach { n =>
+      val (d, t, cc) = got(n)
+      (d, t) shouldBe want(n)
+      if (d >= 2) cc shouldBe 2L * t * 1000000L / (d * (d - 1)) else cc shouldBe 0L
+    }
+    got(1L)._2 shouldBe 2L // both triangles touch 1
+    got(6L) shouldBe ((0L, 0L, 0L))
+  }
+
+  it should "count each triangle once regardless of edge direction or duplication" in {
+    // the same triangle given in every direction twice over
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 1L, 1L -> 3L,
+      1L -> 2L, 2L -> 3L)
+    val got = runTri(edges, Seq(1L, 2L, 3L))
+    got.values.foreach { case (d, t, cc) =>
+      d shouldBe 2L; t shouldBe 1L; cc shouldBe 1000000L
+    }
+  }
+
+  it should "match brute force on a random graph and be partitioning-invariant" in {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until 25L).toSeq
+    val got = runTri(edges, nodes, parts = 3)
+    got shouldBe runTri(edges, nodes, parts = 17)
+    val want = naiveTri(edges, nodes)
+    nodes.foreach { n => (got(n)._1, got(n)._2) shouldBe want(n) }
+  }
 }
