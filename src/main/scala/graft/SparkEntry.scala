@@ -1547,7 +1547,22 @@ object SparkEntry {
     // construction (no bucket distribution to guard)
     "dedup_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(t(s, d, "documents"),
-        window = 5, minJaccard = 0.3))
+        window = 5, minJaccard = 0.3)),
+
+    // The scale tier of sample_per_group: the same deterministic k-per-
+    // group hash sample computed by the native bounded-heap aggregate
+    // (TopKByKeyAgg) instead of a window sort — a proper partial agg
+    // whose shuffle moves k pairs per (group × task), never the rows.
+    // Output (and oracle) are bit-identical to the window form
+    "sample_per_group_agg" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(org.apache.spark.sql.graft.TopKFunctions.topKByKey(
+          H.md5Bucket(11L, col("doc_id")), col("doc_id"), 5).as("__picks"))
+        .select(col("source"),
+          posexplode(col("__picks")).as(Seq("__pos", "doc_id")))
+        .select(col("doc_id"), col("source"),
+          (col("__pos") + 1).cast("long").as("rk")))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -1841,6 +1856,9 @@ object SparkEntry {
          |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin) +
     // composes the two replays it is built from: the md5-tier MinHash
     // pair SQL and the split_assign hash cut, joined as derived tables
+    // the native-aggregate tier reproduces the window tier bit-for-bit,
+    // so it replays the SAME SQL (the vector_pq_persisted contract)
+    ("sample_per_group_agg" -> oracleSqlBase("sample_per_group")) +
     ("split_leakage" ->
       // coalesce mirrors the operator's unassigned bucket (relevant only
       // when split fractions sum below 1.0 — a no-op for this query)

@@ -401,6 +401,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.cmsEstimateDescriptor)
     ext.injectFunction(FrequencyFunctions.mgDescriptor)
     ext.injectFunction(FrequencyFunctions.kmvDescriptor)
+    ext.injectFunction(TopKFunctions.topKDescriptor)
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }
@@ -423,7 +424,8 @@ object GraftFunctions {
     Seq(dotDescriptor, dotIntDescriptor, TextExpressionFunctions.nfcDescriptor,
       SketchFunctions.hllDescriptor,
       SketchFunctions.cmsDescriptor, SketchFunctions.cmsEstimateDescriptor,
-      FrequencyFunctions.mgDescriptor, FrequencyFunctions.kmvDescriptor)
+      FrequencyFunctions.mgDescriptor, FrequencyFunctions.kmvDescriptor,
+      TopKFunctions.topKDescriptor)
       .foreach { d =>
         spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
       }

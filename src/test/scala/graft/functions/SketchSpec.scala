@@ -142,4 +142,54 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     viaSql shouldBe cmsEstimates(4)
   }
+
+  behavior of "TopKByKeyAgg"
+
+  private def topkRows(
+      rows: Seq[(String, Long, Long)], k: Int, parts: Int): Map[String, Seq[Long]] =
+    rows.toDF("g", "key", "payload").repartition(parts)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.graft.TopKFunctions
+        .topKByKey(col("key"), col("payload"), k).as("picks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+  it should "keep the k smallest (key, payload) pairs per group, payload-ascending on key ties" in {
+    val rows = Seq(
+      ("a", 5L, 50L), ("a", 1L, 10L), ("a", 3L, 30L), ("a", 1L, 5L), ("a", 9L, 90L),
+      ("b", 2L, 20L))
+    val got = topkRows(rows, k = 3, parts = 2)
+    got("a") shouldBe Seq(5L, 10L, 30L) // (1,5) < (1,10) < (3,30)
+    got("b") shouldBe Seq(20L)          // fewer than k rows: all kept
+  }
+
+  it should "be a pure function of the input multiset (partitioning-invariant)" in {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(5000)((s"g${rnd.nextInt(7)}", rnd.nextLong(), rnd.nextLong()))
+    topkRows(rows, k = 8, parts = 1) shouldBe topkRows(rows, k = 8, parts = 32)
+  }
+
+  it should "match the window row_number formulation exactly" in {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(2000)((s"g${rnd.nextInt(5)}", rnd.nextInt(50).toLong, rnd.nextLong()))
+    val df = rows.toDF("g", "key", "payload")
+    val viaWindow = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("key"), col("payload"))))
+      .filter(col("rk") <= 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = topkRows(rows, k = 6, parts = 8).toSeq.flatMap { case (g, ps) =>
+      ps.map(p => (g, rows.find(r => r._1 == g && r._3 == p).get._2, p))
+    }.toSet
+    viaAgg shouldBe viaWindow
+  }
+
+  it should "skip null keys/payloads and register in SQL" in {
+    Seq((1L, Option(2L), Option(20L)), (1L, None, Option(9L)), (1L, Option(1L), None))
+      .toDF("g", "key", "payload").createOrReplaceTempView("__topk_in")
+    val r = spark.sql(
+      "SELECT graft_topk_by_key(key, payload, 5) FROM __topk_in GROUP BY g")
+      .collect()(0).getSeq[Long](0)
+    r shouldBe Seq(20L)
+  }
 }
