@@ -54,6 +54,13 @@ object SparkEntry {
 
   private val enStop = T.langStopwords("en")
 
+  /** Sorted-neighborhood parameters, shared by the `dedup_sorted_
+    * neighborhood` query and its oracle SQL so a tuning change cannot
+    * silently leave the oracle testing a different configuration. */
+  private val SnmWindow = 5
+  private val SnmKeyLen = 24
+  private val SnmMinJaccard = 0.3
+
   /** Process-wide scratch warehouse for the persistence round-trip query,
     * removed on JVM exit. */
   private lazy val pqWarehouseDir: String = {
@@ -1547,7 +1554,7 @@ object SparkEntry {
     // construction (no bucket distribution to guard)
     "dedup_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(t(s, d, "documents"),
-        window = 5, minJaccard = 0.3)),
+        window = SnmWindow, keyLen = SnmKeyLen, minJaccard = SnmMinJaccard)),
 
     // The scale tier of sample_per_group: the same deterministic k-per-
     // group hash sample computed by the native bounded-heap aggregate
@@ -4195,7 +4202,10 @@ object SparkEntry {
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // mirrors event_autocorr: the same hour_id + lag equi-join pairs,
-    // the same exact-bigint moment sums, the same single Pearson ratio
+    // the same exact-bigint moment sums, the same single Pearson ratio.
+    // nullif guards the degenerate denominator (single pair / zero
+    // variance): Spark's Divide already yields NULL on a zero divisor,
+    // DuckDB's IEEE division would yield NaN/Inf — nullif aligns them
     "event_autocorr" ->
       """WITH h AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
@@ -4216,8 +4226,8 @@ object SparkEntry {
         |  FROM p GROUP BY 1)
         |SELECT lag, n_pairs,
         |  CAST(n_pairs*sxy - sx*sy AS DOUBLE)
-        |    / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
-        |       * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))) AS autocorr
+        |    / nullif(sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+        |             * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)), 0) AS autocorr
         |FROM m""".stripMargin,
 
     // mirrors Graphs.triangles over the knn_graph edge replay: same
@@ -4277,16 +4287,19 @@ object SparkEntry {
     },
 
     // mirrors Dedup.sortedNeighborhood: global row_number over the same
-    // (key, id) order (the banded two-pass rank equals it exactly), the
-    // same ≤ window−1 successor pairs, set-Jaccard on the same distinct
-    // token lists — exact ints, one IEEE division
+    // (key, id) order (the banded two-pass rank equals it exactly —
+    // including when the band cap fires, since prefix extension is
+    // order-preserving), the same ≤ window−1 successor pairs, set-Jaccard
+    // on the same distinct token lists — exact ints, one IEEE division.
+    // window/keyLen/minJaccard interpolate from the SAME constants the
+    // query passes, so a parameter tune cannot desynchronize the oracle
     "dedup_sorted_neighborhood" ->
       s"""WITH k AS (
          |  SELECT doc_id AS id,
          |    substr(trim(regexp_replace(lower(nfc_normalize(text)),
-         |                               '\\s+', ' ', 'g')), 1, 24) AS key,
+         |                               '\\s+', ' ', 'g')), 1, $SnmKeyLen) AS key,
          |    list_distinct($toksSql) AS toks
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r AS (SELECT id, toks,
          |        row_number() OVER (ORDER BY key, id) AS rk FROM k),
          |p AS (
@@ -4295,10 +4308,11 @@ object SparkEntry {
          |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
          |    CAST(len(a.toks) + len(b.toks)
          |         - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
-         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4)
+         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + ${SnmWindow - 1})
          |SELECT id_a, id_b, rank_dist,
          |  CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE) AS jaccard
          |FROM p
-         |WHERE CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE) >= 0.3""".stripMargin
+         |WHERE CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE)
+         |      >= $SnmMinJaccard""".stripMargin
   )
 }

@@ -949,10 +949,26 @@ object Dedup {
     * key (monotone with key order), per-band partitioned `row_number`,
     * broadcast cumulative band offsets from a driver-bounded per-band
     * census — identical output to `Window.orderBy(key)` with no
-    * single-partition stage. `bandLen` is the cardinality/skew knob: a
-    * corpus where most keys share one 2-char prefix degrades that band's
-    * window to a single sorted partition (the documented exposure; raise
-    * `bandLen` to sub-split). Pairing is one equi-join on rank buckets
+    * single-partition stage. Sort skew is ENFORCED away, not just
+    * documented: any band whose census count exceeds `maxBandSize` has
+    * its prefix recursively extended one character at a time (every key
+    * in a band shares the band prefix, so extension is order-preserving
+    * and the refined bands partition exactly the same key range — the
+    * OUTPUT IS UNCHANGED whether or not the guard fires, unlike the
+    * drop/sub-split guards of the hash-bucket families). In English web
+    * text the "th…" prefix alone is a double-digit share of documents,
+    * so this is the normal case, not a corner. The one band that cannot
+    * be split — more than `maxBandSize` records whose FULL `keyLen`
+    * prefix is identical — stays whole (order among equal keys is by id
+    * and no character can separate them); that is the exact-duplicate
+    * whale, which the window then pairs as the near-dups they are.
+    * Band census / offset bookkeeping on the driver compares strings as
+    * UTF-8 bytes — the same binary collation Spark's UTF8String sort and
+    * the SQL oracle use — never JVM UTF-16 code-unit order, which ranks
+    * supplementary-plane characters below BMP U+E000–U+FFFF. Rows with a
+    * NULL `textCol` carry no key and are excluded up front (documented
+    * contract; a NULL key has no position in the sort order).
+    * Pairing is one equi-join on rank buckets
     * (successor ranks land in the same or next bucket — the right side
     * probes both), then the ≤ window−1 distance filter; the Jaccard
     * verify is row-local set arithmetic on the carried token arrays.
@@ -971,29 +987,92 @@ object Dedup {
       keyLen: Int = 24,
       bandLen: Int = 2,
       minJaccard: Double = 0.3,
+      maxBandSize: Int = 100000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(window >= 2 && window <= 1000, s"window out of range: $window")
     require(bandLen >= 1 && bandLen <= keyLen, "bandLen within key")
+    require(maxBandSize >= 1, "maxBandSize must be positive")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed = Fan.spread(docs)
+    val keyed = Fan.spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("id"),
         substring(T.normalizeText(col(textCol)), 1, keyLen).as("__key"),
         array_distinct(T.tokens(col(textCol))).as("__toks"))
-      .withColumn("__band", substring(col("__key"), 1, bandLen))
       .localCheckpoint() // read by the census, the rank pass, and the join
-    val counts = keyed.groupBy(col("__band"))
+    // Band census with recursive prefix extension: start at `bandLen`,
+    // re-census any over-full band at prefix+1 until every band fits (or
+    // its full key is exhausted). Each census pass groups ONLY the rows
+    // of the still-over-full bands (semi-join on a driver-bounded band
+    // frame), so the refinement cost is proportional to the whale mass.
+    // A band is (prefix, declaredLen): a key shorter than declaredLen is
+    // its own whole prefix at that length, so the (string, len) pair —
+    // not the string alone — is the unambiguous band identity.
+    var finalBands = Vector.empty[(String, Int, Long)] // (prefix, len, n)
+    var level = bandLen
+    var pending: Seq[(String, Long)] = keyed
+      .groupBy(substring(col("__key"), 1, level).as("__p"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    while (pending.nonEmpty) {
+      val (over, fits) = pending.partition(_._2 > maxBandSize)
+      finalBands ++= fits.map { case (p, n) => (p, level, n) }
+      if (over.isEmpty) {
+        pending = Nil
+      } else if (level >= keyLen) {
+        // full-key whales: identical keys, unsplittable — keep whole
+        finalBands ++= over.map { case (p, n) => (p, level, n) }
+        pending = Nil
+      } else {
+        val overDf = broadcast(over.map(_._1).toDF("__op"))
+        val next = keyed
+          .join(overDf, substring(col("__key"), 1, level) === col("__op"))
+          .groupBy(substring(col("__key"), 1, level + 1).as("__p"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        // an over-full band of one exhausted short key re-censuses to
+        // itself forever — finalize any sub-band equal to its parent
+        val parents = over.map(_._1).toSet
+        val (stuck, refinable) = next.partition(p => parents.contains(p._1))
+        finalBands ++= stuck.map { case (p, n) => (p, level + 1, n) }
+        pending = refinable
+        level += 1
+      }
+    }
+    // Offsets in the engine's own collation: UTF-8 byte order (Spark's
+    // UTF8String binary comparison), NOT JVM UTF-16 code-unit order.
+    implicit val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var c = 0
+      while (c == 0 && i < x.length && i < y.length) {
+        c = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c else x.length - y.length
+    }
+    // prefix-free over each key's candidate set, so byte order on the
+    // prefix strings is exactly the global key order across bands
+    val sorted = finalBands.sortBy(_._1)
     var acc = 0L
-    val offsets = counts.map { case (b, n) => val row = (b, acc); acc += n; row }
-    val offsetsDf = offsets.toSeq.toDF("__band", "__offset")
-    val rankW = Window.partitionBy(col("__band"))
+    val offsets = sorted.map { case (p, l, n) => val row = (p, l, acc); acc += n; row }
+    val offsetsDf = offsets.toDF("__band", "__blen", "__offset")
+    // each key matches exactly one (prefix, len) band: explode the key's
+    // prefix at every band length in play, equi-join on (prefix, len)
+    val lens = // empty corpus: keep one length so array() stays typed
+      if (offsets.isEmpty) Seq(bandLen) else offsets.map(_._2).distinct.sorted
+    val cands = keyed.select(col("id"), col("__key"), col("__toks"),
+      explode(array(lens.map(l =>
+        struct(substring(col("__key"), 1, l).as("__band"),
+          lit(l).as("__blen"))): _*)).as("__c"))
+      .select(col("id"), col("__key"), col("__toks"),
+        col("__c.__band").as("__band"), col("__c.__blen").as("__blen"))
+    val rankW = Window.partitionBy(col("__band"), col("__blen"))
       .orderBy(col("__key"), col("id"))
-    val ranked = keyed
-      .join(broadcast(offsetsDf), Seq("__band"))
+    val ranked = cands
+      .join(broadcast(offsetsDf), Seq("__band", "__blen"))
       .withColumn("__rk", col("__offset") + row_number().over(rankW))
       .select(col("id"), col("__toks"), col("__rk"))
     val dMax = (window - 1).toLong

@@ -465,4 +465,64 @@ class DedupSpec extends SparkSpec {
     r.length shouldBe 1
     r.head.getDouble(3) shouldBe (3.0 / 5.0)
   }
+
+  it should "keep output identical when the band cap forces prefix extension" in {
+    // every doc shares the 2-char default band prefix "sh"; with
+    // maxBandSize=4 the census must extend "sh" -> "sha"/"shb"/... and
+    // the result must STILL equal the global-sort replay exactly
+    val docs = (0L until 40L).map { i =>
+      val c = ('a' + (i % 8)).toChar
+      (i, s"sh$c${i / 8} common tail words t$i")
+    }
+    val got = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 4, minJaccard = 0.0,
+      maxBandSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe naiveSnm(docs, window = 4, keyLen = 24, minJ = 0.0)
+    got.size shouldBe (39 + 38 + 37)
+  }
+
+  it should "keep an unsplittable identical-key whale whole and correct" in {
+    // 10 docs whose FULL 24-char key prefix is identical (cap 3): no
+    // character can separate them — the band stays whole and the window
+    // still pairs them in (key, id) order
+    val whale = (0L until 10L).map(i =>
+      (i, s"identicalprefix-24chars!! unique tail $i"))
+    val other = Seq((100L, "zz far away"))
+    val docs = whale ++ other
+    val got = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 3, minJaccard = 0.0,
+      maxBandSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe naiveSnm(docs, window = 3, keyLen = 24, minJ = 0.0)
+  }
+
+  it should "exclude NULL-text rows instead of NPEing on the census" in {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, null: String),
+      (3L, "alpha beta gamma delta"))
+    val got = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 2, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 3L))
+  }
+
+  it should "rank supplementary-plane keys in UTF-8 byte order (engine collation)" in {
+    // U+10000 (surrogate pair in UTF-16) vs U+F000 (BMP private use):
+    // JVM String.compareTo puts the surrogate FIRST (code units 0xD800 <
+    // 0xF000) while UTF-8 byte order puts it LAST (F0 > EF) — the census
+    // must use the engine's order or global ranks diverge
+    val hi = new String(Character.toChars(0x10000))
+    val bmp = new String(Character.toChars(0xF000))
+    val docs = Seq(
+      (1L, s"$bmp$bmp shared tokens here"),
+      (2L, s"$hi$hi shared tokens here"),
+      (3L, s"a plain ascii doc"))
+    val got = Dedup.sortedNeighborhood(
+      docs.toDF("doc_id", "text"), window = 2, minJaccard = 0.0,
+      maxBandSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // UTF-8 order: ascii(3) < U+F000(1) < U+10000(2)
+    got.map(p => (p._1, p._2)) shouldBe Set((3L, 1L), (1L, 2L))
+  }
 }
