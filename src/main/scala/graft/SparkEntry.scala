@@ -61,6 +61,10 @@ object SparkEntry {
   private val SnmKeyLen = 24
   private val SnmMinJaccard = 0.3
 
+  /** EWMA bounded-suffix length, shared by the `ewma_smooth` query and
+    * its oracle (the oracle replays the same last-k slice). */
+  private val EwmaMaxHistory = 64
+
   /** Process-wide scratch warehouse for the persistence round-trip query,
     * removed on JVM exit. */
   private lazy val pqWarehouseDir: String = {
@@ -1251,10 +1255,12 @@ object SparkEntry {
     }),
 
     // Per-user EWMA (α=1/2) over the event-time-ordered value stream:
-    // exact halving steps, one row-local fold per user — the smoothed
-    // baseline an anomaly detector compares raw values against
+    // exact halving steps folded over the native bounded last-64 suffix
+    // (per-key agg state ≤ 64 entries regardless of history length) —
+    // the smoothed baseline an anomaly detector compares raw values to
     "ewma_smooth" -> ((s, d) =>
-      graft.streaming.EventStreams.ewmaSmooth(eventsUs(s, d))),
+      graft.streaming.EventStreams.ewmaSmooth(
+        eventsUs(s, d), maxHistory = EwmaMaxHistory)),
 
     // Skip-gram (center, context) pair table within a ±2 window, pairs
     // with corpus count >= 5 — row-local generation, one keyed count
@@ -3721,22 +3727,28 @@ object SparkEntry {
         |FROM (SELECT concat_ws('|', l_orderkey, l_linenumber) AS k
         |      FROM lineitem)""".stripMargin,
 
-    // mirrors EventStreams.ewmaSmooth: same (ts, event_id, value) struct
-    // sort, same NULL-seeded halving fold — exact scales, pinned order
+    // mirrors EventStreams.ewmaSmooth: same (ts, event_id, value) sort,
+    // same last-maxHistory suffix slice (the bounded-fold contract), same
+    // NULL-seeded halving fold — exact scales, pinned order
     "ewma_smooth" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(max(tsu) AS BIGINT) AS last_ts,
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(tsu) AS BIGINT) AS last_ts,
+        |    list_transform(
+        |      list_sort(list(struct_pack(t := tsu, i := event_id,
+        |                                 v := value))),
+        |      x -> x.v) AS vs
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, last_ts,
         |  list_reduce(
         |    list_prepend(CAST(NULL AS DOUBLE),
-        |      list_transform(
-        |        list_sort(list(struct_pack(t := tsu, i := event_id,
-        |                                   v := value))),
-        |        x -> x.v)),
+        |      list_slice(vs, greatest(len(vs) - ${EwmaMaxHistory - 1}, 1),
+        |                 len(vs))),
         |    (s, x) -> CASE WHEN s IS NULL THEN x
         |                   ELSE s * 0.5 + x * 0.5 END) AS ewma
-        |FROM e GROUP BY 1""".stripMargin,
+        |FROM g""".stripMargin,
 
     // mirrors Curation.skipgramPairs: the shared pair-table replay with
     // the minCount cut on top

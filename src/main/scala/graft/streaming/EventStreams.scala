@@ -149,29 +149,42 @@ object EventStreams {
     * makes the dyadic tail analyzable).
     *
     * EWMA is inherently recursive (no window formulation exists without
-    * recursion), so each key's ordered values fold in ONE row-local
-    * `aggregate` over the collected per-key array — the state per key is
-    * that key's own events, the same per-key-bounded contract
-    * sessionize's gap windows rely on. Order is pinned by the total
-    * (ts, event_id) sort inside the struct array. Returns one row per
-    * key: (key, n_events, last_ts, ewma). */
+    * recursion), but geometric decay bounds how much history the
+    * recursion can SEE: after `maxHistory` halvings an event's weight is
+    * 2^-maxHistory — at the default 64, below one double-ulp of any
+    * same-magnitude result. So the fold runs over the BOUNDED tail of
+    * each key's series, selected by [[org.apache.spark.sql.graft
+    * .LastKValuesAgg]]: a proper partial aggregate whose per-key state is
+    * ≤ maxHistory 24-byte entries on every task and in the shuffle — a
+    * 10⁸-event bot key costs the same buffer as a 10-event key (the
+    * earlier `collect_list` formulation buffered the key's WHOLE history
+    * in one non-spillable aggregation row). The truncation contract:
+    * `ewma` is the exact fold over the last `maxHistory` events in
+    * (ts, id) order, seeded by the suffix's first value — identical to
+    * the full fold whenever the key has ≤ maxHistory events, and within
+    * 2^-maxHistory · |range| of it otherwise. `n_events`/`last_ts` still
+    * count the full series. `tsCol`/`idCol` must be numeric (epoch
+    * micros in this package); rows with a NULL ts/id/value are skipped
+    * by the suffix selector. Returns one row per key:
+    * (key, n_events, last_ts, ewma). */
   def ewmaSmooth(
       events: DataFrame,
       keyCol: String = "user_id",
       tsCol: String = "ts",
       valueCol: String = "value",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id",
+      maxHistory: Int = 64): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be positive")
     val packed = events.groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
         max(col(tsCol)).as("last_ts"),
-        sort_array(collect_list(struct(
-          col(tsCol).as("t"), col(idCol).as("i"),
-          col(valueCol).cast("double").as("v")))).as("__xs"))
+        org.apache.spark.sql.graft.TopKFunctions.lastKValues(
+          col(tsCol).cast("long"), col(idCol).cast("long"),
+          col(valueCol).cast("double"), maxHistory).as("__xs"))
     packed.select(col(keyCol), col("n_events"), col("last_ts"),
       aggregate(col("__xs"), lit(null).cast("double"),
-        (s, x) => when(s.isNull, x.getField("v"))
-          .otherwise(s * lit(0.5) + x.getField("v") * lit(0.5)))
+        (s, x) => when(s.isNull, x).otherwise(s * lit(0.5) + x * lit(0.5)))
         .as("ewma"))
   }
 

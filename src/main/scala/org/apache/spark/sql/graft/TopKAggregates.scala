@@ -132,4 +132,115 @@ object TopKFunctions {
     ExpressionUtils.column(
       TopKByKeyAgg(ExpressionUtils.expression(key),
         ExpressionUtils.expression(payload), k).toAggregateExpression())
+
+  /** DataFrame-API surface for [[LastKValuesAgg]]: the values of the k
+    * LARGEST (ts, id) rows, emitted ascending by (ts, id). */
+  def lastKValues(ts: Column, id: Column, value: Column, k: Int): Column =
+    ExpressionUtils.column(
+      LastKValuesAgg(ExpressionUtils.expression(ts),
+        ExpressionUtils.expression(id),
+        ExpressionUtils.expression(value), k).toAggregateExpression())
+}
+
+/** Bounded suffix selection as a native mergeable aggregate: keep the `k`
+  * (ts, id, value) rows with the LARGEST (ts, id) keys, emit the values
+  * ascending by (ts, id) — i.e. the event-time-ordered tail of a per-key
+  * series, with per-group state bounded at k rows NO MATTER how many
+  * events the key has.
+  *
+  * This is [[TopKByKeyAgg]]'s discipline pointed at recursive smoothers
+  * (EWMA): the smoother needs its input ORDERED and is inherently
+  * sequential, but geometric decay makes contributions beyond ~60 steps
+  * smaller than a double ulp, so the bounded suffix is the scale tier —
+  * each task folds its partition into a k-entry heap, the shuffle moves
+  * ≤ k 24-byte entries per (group × task) instead of the key's whole
+  * history (the difference between a bounded buffer and a multi-GB row
+  * on a 10⁸-event bot key). Exact heap-select over the (ts, id) total
+  * order: the result is a pure function of the input multiset,
+  * partitioning-invariant, and replays in SQL as sort + array slice.
+  * Rows with a NULL ts, id, or value are skipped.
+  */
+case class LastKValuesAgg(
+    ts: Expression,
+    id: Expression,
+    value: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long, Double)]]
+    with ImplicitCastInputTypes {
+
+  require(k >= 1 && k <= 100000, s"k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(ts, id, value)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, LongType, org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_last_k_values"
+
+  private val keyOrd: Ordering[(Long, Long, Double)] =
+    Ordering.by[(Long, Long, Double), (Long, Long)](t => (t._1, t._2))
+
+  // REVERSED ordering: the smallest (ts, id) sits at the head, ready to
+  // be evicted when a later row arrives
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long, Double)] =
+    mutable.PriorityQueue.empty[(Long, Long, Double)](keyOrd.reverse)
+
+  private def offer(
+      q: mutable.PriorityQueue[(Long, Long, Double)],
+      row: (Long, Long, Double)): Unit = {
+    if (q.size < k) q.enqueue(row)
+    else if (keyOrd.gt(row, q.head)) {
+      q.dequeue(); q.enqueue(row)
+    }
+  }
+
+  override def update(
+      q: mutable.PriorityQueue[(Long, Long, Double)],
+      input: InternalRow): mutable.PriorityQueue[(Long, Long, Double)] = {
+    val tv = ts.eval(input)
+    val iv = id.eval(input)
+    val vv = value.eval(input)
+    if (tv != null && iv != null && vv != null) {
+      offer(q, (tv.asInstanceOf[Long], iv.asInstanceOf[Long],
+        vv.asInstanceOf[Double]))
+    }
+    q
+  }
+
+  override def merge(
+      q1: mutable.PriorityQueue[(Long, Long, Double)],
+      q2: mutable.PriorityQueue[(Long, Long, Double)]): mutable.PriorityQueue[(Long, Long, Double)] = {
+    q2.foreach(offer(q1, _))
+    q1
+  }
+
+  override def eval(q: mutable.PriorityQueue[(Long, Long, Double)]): Any =
+    new GenericArrayData(q.toArray.sorted(keyOrd).map(_._3))
+
+  override def serialize(q: mutable.PriorityQueue[(Long, Long, Double)]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 24 * q.size)
+    buf.putInt(q.size)
+    q.foreach { case (a, b, v) => buf.putLong(a); buf.putLong(b); buf.putDouble(v) }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long, Double)] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val q = createAggregationBuffer()
+    var i = 0
+    while (i < n) { q.enqueue((buf.getLong, buf.getLong, buf.getDouble)); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LastKValuesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LastKValuesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LastKValuesAgg =
+    copy(ts = newChildren(0), id = newChildren(1), value = newChildren(2))
 }

@@ -317,6 +317,28 @@ class EventStreamsSpec extends SparkSpec {
     r.getDouble(3) shouldBe 4.0 // half of the spike survives
   }
 
+  it should "fold exactly the bounded last-maxHistory suffix per key" in {
+    // 100 scrambled events; with maxHistory = 8 the fold must equal a
+    // driver replay over ONLY the last 8 values in (ts, id) order, while
+    // n_events/last_ts still describe the full series
+    val vals = (1L to 100L).map(t => (t, t, math.sin(t.toDouble) * 10.0))
+    val ev = scala.util.Random.shuffle(vals)
+      .map { case (t, i, v) => (9L, t, i, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+      .repartition(7)
+    val r = EventStreams.ewmaSmooth(ev, maxHistory = 8).collect()(0)
+    val expected = vals.sortBy(x => (x._1, x._2)).takeRight(8).map(_._3)
+      .reduceLeft((s, x) => s * 0.5 + x * 0.5)
+    r.getLong(1) shouldBe 100L
+    r.getLong(2) shouldBe 100L
+    r.getDouble(3) shouldBe expected
+    // and with maxHistory >= n the bounded fold IS the full fold
+    val full = vals.sortBy(x => (x._1, x._2)).map(_._3)
+      .reduceLeft((s, x) => s * 0.5 + x * 0.5)
+    EventStreams.ewmaSmooth(ev, maxHistory = 100).collect()(0)
+      .getDouble(3) shouldBe full
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
