@@ -130,6 +130,62 @@ object AnnArtifacts {
     (wh.read(name), m)
   }
 
+  // ---- kNN graph edges ----------------------------------------------
+
+  /** The build parameters a kNN edge frame was computed with; persisted
+    * alongside the edges and validated on load — a graph consumer that
+    * assumes k=10 edges from a k=3 build silently computes on a sparser
+    * topology than it thinks. */
+  final case class KnnGraphMeta(k: Int, nAnchors: Int, maxCellSize: Int)
+
+  /** Build ([[Similarity.knnGraph]]) and persist the (src, dst, cosine)
+    * edge frame plus its parameter row. The graph algorithms (PageRank,
+    * label propagation, triangle counting) all consume the SAME edge
+    * topology, and the stress record shows the cell-blocked graph BUILD
+    * dominates each of them — a pipeline builds the edges once per corpus
+    * version and lets every downstream graph query load-then-compute
+    * (the codebook/anchors contract, applied to topology). */
+  def saveKnnGraph(
+      wh: Warehouse,
+      name: String,
+      corpus: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.overwrite(name,
+      Similarity.knnGraph(corpus, anchors, k, vecCol, idCol, maxCellSize)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+          col("cosine")))
+    wh.overwrite(metaTable(name),
+      Seq((k, anchors.size, maxCellSize)).toDF("k", "n_anchors", "max_cell_size"))
+  }
+
+  /** Load a persisted kNN edge frame and its build parameters;
+    * `expected` (when given) is validated against them. */
+  def loadKnnGraph(
+      wh: Warehouse,
+      name: String,
+      expected: Option[KnnGraphMeta] = None): (DataFrame, KnnGraphMeta) = {
+    val m = wh.read(metaTable(name)).collect() match {
+      case Array(r) => KnnGraphMeta(
+        r.getAs[Int]("k"), r.getAs[Int]("n_anchors"),
+        r.getAs[Int]("max_cell_size"))
+      case rows => throw new IllegalStateException(
+        s"kNN graph $name meta must have exactly 1 row, found ${rows.length}")
+    }
+    expected.foreach { e =>
+      require(e == m,
+        s"kNN graph $name was built with $m but the caller expects $e — " +
+          "a topology/parameter mismatch silently changes every downstream " +
+          "graph result")
+    }
+    (wh.read(name), m)
+  }
+
   /** Append freshly-admitted documents' band keys to a persisted index —
     * the post-admission step that keeps the gate's corpus view current
     * without ever re-shingling old data. */

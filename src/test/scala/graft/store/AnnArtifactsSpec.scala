@@ -57,6 +57,43 @@ class AnnArtifactsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  "kNN graph persistence" should "round-trip edges bit-identically and validate parameters" in {
+    val wh = freshWh
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    AnnArtifacts.saveKnnGraph(wh, "g", emb, anchors, k = 3)
+    val (edges, meta) = AnnArtifacts.loadKnnGraph(wh, "g",
+      expected = Some(AnnArtifacts.KnnGraphMeta(3, 4, 100000)))
+    meta shouldBe AnnArtifacts.KnnGraphMeta(3, 4, 100000)
+    val direct = Similarity.knnGraph(emb, anchors, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .collect().map(_.toSeq).toSet
+    edges.collect().map(_.toSeq).toSet shouldBe direct
+    direct should not be empty
+    // PageRank over loaded edges == PageRank over in-memory edges
+    val nodes = emb.select(col("vec_id").as("id"))
+    val viaLoaded = graft.operators.Graphs.pageRank(
+      edges.select(col("src"), col("dst")), nodes, iters = 3)
+      .collect().map(_.toSeq).toSet
+    val viaDirect = graft.operators.Graphs.pageRank(
+      Similarity.knnGraph(emb, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst")),
+      nodes, iters = 3).collect().map(_.toSeq).toSet
+    viaLoaded shouldBe viaDirect
+  }
+
+  it should "reject a parameter-mismatched load loudly" in {
+    val wh = freshWh
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    AnnArtifacts.saveKnnGraph(wh, "g2", emb, anchors, k = 3)
+    an[IllegalArgumentException] should be thrownBy
+      AnnArtifacts.loadKnnGraph(wh, "g2",
+        expected = Some(AnnArtifacts.KnnGraphMeta(10, 4, 100000)))
+  }
+
   "anchor persistence" should "round-trip an IVF anchor set" in {
     val wh = freshWh
     val anchors = Similarity.kmeansAnchors(emb, k = 4, iters = 2, vecCol = "embedding")
