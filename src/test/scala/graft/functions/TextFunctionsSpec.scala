@@ -202,6 +202,39 @@ class TextFunctionsSpec extends SparkSpec {
     ratio("the same text") shouldBe ratio("the same text")
   }
 
+  it should "match an independent zlib replay on full corpus output" in {
+    // independent reference: DeflaterOutputStream over a byte sink —
+    // same algorithm parameters (level 6, raw/nowrap), a DIFFERENT API
+    // path with its own buffering, so a length-accounting or
+    // thread-reuse bug in the native expression's streaming loop cannot
+    // agree with it by accident
+    def refRatio(s: String): Double = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bytes.isEmpty) return 1.0
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.Deflater(6, true)
+      val dos = new java.util.zip.DeflaterOutputStream(out, d)
+      dos.write(bytes); dos.close(); d.`end`()
+      out.size().toDouble / bytes.length
+    }
+    val corpus = Seq(
+      "spam ham " * 300,
+      (1 to 300).map(i => s"w${i * 7919}q${i * 104729}").mkString(" "),
+      "short",
+      "",
+      "mixed unicode éè€ 你好 repeated repeated repeated",
+      "a" * 10000,
+      (1 to 50).map(i => s"line $i of a templated page\nheader footer").mkString("\n"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = corpus.toDF("id", "text")
+      .select(col("id"), org.apache.spark.sql.graft.TextExpressionFunctions
+        .deflateRatioColumn(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    corpus.foreach { case (id, t) =>
+      withClue(s"doc $id: ") { got(id) shouldBe refRatio(t) }
+    }
+  }
+
   it should "return an empty selection for texts shorter than k (both formulations)" in {
     Seq("abcd").toDF("text")
       .select(org.apache.spark.sql.graft.TextExpressionFunctions

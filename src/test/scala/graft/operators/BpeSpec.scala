@@ -53,6 +53,72 @@ class BpeSpec extends SparkSpec {
     segMap(driver) shouldBe segMap(dist)
   }
 
+  // ---- independent golden replay ----------------------------------
+  // A from-the-definition BPE reference (Sennrich 2016 §3.2: count
+  // adjacent symbol pairs weighted by word frequency, merge the most
+  // frequent, ties lexicographic; greedy left-to-right non-overlapping
+  // application), written WITHOUT reusing any Bpe helper — the
+  // adversarial cross-check for a query that has no SQL oracle.
+  private def refTokens(t: String): Seq[String] =
+    t.toLowerCase.split("\\s+", -1).toSeq
+
+  private def refBpeEncode(
+      docs: Seq[(Long, String)], nMerges: Int, minPairFreq: Long)
+      : Set[(Long, Int, String, Seq[String], Long)] = {
+    val freqs = docs.flatMap { case (_, t) => refTokens(t) }
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[String, Vector[String]] =
+      freqs.keysIterator.map(w => w -> w.split("").toVector).toMap
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, f) <- freqs; Seq(a, b) <- segs(w).sliding(2) if segs(w).size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val best = counts.toSeq.sortBy { case ((a, b), w) => (-w, a, b) }.headOption
+      best match {
+        case Some(((a, b), w)) if w >= minPairFreq =>
+          segs = segs.view.mapValues { s =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            out.toVector
+          }.toMap
+          i += 1
+        case _ => done = true
+      }
+    }
+    (for {
+      (id, t) <- docs
+      (w, pos) <- refTokens(t).zipWithIndex
+      if w.nonEmpty
+    } yield (id, pos, w, segs(w): Seq[String], segs(w).size.toLong)).toSet
+  }
+
+  it should "reproduce the independent reference on full train+encode output" in {
+    val docs = Seq(
+      (1L, "low lower lowest the lowly low"),
+      (2L, "new newest newer the news new new"),
+      (3L, "wide widest wider the widely"),
+      (4L, "the they them then there these"),
+      (5L, "low new wide the lowest newest widest"))
+    for (merges <- Seq(0, 3, 12)) {
+      val df = docs.toDF("doc_id", "text")
+      val got = Bpe.encode(df, Bpe.train(df, merges, minPairFreq = 2L))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[String]("word"), r.getAs[Seq[String]]("subwords"),
+          r.getAs[Long]("n_subwords"))).toSet
+      withClue(s"nMerges=$merges: ") {
+        got shouldBe refBpeEncode(docs, merges, minPairFreq = 2L)
+      }
+    }
+  }
+
   "encode" should "segment known words via lookup and fall back to chars for OOV" in {
     val t = Bpe.train(corpus, nMerges = 5, minPairFreq = 1L)
     val enc = Bpe.encode(Seq((9L, "ab abc abd")).toDF("doc_id", "text"), t)
