@@ -31,15 +31,23 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *    results are bit-for-bit identical;
   *  - `zip_with` null-pads when lengths differ, which nulls the whole
   *    fold; the rewrite preserves that with a `size(a) = size(b)` guard
-  *    (DotProductF alone truncates to the shorter side instead).
+  *    (DotProductF alone truncates to the shorter side instead);
+  *  - arrays with NULLABLE elements (every parquet-read list column,
+  *    whatever was actually written) rewrite to [[DotProductNullSafe]]
+  *    instead, whose codegen'd loop reproduces the HOF's null semantics
+  *    exactly (null on any null element or length mismatch) — plain
+  *    [[DotProductF]] would read a null slot as 0.0, so it is reserved
+  *    for provably non-nullable elements where its checkless loop is
+  *    bit-identical anyway.
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 
-  // containsNull must be FALSE: zip_with's lambda nulls the product for a
-  // null ELEMENT and the fold then returns null, while DotProductF reads
-  // the slot as 0.0 — rewriting a nullable-element array would change
-  // results. (The size guard below only covers length null-padding.)
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def nonNullElements(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, containsNull) => !containsNull
     case _ => false
   }
@@ -77,8 +85,12 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
           ((a1.exprId == m1.exprId && a2.exprId == m2.exprId) ||
             (a1.exprId == m2.exprId && a2.exprId == m1.exprId)) &&
           isIdentity(finish) =>
-      If(EqualTo(Size(l), Size(r)), DotProductF(l, r),
-        Literal(null, DoubleType))
+      if (nonNullElements(l) && nonNullElements(r)) {
+        If(EqualTo(Size(l), Size(r)), DotProductF(l, r),
+          Literal(null, DoubleType))
+      } else {
+        DotProductNullSafe(l, r)
+      }
   }
 }
 

@@ -66,6 +66,67 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductF]] with the exact null semantics of the HOF idiom
+  * `aggregate(zip_with(l, r, (x,y) -> double(x)*double(y)), 0D, +)` over
+  * NULLABLE-element arrays: NULL when the lengths differ (zip_with pads
+  * the shorter side with null, the product nulls, the fold sticks at
+  * null) or when ANY element is null, else the ascending-index double
+  * fold. This is the rewrite target for user SQL over PARQUET-read
+  * vector columns — parquet list elements are nullable in the schema
+  * even when no null was ever written, so [[NativeDotRewrite]] would
+  * otherwise never fire on real tables (the plain [[DotProductF]] reads
+  * a null slot as 0.0 and would change results). The null checks ride
+  * inside the same codegen'd loop; one branch per element against the
+  * interpreted HOF's per-element lambda invocation. */
+case class DotProductNullSafe(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_ns"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductNullSafe =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact integer dot product over `array<int>` columns (the int8-quantized
   * ANN scoring hot loop — after [[graft.functions.VectorFunctions.quantize]]
   * shrinks embeddings 4×, candidate scoring runs on these). Long

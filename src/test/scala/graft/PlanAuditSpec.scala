@@ -432,6 +432,32 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  "vector_knn and semantic_dedup" should "score with the native graft_dot kernel, not an interpreted HOF" in {
+    // a refactor that fell back to aggregate(zip_with(...)) would still
+    // be correct but lose the codegen'd kernel (~123× on the scoring
+    // loop) — pin the native expression in the ANN plans themselves
+    for (q <- Seq("vector_knn", "semantic_dedup")) {
+      val plan = executed(q)
+      withClue(s"$q: ") {
+        plan should include("graft_dot")
+        plan should not include "zip_with"
+      }
+    }
+  }
+
+  "user-written HOF dot products" should "be rewritten to the native kernel (NativeDotRewrite)" in {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_plan_audit")
+    val q = spark.sql(
+      """SELECT vec_id,
+        |  aggregate(zip_with(embedding, embedding,
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    0D, (acc, v) -> acc + v) AS norm2
+        |FROM emb_plan_audit""".stripMargin)
+    q.queryExecution.optimizedPlan.toString should include("graft_dot")
+    q.queryExecution.executedPlan.toString should not include "zip_with"
+  }
+
   "the whole suite" should "contain no unpartitioned Window (single-partition scale-killer)" in {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -58,20 +58,49 @@ class OptimizerRulesSpec extends SparkSpec {
     viaRule shouldBe viaNative
   }
 
-  it should "leave nullable-element arrays alone (null product poisons the fold; the native loop would read 0.0)" in {
+  it should "rewrite nullable-element arrays to the NULL-SAFE kernel with HOF-identical semantics" in {
     GraftOptimizations.install(spark)
-    // when(...) makes the transform lambda nullable ⇒ containsNull=true
+    // when(...) makes the transform lambda nullable ⇒ containsNull=true:
+    // the checkless DotProductF would read a null slot as 0.0, so this
+    // shape must take graft_dot_ns (null on any null element) instead —
+    // this is also every parquet-read list column's shape
     val nullable = spark.range(1, 4).select(
       col("id"),
       transform(sequence(lit(1), lit(3)),
-        i => when(i =!= 2, (i.cast("double") * col("id")).cast("float")))
+        i => when(i =!= 2 || col("id") =!= 2, (i.cast("double") * col("id")).cast("float")))
         .as("a"),
       transform(sequence(lit(1), lit(3)),
         i => (i.cast("double") + col("id")).cast("float")).as("b"))
     val q = nullable.select(col("id"), expr(hofDot).as("d"))
-    q.queryExecution.optimizedPlan.toString should not include "graft_dot"
-    // and the un-rewritten semantics hold: every row's fold nulls out
-    q.collect().foreach(r => r.isNullAt(1) shouldBe true)
+    q.queryExecution.optimizedPlan.toString should include("graft_dot_ns")
+    val got = q.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // id=2 has a null element ⇒ the fold nulls out, and so must the kernel
+    got(2L) shouldBe None
+    // ids 1 and 3 have no null element ⇒ the plain ascending double fold
+    def dot(id: Long) = (1 to 3).map { i =>
+      (i.toDouble * id).toFloat.toDouble * (i.toDouble + id).toFloat.toDouble
+    }.foldLeft(0.0)(_ + _)
+    got(1L) shouldBe Some(dot(1))
+    got(3L) shouldBe Some(dot(3))
+  }
+
+  it should "null the null-safe kernel on length mismatch, exactly like zip_with padding" in {
+    GraftOptimizations.install(spark)
+    // nullable elements + unequal lengths on row 3 (the df fixture's
+    // shape but through the nullable-making when())
+    val nullable = spark.range(1, 4).select(
+      col("id"),
+      transform(sequence(lit(1), lit(3)),
+        i => when(i < 99, (i.cast("double") * col("id")).cast("float"))).as("a"),
+      transform(sequence(lit(1), when(col("id") === 3, lit(2)).otherwise(lit(3))),
+        i => when(i < 99, (i.cast("double") + col("id")).cast("float"))).as("b"))
+    val q = nullable.select(col("id"), expr(hofDot).as("d"))
+    q.queryExecution.optimizedPlan.toString should include("graft_dot_ns")
+    val got = q.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    got(3L) shouldBe None
+    got(1L) should not be None
   }
 
   it should "leave the float-multiply variant alone (different rounding)" in {
