@@ -1598,7 +1598,48 @@ object SparkEntry {
         .select(col("source"),
           posexplode(col("__picks")).as(Seq("__pos", "doc_id")))
         .select(col("doc_id"), col("source"),
-          (col("__pos") + 1).cast("long").as("rk")))
+          (col("__pos") + 1).cast("long").as("rk"))),
+
+    // Salted skew join: the corpus fans each hot key over 8 sub-keys and
+    // the dimension replicates 8× — the explicit-salting tier for the
+    // single pathological key AQE's post-shuffle splitting cannot fix
+    // (lang has 5 values over the whole corpus: the canonical skewed
+    // key). Results are exactly the plain join's (the oracle)
+    "join_salted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dim = docs.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+      graft.operators.Joins.saltedJoin(
+        docs.select(col("doc_id"), col("lang")), dim, "lang", saltFactor = 8)
+        .select(col("doc_id"), col("lang"), col("lang_docs"))
+    }),
+
+    // Co-bucketed join: both sides written bucketed+sorted by the join
+    // key, then joined with NO exchange on either side — the write-time
+    // co-location a 100 TB fact table relies on so repeated joins never
+    // re-shuffle it (BucketingSpec pins the shuffle-free plan; results
+    // are exactly the plain join's)
+    "bucket_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+      graft.operators.Joins.writeBucketed(docs, "graft_bj_docs", "doc_id", 8,
+        path = Some(s"$pqWarehouseDir/graft_bj_docs"))
+      graft.operators.Joins.writeBucketed(emb, "graft_bj_emb", "doc_id", 8,
+        path = Some(s"$pqWarehouseDir/graft_bj_emb"))
+      s.table("graft_bj_docs")
+        .join(s.table("graft_bj_emb"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("label"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (seeded
+    // planes, codegen'd dot per coordinate, zero shuffle) — exploded to
+    // (vec_id, j, v) scalar rows so the oracle compares plain columns
+    "embed_rp" -> ((s, d) =>
+      Similarity.randomProjection(
+        t(s, d, "embeddings"), dim = 64, outDim = 16, seed = 7L)
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("v")))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -4351,6 +4392,40 @@ object SparkEntry {
          |  CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE) AS jaccard
          |FROM p
          |WHERE CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE)
-         |      >= $SnmMinJaccard""".stripMargin
+         |      >= $SnmMinJaccard""".stripMargin,
+
+    // mirrors Joins.saltedJoin over the per-lang dim: salting is
+    // result-invariant by construction, so the oracle is the PLAIN join
+    "join_salted" ->
+      """SELECT d.doc_id, d.lang, l.lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+        |      FROM documents GROUP BY 1) l ON d.lang = l.lang""".stripMargin,
+
+    // mirrors bucket_join: bucketing is a LAYOUT property — the join
+    // result is exactly the plain equi-join's
+    "bucket_join" ->
+      """SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(e.label AS BIGINT) AS label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // mirrors Similarity.randomProjection: identical seeded planes
+    // (float literals round-trip via printed repr), the same
+    // ascending-index double fold per coordinate, the same exact 1/√16
+    // scale — bit-for-bit
+    "embed_rp" -> {
+      val planes = Dedup.lshPlanes(64, 16, 7L)
+      val planeRows = planes.zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n  ")
+      val planeDot = "list_reduce(list_transform(range(1, 65), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(p.pl[i] AS FLOAT) AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+      s"""WITH planes(pidx, pl) AS (VALUES
+         |  $planeRows)
+         |SELECT e.vec_id, CAST(p.pidx AS BIGINT) AS j,
+         |  $planeDot * ${1.0 / math.sqrt(16.0)} AS v
+         |FROM embeddings e CROSS JOIN planes p""".stripMargin
+    }
   )
 }

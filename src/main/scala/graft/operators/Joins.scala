@@ -213,11 +213,19 @@ object Joins {
     * co-location is decided at write time, which is how a 100 TB fact
     * table avoids re-shuffling on every join. Registers in the session
     * catalog (a metastore carries the bucket spec in production). */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
-    df.write
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      nBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .mode("overwrite")
-      .saveAsTable(table)
+    // an explicit path makes the table EXTERNAL (scratch-dir friendly for
+    // repeated bench/verify evaluations); default stays catalog-managed
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -87,6 +87,10 @@ object StressScale {
       .persist()
     embSkew.count()
 
+    // scratch warehouse for the persisted-graph amortization rows
+    val stressWhDir =
+      java.nio.file.Files.createTempDirectory("graft_stress_wh").toString
+
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("rid"), col("user_id"), col("ts"))
@@ -396,7 +400,124 @@ object StressScale {
           rowRules = Seq(
             ("text_nonempty", length(col("text")) > 0),
             ("source_domain", col("source").isin((0 to 19).map(_.toString): _*))),
-          uniqueRules = Seq(("doc_id_unique", col("doc_id")))))
+          uniqueRules = Seq(("doc_id_unique", col("doc_id")))),
+      ),
+      // ---- round-9 continuation-wave coverage ------------------------
+      // OLAP cube: one Expand (4 grouping sets) + one keyed shuffle over
+      // the raw event stream — the cube_revenue plan shape at corpus n
+      timeNoop("cube_revenue")(
+        events.select((col("user_id") % 64).as("ub"),
+            (expr("ts div 3600000000") % 24).as("hour"))
+          .cube(col("ub"), col("hour"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"), sum(col("hour")).as("s"))),
+      // pivot on an EXPLICIT value list (never a key-domain collect):
+      // per-source length-bucket mix — the pivot_langs plan shape
+      timeNoop("pivot_langs")(
+        docs.groupBy(col("source"))
+          .pivot(pmod(length(col("text")), lit(5)), Seq(0, 1, 2, 3, 4))
+          .agg(count(lit(1)))
+          .na.fill(0L)),
+      // lag-1..6 autocorrelation of the hourly series: the join runs on
+      // the PRE-AGGREGATED ~720-row hour frame, so corpus n only pays
+      // the initial keyed count
+      timeNoop("event_autocorr") {
+        val h = events
+          .groupBy(expr("ts div 3600000000").as("hour_id"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val lags = broadcast(spark.range(1, 7).select(col("id").as("lag")))
+        h.select(col("hour_id"), col("n").as("xv"))
+          .crossJoin(lags)
+          .join(h.select(col("hour_id").as("__yh"), col("n").as("yv")),
+            col("__yh") === col("hour_id") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("xv") * col("yv")).as("sxy"),
+            sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+            sum(col("xv") * col("xv")).as("sxx"),
+            sum(col("yv") * col("yv")).as("syy"))
+      },
+      // the 10⁹-row-group shape the native bounded top-k exists for: ONE
+      // whale group holding the whole corpus. The window tier must sort
+      // all n rows in that single partition; the aggregate tier shuffles
+      // k pairs per task — the pair of timings IS the claim
+      timeNoop("per_group_topk_window") {
+        import org.apache.spark.sql.expressions.Window
+        docs.select(lit("g").as("gg"), col("doc_id"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("gg"))
+            .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
+          .filter(col("rk") <= 5)
+      },
+      timeNoop("sample_per_group_agg")(
+        docs.select(lit("g").as("gg"), col("doc_id"))
+          .groupBy(col("gg"))
+          .agg(org.apache.spark.sql.graft.TopKFunctions.topKByKey(
+            xxhash64(col("doc_id")), col("doc_id"), 5).as("__p"))
+          .select(col("gg"), posexplode(col("__p")))),
+      timeNoop("epoch_plan")(
+        Curation.epochPlan(docs, budgetTokens = n * 20L, maxEpochs = 4.0)),
+      // SNM with the default band cap (vocab-spread prefixes: no split)
+      timeNoop("dedup_sorted_neighborhood")(
+        Dedup.sortedNeighborhood(docs, window = 5, minJaccard = 0.3)),
+      // adversarial SNM: EVERY key shares a 14-char prefix, so the band
+      // census must recursively extend through 13 identical levels before
+      // the corpus spreads — the enforced-guard worst case (r8's `weak`)
+      timeNoop("snm_shared_prefix")(
+        Dedup.sortedNeighborhood(
+          docs.withColumn("text", concat(lit("thesameprefix "), col("text"))),
+          window = 5, minJaccard = 0.3, maxBandSize = math.max(n / 10, 1000L).toInt)),
+      // EWMA whale key: 10⁶ events on ONE user — the bounded last-64
+      // suffix aggregate must hold task memory flat (the r8 collect_list
+      // fold buffered all 10⁶ structs in one aggregation row)
+      timeNoop("ewma_whale")(
+        graft.streaming.EventStreams.ewmaSmooth(
+          spark.range(1000000L).select(
+            col("id").as("event_id"), lit(0L).as("user_id"),
+            pmod(xxhash64(col("id")), lit(spanUs)).as("ts"),
+            pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double")
+              .as("value")))),
+      // triangle counting over the same kNN topology as pagerank_knn —
+      // build-inclusive, the degree-ordered-orientation O(√m) claim
+      timeNoop("graph_triangles") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val edges = graft.operators.Similarity.knnGraph(emb, anchors, k = 5)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        graft.operators.Graphs.triangles(edges,
+          emb.select(col("vec_id").as("id")))
+      },
+      // persisted-graph amortization: ONE build+save, then each graph
+      // algorithm on the LOADED edges — compare against the
+      // build-inclusive pagerank_knn / label_prop / graph_triangles rows
+      time("knn_graph_build_save") {
+        val anchors = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.AnnArtifacts.saveKnnGraph(wh, "g", emb, anchors, k = 5)
+        wh.read("g").count()
+      },
+      timeNoop("pagerank_loaded") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        val (edges, _) = graft.store.AnnArtifacts.loadKnnGraph(wh, "g")
+        graft.operators.Graphs.pageRank(edges.select(col("src"), col("dst")),
+          emb.select(col("vec_id").as("id")), iters = 3)
+      },
+      timeNoop("label_prop_loaded") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        val (edges, _) = graft.store.AnnArtifacts.loadKnnGraph(wh, "g")
+        graft.operators.Graphs.labelPropagation(
+          edges.select(col("src"), col("dst")),
+          emb.select(col("vec_id").as("id")), iters = 3)
+      },
+      timeNoop("triangles_loaded") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        val (edges, _) = graft.store.AnnArtifacts.loadKnnGraph(wh, "g")
+        graft.operators.Graphs.triangles(edges.select(col("src"), col("dst")),
+          emb.select(col("vec_id").as("id")))
+      }
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

@@ -75,4 +75,36 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     plan.toLowerCase should not include "cartesianproduct"
   }
+
+  "randomProjection" should "be a deterministic row-local projection that roughly preserves distances" in {
+    val n = 200
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until n.toLong)
+      .map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(emb, dim, outDim = 16, seed = 7L)
+    // deterministic: same seed, same output
+    val a = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.randomProjection(emb, dim, outDim = 16, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    b shouldBe a
+    // row-local: no exchange, no join in the plan
+    val plan = proj.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+    // JL property (statistical): projected pairwise squared distances
+    // concentrate around the originals — check the mean ratio over a
+    // pair sample is near 1 (loose band; 16 dims is a noisy estimator)
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val ratios = for {
+      i <- 0L until 50L
+      j = i + 100L
+    } yield d2(a(i), a(j)) /
+      d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    mean should (be > 0.7 and be < 1.3)
+  }
 }
