@@ -65,6 +65,12 @@ object SparkEntry {
     * its oracle (the oracle replays the same last-k slice). */
   private val EwmaMaxHistory = 64
 
+  /** Aho–Corasick dictionary for `blocklist_ac`, shared with its oracle.
+    * Deliberately includes overlapping and nested patterns ("ta" and
+    * "able" are substrings of "fast table") — the all-occurrence output
+    * function must count each independently at every position. */
+  private val AcPatterns = Seq("merge", "window", "fast table", "ta", "able")
+
   /** Process-wide scratch warehouse for the persistence round-trip query,
     * removed on JVM exit. */
   private lazy val pqWarehouseDir: String = {
@@ -1150,6 +1156,14 @@ object SparkEntry {
         t(s, d, "documents"),
         terms = Seq("merge", "window"),
         phrases = Seq("fast table"))),
+
+    // Dictionary-scale blocklist tier: ONE Aho–Corasick automaton pass
+    // counts every occurrence of every pattern (overlaps and nested
+    // patterns included) — O(|text|+matches)/doc however large the
+    // dictionary, vs the contains-chain's scan-per-phrase
+    "blocklist_ac" -> ((s, d) =>
+      graft.operators.Quality.blocklistGateAc(
+        t(s, d, "documents"), patterns = AcPatterns)),
 
     // Train/val/test leakage report: MinHash near-dup pairs (same
     // md5-tier parameters as dedup_minhash_pairs, est_jaccard >= 0.5)
@@ -4393,6 +4407,26 @@ object SparkEntry {
          |FROM p
          |WHERE CAST(i AS DOUBLE) / CAST(greatest(u, 1) AS DOUBLE)
          |      >= $SnmMinJaccard""".stripMargin,
+
+    // mirrors Quality.blocklistGateAc position by position: for each
+    // pattern, count the positions i where text[i : i+len(p)-1] = p —
+    // the all-occurrence semantics of the automaton's output function
+    // (overlaps and nested patterns each count), summed per doc
+    "blocklist_ac" -> {
+      val patRows = AcPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH pats(pidx, p) AS (VALUES $patRows),
+         |c AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_filter(range(1, len(d.text) - len(p.p) + 2),
+         |      i -> d.text[i:i+len(p.p)-1] = p.p)) AS BIGINT) AS n
+         |  FROM documents d CROSS JOIN pats p)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+         |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_patterns_hit,
+         |  sum(n) = 0 AS pass
+         |FROM c GROUP BY 1""".stripMargin
+    },
 
     // mirrors Joins.saltedJoin over the per-lang dim: salting is
     // result-invariant by construction, so the oracle is the PLAIN join

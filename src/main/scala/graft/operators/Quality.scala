@@ -427,4 +427,31 @@ object Quality {
       .withColumn("pass",
         col("n_blocked_terms") === 0 && col("n_blocked_phrases") === 0)
   }
+
+  /** The dictionary-scale tier of [[blocklistGate]]: Aho–Corasick
+    * multi-pattern matching ([[org.apache.spark.sql.graft.AhoCorasick]])
+    * counts every occurrence of every pattern in ONE pass per document —
+    * O(|text| + matches) per row however large the dictionary, where the
+    * `contains`-chain tier re-scans the text once per phrase (a 10,000-
+    * entry production blocklist is 10,000 scans/doc there). Substring
+    * semantics, case-sensitive, ALL occurrence positions counted
+    * (overlaps and sub-patterns included — the automaton's output
+    * function, and what the SQL oracle replays position by position).
+    *
+    * @return (idCol, n_matches, n_patterns_hit, pass) */
+  def blocklistGateAc(
+      docs: DataFrame,
+      patterns: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(patterns.nonEmpty, "empty blocklist")
+    docs.select(col(idCol),
+        org.apache.spark.sql.graft.MultiPatternFunctions
+          .multiMatchCounts(col(textCol), patterns).as("__c"))
+      .select(col(idCol),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_matches"),
+        size(filter(col("__c"), c => c > 0L)).cast("bigint")
+          .as("n_patterns_hit"))
+      .withColumn("pass", col("n_matches") === 0L)
+  }
 }

@@ -126,6 +126,51 @@ class QualitySpec extends SparkSpec {
     got(5L) shouldBe ((0L, 0L, true))
   }
 
+  behavior of "blocklistGateAc"
+
+  /** Naive all-occurrence count: positions i where text.substring(i)
+    * starts with p — the definition the automaton must reproduce. */
+  private def naiveCount(text: String, p: String): Long =
+    (0 to text.length - p.length).count(i => text.startsWith(p, i)).max(0).toLong
+
+  it should "count all occurrences including overlaps and nested patterns" in {
+    val pats = Seq("aa", "aab", "ab", "b", "she", "he", "hers")
+    val docs = Seq(
+      (1L, "aaab"),            // "aa"×2 (overlap), "aab"×1, "ab"×1, "b"×1
+      (2L, "ushers"),          // she, he, hers all fire inside one run
+      (3L, "no hits here except b? no."),
+      (4L, ""),
+      (5L, "aabaab aab")
+    ).toDF("doc_id", "text")
+    val got = Quality.blocklistGateAc(docs, pats)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val texts = Map(1L -> "aaab", 2L -> "ushers",
+      3L -> "no hits here except b? no.", 4L -> "", 5L -> "aabaab aab")
+    texts.foreach { case (id, t) =>
+      val per = pats.map(naiveCount(t, _))
+      withClue(s"doc $id: ") {
+        got(id) shouldBe ((per.sum, per.count(_ > 0).toLong, per.sum == 0L))
+      }
+    }
+    got(1L)._1 shouldBe 5L // the overlap arithmetic above, pinned
+  }
+
+  it should "agree with a naive scan on random text over a random dictionary" in {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pats = (1 to 12).map(_ => randStr(1 + rnd.nextInt(4))).distinct
+    val docs = (0L until 30L).map(i => (i, randStr(200)))
+    val got = Quality.blocklistGateAc(docs.toDF("doc_id", "text"), pats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, t) =>
+      withClue(s"doc $id: ") {
+        got(id) shouldBe pats.map(naiveCount(t, _)).sum
+      }
+    }
+  }
+
   behavior of "ecdfByGroup"
 
   it should "reproduce percent_rank exactly, ties and singletons included" in {
