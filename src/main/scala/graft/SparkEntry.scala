@@ -1653,7 +1653,34 @@ object SparkEntry {
       Similarity.randomProjection(
         t(s, d, "embeddings"), dim = 64, outDim = 16, seed = 7L)
         .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "v")))
-        .select(col("vec_id"), col("j").cast("long").as("j"), col("v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))),
+
+    // Perceptual near-dup over the media table: 64-bit dHash per row
+    // (real pixel dHash for decodable images, deterministic content-
+    // stream dHash otherwise) + the pigeonhole Hamming band join — image
+    // dedup that survives re-encoding, where byte-level dedup sees
+    // nothing. On the fake (text-backed) table every row takes the
+    // content-stream path, which the oracle replays code point by code
+    // point; the pixel path is pinned in MultimodalSpec
+    "multimodal_neardup" -> ((s, d) =>
+      graft.operators.Multimodal.perceptualNearDup(
+        graft.operators.Multimodal.fakeMediaTable(t(s, d, "documents")),
+        maxHamming = 3)),
+
+    // The per-row perceptual hash itself, dumped as the four 16-bit band
+    // values the Hamming join keys on — every hash bit and the banding
+    // arithmetic get a bit-level oracle row even when the corpus has no
+    // pair within the radius (the testdata has no exact dups, so
+    // multimodal_neardup's green row is legitimately empty at this SF)
+    "multimodal_phash" -> ((s, d) =>
+      graft.operators.Multimodal.perceptualHashes(
+        graft.operators.Multimodal.fakeMediaTable(t(s, d, "documents")))
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .select(col("doc_id"), col("band_idx").cast("long").as("band_idx"),
+          col("band_val")))
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -4442,6 +4469,62 @@ object SparkEntry {
       """SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(e.label AS BIGINT) AS label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // mirrors Multimodal.perceptualNearDup on the text-backed fake table
+    // (every payload takes the content-stream dHash path): the same 65
+    // evenly-sampled code points, the same 64 comparison bits assembled
+    // into the same four 16-bit band values (never the full 64-bit long —
+    // DuckDB refuses 1<<63), the same band census cap, pair join, and
+    // per-band bit_count hamming sum
+    "multimodal_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text AS t, length(text) AS L FROM documents),
+        |bits AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64),
+        |      j -> CASE WHEN unicode(t[(j+1)*L//65 + 1 : (j+1)*L//65 + 1])
+        |                  > unicode(t[j*L//65 + 1 : j*L//65 + 1])
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM base),
+        |bands AS (
+        |  SELECT id,
+        |    list_transform(range(0, 4),
+        |      b -> list_reduce(list_transform(range(0, 16),
+        |             k -> bt[b*16 + k + 1] * (CAST(1 AS BIGINT) << k)),
+        |           (x, y) -> x + y)) AS bv
+        |  FROM bits),
+        |banded AS (
+        |  SELECT id, bv,
+        |    concat(CAST(b AS VARCHAR), ':', CAST(bv[b+1] AS VARCHAR)) AS band
+        |  FROM (SELECT id, bv, unnest(range(0, 4)) AS b FROM bands)),
+        |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+        |capped AS (SELECT banded.* FROM banded JOIN kept USING (band)),
+        |p AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    list_reduce(list_transform(range(0, 4),
+        |      i -> CAST(bit_count(xor(a.bv[i+1], b.bv[i+1])) AS BIGINT)),
+        |      (x, y) -> x + y) AS hamming
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin,
+
+    // mirrors multimodal_phash: the same 64 comparison bits, the same
+    // four 16-bit band assemblies, one row per (doc, band)
+    "multimodal_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text AS t, length(text) AS L FROM documents),
+        |bits AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64),
+        |      j -> CASE WHEN unicode(t[(j+1)*L//65 + 1 : (j+1)*L//65 + 1])
+        |                  > unicode(t[j*L//65 + 1 : j*L//65 + 1])
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM base)
+        |SELECT id AS doc_id, CAST(b AS BIGINT) AS band_idx,
+        |  list_reduce(list_transform(range(0, 16),
+        |    k -> bt[b*16 + k + 1] * (CAST(1 AS BIGINT) << k)),
+        |    (x, y) -> x + y) AS band_val
+        |FROM (SELECT id, bt, unnest(range(0, 4)) AS b FROM bits)""".stripMargin,
 
     // mirrors Similarity.randomProjection: identical seeded planes
     // (float literals round-trip via printed repr), the same

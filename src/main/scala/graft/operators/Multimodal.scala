@@ -150,4 +150,117 @@ object Multimodal {
       .select(col("doc_id"), col("meta.nFrames").as("nFrames"))
       .select(col("doc_id"), col("nFrames"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(everyNth))).as("frame_idx"))
+
+  // ---- perceptual hashing / media near-dup --------------------------
+
+  /** dHash (difference hash) of a decoded image: sample a 9×8 luma grid,
+    * bit j = "right neighbor brighter" — the classic 64-bit perceptual
+    * key that survives re-encoding, scaling, and mild edits (exact
+    * byte-level dedup catches none of those). Deterministic. */
+  private[operators] def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(gx: Int, gy: Int): Double = {
+      // grid cell (gx ∈ 0..8, gy ∈ 0..7) sampled at its center pixel
+      val x = math.min(w - 1, (gx * w + w / 2) / 9)
+      val y = math.min(h - 1, (gy * h + h / 2) / 8)
+      val rgb = img.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val gy = j / 8
+      val gx = j % 8
+      if (luma(gx + 1, gy) > luma(gx, gy)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Content-stream fallback dHash for payloads that are not decodable
+    * images (audio/video, corrupt bytes, the fake table): interpret the
+    * payload as UTF-8 (lossy for true binary — U+FFFD substitution — but
+    * deterministic), sample 65 code points evenly over the sequence, bit
+    * j = "next sampled code point larger". Same 64-bit shape as the
+    * pixel hash, and SQL-replayable over text-backed payloads (DuckDB's
+    * string ops are code-point based) — the property the oracle uses. */
+  private[operators] def dHashBytes(payload: Array[Byte]): Long = {
+    val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val n = cps.length
+    if (n == 0) return 0L
+    def at(j: Int): Int = cps(j * n / 65)
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (at(j + 1) > at(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-row 64-bit perceptual hash: real pixel dHash for decodable
+    * image payloads (`decoded = true`), byte-stream dHash otherwise.
+    * Runs in the same batched `mapPartitions` shape as
+    * [[decodeFeatures]]. */
+  def perceptualHashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val viaImage =
+            if (r.meta.mediaType == "image")
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))).map(dHashImage)
+              catch { case _: java.io.IOException => None }
+            else None
+          (r.doc_id, viaImage.getOrElse(dHashBytes(r.payload)),
+            viaImage.isDefined)
+        }
+      }
+    }.toDF("doc_id", "dhash", "decoded")
+  }
+
+  /** Perceptual near-duplicate pairs over the media table: dHash per row,
+    * then the pigeonhole Hamming join of [[Dedup.simhashNearDup]] — a
+    * pair within `maxHamming` of 64 bits must agree exactly on at least
+    * one of `nBands` bands (maxHamming < nBands), so candidates come from
+    * a band equi-join, never all-pairs; `maxBucketSize` drops degenerate
+    * buckets (uniform backgrounds hash alike) before the self-join. The
+    * 8-byte hash rides through the join, so the radius filter runs
+    * inline before the pair distinct. */
+  def perceptualNearDup(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0, "bands must evenly split 64 bits")
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = Fan.spread(perceptualHashes(media))
+      .select(col("doc_id").as("id"), col("dhash"),
+        explode(array((0 until nBands).map(b =>
+          concat_ws(":", lit(b),
+            shiftright(col("dhash"), b * bandBits).bitwiseAND(mask))): _*))
+          .as("band"))
+      .localCheckpoint()
+    val keptBands = banded.groupBy("band")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select("band")
+    val capped = banded.join(keptBands, Seq("band"))
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("band"))
+    capped.select(col("band"), col("id").as("id_a"), col("dhash").as("h_a"))
+      .join(capped.select(col("band"), col("id").as("id_b"), col("dhash").as("h_b")),
+        Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

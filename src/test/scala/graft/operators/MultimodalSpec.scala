@@ -75,6 +75,81 @@ class MultimodalSpec extends SparkSpec {
     f(1L).decodedWidth shouldBe None // audio never decodes
   }
 
+  private def encodeGradient(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255) / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  "perceptualHashes" should "pixel-dHash decodable images and fall back to the content stream" in {
+    val grad = encodeGradient(90, 80, "png")
+    val flat = encodeImage(90, 80, 0x808080, "png")
+    val media = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.MediaMeta("image", 90, 80, 1), grad),
+      Multimodal.MediaRecord(3L, Multimodal.MediaMeta("image", 90, 80, 1), flat),
+      Multimodal.MediaRecord(6L, Multimodal.MediaMeta("image", 1, 1, 1),
+        "not an image at all".getBytes("UTF-8")),
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 1),
+        // 87 strictly-ascending code points: > 65 of them, so every
+        // sampled position advances and every difference bit fires
+        (33 until 120).map(_.toChar).mkString.getBytes("UTF-8"))
+    ).toDS().toDF()
+    val got = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // strictly increasing left-to-right luminance ⇒ every "right neighbor
+    // brighter" bit fires ⇒ the all-ones hash
+    got(0L) shouldBe ((-1L, true))
+    // flat image: no bit fires
+    got(3L) shouldBe ((0L, true))
+    // undecodable image payload and audio route through the code-point
+    // fallback (decoded=false), ascending bytes ⇒ all sampled bits fire
+    got(6L)._2 shouldBe false
+    got(1L) shouldBe ((-1L, false))
+  }
+
+  "perceptualNearDup" should "pair re-encoded variants of the same image, not distinct images" in {
+    // the same gradient encoded at two sizes (re-encode + rescale), plus
+    // a flat image: dHash is scale-invariant by construction here
+    val media = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.MediaMeta("image", 90, 80, 1),
+        encodeGradient(90, 80, "png")),
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", 45, 40, 1),
+        encodeGradient(45, 40, "png")),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("image", 90, 80, 1),
+        encodeImage(90, 80, 0x336699, "png"))
+    ).toDS().toDF()
+    val pairs = Multimodal.perceptualNearDup(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.keySet shouldBe Set((0L, 1L))
+    pairs((0L, 1L)) shouldBe 0L
+  }
+
+  it should "match a naive all-pairs hamming filter on the fallback path" in {
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and agaiN"),
+      (2L, "completely different content with other characters entirely"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+    val media = Multimodal.fakeMediaTable(texts.toDF("doc_id", "text"))
+    val got = Multimodal.perceptualNearDup(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hashes = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    got shouldBe naive
+    got.keySet should contain((0L, 3L)) // exact dup survives at distance 0
+  }
+
   "sampleFrames" should "fan out one row per sampled frame, video only" in {
     val media = Multimodal.fakeMediaTable(docs)
     val frames = Multimodal.sampleFrames(media, everyNth = 4)
