@@ -1614,6 +1614,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           (col("__pos") + 1).cast("long").as("rk"))),
 
+    // Bloom semi-join reduction: the selective part slice (p_size = 1)
+    // builds a Bloom filter that pre-filters lineitem BEFORE the join's
+    // shuffle — ~25/1000 of the fact side survives to shuffle; false
+    // positives die in the exact join, so results are the plain join's
+    "join_bloom_reduced" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("partkey"))
+      val dim = t(s, d, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey").as("partkey"), col("p_name"))
+      graft.operators.Joins.bloomFilteredJoin(fact, dim, "partkey", fpp = 0.01)
+    }),
+
+    // Retention cohort matrix: cohort = first-activity week, cells =
+    // users still active k weeks later — the raw stream collapses to
+    // distinct (user, week) first; everything after runs on that slim
+    // frame
+    "retention_cohorts" -> ((s, d) =>
+      graft.operators.Reports.retentionCohorts(eventsUs(s, d))),
+
     // Salted skew join: the corpus fans each hot key over 8 sub-keys and
     // the dimension replicates 8× — the explicit-salting tier for the
     // single pathological key AQE's post-shuffle splitting cannot fix
@@ -4454,6 +4473,32 @@ object SparkEntry {
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
     },
+
+    // mirrors Joins.bloomFilteredJoin: Bloom pre-filtering is
+    // result-invariant (no false negatives; false positives die in the
+    // exact join), so the oracle is the PLAIN join over the slice
+    "join_bloom_reduced" ->
+      """SELECT l.l_orderkey, CAST(l.l_partkey AS BIGINT) AS partkey, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1""".stripMargin,
+
+    // mirrors Reports.retentionCohorts: distinct (user, week), cohort
+    // min, matrix counts, window-normalized retention — exact integer
+    // week math, one IEEE division
+    "retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |m AS (
+        |  SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |    CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+        |         OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+        |FROM m""".stripMargin,
 
     // mirrors Joins.saltedJoin over the per-lang dim: salting is
     // result-invariant by construction, so the oracle is the PLAIN join

@@ -208,6 +208,45 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Bloom semi-join reduction: build a Bloom filter over the dimension's
+    * join keys (one aggregation of the SMALL side), pre-filter the fact
+    * side with it BEFORE the join's shuffle, then run the exact join.
+    * When the dimension is selective (a filtered slice of parts, a
+    * benchmark id list), the fact side's shuffle shrinks by roughly the
+    * selectivity — on a 100 TB fact table that is the difference between
+    * shuffling everything and shuffling the ~1% that can match. Results
+    * are EXACTLY the plain join's: a Bloom filter has no false negatives
+    * (nothing that matches is dropped) and its false positives are
+    * removed by the exact join that follows — which is also why the
+    * reduction is only sound for inner/semi joins (an outer fact side
+    * must keep its non-matching rows). Same broadcast-a-sketch shape as
+    * [[graft.operators.Curation]]'s Bloom decontamination tier, pointed
+    * at join reduction (the engine-internal runtime-filter idea, stated
+    * explicitly in the API). */
+  def bloomFilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      fpp: Double = 0.01,
+      expectedItems: Long = 1L << 20,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom reduction drops non-matching fact rows — unsound for $joinType")
+    import org.apache.spark.sql.graft.BloomFunctions
+    val built = dim
+      .agg(count(lit(1)).as("__n"),
+        BloomFunctions.bloomBuild(col(key).cast("string"), expectedItems, fpp)
+          .as("__bloom"))
+      .collect()(0)
+    require(built.getAs[Long]("__n") <= expectedItems,
+      s"dim has ${built.getAs[Long]("__n")} keys > expectedItems=" +
+        s"$expectedItems; raise expectedItems to keep the fpp contract")
+    val bloom = built.getAs[Array[Byte]]("__bloom")
+    fact
+      .filter(BloomFunctions.bloomContains(col(key).cast("string"), bloom))
+      .join(dim, Seq(key), joinType)
+  }
+
   /** Persist a table bucketed (and sorted) by the join key: two tables
     * bucketed the same way join with NO exchange on either side — the
     * co-location is decided at write time, which is how a 100 TB fact

@@ -283,4 +283,39 @@ object Reports {
         (sum(col("quality").cast("decimal(18,6)")).cast("double") /
           count(lit(1)).cast("double")).as("mean_quality"))
   }
+
+  /** Retention cohort matrix over an event stream: cohort = the bucket
+    * (default: week) of a user's FIRST activity; each cell counts the
+    * cohort's users still active `week_offset` buckets later, with
+    * `retention` = cell / cohort size. The product-analytics staple, in
+    * the shape that scales: the raw stream collapses to DISTINCT
+    * (user, bucket) rows first (one keyed distinct — the only corpus-
+    * scale shuffle), the cohort min and the matrix are aggs over that
+    * slim frame, and the retention normalizer is a window over the
+    * bucket-cardinality matrix, never the events. Exact integer bucket
+    * math (`ts div bucketUs`), one IEEE division for the ratio.
+    *
+    * @param tsCol epoch-micros BIGINT event time
+    * @return (cohort_week, week_offset, n_users, retention) */
+  def retentionCohorts(
+      events: DataFrame,
+      bucketUs: Long = 7L * 86400L * 1000000L,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val userWeeks = events
+      .select(col(userCol).as("__u"), expr(s"`$tsCol` div ${bucketUs}L").as("__w"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("__u"))
+      .agg(min(col("__w")).as("cohort_week"))
+    val matrix = userWeeks.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    matrix.select(col("cohort_week"), col("week_offset"), col("n_users"),
+      (col("n_users").cast("double") /
+        max(when(col("week_offset") === 0L, col("n_users"))).over(byCohort)
+          .cast("double")).as("retention"))
+  }
 }

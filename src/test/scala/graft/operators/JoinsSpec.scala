@@ -41,6 +41,30 @@ class JoinsSpec extends SparkSpec {
     salts should be > 4L // 200 distinct rows hash across most of 8 buckets
   }
 
+  "bloomFilteredJoin" should "produce exactly the plain-join result" in {
+    val bigFact = (1L to 500L).map(i => (i, s"k${i % 50}", i.toDouble))
+      .toDF("id", "k", "v")
+    val selDim = Seq(("k3", "A"), ("k17", "B"), ("k42", "C")).toDF("k", "label")
+    val plain = bigFact.join(selDim, Seq("k")).select("id", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val reduced = Joins.bloomFilteredJoin(bigFact, selDim, "k", fpp = 0.01)
+      .select("id", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    reduced shouldBe plain
+    reduced should have size 30
+  }
+
+  it should "reject outer joins (the reduction drops non-matching fact rows)" in {
+    an[IllegalArgumentException] should be thrownBy
+      Joins.bloomFilteredJoin(fact, dim, "k", joinType = "left")
+  }
+
+  it should "fail loudly when the dim overfills the filter" in {
+    val bigDim = (1L to 100L).map(i => (s"k$i", "x")).toDF("k", "label")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.bloomFilteredJoin(fact, bigDim, "k", expectedItems = 10L)
+  }
+
   "broadcastJoin" should "force a broadcast hash join" in {
     val plan = Joins.broadcastJoin(fact, dim, "k")
       .queryExecution.executedPlan.toString

@@ -203,4 +203,22 @@ class ReportsSpec extends SparkSpec {
     cal.keys.foreach(e => (e * 8).isWhole shouldBe true)
     cal.values.foreach(_._3 should (be >= 0.0 and be <= 1.0))
   }
+
+  "retentionCohorts" should "count each cohort's survivors per offset with exact ratios" in {
+    // bucketUs = 10: users 1,2 start in week 0; user 3 starts week 1.
+    // user 1 active weeks {0,1,2}, user 2 {0,2}, user 3 {1}
+    val ev = Seq(
+      (1L, 5L), (1L, 12L), (1L, 25L), (1L, 27L), // dup in week 2 collapses
+      (2L, 1L), (2L, 22L),
+      (3L, 15L)
+    ).toDF("user_id", "ts")
+    val got = Reports.retentionCohorts(ev, bucketUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    got((0L, 0L)) shouldBe ((2L, 1.0))
+    got((0L, 1L)) shouldBe ((1L, 0.5)) // only user 1 returns in week 1
+    got((0L, 2L)) shouldBe ((2L, 1.0)) // both return in week 2
+    got((1L, 0L)) shouldBe ((1L, 1.0))
+    got.size shouldBe 4
+  }
 }
