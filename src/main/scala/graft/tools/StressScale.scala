@@ -439,18 +439,20 @@ object StressScale {
             sum(col("yv") * col("yv")).as("syy"))
       },
       // the 10⁹-row-group shape the native bounded top-k exists for: ONE
-      // whale group holding the whole corpus. The window tier must sort
-      // all n rows in that single partition; the aggregate tier shuffles
-      // k pairs per task — the pair of timings IS the claim
+      // whale group, fixed at 5M rows regardless of corpus n (at corpus
+      // scale both tiers are trivially fast and the comparison says
+      // nothing). The window tier must sort all 5M rows in that single
+      // partition; the aggregate tier shuffles k pairs per task — the
+      // pair of timings IS the claim
       timeNoop("per_group_topk_window") {
         import org.apache.spark.sql.expressions.Window
-        docs.select(lit("g").as("gg"), col("doc_id"))
+        spark.range(5000000L).select(lit("g").as("gg"), col("id").as("doc_id"))
           .withColumn("rk", row_number().over(Window.partitionBy(col("gg"))
             .orderBy(xxhash64(col("doc_id")), col("doc_id"))))
           .filter(col("rk") <= 5)
       },
       timeNoop("sample_per_group_agg")(
-        docs.select(lit("g").as("gg"), col("doc_id"))
+        spark.range(5000000L).select(lit("g").as("gg"), col("id").as("doc_id"))
           .groupBy(col("gg"))
           .agg(org.apache.spark.sql.graft.TopKFunctions.topKByKey(
             xxhash64(col("doc_id")), col("doc_id"), 5).as("__p"))
