@@ -432,6 +432,46 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  "embed_rp" should "stay a shuffle-free projection scoring through the native dot kernel" in {
+    val plan = executed("embed_rp")
+    plan should not include "Exchange hashpartitioning"
+    plan should not include "Join"
+    plan should include("graft_dot")
+  }
+
+  "join_bloom_reduced" should "pre-filter the fact side with the bloom probe before any join" in {
+    val plan = executed("join_bloom_reduced")
+    plan should include("graft_bloom_contains")
+    plan should not include "CartesianProduct"
+    // the dim filter reaches the part scan
+    plan should include("PushedFilters")
+  }
+
+  "join_salted" should "stay an equi-join on the salted key (no nested loop)" in {
+    val plan = executed("join_salted")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "retention_cohorts" should "collapse to distinct (user, week) with map-side partials, window partitioned by cohort" in {
+    val plan = executed("retention_cohorts")
+    plan should include("partial_count")
+    plan should include("windowspecdefinition(cohort_week")
+    plan should not include "CartesianProduct"
+  }
+
+  "multimodal_neardup" should "pair via the band equi-join, never all-pairs" in {
+    val plan = executed("multimodal_neardup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "blocklist_ac" should "stay a row-local projection (no join, no keyed shuffle)" in {
+    val plan = executed("blocklist_ac")
+    plan should not include "Join"
+    plan should not include "Exchange hashpartitioning"
+  }
+
   "vector_knn and semantic_dedup" should "score with the native graft_dot kernel, not an interpreted HOF" in {
     // a refactor that fell back to aggregate(zip_with(...)) would still
     // be correct but lose the codegen'd kernel (~123× on the scoring
