@@ -1633,6 +1633,23 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) =>
       graft.operators.Reports.retentionCohorts(eventsUs(s, d))),
 
+    // Incrementally-maintained hourly rollup: the event stream arrives
+    // as three deltas, each absorbed with ONE delta aggregation + one
+    // keyed merge against the persisted partials (decimal sums: the
+    // merge is bit-identical to the one-shot aggregate however the
+    // stream is sliced — which is exactly what the oracle computes)
+    "rollup_incremental" -> ((s, d) => {
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      val name = "rollup_hourly_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ev = eventsUs(s, d)
+      (0 until 3).foreach { i =>
+        graft.store.Rollups.upsertHourly(wh, name,
+          ev.filter(pmod(col("event_id"), lit(3)) === i))
+      }
+      graft.store.Rollups.hourlyView(wh.read(name))
+    }),
+
     // Salted skew join: the corpus fans each hot key over 8 sub-keys and
     // the dimension replicates 8× — the explicit-salting tier for the
     // single pathological key AQE's post-shuffle splitting cannot fix
@@ -4473,6 +4490,17 @@ object SparkEntry {
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
     },
+
+    // mirrors Rollups.upsertHourly applied three times: mergeable
+    // decimal partials make the incremental result THE one-shot
+    // aggregate, so the oracle just computes it directly
+    "rollup_incremental" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // mirrors Joins.bloomFilteredJoin: Bloom pre-filtering is
     // result-invariant (no false negatives; false positives die in the

@@ -1,0 +1,63 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RollupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh = new Warehouse(spark,
+    Files.createTempDirectory("rollups").toString)
+
+  // (event_id, ts micros, event_type, value) — values chosen so a DOUBLE
+  // sum would depend on fold order (1e15 beside many 0.1s) while the
+  // decimal partials stay exact under any slicing
+  private def events(ids: Range) = ids.map { i =>
+    (i.toLong, i.toLong * 600L * 1000000L, if (i % 2 == 0) "click" else "view",
+      if (i % 50 == 0) 1e15 else 0.1)
+  }.toDF("event_id", "ts", "event_type", "value")
+
+  "upsertHourly" should "equal the one-shot aggregate for ANY slicing of the stream" in {
+    val all = events(0 until 300)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Rollups.hourlyView(df).collect().map(_.toSeq).toSet
+
+    val oneShot = Rollups.hourlyPartials(all)
+
+    val wh2 = freshWh
+    Rollups.upsertHourly(wh2, "r", all.filter(col("event_id") < 100))
+    Rollups.upsertHourly(wh2, "r", all.filter(col("event_id") >= 100))
+    canon(wh2.read("r")) shouldBe canon(oneShot)
+
+    val wh5 = freshWh
+    (0 until 5).foreach { i =>
+      Rollups.upsertHourly(wh5, "r", all.filter(pmod(col("event_id"), lit(5)) === i))
+    }
+    canon(wh5.read("r")) shouldBe canon(oneShot)
+    canon(wh5.read("r")) should not be empty
+  }
+
+  it should "only churn the delta's hours and keep prior state time-travelable" in {
+    val wh = freshWh
+    Rollups.upsertHourly(wh, "r", events(0 until 100))
+    val v1 = Rollups.hourlyView(wh.read("r")).collect().map(_.toSeq).toSet
+    Rollups.upsertHourly(wh, "r", events(100 until 200))
+    // the previous snapshot is still readable (copy-on-write versioning)
+    Rollups.hourlyView(wh.readVersion("r", wh.currentVersion("r") - 1))
+      .collect().map(_.toSeq).toSet shouldBe v1
+    // hours only in the first delta are untouched by the second merge
+    val now = Rollups.hourlyView(wh.read("r"))
+    now.filter(col("hour_id") === 0L).collect().map(_.toSeq).toSet shouldBe
+      Rollups.hourlyView(Rollups.hourlyPartials(events(0 until 100)))
+        .filter(col("hour_id") === 0L).collect().map(_.toSeq).toSet
+  }
+
+  it should "start from empty on first upsert" in {
+    val wh = freshWh
+    val r = Rollups.upsertHourly(wh, "fresh", events(0 until 10))
+    r.count() should be > 0L
+  }
+}
