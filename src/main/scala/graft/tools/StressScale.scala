@@ -519,6 +519,49 @@ object StressScale {
         val (edges, _) = graft.store.AnnArtifacts.loadKnnGraph(wh, "g")
         graft.operators.Graphs.triangles(edges.select(col("src"), col("dst")),
           emb.select(col("vec_id").as("id")))
+      },
+      // ---- round-9 wave ---------------------------------------------
+      // Aho–Corasick dictionary gate: one automaton walk per doc, cost
+      // independent of dictionary size (vs contains-chain scan-per-term)
+      timeNoop("blocklist_ac")(
+        graft.operators.Quality.blocklistGateAc(docs,
+          patterns = Seq("merge", "window", "fast table", "ta", "able"))),
+      // JL projection 64 → 16: row-local codegen'd dots, zero shuffle
+      timeNoop("embed_rp")(
+        graft.operators.Similarity.randomProjection(emb, dim = 64, outDim = 16)),
+      // perceptual dHash + Hamming band join over the text-backed media
+      timeNoop("multimodal_neardup")(
+        graft.operators.Multimodal.perceptualNearDup(
+          graft.operators.Multimodal.fakeMediaTable(docs), maxHamming = 3)),
+      timeNoop("retention_cohorts")(
+        graft.operators.Reports.retentionCohorts(
+          events.withColumn("ts", col("ts")))),
+      timeNoop("join_salted") {
+        val dim = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        graft.operators.Joins.saltedJoin(
+          docs.select(col("doc_id"), col("source")), dim, "source",
+          saltFactor = 8)
+      },
+      // bloom reduction: 0.1% of keys survive to the join shuffle
+      timeNoop("join_bloom_reduced") {
+        val dim = docs.filter(col("doc_id") % 1000 === 0)
+          .select(col("doc_id"), col("source").as("dim_source"))
+        graft.operators.Joins.bloomFilteredJoin(
+          docs.select(col("doc_id"), col("text")), dim, "doc_id", fpp = 0.01)
+      },
+      // incremental rollup: three deltas absorbed into persisted partials
+      timeNoop("rollup_incremental") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        val name = "rollup_" + System.nanoTime()
+        val ev = events
+          .withColumn("event_type", (col("user_id") % 4).cast("string"))
+          .withColumn("value",
+            pmod(xxhash64(col("event_id")), lit(1000)).cast("double") / 10.0)
+        (0 until 3).foreach { i =>
+          graft.store.Rollups.upsertHourly(wh, name,
+            ev.filter(pmod(col("event_id"), lit(3)) === i))
+        }
+        graft.store.Rollups.hourlyView(wh.read(name))
       }
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
