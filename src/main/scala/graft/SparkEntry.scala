@@ -1633,6 +1633,12 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) =>
       graft.operators.Reports.retentionCohorts(eventsUs(s, d))),
 
+    // First-order Markov transition matrix over per-user event flows:
+    // one user-partitioned lag window pairs each event with its
+    // successor; probabilities normalize on the |types|² matrix frame
+    "event_transitions" -> ((s, d) =>
+      graft.streaming.EventStreams.eventTransitions(eventsUs(s, d))),
+
     // Incrementally-maintained hourly rollup: the event stream arrives
     // as three deltas, each absorbed with ONE delta aggregation + one
     // keyed merge against the persisted partials (decimal sums: the
@@ -4490,6 +4496,28 @@ object SparkEntry {
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
     },
+
+    // mirrors EventStreams.eventTransitions: the same (ts, event_id)-
+    // pinned lag pairs, the same matrix counts, one IEEE division
+    // against the windowed from-state total
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tsu, event_id) AS prev
+        |  FROM e),
+        |m AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS p
+        |FROM m""".stripMargin,
 
     // mirrors Rollups.upsertHourly applied three times: mergeable
     // decimal partials make the incremental result THE one-shot

@@ -75,4 +75,23 @@ object Rollups {
     rollup.select(col("hour_id"), col("event_type"), col("n_events"),
       col("sum_value_dec").cast("double").as("sum_value"),
       col("min_ts"), col("max_ts"))
+
+  /** Streaming twin: every micro-batch is a delta absorbed through the
+    * SAME [[upsertHourly]] merge — `foreachBatch` is exactly the
+    * incremental-ETL contract (each batch processed once, state lives in
+    * the warehouse, not the state store), and because the partials are
+    * mergeable decimals the stream's final rollup is bit-identical to a
+    * one-shot batch aggregate of everything that arrived, regardless of
+    * how the stream was micro-batched (parity pinned in `RollupsSpec`).
+    * The returned query must be stopped by the caller. */
+  def hourlyStream(
+      wh: Warehouse,
+      name: String,
+      deltas: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    deltas.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertHourly(wh, name, batch): Unit
+      }
+      .start()
 }

@@ -188,6 +188,35 @@ object EventStreams {
         .as("ewma"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov): pair
+    * every event with its user's NEXT event via one user-partitioned lag
+    * window (the spillable per-user sort [[sessionize]] uses), count
+    * (from, to) pairs, and normalize per from-state ON THE MATRIX frame
+    * — |types|² rows, so the probability window never touches the event
+    * stream. The session-flow / funnel-discovery staple.
+    *
+    * @param tsCol epoch-micros BIGINT; order pinned by (ts, event_id)
+    * @return (from_type, to_type, n_transitions, p) */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val matrix = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    matrix.select(col("from_type"), col("to_type"), col("n_transitions"),
+      (col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(byFrom).cast("double")).as("p"))
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {

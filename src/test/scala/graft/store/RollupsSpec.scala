@@ -60,4 +60,29 @@ class RollupsSpec extends SparkSpec {
     val r = Rollups.upsertHourly(wh, "fresh", events(0 until 10))
     r.count() should be > 0L
   }
+
+  "hourlyStream" should "absorb micro-batches into the SAME state a one-shot batch produces" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wh = freshWh
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val q = Rollups.hourlyStream(wh, "s",
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+    try {
+      // three micro-batches slicing the same 300 events as the batch spec
+      val all = (0 until 300).map { i =>
+        (i.toLong, i.toLong * 600L * 1000000L,
+          if (i % 2 == 0) "click" else "view",
+          if (i % 50 == 0) 1e15 else 0.1)
+      }
+      all.grouped(120).foreach { g =>
+        stream.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val viaStream = Rollups.hourlyView(wh.read("s")).collect().map(_.toSeq).toSet
+    val oneShot = Rollups.hourlyView(Rollups.hourlyPartials(events(0 until 300)))
+      .collect().map(_.toSeq).toSet
+    viaStream shouldBe oneShot
+  }
 }
