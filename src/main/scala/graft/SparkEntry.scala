@@ -1633,6 +1633,33 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) =>
       graft.operators.Reports.retentionCohorts(eventsUs(s, d))),
 
+    // Community structure report over the kNN graph's LPA communities:
+    // size, internal edge count, degree mass, Newman modularity term per
+    // community (one IEEE expression over exact integer aggregates per
+    // row — never a cross-row double sum)
+    "graph_communities" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.communityStats(
+        edges, e.select(col("vec_id").as("id")), iters = 3)
+    }),
+
+    // Key-skew diagnosis: the top-20 hottest join/group keys with their
+    // corpus share — the measurement that decides between a plain
+    // shuffle, a broadcast, and the salted tier (total tie-broken order
+    // under the limit, per the house invariant)
+    "key_skew_report" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      graft.operators.Joins.keyFrequency(ev, "user_id", topN = 20)
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("__total"))))
+        .select(col("user_id"), col("n"),
+          (col("n").cast("double") / col("__total").cast("double")).as("share"))
+    }),
+
     // First-order Markov transition matrix over per-user event flows:
     // one user-partitioned lag window pairs each event with its
     // successor; probabilities normalize on the |types|² matrix frame
@@ -1746,6 +1773,50 @@ object SparkEntry {
 
   /** DuckDB replay of [[graft.functions.VectorFunctions.dot]]: same
     * element-order fold in double, so results match bit-for-bit. */
+  /** Shared replay of the kNN-graph label-propagation chain (anchors →
+    * cell assignment → k=3 edges → symmetrize → 3 LPA iterations as
+    * unrolled CTEs, final labels in `lab3`, symmetrized edges in
+    * `edges`). Used by the `label_prop` oracle and the community-stats
+    * oracle built on the same labels — a drift between them would let
+    * the two views disagree about the same partition. */
+  private lazy val lpaCtesSql: String = {
+    val asnCos = cosineSql("e.embedding", "a.av", 64)
+    val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+    def iter(i: Int): String =
+      s"""cnt$i AS (
+         |  SELECT e.dst, l.label, count(*) AS c
+         |  FROM edges e JOIN lab${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |pk$i AS (
+         |  SELECT dst AS id, label FROM cnt$i
+         |  QUALIFY row_number() OVER (PARTITION BY dst
+         |                             ORDER BY c DESC, label) = 1),
+         |lab$i AS (
+         |  SELECT l.id, coalesce(p.label, l.label) AS label
+         |  FROM lab${i - 1} l LEFT JOIN pk$i p ON l.id = p.id)""".stripMargin
+    s"""a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+       |           WHERE vec_id < 8),
+       |asn AS (
+       |  SELECT e.vec_id, e.embedding, aid AS cell
+       |  FROM embeddings e CROSS JOIN a
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                             ORDER BY $asnCos DESC, aid) = 1),
+       |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+       |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+       |edges0 AS (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM (
+       |    SELECT q.query_id, c.neighbor_id
+       |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+       |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM edges0)),
+       |lab0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
   private def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -3993,44 +4064,38 @@ object SparkEntry {
     // mirrors Graphs.labelPropagation over the knn_graph edges: the same
     // candidate replay symmetrized, then 3 unrolled mode-label CTEs
     // (count desc, label asc argmax) — exact integers end to end
-    "label_prop" -> {
-      val asnCos = cosineSql("e.embedding", "a.av", 64)
-      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
-      def iter(i: Int): String =
-        s"""cnt$i AS (
-           |  SELECT e.dst, l.label, count(*) AS c
-           |  FROM edges e JOIN lab${i - 1} l ON l.id = e.src GROUP BY 1, 2),
-           |pk$i AS (
-           |  SELECT dst AS id, label FROM cnt$i
-           |  QUALIFY row_number() OVER (PARTITION BY dst
-           |                             ORDER BY c DESC, label) = 1),
-           |lab$i AS (
-           |  SELECT l.id, coalesce(p.label, l.label) AS label
-           |  FROM lab${i - 1} l LEFT JOIN pk$i p ON l.id = p.id)""".stripMargin
-      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
-         |           WHERE vec_id < 8),
-         |asn AS (
-         |  SELECT e.vec_id, e.embedding, aid AS cell
-         |  FROM embeddings e CROSS JOIN a
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |                             ORDER BY $asnCos DESC, aid) = 1),
-         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
-         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
-         |edges0 AS (
-         |  SELECT query_id AS src, neighbor_id AS dst FROM (
-         |    SELECT q.query_id, c.neighbor_id
-         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
-         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
-         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
-         |edges AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM edges0
-         |  UNION ALL SELECT dst AS src, src AS dst FROM edges0)),
-         |lab0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT id, label AS community FROM lab3""".stripMargin
-    },
+    "label_prop" ->
+      s"""WITH $lpaCtesSql
+         |SELECT id, label AS community FROM lab3""".stripMargin,
+
+    // mirrors Graphs.communityStats: the label_prop replay (same CTE
+    // chain) + half-edge count, degrees, per-community aggregates, and
+    // the SAME e/m − (d/2m)² IEEE expression per row
+    "graph_communities" ->
+      s"""WITH $lpaCtesSql,
+         |half AS (SELECT src, dst FROM edges WHERE src < dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM half),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |ds AS (
+         |  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS degree_sum
+         |  FROM lab3 l LEFT JOIN deg ON deg.id = l.id GROUP BY 1),
+         |ie AS (
+         |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS internal_edges
+         |  FROM half h
+         |  JOIN lab3 la ON la.id = h.src
+         |  JOIN lab3 lb ON lb.id = h.dst
+         |  WHERE la.label = lb.label GROUP BY 1)
+         |SELECT ds.community, ds.n_nodes,
+         |  coalesce(ie.internal_edges, 0) AS internal_edges, ds.degree_sum,
+         |  CAST(coalesce(ie.internal_edges, 0) AS DOUBLE)
+         |      / CAST(nullif(mm.m, 0) AS DOUBLE)
+         |    - (CAST(ds.degree_sum AS DOUBLE)
+         |       / CAST(nullif(2 * mm.m, 0) AS DOUBLE))
+         |      * (CAST(ds.degree_sum AS DOUBLE)
+         |         / CAST(nullif(2 * mm.m, 0) AS DOUBLE)) AS modularity_term
+         |FROM ds LEFT JOIN ie ON ds.community = ie.community CROSS JOIN mm""".stripMargin,
 
     // mirrors Layout.zOrderLayout: the same unrolled div/mod Morton terms
     // and the 2048-wide z-range cut — exact integer arithmetic only
@@ -4496,6 +4561,17 @@ object SparkEntry {
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
     },
+
+    // mirrors Joins.keyFrequency + share: same (count desc, key) total
+    // order under the limit, one IEEE division against the 1-row total
+    "key_skew_report" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |  GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        |SELECT f.user_id, f.n,
+        |  CAST(f.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        |FROM f CROSS JOIN t""".stripMargin,
 
     // mirrors EventStreams.eventTransitions: the same (ts, event_id)-
     // pinned lag pairs, the same matrix counts, one IEEE division

@@ -101,6 +101,66 @@ object Graphs {
     labels.withColumnRenamed("label", "community")
   }
 
+  /** Per-community structure report over [[labelPropagation]]'s
+    * communities: size, internal undirected edge count, degree mass, and
+    * the community's Newman modularity term
+    *
+    *   Q_c = e_c / m − (d_c / 2m)²
+    *
+    * (Σ_c Q_c is the partition's modularity — emitted per community, one
+    * IEEE expression over exact integer aggregates per ROW, so the
+    * driver's hash compare never sees a cross-row double sum). The
+    * quality gate for the community detector itself: near-zero terms
+    * mean the "community" is no denser than chance, which in the
+    * near-duplicate graph separates real template families from
+    * accidental agglomerations.
+    *
+    * Scale shape: everything after the LPA labels is keyed aggregation
+    * on the slim symmetrized edge frame — degree per node, one
+    * label-join per endpoint for internal-edge counts, and a broadcast
+    * 1-row edge total; nothing quadratic, the modularity arithmetic runs
+    * on the |communities|-row frame.
+    *
+    * @return (community, n_nodes, internal_edges, degree_sum,
+    *         modularity_term) */
+  def communityStats(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val labels = labelPropagation(edges, nodes, iters)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // read by the half-edge count, degrees, and join
+    val half = und.filter(col("src") < col("dst"))
+    val mDf = broadcast(half.agg(count(lit(1)).as("__m")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+    val degSum = labels.join(deg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("degree_sum"))
+    val internal = half
+      .join(labels.select(col("id").as("src"), col("community").as("__ca")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("community").as("__cb")),
+        Seq("dst"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    degSum.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .crossJoin(mDf)
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"),
+        (col("internal_edges").cast("double") / col("__m").cast("double") -
+          (col("degree_sum").cast("double") / (col("__m") * 2).cast("double")) *
+            (col("degree_sum").cast("double") / (col("__m") * 2).cast("double")))
+          .as("modularity_term"))
+  }
+
   /** Exact triangle counting + local clustering coefficient via the
     * degree-ordered orientation ("compact-forward", Latapy 2008; the
     * shape MapReduce triangle counting standardized as node-iterator++):

@@ -50,7 +50,9 @@ object Joins {
     * join needs salting (run on a sample at scale). */
   def keyFrequency(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n")).limit(topN)
+      // key tie-break: limits are only deterministic under a TOTAL order
+      // (the house invariant every oracle-checked limit relies on)
+      .orderBy(desc("n"), asc(key)).limit(topN)
 
   /** As-of join: for each left row, attach the most recent right row with
     * `right.ts <= left.ts` within the same `keys` group (the point-in-time
