@@ -1648,6 +1648,21 @@ object SparkEntry {
         edges, e.select(col("vec_id").as("id")), iters = 3)
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click WITHIN A 1-HOUR WINDOW (asOfJoin's maxStaleness —
+    // a too-old touch is rejected, not replaced by a staler one) — the
+    // marketing-attribution staple on the as-of machinery
+    "attribution_last_touch" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts",
+        seqCol = "click_id", attach = Seq("click_id"), prefix = "touch_",
+        maxStaleness = Some(3600L * 1000000L))
+    }),
+
     // Key-skew diagnosis: the top-20 hottest join/group keys with their
     // corpus share — the measurement that decides between a plain
     // shuffle, a broadcast, and the salted tier (total tie-broken order
@@ -4561,6 +4576,34 @@ object SparkEntry {
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
     },
+
+    // mirrors attribution_last_touch: the asof_join replay with the
+    // 1-hour staleness gate applied AFTER the running-last window (a
+    // too-stale touch nulls out rather than falling back further)
+    "attribution_last_touch" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, 9223372036854775807 AS seq,
+        |         event_id, value, CAST(NULL AS BIGINT) AS c_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN c_id IS NOT NULL
+        |               THEN struct_pack(id := c_id, ts := tsu) END
+        |               IGNORE NULLS) OVER win AS m
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, seq
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |g AS (SELECT *,
+        |    CASE WHEN tsu - struct_extract(m, 'ts') <= 3600000000
+        |         THEN m END AS mg
+        |  FROM w WHERE event_id IS NOT NULL)
+        |SELECT event_id, user_id, tsu AS ts, value,
+        |       struct_extract(mg, 'ts') AS touch_ts,
+        |       struct_extract(mg, 'id') AS touch_click_id
+        |FROM g""".stripMargin,
 
     // mirrors Joins.keyFrequency + share: same (count desc, key) total
     // order under the limit, one IEEE division against the 1-row total
