@@ -1648,6 +1648,39 @@ object SparkEntry {
         edges, e.select(col("vec_id").as("id")), iters = 3)
     }),
 
+    // Per-label centroids of the int8-QUANTIZED embeddings (class
+    // prototypes in code space): quantize per vector (the vector_quantize
+    // replay), explode to (label, dim, q), one keyed agg — integer code
+    // sums are exact and order-blind, one IEEE division at the end.
+    // Quantized rather than float coordinates deliberately: a float sum
+    // needs a rounding step somewhere, and double→decimal midpoint
+    // rounding is NOT portable across engines (a float like
+    // -0.27392578125 = -561/2^11 ties at the 10th decimal and Spark and
+    // DuckDB break the tie differently — found by this query's first
+    // formulation)
+    "embed_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("__s", V.quantScale(col("embedding")))
+        .select(col("label").cast("long").as("label"),
+          posexplode(V.quantize(col("embedding"), col("__s")))
+            .as(Seq("dim", "q")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("q").cast("long")).as("sum_q"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("n_vecs"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n_vecs").cast("double"))
+            .as("centroid_q"))),
+
+    // Column-profiling report (the data-engineering ANALYZE staple):
+    // rows / nulls / exact distincts / min / max per column. The exact
+    // countDistinct shuffles per column — correct for the oracle tier;
+    // the one-pass sketch tier at 100 TB is hll_distinct
+    "profile_table" -> ((s, d) =>
+      graft.operators.Reports.profileColumns(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent click WITHIN A 1-HOUR WINDOW (asOfJoin's maxStaleness —
     // a too-old touch is rejected, not replaced by a staler one) — the
@@ -4575,6 +4608,41 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_patterns_hit,
          |  sum(n) = 0 AS pass
          |FROM c GROUP BY 1""".stripMargin
+    },
+
+    // mirrors embed_centroids: the vector_quantize replay per element,
+    // exact integer code sums, one IEEE division
+    "embed_centroids" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, d.dim,
+        |    CASE WHEN s = 0 THEN 0
+        |         ELSE CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) / s
+        |                         + 0.5) AS INT) END AS qv
+        |  FROM (SELECT label, embedding,
+        |          CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |               AS DOUBLE) / 127.0 AS s
+        |        FROM embeddings)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS centroid_q
+        |FROM q GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Reports.profileColumns over the same four columns: exact
+    // distincts, canonical integer/string min-max rendering
+    "profile_table" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+        .map(leg).mkString("\nUNION ALL\n")
     },
 
     // mirrors attribution_last_touch: the asof_join replay with the

@@ -284,6 +284,30 @@ object Reports {
           count(lit(1)).cast("double")).as("mean_quality"))
   }
 
+  /** Column profile (the ANALYZE/profiling staple): one row per column
+    * with row count, null count, EXACT distinct count, and min/max
+    * rendered as strings. One aggregation pass per column — the exact
+    * tier, whose distinct shuffles are the price of oracle-replayable
+    * numbers; at 100 TB the one-pass mergeable-sketch tier is the HLL
+    * aggregate ([[org.apache.spark.sql.graft.SketchAggregates]]), which
+    * profiles every column in a single scan at ±2% error. Min/max are
+    * stringified by the engine's canonical integer/string rendering —
+    * profile integer and string columns here (float rendering differs
+    * across engines). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Retention cohort matrix over an event stream: cohort = the bucket
     * (default: week) of a user's FIRST activity; each cell counts the
     * cohort's users still active `week_offset` buckets later, with
