@@ -549,6 +549,35 @@ object StressScale {
         graft.operators.Joins.bloomFilteredJoin(
           docs.select(col("doc_id"), col("text")), dim, "doc_id", fpp = 0.01)
       },
+      // Markov transition matrix: one user-partitioned lag window over
+      // the stream, probabilities on the tiny matrix frame
+      timeNoop("event_transitions")(
+        graft.streaming.EventStreams.eventTransitions(
+          events.withColumn("event_type", (col("user_id") % 5).cast("string")))),
+      timeNoop("retention_plus_skew") {
+        graft.operators.Joins.keyFrequency(events, "user_id", topN = 20)
+      },
+      // LPA communities + modularity terms over the kNN graph (loaded
+      // edges — the amortized topology the graph family shares)
+      timeNoop("graph_communities") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        val (edges, _) = graft.store.AnnArtifacts.loadKnnGraph(wh, "g")
+        graft.operators.Graphs.communityStats(
+          edges.select(col("src"), col("dst")),
+          emb.select(col("vec_id").as("id")), iters = 3)
+      },
+      // code-space centroids: explode 200k×64 into one keyed agg
+      timeNoop("embed_centroids")(
+        emb.withColumn("label", (col("vec_id") % 16).cast("long"))
+          .withColumn("__s", graft.functions.VectorFunctions.quantScale(col("embedding")))
+          .select(col("label"),
+            posexplode(graft.functions.VectorFunctions.quantize(
+              col("embedding"), col("__s"))).as(Seq("dim", "q")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("q").cast("long")).as("sum_q"))),
+      timeNoop("profile_table")(
+        graft.operators.Reports.profileColumns(
+          docs, Seq("doc_id", "source", "text"))),
       // incremental rollup: three deltas absorbed into persisted partials
       timeNoop("rollup_incremental") {
         val wh = new graft.store.Warehouse(spark, stressWhDir)

@@ -472,6 +472,43 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Exchange hashpartitioning"
   }
 
+  "key_skew_report" should "take its top-20 without a global sort" in {
+    executed("key_skew_report") should include("TakeOrderedAndProject")
+  }
+
+  "embed_centroids" should "partial-aggregate map-side" in {
+    executed("embed_centroids") should include("partial_count")
+  }
+
+  "rollup_incremental" should "serve reads from the persisted partials, not a recompute" in {
+    // the upserts run at construction; the returned frame must be a scan
+    // of the warehouse table plus the reporting projection — no
+    // aggregation of raw events left in the read path
+    val plan = executed("rollup_incremental")
+    plan should include("Scan parquet")
+    plan should not include "HashAggregate"
+  }
+
+  "hourlyPartials" should "partial-aggregate the delta map-side" in {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "unix_micros(cast(ts as timestamp))"))
+    graft.store.Rollups.hourlyPartials(ev)
+      .queryExecution.executedPlan.toString should include("partial_count")
+  }
+
+  "graph_communities" should "stay keyed equi-joins over the checkpointed edges" in {
+    val plan = executed("graph_communities")
+    plan should not include "CartesianProduct"
+    plan should include("Scan ExistingRDD")
+  }
+
+  "event_transitions" should "normalize on the matrix frame with a from-state window" in {
+    val plan = executed("event_transitions")
+    plan should include("windowspecdefinition(from_type")
+    plan should not include "Join"
+  }
+
   "vector_knn and semantic_dedup" should "score with the native graft_dot kernel, not an interpreted HOF" in {
     // a refactor that fell back to aggregate(zip_with(...)) would still
     // be correct but lose the codegen'd kernel (~123× on the scoring
