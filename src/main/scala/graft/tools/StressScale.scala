@@ -553,7 +553,9 @@ object StressScale {
       // the stream, probabilities on the tiny matrix frame
       timeNoop("event_transitions")(
         graft.streaming.EventStreams.eventTransitions(
-          events.withColumn("event_type", (col("user_id") % 5).cast("string")))),
+          // per-event (not per-user) types so the matrix is dense
+          events.withColumn("event_type",
+            pmod(xxhash64(col("event_id")), lit(5)).cast("string")))),
       timeNoop("retention_plus_skew") {
         graft.operators.Joins.keyFrequency(events, "user_id", topN = 20)
       },
