@@ -1004,6 +1004,19 @@ object SparkEntry {
       graft.operators.Curation.bm25Search(
         t(s, d, "documents"), Seq("spark", "vector", "customer"), topK = 10)),
 
+    // BM25 over a persisted-then-loaded inverted index: the corpus text
+    // is tokenized ONCE into (term, id, tf) postings + doc lengths +
+    // exact meta counts, and the query touches only the terms' postings
+    // sliver — bit-identical scores to bm25_search (same expression
+    // tree, avgdl derived by the same IEEE division), so it replays the
+    // same SQL. The build-once/query-many contract for sparse retrieval
+    "bm25_search_indexed" -> ((s, d) => {
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      graft.store.SparseIndex.save(wh, "sparse_main", t(s, d, "documents"))
+      graft.store.SparseIndex.bm25(wh, "sparse_main",
+        Seq("spark", "vector", "customer"), topK = 10)
+    }),
+
     // SemDeDup: k-means-cell blocking (seed anchors vec_id < 8, the same
     // deterministic cell assignment vector_ivf_topk replays) + within-cell
     // cosine >= 0.25, keep the smallest id of each near-dup neighborhood
@@ -2112,6 +2125,9 @@ object SparkEntry {
     // persisted-then-loaded kNN edges must reproduce the in-memory
     // topology bit-for-bit, so the persisted PageRank replays the same SQL
     ("pagerank_knn_persisted" -> oracleSqlBase("pagerank_knn")) +
+    // a loaded sparse index scores bit-identically to the from-text
+    // scorer, so the indexed query replays bm25_search's exact SQL
+    ("bm25_search_indexed" -> oracleSqlBase("bm25_search")) +
     // composes the chunk_cdc replay: shared-chunk census + per-doc mass
     ("dedup_chunks" ->
       s"""WITH ch AS (

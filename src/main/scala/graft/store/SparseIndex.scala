@@ -1,0 +1,135 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Fan
+
+/** Persisted inverted index for sparse (BM25) retrieval — the
+  * build-once/query-many artifact story ([[AnnArtifacts]]) applied to
+  * the sparse leg: tokenizing 100 TB of text costs one corpus pass, so a
+  * retrieval service does it ONCE, persists the postings, and every
+  * query afterwards touches only slim keyed frames (postings for the
+  * query's terms + doc lengths), never the text.
+  *
+  * Stored shape (three Warehouse tables per index):
+  *  - `<name>` postings: (term, id, tf) — term-keyed, the real index;
+  *  - `<name>__dl` doc lengths: (id, dl);
+  *  - `<name>__meta`: (n_docs, sum_dl) as exact BIGINTs — `avgdl` is
+  *    DERIVED at query time with the same single IEEE division the
+  *    from-text scorer uses, so a loaded index scores BIT-IDENTICALLY to
+  *    [[graft.operators.Curation.bm25Search]] over the same corpus (the
+  *    `vector_pq_persisted` contract, applied to text).
+  *
+  * [[append]] absorbs newly-admitted documents the
+  * [[AnnArtifacts.appendToBandIndex]] way: tokenize only the NEW docs,
+  * append their postings/lengths, bump the meta counts — old text is
+  * never re-read, and append-then-query equals rebuild-then-query
+  * exactly (spec'd), because every stored quantity is mergeable.
+  */
+object SparseIndex {
+
+  private def dlTable(name: String): String = s"${name}__dl"
+  private def metaTable(name: String): String = s"${name}__meta"
+
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(T.tokens(col("__t"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+
+  private def doclensOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        size(filter(T.tokens(col("__t")), tk => length(tk) > 0))
+          .cast("long").as("dl"))
+
+  /** Build and persist the full inverted index: the one corpus-scale
+    * text pass, amortized over every query that follows. */
+  def save(
+      wh: Warehouse,
+      name: String,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.overwrite(name, postingsOf(docs, textCol, idCol))
+    val dls = doclensOf(docs, textCol, idCol)
+    wh.overwrite(dlTable(name), dls)
+    val agg = wh.read(dlTable(name))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    wh.overwrite(metaTable(name),
+      Seq((agg.getLong(0), agg.getLong(1))).toDF("n_docs", "sum_dl"))
+  }
+
+  /** Append newly-admitted docs: tokenize the NEW text only, append
+    * postings + lengths, bump the exact meta counts. Identical to a
+    * rebuild because postings of distinct doc ids never collide and the
+    * meta quantities are sums. (Re-adding an EXISTING id would double its
+    * postings — gate admission upstream, e.g. [[Dedup.exact]].) */
+  def append(
+      wh: Warehouse,
+      name: String,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.append(name, postingsOf(docs, textCol, idCol))
+    val dls = doclensOf(docs, textCol, idCol).localCheckpoint()
+    wh.append(dlTable(name), dls)
+    val delta = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val prev = wh.read(metaTable(name)).collect()(0)
+    wh.overwrite(metaTable(name),
+      Seq((prev.getLong(0) + delta.getLong(0),
+        prev.getLong(1) + delta.getLong(1))).toDF("n_docs", "sum_dl"))
+  }
+
+  /** BM25 top-k over the LOADED index — exactly
+    * [[graft.operators.Curation.bm25Search]]'s expression tree (operand
+    * order and all), fed from postings instead of text: the query's
+    * terms select a sliver of the term-keyed postings, df/avgdl come
+    * from the same aggregates, and the text column is never touched. */
+  def bm25(
+      wh: Warehouse,
+      name: String,
+      terms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val meta = wh.read(metaTable(name)).collect() match {
+      case Array(r) => (r.getLong(0), r.getLong(1))
+      case rows => throw new IllegalStateException(
+        s"index $name meta must have exactly 1 row, found ${rows.length}")
+    }
+    val (nDocs, sumDl) = meta
+    val docLens = wh.read(dlTable(name))
+    val tf = wh.read(name).filter(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(df), "term")
+      .join(docLens, "id")
+      .withColumn("n_docs", lit(nDocs))
+      // same IEEE division the from-text scorer's sum/count agg performs
+      .withColumn("avgdl", lit(sumDl.toDouble / nDocs.toDouble))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val contrib = bm25Idf * (tfD * (k1 + 1.0)) /
+      (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+    joined
+      .select(col("id"), col("term"), contrib.as("s"))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("s")))).as("__xs"),
+        count(lit(1)).as("n_hit_terms"))
+      .select(col("id").as("doc_id"), col("n_hit_terms"),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("s")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

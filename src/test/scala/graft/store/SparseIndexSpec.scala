@@ -1,0 +1,60 @@
+package graft.store
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Curation
+
+class SparseIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh = new Warehouse(spark,
+    Files.createTempDirectory("sparse_index").toString)
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "vector search with spark vector kernels"),
+    (3L, "customer orders join customer accounts"),
+    (4L, "totally unrelated text about gardens"),
+    (5L, "spark spark spark everywhere spark")
+  ).toDF("doc_id", "text")
+
+  private val terms = Seq("spark", "vector", "customer")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  "SparseIndex" should "score a loaded index bit-identically to the from-text scorer" in {
+    val wh = freshWh
+    SparseIndex.save(wh, "ix", corpus)
+    val viaIndex = rows(SparseIndex.bm25(wh, "ix", terms, topK = 10))
+    val viaText = rows(Curation.bm25Search(corpus, terms, topK = 10))
+    viaIndex shouldBe viaText
+    viaIndex should not be empty
+  }
+
+  it should "make append-then-query equal rebuild-then-query exactly" in {
+    val first = corpus.filter($"doc_id" <= 3)
+    val delta = corpus.filter($"doc_id" > 3)
+    val whInc = freshWh
+    SparseIndex.save(whInc, "ix", first)
+    SparseIndex.append(whInc, "ix", delta)
+    val whFull = freshWh
+    SparseIndex.save(whFull, "ix", corpus)
+    rows(SparseIndex.bm25(whInc, "ix", terms, topK = 10)) shouldBe
+      rows(SparseIndex.bm25(whFull, "ix", terms, topK = 10))
+    // and the incremental index still matches the from-text scorer
+    rows(SparseIndex.bm25(whInc, "ix", terms, topK = 10)) shouldBe
+      rows(Curation.bm25Search(corpus, terms, topK = 10))
+  }
+
+  it should "never read the text column at query time" in {
+    val wh = freshWh
+    SparseIndex.save(wh, "ix", corpus)
+    val plan = SparseIndex.bm25(wh, "ix", terms, topK = 10)
+      .queryExecution.executedPlan.toString
+    plan should not include "text"
+    // the postings scan is term-filtered (only the query's sliver reads)
+    plan should include("term")
+  }
+}
