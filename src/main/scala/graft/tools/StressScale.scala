@@ -580,6 +580,19 @@ object StressScale {
       timeNoop("profile_table")(
         graft.operators.Reports.profileColumns(
           docs, Seq("doc_id", "source", "text"))),
+      // sparse-retrieval amortization: ONE corpus tokenization into the
+      // persisted postings, then BM25 touches only the terms' sliver —
+      // compare against the from-text bm25_search row
+      time("sparse_index_build_save") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.SparseIndex.save(wh, "sp", docs)
+        wh.read("sp").count()
+      },
+      timeNoop("bm25_search_indexed") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.SparseIndex.bm25(wh, "sp",
+          Seq("merge", "window", "fast"), topK = 10)
+      },
       // incremental rollup: three deltas absorbed into persisted partials
       timeNoop("rollup_incremental") {
         val wh = new graft.store.Warehouse(spark, stressWhDir)

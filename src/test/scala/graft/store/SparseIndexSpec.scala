@@ -57,4 +57,17 @@ class SparseIndexSpec extends SparkSpec {
     // the postings scan is term-filtered (only the query's sliver reads)
     plan should include("term")
   }
+
+  "TokenizerArtifacts" should "round-trip a trained BPE that encodes identically" in {
+    val wh = freshWh
+    val trained = graft.operators.Bpe.train(corpus, nMerges = 8, minPairFreq = 1L)
+    TokenizerArtifacts.saveBpe(wh, "bpe", trained)
+    val loaded = TokenizerArtifacts.loadBpe(wh, "bpe")
+    loaded.merges shouldBe trained.merges
+    def enc(t: graft.operators.Bpe.Trained) =
+      graft.operators.Bpe.encode(corpus, t)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[Seq[String]]("subwords"))).toSet
+    enc(loaded) shouldBe enc(trained)
+  }
 }
