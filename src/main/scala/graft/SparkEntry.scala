@@ -1366,6 +1366,22 @@ object SparkEntry {
           (expr("ts div 3600000000") % 24).as("hour")),
         Seq("event_type", "hour"), k = 80L)),
 
+    // l-diversity audit (the homogeneity-attack companion): classes of
+    // (user bucket, hour) whose event_type carries < 3 distinct values —
+    // k-anonymous-but-homogeneous classes still expose their members
+    "l_diversity" -> ((s, d) =>
+      graft.operators.Reports.lDiversityViolations(
+        eventsUs(s, d).select((col("user_id") % 256).as("user_bucket"),
+          (expr("ts div 3600000000") % 24).as("hour"), col("event_type")),
+        Seq("user_bucket", "hour"), "event_type", l = 3L)),
+
+    // Per-label code-space outliers: each vector's exact-int distance²
+    // to its label's centroid-of-codes (ascending-dim fold, never a
+    // cross-row double sum), top-5 farthest per label — the mislabeled-
+    // sample / contaminated-class audit
+    "embed_outliers" -> ((s, d) =>
+      Similarity.codeSpaceOutliers(t(s, d, "embeddings"), topK = 5)),
+
     // LSH calibration: true char-shingle Jaccard beside the signature
     // estimate for every MinHash candidate pair, rolled up per estimate
     // level — the (k, bands) tuning measurement before a full dedup run
@@ -4046,6 +4062,55 @@ object SparkEntry {
         |  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
         |  CAST(count(*) AS BIGINT) AS class_size
         |FROM events GROUP BY 1, 2 HAVING count(*) < 80""".stripMargin,
+
+    // mirrors Reports.lDiversityViolations: same class keys, distinct
+    // sensitive-value count under the l cut
+    "l_diversity" ->
+      """SELECT CAST(user_id % 256 AS BIGINT) AS user_bucket,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_sensitive
+        |FROM events GROUP BY 1, 2
+        |HAVING count(DISTINCT event_type) < 3""".stripMargin,
+
+    // mirrors Similarity.codeSpaceOutliers: the quantize replay, exact
+    // integer centroid sums with one IEEE division per dim, the SAME
+    // ascending-dim (q−c)² fold, (dist2 desc, id) windowed top-5
+    "embed_outliers" ->
+      """WITH coded AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN s = 0 THEN 0
+        |           ELSE CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INT)
+        |      END) AS q
+        |  FROM (SELECT vec_id, label, embedding,
+        |          CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |               AS DOUBLE) / 127.0 AS s
+        |        FROM embeddings)),
+        |cd AS (
+        |  SELECT label, d.dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q[d.dim + 1]) AS BIGINT) AS sq
+        |  FROM coded CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label,
+        |    array_agg(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |              ORDER BY dim) AS cv
+        |  FROM cd GROUP BY 1),
+        |scored AS (
+        |  SELECT coded.vec_id, coded.label,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(0, 64),
+        |          i -> (CAST(q[i + 1] AS DOUBLE) - cv[i + 1])
+        |               * (CAST(q[i + 1] AS DOUBLE) - cv[i + 1]))),
+        |      (acc, x) -> acc + x) AS dist2
+        |  FROM coded JOIN cents ON coded.label = cents.label)
+        |SELECT vec_id, label, dist2, CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |                                   ORDER BY dist2 DESC, vec_id) AS rk
+        |      FROM scored)
+        |WHERE rk <= 5""".stripMargin,
 
     // mirrors Reports.lshCalibration: the dedup_minhash_pairs replay
     // joined against the charShingles truth sets, 6-rounded true

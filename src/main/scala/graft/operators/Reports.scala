@@ -160,6 +160,24 @@ object Reports {
       .filter(col("class_size") < k)
   }
 
+  /** l-diversity audit — [[kAnonymityViolations]]'s companion: a
+    * quasi-identifier class can satisfy k-anonymity yet expose its
+    * members anyway when every row in it shares the SAME sensitive value
+    * (the homogeneity attack). Reports classes whose sensitive column
+    * carries fewer than `l` distinct values; empty result certifies
+    * l-diversity. One keyed aggregation. */
+  def lDiversityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+
   /** Version-to-version corpus diff keyed by the normalized-text
     * fingerprint ([[T.normalizeText]] md5 — same key as exact dedup, so
     * a reformatted-but-identical doc counts as kept): per status

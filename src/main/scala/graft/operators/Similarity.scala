@@ -785,6 +785,55 @@ object Similarity {
     * ANN indexing when the raw dimension is the cost driver.
     *
     * @return (idCol, rp: array<double> of length outDim) */
+  /** Per-label outlier detection in int8 code space: each vector's
+    * squared L2 distance to its label's centroid-of-codes, top-k
+    * farthest per label — the "is this sample typical of its class?"
+    * audit (mislabeled rows, contaminated classes, embedding-drift
+    * canaries). Everything stays deterministic by construction: codes
+    * are exact ints ([[graft.functions.VectorFunctions.quantize]]),
+    * centroids are exact integer sums with one IEEE division per
+    * coordinate, the distance folds the 64 dims IN ASCENDING INDEX ORDER
+    * (the house dot-product discipline — never a cross-row double sum),
+    * and the per-label cut is a (dist² desc, id) total-order window.
+    *
+    * Scale shape: centroids are a |labels|×dim frame built by one keyed
+    * agg and BROADCAST back; scoring is one row-local fold per vector;
+    * the top-k cut is a label-partitioned WindowGroupLimit.
+    *
+    * @return (vec_id, label, dist2, rank) — rank 1 = farthest */
+  def codeSpaceOutliers(
+      corpus: DataFrame,
+      topK: Int = 5,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val coded = corpus
+      .withColumn("__s", V.quantScale(col(vecCol)))
+      .select(col(idCol), col(labelCol).cast("long").as("label"),
+        V.quantize(col(vecCol), col("__s")).as("__q"))
+    val cents = coded
+      .select(col("label"), posexplode(col("__q")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q").cast("long")).as("sq"))
+      .select(col("label"), col("dim"),
+        (col("sq").cast("double") / col("n").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("__cv"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col(idCol).asc)
+    coded.join(broadcast(cents), Seq("label"))
+      .select(col(idCol), col("label"),
+        aggregate(
+          zip_with(col("__q"), col("__cv"),
+            (q, c) => (q.cast("double") - c) * (q.cast("double") - c)),
+          lit(0.0), (acc, x) => acc + x).as("dist2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   def randomProjection(
       corpus: DataFrame,
       dim: Int,
