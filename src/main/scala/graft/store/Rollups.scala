@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
   * merged frame is written as a NEW version before the pointer flips, so
   * a concurrent reader sees the previous rollup, never a half-merge, and
   * `readVersion` time-travels to any prior state.
+  *
+  * Reference surface: the reference precomputes per-run statistics
+  * documents at ingest time and serves queries from them
+  * (sentinel-core processors/RunsProcessor.scala:99-111 stores the run
+  * record with its stats; processors/StatsProcessor.scala reads the
+  * stored docs) — this generalizes that write-time materialization to
+  * continuously MAINTAINED aggregates over an unbounded stream.
   */
 object Rollups {
 

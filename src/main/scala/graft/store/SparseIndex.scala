@@ -27,6 +27,12 @@ import graft.operators.Fan
   * append their postings/lengths, bump the meta counts — old text is
   * never re-read, and append-then-query equals rebuild-then-query
   * exactly (spec'd), because every stored quantity is mergeable.
+  *
+  * Reference surface: the reference's get-or-create dictionary lookups
+  * key stored records by content checksum so re-uploads reuse the stored
+  * artifact (sentinel-core adapters/ReferencesAdapter.scala via
+  * models/ReferenceRecord combinedMd5) — the same store-derived-data-
+  * once discipline, applied to the retrieval index.
   */
 object SparseIndex {
 
