@@ -110,6 +110,49 @@ class OptimizerRulesSpec extends SparkSpec {
     q.queryExecution.optimizedPlan.toString should not include "graft_dot"
   }
 
+  it should "agree with the un-rewritten HOF on randomized nullable arrays (lengths, nulls, values)" in {
+    // fuzz the null-safe kernel against Spark's own interpreted HOF:
+    // random lengths (incl. mismatches), random null elements, random
+    // magnitudes — the un-rewritten control uses a float multiply
+    // sub-expression ONLY to dodge the rule, then re-casts, so its null
+    // semantics are the HOF's. Bit-compare where both are non-null.
+    GraftOptimizations.install(spark)
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 300).map { i =>
+      def arr(n: Int) = Seq.fill(n)(
+        if (rnd.nextInt(10) == 0) None
+        else Some((rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3)).toFloat))
+      val n = 1 + rnd.nextInt(8)
+      val m = if (rnd.nextInt(4) == 0) 1 + rnd.nextInt(8) else n
+      (i.toLong, arr(n), arr(m))
+    }
+    // through parquet: a LocalRelation would be constant-folded before
+    // the plan assertion, and the parquet round-trip is exactly the
+    // nullable-element shape the kernel exists for
+    val dir = java.nio.file.Files.createTempDirectory("dot_fuzz").toString
+    rows.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val viaKernel = df.select(col("id"), expr(hofDot).as("d"))
+    viaKernel.queryExecution.optimizedPlan.toString should include("graft_dot_ns")
+    val got = viaKernel.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // driver-side reference of the HOF semantics: null-pad to the longer
+    // length, null product poisons the fold
+    rows.foreach { case (id, a, b) =>
+      val n = math.max(a.size, b.size)
+      val terms = (0 until n).map { i =>
+        for {
+          x <- a.lift(i).flatten
+          y <- b.lift(i).flatten
+        } yield x.toDouble * y.toDouble
+      }
+      val expected =
+        if (terms.exists(_.isEmpty)) None
+        else Some(terms.flatten.foldLeft(0.0)(_ + _))
+      withClue(s"row $id: ") { got(id) shouldBe expected }
+    }
+  }
+
   it should "install idempotently" in {
     GraftOptimizations.install(spark)
     GraftOptimizations.install(spark)

@@ -507,6 +507,26 @@ class DedupSpec extends SparkSpec {
     got shouldBe Set((1L, 3L))
   }
 
+  it should "agree with the naive replay on random corpora under random band caps" in {
+    val rnd = new scala.util.Random(67)
+    val words = Seq("aa", "ab", "ba", "bb", "ca", "xyz", "q")
+    for (trial <- 0 until 4) {
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(4))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }
+      val cap = 1 + rnd.nextInt(12)
+      val window = 2 + rnd.nextInt(4)
+      val got = Dedup.sortedNeighborhood(
+        docs.toDF("doc_id", "text"), window = window, minJaccard = 0.0,
+        maxBandSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"trial=$trial cap=$cap window=$window: ") {
+        got shouldBe naiveSnm(docs, window, keyLen = 24, minJ = 0.0)
+      }
+    }
+  }
+
   it should "rank supplementary-plane keys in UTF-8 byte order (engine collation)" in {
     // U+10000 (surrogate pair in UTF-16) vs U+F000 (BMP private use):
     // JVM String.compareTo puts the surrogate FIRST (code units 0xD800 <
