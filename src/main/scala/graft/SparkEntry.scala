@@ -1710,6 +1710,22 @@ object SparkEntry {
         t(s, d, "lineitem"),
         Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
 
+    // Time to conversion: each click gets the user's NEXT purchase
+    // within 24 h (forward as-of — asOfJoin's mirror; a too-distant
+    // conversion nulls out, never replaced by a farther one) plus the
+    // latency delta the funnel dashboards plot
+    "time_to_conversion" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.operators.Joins.asOfJoinForward(clicks, purchases, Seq("user_id"),
+        "ts", seqCol = "purchase_id", attach = Seq("purchase_id"),
+        maxHorizon = Some(24L * 3600L * 1000000L))
+        .withColumn("dt_us", col("next_ts") - col("ts"))
+    }),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent click WITHIN A 1-HOUR WINDOW (asOfJoin's maxStaleness —
     // a too-old touch is rejected, not replaced by a staler one) — the
@@ -4725,6 +4741,36 @@ object SparkEntry {
       Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
         .map(leg).mkString("\nUNION ALL\n")
     },
+
+    // mirrors time_to_conversion: the forward as-of replay — same union
+    // tagging (left seq = MinValue so equal-ts purchases match
+    // inclusively), DESCENDING running-last, the 24 h horizon applied
+    // after the window
+    "time_to_conversion" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, -9223372036854775807 - 1 AS seq,
+        |         event_id, CAST(NULL AS BIGINT) AS p_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id,
+        |         CAST(NULL AS BIGINT), event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN p_id IS NOT NULL
+        |               THEN struct_pack(id := p_id, ts := tsu) END
+        |               IGNORE NULLS) OVER win AS m
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu DESC, seq DESC
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |g AS (SELECT *,
+        |    CASE WHEN struct_extract(m, 'ts') - tsu <= 86400000000
+        |         THEN m END AS mg
+        |  FROM w WHERE event_id IS NOT NULL)
+        |SELECT event_id, user_id, tsu AS ts,
+        |       struct_extract(mg, 'ts') AS next_ts,
+        |       struct_extract(mg, 'id') AS next_purchase_id,
+        |       struct_extract(mg, 'ts') - tsu AS dt_us
+        |FROM g""".stripMargin,
 
     // mirrors attribution_last_touch: the asof_join replay with the
     // 1-hour staleness gate applied AFTER the running-last window (a

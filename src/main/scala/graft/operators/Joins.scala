@@ -122,6 +122,69 @@ object Joins {
           attach.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
   }
 
+  /** Forward as-of join — [[asOfJoin]]'s mirror: for each left row,
+    * attach the EARLIEST right row with `right.ts >= left.ts` within the
+    * same `keys` group (the "time to next event" lookups: time to
+    * conversion, next maintenance window, label lookahead). Same
+    * scalable shape: tag, union, ONE shuffle on `keys`, and a running
+    * `last(ignoreNulls)` window over the (ts, seq) DESCENDING order
+    * carries the nearest future right payload back into each left row.
+    *
+    * Determinism: right rows sharing one (keys, ts) are ordered by
+    * `seqCol` and the SMALLEST one wins (the first the descending scan
+    * leaves behind); left rows order after right rows at equal ts
+    * (MinValue seq in the descending order), so a right row at exactly
+    * `left.ts` matches (inclusive). `maxHorizon` (same units as a
+    * numeric `tsCol`) nulls matches farther than `left.ts + maxHorizon`,
+    * evaluated AFTER the window: a too-distant match is rejected, not
+    * replaced by an even more distant one. */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      seqCol: String,
+      attach: Seq[String],
+      prefix: String = "next_",
+      maxHorizon: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoinForward needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val outNames = (s"$prefix$tsCol" +: attach.map(c => s"$prefix$c")).toSet
+    val clash = leftCols.toSet.intersect(outNames)
+    require(clash.isEmpty,
+      s"left columns collide with attached output names (change `prefix`): " +
+        clash.mkString(", "))
+    val rPayload = struct(
+      (col(tsCol).as("__rts") +: attach.map(col)): _*)
+    val rightTagged = right.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        col(seqCol).cast("long").as("__seq") :+ rPayload.as("__r")): _*)
+    val lPayload = struct(leftCols.map(col): _*)
+    val leftTagged = left.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        lit(Long.MinValue).as("__seq") :+
+        lit(null).cast(rightTagged.schema("__r").dataType).as("__r") :+
+        lPayload.as("__l")): _*)
+    val unioned = rightTagged.withColumn("__l",
+      lit(null).cast(leftTagged.schema("__l").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__seq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = maxHorizon match {
+      case Some(tol) => when(
+        matchedRaw.getField("__rts") - col("__ts") <= tol, matchedRaw)
+      case None => matchedRaw
+    }
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__l").isNotNull)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as(s"$prefix$tsCol") +:
+          attach.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
+  }
+
   /** Range (interval containment) join: pair each point row with every
     * interval row whose `[startCol, endCol]` contains `pointCol`
     * (optionally also matching `keys`). Spark's built-in plan for a

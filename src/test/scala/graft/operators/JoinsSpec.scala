@@ -41,6 +41,37 @@ class JoinsSpec extends SparkSpec {
     salts should be > 4L // 200 distinct rows hash across most of 8 buckets
   }
 
+  "asOfJoinForward" should "attach the earliest future right row, inclusive at equal ts" in {
+    val lefts = Seq((1L, "a", 100L), (2L, "a", 205L), (3L, "b", 50L), (4L, "c", 10L))
+      .toDF("id", "key", "ts")
+    val rights = Seq(
+      (11L, "a", 100L), // equal ts: must match left 1 (inclusive)
+      (12L, "a", 150L), (13L, "a", 300L),
+      (14L, "b", 40L)   // in the past: must NOT match left 3
+    ).toDF("rid", "key", "ts")
+    val r = Joins.asOfJoinForward(lefts, rights, Seq("key"), "ts",
+      seqCol = "rid", attach = Seq("rid"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(4)) None else Some(x.getLong(4)))).toMap
+    r(1L) shouldBe Some(11L)
+    r(2L) shouldBe Some(13L)
+    r(3L) shouldBe None // only past rights exist for b
+    r(4L) shouldBe None // no rights at all for c
+  }
+
+  it should "pick the smallest seq among equal-ts candidates and honor the horizon" in {
+    val lefts = Seq((1L, "a", 100L)).toDF("id", "key", "ts")
+    val rights = Seq((22L, "a", 120L), (21L, "a", 120L), (30L, "a", 500L))
+      .toDF("rid", "key", "ts")
+    val near = Joins.asOfJoinForward(lefts, rights, Seq("key"), "ts",
+      seqCol = "rid", attach = Seq("rid")).collect()(0)
+    near.getLong(4) shouldBe 21L // deterministic tie: smallest seq
+    // horizon 10: the nearest match (dt 20) is too far -> null, NOT 500
+    val gated = Joins.asOfJoinForward(lefts, rights, Seq("key"), "ts",
+      seqCol = "rid", attach = Seq("rid"), maxHorizon = Some(10L)).collect()(0)
+    gated.isNullAt(4) shouldBe true
+  }
+
   "bloomFilteredJoin" should "produce exactly the plain-join result" in {
     val bigFact = (1L to 500L).map(i => (i, s"k${i % 50}", i.toDouble))
       .toDF("id", "k", "v")
