@@ -111,6 +111,9 @@ object StressScale {
           Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)).count()),
       timeNoop("asof_join")(
         Joins.asOfJoin(lhs, rhs, Seq("user_id"), "ts", "rid", Seq("rid"))),
+      timeNoop("asof_join_forward")(
+        Joins.asOfJoinForward(lhs, rhs, Seq("user_id"), "ts", "rid",
+          Seq("rid"), maxHorizon = Some(86400000000L))),
       timeNoop("range_join")(
         Joins.rangeJoin(pts, ivs, "p_ts", "w_start", "w_end",
           binWidth = 600000000L)),
