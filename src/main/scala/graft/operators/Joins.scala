@@ -63,7 +63,12 @@ object Joins {
     * ONE shuffle on `keys`, and a partitioned running `last(ignoreNulls)`
     * window carries the latest right payload forward into each left row.
     * Cost is a single exchange + sort, identical to sessionization's
-    * shape (same whale-key caveat, same mitigation).
+    * shape — including the whale-key caveat: one pathological key's whole
+    * history sorts on ONE task (spillable, so it completes, but
+    * serialized — `StressScale`'s `asof_whale` point measures it). When
+    * staleness is bounded, [[asOfJoinBanded]] is the guard: it extends
+    * the shuffle key with a time band and parallelizes the whale by time
+    * at the cost of 2× the right side.
     *
     * Determinism: right rows sharing one (keys, ts) are ordered by
     * `seqCol` (a unique right-side column, e.g. its id) and the LAST one
@@ -177,6 +182,79 @@ object Joins {
         matchedRaw.getField("__rts") - col("__ts") <= tol, matchedRaw)
       case None => matchedRaw
     }
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__l").isNotNull)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as(s"$prefix$tsCol") +:
+          attach.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
+  }
+
+  /** [[asOfJoin]] with a BOUNDED-staleness contract, banded to defuse
+    * whale keys: [[asOfJoin]]'s single shuffle partitions by `keys`
+    * alone, so one hot key (every event on one user) serializes its
+    * whole history onto ONE task — the sort spills (no OOM) but wall
+    * time is that task ([[graft.tools.StressScale]]'s `asof_whale`
+    * point measures it). When staleness is bounded anyway — most
+    * attribution/feature-lookup joins are — the key can be EXTENDED with
+    * a time band `ts floorDiv staleness`: a qualifying match for a left
+    * row in band b is at most `staleness` old, i.e. lives in band b−1 or
+    * b, so each right row is replicated into its own band and the next
+    * (2× the right side, the standard trade), the shuffle spreads over
+    * (keys, band), and the whale parallelizes by time. Semantics are
+    * EXACTLY `asOfJoin(..., maxStaleness = Some(staleness))`: a global
+    * latest-match older than band b−1 is out of staleness by
+    * construction, so both formulations null it (parity pinned in
+    * `JoinsSpec` on random streams). Floor division keeps negative
+    * timestamps banding correctly (`div` truncates toward zero). */
+  def asOfJoinBanded(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      seqCol: String,
+      attach: Seq[String],
+      staleness: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asOfJoinBanded needs at least one equi-key")
+    require(staleness > 0, "staleness must be positive")
+    val leftCols = left.columns.toSeq
+    val outNames = (s"$prefix$tsCol" +: attach.map(c => s"$prefix$c")).toSet
+    val clash = leftCols.toSet.intersect(outNames)
+    require(clash.isEmpty,
+      s"left columns collide with attached output names (change `prefix`): " +
+        clash.mkString(", "))
+    // exact long floor division: the pmod subtraction (non-negative
+    // remainder) makes the dividend an exact multiple of `staleness`, so
+    // the truncating `div` IS the floor even for negative timestamps;
+    // `/` would promote to double and lose exactness past 2^53
+    val bandExpr =
+      s"(__ts - pmod(__ts, ${staleness}L)) div ${staleness}L"
+    val rPayload = struct(
+      (col(tsCol).as("__rts") +: attach.map(col)): _*)
+    val rightTagged = right.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        col(seqCol).cast("long").as("__seq") :+ rPayload.as("__r")): _*)
+      // replicate into the row's own band and the next: the only two
+      // bands whose left rows it can still serve within `staleness`
+      .withColumn("__band",
+        explode(array(expr(bandExpr), expr(bandExpr) + 1)))
+    val lPayload = struct(leftCols.map(col): _*)
+    val leftTagged = left.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+
+        lit(Long.MaxValue).as("__seq") :+
+        lit(null).cast(rightTagged.schema("__r").dataType).as("__r") :+
+        lPayload.as("__l")): _*)
+      .withColumn("__band", expr(bandExpr))
+    val unioned = rightTagged.withColumn("__l",
+      lit(null).cast(leftTagged.schema("__l").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy((keys :+ "__band").map(col): _*)
+      .orderBy(col("__ts"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = when(
+      col("__ts") - matchedRaw.getField("__rts") <= staleness, matchedRaw)
     unioned
       .withColumn("__m", matched)
       .filter(col("__l").isNotNull)

@@ -191,7 +191,9 @@ object Multimodal {
       .codePoints().toArray
     val n = cps.length
     if (n == 0) return 0L
-    def at(j: Int): Int = cps(j * n / 65)
+    // Long math: 64·n overflows Int past ~33.5M code points (one huge
+    // payload would index negative and kill the whole job)
+    def at(j: Int): Int = cps((j.toLong * n / 65).toInt)
     var hash = 0L
     var j = 0
     while (j < 64) {

@@ -772,19 +772,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Johnson–Lindenstrauss random projection: reduce `dim`-dimensional
-    * embeddings to `outDim` coordinates, each the seeded-Gaussian-plane
-    * dot product scaled by 1/√outDim (the JL normalization that keeps
-    * expected pairwise distances). The projection matrix regenerates from
-    * the seed anywhere ([[Dedup.lshPlanes]] — the same determinism the
-    * sign-LSH tiers rely on, and what lets an oracle replay the exact
-    * floats), so 100 TB of vectors shrink 4× in ONE row-local projection
-    * pass with no trained artifact to ship: each output coordinate is a
-    * codegen'd [[org.apache.spark.sql.graft.DotProductF]] against a
-    * literal plane, no shuffle, no UDF. The standard pre-step before
-    * ANN indexing when the raw dimension is the cost driver.
-    *
-    * @return (idCol, rp: array<double> of length outDim) */
   /** Per-label outlier detection in int8 code space: each vector's
     * squared L2 distance to its label's centroid-of-codes, top-k
     * farthest per label — the "is this sample typical of its class?"
@@ -834,6 +821,19 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-dimensional
+    * embeddings to `outDim` coordinates, each the seeded-Gaussian-plane
+    * dot product scaled by 1/√outDim (the JL normalization that keeps
+    * expected pairwise distances). The projection matrix regenerates from
+    * the seed anywhere ([[Dedup.lshPlanes]] — the same determinism the
+    * sign-LSH tiers rely on, and what lets an oracle replay the exact
+    * floats), so 100 TB of vectors shrink 4× in ONE row-local projection
+    * pass with no trained artifact to ship: each output coordinate is a
+    * codegen'd [[org.apache.spark.sql.graft.DotProductF]] against a
+    * literal plane, no shuffle, no UDF. The standard pre-step before
+    * ANN indexing when the raw dimension is the cost driver.
+    *
+    * @return (idCol, rp: array<double> of length outDim) */
   def randomProjection(
       corpus: DataFrame,
       dim: Int,

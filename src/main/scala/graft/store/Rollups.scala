@@ -70,10 +70,13 @@ object Rollups {
 
   /** Absorb `delta` into the persisted rollup `name` and return the new
     * state. One aggregation of the delta + one keyed merge; the previous
-    * state stays readable as the prior Warehouse version. */
-  def upsertHourly(wh: Warehouse, name: String, delta: DataFrame): DataFrame = {
+    * state stays readable as the prior Warehouse version. `meta` (e.g.
+    * the absorbing stream's batch id) commits in the SAME version flip as
+    * the merged rollup. */
+  def upsertHourly(wh: Warehouse, name: String, delta: DataFrame,
+      meta: Map[String, String] = Map.empty): DataFrame = {
     wh.overwrite(name,
-      merge(wh.readOr(name, hourlySchema), hourlyPartials(delta)))
+      merge(wh.readOr(name, hourlySchema), hourlyPartials(delta)), meta)
     wh.read(name)
   }
 
@@ -83,22 +86,45 @@ object Rollups {
       col("sum_value_dec").cast("double").as("sum_value"),
       col("min_ts"), col("max_ts"))
 
+  /** Key under which [[hourlyStream]] commits its progress in the
+    * rollup's Warehouse version metadata. */
+  val BatchIdKey = "committedBatchId"
+
+  /** Absorb a micro-batch EXACTLY ONCE: `foreachBatch` is an
+    * at-least-once contract (a batch replays after a failure with the
+    * SAME batchId), so absorption must be idempotent per batchId — the
+    * last committed id rides in the same Warehouse version flip as the
+    * merged rollup ([[Warehouse.overwrite]]'s meta), and a batchId at or
+    * below it is skipped, never double-counted. Returns true when the
+    * batch was absorbed, false when it was a replay. */
+  def absorbBatch(wh: Warehouse, name: String, batchId: Long,
+      batch: DataFrame): Boolean = {
+    val committed = wh.commitMeta(name).get(BatchIdKey).map(_.toLong)
+    if (committed.exists(batchId <= _)) false
+    else {
+      upsertHourly(wh, name, batch, Map(BatchIdKey -> batchId.toString))
+      true
+    }
+  }
+
   /** Streaming twin: every micro-batch is a delta absorbed through the
-    * SAME [[upsertHourly]] merge — `foreachBatch` is exactly the
-    * incremental-ETL contract (each batch processed once, state lives in
-    * the warehouse, not the state store), and because the partials are
-    * mergeable decimals the stream's final rollup is bit-identical to a
-    * one-shot batch aggregate of everything that arrived, regardless of
-    * how the stream was micro-batched (parity pinned in `RollupsSpec`).
-    * The returned query must be stopped by the caller. */
+    * SAME [[upsertHourly]] merge — `foreachBatch` with the
+    * [[absorbBatch]] idempotence gate is exactly the incremental-ETL
+    * contract (each batch ABSORBED once even when delivered twice; state
+    * lives in the warehouse, not the state store), and because the
+    * partials are mergeable decimals the stream's final rollup is
+    * bit-identical to a one-shot batch aggregate of everything that
+    * arrived, regardless of how the stream was micro-batched (parity and
+    * replay-idempotence pinned in `RollupsSpec`). The returned query must
+    * be stopped by the caller. */
   def hourlyStream(
       wh: Warehouse,
       name: String,
       deltas: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     deltas.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertHourly(wh, name, batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbBatch(wh, name, batchId, batch): Unit
       }
       .start()
 }

@@ -27,6 +27,10 @@ import graft.operators.Fan
   * append their postings/lengths, bump the meta counts — old text is
   * never re-read, and append-then-query equals rebuild-then-query
   * exactly (spec'd), because every stored quantity is mergeable.
+  * [[delete]] is the other direction: evicted docs tombstone (one slim
+  * pass, postings untouched), queries anti-join the tombstones, and
+  * delete-then-query equals rebuild-then-query exactly too; [[compact]]
+  * retires accumulated tombstones into a copy-on-write rewrite.
   *
   * Reference surface: the reference's get-or-create dictionary lookups
   * key stored records by content checksum so re-uploads reuse the stored
@@ -38,6 +42,7 @@ object SparseIndex {
 
   private def dlTable(name: String): String = s"${name}__dl"
   private def metaTable(name: String): String = s"${name}__meta"
+  private def tombTable(name: String): String = s"${name}__tomb"
 
   private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
@@ -64,8 +69,11 @@ object SparseIndex {
     wh.overwrite(name, postingsOf(docs, textCol, idCol))
     val dls = doclensOf(docs, textCol, idCol)
     wh.overwrite(dlTable(name), dls)
+    // coalesce: sum(dl) is NULL over an empty corpus — an empty index is
+    // legal (first build of an incremental pipeline) and writes (0, 0)
     val agg = wh.read(dlTable(name))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .collect()(0)
     wh.overwrite(metaTable(name),
       Seq((agg.getLong(0), agg.getLong(1))).toDF("n_docs", "sum_dl"))
   }
@@ -74,7 +82,9 @@ object SparseIndex {
     * postings + lengths, bump the exact meta counts. Identical to a
     * rebuild because postings of distinct doc ids never collide and the
     * meta quantities are sums. (Re-adding an EXISTING id would double its
-    * postings — gate admission upstream, e.g. [[Dedup.exact]].) */
+    * postings — gate admission upstream, e.g. [[Dedup.exact]]; a
+    * TOMBSTONED id stays invisible until [[compact]] retires its
+    * tombstone, so evict-then-readmit is compact → append.) */
   def append(
       wh: Warehouse,
       name: String,
@@ -86,12 +96,76 @@ object SparseIndex {
     wh.append(name, postingsOf(docs, textCol, idCol))
     val dls = doclensOf(docs, textCol, idCol).localCheckpoint()
     wh.append(dlTable(name), dls)
-    val delta = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val delta = dls
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .collect()(0)
     val prev = wh.read(metaTable(name)).collect()(0)
     wh.overwrite(metaTable(name),
       Seq((prev.getLong(0) + delta.getLong(0),
         prev.getLong(1) + delta.getLong(1))).toDF("n_docs", "sum_dl"))
   }
+
+  /** Delete admitted docs WITHOUT rebuilding: the Warehouse soft-delete
+    * discipline applied to postings. Deleted ids land in a tombstone
+    * table (`<name>__tomb`) and the exact meta counts drop by the
+    * deleted docs' (count, Σdl) — so `avgdl`/`n_docs` are the REBUILT
+    * corpus's numbers and [[bm25]] (which anti-joins the tombstones at
+    * query time) scores BIT-IDENTICALLY to an index rebuilt without the
+    * deleted docs (spec'd in `SparseIndexSpec`). Cost is one slim keyed
+    * pass over the doc-length table; the postings files are untouched —
+    * the dedup-then-reindex loop stays incremental in BOTH directions
+    * (admit via [[append]], evict via this) and [[compact]] folds the
+    * tombstones into the files when churn warrants it. Ids not in the
+    * index (or already deleted) are ignored, so deletes are idempotent. */
+  def delete(
+      wh: Warehouse,
+      name: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    val dl = wh.read(dlTable(name))
+    val existing =
+      if (wh.exists(tombTable(name))) wh.read(tombTable(name))
+      else dl.select(col("id")).filter(lit(false))
+    // only ids actually live in the index count against the meta —
+    // checkpointed so the append and the meta delta see the same rows
+    val newTombs = dl
+      .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+      .join(existing, Seq("id"), "left_anti")
+      .localCheckpoint()
+    val delta = newTombs
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .collect()(0)
+    if (delta.getLong(0) == 0L) return
+    if (wh.exists(tombTable(name))) wh.append(tombTable(name), newTombs.select("id"))
+    else wh.overwrite(tombTable(name), newTombs.select("id"))
+    val prev = wh.read(metaTable(name)).collect()(0)
+    wh.overwrite(metaTable(name),
+      Seq((prev.getLong(0) - delta.getLong(0),
+        prev.getLong(1) - delta.getLong(1))).toDF("n_docs", "sum_dl"))
+  }
+
+  /** Fold accumulated tombstones into the postings/doc-length files (one
+    * copy-on-write rewrite of each) and clear the tombstone table — run
+    * when the tombstone set has grown enough that the per-query
+    * anti-join is worth retiring. Queries before/after compaction return
+    * identical results (meta already reflects the deletes). */
+  def compact(wh: Warehouse, name: String): Unit = {
+    if (!wh.exists(tombTable(name))) return
+    val tomb = wh.read(tombTable(name)).localCheckpoint()
+    if (tomb.isEmpty) return
+    wh.rewrite(name, _.join(broadcast(tomb), Seq("id"), "left_anti"))
+    wh.rewrite(dlTable(name), _.join(broadcast(tomb), Seq("id"), "left_anti"))
+    wh.overwrite(tombTable(name), tomb.filter(lit(false)))
+  }
+
+  /** Tombstone-filtered views of the stored frames (no-ops when nothing
+    * was deleted — the broadcast anti-join only enters the plan when a
+    * non-empty tombstone table exists). */
+  private def tombstoned(wh: Warehouse, name: String, df: DataFrame): DataFrame =
+    if (!wh.exists(tombTable(name))) df
+    else df.join(broadcast(wh.read(tombTable(name))), Seq("id"), "left_anti")
 
   /** BM25 top-k over the LOADED index — exactly
     * [[graft.operators.Curation.bm25Search]]'s expression tree (operand
@@ -112,8 +186,9 @@ object SparseIndex {
         s"index $name meta must have exactly 1 row, found ${rows.length}")
     }
     val (nDocs, sumDl) = meta
-    val docLens = wh.read(dlTable(name))
-    val tf = wh.read(name).filter(col("term").isin(terms: _*))
+    val docLens = tombstoned(wh, name, wh.read(dlTable(name)))
+    val tf = tombstoned(wh, name,
+      wh.read(name).filter(col("term").isin(terms: _*)))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = tf.join(broadcast(df), "term")
       .join(docLens, "id")

@@ -24,8 +24,17 @@ import org.apache.spark.sql.types.StructType
   * Concurrency: single-writer per table (the reference serialized writes
   * through one Mongo connection too — SURVEY §7.4); `synchronized` guards
   * the pointer swap for in-process callers.
+  *
+  * Snapshot retention: each mutation keeps the `retain` most-recent PRIOR
+  * versions on disk (default 1) and vacuums older ones — the contract a
+  * long-lived analytical reader relies on: a lazy DataFrame opened up to
+  * `retain` mutations ago stays evaluable, exactly the time-travel
+  * retention window table formats expose (`delta.deletedFileRetention`).
+  * Size the knob to the longest reader you run against a mutating table.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+final class Warehouse(val spark: SparkSession, val root: String,
+    val retain: Int = 1) {
+  require(retain >= 1, s"retain must keep at least one prior version: $retain")
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def pointerFile(name: String): Path = tableDir(name).resolve("_latest")
@@ -130,17 +139,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (filter/withColumn/...); it executes distributed, and only the
     * pointer update is driver-side.
     *
-    * Snapshot retention: the immediately-previous version is kept on disk
-    * (only N−1 is vacuumed) so lazy DataFrames opened before the rewrite
-    * stay evaluable — the same grace window table formats provide via
-    * time-travel retention. */
+    * Snapshot retention: the `retain` most-recent prior versions stay on
+    * disk (only N−retain is vacuumed) so lazy DataFrames opened before
+    * the rewrite stay evaluable — the same grace window table formats
+    * provide via time-travel retention. */
   def rewrite(name: String, f: DataFrame => DataFrame): Unit = synchronized {
     val v = currentVersion(name)
     require(v >= 0, s"cannot rewrite missing table $name")
     val next = v + 1
     write(f(read(name)), name, versionDir(name, next).toString, SaveMode.Overwrite)
     setVersion(name, next)
-    deleteRecursively(versionDir(name, v - 1))
+    deleteRecursively(versionDir(name, next - retain - 1))
   }
 
   /** Run-scoped copy-on-write: rewrite ONLY the hash-bucket partitions the
@@ -213,7 +222,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       deleteRecursively(tmp)
     }
     setVersion(name, next)
-    deleteRecursively(versionDir(name, v - 1))
+    deleteRecursively(versionDir(name, next - retain - 1))
   }
 
   private def hasParquet(dir: Path): Boolean = {
@@ -238,12 +247,42 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Replace the table wholesale (used by tests/bootstrap). */
-  def overwrite(name: String, df: DataFrame): Unit = synchronized {
-    val next = currentVersion(name) + 1
-    Files.createDirectories(tableDir(name))
-    write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
-    setVersion(name, next)
-    deleteRecursively(versionDir(name, next - 2))
+  def overwrite(name: String, df: DataFrame): Unit =
+    overwrite(name, df, Map.empty[String, String])
+
+  /** [[overwrite]] carrying commit metadata: `meta` is written INSIDE the
+    * new version directory (underscore-prefixed, so parquet scans ignore
+    * it) BEFORE the pointer flips — the metadata commits atomically with
+    * the data it describes, never ahead of or behind it. This is how
+    * exactly-once sinks record their progress (e.g. the last absorbed
+    * micro-batch id, [[Rollups.hourlyStream]]): replaying a batch after a
+    * failure re-reads the meta of the LAST COMMITTED version. */
+  def overwrite(name: String, df: DataFrame, meta: Map[String, String]): Unit =
+    synchronized {
+      val next = currentVersion(name) + 1
+      Files.createDirectories(tableDir(name))
+      write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
+      if (meta.nonEmpty) {
+        val lines = meta.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+        Files.write(versionDir(name, next).resolve(Warehouse.MetaFile),
+          lines.getBytes(StandardCharsets.UTF_8))
+      }
+      setVersion(name, next)
+      deleteRecursively(versionDir(name, next - retain - 1))
+    }
+
+  /** Commit metadata of the table's CURRENT version (empty when the table
+    * is missing or its last commit carried none). */
+  def commitMeta(name: String): Map[String, String] = {
+    val v = currentVersion(name)
+    if (v < 0) return Map.empty
+    val p = versionDir(name, v).resolve(Warehouse.MetaFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+      .toMap
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -264,6 +303,10 @@ object Warehouse {
   val Annotations = "annotations"
   def samples(pipeline: String): String = s"${pipeline}_samples"
   def readGroups(pipeline: String): String = s"${pipeline}_readGroups"
+
+  /** Commit-metadata sidecar inside each version directory (underscore
+    * prefix keeps it invisible to parquet scans). */
+  val MetaFile = "_commit.properties"
 
   /** Internal partition column for run-scoped mutation (never exposed by
     * [[Warehouse.read]]). */

@@ -609,7 +609,80 @@ object StressScale {
             ev.filter(pmod(col("event_id"), lit(3)) === i))
         }
         graft.store.Rollups.hourlyView(wh.read(name))
-      }
+      },
+      // ---- round-10 wave ----------------------------------------------
+      // last-touch attribution at corpus scale: the asOfJoin machinery
+      // under its marketing shape (staleness-bounded, purchase ⋈ click)
+      timeNoop("attribution_last_touch") {
+        val typed = events.withColumn("event_type",
+          when(pmod(xxhash64(col("event_id")), lit(10)) === 0, "purchase")
+            .otherwise("click"))
+        val purchases = typed.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = typed.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts",
+          seqCol = "click_id", attach = Seq("click_id"), prefix = "touch_",
+          maxStaleness = Some(3600L * 1000000L))
+      },
+      // as-of WHALE: the full event history on ONE key serializes onto
+      // one (spillable) sort task — the documented caveat, measured
+      timeNoop("asof_whale") {
+        val whale = spark.range(1000000L).select(
+          col("id").as("event_id"), lit(0L).as("user_id"),
+          pmod(xxhash64(col("id")), lit(spanUs)).as("ts"))
+        val wl = whale.filter(col("event_id") % 2 === 0)
+        val wr = whale.filter(col("event_id") % 2 === 1)
+          .select(col("event_id").as("rid"), col("user_id"), col("ts"))
+        Joins.asOfJoin(wl, wr, Seq("user_id"), "ts", "rid", Seq("rid"),
+          maxStaleness = Some(86400000000L))
+      },
+      // ...and the banding escape hatch on the SAME whale: the shuffle
+      // key picks up a 1-day time band (30 bands over the span), so the
+      // single key parallelizes — the pair of timings is the contract
+      timeNoop("asof_whale_banded") {
+        val whale = spark.range(1000000L).select(
+          col("id").as("event_id"), lit(0L).as("user_id"),
+          pmod(xxhash64(col("id")), lit(spanUs)).as("ts"))
+        val wl = whale.filter(col("event_id") % 2 === 0)
+        val wr = whale.filter(col("event_id") % 2 === 1)
+          .select(col("event_id").as("rid"), col("user_id"), col("ts"))
+        Joins.asOfJoinBanded(wl, wr, Seq("user_id"), "ts", "rid", Seq("rid"),
+          staleness = 86400000000L)
+      },
+      // key-skew census + share: two slim keyed aggs over the stream
+      timeNoop("key_skew_report") {
+        Joins.keyFrequency(events, "user_id", topN = 20)
+          .crossJoin(broadcast(events.agg(count(lit(1)).as("__total"))))
+          .select(col("user_id"), col("n"),
+            (col("n").cast("double") / col("__total").cast("double")).as("share"))
+      },
+      // l-diversity audit: one keyed agg with a countDistinct expand
+      timeNoop("l_diversity")(
+        graft.operators.Reports.lDiversityViolations(
+          events.select((col("user_id") % 64).as("ub"),
+            (expr("ts div 3600000000") % 24).as("hour"),
+            pmod(xxhash64(col("event_id")), lit(3)).cast("string").as("etype")),
+          Seq("ub", "hour"), "etype", l = 3L)),
+      // co-bucketed join: bucketed writes (one shuffle each, WRITE-time
+      // cost) then the exchange-free join — the repeated-join amortization
+      timeNoop("bucket_join") {
+        val left = events.select(col("event_id"), col("user_id"))
+        val right = events.select(col("event_id"), col("ts"))
+        Joins.writeBucketed(left, "stress_bj_l", "event_id", 16,
+          path = Some(s"$stressWhDir/stress_bj_l"))
+        Joins.writeBucketed(right, "stress_bj_r", "event_id", 16,
+          path = Some(s"$stressWhDir/stress_bj_r"))
+        spark.table("stress_bj_l").join(spark.table("stress_bj_r"), Seq("event_id"))
+      },
+      // per-label code-space outliers: quantize + exploded centroid agg +
+      // broadcast-back scoring + label-partitioned top-k window
+      timeNoop("embed_outliers")(
+        graft.operators.Similarity.codeSpaceOutliers(
+          emb.withColumn("label", (col("vec_id") % 16).cast("long")),
+          topK = 5))
+      // (the embed_hash / text_entropy rows above now measure the native
+      // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and

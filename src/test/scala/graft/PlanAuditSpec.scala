@@ -372,6 +372,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  it should "score through the native one-pass kernels, not interpreted HOF folds" in {
+    // the r9 `weak`: a HOF refactor stays CORRECT (oracle can't see it)
+    // but recomputes loop-invariant hashes per output dimension — pin the
+    // native expressions in the executed plans so the regression is loud
+    val sketch = executed("embed_hash")
+    sketch should include("graft_count_sketch")
+    // all hashing lives inside the kernel — no per-dimension md5 pair
+    // array survives in the projection
+    sketch should not include "md5("
+    val entropy = executed("text_entropy")
+    entropy should include("graft_token_entropy")
+  }
+
   "hist_lengths" should "partial-aggregate the bin counts map-side with no join" in {
     val plan = executed("hist_lengths")
     plan should include("partial_count")

@@ -315,4 +315,47 @@ class TextFunctionsSpec extends SparkSpec {
     sketchOf("completely different vocabulary set") should not be
       sketchOf("one two three four five six seven eight")
   }
+
+  behavior of "the native one-pass kernels"
+
+  // adversarial corpus for the parity pins: unicode (multi-byte UTF-8 so
+  // the md5 bytes and sort order exercise non-ASCII), whale repetition,
+  // singleton docs, shared prefixes (sort-order ties), and random mixes
+  private val parityDocs: Seq[String] = {
+    val rnd = new scala.util.Random(97)
+    Seq(
+      "", "solo", "a a a a a a a a",
+      "naïve café naïve crème café über",
+      "préfix préfixe préf préfix",
+      "z y x w v u t s r q p o n m l k j i h g f e d c b a") ++
+      Seq.fill(40)(Seq.fill(1 + rnd.nextInt(80))(
+        s"tok${rnd.nextInt(15)}").mkString(" "))
+  }
+
+  it should "match the declarative entropy spec bit-for-bit (incl. unicode)" in {
+    val df = parityDocs.toDF("text")
+      .select(array_remove(TextFunctions.tokens(col("text")), "").as("toks"))
+      .select(
+        TextFunctions.tokenEntropyOnTokens(col("toks")).as("native"),
+        TextFunctions.tokenEntropySpec(col("toks")).as("spec"))
+    df.collect().foreach { r =>
+      // exact: the native kernel replays the identical fold (run order,
+      // StrictMath.log term, subtract seed), not an approximation of it
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+  }
+
+  it should "match the declarative count-sketch spec exactly (incl. unicode)" in {
+    for (dim <- Seq(1, 7, 64)) {
+      val df = parityDocs.toDF("text")
+        .select(array_remove(TextFunctions.tokens(col("text")), "").as("toks"))
+        .select(
+          TextFunctions.hashSketchOnTokens(col("toks"), dim).as("native"),
+          TextFunctions.hashSketchSpec(col("toks"), dim).as("spec"))
+      df.collect().foreach { r =>
+        r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+      }
+    }
+  }
 }

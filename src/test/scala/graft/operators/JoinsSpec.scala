@@ -172,6 +172,42 @@ class JoinsSpec extends SparkSpec {
         Seq("key"), "ts", "qid", Seq("qv"))
   }
 
+  "asOfJoinBanded" should "equal asOfJoin(maxStaleness) exactly on random streams" in {
+    // the whale-key escape hatch must be a pure PLAN change: same rows,
+    // same columns, same nulls — including timestamps straddling band
+    // boundaries and negative timestamps (floor-banding, not truncation)
+    val rnd = new scala.util.Random(23)
+    val l = (1L to 120L).map(i =>
+      (i, s"k${rnd.nextInt(4)}", rnd.nextLong(600L) - 100L))
+      .toDF("id", "key", "ts")
+    val r = (201L to 300L).map(i =>
+      (i, s"k${rnd.nextInt(4)}", rnd.nextLong(600L) - 100L, i * 1.0))
+      .toDF("qid", "key", "ts", "qv")
+    for (staleness <- Seq(7L, 50L, 1000L)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val plain = Joins.asOfJoin(l, r, Seq("key"), "ts", "qid",
+        Seq("qid", "qv"), maxStaleness = Some(staleness))
+      val banded = Joins.asOfJoinBanded(l, r, Seq("key"), "ts", "qid",
+        Seq("qid", "qv"), staleness = staleness)
+      banded.columns.toSeq shouldBe plain.columns.toSeq
+      withClue(s"staleness=$staleness: ") {
+        canon(banded) shouldBe canon(plain)
+      }
+    }
+  }
+
+  it should "spread one whale key across time bands in the shuffle" in {
+    val l = (1L to 50L).map(i => (i, "whale", i * 10L)).toDF("id", "key", "ts")
+    val r = (101L to 150L).map(i => (i, "whale", i - 100L, 1.0))
+      .toDF("qid", "key", "ts", "qv")
+    val plan = Joins.asOfJoinBanded(l, r, Seq("key"), "ts", "qid", Seq("qid"),
+      staleness = 20L).queryExecution.executedPlan.toString
+    // the exchange and the window both key on (key, band)
+    plan should include("__band")
+    plan should include("hashpartitioning(key")
+  }
+
   it should "shuffle once on the keys (single window, no range join)" in {
     val plan = Joins.asOfJoin(trades, quotes, Seq("key"), "ts", "qid", Seq("qv"))
       .queryExecution.executedPlan.toString

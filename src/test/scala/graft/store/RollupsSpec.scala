@@ -85,4 +85,37 @@ class RollupsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     viaStream shouldBe oneShot
   }
+
+  "absorbBatch" should "absorb a replayed micro-batch exactly once" in {
+    // foreachBatch is at-least-once: after a failure the SAME batchId is
+    // redelivered — absorption must be idempotent or every recovery
+    // double-counts n_events/sum_value
+    val wh = freshWh
+    def state() = Rollups.hourlyView(wh.read("i")).collect().map(_.toSeq).toSet
+
+    Rollups.absorbBatch(wh, "i", 0L, events(0 until 100)) shouldBe true
+    val afterB0 = state()
+    // replay of batch 0 (crash before the checkpoint advanced): skipped
+    Rollups.absorbBatch(wh, "i", 0L, events(0 until 100)) shouldBe false
+    state() shouldBe afterB0
+    // the next batch is new work and lands
+    Rollups.absorbBatch(wh, "i", 1L, events(100 until 200)) shouldBe true
+    // ...and a late replay of an OLDER id is also skipped
+    Rollups.absorbBatch(wh, "i", 1L, events(100 until 200)) shouldBe false
+    Rollups.absorbBatch(wh, "i", 0L, events(0 until 100)) shouldBe false
+    state() shouldBe Rollups.hourlyView(
+      Rollups.hourlyPartials(events(0 until 200))).collect().map(_.toSeq).toSet
+    // the committed id rode the same version flip as the data
+    wh.commitMeta("i")(Rollups.BatchIdKey) shouldBe "1"
+  }
+
+  it should "recover the committed batchId from the LAST version after replay-then-new" in {
+    val wh = freshWh
+    Rollups.absorbBatch(wh, "j", 0L, events(0 until 50))
+    Rollups.absorbBatch(wh, "j", 1L, events(50 until 100))
+    Rollups.absorbBatch(wh, "j", 2L, events(100 until 150))
+    wh.commitMeta("j")(Rollups.BatchIdKey) shouldBe "2"
+    // prior versions keep THEIR committed ids (meta flips with the data)
+    wh.currentVersion("j") shouldBe 2
+  }
 }

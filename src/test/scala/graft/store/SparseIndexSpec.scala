@@ -48,6 +48,48 @@ class SparseIndexSpec extends SparkSpec {
       rows(Curation.bm25Search(corpus, terms, topK = 10))
   }
 
+  it should "make delete-then-query equal rebuild-then-query exactly" in {
+    val whDel = freshWh
+    SparseIndex.save(whDel, "ix", corpus)
+    SparseIndex.delete(whDel, "ix", Seq(2L, 5L).toDF("doc_id"))
+    val whRe = freshWh
+    SparseIndex.save(whRe, "ix", corpus.filter($"doc_id" =!= 2 && $"doc_id" =!= 5))
+    val afterDelete = rows(SparseIndex.bm25(whDel, "ix", terms, topK = 10))
+    afterDelete shouldBe rows(SparseIndex.bm25(whRe, "ix", terms, topK = 10))
+    afterDelete.map(_._1) should not contain 2L
+    afterDelete.map(_._1) should not contain 5L
+    // ...and the from-text scorer over the surviving corpus agrees
+    afterDelete shouldBe rows(Curation.bm25Search(
+      corpus.filter($"doc_id" =!= 2 && $"doc_id" =!= 5), terms, topK = 10))
+
+    // deletes are idempotent and ignore unknown ids
+    SparseIndex.delete(whDel, "ix", Seq(2L, 999L).toDF("doc_id"))
+    rows(SparseIndex.bm25(whDel, "ix", terms, topK = 10)) shouldBe afterDelete
+
+    // compaction folds tombstones into the files without changing results
+    SparseIndex.compact(whDel, "ix")
+    rows(SparseIndex.bm25(whDel, "ix", terms, topK = 10)) shouldBe afterDelete
+
+    // the index stays incremental in BOTH directions: append after delete
+    SparseIndex.append(whDel, "ix", Seq((6L, "spark customer gardens")).toDF("doc_id", "text"))
+    val whRe2 = freshWh
+    SparseIndex.save(whRe2, "ix",
+      corpus.filter($"doc_id" =!= 2 && $"doc_id" =!= 5)
+        .union(Seq((6L, "spark customer gardens")).toDF("doc_id", "text")))
+    rows(SparseIndex.bm25(whDel, "ix", terms, topK = 10)) shouldBe
+      rows(SparseIndex.bm25(whRe2, "ix", terms, topK = 10))
+  }
+
+  it should "build an empty index as (0, 0) meta instead of throwing" in {
+    val wh = freshWh
+    SparseIndex.save(wh, "ix", corpus.filter($"doc_id" < 0))
+    wh.read("ix__meta").collect()(0).toSeq shouldBe Seq(0L, 0L)
+    // an append of real docs then bootstraps it
+    SparseIndex.append(wh, "ix", corpus)
+    rows(SparseIndex.bm25(wh, "ix", terms, topK = 10)) shouldBe
+      rows(Curation.bm25Search(corpus, terms, topK = 10))
+  }
+
   it should "never read the text column at query time" in {
     val wh = freshWh
     SparseIndex.save(wh, "ix", corpus)
