@@ -1017,6 +1017,20 @@ object SparkEntry {
         Seq("spark", "vector", "customer"), topK = 10)
     }),
 
+    // ...and the soft-delete leg: build, tombstone every doc_id % 7 == 0
+    // (one slim pass — postings files untouched), query through the
+    // tombstone anti-join. Scores are BIT-IDENTICAL to an index rebuilt
+    // without those docs, which is exactly what the oracle computes
+    // (bm25_search's SQL over the filtered corpus)
+    "bm25_deleted" -> ((s, d) => {
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      graft.store.SparseIndex.save(wh, "sparse_del", t(s, d, "documents"))
+      graft.store.SparseIndex.delete(wh, "sparse_del",
+        t(s, d, "documents").filter(col("doc_id") % 7 === 0).select("doc_id"))
+      graft.store.SparseIndex.bm25(wh, "sparse_del",
+        Seq("spark", "vector", "customer"), topK = 10)
+    }),
+
     // SemDeDup: k-means-cell blocking (seed anchors vec_id < 8, the same
     // deterministic cell assignment vector_ivf_topk replays) + within-cell
     // cosine >= 0.25, keep the smallest id of each near-dup neighborhood
@@ -1701,6 +1715,26 @@ object SparkEntry {
           (col("sum_q").cast("double") / col("n_vecs").cast("double"))
             .as("centroid_q"))),
 
+    // Exact code-space co-moment table: for every dim pair i <= j the
+    // corpus count, code sums and gram Sum(qi*qj) — all exact BIGINTs
+    // from ONE native-aggregate corpus pass (fixed ~17 KB buffer per
+    // task; nothing explodes to n*d² rows). The covariance input for
+    // PCA/whitening, and fully SQL-replayable
+    "embed_covariance" -> ((s, d) =>
+      Similarity.gramMatrix(t(s, d, "embeddings"), d = 64)),
+
+    // PCA projection onto the top-4 principal components of the int8
+    // code space: gramMatrix's exact integer moments → deterministic
+    // driver-side Jacobi eigen → row-local codegen'd dot per component.
+    // Rows-only (no SQL eigen); the eigen/projection contracts are
+    // pinned in SimilaritySpec (orthonormality, diagonalization
+    // residual, variance ordering, hand-checkable 2-D case)
+    "embed_pca" -> ((s, d) =>
+      Similarity.pcaProject(t(s, d, "embeddings"), d = 64, k = 4)
+        .select(col("vec_id"), posexplode(col("pc")).as(Seq("m", "v")))
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          round(col("v"), 6).as("v"))),
+
     // Column-profiling report (the data-engineering ANALYZE staple):
     // rows / nulls / exact distincts / min / max per column. The exact
     // countDistinct shuffles per column — correct for the oracle tier;
@@ -1739,6 +1773,21 @@ object SparkEntry {
       graft.operators.Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts",
         seqCol = "click_id", attach = Seq("click_id"), prefix = "touch_",
         maxStaleness = Some(3600L * 1000000L))
+    }),
+
+    // The SAME attribution through the whale-key escape hatch: the
+    // shuffle key picks up a 1-hour time band (right side replicated
+    // into band and band+1), so one pathological user parallelizes by
+    // time — results are EXACTLY asOfJoin's (same oracle SQL)
+    "attribution_banded" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.Joins.asOfJoinBanded(purchases, clicks, Seq("user_id"),
+        "ts", seqCol = "click_id", attach = Seq("click_id"),
+        staleness = 3600L * 1000000L, prefix = "touch_")
     }),
 
     // Key-skew diagnosis: the top-20 hottest join/group keys with their
@@ -2160,6 +2209,14 @@ object SparkEntry {
     // a loaded sparse index scores bit-identically to the from-text
     // scorer, so the indexed query replays bm25_search's exact SQL
     ("bm25_search_indexed" -> oracleSqlBase("bm25_search")) +
+    // tombstoned deletes score bit-identically to an index rebuilt
+    // without the deleted docs, so the soft-delete leg replays the SAME
+    // SQL over the FILTERED corpus (both scans pick up the predicate)
+    ("bm25_deleted" -> oracleSqlBase("bm25_search")
+      .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")) +
+    // the banded as-of join is a pure plan change (parity spec'd in
+    // JoinsSpec), so it replays attribution_last_touch's exact SQL
+    ("attribution_banded" -> oracleSqlBase("attribution_last_touch")) +
     // composes the chunk_cdc replay: shared-chunk census + per-doc mass
     ("dedup_chunks" ->
       s"""WITH ch AS (
@@ -4726,6 +4783,31 @@ object SparkEntry {
         |  CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS centroid_q
         |FROM q GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Similarity.gramMatrix: the same vector_quantize codes,
+    // exact BIGINT count/sums/co-moments per upper-triangle dim pair
+    "embed_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(
+        |      CASE WHEN s = 0 THEN 0
+        |           ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS INT)) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |               AS DOUBLE) / 127.0 AS s
+        |        FROM embeddings)),
+        |p AS (
+        |  SELECT i.i, j.j
+        |  FROM (SELECT unnest(range(0, 64)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+        |  WHERE i.i <= j.j)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(qv[p.i + 1]) AS BIGINT) AS sum_qi,
+        |  CAST(sum(qv[p.j + 1]) AS BIGINT) AS sum_qj,
+        |  CAST(sum(CAST(qv[p.i + 1] AS BIGINT) * qv[p.j + 1]) AS BIGINT)
+        |    AS gram
+        |FROM q CROSS JOIN p
+        |GROUP BY 1, 2""".stripMargin,
 
     // mirrors Reports.profileColumns over the same four columns: exact
     // distincts, canonical integer/string min-max rendering

@@ -849,4 +849,187 @@ object Similarity {
         V.dot(col(vecCol), array(p.map(lit): _*)) * lit(scale)
       }: _*).as("rp"))
   }
+
+  /** Exact co-moment (Gram) table over the int8 code space: for every
+    * dimension pair i ≤ j, the corpus count, Σqᵢ, Σqⱼ and Σqᵢqⱼ — all
+    * EXACT BIGINTs, so the d×d covariance derives per cell with one IEEE
+    * expression and the whole table replays verbatim in SQL (codes are
+    * [[graft.functions.VectorFunctions.quantize]]'s, already oracle-
+    * replayed by `vector_quantize`). This is the covariance input for
+    * [[pcaProject]] and any whitening/Mahalanobis step.
+    *
+    * Scale shape: ONE corpus pass through the native
+    * [[org.apache.spark.sql.graft.GramMatrixAgg]] — each task folds its
+    * partition into a fixed ~17 KB long buffer (d = 64) and the shuffle
+    * moves one buffer per task; the declarative alternative (posexplode +
+    * self-join on the row id) shuffles n·d rows against themselves. The
+    * 2080-entry decode join runs on ONE broadcast row.
+    *
+    * Quantization scale: `globalScale = None` (default) uses the per-row
+    * [[graft.functions.VectorFunctions.quantScale]] — the storage-tier
+    * codes, which L∞-NORMALIZE each row (covariance of directions);
+    * `Some(s)` quantizes every row with the one step `s` (e.g. 1/127 for
+    * unit-range embeddings), keeping magnitudes comparable across rows —
+    * what PCA wants.
+    *
+    * @return (i, j, n_vecs, sum_qi, sum_qj, gram) for i ≤ j */
+  def gramMatrix(
+      corpus: DataFrame,
+      d: Int = 64,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      globalScale: Option[Double] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coded = corpus
+      .withColumn("__s",
+        globalScale.map(lit).getOrElse(V.quantScale(col(vecCol))))
+      .select(V.quantize(col(vecCol), col("__s")).as("__q"))
+    val buf = coded.agg(
+      org.apache.spark.sql.graft.GramFunctions.gramMatrix(col("__q"), d).as("b"))
+    val pairs = (for { i <- 0 until d; j <- i until d } yield
+      (i.toLong, j.toLong,
+        org.apache.spark.sql.graft.GramFunctions.triIndex(i, j, d)))
+      .toDF("i", "j", "__t")
+    pairs.crossJoin(broadcast(buf))
+      .select(col("i"), col("j"),
+        element_at(col("b"), 1).as("n_vecs"),
+        element_at(col("b"), col("i").cast("int") + 2).as("sum_qi"),
+        element_at(col("b"), col("j").cast("int") + 2).as("sum_qj"),
+        element_at(col("b"), col("__t") + lit(2 + d)).as("gram"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a small symmetric
+    * matrix (the d×d covariance — DRIVER-side, d ≤ a few hundred; the
+    * corpus-scale work happened in [[gramMatrix]]'s one pass). Fixed
+    * sweep order and plain IEEE arithmetic (no platform-varying
+    * intrinsics), so the decomposition is bit-reproducible for a given
+    * covariance. Returns (eigenvalues, eigenvectors-as-rows) sorted by
+    * eigenvalue DESCENDING (ties by original index), each vector's
+    * largest-|component| made positive — a canonical orientation (an
+    * eigenvector's sign is arbitrary; pinning it keeps projections
+    * deterministic). Golub & Van Loan §8.5 (cyclic-by-row Jacobi). */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              (if (theta >= 0.0) 1.0 else -1.0) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val e = Array.tabulate(d)(k => v(k)(i))
+      // canonical sign: the largest-|component| coordinate is positive
+      var best = 0
+      var k = 1
+      while (k < d) { if (math.abs(e(k)) > math.abs(e(best))) best = k; k += 1 }
+      if (e(best) < 0.0) e.map(x => -x) else e
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA projection of the corpus onto its top-k principal components —
+    * the embedding-pipeline staple (decorrelate before quantization,
+    * visualize drift, drop dead dimensions). Runs in the int8 CODE space
+    * for determinism end to end: [[gramMatrix]]'s exact integer moments
+    * give a bit-reproducible covariance, [[jacobiEigen]] is driver-side
+    * deterministic IEEE, and the projection is a row-local codegen'd
+    * [[org.apache.spark.sql.graft.DotProductF]] per component against the
+    * literal (float-cast) eigenvector, minus the constant mean offset —
+    * no shuffle. Total cost: TWO corpus passes (moments, projection) and
+    * a d×d driver eigen; nothing corpus-scale ever leaves the executors.
+    *
+    * @return (idCol, pc: array<double> of length k, in descending
+    *         explained-variance order) */
+  def pcaProject(
+      corpus: DataFrame,
+      d: Int = 64,
+      k: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      globalScale: Double = 1.0 / 127.0): DataFrame = {
+    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
+    require(globalScale > 0.0, "globalScale must be positive")
+    // ONE quantization step for the whole corpus (default sized for
+    // unit-range embeddings): per-row scales would L∞-normalize every
+    // row and PCA would see directions, not magnitudes
+    val coded = corpus
+      .withColumn("__s", lit(globalScale))
+      .select(col(idCol), V.quantize(col(vecCol), col("__s")).as("__q"))
+    val buf = coded
+      .agg(org.apache.spark.sql.graft.GramFunctions.gramMatrix(col("__q"), d).as("b"))
+      .collect()(0).getSeq[Long](0).toArray
+    val n = buf(0).toDouble
+    require(n > 0, "pcaProject needs a non-empty corpus")
+    val mean = Array.tabulate(d)(i => buf(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val g = buf(1 + d + org.apache.spark.sql.graft.GramFunctions.triIndex(i, j, d))
+      val c = g / n - mean(i) * mean(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    val (_, vecs) = jacobiEigen(cov)
+    val planes = (0 until k).map(m => vecs(m).map(_.toFloat))
+    // constant per-component offset: Σᵢ meanᵢ·eᵢ (ascending-index driver
+    // fold, float-cast planes — the same values the row-side dot sees)
+    val offs = planes.map { e =>
+      var s = 0.0; var i = 0
+      while (i < d) { s += mean(i) * e(i).toDouble; i += 1 }
+      s
+    }
+    val qf = transform(col("__q"), x => x.cast("float"))
+    coded.select(col(idCol),
+      array((0 until k).map { m =>
+        // ×globalScale converts code units back to embedding units
+        (V.dot(qf, array(planes(m).toSeq.map(lit): _*)) - lit(offs(m))) *
+          lit(globalScale)
+      }: _*).as("pc"))
+  }
 }

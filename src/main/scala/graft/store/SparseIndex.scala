@@ -66,6 +66,10 @@ object SparseIndex {
       idCol: String = "doc_id"): Unit = {
     val spark = wh.spark
     import spark.implicits._
+    // a full rebuild supersedes any previous soft-deletes: stale
+    // tombstones would silently erase re-admitted docs from the new index
+    if (wh.exists(tombTable(name)))
+      wh.overwrite(tombTable(name), wh.read(tombTable(name)).filter(lit(false)))
     wh.overwrite(name, postingsOf(docs, textCol, idCol))
     val dls = doclensOf(docs, textCol, idCol)
     wh.overwrite(dlTable(name), dls)

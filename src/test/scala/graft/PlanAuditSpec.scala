@@ -372,7 +372,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  it should "score through the native one-pass kernels, not interpreted HOF folds" in {
+  "embed_covariance" should "fold the corpus through the partial-merging native gram aggregate" in {
+    val plan = executed("embed_covariance")
+    // TypedImperativeAggregate ⇒ ObjectHashAggregate with a partial pass:
+    // each task folds into ONE fixed buffer; the shuffle moves buffers,
+    // never (row × d²) exploded rows
+    plan should include("graft_gram_matrix")
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_graft_gram_matrix")
+    // the 2080-entry decode joins ONE broadcast row
+    plan should not include "SortMergeJoin"
+  }
+
+  "embed_pca" should "project row-locally through the codegen'd dot kernel" in {
+    val plan = executed("embed_pca")
+    plan should include("graft_dot")
+    plan should not include "Exchange hashpartitioning"
+    plan should not include "Join"
+  }
+
+  "attribution_banded" should "shuffle and sort on (user, band), never the bare user key" in {
+    val plan = executed("attribution_banded")
+    plan should include("__band")
+    plan should include("hashpartitioning(user_id")
+    // one window over the banded partitioning, no extra exchange after it
+    plan should include("windowspecdefinition(user_id")
+  }
+
+  "bm25_deleted" should "anti-join tombstones without ever reading the text column" in {
+    val plan = executed("bm25_deleted")
+    plan should not include "text"
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+  }
+
+  "text_entropy and embed_hash" should "score through the native one-pass kernels, not interpreted HOF folds" in {
     // the r9 `weak`: a HOF refactor stays CORRECT (oracle can't see it)
     // but recomputes loop-invariant hashes per output dimension — pin the
     // native expressions in the executed plans so the regression is loud

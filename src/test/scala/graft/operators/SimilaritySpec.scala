@@ -107,4 +107,105 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     mean should (be > 0.7 and be < 1.3)
   }
+
+  "gramMatrix" should "match a naive exact co-moment computation" in {
+    val d = 4
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map(i =>
+      (i, Seq.fill(d)((rnd.nextInt(2001) - 1000) / 1000.0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.gramMatrix(df, d = d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // naive: replicate quantization (scale = max|v|/127, floor(v/s + .5))
+    def quant(v: Seq[Float]): Seq[Long] = {
+      val s = v.map(x => math.abs(x)).max.toDouble / 127.0
+      v.map(x => if (s == 0.0) 0L else math.floor(x.toDouble / s + 0.5).toLong)
+    }
+    val qs = data.map(x => quant(x._2))
+    for (i <- 0 until d; j <- i until d) {
+      val expected = (
+        qs.size.toLong,
+        qs.map(_(i)).sum,
+        qs.map(_(j)).sum,
+        qs.map(q => q(i) * q(j)).sum)
+      withClue(s"($i,$j): ") { got((i.toLong, j.toLong)) shouldBe expected }
+    }
+    got.size shouldBe d * (d + 1) / 2
+  }
+
+  "jacobiEigen" should "diagonalize a known symmetric matrix" in {
+    // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)/√2) and 1
+    val (vals, vecs2) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    vals(0) shouldBe 3.0 +- 1e-12
+    vals(1) shouldBe 1.0 +- 1e-12
+    math.abs(vecs2(0)(0)) shouldBe (1.0 / math.sqrt(2)) +- 1e-12
+    vecs2(0)(0) shouldBe vecs2(0)(1) +- 1e-12 // (1,1) direction
+  }
+
+  it should "produce an orthonormal basis that reconstructs the matrix" in {
+    val rnd = new scala.util.Random(5)
+    val d = 8
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() - 0.5
+      m(i)(j) = x; m(j)(i) = x
+    }
+    val (vals, vecs8) = Similarity.jacobiEigen(m)
+    // orthonormal rows
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(k => vecs8(a)(k) * vecs8(b)(k)).sum
+      dot shouldBe (if (a == b) 1.0 else 0.0) +- 1e-10
+    }
+    // eigen residual ‖M e − λ e‖∞ ≈ 0, eigenvalues descending
+    for (a <- 0 until d) {
+      for (i <- 0 until d) {
+        val mei = (0 until d).map(k => m(i)(k) * vecs8(a)(k)).sum
+        mei shouldBe (vals(a) * vecs8(a)(i)) +- 1e-10
+      }
+      if (a > 0) vals(a - 1) should be >= vals(a)
+    }
+  }
+
+  "pcaProject" should "align PC1 with the planted variance direction, deterministically" in {
+    // corpus stretched along (1,1,0,0)/√2 with small noise elsewhere:
+    // PC1 must capture that axis and carry the dominant variance
+    val rnd = new scala.util.Random(9)
+    val d = 4
+    val data = (0L until 300L).map { i =>
+      val t = (rnd.nextDouble() - 0.5) * 2.0
+      (i, Seq(
+        (t + 0.01 * rnd.nextGaussian()).toFloat,
+        (t + 0.01 * rnd.nextGaussian()).toFloat,
+        (0.02 * rnd.nextGaussian()).toFloat,
+        (0.02 * rnd.nextGaussian()).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val p = Similarity.pcaProject(df, d = d, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def variance(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+    }
+    val v1 = variance(p.values.map(_(0)).toSeq)
+    val v2 = variance(p.values.map(_(1)).toSeq)
+    v1 should be > 50.0 * v2 // planted axis dominates
+    // PC1 ordering agrees with the planted coordinate up to global sign
+    val planted = data.map(x => x._1 -> (x._2(0) + x._2(1))).toMap
+    val ids = data.map(_._1)
+    val corr = {
+      val a = ids.map(planted(_).toDouble)
+      val b = ids.map(p(_)(0))
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    math.abs(corr) should be > 0.99
+    // deterministic end to end: a second run reproduces identical doubles
+    val p2 = Similarity.pcaProject(df, d = d, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    p2 shouldBe p
+  }
 }
