@@ -925,6 +925,19 @@ object SparkEntry {
     "freq_spectrum" -> ((s, d) =>
       graft.operators.Reports.freqSpectrum(t(s, d, "documents"))),
 
+    // Zipf-fit diagnostic: log-log OLS over the frequency spectrum (one
+    // row: slope/intercept/r²). Corpus-scale work = freq_spectrum's two
+    // keyed aggs; the FP sums fold ONE sorted spectrum array in pinned
+    // ascending-f order so the fit replays bit-for-bit in SQL
+    "zipf_fit" -> ((s, d) =>
+      graft.operators.Reports.zipfFit(t(s, d, "documents"))),
+
+    // Tokenizer-fertility report: per-lang subwords/token and
+    // chars/subword from exact integer sums (text_stats' count
+    // definitions) — the budget-planning cost model per language
+    "tokenizer_fertility" -> ((s, d) =>
+      graft.operators.Reports.tokenizerFertility(t(s, d, "documents"))),
+
     // Per-source quality stratification: ntile-10 buckets by
     // (quality desc, doc_id), per-bucket docs/tokens/decimal-exact mean
     "quality_deciles" -> ((s, d) =>
@@ -1227,6 +1240,29 @@ object SparkEntry {
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       graft.operators.Graphs.pageRank(
         edges, e.select(col("vec_id").as("id")), iters = 3)
+    }),
+
+    // 2-core of the MUTUAL 5-NN graph: keep only reciprocated neighbor
+    // links (the mutual-kNN graph, the standard density-based clustering
+    // substrate), then peel — pendant mutual pairs drop, densely
+    // reciprocal neighborhoods survive with their in-core degree.
+    // ROWS-ONLY by design: the peeling fixpoint's round count is
+    // data-dependent, so no fixed CTE unrolling replays it; semantics
+    // pinned by GraphsSpec's brute-force peeling property test
+    // (order-free confluence makes the answer unique, independent of
+    // Spark's execution order)
+    "graph_kcore" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 5)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      // mutual restriction: an edge survives iff its reverse exists
+      val mutual = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      graft.operators.Graphs.kCore(mutual, k = 2)
     }),
 
     // The persisted-topology tier of pagerank_knn: build the kNN edge
@@ -1807,6 +1843,12 @@ object SparkEntry {
     // successor; probabilities normalize on the |types|² matrix frame
     "event_transitions" -> ((s, d) =>
       graft.streaming.EventStreams.eventTransitions(eventsUs(s, d))),
+
+    // Top-20 event-type trigram paths (ordered, per-user) with exact
+    // occurrence + distinct-user tallies — the higher-order companion
+    // to event_transitions' memoryless matrix
+    "event_paths" -> ((s, d) =>
+      graft.streaming.EventStreams.eventPaths(eventsUs(s, d))),
 
     // Incrementally-maintained hourly rollup: the event stream arrives
     // as three deltas, each absorbed with ONE delta aggregation + one
@@ -2494,6 +2536,62 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS punct_ratio
          |FROM documents""".stripMargin,
+
+    // mirrors Reports.zipfFit: the freq_spectrum CTE, one f-ordered
+    // list per Σ (identical fold order to sort_array + aggregate), the
+    // same slope/intercept/r² expressions with explicit squares
+    "zipf_fit" -> {
+      def fold(e: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(p, q -> $e)), (a, b) -> a + b)""".stripMargin
+      s"""WITH tr AS (
+         |  SELECT unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+         |       FROM tr GROUP BY 1),
+         |sp AS (SELECT f, CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM tf GROUP BY f),
+         |pts AS (SELECT list(struct_pack(
+         |    x := ln(CAST(f AS DOUBLE)),
+         |    y := ln(CAST(n_terms AS DOUBLE))) ORDER BY f) AS p FROM sp),
+         |s AS (SELECT CAST(len(p) AS BIGINT) AS n_points,
+         |  ${fold("struct_extract(q, 'x')")} AS sx,
+         |  ${fold("struct_extract(q, 'y')")} AS sy,
+         |  ${fold("struct_extract(q, 'x') * struct_extract(q, 'y')")} AS sxy,
+         |  ${fold("struct_extract(q, 'x') * struct_extract(q, 'x')")} AS sxx,
+         |  ${fold("struct_extract(q, 'y') * struct_extract(q, 'y')")} AS syy
+         |  FROM pts),
+         |sl AS (SELECT *,
+         |  (n_points * sxy - sx * sy)
+         |    / nullif(n_points * sxx - sx * sx, 0.0) AS slope
+         |  FROM s)
+         |SELECT n_points, round(slope, 6) AS slope,
+         |  round((sy - slope * sx) / n_points, 6) AS intercept,
+         |  round((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
+         |    / nullif((n_points * sxx - sx * sx)
+         |             * (n_points * syy - sy * sy), 0.0), 6)
+         |    AS r2
+         |FROM sl""".stripMargin
+    },
+
+    // mirrors Reports.tokenizerFertility: text_stats' count definitions
+    // summed exactly per lang, one IEEE division per ratio
+    "tokenizer_fertility" ->
+      s"""WITH c AS (
+         |  SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS t,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS s,
+         |    CAST(length(text) AS BIGINT) AS ch
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(s) AS DOUBLE)
+         |    / greatest(CAST(sum(t) AS BIGINT), 1), 6) AS fertility,
+         |  round(CAST(sum(ch) AS DOUBLE)
+         |    / greatest(CAST(sum(s) AS BIGINT), 1), 6) AS chars_per_subword
+         |FROM c GROUP BY 1""".stripMargin,
 
     "text_repetition" ->
       s"""SELECT doc_id,
@@ -4914,6 +5012,28 @@ object SparkEntry {
         |    CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
         |    AS p
         |FROM m""".stripMargin,
+
+    // mirrors EventStreams.eventPaths: two lags over the same
+    // (user, ts, event_id) window, trigram concat, one keyed agg with
+    // exact count(DISTINCT user), top-20 tie-broken by path
+    "event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    lag(event_type, 2) OVER w AS s0,
+        |    lag(event_type, 1) OVER w AS s1,
+        |    event_type AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n_occurrences DESC, path
+        |LIMIT 20""".stripMargin,
 
     // mirrors Rollups.upsertHourly applied three times: mergeable
     // decimal partials make the incremental result THE one-shot

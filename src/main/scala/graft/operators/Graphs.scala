@@ -229,6 +229,64 @@ object Graphs {
           .otherwise(lit(0L)).as("cc_ppm"))
   }
 
+  /** k-core decomposition at a fixed k (Seidman 1983): iteratively peel
+    * nodes of degree < k until the remaining subgraph is stable; what
+    * survives is the k-core — the standard density filter for curation
+    * graphs (a near-dup or citation cluster that survives the 3-core is
+    * structural, not an artifact of one promiscuous hub; spam/link-farm
+    * detection peels cores the other way). The fixpoint is ORDER-FREE
+    * (peeling is confluent: whatever removal order, the same core
+    * remains), so the result is deterministic without any tie policy.
+    *
+    * Scale shape: edges symmetrize + distinct once (one shuffle,
+    * localCheckpoint-ed — the minhashLsh policy); each round is one
+    * src-keyed degree aggregate plus two node-keyed semi-joins filtering
+    * the edge frame, all slim, nothing quadratic. Lineage truncates per
+    * round (the [[Dedup.connectedComponents]] discipline) and the driver
+    * reads ONE count per round for the fixpoint test — rounds are
+    * O(peeling depth), typically ≪ 20 on power-law graphs.
+    *
+    * @param edges (src, dst) frame, treated as undirected; self-loops
+    *              dropped
+    * @param k     minimum degree to survive (≥ 1)
+    * @param maxIter round cap: a graph whose peeling depth exceeds it
+    *                (e.g. a long path at k=2 peels one layer per round)
+    *                returns the partially-peeled SUPERSET of the core —
+    *                the [[Dedup.connectedComponents]] maxIter contract
+    * @return (id, core_degree): the k-core's nodes with their degree
+    *         WITHIN the core (≥ k by construction)
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int = 3,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val fwd = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    var alive = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var aliveEdges = alive.count()
+    var it = 0
+    var converged = aliveEdges == 0L
+    while (!converged && it < maxIter) {
+      val keep = alive.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("__keep"))
+      val next = alive
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val nextEdges = next.count()
+      converged = nextEdges == aliveEdges
+      alive = next
+      aliveEdges = nextEdges
+      it += 1
+    }
+    alive.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("id"), col("core_degree"))
+  }
+
   def pageRank(
       edges: DataFrame,
       nodes: DataFrame,

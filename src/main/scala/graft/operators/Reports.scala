@@ -227,6 +227,90 @@ object Reports {
         (col("f") * count(lit(1))).as("token_mass"))
   }
 
+  /** Zipf-fit report: log–log least squares over the FREQUENCY SPECTRUM
+    * ([[freqSpectrum]]'s (f, n_terms) rows — for a Zipf-law corpus with
+    * exponent s, ln n_f ≈ const − (1 + 1/s)·ln f, so the slope is the
+    * one-number "is this corpus natural text?" diagnostic: boilerplate
+    * floods shift it shallow, synthetic/templated corpora bend the tail).
+    * One row out: (n_points, slope, intercept, r2).
+    *
+    * Determinism: the OLS sums are FP, so their ADDITION ORDER is pinned
+    * the house way — the spectrum (vocab-bounded, thousands of rows at
+    * most: distinct COUNT VALUES, not terms) collapses to one sorted
+    * array and every Σ folds it in ascending-f order; slope/intercept/r²
+    * are then a handful of IEEE expressions on one row. SQL replays the
+    * identical list_sort + list_reduce folds.
+    *
+    * Scale shape: the corpus-scale work is [[freqSpectrum]]'s two keyed
+    * aggs; everything after runs on the spectrum frame. */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val pts = sort_array(collect_list(struct(col("f"),
+      log(col("f").cast("double")).as("x"),
+      log(col("n_terms").cast("double")).as("y"))))
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(col("__pts"), f), lit(0.0), (a, b) => a + b)
+    freqSpectrum(docs, textCol)
+      .agg(pts.as("__pts"))
+      .select(size(col("__pts")).cast("long").as("n_points"),
+        col("__pts"),
+        fold(p => p.getField("x")).as("__sx"),
+        fold(p => p.getField("y")).as("__sy"),
+        fold(p => p.getField("x") * p.getField("y")).as("__sxy"),
+        fold(p => p.getField("x") * p.getField("x")).as("__sxx"),
+        fold(p => p.getField("y") * p.getField("y")).as("__syy"))
+      .select(col("n_points"), col("__sx"), col("__sy"), col("__sxy"),
+        col("__sxx"), col("__syy"),
+        // nullif on the variance denominators: a degenerate spectrum
+        // (single point, or all n_terms equal → zero y-variance) yields
+        // NULL slope/r² instead of an ANSI divide-by-zero abort
+        ((col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+          nullif(col("n_points") * col("__sxx") - col("__sx") * col("__sx"),
+            lit(0.0)))
+          .as("__slope"))
+      .select(col("n_points"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("__sy") - col("__slope") * col("__sx")) / col("n_points"), 6)
+          .as("intercept"),
+        // explicit square (a*a), not pow(a, 2): pow's rounding is
+        // implementation-defined, multiplication is IEEE-pinned
+        round(
+          (col("n_points") * col("__sxy") - col("__sx") * col("__sy")) *
+            (col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+            nullif(
+              (col("n_points") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("n_points") * col("__syy") - col("__sy") * col("__sy")),
+              lit(0.0)), 6)
+          .as("r2"))
+  }
+
+  /** Tokenizer-fertility report: per language, subwords-per-token and
+    * chars-per-subword — the cost model for tokenizer/budget planning
+    * (fertility ≫ 1 for a language means the subword proxy splits its
+    * words hard; budget estimates in tokens must scale accordingly).
+    * Counts are the SAME definitions as `text_stats` (whitespace tokens,
+    * word-piece-regex subwords), summed exactly per language with one
+    * IEEE division per ratio. One keyed agg over a row-local projection. */
+  def tokenizerFertility(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    Fan.spread(docs.select(col(langCol), col(textCol)))
+      .select(col(langCol),
+        T.tokenCount(col(textCol)).cast("long").as("__t"),
+        T.subwordCount(col(textCol)).cast("long").as("__s"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__s")).as("n_subwords"),
+        sum(col("__c")).as("n_chars"))
+      .select(col(langCol), col("n_docs"), col("n_tokens"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_subwords"), lit(1L)).cast("double"), 6)
+          .as("chars_per_subword"))
+
   /** Train/val/test leakage report: near-duplicate pairs (MinHash/LSH,
     * est_jaccard >= `minJaccard`) tallied by the split pair they land in
     * — the eval-hygiene check that a random document split silently

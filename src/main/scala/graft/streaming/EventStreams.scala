@@ -188,6 +188,54 @@ object EventStreams {
         .as("ewma"))
   }
 
+  /** Per-user event-PATH mining: the top-k most frequent ordered
+    * event-type n-grams (default trigrams) across all users — the
+    * higher-order companion to [[eventTransitions]]' first-order matrix
+    * (a Markov matrix shows view→click; the path report shows
+    * view→click→purchase vs view→click→error, which the matrix's
+    * memorylessness cannot distinguish). Sequence mining's workhorse
+    * query at the n-gram (contiguous) tier.
+    *
+    * Shape: n−1 lag columns over ONE user-partitioned window (one keyed
+    * shuffle on user, spillable per-user sort — all lags share the same
+    * window spec so Catalyst evaluates them in a single Window exec),
+    * then ONE path-keyed aggregate carrying both the occurrence count
+    * (map-side partials; path cardinality ≤ |types|ⁿ) and the exact
+    * distinct-user count (Catalyst's two-phase distinct-agg rewrite —
+    * still a single pass over the gram stream), and a global top-k that
+    * plans as TakeOrderedAndProject — never a full sort. Ties pinned by
+    * path.
+    *
+    * @param tsCol epoch-micros BIGINT; order pinned by (ts, event_id)
+    * @return (path, n_occurrences, n_users) top-k by count desc */
+  def eventPaths(
+      events: DataFrame,
+      n: Int = 3,
+      topK: Int = 20,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps: $n")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    // steps oldest→newest: lag(n−1) … lag(1), current
+    val steps = ((n - 1) to 1 by -1)
+      .map(i => lag(col(typeCol), i).over(byUser)) :+ col(typeCol)
+    val grams = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__path", concat_ws(">", steps: _*))
+      // a NULL step (fewer than n prior events) drops out of concat_ws,
+      // leaving fewer than n−1 separators — filter on separator count
+      .filter(size(split(col("__path"), ">", -1)) === n)
+      .select(col("__path").as("path"), col(userCol))
+    grams.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(userCol)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Per-user event-type transition matrix (first-order Markov): pair
     * every event with its user's NEXT event via one user-partitioned lag
     * window (the spillable per-user sort [[sessionize]] uses), count

@@ -1,74 +1,125 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Dedup
 
-/** 10× stress for the COMPOSED flagship dedup pipeline (minhash-LSH
-  * candidates → connected components → keep-best → apply): the per-op
-  * 200k points in [[StressScale]] verify each stage is linear-ish alone,
-  * but the composition can hide super-linear constants (pair blow-up
-  * feeding CC, CC label tables feeding the argmax window) that only a
-  * bigger corpus exposes. This synthesizes a REALISTIC dedup corpus —
-  * 50k-word vocabulary, ~25% of docs planted as near-duplicate variants
-  * (shared 45-word base + 5 variant words ⇒ Jaccard ≈ 0.8, inside the
-  * k=16/bands=4 detection band) — and times each stage to its own
-  * materialization barrier, printing one JSON line with per-stage wall
-  * times, row counts, and the end-to-end total.
+/** Flagship-pipeline linearity stress: the composed near-dup removal
+  * pipeline (minhash/LSH pairs → connected components → keep-best →
+  * apply) timed PER STAGE at two tiers a 10× apart (default 200k and
+  * 2M docs), so super-linear constants the per-op stress points hide
+  * show up as a stage ratio ≫ 10.
   *
-  * `sbt "runMain graft.tools.StressPipeline 2000000"` (needs
-  * `SPARK_DRIVER_MEM=24g` like the 200k StressScale suite).
+  * The corpus has CONTROLLED duplicate structure: documents come in
+  * 5-member families (family = doc_id / 5) sharing 50 tokens except one
+  * member-salted position, so the candidate-pair count is ~10 pairs per
+  * family — linear in n BY CONSTRUCTION. That isolates what this stress
+  * measures (operator scaling) from what the uniform-random corpus of
+  * [[StressScale]] measures (bucket-collision growth, a data property).
+  * Components are 5-cliques, so CC converges in O(1) rounds at any n.
+  *
+  * `sbt "runMain graft.tools.StressPipeline 200000 2000000"` prints one
+  * JSON line: per-tier {stage: {sec, rows}} plus per-stage 2M/200k
+  * ratios (ideal ≈ the tier ratio; the driver-visible linearity record).
   */
 object StressPipeline {
+
+  private val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+    "table", "value", "part", "hash", "merge", "join", "query", "batch",
+    "window", "spark", "order", "data", "column", "small", "line",
+    "customer", "filter", "the", "a", "of", "and", "index", "plan", "sort")
+
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val spark = Tables.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val tiers =
+      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(200000L, 2000000L)
+    val spark = Tables.session(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
 
-    // planted near-dup groups: ids sharing `base` (0.8n bases over n ids
-    // ⇒ ~25% of docs have at least one sibling) share 45 base words and
-    // differ in 5 variant words seeded by id%3
-    val base = pmod(col("id"), lit(n * 4 / 5))
-    val docs = spark.range(n).select(
-      col("id").as("doc_id"),
-      concat_ws(" ",
-        (0 until 45).map(i => concat(lit("w"),
-          pmod(xxhash64(base, lit(i)), lit(50000)))) ++
-        (45 until 50).map(i => concat(lit("v"),
-          pmod(xxhash64(base, col("id") % 3, lit(i)), lit(50000)))): _*)
-        .as("text"),
-      (col("id") % 20).cast("string").as("source"))
-      .persist()
-    docs.count()
+    val vocab = array(words.map(lit): _*)
 
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
-    def stage(label: String)(f: => org.apache.spark.sql.DataFrame):
-        org.apache.spark.sql.DataFrame = {
-      val t0 = System.nanoTime()
-      // eager localCheckpoint is the materialization barrier: the stage's
-      // work happens HERE, not inside a downstream stage's timing
-      val out = f.localCheckpoint()
-      val rows = out.count()
-      stages += ((label, (System.nanoTime() - t0) / 1e9, rows))
-      out
+    // 5-doc near-dup families: token i of doc d = vocab[hash(d/5, i)],
+    // except position (d%5)*9 which is salted by the member index — each
+    // member differs from its siblings in 1 of 50 tokens (Jaccard of the
+    // 5-shingle sets ≈ 0.8, well above the LSH threshold for 4 bands)
+    def mkDocs(n: Long): DataFrame = {
+      // integer division (Column./ is DOUBLE division — floor+cast pins
+      // the family key to a long)
+      val fam = floor(col("id") / lit(5)).cast("long")
+      val member = (col("id") % 5L).cast("int")
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 50).map { i =>
+          val base = element_at(vocab,
+            (pmod(xxhash64(fam, lit(i)), lit(words.size)) + 1).cast("int"))
+          if (i % 9 == 0)
+            when(member === lit(i / 9),
+              concat(base, lit("_"), member.cast("string"))).otherwise(base)
+          else base
+        }: _*).as("text"),
+        (col("id") % 20).cast("string").as("source"),
+        // keep-best quality signal: deterministic per doc, distinct
+        // within a family so the argmax is unique
+        pmod(xxhash64(col("id"), lit(42)), lit(1000000L)).as("quality"))
     }
 
-    val t0 = System.nanoTime()
-    val pairs = stage("minhash_pairs")(
-      Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)
-        .select(col("id_a"), col("id_b")))
-    val clusters = stage("connected_components")(
-      Dedup.connectedComponents(pairs))
-    val kept = stage("keep_best_apply")(
-      Dedup.applyClustersKeepBest(docs, clusters, length(col("text")))
-        .select(col("doc_id")))
-    val total = (System.nanoTime() - t0) / 1e9
+    def stage(label: String)(f: => (DataFrame, Long)): (String, Double, Long, DataFrame) = {
+      val t0 = System.nanoTime()
+      val (df, rows) = f
+      (label, (System.nanoTime() - t0) / 1e9, rows, df)
+    }
 
-    val js = stages.map { case (k, s, rows) =>
-      f""""$k":{"sec":$s%.2f,"rows":$rows}"""
-    }.mkString(",")
-    println(
-      f"""{"nDocs":$n,"total_sec":$total%.2f,"kept":${kept.count()},"stages":{$js}}""")
+    val perTier = tiers.map { n =>
+      val docs = mkDocs(n).persist()
+      docs.count() // corpus materialization outside the timers
+
+      // stage 1: signatures + banded pairs, materialized (localCheckpoint
+      // forces the frame AND hands the next stage a lineage-free input, so
+      // each stage's timer covers exactly its own work)
+      val s1 = stage("pairs") {
+        val p = Dedup
+          .minhashLsh(docs, shingleN = 5, k = 16, bands = 4, tier = Dedup.FastXx)
+          .select("id_a", "id_b").localCheckpoint()
+        (p, p.count())
+      }
+      val s2 = stage("cc") {
+        val c = Dedup.connectedComponents(s1._4).localCheckpoint()
+        (c, c.count())
+      }
+      val s3 = stage("keep_best") {
+        val kept = Dedup.applyClustersKeepBest(docs, s2._4, col("quality"))
+        kept.write.format("noop").mode("overwrite").save()
+        (kept, kept.count())
+      }
+      val s4 = stage("apply") {
+        val kept = Dedup.applyClusters(docs, s2._4)
+        kept.write.format("noop").mode("overwrite").save()
+        (kept, kept.count())
+      }
+      val stages = Seq(s1, s2, s3, s4)
+      docs.unpersist()
+      s1._4.unpersist()
+      s2._4.unpersist()
+      n -> stages
+    }
+
+    val tierJson = perTier.map { case (n, stages) =>
+      val ss = stages.map { case (l, sec, rows, _) =>
+        f""""$l":{"sec":$sec%.2f,"rows":$rows}"""
+      }.mkString(",")
+      f"""{"nDocs":$n,"total_sec":${stages.map(_._2).sum}%.2f,"stages":{$ss}}"""
+    }.mkString("[", ",", "]")
+    val ratios =
+      if (perTier.size == 2) {
+        val (nA, a) = perTier.head
+        val (nB, b) = perTier.last
+        val r = a.zip(b).map { case ((l, sA, _, _), (_, sB, _, _)) =>
+          f""""$l":${sB / math.max(sA, 0.01)}%.1f"""
+        }.mkString(",")
+        f""","tier_ratio":${nB.toDouble / nA}%.1f,"sec_ratios":{$r}"""
+      } else ""
+    println(s"""{"pipeline":"minhash->cc->keep_best->apply","tiers":$tierJson$ratios}""")
     spark.stop()
   }
 }

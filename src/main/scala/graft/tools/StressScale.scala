@@ -680,7 +680,15 @@ object StressScale {
       timeNoop("embed_outliers")(
         graft.operators.Similarity.codeSpaceOutliers(
           emb.withColumn("label", (col("vec_id") % 16).cast("long")),
-          topK = 5))
+          topK = 5)),
+      // exact 64-dim co-moment matrix: ONE corpus pass, one fixed
+      // ~17 KB gram buffer per task (2080 integer MACs per row)
+      timeNoop("embed_covariance")(
+        graft.operators.Similarity.gramMatrix(emb, d = 64)),
+      // PCA projection: the gram pass + driver Jacobi + one row-local
+      // projection pass through the codegen'd dot kernel
+      timeNoop("embed_pca")(
+        graft.operators.Similarity.pcaProject(emb, d = 64, k = 8))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

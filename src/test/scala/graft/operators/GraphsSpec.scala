@@ -161,4 +161,49 @@ class GraphsSpec extends SparkSpec {
     val want = naiveTri(edges, nodes)
     nodes.foreach { n => (got(n)._1, got(n)._2) shouldBe want(n) }
   }
+
+  behavior of "Graphs.kCore"
+
+  /** Brute-force reference: peel until stable, any order (confluent). */
+  private def naiveKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val dead = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+      changed = dead.nonEmpty
+      adj = adj.collect {
+        case (n, nb) if !dead(n) => n -> (nb -- dead)
+      }.filter(_._2.nonEmpty)
+    }
+    adj.map { case (n, nb) => n -> nb.size.toLong }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  it should "peel a hand-built graph to its 2-core" in {
+    // triangle 1-2-3 with a pendant chain 3-4-5 and an isolate: the
+    // 2-core is exactly the triangle, every member at core degree 2
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    runKCore(edges, 2) shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    // no 3-core at all
+    runKCore(edges, 3) shouldBe Map.empty
+  }
+
+  it should "match brute-force peeling on random graphs (confluence)" in {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = Seq.fill(80)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      for (k <- Seq(2, 3, 4))
+        withClue(s"trial=$trial k=$k") {
+          runKCore(edges, k) shouldBe naiveKCore(edges, k)
+        }
+    }
+  }
 }

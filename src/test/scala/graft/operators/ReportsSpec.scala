@@ -221,4 +221,48 @@ class ReportsSpec extends SparkSpec {
     got((1L, 0L)) shouldBe ((1L, 1.0))
     got.size shouldBe 4
   }
+
+  behavior of "zipfFit"
+
+  it should "recover the planted slope of a synthetic power-law spectrum" in {
+    // corpus where the spectrum is exactly n_f = round(1000 / f^1.5) for
+    // f = 1..20: n_f distinct tokens occurring f times each → OLS on
+    // (ln f, ln n_f) must come out near −1.5 with r² ≈ 1
+    val docs = (1 to 20).flatMap { f =>
+      val nTerms = math.max(math.round(1000.0 / math.pow(f, 1.5)).toInt, 1)
+      (0 until nTerms).flatMap(t => Seq.fill(f)(s"w_${f}_$t"))
+    }.grouped(500).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Reports.zipfFit(docs).collect()(0)
+    r.getLong(0) shouldBe 20L // 20 spectrum points
+    r.getDouble(1) shouldBe -1.5 +- 0.05 // slope (rounding of n_f adds noise)
+    r.getDouble(3) should be > 0.99 // r²
+  }
+
+  it should "be invariant to how the corpus is sliced into documents" in {
+    val words = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"t$i"))
+    val oneDoc = Seq(words.mkString(" ")).toDF("text")
+    val manyDocs = words.grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val one = Reports.zipfFit(oneDoc).collect()(0)
+    one.toSeq shouldBe Reports.zipfFit(manyDocs).collect()(0).toSeq
+    // this corpus is the degenerate flat spectrum (40 terms at every
+    // frequency → zero y-variance): slope is exactly 0, r² is NULL
+    // (nullif guard) rather than an ANSI divide-by-zero abort
+    one.getDouble(1) shouldBe 0.0
+    one.isNullAt(3) shouldBe true
+  }
+
+  behavior of "tokenizerFertility"
+
+  it should "compute exact per-language ratios" in {
+    val docs = Seq(
+      ("en", "hello world"),            // 2 tokens, 2 subwords
+      ("en", "don't stop"),             // 2 tokens, 4 subwords (don ' t stop)
+      ("de", "donaudampfschiff fahrt")  // 2 tokens, 2 subwords
+    ).toDF("lang", "text")
+    val got = Reports.tokenizerFertility(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    got("en") shouldBe ((2L, 4L, 6L, 1.5))
+    got("de") shouldBe ((1L, 2L, 2L, 1.0))
+  }
 }

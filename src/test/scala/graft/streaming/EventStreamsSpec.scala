@@ -351,4 +351,31 @@ class EventStreamsSpec extends SparkSpec {
     sessions(0).total_value shouldBe 3.0
     sessions(0).session_end shouldBe ts("2024-01-01 10:20:00")
   }
+
+  "eventPaths" should "mine ordered trigrams with exact occurrence and user tallies" in {
+    // user 1: A B C B C → A>B>C, B>C>B, C>B>C; user 2: A B C → A>B>C;
+    // user 3: A B → too short, contributes nothing
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"),
+      (4L, 40L, 1L, "B"), (5L, 50L, 1L, "C"),
+      (6L, 10L, 2L, "A"), (7L, 20L, 2L, "B"), (8L, 30L, 2L, "C"),
+      (9L, 10L, 3L, "A"), (10L, 20L, 3L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.eventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // count-desc, ties pinned by path
+    got shouldBe Array(
+      ("A>B>C", 2L, 2L), ("B>C>B", 1L, 1L), ("C>B>C", 1L, 1L))
+  }
+
+  it should "honor n and topK" in {
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C"),
+      (4L, 40L, 1L, "A"), (5L, 50L, 1L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.eventPaths(ev, n = 2, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // bigrams: A>B ×2, B>C, C>A; top-2 with the tie cut by path order
+    got shouldBe Array(("A>B", 2L), ("B>C", 1L))
+  }
 }
