@@ -1850,6 +1850,22 @@ object SparkEntry {
     "event_paths" -> ((s, d) =>
       graft.streaming.EventStreams.eventPaths(eventsUs(s, d))),
 
+    // Metric drift: per event type, OLS slope of value over the DAY
+    // index — exact integer/decimal sums (day is small, value has fixed
+    // scale), one keyed agg, IEEE only at the final slope division
+    "event_trend" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      graft.operators.Reports.groupTrend(e, "event_type",
+        expr("ts div 86400000000"), col("value"))
+    }),
+
+    // Dependence audit: mutual information (nats) between language and
+    // source — exact cell/marginal counts, entropy/MI folds in pinned
+    // cell order, corpus touched once
+    "mi_lang_source" -> ((s, d) =>
+      graft.operators.Reports.mutualInformation(
+        t(s, d, "documents"), "lang", "source")),
+
     // Incrementally-maintained hourly rollup: the event stream arrives
     // as three deltas, each absorbed with ONE delta aggregation + one
     // keyed merge against the persisted partials (decimal sums: the
@@ -5034,6 +5050,80 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n_occurrences DESC, path
         |LIMIT 20""".stripMargin,
+
+    // mirrors Reports.groupTrend: exact BIGINT/DECIMAL sums per group
+    // (commutative — no fold order to pin), doubles only in the final
+    // slope/intercept expressions, nullif on the degenerate denominator
+    "event_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS x,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
+        |  FROM e GROUP BY 1),
+        |sl AS (
+        |  SELECT *,
+        |    (n_points * sxy - sx * sy)
+        |      / nullif(n_points * sxx - sx * sx, 0.0) AS slope
+        |  FROM s)
+        |SELECT event_type, n_points, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n_points, 6) AS intercept
+        |FROM sl""".stripMargin,
+
+    // mirrors Reports.mutualInformation: exact cell/marginal counts,
+    // the same pinned-order list folds for H(a), H(b) and MI, identical
+    // per-term IEEE expression shapes
+    "mi_lang_source" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |am AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |bm AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(c.nij) AS BIGINT) AS n_rows,
+        |    list(struct_pack(a := c.a, b := c.b, nij := c.nij,
+        |                     ni := am.ni, nj := bm.nj)
+        |         ORDER BY c.a, c.b) AS cl
+        |  FROM cells c JOIN am USING (a) JOIN bm USING (b)),
+        |aa AS (SELECT list(struct_pack(a := a, ni := ni) ORDER BY a) AS al
+        |       FROM am),
+        |bb AS (SELECT list(struct_pack(b := b, nj := nj) ORDER BY b) AS bl
+        |       FROM bm),
+        |f AS (
+        |  SELECT n_cells, n_rows, CAST(n_rows AS DOUBLE) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(al, q ->
+        |        (CAST(struct_extract(q, 'ni') AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |          * ln(CAST(struct_extract(q, 'ni') AS DOUBLE)
+        |               / CAST(n_rows AS DOUBLE)))),
+        |      (x, y) -> x - y) AS ha,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(bl, q ->
+        |        (CAST(struct_extract(q, 'nj') AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |          * ln(CAST(struct_extract(q, 'nj') AS DOUBLE)
+        |               / CAST(n_rows AS DOUBLE)))),
+        |      (x, y) -> x - y) AS hb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(cl, q ->
+        |        (CAST(struct_extract(q, 'nij') AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |          * ln((CAST(struct_extract(q, 'nij') AS DOUBLE)
+        |                * CAST(n_rows AS DOUBLE))
+        |               / (CAST(struct_extract(q, 'ni') AS DOUBLE)
+        |                  * CAST(struct_extract(q, 'nj') AS DOUBLE))))),
+        |      (x, y) -> x + y) AS mi
+        |  FROM j, aa, bb)
+        |SELECT n_cells, n_rows, round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+        |  round(mi, 6) AS mi,
+        |  round(mi / nullif(sqrt(ha * hb), 0.0), 6) AS nmi
+        |FROM f""".stripMargin,
 
     // mirrors Rollups.upsertHourly applied three times: mergeable
     // decimal partials make the incremental result THE one-shot

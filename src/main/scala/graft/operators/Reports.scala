@@ -311,6 +311,112 @@ object Reports {
           greatest(col("n_subwords"), lit(1L)).cast("double"), 6)
           .as("chars_per_subword"))
 
+  /** Mutual information between two categorical columns — the
+    * dependence audit (does source determine language? is the quality
+    * tier independent of the crawl?). One row out: (n_cells, n_rows,
+    * h_a, h_b, mi, nmi) in nats, NMI = MI/√(H_a·H_b) (NULL when either
+    * entropy is 0 — a constant column carries no information to
+    * normalize by).
+    *
+    * Exactness: all counts are exact longs (one keyed cell count + two
+    * marginal rollups OF THE CELL FRAME, never a second corpus pass);
+    * the IEEE entropy/MI terms are folded in PINNED order — each sum
+    * collapses its ≤|A|·|B|-cell frame to ONE sorted array and folds
+    * ascending (the [[zipfFit]] discipline), so the report replays
+    * bit-for-bit in SQL list folds.
+    *
+    * Scale shape: the corpus is touched once for the cell count
+    * (map-side partials); everything after runs on the cell frame
+    * (categorical cardinalities, not corpus-scale). */
+  def mutualInformation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // three consumers: joint fold + two marginals
+    val aM = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ni"))
+    val bM = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__nj"))
+    def entropyFold(arr: org.apache.spark.sql.Column,
+        nTotal: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (acc, ni) =>
+        acc - (ni.cast("double") / nTotal) * log(ni.cast("double") / nTotal))
+    val joined = cells.join(aM, Seq("__a")).join(bM, Seq("__b"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("__nij")).as("n_rows"),
+        sort_array(collect_list(struct(
+          col("__a"), col("__b"), col("__nij"), col("__ni"), col("__nj"))))
+          .as("__cells"))
+    val aArr = aM.agg(sort_array(collect_list(struct(col("__a"), col("__ni"))))
+      .as("__am"))
+    val bArr = bM.agg(sort_array(collect_list(struct(col("__b"), col("__nj"))))
+      .as("__bm"))
+    val n = col("n_rows").cast("double")
+    joined.crossJoin(aArr).crossJoin(bArr)
+      .select(col("n_cells"), col("n_rows"),
+        entropyFold(transform(col("__am"), _.getField("__ni")), n).as("__ha"),
+        entropyFold(transform(col("__bm"), _.getField("__nj")), n).as("__hb"),
+        aggregate(col("__cells"), lit(0.0), (acc, c) =>
+          acc + (c.getField("__nij").cast("double") / n) *
+            log((c.getField("__nij").cast("double") * n) /
+              (c.getField("__ni").cast("double") *
+                c.getField("__nj").cast("double")))).as("__mi"))
+      .select(col("n_cells"), col("n_rows"),
+        round(col("__ha"), 6).as("h_a"),
+        round(col("__hb"), 6).as("h_b"),
+        round(col("__mi"), 6).as("mi"),
+        round(col("__mi") /
+          nullif(sqrt(col("__ha") * col("__hb")), lit(0.0)), 6).as("nmi"))
+  }
+
+  /** Per-group OLS trend of a metric over a coarse integer time axis —
+    * the metric-drift report (is `value` for `purchase` events rising
+    * week over week? is a source's quality decaying across crawls?).
+    * One row per group: (group, n_points, slope, intercept), slope in
+    * metric-units per x-unit.
+    *
+    * Exactness without pinned folds: x is a SMALL integer (e.g. a day
+    * index — caller maps the timestamp down) and y is cast to
+    * decimal(18,6), so Σx, Σx², Σy, Σxy are all EXACT integer/decimal
+    * sums — commutative, no FP addition order to pin — and only the
+    * final slope/intercept are IEEE doubles computed from exactly-equal
+    * operands in any engine. The magnitudes stay small (day ≤ 10⁴), so
+    * the decimal→double conversions sit far from precision edges.
+    *
+    * Scale shape: one keyed aggregate with map-side partials; nothing
+    * collected, nothing windowed — the 100 TB shape for a per-group
+    * scalar fit. Degenerate groups (single x value) get NULL slope via
+    * nullif, not an ANSI divide-by-zero abort. */
+  def groupTrend(
+      df: DataFrame,
+      groupCol: String,
+      x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): DataFrame = {
+    val xi = x.cast("bigint")
+    val yi = y.cast("decimal(18,6)")
+    df.select(col(groupCol), xi.as("__x"), yi.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x").cast("decimal(18,0)") * col("__y")).as("__sxy"))
+      .select(col(groupCol), col("n_points"),
+        col("__sx").cast("double").as("__dsx"),
+        col("__sxx").cast("double").as("__dsxx"),
+        col("__sy").cast("double").as("__dsy"),
+        col("__sxy").cast("double").as("__dsxy"))
+      .select(col(groupCol), col("n_points"), col("__dsx"), col("__dsy"),
+        ((col("n_points") * col("__dsxy") - col("__dsx") * col("__dsy")) /
+          nullif(col("n_points") * col("__dsxx") - col("__dsx") * col("__dsx"),
+            lit(0.0))).as("__slope"))
+      .select(col(groupCol), col("n_points"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("__dsy") - col("__slope") * col("__dsx")) /
+          col("n_points"), 6).as("intercept"))
+  }
+
   /** Train/val/test leakage report: near-duplicate pairs (MinHash/LSH,
     * est_jaccard >= `minJaccard`) tallied by the split pair they land in
     * — the eval-hygiene check that a random document split silently

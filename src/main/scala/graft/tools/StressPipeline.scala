@@ -26,23 +26,21 @@ import graft.operators.Dedup
   */
 object StressPipeline {
 
-  private val words = Seq("key", "agg", "row", "scan", "slow", "fast",
-    "table", "value", "part", "hash", "merge", "join", "query", "batch",
-    "window", "spark", "order", "data", "column", "small", "line",
-    "customer", "filter", "the", "a", "of", "and", "index", "plan", "sort")
-
   def main(args: Array[String]): Unit = {
     val tiers =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(200000L, 2000000L)
     val spark = Tables.session(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
 
-    val vocab = array(words.map(lit): _*)
-
-    // 5-doc near-dup families: token i of doc d = vocab[hash(d/5, i)],
-    // except position (d%5)*9 which is salted by the member index — each
-    // member differs from its siblings in 1 of 50 tokens (Jaccard of the
-    // 5-shingle sets ≈ 0.8, well above the LSH threshold for 4 bands)
+    // 5-doc near-dup families: token i of doc d is a HASH-DERIVED word
+    // ("w" + hash(d/5, i) mod 10^6) — NOT a small fixed vocabulary. The
+    // operator shingles CHARACTERS, so a 30-word vocab would make every
+    // document's 5-gram set overlap every other's (the uniform
+    // StressScale corpus measures exactly that bucket-collision regime);
+    // hash words keep cross-family Jaccard ≈ 0 and the pair count pinned
+    // to the planted families. Position (d%5)*9 is salted by the member
+    // index, so siblings differ pairwise in 2 of 50 tokens (char-shingle
+    // Jaccard ≈ 0.75, above the 4-band LSH threshold).
     def mkDocs(n: Long): DataFrame = {
       // integer division (Column./ is DOUBLE division — floor+cast pins
       // the family key to a long)
@@ -51,8 +49,8 @@ object StressPipeline {
       spark.range(n).select(
         col("id").as("doc_id"),
         concat_ws(" ", (0 until 50).map { i =>
-          val base = element_at(vocab,
-            (pmod(xxhash64(fam, lit(i)), lit(words.size)) + 1).cast("int"))
+          val base = concat(lit("w"),
+            pmod(xxhash64(fam, lit(i)), lit(1000000L)).cast("string"))
           if (i % 9 == 0)
             when(member === lit(i / 9),
               concat(base, lit("_"), member.cast("string"))).otherwise(base)
@@ -71,6 +69,12 @@ object StressPipeline {
     }
 
     val perTier = tiers.map { n =>
+      // shuffle partitions sized to the tier (the knob a 100 TB run sets
+      // cluster-wide): ~16k docs per reduce partition keeps the shingle
+      // explode's per-task hash aggregates within executor memory; AQE
+      // coalesces the small tiers back down
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 16000L).toString)
       val docs = mkDocs(n).persist()
       docs.count() // corpus materialization outside the timers
 

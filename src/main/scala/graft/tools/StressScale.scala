@@ -688,7 +688,37 @@ object StressScale {
       // PCA projection: the gram pass + driver Jacobi + one row-local
       // projection pass through the codegen'd dot kernel
       timeNoop("embed_pca")(
-        graft.operators.Similarity.pcaProject(emb, d = 64, k = 8))
+        graft.operators.Similarity.pcaProject(emb, d = 64, k = 8)),
+      // per-user trigram paths over the event stream: one user-keyed
+      // window + one path-keyed distinct-agg + TakeOrderedAndProject
+      timeNoop("event_paths")(
+        graft.streaming.EventStreams.eventPaths(
+          events.withColumn("event_type",
+            pmod(xxhash64(col("event_id")), lit(5)).cast("string")))),
+      // k-core peeling on a synthetic avg-degree-8 random graph (node
+      // scale = corpus scale): per-round degree agg + two semi-joins,
+      // driver reads one count per round
+      timeNoop("graph_kcore")(
+        graft.operators.Graphs.kCore(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")),
+          k = 5)),
+      // per-group OLS drift: one keyed agg of exact integer/decimal sums
+      timeNoop("event_trend")(
+        graft.operators.Reports.groupTrend(
+          events.withColumn("event_type",
+            pmod(xxhash64(col("event_id")), lit(5)).cast("string"))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id"), lit(7)), lit(10000))
+                .cast("double") / 100.0)),
+          "event_type", expr("ts div 86400000000"), col("value"))),
+      // MI dependence audit: one corpus-pass cell count + cell-frame folds
+      timeNoop("mi_report")(
+        graft.operators.Reports.mutualInformation(
+          docs.withColumn("lang",
+            pmod(xxhash64(col("doc_id")), lit(12)).cast("string")),
+          "lang", "source"))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

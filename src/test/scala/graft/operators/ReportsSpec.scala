@@ -251,6 +251,51 @@ class ReportsSpec extends SparkSpec {
     one.isNullAt(3) shouldBe true
   }
 
+  behavior of "mutualInformation"
+
+  it should "report 0 for independent and 1 (normalized) for determined columns" in {
+    // uniform independent 2×2: every cell term is ln(1) = 0
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val ri = Reports.mutualInformation(indep, "a", "b").collect()(0)
+    ri.getLong(0) shouldBe 4L // cells
+    ri.getDouble(4) shouldBe 0.0 // mi
+    ri.getDouble(5) shouldBe 0.0 // nmi
+    // b determined by a: MI = H(a) = H(b) = ln 2 → NMI = 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val rd = Reports.mutualInformation(dep, "a", "b").collect()(0)
+    rd.getDouble(2) shouldBe math.log(2.0) +- 1e-6 // h_a
+    rd.getDouble(4) shouldBe math.log(2.0) +- 1e-6 // mi
+    rd.getDouble(5) shouldBe 1.0
+    // constant column: zero entropy → NMI is NULL, not a div-by-zero
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val rc = Reports.mutualInformation(const, "a", "b").collect()(0)
+    rc.getDouble(2) shouldBe 0.0 // h_a
+    rc.isNullAt(5) shouldBe true
+  }
+
+  behavior of "groupTrend"
+
+  it should "recover planted slopes and NULL out degenerate groups" in {
+    val rows =
+      // group a: y = 2x + 1 exactly
+      (0 to 4).map(x => ("a", x.toLong, 2.0 * x + 1)) ++
+        // group b: all points at one x — zero x-variance, slope NULL
+        Seq(("b", 3L, 1.0), ("b", 3L, 5.0)) ++
+        // group c: flat metric — slope exactly 0
+        (0 to 3).map(x => ("c", x.toLong, 7.5))
+    val got = Reports.groupTrend(
+      rows.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("a").getLong(1) shouldBe 5L
+    got("a").getDouble(2) shouldBe 2.0
+    got("a").getDouble(3) shouldBe 1.0
+    got("b").isNullAt(2) shouldBe true
+    got("c").getDouble(2) shouldBe 0.0
+    got("c").getDouble(3) shouldBe 7.5
+  }
+
   behavior of "tokenizerFertility"
 
   it should "compute exact per-language ratios" in {
