@@ -1866,6 +1866,25 @@ object SparkEntry {
       graft.operators.Reports.mutualInformation(
         t(s, d, "documents"), "lang", "source")),
 
+    // DP release: per-source counts + seeded Laplace(1/eps) noise from
+    // the md5Bucket inverse-CDF — deterministic, replayable, one keyed
+    // count + row-local noise on the group frame
+    "dp_counts" -> ((s, d) =>
+      graft.operators.Reports.dpCounts(
+        t(s, d, "documents"), "source", epsilon = 1.0, seed = 42L)),
+
+    // Snapshot drift: PSI over n_chars deciles between the even- and
+    // odd-id halves of the corpus (stand-ins for yesterday/today) —
+    // exact binned counts, add-one smoothing on the dense grid, pinned
+    // ascending-bin fold
+    "drift_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.driftPsi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), width = 100L, nBins = 10)
+    }),
+
     // Incrementally-maintained hourly rollup: the event stream arrives
     // as three deltas, each absorbed with ONE delta aggregation + one
     // keyed merge against the persisted partials (decimal sums: the
@@ -5124,6 +5143,61 @@ object SparkEntry {
         |  round(mi, 6) AS mi,
         |  round(mi / nullif(sqrt(ha * hb), 0.0), 6) AS nmi
         |FROM f""".stripMargin,
+
+    // mirrors Reports.dpCounts: md5Bucket uniform ((v+0.5)/2^32),
+    // Laplace inverse CDF, identical expression shapes
+    "dp_counts" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT source, n,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('42', ':', source)), 1, 8))
+        |               AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+        |  FROM g)
+        |SELECT source,
+        |  round(n + CASE WHEN uu < 0.5 THEN ln(uu * 2.0) / 1.0
+        |                 ELSE -ln((1.0 - uu) * 2.0) / 1.0 END, 6) AS n_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM u""".stripMargin,
+
+    // mirrors Reports.driftPsi: dense 10-bin spine left-joined to the
+    // two snapshots' binned counts, add-one smoothing, the same pinned
+    // ascending-bin list fold
+    "drift_psi" ->
+      """WITH spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |ba AS (
+        |  SELECT CAST(least(n_chars // 100, 9) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS na
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(least(n_chars // 100, 9) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(s.bin AS BIGINT) AS bin,
+        |    coalesce(ba.na, 0) AS na, coalesce(bb.nb, 0) AS nb
+        |  FROM spine s LEFT JOIN ba ON ba.bin = s.bin
+        |               LEFT JOIN bb ON bb.bin = s.bin),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |    list(struct_pack(bin := bin, na := na, nb := nb) ORDER BY bin)
+        |      AS g
+        |  FROM grid)
+        |SELECT n_bins, n_a, n_b,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(g, c ->
+        |      ((CAST(struct_extract(c, 'na') AS DOUBLE) + 1.0)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_bins AS DOUBLE))
+        |       - (CAST(struct_extract(c, 'nb') AS DOUBLE) + 1.0)
+        |         / (CAST(n_b AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+        |      * ln(((CAST(struct_extract(c, 'na') AS DOUBLE) + 1.0)
+        |            / (CAST(n_a AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+        |           / ((CAST(struct_extract(c, 'nb') AS DOUBLE) + 1.0)
+        |              / (CAST(n_b AS DOUBLE) + CAST(n_bins AS DOUBLE)))))),
+        |    (x, y) -> x + y), 6) AS psi
+        |FROM t""".stripMargin,
 
     // mirrors Rollups.upsertHourly applied three times: mergeable
     // decimal partials make the incremental result THE one-shot

@@ -311,6 +311,99 @@ object Reports {
           greatest(col("n_subwords"), lit(1L)).cast("double"), 6)
           .as("chars_per_subword"))
 
+  /** Differentially-private group counts: exact per-group counts plus
+    * SEEDED Laplace(1/ε) noise — the privacy-preserving release tier
+    * next to [[kAnonymityViolations]]/[[lDiversityViolations]]'s audit
+    * tier (publish per-cohort tallies without exposing any individual's
+    * membership; ε is the standard privacy-loss knob). The true count
+    * column is deliberately absent from the output — releasing it would
+    * void the mechanism.
+    *
+    * Noise is DETERMINISTIC given (seed, group): the uniform comes from
+    * [[graft.functions.HashFunctions.md5Bucket]] (the sampler/sharder
+    * primitive, already engine-portable), inverse-CDF'd into a Laplace
+    * draw — so the release replays bit-for-bit in SQL and is
+    * reproducible across runs. (Cryptographic caveat, documented: a
+    * published seed lets noise be reconstructed; operationally the seed
+    * is a secret — the determinism here is the testing/replay contract,
+    * the same trade [[Dedup]]'s portable md5 tier makes.)
+    *
+    * Scale shape: one keyed count with map-side partials; noise is
+    * row-local ON THE GROUP FRAME. */
+  def dpCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val u = (graft.functions.HashFunctions.md5Bucket(seed, col(groupCol))
+      .cast("double") + 0.5) / 4294967296.0
+    val noise = when(u < 0.5, log(u * 2.0) / epsilon)
+      .otherwise(-log((lit(1.0) - u) * 2.0) / epsilon)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 6).as("n_noisy"),
+        lit(epsilon).as("epsilon"))
+  }
+
+  /** Population-stability index between two corpus snapshots over one
+    * numeric metric — the drift monitor a recurring ingestion runs
+    * before retraining (PSI < 0.1: stable; 0.1–0.25: drifting; > 0.25:
+    * the distribution moved, investigate). Bins are the fixed-width
+    * integer grid of [[lengthHistogram]]; PSI = Σ (p̂ᵃ−p̂ᵇ)·ln(p̂ᵃ/p̂ᵇ)
+    * with add-one smoothing over the FULL grid (p̂ = (n+1)/(N+nBins)) so
+    * empty bins are defined on both sides — a documented, deterministic
+    * convention rather than an ε fudge factor.
+    *
+    * One row out: (n_bins, n_a, n_b, psi). Counts are exact longs; the
+    * IEEE per-bin terms fold in PINNED ascending-bin order over one
+    * dense collected grid (the [[zipfFit]] discipline — the grid is
+    * `nBins` cells, never corpus-scale), so the report replays exactly
+    * in SQL list folds.
+    *
+    * Scale shape: each snapshot is touched once by a binned keyed count;
+    * everything after runs on the ≤nBins-cell frames. */
+  def driftPsi(
+      a: DataFrame,
+      b: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 100L,
+      nBins: Int = 10): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    def binned(df: DataFrame, nCol: String): DataFrame = {
+      val v = metric.cast("bigint")
+      df.select(least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L))
+        .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
+    }
+    val spark = a.sparkSession
+    // dense bin spine: every grid cell present on both sides, count 0
+    // when empty (add-one smoothing needs the full grid, and the pinned
+    // fold needs identical cell lists in both engines)
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val grid = spine
+      .join(binned(a, "__na"), Seq("bin"), "left")
+      .join(binned(b, "__nb"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    grid.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"),
+      sort_array(collect_list(struct(col("bin"), col("__na"), col("__nb"))))
+        .as("__g"))
+      .select(col("n_bins"), col("n_a"), col("n_b"),
+        round(aggregate(col("__g"), lit(0.0), (acc, c) => {
+          val pa = (c.getField("__na").cast("double") + 1.0) /
+            (col("n_a").cast("double") + col("n_bins").cast("double"))
+          val pb = (c.getField("__nb").cast("double") + 1.0) /
+            (col("n_b").cast("double") + col("n_bins").cast("double"))
+          acc + (pa - pb) * log(pa / pb)
+        }), 6).as("psi"))
+  }
+
   /** Mutual information between two categorical columns — the
     * dependence audit (does source determine language? is the quality
     * tier independent of the crawl?). One row out: (n_cells, n_rows,

@@ -718,7 +718,16 @@ object StressScale {
         graft.operators.Reports.mutualInformation(
           docs.withColumn("lang",
             pmod(xxhash64(col("doc_id")), lit(12)).cast("string")),
-          "lang", "source"))
+          "lang", "source")),
+      // DP release: keyed count + row-local seeded Laplace on the group frame
+      timeNoop("dp_counts")(
+        graft.operators.Reports.dpCounts(docs, "source")),
+      // PSI drift: two binned keyed counts + a 10-cell grid fold
+      timeNoop("drift_psi")(
+        graft.operators.Reports.driftPsi(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          length(col("text")), width = 40L, nBins = 10))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

@@ -251,6 +251,51 @@ class ReportsSpec extends SparkSpec {
     one.isNullAt(3) shouldBe true
   }
 
+  behavior of "dpCounts"
+
+  it should "add bounded seeded Laplace noise that scales as 1/epsilon" in {
+    val docs = (1 to 100).flatMap(i => Seq(("s0", i), ("s1", i)))
+      .toDF("source", "i")
+    val r1 = Reports.dpCounts(docs, "source", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // determinism: same seed → identical release
+    Reports.dpCounts(docs, "source", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe r1
+    // |Laplace(1)| from the md5Bucket uniform is at most ln(2^32) ≈ 22.2
+    r1.values.foreach(v => math.abs(v - 100.0) should be < 22.2)
+    // noise scales exactly 1/eps (same uniform, rounded at 6)
+    val r10 = Reports.dpCounts(docs, "source", epsilon = 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1.keys.foreach { k =>
+      (r10(k) - 100.0) shouldBe ((r1(k) - 100.0) / 10.0) +- 1e-5
+    }
+    // different groups draw different noise
+    r1("s0") should not be r1("s1")
+  }
+
+  behavior of "driftPsi"
+
+  it should "be exactly 0 for identical snapshots and positive under a shift" in {
+    val a = (0 until 200).map(i => (i * 5).toLong).toDF("m")
+    val same = Reports.driftPsi(a, a, col("m"), width = 100L, nBins = 10)
+      .collect()(0)
+    same.getLong(0) shouldBe 10L
+    same.getLong(1) shouldBe 200L
+    same.getDouble(3) shouldBe 0.0
+    // shift the second snapshot up by 3 bins: mass moves, PSI > 0.25
+    val b = (0 until 200).map(i => (i * 5 + 300).toLong).toDF("m")
+    val drift = Reports.driftPsi(a, b, col("m"), width = 100L, nBins = 10)
+      .collect()(0)
+    drift.getDouble(3) should be > 0.25
+    // disjoint supports still defined (add-one smoothing on the grid)
+    val c = Seq(5L, 15L).toDF("m")
+    val d2 = Seq(905L, 915L).toDF("m")
+    val far = Reports.driftPsi(c, d2, col("m"), width = 100L, nBins = 10)
+      .collect()(0)
+    far.getDouble(3).isNaN shouldBe false
+    far.getDouble(3) should be > 0.0
+  }
+
   behavior of "mutualInformation"
 
   it should "report 0 for independent and 1 (normalized) for determined columns" in {
