@@ -291,6 +291,21 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4))),
 
+    // Cluster-quality observability: the near-dup component SIZE
+    // distribution (one row per size: how many clusters, docs covered)
+    // — the report an operator reads before applying a dedup (one
+    // mega-cluster = a banding bug or boilerplate flood, not real
+    // duplication). Aggregates ON THE LABEL FRAME (never corpus-scale)
+    "dedup_cluster_report" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(t(s, d, "documents"),
+          shingleN = 5, k = 8, bands = 4))
+        .groupBy(col("comp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))),
+
     // End-to-end near-dup removal: clusters → keep the canonical doc per
     // component → anti-join = the deduplicated corpus
     "dedup_apply" -> ((s, d) => {
@@ -1242,6 +1257,23 @@ object SparkEntry {
         edges, e.select(col("vec_id").as("id")), iters = 3)
     }),
 
+    // Seed expansion: personalized PageRank over the kNN graph with the
+    // 16 vec_id%97==0 docs as the curated seed set — rank concentrates
+    // around the seeds in exact integer ppm; the expansion frontier is
+    // rank_ppm > 0
+    "ppr_expansion" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.personalizedPageRank(
+        edges, e.select(col("vec_id").as("id")),
+        e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id")),
+        iters = 3)
+    }),
+
     // 2-core of the MUTUAL 5-NN graph: keep only reciprocated neighbor
     // links (the mutual-kNN graph, the standard density-based clustering
     // substrate), then peel — pendant mutual pairs drop, densely
@@ -1438,6 +1470,15 @@ object SparkEntry {
     // The calibration runs on the doc_id%5==0 SAMPLE — its own scale
     // contract (a tuning measurement: the truth join ships shingle sets
     // onto every candidate pair, so sampling bounds the pair mass)
+    // LSH recall loop: ground-truth all-pairs Jaccard on a 50% hash
+    // sample vs the production md5-tier banding — what the banding
+    // MISSES per true-similarity threshold (the under-dedup monitor
+    // tuned before a full run; the deliberately-quadratic op stays
+    // sample-bounded)
+    "lsh_recall" -> ((s, d) =>
+      graft.operators.Reports.lshRecall(
+        t(s, d, "documents"), sampleFrac = 0.5)),
+
     "lsh_calibration" -> ((s, d) =>
       graft.operators.Reports.lshCalibration(
         t(s, d, "documents").filter(col("doc_id") % 5 === 0),
@@ -2509,6 +2550,15 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$clustersCteSql
          |SELECT id, comp FROM labels""".stripMargin,
+
+    // mirrors the dedup_cluster_report rollup over the same labels CTE
+    "dedup_cluster_report" ->
+      s"""$clustersCteSql,
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS s
+         |       FROM labels GROUP BY 1)
+         |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(s * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin,
 
     "dedup_apply" ->
       s"""$clustersCteSql,
@@ -4074,6 +4124,50 @@ object SparkEntry {
     // mirrors Graphs.pageRank over the knn_graph edge set: the ranks are
     // ppm integers with truncating division, so three chained CTE
     // iterations reproduce the exact bits (no FP summation order anywhere)
+    // mirrors Graphs.personalizedPageRank over the same kNN-graph CTEs
+    // as pagerank_knn, with restart mass confined to the seed set —
+    // exact integer ppm, unrolled iterations
+    "ppr_expansion" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      def iter(i: Int): String =
+        s"""s$i AS (
+           |  SELECT e.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+           |  FROM edges e JOIN outd o USING (src)
+           |  JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.id,
+           |    CAST(n.seed * 150000 + (85 * coalesce(s$i.s, 0)) // 100
+           |         AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.id)""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |         FROM edges GROUP BY 1),
+         |nodes AS (SELECT vec_id AS id,
+         |            CAST(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END
+         |                 AS BIGINT) AS seed
+         |          FROM embeddings),
+         |r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS r FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, r AS rank_ppm FROM r3""".stripMargin
+    },
+
     "pagerank_knn" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)
       val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
@@ -4317,6 +4411,43 @@ object SparkEntry {
         |                                   ORDER BY dist2 DESC, vec_id) AS rk
         |      FROM scored)
         |WHERE rk <= 5""".stripMargin,
+
+    // mirrors Reports.lshRecall: md5Bucket 20% sample, all-pairs truth
+    // via list_intersect (the same set arithmetic as T.jaccard), the
+    // dedup_minhash_pairs machinery restricted to the sample, exact
+    // counts per threshold
+    "lsh_recall" -> {
+      val cut = "CAST(concat('0x', substr(md5(concat('13', ':', " +
+        "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 500000"
+      s"""WITH sets AS (
+         |  SELECT doc_id AS id, $charShingles5Sql AS s
+         |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+         |        FROM documents WHERE $cut)),
+         |truth AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)),
+         |                 1), 6) AS tj
+         |  FROM sets a JOIN sets b ON a.id < b.id),
+         |cand AS (
+         |  SELECT id_a, id_b, CAST(1 AS BIGINT) AS hit
+         |  FROM (${minhashPairsSqlFor(s"WHERE $cut")})),
+         |flagged AS (
+         |  SELECT t.tj, coalesce(c.hit, 0) AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b
+         |  WHERE t.tj >= 0.2),
+         |spine AS (SELECT CAST(unnest([0.2, 0.25, 0.3, 0.5]) AS DOUBLE)
+         |            AS threshold)
+         |SELECT s.threshold,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(f.hit) AS BIGINT) AS n_caught,
+         |  round(CAST(sum(f.hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS recall
+         |FROM flagged f CROSS JOIN spine s
+         |WHERE f.tj >= s.threshold
+         |GROUP BY 1""".stripMargin
+    },
 
     // mirrors Reports.lshCalibration: the dedup_minhash_pairs replay
     // joined against the charShingles truth sets, 6-rounded true

@@ -309,4 +309,53 @@ object Graphs {
     }
     ranks
   }
+
+  /** Personalized PageRank (Haveliwala 2002) in the same EXACT-integer
+    * ppm semantics as [[pageRank]] — restart mass flows only to the SEED
+    * set, so rank concentrates around the seeds and decays with graph
+    * distance: the seed-expansion primitive ("grow this curated document
+    * set along the semantic-neighbor graph", the corpus-curation
+    * counterpart of topic-sensitive search ranking).
+    *
+    *   r₀(v)  = v∈S ? 10^6 : 0
+    *   r'(v) = (v∈S ? 150000 : 0) + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    *
+    * Truncating integer division throughout — a DEFINED deterministic
+    * semantics with no FP summation order to pin, replaying as unrolled
+    * SQL CTEs exactly like [[pageRank]]'s oracle. Dangling mass dropped
+    * (same documented divergence). Non-seed nodes unreachable from any
+    * seed hold rank 0 — the expansion frontier is `rank_ppm > 0`.
+    *
+    * Scale shape: identical to [[pageRank]] — edges and out-degrees
+    * localCheckpoint-ed once, each iteration one src-keyed join plus one
+    * dst-keyed sum; the seed table joins as a broadcast-size frame.
+    *
+    * @param seeds one-column (id) frame, the restart set */
+  def personalizedPageRank(
+      edges: DataFrame,
+      nodes: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val sd = seeds.select(col("id"), lit(1L).as("__seed"))
+    val n = nodes.select(col("id")).join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint() // consumed every iteration plus the init
+    var ranks = n.select(col("id"),
+      (col("__seed") * 1000000L).as("rank_ppm"))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(out, Seq("src"))
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), expr("rank_ppm div outdeg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = n.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (col("__seed") * 150000L + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("rank_ppm"))
+    }
+    ranks
+  }
 }

@@ -58,6 +58,66 @@ object Reports {
           count(lit(1)).cast("double")).as("mean_abs_err"))
   }
 
+  /** LSH RECALL measurement loop — the companion to [[lshCalibration]]'s
+    * bias report: calibration shows what the signature estimates MEAN;
+    * recall shows what the banding MISSES (pairs above a true-Jaccard
+    * threshold that never became candidates — the silent under-dedup a
+    * 100 TB run pays for a mis-tuned (k, bands)). Ground truth comes
+    * from ALL-PAIRS true Jaccard on a hash-deterministic SAMPLE (the
+    * [[graft.functions.HashFunctions.md5Bucket]] cut — replayable), so
+    * the quadratic stays sample-bounded while the LSH runs the exact
+    * production machinery on the same sample. One row per threshold:
+    * (threshold, n_true, n_caught, recall).
+    *
+    * Scale shape: the sample is a hash-Bernoulli cut (no shuffle); the
+    * truth join is sample², explicitly bounded by `sampleFrac` (this is
+    * the one deliberately-quadratic measurement op in the catalog — run
+    * it on the sample tier, never the corpus); the LSH side is the
+    * banded production path. Exactness: counts are exact longs, recall
+    * one IEEE division, true Jaccard the same set arithmetic both
+    * engines compute from identical shingle lists. */
+  def lshRecall(
+      docs: DataFrame,
+      sampleFrac: Double = 0.2,
+      shingleN: Int = 5,
+      k: Int = 8,
+      bands: Int = 4,
+      thresholds: Seq[Double] = Seq(0.2, 0.25, 0.3, 0.5),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      seed: Long = 13L): DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1, s"bad frac: $sampleFrac")
+    val sample = docs.filter(
+      pmod(graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
+        lit(1000000L)) < lit((sampleFrac * 1000000L).toLong))
+    val sets = Fan.spread(sample.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        T.charShingles(col(textCol), shingleN).as("__s"))
+      .localCheckpoint() // both sides of the truth self-join + the LSH run
+    val truth = sets.select(col("__id").as("id_a"), col("__s").as("__sa"))
+      .crossJoin(sets.select(col("__id").as("id_b"), col("__s").as("__sb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(T.jaccard(col("__sa"), col("__sb")), 6).as("__tj"))
+      .filter(col("__tj") >= thresholds.min)
+    val cand = Dedup
+      .minhashLsh(sample, textCol, idCol, shingleN, k, bands,
+        tier = Dedup.PortableMd5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    val flagged = truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("__tj"), coalesce(col("__hit"), lit(0L)).as("__hit"))
+    val tSpine = sample.sparkSession.range(1)
+      .select(explode(array(thresholds.sorted.map(lit): _*)).as("threshold"))
+    flagged
+      .crossJoin(tSpine)
+      .filter(col("__tj") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_true"), sum(col("__hit")).as("n_caught"))
+      .select(col("threshold"), col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double") /
+          col("n_true").cast("double"), 6).as("recall"))
+  }
+
   /** Per-group equi-width histogram of an integer metric: `(group, bin,
     * n_rows)` with `bin = min(v div width, nBins−1)` — the length/size
     * distribution report a corpus audit reads next to the robust stats

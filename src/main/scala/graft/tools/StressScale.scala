@@ -727,7 +727,21 @@ object StressScale {
         graft.operators.Reports.driftPsi(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
-          length(col("text")), width = 40L, nBins = 10))
+          length(col("text")), width = 40L, nBins = 10)),
+      // LSH recall loop at corpus scale: the deliberately-quadratic
+      // truth join stays SAMPLE-bounded (0.5% of 200k → ~1000 docs →
+      // ~500k truth pairs) while the banding runs the production path
+      timeNoop("lsh_recall")(
+        graft.operators.Reports.lshRecall(docs, sampleFrac = 0.005)),
+      // seed expansion: personalized PageRank over the synthetic graph
+      timeNoop("ppr_expansion")(
+        graft.operators.Graphs.personalizedPageRank(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")),
+          spark.range(n).select(col("id")),
+          spark.range(n).filter(col("id") % 97 === 0).select(col("id")),
+          iters = 3))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

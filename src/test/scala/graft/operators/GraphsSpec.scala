@@ -162,6 +162,31 @@ class GraphsSpec extends SparkSpec {
     nodes.foreach { n => (got(n)._1, got(n)._2) shouldBe want(n) }
   }
 
+  behavior of "Graphs.personalizedPageRank"
+
+  it should "concentrate exact-integer rank around the seed set" in {
+    // path 1→2→3 with node 4 isolated, seed {1}. Hand-unrolled:
+    // r1 = (150000, 850000, 0); r2 = (150000, 127500, 722500);
+    // r3 = (150000, 127500, 108375) — rank decays with seed distance,
+    // the isolate holds 0
+    val edges = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graphs.personalizedPageRank(edges, nodes, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L, 4L -> 0L)
+  }
+
+  it should "reduce to global pageRank when every node is a seed" in {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = Graphs.personalizedPageRank(edges, nodes, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graphs.pageRank(edges, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ppr shouldBe pr
+  }
+
   behavior of "Graphs.kCore"
 
   /** Brute-force reference: peel until stable, any order (confluent). */

@@ -251,6 +251,24 @@ class ReportsSpec extends SparkSpec {
     one.isNullAt(3) shouldBe true
   }
 
+  behavior of "lshRecall"
+
+  it should "catch every planted exact near-dup pair at high thresholds" in {
+    // 6 copies of one doc (15 pairs at tj = 1.0, identical signatures →
+    // every band collides) among 20 distinct-random docs
+    val rnd = new scala.util.Random(7)
+    val docs = ((0 until 6).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again")) ++
+      (6 until 26).map(i => (i.toLong,
+        Seq.fill(12)(rnd.alphanumeric.take(8).mkString).mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Reports.lshRecall(docs, sampleFrac = 1.0,
+      thresholds = Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got(0.9) shouldBe ((15L, 15L, 1.0))
+    got(0.5)._3 shouldBe 1.0 // nothing between 0.5 and 0.9 in this corpus
+  }
+
   behavior of "dpCounts"
 
   it should "add bounded seeded Laplace noise that scales as 1/epsilon" in {
