@@ -1470,14 +1470,14 @@ object SparkEntry {
     // The calibration runs on the doc_id%5==0 SAMPLE — its own scale
     // contract (a tuning measurement: the truth join ships shingle sets
     // onto every candidate pair, so sampling bounds the pair mass)
-    // LSH recall loop: ground-truth all-pairs Jaccard on a 50% hash
+    // LSH recall loop: ground-truth all-pairs Jaccard on a 25% hash
     // sample vs the production md5-tier banding — what the banding
     // MISSES per true-similarity threshold (the under-dedup monitor
     // tuned before a full run; the deliberately-quadratic op stays
     // sample-bounded)
     "lsh_recall" -> ((s, d) =>
       graft.operators.Reports.lshRecall(
-        t(s, d, "documents"), sampleFrac = 0.5)),
+        t(s, d, "documents"), sampleFrac = 0.25)),
 
     "lsh_calibration" -> ((s, d) =>
       graft.operators.Reports.lshCalibration(
@@ -4418,7 +4418,7 @@ object SparkEntry {
     // counts per threshold
     "lsh_recall" -> {
       val cut = "CAST(concat('0x', substr(md5(concat('13', ':', " +
-        "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 500000"
+        "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 250000"
       s"""WITH sets AS (
          |  SELECT doc_id AS id, $charShingles5Sql AS s
          |  FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
