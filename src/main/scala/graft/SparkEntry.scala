@@ -347,6 +347,17 @@ object SparkEntry {
         T.meanTokenLen(col("text")).as("mean_token_len"),
         T.punctRatio(col("text")).as("punct_ratio"))),
 
+    // Flesch reading-ease per doc (vowel-run syllable proxy): the prose-
+    // difficulty gate next to the Gopher rules — row-local regex counts,
+    // one IEEE expression
+    "text_readability" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("bigint").as("n_words"),
+        T.sentenceCount(col("text")).cast("bigint").as("n_sentences"),
+        T.syllableCount(col("text")).cast("bigint").as("n_syllables"),
+        T.fleschReadingEase(col("text")).as("flesch"))),
+
     // Gopher-style repetition signals: repeated-token ratio + in-document
     // duplicate-line fraction (loop/boilerplate smells)
     "text_repetition" -> ((s, d) =>
@@ -1891,6 +1902,21 @@ object SparkEntry {
     "event_paths" -> ((s, d) =>
       graft.streaming.EventStreams.eventPaths(eventsUs(s, d))),
 
+    // User acquisition curve: first-seen day per user → per-day new
+    // users + running total (the window runs on the day frame only)
+    "user_growth" -> ((s, d) =>
+      graft.streaming.EventStreams.userGrowth(eventsUs(s, d))),
+
+    // Regular-grid resampling with linear interpolation: per user,
+    // `value` sampled onto a 6-hour grid by composing the backward and
+    // forward as-of joins — two keyed shuffles, grid never event-scale
+    "event_resample" -> ((s, d) =>
+      graft.operators.Joins.resampleInterpolate(
+        eventsUs(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("value")),
+        Seq("user_id"), "ts", "value", "event_id",
+        stepUs = 21600000000L)),
+
     // Metric drift: per event type, OLS slope of value over the DAY
     // index — exact integer/decimal sums (day is small, value has fixed
     // scale), one keyed agg, IEEE only at the final slope division
@@ -2621,6 +2647,24 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS punct_ratio
          |FROM documents""".stripMargin,
+
+    // mirrors T.fleschReadingEase: same regex counts, same min-1
+    // conventions, one IEEE expression
+    "text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS w,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |         AS BIGINT) AS sn,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |         AS BIGINT) AS sy
+         |  FROM documents)
+         |SELECT doc_id, w AS n_words, sn AS n_sentences, sy AS n_syllables,
+         |  round(206.835
+         |    - 1.015 * (CAST(greatest(w, 1) AS DOUBLE) / CAST(sn AS DOUBLE))
+         |    - 84.6 * (CAST(sy AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE)),
+         |    6) AS flesch
+         |FROM c""".stripMargin,
 
     // mirrors Reports.zipfFit: the freq_spectrum CTE, one f-ordered
     // list per Σ (identical fold order to sort_array + aggregate), the
@@ -5200,6 +5244,61 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n_occurrences DESC, path
         |LIMIT 20""".stripMargin,
+
+    // mirrors EventStreams.userGrowth: per-user min day, per-day count,
+    // running sum over the day frame
+    "user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_total_users
+        |FROM d""".stripMargin,
+
+    // mirrors Joins.resampleInterpolate: per-user ceil/floor grid (floor
+    // division — epochs are positive, so // == div), bracketing events
+    // via max/min joins with the as-of tie rules (max_by/min_by on the
+    // seq column), the same IEEE interpolation expression
+    "event_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+        |b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(range(
+        |    ((lo + 21599999999) // 21600000000) * 21600000000,
+        |    (hi // 21600000000) * 21600000000 + 1,
+        |    21600000000)) AS t
+        |  FROM b
+        |  WHERE ((lo + 21599999999) // 21600000000) * 21600000000
+        |        <= (hi // 21600000000) * 21600000000),
+        |prev AS (
+        |  SELECT g.user_id, g.t, max(e.t) AS ta
+        |  FROM g JOIN e ON e.user_id = g.user_id AND e.t <= g.t
+        |  GROUP BY 1, 2),
+        |pva AS (
+        |  SELECT p.user_id, p.t, p.ta, max_by(e.value, e.event_id) AS ya
+        |  FROM prev p JOIN e ON e.user_id = p.user_id AND e.t = p.ta
+        |  GROUP BY 1, 2, 3),
+        |nxt AS (
+        |  SELECT g.user_id, g.t, min(e.t) AS tb
+        |  FROM g JOIN e ON e.user_id = g.user_id AND e.t >= g.t
+        |  GROUP BY 1, 2),
+        |nva AS (
+        |  SELECT n.user_id, n.t, n.tb, min_by(e.value, e.event_id) AS yb
+        |  FROM nxt n JOIN e ON e.user_id = n.user_id AND e.t = n.tb
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.user_id, p.t AS ts,
+        |  round(CASE WHEN n.tb > p.ta
+        |             THEN p.ya + (n.yb - p.ya)
+        |                  * (CAST(p.t - p.ta AS DOUBLE)
+        |                     / CAST(n.tb - p.ta AS DOUBLE))
+        |             ELSE p.ya END, 6) AS value
+        |FROM pva p JOIN nva n ON p.user_id = n.user_id AND p.t = n.t""".stripMargin,
 
     // mirrors Reports.groupTrend: exact BIGINT/DECIMAL sums per group
     // (commutative — no fold order to pin), doubles only in the final

@@ -410,4 +410,64 @@ object Joins {
     // repeated bench/verify evaluations); default stays catalog-managed
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Resample an irregular per-key time series onto a REGULAR grid with
+    * linear interpolation — the feature-engineering staple (irregular
+    * sensor/event values → fixed-step model inputs) built by COMPOSING
+    * the as-of machinery: one backward [[asOfJoin]] brackets each grid
+    * point from the left, one [[asOfJoinForward]] from the right, and
+    * the interpolation is a single row-local IEEE expression between the
+    * two exact bracket values.
+    *
+    * Grid: for each key, points t = k·`stepUs` with min(ts) ≤ t ≤
+    * max(ts) (one keyed bounds agg + an engine-side `sequence` explode —
+    * no driver state). Every grid point has both brackets by
+    * construction. A grid point landing EXACTLY on an event returns
+    * that event's value (the `next_ts > asof_ts` guard short-circuits
+    * the 0/0).
+    *
+    * Scale shape: two as-of joins = two key-shuffled spillable-sort
+    * windows (the [[asOfJoin]] contract, whale caveat and banded escape
+    * hatch included); the grid is span/step rows per key, never
+    * event-scale. Determinism: bracket choice inherits the as-of tie
+    * rules (seqCol-ordered), interpolation is one IEEE expression from
+    * exact inputs.
+    *
+    * @return (keys, ts = grid point, value = interpolated, 6-rounded) */
+  def resampleInterpolate(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valCol: String,
+      seqCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"step must be positive: $stepUs")
+    val kCols = keys.map(col)
+    val grid = events
+      .groupBy(kCols: _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+      // ceil(lo/step)*step .. floor(hi/step)*step — `div` truncates
+      // toward zero; timestamps are non-negative epochs here
+      .withColumn("__s", expr(s"((__lo + ${stepUs - 1}) div $stepUs) * $stepUs"))
+      .withColumn("__e", expr(s"(__hi div $stepUs) * $stepUs"))
+      // keys whose span straddles no grid point drop BEFORE the
+      // sequence (an inverted range would throw, not return empty)
+      .filter(col("__s") <= col("__e"))
+      .select(kCols :+
+        explode(sequence(col("__s"), col("__e"), lit(stepUs))).as(tsCol): _*)
+    val ev = events.select((kCols :+ col(tsCol) :+ col(seqCol) :+
+      col(valCol)): _*)
+    val back = asOfJoin(grid, ev, keys, tsCol, seqCol, Seq(valCol))
+    val both = asOfJoinForward(back, ev, keys, tsCol, seqCol, Seq(valCol))
+    val ta = col(s"asof_$tsCol")
+    val tb = col(s"next_$tsCol")
+    val ya = col(s"asof_$valCol")
+    val yb = col(s"next_$valCol")
+    both.select(kCols :+ col(tsCol) :+
+      round(
+        when(tb > ta,
+          ya + (yb - ya) * ((col(tsCol) - ta).cast("double") /
+            (tb - ta).cast("double")))
+          .otherwise(ya), 6).as(valCol): _*)
+  }
 }

@@ -188,6 +188,33 @@ object EventStreams {
         .as("ewma"))
   }
 
+  /** User-growth curve: per day, how many users appeared for the FIRST
+    * time and the running total — the DAU-adjacent acquisition report
+    * (cohort analysis' x-axis). Two exact keyed aggregates (per-user min
+    * day — map-side partials over the event stream — then a per-day
+    * count) and ONE running sum on the DAY frame, whose single-partition
+    * window is ≤ a-few-thousand rows at any corpus scale (days, not
+    * events — the same day-frame discipline as the hourly rollups).
+    *
+    * @param tsCol epoch-micros BIGINT
+    * @return (day, n_new_users, n_total_users) */
+  def userGrowth(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      dayUs: Long = 86400000000L): DataFrame = {
+    val perDay = events
+      .groupBy(col(userCol))
+      .agg(min(expr(s"$tsCol div $dayUs")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    perDay.select(col("day"), col("n_new_users"),
+      sum(col("n_new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("n_total_users"))
+  }
+
   /** Per-user event-PATH mining: the top-k most frequent ordered
     * event-type n-grams (default trigrams) across all users — the
     * higher-order companion to [[eventTransitions]]' first-order matrix

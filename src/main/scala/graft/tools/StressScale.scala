@@ -741,7 +741,20 @@ object StressScale {
               j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")),
           spark.range(n).select(col("id")),
           spark.range(n).filter(col("id") % 97 === 0).select(col("id")),
-          iters = 3))
+          iters = 3)),
+      // grid resample: two composed as-of joins (backward + forward) +
+      // one row-local interpolation; grid = users × span/step, never
+      // event-scale
+      timeNoop("event_resample")(
+        graft.operators.Joins.resampleInterpolate(
+          events.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(1000)).cast("double")
+              / 10.0)),
+          Seq("user_id"), "ts", "value", "event_id",
+          stepUs = 21600000000L)),
+      // acquisition curve: two keyed aggs + a day-frame running sum
+      timeNoop("user_growth")(
+        graft.streaming.EventStreams.userGrowth(events))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

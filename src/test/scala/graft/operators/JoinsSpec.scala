@@ -281,4 +281,26 @@ class JoinsSpec extends SparkSpec {
     Joins.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
       binWidth = 10L, maxBinsPerInterval = 1000).count() shouldBe 0L
   }
+
+  behavior of "Joins.resampleInterpolate"
+
+  it should "linearly interpolate between bracketing events on the grid" in {
+    val ev = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 100L, 2L, 20.0), (1L, 250L, 3L, 50.0),
+      // user 7: one event between grid points — span holds no grid
+      // point, so the user contributes no rows (inverted range guard)
+      (7L, 75L, 4L, 9.9)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Joins.resampleInterpolate(
+      ev, Seq("user_id"), "ts", "value", "event_id", stepUs = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got shouldBe Map(
+      (1L, 0L) -> 10.0, // exact hit
+      (1L, 50L) -> 15.0, // 10 + 10·(50/100)
+      (1L, 100L) -> 20.0, // exact hit
+      (1L, 150L) -> 30.0, // 20 + 30·(50/150)
+      (1L, 200L) -> 40.0,
+      (1L, 250L) -> 50.0)
+  }
 }
