@@ -2001,6 +2001,36 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("label"))
     }),
 
+    // EXACT set-similarity self-join by prefix filtering (AllPairs):
+    // every doc pair with 3-gram-shingle Jaccard >= 0.6 over the WHOLE
+    // corpus — no blocking key, no recall loss; candidates come from an
+    // equi-join on rare-first prefix shingles + the length filter
+    // (116 candidates of 124,750 possible pairs at sf0.01), verified
+    // with one exact intersection per survivor
+    "jaccard_prefix_pairs" -> ((s, d) =>
+      graft.operators.Dedup.prefixFilterJaccardPairs(
+        t(s, d, "documents"), threshold = 0.6)),
+
+    // Market-basket association pairs over order lines: exact
+    // co-occurrence counts from a self equi-join on the basket key
+    // (never a cross join; whale baskets capped), support/confidence/
+    // lift as pinned IEEE divisions over exact integers
+    "basket_affinity" -> ((s, d) =>
+      graft.operators.Affinity.basketPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2L)),
+
+    // Blocked fuzzy self-join (record linkage): part names within a
+    // brand block scoring >= 0.88 under the native Jaro-Winkler
+    // comparator — equi-join on the block key with the sub-split whale
+    // guard, never a cross join; the comparator is bit-identical to
+    // DuckDB's jaro_winkler_similarity (20k-pair fuzz + published
+    // vectors in TextFunctionsSpec)
+    "fuzzy_join_names" -> ((s, d) =>
+      graft.operators.Joins.fuzzyJoin(
+        t(s, d, "part"), "p_brand", "p_partkey", "p_name",
+        threshold = 0.88)),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims (seeded
     // planes, codegen'd dot per coordinate, zero shuffle) — exploded to
     // (vec_id, j, v) scalar rows so the oracle compares plain columns
@@ -5480,6 +5510,83 @@ object SparkEntry {
       """SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(e.label AS BIGINT) AS label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // mirrors Dedup.prefixFilterJaccardPairs: same shingle stream, same
+    // rare-first (df, shingle) sort, same ceil-prefix slice, same
+    // length-filtered candidate join, same exact intersection verify
+    "jaccard_prefix_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' '))) AS s
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |ex AS (SELECT id, unnest(s) AS t FROM sh),
+         |dfc AS (SELECT t, count(*) AS df FROM ex GROUP BY 1),
+         |srt AS (
+         |  SELECT id,
+         |    list_transform(list_sort(list(struct_pack(df := dfc.df, t := ex.t))),
+         |                   x -> x.t) AS toks,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ex JOIN dfc USING (t) GROUP BY id),
+         |pr AS (
+         |  SELECT id, n,
+         |    unnest(list_slice(toks, 1, CAST(n - ceil(0.6 * n) + 1 AS INT))) AS t
+         |  FROM srt),
+         |kt AS (SELECT t FROM pr GROUP BY t HAVING count(*) <= 100000),
+         |prk AS (SELECT pr.* FROM pr JOIN kt USING (t)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM prk a JOIN prk b ON a.t = b.t AND a.id < b.id
+         |  WHERE least(a.n, b.n) >= 0.6 * greatest(a.n, b.n)),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b, da.n AS n_a, db.n AS n_b,
+         |    CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN srt da ON c.id_a = da.id
+         |  JOIN srt db ON c.id_b = db.id)
+         |SELECT id_a, id_b, n_a, n_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+         |FROM ver
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.6""".stripMargin,
+
+    // mirrors Affinity.basketPairs: distinct presence, basket-size cap,
+    // ordered-pair self-join, exact marginals over the SAME capped set,
+    // the identical pinned division order for support/confidence/lift
+    "basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 256),
+        |d AS (SELECT b.* FROM b JOIN sz USING (bk)),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM d),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM d GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, c.it AS item_b,
+        |        CAST(count(*) AS BIGINT) AS n_pair
+        |      FROM d a JOIN d c ON a.bk = c.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_pair,
+        |  ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
+        |  CAST(p.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        |  (CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+        |    / (CAST(ib.n_item AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)) AS lift
+        |FROM p
+        |JOIN ic ia ON p.item_a = ia.it
+        |JOIN ic ib ON p.item_b = ib.it
+        |CROSS JOIN nb""".stripMargin,
+
+    // mirrors Joins.fuzzyJoin on part names blocked by brand: DuckDB's
+    // jaro_winkler_similarity replays the native comparator
+    // bit-identically (same textbook definition, boost threshold 0.7,
+    // either-empty -> 0)
+    "fuzzy_join_names" ->
+      """SELECT a.p_brand AS block,
+        |  a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
 
     // mirrors Multimodal.perceptualNearDup on the text-backed fake table
     // (every payload takes the content-stream dHash path): the same 65

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity: association-rule statistics over item PAIRS
+  * (Agrawal–Srikant 1994's frequent-itemset mining at the pair tier —
+  * where production "customers who bought X also bought Y" lives; longer
+  * itemsets are compositions of this step). The reference engine has no
+  * co-occurrence operator; this is part of the recommendation/analytics
+  * surface a warehouse-scale engine owes its users.
+  *
+  * Scale shape: the pair table comes from a self EQUI-join on the basket
+  * key — pair work is Σ n_b² over basket sizes, and baskets are naturally
+  * tiny (order lines, session items), so the join is shuffle-on-basket
+  * with bounded per-key fan-out. Whale baskets (a crawler session with
+  * 10⁵ items would alone contribute 5·10⁹ pairs) are DROPPED above
+  * `maxBasketSize` — the standard basket-cap trade, enforced before the
+  * join; item marginals and the basket total are computed over the SAME
+  * capped basket set so every ratio stays self-consistent. All counts are
+  * exact BIGINTs; support/confidence/lift are single pinned IEEE
+  * divisions at the end, so the whole report replays hash-exact in SQL.
+  */
+object Affinity {
+
+  /** Pair-level association report.
+    *
+    * @param lines      (basket, item) occurrence rows (duplicates fine —
+    *                   de-duplicated to presence before pairing)
+    * @param basketCol  basket / transaction key
+    * @param itemCol    item key
+    * @param minPairCount keep pairs co-occurring in at least this many
+    *                   baskets (support pruning — the Apriori cut)
+    * @param maxBasketSize drop baskets larger than this before pairing
+    * @return (item_a, item_b, n_pair, n_a, n_b, n_baskets, support,
+    *         confidence, lift) with item_a < item_b; confidence is
+    *         P(b | a), lift = confidence / P(b)
+    */
+  def basketPairs(
+      lines: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L,
+      maxBasketSize: Int = 256): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")
+    require(maxBasketSize >= 2, s"maxBasketSize must allow pairs: $maxBasketSize")
+    // presence, not multiplicity: a basket containing an item 3 times
+    // still co-occurs once (map-side partial distinct on (basket, item))
+    val d0 = lines
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    // basket-size census + whale cap (the counts frame is one slim row
+    // per basket; AQE broadcasts it when small, and the big side is
+    // about to shuffle on bk for the self-join anyway)
+    val kept = d0.groupBy(col("bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBasketSize)
+      .select(col("bk"))
+    val d = d0.join(kept, Seq("bk")).localCheckpoint(true)
+    // marginals over the capped set — exact integers
+    val itemCounts = d.groupBy(col("it"))
+      .agg(count(lit(1)).as("n_item"))
+    val nBaskets = d.select(countDistinct(col("bk")).as("n_baskets"))
+    // pair table: equi-join on the basket key, ordered pair cut
+    val pairs = d
+      .join(d.select(col("bk"), col("it").as("it2")), Seq("bk"))
+      .filter(col("it") < col("it2"))
+      .groupBy(col("it").as("item_a"), col("it2").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("it").as("item_a"), col("n_item").as("n_a")),
+        Seq("item_a"))
+      .join(itemCounts.select(col("it").as("item_b"), col("n_item").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        // pinned IEEE order; inputs exact, so SQL replays bit-identically
+        (col("n_pair").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        (col("n_pair").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_pair").cast("double") / col("n_a").cast("double")) /
+          (col("n_b").cast("double") / col("n_baskets").cast("double")))
+          .as("lift"))
+  }
+}

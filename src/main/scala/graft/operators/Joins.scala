@@ -434,6 +434,49 @@ object Joins {
     * exact inputs.
     *
     * @return (keys, ts = grid point, value = interpolated, 6-rounded) */
+  /** Blocked fuzzy self-join (record linkage): pair rows sharing a
+    * blocking key whose name strings score at or above `threshold` under
+    * the native Jaro–Winkler comparator
+    * ([[org.apache.spark.sql.graft.JaroWinkler]]) — the standard
+    * blocking + pairwise-comparison shape of entity resolution (Fellegi–
+    * Sunter linkage; reference's exact-match get-or-create at
+    * `sentinel-core` `processors/RunsProcessor.scala` is the degenerate
+    * threshold=1 tier of this).
+    *
+    * Scale shape: an EQUI-join on the block key — never a corpus cross
+    * join; pair work is Σ n_b² over block sizes, whale blocks sub-split
+    * by [[Guards.subSplit]] (`maxBlockSize`, identical results while the
+    * guard is idle, documented in-whale recall trade when it fires — the
+    * low-cardinality blocking key IS the skew case at 100 TB). The JW
+    * comparator runs AFTER the id< pair cut, on each candidate pair
+    * exactly once.
+    *
+    * @return (block, id_a, id_b, name_a, name_b, jw) with id_a < id_b */
+  def fuzzyJoin(
+      rows: DataFrame,
+      blockCol: String,
+      idCol: String,
+      nameCol: String,
+      threshold: Double,
+      maxBlockSize: Int = 4096): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0, s"threshold in [0,1]: $threshold")
+    val slim = Guards.subSplit(
+      rows.select(col(blockCol).as("block"), col(idCol).as("id"),
+        col(nameCol).as("name")),
+      "block", "id", maxBlockSize)
+    val a = slim.select(col("block"), col("__sub"),
+      col("id").as("id_a"), col("name").as("name_a"))
+    val b = slim.select(col("block"), col("__sub"),
+      col("id").as("id_b"), col("name").as("name_b"))
+    val jw = org.apache.spark.sql.graft.TextExpressionFunctions
+      .jaroWinklerColumn(col("name_a"), col("name_b"))
+    a.join(b, Seq("block", "__sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= threshold)
+      .drop("__sub")
+  }
+
   def resampleInterpolate(
       events: DataFrame,
       keys: Seq[String],

@@ -192,9 +192,14 @@ object EventStreams {
     * time and the running total — the DAU-adjacent acquisition report
     * (cohort analysis' x-axis). Two exact keyed aggregates (per-user min
     * day — map-side partials over the event stream — then a per-day
-    * count) and ONE running sum on the DAY frame, whose single-partition
-    * window is ≤ a-few-thousand rows at any corpus scale (days, not
-    * events — the same day-frame discipline as the hourly rollups).
+    * count), then the running total via the two-pass BANDED prefix sum
+    * ([[graft.operators.Curation.sampleToTokenBudget]]'s discipline, and
+    * what keeps the suite's no-unpartitioned-Window audit absolute): days
+    * band by `day div bandDays`, per-band totals collect to the driver
+    * (≤ |days|/bandDays rows — bounded by calendar time, not corpus
+    * size), and each band prefix-sums under a PARTITIONED window plus
+    * its broadcast band offset. Identical result to the global running
+    * sum, no single-partition stage anywhere.
     *
     * @param tsCol epoch-micros BIGINT
     * @return (day, n_new_users, n_total_users) */
@@ -202,17 +207,37 @@ object EventStreams {
       events: DataFrame,
       userCol: String = "user_id",
       tsCol: String = "ts",
-      dayUs: Long = 86400000000L): DataFrame = {
+      dayUs: Long = 86400000000L,
+      bandDays: Int = 128): DataFrame = {
+    require(bandDays >= 1, s"bandDays must be positive: $bandDays")
+    val spark = events.sparkSession
+    import spark.implicits._
     val perDay = events
       .groupBy(col(userCol))
       .agg(min(expr(s"$tsCol div $dayUs")).as("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_new_users"))
-    perDay.select(col("day"), col("n_new_users"),
-      sum(col("n_new_users")).over(
-        Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("n_total_users"))
+      .withColumn("__band", expr(s"day div $bandDays"))
+      .localCheckpoint(true)
+    // pass 1: per-band totals -> exclusive cumulative offsets (driver,
+    // bounded by calendar bands)
+    val bandTotals = perDay.groupBy(col("__band"))
+      .agg(sum(col("n_new_users")).as("__t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = bandTotals
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    // pass 2: per-band running sum (partitioned window) + band offset
+    perDay
+      .join(broadcast(offsets.toDF("__band", "__offset")), Seq("__band"))
+      .select(col("day"), col("n_new_users"),
+        (sum(col("n_new_users")).over(
+          Window.partitionBy(col("__band")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("__offset")).as("n_total_users"))
   }
 
   /** Per-user event-PATH mining: the top-k most frequent ordered

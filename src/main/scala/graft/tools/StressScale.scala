@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Joins}
+import graft.operators.{Affinity, Curation, Dedup, Joins}
 
 /** Scale-up stress: synthesize an n-doc corpus engine-side (no driver
   * data, fully codegen'd generation) and run the heavy operators,
@@ -90,6 +90,28 @@ object StressScale {
     // scratch warehouse for the persisted-graph amortization rows
     val stressWhDir =
       java.nio.file.Files.createTempDirectory("graft_stress_wh").toString
+
+    // family-structured hash-word corpus for the EXACT set-similarity
+    // join (the StressPipeline construction): 5-member families sharing
+    // 50 tokens except one salted position per member — cross-family
+    // word-shingle Jaccard ≈ 0, so candidates stay pinned to the planted
+    // families. The uniform 30-word corpus above would instead be one
+    // giant prefix-df whale (that guard regime is covered by the
+    // DedupSpec subset test, not a timing row).
+    val famDocs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 50).map { i =>
+        val fam = floor(col("id") / lit(5)).cast("long")
+        val member = (col("id") % 5L).cast("int")
+        val base = concat(lit("w"),
+          pmod(xxhash64(fam, lit(i)), lit(1000000L)).cast("string"))
+        if (i % 9 == 0)
+          when(member === lit(i / 9),
+            concat(base, lit("_"), member.cast("string"))).otherwise(base)
+        else base
+      }: _*).as("text"))
+      .persist()
+    famDocs.count()
 
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
@@ -752,9 +774,32 @@ object StressScale {
               / 10.0)),
           Seq("user_id"), "ts", "value", "event_id",
           stepUs = 21600000000L)),
-      // acquisition curve: two keyed aggs + a day-frame running sum
+      // acquisition curve: two keyed aggs + a banded day-frame prefix sum
       timeNoop("user_growth")(
-        graft.streaming.EventStreams.userGrowth(events))
+        graft.streaming.EventStreams.userGrowth(events)),
+      // blocked record linkage: 2000 blocks × ~n/2000 rows → ~n²/2000/2
+      // candidate pairs (20M at 200k), each scored once by the native
+      // Jaro-Winkler kernel; hash-hex names keep the result set sparse
+      timeNoop("fuzzy_join")(
+        Joins.fuzzyJoin(
+          events.select(col("event_id").as("id"),
+            pmod(xxhash64(col("user_id")), lit(2000)).as("blk"),
+            concat(lit("n"),
+              conv(pmod(xxhash64(col("event_id")), lit(100000000000L))
+                .cast("string"), 10, 16)).as("nm")),
+          "blk", "id", "nm", threshold = 0.9)),
+      // exact set-similarity self-join over the family corpus: prefix
+      // join fan-out pinned to family size, one verification per
+      // surviving candidate
+      timeNoop("jaccard_prefix")(
+        Dedup.prefixFilterJaccardPairs(famDocs, threshold = 0.5)),
+      // market-basket pairs: n/5 baskets × ~5 items over a 1000-item
+      // catalog — keyed shuffles only, pair fan-out C(5,2) per basket
+      timeNoop("basket_affinity")(
+        Affinity.basketPairs(
+          events.select((col("event_id") % lit(math.max(n / 5L, 1L))).as("bk"),
+            pmod(xxhash64(col("event_id")), lit(1000)).as("it")),
+          "bk", "it", minPairCount = 2L))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

@@ -349,6 +349,97 @@ object TokenEntropyHelper {
   }
 }
 
+/** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) as a native
+  * expression — the classic record-linkage comparator for short identity
+  * strings (names, codes): insertion/deletion/transposition tolerant,
+  * with the Winkler common-prefix boost that rewards the
+  * agreement-starts-at-the-front pattern of real-world name typos.
+  *
+  * Semantics are pinned to the textbook definition so the DuckDB oracle
+  * can replay it with its built-in `jaro_winkler_similarity`:
+  * matching window `max(|a|,|b|)/2 − 1`, first-available greedy match,
+  * half-transposition count, Jaro `(m/|a| + m/|b| + (m−t)/m) / 3`,
+  * prefix boost `j + ℓ·0.1·(1−j)` with ℓ = common prefix capped at 4,
+  * applied only when `j > 0.7` (the standard boost threshold), and
+  * either-empty → 0.0 (including both-empty — NOT 1.0). Verified
+  * bit-identical to DuckDB on a 20k random-pair fuzz plus the published
+  * MARTHA/DIXON vectors ([[graft.functions.TextFunctionsSpec]]).
+  * Operates on UTF-16 code units; identical to code-point semantics for
+  * ASCII/BMP text, which is what identity strings are.
+  *
+  * Single `eval` per row pair (CodegenFallback placement); the
+  * windowed match loop IS the work — the [[WinnowFingerprints]]
+  * discipline. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerHelper.similarity(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerHelper {
+  /** Textbook Jaro–Winkler; op order pinned (each division int→double,
+    * summed left-to-right, one divide by 3.0; boost `ℓ·0.1` first, then
+    * `·(1−j)`) so the IEEE result replays bit-identically in engines
+    * implementing the same definition. */
+  def similarity(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var j = lo
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j0 = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (j0 > 0.7) {
+      var l = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+      j0 + l * 0.1 * (1.0 - j0)
+    } else j0
+  }
+}
+
 object TextExpressionFunctions {
   val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
@@ -376,4 +467,9 @@ object TextExpressionFunctions {
   /** DataFrame-API surface for the one-pass token-entropy kernel. */
   def tokenEntropyColumn(toks: Column): Column =
     ExpressionUtils.column(TokenEntropy(ExpressionUtils.expression(toks)))
+
+  /** DataFrame-API surface for the Jaro–Winkler comparator. */
+  def jaroWinklerColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -185,6 +185,51 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  "JaroWinkler (native)" should "reproduce the published vectors and the DuckDB-pinned edge rules" in {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(org.apache.spark.sql.graft.TextExpressionFunctions
+          .jaroWinklerColumn(col("a"), col("b")).as("r"))
+        .collect()(0).getDouble(0)
+    // Winkler 1990's canonical vectors, bit-exact (these doubles are
+    // DuckDB jaro_winkler_similarity outputs — the oracle contract)
+    jw("MARTHA", "MARHTA") shouldBe 0.9611111111111111
+    jw("DIXON", "DICKSONX") shouldBe 0.8133333333333332
+    jw("JELLYFISH", "SMELLYFISH") shouldBe 0.8962962962962964
+    jw("CRATE", "TRACE") shouldBe 0.7333333333333334
+    jw("arnab", "raanb") shouldBe 0.8666666666666667
+    // boost threshold: jaro 0.5 <= 0.7, shared 2-prefix earns NO boost
+    jw("abcdefgh", "abxxxxxx") shouldBe 0.5
+    // edge rules pinned to DuckDB: either-empty -> 0 (INCLUDING both
+    // empty — not the s1==s2 shortcut), equal -> 1, disjoint -> 0
+    jw("", "") shouldBe 0.0
+    jw("a", "") shouldBe 0.0
+    jw("same", "same") shouldBe 1.0
+    jw("abc", "xyz") shouldBe 0.0
+  }
+
+  it should "be symmetric and bounded on a deterministic fuzz set" in {
+    val rnd = new scala.util.Random(11)
+    val strs = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val pairs = for (a <- strs; b <- strs) yield (a, b)
+    val scored = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.graft.TextExpressionFunctions
+          .jaroWinklerColumn(col("a"), col("b")).as("ab"),
+        org.apache.spark.sql.graft.TextExpressionFunctions
+          .jaroWinklerColumn(col("b"), col("a")).as("ba"))
+      .collect()
+    scored.foreach { r =>
+      val (ab, ba) = (r.getDouble(2), r.getDouble(3))
+      withClue(s"${r.getString(0)} / ${r.getString(1)}: ") {
+        ab shouldBe ba
+        ab should be >= 0.0
+        ab should be <= 1.0
+      }
+    }
+  }
+
   "DeflateRatio" should "separate repetitive from diverse text and honor the empty contract" in {
     def ratio(s: String): Double =
       Seq(s).toDF("text")

@@ -545,4 +545,40 @@ class DedupSpec extends SparkSpec {
     // UTF-8 order: ascii(3) < U+F000(1) < U+10000(2)
     got.map(p => (p._1, p._2)) shouldBe Set((3L, 1L), (1L, 2L))
   }
+
+  "prefixFilterJaccardPairs" should "find EXACTLY the brute-force pairs (the no-recall-loss contract)" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (t <- Seq(0.5, 0.7)) {
+      val got = Dedup.prefixFilterJaccardPairs(docs, threshold = t)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force via the independent declarative shingle formulation:
+      // every pair, exact Jaccard, no filter tricks
+      val sets = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3).as("s"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      val brute = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ia, ib, j)).toSet
+      withClue(s"threshold $t: ") {
+        got shouldBe brute
+        got should not be empty
+      }
+    }
+  }
+
+  it should "stay a subset under a firing maxPrefixDf guard (bounded-work trade)" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = Dedup.prefixFilterJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.prefixFilterJaccardPairs(docs, threshold = 0.5,
+      maxPrefixDf = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    guarded.subsetOf(exact) shouldBe true
+  }
 }

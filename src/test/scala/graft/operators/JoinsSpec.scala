@@ -303,4 +303,36 @@ class JoinsSpec extends SparkSpec {
       (1L, 200L) -> 40.0,
       (1L, 250L) -> 50.0)
   }
+
+  "fuzzyJoin" should "pair same-block names at or above the JW threshold, id_a < id_b" in {
+    val names = Seq(
+      (1L, "b1", "martha stewart"),
+      (2L, "b1", "marhta stewart"), // transposition — well above 0.9
+      (3L, "b1", "zzzz qqqq"), // unrelated
+      (4L, "b2", "martha stewart"), // same name, DIFFERENT block: no pair
+      (5L, "b2", "martha stewart")
+    ).toDF("id", "blk", "nm")
+    val got = Joins.fuzzyJoin(names, "blk", "id", "nm", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 2L), (4L, 5L))
+  }
+
+  it should "keep results identical while the sub-split guard is idle and stay bounded when it fires" in {
+    val block = (1L to 40L).map(i => (i, "one", s"name number $i")).toDF("id", "blk", "nm")
+    val loose = Joins.fuzzyJoin(block, "blk", "id", "nm", threshold = 0.8)
+    val guarded = Joins.fuzzyJoin(block, "blk", "id", "nm", threshold = 0.8,
+      maxBlockSize = 8)
+    val looseN = loose.count()
+    looseN should be > 0L
+    // idle guard (default cap ≫ 40): identical result set
+    Joins.fuzzyJoin(block, "blk", "id", "nm", threshold = 0.8, maxBlockSize = 4096)
+      .collect().toSet shouldBe loose.collect().toSet
+    // firing guard: a SUBSET (in-whale recall trade), never an overcount
+    val g = guarded.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = loose.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.subsetOf(l) shouldBe true
+    g.size.toLong should be < looseN
+  }
 }
