@@ -2001,6 +2001,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("label"))
     }),
 
+    // Rolling 7-day distinct active users (DAU/WAU), EXACT: one
+    // event-scale distinct to (day, user) presence, a bounded 7x explode
+    // of the DAU-bounded frame, keyed count-distinct per grid day
+    "rolling_active_users" -> ((s, d) =>
+      graft.streaming.EventStreams.rollingActiveUsers(eventsUs(s, d))),
+
+    // Two-sample A/B z-test per event type: md5-parity arm assignment on
+    // the user (stable, portable), exact DECIMAL moment sums over the
+    // quantized metric, one pinned IEEE Welch-z at the end
+    "ab_test_ztest" -> ((s, d) =>
+      graft.operators.Reports.abTest(
+        t(s, d, "events"), "event_type", "user_id", "value")),
+
     // EXACT set-similarity self-join by prefix filtering (AllPairs):
     // every doc pair with 3-gram-shingle Jaccard >= 0.6 over the WHOLE
     // corpus — no blocking key, no recall loss; candidates come from an
@@ -5510,6 +5523,47 @@ object SparkEntry {
       """SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(e.label AS BIGINT) AS label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // mirrors EventStreams.rollingActiveUsers: distinct presence, 7-day
+    // grid expansion, distinct-user count per occurring day
+    "rolling_active_users" ->
+      """WITH p AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id AS u
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM p),
+        |w AS (
+        |  SELECT g.day, count(DISTINCT p.u) AS a7
+        |  FROM p
+        |  JOIN days g ON g.day BETWEEN p.day AND p.day + 6
+        |  GROUP BY 1)
+        |SELECT d.day, CAST(d.a1 AS BIGINT) AS active_1d,
+        |  CAST(w.a7 AS BIGINT) AS active_7d
+        |FROM (SELECT day, count(*) AS a1 FROM p GROUP BY 1) d
+        |JOIN w USING (day)""".stripMargin,
+
+    // mirrors Reports.abTest: same md5-parity arm, same floor-quantized
+    // metric, exact HUGEINT moments, the identical pinned Welch-z
+    "ab_test_ztest" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |m AS (
+        |  SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS ss
+        |  FROM e GROUP BY 1, 2)
+        |SELECT a.grp, a.n AS n_a, b.n AS n_b,
+        |  a.s / a.n AS mean_qa, b.s / b.n AS mean_qb,
+        |  (a.ss - a.s * a.s / a.n) / (a.n - 1.0) AS var_qa,
+        |  (b.ss - b.s * b.s / b.n) / (b.n - 1.0) AS var_qb,
+        |  (a.s / a.n - b.s / b.n) /
+        |    sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1.0)) / a.n
+        |       + ((b.ss - b.s * b.s / b.n) / (b.n - 1.0)) / b.n) AS z
+        |FROM m a JOIN m b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1
+        |WHERE a.n >= 2 AND b.n >= 2""".stripMargin,
 
     // mirrors Dedup.prefixFilterJaccardPairs: same shingle stream, same
     // rare-first (df, shingle) sort, same ceil-prefix slice, same

@@ -682,6 +682,62 @@ object Reports {
     *
     * @param tsCol epoch-micros BIGINT event time
     * @return (cohort_week, week_offset, n_users, retention) */
+  /** Two-sample A/B z-test per experiment group: deterministic 50/50
+    * assignment on the randomization UNIT (md5Bucket parity — the
+    * split/shard discipline: stable under retries, portable to SQL, and
+    * a user keeps their arm as the corpus grows), Welch's z over the
+    * unit-level metric. The analysis every event-pipeline owner runs
+    * before trusting a treatment effect.
+    *
+    * Exactness discipline: the metric is quantized (`floor(value ·
+    * quantScale)` — floor of an identical IEEE product, portable), and
+    * the per-arm moment sums (n, Σq, Σq²) accumulate as exact
+    * DECIMAL(38,0) — Σq² of a BIGINT-scale metric overflows long at
+    * corpus scale, and a double sum is order-dependent. One pinned IEEE
+    * expression at the end turns the exact moments into means, sample
+    * variances and the Welch z, so the whole report replays hash-exact
+    * in SQL (HUGEINT accumulation on the DuckDB side). Groups need ≥ 2
+    * units per arm (sample variance).
+    *
+    * @return (grp, n_a, n_b, mean_qa, mean_qb, var_qa, var_qb, z) on the
+    *         quantized scale; z is scale-invariant so it equals the
+    *         raw-metric z exactly */
+  def abTest(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      seed: Long = 42L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val arm = pmod(graft.functions.HashFunctions.md5Bucket(seed, col(unitCol)),
+      lit(2L))
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val moments = events
+      .select(col(groupCol).as("grp"), arm.as("__arm"), q.as("__q"))
+      .groupBy(col("grp"), col("__arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q").cast("decimal(28,0)")).as("s"),
+        sum((col("__q").cast("decimal(18,0)") *
+          col("__q").cast("decimal(18,0)"))).as("ss"))
+    def armSide(v: Int, sfx: String) = moments.filter(col("__arm") === v)
+      .select(col("grp"), col("n").as(s"n_$sfx"),
+        col("s").cast("double").as(s"__s_$sfx"),
+        col("ss").cast("double").as(s"__ss_$sfx"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val meanA = col("__s_a") / nA
+    val meanB = col("__s_b") / nB
+    val varA = (col("__ss_a") - col("__s_a") * col("__s_a") / nA) / (nA - 1.0)
+    val varB = (col("__ss_b") - col("__s_b") * col("__s_b") / nB) / (nB - 1.0)
+    armSide(0, "a").join(armSide(1, "b"), Seq("grp"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        meanA.as("mean_qa"), meanB.as("mean_qb"),
+        varA.as("var_qa"), varB.as("var_qb"),
+        ((meanA - meanB) / sqrt(varA / nA + varB / nB)).as("z"))
+  }
+
   def retentionCohorts(
       events: DataFrame,
       bucketUs: Long = 7L * 86400L * 1000000L,

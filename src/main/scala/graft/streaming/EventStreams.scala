@@ -188,6 +188,47 @@ object EventStreams {
         .as("ewma"))
   }
 
+  /** Rolling 7-day (windowDays) distinct active users per day — the DAU/
+    * WAU report, EXACT. A sliding-window COUNT DISTINCT cannot be
+    * composed from per-day partials (distinct does not sum), and the
+    * naive per-day re-scan of the event stream is windowDays full passes;
+    * the scale shape here is the standard expand-then-count: reduce the
+    * stream to distinct (day, user) presence rows FIRST (the only
+    * event-scale shuffle, map-side partial distinct; output is
+    * DAU-bounded, orders of magnitude below event count), fan each
+    * presence row out to the ≤ windowDays grid days it covers (a bounded
+    * row-local explode of the ALREADY-reduced frame), keep grid days
+    * that actually occur, and count distinct users per grid day. Exact
+    * at every scale; the windowDays× expansion of a DAU-bounded frame is
+    * the price of exactness (an HLL-merge tier trades that for sketches
+    * — [[graft.operators.Frequency]]'s mergeable HLL composes with the
+    * same grid).
+    *
+    * @param tsCol epoch-micros BIGINT
+    * @return (day, active_1d, active_7d) for each day with any activity */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      windowDays: Int = 7,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val presence = events
+      .select(expr(s"$tsCol div $dayUs").as("day"), col(userCol).as("__u"))
+      .distinct()
+      .localCheckpoint(true) // 3 consumers: day grid, 1d counts, expansion
+    val days = presence.select(col("day")).distinct()
+    val daily = presence.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_1d"))
+    val windowed = presence
+      .select(explode(sequence(col("day"),
+        col("day") + lit(windowDays - 1L))).as("day"), col("__u"))
+      .join(days.hint("broadcast"), Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as(s"active_${windowDays}d"))
+    daily.join(windowed, Seq("day"))
+  }
+
   /** User-growth curve: per day, how many users appeared for the FIRST
     * time and the running total — the DAU-adjacent acquisition report
     * (cohort analysis' x-axis). Two exact keyed aggregates (per-user min

@@ -799,7 +799,20 @@ object StressScale {
         Affinity.basketPairs(
           events.select((col("event_id") % lit(math.max(n / 5L, 1L))).as("bk"),
             pmod(xxhash64(col("event_id")), lit(1000)).as("it")),
-          "bk", "it", minPairCount = 2L))
+          "bk", "it", minPairCount = 2L)),
+      // exact DAU/WAU: one event-scale distinct, then a 7x explode of
+      // the DAU-bounded presence frame
+      timeNoop("rolling_active")(
+        graft.streaming.EventStreams.rollingActiveUsers(events)),
+      // A/B report: one keyed moment aggregate over the stream + a
+      // 10-row arm join
+      timeNoop("ab_test")(
+        graft.operators.Reports.abTest(
+          events.select(pmod(col("user_id"), lit(5)).cast("string").as("grp"),
+            col("user_id"),
+            (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+              / 100.0).as("value")),
+          "grp", "user_id", "value"))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

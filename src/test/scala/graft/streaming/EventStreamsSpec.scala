@@ -378,4 +378,69 @@ class EventStreamsSpec extends SparkSpec {
     // bigrams: A>B ×2, B>C, C>A; top-2 with the tie cut by path order
     got shouldBe Array(("A>B", 2L), ("B>C", 1L))
   }
+
+  "rollingActiveUsers" should "count exact sliding-window distinct users per occurring day" in {
+    val day = 86400000000L
+    // day 0: users 1,2; day 1: user 1 (twice — presence, not events);
+    // day 5: user 3; day 9: user 1
+    val ev = Seq(
+      (0L * day + 5L, 1L), (0L * day + 9L, 2L),
+      (1L * day + 1L, 1L), (1L * day + 2L, 1L),
+      (5L * day + 3L, 3L),
+      (9L * day + 7L, 1L)
+    ).toDF("ts", "user_id")
+    val got = EventStreams.rollingActiveUsers(ev, windowDays = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // window [d-2, d]: day0 {1,2}; day1 {1,2} (day0 spill); day5 {3};
+    // day9 {1} — days 2-4, 6-8 never occur, so they are absent
+    got shouldBe Map(
+      0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 5L -> ((1L, 1L)), 9L -> ((1L, 1L)))
+  }
+
+  "abTest" should "compute Welch's z from exact quantized moments with a deterministic arm split" in {
+    // values chosen integral so quantization is lossless; arms are
+    // md5-parity of user_id — read the split back from the result sizes
+    val ev = (1L to 40L).map { u =>
+      ("exp1", u, if (u % 2 == 0) 10.0 + (u % 5) else 10.0 + (u % 7))
+    }.toDF("event_type", "user_id", "value")
+    val row = graft.operators.Reports.abTest(ev, "event_type", "user_id", "value")
+      .collect()
+    row.length shouldBe 1
+    val r = row(0)
+    val (na, nb) = (r.getLong(1), r.getLong(2))
+    na + nb shouldBe 40L
+    na should be >= 2L
+    nb should be >= 2L
+    // driver-side replay over the SAME md5-parity assignment
+    def bucket(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42:$u".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val byArm = (1L to 40L).groupBy(bucket).view
+      .mapValues(_.map(u => math.floor(
+        (if (u % 2 == 0) 10.0 + (u % 5) else 10.0 + (u % 7)) * 1000.0)))
+    def stats(xs: Iterable[Double]): (Long, Double, Double) = {
+      val n = xs.size.toDouble
+      val s = xs.sum
+      val ss = xs.map(x => x * x).sum
+      (xs.size.toLong, s / n, (ss - s * s / n) / (n - 1.0))
+    }
+    val (ea, ma, va) = stats(byArm(0L))
+    val (eb, mb, vb) = stats(byArm(1L))
+    na shouldBe ea
+    nb shouldBe eb
+    r.getDouble(3) shouldBe ma +- 1e-9
+    r.getDouble(4) shouldBe mb +- 1e-9
+    r.getDouble(7) shouldBe
+      ((ma - mb) / math.sqrt(va / ea + vb / eb)) +- 1e-9
+  }
+
+  it should "drop groups lacking two units in either arm" in {
+    val ev = Seq(("solo", 1L, 5.0), ("solo", 3L, 6.0)).toDF(
+      "event_type", "user_id", "value")
+    graft.operators.Reports.abTest(ev, "event_type", "user_id", "value")
+      .count() shouldBe 0L
+  }
 }
