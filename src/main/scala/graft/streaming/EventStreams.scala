@@ -188,6 +188,67 @@ object EventStreams {
         .as("ewma"))
   }
 
+  /** Per-key Holt double-exponential smoothing (Holt 1957): EWMA's
+    * trend-aware sibling — state (level, trend) with
+    * `ℓₜ = α·xₜ + (1−α)(ℓₜ₋₁ + bₜ₋₁)`,
+    * `bₜ = β·(ℓₜ − ℓₜ₋₁) + (1−β)·bₜ₋₁`, seeded ℓ₁ = x₁, b₁ = 0 — the
+    * one-step forecast `ℓ + b` is what a drifting metric's alert
+    * threshold should track (a plain EWMA lags a trending series
+    * forever).
+    *
+    * Same bounded-fold contract as [[ewmaSmooth]]: the fold runs over
+    * the last `maxHistory` events in (ts, id) order via the
+    * [[org.apache.spark.sql.graft.LastKValuesAgg]] partial aggregate
+    * (fixed per-key state at every scale), defined as WINDOWED Holt —
+    * exact over the suffix by definition, identical to the full fold for
+    * keys with ≤ maxHistory events. α = β = 1/2 default keeps every
+    * scale step exact in IEEE (the [[ewmaSmooth]] dyadic argument). The
+    * level recurrence is written once per field in the fold lambda (the
+    * interpreted-HOF double-evaluation costs 2 flops per step, not a
+    * loop-invariant recompute — the r9 audit trap needs per-element
+    * whole-array work to bite). Replays in SQL as a recursive CTE —
+    * NOT a `list_reduce` struct fold: DuckDB v1.0 mutates struct
+    * accumulator fields sequentially (field 2's expression reads field
+    * 1's NEW value), found building this oracle.
+    *
+    * @return (key, n_events, last_ts, holt_level, holt_trend, forecast)
+    *         with forecast = level + trend */
+  def holtSmooth(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      idCol: String = "event_id",
+      alpha: Double = 0.5,
+      beta: Double = 0.5,
+      maxHistory: Int = 64): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be positive")
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta in (0,1]: $alpha, $beta")
+    val packed = events.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsCol)).as("last_ts"),
+        org.apache.spark.sql.graft.TopKFunctions.lastKValues(
+          col(tsCol).cast("long"), col(idCol).cast("long"),
+          col(valueCol).cast("double"), maxHistory).as("__xs"))
+    val st = aggregate(col("__xs"),
+      struct(lit(null).cast("double").as("l"),
+        lit(null).cast("double").as("b")),
+      (s, x) => {
+        val l = s.getField("l")
+        val b = s.getField("b")
+        val ln = lit(alpha) * x + lit(1.0 - alpha) * (l + b)
+        when(l.isNull, struct(x.as("l"), lit(0.0).as("b")))
+          .otherwise(struct(ln.as("l"),
+            (lit(beta) * (ln - l) + lit(1.0 - beta) * b).as("b")))
+      })
+    packed.select(col(keyCol), col("n_events"), col("last_ts"),
+      st.getField("l").as("holt_level"),
+      st.getField("b").as("holt_trend"),
+      (st.getField("l") + st.getField("b")).as("forecast"))
+  }
+
   /** Rolling 7-day (windowDays) distinct active users per day — the DAU/
     * WAU report, EXACT. A sliding-window COUNT DISTINCT cannot be
     * composed from per-day partials (distinct does not sum), and the
