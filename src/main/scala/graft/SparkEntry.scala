@@ -1405,6 +1405,13 @@ object SparkEntry {
       graft.streaming.EventStreams.ewmaSmooth(
         eventsUs(s, d), maxHistory = EwmaMaxHistory)),
 
+    // Holt double-exponential smoothing per user: EWMA's trend-aware
+    // sibling — same bounded last-maxHistory fold (LastKValuesAgg),
+    // (level, trend) state, forecast = level + trend
+    "holt_smooth" -> ((s, d) =>
+      graft.streaming.EventStreams.holtSmooth(
+        eventsUs(s, d), maxHistory = EwmaMaxHistory)),
+
     // Skip-gram (center, context) pair table within a ±2 window, pairs
     // with corpus count >= 5 — row-local generation, one keyed count
     "skipgram_pairs" -> ((s, d) =>
@@ -1935,10 +1942,12 @@ object SparkEntry {
 
     // DP release: per-source counts + seeded Laplace(1/eps) noise from
     // the md5Bucket inverse-CDF — deterministic, replayable, one keyed
-    // count + row-local noise on the group frame
+    // count + row-local noise on the group frame; releaseId is the
+    // per-release nonce (fresh noise per publication)
     "dp_counts" -> ((s, d) =>
       graft.operators.Reports.dpCounts(
-        t(s, d, "documents"), "source", epsilon = 1.0, seed = 42L)),
+        t(s, d, "documents"), "source", epsilon = 1.0, seed = 42L,
+        releaseId = "r0")),
 
     // Snapshot drift: PSI over n_chars deciles between the even- and
     // odd-id halves of the corpus (stand-ins for yesterday/today) —
@@ -4438,6 +4447,41 @@ object SparkEntry {
         |                   ELSE s * 0.5 + x * 0.5 END) AS ewma
         |FROM g""".stripMargin,
 
+    // mirrors EventStreams.holtSmooth: same per-user suffix list as the
+    // ewma oracle, then a RECURSIVE CTE stepping the (level, trend)
+    // recurrence — NOT a list_reduce struct fold (DuckDB mutates struct
+    // accumulator fields sequentially, so field 2 would read field 1's
+    // NEW value). b's expression repeats l_new verbatim: the repeated
+    // IEEE ops are bit-identical to Spark's per-field lambda evaluation
+    "holt_smooth" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(tsu) AS BIGINT) AS last_ts,
+        |    list_transform(
+        |      list_sort(list(struct_pack(t := tsu, i := event_id,
+        |                                 v := value))),
+        |      x -> x.v) AS vs
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT user_id, n_events, last_ts,
+        |    list_slice(vs, greatest(len(vs) - ${EwmaMaxHistory - 1}, 1),
+        |               len(vs)) AS xs
+        |  FROM g),
+        |r AS (
+        |  SELECT user_id, n_events, last_ts, xs, 1 AS k,
+        |    CAST(xs[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT user_id, n_events, last_ts, xs, k + 1,
+        |    0.5 * xs[k + 1] + 0.5 * (l + b),
+        |    0.5 * ((0.5 * xs[k + 1] + 0.5 * (l + b)) - l) + 0.5 * b
+        |  FROM r WHERE k < len(xs))
+        |SELECT user_id, n_events, last_ts,
+        |  l AS holt_level, b AS holt_trend, l + b AS forecast
+        |FROM r WHERE k = len(xs)""".stripMargin,
+
     // mirrors Curation.skipgramPairs: the shared pair-table replay with
     // the minCount cut on top
     "skipgram_pairs" ->
@@ -5417,15 +5461,15 @@ object SparkEntry {
         |  round(mi / nullif(sqrt(ha * hb), 0.0), 6) AS nmi
         |FROM f""".stripMargin,
 
-    // mirrors Reports.dpCounts: md5Bucket uniform ((v+0.5)/2^32),
-    // Laplace inverse CDF, identical expression shapes
+    // mirrors Reports.dpCounts: md5Bucket uniform ((v+0.5)/2^32) over
+    // (seed, releaseId, group), Laplace inverse CDF, identical shapes
     "dp_counts" ->
       """WITH g AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n
         |  FROM documents GROUP BY 1),
         |u AS (
         |  SELECT source, n,
-        |    (CAST(CAST(concat('0x', substr(md5(concat('42', ':', source)), 1, 8))
+        |    (CAST(CAST(concat('0x', substr(md5(concat('42', ':', 'r0', ':', source)), 1, 8))
         |               AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
         |  FROM g)
         |SELECT source,
@@ -5440,11 +5484,11 @@ object SparkEntry {
     "drift_psi" ->
       """WITH spine AS (SELECT unnest(range(0, 10)) AS bin),
         |ba AS (
-        |  SELECT CAST(least(n_chars // 100, 9) AS BIGINT) AS bin,
+        |  SELECT CAST(greatest(least(n_chars // 100, 9), 0) AS BIGINT) AS bin,
         |    CAST(count(*) AS BIGINT) AS na
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
         |bb AS (
-        |  SELECT CAST(least(n_chars // 100, 9) AS BIGINT) AS bin,
+        |  SELECT CAST(greatest(least(n_chars // 100, 9), 0) AS BIGINT) AS bin,
         |    CAST(count(*) AS BIGINT) AS nb
         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
         |grid AS (

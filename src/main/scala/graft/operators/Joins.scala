@@ -411,29 +411,6 @@ object Joins {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Resample an irregular per-key time series onto a REGULAR grid with
-    * linear interpolation — the feature-engineering staple (irregular
-    * sensor/event values → fixed-step model inputs) built by COMPOSING
-    * the as-of machinery: one backward [[asOfJoin]] brackets each grid
-    * point from the left, one [[asOfJoinForward]] from the right, and
-    * the interpolation is a single row-local IEEE expression between the
-    * two exact bracket values.
-    *
-    * Grid: for each key, points t = k·`stepUs` with min(ts) ≤ t ≤
-    * max(ts) (one keyed bounds agg + an engine-side `sequence` explode —
-    * no driver state). Every grid point has both brackets by
-    * construction. A grid point landing EXACTLY on an event returns
-    * that event's value (the `next_ts > asof_ts` guard short-circuits
-    * the 0/0).
-    *
-    * Scale shape: two as-of joins = two key-shuffled spillable-sort
-    * windows (the [[asOfJoin]] contract, whale caveat and banded escape
-    * hatch included); the grid is span/step rows per key, never
-    * event-scale. Determinism: bracket choice inherits the as-of tie
-    * rules (seqCol-ordered), interpolation is one IEEE expression from
-    * exact inputs.
-    *
-    * @return (keys, ts = grid point, value = interpolated, 6-rounded) */
   /** Blocked fuzzy self-join (record linkage): pair rows sharing a
     * blocking key whose name strings score at or above `threshold` under
     * the native Jaro–Winkler comparator
@@ -477,6 +454,29 @@ object Joins {
       .drop("__sub")
   }
 
+  /** Resample an irregular per-key time series onto a REGULAR grid with
+    * linear interpolation — the feature-engineering staple (irregular
+    * sensor/event values → fixed-step model inputs) built by COMPOSING
+    * the as-of machinery: one backward [[asOfJoin]] brackets each grid
+    * point from the left, one [[asOfJoinForward]] from the right, and
+    * the interpolation is a single row-local IEEE expression between the
+    * two exact bracket values.
+    *
+    * Grid: for each key, points t = k·`stepUs` with min(ts) ≤ t ≤
+    * max(ts) (one keyed bounds agg + an engine-side `sequence` explode —
+    * no driver state). Every grid point has both brackets by
+    * construction. A grid point landing EXACTLY on an event returns
+    * that event's value (the `next_ts > asof_ts` guard short-circuits
+    * the 0/0).
+    *
+    * Scale shape: two as-of joins = two key-shuffled spillable-sort
+    * windows (the [[asOfJoin]] contract, whale caveat and banded escape
+    * hatch included); the grid is span/step rows per key, never
+    * event-scale. Determinism: bracket choice inherits the as-of tie
+    * rules (seqCol-ordered), interpolation is one IEEE expression from
+    * exact inputs.
+    *
+    * @return (keys, ts = grid point, value = interpolated, 6-rounded) */
   def resampleInterpolate(
       events: DataFrame,
       keys: Seq[String],

@@ -379,14 +379,20 @@ object Reports {
     * column is deliberately absent from the output — releasing it would
     * void the mechanism.
     *
-    * Noise is DETERMINISTIC given (seed, group): the uniform comes from
-    * [[graft.functions.HashFunctions.md5Bucket]] (the sampler/sharder
-    * primitive, already engine-portable), inverse-CDF'd into a Laplace
-    * draw — so the release replays bit-for-bit in SQL and is
-    * reproducible across runs. (Cryptographic caveat, documented: a
-    * published seed lets noise be reconstructed; operationally the seed
-    * is a secret — the determinism here is the testing/replay contract,
-    * the same trade [[Dedup]]'s portable md5 tier makes.)
+    * Noise is DETERMINISTIC given (seed, group, releaseId): the uniform
+    * comes from [[graft.functions.HashFunctions.md5Bucket]] (the
+    * sampler/sharder primitive, already engine-portable), inverse-CDF'd
+    * into a Laplace draw — so a release replays bit-for-bit in SQL and
+    * is reproducible across runs. `releaseId` is the per-release nonce:
+    * WITHOUT it, two releases of the same group over evolving data would
+    * reuse identical noise and expose the exact count delta (and exact
+    * membership changes), voiding the epsilon claim even with a secret
+    * seed — every publication of fresh counts MUST carry a fresh
+    * releaseId, and epsilon composes additively across releases.
+    * (Cryptographic caveat, documented: a published seed lets noise be
+    * reconstructed; operationally the seed is a secret — the determinism
+    * here is the testing/replay contract, the same trade [[Dedup]]'s
+    * portable md5 tier makes.)
     *
     * Scale shape: one keyed count with map-side partials; noise is
     * row-local ON THE GROUP FRAME. */
@@ -394,9 +400,12 @@ object Reports {
       df: DataFrame,
       groupCol: String,
       epsilon: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      releaseId: String = "r0"): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    val u = (graft.functions.HashFunctions.md5Bucket(seed, col(groupCol))
+    require(releaseId.nonEmpty, "releaseId must be non-empty")
+    val u = (graft.functions.HashFunctions
+      .md5Bucket(seed, concat_ws(":", lit(releaseId), col(groupCol)))
       .cast("double") + 0.5) / 4294967296.0
     val noise = when(u < 0.5, log(u * 2.0) / epsilon)
       .otherwise(-log((lit(1.0) - u) * 2.0) / epsilon)
@@ -433,8 +442,12 @@ object Reports {
     require(width > 0 && nBins > 0, "need positive width and nBins")
     def binned(df: DataFrame, nCol: String): DataFrame = {
       val v = metric.cast("bigint")
-      df.select(least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L))
-        .as("bin"))
+      // clamp BOTH ends: without the greatest(), a negative metric gets
+      // a negative bin that falls off the [0, nBins) spine and silently
+      // vanishes from n_a/n_b, skewing the PSI with no signal
+      df.select(greatest(
+        least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L)),
+        lit(0L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
     }
     val spark = a.sparkSession
@@ -480,14 +493,28 @@ object Reports {
     *
     * Scale shape: the corpus is touched once for the cell count
     * (map-side partials); everything after runs on the cell frame
-    * (categorical cardinalities, not corpus-scale). */
+    * (categorical cardinalities, not corpus-scale). The cell frame is
+    * collected into ONE row for the pinned fold, so its size is
+    * fail-fast ENFORCED (`maxCells`, the [[Dedup]] `maxDriverEdges`
+    * pattern) — pointed at a high-cardinality pair (user_id × url) the
+    * census aborts with a clear message instead of building a giant row
+    * and dying opaquely in the collect. */
   def mutualInformation(
       df: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String,
+      maxCells: Long = 1L << 20): DataFrame = {
+    require(maxCells > 0, s"maxCells must be positive: $maxCells")
     val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
-      .localCheckpoint() // three consumers: joint fold + two marginals
+      .localCheckpoint() // four consumers: census + joint fold + marginals
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"mutualInformation: $nCells distinct ($aCol, $bCol) cells exceed " +
+        s"maxCells=$maxCells — this report folds the full cell table in " +
+        s"one row and is meant for CATEGORICAL pairs; pick lower-" +
+        s"cardinality columns or raise maxCells only if the cells fit " +
+        s"driver memory")
     val aM = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ni"))
     val bM = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__nj"))
     def entropyFold(arr: org.apache.spark.sql.Column,
@@ -669,19 +696,6 @@ object Reports {
     }.reduce(_ unionByName _)
   }
 
-  /** Retention cohort matrix over an event stream: cohort = the bucket
-    * (default: week) of a user's FIRST activity; each cell counts the
-    * cohort's users still active `week_offset` buckets later, with
-    * `retention` = cell / cohort size. The product-analytics staple, in
-    * the shape that scales: the raw stream collapses to DISTINCT
-    * (user, bucket) rows first (one keyed distinct — the only corpus-
-    * scale shuffle), the cohort min and the matrix are aggs over that
-    * slim frame, and the retention normalizer is a window over the
-    * bucket-cardinality matrix, never the events. Exact integer bucket
-    * math (`ts div bucketUs`), one IEEE division for the ratio.
-    *
-    * @param tsCol epoch-micros BIGINT event time
-    * @return (cohort_week, week_offset, n_users, retention) */
   /** Two-sample A/B z-test per experiment group: deterministic 50/50
     * assignment on the randomization UNIT (md5Bucket parity — the
     * split/shard discipline: stable under retries, portable to SQL, and
@@ -691,8 +705,12 @@ object Reports {
     *
     * Exactness discipline: the metric is quantized (`floor(value ·
     * quantScale)` — floor of an identical IEEE product, portable), and
-    * the per-arm moment sums (n, Σq, Σq²) accumulate as exact
-    * DECIMAL(38,0) — Σq² of a BIGINT-scale metric overflows long at
+    * the per-arm moment sums (n, Σq, Σq²) accumulate as exact decimals —
+    * Σq as DECIMAL(28,0) and Σq² as a DECIMAL(19,0)×DECIMAL(19,0)
+    * product summed at DECIMAL(38,0): q is a LONG, so |q| < 2⁶³ fits
+    * precision 19 exactly (never the silent null an 18-digit cast
+    * produces under non-ANSI overflow) and q² < 2¹²⁶ ≈ 8.5e37 fits the
+    * 38-digit product — Σq² of a BIGINT-scale metric overflows long at
     * corpus scale, and a double sum is order-dependent. One pinned IEEE
     * expression at the end turns the exact moments into means, sample
     * variances and the Welch z, so the whole report replays hash-exact
@@ -718,8 +736,8 @@ object Reports {
       .groupBy(col("grp"), col("__arm"))
       .agg(count(lit(1)).as("n"),
         sum(col("__q").cast("decimal(28,0)")).as("s"),
-        sum((col("__q").cast("decimal(18,0)") *
-          col("__q").cast("decimal(18,0)"))).as("ss"))
+        sum((col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)"))).as("ss"))
     def armSide(v: Int, sfx: String) = moments.filter(col("__arm") === v)
       .select(col("grp"), col("n").as(s"n_$sfx"),
         col("s").cast("double").as(s"__s_$sfx"),
@@ -738,6 +756,19 @@ object Reports {
         ((meanA - meanB) / sqrt(varA / nA + varB / nB)).as("z"))
   }
 
+  /** Retention cohort matrix over an event stream: cohort = the bucket
+    * (default: week) of a user's FIRST activity; each cell counts the
+    * cohort's users still active `week_offset` buckets later, with
+    * `retention` = cell / cohort size. The product-analytics staple, in
+    * the shape that scales: the raw stream collapses to DISTINCT
+    * (user, bucket) rows first (one keyed distinct — the only corpus-
+    * scale shuffle), the cohort min and the matrix are aggs over that
+    * slim frame, and the retention normalizer is a window over the
+    * bucket-cardinality matrix, never the events. Exact integer bucket
+    * math (`ts div bucketUs`), one IEEE division for the ratio.
+    *
+    * @param tsCol epoch-micros BIGINT event time
+    * @return (cohort_week, week_offset, n_users, retention) */
   def retentionCohorts(
       events: DataFrame,
       bucketUs: Long = 7L * 86400L * 1000000L,

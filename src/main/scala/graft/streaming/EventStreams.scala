@@ -378,10 +378,17 @@ object EventStreams {
       .map(i => lag(col(typeCol), i).over(byUser)) :+ col(typeCol)
     val grams = events
       .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      // validity = every LAG step is non-null (fewer than n−1 prior
+      // events leaves the outer lags null). Filtering on the lag
+      // columns directly — NOT on the separator count of the
+      // concatenated path — keeps the gate correct when an event_type
+      // itself contains the '>' separator (a separator-count filter
+      // would drop those valid paths), and matches the SQL oracle's
+      // lag null-checks exactly. All steps share one window spec, so
+      // Catalyst still plans a single Window exec
+      .withColumn("__valid", steps.init.map(_.isNotNull).reduce(_ && _))
       .withColumn("__path", concat_ws(">", steps: _*))
-      // a NULL step (fewer than n prior events) drops out of concat_ws,
-      // leaving fewer than n−1 separators — filter on separator count
-      .filter(size(split(col("__path"), ">", -1)) === n)
+      .filter(col("__valid"))
       .select(col("__path").as("path"), col(userCol))
     grams.groupBy(col("path"))
       .agg(count(lit(1)).as("n_occurrences"),

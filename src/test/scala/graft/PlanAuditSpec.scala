@@ -434,6 +434,19 @@ class PlanAuditSpec extends SparkSpec {
   "ewma_smooth" should "be one user-keyed aggregation with no join" in {
     val plan = executed("ewma_smooth")
     plan should include("Aggregate")
+    // the bounded-fold contract: history rides the LastKValuesAgg
+    // partial aggregate (fixed per-key state), never a collect_list
+    plan should include("graft_last_k_values")
+    plan should not include "collect_list"
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  "holt_smooth" should "ride the same bounded LastKValuesAgg fold as ewma" in {
+    val plan = executed("holt_smooth")
+    plan should include("Aggregate")
+    plan should include("graft_last_k_values")
+    plan should not include "collect_list"
     plan should not include "Join"
     plan should not include "Window"
   }

@@ -289,6 +289,14 @@ class ReportsSpec extends SparkSpec {
     }
     // different groups draw different noise
     r1("s0") should not be r1("s1")
+    // the per-release nonce: a fresh releaseId redraws the noise (two
+    // releases must never reuse noise — the delta would leak exactly),
+    // and the same releaseId replays bit-for-bit
+    val r2 = Reports.dpCounts(docs, "source", epsilon = 1.0, releaseId = "r1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1.keys.foreach(k => r2(k) should not be r1(k))
+    Reports.dpCounts(docs, "source", epsilon = 1.0, releaseId = "r1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe r2
   }
 
   behavior of "driftPsi"
@@ -314,6 +322,19 @@ class ReportsSpec extends SparkSpec {
     far.getDouble(3) should be > 0.0
   }
 
+  it should "clamp negative metric values into bin 0 instead of dropping them" in {
+    // -250 and -5 must land in bin 0 (not fall off the spine and vanish
+    // from the totals); totals account for EVERY row on both sides
+    val a = Seq(-250L, -5L, 50L, 150L).toDF("m")
+    val b = Seq(10L, 20L, 110L, 990L).toDF("m")
+    val r = Reports.driftPsi(a, b, col("m"), width = 100L, nBins = 10)
+      .collect()(0)
+    r.getLong(1) shouldBe 4L // n_a counts the negatives
+    r.getLong(2) shouldBe 4L
+    // bin0 holds 3 of a's rows vs 2 of b's → a real PSI contribution
+    r.getDouble(3) should be > 0.0
+  }
+
   behavior of "mutualInformation"
 
   it should "report 0 for independent and 1 (normalized) for determined columns" in {
@@ -336,6 +357,22 @@ class ReportsSpec extends SparkSpec {
     val rc = Reports.mutualInformation(const, "a", "b").collect()(0)
     rc.getDouble(2) shouldBe 0.0 // h_a
     rc.isNullAt(5) shouldBe true
+  }
+
+  it should "fail fast on a high-cardinality pair and stay idle on categorical input" in {
+    // 64 distinct (a, b) cells against maxCells = 16: the census aborts
+    // with a clear message BEFORE the one-row collect builds
+    val wide = (1 to 64).map(i => (s"u$i", s"v$i")).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Reports.mutualInformation(wide, "a", "b", maxCells = 16L).collect()
+    }
+    ex.getMessage should include("maxCells")
+    ex.getMessage should include("64")
+    // same frame under the cap: identical result to the unguarded path
+    val ok = Reports.mutualInformation(wide, "a", "b", maxCells = 64L)
+      .collect()(0)
+    ok.getLong(0) shouldBe 64L
+    ok.getDouble(5) shouldBe 1.0 // b determined by a
   }
 
   behavior of "groupTrend"

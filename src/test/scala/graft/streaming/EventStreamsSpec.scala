@@ -339,6 +339,67 @@ class EventStreamsSpec extends SparkSpec {
       .getDouble(3) shouldBe full
   }
 
+  "holtSmooth" should "track level and trend in event-time order" in {
+    // user 1 scrambled; ts order 10→20→30, values 1, 2, 4, α = β = 1/2:
+    //   t1: l = 1, b = 0
+    //   t2: l = 0.5·2 + 0.5·(1+0)   = 1.5,   b = 0.5·(1.5−1) + 0   = 0.25
+    //   t3: l = 0.5·4 + 0.5·1.75    = 2.875, b = 0.5·1.375 + 0.125 = 0.8125
+    val ev = Seq(
+      (1L, 30L, 103L, 4.0),
+      (1L, 10L, 101L, 1.0),
+      (1L, 20L, 102L, 2.0),
+      (2L, 99L, 201L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = EventStreams.holtSmooth(ev)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    r(1L) shouldBe ((3L, 30L, 2.875, 0.8125, 3.6875))
+    // a single-event key seeds (l = x, b = 0) — forecast is the value
+    r(2L) shouldBe ((1L, 99L, 7.5, 0.0, 7.5))
+  }
+
+  it should "fold exactly the bounded last-maxHistory suffix per key" in {
+    // scrambled 100-event series; the operator must equal a driver
+    // replay of the Holt recurrence over ONLY the last 8 values in
+    // (ts, id) order, and equal the full fold when maxHistory >= n
+    val vals = (1L to 100L).map(t => (t, t, math.sin(t.toDouble) * 10.0))
+    val ev = scala.util.Random.shuffle(vals)
+      .map { case (t, i, v) => (9L, t, i, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+      .repartition(7)
+    def holtReplay(xs: Seq[Double]): (Double, Double) =
+      xs.tail.foldLeft((xs.head, 0.0)) { case ((l, b), x) =>
+        val ln = 0.5 * x + 0.5 * (l + b)
+        (ln, 0.5 * (ln - l) + 0.5 * b)
+      }
+    val r = EventStreams.holtSmooth(ev, maxHistory = 8).collect()(0)
+    val (l8, b8) = holtReplay(
+      vals.sortBy(x => (x._1, x._2)).takeRight(8).map(_._3))
+    r.getLong(1) shouldBe 100L
+    r.getLong(2) shouldBe 100L
+    r.getDouble(3) shouldBe l8
+    r.getDouble(4) shouldBe b8
+    r.getDouble(5) shouldBe (l8 + b8)
+    val (lf, bf) = holtReplay(vals.sortBy(x => (x._1, x._2)).map(_._3))
+    val full = EventStreams.holtSmooth(ev, maxHistory = 100).collect()(0)
+    full.getDouble(3) shouldBe lf
+    full.getDouble(4) shouldBe bf
+  }
+
+  it should "out-track a plain EWMA on a linearly trending series" in {
+    // x_t = 2t: Holt's forecast locks onto the trend (error → 0), the
+    // EWMA lags a constant ~2 steps behind — the reason the operator
+    // exists next to ewmaSmooth
+    val ev = (1L to 40L).map(t => (3L, t, t, 2.0 * t))
+      .toDF("user_id", "ts", "event_id", "value")
+    val holt = EventStreams.holtSmooth(ev).collect()(0)
+    val next = 2.0 * 41L
+    math.abs(holt.getDouble(5) - next) should be < 0.1
+    val ewma = EventStreams.ewmaSmooth(ev).collect()(0)
+    math.abs(ewma.getDouble(3) - next) should be > 3.0
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
@@ -377,6 +438,17 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     // bigrams: A>B ×2, B>C, C>A; top-2 with the tie cut by path order
     got shouldBe Array(("A>B", 2L), ("B>C", 1L))
+  }
+
+  it should "keep paths whose event types contain the separator character" in {
+    // 'X>Y' as a TYPE: the validity gate is the lag null-check, so the
+    // path survives (a separator-count filter would wrongly drop it)
+    val ev = Seq(
+      (1L, 10L, 1L, "X>Y"), (2L, 20L, 1L, "B"), (3L, 30L, 1L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.eventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array(("X>Y>B>C", 1L, 1L))
   }
 
   "rollingActiveUsers" should "count exact sliding-window distinct users per occurring day" in {
