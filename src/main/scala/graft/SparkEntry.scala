@@ -1288,12 +1288,11 @@ object SparkEntry {
     // 2-core of the MUTUAL 5-NN graph: keep only reciprocated neighbor
     // links (the mutual-kNN graph, the standard density-based clustering
     // substrate), then peel — pendant mutual pairs drop, densely
-    // reciprocal neighborhoods survive with their in-core degree.
-    // ROWS-ONLY by design: the peeling fixpoint's round count is
-    // data-dependent, so no fixed CTE unrolling replays it; semantics
-    // pinned by GraphsSpec's brute-force peeling property test
-    // (order-free confluence makes the answer unique, independent of
-    // Spark's execution order)
+    // reciprocal neighborhoods survive with their in-core degree. The
+    // peel fixpoint is order-free (GraphsSpec pins confluence), so the
+    // oracle unrolls maxIter peel rounds — rounds past convergence are
+    // no-ops, making the unrolling exact despite the data-dependent
+    // round count
     "graph_kcore" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val anchors = e.filter(col("vec_id") < 8)
@@ -2015,6 +2014,13 @@ object SparkEntry {
     // of the DAU-bounded frame, keyed count-distinct per grid day
     "rolling_active_users" -> ((s, d) =>
       graft.streaming.EventStreams.rollingActiveUsers(eventsUs(s, d))),
+
+    // Sketch tier of rolling_active_users: per-grid-day HLL instead of
+    // exact countDistinct — the shuffle carries fixed-size register
+    // states, not (day, user) pairs. Approximate + hash-order-blind, so
+    // rows-only; parity vs the exact tier pinned in EventStreamsSpec
+    "rolling_active_users_hll" -> ((s, d) =>
+      graft.streaming.EventStreams.rollingActiveUsersHll(eventsUs(s, d))),
 
     // Two-sample A/B z-test per event type: md5-parity arm assignment on
     // the user (stable, portable), exact DECIMAL moment sums over the
@@ -4299,6 +4305,50 @@ object SparkEntry {
          |${iter(2)},
          |${iter(3)}
          |SELECT id, r AS rank_ppm FROM r3""".stripMargin
+    },
+
+    // mirrors the graph_kcore query: the pagerank_knn kNN-edge CTEs at
+    // k=5, the mutual restriction, symmetrize+distinct, then UNROLLED
+    // peel rounds. The peel is an order-free integer fixpoint (GraphsSpec
+    // pins confluence), so unrolling maxIter=30 rounds replays it
+    // EXACTLY: rounds after convergence are no-ops, and a non-converged
+    // graph stops at the same 30th state the Scala loop does
+    "graph_kcore" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      // AS MATERIALIZED: every round references the previous one three
+      // times — inlined CTEs would expand 3^30 plan nodes
+      def peel(i: Int): String =
+        s"""k$i AS MATERIALIZED (SELECT src FROM a${i - 1} GROUP BY 1
+           |        HAVING count(*) >= 2),
+           |a$i AS MATERIALIZED (SELECT t.src, t.dst FROM a${i - 1} t
+           |        JOIN k$i s ON t.src = s.src
+           |        JOIN k$i d ON t.dst = d.src)""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 5)),
+         |mutual AS MATERIALIZED (
+         |  SELECT e1.src, e1.dst FROM edges e1
+         |  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM mutual
+         |    UNION ALL SELECT dst AS src, src AS dst FROM mutual)),
+         |${(1 to 30).map(peel).mkString(",\n")}
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM a30 GROUP BY 1""".stripMargin
     },
 
     // mirrors Curation.splitAssign: md5Bucket cut at the exact integer

@@ -290,6 +290,51 @@ object EventStreams {
     daily.join(windowed, Seq("day"))
   }
 
+  /** Sketch tier of [[rollingActiveUsers]]: the same presence-reduce +
+    * windowDays× grid expansion, but the per-grid-day distinct-user
+    * count is a mergeable HLL ([[org.apache.spark.sql.graft
+    * .HllCountAgg]], ~1.6% rel. error at the default precision 12)
+    * instead of exact. This is the tier a dashboard runs at 100 TB: the
+    * exact tier's `countDistinct` per grid day shuffles every distinct
+    * (day, user) pair to the day's reducer and holds a user-cardinality
+    * hash set there; the HLL partial-aggregates map-side, so the shuffle
+    * carries one FIXED 2^precision-byte register state per (task, day)
+    * and the reducer folds register maxima — cost per day is constant in
+    * user count. `active_1d` stays exact (the presence frame is already
+    * distinct — counting it adds nothing). Approximate and hash-order-
+    * blind, so no single-SQL oracle replay: rows-only, with the
+    * parity-vs-exact tolerance pinned in EventStreamsSpec.
+    *
+    * @param tsCol epoch-micros BIGINT
+    * @return (day, active_1d, active_{windowDays}d_hll) for occurring days */
+  def rollingActiveUsersHll(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      windowDays: Int = 7,
+      dayUs: Long = 86400000000L,
+      precision: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val presence = events
+      .select(expr(s"$tsCol div $dayUs").as("day"), col(userCol).as("__u"))
+      .distinct()
+      .localCheckpoint(true) // 3 consumers: day grid, 1d counts, expansion
+    val days = presence.select(col("day")).distinct()
+    val daily = presence.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_1d"))
+    val windowed = presence
+      .select(explode(sequence(col("day"),
+        col("day") + lit(windowDays - 1L))).as("day"), col("__u"))
+      .join(days.hint("broadcast"), Seq("day"))
+      .groupBy(col("day"))
+      .agg(org.apache.spark.sql.graft.SketchFunctions
+        // isNotNull guard: xxhash64(NULL) is the seed (non-null), so an
+        // unguarded compose would count nulls where count_distinct won't
+        .hllCount(when(col("__u").isNotNull, xxhash64(col("__u"))), precision)
+        .as(s"active_${windowDays}d_hll"))
+    daily.join(windowed, Seq("day"))
+  }
+
   /** User-growth curve: per day, how many users appeared for the FIRST
     * time and the running total — the DAU-adjacent acquisition report
     * (cohort analysis' x-axis). Two exact keyed aggregates (per-user min

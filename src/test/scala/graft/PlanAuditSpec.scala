@@ -442,6 +442,15 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  "rolling_active_users_hll" should "partial-aggregate HLL registers map-side over the broadcast day grid" in {
+    val plan = executed("rolling_active_users_hll")
+    // the 100 TB contract: fixed-size register states shuffle, not
+    // (day, user) pairs — partial hll agg + broadcast grid join
+    plan should include("partial_graft_hll_count")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   "holt_smooth" should "ride the same bounded LastKValuesAgg fold as ewma" in {
     val plan = executed("holt_smooth")
     plan should include("Aggregate")

@@ -469,6 +469,27 @@ class EventStreamsSpec extends SparkSpec {
       0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 5L -> ((1L, 1L)), 9L -> ((1L, 1L)))
   }
 
+  "rollingActiveUsersHll" should "track the exact tier within HLL tolerance on every grid day" in {
+    // 2000 users spread over 20 days with overlapping activity; the HLL
+    // twin must agree with the exact tier on the day grid and active_1d
+    // exactly, and on the windowed count within ~5·(1.04/√2^12) rel err
+    val day = 86400000000L
+    val ev = (1L to 6000L).map { i =>
+      val u = (i * 2654435761L) % 2000L
+      val d = (i * 40503L) % 20L
+      (d * day + (i % 1000L), u)
+    }.toDF("ts", "user_id")
+    val exact = EventStreams.rollingActiveUsers(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hll = EventStreams.rollingActiveUsersHll(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    hll.keySet shouldBe exact.keySet
+    exact.foreach { case (d, (a1, a7)) =>
+      hll(d)._1 shouldBe a1 // active_1d stays exact
+      math.abs(hll(d)._2 - a7).toDouble / a7 should be < 0.09
+    }
+  }
+
   "abTest" should "compute Welch's z from exact quantized moments with a deterministic arm split" in {
     // values chosen integral so quantization is lossless; arms are
     // md5-parity of user_id — read the split back from the result sizes
