@@ -2029,6 +2029,59 @@ object SparkEntry {
       graft.operators.Reports.abTest(
         t(s, d, "events"), "event_type", "user_id", "value")),
 
+    // CUPED variance-reduced A/B: per-user pre-period (even days) sums
+    // predict post-period (odd days) outcomes; θ pooled from exact
+    // decimal moments, z_raw vs z_cuped side by side — the variance
+    // reduction is the deliverable
+    "cuped_ab" -> ((s, d) =>
+      graft.operators.Reports.cupedAbTest(
+        eventsUs(s, d), "event_type", "user_id", "value")),
+
+    // One-sided CUSUM drift statistic per event type over hourly counts
+    // — two exact-integer cumulative windows (running sum + running min)
+    // over the calendar-bounded hour frame, no FP accumulation anywhere
+    "cusum_changepoint" -> ((s, d) =>
+      graft.operators.Reports.cusumChangepoint(eventsUs(s, d))),
+
+    // Day-of-week x hour-of-day weekly traffic template: hour frame
+    // first, then a 168-cell profile agg, one IEEE division per cell
+    "seasonal_profile" -> ((s, d) =>
+      graft.operators.Reports.seasonalProfile(eventsUs(s, d))),
+
+    // Pearson chi-square independence test on lang x source — the
+    // frequentist twin of mi_lang_source, same cell machinery, the
+    // sum(o²/e) − n identity so absent cells need no dense grid
+    "chi2_independence" -> ((s, d) =>
+      graft.operators.Reports.chiSquareIndependence(
+        t(s, d, "documents"), "lang", "source")),
+
+    // nDCG@10 of the BM25 shortlist against graded term-hit relevance
+    // (rel = number of query terms present): pinned-order list folds,
+    // ideal ranking via TakeOrdered over the label frame
+    "ndcg_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val terms = Seq("spark", "vector", "customer")
+      val ranking = graft.operators.Curation.bm25Search(docs, terms, topK = 10)
+      val rels = docs.select(col("doc_id"),
+        terms.map(tm =>
+          when(array_contains(T.tokens(col("text")), tm), 1L).otherwise(0L))
+          .reduce(_ + _).as("rel"))
+      graft.operators.Retrieval.ndcgEval(ranking, rels, k = 10,
+        scoreCol = "bm25")
+    }),
+
+    // Rank-biased overlap between two BM25 variants (b = 0.75 vs b = 0,
+    // i.e. length normalization on/off): the top-weighted "did my
+    // ranker change the ranking?" scalar, shortlist-scale throughout
+    "rbo_rankings" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val terms = Seq("spark", "vector", "customer")
+      val a = graft.operators.Curation.bm25Search(docs, terms, topK = 10)
+      val b = graft.operators.Curation.bm25Search(docs, terms, topK = 10,
+        b = 0.0)
+      graft.operators.Retrieval.rboOverlap(a, b, k = 10, scoreCol = "bm25")
+    }),
+
     // EXACT set-similarity self-join by prefix filtering (AllPairs):
     // every doc pair with 3-gram-shingle Jaccard >= 0.6 over the WHOLE
     // corpus — no blocking key, no recall loss; candidates come from an
@@ -3983,6 +4036,126 @@ object SparkEntry {
          |  round(list_reduce(xs, (x, y) -> x + y), 6) AS bm25
          |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    // mirrors Retrieval.ndcgEval over the bm25_search shortlist: graded
+    // rel = query-term hits, both gain folds in pinned rank order with
+    // the same (pow(2,r)-1)/(ln(d+1)/ln(2)) term shape
+    "ndcg_eval" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+         |agg AS (
+         |  SELECT doc_id, round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6) AS bm25
+         |  FROM sc GROUP BY 1),
+         |ranked AS (SELECT doc_id, bm25 FROM agg
+         |           ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |rel AS (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN list_contains($toksSql, 'spark') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains($toksSql, 'vector') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains($toksSql, 'customer') THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS rel
+         |  FROM documents),
+         |d AS (
+         |  SELECT coalesce(round(list_reduce(list_prepend(0.0,
+         |      list_transform(list(coalesce(rel, 0) ORDER BY bm25 DESC, doc_id),
+         |        (x, i) -> (pow(2.0, CAST(x AS DOUBLE)) - 1.0)
+         |                    / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))),
+         |      (x, y) -> x + y), 6), 0.0) AS dcg
+         |  FROM ranked LEFT JOIN rel USING (doc_id)),
+         |i AS (
+         |  SELECT round(list_reduce(list_prepend(0.0,
+         |      list_transform(list(rel ORDER BY rel DESC, doc_id),
+         |        (x, i) -> (pow(2.0, CAST(x AS DOUBLE)) - 1.0)
+         |                    / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))),
+         |      (x, y) -> x + y), 6) AS idcg,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(list(rel ORDER BY rel DESC, doc_id),
+         |        (x, i) -> (pow(2.0, CAST(x AS DOUBLE)) - 1.0)
+         |                    / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))),
+         |      (x, y) -> x + y) AS idcg_raw
+         |  FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10)),
+         |draw AS (
+         |  SELECT coalesce(list_reduce(list_prepend(0.0,
+         |      list_transform(list(coalesce(rel, 0) ORDER BY bm25 DESC, doc_id),
+         |        (x, i) -> (pow(2.0, CAST(x AS DOUBLE)) - 1.0)
+         |                    / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))),
+         |      (x, y) -> x + y), 0.0) AS dcg_raw
+         |  FROM ranked LEFT JOIN rel USING (doc_id))
+         |SELECT CAST(10 AS BIGINT) AS k, d.dcg, i.idcg,
+         |  round(draw.dcg_raw / nullif(i.idcg_raw, 0.0), 6) AS ndcg
+         |FROM d, i, draw""".stripMargin,
+
+    // mirrors Retrieval.rboOverlap over two BM25 variants (b=0.75 vs
+    // b=0): ranks from the same (score desc, id) order, per-depth
+    // overlap on the 1..k spine, pinned depth-ascending IEEE fold
+    "rbo_rankings" -> {
+      def bmAgg(tag: String, b: String): String =
+        s"""sc$tag AS (
+           |  SELECT tf.doc_id,
+           |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - $b) + ($b * CAST(dl AS DOUBLE)) / avgdl))) AS s,
+           |    tf.term
+           |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+           |r$tag AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+           |  FROM (
+           |    SELECT doc_id, round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6) AS bm25
+           |    FROM sc$tag GROUP BY 1
+           |    ORDER BY bm25 DESC, doc_id LIMIT 10))""".stripMargin
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |${bmAgg("1", "0.75")},
+         |${bmAgg("2", "0.0")},
+         |common AS (
+         |  SELECT greatest(r1.rk, r2.rk) AS d
+         |  FROM r1 JOIN r2 USING (doc_id)),
+         |spine AS (SELECT unnest(range(1, 11)) AS depth),
+         |grid AS (
+         |  SELECT depth, CAST(coalesce(x, 0) AS BIGINT) AS x
+         |  FROM spine LEFT JOIN (
+         |    SELECT depth AS dd, count(*) AS x
+         |    FROM common JOIN spine ON d <= depth GROUP BY 1) g
+         |    ON g.dd = spine.depth),
+         |f AS (
+         |  SELECT max(CASE WHEN depth = 10 THEN x END) AS n_common,
+         |    list_sort(list(struct_pack(depth := depth, x := x))) AS gs
+         |  FROM grid)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(0.9 AS DOUBLE) AS p, n_common,
+         |  round((1.0 - 0.9) * list_reduce(list_prepend(0.0,
+         |    list_transform(gs, c ->
+         |      pow(0.9, CAST(struct_extract(c, 'depth') AS DOUBLE) - 1.0)
+         |        * CAST(struct_extract(c, 'x') AS DOUBLE)
+         |        / CAST(struct_extract(c, 'depth') AS DOUBLE))),
+         |    (x, y) -> x + y), 6) AS rbo
+         |FROM f""".stripMargin
+    },
+
     // mirrors Dedup.semanticDedup: the vector_ivf_topk cell-assignment
     // replay (argmax cosine, ties to smallest aid) + within-cell losers
     "semantic_dedup" -> {
@@ -5658,6 +5831,126 @@ object SparkEntry {
         |       + ((b.ss - b.s * b.s / b.n) / (b.n - 1.0)) / b.n) AS z
         |FROM m a JOIN m b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1
         |WHERE a.n >= 2 AND b.n >= 2""".stripMargin,
+
+    // mirrors Reports.cupedAbTest: same arm/quantization as ab_test_ztest
+    // plus per-user even/odd-day covariate/outcome sums; HUGEINT exact
+    // moments, pooled theta, identical IEEE finish shapes
+    "cuped_ab" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp, user_id, epoch_us(ts) AS tsu,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |u AS (
+        |  SELECT grp, arm, user_id,
+        |    CAST(sum(CASE WHEN (tsu // 86400000000) % 2 = 0
+        |                  THEN q ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN (tsu // 86400000000) % 2 <> 0
+        |                  THEN q ELSE 0 END) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u GROUP BY 1, 2),
+        |p AS (
+        |  SELECT grp,
+        |    CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE) /
+        |      nullif(CAST(sum(n) * sum(sxx) - sum(sx) * sum(sx) AS DOUBLE),
+        |             0.0) AS theta
+        |  FROM m GROUP BY 1),
+        |w AS (
+        |  SELECT grp, arm, n, theta,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m JOIN p USING (grp)),
+        |v AS (
+        |  SELECT *,
+        |    syd / nd AS my,
+        |    syd / nd - theta * (sxd / nd) AS madj,
+        |    (syyd - syd * syd / nd) / (nd - 1.0) AS vraw,
+        |    (syyd - 2.0 * theta * sxyd + theta * theta * sxxd
+        |       - nd * (syd / nd - theta * (sxd / nd))
+        |            * (syd / nd - theta * (sxd / nd)))
+        |      / (nd - 1.0) AS vadj
+        |  FROM w)
+        |SELECT a.grp, a.n AS n_a, b.n AS n_b,
+        |  round(a.theta, 6) AS theta,
+        |  round((a.my - b.my) / sqrt(a.vraw / a.nd + b.vraw / b.nd), 6)
+        |    AS z_raw,
+        |  round((a.madj - b.madj) / sqrt(a.vadj / a.nd + b.vadj / b.nd), 6)
+        |    AS z_cuped
+        |FROM v a JOIN v b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1
+        |WHERE a.n >= 2 AND b.n >= 2""".stripMargin,
+
+    // mirrors Reports.cusumChangepoint: exact-integer floored mean,
+    // running sum + running min windows, S = C - min(0, min-prefix)
+    "cusum_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(n_events) OVER (PARTITION BY event_type)
+        |       // count(*) OVER (PARTITION BY event_type) AS mean
+        |  FROM h),
+        |c AS (
+        |  SELECT event_type, hour_id, n_events,
+        |    sum(n_events - mean - 0) OVER (PARTITION BY event_type
+        |                                   ORDER BY hour_id) AS cum
+        |  FROM m)
+        |SELECT event_type, CAST(hour_id AS BIGINT) AS hour_id, n_events,
+        |  CAST(cum - least(min(cum) OVER (PARTITION BY event_type
+        |                                  ORDER BY hour_id), 0)
+        |       AS BIGINT) AS cusum
+        |FROM c""".stripMargin,
+
+    // mirrors Reports.seasonalProfile: hour frame, 168-cell profile,
+    // one IEEE division per cell
+    "seasonal_profile" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST((hour_id // 24) % 7 AS BIGINT) AS dow,
+        |  CAST(hour_id % 24 AS BIGINT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(n) AS BIGINT) AS total_events,
+        |  round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_events
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Reports.chiSquareIndependence: the mi_lang_source cell
+    // machinery with the sum(o²/e) − n identity folded in pinned
+    // ascending cell order
+    "chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |am AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |bm AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(nij) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT cells.a) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT cells.b) AS BIGINT) AS kb,
+        |    list_sort(list(struct_pack(a := cells.a, b := cells.b,
+        |      nij := nij, ni := ni, nj := nj))) AS cs
+        |  FROM cells JOIN am USING (a) JOIN bm USING (b))
+        |SELECT n_cells, n_rows, (ka - 1) * (kb - 1) AS dof,
+        |  round(list_reduce(list_prepend(0.0, list_transform(cs, c ->
+        |      (CAST(struct_extract(c, 'nij') AS DOUBLE)
+        |         * CAST(struct_extract(c, 'nij') AS DOUBLE)
+        |         * CAST(n_rows AS DOUBLE))
+        |        / (CAST(struct_extract(c, 'ni') AS DOUBLE)
+        |           * CAST(struct_extract(c, 'nj') AS DOUBLE)))),
+        |    (x, y) -> x + y) - CAST(n_rows AS DOUBLE), 6) AS chi2
+        |FROM j""".stripMargin,
 
     // mirrors Dedup.prefixFilterJaccardPairs: same shingle stream, same
     // rare-first (df, shingle) sort, same ceil-prefix slice, same

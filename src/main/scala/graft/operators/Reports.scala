@@ -790,4 +790,236 @@ object Reports {
         max(when(col("week_offset") === 0L, col("n_users"))).over(byCohort)
           .cast("double")).as("retention"))
   }
+
+  /** CUSUM change-point statistic (Page 1954) over per-type hourly
+    * event counts — the monitoring primitive that catches a SUSTAINED
+    * rate shift a per-hour z-score misses (each hour may sit within
+    * noise while the cumulative drift compounds). Uses the max(0,·)
+    * one-sided CUSUM in its WINDOW form: with dᵗ = nᵗ − (k̄ + slack),
+    * Sᵗ = max(0, Sᵗ⁻¹ + dᵗ) ≡ Cᵗ − min(C⁰..Cᵗ) where Cᵗ is the running
+    * sum of d — two cumulative window passes instead of a recursion, so
+    * the statistic replays in plain SQL window functions.
+    *
+    * Exactness: k̄ is the per-type mean hourly count FLOORED to an
+    * integer (exact `div`), so every dᵗ, Cᵗ, min and Sᵗ is exact BIGINT
+    * arithmetic — no FP accumulation anywhere (a double running sum
+    * would be engine-summation-order dependent; DuckDB's segment-tree
+    * window sums do not add left-to-right).
+    *
+    * Scale shape: the event stream collapses to the (type, hour) frame
+    * first (one keyed count, map-side partials); both cumulative windows
+    * are PARTITIONED by event type over that calendar-bounded frame.
+    * One type's full history on one task is the [[ewmaSmooth]]-family
+    * caveat, bounded by hours-per-type, not events.
+    *
+    * @param slack per-hour allowance above the mean before drift
+    *              accumulates (integer, exactness contract)
+    * @return (event_type, hour_id, n_events, cusum) */
+  def cusumChangepoint(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      slack: Long = 0L): DataFrame = {
+    require(slack >= 0, s"slack must be non-negative: $slack")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` div ${hourUs}L").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("__mean",
+        expr("sum(n_events) over (partition by event_type) div " +
+          "count(1) over (partition by event_type)"))
+      .withColumn("__d", col("n_events") - col("__mean") - lit(slack))
+      .withColumn("__c", sum(col("__d")).over(cum))
+      .withColumn("cusum",
+        col("__c") - least(min(col("__c")).over(cum), lit(0L)))
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        col("cusum"))
+  }
+
+  /** Day-of-week × hour-of-day seasonal traffic profile: the weekly
+    * template every capacity planner and anomaly detector normalizes
+    * against. `dow` is the epoch-day index mod 7 (a stable weekday
+    * labeling for epoch-µs streams — calendar alignment is a rename).
+    *
+    * Exactness: the event stream collapses to (hour_id, n) once (the
+    * only corpus-scale shuffle, map-side partials), the 168-cell profile
+    * aggregates that calendar-bounded frame, and the mean is ONE IEEE
+    * division per cell, 6-rounded.
+    *
+    * @return (dow, hod, n_hours, total_events, avg_events) — 168 rows */
+  def seasonalProfile(
+      events: DataFrame,
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .groupBy(expr(s"`$tsCol` div ${hourUs}L").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .groupBy(expr("(hour_id div 24) % 7").as("dow"),
+        expr("hour_id % 24").as("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("total_events"))
+      .select(col("dow"), col("hod"), col("n_hours"), col("total_events"),
+        round(col("total_events").cast("double") /
+          col("n_hours").cast("double"), 6).as("avg_events"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * [[mutualInformation]]'s frequentist sibling (MI measures HOW MUCH
+    * dependence; χ²/dof against its null distribution says whether the
+    * dependence is distinguishable from sampling noise). One row out:
+    * (n_cells, n_rows, dof, chi2) with expected counts eᵢⱼ = nᵢ·nⱼ/n and
+    * χ² = Σ (oᵢⱼ−eᵢⱼ)²/eᵢⱼ over the OBSERVED cells plus the structural
+    * zero cells' contribution Σeᵢⱼ (absent cells contribute eᵢⱼ exactly),
+    * computed as χ² = Σ_observed (oᵢⱼ²/eᵢⱼ) − n — the algebraic identity
+    * that needs no dense cell grid.
+    *
+    * Exactness: counts are exact longs; the IEEE fold runs in PINNED
+    * ascending cell order over one collected array (the
+    * [[mutualInformation]] discipline, same `maxCells` fail-fast guard).
+    * dof = (|A|−1)(|B|−1) from exact marginal cardinalities. */
+  def chiSquareIndependence(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Long = 1L << 20): DataFrame = {
+    require(maxCells > 0, s"maxCells must be positive: $maxCells")
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"chiSquareIndependence: $nCells distinct ($aCol, $bCol) cells " +
+        s"exceed maxCells=$maxCells — this report folds the full cell " +
+        s"table in one row and is meant for CATEGORICAL pairs")
+    val aM = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ni"))
+    val bM = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__nj"))
+    val n = col("n_rows").cast("double")
+    cells.join(aM, Seq("__a")).join(bM, Seq("__b"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("__nij")).as("n_rows"),
+        countDistinct(col("__a")).as("__ka"),
+        countDistinct(col("__b")).as("__kb"),
+        sort_array(collect_list(struct(
+          col("__a"), col("__b"), col("__nij"), col("__ni"), col("__nj"))))
+          .as("__cells"))
+      .select(col("n_cells"), col("n_rows"),
+        ((col("__ka") - 1L) * (col("__kb") - 1L)).as("dof"),
+        round(
+          aggregate(col("__cells"), lit(0.0), (acc, c) =>
+            acc + (c.getField("__nij").cast("double") *
+              c.getField("__nij").cast("double") * n) /
+              (c.getField("__ni").cast("double") *
+                c.getField("__nj").cast("double")))
+            - n, 6).as("chi2"))
+  }
+
+  /** CUPED variance-reduced A/B z-test (Deng, Xu, Kohavi & Walker 2013,
+    * "Improving the sensitivity of online controlled experiments"):
+    * [[abTest]] plus the industry-standard pre-period adjustment. Each
+    * unit gets a covariate x (its pre-period metric sum) and an outcome
+    * y (its post-period sum); θ = cov(x,y)/var(x) is estimated POOLED
+    * across arms (CUPED's unbiasedness condition — x predates
+    * assignment), and the test runs on ŷ = y − θ·(x − x̄). When pre-
+    * behavior predicts post-behavior (returning users), var(ŷ) shrinks
+    * by the squared correlation and the same effect needs far less
+    * traffic.
+    *
+    * Pre/post split: day parity of `ts div dayUs` (even days → x, odd →
+    * y) — deterministic, calendar-free, replayable. Exactness: per-unit
+    * sums quantize like [[abTest]]; ALL second moments (Σx², Σy², Σxy per
+    * arm) accumulate as exact DECIMAL(19,0)² products; θ, the adjusted
+    * means/variances and both z's are one pinned IEEE expression from
+    * exactly-equal operands. Output carries z_raw next to z_cuped — the
+    * variance reduction is the visible deliverable.
+    *
+    * Scale shape: one unit-keyed conditional-sum aggregate over the
+    * stream (map-side partials), one (grp, arm)-keyed moment rollup of
+    * the UNIT frame, one 1-row-per-group finish. Groups need ≥ 2 units
+    * per arm.
+    *
+    * @return (grp, n_a, n_b, theta, z_raw, z_cuped) */
+  def cupedAbTest(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      tsCol: String = "ts",
+      dayUs: Long = 86400000000L,
+      seed: Long = 42L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val arm = pmod(
+      graft.functions.HashFunctions.md5Bucket(seed, col(unitCol)), lit(2L))
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val pre = expr(s"(`$tsCol` div ${dayUs}L) % 2") === 0L
+    // per-unit covariate/outcome sums (exact longs; a unit's event count
+    // times the quantized metric stays far below 2^63)
+    val units = events
+      .select(col(groupCol).as("grp"), arm.as("__arm"),
+        col(unitCol).as("__u"), q.as("__q"), pre.as("__pre"))
+      .groupBy(col("grp"), col("__arm"), col("__u"))
+      .agg(sum(when(col("__pre"), col("__q")).otherwise(0L)).as("__x"),
+        sum(when(!col("__pre"), col("__q")).otherwise(0L)).as("__y"))
+    def d19sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+    val moments = units.groupBy(col("grp"), col("__arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(28,0)")).as("sx"),
+        sum(col("__y").cast("decimal(28,0)")).as("sy"),
+        sum(d19sq(col("__x"), col("__x"))).as("sxx"),
+        sum(d19sq(col("__y"), col("__y"))).as("syy"),
+        sum(d19sq(col("__x"), col("__y"))).as("sxy"))
+      .localCheckpoint() // two consumers: pooled theta + per-arm sides
+    // pooled θ from exact decimal sums: cov(x,y)/var(x) over ALL units
+    val pooled = moments.groupBy(col("grp"))
+      .agg(sum(col("n")).as("__np"),
+        sum(col("sx")).as("__sxp"), sum(col("sy")).as("__syp"),
+        sum(col("sxx")).as("__sxxp"), sum(col("sxy")).as("__sxyp"))
+      .select(col("grp"),
+        ((col("__np") * col("__sxyp") - col("__sxp") * col("__syp"))
+          .cast("double") /
+          nullif((col("__np") * col("__sxxp") - col("__sxp") * col("__sxp"))
+            .cast("double"), lit(0.0))).as("theta"))
+    def armSide(v: Int, sfx: String) = moments.filter(col("__arm") === v)
+      .select(col("grp"), col("n").as(s"n_$sfx"),
+        col("sx").cast("double").as(s"__sx_$sfx"),
+        col("sy").cast("double").as(s"__sy_$sfx"),
+        col("sxx").cast("double").as(s"__sxx_$sfx"),
+        col("syy").cast("double").as(s"__syy_$sfx"),
+        col("sxy").cast("double").as(s"__sxy_$sfx"))
+    def nD(sfx: String) = col(s"n_$sfx").cast("double")
+    def meanY(sfx: String) = col(s"__sy_$sfx") / nD(sfx)
+    def meanX(sfx: String) = col(s"__sx_$sfx") / nD(sfx)
+    // per-arm sample variance of the ADJUSTED metric ŷ = y − θx:
+    // var(ŷ) = [Σy² − 2θΣxy + θ²Σx² − n·(ȳ−θx̄)²] / (n−1)
+    def varAdj(sfx: String) = {
+      val t = col("theta")
+      val mAdj = meanY(sfx) - t * meanX(sfx)
+      (col(s"__syy_$sfx") - lit(2.0) * t * col(s"__sxy_$sfx") +
+        t * t * col(s"__sxx_$sfx") - nD(sfx) * mAdj * mAdj) / (nD(sfx) - 1.0)
+    }
+    def varRaw(sfx: String) =
+      (col(s"__syy_$sfx") - col(s"__sy_$sfx") * col(s"__sy_$sfx") / nD(sfx)) /
+        (nD(sfx) - 1.0)
+    val adjA = meanY("a") - col("theta") * meanX("a")
+    val adjB = meanY("b") - col("theta") * meanX("b")
+    armSide(0, "a").join(armSide(1, "b"), Seq("grp"))
+      .join(pooled, Seq("grp"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        round(col("theta"), 6).as("theta"),
+        round((meanY("a") - meanY("b")) /
+          sqrt(varRaw("a") / nD("a") + varRaw("b") / nD("b")), 6)
+          .as("z_raw"),
+        round((adjA - adjB) /
+          sqrt(varAdj("a") / nD("a") + varAdj("b") / nD("b")), 6)
+          .as("z_cuped"))
+  }
 }

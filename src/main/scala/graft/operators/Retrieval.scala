@@ -142,4 +142,119 @@ object Retrieval {
     selected.select(col(queryCol), col(idCol), col("rank"),
       col("__mmr").as("mmr_score"))
   }
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) of a retrieval shortlist
+    * against graded relevance labels — the retrieval-quality scalar
+    * every ranking change is judged by. DCG = Σ_{d=1..k} (2^relᵈ−1)/
+    * log₂(d+1) over the shortlist in (score desc, id asc) order; IDCG is
+    * the same fold over the corpus's top-k labels (the ideal ranking);
+    * nDCG = DCG/IDCG.
+    *
+    * Shape + exactness: the shortlist collapses to ONE sorted array
+    * (≤ k elements — bounded by construction, no window anywhere) and
+    * folds with an index-aware transform, so the IEEE sum order is
+    * PINNED and the scalar replays in SQL list folds; the ideal top-k is
+    * a `TakeOrderedAndProject` over the label frame, never a global
+    * sort. Missing labels read as relevance 0.
+    *
+    * @param ranking shortlist (idCol, scoreCol) — a retrieval leg's cut
+    *                output
+    * @param rels (idCol, relCol) graded labels (long)
+    * @return one row (k, dcg, idcg, ndcg), 6-rounded */
+  def ndcgEval(
+      ranking: DataFrame,
+      rels: DataFrame,
+      k: Int = 10,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      relCol: String = "rel"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def gainFold(arr: org.apache.spark.sql.Column) = {
+      val cut = slice(arr, 1, k)
+      when(size(cut) === 0, lit(0.0)).otherwise(
+        aggregate(
+          zip_with(cut, sequence(lit(1), size(cut)), (r, d) =>
+            (pow(lit(2.0), r.cast("double")) - lit(1.0)) /
+              log(2.0, d.cast("double") + lit(1.0))),
+          lit(0.0), (acc, x) => acc + x))
+    }
+    val labeled = ranking
+      .join(rels.select(col(idCol), col(relCol)), Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol).as("__s"),
+        coalesce(col(relCol), lit(0L)).as("__r"))
+    // one sorted array in (score desc, id asc) order — negated score in
+    // the sort struct pins descending order without a window — sliced to
+    // k INSIDE the fold (a pre-agg limit() without order would pick
+    // nondeterministic survivors)
+    val dcg = labeled
+      .agg(sort_array(collect_list(
+        struct((-col("__s")).as("ns"), col(idCol).as("id"),
+          col("__r").as("r")))).as("__l"))
+      .select(gainFold(transform(col("__l"), x => x.getField("r")))
+        .as("__dcg"))
+    val ideal = rels
+      .orderBy(col(relCol).desc, col(idCol)).limit(k)
+      .agg(sort_array(collect_list(struct((-col(relCol)).as("nr"),
+        col(idCol).as("id")))).as("__l"))
+      .select(gainFold(transform(col("__l"), x => -x.getField("nr")))
+        .as("__idcg"))
+    dcg.crossJoin(ideal).select(
+      lit(k.toLong).as("k"),
+      round(col("__dcg"), 6).as("dcg"),
+      round(col("__idcg"), 6).as("idcg"),
+      round(col("__dcg") / nullif(col("__idcg"), lit(0.0)), 6).as("ndcg"))
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * retrieval shortlists, truncated at depth k (the RBO_min tier): the
+    * ranking-similarity measure that weights agreement at the TOP —
+    * swapping ranks 1 and 2 moves it far more than swapping 9 and 10,
+    * which is what "did my index change the ranking?" actually asks
+    * (Kendall/Spearman weight all positions equally and need identical
+    * item sets). rbo = (1−p)·Σ_{d=1..k} p^{d−1}·|A₁..d ∩ B₁..d|/d.
+    *
+    * Shape + exactness: ranks come from posexploding each shortlist's
+    * ONE sorted ≤k array (no windows); a doc in both lists contributes
+    * to every depth ≥ max(rank_a, rank_b), so the per-depth overlap is
+    * one k-row conditional count against a k-cell depth spine, and the
+    * IEEE sum folds the ≤k-cell grid in PINNED depth order.
+    *
+    * @param p persistence (weight decay) in (0,1); 0.9 ≈ top-10 focus
+    * @return one row (k, p, n_common, rbo), 6-rounded */
+  def rboOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 10,
+      p: Double = 0.9,
+      idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(p > 0.0 && p < 1.0, s"p in (0,1): $p")
+    def ranked(df: DataFrame, rk: String) = df
+      .select(col(idCol), col(scoreCol).as("__s"))
+      .agg(sort_array(collect_list(
+        struct((-col("__s")).as("ns"), col(idCol).as("id")))).as("__l"))
+      // slice AFTER the sort: a pre-agg limit() without order would pick
+      // nondeterministic survivors
+      .select(posexplode(slice(transform(col("__l"), x => x.getField("id")),
+        1, k)).as(Seq("__p", idCol)))
+      .select(col(idCol), (col("__p") + 1).cast("long").as(rk))
+    val common = ranked(a, "__ra").join(ranked(b, "__rb"), Seq(idCol))
+      .select(greatest(col("__ra"), col("__rb")).as("__d"))
+    val spine = a.sparkSession.range(1, k + 1).select(col("id").as("depth"))
+    val grid = spine.join(
+      common.crossJoin(spine.select(col("depth").as("__dd")))
+        .filter(col("__d") <= col("__dd"))
+        .groupBy(col("__dd").as("depth")).agg(count(lit(1)).as("__x")),
+      Seq("depth"), "left")
+      .select(col("depth"), coalesce(col("__x"), lit(0L)).as("__x"))
+    grid.agg(
+      max(when(col("depth") === k.toLong, col("__x"))).as("n_common"),
+      sort_array(collect_list(struct(col("depth"), col("__x")))).as("__g"))
+      .select(lit(k.toLong).as("k"), lit(p).as("p"), col("n_common"),
+        round(lit(1.0 - p) * aggregate(col("__g"), lit(0.0), (acc, c) =>
+          acc + pow(lit(p), c.getField("depth").cast("double") - lit(1.0)) *
+            c.getField("__x").cast("double") /
+            c.getField("depth").cast("double")), 6).as("rbo"))
+  }
 }

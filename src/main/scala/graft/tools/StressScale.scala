@@ -113,6 +113,31 @@ object StressScale {
       .persist()
     famDocs.count()
 
+    // shared-shingle adversary corpus: the first 1000 docs are IDENTICAL
+    // (one 1000-strong duplicate family — every shingle df=1000), the
+    // rest carry unique hash words. Built for the prefix-filter guard
+    // pair below; sized so the exact run's C(1000,2) verification stays
+    // a timing row, not a hang
+    val advDocs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") < 1000L,
+        concat_ws(" ", (0 until 50).map(i => lit(s"dup$i")): _*))
+        .otherwise(concat_ws(" ", (0 until 50).map(i =>
+          concat(lit("u"), pmod(xxhash64(col("id"), lit(i)),
+            lit(100000000L)).cast("string"))): _*))
+        .as("text"))
+      .persist()
+    advDocs.count()
+
+    // 2M-event stream (10x the corpus row scale) for the DAU/WAU
+    // expansion claim: ~20k users over the same 30-day span
+    val events2m = spark.range(2000000L).select(
+      col("id").as("event_id"),
+      (col("id") % 20000L).as("user_id"),
+      pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L)).as("ts"))
+      .persist()
+    events2m.count()
+
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("rid"), col("user_id"), col("ts"))
@@ -812,7 +837,79 @@ object StressScale {
             col("user_id"),
             (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
               / 100.0).as("value")),
-          "grp", "user_id", "value"))
+          "grp", "user_id", "value")),
+      // ---- round-11 adversarial wave ----------------------------------
+      // fuzzy-join WHALE: 20k rows land in ONE block (the low-cardinality
+      // linkage key at 100 TB); maxBlockSize=4096 sub-splits the whale
+      // into hash cells, bounding pair work at Σ cell²/2 (~42M JW
+      // comparisons) instead of 20k²/2 per candidate generation — the
+      // guard is what makes the block feasible at all
+      timeNoop("fuzzy_whale")(
+        Joins.fuzzyJoin(
+          events.select(col("event_id").as("id"),
+            when(col("event_id") < 20000L, lit(0L))
+              .otherwise(pmod(xxhash64(col("user_id")), lit(2000)) + 1L)
+              .as("blk"),
+            concat(lit("n"),
+              conv(pmod(xxhash64(col("event_id")), lit(100000000000L))
+                .cast("string"), 10, 16)).as("nm")),
+          "blk", "id", "nm", threshold = 0.9)),
+      // ...the same whale under a 4x tighter cap: cells quarter the
+      // per-cell pair count — the knob is the wall-clock lever (and the
+      // in-whale recall trade is the documented price)
+      timeNoop("fuzzy_whale_tight")(
+        Joins.fuzzyJoin(
+          events.select(col("event_id").as("id"),
+            when(col("event_id") < 20000L, lit(0L))
+              .otherwise(pmod(xxhash64(col("user_id")), lit(2000)) + 1L)
+              .as("blk"),
+            concat(lit("n"),
+              conv(pmod(xxhash64(col("event_id")), lit(100000000000L))
+                .cast("string"), 10, 16)).as("nm")),
+          "blk", "id", "nm", threshold = 0.9, maxBlockSize = 1024)),
+      // shared-shingle ADVERSARY for the exact prefix-filter join: 1000
+      // IDENTICAL docs — every shingle has df=1000, so the df-ascending
+      // prefix ordering has nowhere rare to hide and the prefix join
+      // fans out quadratically. Exact (guard idle) must verify all
+      // C(1000,2) ≈ 500k pairs; the guarded run fires maxPrefixDf=500,
+      // drops the whale's prefix shingles, and trades ALL in-whale
+      // recall (rows → unique-tail pairs only) for bounded work — the
+      // documented no-longer-exact regime, now measured
+      timeNoop("jaccard_adversary_exact")(
+        Dedup.prefixFilterJaccardPairs(advDocs, threshold = 0.5)),
+      timeNoop("jaccard_adversary_guarded")(
+        Dedup.prefixFilterJaccardPairs(advDocs, threshold = 0.5,
+          maxPrefixDf = 500)),
+      // exact DAU/WAU at 2M events (10x the corpus row scale): validates
+      // the windowDays-fold expansion claim — presence-reduce FIRST
+      // means the 7x explode runs on the DAU-bounded frame, so 10x
+      // events cost ~10x, never 70x
+      timeNoop("rolling_active_2m")(
+        graft.streaming.EventStreams.rollingActiveUsers(events2m)),
+      // ...and the HLL tier on the same 2M stream: fixed-size register
+      // states shuffle instead of (day, user) pairs
+      timeNoop("rolling_active_2m_hll")(
+        graft.streaming.EventStreams.rollingActiveUsersHll(events2m)),
+      // tombstone-HEAVY sparse index: 50% of the corpus deleted in one
+      // slim pass (postings untouched); the query pays the broadcast
+      // anti-join against n/2 tombstone ids
+      timeNoop("bm25_tombheavy") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.SparseIndex.save(wh, "stress_bm25_th", docs)
+        graft.store.SparseIndex.delete(wh, "stress_bm25_th",
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id"))
+        graft.store.SparseIndex.bm25(wh, "stress_bm25_th",
+          Seq("spark", "merge", "customer"), topK = 10)
+      },
+      // ...then compaction retires the tombstones copy-on-write and the
+      // same query runs anti-join-free — the before/after pair is the
+      // compaction contract
+      timeNoop("bm25_tombheavy_compacted") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.SparseIndex.compact(wh, "stress_bm25_th")
+        graft.store.SparseIndex.bm25(wh, "stress_bm25_th",
+          Seq("spark", "merge", "customer"), topK = 10)
+      }
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

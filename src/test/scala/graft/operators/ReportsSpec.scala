@@ -410,4 +410,118 @@ class ReportsSpec extends SparkSpec {
     got("en") shouldBe ((2L, 4L, 6L, 1.5))
     got("de") shouldBe ((1L, 2L, 2L, 1.0))
   }
+
+  behavior of "cusumChangepoint"
+
+  it should "accumulate sustained drift and reset below the mean" in {
+    val hourUs = 3600000000L
+    // type A: counts 1,1,1,5,5,5 per hour → mean = 3 (floored 18/6)
+    // d = -2,-2,-2,+2,+2,+2; C = -2,-4,-6,-4,-2,0
+    // S = C - min(0, prefix-min C) = 0,0,0,2,4,6 — drift accumulates
+    // only once the rate shifts, exactly the CUSUM contract
+    val ev = (0 until 6).flatMap { h =>
+      val cnt = if (h < 3) 1 else 5
+      (0 until cnt).map(i => ("A", h * hourUs + i * 1000L))
+    }.toDF("event_type", "ts")
+    val got = Reports.cusumChangepoint(ev)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    got shouldBe Map(
+      0L -> ((1L, 0L)), 1L -> ((1L, 0L)), 2L -> ((1L, 0L)),
+      3L -> ((5L, 2L)), 4L -> ((5L, 4L)), 5L -> ((5L, 6L)))
+  }
+
+  it should "stay near zero on a flat series and honor slack" in {
+    val hourUs = 3600000000L
+    val flat = (0 until 8).flatMap(h =>
+      (0 until 3).map(i => ("B", h * hourUs + i * 1000L)))
+      .toDF("event_type", "ts")
+    Reports.cusumChangepoint(flat).collect()
+      .foreach(r => r.getLong(3) shouldBe 0L)
+    // slack absorbs a +1 deviation entirely
+    val up = ((0 until 4).flatMap(h =>
+      (0 until 3).map(i => ("C", h * hourUs + i * 1000L))) ++
+      (4 until 8).flatMap(h =>
+        (0 until 4).map(i => ("C", h * hourUs + i * 1000L))))
+      .toDF("event_type", "ts")
+    val s = Reports.cusumChangepoint(up, slack = 2L).collect()
+    s.foreach(r => r.getLong(3) shouldBe 0L)
+  }
+
+  behavior of "seasonalProfile"
+
+  it should "fold hours into the 168-cell weekly template exactly" in {
+    val hourUs = 3600000000L
+    // two full weeks: hour h carries (h % 24) + 1 events — every (dow,
+    // hod) cell sees the same count twice
+    val ev = (0 until 24 * 14).flatMap(h =>
+      (0 until (h % 24) + 1).map(i => h * hourUs + i * 1000L))
+      .toDF("ts")
+    val got = Reports.seasonalProfile(ev).collect()
+    got.length shouldBe 168
+    got.foreach { r =>
+      r.getLong(2) shouldBe 2L // n_hours: two weeks
+      r.getLong(3) shouldBe 2L * (r.getLong(1) + 1) // total = 2·(hod+1)
+      r.getDouble(4) shouldBe (r.getLong(1) + 1).toDouble
+    }
+  }
+
+  behavior of "chiSquareIndependence"
+
+  it should "report 0 for independence, n·min(ka−1, kb−1) for determination, and guard cardinality" in {
+    // uniform independent 2×2: o = e everywhere → chi2 = 0, dof = 1
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val ri = Reports.chiSquareIndependence(indep, "a", "b").collect()(0)
+    ri.getLong(0) shouldBe 4L
+    ri.getLong(2) shouldBe 1L
+    ri.getDouble(3) shouldBe 0.0
+    // b fully determined by a (2 balanced classes): chi2 = n
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val rd = Reports.chiSquareIndependence(dep, "a", "b").collect()(0)
+    rd.getLong(1) shouldBe 4L
+    rd.getDouble(3) shouldBe 4.0
+    // the maxCells census fails fast, the MI guard pattern
+    val wide = (1 to 32).map(i => (s"u$i", s"v$i")).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Reports.chiSquareIndependence(wide, "a", "b", maxCells = 8L).collect()
+    }
+    ex.getMessage should include("maxCells")
+  }
+
+  behavior of "cupedAbTest"
+
+  it should "recover the planted covariate slope and tighten z on correlated outcomes" in {
+    val day = 86400000000L
+    // replicate the operator's md5-parity arm so the test can plant a
+    // TREATMENT effect on arm 1 only
+    def armOf(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$u".getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    // 400 users; pre-period (even days) x varies widely per user, the
+    // outcome is y = 2x + small noise + effect·arm: the x-driven spread
+    // dominates var(y), so the raw z barely sees the effect while the
+    // CUPED z (variance = the noise alone) sees it clearly
+    val ev = (1L to 400L).flatMap { u =>
+      val x = (u % 17 + 1).toDouble
+      val noise = ((u * 7919L) % 11L).toDouble / 10.0
+      val effect = if (armOf(u) == 1L) 1.5 else 0.0
+      Seq(
+        ("g", u, 0L * day + u, x),
+        ("g", u, 1L * day + u, 2.0 * x + noise + effect))
+    }.toDF("event_type", "user_id", "ts", "value")
+    val r = Reports.cupedAbTest(ev, "event_type", "user_id", "value")
+      .collect()(0)
+    r.getLong(1) + r.getLong(2) shouldBe 400L
+    r.getDouble(3) shouldBe 2.0 +- 0.05 // theta = cov(x,y)/var(x) ≈ 2
+    val zRaw = r.getDouble(4)
+    val zCuped = r.getDouble(5)
+    // arm 0 minus arm 1: the planted +1.5 on arm 1 makes both z's
+    // negative, and the adjustment must sharpen the signal
+    zCuped should be < -5.0
+    math.abs(zCuped) should be > math.abs(zRaw) * 2.0
+  }
 }

@@ -63,4 +63,53 @@ class RetrievalSpec extends SparkSpec {
     rows.count(_.getLong(0) == 0L) shouldBe 2
     rows.count(_.getLong(0) == 1L) shouldBe 1
   }
+
+  behavior of "ndcgEval"
+
+  it should "score 1 for the ideal order, less for a swap, with exact hand-checked gains" in {
+    val rels = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L))
+      .toDF("doc_id", "rel")
+    // ideal order 1,2,3: dcg = idcg → ndcg = 1
+    val ideal = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val ri = Retrieval.ndcgEval(ideal, rels, k = 3).collect()(0)
+    def g(rel: Long, d: Int) =
+      (math.pow(2.0, rel.toDouble) - 1.0) / (math.log(d + 1.0) / math.log(2.0))
+    val idcg = g(3, 1) + g(2, 2) + g(1, 3)
+    ri.getDouble(1) shouldBe
+      BigDecimal(idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ri.getDouble(3) shouldBe 1.0
+    // swapping ranks 1 and 3 must strictly lower ndcg
+    val swapped = Seq((3L, 9.0), (2L, 8.0), (1L, 7.0)).toDF("doc_id", "score")
+    val rs = Retrieval.ndcgEval(swapped, rels, k = 3).collect()(0)
+    rs.getDouble(3) should be < 1.0
+    rs.getDouble(3) shouldBe BigDecimal((g(1, 1) + g(2, 2) + g(3, 3)) / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // unlabeled docs read as relevance 0
+    val stray = Seq((99L, 9.0)).toDF("doc_id", "score")
+    Retrieval.ndcgEval(stray, rels, k = 3).collect()(0)
+      .getDouble(1) shouldBe 0.0
+  }
+
+  behavior of "rboOverlap"
+
+  it should "report 1 − p^k for identical lists, 0 for disjoint, and weight the top" in {
+    val a = (1L to 10L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
+    val same = Retrieval.rboOverlap(a, a, k = 10, p = 0.9).collect()(0)
+    same.getLong(2) shouldBe 10L // n_common
+    same.getDouble(3) shouldBe
+      BigDecimal(1.0 - math.pow(0.9, 10.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6
+    val b = (11L to 20L).map(i => (i, 100.0 - i)).toDF("doc_id", "score")
+    Retrieval.rboOverlap(a, b).collect()(0).getDouble(3) shouldBe 0.0
+    // a swap at the TOP hurts more than the same swap at the bottom
+    def perm(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, 100.0 - i) }
+        .toDF("doc_id", "score")
+    val base = (1L to 10L)
+    val topSwap = Retrieval.rboOverlap(
+      perm(base), perm(Seq(99L) ++ base.drop(1))).collect()(0).getDouble(3)
+    val botSwap = Retrieval.rboOverlap(
+      perm(base), perm(base.dropRight(1) :+ 99L)).collect()(0).getDouble(3)
+    topSwap should be < botSwap
+  }
 }
