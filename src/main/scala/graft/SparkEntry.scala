@@ -1714,6 +1714,52 @@ object SparkEntry {
             .as("autocorr"))
     }),
 
+    // Lag-k CROSS-correlation between the click and purchase hourly
+    // series (k = 0..6): does a click surge lead purchases? Same
+    // equi-join-on-hour+lag discipline as event_autocorr (never
+    // lead()-by-rows), exact bigint moments, one IEEE Pearson per lag
+    "event_xcorr" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      def series(tp: String, nm: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(expr("ts div 3600000000").as("hour_id"))
+        .agg(count(lit(1)).as(nm))
+      val a = series("click", "xv").localCheckpoint()
+      val b = series("purchase", "yv").localCheckpoint()
+      val lags = broadcast(s.range(0, 7).select(col("id").as("lag")))
+      val pairs = a.crossJoin(lags)
+        .join(b.select(col("hour_id").as("__yh"), col("yv")),
+          col("__yh") === col("hour_id") + col("lag"))
+      pairs.groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("xcorr"))
+    }),
+
+    // Traffic concentration: top-100 users' share of all events — one
+    // keyed count, a TakeOrdered cut, exact sums, one IEEE share
+    "topk_concentration" -> ((s, d) =>
+      graft.operators.Reports.topKConcentration(eventsUs(s, d), k = 100)),
+
+    // Per-user inter-arrival burstiness (σ−μ)/(σ+μ): bots vs humans vs
+    // bursty replays — one lag window, exact decimal moments per user
+    "user_burstiness" -> ((s, d) =>
+      graft.streaming.EventStreams.userBurstiness(eventsUs(s, d))),
+
+    // Gini–Simpson token diversity per language: 1 − Σnₜ(nₜ−1)/(N(N−1))
+    // over the (lang, term) count frame — exact decimal products, one
+    // IEEE finish per language
+    "token_simpson" -> ((s, d) =>
+      graft.operators.Curation.tokenSimpsonDiversity(t(s, d, "documents"))),
+
     // Exact triangle counts + clustering coefficient over the kNN graph
     // (same edge set as pagerank_knn): degree-ordered orientation keeps
     // the wedge join sub-quadratic under any skew — see Graphs.triangles
@@ -5276,6 +5322,104 @@ object SparkEntry {
         |    / nullif(sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
         |             * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)), 0) AS autocorr
         |FROM m""".stripMargin,
+
+    // mirrors the event_xcorr query: click/purchase hourly series,
+    // equi-join on hour+lag, exact moments, one IEEE Pearson per lag
+    "event_xcorr" ->
+      """WITH ha AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |hb AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(lag AS BIGINT) AS lag
+        |      FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(lag)),
+        |p AS (
+        |  SELECT l.lag, x.n AS xv, y.n AS yv
+        |  FROM ha x CROSS JOIN l
+        |  JOIN hb y ON y.hour_id = x.hour_id + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |    CAST(sum(xv*yv) AS BIGINT) AS sxy,
+        |    CAST(sum(xv*xv) AS BIGINT) AS sxx,
+        |    CAST(sum(yv*yv) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+        |    / nullif(sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+        |             * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)), 0) AS xcorr
+        |FROM m""".stripMargin,
+
+    // mirrors Reports.topKConcentration: keyed count, ORDER BY n DESC,
+    // user LIMIT 100 cut, exact sums, one IEEE share
+    "topk_concentration" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |top AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS top_events
+        |  FROM (SELECT * FROM c ORDER BY n DESC, user_id LIMIT 100)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(n) AS BIGINT) AS total_events
+        |  FROM c)
+        |SELECT k, n_users, top_events, total_events,
+        |  round(CAST(top_events AS DOUBLE) / CAST(total_events AS DOUBLE), 6)
+        |    AS share
+        |FROM top, tot""".stripMargin,
+
+    // mirrors EventStreams.userBurstiness: per-user lag gaps, exact
+    // HUGEINT moments, identical IEEE (σ−μ)/(σ+μ) finish
+    "user_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    tsu - lag(tsu) OVER (PARTITION BY user_id
+        |                         ORDER BY tsu, event_id) AS gp
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gp) AS BIGINT) AS sg,
+        |    sum(CAST(gp AS HUGEINT) * gp) AS sgg
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT user_id, n_gaps, sg,
+        |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt((CAST(sgg AS DOUBLE)
+        |          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |              / CAST(n_gaps AS DOUBLE))
+        |         / (CAST(n_gaps AS DOUBLE) - 1.0)) AS sd
+        |  FROM m)
+        |SELECT user_id, n_gaps, CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+        |  round((sd - mu) / (sd + mu), 6) AS burstiness
+        |FROM f""".stripMargin,
+
+    // mirrors Curation.tokenSimpsonDiversity: (lang, term) exact counts,
+    // HUGEINT n(n−1) sums, one IEEE Gini–Simpson finish per language
+    "token_simpson" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT lang, term, CAST(count(*) AS BIGINT) AS nt
+         |  FROM tok GROUP BY 1, 2),
+         |m AS (
+         |  SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    sum(CAST(nt AS HUGEINT) * (nt - 1)) AS s2
+         |  FROM tf GROUP BY 1
+         |  HAVING sum(nt) >= 2)
+         |SELECT lang, n_tokens, vocab,
+         |  round(1.0 - CAST(s2 AS DOUBLE)
+         |        / (CAST(n_tokens AS DOUBLE)
+         |           * (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS simpson
+         |FROM m""".stripMargin,
 
     // mirrors Graphs.triangles over the knn_graph edge replay: same
     // symmetrize → (deg, id) orientation → wedge + closing-edge joins;

@@ -1191,6 +1191,44 @@ object Curation {
           greatest(col("total_len"), lit(1L)).cast("double")).as("dup_frac"))
   }
 
+  /** Gini–Simpson diversity of the token distribution per language —
+    * the "how repetitive is this slice of the corpus" scalar (1 − the
+    * probability two random tokens coincide): near 1 for rich natural
+    * text, collapsing toward 0 for template/boilerplate floods. The
+    * vocabulary-size companion ([[vocabTopK]] names the heavy tokens;
+    * this says how much mass they hoard), and the unbiased finite-sample
+    * form 1 − Σ nₜ(nₜ−1)/(N(N−1)).
+    *
+    * Shape + exactness: one (lang, term) keyed count over the exploded
+    * token stream (map-side partials — the only corpus-scale shuffle),
+    * then a per-lang rollup of the vocab frame. nₜ(nₜ−1) accumulates as
+    * the exact DECIMAL(19,0)² product (a whale token's count squares
+    * past 2⁶³ at corpus scale); the final index is one IEEE expression
+    * from exact operands. Languages need N ≥ 2.
+    *
+    * @return (lang, n_tokens, vocab, simpson), 6-rounded */
+  def tokenSimpsonDiversity(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val tf = Fan.spread(docs.select(col(langCol).as("lang"), col(textCol)))
+      .select(col("lang"),
+        explode(filter(T.tokens(col(textCol)), t => length(t) > 0))
+          .as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("__nt"))
+    val byLang = tf.groupBy(col("lang"))
+      .agg(sum(col("__nt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("__nt").cast("decimal(19,0)") *
+          (col("__nt") - 1L).cast("decimal(19,0)")).as("__s2"))
+      .filter(col("n_tokens") >= 2)
+    byLang.select(col("lang"), col("n_tokens"), col("vocab"),
+      round(lit(1.0) - col("__s2").cast("double") /
+        (col("n_tokens").cast("double") *
+          (col("n_tokens").cast("double") - lit(1.0))), 6).as("simpson"))
+  }
+
   /** Cumulative vocabulary-growth curve (the Heaps-law report): for every
     * document in id order, the running token total and the running
     * DISTINCT-term total V(n) — the curve that tells a corpus run whether

@@ -791,6 +791,37 @@ object Reports {
           .cast("double")).as("retention"))
   }
 
+  /** Traffic-concentration report: what share of all events do the
+    * top-k most active users generate — the "1% of users are 40% of
+    * load" number that sizes rate limits, caches and the key-skew
+    * strategy ([[graft.operators.Joins.keyFrequency]]'s census rolled
+    * into one decision scalar).
+    *
+    * Shape: one user-keyed count (map-side partials — the only corpus
+    * shuffle), a top-k cut that plans as `TakeOrderedAndProject` (ties
+    * pinned by user id, never a global sort), and exact BIGINT sums on
+    * the k-row and 1-row frames; the share is one IEEE division.
+    *
+    * @return one row (k, n_users, top_events, total_events, share) */
+  def topKConcentration(
+      events: DataFrame,
+      userCol: String = "user_id",
+      k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = events.groupBy(col(userCol).as("__u"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // two consumers: top-k cut + corpus totals
+    val top = counts.orderBy(col("__n").desc, col("__u")).limit(k)
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("top_events"))
+    val total = counts
+      .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("total_events"))
+    top.crossJoin(broadcast(total))
+      .select(col("k"), col("n_users"), col("top_events"),
+        col("total_events"),
+        round(col("top_events").cast("double") /
+          col("total_events").cast("double"), 6).as("share"))
+  }
+
   /** CUSUM change-point statistic (Page 1954) over per-type hourly
     * event counts — the monitoring primitive that catches a SUSTAINED
     * rate shift a per-hour z-score misses (each hour may sit within

@@ -471,6 +471,54 @@ object EventStreams {
         sum(col("n_transitions")).over(byFrom).cast("double")).as("p"))
   }
 
+  /** Per-user inter-arrival burstiness (Goh & Barabási 2008): B =
+    * (σ−μ)/(σ+μ) over the user's event gaps — the behavioral signature
+    * that separates Poisson-like humans (B ≈ 0), metronomic bots
+    * (B → −1, gaps more regular than chance) and bursty scripted replays
+    * (B → 1). The bot-detection companion to [[sessionize]], from the
+    * same user-time ordering.
+    *
+    * Shape + exactness: gaps come from ONE user-partitioned lag window
+    * (the [[sessionize]] spillable per-user sort); per-user moments are
+    * one keyed agg — n and Σg exact BIGINTs, Σg² as the exact
+    * DECIMAL(19,0)² product (µs gaps square past 2⁶³); μ, the sample σ
+    * and B are one pinned IEEE expression per user row. Users need ≥ 2
+    * gaps (sample variance).
+    *
+    * @param tsCol epoch-micros BIGINT; order pinned by (ts, event_id)
+    * @return (user_id, n_gaps, mean_gap_us = exact floored µs,
+    *         burstiness 6-rounded) */
+  def userBurstiness(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .select(col(userCol), col(tsCol), col(idCol))
+      .withColumn("__g", col(tsCol) - lag(col(tsCol), 1).over(byUser))
+      .filter(col("__g").isNotNull)
+    val m = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g").cast("decimal(19,0)") *
+          col("__g").cast("decimal(19,0)")).as("__sgg"))
+      .filter(col("n_gaps") >= 2)
+    val nD = col("n_gaps").cast("double")
+    val mean = col("__sg").cast("double") / nD
+    val sd = sqrt((col("__sgg").cast("double") -
+      col("__sg").cast("double") * col("__sg").cast("double") / nD) /
+      (nD - 1.0))
+    // mean_gap ships as an exact integer division: round(µs-scale
+    // doubles, 6) is not portable (Spark's BigDecimal rounding and
+    // DuckDB's scaled-multiply disagree in the last bits at 1e10);
+    // burstiness is O(1) so its 6-rounding is safe
+    m.select(col(userCol), col("n_gaps"),
+      expr("__sg div n_gaps").as("mean_gap_us"),
+      round((sd - mean) / (sd + mean), 6).as("burstiness"))
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {

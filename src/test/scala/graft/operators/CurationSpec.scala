@@ -628,4 +628,25 @@ class CurationSpec extends SparkSpec {
     r.getAs[Long]("n_novel") shouldBe 5L
     r.getAs[Double]("novelty") shouldBe 1.0
   }
+
+  behavior of "tokenSimpsonDiversity"
+
+  it should "score all-distinct tokens 1, a constant flood 0, and mixtures in between" in {
+    val docs = Seq(
+      ("rich", "a b c d"),        // 4 distinct of 4 → 1 − 0 = 1
+      ("flood", "x x x x"),       // one token → 1 − (4·3)/(4·3) = 0
+      ("mix", "a a b b")          // 1 − (2·1+2·1)/(4·3) = 1 − 1/3
+    ).toDF("lang", "text")
+    val got = Curation.tokenSimpsonDiversity(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got("rich") shouldBe ((4L, 4L, 1.0))
+    got("flood") shouldBe ((4L, 1L, 0.0))
+    got("mix")._3 shouldBe
+      BigDecimal(1.0 - 1.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a single-token language has no defined pair probability → absent
+    Curation.tokenSimpsonDiversity(Seq(("solo", "only"))
+      .toDF("lang", "text")).count() shouldBe 0L
+  }
 }

@@ -489,6 +489,23 @@ class ReportsSpec extends SparkSpec {
     ex.getMessage should include("maxCells")
   }
 
+  behavior of "topKConcentration"
+
+  it should "report the exact share of the heaviest users with pinned ties" in {
+    // user 1: 6 events, user 2: 3, users 3..5: 1 each → top-2 = 9/12
+    val ev = ((1L to 6L).map(i => (1L, i)) ++ (1L to 3L).map(i => (2L, i)) ++
+      Seq((3L, 1L), (4L, 1L), (5L, 1L))).toDF("user_id", "i")
+    val r = Reports.topKConcentration(ev, k = 2).collect()(0)
+    r.getLong(0) shouldBe 2L // k (actual cut size)
+    r.getLong(1) shouldBe 5L // n_users
+    r.getLong(2) shouldBe 9L
+    r.getLong(3) shouldBe 12L
+    r.getDouble(4) shouldBe 0.75
+    // k larger than the user count: the cut is everything, share = 1
+    Reports.topKConcentration(ev, k = 50).collect()(0)
+      .getDouble(4) shouldBe 1.0
+  }
+
   behavior of "cupedAbTest"
 
   it should "recover the planted covariate slope and tighten z on correlated outcomes" in {

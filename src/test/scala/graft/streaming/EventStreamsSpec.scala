@@ -400,6 +400,27 @@ class EventStreamsSpec extends SparkSpec {
     math.abs(ewma.getDouble(3) - next) should be > 3.0
   }
 
+  "userBurstiness" should "separate metronomic, Poisson-like and bursty arrival patterns" in {
+    // user 1: perfectly regular gaps (1000 µs) → σ = 0 → B = −1
+    // user 2: gaps 1, 1, 1, 997 (one long silence then a burst) → B > 0
+    // user 3: single event → no gaps → absent
+    val ev = ((1L to 10L).map(i => (1L, i * 1000L, i)) ++
+      Seq((2L, 0L, 101L), (2L, 1L, 102L), (2L, 2L, 103L),
+        (2L, 3L, 104L), (2L, 1000L, 105L)) ++
+      Seq((3L, 5L, 201L)))
+      .toDF("user_id", "ts", "event_id")
+    val got = EventStreams.userBurstiness(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L)._1 shouldBe 9L
+    got(1L)._2 shouldBe 1000L
+    got(1L)._3 shouldBe -1.0
+    got(2L)._1 shouldBe 4L
+    got(2L)._2 shouldBe 250L // (1+1+1+997) div 4
+    got(2L)._3 should be > 0.3
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
