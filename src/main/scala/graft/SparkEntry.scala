@@ -1307,6 +1307,32 @@ object SparkEntry {
       graft.operators.Graphs.kCore(mutual, k = 2)
     }),
 
+    // Adamic–Adar link prediction over the 3-NN graph: top-20 non-edge
+    // pairs by Σ 1/ln(deg) over common neighbors — wedge join with the
+    // hub-degree guard idle, pinned center-ordered score folds
+    "link_prediction" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.linkPrediction(edges, topK = 20)
+    }),
+
+    // Neyman-allocation stratified sample: 100 expected rows allocated
+    // across sources ∝ N_h·σ_h of n_chars — exact decimal moments,
+    // pinned total-weight fold, deterministic md5 cut
+    "neyman_sample" -> ((s, d) =>
+      graft.operators.Curation.neymanSample(
+        t(s, d, "documents"), "source", col("n_chars"), nTarget = 100L)),
+
+    // Heaps'-law fit V = k·T^beta over the vocab-growth curve, read at
+    // power-of-two doc positions (≤ 64 points at any corpus size) —
+    // zipf_fit's OLS discipline on the growth axis
+    "heaps_fit" -> ((s, d) =>
+      graft.operators.Curation.heapsFit(t(s, d, "documents"))),
+
     // The persisted-topology tier of pagerank_knn: build the kNN edge
     // frame ONCE (AnnArtifacts.saveKnnGraph — same anchors/k), load it
     // back, and run PageRank on the LOADED edges. The stress record shows
@@ -2853,6 +2879,143 @@ object SparkEntry {
          |  FROM s)
          |SELECT n_points, round(slope, 6) AS slope,
          |  round((sy - slope * sx) / n_points, 6) AS intercept,
+         |  round((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
+         |    / nullif((n_points * sxx - sx * sx)
+         |             * (n_points * syy - sy * sy), 0.0), 6)
+         |    AS r2
+         |FROM sl""".stripMargin
+    },
+
+    // mirrors Graphs.linkPrediction over the pagerank_knn edge CTEs:
+    // symmetrize+distinct, degree census, neighbor-pair wedges, pinned
+    // center-ordered 1/ln(deg) folds, existing edges anti-joined away
+    "link_prediction" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst AS src, src AS dst FROM edges)
+         |  WHERE src <> dst),
+         |deg AS (SELECT src AS w, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |bc AS (SELECT u.src AS w, u.dst AS nb, deg
+         |       FROM und u JOIN deg ON deg.w = u.src
+         |       WHERE deg <= 10000),
+         |pairs AS (
+         |  SELECT x.nb AS id_a, y.nb AS id_b, x.w, x.deg
+         |  FROM bc x JOIN bc y ON x.w = y.w AND x.nb < y.nb),
+         |scored AS (
+         |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(w := w, deg := deg))),
+         |        s -> 1.0 / ln(CAST(struct_extract(s, 'deg') AS DOUBLE)))),
+         |      (x, y) -> x + y), 6) AS aa_score
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT s.* FROM scored s
+         |LEFT JOIN und ON und.src = s.id_a AND und.dst = s.id_b
+         |WHERE und.src IS NULL
+         |ORDER BY aa_score DESC, id_a, id_b LIMIT 20""".stripMargin
+    },
+
+    // mirrors Curation.neymanSample on (source, n_chars): exact HUGEINT
+    // moments, the same sigma/weight/rate IEEE shapes, pinned
+    // stratum-ordered total-weight fold, md5 cut at rate·1e6
+    "neyman_sample" ->
+      """WITH qd AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(n_chars * 1.0) AS BIGINT) AS q
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(q AS HUGEINT)) AS s,
+        |    sum(CAST(q AS HUGEINT) * q) AS ss
+        |  FROM qd GROUP BY 1),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(n AS DOUBLE) *
+        |      (CASE WHEN n >= 2
+        |        THEN sqrt((CAST(ss AS DOUBLE)
+        |                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |                       / CAST(n AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) - 1.0))
+        |        ELSE 0.0 END) AS wt
+        |  FROM m),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(st := source, w := wt))),
+        |      c -> struct_extract(c, 'w'))), (x, y) -> x + y) AS tw
+        |  FROM w),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, (100.0 * wt / tw) / CAST(n AS DOUBLE)) AS rate
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source, round(r.rate, 6) AS stratum_rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(concat('42', ':',
+        |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
+        |      < rate * 1000000""".stripMargin,
+
+    // mirrors Curation.heapsFit: the vocab_growth curve read at
+    // power-of-two doc positions, zipf_fit's pinned OLS folds
+    "heaps_fit" -> {
+      def fold(e: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(p, q -> $e)), (a, b) -> a + b)""".stripMargin
+      s"""WITH pd AS (SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |tr AS (SELECT doc_id, unnest(list_filter($toksSql, t -> t <> ''))
+         |         AS term
+         |       FROM documents),
+         |fs AS (SELECT term, min(doc_id) AS first_doc FROM tr GROUP BY 1),
+         |nd AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT)
+         |         AS new_terms
+         |       FROM fs GROUP BY 1),
+         |curve AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |    CAST(sum(coalesce(nd.new_terms, 0)) OVER (ORDER BY p.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |  FROM pd p LEFT JOIN nd USING (doc_id)),
+         |pts AS (
+         |  SELECT list(struct_pack(
+         |      i := doc_id,
+         |      x := ln(CAST(cum_tokens AS DOUBLE)),
+         |      y := ln(CAST(cum_vocab AS DOUBLE))) ORDER BY doc_id) AS p
+         |  FROM curve
+         |  WHERE ((doc_id + 1) & doc_id) = 0
+         |    AND cum_tokens > 0 AND cum_vocab > 0),
+         |s AS (SELECT CAST(len(p) AS BIGINT) AS n_points,
+         |  ${fold("struct_extract(q, 'x')")} AS sx,
+         |  ${fold("struct_extract(q, 'y')")} AS sy,
+         |  ${fold("struct_extract(q, 'x') * struct_extract(q, 'y')")} AS sxy,
+         |  ${fold("struct_extract(q, 'x') * struct_extract(q, 'x')")} AS sxx,
+         |  ${fold("struct_extract(q, 'y') * struct_extract(q, 'y')")} AS syy
+         |  FROM pts),
+         |sl AS (SELECT *,
+         |  (n_points * sxy - sx * sy)
+         |    / nullif(n_points * sxx - sx * sx, 0.0) AS beta
+         |  FROM s)
+         |SELECT n_points, round(beta, 6) AS beta,
+         |  round(exp((sy - beta * sx) / n_points), 6) AS k,
          |  round((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
          |    / nullif((n_points * sxx - sx * sx)
          |             * (n_points * syy - sy * sy), 0.0), 6)

@@ -646,6 +646,76 @@ object Curation {
           .as("novelty"))
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): draw a target
+    * of `nTarget` rows total, allocating each stratum n_h ∝ N_h·σ_h —
+    * the minimum-variance design for estimating the population mean
+    * (variable strata get sampled hard, homogeneous strata barely),
+    * versus [[hashSample]]'s caller-chosen fractions. The curation use:
+    * sample a quality-audit set where the budget concentrates on the
+    * sources whose quality actually varies.
+    *
+    * Two passes: (1) per-stratum exact moments — n as BIGINT, Σq and Σq²
+    * as exact decimals over the `quantScale`-quantized metric (the
+    * [[graft.operators.Reports.abTest]] discipline) — then σ_h, the
+    * weight N_h·σ_h, the total weight W via a PINNED stratum-ordered
+    * fold (strata-cardinality array, never row-scale), and
+    * rate_h = min(1, nTarget·w_h/W / N_h); (2) the [[hashSample]]
+    * deterministic md5 cut at rate_h. A zero-variance stratum gets rate
+    * 0 — textbook Neyman: its mean is already exact from any single row
+    * (callers wanting floor coverage compose with [[samplePerGroup]]).
+    *
+    * Sample size is EXPECTED nTarget (hash-Bernoulli, the [[hashSample]]
+    * contract), deterministic per (seed, id) — stable under retries and
+    * corpus appends.
+    *
+    * @return sampled rows (idCol, strataCol, stratum_rate 6-rounded) */
+  def neymanSample(
+      docs: DataFrame,
+      strataCol: String,
+      valueCol: org.apache.spark.sql.Column,
+      nTarget: Long,
+      seed: Long = 42L,
+      quantScale: Long = 1L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nTarget > 0 && quantScale > 0, "need positive nTarget/quantScale")
+    val q = floor(valueCol * lit(quantScale.toDouble)).cast("long")
+    val m = docs
+      .select(col(strataCol).as("__st"), q.as("__q"))
+      .groupBy(col("__st"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__q").cast("decimal(28,0)")).as("__s"),
+        sum(col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)")).as("__ss"))
+    val nD = col("__n").cast("double")
+    val sigma = when(col("__n") >= 2,
+      sqrt((col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / nD) /
+        (nD - 1.0))).otherwise(lit(0.0))
+    val weighted = m.select(col("__st"), col("__n"),
+      (nD * sigma).as("__w"))
+    // total weight W: strata-cardinality frame folded in PINNED stratum
+    // order (an unpinned double SUM would be engine-order dependent)
+    val total = weighted
+      .agg(sort_array(collect_list(struct(col("__st"), col("__w"))))
+        .as("__ws"))
+      .select(aggregate(col("__ws"), lit(0.0),
+        (acc, c) => acc + c.getField("__w")).as("__tw"))
+    val rates = weighted.crossJoin(broadcast(total))
+      .select(col("__st"),
+        least(lit(1.0),
+          (lit(nTarget.toDouble) * col("__w") / col("__tw")) / nD)
+          .as("__rate"))
+    val bucket = pmod(
+      graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
+      lit(1000000L))
+    docs.select(col(idCol), col(strataCol))
+      .join(broadcast(rates),
+        col(strataCol) === col("__st"))
+      .filter(bucket < (col("__rate") * 1000000L))
+      .select(col(idCol), col(strataCol),
+        round(col("__rate"), 6).as("stratum_rate"))
+  }
+
   /** Deterministic stratified sampling by content hash — mixture
     * weighting (e.g. 80% web, 20% code) the reproducible way: a row is
     * kept iff `hash(seed, id) mod 1e6 < fraction(stratum) * 1e6`. Unlike
@@ -1283,5 +1353,59 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("new_terms"),
         (sum(col("n_tokens")).over(w) + col("__offT")).as("cum_tokens"),
         (sum(col("new_terms")).over(w) + col("__offV")).as("cum_vocab"))
+  }
+
+  /** Heaps'-law fit V ≈ k·Tᵝ over the [[vocabGrowth]] curve — the
+    * scaling-law companion of [[graft.operators.Reports.zipfFit]] (Zipf
+    * describes the frequency spectrum at one corpus size; Heaps predicts
+    * how the VOCABULARY grows as the corpus does — the number every
+    * tokenizer-budget and dedup-rate extrapolation to 100 TB rests on;
+    * β ≈ 0.4–0.6 for natural text, → 1 for id-like token floods).
+    *
+    * Scale shape: the fit reads the growth curve only at doc positions
+    * where `doc_id + 1` is a power of two — ≤ 64 GEOMETRICALLY-spaced
+    * points at ANY corpus size (log-log OLS wants them uniform in log T
+    * anyway; dense sampling would over-weight the tail AND make the fold
+    * corpus-scale). OLS runs the [[graft.operators.Reports.zipfFit]]
+    * discipline: one sorted ≤64-point array, per-moment pinned folds,
+    * IEEE finish with nullif-guarded denominators, explicit a·a squares.
+    *
+    * @return one row (n_points, beta, k, r2), 6-rounded; NULL beta on a
+    *         degenerate (< 2 distinct points) curve */
+  def heapsFit(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val curve = vocabGrowth(docs, textCol = textCol, idCol = idCol)
+      .filter(expr(s"(($idCol + 1) & $idCol) = 0"))
+      .filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+    val pts = sort_array(collect_list(struct(col(idCol),
+      log(col("cum_tokens").cast("double")).as("x"),
+      log(col("cum_vocab").cast("double")).as("y"))))
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(col("__pts"), f), lit(0.0), (a, b) => a + b)
+    curve.agg(pts.as("__pts"))
+      .select(size(col("__pts")).cast("long").as("n_points"),
+        fold(p => p.getField("x")).as("__sx"),
+        fold(p => p.getField("y")).as("__sy"),
+        fold(p => p.getField("x") * p.getField("y")).as("__sxy"),
+        fold(p => p.getField("x") * p.getField("x")).as("__sxx"),
+        fold(p => p.getField("y") * p.getField("y")).as("__syy"))
+      .select(col("n_points"), col("__sx"), col("__sy"), col("__sxy"),
+        col("__sxx"), col("__syy"),
+        ((col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+          nullif(col("n_points") * col("__sxx") - col("__sx") * col("__sx"),
+            lit(0.0))).as("__beta"))
+      .select(col("n_points"),
+        round(col("__beta"), 6).as("beta"),
+        round(exp((col("__sy") - col("__beta") * col("__sx")) /
+          col("n_points")), 6).as("k"),
+        round(
+          (col("n_points") * col("__sxy") - col("__sx") * col("__sy")) *
+            (col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+            nullif(
+              (col("n_points") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("n_points") * col("__syy") - col("__sy") * col("__sy")),
+              lit(0.0)), 6).as("r2"))
   }
 }

@@ -120,6 +120,9 @@ object EventStreams {
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class EwmaState(s: Double, n: Long, lastTs: Long)
   final case class EwmaPoint(user_id: Long, n_events: Long, last_ts: Timestamp, ewma: Double)
+  final case class HoltState(l: Double, b: Double, n: Long, lastTs: Long)
+  final case class HoltPoint(user_id: Long, n_events: Long, last_ts: Timestamp,
+    holt_level: Double, holt_trend: Double, forecast: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(
       user_id: Long,
@@ -614,6 +617,39 @@ object EventStreams {
           }
           state.update(st)
           EwmaPoint(uid, st.n, new Timestamp(st.lastTs), st.s)
+      }
+  }
+
+  /** Streaming twin of [[holtSmooth]]: per-user (level, trend) state
+    * carried across micro-batches via `mapGroupsWithState` — the same
+    * fixed-size-per-key discipline as [[ewmaSmoothStream]], stepping the
+    * Holt recurrence per event in (event-time) order within each batch.
+    * Matches the batch operator exactly for keys whose history fits
+    * `maxHistory` there (the parity spec's contract); the stream never
+    * truncates — its state IS the recurrence, two doubles per key. */
+  def holtSmoothStream(
+      events: Dataset[Event],
+      alpha: Double = 0.5,
+      beta: Double = 0.5): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[HoltState, HoltPoint](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[HoltState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            st =
+              if (st.n == 0L) HoltState(e.value, 0.0, 1L, e.ts.getTime)
+              else {
+                val ln = alpha * e.value + (1.0 - alpha) * (st.l + st.b)
+                HoltState(ln, beta * (ln - st.l) + (1.0 - beta) * st.b,
+                  st.n + 1L, math.max(st.lastTs, e.ts.getTime))
+              }
+          }
+          state.update(st)
+          HoltPoint(uid, st.n, new Timestamp(st.lastTs), st.l, st.b,
+            st.l + st.b)
       }
   }
 

@@ -629,6 +629,53 @@ class CurationSpec extends SparkSpec {
     r.getAs[Double]("novelty") shouldBe 1.0
   }
 
+  behavior of "neymanSample"
+
+  it should "allocate the budget toward high-variance strata and skip zero-variance ones" in {
+    // stratum 'v': 200 rows with wildly varying value; 'c': 200 rows
+    // constant (σ = 0 → Neyman rate 0); 'm': 200 rows mildly varying
+    val docs = ((1 to 200).map(i => (i.toLong, "v", (i % 100) * 1000.0)) ++
+      (201 to 400).map(i => (i.toLong, "c", 500.0)) ++
+      (401 to 600).map(i => (i.toLong, "m", 500.0 + (i % 5))))
+      .toDF("doc_id", "src", "value")
+    val got = Curation.neymanSample(docs, "src", col("value"),
+      nTarget = 100L, quantScale = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    bySrc.getOrElse("c", 0) shouldBe 0 // zero-variance: no budget
+    bySrc("v") should be > bySrc.getOrElse("m", 0) // σ_v ≫ σ_m
+    // rates: the whole budget splits between v and m ∝ N·σ, and the
+    // draw is deterministic — same seed, same sample
+    val again = Curation.neymanSample(docs, "src", col("value"),
+      nTarget = 100L, quantScale = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    again.toSet shouldBe got.toSet
+    // a stratum's rate caps at 1 when its allocation exceeds its size
+    val tiny = ((1 to 5).map(i => (i.toLong, "a", i * 1000.0)) ++
+      (6 to 400).map(i => (i.toLong, "b", 500.0 + (i % 2))))
+      .toDF("doc_id", "src", "value")
+    Curation.neymanSample(tiny, "src", col("value"), nTarget = 300L)
+      .filter(col("src") === "a").count() shouldBe 5L
+  }
+
+  behavior of "heapsFit"
+
+  it should "recover beta = 1 for all-novel tokens and near 0 for a frozen vocabulary" in {
+    // every token unique → V = T exactly → log V = log T: beta 1, r2 1
+    val novel = (0L until 128L).map(i =>
+      (i, (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rn = Curation.heapsFit(novel).collect()(0)
+    rn.getLong(0) shouldBe 8L // doc positions 1,2,4,...,128 → ids 0,1,3,...,127
+    rn.getDouble(1) shouldBe 1.0
+    rn.getDouble(3) shouldBe 1.0
+    // a 3-word frozen vocabulary: V flat at 3 after doc 0 → beta ≈ 0
+    val frozen = (0L until 128L).map(i => (i, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val rf = Curation.heapsFit(frozen).collect()(0)
+    math.abs(rf.getDouble(1)) should be < 0.01
+  }
+
   behavior of "tokenSimpsonDiversity"
 
   it should "score all-distinct tokens 1, a constant flood 0, and mixtures in between" in {

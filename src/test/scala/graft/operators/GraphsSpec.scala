@@ -231,4 +231,37 @@ class GraphsSpec extends SparkSpec {
         }
     }
   }
+
+  behavior of "linkPrediction"
+
+  it should "score non-edges by 1/ln(deg) over common neighbors and skip existing edges" in {
+    // path 1–2–3 plus 2–4: pairs through center 2 (deg 3): (1,3), (1,4),
+    // (3,4), each scoring 1/ln(3); edge (1,2) etc. must never appear
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graphs.linkPrediction(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val s = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.keySet shouldBe Set((1L, 3L), (1L, 4L), (3L, 4L))
+    got.values.foreach(_ shouldBe ((1L, s)))
+    // a closed triangle has NO non-edge pairs left to predict
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    Graphs.linkPrediction(tri, topK = 10).count() shouldBe 0L
+    // two common neighbors add their contributions: square 1-2-3-4-1
+    // predicts the diagonals with 2 wedges each
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val diag = Graphs.linkPrediction(sq, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    diag shouldBe Map((1L, 3L) -> 2L, (2L, 4L) -> 2L)
+  }
+
+  it should "exclude hub centers past maxWedgeDegree" in {
+    // star: hub 0 linked to 1..9 (deg 9) — with the guard at 5 the hub
+    // cannot be a wedge center, so no pairs survive
+    val star = (1L to 9L).map(i => (0L, i)).toDF("src", "dst")
+    Graphs.linkPrediction(star, topK = 100).count() shouldBe 36L
+    Graphs.linkPrediction(star, topK = 100, maxWedgeDegree = 5)
+      .count() shouldBe 0L
+  }
 }

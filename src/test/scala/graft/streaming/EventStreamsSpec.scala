@@ -387,6 +387,35 @@ class EventStreamsSpec extends SparkSpec {
     full.getDouble(4) shouldBe bf
   }
 
+  "holtSmoothStream" should "carry (level, trend) state across micro-batches and match the batch fold" in {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.holtSmoothStream(stream.toDS())
+      .writeStream.format("memory").queryName("holt_pts")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        EventStreams.Event(7L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        EventStreams.Event(7L, ts("2024-01-01 10:10:00"), "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(
+        EventStreams.Event(7L, ts("2024-01-01 10:20:00"), "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("holt_pts").orderBy(col("n_events").desc)
+      .collect()(0)
+    last.getAs[Long]("n_events") shouldBe 3L
+    // the hand-computed recurrence (see the batch spec): l = 2.875,
+    // b = 0.8125 — and identical to the batch operator on the same data
+    last.getAs[Double]("holt_level") shouldBe 2.875
+    last.getAs[Double]("holt_trend") shouldBe 0.8125
+    val batch = EventStreams.holtSmooth(
+      Seq((7L, 1L, 101L, 1.0), (7L, 2L, 102L, 2.0), (7L, 3L, 103L, 4.0))
+        .toDF("user_id", "ts", "event_id", "value")).collect()(0)
+    batch.getDouble(3) shouldBe last.getAs[Double]("holt_level")
+    batch.getDouble(4) shouldBe last.getAs[Double]("holt_trend")
+  }
+
   it should "out-track a plain EWMA on a linearly trending series" in {
     // x_t = 2t: Holt's forecast locks onto the trend (error → 0), the
     // EWMA lags a constant ~2 steps behind — the reason the operator
