@@ -1333,6 +1333,24 @@ object SparkEntry {
     "heaps_fit" -> ((s, d) =>
       graft.operators.Curation.heapsFit(t(s, d, "documents"))),
 
+    // TF-IDF more-like-this: doc 0's top-10 cosine neighbors over the
+    // sparse space — posting-sliver candidates, pinned norm/dot folds
+    "doc_similarity" -> ((s, d) =>
+      graft.operators.Curation.docSimilarity(
+        t(s, d, "documents"), queryDocId = 0L, topK = 10)),
+
+    // Binned percentile-rank normalization of n_chars: one histogram
+    // pass + a broadcast nBins rank table — row-local at any scale
+    "quantile_normalize" -> ((s, d) =>
+      graft.stats.Descriptive.quantileNormalize(
+        t(s, d, "documents"), "doc_id", col("n_chars"),
+        width = 100L, nBins = 100)),
+
+    // RFM user-feature table: recency/tenure in whole days, exact
+    // quantized monetary, one keyed pass + a 1-row anchor broadcast
+    "rfm_features" -> ((s, d) =>
+      graft.operators.Reports.rfmFeatures(eventsUs(s, d))),
+
     // The persisted-topology tier of pagerank_knn: build the kNN edge
     // frame ONCE (AnnArtifacts.saveKnnGraph — same anchors/k), load it
     // back, and run PageRank on the LOADED edges. The stress record shows
@@ -2932,6 +2950,85 @@ object SparkEntry {
          |WHERE und.src IS NULL
          |ORDER BY aa_score DESC, id_a, id_b LIMIT 20""".stripMargin
     },
+
+    // mirrors Curation.docSimilarity from doc 0: posting-sliver
+    // candidates, pinned term-ordered norm and dot folds, one IEEE
+    // cosine per candidate
+    "doc_similarity" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter($toksSql, t -> t <> ''))
+         |          AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1 HAVING count(*) <= 1000000),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, term,
+         |    CAST(tf AS DOUBLE)
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+         |  FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+         |norms AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list(struct_pack(t := term, w := w)
+         |                          ORDER BY term),
+         |        x -> struct_extract(x, 'w') * struct_extract(x, 'w'))),
+         |      (a, b) -> a + b)) AS norm
+         |  FROM w GROUP BY 1),
+         |qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+         |qn AS (SELECT norm AS qnorm FROM norms WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shared_terms,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list(struct_pack(t := w.term, p := w.w * qw)
+         |                          ORDER BY w.term),
+         |        x -> struct_extract(x, 'p'))), (a, b) -> a + b) AS dot
+         |  FROM w JOIN qv USING (term)
+         |  WHERE w.doc_id <> 0 GROUP BY 1)
+         |SELECT d.doc_id, n_shared_terms,
+         |  round(dot / (qnorm * norm), 6) AS cosine
+         |FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn
+         |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirrors Descriptive.quantileNormalize on n_chars: clamped fixed
+    // grid, strictly-below self-join, one IEEE rank per bin
+    "quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(least(n_chars // 100, 99), 0) AS BIGINT) AS bin
+        |  FROM documents),
+        |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |bl AS (
+        |  SELECT h1.bin, CAST(coalesce(sum(h2.c), 0) AS BIGINT) AS below
+        |  FROM h h1 LEFT JOIN h h2 ON h2.bin < h1.bin GROUP BY 1),
+        |r AS (
+        |  SELECT bin,
+        |    round(CAST(below AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct_rank
+        |  FROM bl, t)
+        |SELECT b.doc_id, b.bin, r.pct_rank
+        |FROM b JOIN r USING (bin)""".stripMargin,
+
+    // mirrors Reports.rfmFeatures: one keyed pass, day div arithmetic,
+    // exact quantized monetary, 1-row max-day anchor
+    "rfm_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS frequency,
+        |    min(day) AS f, max(day) AS l,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+        |    CAST(sum(q) AS BIGINT) AS monetary_q
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT max(day) AS maxday FROM e)
+        |SELECT user_id, CAST(maxday - l AS BIGINT) AS recency_days,
+        |  CAST(l - f AS BIGINT) AS tenure_days,
+        |  frequency, active_days, monetary_q
+        |FROM u, a""".stripMargin,
 
     // mirrors Curation.neymanSample on (source, n_chars): exact HUGEINT
     // moments, the same sigma/weight/rate IEEE shapes, pinned

@@ -1080,6 +1080,74 @@ object Curation {
       .limit(topK)
   }
 
+  /** TF-IDF "more-like-this": the top-k documents most cosine-similar
+    * to a QUERY DOCUMENT over the sparse TF-IDF space — the
+    * query-by-example retrieval leg ([[bm25Search]] answers term
+    * queries; this answers "find documents like this one", the
+    * curation/recommendation staple).
+    *
+    * Weights w = tf · ln(n_docs/df); candidates come from the POSTING
+    * SLIVER of the query doc's terms (the corpus never cross-joins —
+    * only docs sharing ≥ 1 query term are touched), with terms of
+    * df > `maxDf` skipped for candidate generation AND scoring
+    * (ubiquitous terms carry ~zero idf and their postings are the
+    * whale; the skip is the standard stop-term trade, exact while the
+    * guard is idle). Norms fold each doc's (term, w) list in PINNED
+    * term order; the dot folds shared terms likewise, so every cosine
+    * replays bit-for-bit in SQL list folds.
+    *
+    * @return (doc_id, n_shared_terms, cosine) top-k by cosine desc,
+    *         ties by id; the query doc itself is excluded */
+  def docSimilarity(
+      docs: DataFrame,
+      queryDocId: Long,
+      topK: Int = 10,
+      maxDf: Long = 1000000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0 && maxDf > 0, "need positive topK/maxDf")
+    val base = Fan.spread(docs.select(col(idCol), col(textCol)))
+    val tf = base
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // df census + weights share the token pass
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = broadcast(base.agg(count(lit(1)).as("n_docs")))
+    val w = tf.join(dfc.hint("broadcast"), Seq("term")).crossJoin(nDocs)
+      .select(col(idCol), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+      .localCheckpoint() // norms + query vector + dot all read it
+    val norms = w.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("w"))))
+        .as("__ws"))
+      .select(col(idCol),
+        sqrt(aggregate(col("__ws"), lit(0.0),
+          (acc, x) => acc + x.getField("w") * x.getField("w"))).as("norm"))
+      .localCheckpoint() // query norm + candidate norms
+    val qv = broadcast(w.filter(col(idCol) === queryDocId)
+      .select(col("term"), col("w").as("qw")))
+    val qn = broadcast(norms.filter(col(idCol) === queryDocId)
+      .select(col("norm").as("qnorm")))
+    val dots = w.join(qv, Seq("term"))
+      .filter(col(idCol) =!= queryDocId)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sort_array(collect_list(struct(col("term"),
+          (col("w") * col("qw")).as("p")))).as("__ps"))
+      .select(col(idCol), col("n_shared_terms"),
+        aggregate(col("__ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")).as("__dot"))
+    dots.join(norms, Seq(idCol)).crossJoin(qn)
+      .select(col(idCol), col("n_shared_terms"),
+        round(col("__dot") / (col("qnorm") * col("norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     * sample raw-corpus docs whose hashed-n-gram profile looks like a
     * TARGET domain. The published recipe, Spark-shaped:

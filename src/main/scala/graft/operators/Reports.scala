@@ -791,6 +791,48 @@ object Reports {
           .cast("double")).as("retention"))
   }
 
+  /** RFM feature table (recency / frequency / monetary — the classic
+    * user-segmentation basis) plus tenure and active-day coverage: the
+    * per-user feature block every churn model, LTV model and cohort
+    * segmentation starts from. ALL-INTEGER output: recency and tenure in
+    * whole days (`div` arithmetic), monetary as the `quantScale`-
+    * quantized exact sum ([[abTest]]'s discipline) — so the table
+    * replays hash-exact and composes into downstream exact pipelines.
+    *
+    * Shape: ONE user-keyed aggregate over the stream (count, min/max
+    * day, conditional sum, distinct-day count — Catalyst's two-phase
+    * distinct rewrite keeps it a single pass) plus a 1-row broadcast of
+    * the corpus max day for the recency anchor.
+    *
+    * @return (user_id, recency_days, tenure_days, frequency,
+    *         active_days, monetary_q) */
+  def rfmFeatures(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      dayUs: Long = 86400000000L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(dayUs > 0 && quantScale > 0, "need positive dayUs/quantScale")
+    val day = expr(s"`$tsCol` div ${dayUs}L")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val perUser = events
+      .select(col(userCol), day.as("__day"), q.as("__q"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("frequency"),
+        min(col("__day")).as("__first"),
+        max(col("__day")).as("__last"),
+        countDistinct(col("__day")).as("active_days"),
+        sum(col("__q")).as("monetary_q"))
+    val anchor = broadcast(events
+      .agg(max(day).as("__maxday")))
+    perUser.crossJoin(anchor)
+      .select(col(userCol),
+        (col("__maxday") - col("__last")).as("recency_days"),
+        (col("__last") - col("__first")).as("tenure_days"),
+        col("frequency"), col("active_days"), col("monetary_q"))
+  }
+
   /** Traffic-concentration report: what share of all events do the
     * top-k most active users generate — the "1% of users are 40% of
     * load" number that sizes rate limits, caches and the key-skew

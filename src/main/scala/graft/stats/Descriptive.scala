@@ -166,6 +166,55 @@ object Descriptive {
     main.join(mad, Seq(groupCol))
   }
 
+  /** Binned percentile-rank normalization: map every row's metric to
+    * its corpus percentile via a FIXED-GRID histogram — the score-
+    * calibration step before mixing quality signals from different
+    * sources ("this doc is p92 for its metric" composes across metrics;
+    * raw scores don't). The convention is the strictly-below rank:
+    * pct_rank = (# rows in strictly lower bins) / n, deterministic at
+    * bin granularity (rows sharing a bin share a rank — the documented
+    * resolution trade of the binned tier; a finer grid is a knob, not a
+    * redesign).
+    *
+    * Scale shape: pass 1 is one binned keyed count (map-side partials →
+    * an ≤ nBins frame); the cumulative-below table comes from an
+    * nBins×nBins self-join of that tiny frame (no window, no sort);
+    * pass 2 joins each row's bin to the BROADCAST rank table — row-local
+    * at any corpus size. Bins clamp at both ends (the [[graft.operators
+    * .Reports.driftPsi]] convention). Integer counts are exact; the rank
+    * is one IEEE division, 6-rounded.
+    *
+    * @return input id + (bin, pct_rank) */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      metric: Column,
+      width: Long = 100L,
+      nBins: Int = 100): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    val bin = greatest(
+      least(floor(metric.cast("bigint") / lit(width)).cast("bigint"),
+        lit(nBins - 1L)),
+      lit(0L))
+    val binned = df.select(col(idCol), bin.as("bin"))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // below-join reads it twice + the total once
+    val total = hist.agg(sum(col("c")).as("n"))
+    // strictly-below cumulative via the tiny self-join (≤ nBins² cells)
+    val below = hist.select(col("bin"))
+      .join(hist.select(col("bin").as("__b2"), col("c").as("__c2")),
+        col("__b2") < col("bin"), "left")
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("__c2")), lit(0L)).as("below"))
+    val ranks = below.crossJoin(broadcast(total))
+      .select(col("bin"), col("below"),
+        round(col("below").cast("double") / col("n").cast("double"), 6)
+          .as("pct_rank"))
+    binned.join(broadcast(ranks.select(col("bin"), col("pct_rank"))),
+      Seq("bin"))
+      .select(col(idCol), col("bin"), col("pct_rank"))
+  }
+
   /** The 100 TB tier SURVEY §7.3 anticipates "behind a flag": exact
     * `percentile` is a sort-based aggregate and `count distinct` a full
     * shuffle — at scale swap in the sketch versions. Single pass, bounded

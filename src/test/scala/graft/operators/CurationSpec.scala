@@ -658,6 +658,30 @@ class CurationSpec extends SparkSpec {
       .filter(col("src") === "a").count() shouldBe 5L
   }
 
+  behavior of "docSimilarity"
+
+  it should "rank an identical document first and respect the maxDf stop-term skip" in {
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana cherry"),    // identical → cosine 1
+      (2L, "apple banana kiwi"),      // 2 of 3 terms shared
+      (3L, "melon kiwi grape"),       // no shared terms → absent
+      (4L, "apple apple apple")       // one shared term, heavy tf
+    ).toDF("doc_id", "text")
+    val got = Curation.docSimilarity(docs, queryDocId = 0L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.head._1 shouldBe 1L
+    got.head._3 shouldBe 1.0
+    got.map(_._1).toSet shouldBe Set(1L, 2L, 4L)
+    // with maxDf = 2 'apple' (df 4) and 'banana'/'cherry' (df 3... df 2? )
+    // — 'apple' df=4, 'banana' df=3, 'cherry' df=2, 'kiwi' df=2: capping
+    // at 2 keeps only cherry/kiwi(+melon/grape), so doc 2 no longer
+    // shares a scorable term with doc 0 via banana
+    val guarded = Curation.docSimilarity(docs, queryDocId = 0L, topK = 10,
+      maxDf = 2L).collect().map(r => r.getLong(0)).toSet
+    guarded shouldBe Set(1L) // only cherry (df 2) links 0 to 1
+  }
+
   behavior of "heapsFit"
 
   it should "recover beta = 1 for all-novel tokens and near 0 for a frozen vocabulary" in {

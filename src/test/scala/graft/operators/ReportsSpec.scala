@@ -489,6 +489,26 @@ class ReportsSpec extends SparkSpec {
     ex.getMessage should include("maxCells")
   }
 
+  behavior of "rfmFeatures"
+
+  it should "compute exact integer recency, tenure, coverage and quantized monetary" in {
+    val day = 86400000000L
+    val ev = Seq(
+      // user 1: days 0, 2, 2, 9 — recency 10-9=1, tenure 9, 3 active days
+      (1L, 0L * day + 5L, 10.0), (1L, 2L * day + 1L, 1.5),
+      (1L, 2L * day + 2L, 2.25), (1L, 9L * day, 0.004),
+      // user 2: one event on day 10 (the corpus max day)
+      (2L, 10L * day + 3L, 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Reports.rfmFeatures(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // monetary: floor(10·1000)+floor(1.5·1000)+floor(2.25·1000)+floor(4)
+    got(1L) shouldBe ((1L, 9L, 4L, 3L, 10000L + 1500L + 2250L + 4L))
+    got(2L) shouldBe ((0L, 0L, 1L, 1L, 7000L))
+  }
+
   behavior of "topKConcentration"
 
   it should "report the exact share of the heaviest users with pinned ties" in {

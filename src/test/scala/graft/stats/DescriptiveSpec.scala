@@ -132,4 +132,25 @@ class DescriptiveSpec extends SparkSpec {
       r.getAs[Long]("mad") shouldBe nr(sorted.map(v => math.abs(v - med)).sorted, 50)
     }
   }
+
+  behavior of "quantileNormalize"
+
+  it should "rank by strictly-below bin mass with clamped edges" in {
+    // widths of 10, bins 0..9; values: 4 rows in bin 0, 4 in bin 5,
+    // 2 in bin 9 (one via the upper clamp), 1 negative via the lower
+    val rows = Seq(
+      (1L, 1L), (2L, 3L), (3L, 7L), (4L, -50L), // bin 0 (incl. clamp)
+      (5L, 50L), (6L, 52L), (7L, 55L), (8L, 59L), // bin 5
+      (9L, 95L), (10L, 940L)) // bin 9 (incl. clamp)
+      .toDF("id", "v")
+    val got = Descriptive.quantileNormalize(rows, "id", col("v"),
+      width = 10L, nBins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    got(4L) shouldBe ((0L, 0.0)) // nothing strictly below bin 0
+    got(1L) shouldBe ((0L, 0.0))
+    got(5L) shouldBe ((5L, 0.4)) // 4 of 10 rows in lower bins
+    got(9L) shouldBe ((9L, 0.8))
+    got(10L) shouldBe ((9L, 0.8)) // clamped into the top bin
+  }
 }
