@@ -909,7 +909,29 @@ object StressScale {
         graft.store.SparseIndex.compact(wh, "stress_bm25_th")
         graft.store.SparseIndex.bm25(wh, "stress_bm25_th",
           Seq("spark", "merge", "customer"), topK = 10)
-      }
+      },
+      // Adamic-Adar over the synthetic avg-degree-8 graph (node scale =
+      // corpus scale): wedge fan-out Σdeg² with the hub guard idle —
+      // degree census + neighbor-pair join + pinned score folds
+      timeNoop("link_prediction")(
+        graft.operators.Graphs.linkPrediction(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")),
+          topK = 20)),
+      // TF-IDF more-like-this at corpus scale: the posting sliver of one
+      // query doc's terms bounds the candidate set; norms are the
+      // corpus-wide cost (one keyed fold pass)
+      timeNoop("doc_similarity")(
+        graft.operators.Curation.docSimilarity(docs, queryDocId = 0L,
+          topK = 10)),
+      // RFM features on the 2M-event stream: one keyed pass with a
+      // distinct-day expand + the 1-row anchor broadcast
+      timeNoop("rfm_features_2m")(
+        graft.operators.Reports.rfmFeatures(
+          events2m.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+              / 100.0))))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

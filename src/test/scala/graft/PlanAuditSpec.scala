@@ -442,6 +442,43 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  "topk_concentration" should "cut the top users via TakeOrdered and broadcast the 1-row total" in {
+    val plan = executed("topk_concentration")
+    plan should include("TakeOrderedAndProject")
+    plan should include("partial_count")
+    plan should not include "SortMergeJoin"
+  }
+
+  "link_prediction" should "wedge-join without a cartesian and cut via TakeOrdered" in {
+    val plan = executed("link_prediction")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  "neyman_sample and quantile_normalize" should "broadcast the tiny rate/rank tables onto the corpus" in {
+    for (q <- Seq("neyman_sample", "quantile_normalize")) {
+      val plan = executed(q)
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
+  "cusum_changepoint" should "window the hour frame partitioned by type, never the event stream" in {
+    val plan = executed("cusum_changepoint")
+    // the only Window execs sit above the hourly partial-count agg
+    plan should include("partial_count")
+    plan should include("Window")
+    plan should not include "Join"
+  }
+
+  "rfm_features" should "be one user-keyed pass with the 1-row anchor broadcast" in {
+    val plan = executed("rfm_features")
+    plan should include("partial_count")
+    plan should include("BroadcastNestedLoopJoin") // 1-row cross anchor
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
   "rolling_active_users_hll" should "partial-aggregate HLL registers map-side over the broadcast day grid" in {
     val plan = executed("rolling_active_users_hll")
     // the 100 TB contract: fixed-size register states shuffle, not
