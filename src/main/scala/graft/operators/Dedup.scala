@@ -979,11 +979,15 @@ object Dedup {
       maxPrefixDf: Int = 100000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0,1]: $threshold")
+    val nPart = docs.sparkSession.sparkContext.defaultParallelism
     // distinct shingle stream, explode-first with codegen'd
     // slice/concat_ws (the ngramJaccardPairs discipline — wordShingles'
-    // `transform` is an interpreted HOF)
+    // `transform` is an interpreted HOF). Spread BEFORE tokenizing:
+    // repartition is a plan barrier, so tokenize-then-spread would run
+    // the split/lower pass fused onto the (often 1-partition) file scan.
     val ex = Fan.spread(docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), T.tokens(col("__text")).as("toks"))
       .select(col("id"),
         explode(sequence(lit(1),
           greatest(size(col("toks")) - lit(shingleN - 1), lit(1)))).as("p"),
@@ -993,8 +997,14 @@ object Dedup {
       .distinct()
       .localCheckpoint(true) // 3 consumers: census, sorted arrays
     val dfc = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // per-doc set sorted rare-first (df asc, shingle asc)
+    // per-doc set sorted rare-first (df asc, shingle asc). The numbered
+    // repartition pins the aggregate's exchange at nPart: the (id,df,s)
+    // stream is small in BYTES, so AQE's byte-based coalesce would
+    // serialize the CPU-heavy collect+array_sort onto one task (5.2 s of
+    // the query's 7 s at sf0.1); hash-on-id means the aggregate reuses
+    // the exchange, and partial collect_list loses nothing map-side.
     val sorted = ex.join(dfc, Seq("s"))
+      .repartition(nPart, col("id"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("st"))
       .select(col("id"),
@@ -1012,7 +1022,11 @@ object Dedup {
       .agg(count(lit(1)).as("__pdf"))
       .filter(col("__pdf") <= maxPrefixDf)
       .select(col("s"))
-    val prek = pre.join(keptPre, Seq("s"))
+    // same AQE exemption on the self-join: the prefix stream is tiny in
+    // bytes but the join multiplies rows per shingle, so a byte-based
+    // coalesce serializes pair generation; both sides read the ONE
+    // pinned exchange (the minhashLsh band-join discipline).
+    val prek = pre.join(keptPre, Seq("s")).repartition(nPart, col("s"))
     val cand = prek.select(col("s"), col("id").as("id_a"), col("n").as("na"))
       .join(prek.select(col("s"), col("id").as("id_b"), col("n").as("nb")),
         Seq("s"))
@@ -1020,6 +1034,10 @@ object Dedup {
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
       .select(col("id_a"), col("id_b"))
+      // pinned for the same reason: candidate pairs are tiny in bytes,
+      // and the verification joins + array_intersect fuse onto this
+      // aggregate's output — a byte-based coalesce runs them on 1 task
+      .repartition(nPart, col("id_a"), col("id_b"))
       .distinct()
     // verification: arrays ship onto candidates only
     cand

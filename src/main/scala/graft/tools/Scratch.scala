@@ -44,6 +44,11 @@ object Scratch {
       if (verbose) st.sortBy(-_._3).take(8).foreach { case (id, n, ms, nm) =>
         println(f"  stage $id%4d  $ms%6d ms  $n%4d tasks  $nm")
       }
+      if (sys.env.contains("SPARK_GRAFT_PLAN")) {
+        val df2 = SparkEntry.queries(name)(spark, sfDir)
+        df2.write.format("noop").mode("overwrite").save()
+        println(df2.queryExecution.executedPlan.toString.take(8000))
+      }
     }
     spark.stop()
   }
