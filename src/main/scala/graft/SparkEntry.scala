@@ -1686,8 +1686,14 @@ object SparkEntry {
     // shuffle, not one per grouping set). grouping_id() disambiguates
     // rolled-up NULLs from data NULLs; decimal sums keep qty/revenue
     // exact so the doubles replay bit-for-bit
+    // Fan.spread: Expand multiplies rows 4x and feeds partial aggs — on
+    // an under-partitioned scan (the testdata files are single parquet
+    // row groups, unsplittable) that all fuses onto 1-3 cores. The guard
+    // never fires on a properly-partitioned cluster-scale scan.
     "cube_revenue" -> ((s, d) =>
-      t(s, d, "lineitem")
+      graft.operators.Fan.spread(t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping_id().cast("long").as("gid"),

@@ -79,8 +79,13 @@ object Dedup {
     // norm + positional explode: one row per (doc, shingle position).
     // Fan.spread: the explode below multiplies rows ~1000x — a compact
     // input must not run that on one core (see [[Fan]])
-    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
-    val shingled = Fan.spread(docs.select(col(idCol).as("id"), norm.as("norm")))
+    // spread the RAW text, normalize after: repartition is a plan
+    // barrier, so norm-then-spread would run the regex pass fused onto
+    // the (often 1-partition) file scan — 1.6 s on one task at sf0.1
+    val shingled = Fan.spread(docs.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"),
+        regexp_replace(lower(col("__t")), "\\s+", " ").as("norm"))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - lit(shingleN - 1), lit(1)))).as("pos"))
@@ -661,7 +666,8 @@ object Dedup {
     require(gramN >= 2 && minDf >= 2, "gramN and minDf must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val grams = Fan.spread(docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), T.tokens(col("__t")).as("toks"))
       .filter(size(col("toks")) >= gramN)
       .select(col("id"),
         explode(sequence(lit(1), size(col("toks")) - lit(gramN - 1))).as("p"),
@@ -739,7 +745,8 @@ object Dedup {
     // reason as the LSH banded frame — two consumers (census + pair join)
     // whose exchanges differ, so the tokenize+gram pipeline would run twice
     val grams = Fan.spread(docs
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), T.tokens(col("__t")).as("toks"))
       .filter(size(col("toks")) >= gramN)
       .select(col("id"),
         explode(sequence(lit(1), size(col("toks")) - lit(gramN - 1))).as("p"),
