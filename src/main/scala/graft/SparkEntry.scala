@@ -1351,6 +1351,31 @@ object SparkEntry {
     "rfm_features" -> ((s, d) =>
       graft.operators.Reports.rfmFeatures(eventsUs(s, d))),
 
+    // Exact Gini + top-decile share of per-customer revenue: banded
+    // two-pass global rank (no full sort), decimal(38,0) rank-weighted
+    // sum, one IEEE finish per output
+    "revenue_gini" -> ((s, d) =>
+      graft.operators.Reports.revenueGini(t(s, d, "orders"))),
+
+    // Benford leading-digit audit of order totals: integer-only digit
+    // extraction, 9-group agg + 1-row total broadcast
+    "benford_digits" -> ((s, d) =>
+      graft.operators.Reports.benfordDigits(t(s, d, "orders"),
+        "o_totalprice")),
+
+    // Kaplan-Meier churn curve over user lifetimes: one event-scale
+    // keyed agg, then a pinned product fold over the calendar-bounded
+    // duration table
+    "survival_km" -> ((s, d) =>
+      graft.operators.Reports.survivalKm(eventsUs(s, d))),
+
+    // Seeded Poissonized-bootstrap CI for mean document length: one
+    // B-way explode into map-side-combined replicate sums, percentile
+    // finish over the B replicate means in pinned order
+    "bootstrap_ci" -> ((s, d) =>
+      graft.operators.Reports.bootstrapCi(t(s, d, "documents"),
+        "doc_id", "n_chars")),
+
     // The persisted-topology tier of pagerank_knn: build the kNN edge
     // frame ONCE (AnnArtifacts.saveKnnGraph — same anchors/k), load it
     // back, and run PageRank on the LOADED edges. The stress record shows
@@ -3035,6 +3060,125 @@ object SparkEntry {
         |  CAST(l - f AS BIGINT) AS tenure_days,
         |  frequency, active_days, monetary_q
         |FROM u, a""".stripMargin,
+
+    // mirrors Reports.revenueGini: the banded two-pass rank is a plain
+    // global row_number here; HUGEINT rank-weighted sum, identical IEEE
+    // finishes
+    "revenue_gini" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS q
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT q, row_number() OVER (ORDER BY q, o_custkey) AS r FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+        |SELECT t.n AS n_customers,
+        |  CAST(sum(r.q) AS BIGINT) AS total_q,
+        |  round(2.0 * CAST(sum(CAST(r.r AS HUGEINT) * r.q) AS DOUBLE) /
+        |      (CAST(t.n AS DOUBLE) * CAST(sum(r.q) AS DOUBLE)) -
+        |    (CAST(t.n AS DOUBLE) + 1.0) / CAST(t.n AS DOUBLE), 6) AS gini,
+        |  round(CAST(sum(CASE WHEN r.r > t.n - t.n // 10 THEN r.q
+        |                      ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(r.q) AS DOUBLE), 6) AS top_decile_share
+        |FROM r, t GROUP BY t.n""".stripMargin,
+
+    // mirrors Reports.benfordDigits: integer-only digit extraction,
+    // ln-ratio expected, identical z expression shape
+    "benford_digits" ->
+      """WITH q AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS q
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(substr(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM q WHERE q > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS freq,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS expected,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) *
+        |      (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) /
+        |    sqrt(CAST(n AS DOUBLE) *
+        |      (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) *
+        |      (1.0 - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
+        |    AS z
+        |FROM g, t ORDER BY digit""".stripMargin,
+
+    // mirrors Reports.survivalKm: the pinned ascending-duration product
+    // fold replays as a recursive CTE carrying (at_risk, survival)
+    "survival_km" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS f,
+        |         max(epoch_us(ts) // 86400000000) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM per),
+        |pu AS (SELECT l - f AS dur,
+        |         CASE WHEN l < m - 7 THEN 1 ELSE 0 END AS ev
+        |       FROM per, mx),
+        |bd AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |       FROM pu GROUP BY 1),
+        |o AS (SELECT dur, d, c,
+        |        CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i
+        |      FROM bd),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM bd),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, tot.n AS atrisk,
+        |    CAST(1.0 AS DOUBLE) AS s,
+        |    CAST(NULL AS BIGINT) AS dur, CAST(NULL AS BIGINT) AS nr,
+        |    CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS c
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT o.i, r.atrisk - o.d - o.c,
+        |    r.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(r.atrisk AS DOUBLE)),
+        |    o.dur, r.atrisk, o.d, o.c
+        |  FROM rec r JOIN o ON o.i = r.i + 1)
+        |SELECT dur AS duration, nr AS n_at_risk, d AS d_events,
+        |  c AS n_censored, round(s, 6) AS survival
+        |FROM rec WHERE i > 0""".stripMargin,
+
+    // mirrors Reports.bootstrapCi: same md5 uniform, same Poisson(1)
+    // threshold ladder (Reports.PoissonThresholds verbatim), struct-sort
+    // percentile finish
+    "bootstrap_ci" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |         CAST(n_chars AS BIGINT) AS q
+        |  FROM documents),
+        |e AS (
+        |  SELECT q, b,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |      CAST(b AS VARCHAR), '#', id)), 1, 8)) AS BIGINT) AS u
+        |  FROM d, (SELECT unnest(range(0, 64)) AS b)),
+        |w AS (
+        |  SELECT b, q,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2
+        |         WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4
+        |         WHEN u < 4292415291 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM e),
+        |reps AS (
+        |  SELECT b, CAST(sum(w) AS BIGINT) AS nb,
+        |         CAST(sum(w * q) AS BIGINT) AS sb
+        |  FROM w GROUP BY 1),
+        |ms AS (
+        |  SELECT list_sort(list(struct_pack(
+        |    m := CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE),
+        |    b := b))) AS ms
+        |  FROM reps),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(sum(q) AS BIGINT) AS s FROM d)
+        |SELECT n_rows,
+        |  round(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
+        |  CAST(64 AS BIGINT) AS n_resamples,
+        |  round(struct_extract(ms[2], 'm'), 6) AS ci_lo,
+        |  round(struct_extract(ms[63], 'm'), 6) AS ci_hi
+        |FROM f, ms""".stripMargin,
 
     // mirrors Curation.neymanSample on (source, n_chars): exact HUGEINT
     // moments, the same sigma/weight/rate IEEE shapes, pinned

@@ -1095,4 +1095,243 @@ object Reports {
           sqrt(varAdj("a") / nD("a") + varAdj("b") / nD("b")), 6)
           .as("z_cuped"))
   }
+
+  /** Revenue-concentration report: exact Gini coefficient and
+    * top-decile share of per-customer revenue — the inequality rollup
+    * behind "how concentrated is our revenue" (and, on a corpus, "how
+    * concentrated are tokens per source"). Gini from the rank form
+    * G = 2·Σᵢ rᵢqᵢ / (n·Σq) − (n+1)/n over ascending ranks rᵢ (Lerman &
+    * Yitzhaki 1984), which needs ONE global rank — produced with the
+    * banded two-pass prefix-sum discipline ([[graft.streaming
+    * .EventStreams.userGrowth]]): band per-customer totals by value
+    * range, collect per-band COUNTS to the driver (bounded by value
+    * range / `bandWidth`, never by customers), then rank inside each
+    * band with a partitioned window plus the band's exclusive offset.
+    * No global `Window.orderBy`, no full sort.
+    *
+    * Exactness: quantized amounts, Σrᵢqᵢ accumulated in decimal(38,0)
+    * (HUGEINT in the SQL replay), one IEEE finish per output. Ties in
+    * revenue rank by customer id — both engines pin the same total
+    * order. n is driver-known after pass 1, so the top-decile rank
+    * threshold ships as a literal.
+    *
+    * @return one row (n_customers, total_q, gini, top_decile_share) */
+  def revenueGini(
+      orders: DataFrame,
+      custCol: String = "o_custkey",
+      amtCol: String = "o_totalprice",
+      quantScale: Long = 100L,
+      bandWidth: Long = 1000000L): DataFrame = {
+    require(quantScale > 0 && bandWidth > 0, "positive scales")
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val per = orders
+      .select(col(custCol).as("cust"),
+        // floor-quantize a DOUBLE amount: cast-to-bigint truncates in
+        // Spark but rounds in DuckDB — floor is the one portable form
+        floor(col(amtCol) * lit(quantScale.toDouble)).as("q"))
+      .groupBy(col("cust")).agg(sum(col("q")).as("q"))
+      .withColumn("__band", expr(s"q div $bandWidth"))
+      .localCheckpoint(true) // band census + ranked pass share the agg
+    val bandCounts = per.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = bandCounts.map(_._2).sum
+    val offsets = bandCounts
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val topThreshold = n - n / 10 // rank > threshold ⇒ top decile
+    val ranked = per
+      .join(broadcast(offsets.toDF("__band", "__off")), Seq("__band"))
+      .select(col("q"),
+        (row_number().over(Window.partitionBy(col("__band"))
+          .orderBy(col("q"), col("cust"))).cast("long") + col("__off"))
+          .as("r"))
+    ranked
+      .agg(
+        sum(col("q")).as("__tq"),
+        sum((col("r").cast("decimal(38,0)") * col("q"))
+          .cast("decimal(38,0)")).as("__srq"),
+        sum(when(col("r") > lit(topThreshold), col("q"))
+          .otherwise(lit(0L))).as("__topq"))
+      .select(
+        lit(n).as("n_customers"),
+        col("__tq").cast("bigint").as("total_q"),
+        round(lit(2.0) * col("__srq").cast("double") /
+          (lit(n.toDouble) * col("__tq").cast("double")) -
+          (lit(n.toDouble) + lit(1.0)) / lit(n.toDouble), 6).as("gini"),
+        round(col("__topq").cast("double") / col("__tq").cast("double"), 6)
+          .as("top_decile_share"))
+  }
+
+  /** Benford first-digit audit (Benford 1938; Nigrini 1996's fraud
+    * screen): observed leading-digit distribution of an amount column
+    * against log₁₀(1+1/d), with a per-digit standard z. The classic
+    * anomaly sweep over financial/count data — fabricated or capped
+    * values flatten the curve.
+    *
+    * Leading digit by INTEGER arithmetic (quantize, then first char of
+    * the integer's decimal rendering — both engines render integers
+    * identically), never floor(log10(x)) whose FP misclassifies exact
+    * powers of ten. One 9-group keyed agg + a 1-row total broadcast;
+    * expected/z are single IEEE expressions per output row.
+    *
+    * @return 9 rows (digit, n_obs, freq, expected, z) ordered by digit */
+  def benfordDigits(
+      rows: DataFrame,
+      amtCol: String,
+      quantScale: Long = 100L): DataFrame = {
+    // floor, not cast: see revenueGini's quantization note
+    val q = floor(col(amtCol) * lit(quantScale.toDouble))
+    val byDigit = rows.select(q.as("q")).filter(col("q") > 0)
+      .select(substring(col("q").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = byDigit.agg(sum(col("n_obs")).as("__n"))
+    val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    byDigit.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("__n").cast("double"), 6)
+          .as("freq"),
+        round(p, 6).as("expected"),
+        round((col("n_obs").cast("double") - col("__n").cast("double") * p) /
+          sqrt(col("__n").cast("double") * p * (lit(1.0) - p)), 6).as("z"))
+      .orderBy(col("digit"))
+  }
+
+  /** Kaplan–Meier survival over user lifetimes (Kaplan & Meier 1958):
+    * per-user duration = last − first active day; a user still active
+    * within `censorDays` of the corpus end is CENSORED (their true
+    * lifetime is only known to exceed the observation). Product-limit
+    * estimator S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over distinct event
+    * durations, with censored users leaving the risk set without an
+    * event — the churn curve a retention dashboard plots.
+    *
+    * Scale shape: the only event-scale work is ONE keyed agg per user;
+    * the duration table is calendar-bounded (≤ observed day span), so
+    * the ordered product folds a tiny frame in pinned ascending-duration
+    * order inside one row (the [[zipfFit]] discipline — each fold step
+    * builds a FRESH struct from the previous accumulator, so the
+    * survival factor always reads the pre-step risk count). Replays in
+    * SQL as a recursive CTE carrying (at_risk, survival).
+    *
+    * @param events epoch-µs `ts` BIGINT + `user_id`
+    * @return (duration, n_at_risk, d_events, n_censored, survival)
+    *         one row per distinct duration, ascending */
+  def survivalKm(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      censorDays: Int = 7,
+      dayUs: Long = 86400000000L): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(expr(s"$tsCol div $dayUs")).as("f"),
+        max(expr(s"$tsCol div $dayUs")).as("l"))
+    val anchor = perUser.agg(max(col("l")).as("__mx"))
+    val byDur = perUser.crossJoin(broadcast(anchor))
+      .select((col("l") - col("f")).as("dur"),
+        when(col("l") < col("__mx") - lit(censorDays.toLong), lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+      .groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("c"))
+    val emptyOut = array().cast(
+      "array<struct<duration:bigint,n_at_risk:bigint,d_events:bigint," +
+        "n_censored:bigint,survival:double>>")
+    byDur
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"), col("c"))))
+        .as("__a"))
+      .select(col("__a"),
+        aggregate(col("__a"), lit(0L), (a, x) =>
+          a + x.getField("d") + x.getField("c")).as("__n"))
+      .select(aggregate(col("__a"),
+        struct(col("__n").as("atrisk"), lit(1.0).as("s"), emptyOut.as("out")),
+        (acc, x) => {
+          val sNew = acc.getField("s") *
+            (lit(1.0) - x.getField("d").cast("double") /
+              acc.getField("atrisk").cast("double"))
+          struct(
+            (acc.getField("atrisk") - x.getField("d") - x.getField("c"))
+              .as("atrisk"),
+            sNew.as("s"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("dur").as("duration"),
+              acc.getField("atrisk").as("n_at_risk"),
+              x.getField("d").as("d_events"),
+              x.getField("c").as("n_censored"),
+              sNew.as("survival")))).as("out"))
+        }).getField("out").as("__out"))
+      .select(explode(col("__out")).as("r"))
+      .select(col("r.duration").as("duration"),
+        col("r.n_at_risk").as("n_at_risk"),
+        col("r.d_events").as("d_events"),
+        col("r.n_censored").as("n_censored"),
+        round(col("r.survival"), 6).as("survival"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 2³², for the hash-bootstrap
+    * multiplicity draw: a 32-bit uniform u maps to multiplicity k = #
+    * thresholds ≤ u (inverse CDF; tail truncated at 6, P ≈ 8·10⁻⁵).
+    * Shared verbatim by the SQL oracle — integer compares only. */
+  private[graft] val PoissonThresholds: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+
+  /** Seeded hash-bootstrap confidence interval for a column mean
+    * (Efron 1979, in the Poissonized form distributed engines use —
+    * Chamandy et al., Google 2012: resample multiplicities drawn
+    * per (row, replicate) instead of sampling n-out-of-n, so every
+    * replicate is one map-side-combinable aggregate). Multiplicity is
+    * the inverse-CDF Poisson(1) draw on the [[graft.functions
+    * .HashFunctions.md5Bucket]] uniform — deterministic, seeded, and
+    * replayable in SQL, the [[graft.operators.Curation.hashSample]]
+    * contract.
+    *
+    * Scale shape: the corpus passes ONCE through a `nResamples`-way
+    * explode into B keyed partial sums (map-side combine leaves B rows
+    * per task); the percentile finish sorts the B replicate means in
+    * one pinned-order row. B is the cost knob: work is B× one scan's
+    * map work, shuffle is B rows per task.
+    *
+    * @return one row (n_rows, mean, n_resamples, ci_lo, ci_hi) */
+  def bootstrapCi(
+      rows: DataFrame,
+      idCol: String,
+      valCol: String,
+      nResamples: Int = 64,
+      seed: Long = 42L,
+      alpha: Double = 0.05): DataFrame = {
+    require(nResamples >= 4, s"nResamples >= 4: $nResamples")
+    val u = graft.functions.HashFunctions.md5Bucket(seed,
+      concat_ws("#", col("b"), col("id")))
+    val w = PoissonThresholds.zipWithIndex
+      .foldRight(lit(6)) { case ((t, k), e) =>
+        when(col("__u") < lit(t), lit(k)).otherwise(e) }
+    val loIdx = (math.floor(alpha / 2 * nResamples) + 1).toInt
+    val hiIdx = nResamples - loIdx + 1
+    val base = Fan.spread(rows.select(col(idCol).cast("string").as("id"),
+      col(valCol).cast("bigint").as("q")))
+      .localCheckpoint(true) // full-sample moments + B-way explode
+    val reps = base
+      .select(col("id"), col("q"),
+        explode(sequence(lit(0), lit(nResamples - 1))).as("b"))
+      .select(col("q"), col("b"), u.as("__u"))
+      .select(col("q"), col("b"), w.cast("long").as("__w"))
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("__nb"), sum(col("__w") * col("q")).as("__sb"))
+      .select(col("b"),
+        (col("__sb").cast("double") / col("__nb").cast("double")).as("m"))
+      .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("__ms"))
+    base.agg(count(lit(1)).as("n_rows"), sum(col("q")).as("__s"))
+      .crossJoin(broadcast(reps))
+      .select(col("n_rows"),
+        round(col("__s").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean"),
+        lit(nResamples.toLong).as("n_resamples"),
+        round(element_at(col("__ms"), loIdx).getField("m"), 6).as("ci_lo"),
+        round(element_at(col("__ms"), hiIdx).getField("m"), 6).as("ci_hi"))
+  }
 }

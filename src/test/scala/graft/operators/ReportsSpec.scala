@@ -561,4 +561,103 @@ class ReportsSpec extends SparkSpec {
     zCuped should be < -5.0
     math.abs(zCuped) should be > math.abs(zRaw) * 2.0
   }
+
+  behavior of "revenueGini"
+
+  it should "report 0 for perfect equality and (n-1)/n under total concentration" in {
+    val equal = (1L to 8L).map(c => (c, java.math.BigDecimal.valueOf(100.00)))
+      .toDF("o_custkey", "o_totalprice")
+    val re = Reports.revenueGini(equal, bandWidth = 3000L).collect()(0)
+    re.getLong(0) shouldBe 8L
+    re.getLong(1) shouldBe 8L * 10000L
+    re.getDouble(2) shouldBe 0.0 +- 1e-9
+    // n < 10 ⇒ n/10 = 0 ⇒ the top decile holds zero customers
+    re.getDouble(3) shouldBe 0.0 +- 1e-9
+    // one customer owns everything except epsilon crumbs
+    val concentrated = ((1L to 9L).map(c =>
+      (c, java.math.BigDecimal.valueOf(0.01))) :+
+      (10L, java.math.BigDecimal.valueOf(99999.99)))
+      .toDF("o_custkey", "o_totalprice")
+    val rc = Reports.revenueGini(concentrated, bandWidth = 1000L).collect()(0)
+    // G -> (n-1)/n = 0.9 as the crumbs' mass vanishes
+    rc.getDouble(2) shouldBe 0.9 +- 1e-3
+    rc.getDouble(3) should be > 0.999
+  }
+
+  it should "match a hand-computed rank-form Gini across band boundaries" in {
+    // amounts chosen to straddle several 500-wide bands; hand Gini via
+    // G = 2·Σ r·q / (n·Σq) − (n+1)/n with ranks by (q, cust)
+    val amts = Seq(1.00, 7.00, 7.00, 3.50, 12.25, 9.75)
+    val df = amts.zipWithIndex.map { case (a, i) =>
+      ((i + 1).toLong, java.math.BigDecimal.valueOf(a)) }
+      .toDF("o_custkey", "o_totalprice")
+    val q = amts.map(a => math.floor(a * 100.0).toLong)
+    val ranked = q.zip(1L to 6L).sortBy(identity)
+    val srq = ranked.zipWithIndex.map { case ((qi, _), i) => (i + 1) * qi }.sum
+    val expected = 2.0 * srq / (6.0 * q.sum) - 7.0 / 6.0
+    val r = Reports.revenueGini(df, bandWidth = 500L).collect()(0)
+    r.getDouble(2) shouldBe (math.rint(expected * 1e6) / 1e6) +- 1e-9
+  }
+
+  behavior of "benfordDigits"
+
+  it should "extract leading digits by integer math and flag a flat distribution" in {
+    // 9000.00..9008.99-style values all lead with 9; mix in 1xx values
+    val rows = ((1 to 90).map(i => 100.00 + i) ++ (1 to 10).map(i => 9000.0 + i))
+      .map(java.math.BigDecimal.valueOf).toDF("amt")
+    val got = Reports.benfordDigits(rows, "amt")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    got(1).getLong(1) shouldBe 90L
+    got(9).getLong(1) shouldBe 10L
+    got(1).getDouble(2) shouldBe 0.9 +- 1e-9
+    // expected(1) = log10(2) ≈ 0.30103; ninety-of-a-hundred 1s is a
+    // huge positive deviation
+    got(1).getDouble(3) shouldBe 0.30103 +- 1e-5
+    got(1).getDouble(4) should be > 10.0
+    // digits 2..8 absent entirely
+    got.keySet shouldBe Set(1, 9)
+  }
+
+  behavior of "survivalKm"
+
+  it should "reproduce the textbook product-limit curve with censoring" in {
+    val day = 86400000000L
+    // users with (first, last) days; horizon = day 20 ⇒ censor cutoff 13:
+    // lifetimes: u1 0-2 (event), u2 0-2 (event), u3 0-5 (event),
+    // u4 0-14 (censored), u5 0-20 (censored, defines horizon)
+    val ev = Seq(
+      (1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 5L),
+      (4L, 0L), (4L, 14L), (5L, 0L), (5L, 20L)
+    ).map { case (u, d) => (u, d * day + u) }.toDF("user_id", "ts")
+    val rows = Reports.survivalKm(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // dur 2: at-risk 5, d=2 ⇒ S = 3/5
+    rows(2L) shouldBe ((5L, 2L, 0L, 0.6))
+    // dur 5: at-risk 3, d=1 ⇒ S = 0.6 · 2/3 = 0.4
+    rows(5L)._4 shouldBe 0.4 +- 1e-9
+    // dur 14 censored: survival unchanged at 0.4, no event
+    rows(14L) shouldBe ((2L, 0L, 1L, 0.4))
+    rows(20L) shouldBe ((1L, 0L, 1L, 0.4))
+  }
+
+  behavior of "bootstrapCi"
+
+  it should "bracket the mean deterministically and tighten with sample size" in {
+    val small = (1L to 50L).map(i => (i, (i % 10) * 10 + 5)).toDF("id", "v")
+    val big = (1L to 5000L).map(i => (i, (i % 10) * 10 + 5)).toDF("id", "v")
+    val rs = Reports.bootstrapCi(small, "id", "v").collect()(0)
+    val rb = Reports.bootstrapCi(big, "id", "v").collect()(0)
+    rs.getLong(0) shouldBe 50L
+    rs.getLong(2) shouldBe 64L
+    rs.getDouble(3) should be < rs.getDouble(1)
+    rs.getDouble(4) should be > rs.getDouble(1)
+    // same seed ⇒ bit-identical re-run
+    val rs2 = Reports.bootstrapCi(small, "id", "v").collect()(0)
+    rs2 shouldBe rs
+    // 100x rows ⇒ the CI width shrinks roughly with sqrt(n)
+    val ws = rs.getDouble(4) - rs.getDouble(3)
+    val wb = rb.getDouble(4) - rb.getDouble(3)
+    wb should be < ws / 4.0
+  }
 }
