@@ -1307,6 +1307,22 @@ object SparkEntry {
       graft.operators.Graphs.kCore(mutual, k = 2)
     }),
 
+    // Multi-source BFS over the 3-NN graph from the ppr_expansion seed
+    // set: min hop distance within 8 levels — level-synchronous frontier
+    // rounds (slim semi/anti-joins, one driver count per round); replays
+    // as a bounded recursive walk finished by min(hops)
+    "graph_bfs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.bfsHops(edges,
+        e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id")),
+        maxHops = 8)
+    }),
+
     // Adamic–Adar link prediction over the 3-NN graph: top-20 non-edge
     // pairs by Σ 1/ln(deg) over common neighbors — wedge join with the
     // hub-degree guard idle, pinned center-ordered score folds
@@ -1542,6 +1558,15 @@ object SparkEntry {
         eventsUs(s, d).select((col("user_id") % 256).as("user_bucket"),
           (expr("ts div 3600000000") % 24).as("hour"), col("event_type")),
         Seq("user_bucket", "hour"), "event_type", l = 3L)),
+
+    // t-closeness audit (the skewness-attack companion): per
+    // (source, lang) class, ordered EMD between the class's bucketed
+    // length distribution and the corpus-wide one — broadcast bucket
+    // spine, class-partitioned cumulative window, decimal-exact terms
+    "t_closeness" -> ((s, d) =>
+      graft.operators.Reports.tClosenessReport(
+        t(s, d, "documents"), Seq("source", "lang"), "n_chars",
+        bucketWidth = 500L)),
 
     // Per-label code-space outliers: each vector's exact-int distance²
     // to its label's centroid-of-codes (ascending-dim fold, never a
@@ -4980,6 +5005,38 @@ object SparkEntry {
          |FROM a30 GROUP BY 1""".stripMargin
     },
 
+    // mirrors Graphs.bfsHops over the ppr_expansion 3-NN edge replay:
+    // bounded recursive walk, UNION-dedup states, min(hops) finish
+    "graph_bfs" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH RECURSIVE a AS (
+         |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |  WHERE vec_id < 8),
+         |asn AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |walk(id, hops) AS (
+         |  SELECT vec_id AS id, CAST(0 AS BIGINT) AS hops FROM embeddings
+         |  WHERE vec_id % 97 = 0
+         |  UNION
+         |  SELECT e.dst, w.hops + 1
+         |  FROM walk w JOIN edges e ON e.src = w.id
+         |  WHERE w.hops < 8)
+         |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM walk GROUP BY 1""".stripMargin
+    },
+
     // mirrors Curation.splitAssign: md5Bucket cut at the exact integer
     // thresholds round(cum * 1e6) = 800000 / 900000 / 1000000
     "split_assign" ->
@@ -5182,6 +5239,42 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_sensitive
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT event_type) < 3""".stripMargin,
+
+    // mirrors Reports.tClosenessReport: same grid, window cumsums,
+    // HUGEINT cumulative-difference terms, identical IEEE finish
+    "t_closeness" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars // 500 AS b FROM documents),
+        |cells AS (
+        |  SELECT source, lang, b, CAST(count(*) AS BIGINT) AS n_gb
+        |  FROM d GROUP BY 1, 2, 3),
+        |spine AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM d GROUP BY 1),
+        |sp AS (
+        |  SELECT b, CAST(sum(n_b) OVER (ORDER BY b) AS BIGINT) AS cum_b
+        |  FROM spine),
+        |g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_g
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS m FROM spine),
+        |grid AS (
+        |  SELECT g.source, g.lang, g.n_g, sp.b, sp.cum_b,
+        |    coalesce(c.n_gb, 0) AS n_gb
+        |  FROM g CROSS JOIN sp
+        |  LEFT JOIN cells c
+        |    ON c.source = g.source AND c.lang = g.lang AND c.b = sp.b),
+        |cum AS (
+        |  SELECT source, lang, n_g, b, cum_b,
+        |    CAST(sum(n_gb) OVER (PARTITION BY source, lang ORDER BY b)
+        |         AS BIGINT) AS cum_g
+        |  FROM grid)
+        |SELECT source, lang, n_g AS n_rows,
+        |  round(CAST(sum(abs(CAST(cum_g AS HUGEINT) * t.n -
+        |                     CAST(cum_b AS HUGEINT) * n_g)) AS DOUBLE) /
+        |    (CAST(n_g AS DOUBLE) * CAST(t.n AS DOUBLE) *
+        |      (CAST(t.m AS DOUBLE) - 1.0)), 6) AS t_emd
+        |FROM cum, t GROUP BY 1, 2, 3, t.n, t.m""".stripMargin,
 
     // mirrors Similarity.codeSpaceOutliers: the quantize replay, exact
     // integer centroid sums with one IEEE division per dim, the SAME

@@ -419,4 +419,50 @@ object Graphs {
       .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * seed set within `maxHops` directed hops, the MINIMUM hop count —
+    * the expansion primitive behind "everything within k links of these
+    * documents" (neighborhood sampling, blast-radius analysis,
+    * similarity-graph crawl ordering).
+    *
+    * Level-synchronous frontier expansion, the [[kCore]] loop
+    * discipline: each round is one semi-join (edges from the current
+    * frontier) + one anti-join (drop already-labeled nodes) over slim
+    * (id) frames, a localCheckpoint to truncate lineage, and ONE driver
+    * count to detect an empty frontier. Rounds ≤ maxHops regardless of
+    * data. First-discovery labeling IS the min-hop distance
+    * (level-synchronous BFS invariant), so the result is order-free and
+    * replays in SQL as a bounded recursive walk finished by min(hops).
+    *
+    * @param edges directed (src, dst)
+    * @param seeds (id) — hop 0; deduplicated here
+    * @return (id, hops), hops ∈ [0, maxHops] */
+  def bfsHops(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64, s"maxHops out of range: $maxHops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = dist.select(col("id"))
+    var hop = 0
+    var emptyFrontier = false
+    while (hop < maxHops && !emptyFrontier) {
+      hop += 1
+      val next = e
+        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop.toLong).as("hops"))
+        .localCheckpoint()
+      emptyFrontier = next.count() == 0L
+      if (!emptyFrontier) {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("id"))
+      }
+    }
+    dist
+  }
 }

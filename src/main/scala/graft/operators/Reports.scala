@@ -1272,6 +1272,75 @@ object Reports {
         round(col("r.survival"), 6).as("survival"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * member of the privacy family after [[kAnonymityViolations]] and
+    * [[lDiversityViolations]]: a class can be k-anonymous AND l-diverse
+    * yet still leak when its sensitive DISTRIBUTION skews far from the
+    * corpus-wide one (the skewness attack — "this zip code is mostly
+    * high-income"). Per quasi-identifier class, the Earth Mover's
+    * Distance between the class's bucketed sensitive distribution and
+    * the global one, in the ordered-attribute form: EMD =
+    * Σᵢ |CumP(i) − CumQ(i)| / (m−1) over the m-bucket spine.
+    *
+    * Scale shape: one corpus pass into (class × bucket) cells plus one
+    * into per-class totals; the bucket spine with its cumulative global
+    * counts is value-range-bounded (`require`-guarded census, the
+    * [[mutualInformation]] discipline) and broadcast. Cumulative class
+    * counts are a class-partitioned window over the grid. Exactness:
+    * cumulative-difference terms are |cumG·N − cumB·nG| in
+    * decimal(38,0) (HUGEINT in the replay), one IEEE finish per class.
+    *
+    * @param sensitiveCol numeric ordered sensitive attribute
+    * @return (quasiCols..., n_rows, t_emd) one row per class */
+  def tClosenessReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      bucketWidth: Long = 500L,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(quasiCols.nonEmpty && bucketWidth > 0, "need quasi cols + width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(quasiCols.map(col) :+
+      expr(s"$sensitiveCol div $bucketWidth").as("__b"): _*)
+      .localCheckpoint(true) // cells, spine and class totals share it
+    val spineRows = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(spineRows.length <= maxBuckets,
+      s"bucket spine ${spineRows.length} exceeds maxBuckets=$maxBuckets — " +
+        "raise bucketWidth (the spine is broadcast and driver-collected)")
+    require(spineRows.length >= 2,
+      "t-closeness needs at least 2 sensitive buckets")
+    val n = spineRows.map(_._2).sum
+    val m = spineRows.length
+    val spine = spineRows
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .drop(1).toSeq.toDF("__b", "__cumb")
+    val cells = base.groupBy(quasiCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__ngb"))
+    val classes = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__ng"))
+    val grid = classes.crossJoin(broadcast(spine))
+      .join(cells, quasiCols :+ "__b", "left")
+      .na.fill(0L, Seq("__ngb"))
+    val cumg = sum(col("__ngb")).over(
+      Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grid
+      .select(quasiCols.map(col) :+ col("__ng") :+ col("__cumb") :+
+        cumg.as("__cumg"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__ng")).as("__ng"),
+        sum(abs(col("__cumg").cast("decimal(38,0)") * lit(n) -
+          col("__cumb").cast("decimal(38,0)") * col("__ng")))
+          .as("__sd"))
+      .select(quasiCols.map(col) :+ col("__ng").as("n_rows") :+
+        round(col("__sd").cast("double") /
+          (col("__ng").cast("double") * lit(n.toDouble) *
+            (lit(m.toDouble) - lit(1.0))), 6).as("t_emd"): _*)
+  }
+
   /** Poisson(1) CDF thresholds scaled to 2³², for the hash-bootstrap
     * multiplicity draw: a 32-bit uniform u maps to multiplicity k = #
     * thresholds ≤ u (inverse CDF; tail truncated at 6, P ≈ 8·10⁻⁵).

@@ -264,4 +264,31 @@ class GraphsSpec extends SparkSpec {
     Graphs.linkPrediction(star, topK = 100, maxWedgeDegree = 5)
       .count() shouldBe 0L
   }
+
+  behavior of "bfsHops"
+
+  it should "label minimum hop distance from a multi-source seed set" in {
+    // 1→2→3→4→5 chain plus a shortcut 10→4; seeds {1, 10}:
+    // 4 is 1 hop from 10 (not 3 hops from 1); 6 is unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L),
+      (6L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L, 10L).toDF("id") // dup seed collapses
+    val got = Graphs.bfsHops(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L)
+  }
+
+  it should "stop at maxHops and at an exhausted frontier" in {
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val capped = Graphs.bfsHops(chain, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    capped shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    // frontier exhausts at hop 2 well before the cap
+    val short = Graphs.bfsHops(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+      seeds, maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    short shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+  }
 }

@@ -562,6 +562,42 @@ class ReportsSpec extends SparkSpec {
     math.abs(zCuped) should be > math.abs(zRaw) * 2.0
   }
 
+  behavior of "tClosenessReport"
+
+  it should "report 0 for matching distributions and the exact EMD for skewed ones" in {
+    // buckets: 0 and 2 (n_chars 100 vs 1100, width 500); identical class
+    // distributions ⇒ EMD 0
+    val same = Seq(("a", "en", 100L), ("a", "en", 1100L),
+      ("b", "en", 100L), ("b", "en", 1100L))
+      .toDF("source", "lang", "n_chars")
+    Reports.tClosenessReport(same, Seq("source", "lang"), "n_chars")
+      .collect().map(_.getDouble(3)).foreach(_ shouldBe 0.0 +- 1e-9)
+    // class a entirely in bucket 0, b entirely in bucket 2:
+    // EMD = |cum_g·N − cum_b·n_g| / (n_g·N·(m−1)) = 16/32 = 0.5 each
+    val skew = (Seq.fill(4)(("a", "en", 100L)) ++
+      Seq.fill(4)(("b", "en", 1100L)))
+      .toDF("source", "lang", "n_chars")
+    val got = Reports.tClosenessReport(skew, Seq("source", "lang"), "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    got("a") shouldBe 0.5 +- 1e-9
+    got("b") shouldBe 0.5 +- 1e-9
+  }
+
+  it should "fail fast on an over-wide spine and on a degenerate one" in {
+    val wide = (1L to 50L).map(i => ("s", "en", i * 500L))
+      .toDF("source", "lang", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Reports.tClosenessReport(wide, Seq("source"), "n_chars",
+        maxBuckets = 10)
+    }
+    e.getMessage should include("maxBuckets")
+    val flat = Seq(("s", "en", 1L), ("s", "en", 2L))
+      .toDF("source", "lang", "n_chars")
+    intercept[IllegalArgumentException] {
+      Reports.tClosenessReport(flat, Seq("source"), "n_chars")
+    }
+  }
+
   behavior of "revenueGini"
 
   it should "report 0 for perfect equality and (n-1)/n under total concentration" in {
