@@ -1043,6 +1043,13 @@ object SparkEntry {
       graft.operators.Curation.bm25Search(
         t(s, d, "documents"), Seq("spark", "vector", "customer"), topK = 10)),
 
+    // BM25 with pseudo-relevance feedback: top-5 feedback docs mined
+    // for integer-ranked expansion terms (df-capped), round 2 re-scores
+    // with seed weight 1.0 / expansion weight 0.4
+    "bm25_prf" -> ((s, d) =>
+      graft.operators.Curation.bm25PrfSearch(
+        t(s, d, "documents"), Seq("spark", "vector", "customer"))),
+
     // BM25 over a persisted-then-loaded inverted index: the corpus text
     // is tokenized ONCE into (term, id, tf) postings + doc lengths +
     // exact meta counts, and the query touches only the terms' postings
@@ -4516,6 +4523,69 @@ object SparkEntry {
          |SELECT doc_id, n_hit_terms,
          |  round(list_reduce(xs, (x, y) -> x + y), 6) AS bm25
          |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirrors Curation.bm25PrfSearch: round-1 = the bm25_search replay,
+    // integer-ranked df-capped expansion, round-2 contrib·w in the SAME
+    // expression tree, pinned term-order fold
+    "bm25_prf" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf1 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |        WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+         |sc1 AS (
+         |  SELECT tf1.doc_id, tf1.term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))) AS s
+         |  FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+         |agg1 AS (
+         |  SELECT doc_id, list(s ORDER BY term) AS xs FROM sc1 GROUP BY 1),
+         |fb AS (
+         |  SELECT doc_id FROM agg1
+         |  ORDER BY round(list_reduce(xs, (x, y) -> x + y), 6) DESC, doc_id
+         |  LIMIT 5),
+         |cand AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS stf
+         |  FROM tok JOIN fb USING (doc_id)
+         |  WHERE len(term) >= 3
+         |    AND term NOT IN ('spark', 'vector', 'customer')
+         |  GROUP BY 1),
+         |canddf AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS cdf
+         |  FROM tok WHERE term IN (SELECT term FROM cand) GROUP BY 1),
+         |exp AS (
+         |  SELECT c.term FROM cand c JOIN canddf USING (term) CROSS JOIN corpus
+         |  WHERE CAST(cdf AS DOUBLE) <= 0.2 * CAST(n_docs AS DOUBLE)
+         |  ORDER BY c.stf DESC, c.term LIMIT 8),
+         |w AS (
+         |  SELECT term, CAST(1.0 AS DOUBLE) AS w
+         |  FROM (VALUES ('spark'), ('vector'), ('customer')) v(term)
+         |  UNION ALL SELECT term, CAST(0.4 AS DOUBLE) FROM exp),
+         |tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tok JOIN w USING (term) GROUP BY 1, 2),
+         |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+         |sc2 AS (
+         |  SELECT tf2.doc_id, tf2.term,
+         |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))) * w.w AS s
+         |  FROM tf2 JOIN df2 USING (term) JOIN w USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN corpus),
+         |agg2 AS (
+         |  SELECT doc_id, list(s ORDER BY term) AS xs,
+         |    CAST(count(*) AS BIGINT) AS n_hit_terms
+         |  FROM sc2 GROUP BY 1)
+         |SELECT doc_id, n_hit_terms,
+         |  round(list_reduce(xs, (x, y) -> x + y), 6) AS bm25
+         |FROM agg2 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     // mirrors Retrieval.ndcgEval over the bm25_search shortlist: graded
     // rel = query-term hits, both gain folds in pinned rank order with

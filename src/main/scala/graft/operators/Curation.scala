@@ -1080,6 +1080,107 @@ object Curation {
       .limit(topK)
   }
 
+  /** BM25 with pseudo-relevance feedback (Rocchio 1971 / the RM-style
+    * two-round loop): run [[bm25Search]], treat its top `nFeedback`
+    * documents as relevant, mine them for expansion terms, and re-score
+    * with the expanded weighted query — the classic recall lever when
+    * the seed terms under-describe the information need.
+    *
+    * Expansion selection is INTEGER-exact on purpose: candidates are
+    * ranked by total term frequency inside the feedback docs (ties by
+    * term), never by an FP score, so the chosen term set is trivially
+    * engine-portable; a document-frequency cap (`maxDfFrac`) keeps
+    * stopwords out, `minTermLen` drops debris. The round-2 score is
+    * Σ w_t · contrib_t with the EXACT [[bm25Search]] contribution tree
+    * and w = 1 for seeds, `expandWeight` for mined terms, folded in
+    * pinned term order.
+    *
+    * Scale shape: round 1 is [[bm25Search]]; the feedback ids (≤
+    * nFeedback) and expansion terms (≤ nExpand) are driver-bounded
+    * collects (the ANN anchor contract); candidate df needs one
+    * semi-joined distinct-(doc, term) pass over the corpus and round 2
+    * one more tf pass over ~|seeds|+nExpand terms — both keyed aggs
+    * with map-side partials.
+    *
+    * @return (doc_id, n_hit_terms, bm25) top-K by (score desc, id) */
+  def bm25PrfSearch(
+      docs: DataFrame,
+      terms: Seq[String],
+      topK: Int = 10,
+      nFeedback: Int = 5,
+      nExpand: Int = 8,
+      expandWeight: Double = 0.4,
+      maxDfFrac: Double = 0.2,
+      minTermLen: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nFeedback > 0 && nExpand > 0, "need feedback and expansion > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fbIds = bm25Search(docs, terms, nFeedback, k1, b, textCol, idCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val base = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .localCheckpoint(true) // feedback mine + df census + round-2 tf
+    val tok = base
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val nDocs = base.count()
+    // candidate mining: total tf inside the feedback docs, integer-exact
+    val cand = tok
+      .filter(col(idCol).isin(fbIds: _*))
+      .filter(length(col("term")) >= minTermLen &&
+        !col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("stf"))
+    // corpus df per candidate, stopword cap
+    val candDf = tok
+      .join(broadcast(cand.select(col("term"))), Seq("term"), "left_semi")
+      .select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val expansion = cand.join(candDf, Seq("term"))
+      .filter(col("cdf").cast("double") <=
+        lit(maxDfFrac) * lit(nDocs.toDouble))
+      .orderBy(col("stf").desc, col("term").asc)
+      .limit(nExpand)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val weights = (terms.map((_, 1.0)) ++ expansion.map((_, expandWeight)))
+      .toDF("term", "w")
+    // round 2: the bm25Search expression tree times the term weight
+    val docLens = base.select(col(idCol),
+      size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
+        .cast("long").as("dl"))
+      .localCheckpoint()
+    val corpus = broadcast(docLens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val tf = tok.join(broadcast(weights), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(df), "term")
+      .join(broadcast(weights), "term")
+      .join(docLens, idCol).crossJoin(corpus)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val contrib = bm25Idf * (tfD * (k1 + 1.0)) /
+      (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
+        col("avgdl"))))
+    joined
+      .select(col(idCol), col("term"), (contrib * col("w")).as("s"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("s")))).as("__xs"),
+        count(lit(1)).as("n_hit_terms"))
+      .select(col(idCol), col("n_hit_terms"),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("s")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** TF-IDF "more-like-this": the top-k documents most cosine-similar
     * to a QUERY DOCUMENT over the sparse TF-IDF space — the
     * query-by-example retrieval leg ([[bm25Search]] answers term

@@ -720,4 +720,45 @@ class CurationSpec extends SparkSpec {
     Curation.tokenSimpsonDiversity(Seq(("solo", "only"))
       .toDF("lang", "text")).count() shouldBe 0L
   }
+
+  behavior of "bm25PrfSearch"
+
+  it should "recall banana-only docs via feedback expansion that plain BM25 misses" in {
+    // seeds match docs 1-3; those all also say "banana"; docs 10-12 say
+    // only "banana"; every doc carries the stopword-like "filler"
+    val docs = (Seq(
+      (1L, "apple banana filler"), (2L, "apple banana filler"),
+      (3L, "apple banana filler"),
+      (10L, "banana split filler"), (11L, "banana split filler"),
+      (12L, "banana split filler")) ++
+      (20L to 40L).map(i => (i, s"noise$i filler other")))
+      .toDF("doc_id", "text")
+    val plain = Curation.bm25Search(docs, Seq("apple"), topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    plain shouldBe Set(1L, 2L, 3L)
+    // expansion mines "banana" (feedback tf 3; df 6/27 needs the cap at
+    // 0.3); "filler" (df 27/27) stays blocked by the same cap
+    val prf = Curation.bm25PrfSearch(docs, Seq("apple"), topK = 10,
+      nFeedback = 3, nExpand = 2, minTermLen = 3, maxDfFrac = 0.3)
+    val ids = prf.collect().map(_.getLong(0)).toSet
+    ids should contain allOf (10L, 11L, 12L)
+    // determinism: re-run bit-identical
+    prf.collect() shouldBe Curation.bm25PrfSearch(docs, Seq("apple"),
+      topK = 10, nFeedback = 3, nExpand = 2, minTermLen = 3,
+      maxDfFrac = 0.3).collect()
+  }
+
+  it should "keep corpus-wide stopwords out of the expansion set" in {
+    // "filler" appears in every doc: highest feedback tf but df = 100%
+    // ⇒ the maxDfFrac cap excludes it, and only "banana" expands
+    val docs = (Seq(
+      (1L, "apple banana filler"), (2L, "apple banana filler")) ++
+      (10L to 29L).map(i => (i, s"noise$i filler")))
+      .toDF("doc_id", "text")
+    val prf = Curation.bm25PrfSearch(docs, Seq("apple"), topK = 22,
+      nFeedback = 2, nExpand = 5, maxDfFrac = 0.5)
+    // were "filler" expanded, every noise doc would score; with only
+    // "banana" expanded the hit set stays the two apple docs
+    prf.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+  }
 }
