@@ -1557,6 +1557,13 @@ object SparkEntry {
           (expr("ts div 3600000000") % 24).as("hour")),
         Seq("event_type", "hour"), k = 80L)),
 
+    // Markov removal-effect attribution: journeys truncated at first
+    // purchase, __start/__null absorbing chain, 24 exact-ppm value
+    // iterations (driver d×d finish on the collected bounded transition
+    // table), removal effects normalized from exact integers
+    "attribution_markov" -> ((s, d) =>
+      graft.streaming.EventStreams.markovAttribution(eventsUs(s, d))),
+
     // l-diversity audit (the homogeneity-attack companion): classes of
     // (user bucket, hour) whose event_type carries < 3 distinct values —
     // k-anonymous-but-homogeneous classes still expose their members
@@ -5309,6 +5316,79 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_sensitive
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT event_type) < 3""".stripMargin,
+
+    // mirrors EventStreams.markovAttribution: same truncated journeys,
+    // synthetic __start/__null edges, ppm floor-division transition
+    // table, and 24 unrolled integer value-iteration rounds
+    "attribution_markov" -> {
+      def it(i: Int): String =
+        s"""v$i AS MATERIALIZED (
+           |  SELECT a.var, a.s,
+           |    CAST(CASE WHEN a.s = 'purchase' THEN 1000000
+           |              WHEN a.s = a.var THEN 0
+           |              ELSE coalesce(x.sv, 0) END AS BIGINT) AS v
+           |  FROM vs a LEFT JOIN (
+           |    SELECT p.var, tp.f AS s,
+           |      CAST(sum(tp.ppm * p.v) // 1000000 AS BIGINT) AS sv
+           |    FROM tp JOIN v${i - 1} p ON p.s = tp.t
+           |    GROUP BY 1, 2) x ON x.var = a.var AND x.s = a.s)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |cr AS (SELECT user_id,
+         |         min(CASE WHEN event_type = 'purchase' THEN rn END) AS crn
+         |       FROM ev GROUP BY 1),
+         |kept AS (
+         |  SELECT e.user_id, e.event_type, e.rn, c.crn
+         |  FROM ev e JOIN cr c USING (user_id)
+         |  WHERE c.crn IS NULL OR e.rn <= c.crn),
+         |mx AS (SELECT user_id, max(rn) AS mrn FROM kept GROUP BY 1),
+         |steps AS (
+         |  SELECT k.user_id, k.rn, k.event_type, k.crn, m.mrn,
+         |    lag(k.event_type) OVER (PARTITION BY k.user_id
+         |                            ORDER BY k.rn) AS prev
+         |  FROM kept k JOIN mx m USING (user_id)),
+         |edges0 AS (
+         |  SELECT prev AS f, event_type AS t FROM steps WHERE prev IS NOT NULL
+         |  UNION ALL
+         |  SELECT '__start' AS f, event_type AS t FROM steps WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type AS f, '__null' AS t FROM steps
+         |  WHERE crn IS NULL AND rn = mrn),
+         |edges AS MATERIALIZED (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM edges0
+         |  GROUP BY 1, 2),
+         |outd AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM edges
+         |         GROUP BY 1),
+         |tp AS MATERIALIZED (
+         |  SELECT e.f, e.t, CAST(e.n * 1000000 // o.tot AS BIGINT) AS ppm
+         |  FROM edges e JOIN outd o USING (f)),
+         |sts AS (SELECT DISTINCT s FROM
+         |          (SELECT f AS s FROM edges UNION SELECT t AS s FROM edges)),
+         |vars AS (SELECT '__base' AS var
+         |         UNION ALL SELECT DISTINCT f FROM edges WHERE f <> '__start'),
+         |vs AS MATERIALIZED (SELECT var, s FROM vars CROSS JOIN sts),
+         |v0 AS MATERIALIZED (
+         |  SELECT var, s,
+         |    CAST(CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END
+         |         AS BIGINT) AS v
+         |  FROM vs),
+         |${(1 to 24).map(it).mkString(",\n")},
+         |base AS (SELECT v AS p FROM v24
+         |         WHERE var = '__base' AND s = '__start'),
+         |rem AS (SELECT var AS channel, v AS pc FROM v24
+         |        WHERE var <> '__base' AND s = '__start'),
+         |tot AS (SELECT CAST(sum(p - pc) AS BIGINT) AS td FROM rem, base)
+         |SELECT channel,
+         |  round(CAST(p AS DOUBLE) / 1000000.0, 6) AS p_conv,
+         |  round(CAST(p - pc AS DOUBLE) / CAST(nullif(p, 0) AS DOUBLE), 6)
+         |    AS removal_effect,
+         |  round(CAST(p - pc AS DOUBLE) / CAST(nullif(td, 0) AS DOUBLE), 6)
+         |    AS attribution
+         |FROM rem, base, tot ORDER BY channel""".stripMargin
+    },
 
     // mirrors Reports.tClosenessReport: same grid, window cumsums,
     // HUGEINT cumulative-difference terms, identical IEEE finish

@@ -792,4 +792,97 @@ object EventStreams {
       .option("path", outputDir)
       .start()
   }
+
+  /** Markov-chain removal-effect attribution (Anderl, Becker, Wangenheim
+    * & Schumann 2014) — the data-driven alternative to
+    * [[graft.operators.Joins]]' last-touch rule: model user journeys as
+    * a first-order chain over channels with absorbing `conversion` and
+    * `null` states, and credit each channel by how much the conversion
+    * probability DROPS when that channel is removed (its transitions
+    * redirected to null).
+    *
+    * Event-scale work: journeys truncate at the first conversion (one
+    * user-ordered row_number + a per-user conditional min), transitions
+    * are one lag window + a keyed count — the [[eventTransitions]]
+    * machinery plus synthetic `__start`/`__null` edges. The chain itself
+    * is state-space-bounded (≤ `maxStates`, require-guarded), so the
+    * transition table collects to the driver (the PCA Jacobi contract:
+    * corpus work distributed, d×d finish local) where `iters` rounds of
+    * EXACT integer value iteration run in ppm arithmetic —
+    * v'(s) = Σⱼ t(s→j)·v(j) div 1e6, v(conv) ≡ 1e6, v(removed) ≡ 0 —
+    * replayable verbatim in SQL (the PageRank exact-ppm discipline).
+    *
+    * @param iters fixed iteration count — both engines run exactly
+    *              `iters` rounds, converged or not, so results replay
+    * @return (channel, p_conv, removal_effect, attribution) sorted by
+    *         channel; attribution = removal effect normalized over
+    *         channels from EXACT ppm integers */
+  def markovAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      iters: Int = 24,
+      maxStates: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val byUserAll = Window.partitionBy(col(userCol))
+    val kept = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("crn",
+        min(when(col(typeCol) === lit(conversionType), col("rn")))
+          .over(byUserAll))
+      .filter(col("crn").isNull || col("rn") <= col("crn"))
+    val stepped = kept
+      .withColumn("prev", lag(col(typeCol), 1).over(
+        Window.partitionBy(col(userCol)).orderBy(col("rn"))))
+      .withColumn("mrn", max(col("rn")).over(byUserAll))
+      .localCheckpoint(true) // three edge selects share the windows
+    val edges = stepped.filter(col("prev").isNotNull)
+      .select(col("prev").as("f"), col(typeCol).as("t"))
+      .unionAll(stepped.filter(col("rn") === 1)
+        .select(lit("__start").as("f"), col(typeCol).as("t")))
+      .unionAll(stepped.filter(col("crn").isNull && col("rn") === col("mrn"))
+        .select(col(typeCol).as("f"), lit("__null").as("t")))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    require(states.length <= maxStates,
+      s"state space ${states.length} exceeds maxStates=$maxStates — " +
+        "the chain is meant for bounded channel vocabularies")
+    val outTot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // ppm transition probs, floor division — exact and replayable
+    val tppm = edges.map { case (f, t, n) => (f, t, n * 1000000L / outTot(f)) }
+    val channels = edges.map(_._1).distinct.filter(_ != "__start").sorted
+    def absorb(removed: Option[String]): Long = {
+      var v = states.map(s =>
+        s -> (if (s == conversionType) 1000000L else 0L)).toMap
+      for (_ <- 0 until iters) {
+        val sums = tppm.groupBy(_._1).view.mapValues(es =>
+          es.map { case (_, t, p) => p * v(t) }.sum / 1000000L).toMap
+        v = states.map { s =>
+          s -> (if (s == conversionType) 1000000L
+                else if (removed.contains(s)) 0L
+                else sums.getOrElse(s, 0L))
+        }.toMap
+      }
+      v("__start")
+    }
+    val p = absorb(None)
+    val drops = channels.map(c => (c, p - absorb(Some(c))))
+    val totalDrop = drops.map(_._2).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ratio(num: Long, den: Long): Option[Double] =
+      if (den == 0L) None else Some(r6(num.toDouble / den.toDouble))
+    drops.toSeq.map { case (c, d) =>
+      (c, r6(p.toDouble / 1000000.0), ratio(d, p), ratio(d, totalDrop))
+    }.toDF("channel", "p_conv", "removal_effect", "attribution")
+  }
 }

@@ -586,4 +586,47 @@ class EventStreamsSpec extends SparkSpec {
     graft.operators.Reports.abTest(ev, "event_type", "user_id", "value")
       .count() shouldBe 0L
   }
+
+  behavior of "markovAttribution"
+
+  it should "credit the channel every conversion flows through and zero the dead end" in {
+    // u1: a → purchase; u2: b → (no conversion). Removing a kills ALL
+    // conversion; removing b changes nothing.
+    val ev = Seq(
+      (1L, 10L, 101L, "a"), (1L, 20L, 102L, "purchase"),
+      (2L, 10L, 201L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.streaming.EventStreams.markovAttribution(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    got("a") shouldBe ((0.5, 1.0, 1.0))
+    got("b") shouldBe ((0.5, 0.0, 0.0))
+  }
+
+  it should "truncate journeys at the first conversion" in {
+    // u3's post-purchase event "d" must not become a state or channel
+    val ev = Seq(
+      (3L, 10L, 301L, "c"), (3L, 20L, 302L, "purchase"),
+      (3L, 30L, 303L, "d"),
+      (4L, 10L, 401L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = graft.streaming.EventStreams.markovAttribution(ev).collect()
+    rows.map(_.getString(0)).toSet shouldBe Set("c")
+    // one of two c-journeys converts: p = 0.5, and c carries all of it
+    rows.head.getDouble(2) shouldBe 1.0 +- 1e-9
+  }
+
+  it should "split credit across serial channels in proportion to flow" in {
+    // u5: a → b → purchase; u6: a → (null). Both a and b are necessary
+    // for the one conversion ⇒ equal removal effects, 0.5 attribution
+    val ev = Seq(
+      (5L, 10L, 501L, "a"), (5L, 20L, 502L, "b"),
+      (5L, 30L, 503L, "purchase"),
+      (6L, 10L, 601L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.streaming.EventStreams.markovAttribution(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    got("a") shouldBe 0.5 +- 1e-9
+    got("b") shouldBe 0.5 +- 1e-9
+  }
 }
