@@ -1557,6 +1557,19 @@ object SparkEntry {
           (expr("ts div 3600000000") % 24).as("hour")),
         Seq("event_type", "hour"), k = 80L)),
 
+    // Item-item CF neighborhoods over (user, props.k) interactions:
+    // presence-deduped pairs on the user key under the power-user cap,
+    // binary cosine, per-item ranked top-5
+    "item_cf" -> ((s, d) =>
+      graft.operators.Affinity.itemNeighborhoods(
+        t(s, d, "events").select(col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("item")),
+        "user_id", "item", topK = 5)),
+
     // Markov removal-effect attribution: journeys truncated at first
     // purchase, __start/__null absorbing chain, 24 exact-ppm value
     // iterations (driver d×d finish on the collected bounded transition
@@ -5316,6 +5329,38 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_sensitive
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT event_type) < 3""".stripMargin,
+
+    // mirrors Affinity.itemNeighborhoods: presence-dedup, 256-item
+    // power-user cap, ordered-pair counts, rounded cosine ranked per item
+    "item_cf" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS it
+        |  FROM events),
+        |kept AS (SELECT u FROM d GROUP BY 1 HAVING count(*) <= 256),
+        |dd AS (SELECT d.u, d.it FROM d JOIN kept USING (u)),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM dd GROUP BY 1),
+        |p AS (
+        |  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM dd a JOIN dd b ON a.u = b.u AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT ia AS item, ib AS neighbor, n_both FROM p
+        |  UNION ALL SELECT ib AS item, ia AS neighbor, n_both FROM p),
+        |sc AS (
+        |  SELECT d.item, d.neighbor, d.n_both, i1.n_item,
+        |    i2.n_item AS n_neighbor,
+        |    round(CAST(d.n_both AS DOUBLE) /
+        |      sqrt(CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM dir d JOIN ic i1 ON i1.it = d.item
+        |  JOIN ic i2 ON i2.it = d.neighbor)
+        |SELECT item, neighbor, n_both, n_item, n_neighbor, cosine,
+        |  CAST(row_number() OVER (PARTITION BY item
+        |                          ORDER BY cosine DESC, neighbor)
+        |       AS BIGINT) AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
 
     // mirrors EventStreams.markovAttribution: same truncated journeys,
     // synthetic __start/__null edges, ppm floor-division transition

@@ -85,4 +85,68 @@ object Affinity {
           (col("n_b").cast("double") / col("n_baskets").cast("double")))
           .as("lift"))
   }
+
+  /** Item-item collaborative-filtering neighborhoods (Sarwar et al.
+    * 2001; the Amazon item-to-item recommender, Linden et al. 2003):
+    * for every item, the `topK` most similar items by binary-interaction
+    * cosine — sim(i,j) = n_ij / √(n_i·n_j) over users who touched both.
+    * [[basketPairs]] prices a pair; this builds each item's RANKED
+    * neighborhood, the precomputed table an item-page recommender serves
+    * from.
+    *
+    * Scale shape: identical to [[basketPairs]] — presence-deduped
+    * (user, item) rows, a per-user size census with the `maxUserItems`
+    * whale cap (a crawler touching 10⁵ items contributes 5·10⁹ pairs
+    * and no signal — the standard power-user cut, applied before the
+    * self-join so marginals stay consistent), pair counts keyed on the
+    * ordered pair, then one item-partitioned window for the top-k cut.
+    * Counts exact; cosine is one √ and one division per surviving pair.
+    *
+    * @return (item, neighbor, n_both, n_item, n_neighbor, cosine, rank)
+    *         — both directions of each pair, rank 1..topK per item */
+  def itemNeighborhoods(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      topK: Int = 5,
+      minPairCount: Long = 2L,
+      maxUserItems: Int = 256): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val d0 = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+    val kept = d0.groupBy(col("u"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxUserItems)
+      .select(col("u"))
+    val d = d0.join(kept, Seq("u")).localCheckpoint(true)
+    val itemCounts = d.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = d
+      .join(d.select(col("u"), col("it").as("it2")), Seq("u"))
+      .filter(col("it") < col("it2"))
+      .groupBy(col("it").as("ia"), col("it2").as("ib"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairCount)
+    // both directions, then rank inside each item's neighborhood
+    val directed = pairs
+      .select(col("ia").as("item"), col("ib").as("neighbor"), col("n_both"))
+      .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"),
+        col("n_both")))
+      .join(itemCounts.select(col("it").as("item"),
+        col("n_item")), Seq("item"))
+      .join(itemCounts.select(col("it").as("neighbor"),
+        col("n_item").as("n_neighbor")), Seq("neighbor"))
+      .withColumn("cosine",
+        round(col("n_both").cast("double") /
+          sqrt(col("n_item").cast("double") * col("n_neighbor").cast("double")),
+          6))
+    directed
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("neighbor"), col("n_both"), col("n_item"),
+        col("n_neighbor"), col("cosine"), col("rank"))
+  }
 }

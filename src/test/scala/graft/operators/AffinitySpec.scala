@@ -47,4 +47,35 @@ class AffinitySpec extends SparkSpec {
     got.map(r => (r.getString(0), r.getString(1))).toSet shouldBe
       Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "w"))
   }
+
+  behavior of "itemNeighborhoods"
+
+  it should "rank perfectly co-touched items first with cosine 1" in {
+    // items x,y always together (3 users); z shares one user with x
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "z"),
+      (4L, "z"), (4L, "z")) // dup presence collapses
+      .toDF("u", "it")
+    val got = Affinity.itemNeighborhoods(rows, "u", "it",
+      topK = 2, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(6)) ->
+        (r.getString(1), r.getDouble(5))).toMap
+    got(("x", 1L)) shouldBe (("y", 1.0))
+    got(("y", 1L)) shouldBe (("x", 1.0))
+    // x-z: n_both 1, n_x 3, n_z 2 → 1/sqrt(6)
+    got(("x", 2L))._1 shouldBe "z"
+    got(("x", 2L))._2 shouldBe (1.0 / math.sqrt(6.0)) +- 1e-6
+  }
+
+  it should "exclude power users above maxUserItems from all counts" in {
+    val whale = (1 to 40).map(i => (99L, s"i$i")).toDF("u", "it")
+    val base = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("u", "it")
+    val got = Affinity.itemNeighborhoods(base.union(whale), "u", "it",
+      topK = 5, minPairCount = 1L, maxUserItems = 10)
+    // whale items vanish entirely; a-b cosine stays 2/sqrt(4) = 1
+    got.count() shouldBe 2L
+    got.collect().map(_.getDouble(5)).toSet shouldBe Set(1.0)
+  }
 }
