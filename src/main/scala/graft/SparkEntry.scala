@@ -722,6 +722,16 @@ object SparkEntry {
         .drop("rank")
     }),
 
+    // IVF recall calibration: exact recall@10 of the seed-anchor IVF
+    // at nprobe 1/2/4 against the one-pass brute truth — the curve that
+    // fixes nprobe before a production ANN deployment
+    "ivf_calibration" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfCalibration(e,
+        e.filter(col("vec_id") % 97 === 0), e.filter(col("vec_id") < 8),
+        k = 10, nprobes = Seq(1, 2, 4))
+    }),
+
     // IVF with Lloyd-refined anchors (each refinement round = one
     // distributed pass). Anchors come from iterative Spark jobs — no SQL
     // replay, driver records a rows-only check (like dedup_minhash_fast).
@@ -4083,6 +4093,59 @@ object SparkEntry {
          |FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |                           ORDER BY $cos DESC, c.neighbor_id) <= 3""".stripMargin
+    },
+
+    // mirrors Similarity.ivfCalibration: brute truth + the
+    // vector_ivf_topk replay at three probe widths, exact hit counts
+    "ivf_calibration" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      val bcos = s"round(${cosineSql("q.qv", "e.embedding", 64)}, 6)"
+      def tier(np: Int): String =
+        s"""qc$np AS (
+           |  SELECT e.vec_id AS query_id, aid AS cell, e.embedding AS qv
+           |  FROM embeddings e CROSS JOIN a
+           |  WHERE e.vec_id % 97 = 0
+           |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+           |                             ORDER BY $asnCos DESC, aid) <= $np),
+           |ivf$np AS (
+           |  SELECT q.query_id, c.neighbor_id
+           |  FROM c JOIN qc$np q
+           |    ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+           |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+           |                             ORDER BY $cos DESC, c.neighbor_id)
+           |          <= 10),
+           |hits$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe,
+           |    CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM ivf$np i JOIN truth t
+           |    ON t.query_id = i.query_id
+           |   AND t.neighbor_id = i.neighbor_id)""".stripMargin
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id % 97 = 0),
+         |truth AS MATERIALIZED (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                             ORDER BY $bcos DESC, e.vec_id) <= 10),
+         |meta AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |           CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+         |         FROM truth),
+         |${Seq(1, 2, 4).map(tier).mkString(",\n")}
+         |SELECT h.nprobe, m.n_queries, m.n_truth, h.n_hits,
+         |  round(CAST(h.n_hits AS DOUBLE) / CAST(m.n_truth AS DOUBLE), 6)
+         |    AS recall
+         |FROM (SELECT * FROM hits1 UNION ALL SELECT * FROM hits2
+         |      UNION ALL SELECT * FROM hits4) h, meta m""".stripMargin
     },
 
     // mirrors Quality.gopherRules: row-local line metrics + one token

@@ -1032,4 +1032,54 @@ object Similarity {
           lit(globalScale)
       }: _*).as("pc"))
   }
+
+  /** IVF recall-calibration report — the [[graft.operators.Reports
+    * .lshCalibration]] instrument pointed at the IVF stack: exact
+    * recall@k of [[ivfTopKWith]] against the [[bruteForceTopK]] truth at
+    * several `nprobe` settings, on ONE query sample. This is the curve
+    * an operator reads before fixing nprobe for a 100 TB ANN deployment
+    * (probe 1 cell and miss cross-boundary neighbors, or probe half the
+    * cells and pay linear scan — the measurement says where the knee
+    * is).
+    *
+    * Scale shape: truth is ONE brute pass over the corpus for the
+    * driver-bounded query set (broadcast queries, corpus never
+    * shuffles), checkpointed and reused by every probe tier; each tier
+    * is the production [[ivfTopKWith]] path plus one broadcast semi-join
+    * against the ≤ |queries|·k truth rows. Everything is deterministic
+    * (seed-anchor assignment, 6-rounded cosines, pinned ties), so the
+    * whole curve replays hash-exact in SQL.
+    *
+    * @return one row per nprobe: (nprobe, n_queries, n_truth, n_hits,
+    *         recall) */
+  def ivfCalibration(
+      corpus: DataFrame,
+      queries: DataFrame,
+      anchors: DataFrame,
+      k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4),
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobes.nonEmpty && k > 0, "need probe tiers and k > 0")
+    val anchorSeq: Seq[(Long, Seq[Float])] =
+      anchors.select(col(idCol).cast("bigint"), col(vecCol)).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val truth = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // one brute pass serves every probe tier
+    val nTruth = truth.count()
+    val nQueries = queries.select(col(idCol)).distinct().count()
+    nprobes.map { np =>
+      ivfTopKWith(corpus, queries, anchorSeq, k, vecCol, idCol, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"),
+          lit(nQueries).as("n_queries"),
+          lit(nTruth).as("n_truth"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / lit(nTruth.toDouble), 6)
+            .as("recall"))
+    }.reduce(_ unionAll _)
+  }
 }

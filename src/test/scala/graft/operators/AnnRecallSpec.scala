@@ -216,4 +216,20 @@ class AnnRecallSpec extends SparkSpec {
       p4.diff(exhaustive) shouldBe empty
     }
   }
+
+  behavior of "ivfCalibration"
+
+  it should "report recall non-decreasing in nprobe and exactly 1 at full probe" in {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 97 === 0)
+    val anchors = e.filter(col("vec_id") < 4)
+    val rows = Similarity.ivfCalibration(e, queries, anchors,
+      k = 5, nprobes = Seq(1, 2, 4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows(1L) should be <= rows(2L)
+    rows(2L) should be <= rows(4L)
+    // nprobe = nCells probes every cell ⇒ the candidate set is the whole
+    // corpus ⇒ IVF == brute ⇒ recall exactly 1
+    rows(4L) shouldBe 1.0
+  }
 }
