@@ -2212,6 +2212,20 @@ object SparkEntry {
       graft.operators.Reports.abTest(
         t(s, d, "events"), "event_type", "user_id", "value")),
 
+    // Difference-in-differences per event type: same arms/quantization
+    // as ab_test_ztest, period split at the corpus midpoint day, exact
+    // four-cell moments, one pinned IEEE finish
+    "did_estimate" -> ((s, d) =>
+      graft.operators.Reports.didEstimate(
+        eventsUs(s, d), "event_type", "user_id", "ts", "value")),
+
+    // Tie-corrected Mann-Whitney U per event type: per-value counts,
+    // banded midranks (no per-row rank, no global sort), doubled-integer
+    // U in decimal(38,0), one IEEE z
+    "mann_whitney" -> ((s, d) =>
+      graft.operators.Reports.mannWhitneyU(
+        t(s, d, "events"), "event_type", "user_id", "value")),
+
     // CUPED variance-reduced A/B: per-user pre-period (even days) sums
     // predict post-period (odd days) outcomes; θ pooled from exact
     // decimal moments, z_raw vs z_cuped side by side — the variance
@@ -6736,6 +6750,80 @@ object SparkEntry {
         |       + ((b.ss - b.s * b.s / b.n) / (b.n - 1.0)) / b.n) AS z
         |FROM m a JOIN m b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1
         |WHERE a.n >= 2 AND b.n >= 2""".stripMargin,
+
+    // mirrors Reports.didEstimate: the ab_test_ztest replay split at the
+    // midpoint day into four (arm, period) cells, identical IEEE shapes
+    "did_estimate" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |a AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |m AS (
+        |  SELECT grp, arm,
+        |    CASE WHEN day >= mid THEN 1 ELSE 0 END AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS ss
+        |  FROM e, a GROUP BY 1, 2, 3)
+        |SELECT t0.grp, t0.n AS n_t_pre, t1.n AS n_t_post,
+        |  c0.n AS n_c_pre, c1.n AS n_c_post,
+        |  round((t1.s/t1.n - t0.s/t0.n) - (c1.s/c1.n - c0.s/c0.n), 6)
+        |    AS did,
+        |  round(((t1.s/t1.n - t0.s/t0.n) - (c1.s/c1.n - c0.s/c0.n)) /
+        |    sqrt(((t1.ss - t1.s*t1.s/t1.n)/(t1.n - 1.0))/t1.n
+        |       + ((t0.ss - t0.s*t0.s/t0.n)/(t0.n - 1.0))/t0.n
+        |       + ((c1.ss - c1.s*c1.s/c1.n)/(c1.n - 1.0))/c1.n
+        |       + ((c0.ss - c0.s*c0.s/c0.n)/(c0.n - 1.0))/c0.n), 6) AS z
+        |FROM m t0 JOIN m t1 ON t1.grp = t0.grp
+        |JOIN m c0 ON c0.grp = t0.grp JOIN m c1 ON c1.grp = t0.grp
+        |WHERE t0.arm = 1 AND t0.post = 0 AND t1.arm = 1 AND t1.post = 1
+        |  AND c0.arm = 0 AND c0.post = 0 AND c1.arm = 0 AND c1.post = 1
+        |  AND t0.n >= 2 AND t1.n >= 2 AND c0.n >= 2 AND c1.n >= 2"""
+        .stripMargin,
+
+    // mirrors Reports.mannWhitneyU: per-value counts, window midranks
+    // (the banded two-pass collapses to one window here), HUGEINT
+    // doubled forms, identical IEEE z shape
+    "mann_whitney" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |pv AS (
+        |  SELECT grp, q, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, c, ca,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS BIGINT) AS s
+        |  FROM pv),
+        |st AS (
+        |  SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(c) - sum(ca) AS BIGINT) AS n_b,
+        |    sum(CAST(ca AS HUGEINT) * (2 * s + c - 1)) AS r2a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tie
+        |  FROM r GROUP BY 1
+        |  HAVING sum(ca) >= 1 AND sum(c) - sum(ca) >= 1)
+        |SELECT grp, n_a, n_b,
+        |  round(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+        |        / 2.0, 6) AS u,
+        |  round((CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+        |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |       - CAST(tie AS DOUBLE) /
+        |         ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))), 6)
+        |    AS z
+        |FROM st""".stripMargin,
 
     // mirrors Reports.cupedAbTest: same arm/quantization as ab_test_ztest
     // plus per-user even/odd-day covariate/outcome sums; HUGEINT exact

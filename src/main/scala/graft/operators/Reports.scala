@@ -1096,6 +1096,153 @@ object Reports {
           .as("z_cuped"))
   }
 
+  /** Difference-in-differences estimate (Card & Krueger 1994's
+    * workhorse design) — the third member of the experimentation tier:
+    * [[abTest]] compares arms, [[cupedAbTest]] sharpens with a
+    * pre-period covariate, DiD measures a treatment applied AT A POINT
+    * IN TIME by differencing out both the stable arm gap and the shared
+    * time trend: DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    * z from the four-cell pooled variance.
+    *
+    * Same determinism contract as [[abTest]]: md5Bucket-parity arms,
+    * floor-quantized values, exact decimal moment sums per
+    * (group, arm, period) cell — period splits at the corpus midpoint
+    * day (one 1-row min/max anchor broadcast) — and one IEEE finish per
+    * output. One corpus-scale keyed agg; cells with n < 2 drop the
+    * group.
+    *
+    * @return (grp, n_t_pre, n_t_post, n_c_pre, n_c_post, did, z) */
+  def didEstimate(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      tsCol: String,
+      valueCol: String,
+      seed: Long = 42L,
+      quantScale: Long = 1000L,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val arm = pmod(graft.functions.HashFunctions.md5Bucket(seed, col(unitCol)),
+      lit(2L))
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val base = events.select(col(groupCol).as("grp"), arm.as("__arm"),
+      expr(s"$tsCol div $dayUs").as("__day"), q.as("__q"))
+    val anchor = base.agg(
+      ((min(col("__day")) + max(col("__day")) + lit(1L)) / lit(2L))
+        .cast("long").as("__mid"))
+    val moments = base.crossJoin(broadcast(anchor))
+      .select(col("grp"), col("__arm"),
+        when(col("__day") >= col("__mid"), lit(1L)).otherwise(lit(0L))
+          .as("__post"),
+        col("__q"))
+      .groupBy(col("grp"), col("__arm"), col("__post"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q").cast("decimal(28,0)")).as("s"),
+        sum((col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)"))).as("ss"))
+    def cell(a: Int, p: Int, sfx: String) = moments
+      .filter(col("__arm") === a && col("__post") === p)
+      .select(col("grp"), col("n").as(s"n_$sfx"),
+        col("s").cast("double").as(s"__s_$sfx"),
+        col("ss").cast("double").as(s"__ss_$sfx"))
+    def nD(sfx: String) = col(s"n_$sfx").cast("double")
+    def mean(sfx: String) = col(s"__s_$sfx") / nD(sfx)
+    def svar(sfx: String) =
+      (col(s"__ss_$sfx") - col(s"__s_$sfx") * col(s"__s_$sfx") / nD(sfx)) /
+        (nD(sfx) - 1.0)
+    val did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    val se = sqrt(svar("t1") / nD("t1") + svar("t0") / nD("t0") +
+      svar("c1") / nD("c1") + svar("c0") / nD("c0"))
+    cell(1, 0, "t0").join(cell(1, 1, "t1"), Seq("grp"))
+      .join(cell(0, 0, "c0"), Seq("grp"))
+      .join(cell(0, 1, "c1"), Seq("grp"))
+      .filter(col("n_t0") >= 2 && col("n_t1") >= 2 &&
+        col("n_c0") >= 2 && col("n_c1") >= 2)
+      .select(col("grp"), col("n_t0").as("n_t_pre"),
+        col("n_t1").as("n_t_post"), col("n_c0").as("n_c_pre"),
+        col("n_c1").as("n_c_post"),
+        round(did, 6).as("did"), round(did / se, 6).as("z"))
+  }
+
+  /** Mann–Whitney U test (Mann & Whitney 1947), tie-corrected — the
+    * nonparametric companion to [[abTest]]: rank-based, so a heavy-
+    * tailed or bounded metric (latency, counts, satisfaction scores)
+    * needs no normality assumption. Per group, U for the arm-0 sample
+    * against arm 1 with midrank ties and the normal approximation
+    * z = (U − n_a·n_b/2) / σ, σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))].
+    *
+    * Exactness discipline: ranks never materialize per ROW — the stream
+    * collapses to per-(group, value) counts first (the only corpus-scale
+    * agg), midranks come from the [[revenueGini]] banded two-pass prefix
+    * sum (per-band counts to the driver, in-band exclusive window), and
+    * every statistic folds DOUBLED integer forms (2·avg-rank = 2s+c−1)
+    * in decimal(38,0), so U and the tie term are exact until the one
+    * IEEE z at the end. No global sort, no per-row rank window.
+    *
+    * @return (grp, n_a, n_b, u, z) — u is arm 0's U statistic */
+  def mannWhitneyU(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      seed: Long = 42L,
+      quantScale: Long = 1000L,
+      bandWidth: Long = 10000L): DataFrame = {
+    require(quantScale > 0 && bandWidth > 0, "positive scales")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val arm = pmod(graft.functions.HashFunctions.md5Bucket(seed, col(unitCol)),
+      lit(2L))
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val perVal = events
+      .select(col(groupCol).as("grp"), arm.as("__arm"), q.as("__q"))
+      .groupBy(col("grp"), col("__q"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__arm") === 0L, lit(1L)).otherwise(lit(0L))).as("ca"))
+      .withColumn("__band", expr("__q div " + bandWidth))
+      .localCheckpoint(true) // band census + ranked pass share it
+    val bandCounts = perVal.groupBy(col("grp"), col("__band"))
+      .agg(sum(col("c")).as("__t")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val offsets = bandCounts.groupBy(_._1._1).toSeq.flatMap {
+      case (g, rows) =>
+        val sorted = rows.sortBy(_._1._2)
+        sorted.map(_._1._2)
+          .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+          .map { case (b, off) => (g, b, off) }
+    }.toDF("grp", "__band", "__off")
+    val exc = sum(col("c")).over(
+      Window.partitionBy(col("grp"), col("__band")).orderBy(col("__q"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val stats = perVal
+      .join(broadcast(offsets), Seq("grp", "__band"))
+      .select(col("grp"), col("c"), col("ca"),
+        (coalesce(exc, lit(0L)) + col("__off") + lit(1L)).as("s"))
+      // doubled midrank 2s+c−1 keeps everything integral under ties
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("ca")).as("n_a"),
+        (sum(col("c")) - sum(col("ca"))).as("n_b"),
+        sum(col("ca").cast("decimal(38,0)") *
+          (lit(2L) * col("s") + col("c") - lit(1L)).cast("decimal(38,0)"))
+          .as("__r2a"),
+        sum((col("c").cast("decimal(38,0)") * col("c") * col("c") -
+          col("c")).cast("decimal(38,0)")).as("__tie"))
+      .filter(col("n_a") >= 1 && col("n_b") >= 1)
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    // 2U = R2A − 2·n_a(n_a+1)/2 = R2A − n_a(n_a+1), exact in decimal
+    val u2 = (col("__r2a") -
+      (col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L))
+        .cast("decimal(38,0)"))).cast("double")
+    val varU = nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("__tie").cast("double") / (n * (n - lit(1.0))))
+    stats.select(col("grp"), col("n_a"), col("n_b"),
+      round(u2 / lit(2.0), 6).as("u"),
+      round((u2 - nA * nB) / (lit(2.0) * sqrt(varU)), 6).as("z"))
+  }
+
   /** Revenue-concentration report: exact Gini coefficient and
     * top-decile share of per-customer revenue — the inequality rollup
     * behind "how concentrated is our revenue" (and, on a corpus, "how

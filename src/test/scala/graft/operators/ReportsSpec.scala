@@ -562,6 +562,68 @@ class ReportsSpec extends SparkSpec {
     math.abs(zCuped) should be > math.abs(zRaw) * 2.0
   }
 
+  private def md5Arm(u: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"42:$u".getBytes("UTF-8"))
+    val hex = h.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  behavior of "didEstimate"
+
+  it should "recover a planted post-period treatment effect under a shared trend" in {
+    val day = 86400000000L
+    // days 0..3 (midpoint 2): everyone drifts +1.0/day (shared trend),
+    // treated units (md5 arm 1) gain +5.0 in the post period only
+    val ev = (1L to 200L).flatMap { u =>
+      (0L to 3L).map { d =>
+        val base = 10.0 + d * 1.0 + (u % 7) * 0.1
+        val eff = if (md5Arm(u) == 1L && d >= 2L) 5.0 else 0.0
+        ("g", u, d * day + u, base + eff)
+      }
+    }.toDF("event_type", "user_id", "ts", "value")
+    val r = Reports.didEstimate(ev, "event_type", "user_id", "ts", "value")
+      .collect()(0)
+    // quantized at 1000: the raw trend and unit offsets difference out
+    r.getDouble(5) shouldBe 5000.0 +- 1.0
+    r.getDouble(6) should be > 10.0
+  }
+
+  behavior of "mannWhitneyU"
+
+  it should "match the hand-computed tie-corrected U and z" in {
+    // arm 0 values {1,1}, arm 1 values {1,2} (quantized): midranks give
+    // R_a = 4, U = 1; tie group t=3 ⇒ var = 1 ⇒ z = (1-2)/1 = -1
+    val pool = (1L to 50L)
+    val a = pool.filter(md5Arm(_) == 0L).take(2)
+    val b = pool.filter(md5Arm(_) == 1L).take(2)
+    val ev = Seq(
+      ("g", a(0), 0.001), ("g", a(1), 0.001),
+      ("g", b(0), 0.001), ("g", b(1), 0.002))
+      .toDF("event_type", "user_id", "value")
+    val r = Reports.mannWhitneyU(ev, "event_type", "user_id", "value")
+      .collect()(0)
+    r.getLong(1) shouldBe 2L
+    r.getLong(2) shouldBe 2L
+    r.getDouble(3) shouldBe 1.0 +- 1e-9
+    r.getDouble(4) shouldBe -1.0 +- 1e-9
+  }
+
+  it should "separate stochastically shifted arms across band boundaries" in {
+    // arm 1 values sit one bandWidth higher: U ratio extreme, z large
+    val ev = (1L to 400L).map { u =>
+      val v = if (md5Arm(u) == 0L) (u % 13) * 1.0 else 25.0 + (u % 13) * 1.0
+      ("g", u, v)
+    }.toDF("event_type", "user_id", "value")
+    val r = Reports.mannWhitneyU(ev, "event_type", "user_id", "value",
+      bandWidth = 7000L)
+      .collect()(0)
+    // complete separation: every arm-0 value below every arm-1 value ⇒
+    // U = 0 for arm 0 and a strongly negative z
+    r.getDouble(3) shouldBe 0.0 +- 1e-9
+    r.getDouble(4) should be < -10.0
+  }
+
   behavior of "tClosenessReport"
 
   it should "report 0 for matching distributions and the exact EMD for skewed ones" in {
