@@ -479,6 +479,48 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  "revenue_gini" should "rank inside bands with broadcast offsets, never a global sort" in {
+    val plan = executed("revenue_gini")
+    plan should include("Window")
+    plan should include("BroadcastHashJoin") // band offsets onto customers
+    plan should not include "SortMergeJoin"
+  }
+
+  "did_estimate and survival_km and benford_digits" should "broadcast their 1-row anchors onto one keyed agg" in {
+    for (q <- Seq("did_estimate", "survival_km", "benford_digits")) {
+      val plan = executed(q)
+      plan should include("BroadcastNestedLoopJoin")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
+  "mann_whitney" should "midrank per-value counts without any per-row rank window" in {
+    val plan = executed("mann_whitney")
+    plan should include("Window")      // in-band exclusive cumsum
+    plan should not include "row_number" // ranks never materialize per row
+    plan should include("partial_sum")   // U/tie moments combine map-side
+  }
+
+  "bootstrap_ci" should "map-side combine the replicate sums" in {
+    val plan = executed("bootstrap_ci")
+    plan should include("partial_sum") // B-way explode combines per task
+    plan should include("BroadcastNestedLoopJoin") // 1-row CI frame
+    plan should not include "SortMergeJoin"
+  }
+
+  "t_closeness" should "broadcast the bucket spine and window per class" in {
+    val plan = executed("t_closeness")
+    plan should include("BroadcastNestedLoopJoin") // classes x spine grid
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  "item_cf" should "pair on the user key with no cartesian and rank per item" in {
+    val plan = executed("item_cf")
+    plan should not include "CartesianProduct"
+    plan should include("Window")
+  }
+
   "rolling_active_users_hll" should "partial-aggregate HLL registers map-side over the broadcast day grid" in {
     val plan = executed("rolling_active_users_hll")
     // the 100 TB contract: fixed-size register states shuffle, not
