@@ -1911,6 +1911,20 @@ object SparkEntry {
         edges, e.select(col("vec_id").as("id")))
     }),
 
+    // Graph-level degree-mixing summary (Newman assortativity) over the
+    // same kNN edge set as graph_triangles: exact decimal moment sums,
+    // IEEE only at the single final division — one edge-keyed shuffle,
+    // a degree agg, and a five-number global agg
+    "graph_assortativity" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.assortativity(edges)
+    }),
+
     // Sorted-neighborhood (SNM) near-dup pairs: normalized-key-prefix
     // sort + fixed sliding window + exact token-Jaccard verify — the
     // record-linkage classic whose candidate count is |N|·(w−1) by
@@ -6250,6 +6264,54 @@ object SparkEntry {
          |FROM embeddings n
          |LEFT JOIN deg ON deg.id = n.vec_id
          |LEFT JOIN pn ON pn.id = n.vec_id""".stripMargin
+    },
+
+    // mirrors Graphs.assortativity over the same knn_graph edge replay:
+    // exact HUGEINT moment sums over the symmetrized edge list, the
+    // identical single IEEE division, nullif on zero degree variance
+    "graph_assortativity" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |jj AS (
+         |  SELECT dj.deg AS jd, dk.deg AS kd
+         |  FROM und u
+         |  JOIN deg dj ON dj.id = u.src
+         |  JOIN deg dk ON dk.id = u.dst),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    sum(CAST(jd AS HUGEINT)) AS sj,
+         |    sum(CAST(jd AS HUGEINT) * jd) AS sjj,
+         |    sum(CAST(jd AS HUGEINT) * kd) AS sjk
+         |  FROM jj),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT nn.n_nodes,
+         |  CAST(mo.m // 2 AS BIGINT) AS n_edges,
+         |  round(CAST(mo.m * mo.sjk - mo.sj * mo.sj AS DOUBLE)
+         |        / nullif(CAST(mo.m * mo.sjj - mo.sj * mo.sj AS DOUBLE),
+         |                 0.0), 6) AS assortativity
+         |FROM mo, nn""".stripMargin
     },
 
     // mirrors Dedup.sortedNeighborhood: global row_number over the same

@@ -291,4 +291,43 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     short shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
   }
+
+  behavior of "Graphs.assortativity"
+
+  it should "score a star -1 and a degree-regular cycle NULL" in {
+    // star: center 1, leaves 2..8 — perfectly disassortative
+    val star = (2L to 8L).map(l => (1L, l)).toDF("src", "dst")
+    val r1 = Graphs.assortativity(star).collect()
+    r1 should have length 1
+    r1.head.getLong(0) shouldBe 8L // n_nodes
+    r1.head.getLong(1) shouldBe 7L // n_edges
+    r1.head.getDouble(2) shouldBe -1.0
+    // cycle: every degree 2 — zero degree variance, r undefined
+    val cyc = (1L to 6L).map(i => (i, i % 6 + 1)).toDF("src", "dst")
+    val r2 = Graphs.assortativity(cyc).collect().head
+    r2.getLong(1) shouldBe 6L
+    r2.isNullAt(2) shouldBe true
+  }
+
+  it should "match a driver-side Pearson replay and be direction/partitioning-invariant" in {
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val und = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val degs = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    val (sj, sjj, sjk) = und.foldLeft((BigInt(0), BigInt(0), BigInt(0))) {
+      case ((a, b, c), (u, v)) =>
+        (a + degs(u), b + BigInt(degs(u)) * degs(u), c + BigInt(degs(u)) * degs(v))
+    }
+    val expect =
+      (BigInt(m) * sjk - sj * sj).toDouble / (BigInt(m) * sjj - sj * sj).toDouble
+    for (parts <- Seq(1, 16)) {
+      val got = Graphs.assortativity(
+        raw.toDF("src", "dst").repartition(parts)).collect().head
+      got.getLong(0) shouldBe degs.size.toLong
+      got.getLong(1) shouldBe m / 2
+      got.getDouble(2) shouldBe expect +- 1e-6 // output rounded to 6 places
+    }
+  }
 }
