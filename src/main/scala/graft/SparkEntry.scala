@@ -1694,6 +1694,15 @@ object SparkEntry {
         .select(col("event_id"), col("zx"), col("zy"),
           col("zindex"), col("bucket"))),
 
+    // Compaction planner: per (lang, source) export partition, the file
+    // count / rows-per-file / bytes-per-file that hit a 64 KiB target —
+    // the small-files census behind OPTIMIZE-style rewrites; one slim
+    // keyed agg, exact ceil-div integers end to end
+    "compaction_plan" -> ((s, d) =>
+      graft.operators.Layout.compactionPlan(
+        t(s, d, "documents"), Seq("lang", "source"),
+        octet_length(col("text")), targetBytes = 64L * 1024)),
+
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 leg's top-20
     // and the dense top-20 (query = vec_id 0) merge on ranks alone —
     // 1/(60+rank) contributions, modality-ordered fold, top-10 cut
@@ -5770,6 +5779,23 @@ object SparkEntry {
          |  CAST(zindex // 2048 AS BIGINT) AS bucket
          |FROM z""".stripMargin
     },
+
+    // mirrors Layout.compactionPlan: the same exact ceil-div integer
+    // arithmetic over octet_length sums, files clamped to [1, n_rows]
+    "compaction_plan" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *,
+        |    least(n_rows, greatest(1, (n_bytes + 65535) // 65536)) AS nf
+        |  FROM g)
+        |SELECT lang, source, n_rows, n_bytes,
+        |  CAST(nf AS BIGINT) AS n_files,
+        |  CAST((n_rows + nf - 1) // nf AS BIGINT) AS rows_per_file,
+        |  CAST(n_bytes // nf AS BIGINT) AS file_bytes
+        |FROM f""".stripMargin,
 
     // mirrors Retrieval.rrfFuse over the two legs: the bm25_search replay
     // cut at 20 with ranks, the vector_knn replay for query vec 0, then

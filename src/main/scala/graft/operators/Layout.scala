@@ -71,4 +71,54 @@ object Layout {
     laid.repartitionByRange(nPartitions, col("zindex"))
       .sortWithinPartitions(col("zindex"))
   }
+
+  /** Compaction / file-layout planner — the planning half of the
+    * small-files problem (the census behind Delta OPTIMIZE bin-packing
+    * and Iceberg's rewrite_data_files): per output partition, the byte
+    * mass, row count, the file count that hits `targetBytes`, and the
+    * rows-per-file write plan. The plan is a slim keyed agg (ONE
+    * shuffle on the partition key, two-number partials per group); the
+    * write it parameterizes — `repartition(n_files)` per partition —
+    * is the expensive thing it right-sizes. At 100 TB both failure
+    * modes it prevents are real: a partition written at default
+    * parallelism emits 10⁵ tiny files (metadata pressure, per-file open
+    * cost dominates scans), and a partition written by one task emits
+    * one 2 TB file (no scan parallelism, one straggler).
+    *
+    * Exact integers throughout: bytes are `octet_length` sums, file
+    * counts are ceil-divs via (bytes + target − 1) div target clamped
+    * to [1, n_rows] (a file holds at least one row), rows_per_file is
+    * the ceil-div of rows over files — every column replays exactly in
+    * SQL, no IEEE anywhere.
+    *
+    * Reference surface: the reference writes one gridfs blob per upload
+    * (`sentinel-core` `processors/RunsProcessor.scala`) and never needs
+    * layout planning; this is the operation its storage model grows
+    * into when the corpus outgrows one node.
+    *
+    * @param payload per-row byte-size column (e.g. `octet_length(text)`)
+    * @return one row per partition key: (keys…, n_rows, n_bytes,
+    *         n_files, rows_per_file, file_bytes) sorted by keys
+    */
+  def compactionPlan(
+      df: DataFrame,
+      partCols: Seq[String],
+      payload: Column,
+      targetBytes: Long): DataFrame = {
+    require(partCols.nonEmpty, "at least one partition column")
+    require(targetBytes >= 1L, s"targetBytes must be positive: $targetBytes")
+    val keys = partCols.map(col)
+    val counted = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(payload.cast("long")).as("n_bytes"))
+    val files = least(col("n_rows"),
+      greatest(lit(1L),
+        expr(s"(n_bytes + ${targetBytes - 1}L) div ${targetBytes}L")))
+    counted
+      .withColumn("n_files", files)
+      .withColumn("rows_per_file",
+        expr("(n_rows + n_files - 1) div n_files"))
+      .withColumn("file_bytes", expr("n_bytes div n_files"))
+      .orderBy(keys: _*)
+  }
 }

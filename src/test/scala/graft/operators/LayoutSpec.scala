@@ -83,4 +83,37 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  behavior of "compactionPlan"
+
+  it should "ceil-divide byte mass into files clamped to [1, n_rows]" in {
+    // p1: 10 rows x 100 B = 1000 B at target 256 -> ceil = 4 files
+    // p2: 3 rows x 1000 B = 3000 B -> ceil = 12, clamped to 3 rows
+    // p3: 5 rows x 0 B -> 1 file holds everything
+    val rows =
+      Seq.fill(10)(("p1", 100L)) ++ Seq.fill(3)(("p2", 1000L)) ++
+        Seq.fill(5)(("p3", 0L))
+    val got = Layout.compactionPlan(
+      rows.toDF("part", "sz"), Seq("part"), col("sz"), targetBytes = 256L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    got("p1") shouldBe ((10L, 1000L, 4L, 3L, 250L))
+    got("p2") shouldBe ((3L, 3000L, 3L, 1L, 1000L))
+    got("p3") shouldBe ((5L, 0L, 1L, 5L, 0L))
+  }
+
+  it should "be partitioning-invariant and respect exact ceil boundaries" in {
+    // 256 B at target 256 is exactly 1 file; 257 B tips to 2
+    val df = Seq(("a", 256L), ("b", 257L)).toDF("part", "sz")
+    for (parts <- Seq(1, 8)) {
+      val got = Layout.compactionPlan(
+        df.repartition(parts), Seq("part"), col("sz"), 256L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      got shouldBe Map("a" -> 1L, "b" -> 1L) // 2 clamps to n_rows = 1
+    }
+    val wide = Seq(("b", 200L), ("b", 57L)).toDF("part", "sz")
+    Layout.compactionPlan(wide, Seq("part"), col("sz"), 256L)
+      .collect().head.getLong(3) shouldBe 2L
+  }
 }
