@@ -1513,6 +1513,14 @@ object SparkEntry {
       graft.streaming.EventStreams.holtSmooth(
         eventsUs(s, d), maxHistory = EwmaMaxHistory)),
 
+    // Holt–Winters additive seasonal smoothing per event type over the
+    // hourly count grid: 24-slot hour-of-day season, dyadic α/β/γ
+    // (0.5/0.25/0.25) so the recursive-CTE oracle replays bit-exactly;
+    // event-scale work is ONE keyed (type, hour) count — the fold runs
+    // on the calendar-bounded hour list
+    "holt_winters" -> ((s, d) =>
+      graft.streaming.EventStreams.holtWinters(eventsUs(s, d))),
+
     // Skip-gram (center, context) pair table within a ±2 window, pairs
     // with corpus count >= 5 — row-local generation, one keyed count
     "skipgram_pairs" -> ((s, d) =>
@@ -5407,6 +5415,46 @@ object SparkEntry {
         |SELECT user_id, n_events, last_ts,
         |  l AS holt_level, b AS holt_trend, l + b AS forecast
         |FROM r WHERE k = len(xs)""".stripMargin,
+
+    // mirrors EventStreams.holtWinters: the same hourly-count list per
+    // type in pinned sort order, a RECURSIVE CTE stepping the seasonal
+    // recurrence with the l_t expression repeated VERBATIM inside the
+    // b/s updates (struct fields evaluate on the PRE-step state), and
+    // an indexed list_transform for the single-slot seasonal write —
+    // dyadic 0.5/0.25/0.25 coefficients keep 1−x exact on both sides
+    "holt_winters" -> {
+      val x = "CAST(struct_extract(xs[k+1], 'cnt') AS DOUBLE)"
+      val slot = "(CAST(struct_extract(xs[k+1], 'hour') % 24 AS BIGINT) + 1)"
+      val sOld = s"s[$slot]"
+      val ln = s"0.5 * ($x - $sOld) + 0.5 * (l + b)"
+      s"""WITH RECURSIVE g AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(max(hour) AS BIGINT) AS last_hour,
+         |    list_sort(list(struct_pack(hour := hour, cnt := cnt))) AS xs
+         |  FROM g GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, n_points, last_hour, xs, 1 AS k,
+         |    CAST(struct_extract(xs[1], 'cnt') AS DOUBLE) AS l,
+         |    CAST(0.0 AS DOUBLE) AS b,
+         |    list_transform(range(24), z -> CAST(0.0 AS DOUBLE)) AS s
+         |  FROM p
+         |  UNION ALL
+         |  SELECT event_type, n_points, last_hour, xs, k + 1,
+         |    $ln,
+         |    0.25 * (($ln) - l) + 0.75 * b,
+         |    list_transform(s, (sv, si) -> CASE WHEN si = $slot
+         |      THEN 0.25 * ($x - ($ln)) + 0.75 * $sOld ELSE sv END)
+         |  FROM r WHERE k < len(xs))
+         |SELECT event_type, n_points, last_hour,
+         |  l AS hw_level, b AS hw_trend,
+         |  s[((last_hour + 1) % 24) + 1] AS hw_season_next,
+         |  l + b + s[((last_hour + 1) % 24) + 1] AS forecast_next
+         |FROM r WHERE k = len(xs)""".stripMargin
+    },
 
     // mirrors Curation.skipgramPairs: the shared pair-table replay with
     // the minCount cut on top

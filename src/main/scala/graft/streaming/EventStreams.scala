@@ -252,6 +252,86 @@ object EventStreams {
       (st.getField("l") + st.getField("b")).as("forecast"))
   }
 
+  /** Holt–Winters additive TRIPLE-exponential smoothing (Winters 1960)
+    * per event type over the hourly count series — [[holtSmooth]] plus
+    * a fixed `seasonLen`-slot additive seasonal state indexed by
+    * hour-of-day (`slot = hour mod seasonLen`), so calendar gaps keep
+    * their phase instead of shifting the season. Recurrence per point
+    * (x = count at hour h, i = h mod m):
+    * {{{
+    *   l_t = α(x − s_i) + (1−α)(l + b)
+    *   b_t = β(l_t − l)  + (1−β) b
+    *   s_i = γ(x − l_t)  + (1−γ) s_i     (only slot i updates)
+    * }}}
+    * First point initializes (l = x, b = 0, s = zeros).
+    *
+    * Scale shape: the event-scale work is ONE keyed (type, hour) count;
+    * the fold then runs per type on the calendar-bounded hour list
+    * (8,760 points/year — the cusum/user_growth bound), assembled in
+    * pinned sort_array order; seasonal state is a fixed array of m
+    * doubles. Nothing here scales with event count after the first agg.
+    *
+    * Replay: a recursive-CTE oracle steps the same recurrence with the
+    * l_t expression repeated VERBATIM inside b_t and s_i (the
+    * [[holtSmooth]] discipline — struct fields evaluate on the PRE-step
+    * state); the slot update replays as an indexed list_transform.
+    * α/β/γ default to DYADIC rationals (0.5, 0.25, 0.25) so both α and
+    * 1−α are exactly representable and the Scala-side `1.0 - alpha`
+    * equals the SQL literal bit-for-bit — a 0.3/0.7 pair would round
+    * the complement differently on the two sides (0.7's nearest double
+    * sits a half-ulp from 1−0.3's exact value).
+    *
+    * @param events frame with `ts` already normalized to epoch-µs
+    * @return per type: (event_type, n_points, last_hour, hw_level,
+    *         hw_trend, hw_season_next, forecast_next) where the *_next
+    *         columns read the (last_hour+1) mod m seasonal slot
+    */
+  def holtWinters(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25,
+      seasonLen: Int = 24): DataFrame = {
+    require(seasonLen >= 1, s"seasonLen must be positive: $seasonLen")
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 &&
+      gamma > 0 && gamma <= 1, s"alpha/beta/gamma in (0,1]")
+    val hourly = events
+      .groupBy(col(typeCol), expr(s"$tsCol div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val packed = hourly.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_points"),
+        max(col("hour")).as("last_hour"),
+        sort_array(collect_list(struct(col("hour"), col("cnt")))).as("__xs"))
+    val m = seasonLen.toLong
+    val st = aggregate(col("__xs"),
+      struct(lit(null).cast("double").as("l"), lit(0.0).as("b"),
+        array_repeat(lit(0.0), seasonLen).as("s")),
+      (s0, x) => {
+        val i = pmod(x.getField("hour"), lit(m)).cast("int")
+        val v = x.getField("cnt").cast("double")
+        val l = s0.getField("l")
+        val b = s0.getField("b")
+        val sArr = s0.getField("s")
+        val sOld = element_at(sArr, i + 1)
+        val lNew = lit(alpha) * (v - sOld) + lit(1.0 - alpha) * (l + b)
+        val bNew = lit(beta) * (lNew - l) + lit(1.0 - beta) * b
+        val sNewV = lit(gamma) * (v - lNew) + lit(1.0 - gamma) * sOld
+        when(l.isNull, struct(v.as("l"), lit(0.0).as("b"), sArr.as("s")))
+          .otherwise(struct(lNew.as("l"), bNew.as("b"),
+            transform(sArr,
+              (sv, idx) => when(idx === i, sNewV).otherwise(sv)).as("s")))
+      })
+    val nextSlot = (pmod(col("last_hour") + 1, lit(m)).cast("int") + 1)
+    packed.select(col(typeCol), col("n_points"), col("last_hour"),
+      st.getField("l").as("hw_level"),
+      st.getField("b").as("hw_trend"),
+      element_at(st.getField("s"), nextSlot).as("hw_season_next"),
+      (st.getField("l") + st.getField("b") +
+        element_at(st.getField("s"), nextSlot)).as("forecast_next"))
+  }
+
   /** Rolling 7-day (windowDays) distinct active users per day — the DAU/
     * WAU report, EXACT. A sliding-window COUNT DISTINCT cannot be
     * composed from per-day partials (distinct does not sum), and the

@@ -387,6 +387,42 @@ class EventStreamsSpec extends SparkSpec {
     full.getDouble(4) shouldBe bf
   }
 
+  "holtWinters" should "match a driver replay of the seasonal recurrence, gaps keeping phase" in {
+    // hand-built hourly activity: type A has counts over hours 0, 1, 24,
+    // 25, 49 (so slots 0 and 1 repeat across "days" and hour 49 arrives
+    // after a gap — its slot is 49 % 24 = 1, not "next in sequence")
+    val hours = Seq(0L -> 3, 1L -> 1, 24L -> 2, 25L -> 4, 49L -> 2)
+    val ev = hours.flatMap { case (h, n) =>
+      (0 until n).map(k => ("A", h * 3600000000L + k * 1000L, 1.0))
+    } ++ Seq(("B", 7L * 3600000000L, 1.0)) // single-point type seeds only
+    val df = scala.util.Random.shuffle(ev)
+      .toDF("event_type", "ts", "value").repartition(5)
+
+    def replay(points: Seq[(Long, Long)]): (Double, Double, Array[Double]) = {
+      val s = Array.fill(24)(0.0)
+      var l = points.head._2.toDouble
+      var b = 0.0
+      points.tail.foreach { case (h, c) =>
+        val i = (h % 24).toInt
+        val x = c.toDouble
+        val ln = 0.5 * (x - s(i)) + 0.5 * (l + b)
+        val bn = 0.25 * (ln - l) + 0.75 * b
+        s(i) = 0.25 * (x - ln) + 0.75 * s(i)
+        l = ln; b = bn
+      }
+      (l, b, s)
+    }
+    val (l, b, s) = replay(hours.map { case (h, n) => (h, n.toLong) })
+    val got = EventStreams.holtWinters(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val nextSlot = ((49L + 1) % 24).toInt
+    got("A") shouldBe ((5L, 49L, l, b, s(nextSlot), l + b + s(nextSlot)))
+    // single point: l = count, b = 0, untouched zero season
+    got("B") shouldBe ((1L, 7L, 1.0, 0.0, 0.0, 1.0))
+  }
+
   "holtSmoothStream" should "carry (level, trend) state across micro-batches and match the batch fold" in {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
