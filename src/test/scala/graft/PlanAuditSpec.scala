@@ -12,6 +12,9 @@ class PlanAuditSpec extends SparkSpec {
   private def executed(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  private def occurrences(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
   "sel_eq" should "push the equality filter into the parquet scan" in {
     val plan = executed("sel_eq")
     plan should include("PushedFilters")
@@ -537,6 +540,29 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "collect_list"
     plan should not include "Join"
     plan should not include "Window"
+  }
+
+  "holt_winters" should "fold the calendar-bounded hour list with no window and no join" in {
+    val plan = executed("holt_winters")
+    plan should include("Aggregate")
+    // event-scale work is the (type, hour) count; the seasonal fold is a
+    // projection over the calendar-bounded packed list
+    plan should not include "Join"
+    plan should not include "windowspecdefinition"
+  }
+
+  "compaction_plan" should "be one slim keyed agg with map-side partials and no join" in {
+    val plan = executed("compaction_plan")
+    plan should include("partial_count")
+    plan should not include "Join"
+  }
+
+  "graph_assortativity" should "never go all-pairs; only the 1-row scalar frame broadcasts nested-loop" in {
+    val plan = executed("graph_assortativity")
+    plan should not include "CartesianProduct"
+    // degree joins are keyed equi-joins, never nested loops over edges:
+    // the only BroadcastNestedLoopJoin is the 1-row n_nodes scalar
+    occurrences(plan, "BroadcastNestedLoopJoin") should be <= 1
   }
 
   "skipgram_pairs and k_anonymity" should "generate row-locally and count with map-side partials" in {
