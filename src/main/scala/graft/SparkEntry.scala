@@ -2265,6 +2265,13 @@ object SparkEntry {
       graft.operators.Reports.cupedAbTest(
         eventsUs(s, d), "event_type", "user_id", "value")),
 
+    // Post-stratified ATE (blocked difference-in-means): units stratify
+    // on their first event type; effect = stratum-weighted mean diffs,
+    // cross-stratum sum folded in pinned order — the design-based
+    // sibling of cuped_ab's regression adjustment
+    "ate_poststrat" -> ((s, d) =>
+      graft.operators.Reports.postStratifiedAte(t(s, d, "events"))),
+
     // One-sided CUSUM drift statistic per event type over hourly counts
     // — two exact-integer cumulative windows (running sum + running min)
     // over the calendar-bounded hour frame, no FP accumulation anywhere
@@ -7016,6 +7023,52 @@ object SparkEntry {
         |    AS z_cuped
         |FROM v a JOIN v b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1
         |WHERE a.n >= 2 AND b.n >= 2""".stripMargin,
+
+    // mirrors Reports.postStratifiedAte: the same per-unit quantized
+    // sums and min-event-type strata, exact HUGEINT stratum moments,
+    // the pinned-order list fold over kept strata, identical per-term
+    // IEEE shapes, single /quantScale at the end
+    "ate_poststrat" ->
+      """WITH u AS (
+        |  SELECT user_id AS u, min(event_type) AS stratum,
+        |    CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |ua AS (
+        |  SELECT u, stratum, y,
+        |    CAST(concat('0x', substr(md5(concat('42', ':',
+        |         CAST(u AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm
+        |  FROM u),
+        |c AS (
+        |  SELECT stratum, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS sy
+        |  FROM ua GROUP BY 1, 2),
+        |k AS (
+        |  SELECT a.stratum, a.n AS n_a, b.n AS n_b,
+        |    a.sy AS sy_a, b.sy AS sy_b
+        |  FROM c a JOIN c b ON a.stratum = b.stratum
+        |    AND a.arm = 0 AND b.arm = 1),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n_a + n_b) AS BIGINT) AS nn,
+        |    sum(sy_a) AS sya, sum(sy_b) AS syb,
+        |    CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+        |    list(struct_pack(stratum := stratum, n_a := n_a, n_b := n_b,
+        |                     sy_a := sy_a, sy_b := sy_b)
+        |         ORDER BY stratum) AS cl
+        |  FROM k),
+        |t AS (SELECT CAST(count(DISTINCT stratum) AS BIGINT) AS tot FROM c)
+        |SELECT p.n_strata, t.tot - p.n_strata AS n_strata_dropped,
+        |  p.nn AS n_units,
+        |  round((CAST(p.sya AS DOUBLE) / CAST(p.na AS DOUBLE)
+        |       - CAST(p.syb AS DOUBLE) / CAST(p.nb AS DOUBLE))
+        |        / 1000.0, 6) AS ate_raw,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(p.cl, c ->
+        |      (CAST(c.n_a + c.n_b AS DOUBLE) / CAST(p.nn AS DOUBLE)) *
+        |      (CAST(c.sy_a AS DOUBLE) / CAST(c.n_a AS DOUBLE)
+        |       - CAST(c.sy_b AS DOUBLE) / CAST(c.n_b AS DOUBLE)))),
+        |    (x, y) -> x + y) / 1000.0, 6) AS ate_stratified
+        |FROM p, t""".stripMargin,
 
     // mirrors Reports.cusumChangepoint: exact-integer floored mean,
     // running sum + running min windows, S = C - min(0, min-prefix)

@@ -1550,4 +1550,95 @@ object Reports {
         round(element_at(col("__ms"), loIdx).getField("m"), 6).as("ci_lo"),
         round(element_at(col("__ms"), hiIdx).getField("m"), 6).as("ci_hi"))
   }
+
+  /** Post-stratified average-treatment-effect estimate (blocked
+    * difference-in-means, Imbens–Rubin ch. 9): units stratify on a
+    * unit-level covariate — the user's lexicographically-first event
+    * type, a deterministic "primary activity" proxy — and the overall
+    * effect is the stratum-size-weighted sum of within-stratum mean
+    * differences, ATE = Σ_s (n_s/N)·(ȳ_{t,s} − ȳ_{c,s}). This removes
+    * the between-strata outcome variance from the comparison — the
+    * design-based cousin of [[cupedAbTest]]'s regression adjustment
+    * (and, with the arms read as corpora, a composition-adjusted
+    * corpus-mean diff: what [[abTest]] reports once the lang/source mix
+    * is held fixed).
+    *
+    * Exactness: unit outcomes are quantized exact-long sums; stratum
+    * moments are exact decimal sums; each stratum's weightᐧdiff term is
+    * a fixed IEEE shape over exact numbers; and the CROSS-STRATUM sum
+    * folds in pinned stratum order over a sort_array'd struct list (the
+    * [[mutualInformation]] discipline), so the single final row replays
+    * bit-exactly in SQL. Strata are bounded by the covariate's
+    * cardinality and the same fail-fast census guard applies
+    * (`maxStrata`).
+    *
+    * Strata where either arm is empty are DROPPED (standard practice —
+    * no within-stratum contrast exists) and excluded from N, so weights
+    * sum to 1 over the estimable strata; `n_strata_dropped` reports how
+    * many. Scale shape: the event-scale work is ONE keyed agg per unit;
+    * everything after runs on the unit frame and then the
+    * stratum-bounded frame.
+    *
+    * @return one row: (n_strata, n_strata_dropped, n_units, ate_raw,
+    *         ate_stratified), effects on the metric's original scale,
+    *         rounded to 6 places
+    */
+  def postStratifiedAte(
+      events: DataFrame,
+      unitCol: String = "user_id",
+      stratumSourceCol: String = "event_type",
+      valueCol: String = "value",
+      seed: Long = 42L,
+      quantScale: Long = 1000L,
+      maxStrata: Long = 100000L): DataFrame = {
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    require(maxStrata > 0, s"maxStrata must be positive: $maxStrata")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val units = events
+      .select(col(unitCol).as("__u"), col(stratumSourceCol).as("__sc"), q.as("__q"))
+      .groupBy(col("__u"))
+      .agg(min(col("__sc")).as("__stratum"), sum(col("__q")).as("__y"))
+      .select(col("__u"), col("__stratum"), col("__y"),
+        pmod(graft.functions.HashFunctions.md5Bucket(seed, col("__u")), lit(2L))
+          .as("__arm"))
+    val cells = units.groupBy(col("__stratum"), col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y").cast("decimal(28,0)")).as("__sy"))
+      .localCheckpoint() // census + both arm sides read it
+    val nStrataTotal = cells.select(col("__stratum")).distinct().count()
+    require(nStrataTotal <= maxStrata,
+      s"postStratifiedAte: $nStrataTotal distinct strata exceed " +
+        s"maxStrata=$maxStrata — the estimate folds one term per stratum " +
+        s"in a single row and is meant for CATEGORICAL covariates")
+    def side(v: Int, sfx: String) = cells.filter(col("__arm") === v)
+      .select(col("__stratum"), col("__n").as(s"n_$sfx"),
+        col("__sy").as(s"sy_$sfx"))
+    val kept = side(0, "a").join(side(1, "b"), Seq("__stratum"))
+    val packed = kept.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("n_a") + col("n_b")).as("__nn"),
+      sum(col("sy_a")).as("__sya"), sum(col("sy_b")).as("__syb"),
+      sum(col("n_a")).as("__na"), sum(col("n_b")).as("__nb"),
+      sort_array(collect_list(struct(
+        col("__stratum"), col("n_a"), col("n_b"),
+        col("sy_a"), col("sy_b")))).as("__cells"))
+    // pinned-order fold: Σ_s (n_s/N) · (mean_a,s − mean_b,s), each term a
+    // fixed IEEE shape over exact decimal/long stratum sums
+    val ateQ = aggregate(col("__cells"), lit(0.0), (acc, c) =>
+      acc + ((c.getField("n_a") + c.getField("n_b")).cast("double") /
+        col("__nn").cast("double")) *
+        (c.getField("sy_a").cast("double") / c.getField("n_a").cast("double") -
+          c.getField("sy_b").cast("double") / c.getField("n_b").cast("double")))
+    packed.crossJoin(broadcast(
+      cells.select(col("__stratum")).distinct()
+        .agg(count(lit(1)).as("__tot"))))
+      .select(
+        col("n_strata"),
+        (col("__tot") - col("n_strata")).as("n_strata_dropped"),
+        col("__nn").as("n_units"),
+        round((col("__sya").cast("double") / col("__na").cast("double") -
+          col("__syb").cast("double") / col("__nb").cast("double")) /
+          lit(quantScale.toDouble), 6).as("ate_raw"),
+        round(ateQ / lit(quantScale.toDouble), 6).as("ate_stratified"))
+  }
 }

@@ -569,6 +569,49 @@ class ReportsSpec extends SparkSpec {
     java.lang.Long.parseLong(hex, 16) % 2
   }
 
+  behavior of "postStratifiedAte"
+
+  it should "undo a composition confound the raw diff falls for, and drop single-arm strata" in {
+    // stratum A: users 1..120, baseline 10; stratum B: 30 arm-1 users vs
+    // only 3 arm-0 users, baseline 100 (B's mass sits almost entirely in
+    // one arm — the composition confound); stratum C: 4 users all in arm
+    // 1 (no contrast — must be dropped). Planted effect: +2.0 per event
+    // on arm 1 everywhere; 2 events per user, so the per-unit (summed)
+    // effect is +4.0 and arm0-minus-arm1 estimates should be -4.0.
+    val pool = (121L to 5000L)
+    val b1 = pool.filter(md5Arm(_) == 1L).take(30)
+    val b0 = pool.filter(md5Arm(_) == 0L).take(3)
+    val c1 = (5001L to 9000L).filter(md5Arm(_) == 1L).take(4)
+    def rows(u: Long, st: String, base: Double) = {
+      val eff = if (md5Arm(u) == 1L) 2.0 else 0.0
+      Seq((st, u, base + eff), (st, u, base + eff))
+    }
+    val ev = ((1L to 120L).flatMap(rows(_, "A", 10.0)) ++
+      (b1 ++ b0).flatMap(rows(_, "B", 100.0)) ++
+      c1.flatMap(rows(_, "C", 50.0)))
+    val df = scala.util.Random.shuffle(ev)
+      .toDF("event_type", "user_id", "value").repartition(7)
+    val r = Reports.postStratifiedAte(df).collect()(0)
+    r.getLong(0) shouldBe 2L // A and B kept
+    r.getLong(1) shouldBe 1L // C dropped
+    r.getLong(2) shouldBe (120L + 33L)
+    // the stratified estimate is exactly the planted per-unit effect
+    r.getDouble(4) shouldBe -4.0 +- 1e-6
+    // the raw diff is dragged far negative by B's arm-1-heavy mass
+    r.getDouble(3) should be < -20.0
+  }
+
+  it should "fail fast past maxStrata and stay idle on categorical input" in {
+    val ev = (1L to 50L).map(u => (s"t${u % 30}", u, 1.0))
+      .toDF("event_type", "user_id", "value")
+    val boom = intercept[IllegalArgumentException] {
+      Reports.postStratifiedAte(ev, maxStrata = 10L)
+    }
+    boom.getMessage should include("maxStrata")
+    Reports.postStratifiedAte(ev, maxStrata = 100L)
+      .collect() should have length 1
+  }
+
   behavior of "didEstimate"
 
   it should "recover a planted post-period treatment effect under a shared trend" in {
