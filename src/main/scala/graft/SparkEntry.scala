@@ -2272,6 +2272,13 @@ object SparkEntry {
     "ate_poststrat" -> ((s, d) =>
       graft.operators.Reports.postStratifiedAte(t(s, d, "events"))),
 
+    // Split-conformal 90% prediction interval per event type: hash-split
+    // train/calibration, integer-mean predictor, exact k-th order
+    // statistic of quantized residuals picked DISTRIBUTIVELY (distinct-
+    // residual cumsum window, no per-group collect)
+    "conformal_interval" -> ((s, d) =>
+      graft.operators.Reports.conformalInterval(t(s, d, "events"))),
+
     // One-sided CUSUM drift statistic per event type over hourly counts
     // — two exact-integer cumulative windows (running sum + running min)
     // over the calendar-bounded hour frame, no FP accumulation anywhere
@@ -7069,6 +7076,45 @@ object SparkEntry {
         |       - CAST(c.sy_b AS DOUBLE) / CAST(c.n_b AS DOUBLE)))),
         |    (x, y) -> x + y) / 1000.0, 6) AS ate_stratified
         |FROM p, t""".stripMargin,
+
+    // mirrors Reports.conformalInterval: same hash split, integer-div
+    // mean, distinct-residual cumulative window, ceil-k pick, one IEEE
+    // division per output column
+    "conformal_interval" ->
+      """WITH e AS (
+        |  SELECT event_type AS t,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q,
+        |    (CAST(concat('0x', substr(md5(concat('7', ':',
+        |         CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 5 = 0)
+        |      AS cal
+        |  FROM events),
+        |m AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(CAST(q AS HUGEINT)) // count(*) AS BIGINT) AS mu
+        |  FROM e WHERE NOT cal GROUP BY 1),
+        |r AS (
+        |  SELECT e.t, abs(e.q - m.mu) AS r
+        |  FROM e JOIN m ON e.t = m.t WHERE e.cal),
+        |rc AS (SELECT t, r, CAST(count(*) AS BIGINT) AS c
+        |       FROM r GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT t, r, sum(c) OVER (PARTITION BY t ORDER BY r) AS cum
+        |  FROM rc),
+        |n AS (
+        |  SELECT t, CAST(sum(c) AS BIGINT) AS n_cal,
+        |    least(CAST(sum(c) AS BIGINT),
+        |      CAST((9 * (sum(c) + 1) + 9) // 10 AS BIGINT)) AS k
+        |  FROM rc GROUP BY 1),
+        |qh AS (
+        |  SELECT cum.t, n.n_cal, CAST(min(cum.r) AS BIGINT) AS qhat
+        |  FROM cum JOIN n ON cum.t = n.t
+        |  WHERE cum.cum >= n.k GROUP BY 1, 2)
+        |SELECT m.t AS event_type, m.n_train, qh.n_cal,
+        |  round(CAST(m.mu AS DOUBLE) / 1000.0, 6) AS mu,
+        |  round(CAST(qh.qhat AS DOUBLE) / 1000.0, 6) AS q_radius,
+        |  round(CAST(m.mu - qh.qhat AS DOUBLE) / 1000.0, 6) AS lo,
+        |  round(CAST(m.mu + qh.qhat AS DOUBLE) / 1000.0, 6) AS hi
+        |FROM m JOIN qh ON m.t = qh.t""".stripMargin,
 
     // mirrors Reports.cusumChangepoint: exact-integer floored mean,
     // running sum + running min windows, S = C - min(0, min-prefix)

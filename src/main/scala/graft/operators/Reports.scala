@@ -1641,4 +1641,80 @@ object Reports {
           lit(quantScale.toDouble), 6).as("ate_raw"),
         round(ateQ / lit(quantScale.toDouble), 6).as("ate_stratified"))
   }
+
+  /** Split-conformal prediction interval per event type (Vovk's
+    * inductive conformal; Lei et al. 2018, "Distribution-Free
+    * Predictive Inference for Regression"): hash-split events into a
+    * TRAIN part that fits the predictor — here the floored integer mean
+    * of the quantized metric; ANY fixed predictor inherits the
+    * guarantee — and a CALIBRATION part whose absolute residuals' k-th
+    * order statistic, k = ⌈(1−α)(n_cal+1)⌉, is the radius q̂. The
+    * interval [μ−q̂, μ+q̂] then covers a fresh exchangeable point with
+    * probability ≥ 1−α, no distributional assumptions.
+    *
+    * Exactness + scale shape: residuals are exact longs (quantized
+    * metric minus the integer-div mean), so the order statistic is
+    * selected DISTRIBUTIVELY with no per-group collect: count per
+    * distinct residual VALUE (a keyed agg — the frame is bounded by
+    * distinct residual magnitudes, far below row count), a cumulative
+    * count window PARTITIONED by type over that slim frame, then
+    * min r with cum ≥ k. k is exact integer arithmetic
+    * ((9·(n+1)+9) div 10 for α=0.1), clamped to n_cal (the k > n_cal
+    * case means "no finite radius at this α"; the max residual is the
+    * honest clamp). One IEEE division per output column, so the row
+    * replays bit-exactly in SQL.
+    *
+    * @param alphaTenths miscoverage α in tenths (1 = 0.1 → 90%
+    *        intervals) — integer so k stays exact arithmetic
+    * @return per type: (event_type, n_train, n_cal, mu, q_radius, lo,
+    *         hi) on the metric's original scale, rounded to 6
+    */
+  def conformalInterval(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      idCol: String = "event_id",
+      alphaTenths: Int = 1,
+      seed: Long = 7L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(alphaTenths >= 1 && alphaTenths <= 9,
+      s"alphaTenths in [1,9]: $alphaTenths")
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val keep = 10 - alphaTenths // coverage numerator in tenths
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val base = events.select(col(typeCol).as("__t"), q.as("__q"),
+      (pmod(graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
+        lit(5L)) === 0L).as("__cal"))
+      .localCheckpoint() // train agg + calibration residuals read it
+    val mu = base.filter(!col("__cal"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("__q").cast("decimal(28,0)")).as("__sq"))
+      .select(col("__t"), col("n_train"),
+        expr("__sq div n_train").cast("long").as("__mu"))
+    val res = base.filter(col("__cal"))
+      .join(broadcast(mu), Seq("__t"))
+      .select(col("__t"), abs(col("__q") - col("__mu")).as("__r"))
+      .groupBy(col("__t"), col("__r"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = res.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__t")).orderBy(col("__r"))))
+    val nCal = res.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("n_cal"))
+      .withColumn("__k",
+        least(col("n_cal"),
+          expr(s"($keep * (n_cal + 1) + 9) div 10")))
+    val radius = cum.join(nCal, Seq("__t"))
+      .filter(col("__cum") >= col("__k"))
+      .groupBy(col("__t"), col("n_cal"))
+      .agg(min(col("__r")).as("__qhat"))
+    val s = lit(quantScale.toDouble)
+    mu.join(radius, Seq("__t"))
+      .select(col("__t").as(typeCol), col("n_train"), col("n_cal"),
+        round(col("__mu").cast("double") / s, 6).as("mu"),
+        round(col("__qhat").cast("double") / s, 6).as("q_radius"),
+        round((col("__mu") - col("__qhat")).cast("double") / s, 6).as("lo"),
+        round((col("__mu") + col("__qhat")).cast("double") / s, 6).as("hi"))
+  }
 }

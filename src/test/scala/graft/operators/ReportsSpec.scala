@@ -612,6 +612,50 @@ class ReportsSpec extends SparkSpec {
       .collect() should have length 1
   }
 
+  behavior of "conformalInterval"
+
+  it should "pick the exact ceil((1-a)(n+1))-th residual order statistic per type" in {
+    def calOf(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$id".getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 5 == 0
+    }
+    val ev = (1L to 400L).map(i => ("g", i, (i % 20).toDouble + 0.25)) ++
+      (401L to 430L).map(i => ("h", i, 5.0)) // constant type: radius 0
+    val df = scala.util.Random.shuffle(ev)
+      .toDF("event_type", "event_id", "value").repartition(6)
+
+    def replay(rows: Seq[(String, Long, Double)], keep: Int) = {
+      val (cal, train) = rows.partition(e => calOf(e._2))
+      val qs = train.map(e => math.floor(e._3 * 1000).toLong)
+      val mu = qs.sum / qs.size
+      val res = cal.map(e =>
+        math.abs(math.floor(e._3 * 1000).toLong - mu)).sorted
+      val n = res.size.toLong
+      val k = math.min(n, (keep * (n + 1) + 9) / 10)
+      (train.size.toLong, n, mu, res((k - 1).toInt))
+    }
+    val byType = ev.groupBy(_._1)
+    val got = Reports.conformalInterval(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    got.keySet shouldBe byType.keySet
+    for ((t, rows) <- byType) {
+      val (nTr, nCal, mu, qhat) = replay(rows.toSeq, keep = 9)
+      withClue(s"type $t: ") {
+        got(t) shouldBe ((nTr, nCal, mu / 1000.0, qhat / 1000.0,
+          (mu - qhat) / 1000.0, (mu + qhat) / 1000.0))
+      }
+    }
+    got("h")._4 shouldBe 0.0 // constant metric: zero radius
+    // tighter alpha never widens: the 50% radius <= the 90% radius
+    val r50 = Reports.conformalInterval(df, alphaTenths = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    r50("g") should be <= got("g")._4
+  }
+
   behavior of "didEstimate"
 
   it should "recover a planted post-period treatment effect under a shared trend" in {
