@@ -565,6 +565,23 @@ class PlanAuditSpec extends SparkSpec {
     occurrences(plan, "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  "ate_poststrat" should "fold strata in one row with no window and only the scalar broadcast" in {
+    val plan = executed("ate_poststrat")
+    plan should not include "windowspecdefinition"
+    plan should not include "CartesianProduct"
+    // the one nested-loop is the 1-row strata-census broadcast
+    occurrences(plan, "BroadcastNestedLoopJoin") should be <= 1
+  }
+
+  "conformal_interval" should "rank residuals on the slim distinct-value frame, never collect per group" in {
+    val plan = executed("conformal_interval")
+    // the cumulative count rides a type-partitioned window over the
+    // distinct-residual frame; the mu join onto calibration broadcasts
+    plan should include("windowspecdefinition(__t")
+    plan should include("BroadcastHashJoin")
+    plan should not include "collect_list"
+  }
+
   "skipgram_pairs and k_anonymity" should "generate row-locally and count with map-side partials" in {
     for (q <- Seq("skipgram_pairs", "k_anonymity")) {
       val plan = executed(q)
