@@ -123,6 +123,11 @@ object EventStreams {
   final case class HoltState(l: Double, b: Double, n: Long, lastTs: Long)
   final case class HoltPoint(user_id: Long, n_events: Long, last_ts: Timestamp,
     holt_level: Double, holt_trend: Double, forecast: Double)
+  final case class HwState(l: Double, b: Double, s: Seq[Double],
+    nPoints: Long, lastHour: Long, pending: Map[Long, Long])
+  final case class HwPoint(event_type: String, n_points: Long,
+    last_hour: Long, hw_level: Double, hw_trend: Double,
+    hw_season_next: Double, forecast_next: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(
       user_id: Long,
@@ -730,6 +735,77 @@ object EventStreams {
           state.update(st)
           HoltPoint(uid, st.n, new Timestamp(st.lastTs), st.l, st.b,
             st.l + st.b)
+      }
+  }
+
+  /** Streaming twin of [[holtWinters]]: the recurrence consumes COMPLETE
+    * hours, so the state carries open-hour partial counts alongside the
+    * (level, trend, season) triple and an hour folds only once the
+    * WATERMARK passes it — a micro-batch boundary that splits an hour
+    * can therefore never double-fold or misorder it, and state is
+    * bounded (one long per open hour, a fixed seasonLen-double array
+    * otherwise). Matches the batch operator exactly once every hour has
+    * closed: the same dyadic coefficients, the same fold order
+    * (ascending closed hours), the same IEEE expression shapes.
+    *
+    * @return per micro-batch, the latest smoothed point per event type
+    *         (n_points = 0 until the first hour closes) */
+  def holtWintersStream(
+      events: Dataset[Event],
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25,
+      seasonLen: Int = 24,
+      watermarkDelay: String = "10 minutes"): Dataset[HwPoint] = {
+    import events.sparkSession.implicits._
+    require(seasonLen >= 1, s"seasonLen must be positive: $seasonLen")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      // EventTimeTimeout, not NoTimeout: a key with open hours but no
+      // new rows must still get a callback when the watermark passes an
+      // hour boundary, or the last hours would never fold
+      .mapGroupsWithState[HwState, HwPoint](
+        GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, it: Iterator[Event], state: GroupState[HwState]) =>
+          val wmHour = state.getCurrentWatermarkMs() / 3600000L
+          val st = state.getOption.getOrElse(
+            HwState(0.0, 0.0, Seq.fill(seasonLen)(0.0), 0L, Long.MinValue,
+              Map.empty))
+          var pending = it.foldLeft(st.pending) { (m, e) =>
+            val h = e.ts.getTime / 3600000L
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          var l = st.l
+          var b = st.b
+          var n = st.nPoints
+          var lastH = st.lastHour
+          val s = st.s.toArray
+          // fold hours the watermark has passed, in ascending order —
+          // identical arithmetic to the batch fold
+          pending.keys.filter(_ < wmHour).toSeq.sorted.foreach { h =>
+            val x = pending(h).toDouble
+            val i = (h % seasonLen).toInt
+            if (n == 0L) { l = x; b = 0.0 }
+            else {
+              val ln = alpha * (x - s(i)) + (1.0 - alpha) * (l + b)
+              b = beta * (ln - l) + (1.0 - beta) * b
+              s(i) = gamma * (x - ln) + (1.0 - gamma) * s(i)
+              l = ln
+            }
+            n += 1L
+            lastH = math.max(lastH, h)
+            pending -= h
+          }
+          state.update(HwState(l, b, s.toSeq, n, lastH, pending))
+          // wake this key when the watermark passes its earliest open
+          // hour (min pending h >= wmHour, so the boundary is always
+          // strictly ahead of the current watermark)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp((pending.keys.min + 1L) * 3600000L)
+          val nextSlot = if (lastH == Long.MinValue) 0
+            else (((lastH + 1) % seasonLen) + seasonLen).toInt % seasonLen
+          HwPoint(tpe, n, lastH, l, b, s(nextSlot), l + b + s(nextSlot))
       }
   }
 

@@ -465,6 +465,52 @@ class EventStreamsSpec extends SparkSpec {
     math.abs(ewma.getDouble(3) - next) should be > 3.0
   }
 
+  "holtWintersStream" should "fold only watermark-closed hours and match the batch operator exactly" in {
+    implicit val sqlCtx = spark.sqlContext
+    val hours = Seq(0L -> 3, 1L -> 1, 24L -> 2, 25L -> 4, 49L -> 2)
+    // second offsets keep every event STRICTLY above any prior batch's
+    // max event time: the watermark filter drops rows at ts <= watermark
+    // (found building this spec — an event landing exactly on a previous
+    // batch's max timestamp silently vanishes at delay 0)
+    def ev(h: Long, sec: Long) = EventStreams.Event(
+      1L, new java.sql.Timestamp(h * 3600000L + sec * 1000L), "A", 1.0)
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.holtWintersStream(
+      stream.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("hw_pts")
+      .outputMode("update").start()
+    try {
+      // hour 24's two events land SPLIT across the batches — the
+      // watermark gate must keep the hour open and fold it exactly once
+      // with both counts
+      stream.addData(ev(0, 1), ev(0, 2), ev(0, 3), ev(1, 1), ev(24, 1))
+      q.processAllAvailable()
+      stream.addData(ev(24, 2), ev(25, 1), ev(25, 2), ev(25, 3), ev(25, 4),
+        ev(49, 1), ev(49, 2))
+      q.processAllAvailable()
+      // two sentinel batches push the watermark past hour 49 (watermark
+      // for batch N derives from batch N-1's max event time)
+      for (_ <- 1 to 2) {
+        stream.addData(EventStreams.Event(
+          9L, new java.sql.Timestamp(100L * 3600000L), "zz", 1.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val last = spark.table("hw_pts")
+      .filter(col("event_type") === "A")
+      .orderBy(col("n_points").desc).collect()(0)
+    last.getAs[Long]("n_points") shouldBe 5L
+    last.getAs[Long]("last_hour") shouldBe 49L
+    val batch = EventStreams.holtWinters(
+      hours.flatMap { case (h, n) =>
+        (0 until n).map(k => ("A", h * 3600000000L + k * 1000000L, 1.0))
+      }.toDF("event_type", "ts", "value")).collect()(0)
+    last.getAs[Double]("hw_level") shouldBe batch.getDouble(3)
+    last.getAs[Double]("hw_trend") shouldBe batch.getDouble(4)
+    last.getAs[Double]("hw_season_next") shouldBe batch.getDouble(5)
+    last.getAs[Double]("forecast_next") shouldBe batch.getDouble(6)
+  }
+
   "userBurstiness" should "separate metronomic, Poisson-like and bursty arrival patterns" in {
     // user 1: perfectly regular gaps (1000 µs) → σ = 0 → B = −1
     // user 2: gaps 1, 1, 1, 997 (one long silence then a burst) → B > 0
