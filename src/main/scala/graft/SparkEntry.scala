@@ -2285,6 +2285,13 @@ object SparkEntry {
     "cusum_changepoint" -> ((s, d) =>
       graft.operators.Reports.cusumChangepoint(eventsUs(s, d))),
 
+    // Changepoint ESTIMATION (AMOC mean-shift): the split of each type's
+    // hourly series minimizing two-segment SSE — cusum's "where" twin;
+    // prefix-sum windows over the calendar-bounded hour frame, one fixed
+    // IEEE shape per candidate, deterministic (sse, hour) argmin
+    "changepoint_meanshift" -> ((s, d) =>
+      graft.operators.Reports.changepointMeanShift(eventsUs(s, d))),
+
     // Day-of-week x hour-of-day weekly traffic template: hour frame
     // first, then a 168-cell profile agg, one IEEE division per cell
     "seasonal_profile" -> ((s, d) =>
@@ -7137,6 +7144,51 @@ object SparkEntry {
         |                                  ORDER BY hour_id), 0)
         |       AS BIGINT) AS cusum
         |FROM c""".stripMargin,
+
+    // mirrors Reports.changepointMeanShift: the same prefix-sum windows
+    // (HUGEINT squares), the identical SSE expression shape per
+    // candidate, and the same (sse, hour) row_number argmin
+    "changepoint_meanshift" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, hour_id, x,
+        |    count(*) OVER w AS nl,
+        |    sum(x) OVER w AS sl,
+        |    sum(CAST(x AS HUGEINT) * x) OVER w AS sq,
+        |    count(*) OVER a AS n,
+        |    sum(x) OVER a AS st,
+        |    sum(CAST(x AS HUGEINT) * x) OVER a AS sqt
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         a AS (PARTITION BY event_type)),
+        |c AS (
+        |  SELECT *,
+        |    (CAST(sq AS DOUBLE)
+        |       - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |    + (CAST(sqt - sq AS DOUBLE)
+        |       - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |         / CAST(n - nl AS DOUBLE)) AS sse
+        |  FROM f WHERE nl < n),
+        |p AS (
+        |  SELECT * FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |                             ORDER BY sse, hour_id) = 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+        |  hour_id AS split_hour, CAST(nl AS BIGINT) AS n_left,
+        |  round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(st - sl AS DOUBLE) / CAST(n - nl AS DOUBLE), 6)
+        |    AS mean_after,
+        |  round(CAST(st - sl AS DOUBLE) / CAST(n - nl AS DOUBLE)
+        |      - CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS shift,
+        |  round(sse, 6) AS sse_split,
+        |  round(CAST(sqt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE),
+        |      6) AS sse_pooled
+        |FROM p""".stripMargin,
 
     // mirrors Reports.seasonalProfile: hour frame, 168-cell profile,
     // one IEEE division per cell

@@ -914,6 +914,83 @@ object Reports {
         col("cusum"))
   }
 
+  /** Changepoint ESTIMATION twin of [[cusumChangepoint]]: the single
+    * best mean-shift split of each type's hourly count series — the
+    * first step of binary segmentation (Scott & Knott 1974; the AMOC
+    * model of the changepoint literature). CUSUM says "something
+    * drifted"; this says WHERE: the split τ minimizing
+    * SSE(τ) = Σ_left (x−μ_L)² + Σ_right (x−μ_R)², with each segment's
+    * SSE computed from prefix sums as Σx² − (Σx)²/n.
+    *
+    * Exactness + scale shape: the event stream collapses once to the
+    * calendar-bounded (type, hour, count) frame (map-side partials —
+    * the only corpus-scale work); prefix sums ride a type-partitioned
+    * cumulative window; every candidate's SSE is ONE fixed IEEE shape
+    * over exact integer/decimal prefix sums (x² terms are DECIMAL(19,0)
+    * squares summed into DECIMAL(29,0) — a 10⁹-event whale hour squares
+    * to 10¹⁸, at the long boundary, so plain long sums would overflow);
+    * the argmin row is picked by a type-partitioned
+    * row_number over (sse, hour) — the hour tie-break makes the pick
+    * deterministic, and both engines compute identical doubles so the
+    * order replays. Types with a single active hour have no valid
+    * split and are absent from the output.
+    *
+    * @return per type: (event_type, n_hours, split_hour — the LAST hour
+    *         of the left segment, n_left, mean_before, mean_after,
+    *         shift, sse_split, sse_pooled), means/SSEs rounded to 6
+    */
+  def changepointMeanShift(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` div ${hourUs}L").as("hour_id"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__x2",
+        col("__x").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val framed = hourly
+      .withColumn("__nl", count(lit(1)).over(cum))
+      .withColumn("__sl", sum(col("__x")).over(cum))
+      .withColumn("__sql", sum(col("__x2")).over(cum))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__st", sum(col("__x")).over(all))
+      .withColumn("__sqt", sum(col("__x2")).over(all))
+      .filter(col("__nl") < col("__n")) // both segments non-empty
+    def segSse(sq: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      sq.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")
+    val scored = framed
+      .withColumn("__sse",
+        segSse(col("__sql"), col("__sl"), col("__nl")) +
+          segSse(col("__sqt") - col("__sql"), col("__st") - col("__sl"),
+            col("__n") - col("__nl")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("__sse"), col("hour_id"))))
+      .filter(col("__rk") === 1)
+    scored.select(
+      col("event_type"),
+      col("__n").as("n_hours"),
+      col("hour_id").as("split_hour"),
+      col("__nl").as("n_left"),
+      round(col("__sl").cast("double") / col("__nl").cast("double"), 6)
+        .as("mean_before"),
+      round((col("__st") - col("__sl")).cast("double") /
+        (col("__n") - col("__nl")).cast("double"), 6).as("mean_after"),
+      round((col("__st") - col("__sl")).cast("double") /
+        (col("__n") - col("__nl")).cast("double") -
+        col("__sl").cast("double") / col("__nl").cast("double"), 6)
+        .as("shift"),
+      round(col("__sse"), 6).as("sse_split"),
+      round(segSse(col("__sqt"), col("__st"), col("__n")), 6)
+        .as("sse_pooled"))
+  }
+
   /** Day-of-week × hour-of-day seasonal traffic profile: the weekly
     * template every capacity planner and anomaly detector normalizes
     * against. `dow` is the epoch-day index mod 7 (a stable weekday

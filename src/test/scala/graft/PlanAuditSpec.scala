@@ -582,6 +582,13 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "collect_list"
   }
 
+  "changepoint_meanshift" should "score candidates via type-partitioned windows with no join" in {
+    val plan = executed("changepoint_meanshift")
+    plan should include("windowspecdefinition(event_type")
+    plan should not include "Join"
+    plan should not include "collect_list"
+  }
+
   "skipgram_pairs and k_anonymity" should "generate row-locally and count with map-side partials" in {
     for (q <- Seq("skipgram_pairs", "k_anonymity")) {
       val plan = executed(q)

@@ -612,6 +612,61 @@ class ReportsSpec extends SparkSpec {
       .collect() should have length 1
   }
 
+  behavior of "changepointMeanShift"
+
+  it should "find a planted mean shift exactly and tie-break deterministically" in {
+    def evs(t: String, h: Long, n: Int) =
+      (0 until n).map(k => (t, h * 3600000000L + k * 1000000L, 1.0))
+    val ev = (0L to 9L).flatMap(evs("up", _, 2)) ++
+      (10L to 19L).flatMap(evs("up", _, 8)) ++
+      (0L to 5L).flatMap(evs("flat", _, 3)) ++
+      evs("single", 2L, 4) // one active hour: no valid split
+    val df = scala.util.Random.shuffle(ev)
+      .toDF("event_type", "ts", "value").repartition(6)
+    val got = Reports.changepointMeanShift(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    got.keySet shouldBe Set("up", "flat")
+    val up = got("up")
+    up.getLong(1) shouldBe 20L // n_hours
+    up.getLong(2) shouldBe 9L // split after the last low hour
+    up.getLong(3) shouldBe 10L
+    up.getDouble(4) shouldBe 2.0
+    up.getDouble(5) shouldBe 8.0
+    up.getDouble(6) shouldBe 6.0
+    up.getDouble(7) shouldBe 0.0 // both segments constant at the split
+    up.getDouble(8) should be > 0.0 // pooled SSE sees the shift
+    // constant series: every split scores 0 — the (sse, hour) tie-break
+    // must pick the earliest candidate
+    got("flat").getLong(2) shouldBe 0L
+    got("flat").getDouble(6) shouldBe 0.0
+  }
+
+  it should "match a driver-side argmin replay on a noisy series under any partitioning" in {
+    val rnd = new scala.util.Random(11)
+    val counts = (0L until 40L).map(h =>
+      h -> (3 + rnd.nextInt(4) + (if (h >= 23) 6 else 0)))
+    val ev = counts.flatMap { case (h, n) =>
+      (0 until n).map(k => ("g", h * 3600000000L + k * 1000000L, 1.0))
+    }
+    def sse(xs: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble -
+        xs.sum.toDouble * xs.sum.toDouble / n
+    }
+    val xs = counts.map(_._2.toLong)
+    val best = (1 until xs.size).map { k =>
+      (sse(xs.take(k)) + sse(xs.drop(k)), counts(k - 1)._1)
+    }.min // (sse, split_hour) lexicographic — same tie policy
+    for (parts <- Seq(1, 16)) {
+      val r = Reports.changepointMeanShift(
+        ev.toDF("event_type", "ts", "value").repartition(parts))
+        .collect()(0)
+      r.getLong(2) shouldBe best._2
+      r.getDouble(7) shouldBe BigDecimal(best._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6
+    }
+  }
+
   behavior of "conformalInterval"
 
   it should "pick the exact ceil((1-a)(n+1))-th residual order statistic per type" in {
