@@ -931,7 +931,54 @@ object StressScale {
         graft.operators.Reports.rfmFeatures(
           events2m.withColumn("value",
             (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
-              / 100.0))))
+              / 100.0)))),
+      // ---- round-11 wave-3 ---------------------------------------------
+      // degree assortativity over the synthetic avg-degree-8 graph at
+      // node scale n: symmetrize + degree agg + a five-number moment agg
+      timeNoop("graph_assortativity")(
+        graft.operators.Graphs.assortativity(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")))),
+      // Holt-Winters on the 2M-event stream fanned to 20 types: the
+      // event-scale cost is ONE (type, hour) count; each type's fold
+      // runs on its ~720-hour calendar list
+      timeNoop("holt_winters_2m")(
+        graft.streaming.EventStreams.holtWinters(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // split-conformal at 2M events: the residual rank rides the
+      // distinct-residual frame (bounded by value quantization), never a
+      // per-group collect
+      timeNoop("conformal_2m")(
+        graft.operators.Reports.conformalInterval(
+          events2m
+            .withColumn("event_type",
+              concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+                / 100.0)))),
+      // post-stratified ATE at 2M events: one unit-keyed agg, then
+      // stratum-bounded work
+      timeNoop("ate_poststrat_2m")(
+        graft.operators.Reports.postStratifiedAte(
+          events2m
+            .withColumn("event_type",
+              concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+                / 100.0)))),
+      // AMOC changepoint at 2M events x 20 types: candidate scoring is
+      // windows over the ~14k-row calendar frame
+      timeNoop("changepoint_2m")(
+        graft.operators.Reports.changepointMeanShift(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // compaction planner at corpus scale: one slim keyed agg
+      timeNoop("compaction_plan")(
+        graft.operators.Layout.compactionPlan(
+          docs, Seq("source"), octet_length(col("text")),
+          targetBytes = 64L * 1024))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
