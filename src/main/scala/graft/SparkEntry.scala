@@ -1595,6 +1595,13 @@ object SparkEntry {
     "attribution_markov" -> ((s, d) =>
       graft.streaming.EventStreams.markovAttribution(eventsUs(s, d))),
 
+    // Position-based (U-shaped) multi-touch attribution: 40/20/40 exact
+    // ppm credits per conversion path (truncation remainder to the first
+    // middle touch), aggregated by touch hour-of-day — all-integer; one
+    // user-keyed join, one conversion-partitioned window, one keyed agg
+    "attribution_position" -> ((s, d) =>
+      graft.streaming.EventStreams.positionAttribution(eventsUs(s, d))),
+
     // l-diversity audit (the homogeneity-attack companion): classes of
     // (user bucket, hour) whose event_type carries < 3 distinct values —
     // k-anonymous-but-homogeneous classes still expose their members
@@ -5603,6 +5610,40 @@ object SparkEntry {
          |    AS attribution
          |FROM rem, base, tot ORDER BY channel""".stripMargin
     },
+
+    // mirrors EventStreams.positionAttribution: the same window pairing,
+    // the same all-integer 40/20/40 ppm credit CASE (remainder to the
+    // first middle), one keyed integer agg
+    "attribution_position" ->
+      """WITH conv AS (
+        |  SELECT event_id AS pid, user_id AS u, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT event_id AS cid, user_id AS u, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |paired AS (
+        |  SELECT pid, cid, cts FROM conv JOIN touch USING (u)
+        |  WHERE cts <= pts AND pts - cts <= 3600000000),
+        |scored AS (
+        |  SELECT cid, cts,
+        |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS n
+        |  FROM paired),
+        |cr AS (
+        |  SELECT cts,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = n THEN 400000
+        |         ELSE (200000 // (n - 2)) +
+        |              CASE WHEN pos = 2
+        |                   THEN 200000 - (200000 // (n - 2)) * (n - 2)
+        |                   ELSE 0 END
+        |    END AS credit
+        |  FROM scored)
+        |SELECT CAST((cts // 3600000000) % 24 AS BIGINT) AS touch_hour,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_ppm
+        |FROM cr GROUP BY 1""".stripMargin,
 
     // mirrors Reports.tClosenessReport: same grid, window cumsums,
     // HUGEINT cumulative-difference terms, identical IEEE finish

@@ -1041,4 +1041,66 @@ object EventStreams {
       (c, r6(p.toDouble / 1000000.0), ratio(d, p), ratio(d, totalDrop))
     }.toDF("channel", "p_conv", "removal_effect", "attribution")
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the rule-based
+    * member between lastTouch (one winner) and [[markovAttribution]]
+    * (model-based): each conversion's in-window touch path credits 40%
+    * to the first touch, 40% to the last, and splits 20% across the
+    * middles. Credits are EXACT ppm integers summing to 10⁶ per
+    * conversion: n=1 → 10⁶; n=2 → 5·10⁵ each; n≥3 → 4·10⁵ / 4·10⁵ with
+    * the middle share 2·10⁵ div (n−2) per middle and the truncation
+    * remainder assigned to the FIRST middle (deterministic, documented
+    * — no fractional credit leaks).
+    *
+    * Scale shape: one user-keyed equi-join pairs conversions with their
+    * lookback-window touches (fan-out = touches within the window, the
+    * same bound as the attribution family's as-of joins); position and
+    * path length ride a conversion-partitioned window; the report is
+    * one keyed integer agg by the touch's hour-of-day (the stand-in
+    * channel on this schema). No doubles anywhere.
+    *
+    * @return per hour-of-day: (touch_hour, n_touches, credit_ppm) —
+    *         Σ credit_ppm = 10⁶ × conversions with ≥1 in-window touch */
+  def positionAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      touchType: String = "click",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      lookbackUs: Long = 3600000000L): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(idCol).as("__pid"), col(userCol).as("__u"),
+        col(tsCol).as("__pts"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(idCol).as("__cid"), col(userCol).as("__u"),
+        col(tsCol).as("__cts"))
+    val paired = conv.join(touch, Seq("__u"))
+      .filter(col("__cts") <= col("__pts") &&
+        col("__pts") - col("__cts") <= lookbackUs)
+    val byConv = Window.partitionBy(col("__pid"))
+      .orderBy(col("__cts"), col("__cid"))
+    val scored = paired
+      .withColumn("__pos", row_number().over(byConv))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__pid"))))
+      .withColumn("__mid",
+        when(col("__n") > 2, expr("200000L div (__n - 2)")).otherwise(0L))
+      .withColumn("__rem",
+        when(col("__n") > 2,
+          lit(200000L) - col("__mid") * (col("__n") - 2)).otherwise(0L))
+      .withColumn("credit_ppm",
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("__pos") === 1 || col("__pos") === col("__n"),
+            lit(400000L))
+          .otherwise(col("__mid") +
+            when(col("__pos") === 2, col("__rem")).otherwise(0L)))
+    scored
+      .groupBy(expr("(__cts div 3600000000L) % 24").as("touch_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .orderBy(col("touch_hour"))
+  }
 }

@@ -465,6 +465,37 @@ class EventStreamsSpec extends SparkSpec {
     math.abs(ewma.getDouble(3) - next) should be > 3.0
   }
 
+  "positionAttribution" should "hand out exact 40/20/40 ppm credits with the remainder on the first middle" in {
+    val h = 3600000000L
+    var id = 0L
+    def e(u: Long, tpe: String, ts: Long) = { id += 1; (id, u, tpe, ts) }
+    val rows = Seq(
+      // user 1: 5 touches at hours 1..5, purchase at hour 6 —
+      // 400000 / 66668 (66666+rem 2) / 66666 / 66666 / 400000
+      e(1, "click", 1 * h), e(1, "click", 2 * h), e(1, "click", 3 * h),
+      e(1, "click", 4 * h), e(1, "click", 5 * h), e(1, "purchase", 6 * h),
+      // user 2: single touch -> the full million
+      e(2, "click", 2 * h), e(2, "purchase", 2 * h + 1000000L),
+      // user 3: two touches -> 500000 each
+      e(3, "click", 3 * h), e(3, "click", 3 * h + 1000000L),
+      e(3, "purchase", 3 * h + 2000000L),
+      // user 4: a touch AFTER the purchase and one beyond the lookback —
+      // both excluded, the conversion credits nothing
+      e(4, "purchase", 20 * h), e(4, "click", 20 * h + 1000000L),
+      e(4, "click", 2 * h))
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("event_id", "user_id", "event_type", "ts").repartition(5)
+    val got = EventStreams.positionAttribution(df, lookbackUs = 6 * h)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe Map(
+      1L -> ((1L, 400000L)),
+      2L -> ((2L, 1066668L)),
+      3L -> ((3L, 1066666L)),
+      4L -> ((1L, 66666L)),
+      5L -> ((1L, 400000L)))
+    got.values.map(_._2).sum shouldBe 3000000L // 10^6 per credited conversion
+  }
+
   "holtWintersStream" should "fold only watermark-closed hours and match the batch operator exactly" in {
     implicit val sqlCtx = spark.sqlContext
     val hours = Seq(0L -> 3, 1L -> 1, 24L -> 2, 25L -> 4, 49L -> 2)
