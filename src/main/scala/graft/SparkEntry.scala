@@ -1527,6 +1527,16 @@ object SparkEntry {
       graft.operators.Curation.skipgramPairs(
         t(s, d, "documents"), window = 2, minCount = 5L)),
 
+    // PPMI + spectral-factorization word vectors (Levy & Goldberg 2014:
+    // SGNS implicitly factorizes shifted PPMI): corpus work = the
+    // skipgram pair count; the factorized matrix is vocab-bounded
+    // (top-64 by pair mass, <= V² cell collect), eigen is the same
+    // driver-side Jacobi as embed_pca. Rows-only (no SQL eigen); the
+    // geometry contract is pinned by CurationSpec's planted
+    // co-occurrence blocks (close within, orthogonal across)
+    "ppmi_svd_embeddings" -> ((s, d) =>
+      graft.operators.Curation.ppmiSvdEmbeddings(t(s, d, "documents"))),
+
     // Reliability diagram for the hashed classifier: 20 score bins ×
     // rule-based quality agreement — one corpus projection + one keyed
     // agg; decides whether the learned gate can replace the rule battery

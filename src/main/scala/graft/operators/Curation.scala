@@ -529,6 +529,82 @@ object Curation {
       .limit(topK)
   }
 
+  /** PPMI + spectral-factorization word embeddings (Levy & Goldberg
+    * 2014, "Neural Word Embedding as Implicit Matrix Factorization":
+    * SGNS implicitly factorizes the shifted PPMI matrix, so the
+    * classical pipeline — co-occurrence counts → positive PMI →
+    * eigendecomposition — yields dense word vectors with no training
+    * loop). Vectors are the top-`dim` eigenvectors of the symmetric
+    * PPMI matrix, columns scaled by √max(λ,0).
+    *
+    * Scale shape: the corpus-scale work is [[skipgramPairs]]' ONE keyed
+    * count; the factorized matrix is VOCAB-BOUNDED — the top
+    * `vocabSize` terms by pair mass under a deterministic (mass, term)
+    * cut — and collected as ≤ V² cells (the mutualInformation
+    * bounded-collect pattern, V ≤ 256 enforced); the eigen solve is the
+    * same driver-side Jacobi that powers embed_pca
+    * ([[Similarity.jacobiEigen]]). PPMI marginals are computed FROM the
+    * restricted cell table so the matrix is self-consistent.
+    *
+    * no_oracle by design (FP Jacobi iteration has no SQL replay);
+    * pinned by a planted co-occurrence spec: words that share contexts
+    * embed close, words that never co-occur embed orthogonal.
+    *
+    * @return one row per vocab term: (term, pair_mass, embedding
+    *         array<double> of length dim) */
+  def ppmiSvdEmbeddings(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Long = 5L,
+      vocabSize: Int = 64,
+      dim: Int = 16): DataFrame = {
+    require(vocabSize >= 2 && vocabSize <= 256,
+      s"vocabSize in [2,256]: $vocabSize")
+    require(dim >= 1 && dim <= vocabSize, s"dim in [1,vocabSize]: $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = skipgramPairs(docs, window, minCount).localCheckpoint()
+    val vocab = pairs.groupBy(col("center"))
+      .agg(sum(col("n_pairs")).as("__mass"))
+      .orderBy(col("__mass").desc, col("center"))
+      .limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val terms = vocab.map(_._1)
+    val index = terms.zipWithIndex.toMap
+    val vdf = terms.toSeq.toDF("__term")
+    val cells = pairs
+      .join(broadcast(vdf.select(col("__term").as("center"))), Seq("center"))
+      .join(broadcast(vdf.select(col("__term").as("context"))), Seq("context"))
+      .select(col("center"), col("context"), col("n_pairs"))
+      .collect() // bounded: <= vocabSize^2 <= 65536 cells
+      .map(r => (index(r.getString(1)), index(r.getString(0)), r.getLong(2)))
+    val v = terms.length
+    val nij = Array.ofDim[Long](v, v)
+    cells.foreach { case (i, j, c) => nij(i)(j) = c }
+    val rowMass = Array.tabulate(v)(i => nij(i).sum)
+    val total = rowMass.sum.toDouble
+    val m = Array.tabulate(v, v) { (i, j) =>
+      if (nij(i)(j) == 0L || rowMass(i) == 0L || rowMass(j) == 0L) 0.0
+      else math.max(0.0, math.log(
+        nij(i)(j).toDouble * total /
+          (rowMass(i).toDouble * rowMass(j).toDouble)))
+    }
+    // the pair table is symmetric by construction; enforce exactly so
+    // Jacobi's symmetric contract holds under any FP asymmetry
+    for (i <- 0 until v; j <- i + 1 until v) {
+      val avg = 0.5 * (m(i)(j) + m(j)(i)); m(i)(j) = avg; m(j)(i) = avg
+    }
+    // jacobiEigen returns eigenpairs sorted by descending eigenvalue
+    // with vecs(k)(t) = component t of eigenvector k, canonical sign
+    val (evals, evecs) = graft.operators.Similarity.jacobiEigen(m)
+    val rows = terms.indices.map { t =>
+      (terms(t), vocab(t)._2,
+        (0 until dim).map(k =>
+          evecs(k)(t) * math.sqrt(math.max(evals(k), 0.0))).toSeq)
+    }
+    rows.toDF("term", "pair_mass", "embedding")
+  }
+
   /** Difficulty-proportional domain reweighting (a deterministic
     * DoReMi-flavoured heuristic, Xie et al. 2023: upweight the domains
     * the reference LM finds hardest): per-source mean NLL under the

@@ -761,4 +761,29 @@ class CurationSpec extends SparkSpec {
     // "banana" expanded the hit set stays the two apple docs
     prf.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
   }
+
+  behavior of "ppmiSvdEmbeddings"
+
+  it should "embed co-occurring words close and non-co-occurring words orthogonal" in {
+    // two co-occurrence blocks of DIFFERENT strength (30 vs 40 docs) so
+    // the top eigenvalues are non-degenerate and the eigenspaces can't
+    // mix across blocks
+    val docs = ((1 to 30).map(i => (i.toLong, "red blue")) ++
+      (31 to 70).map(i => (i.toLong, "cat dog"))).toDF("doc_id", "text")
+    val got = Curation.ppmiSvdEmbeddings(docs, window = 2, minCount = 2,
+      vocabSize = 8, dim = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    got.keySet shouldBe Set("red", "blue", "cat", "dog")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => x * y }.sum
+      num / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    cos(got("red"), got("blue")) should be > 0.99
+    cos(got("cat"), got("dog")) should be > 0.99
+    math.abs(cos(got("red"), got("cat"))) should be < 0.01
+    math.abs(cos(got("blue"), got("dog"))) should be < 0.01
+    // negative-eigenvalue components are zeroed by the sqrt(max(l,0))
+    // scaling: each vector lives in the top-2 spectral dims only
+    got.values.foreach(v => v.drop(2).foreach(x => x shouldBe 0.0))
+  }
 }
