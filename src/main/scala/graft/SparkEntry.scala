@@ -1728,6 +1728,19 @@ object SparkEntry {
         t(s, d, "documents"), Seq("lang", "source"),
         octet_length(col("text")), targetBytes = 64L * 1024)),
 
+    // Zone-map pruning simulation: the same rows cut into 64 files under
+    // ARRIVAL vs Z-ORDER layout, per-file (zx, zy) footers, a 16×16
+    // rectangle predicate — files_scanned is the scan-cost ratio that
+    // justifies zorder_layout; exact integers end to end, no global sort
+    // (equal-width value-range cuts from a 1-row broadcast census)
+    "zorder_pruning" -> ((s, d) =>
+      graft.operators.Layout.zOrderPruningReport(
+        eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        pmod(col("user_id"), lit(256L)),
+        pmod(expr("ts div 3600000000"), lit(256L)),
+        col("event_id"), bits = 8, nFiles = 64,
+        xRange = (0L, 15L), yRange = (0L, 15L))),
+
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 leg's top-20
     // and the dense top-20 (query = vec_id 0) merge on ranks alone —
     // 1/(60+rank) contributions, modality-ordered fold, top-10 cut
@@ -5898,6 +5911,53 @@ object SparkEntry {
          |SELECT event_id, zx, zy, zindex,
          |  CAST(zindex // 2048 AS BIGINT) AS bucket
          |FROM z""".stripMargin
+    },
+
+    // mirrors Layout.zOrderPruningReport: the same Morton terms as the
+    // zorder_layout replay, equal-width value-range file cuts from the
+    // min/max census, footer boxes, the same overlap CASEs
+    "zorder_pruning" -> {
+      val terms = (0 until 8).map { i =>
+        s"((zx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((zy // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      val rect = "xhi >= 0 AND xlo <= 15 AND yhi >= 0 AND ylo <= 15"
+      def side(name: String, g: String) =
+        s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(CASE WHEN $rect THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS files_scanned,
+           |  CAST(sum(CASE WHEN $rect THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS rows_scanned,
+           |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+           |FROM $g""".stripMargin
+      def grouped(f: String) =
+        s"""SELECT f, min(zx) AS xlo, max(zx) AS xhi,
+           |    min(zy) AS ylo, max(zy) AS yhi,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN zx BETWEEN 0 AND 15
+           |                   AND zy BETWEEN 0 AND 15
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |FROM $f GROUP BY 1""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_id AS seq,
+         |    CAST(user_id % 256 AS BIGINT) AS zx,
+         |    CAST((epoch_us(ts) // 3600000000) % 256 AS BIGINT) AS zy
+         |  FROM events),
+         |z AS (SELECT seq, zx, zy, CAST($terms AS BIGINT) AS zindex
+         |      FROM e),
+         |c AS (SELECT min(zindex) AS zmin, max(zindex) AS zmax,
+         |             min(seq) AS smin, max(seq) AS smax FROM z),
+         |fa AS (SELECT (seq - smin) // (((smax - smin) // 64) + 1) AS f,
+         |              zx, zy FROM z, c),
+         |fz AS (SELECT (zindex - zmin) // (((zmax - zmin) // 64) + 1) AS f,
+         |              zx, zy FROM z, c),
+         |ga AS (${grouped("fa")}),
+         |gz AS (${grouped("fz")})
+         |SELECT * FROM (
+         |  ${side("arrival", "ga")}
+         |  UNION ALL
+         |  ${side("zorder", "gz")})
+         |ORDER BY layout""".stripMargin
     },
 
     // mirrors Layout.compactionPlan: the same exact ceil-div integer

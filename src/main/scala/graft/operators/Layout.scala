@@ -72,6 +72,71 @@ object Layout {
       .sortWithinPartitions(col("zindex"))
   }
 
+  /** Zone-map pruning simulation — the measurement that justifies
+    * [[zOrderLayout]]: lay the same rows out two ways (ARRIVAL order by
+    * `seqCol` vs Z-ORDER by the Morton index), cut each into `nFiles`
+    * equal-width file buckets, record every file's (zx, zy) min/max
+    * footer, and count how many files a rectangular predicate
+    * `zx ∈ [x0,x1] ∧ zy ∈ [y0,y1]` must scan under each layout. At
+    * 100 TB this ratio IS the scan cost: a file whose footer interval
+    * misses the rectangle is never opened. Arrival order correlates
+    * with neither dimension, so its footers are wide and nothing
+    * prunes; the z-order footers are tight on both dimensions at once.
+    *
+    * Everything is exact integers (Morton terms, equal-WIDTH value-range
+    * file cuts — (v − min) div width with width = (max−min) div nFiles
+    * + 1, from a 1-row broadcast min/max census; min/max footers;
+    * interval overlap tests), so the report replays exactly in SQL, and
+    * there is no global sort anywhere: each layout is a keyed agg over
+    * a row-local file assignment — equal-width ranges are exactly what
+    * a range-partitioned writer ([[zOrderWrite]]) produces.
+    *
+    * @return per layout: (layout, n_files, files_scanned, rows_scanned,
+    *         rows_matching) sorted by layout */
+  def zOrderPruningReport(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      seqCol: Column,
+      bits: Int = 8,
+      nFiles: Int = 64,
+      xRange: (Long, Long) = (0L, 15L),
+      yRange: (Long, Long) = (0L, 15L)): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be positive: $nFiles")
+    val laid = zOrderLayout(df, xCol, yCol, bits, nBuckets = 1)
+      .select(col("zx"), col("zy"), col("zindex"), seqCol.as("__seq"))
+      .localCheckpoint() // census + both layout aggs read it
+    val census = laid.agg(
+      min(col("zindex")).as("__zmin"), max(col("zindex")).as("__zmax"),
+      min(col("__seq")).as("__smin"), max(col("__seq")).as("__smax"))
+    def layout(name: String, v: String, lo: String, hi: String) = {
+      laid.crossJoin(broadcast(census))
+        .withColumn("__file",
+          expr(s"($v - $lo) div ((($hi - $lo) div ${nFiles}L) + 1L)"))
+        .groupBy(col("__file"))
+        .agg(min(col("zx")).as("xlo"), max(col("zx")).as("xhi"),
+          min(col("zy")).as("ylo"), max(col("zy")).as("yhi"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("zx").between(xRange._1, xRange._2) &&
+            col("zy").between(yRange._1, yRange._2), 1L).otherwise(0L))
+            .as("n_match"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("xhi") >= xRange._1 && col("xlo") <= xRange._2 &&
+            col("yhi") >= yRange._1 && col("ylo") <= yRange._2, 1L)
+            .otherwise(0L)).as("files_scanned"),
+          sum(when(col("xhi") >= xRange._1 && col("xlo") <= xRange._2 &&
+            col("yhi") >= yRange._1 && col("ylo") <= yRange._2,
+            col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matching"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"), col("rows_matching"))
+    }
+    layout("arrival", "__seq", "__smin", "__smax")
+      .unionByName(layout("zorder", "zindex", "__zmin", "__zmax"))
+      .orderBy(col("layout"))
+  }
+
   /** Compaction / file-layout planner — the planning half of the
     * small-files problem (the census behind Delta OPTIMIZE bin-packing
     * and Iceberg's rewrite_data_files): per output partition, the byte

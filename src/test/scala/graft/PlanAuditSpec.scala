@@ -589,6 +589,19 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "collect_list"
   }
 
+  "attribution_position" should "rank touches on conversion-partitioned windows, all-integer credits" in {
+    val plan = executed("attribution_position")
+    plan should include("windowspecdefinition(__pid")
+    plan should not include "collect_list"
+  }
+
+  "zorder_pruning" should "assign files row-locally from the broadcast census - no global sort" in {
+    val plan = executed("zorder_pruning")
+    plan should not include "windowspecdefinition"
+    plan should include("BroadcastNestedLoopJoin") // the 1-row census
+    plan should not include "CartesianProduct"
+  }
+
   "skipgram_pairs and k_anonymity" should "generate row-locally and count with map-side partials" in {
     for (q <- Seq("skipgram_pairs", "k_anonymity")) {
       val plan = executed(q)

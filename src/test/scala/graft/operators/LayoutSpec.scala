@@ -84,6 +84,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  behavior of "zOrderPruningReport"
+
+  it should "prune z-order files to the query rectangle while arrival order scans everything" in {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 10000L).map(i =>
+      (i, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("seq", "x", "y").repartition(8)
+    val got = Layout.zOrderPruningReport(
+      df, col("x"), col("y"), col("seq"), bits = 8, nFiles = 64,
+      xRange = (0L, 15L), yRange = (0L, 15L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val trueMatches = rows.count { case (_, x, y) => x <= 15 && y <= 15 }
+    // both layouts hold the same rows: identical match counts
+    got("arrival")._4 shouldBe trueMatches
+    got("zorder")._4 shouldBe trueMatches
+    // the rect [0,15]^2 is z-range [0,256) — a sliver of the 65536-value
+    // z-space; file widths need not align with Morton quadrant borders,
+    // so allow a straddling neighbor, but the pruning must be drastic
+    got("zorder")._2 should be <= 3L
+    // arrival order correlates with neither dimension: every footer is
+    // wide open and nothing prunes
+    got("arrival")._2 shouldBe got("arrival")._1
+    got("arrival")._3 shouldBe 10000L
+    got("zorder")._3 should be < 1500L
+  }
+
   behavior of "compactionPlan"
 
   it should "ceil-divide byte mass into files clamped to [1, n_rows]" in {
