@@ -1073,6 +1073,19 @@ object SparkEntry {
         Seq("spark", "vector", "customer"), topK = 10)
     }),
 
+    // Exact phrase search over persisted POSITIONAL postings (Lucene's
+    // positions tier as a Warehouse table): each phrase term selects a
+    // sliver of the term-keyed positions table, slivers equi-join on doc
+    // id, adjacency is one row-local filter over the anchor's position
+    // list — the text column never enters the executed plan
+    "phrase_search_indexed" -> ((s, d) => {
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      graft.store.SparseIndex.savePositional(
+        wh, "sparse_pos", t(s, d, "documents"))
+      graft.store.SparseIndex.phraseSearch(wh, "sparse_pos",
+        Seq("spark", "merge"), topK = 10)
+    }),
+
     // ...and the soft-delete leg: build, tombstone every doc_id % 7 == 0
     // (one slim pass — postings files untouched), query through the
     // tombstone anti-join. Scores are BIT-IDENTICAL to an index rebuilt
@@ -5959,6 +5972,27 @@ object SparkEntry {
          |  ${side("zorder", "gz")})
          |ORDER BY layout""".stripMargin
     },
+
+    // mirrors SparseIndex.phraseSearch from the RAW corpus: 1-based
+    // positions over the same empty-filtered token list (indexed
+    // lambda), positional self-join on pos+1, the same total-order cut
+    "phrase_search_indexed" ->
+      s"""WITH tok AS (
+         |  SELECT id, struct_extract(u, 'term') AS term,
+         |    CAST(struct_extract(u, 'pos') AS BIGINT) AS pos
+         |  FROM (
+         |    SELECT doc_id AS id,
+         |      unnest(list_transform(list_filter($toksSql, t -> t <> ''),
+         |        (t, i) -> struct_pack(term := t, pos := i))) AS u
+         |    FROM documents)),
+         |p0 AS (SELECT id, pos FROM tok WHERE term = 'spark'),
+         |p1 AS (SELECT id, pos FROM tok WHERE term = 'merge'),
+         |m AS (
+         |  SELECT p0.id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM p0 JOIN p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+         |  GROUP BY 1)
+         |SELECT id, n_occurrences FROM m
+         |ORDER BY n_occurrences DESC, id LIMIT 10""".stripMargin,
 
     // mirrors Layout.compactionPlan: the same exact ceil-div integer
     // arithmetic over octet_length sums, files clamped to [1, n_rows]

@@ -171,6 +171,67 @@ object SparseIndex {
     if (!wh.exists(tombTable(name))) df
     else df.join(broadcast(wh.read(tombTable(name))), Seq("id"), "left_anti")
 
+  private def posTable(name: String): String = s"${name}__pos"
+
+  /** Build and persist POSITIONAL postings — (term, id, positions
+    * array<int>, 1-based over the empty-filtered token list, sorted) —
+    * the tier that makes phrase queries answerable from the index
+    * (Lucene's positions file, as a Warehouse table). Per-(term, doc)
+    * position lists are bounded by document length, the same bound
+    * every positional index carries; the corpus-scale cost is the one
+    * tokenize pass, term-keyed like the tf postings. Shares the index's
+    * tombstone table, so [[delete]] hides a doc from phrase queries the
+    * same way it hides it from [[bm25]]. */
+  def savePositional(
+      wh: Warehouse,
+      name: String,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val pos = Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        posexplode(filter(T.tokens(col("__t")), tk => length(tk) > 0))
+          .as(Seq("__p", "term")))
+      .groupBy(col("term"), col("id"))
+      .agg(sort_array(collect_list(col("__p") + 1)).as("positions"))
+    wh.overwrite(posTable(name), pos)
+  }
+
+  /** Exact phrase search over the positional postings: a document
+    * matches when some position p holds term₀ with termᵢ at p+i for
+    * every i — the classic positional-intersection query plan. Each
+    * phrase term selects a SLIVER of the term-keyed positions table;
+    * the slivers equi-join on doc id (k−1 slim joins for a k-word
+    * phrase — the text column never enters the plan), and the
+    * adjacency test is one row-local filter over the anchor term's
+    * position list. Occurrence counts are exact integers and the
+    * (n_occurrences desc, id) cut is a total order, so the result
+    * replays exactly in SQL from the raw corpus.
+    *
+    * @return top-k (id, n_occurrences), n_occurrences >= 1 */
+  def phraseSearch(
+      wh: Warehouse,
+      name: String,
+      phrase: Seq[String],
+      topK: Int = 10): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms: $phrase")
+    require(topK > 0, s"topK must be positive: $topK")
+    val post = wh.read(posTable(name))
+    val slivers = phrase.zipWithIndex.map { case (t, i) =>
+      tombstoned(wh, name, post.filter(col("term") === t))
+        .select(col("id"), col("positions").as(s"__p$i"))
+    }
+    val joined = slivers.reduce((a, b) => a.join(b, Seq("id")))
+    val nOcc = size(filter(col("__p0"), p =>
+      (1 until phrase.size)
+        .map(i => array_contains(col(s"__p$i"), p + i))
+        .reduce(_ && _)))
+    joined.select(col("id"), nOcc.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("id"))
+      .limit(topK)
+  }
+
   /** BM25 top-k over the LOADED index — exactly
     * [[graft.operators.Curation.bm25Search]]'s expression tree (operand
     * order and all), fed from postings instead of text: the query's

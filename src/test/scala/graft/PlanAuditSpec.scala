@@ -409,6 +409,12 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("LeftAnti")
   }
 
+  "phrase_search_indexed" should "answer from positional postings without reading text" in {
+    val plan = executed("phrase_search_indexed")
+    plan should not include "text"
+    plan should include("TakeOrderedAndProject")
+  }
+
   "text_entropy and embed_hash" should "score through the native one-pass kernels, not interpreted HOF folds" in {
     // the r9 `weak`: a HOF refactor stays CORRECT (oracle can't see it)
     // but recomputes loop-invariant hashes per output dimension — pin the

@@ -112,4 +112,40 @@ class SparseIndexSpec extends SparkSpec {
           r.getAs[Seq[String]]("subwords"))).toSet
     enc(loaded) shouldBe enc(trained)
   }
+
+  behavior of "phraseSearch"
+
+  private lazy val phraseCorpus = Seq(
+    (1L, "alpha beta gamma"), // one "alpha beta"
+    (2L, "alpha beta alpha beta delta"), // two
+    (3L, "beta alpha"), // reversed: no match
+    (4L, "alpha gap beta"), // non-adjacent: no match
+    (5L, "alpha beta gamma delta") // trigram lives here
+  ).toDF("doc_id", "text")
+
+  it should "count exact adjacent occurrences and support longer phrases" in {
+    val wh = freshWh
+    SparseIndex.savePositional(wh, "px", phraseCorpus)
+    val got = SparseIndex.phraseSearch(wh, "px", Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(2L -> 2L, 1L -> 1L, 5L -> 1L)
+    val tri = SparseIndex.phraseSearch(wh, "px",
+      Seq("alpha", "beta", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tri shouldBe Map(1L -> 1L, 5L -> 1L)
+    // a 4-gram discriminates doc 5 from doc 1
+    SparseIndex.phraseSearch(wh, "px",
+      Seq("alpha", "beta", "gamma", "delta"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(5L)
+  }
+
+  it should "hide tombstoned docs like the bm25 leg does" in {
+    val wh = freshWh
+    SparseIndex.save(wh, "px2", phraseCorpus) // tombstones ride the index
+    SparseIndex.savePositional(wh, "px2", phraseCorpus)
+    SparseIndex.delete(wh, "px2", Seq(2L).toDF("doc_id"))
+    val got = SparseIndex.phraseSearch(wh, "px2", Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe Set(1L, 5L)
+  }
 }
