@@ -2008,6 +2008,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           (col("__pos") + 1).cast("long").as("rk"))),
 
+    // Join advisor: the optimizer-stats census as an explicit report —
+    // exact join output size (Σ n_L(k)·n_R(k), the number cost models
+    // estimate), per-side heaviest-key ppm, and a rule-based strategy
+    // recommendation; cost = two keyed counts + a key-frame join, never
+    // the join itself
+    "join_advisor" -> ((s, d) =>
+      graft.operators.Joins.joinAdvisor(
+        t(s, d, "orders").select(col("o_orderkey").as("k")),
+        t(s, d, "lineitem").select(col("l_orderkey").as("k")),
+        "k", broadcastRows = 1000L)),
+
     // Bloom semi-join reduction: the selective part slice (p_size = 1)
     // builds a Bloom filter that pre-filters lineitem BEFORE the join's
     // shuffle — ~25/1000 of the fact side survives to shuffle; false
@@ -5972,6 +5983,36 @@ object SparkEntry {
          |  ${side("zorder", "gz")})
          |ORDER BY layout""".stripMargin
     },
+
+    // mirrors Joins.joinAdvisor: the same keyed censuses, HUGEINT join
+    // size cast to the same DECIMAL(38,0), integer ppm divs, the same
+    // recommendation CASE over exact integers
+    "join_advisor" ->
+      """WITH l AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        |      FROM lineitem GROUP BY 1),
+        |tl AS (SELECT CAST(sum(c) AS BIGINT) AS n_left,
+        |              CAST(count(*) AS BIGINT) AS n_keys_left,
+        |              CAST(max(c) AS BIGINT) AS topl FROM l),
+        |tr AS (SELECT CAST(sum(c) AS BIGINT) AS n_right,
+        |              CAST(count(*) AS BIGINT) AS n_keys_right,
+        |              CAST(max(c) AS BIGINT) AS topr FROM r),
+        |js AS (SELECT CAST(coalesce(sum(CAST(l.c AS HUGEINT) * r.c), 0)
+        |                   AS DECIMAL(38,0)) AS n_join_rows,
+        |              CAST(count(*) AS BIGINT) AS n_keys_common
+        |       FROM l JOIN r USING (k))
+        |SELECT n_left, n_right, n_join_rows,
+        |  n_keys_left, n_keys_right, n_keys_common,
+        |  CAST((topl * 1000000) // n_left AS BIGINT) AS top_key_ppm_left,
+        |  CAST((topr * 1000000) // n_right AS BIGINT) AS top_key_ppm_right,
+        |  CASE WHEN n_right <= 1000 THEN 'broadcast_right'
+        |       WHEN n_left <= 1000 THEN 'broadcast_left'
+        |       WHEN (topl * 1000000) // n_left > 100000
+        |         OR (topr * 1000000) // n_right > 100000
+        |         THEN 'salt_skewed_key'
+        |       ELSE 'shuffle_hash' END AS recommendation
+        |FROM tl, tr, js""".stripMargin,
 
     // mirrors SparseIndex.phraseSearch from the RAW corpus: 1-based
     // positions over the same empty-filtered token list (indexed

@@ -518,4 +518,66 @@ object Joins {
             (tb - ta).cast("double")))
           .otherwise(ya), 6).as(valCol): _*)
   }
+
+  /** Join ADVISOR — the optimizer-statistics census a planner consults
+    * before committing a 100 TB join strategy, as an explicit exact
+    * report: row counts per side, the EXACT join output size
+    * (Σ_k n_L(k)·n_R(k) over matching keys — the quantity cost models
+    * only estimate), each side's heaviest-key mass in ppm, and a
+    * rule-based recommendation (broadcast the small side; salt when one
+    * key carries more than `skewPpm` of a side; else shuffle). AQE
+    * makes these calls from runtime samples; this report makes them
+    * from exact counts, which is what you want when the answer decides
+    * hours of cluster time — and its cost is two keyed counts plus a
+    * key-frame join, NOT the join itself.
+    *
+    * Exactness: everything is integer counts and decimal products
+    * (n_L(k)·n_R(k) in DECIMAL(38,0) — two 10⁹-row whale sides would
+    * overflow a long); ppm masses are integer div; the recommendation
+    * CASE compares exact integers. Replays exactly in SQL.
+    *
+    * @return one row: (n_left, n_right, n_join_rows, n_keys_left,
+    *         n_keys_right, n_keys_common, top_key_ppm_left,
+    *         top_key_ppm_right, recommendation) */
+  def joinAdvisor(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      broadcastRows: Long = 1000000L,
+      skewPpm: Long = 100000L): DataFrame = {
+    require(broadcastRows > 0 && skewPpm > 0, "positive thresholds")
+    def census(df: DataFrame) = df
+      .groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals + join-size both read it
+    val l = census(left)
+    val r = census(right)
+    def totals(c: DataFrame, sfx: String) = c.agg(
+      sum(col("__c")).as(s"n_$sfx"),
+      count(lit(1)).as(s"n_keys_$sfx"),
+      max(col("__c")).as(s"__top_$sfx"))
+    val joinSize = l.join(r, Seq("__k"))
+      .agg(
+        coalesce(sum(l("__c").cast("decimal(19,0)") *
+          r("__c").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+          .as("n_join_rows"),
+        count(lit(1)).as("n_keys_common"))
+    val one = totals(l, "left")
+      .crossJoin(broadcast(totals(r, "right")))
+      .crossJoin(broadcast(joinSize))
+      .withColumn("top_key_ppm_left",
+        expr("(__top_left * 1000000L) div n_left"))
+      .withColumn("top_key_ppm_right",
+        expr("(__top_right * 1000000L) div n_right"))
+    one.select(
+      col("n_left"), col("n_right"),
+      col("n_join_rows").cast("decimal(38,0)").as("n_join_rows"),
+      col("n_keys_left"), col("n_keys_right"), col("n_keys_common"),
+      col("top_key_ppm_left"), col("top_key_ppm_right"),
+      when(col("n_right") <= broadcastRows, lit("broadcast_right"))
+        .when(col("n_left") <= broadcastRows, lit("broadcast_left"))
+        .when(col("top_key_ppm_left") > skewPpm ||
+          col("top_key_ppm_right") > skewPpm, lit("salt_skewed_key"))
+        .otherwise(lit("shuffle_hash")).as("recommendation"))
+  }
 }

@@ -978,7 +978,32 @@ object StressScale {
       timeNoop("compaction_plan")(
         graft.operators.Layout.compactionPlan(
           docs, Seq("source"), octet_length(col("text")),
-          targetBytes = 64L * 1024))
+          targetBytes = 64L * 1024)),
+      // positional phrase index at corpus scale: the one tokenize pass
+      // builds (term, id, positions); the query touches two slivers
+      timeNoop("phrase_search") {
+        val wh = new graft.store.Warehouse(spark, stressWhDir)
+        graft.store.SparseIndex.savePositional(wh, "stress_pos", docs)
+        graft.store.SparseIndex.phraseSearch(wh, "stress_pos",
+          Seq("spark", "merge"), topK = 10)
+      },
+      // zone-map pruning simulation on the event stream: two keyed aggs
+      // over a row-local file assignment, no global sort
+      timeNoop("zorder_pruning")(
+        graft.operators.Layout.zOrderPruningReport(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          pmod(col("user_id"), lit(256L)),
+          pmod(expr("ts div 3600000000"), lit(256L)),
+          col("event_id"), bits = 8, nFiles = 64)),
+      // join advisor on a deliberately whale-keyed pair: the census
+      // costs two keyed counts + a key-frame join, never the join
+      timeNoop("join_advisor")(
+        graft.operators.Joins.joinAdvisor(
+          events.select(col("user_id").as("k")),
+          events.select(
+            when(col("event_id") < n / 10, lit(0L))
+              .otherwise(col("user_id")).as("k")),
+          "k"))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

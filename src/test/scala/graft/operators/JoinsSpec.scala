@@ -335,4 +335,39 @@ class JoinsSpec extends SparkSpec {
     g.subsetOf(l) shouldBe true
     g.size.toLong should be < looseN
   }
+
+  behavior of "joinAdvisor"
+
+  it should "compute the exact join size and recommend by size then skew" in {
+    // left: keys 1..100 x 3 rows each; right: keys 1..50 x 2 rows + key 1
+    // carrying 60 extra rows (the whale)
+    val left = (1L to 100L).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val right = ((1L to 50L).flatMap(k => Seq.fill(2)(k)) ++
+      Seq.fill(60L.toInt)(1L)).toDF("k")
+    val r = Joins.joinAdvisor(left, right, "k", broadcastRows = 10L)
+      .collect()(0)
+    r.getLong(0) shouldBe 300L
+    r.getLong(1) shouldBe 160L
+    // exact join size: key 1 matches 3x62, keys 2..50 match 3x2
+    r.getDecimal(2).longValueExact() shouldBe (3L * 62 + 49L * 3 * 2)
+    r.getLong(3) shouldBe 100L
+    r.getLong(4) shouldBe 50L
+    r.getLong(5) shouldBe 50L
+    r.getLong(6) shouldBe (3L * 1000000L) / 300L
+    r.getLong(7) shouldBe (62L * 1000000L) / 160L
+    // right's whale key carries 387500 ppm > 10% -> salt
+    r.getString(8) shouldBe "salt_skewed_key"
+    // a small side wins over skew
+    Joins.joinAdvisor(left, right, "k", broadcastRows = 200L)
+      .collect()(0).getString(8) shouldBe "broadcast_right"
+    // balanced keys and big sides -> plain shuffle
+    Joins.joinAdvisor(left, left, "k", broadcastRows = 10L)
+      .collect()(0).getString(8) shouldBe "shuffle_hash"
+    // disjoint keys: zero join rows, zero common keys
+    val disjoint = Joins.joinAdvisor(
+      left, (200L to 220L).toDF("k"), "k", broadcastRows = 1L)
+      .collect()(0)
+    disjoint.getDecimal(2).longValueExact() shouldBe 0L
+    disjoint.getLong(5) shouldBe 0L
+  }
 }
