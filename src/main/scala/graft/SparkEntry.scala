@@ -1971,6 +1971,31 @@ object SparkEntry {
         edges, e.select(col("vec_id").as("id")))
     }),
 
+    // Mutual (reciprocal) kNN pairs over the same edge set: the
+    // high-precision near-duplicate cut — one self-join of the slim
+    // directed edges on the reversed key, canonical id_a < id_b
+    "knn_mutual_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.mutualKnnPairs(edges)
+    }),
+
+    // Degree histogram of the symmetrized kNN graph: the tail-weight
+    // summary read before choosing skew guards — two keyed aggs
+    "graph_degree_hist" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Graphs.degreeHistogram(edges)
+    }),
+
     // Graph-level degree-mixing summary (Newman assortativity) over the
     // same kNN edge set as graph_triangles: exact decimal moment sums,
     // IEEE only at the single final division — one edge-keyed shuffle,
@@ -6545,6 +6570,63 @@ object SparkEntry {
          |FROM embeddings n
          |LEFT JOIN deg ON deg.id = n.vec_id
          |LEFT JOIN pn ON pn.id = n.vec_id""".stripMargin
+    },
+
+    // mirrors Graphs.mutualKnnPairs over the knn_graph edge replay:
+    // dedup directed edges, self-join on the reversed key, id_a < id_b
+    "knn_mutual_pairs" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+         |SELECT x.src AS id_a, x.dst AS id_b
+         |FROM de x JOIN de y ON y.src = x.dst AND y.dst = x.src
+         |WHERE x.src < x.dst""".stripMargin
+    },
+
+    // mirrors Graphs.degreeHistogram over the same edge replay:
+    // symmetrize, per-node degree, histogram — exact integers
+    "graph_degree_hist" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, aid AS cell
+         |  FROM embeddings e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM (
+         |    SELECT q.query_id, c.neighbor_id
+         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM und GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY 1""".stripMargin
     },
 
     // mirrors Graphs.assortativity over the same knn_graph edge replay:

@@ -290,6 +290,42 @@ object Graphs {
         6).as("assortativity"))
   }
 
+  /** Mutual (reciprocal) kNN pairs: keep (a, b) only when a lists b AND
+    * b lists a — the standard high-precision cut on a kNN graph
+    * (reciprocal neighbors are the near-duplicate / same-entity signal;
+    * one-directional edges are mostly hub attraction, the known failure
+    * mode of raw kNN in high-dimensional corpora). One self-join of the
+    * slim directed edge list on the reversed key; output canonicalized
+    * to id_a < id_b. All-integer, replays exactly in SQL.
+    *
+    * @param edges directed (src, dst) — e.g. [[Similarity.knnGraph]]
+    * @return (id_a, id_b) with id_a < id_b, each mutual pair once */
+  def mutualKnnPairs(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    e.filter(col("src") < col("dst"))
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+  }
+
+  /** Degree histogram of the symmetrized graph — the one-page summary
+    * (how heavy is the tail?) read before choosing skew guards for any
+    * downstream graph op. Two keyed aggs; exact integers.
+    *
+    * @return (degree, n_nodes) for degrees >= 1, sorted by degree */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
   /** k-core decomposition at a fixed k (Seidman 1983): iteratively peel
     * nodes of degree < k until the remaining subgraph is stable; what
     * survives is the k-core — the standard density filter for curation

@@ -292,6 +292,28 @@ class GraphsSpec extends SparkSpec {
     short shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
   }
 
+  behavior of "Graphs.mutualKnnPairs and degreeHistogram"
+
+  it should "keep only reciprocal edges, canonicalized and deduped" in {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // mutual
+      (1L, 3L), // one-way: dropped
+      (4L, 5L), (5L, 4L), (4L, 5L), // mutual with a duplicate edge
+      (6L, 6L), // self loop: dropped
+      (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    Graphs.mutualKnnPairs(edges.repartition(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 2L), (4L, 5L), (7L, 8L))
+  }
+
+  it should "histogram symmetrized degrees" in {
+    // star center 1 with 3 leaves + an isolated mutual pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("src", "dst")
+    Graphs.degreeHistogram(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 5L, 3L -> 1L) // 3 leaves + both pair nodes at degree 1; the hub at 3
+  }
+
   behavior of "Graphs.assortativity"
 
   it should "score a star -1 and a degree-regular cycle NULL" in {
