@@ -2364,6 +2364,12 @@ object SparkEntry {
     "cusum_changepoint" -> ((s, d) =>
       graft.operators.Reports.cusumChangepoint(eventsUs(s, d))),
 
+    // MAD-robust anomaly hours per type: |x − med| > 3·MAD over hourly
+    // counts — the 50%-breakdown twin of window_anomalies' z-score;
+    // exact via the half-unit trick (2·median of BIGINTs is an integer)
+    "window_anomalies_mad" -> ((s, d) =>
+      graft.operators.Reports.madAnomalies(eventsUs(s, d))),
+
     // Changepoint ESTIMATION (AMOC mean-shift): the split of each type's
     // hourly series minimizing two-segment SSE — cusum's "where" twin;
     // prefix-sum windows over the calendar-bounded hour frame, one fixed
@@ -7412,6 +7418,31 @@ object SparkEntry {
         |                                  ORDER BY hour_id), 0)
         |       AS BIGINT) AS cusum
         |FROM c""".stripMargin,
+
+    // mirrors Reports.madAnomalies: same half-unit integer medians
+    // (quantile_cont on BIGINT is the validated bit-identical percentile
+    // shape), same integer flag comparison, exact halves/quarters out
+    "window_anomalies_mad" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(quantile_cont(n_events, 0.5) * 2.0 AS BIGINT) AS med2
+        |  FROM h GROUP BY 1),
+        |d AS (
+        |  SELECT h.*, m.med2, abs(h.n_events * 2 - m.med2) AS dev2
+        |  FROM h JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |    CAST(quantile_cont(dev2, 0.5) * 2.0 AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, d.hour_id, d.n_events,
+        |  CAST(d.med2 AS DOUBLE) / 2.0 AS med,
+        |  CAST(md.mad4 AS DOUBLE) / 4.0 AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev2 * 2 > md.mad4 * 3""".stripMargin,
 
     // mirrors Reports.changepointMeanShift: the same prefix-sum windows
     // (HUGEINT squares), the identical SSE expression shape per

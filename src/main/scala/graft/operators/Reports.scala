@@ -991,6 +991,57 @@ object Reports {
         .as("sse_pooled"))
   }
 
+  /** MAD-based robust anomaly detection per event type — the
+    * median/median-absolute-deviation twin of the mean/σ z-score
+    * detector (window_anomalies): hours where
+    * |x − median| > k·MAD flag as anomalies. Robust because one true
+    * outage hour inflates σ and masks itself, while the median and MAD
+    * barely move (50% breakdown point vs 0% — Hampel's classic
+    * argument for MAD).
+    *
+    * Exactness — the HALF-UNIT trick: an exact interpolated median of
+    * BIGINTs is either an integer or ends in .5, so 2·median is an
+    * exact integer; deviations dev2 = |2x − med2| are then exact
+    * BIGINTs, and their median (the MAD, doubled) is again a
+    * percentile of BIGINTs — the one percentile shape already
+    * validated bit-identical to DuckDB's quantile_cont
+    * (length_quantiles). The flag compares integer dev2 against
+    * k·mad2 and the output med/mad divide by 2 once (exact halves).
+    * Scale shape: the event stream collapses once to the
+    * calendar-bounded hour frame; two percentile aggs per type
+    * broadcast back onto it.
+    *
+    * @param k flag threshold in MAD units
+    * @return flagged hours: (event_type, hour_id, n_events, med, mad)
+    */
+  def madAnomalies(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"`$tsCol` div ${hourUs}L").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // median agg + deviation pass both read it
+    val med = hourly.groupBy(col("event_type"))
+      .agg((percentile(col("n_events"), lit(0.5)) * 2.0)
+        .cast("long").as("__med2"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("__dev2", abs(col("n_events") * 2 - col("__med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((percentile(col("__dev2"), lit(0.5)) * 2.0)
+        .cast("long").as("__mad4")) // 4x units: median of 2x-deviations, doubled
+    dev.join(broadcast(mad), Seq("event_type"))
+      // |x − med| > k·MAD in integers: dev2/2 > k·mad4/4 ⟺ 2·dev2 > k·mad4
+      .filter(col("__dev2") * 2 > col("__mad4") * k)
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        (col("__med2").cast("double") / 2.0).as("med"),
+        (col("__mad4").cast("double") / 4.0).as("mad"))
+  }
+
   /** Day-of-week × hour-of-day seasonal traffic profile: the weekly
     * template every capacity planner and anomaly detector normalizes
     * against. `dow` is the epoch-day index mod 7 (a stable weekday

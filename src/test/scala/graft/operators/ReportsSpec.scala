@@ -612,6 +612,37 @@ class ReportsSpec extends SparkSpec {
       .collect() should have length 1
   }
 
+  behavior of "madAnomalies"
+
+  it should "flag only the spike, with exact half-unit median and MAD" in {
+    // 20 hours cycling 9,10,11,10 (median 10, MAD 0.5) plus one
+    // 100-event outage spike; the spike must not mask itself (it would
+    // inflate a mean/sigma detector's sigma by ~20x)
+    val counts = (0L until 20L).map(h =>
+      h -> Seq(9, 10, 11, 10)(h.toInt % 4)) :+ (20L -> 100)
+    val ev = counts.flatMap { case (h, c) =>
+      (0 until c).map(i => ("g", h * 3600000000L + i * 1000000L, 1.0))
+    }
+    val got = Reports.madAnomalies(
+      scala.util.Random.shuffle(ev)
+        .toDF("event_type", "ts", "value").repartition(5))
+      .collect()
+    got should have length 1
+    val r = got.head
+    r.getString(0) shouldBe "g"
+    r.getLong(1) shouldBe 20L
+    r.getLong(2) shouldBe 100L
+    r.getDouble(3) shouldBe 10.0
+    r.getDouble(4) shouldBe 1.0 // median |dev| over 21 hours (odd count)
+    // without the spike the 9s/11s (|dev| = 1 = MAD at the interpolated
+    // 0.5) stay below any k >= 1 gate: clean series -> empty report
+    val calm = counts.dropRight(1).flatMap { case (h, c) =>
+      (0 until c).map(i => ("g", h * 3600000000L + i * 1000000L, 1.0))
+    }
+    Reports.madAnomalies(calm.toDF("event_type", "ts", "value"))
+      .collect() shouldBe empty
+  }
+
   behavior of "changepointMeanShift"
 
   it should "find a planted mean shift exactly and tie-break deterministically" in {
