@@ -2370,6 +2370,12 @@ object SparkEntry {
     "window_anomalies_mad" -> ((s, d) =>
       graft.operators.Reports.madAnomalies(eventsUs(s, d))),
 
+    // Exact 10%-trimmed mean per event type: the rank cut runs on the
+    // (type, value, count) frame via a value-ordered cumsum window —
+    // interval-overlap integer arithmetic, never a per-group collect
+    "robust_trimmed_mean" -> ((s, d) =>
+      graft.operators.Reports.trimmedMean(t(s, d, "events"))),
+
     // Changepoint ESTIMATION (AMOC mean-shift): the split of each type's
     // hourly series minimizing two-segment SSE — cusum's "where" twin;
     // prefix-sum windows over the calendar-bounded hour frame, one fixed
@@ -7443,6 +7449,41 @@ object SparkEntry {
         |  CAST(md.mad4 AS DOUBLE) / 4.0 AS mad
         |FROM d JOIN md USING (event_type)
         |WHERE d.dev2 * 2 > md.mad4 * 3""".stripMargin,
+
+    // mirrors Reports.trimmedMean: the same value-ordered cumsum rank
+    // intervals, integer overlap with [k+1, n-k], HUGEINT value sums,
+    // one IEEE division per mean
+    "robust_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |vc AS (SELECT g, q, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY q) AS cm
+        |  FROM vc),
+        |tot AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(q AS HUGEINT) * c) AS sq,
+        |    CAST((sum(c) * 10) // 100 AS BIGINT) AS k
+        |  FROM vc GROUP BY 1),
+        |kept AS (
+        |  SELECT cum.g, tot.n, tot.sq, tot.k,
+        |    greatest(0, least(cum.cm, tot.n - tot.k)
+        |      - greatest(cum.cm - cum.c + 1, tot.k + 1) + 1) AS kc,
+        |    cum.q
+        |  FROM cum JOIN tot USING (g)),
+        |agg AS (
+        |  SELECT g, n, sq, k,
+        |    sum(CAST(q AS HUGEINT) * kc) AS sqt
+        |  FROM kept GROUP BY 1, 2, 3, 4)
+        |SELECT g AS event_type, n, CAST(n - 2 * k AS BIGINT) AS n_trimmed,
+        |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6)
+        |    AS mean_raw,
+        |  round(CAST(sqt AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 1000.0, 6)
+        |    AS mean_trimmed
+        |FROM agg""".stripMargin,
 
     // mirrors Reports.changepointMeanShift: the same prefix-sum windows
     // (HUGEINT squares), the identical SSE expression shape per

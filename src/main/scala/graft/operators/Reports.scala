@@ -1042,6 +1042,58 @@ object Reports {
         (col("__mad4").cast("double") / 4.0).as("mad"))
   }
 
+  /** Exact α-trimmed mean per group — the robust location estimate
+    * between the median (α→0.5) and the mean (α=0): drop the k =
+    * ⌊α·n⌋ smallest and largest observations, average the rest. Like
+    * [[conformalInterval]]'s order statistic, the rank cut is computed
+    * DISTRIBUTIVELY with no per-group collect: quantized values
+    * collapse to a (group, value, count) frame; a value-ordered
+    * cumulative window gives each distinct value its rank interval
+    * [cum−c+1, cum]; the kept mass is the interval's overlap with
+    * [k+1, n−k] — exact integer arithmetic — and each value
+    * contributes kept·q to a decimal sum. One IEEE division per mean.
+    *
+    * @param trimPct trim fraction per side in PERCENT (integer so k
+    *        stays exact: k = n·trimPct div 100)
+    * @return (group, n, n_trimmed, mean_raw, mean_trimmed), 6-rounded
+    */
+  def trimmedMean(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      trimPct: Int = 10,
+      quantScale: Long = 1000L): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 49, s"trimPct in [1,49]: $trimPct")
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val vc = events.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__q"))))
+    val tot = vc.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__q").cast("decimal(28,0)") * col("__c")).as("__sq"))
+      .withColumn("__k", expr(s"(__n * ${trimPct}L) div 100L"))
+    cum.join(tot, Seq("__g"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__cum"), col("__n") - col("__k")) -
+            greatest(col("__cum") - col("__c") + 1, col("__k") + 1) + 1))
+      .groupBy(col("__g"), col("__n"), col("__sq"), col("__k"))
+      .agg(sum(col("__q").cast("decimal(28,0)") * col("__kept"))
+        .as("__sqt"))
+      .select(col("__g").as(groupCol),
+        col("__n").as("n"),
+        (col("__n") - lit(2L) * col("__k")).as("n_trimmed"),
+        round(col("__sq").cast("double") / col("__n").cast("double") /
+          lit(quantScale.toDouble), 6).as("mean_raw"),
+        round(col("__sqt").cast("double") /
+          (col("__n") - lit(2L) * col("__k")).cast("double") /
+          lit(quantScale.toDouble), 6).as("mean_trimmed"))
+  }
+
   /** Day-of-week × hour-of-day seasonal traffic profile: the weekly
     * template every capacity planner and anomaly detector normalizes
     * against. `dow` is the epoch-day index mod 7 (a stable weekday

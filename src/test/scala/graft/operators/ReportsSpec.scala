@@ -612,6 +612,27 @@ class ReportsSpec extends SparkSpec {
       .collect() should have length 1
   }
 
+  behavior of "trimmedMean"
+
+  it should "cut exact rank intervals across duplicate-heavy values" in {
+    val ev = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0)) ++
+      Seq.fill(10)(("h", 5.0)) ++
+      (Seq.fill(3)(1.0) ++ Seq.fill(4)(2.0) ++ Seq.fill(3)(9.0))
+        .map(("i", _))
+    val got = Reports.trimmedMean(
+      scala.util.Random.shuffle(ev)
+        .toDF("event_type", "value").repartition(4))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // g: raw mean drags to 14.5 on the 100-outlier; 10% trim drops rank
+    // 1 and rank 10, keeping 2..9 -> 5.5
+    got("g") shouldBe ((10L, 8L, 14.5, 5.5))
+    got("h") shouldBe ((10L, 8L, 5.0, 5.0))
+    // i: value 1 spans ranks 1-3 (keep 2), 2 spans 4-7 (keep 4),
+    // 9 spans 8-10 (keep 2) -> (2*1 + 4*2 + 2*9) / 8 = 3.5
+    got("i") shouldBe ((10L, 8L, 3.8, 3.5))
+  }
+
   behavior of "madAnomalies"
 
   it should "flag only the spike, with exact half-unit median and MAD" in {
