@@ -1003,7 +1003,32 @@ object StressScale {
           events.select(
             when(col("event_id") < n / 10, lit(0L))
               .otherwise(col("user_id")).as("k")),
-          "k"))
+          "k")),
+      // reciprocal-kNN cut + degree histogram on the avg-degree-8 graph
+      timeNoop("knn_mutual_pairs")(
+        graft.operators.Graphs.mutualKnnPairs(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")))),
+      timeNoop("graph_degree_hist")(
+        graft.operators.Graphs.degreeHistogram(
+          spark.range(n).select(col("id").as("src"),
+            explode(transform(sequence(lit(0), lit(3)),
+              j => pmod(xxhash64(col("id"), j), lit(n)))).as("dst")))),
+      // MAD anomalies + exact trimmed mean on the 2M-event stream: both
+      // collapse the stream once, then work on slim frames
+      timeNoop("mad_anomalies_2m")(
+        graft.operators.Reports.madAnomalies(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      timeNoop("trimmed_mean_2m")(
+        graft.operators.Reports.trimmedMean(
+          events2m
+            .withColumn("event_type",
+              concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+                / 100.0))))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
