@@ -2044,6 +2044,34 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_orderkey").as("k")),
         "k", broadcastRows = 1000L)),
 
+    // Advisor→executor loop: the advisor's exact ceil-div salt fan-out
+    // drives saltedJoin on a planted whale key (l_orderkey%10 floored
+    // at 5 carries ~half the fact side → salt_skewed_key fires, pinned
+    // by a require). Salting never changes join semantics, so the keyed
+    // agg over the salted join replays as the plain SQL join; the
+    // factor itself replays as the same integer ceil-div
+    "join_advisor_salted" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(least(col("l_orderkey") % 10, lit(5L)).as("k"),
+          col("l_quantity"))
+      val dim = t(s, d, "orders")
+        .select(least(col("o_orderkey") % 10, lit(5L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
+      val adv = graft.operators.Joins.joinAdvisor(fact, dim, "k",
+        broadcastRows = 1L, targetPartitionRows = 4096L).collect()(0)
+      require(adv.getString(9) == "salt_skewed_key",
+        s"planted whale must trigger salting, got ${adv.getString(9)}")
+      val saltF = adv.getLong(8)
+      graft.operators.Joins
+        .saltedJoin(fact, dim, "k", saltFactor = saltF.toInt)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          max(col("dim_n")).as("dim_n"))
+        .withColumn("salt_factor_used", lit(saltF))
+        .orderBy(col("k"))
+    }),
+
     // Bloom semi-join reduction: the selective part slice (p_size = 1)
     // builds a Bloom filter that pre-filters lineitem BEFORE the join's
     // shuffle — ~25/1000 of the fact side survives to shuffle; false
@@ -6022,8 +6050,10 @@ object SparkEntry {
     },
 
     // mirrors Joins.joinAdvisor: the same keyed censuses, HUGEINT join
-    // size cast to the same DECIMAL(38,0), integer ppm divs, the same
-    // recommendation CASE over exact integers
+    // size emitted as BIGINT (gate-facing output carries no decimals —
+    // driver hashers disagree on them; sf scale always fits), integer
+    // ppm divs, integer ceil-div salt factor, the same recommendation
+    // CASE over exact integers
     "join_advisor" ->
       """WITH l AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
         |           FROM orders GROUP BY 1),
@@ -6036,13 +6066,16 @@ object SparkEntry {
         |              CAST(count(*) AS BIGINT) AS n_keys_right,
         |              CAST(max(c) AS BIGINT) AS topr FROM r),
         |js AS (SELECT CAST(coalesce(sum(CAST(l.c AS HUGEINT) * r.c), 0)
-        |                   AS DECIMAL(38,0)) AS n_join_rows,
+        |                   AS BIGINT) AS n_join_rows,
         |              CAST(count(*) AS BIGINT) AS n_keys_common
         |       FROM l JOIN r USING (k))
         |SELECT n_left, n_right, n_join_rows,
         |  n_keys_left, n_keys_right, n_keys_common,
         |  CAST((topl * 1000000) // n_left AS BIGINT) AS top_key_ppm_left,
         |  CAST((topr * 1000000) // n_right AS BIGINT) AS top_key_ppm_right,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST((greatest(topl, topr) + 1999999) // 2000000 AS BIGINT))
+        |    AS salt_factor,
         |  CASE WHEN n_right <= 1000 THEN 'broadcast_right'
         |       WHEN n_left <= 1000 THEN 'broadcast_left'
         |       WHEN (topl * 1000000) // n_left > 100000
@@ -6050,6 +6083,27 @@ object SparkEntry {
         |         THEN 'salt_skewed_key'
         |       ELSE 'shuffle_hash' END AS recommendation
         |FROM tl, tr, js""".stripMargin,
+
+    // mirrors the advisor→saltedJoin loop: the same whale-key framing,
+    // the same integer ceil-div salt factor (target 4096 rows), and the
+    // PLAIN join's keyed agg (salting is semantics-preserving)
+    "join_advisor_salted" ->
+      """WITH f AS (SELECT least(l_orderkey % 10, 5) AS k, l_quantity
+        |           FROM lineitem),
+        |d AS (SELECT least(o_orderkey % 10, 5) AS k,
+        |             CAST(count(*) AS BIGINT) AS dim_n
+        |      FROM orders GROUP BY 1),
+        |top AS (SELECT CAST(max(c) AS BIGINT) AS topf
+        |        FROM (SELECT count(*) AS c FROM f GROUP BY k)),
+        |sf AS (SELECT greatest(CAST(1 AS BIGINT),
+        |         CAST((greatest(topf, 1) + 4095) // 4096 AS BIGINT))
+        |         AS salt_factor FROM top)
+        |SELECT f.k, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  max(dim_n) AS dim_n, salt_factor AS salt_factor_used
+        |FROM f JOIN d USING (k), sf
+        |GROUP BY f.k, salt_factor
+        |ORDER BY f.k""".stripMargin,
 
     // mirrors SparseIndex.phraseSearch from the RAW corpus: 1-based
     // positions over the same empty-filtered token list (indexed

@@ -550,8 +550,9 @@ object Curation {
     * pinned by a planted co-occurrence spec: words that share contexts
     * embed close, words that never co-occur embed orthogonal.
     *
-    * @return one row per vocab term: (term, pair_mass, embedding
-    *         array<double> of length dim) */
+    * @return one row per (vocab term, component): (term, pair_mass,
+    *         component 0..dim-1, value) — flattened scalars, never an
+    *         array column (gate-facing row-sorters can't order those) */
   def ppmiSvdEmbeddings(
       docs: DataFrame,
       window: Int = 2,
@@ -597,12 +598,15 @@ object Curation {
     // jacobiEigen returns eigenpairs sorted by descending eigenvalue
     // with vecs(k)(t) = component t of eigenvector k, canonical sign
     val (evals, evecs) = graft.operators.Similarity.jacobiEigen(m)
-    val rows = terms.indices.map { t =>
-      (terms(t), vocab(t)._2,
-        (0 until dim).map(k =>
-          evecs(k)(t) * math.sqrt(math.max(evals(k), 0.0))).toSeq)
-    }
-    rows.toDF("term", "pair_mass", "embedding")
+    // gate-facing outputs carry no array columns (the embed_pca
+    // discipline: downstream row-sorters can't order them) — one row
+    // per (term, component) scalar instead of a vector column
+    val rows = for {
+      t <- terms.indices
+      k <- 0 until dim
+    } yield (terms(t), vocab(t)._2, k.toLong,
+      evecs(k)(t) * math.sqrt(math.max(evals(k), 0.0)))
+    rows.toDF("term", "pair_mass", "component", "value")
   }
 
   /** Difficulty-proportional domain reweighting (a deterministic
@@ -776,10 +780,16 @@ object Curation {
         .as("__ws"))
       .select(aggregate(col("__ws"), lit(0.0),
         (acc, c) => acc + c.getField("__w")).as("__tw"))
+    // W = 0 (every stratum zero-variance) would make the rate 0/0 = NaN,
+    // and Spark's NaN-is-largest ordering turns least(1.0, NaN) into 1.0
+    // — sample everything. Guard so the documented contract holds: a
+    // zero-weight allocation samples NOTHING (rate 0).
     val rates = weighted.crossJoin(broadcast(total))
       .select(col("__st"),
-        least(lit(1.0),
-          (lit(nTarget.toDouble) * col("__w") / col("__tw")) / nD)
+        when(col("__tw") > 0.0,
+          least(lit(1.0),
+            (lit(nTarget.toDouble) * col("__w") / col("__tw")) / nD))
+          .otherwise(lit(0.0))
           .as("__rate"))
     val bucket = pmod(
       graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),

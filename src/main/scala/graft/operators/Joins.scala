@@ -531,21 +531,31 @@ object Joins {
     * hours of cluster time — and its cost is two keyed counts plus a
     * key-frame join, NOT the join itself.
     *
-    * Exactness: everything is integer counts and decimal products
-    * (n_L(k)·n_R(k) in DECIMAL(38,0) — two 10⁹-row whale sides would
-    * overflow a long); ppm masses are integer div; the recommendation
-    * CASE compares exact integers. Replays exactly in SQL.
+    * Exactness: everything is integer counts; the join size accumulates
+    * as a decimal product (n_L(k)·n_R(k) in DECIMAL(38,0) — two
+    * 10⁹-row whale sides would overflow a long DURING the sum) but is
+    * EMITTED as BIGINT behind a fail-fast overflow gate (`raise_error`
+    * past 2⁶³−1), because a gate-facing output column must be a type
+    * every downstream hasher treats identically — decimals are not;
+    * ppm masses are integer div; the recommendation CASE compares exact
+    * integers. `salt_factor` closes the advisor→executor loop: the
+    * exact fan-out `ceil(max_top_key_rows / targetPartitionRows)`
+    * (integer ceil-div, min 1) that [[saltedJoin]] should be handed
+    * when the recommendation is `salt_skewed_key`. Replays exactly in
+    * SQL.
     *
     * @return one row: (n_left, n_right, n_join_rows, n_keys_left,
     *         n_keys_right, n_keys_common, top_key_ppm_left,
-    *         top_key_ppm_right, recommendation) */
+    *         top_key_ppm_right, salt_factor, recommendation) */
   def joinAdvisor(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       broadcastRows: Long = 1000000L,
-      skewPpm: Long = 100000L): DataFrame = {
-    require(broadcastRows > 0 && skewPpm > 0, "positive thresholds")
+      skewPpm: Long = 100000L,
+      targetPartitionRows: Long = 2000000L): DataFrame = {
+    require(broadcastRows > 0 && skewPpm > 0 && targetPartitionRows > 0,
+      "positive thresholds")
     def census(df: DataFrame) = df
       .groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
@@ -569,11 +579,21 @@ object Joins {
         expr("(__top_left * 1000000L) div n_left"))
       .withColumn("top_key_ppm_right",
         expr("(__top_right * 1000000L) div n_right"))
+    val longMax = lit("9223372036854775807").cast("decimal(38,0)")
     one.select(
       col("n_left"), col("n_right"),
-      col("n_join_rows").cast("decimal(38,0)").as("n_join_rows"),
+      // gate-facing outputs carry NO decimal columns (driver hashers
+      // disagree on them); the decimal sum stays internal, the emit is
+      // BIGINT behind a fail-fast overflow gate
+      when(col("n_join_rows") > longMax,
+        raise_error(lit("joinAdvisor: exact join size overflows BIGINT")))
+        .otherwise(col("n_join_rows").cast("bigint")).as("n_join_rows"),
       col("n_keys_left"), col("n_keys_right"), col("n_keys_common"),
       col("top_key_ppm_left"), col("top_key_ppm_right"),
+      greatest(lit(1L),
+        expr(s"(greatest(__top_left, __top_right) + " +
+          s"${targetPartitionRows - 1L}L) div ${targetPartitionRows}L"))
+        .as("salt_factor"),
       when(col("n_right") <= broadcastRows, lit("broadcast_right"))
         .when(col("n_left") <= broadcastRows, lit("broadcast_left"))
         .when(col("top_key_ppm_left") > skewPpm ||

@@ -1367,7 +1367,8 @@ object Reports {
       valueCol: String,
       seed: Long = 42L,
       quantScale: Long = 1000L,
-      bandWidth: Long = 10000L): DataFrame = {
+      bandWidth: Long = 10000L,
+      maxBands: Long = 1000000L): DataFrame = {
     require(quantScale > 0 && bandWidth > 0, "positive scales")
     val spark = events.sparkSession
     import spark.implicits._
@@ -1381,16 +1382,14 @@ object Reports {
         sum(when(col("__arm") === 0L, lit(1L)).otherwise(lit(0L))).as("ca"))
       .withColumn("__band", expr("__q div " + bandWidth))
       .localCheckpoint(true) // band census + ranked pass share it
-    val bandCounts = perVal.groupBy(col("grp"), col("__band"))
-      .agg(sum(col("c")).as("__t")).collect()
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
-    val offsets = bandCounts.groupBy(_._1._1).toSeq.flatMap {
-      case (g, rows) =>
-        val sorted = rows.sortBy(_._1._2)
-        sorted.map(_._1._2)
-          .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-          .map { case (b, off) => (g, b, off) }
-    }.toDF("grp", "__band", "__off")
+    // shared guarded census (Banded owns the maxBands fail-fast)
+    val (offRows, _) = Banded.bandCensus(
+      perVal.select(col("grp").cast("string").as("grp"),
+        col("__band"), col("c")),
+      Seq("grp"), "c", maxBands)
+    val offsets = offRows
+      .map { case (g, b, off) => (g.head.asInstanceOf[String], b, off) }
+      .toDF("grp", "__band", "__off")
     val exc = sum(col("c")).over(
       Window.partitionBy(col("grp"), col("__band")).orderBy(col("__q"))
         .rowsBetween(Window.unboundedPreceding, -1))
@@ -1448,7 +1447,8 @@ object Reports {
       custCol: String = "o_custkey",
       amtCol: String = "o_totalprice",
       quantScale: Long = 100L,
-      bandWidth: Long = 1000000L): DataFrame = {
+      bandWidth: Long = 1000000L,
+      maxBands: Long = 1000000L): DataFrame = {
     require(quantScale > 0 && bandWidth > 0, "positive scales")
     val spark = orders.sparkSession
     import spark.implicits._
@@ -1460,14 +1460,11 @@ object Reports {
       .groupBy(col("cust")).agg(sum(col("q")).as("q"))
       .withColumn("__band", expr(s"q div $bandWidth"))
       .localCheckpoint(true) // band census + ranked pass share the agg
-    val bandCounts = per.groupBy(col("__band"))
-      .agg(count(lit(1)).as("__c")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = bandCounts.map(_._2).sum
-    val offsets = bandCounts
-      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
-      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
-      .toSeq
+    // shared guarded census (Banded owns the maxBands fail-fast)
+    val (offRows, totals) = Banded.bandCensus(
+      per.select(col("__band"), lit(1L).as("__w")), Seq(), "__w", maxBands)
+    val n = totals.getOrElse(Seq(), 0L)
+    val offsets = offRows.map { case (_, b, off) => (b, off) }
     val topThreshold = n - n / 10 // rank > threshold ⇒ top decile
     val ranked = per
       .join(broadcast(offsets.toDF("__band", "__off")), Seq("__band"))

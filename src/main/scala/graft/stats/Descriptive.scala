@@ -184,16 +184,29 @@ object Descriptive {
     * .Reports.driftPsi]] convention). Integer counts are exact; the rank
     * is one IEEE division, 6-rounded.
     *
+    * Fractional metrics: the grid is integer-stepped, so a metric in
+    * [0, 1) (a score, a rate) must be quantized UP first or every row
+    * silently lands in bin 0 — pass `quantScale` (the abTest
+    * discipline: the metric is floored at `metric × quantScale` before
+    * binning, e.g. quantScale = 10000, width = 100 spreads [0,1)
+    * scores over 100 bins).
+    *
     * @return input id + (bin, pct_rank) */
   def quantileNormalize(
       df: DataFrame,
       idCol: String,
       metric: Column,
       width: Long = 100L,
-      nBins: Int = 100): DataFrame = {
-    require(width > 0 && nBins > 0, "need positive width and nBins")
+      nBins: Int = 100,
+      quantScale: Long = 1L): DataFrame = {
+    require(width > 0 && nBins > 0 && quantScale > 0,
+      "need positive width, nBins and quantScale")
+    // quantize BEFORE binning (floor(metric × scale)) — the old
+    // cast-to-bigint-then-divide collapsed any sub-integer metric into
+    // bin 0 with no warning
+    val q = floor(metric * lit(quantScale.toDouble)).cast("long")
     val bin = greatest(
-      least(floor(metric.cast("bigint") / lit(width)).cast("bigint"),
+      least(floor(q / lit(width)).cast("bigint"),
         lit(nBins - 1L)),
       lit(0L))
     val binned = df.select(col(idCol), bin.as("bin"))

@@ -658,6 +658,17 @@ class CurationSpec extends SparkSpec {
       .filter(col("src") === "a").count() shouldBe 5L
   }
 
+  it should "sample nothing when every stratum has zero variance" in {
+    // all-constant strata fold total weight W to 0; the unguarded rate
+    // would be 0/0 = NaN and least(1.0, NaN) = 1.0 under Spark's
+    // NaN-is-largest ordering — sampling EVERY row instead of none
+    val flat = ((1 to 50).map(i => (i.toLong, "a", 7.0)) ++
+      (51 to 100).map(i => (i.toLong, "b", 3.0)))
+      .toDF("doc_id", "src", "value")
+    Curation.neymanSample(flat, "src", col("value"), nTarget = 10L)
+      .count() shouldBe 0L
+  }
+
   behavior of "docSimilarity"
 
   it should "rank an identical document first and respect the maxDf stop-term skip" in {
@@ -770,9 +781,16 @@ class CurationSpec extends SparkSpec {
     // mix across blocks
     val docs = ((1 to 30).map(i => (i.toLong, "red blue")) ++
       (31 to 70).map(i => (i.toLong, "cat dog"))).toDF("doc_id", "text")
+    // output is flattened (term, pair_mass, component, value) rows;
+    // rebuild each term's vector by component order for the geometry pins
     val got = Curation.ppmiSvdEmbeddings(docs, window = 2, minCount = 2,
       vocabSize = 8, dim = 4)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (term, rows) =>
+        term -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    got.values.foreach(v => v should have size 4)
     got.keySet shouldBe Set("red", "blue", "cat", "dog")
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val num = a.zip(b).map { case (x, y) => x * y }.sum

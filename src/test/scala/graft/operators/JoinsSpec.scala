@@ -349,25 +349,42 @@ class JoinsSpec extends SparkSpec {
     r.getLong(0) shouldBe 300L
     r.getLong(1) shouldBe 160L
     // exact join size: key 1 matches 3x62, keys 2..50 match 3x2
-    r.getDecimal(2).longValueExact() shouldBe (3L * 62 + 49L * 3 * 2)
+    // (BIGINT emit — gate-facing output has no decimal columns)
+    r.getLong(2) shouldBe (3L * 62 + 49L * 3 * 2)
     r.getLong(3) shouldBe 100L
     r.getLong(4) shouldBe 50L
     r.getLong(5) shouldBe 50L
     r.getLong(6) shouldBe (3L * 1000000L) / 300L
     r.getLong(7) shouldBe (62L * 1000000L) / 160L
+    // salt factor: top key (62 rows) under default 2M target -> 1
+    r.getLong(8) shouldBe 1L
     // right's whale key carries 387500 ppm > 10% -> salt
-    r.getString(8) shouldBe "salt_skewed_key"
+    r.getString(9) shouldBe "salt_skewed_key"
     // a small side wins over skew
     Joins.joinAdvisor(left, right, "k", broadcastRows = 200L)
-      .collect()(0).getString(8) shouldBe "broadcast_right"
+      .collect()(0).getString(9) shouldBe "broadcast_right"
     // balanced keys and big sides -> plain shuffle
     Joins.joinAdvisor(left, left, "k", broadcastRows = 10L)
-      .collect()(0).getString(8) shouldBe "shuffle_hash"
+      .collect()(0).getString(9) shouldBe "shuffle_hash"
     // disjoint keys: zero join rows, zero common keys
     val disjoint = Joins.joinAdvisor(
       left, (200L to 220L).toDF("k"), "k", broadcastRows = 1L)
       .collect()(0)
-    disjoint.getDecimal(2).longValueExact() shouldBe 0L
+    disjoint.getLong(2) shouldBe 0L
     disjoint.getLong(5) shouldBe 0L
+  }
+
+  it should "emit the exact ceil-div salt fan-out for the whale key" in {
+    // whale key 1 carries 25 rows; target 8 rows/partition -> ceil(25/8)=4
+    val left = (Seq.fill(25)(1L) ++ (2L to 9L)).toDF("k")
+    val right = (1L to 9L).toDF("k")
+    val r = Joins.joinAdvisor(left, right, "k", broadcastRows = 1L,
+      targetPartitionRows = 8L).collect()(0)
+    r.getLong(8) shouldBe 4L
+    r.getString(9) shouldBe "salt_skewed_key"
+    // and the fan-out feeds saltedJoin without changing join semantics
+    val plain = left.join(right, Seq("k")).count()
+    Joins.saltedJoin(left, right, "k",
+      saltFactor = r.getLong(8).toInt).count() shouldBe plain
   }
 }

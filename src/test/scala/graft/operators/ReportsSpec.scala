@@ -818,6 +818,24 @@ class ReportsSpec extends SparkSpec {
     r.getDouble(4) should be < -10.0
   }
 
+  it should "fail fast on a wide-domain value column and stay idle on bounded ones" in {
+    // epoch-micros-style values: the band census would be ~1 cell per
+    // distinct value — the shared Banded guard turns the would-be driver
+    // OOM into an actionable error BEFORE any collect
+    val wide = (1L to 50L).map(u => ("g", u, u * 1.0e12))
+      .toDF("event_type", "user_id", "value")
+    val e = intercept[IllegalArgumentException] {
+      Reports.mannWhitneyU(wide, "event_type", "user_id", "value",
+        maxBands = 10L)
+    }
+    e.getMessage should include("maxBands")
+    // a priced/bounded domain under the same cap passes untouched
+    val bounded = (1L to 50L).map(u => ("g", u, (u % 7) * 1.0))
+      .toDF("event_type", "user_id", "value")
+    Reports.mannWhitneyU(bounded, "event_type", "user_id", "value",
+      maxBands = 10L).collect().length shouldBe 1
+  }
+
   behavior of "tClosenessReport"
 
   it should "report 0 for matching distributions and the exact EMD for skewed ones" in {
@@ -889,6 +907,16 @@ class ReportsSpec extends SparkSpec {
     val expected = 2.0 * srq / (6.0 * q.sum) - 7.0 / 6.0
     val r = Reports.revenueGini(df, bandWidth = 500L).collect()(0)
     r.getDouble(2) shouldBe (math.rint(expected * 1e6) / 1e6) +- 1e-9
+  }
+
+  it should "fail fast when the amount domain out-bands the census cap" in {
+    val wide = (1L to 40L).map(c =>
+      (c, java.math.BigDecimal.valueOf(c.toDouble * 1.0e8)))
+      .toDF("o_custkey", "o_totalprice")
+    val e = intercept[IllegalArgumentException] {
+      Reports.revenueGini(wide, bandWidth = 100L, maxBands = 10L)
+    }
+    e.getMessage should include("maxBands")
   }
 
   behavior of "benfordDigits"

@@ -153,4 +153,20 @@ class DescriptiveSpec extends SparkSpec {
     got(9L) shouldBe ((9L, 0.8))
     got(10L) shouldBe ((9L, 0.8)) // clamped into the top bin
   }
+
+  it should "spread fractional metrics across bins via quantScale" in {
+    // scores in [0,1): the old cast-to-bigint binning collapsed all of
+    // these into bin 0 (every pct_rank 0); quantScale = 1000, width = 100
+    // spreads them over bins 0..9
+    val rows = Seq((1L, 0.05), (2L, 0.15), (3L, 0.55), (4L, 0.95))
+      .toDF("id", "score")
+    val got = Descriptive.quantileNormalize(rows, "id", col("score"),
+      width = 100L, nBins = 10, quantScale = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    got(1L) shouldBe ((0L, 0.0))
+    got(2L) shouldBe ((1L, 0.25))
+    got(3L) shouldBe ((5L, 0.5))
+    got(4L) shouldBe ((9L, 0.75))
+  }
 }
