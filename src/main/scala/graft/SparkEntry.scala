@@ -2517,6 +2517,63 @@ object SparkEntry {
           col("band_val")))
   )
 
+  /** Per-round INNER plans for the iterative operators, keyed by the
+    * registered query they belong to. The registered loop queries plan
+    * as `Scan ExistingRDD`/`LocalTableScan` — localCheckpoint lineage
+    * truncation (BFS/k-core/CC) or the driver-side chain solve (Markov)
+    * hides the actual per-round shape, so their PLANS.md sections pin
+    * nothing. These builders return ONE round of each loop (the
+    * operators' own extracted round methods — the same code path the
+    * loop executes) over the registered query's real inputs, so the
+    * artifact records the slim semi/anti-join discipline a regression
+    * to a fat-frame loop would break. DumpPlans appends each as a
+    * `### per-round inner plan` subsection; PlanAuditSpec pins them. */
+  def innerPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
+      val dist = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("id")).distinct()
+        .select(col("id"), lit(0L).as("hops")).localCheckpoint()
+      graft.operators.Graphs.bfsRound(edges, dist.select(col("id")), dist, 1)
+    }),
+    "graph_kcore" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val edges = Similarity.knnGraph(e, anchors, k = 5)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val mutual = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      val alive = mutual
+        .union(mutual.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      graft.operators.Graphs.kCoreRound(alive, 2)
+    }),
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)
+      val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct().localCheckpoint()
+      val labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      Dedup.ccRound(edges, labels)
+    }),
+    "attribution_markov" -> ((s, d) =>
+      graft.streaming.EventStreams.markovTransitionCensus(
+        eventsUs(s, d), truncateLineage = false))
+  )
+
   // ---- DuckDB oracle SQL -------------------------------------------------
 
   /** Tokens of `text`, lower-cased, as the engines both compute them. */

@@ -446,6 +446,23 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** ONE min-label-propagation round of [[connectedComponents]] as an
+    * un-executed plan: edges join the label frame on src, a dst-keyed
+    * partial-min aggregate produces each node's neighbor minimum, and a
+    * left join folds it into `least(own, neighbor-min)` — only
+    * (src, dst, comp) ever shuffles. Extracted so the loop and the
+    * PLANS.md artifact share the SAME code path (the post-checkpoint
+    * loop result plans as `Scan ExistingRDD` and pins nothing). */
+  def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("comp")).as("nmin"))
+    labels.join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+  }
+
   /** Connected components over a candidate-pair set: near-dup PAIRS only
     * become deduplicatable once grouped into clusters (keep one doc per
     * component). Min-label propagation: every node repeatedly takes the
@@ -501,15 +518,9 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < rounds) {
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("comp")).as("nmin"))
         val obs = org.apache.spark.sql.Observation()
         // eager snap: runs the job, publishing the observed metric
-        val next = snap(labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        val next = snap(ccRound(edges, labels)
           .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp")))
         val s = obs.get("sumComp").asInstanceOf[java.math.BigDecimal]
         converged = s.compareTo(prevSum) == 0

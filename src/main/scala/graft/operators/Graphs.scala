@@ -368,12 +368,7 @@ object Graphs {
     var it = 0
     var converged = aliveEdges == 0L
     while (!converged && it < maxIter) {
-      val keep = alive.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("src").as("__keep"))
-      val next = alive
-        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint()
+      val next = kCoreRound(alive, k).localCheckpoint()
       val nextEdges = next.count()
       converged = nextEdges == aliveEdges
       alive = next
@@ -382,6 +377,21 @@ object Graphs {
     }
     alive.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("id"), col("core_degree"))
+  }
+
+  /** ONE [[kCore]] peeling round as an un-executed plan: a src-keyed
+    * degree census filtered at k, then two node-keyed LEFT-SEMI joins
+    * slimming the edge frame — nothing but (src, dst) columns ever
+    * shuffles. Extracted so the loop and the PLANS.md artifact share
+    * the SAME code path: the post-checkpoint loop result plans as
+    * `Scan ExistingRDD`, which pins nothing, while this inner shape is
+    * what must not regress to a fat-frame join. */
+  def kCoreRound(alive: DataFrame, k: Int): DataFrame = {
+    val keep = alive.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= k).select(col("src").as("__keep"))
+    alive
+      .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
   }
 
   def pageRank(
@@ -548,12 +558,7 @@ object Graphs {
     var emptyFrontier = false
     while (hop < maxHops && !emptyFrontier) {
       hop += 1
-      val next = e
-        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .select(col("id"), lit(hop.toLong).as("hops"))
-        .localCheckpoint()
+      val next = bfsRound(e, frontier, dist, hop).localCheckpoint()
       emptyFrontier = next.count() == 0L
       if (!emptyFrontier) {
         dist = dist.union(next).localCheckpoint()
@@ -562,4 +567,21 @@ object Graphs {
     }
     dist
   }
+
+  /** ONE [[bfsHops]] frontier round as an un-executed plan: a LEFT-SEMI
+    * join selecting edges leaving the frontier, a distinct over the new
+    * ids, and a LEFT-ANTI join dropping already-labeled nodes — slim
+    * (id)/(src, dst) frames only, one shuffle key each. Extracted so
+    * the loop and the PLANS.md artifact share the SAME code path (the
+    * post-checkpoint result plans as `Scan ExistingRDD` and pins
+    * nothing). */
+  def bfsRound(
+      e: DataFrame,
+      frontier: DataFrame,
+      dist: DataFrame,
+      hop: Int): DataFrame =
+    e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+      .select(col("dst").as("id")).distinct()
+      .join(dist, Seq("id"), "left_anti")
+      .select(col("id"), lit(hop.toLong).as("hops"))
 }

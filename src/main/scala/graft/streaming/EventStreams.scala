@@ -949,6 +949,51 @@ object EventStreams {
       .start()
   }
 
+  /** The event-scale HALF of [[markovAttribution]] as an un-executed
+    * plan: truncate each journey at its first conversion, derive
+    * `(prev, next)` steps with user-partitioned windows, append the
+    * synthetic `__start`/`__null` edges, and reduce to ONE row per
+    * (from, to) transition with a keyed count. This is the only part of
+    * the operator that touches the corpus — the value iteration runs on
+    * the collected ≤ maxStates² table — so this IS the plan the PLANS.md
+    * artifact must pin (the full operator plans as `LocalTableScan`
+    * after the driver solve, which pins nothing). */
+  def markovTransitionCensus(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      truncateLineage: Boolean = true): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val byUserAll = Window.partitionBy(col(userCol))
+    val kept = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("crn",
+        min(when(col(typeCol) === lit(conversionType), col("rn")))
+          .over(byUserAll))
+      .filter(col("crn").isNull || col("rn") <= col("crn"))
+    val steppedBase = kept
+      .withColumn("prev", lag(col(typeCol), 1).over(
+        Window.partitionBy(col(userCol)).orderBy(col("rn"))))
+      .withColumn("mrn", max(col("rn")).over(byUserAll))
+    // eager truncation: three edge selects share the windows. The plan
+    // artifact passes truncateLineage=false so the window half stays
+    // visible instead of collapsing to Scan ExistingRDD.
+    val stepped =
+      if (truncateLineage) steppedBase.localCheckpoint(true) else steppedBase
+    stepped.filter(col("prev").isNotNull)
+      .select(col("prev").as("f"), col(typeCol).as("t"))
+      .unionAll(stepped.filter(col("rn") === 1)
+        .select(lit("__start").as("f"), col(typeCol).as("t")))
+      .unionAll(stepped.filter(col("crn").isNull && col("rn") === col("mrn"))
+        .select(col(typeCol).as("f"), lit("__null").as("t")))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+  }
+
   /** Markov-chain removal-effect attribution (Anderl, Becker, Wangenheim
     * & Schumann 2014) — the data-driven alternative to
     * [[graft.operators.Joins]]' last-touch rule: model user journeys as
@@ -985,28 +1030,8 @@ object EventStreams {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     val spark = events.sparkSession
     import spark.implicits._
-    val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col(idCol))
-    val byUserAll = Window.partitionBy(col(userCol))
-    val kept = events
-      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
-      .withColumn("rn", row_number().over(byUser))
-      .withColumn("crn",
-        min(when(col(typeCol) === lit(conversionType), col("rn")))
-          .over(byUserAll))
-      .filter(col("crn").isNull || col("rn") <= col("crn"))
-    val stepped = kept
-      .withColumn("prev", lag(col(typeCol), 1).over(
-        Window.partitionBy(col(userCol)).orderBy(col("rn"))))
-      .withColumn("mrn", max(col("rn")).over(byUserAll))
-      .localCheckpoint(true) // three edge selects share the windows
-    val edges = stepped.filter(col("prev").isNotNull)
-      .select(col("prev").as("f"), col(typeCol).as("t"))
-      .unionAll(stepped.filter(col("rn") === 1)
-        .select(lit("__start").as("f"), col(typeCol).as("t")))
-      .unionAll(stepped.filter(col("crn").isNull && col("rn") === col("mrn"))
-        .select(col(typeCol).as("f"), lit("__null").as("t")))
-      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    val edges = markovTransitionCensus(events, conversionType, userCol,
+      tsCol, typeCol, idCol)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     require(states.length <= maxStates,

@@ -764,6 +764,51 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // ---- per-round inner plans of the iterative family -------------------
+  // The registered loop queries plan as Scan ExistingRDD/LocalTableScan
+  // (checkpoint truncation / driver solve), so these pins run the
+  // operators' extracted round methods — the same code path the loops
+  // execute — over the registered queries' real inputs.
+
+  private def innerExecuted(name: String): String =
+    SparkEntry.innerPlans(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  "graph_bfs inner round" should "be slim semi/anti joins, never a fat-frame join" in {
+    val plan = innerExecuted("graph_bfs")
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    // only the slim id/edge columns ever shuffle — no embedding payload
+    plan should not include "embedding"
+    plan should not include "CartesianProduct"
+  }
+
+  "graph_kcore inner round" should "peel via a degree census and two semi-joins" in {
+    val plan = innerExecuted("graph_kcore")
+    occurrences(plan, "LeftSemi") should be >= 2
+    plan should include("partial_count")
+    plan should not include "embedding"
+  }
+
+  "dedup_clusters inner round" should "fold neighbor minima with a partial-min aggregate" in {
+    val plan = innerExecuted("dedup_clusters")
+    plan should include("partial_min")
+    plan should include("LeftOuter")
+    // topology only: the text/shingle payload never enters the loop
+    plan should not include "text"
+  }
+
+  "attribution_markov inner census" should "reduce transitions with a keyed partial count over partitioned windows" in {
+    val plan = innerExecuted("attribution_markov")
+    plan should include("partial_count")
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  "every innerPlans key" should "name a registered query" in {
+    SparkEntry.innerPlans.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
+  }
+
   "entry" should "smoke on sf0.001 with rows" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
