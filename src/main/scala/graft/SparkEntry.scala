@@ -845,9 +845,13 @@ object SparkEntry {
     // ...and the sketch tier of the same rollup: percentile_approx
     // (Greenwald–Khanna, Spark's built-in mergeable quantile sketch) —
     // the constant-memory path when the exact per-group sort stops
-    // fitting. Deterministic given the data but algorithm-specific, so
-    // no cross-engine oracle (rows-only); StatsProcessorSpec bounds its
-    // error against the exact percentiles
+    // fitting. Oracle-exact in the ε-exact regime: GK answers rank
+    // ceil(p·N) within ε·N ranks (ε = 1/accuracy), and while ε·N < 0.5
+    // the only integer rank in that window is ceil(p·N) itself, so the
+    // sketch PROVABLY returns the exact rank element — group sizes at
+    // gate scale (25 @ sf0.01, 250 @ sf0.1) sit far under the N < 500
+    // bound, so the SQL rank query replays it exactly; beyond that the
+    // ε-bound applies and StatsProcessorSpec's parity band governs
     "length_quantiles_approx" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("source"), T.tokenCount(col("text")).cast("bigint").as("n"))
@@ -4279,6 +4283,28 @@ object SparkEntry {
         |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
         |      FROM documents)
         |GROUP BY source""".stripMargin,
+
+    // GK in the ε-exact regime (ε·N < 0.5 per group at gate scale)
+    // provably returns the element at rank ceil(p·N) — replay it as the
+    // explicit rank selection (empirically pinned against Spark's
+    // QuantileSummaries.query convention, incl. exact-integer p·N)
+    "length_quantiles_approx" ->
+      """WITH t AS (SELECT source,
+        |             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |               AS n
+        |           FROM documents),
+        |r AS (SELECT source, n,
+        |        row_number() OVER (PARTITION BY source ORDER BY n) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM t)
+        |SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END)
+        |    AS p50,
+        |  max(CASE WHEN rk = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END)
+        |    AS p90,
+        |  max(CASE WHEN rk = CAST(ceil(0.99 * cnt) AS BIGINT) THEN n END)
+        |    AS p99
+        |FROM r GROUP BY source""".stripMargin,
 
     "window_anomalies" ->
       """WITH h AS (

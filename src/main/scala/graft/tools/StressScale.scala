@@ -947,6 +947,57 @@ object StressScale {
         graft.streaming.EventStreams.holtWinters(
           events2m.withColumn("event_type",
             concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // ...and the WATERMARK-CLOSED streaming twin at the same 2M-event
+      // scale: the mapGroupsWithState path driven through a file-source
+      // stream in 10 mtime-ordered event-time chunks (maxFilesPerTrigger
+      // = 1 → 12 sequential micro-batches) plus two sentinel files that
+      // push the watermark past every hour. EventTimeTimeout contract
+      // under load: the final folds fire in batches where the keys get
+      // NO fresh rows — only the watermark moves. Measures the per-batch
+      // state shuffle + hour folds, not MemoryStream driver
+      // serialization.
+      time("holt_winters_stream_2m") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("hw_stream_2m").toFile
+        val staging = java.nio.file.Files
+          .createTempDirectory("hw_stream_2m_stage").toFile
+        val spanUs2 = 30L * 24 * 3600 * 1000000L
+        val src = events2m.select(
+          col("user_id"),
+          timestamp_micros(col("ts")).as("ts"),
+          concat(lit("t"), pmod(col("user_id"), lit(20))).as("event_type"),
+          lit(1.0).as("value"))
+        def ship(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+          val stage = new java.io.File(staging, s"c$i")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(dir, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1000000000000L + i * 60000L)
+        }
+        for (i <- 0 until 10)
+          ship(src.filter(col("ts") >= timestamp_micros(lit(i * spanUs2 / 10))
+            && col("ts") < timestamp_micros(lit((i + 1) * spanUs2 / 10))), i)
+        // two sentinels: watermark for batch N derives from batch N-1's
+        // max event time, and timeout callbacks fire one batch later
+        import spark.implicits._
+        for (k <- 0 until 2)
+          ship(Seq((0L, new java.sql.Timestamp(spanUs2 / 1000L + 7200000L),
+            "zz", 1.0)).toDF("user_id", "ts", "event_type", "value"), 10 + k)
+        val stream = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+            "value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+          .as[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams.holtWintersStream(stream)
+          .writeStream.format("memory").queryName("hw_stream_2m")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table("hw_stream_2m").count()
+      },
       // split-conformal at 2M events: the residual rank rides the
       // distinct-residual frame (bounded by value quantization), never a
       // per-group collect

@@ -520,7 +520,14 @@ class EventStreamsSpec extends SparkSpec {
         ev(49, 1), ev(49, 2))
       q.processAllAvailable()
       // two sentinel batches push the watermark past hour 49 (watermark
-      // for batch N derives from batch N-1's max event time)
+      // for batch N derives from batch N-1's max event time). These
+      // batches carry NO 'A' rows, so the assertions below only pass
+      // because holtWintersStream registers EventTimeTimeout — under
+      // NoTimeout a key without fresh rows never gets a callback and
+      // its open hours (25, 49 here) would never fold. The watermark
+      // contract that bit this spec's first draft is the dual: rows at
+      // ts <= watermark are silently DROPPED, hence the second-offset
+      // staggering above.
       for (_ <- 1 to 2) {
         stream.addData(EventStreams.Event(
           9L, new java.sql.Timestamp(100L * 3600000L), "zz", 1.0))
