@@ -2408,6 +2408,26 @@ object SparkEntry {
     "robust_trimmed_mean" -> ((s, d) =>
       graft.operators.Reports.trimmedMean(t(s, d, "events"))),
 
+    // Winsorized 10% mean per event type: the clamping sibling — tails
+    // saturate at the rank-(k+1)/(n−k) order statistics instead of
+    // vanishing; same distinct-value cumsum frame, clamps fall out of
+    // the same window as conditional minima
+    "winsorized_mean" -> ((s, d) =>
+      graft.operators.Reports.winsorizedMean(t(s, d, "events"))),
+
+    // Theil–Sen robust hourly trend per event type: median of pairwise
+    // slopes + median residual intercept — pairwise over the CALENDAR-
+    // bounded hour frame (maxHours-guarded), medians via partitioned
+    // rank windows, slopes one IEEE division of integer deltas
+    "theilsen_trend" -> ((s, d) =>
+      graft.operators.Reports.theilSenTrend(eventsUs(s, d))),
+
+    // Spearman rank correlation of per-user activity vs value mass:
+    // Pearson over doubled midranks (tie-exact integers via the banded
+    // rank census), five decimal moment sums, one IEEE finish
+    "spearman_corr" -> ((s, d) =>
+      graft.operators.Reports.spearmanCorr(eventsUs(s, d))),
+
     // Changepoint ESTIMATION (AMOC mean-shift): the split of each type's
     // hourly series minimizing two-segment SSE — cusum's "where" twin;
     // prefix-sum windows over the calendar-bounded hour frame, one fixed
@@ -7621,6 +7641,128 @@ object SparkEntry {
         |  round(CAST(sqt AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 1000.0, 6)
         |    AS mean_trimmed
         |FROM agg""".stripMargin,
+
+    // mirrors Reports.winsorizedMean: the same cumsum rank intervals,
+    // clamps as conditional minima off the same cumulative counts, the
+    // winsorized sum exact in HUGEINT with one IEEE finish
+    "winsorized_mean" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |vc AS (SELECT g, q, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY q) AS cm
+        |  FROM vc),
+        |tot AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(q AS HUGEINT) * c) AS sq,
+        |    CAST((sum(c) * 10) // 100 AS BIGINT) AS k
+        |  FROM vc GROUP BY 1),
+        |kept AS (
+        |  SELECT cum.g, tot.n, tot.sq, tot.k, cum.q, cum.c, cum.cm,
+        |    greatest(0, least(cum.cm, tot.n - tot.k)
+        |      - greatest(cum.cm - cum.c + 1, tot.k + 1) + 1) AS kc
+        |  FROM cum JOIN tot USING (g)),
+        |agg AS (
+        |  SELECT g, n, sq, k,
+        |    sum(CAST(q AS HUGEINT) * kc) AS sqm,
+        |    min(CASE WHEN cm >= k + 1 THEN q END) AS qlo,
+        |    min(CASE WHEN cm >= n - k THEN q END) AS qhi
+        |  FROM kept GROUP BY 1, 2, 3, 4)
+        |SELECT g AS event_type, n,
+        |  round(CAST(qlo AS DOUBLE) / 1000.0, 6) AS clamp_lo,
+        |  round(CAST(qhi AS DOUBLE) / 1000.0, 6) AS clamp_hi,
+        |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6)
+        |    AS mean_raw,
+        |  round(CAST(sqm + CAST(k AS HUGEINT) * qlo
+        |             + CAST(k AS HUGEINT) * qhi AS DOUBLE)
+        |        / CAST(n AS DOUBLE) / 1000.0, 6) AS mean_winsorized
+        |FROM agg""".stripMargin,
+
+    // mirrors Reports.theilSenTrend: pairwise slopes as ONE IEEE
+    // division of integer deltas, medians by the identical (value,
+    // tiebreak) rank selection, residuals from the 6-rounded slope
+    "theilsen_trend" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.g, a.hh AS h1, b.hh AS h2,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.hh - a.hh AS DOUBLE) AS s
+        |  FROM h a JOIN h b ON a.g = b.g AND b.hh > a.hh),
+        |pr AS (
+        |  SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY s, h1, h2) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS np
+        |  FROM p),
+        |sl AS (
+        |  SELECT g, CAST(max(np) AS BIGINT) AS n_pairs,
+        |    round((max(CASE WHEN rk = (np + 1) // 2 THEN s END)
+        |         + max(CASE WHEN rk = np // 2 + 1 THEN s END)) / 2.0, 6)
+        |      AS slope_per_hour
+        |  FROM pr GROUP BY g),
+        |r AS (
+        |  SELECT h.g,
+        |    CAST(h.x AS DOUBLE) - sl.slope_per_hour * CAST(h.hh AS DOUBLE)
+        |      AS res,
+        |    h.hh
+        |  FROM h JOIN sl ON h.g = sl.g),
+        |rr AS (
+        |  SELECT g, res,
+        |    row_number() OVER (PARTITION BY g ORDER BY res, hh) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS nr
+        |  FROM r),
+        |ic AS (
+        |  SELECT g, CAST(max(nr) AS BIGINT) AS n_hours,
+        |    round((max(CASE WHEN rk = (nr + 1) // 2 THEN res END)
+        |         + max(CASE WHEN rk = nr // 2 + 1 THEN res END)) / 2.0, 6)
+        |      AS intercept
+        |  FROM rr GROUP BY g)
+        |SELECT sl.g AS event_type, n_hours, n_pairs, slope_per_hour,
+        |  intercept
+        |FROM sl JOIN ic ON sl.g = ic.g""".stripMargin,
+
+    // mirrors Reports.spearmanCorr: doubled midranks 2s+c+1 off the
+    // distinct-value cumulative counts (global window here — DuckDB has
+    // no unpartitioned-window scale constraint), HUGEINT moment sums,
+    // the identical num/sqrt(d1*d2) finish with per-factor casts
+    "spearman_corr" ->
+      """WITH per AS (
+        |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |xv AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1),
+        |yv AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1),
+        |xr AS (SELECT x,
+        |         2 * coalesce(sum(c) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS rx
+        |       FROM xv),
+        |yr AS (SELECT y,
+        |         2 * coalesce(sum(c) OVER (ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS ry
+        |       FROM yv),
+        |j AS (SELECT rx, ry FROM per
+        |      JOIN xr USING (x) JOIN yr USING (y)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |        sum(CAST(rx AS HUGEINT)) AS sx,
+        |        sum(CAST(ry AS HUGEINT)) AS sy,
+        |        sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |        sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |        sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |      FROM j)
+        |SELECT n_units,
+        |  CASE WHEN CAST(n_units * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(n_units * syy - sy * sy AS DOUBLE) > 0
+        |  THEN round(CAST(n_units * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_units * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n_units * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM m""".stripMargin,
 
     // mirrors Reports.changepointMeanShift: the same prefix-sum windows
     // (HUGEINT squares), the identical SSE expression shape per

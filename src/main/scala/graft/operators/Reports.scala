@@ -1094,6 +1094,156 @@ object Reports {
           lit(quantScale.toDouble), 6).as("mean_trimmed"))
   }
 
+  /** Winsorized mean — the CLAMPING sibling of [[trimmedMean]] (Tukey
+    * 1962): instead of dropping each tail's k = ⌊n·pct/100⌋ values,
+    * they are replaced by the nearest kept order statistics (the values
+    * at ranks k+1 and n−k) — the estimator of choice when tail mass
+    * carries real signal that should saturate rather than vanish
+    * (revenue caps, latency SLO clamps).
+    *
+    * Same scale shape as the trimmed mean: the corpus collapses to ONE
+    * (group, distinct-quantized-value, count) frame; ranks are value-
+    * ordered cumulative sums over that frame (never a per-row global
+    * sort or per-group collect), and the clamp values fall out of the
+    * SAME cumsum as conditional minima (first value whose cumulative
+    * count reaches rank k+1 / rank n−k). Exactness: integer rank
+    * algebra and decimal sums until one IEEE finish per output,
+    * 6-rounded.
+    *
+    * @param winsorPct clamp fraction per side in PERCENT (integer so
+    *        k stays exact: k = n·winsorPct div 100)
+    * @return (group, n, clamp_lo, clamp_hi, mean_raw,
+    *         mean_winsorized), 6-rounded */
+  def winsorizedMean(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      winsorPct: Int = 10,
+      quantScale: Long = 1000L): DataFrame = {
+    require(winsorPct >= 1 && winsorPct <= 49,
+      s"winsorPct in [1,49]: $winsorPct")
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val vc = events.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__q"))))
+    val tot = vc.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__q").cast("decimal(28,0)") * col("__c")).as("__sq"))
+      .withColumn("__k", expr(s"(__n * ${winsorPct}L) div 100L"))
+    cum.join(tot, Seq("__g"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__cum"), col("__n") - col("__k")) -
+            greatest(col("__cum") - col("__c") + 1, col("__k") + 1) + 1))
+      .groupBy(col("__g"), col("__n"), col("__sq"), col("__k"))
+      .agg(
+        sum(col("__q").cast("decimal(28,0)") * col("__kept")).as("__sqm"),
+        min(when(col("__cum") >= col("__k") + 1, col("__q"))).as("__qlo"),
+        min(when(col("__cum") >= col("__n") - col("__k"), col("__q")))
+          .as("__qhi"))
+      .select(col("__g").as(groupCol),
+        col("__n").as("n"),
+        round(col("__qlo").cast("double") / lit(quantScale.toDouble), 6)
+          .as("clamp_lo"),
+        round(col("__qhi").cast("double") / lit(quantScale.toDouble), 6)
+          .as("clamp_hi"),
+        round(col("__sq").cast("double") / col("__n").cast("double") /
+          lit(quantScale.toDouble), 6).as("mean_raw"),
+        round((col("__sqm") +
+          col("__k").cast("decimal(28,0)") * col("__qlo") +
+          col("__k").cast("decimal(28,0)") * col("__qhi")).cast("double") /
+          col("__n").cast("double") / lit(quantScale.toDouble), 6)
+          .as("mean_winsorized"))
+  }
+
+  /** Theil–Sen robust trend (Theil 1950, Sen 1968): per-group slope =
+    * the MEDIAN of all pairwise slopes (x_j−x_i)/(h_j−h_i) over the
+    * hourly series, intercept = the median residual under that slope —
+    * the trend estimate that shrugs off the outlier hours OLS chases
+    * (up to ~29% contamination).
+    *
+    * Scale shape: the corpus collapses to the (group, hour, count)
+    * frame first (the only corpus-scale agg, map-side partials), so the
+    * pairwise expansion is CALENDAR-bounded — ⌊n_h²/2⌋ pairs per group
+    * for n_h observed hours, never data-bounded — behind a fail-fast
+    * `maxHours` census (the [[Banded]] guard discipline: a caller
+    * feeding sub-hour buckets or years of data learns the cost up
+    * front). Medians ride group-partitioned rank windows over the pair
+    * frame; no global sort, no collect beyond the 1-row census.
+    *
+    * Determinism: each pairwise slope is ONE IEEE division of integer
+    * deltas (bit-identical cross-engine); median selection is exact
+    * integer rank arithmetic — rows at ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1
+    * averaged, which for equal ranks folds to the value itself; the
+    * slope is 6-rounded BEFORE residuals so the intercept replays.
+    *
+    * @return (group, n_hours, n_pairs, slope_per_hour, intercept),
+    *         6-rounded */
+  def theilSenTrend(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxHours: Long = 5000L): DataFrame = {
+    require(maxHours >= 2, s"maxHours must be >= 2: $maxHours")
+    val hourly = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // census + pair join + residual pass share it
+    val widest = hourly.groupBy(col("__g")).agg(count(lit(1)).as("__nh"))
+      .agg(max(col("__nh")).as("__w")).collect()(0)
+    val span = if (widest.isNullAt(0)) 0L else widest.getLong(0)
+    require(span <= maxHours,
+      s"theilSenTrend: $span observed hours in one group exceed " +
+        s"maxHours=$maxHours (~${span * span / 2} pairs) — widen the " +
+        "bucket, shorten the window, or raise maxHours deliberately")
+    val a = hourly.select(col("__g"), col("__h").as("__h1"),
+      col("__x").as("__x1"))
+    val b = hourly.select(col("__g"), col("__h").as("__h2"),
+      col("__x").as("__x2"))
+    val pairs = a.join(b, Seq("__g")).filter(col("__h2") > col("__h1"))
+      .select(col("__g"), col("__h1"), col("__h2"),
+        ((col("__x2") - col("__x1")).cast("double") /
+          (col("__h2") - col("__h1")).cast("double")).as("__s"))
+    val wS = Window.partitionBy(col("__g"))
+      .orderBy(col("__s"), col("__h1"), col("__h2"))
+    val wAll = Window.partitionBy(col("__g"))
+    val med = pairs
+      .withColumn("__rk", row_number().over(wS))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .groupBy(col("__g"))
+      .agg(max(col("__np")).as("n_pairs"),
+        round((max(when(col("__rk") === expr("(__np + 1) div 2"),
+          col("__s"))) +
+          max(when(col("__rk") === expr("__np div 2 + 1"), col("__s")))) /
+          lit(2.0), 6).as("slope_per_hour"))
+    val resid = hourly
+      .join(broadcast(med.select(col("__g"), col("slope_per_hour"))),
+        Seq("__g"))
+      .select(col("__g"),
+        (col("__x").cast("double") -
+          col("slope_per_hour") * col("__h").cast("double")).as("__r"),
+        col("__h"))
+    val wR = Window.partitionBy(col("__g")).orderBy(col("__r"), col("__h"))
+    val intercept = resid
+      .withColumn("__rk", row_number().over(wR))
+      .withColumn("__nr", count(lit(1)).over(wAll))
+      .groupBy(col("__g"))
+      .agg(max(col("__nr")).as("n_hours"),
+        round((max(when(col("__rk") === expr("(__nr + 1) div 2"),
+          col("__r"))) +
+          max(when(col("__rk") === expr("__nr div 2 + 1"), col("__r")))) /
+          lit(2.0), 6).as("intercept"))
+    med.join(intercept, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_hours"), col("n_pairs"),
+        col("slope_per_hour"), col("intercept"))
+  }
+
   /** Day-of-week × hour-of-day seasonal traffic profile: the weekly
     * template every capacity planner and anomaly detector normalizes
     * against. `dow` is the epoch-day index mod 7 (a stable weekday
@@ -1420,6 +1570,112 @@ object Reports {
     stats.select(col("grp"), col("n_a"), col("n_b"),
       round(u2 / lit(2.0), 6).as("u"),
       round((u2 - nA * nB) / (lit(2.0) * sqrt(varU)), 6).as("z"))
+  }
+
+  /** Doubled midranks (2s + c + 1 for a value with c occurrences and s
+    * strictly-smaller rows) for one quantized metric column — the
+    * tie-exact rank primitive [[mannWhitneyU]] and [[spearmanCorr]]
+    * share. Doubling keeps midranks INTEGRAL under ties (a .5 midrank
+    * becomes an odd integer), so every downstream moment accumulates in
+    * decimals with no FP until the caller's one finish. Ranks come from
+    * the banded two-pass prefix sum ([[Banded.bandCensus]], which owns
+    * the maxBands fail-fast): per-distinct-value counts band by value
+    * range, offsets collect once, in-band exclusive cumsums ride a
+    * band-partitioned window — no global sort, no unpartitioned window.
+    *
+    * @param perVal one row per distinct value: (`qCol` long, `__c`
+    *               count), localCheckpoint-ed by the caller
+    * @return (`qCol`, `outCol` = doubled midrank) */
+  private def doubledMidranks(
+      perVal: DataFrame,
+      qCol: String,
+      outCol: String,
+      bandWidth: Long,
+      maxBands: Long): DataFrame = {
+    val banded = perVal
+      .withColumn("__band", expr(s"`$qCol` div ${bandWidth}L"))
+      .localCheckpoint(true) // census + ranked pass share it
+    val (offRows, _) = Banded.bandCensus(
+      banded.select(col("__band"), col("__c")), Seq(), "__c", maxBands)
+    val spark = perVal.sparkSession
+    import spark.implicits._
+    val offsets = offRows.map { case (_, bnd, off) => (bnd, off) }
+      .toDF("__band", "__off")
+    val exc = sum(col("__c")).over(
+      Window.partitionBy(col("__band")).orderBy(col(qCol))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    banded.join(broadcast(offsets), Seq("__band"))
+      .select(col(qCol),
+        (lit(2L) * (coalesce(exc, lit(0L)) + col("__off")) + col("__c") +
+          lit(1L)).as(outCol))
+  }
+
+  /** Spearman rank correlation between per-unit ACTIVITY (event count)
+    * and VALUE MASS (quantized value sum) — "do heavy users spend
+    * more?" as a tie-exact rank statistic (Spearman 1904), robust to
+    * the monotone-but-nonlinear relationships Pearson understates.
+    *
+    * Exactness: Spearman = Pearson over midranks, and midranks double
+    * to integers ([[doubledMidranks]] — scale cancels exactly in the
+    * correlation), so all five moment sums accumulate in decimal(38,0)
+    * and the output is ONE IEEE expression — num/√(d1·d2) with each
+    * factor cast to double separately (their decimal product would
+    * overflow 38 digits at 10⁹ units; the SQL replay casts the same
+    * HUGEINTs at the same points).
+    *
+    * Scale shape: one user-keyed agg (the only corpus-scale shuffle),
+    * two distinct-value rank passes on the collapsed (value, count)
+    * frames (banded, guarded), two rank joins (un-hinted: AQE
+    * broadcasts the small rank tables at runtime; the y-rank table can
+    * scale with distinct sums), one global moment agg. No global sort,
+    * no collect beyond the band censuses.
+    *
+    * @return one row (n_units, rho), rho 6-rounded */
+  def spearmanCorr(
+      events: DataFrame,
+      unitCol: String = "user_id",
+      valueCol: String = "value",
+      quantScale: Long = 100L,
+      bandWidth: Long = 1000L,
+      maxBands: Long = 1000000L): DataFrame = {
+    require(quantScale > 0 && bandWidth > 0, "positive scales")
+    val per = events
+      .select(col(unitCol).as("__u"),
+        floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+          .as("__qv"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("__x"), sum(col("__qv")).as("__y"))
+      .localCheckpoint(true) // two rank passes + the moment agg share it
+    val xVals = per.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+    val yVals = per.groupBy(col("__y")).agg(count(lit(1)).as("__c"))
+    val rx = doubledMidranks(xVals, "__x", "__rx", bandWidth, maxBands)
+    val ry = doubledMidranks(yVals, "__y", "__ry", bandWidth, maxBands)
+    // rank-table joins stay UN-hinted: __x ranks are few (distinct
+    // activity counts) but __y ranks scale with distinct value sums —
+    // potentially units-scale — so AQE picks broadcast only when the
+    // runtime size warrants it
+    val ranked = per
+      .join(rx, Seq("__x"))
+      .join(ry, Seq("__y"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val m = ranked.agg(
+      count(lit(1)).as("n_units"),
+      sum(d(col("__rx"))).as("__sx"),
+      sum(d(col("__ry"))).as("__sy"),
+      sum(d(col("__rx")) * d(col("__ry"))).as("__sxy"),
+      sum(d(col("__rx")) * d(col("__rx"))).as("__sxx"),
+      sum(d(col("__ry")) * d(col("__ry"))).as("__syy"))
+    val n = d(col("n_units"))
+    val d1 = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val d2 = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    // a degenerate margin (zero rank variance on either side) has no
+    // rank correlation: NULL, stated — not a DIVIDE_BY_ZERO crash under
+    // ANSI mode, not a NaN that poisons downstream sorts
+    m.select(col("n_units"),
+      when(d1 > 0.0 && d2 > 0.0,
+        round((n * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          sqrt(d1 * d2), 6))
+        .as("rho"))
   }
 
   /** Revenue-concentration report: exact Gini coefficient and

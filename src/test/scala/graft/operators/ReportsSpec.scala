@@ -836,6 +836,82 @@ class ReportsSpec extends SparkSpec {
       maxBands = 10L).collect().length shouldBe 1
   }
 
+  behavior of "winsorizedMean"
+
+  it should "clamp tails to the k-th order statistics instead of dropping them" in {
+    // n=10, k=1: clamp_lo = value at rank 2, clamp_hi = value at rank 9;
+    // the outlier 100 saturates to 9 -> winsorized sum 55
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0)
+    val df = vals.map(("g", _)).toDF("event_type", "value")
+    val r = Reports.winsorizedMean(df, quantScale = 1L).collect()(0)
+    r.getLong(1) shouldBe 10L
+    r.getDouble(2) shouldBe 2.0 +- 1e-9 // clamp_lo
+    r.getDouble(3) shouldBe 9.0 +- 1e-9 // clamp_hi
+    r.getDouble(4) shouldBe 14.5 +- 1e-9 // raw mean incl. outlier
+    r.getDouble(5) shouldBe 5.5 +- 1e-9 // winsorized
+  }
+
+  it should "fold ties into shared rank intervals" in {
+    // 1,5,5,5,9 with k=1: clamp_lo = rank-2 value = 5, clamp_hi =
+    // rank-4 value = 5 -> winsorized = (5+5+5+5+5)/5 = 5
+    val df = Seq(1.0, 5.0, 5.0, 5.0, 9.0).map(("g", _))
+      .toDF("event_type", "value")
+    val r = Reports.winsorizedMean(df, winsorPct = 20, quantScale = 1L)
+      .collect()(0)
+    r.getDouble(2) shouldBe 5.0 +- 1e-9
+    r.getDouble(3) shouldBe 5.0 +- 1e-9
+    r.getDouble(5) shouldBe 5.0 +- 1e-9
+  }
+
+  behavior of "theilSenTrend"
+
+  it should "recover a planted slope through an outlier hour OLS would chase" in {
+    // counts 2h+10 per hour except hour 5 spikes to 100: 36 of 45
+    // pairwise slopes are exactly 2.0 -> median slope 2, intercept 10
+    val ev = (0 until 10).flatMap { h =>
+      val n = if (h == 5) 100 else 2 * h + 10
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val r = Reports.theilSenTrend(ev).collect()(0)
+    r.getLong(1) shouldBe 10L // n_hours
+    r.getLong(2) shouldBe 45L // n_pairs
+    r.getDouble(3) shouldBe 2.0 +- 1e-9
+    r.getDouble(4) shouldBe 10.0 +- 1e-9
+  }
+
+  it should "fail fast when the hour span out-bands the pairwise census" in {
+    val wide = (0 until 50).map(h => ("g", h * 3600000000L))
+      .toDF("event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Reports.theilSenTrend(wide, maxHours = 10L)
+    }
+    e.getMessage should include("maxHours")
+  }
+
+  behavior of "spearmanCorr"
+
+  it should "report +-1 for strictly monotone relationships and handle ties" in {
+    // user u: u+1 events of value 1000+u -> activity and value mass both
+    // strictly increasing in u
+    val up = (0 until 10).flatMap(u =>
+      (0 to u).map(i => (u.toLong, s"e$i", (1000.0 + u))))
+      .toDF("user_id", "event_type", "value")
+    Reports.spearmanCorr(up).collect()(0).getDouble(1) shouldBe 1.0 +- 1e-9
+    // value negated -> mass strictly decreasing in activity
+    val down = (0 until 10).flatMap(u =>
+      (0 to u).map(i => (u.toLong, s"e$i", -(1000.0 + u))))
+      .toDF("user_id", "event_type", "value")
+    Reports.spearmanCorr(down).collect()(0)
+      .getDouble(1) shouldBe -1.0 +- 1e-9
+    // tied activity (all users 2 events): x rank variance is 0 — a
+    // degenerate margin has no rank correlation, and the contract is a
+    // stated NULL (not an ANSI DIVIDE_BY_ZERO crash, not a NaN)
+    val flat = (0 until 6).flatMap(u =>
+      (0 until 2).map(i => (u.toLong, s"e$i", 10.0 + u)))
+      .toDF("user_id", "event_type", "value")
+    Reports.spearmanCorr(flat).collect()(0).isNullAt(1) shouldBe true
+  }
+
   behavior of "tClosenessReport"
 
   it should "report 0 for matching distributions and the exact EMD for skewed ones" in {
