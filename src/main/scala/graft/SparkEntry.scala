@@ -71,6 +71,22 @@ object SparkEntry {
     * function must count each independently at every position. */
   private val AcPatterns = Seq("merge", "window", "fast table", "ta", "able")
 
+  /** The multi-source BFS labeling over the 3-NN graph from the
+    * ppr_expansion seed set — shared by `graph_bfs` and
+    * `graph_hop_histogram` so the histogram always describes exactly
+    * the labeling the BFS query ships. */
+  private def bfsDist(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val edges = Similarity.knnGraph(e, anchors, k = 3)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    graft.operators.Graphs.bfsHops(edges,
+      e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id")),
+      maxHops = 8)
+  }
+
   /** Process-wide scratch warehouse for the persistence round-trip query,
     * removed on JVM exit. */
   private lazy val pqWarehouseDir: String = {
@@ -1345,17 +1361,14 @@ object SparkEntry {
     // set: min hop distance within 8 levels — level-synchronous frontier
     // rounds (slim semi/anti-joins, one driver count per round); replays
     // as a bounded recursive walk finished by min(hops)
-    "graph_bfs" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val anchors = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val edges = Similarity.knnGraph(e, anchors, k = 3)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      graft.operators.Graphs.bfsHops(edges,
-        e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id")),
-        maxHops = 8)
-    }),
+    "graph_bfs" -> ((s, d) => bfsDist(s, d)),
+
+    // Hop-distance histogram + reach curve over the same BFS labeling:
+    // the node-scale result collapses to <= 9 rows; cumulative reach
+    // via the tiny below-self-join (no unpartitioned window), one IEEE
+    // division per row
+    "graph_hop_histogram" -> ((s, d) =>
+      graft.operators.Graphs.hopHistogram(bfsDist(s, d))),
 
     // Adamic–Adar link prediction over the 3-NN graph: top-20 non-edge
     // pairs by Σ 1/ln(deg) over common neighbors — wedge join with the
@@ -2428,6 +2441,19 @@ object SparkEntry {
     "spearman_corr" -> ((s, d) =>
       graft.operators.Reports.spearmanCorr(eventsUs(s, d))),
 
+    // Experiment sizing: per-type baseline participation p1 from two
+    // distinct-user censuses + the Fleiss two-proportion n formula as
+    // one fixed IEEE expression (z quantiles as literals)
+    "experiment_sizing" -> ((s, d) =>
+      graft.operators.Reports.experimentSizing(eventsUs(s, d))),
+
+    // Kendall tau-b concordance between the click and purchase hourly
+    // series: exact C/D/tie pair censuses over the calendar-bounded
+    // hour frame (maxHours-guarded broadcast pair loop), one IEEE finish
+    "kendall_tau" -> ((s, d) =>
+      graft.operators.Reports.kendallTau(eventsUs(s, d),
+        "click", "purchase")),
+
     // Changepoint ESTIMATION (AMOC mean-shift): the split of each type's
     // hourly series minimizing two-segment SSE — cusum's "where" twin;
     // prefix-sum windows over the calendar-bounded hour frame, one fixed
@@ -2666,6 +2692,37 @@ object SparkEntry {
   private def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared WITH-prefix for the BFS-walk oracles (`graph_bfs`,
+    * `graph_hop_histogram`): the 3-NN edge construction plus the
+    * bounded recursive walk, ending at CTE `walk(id, hops)`. */
+  private lazy val bfsWalkSql: String = {
+    val asnCos = cosineSql("e.embedding", "a.av", 64)
+    val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
+    s"""WITH RECURSIVE a AS (
+       |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+       |  WHERE vec_id < 8),
+       |asn AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, aid AS cell
+       |  FROM embeddings e CROSS JOIN a
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                             ORDER BY $asnCos DESC, aid) = 1),
+       |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
+       |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
+       |edges AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM (
+       |    SELECT q.query_id, c.neighbor_id
+       |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+       |    QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
+       |walk(id, hops) AS (
+       |  SELECT vec_id AS id, CAST(0 AS BIGINT) AS hops FROM embeddings
+       |  WHERE vec_id % 97 = 0
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.hops < 8)""".stripMargin
+  }
 
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
@@ -5448,35 +5505,31 @@ object SparkEntry {
 
     // mirrors Graphs.bfsHops over the ppr_expansion 3-NN edge replay:
     // bounded recursive walk, UNION-dedup states, min(hops) finish
-    "graph_bfs" -> {
-      val asnCos = cosineSql("e.embedding", "a.av", 64)
-      val cos = s"round(${cosineSql("q.qv", "c.cv", 64)}, 6)"
-      s"""WITH RECURSIVE a AS (
-         |  SELECT vec_id AS aid, embedding AS av FROM embeddings
-         |  WHERE vec_id < 8),
-         |asn AS MATERIALIZED (
-         |  SELECT e.vec_id, e.embedding, aid AS cell
-         |  FROM embeddings e CROSS JOIN a
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |                             ORDER BY $asnCos DESC, aid) = 1),
-         |c AS (SELECT vec_id AS neighbor_id, cell, embedding AS cv FROM asn),
-         |q AS (SELECT vec_id AS query_id, cell, embedding AS qv FROM asn),
-         |edges AS MATERIALIZED (
-         |  SELECT query_id AS src, neighbor_id AS dst FROM (
-         |    SELECT q.query_id, c.neighbor_id
-         |    FROM c JOIN q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
-         |    QUALIFY row_number() OVER (PARTITION BY q.query_id
-         |                               ORDER BY $cos DESC, c.neighbor_id) <= 3)),
-         |walk(id, hops) AS (
-         |  SELECT vec_id AS id, CAST(0 AS BIGINT) AS hops FROM embeddings
-         |  WHERE vec_id % 97 = 0
-         |  UNION
-         |  SELECT e.dst, w.hops + 1
-         |  FROM walk w JOIN edges e ON e.src = w.id
-         |  WHERE w.hops < 8)
+    "graph_bfs" ->
+      s"""$bfsWalkSql
          |SELECT id, CAST(min(hops) AS BIGINT) AS hops
-         |FROM walk GROUP BY 1""".stripMargin
-    },
+         |FROM walk GROUP BY 1""".stripMargin,
+
+    // mirrors Graphs.hopHistogram over the identical BFS labeling: the
+    // same recursive walk, then the below-self-join cumulative and one
+    // IEEE division per row
+    "graph_hop_histogram" ->
+      s"""$bfsWalkSql,
+         |d AS (SELECT id, CAST(min(hops) AS BIGINT) AS hops
+         |      FROM walk GROUP BY 1),
+         |hist AS (SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
+         |         FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS t FROM hist),
+         |cum AS (
+         |  SELECT h.hops, h.n_nodes,
+         |    CAST(h.n_nodes + coalesce(sum(h2.n_nodes), 0) AS BIGINT)
+         |      AS cum_nodes
+         |  FROM hist h LEFT JOIN hist h2 ON h2.hops < h.hops
+         |  GROUP BY h.hops, h.n_nodes)
+         |SELECT c.hops, c.n_nodes, c.cum_nodes,
+         |  round(CAST(c.cum_nodes AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS pct_reached
+         |FROM cum c, tot t ORDER BY c.hops""".stripMargin,
 
     // mirrors Curation.splitAssign: md5Bucket cut at the exact integer
     // thresholds round(cum * 1e6) = 800000 / 900000 / 1000000
@@ -7763,6 +7816,71 @@ object SparkEntry {
         |         * CAST(n_units * syy - sy * sy AS DOUBLE)), 6)
         |  END AS rho
         |FROM m""".stripMargin,
+
+    // mirrors Reports.experimentSizing: identical IEEE formula shape
+    // over the exact distinct-user ratio, z quantiles as the same
+    // full-precision literals, ceil cast to BIGINT
+    "experiment_sizing" ->
+      """WITH t AS (SELECT event_type,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_type
+        |           FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS n_users_total FROM events),
+        |p AS (SELECT event_type, n_users_type, n_users_total,
+        |        CAST(n_users_type AS DOUBLE) / CAST(n_users_total AS DOUBLE)
+        |          AS p1
+        |      FROM t, tot),
+        |q AS (SELECT *, least(p1 + 0.02, 1.0) AS p2 FROM p),
+        |z AS (SELECT *, 0.5 * (p1 + p2) AS pbar FROM q),
+        |f AS (SELECT *,
+        |        1.959963984540054 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |        + 0.8416212335729143
+        |          * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+        |      FROM z)
+        |SELECT event_type, n_users_type, n_users_total,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  CASE WHEN p2 > p1
+        |    THEN CAST(ceil(num * num / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+        |  END AS n_per_arm,
+        |  CASE WHEN p2 > p1
+        |    THEN CAST(ceil(num * num / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+        |         * 2
+        |  END AS n_total
+        |FROM f""".stripMargin,
+
+    // mirrors Reports.kendallTau on the click/purchase hourly series:
+    // the same inner hour join, exact pairwise sign censuses, one IEEE
+    // finish over one cast BIGINT product
+    "kendall_tau" ->
+      """WITH h AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.hh, a.x AS xa, b.x AS xb
+        |  FROM (SELECT hh, x FROM h WHERE t = 'click') a
+        |  JOIN (SELECT hh, x FROM h WHERE t = 'purchase') b USING (hh)),
+        |pc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (a.xa - b.xa) * (a.xb - b.xb) > 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (a.xa - b.xa) * (a.xb - b.xb) < 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN a.xa = b.xa AND a.xb <> b.xb
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(sum(CASE WHEN a.xb = b.xb AND a.xa <> b.xa
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM j a JOIN j b ON b.hh > a.hh),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM j)
+        |SELECT n_hours, n_pairs, concordant, discordant,
+        |  CASE WHEN (concordant + discordant + tx)
+        |          * (concordant + discordant + ty) > 0
+        |  THEN round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST((concordant + discordant + tx)
+        |              * (concordant + discordant + ty) AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM pc, nh""".stripMargin,
 
     // mirrors Reports.changepointMeanShift: the same prefix-sum windows
     // (HUGEINT squares), the identical SSE expression shape per

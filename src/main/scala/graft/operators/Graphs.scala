@@ -568,6 +568,36 @@ object Graphs {
     dist
   }
 
+  /** Hop-distance histogram over a [[bfsHops]] labeling: nodes per hop
+    * count, cumulative reach, and the reach fraction — the expansion
+    * curve ("how much of the graph is within k hops of the seeds")
+    * whose 90%-knee is the effective diameter a crawl scheduler or
+    * blast-radius analysis reads off.
+    *
+    * Scale shape: one keyed count collapses the node-scale labeling to
+    * ≤ maxHops+1 rows; the cumulative comes from the tiny self-join on
+    * that frame (the quantileNormalize below-join — ≤ (maxHops+1)²
+    * cells, NO unpartitioned window) plus a 1-row total broadcast.
+    * Exact integers, one IEEE division per row, 6-rounded.
+    *
+    * @return (hops, n_nodes, cum_nodes, pct_reached) ascending */
+  def hopHistogram(dist: DataFrame): DataFrame = {
+    val hist = dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint() // cum self-join + total share it
+    val tot = broadcast(hist.agg(sum(col("n_nodes")).as("__t")))
+    val cum = hist
+      .join(hist.select(col("hops").as("__h2"), col("n_nodes").as("__n2")),
+        col("__h2") < col("hops"), "left")
+      .groupBy(col("hops"), col("n_nodes"))
+      .agg((col("n_nodes") + coalesce(sum(col("__n2")), lit(0L)))
+        .as("cum_nodes"))
+    cum.crossJoin(tot)
+      .select(col("hops"), col("n_nodes"), col("cum_nodes"),
+        round(col("cum_nodes").cast("double") / col("__t").cast("double"), 6)
+          .as("pct_reached"))
+      .orderBy(col("hops"))
+  }
+
   /** ONE [[bfsHops]] frontier round as an un-executed plan: a LEFT-SEMI
     * join selecting edges leaving the frontier, a distinct over the new
     * ids, and a LEFT-ANTI join dropping already-labeled nodes — slim

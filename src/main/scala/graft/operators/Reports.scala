@@ -1678,6 +1678,121 @@ object Reports {
         .as("rho"))
   }
 
+  /** Experiment sizing report — the pre-registration answer to "how
+    * many users per arm do we need": for each event type, the baseline
+    * participation rate p₁ (distinct users with the event / all users)
+    * and the classical two-proportion sample size (Fleiss 1981) to
+    * detect an absolute lift `mde` at α/power encoded by the z
+    * literals:
+    *
+    *   n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)²
+    *
+    * Exactness: the only corpus-scale work is two distinct-user counts
+    * (keyed + 1-row broadcast); the formula is one fixed IEEE
+    * expression over their exact ratio, with z quantiles as full-
+    * precision literals — the SQL replay evaluates the identical
+    * textual shape. p₂ clamps at 1.0; a clamped-to-degenerate lift
+    * (p₁ = 1) emits stated NULLs.
+    *
+    * @return (event_type, n_users_type, n_users_total, p1, p2,
+    *         n_per_arm, n_total), rates 6-rounded */
+  def experimentSizing(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      mde: Double = 0.02,
+      zAlpha: Double = 1.959963984540054,
+      zBeta: Double = 0.8416212335729143): DataFrame = {
+    require(mde > 0 && mde < 1, s"mde in (0,1): $mde")
+    val perType = events
+      .select(col(typeCol).as("event_type"), col(userCol).as("__u"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users_type"))
+    val tot = broadcast(events
+      .agg(countDistinct(col(userCol)).as("n_users_total")))
+    val p1 = col("n_users_type").cast("double") /
+      col("n_users_total").cast("double")
+    val p2 = least(p1 + lit(mde), lit(1.0))
+    val pbar = lit(0.5) * (p1 + p2)
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nArm = when(p2 > p1,
+      ceil(num * num / ((p2 - p1) * (p2 - p1))))
+    perType.crossJoin(tot)
+      .select(col("event_type"), col("n_users_type"), col("n_users_total"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        nArm.as("n_per_arm"),
+        (nArm * lit(2L)).as("n_total"))
+  }
+
+  /** Kendall τ-b concordance between TWO event types' hourly series
+    * (Kendall 1938) — "do these metrics move together hour over hour"
+    * as an exact pair statistic, the tie-corrected complement to
+    * [[spearmanCorr]] (rank-moment) and [[theilSenTrend]] (slope):
+    * over all hour pairs, C = concordant, D = discordant,
+    * τ_b = (C−D)/√((C+D+Tx)(C+D+Ty)).
+    *
+    * Scale shape: the corpus collapses to (type, hour, count) first —
+    * the pairwise expansion is CALENDAR-bounded behind the same
+    * `maxHours` fail-fast census as [[theilSenTrend]]; every count is
+    * an exact integer and the finish is one IEEE expression over one
+    * cast product. Hours where either series is absent are excluded
+    * (inner hour join — the compared series must both observe the
+    * hour); a degenerate series (all ties) emits stated NULL.
+    *
+    * @return one row (n_hours, n_pairs, concordant, discordant,
+    *         tau_b), 6-rounded */
+  def kendallTau(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxHours: Long = 5000L): DataFrame = {
+    require(typeA != typeB, "need two distinct series")
+    val h = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(expr(s"`$tsCol` div ${hourUs}L").as("__h"),
+        col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__x"))
+    val joined = h.filter(col("__t") === typeA)
+      .select(col("__h"), col("__x").as("__xa"))
+      .join(h.filter(col("__t") === typeB)
+        .select(col("__h"), col("__x").as("__xb")), Seq("__h"))
+      .localCheckpoint() // census + pair join share it
+    val nHours = joined.count()
+    require(nHours <= maxHours,
+      s"kendallTau: $nHours shared hours exceed maxHours=$maxHours " +
+        s"(~${nHours * nHours / 2} pairs) — widen the bucket or raise " +
+        "maxHours deliberately")
+    val a = joined.select(col("__h").as("__h1"), col("__xa").as("__a1"),
+      col("__xb").as("__b1"))
+    val b = joined.select(col("__h").as("__h2"), col("__xa").as("__a2"),
+      col("__xb").as("__b2"))
+    val dx = col("__a2") - col("__a1")
+    val dy = col("__b2") - col("__b1")
+    // the pair expansion is a guarded ≤ maxHours² broadcast nested loop
+    // — b is the calendar-bounded hour frame, never corpus-scale
+    val agg = a.crossJoin(broadcast(b)).filter(col("__h2") > col("__h1"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(dx * dy > 0, lit(1L)).otherwise(lit(0L)))
+          .as("concordant"),
+        sum(when(dx * dy < 0, lit(1L)).otherwise(lit(0L)))
+          .as("discordant"),
+        sum(when(dx === 0 && dy =!= 0, lit(1L)).otherwise(lit(0L)))
+          .as("__tx"),
+        sum(when(dy === 0 && dx =!= 0, lit(1L)).otherwise(lit(0L)))
+          .as("__ty"))
+    val den = (col("concordant") + col("discordant") + col("__tx")) *
+      (col("concordant") + col("discordant") + col("__ty"))
+    agg.select(lit(nHours).as("n_hours"), col("n_pairs"),
+      col("concordant"), col("discordant"),
+      when(den > 0L,
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt(den.cast("double")), 6)).as("tau_b"))
+  }
+
   /** Revenue-concentration report: exact Gini coefficient and
     * top-decile share of per-customer revenue — the inequality rollup
     * behind "how concentrated is our revenue" (and, on a corpus, "how

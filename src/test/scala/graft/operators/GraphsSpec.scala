@@ -292,6 +292,22 @@ class GraphsSpec extends SparkSpec {
     short shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
   }
 
+  behavior of "hopHistogram"
+
+  it should "accumulate reach per hop with exact fractions" in {
+    // hops: 0 x2, 1 x3, 3 x5 (no hop-2 nodes — the gap must not break
+    // the below-join cumulative)
+    val dist = (Seq.fill(2)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(5)(3L))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "hops")
+    val got = Graphs.hopHistogram(dist).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    got(0L) shouldBe ((2L, 2L, 0.2))
+    got(1L) shouldBe ((3L, 5L, 0.5))
+    got(3L) shouldBe ((5L, 10L, 1.0))
+  }
+
   behavior of "Graphs.mutualKnnPairs and degreeHistogram"
 
   it should "keep only reciprocal edges, canonicalized and deduped" in {

@@ -912,6 +912,64 @@ class ReportsSpec extends SparkSpec {
     Reports.spearmanCorr(flat).collect()(0).isNullAt(1) shouldBe true
   }
 
+  behavior of "experimentSizing"
+
+  it should "match the hand-evaluated Fleiss formula and clamp degenerate lifts" in {
+    // 10 of 100 users click -> p1 = 0.1, p2 = 0.12; every user signs up
+    // -> p1 = 1, p2 clamps to 1, sizing has no answer (stated NULL)
+    val ev = ((1L to 100L).map(u => (u, "signup")) ++
+      (1L to 10L).map(u => (u, "click")))
+      .toDF("user_id", "event_type")
+    val got = Reports.experimentSizing(ev)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = got("click")
+    c.getAs[Long]("n_users_type") shouldBe 10L
+    c.getAs[Long]("n_users_total") shouldBe 100L
+    c.getAs[Double]("p1") shouldBe 0.1 +- 1e-9
+    c.getAs[Double]("p2") shouldBe 0.12 +- 1e-9
+    val (p1, p2) = (0.1, 0.12)
+    val pbar = 0.5 * (p1 + p2)
+    val num = 1.959963984540054 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.8416212335729143 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    val expected = math.ceil(num * num / ((p2 - p1) * (p2 - p1))).toLong
+    c.getAs[Long]("n_per_arm") shouldBe expected
+    c.getAs[Long]("n_total") shouldBe expected * 2
+    got("signup").isNullAt(5) shouldBe true
+    got("signup").isNullAt(6) shouldBe true
+  }
+
+  behavior of "kendallTau"
+
+  it should "report +-1 for co-moving and counter-moving series and count ties" in {
+    def series(f: Int => Int, g: Int => Int) = (0 until 8).flatMap { h =>
+      (0 until f(h)).map(i => ("a", h * 3600000000L + i * 1000L)) ++
+        (0 until g(h)).map(i => ("b", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val co = Reports.kendallTau(
+      series(h => h + 1, h => 2 * h + 3), "a", "b").collect()(0)
+    co.getLong(0) shouldBe 8L
+    co.getLong(1) shouldBe 28L
+    co.getDouble(4) shouldBe 1.0 +- 1e-9
+    val anti = Reports.kendallTau(
+      series(h => h + 1, h => 20 - h), "a", "b").collect()(0)
+    anti.getDouble(4) shouldBe -1.0 +- 1e-9
+    // a flat on half the hours: tied-x pairs leave C+D short of n_pairs
+    val tied = Reports.kendallTau(
+      series(h => if (h < 4) 1 else h, h => h + 1), "a", "b").collect()(0)
+    (tied.getLong(2) + tied.getLong(3)) should be < tied.getLong(1)
+    tied.getDouble(4) should (be > 0.5 and be < 1.0)
+  }
+
+  it should "fail fast when the shared-hour span exceeds maxHours" in {
+    val wide = (0 until 30).flatMap(h => Seq(
+      ("a", h * 3600000000L), ("b", h * 3600000000L)))
+      .toDF("event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Reports.kendallTau(wide, "a", "b", maxHours = 10L)
+    }
+    e.getMessage should include("maxHours")
+  }
+
   behavior of "tClosenessReport"
 
   it should "report 0 for matching distributions and the exact EMD for skewed ones" in {
