@@ -1080,6 +1080,28 @@ object SparkEntry {
       graft.operators.Curation.bm25PrfSearch(
         t(s, d, "documents"), Seq("spark", "vector", "customer"))),
 
+    // Query-likelihood retrieval (Dirichlet μ=2000) for the same query:
+    // the language-modeling ranker beside BM25 — posting-sliver tf,
+    // 1-row collection stats, sorted-term contribution folds
+    "qlm_retrieval" -> ((s, d) =>
+      graft.operators.Curation.qlmSearch(
+        t(s, d, "documents"), Seq("spark", "vector", "customer"))),
+
+    // Dunning log-likelihood keyness: top-5 most characteristic terms
+    // per source vs the rest of the corpus — one tokenize pass, keyed
+    // censuses, fixed IEEE G² per row, exact cross-product direction
+    "keyness_llr" -> ((s, d) =>
+      graft.operators.Curation.keynessLlr(t(s, d, "documents"))),
+
+    // Bloom-filter sizing advisor over three join-key censuses: exact
+    // distinct counts + the textbook m/k geometry as one IEEE shape
+    "bloom_sizing" -> ((s, d) =>
+      graft.operators.Joins.bloomSizing(t(s, d, "lineitem"), "l_orderkey")
+        .unionByName(graft.operators.Joins.bloomSizing(
+          t(s, d, "orders"), "o_custkey"))
+        .unionByName(graft.operators.Joins.bloomSizing(
+          t(s, d, "documents"), "doc_id"))),
+
     // BM25 over a persisted-then-loaded inverted index: the corpus text
     // is tokenized ONCE into (term, id, tf) postings + doc lengths +
     // exact meta counts, and the query touches only the terms' postings
@@ -4951,6 +4973,116 @@ object SparkEntry {
          |SELECT doc_id, n_hit_terms,
          |  round(list_reduce(xs, (x, y) -> x + y), 6) AS bm25
          |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirrors Curation.qlmSearch: the same posting-sliver tf/cf, the
+    // identical decomposed Dirichlet score shape, sorted-term folds
+    // (const_q with the 0.0-prepend, xs bare — matching Spark's
+    // aggregate-from-0.0 which is FP-identical)
+    "qlm_retrieval" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |c AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         |qs AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+         |    list_reduce(list_prepend(0.0,
+         |      list(ln(CAST(cf AS DOUBLE) / CAST(c_total AS DOUBLE))
+         |           ORDER BY term)), (x, y) -> x + y) AS const_q
+         |  FROM cf CROSS JOIN c),
+         |sc AS (
+         |  SELECT tf.doc_id, dl.dl, tf.term,
+         |    ln(1.0 + CAST(tf AS DOUBLE)
+         |      / (2000.0 * (CAST(cf AS DOUBLE) / CAST(c_total AS DOUBLE))))
+         |      AS s
+         |  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+         |agg AS (
+         |  SELECT doc_id, dl, list(s ORDER BY term) AS xs,
+         |    CAST(count(*) AS BIGINT) AS n_hit_terms
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, dl, n_hit_terms,
+         |  round(list_reduce(xs, (x, y) -> x + y)
+         |    + CAST(n_q AS DOUBLE)
+         |      * (ln(2000.0) - ln(CAST(dl AS DOUBLE) + 2000.0))
+         |    + const_q, 6) AS qlm
+         |FROM agg CROSS JOIN qs ORDER BY qlm DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirrors Curation.keynessLlr: the same (source, term) census, the
+    // identical G² expression shape (b = 0 folds to 0), HUGEINT
+    // cross-product direction, per-source (llr desc, term) top-5
+    "keyness_llr" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(list_filter($toksSql, t -> t <> '')) AS term
+         |  FROM documents),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS a
+         |       FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT source, CAST(sum(a) AS BIGINT) AS c
+         |       FROM st GROUP BY 1),
+         |tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t
+         |       FROM st GROUP BY 1),
+         |g AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+         |j AS (SELECT st.source, st.term, a, t, c, n,
+         |        t - a AS b, n - c AS d
+         |      FROM st JOIN tt USING (term) JOIN ct USING (source)
+         |      CROSS JOIN g
+         |      WHERE t >= 5),
+         |s AS (
+         |  SELECT source, term, a AS tf_source, b AS tf_rest,
+         |    round(2.0 * (CAST(a AS DOUBLE)
+         |        * ln(CAST(a AS DOUBLE) / (CAST(c AS DOUBLE)
+         |            * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      + CASE WHEN b = 0 THEN 0.0
+         |             ELSE CAST(b AS DOUBLE)
+         |               * ln(CAST(b AS DOUBLE) / (CAST(d AS DOUBLE)
+         |                   * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+         |        END), 6) AS llr,
+         |    CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c AS overused
+         |  FROM j)
+         |SELECT source, term, tf_source, tf_rest, llr, overused
+         |FROM s
+         |QUALIFY row_number()
+         |  OVER (PARTITION BY source ORDER BY llr DESC, term) <= 5""".stripMargin,
+
+    // mirrors Joins.bloomSizing x3: exact distinct censuses, the same
+    // ceil/round geometry textually (fpp cast to DOUBLE — a bare 0.01
+    // literal would be DECIMAL and fail the type compare)
+    "bloom_sizing" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS key_col,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'doc_id',
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents),
+        |m AS (
+        |  SELECT key_col, n_keys,
+        |    CASE WHEN n_keys > 0
+        |      THEN CAST(ceil(-(CAST(n_keys AS DOUBLE) * ln(0.01))
+        |                     / (ln(2.0) * ln(2.0))) AS BIGINT)
+        |    END AS m_bits
+        |  FROM u)
+        |SELECT key_col, n_keys, CAST(0.01 AS DOUBLE) AS fpp, m_bits,
+        |  CASE WHEN n_keys > 0
+        |    THEN greatest(CAST(1 AS BIGINT),
+        |      CAST(round(CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |                 * ln(2.0)) AS BIGINT))
+        |  END AS k_hashes,
+        |  CASE WHEN n_keys > 0
+        |    THEN round(CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE), 2)
+        |  END AS bits_per_key,
+        |  CASE WHEN n_keys > 0
+        |    THEN round(CAST(m_bits AS DOUBLE) / 8388608.0, 2)
+        |  END AS mib
+        |FROM m""".stripMargin,
 
     // mirrors Curation.bm25PrfSearch: round-1 = the bm25_search replay,
     // integer-ranked df-capped expansion, round-2 contrib·w in the SAME

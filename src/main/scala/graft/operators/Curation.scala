@@ -1166,6 +1166,147 @@ object Curation {
       .limit(topK)
   }
 
+  /** Keyword KEYNESS per source via Dunning's log-likelihood ratio
+    * (Dunning 1993) — "which terms characterize this source against the
+    * rest of the corpus", the corpus-linguistics standard that stays
+    * calibrated on rare terms where χ² and PMI explode:
+    *
+    *   G² = 2·(a·ln(a/E₁) + b·ln(b/E₂)),  E₁ = c·(a+b)/(c+d),
+    *   E₂ = d·(a+b)/(c+d)
+    *
+    * for a = term count in the source, b = in the rest, c/d = token
+    * totals. The per-source signature the mixture planner reads before
+    * deciding what a source actually contributes.
+    *
+    * Scale shape: ONE tokenize pass collapses the corpus to the
+    * (source, term, count) frame (the only corpus-scale shuffle,
+    * map-side partials); source totals, term totals and the grand total
+    * are keyed aggs of that frame; scoring is a term-keyed join plus a
+    * source-partitioned top-k window. `minCount` bounds the scored
+    * vocabulary. Exactness: all censuses integral; G² is one fixed IEEE
+    * expression (b = 0 folds its term to 0 — the x·ln x → 0 limit);
+    * `overused` compares exact decimal cross-products, never rates.
+    *
+    * @return (source, term, tf_source, tf_rest, llr, overused) — top
+    *         `topK` terms per source by (G² desc, term) */
+  def keynessLlr(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 5): DataFrame = {
+    require(minCount >= 1 && topK > 0, "need minCount >= 1 and topK > 0")
+    val base = Fan.spread(docs.select(col(sourceCol), col(textCol)))
+    val st = base
+      .select(col(sourceCol).as("__src"),
+        explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("__src"), col("term")).agg(count(lit(1)).as("a"))
+      .localCheckpoint() // source totals + term totals + score join
+    val srcTot = st.groupBy(col("__src")).agg(sum(col("a")).as("c"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("a")).as("t"))
+    val grand = broadcast(srcTot.agg(sum(col("c")).as("n")))
+    val j = st.join(termTot, "term").join(srcTot, Seq("__src"))
+      .crossJoin(grand)
+      .filter(col("t") >= minCount)
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("d", col("n") - col("c"))
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    val e1 = col("c").cast("double") * col("t").cast("double") /
+      col("n").cast("double")
+    val e2 = col("d").cast("double") * col("t").cast("double") /
+      col("n").cast("double")
+    val llr = lit(2.0) * (aD * log(aD / e1) +
+      when(col("b") === 0L, lit(0.0)).otherwise(bD * log(bD / e2)))
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(19,0)")
+    import org.apache.spark.sql.expressions.Window
+    val scored = j.select(col("__src").as(sourceCol), col("term"),
+      col("a").as("tf_source"), col("b").as("tf_rest"),
+      round(llr, 6).as("llr"),
+      (dec(col("a")) * dec(col("d")) > dec(col("b")) * dec(col("c")))
+        .as("overused"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("llr").desc, col("term").asc)))
+      .filter(col("__rk") <= topK)
+      .drop("__rk")
+  }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2001) — the language-modeling
+    * counterpart to [[bm25Search]]:
+    *
+    *   score(d|Q) = Σ_t log((tf_t,d + μ·p(t|C)) / (dl_d + μ))
+    *
+    * decomposed the standard way so only HIT terms need doc-level work:
+    * Σ_hits log(1 + tf/(μ·p_t)) + |Q|·(log μ − log(dl+μ)) + Σ_t log p_t
+    * (the last term is doc-constant; it ships so the score is the real
+    * log-likelihood, not just a rank key). Query terms absent from the
+    * corpus (p_t = 0) are dropped — the standard practical treatment.
+    *
+    * Scale shape: the [[bm25Search]] posting-sliver discipline — the
+    * token stream filters to query terms BEFORE the tf aggregation,
+    * doc length is a row-local token count (no second corpus explode),
+    * collection stats ride 1-row/|Q|-row broadcasts. Candidates are
+    * docs with ≥ 1 hit (the inverted-index contract). Determinism: per-
+    * term contributions and the query constant both fold in sorted term
+    * order; one 6-round per score.
+    *
+    * @return (doc_id, dl, n_hit_terms, qlm) top-K by (score desc, id) */
+  def qlmSearch(
+      docs: DataFrame,
+      terms: Seq[String],
+      topK: Int = 10,
+      mu: Double = 2000.0,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && topK > 0 && mu > 0,
+      "need query terms, topK > 0, mu > 0")
+    val base = Fan.spread(docs.select(col(idCol), col(textCol)))
+    val docLens = base.select(col(idCol),
+      size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
+        .cast("long").as("dl"))
+      .localCheckpoint()
+    val corpus = broadcast(docLens.agg(
+      sum(col("dl")).as("c_total")))
+    val tf = base
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0 && col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    // |Q_eff| and the doc-constant Σ log p_t, folded in sorted term
+    // order on a 1-row broadcast frame
+    val qstats = broadcast(cf.crossJoin(corpus)
+      .select(col("term"),
+        log(col("cf").cast("double") / col("c_total").cast("double"))
+          .as("__lp"))
+      .agg(count(lit(1)).as("n_q"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("__lp")))),
+          lit(0.0), (acc, x) => acc + x("__lp")).as("const_q")))
+    val joined = tf.join(broadcast(cf), "term")
+      .join(docLens, idCol).crossJoin(corpus)
+    val contrib = log(lit(1.0) + col("tf").cast("double") /
+      (lit(mu) * (col("cf").cast("double") / col("c_total").cast("double"))))
+    joined
+      .select(col(idCol), col("dl"), col("term"), contrib.as("s"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(sort_array(collect_list(struct(col("term"), col("s"))))
+        .as("__xs"),
+        count(lit(1)).as("n_hit_terms"))
+      .crossJoin(qstats)
+      .select(col(idCol), col("dl"), col("n_hit_terms"),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("s")) +
+          col("n_q").cast("double") *
+            (log(lit(mu)) - log(col("dl").cast("double") + lit(mu))) +
+          col("const_q"), 6).as("qlm"))
+      .orderBy(col("qlm").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** BM25 with pseudo-relevance feedback (Rocchio 1971 / the RM-style
     * two-round loop): run [[bm25Search]], treat its top `nFeedback`
     * documents as relevant, mine them for expansion terms, and re-score

@@ -519,6 +519,36 @@ object Joins {
           .otherwise(ya), 6).as(valCol): _*)
   }
 
+  /** Bloom-filter sizing advisor: the exact key census plus the
+    * textbook geometry — m = ⌈−n·ln p / ln²2⌉ bits, k = round(m/n·ln 2)
+    * hashes — a 100 TB join planner consults before committing to a
+    * [[bloomFilteredJoin]] (an undersized filter silently degrades to a
+    * pass-through; an oversized one evicts executor cache). Cost: one
+    * distinct count; the formula is one fixed IEEE expression over the
+    * exact n, replayed textually in SQL.
+    *
+    * @return one row (key_col, n_keys, fpp, m_bits, k_hashes,
+    *         bits_per_key, mib) */
+  def bloomSizing(
+      df: DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    val nD = col("n_keys").cast("double")
+    val mRaw = ceil(-(nD * log(lit(fpp))) / (log(lit(2.0)) * log(lit(2.0))))
+    df.agg(countDistinct(col(keyCol)).as("n_keys"))
+      .select(lit(keyCol).as("key_col"), col("n_keys"), lit(fpp).as("fpp"),
+        when(col("n_keys") > 0, mRaw).as("m_bits"),
+        when(col("n_keys") > 0,
+          greatest(lit(1L),
+            round(mRaw.cast("double") / nD * log(lit(2.0)))
+              .cast("bigint"))).as("k_hashes"),
+        when(col("n_keys") > 0,
+          round(mRaw.cast("double") / nD, 2)).as("bits_per_key"),
+        when(col("n_keys") > 0,
+          round(mRaw.cast("double") / lit(8388608.0), 2)).as("mib"))
+  }
+
   /** Join ADVISOR — the optimizer-statistics census a planner consults
     * before committing a 100 TB join strategy, as an explicit exact
     * report: row counts per side, the EXACT join output size

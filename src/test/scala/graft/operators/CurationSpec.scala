@@ -732,6 +732,55 @@ class CurationSpec extends SparkSpec {
       .toDF("lang", "text")).count() shouldBe 0L
   }
 
+  behavior of "qlmSearch"
+
+  it should "rank by smoothed likelihood, normalize by length, and drop unseen terms" in {
+    val docs = Seq(
+      (1L, "apple apple apple pie"), // tf 3, short
+      (2L, "apple " + Seq.fill(40)("filler").mkString(" ")), // tf 1, long
+      (3L, "banana bread only"))
+      .toDF("doc_id", "text")
+    val got = Curation.qlmSearch(docs, Seq("apple"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // only docs containing a query term are candidates
+    got.map(_._1).toSet shouldBe Set(1L, 2L)
+    // higher tf AND shorter doc: doc 1 must outscore doc 2
+    got(0)._1 shouldBe 1L
+    got(0)._3 should be > got(1)._3
+    // a query term absent from the corpus is dropped, not a crash /
+    // -inf poison: same candidates, still finite scores
+    val padded = Curation.qlmSearch(docs, Seq("apple", "zzzmissing"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    padded.map(_._1).toSet shouldBe Set(1L, 2L)
+    padded.foreach { case (_, s) =>
+      java.lang.Double.isFinite(s) shouldBe true }
+  }
+
+  behavior of "keynessLlr"
+
+  it should "surface each source's characteristic terms with exact direction" in {
+    // src a over-uses 'alpha', src b 'beta'; 'filler' is background in
+    // both and must not win either ranking
+    val docs = ((1 to 20).map(i =>
+      (i.toLong, "a", "alpha alpha filler common")) ++
+      (21 to 40).map(i => (i.toLong, "b", "beta beta filler common")))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.keynessLlr(docs, topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4),
+        r.getBoolean(5)))
+    val top = got.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    top("a")._2 shouldBe "alpha"
+    top("b")._2 shouldBe "beta"
+    top("a")._4 shouldBe true // overused in its own source
+    top("a")._3 should be > 0.0
+    // below-minCount vocabulary is never scored
+    val rare = ((1 to 20).map(i => (i.toLong, "a", "alpha word")) :+
+      (21L, "b", "hapax word")).toDF("doc_id", "source", "text")
+    Curation.keynessLlr(rare, minCount = 5L)
+      .collect().map(_.getString(1)) should not contain "hapax"
+  }
+
   behavior of "bm25PrfSearch"
 
   it should "recall banana-only docs via feedback expansion that plain BM25 misses" in {

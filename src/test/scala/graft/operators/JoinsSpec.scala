@@ -336,6 +336,24 @@ class JoinsSpec extends SparkSpec {
     g.size.toLong should be < looseN
   }
 
+  behavior of "bloomSizing"
+
+  it should "emit the textbook geometry for the exact key census" in {
+    // n = 1000, p = 0.01: m = ceil(1000·ln100/ln²2) = 9586 bits,
+    // k = round(9.586·ln2) = 7 — the classic ~9.6 bits/key, 7 hashes
+    val df = ((1L to 1000L) ++ (1L to 500L)).toDF("k") // dups collapse
+    val r = Joins.bloomSizing(df, "k", fpp = 0.01).collect()(0)
+    r.getString(0) shouldBe "k"
+    r.getLong(1) shouldBe 1000L
+    r.getLong(3) shouldBe 9586L
+    r.getLong(4) shouldBe 7L
+    r.getDouble(5) shouldBe 9.59 +- 1e-9
+    // empty census: stated NULLs, not a division crash
+    val e = Joins.bloomSizing(df.filter(col("k") < 0), "k").collect()(0)
+    e.getLong(1) shouldBe 0L
+    e.isNullAt(3) shouldBe true
+  }
+
   behavior of "joinAdvisor"
 
   it should "compute the exact join size and recommend by size then skew" in {
