@@ -2308,6 +2308,13 @@ object SparkEntry {
         t(s, d, "documents"), "source", epsilon = 1.0, seed = 42L,
         releaseId = "r0")),
 
+    // DP median via the exponential mechanism: distinct-value
+    // candidates, utility -|rank-target|, Gumbel-max over the seeded
+    // md5-uniform — exact rank arithmetic, one fixed IEEE score shape,
+    // deterministic argmax; rank_error reports realized utility loss
+    "dp_quantile" -> ((s, d) =>
+      graft.operators.Reports.dpQuantile(t(s, d, "events"))),
+
     // Snapshot drift: PSI over n_chars deciles between the even- and
     // odd-id halves of the corpus (stand-ins for yesterday/today) —
     // exact binned counts, add-one smoothing on the dense grid, pinned
@@ -7398,6 +7405,47 @@ object SparkEntry {
         |                 ELSE -ln((1.0 - uu) * 2.0) / 1.0 END, 6) AS n_noisy,
         |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM u""".stripMargin,
+
+    // mirrors Reports.dpQuantile: the same cumsum ranks, integer
+    // utilities, md5-uniform Gumbel keys over (seed, group|value), the
+    // identical 0.5·u + G argmax ordering
+    "dp_quantile" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |vc AS (SELECT g, q, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY q) AS cm
+        |  FROM vc),
+        |tot AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST((sum(c) * 50) // 100 AS BIGINT) AS target
+        |  FROM vc GROUP BY 1),
+        |sc AS (
+        |  SELECT cum.g, cum.q, tot.n, tot.target, cum.cm,
+        |    -abs(cum.cm - tot.target) AS u,
+        |    -ln(-ln((CAST(concat('0x',
+        |        substr(md5(concat('42', ':',
+        |          concat(cum.g, '|', CAST(cum.q AS VARCHAR)))), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0)) AS gum
+        |  FROM cum JOIN tot ON cum.g = tot.g),
+        |pick AS (
+        |  SELECT g, n, q, u FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY g
+        |      ORDER BY 0.5 * CAST(u AS DOUBLE) + gum DESC, q) AS rk
+        |    FROM sc)
+        |  WHERE rk = 1),
+        |ex AS (
+        |  SELECT g, min(CASE WHEN cm >= greatest(target, 1) THEN q END)
+        |           AS eq
+        |  FROM sc GROUP BY 1)
+        |SELECT pick.g AS event_type, n,
+        |  round(CAST(pick.q AS DOUBLE) / 1000.0, 6) AS dp_quantile,
+        |  round(CAST(eq AS DOUBLE) / 1000.0, 6) AS exact_quantile,
+        |  CAST(-u AS BIGINT) AS rank_error
+        |FROM pick JOIN ex ON pick.g = ex.g""".stripMargin,
 
     // mirrors Reports.driftPsi: dense 10-bin spine left-joined to the
     // two snapshots' binned counts, add-one smoothing, the same pinned

@@ -371,6 +371,73 @@ object Reports {
           greatest(col("n_subwords"), lit(1L)).cast("double"), 6)
           .as("chars_per_subword"))
 
+  /** Differentially-private quantile via the EXPONENTIAL mechanism
+    * (McSherry & Talwar 2007; the standard DP-quantile instantiation,
+    * e.g. Smith 2011): candidates are the observed distinct values,
+    * utility u(v) = −|rank(v) − target|, and the release samples
+    * v ∝ exp(ε·u/2) — realized deterministically by the Gumbel-max
+    * trick with the house md5-uniform (argmax of ε·u/2 + G, G =
+    * −ln(−ln U)), so a release replays bit-for-bit in SQL. The
+    * `rank_error` column reports the realized utility loss; the same
+    * seed/secrecy caveats as [[dpCounts]] apply (determinism is the
+    * testing contract, the seed is operationally secret, and noise is
+    * keyed per (group, value) so releases over different groups don't
+    * share draws).
+    *
+    * Scale shape: the corpus collapses to the (group, distinct value,
+    * count) frame; ranks are the [[trimmedMean]] value-ordered cumsum;
+    * scoring and the argmax ride group-partitioned windows. Exact
+    * integer utilities; the score is one fixed IEEE expression.
+    *
+    * @param pPct target quantile in integer percent (exact rank
+    *             arithmetic: target = n·pPct div 100)
+    * @return one row per group: (group, n, dp_quantile, exact_quantile,
+    *         rank_error) */
+  def dpQuantile(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      pPct: Int = 50,
+      epsilon: Double = 1.0,
+      seed: Long = 42L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(pPct >= 1 && pPct <= 99, s"pPct in [1,99]: $pPct")
+    require(epsilon > 0 && quantScale > 0, "positive epsilon/quantScale")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val vc = events.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__q"))))
+    val tot = vc.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .withColumn("__target", expr(s"(__n * ${pPct}L) div 100L"))
+    val bucket = graft.functions.HashFunctions.md5Bucket(seed,
+      concat_ws("|", col("__g"), col("__q").cast("string")))
+    val scored = cum.join(tot, Seq("__g"))
+      .withColumn("__u", -abs(col("__cum") - col("__target")))
+      .withColumn("__gum",
+        -log(-log((bucket + lit(0.5)) / lit(4294967296.0))))
+      .withColumn("__score",
+        lit(epsilon / 2.0) * col("__u").cast("double") + col("__gum"))
+      .localCheckpoint(true) // argmax + exact-quantile pass share it
+    val picked = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__score").desc, col("__q"))))
+      .filter(col("__rk") === 1)
+    val exact = scored.groupBy(col("__g"))
+      .agg(min(when(col("__cum") >= greatest(col("__target"), lit(1L)),
+        col("__q"))).as("__eq"))
+    picked.join(exact, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        round(col("__q").cast("double") / lit(quantScale.toDouble), 6)
+          .as("dp_quantile"),
+        round(col("__eq").cast("double") / lit(quantScale.toDouble), 6)
+          .as("exact_quantile"),
+        (-col("__u")).as("rank_error"))
+  }
+
   /** Differentially-private group counts: exact per-group counts plus
     * SEEDED Laplace(1/ε) noise — the privacy-preserving release tier
     * next to [[kAnonymityViolations]]/[[lDiversityViolations]]'s audit

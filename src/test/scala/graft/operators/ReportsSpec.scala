@@ -912,6 +912,28 @@ class ReportsSpec extends SparkSpec {
     Reports.spearmanCorr(flat).collect()(0).isNullAt(1) shouldBe true
   }
 
+  behavior of "dpQuantile"
+
+  it should "concentrate on the true quantile at high epsilon and replay deterministically" in {
+    val df = (1 to 100).map(v => ("g", v.toDouble))
+      .toDF("event_type", "value")
+    // eps = 1000: utility dominates the Gumbel keys -> the rank-0-error
+    // candidate (value 50, cum = target = 50) wins outright
+    val sharp = Reports.dpQuantile(df, epsilon = 1000.0, quantScale = 1L)
+      .collect()(0)
+    sharp.getAs[Double]("dp_quantile") shouldBe 50.0 +- 1e-9
+    sharp.getAs[Double]("exact_quantile") shouldBe 50.0 +- 1e-9
+    sharp.getAs[Long]("rank_error") shouldBe 0L
+    // the release is a pure function of (data, seed): two runs agree;
+    // a different seed is a different (still valid) draw
+    val a = Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L)
+      .collect()(0)
+    val b = Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L)
+      .collect()(0)
+    a.getAs[Double]("dp_quantile") shouldBe b.getAs[Double]("dp_quantile")
+    a.getAs[Long]("rank_error") should be >= 0L
+  }
+
   behavior of "experimentSizing"
 
   it should "match the hand-evaluated Fleiss formula and clamp degenerate lifts" in {
