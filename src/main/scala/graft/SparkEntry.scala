@@ -2464,6 +2464,23 @@ object SparkEntry {
     "theilsen_trend" -> ((s, d) =>
       graft.operators.Reports.theilSenTrend(eventsUs(s, d))),
 
+    // Ljung–Box white-noise test per event type: classical ACF r1..r6
+    // from n²-scaled exact decimal moments (one IEEE division per lag),
+    // Q as a fixed six-term expression — lag pairs equi-join on hour+k
+    "ljung_box" -> ((s, d) =>
+      graft.operators.Reports.ljungBox(eventsUs(s, d))),
+
+    // Classical additive decomposition of the hourly series: exact
+    // 25-hour MA trend (dense-window interior only), pinned-fold
+    // seasonal means re-centered to zero, residual remainder
+    "seasonal_decompose" -> ((s, d) =>
+      graft.operators.Reports.seasonalDecompose(eventsUs(s, d))),
+
+    // Per-day exact p50/p90 drift of the value column: distinct-value
+    // cumsum ranks partitioned by (type, day), integer rank cuts
+    "daily_quantiles" -> ((s, d) =>
+      graft.operators.Reports.dailyQuantiles(eventsUs(s, d))),
+
     // Spearman rank correlation of per-user activity vs value mass:
     // Pearson over doubled midranks (tie-exact integers via the banded
     // rank census), five decimal moment sums, one IEEE finish
@@ -7913,6 +7930,115 @@ object SparkEntry {
         |             + CAST(k AS HUGEINT) * qhi AS DOUBLE)
         |        / CAST(n AS DOUBLE) / 1000.0, 6) AS mean_winsorized
         |FROM agg""".stripMargin,
+
+    // mirrors Reports.ljungBox: the same n²-scaled HUGEINT moments, the
+    // identical per-lag division and fixed six-term Q shape
+    "ljung_box" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(x) AS BIGINT) AS s
+        |        FROM h GROUP BY 1),
+        |den AS (
+        |  SELECT h.g, n,
+        |    sum((CAST(n AS HUGEINT) * x - s)
+        |      * (CAST(n AS HUGEINT) * x - s)) AS den
+        |  FROM h JOIN tot ON h.g = tot.g GROUP BY 1, 2),
+        |k AS (SELECT unnest(range(1, 7)) AS k),
+        |nums AS (
+        |  SELECT a.g, k.k,
+        |    sum((CAST(n AS HUGEINT) * a.x - s)
+        |      * (CAST(n AS HUGEINT) * b.x - s)) AS num
+        |  FROM h a CROSS JOIN k
+        |  JOIN h b ON b.g = a.g AND b.hh = a.hh + k.k
+        |  JOIN tot ON tot.g = a.g
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT den.g, den.n, k.k,
+        |    CASE WHEN den > 0
+        |      THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r
+        |  FROM den CROSS JOIN k
+        |  LEFT JOIN nums ON nums.g = den.g AND nums.k = k.k),
+        |wide AS (
+        |  SELECT g, n,
+        |    max(CASE WHEN k = 1 THEN r END) AS r1,
+        |    max(CASE WHEN k = 2 THEN r END) AS r2,
+        |    max(CASE WHEN k = 3 THEN r END) AS r3,
+        |    max(CASE WHEN k = 4 THEN r END) AS r4,
+        |    max(CASE WHEN k = 5 THEN r END) AS r5,
+        |    max(CASE WHEN k = 6 THEN r END) AS r6
+        |  FROM r GROUP BY 1, 2)
+        |SELECT g AS event_type, n AS n_hours,
+        |  round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+        |  round(r4, 6) AS r4, round(r5, 6) AS r5, round(r6, 6) AS r6,
+        |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * (coalesce(r1 * r1 / (CAST(n AS DOUBLE) - 1.0), 0.0)
+        |     + coalesce(r2 * r2 / (CAST(n AS DOUBLE) - 2.0), 0.0)
+        |     + coalesce(r3 * r3 / (CAST(n AS DOUBLE) - 3.0), 0.0)
+        |     + coalesce(r4 * r4 / (CAST(n AS DOUBLE) - 4.0), 0.0)
+        |     + coalesce(r5 * r5 / (CAST(n AS DOUBLE) - 5.0), 0.0)
+        |     + coalesce(r6 * r6 / (CAST(n AS DOUBLE) - 6.0), 0.0)), 6)
+        |    AS q_stat
+        |FROM wide""".stripMargin,
+
+    // mirrors Reports.seasonalDecompose: the same dense-RANGE-window MA
+    // (wn = 25 filter), identical detrend shape, pinned hour-/phase-
+    // ordered folds for the two cross-row double means
+    "seasonal_decompose" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS wn,
+        |    CAST(sum(x) OVER win AS BIGINT) AS ws
+        |  FROM h WINDOW win AS (PARTITION BY g ORDER BY hh
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        |  SELECT g, hh, x, CAST(ws AS DOUBLE) / 25.0 AS trend,
+        |    CAST(x AS DOUBLE) - CAST(ws AS DOUBLE) / 25.0 AS d,
+        |    hh % 24 AS hod
+        |  FROM w WHERE wn = 25),
+        |sh AS (
+        |  SELECT g, hod,
+        |    list_reduce(list_prepend(0.0, list(d ORDER BY hh)),
+        |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sraw
+        |  FROM tr GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT g,
+        |    list_reduce(list_prepend(0.0, list(sraw ORDER BY hod)),
+        |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sbar
+        |  FROM sh GROUP BY 1),
+        |se AS (SELECT sh.g, hod, sraw - sbar AS seas
+        |       FROM sh JOIN sb ON sh.g = sb.g)
+        |SELECT tr.g AS event_type, hh AS hour_id, x AS n_events,
+        |  round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+        |  round(d - seas, 6) AS residual
+        |FROM tr JOIN se ON tr.g = se.g AND tr.hod = se.hod""".stripMargin,
+
+    // mirrors Reports.dailyQuantiles: distinct-value cumsum ranks per
+    // (type, day), the same integer target-rank cuts
+    "daily_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day_id,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q
+        |  FROM events),
+        |vc AS (SELECT g, day_id, q, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g, day_id ORDER BY q) AS cm
+        |  FROM vc),
+        |tot AS (SELECT g, day_id, CAST(sum(c) AS BIGINT) AS n
+        |        FROM vc GROUP BY 1, 2)
+        |SELECT cum.g AS event_type, cum.day_id, n,
+        |  round(CAST(min(CASE WHEN cm >= greatest((n * 50) // 100, 1)
+        |                      THEN q END) AS DOUBLE) / 1000.0, 6) AS p50,
+        |  round(CAST(min(CASE WHEN cm >= greatest((n * 90) // 100, 1)
+        |                      THEN q END) AS DOUBLE) / 1000.0, 6) AS p90
+        |FROM cum JOIN tot ON cum.g = tot.g AND cum.day_id = tot.day_id
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors Reports.theilSenTrend: pairwise slopes as ONE IEEE
     // division of integer deltas, medians by the identical (value,

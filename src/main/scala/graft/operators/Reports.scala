@@ -1227,6 +1227,192 @@ object Reports {
           .as("mean_winsorized"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per group: the
+    * classical ACF r_k at lags 1..6 over the hourly series plus
+    * Q = n(n+2)·Σ r_k²/(n−k) — "is this series white noise, or does
+    * autocorrelation structure remain" (the residual-diagnostic read
+    * after a [[graft.streaming.EventStreams.holtWinters]] fit, and the
+    * seasonality detector before one).
+    *
+    * Exactness: with S = Σx and n observed hours, the mean-centered
+    * products scale exactly — num_k·n² = Σ(n·x_t − S)(n·x_{t+k} − S)
+    * and den·n² = Σ(n·x_t − S)² accumulate in decimal(38,0), the n²
+    * cancels in r_k = num_k/den, ONE IEEE division per lag, and Q is a
+    * fixed six-term expression in written order. Lag pairs come from an
+    * equi-join on hour_id + k (the event_autocorr discipline — never
+    * lead()-by-rows, which mispairs across missing hours); gaps in the
+    * series simply contribute no pair at that lag, documented.
+    *
+    * Scale shape: the corpus collapses to the (group, hour, count)
+    * frame once (localCheckpoint-ed; the 6-lag join and the global
+    * moments share it); everything after is hour-scale.
+    *
+    * @return (group, n_hours, r1..r6, q_stat), 6-rounded; NULL lags
+    *         (no pairs) contribute 0 to Q */
+  def ljungBox(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag in [1,24]: $maxLag")
+    val spark = events.sparkSession
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // lag join + global moments share it
+    val tot = h.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val den = h.join(tot, Seq("__g"))
+      .groupBy(col("__g"), col("__n"))
+      .agg(sum((d(col("__n")) * col("__x") - col("__s")) *
+        (d(col("__n")) * col("__x") - col("__s"))).as("__den"))
+    val lags = broadcast(spark.range(1, maxLag + 1).select(col("id").as("__k")))
+    // lag pairs via a true EQUI-join on (group, hour + k) — never a
+    // per-group cross product filtered after the fact
+    val nums = h.select(col("__g"), col("__h"), col("__x").as("__xa"))
+      .crossJoin(lags)
+      .withColumn("__hk", col("__h") + col("__k"))
+      .join(h.select(col("__g"), col("__h").as("__hk"),
+        col("__x").as("__xb")),
+        Seq("__g", "__hk"))
+      .join(tot, Seq("__g"))
+      .groupBy(col("__g"), col("__k"))
+      .agg(sum((d(col("__n")) * col("__xa") - col("__s")) *
+        (d(col("__n")) * col("__xb") - col("__s"))).as("__num"))
+    // a constant series (den = 0) has no ACF: NULL lags, Q folds to 0
+    val r = nums.join(den, Seq("__g"))
+      .select(col("__g"), col("__k"),
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("__r"),
+        col("__n"))
+    val lagAggs = (1 to maxLag).map(k =>
+      max(when(col("__k") === k, col("__r"))).as(s"__r$k"))
+    val wide = r.groupBy(col("__g"), col("__n"))
+      .agg(lagAggs.head, lagAggs.tail: _*)
+    val nD = col("__n").cast("double")
+    val qTerms = (1 to maxLag).map { k =>
+      coalesce(col(s"__r$k") * col(s"__r$k") /
+        (nD - lit(k.toDouble)), lit(0.0))
+    }.reduce(_ + _)
+    wide.select(
+      (col("__g").as(groupCol) +: col("__n").as("n_hours") +:
+        (1 to maxLag).map(k => round(col(s"__r$k"), 6).as(s"r$k")) :+
+        round(nD * (nD + lit(2.0)) * qTerms, 6).as("q_stat")): _*)
+  }
+
+  /** Classical additive seasonal decomposition per group (the
+    * moving-average method, Macaulay 1931 — the model STL refines):
+    * x = trend + seasonal + residual over the hourly series, with
+    * trend = centered (period+1)-hour moving average (emitted only for
+    * interior hours whose RANGE window is fully dense — a gapped or
+    * edge window would bias the trend), seasonal = the hour-of-period
+    * mean of the detrended series re-centered to zero mean, residual =
+    * the rest. The decomposition an anomaly detector or capacity
+    * planner reads instead of the raw curve.
+    *
+    * Determinism: the MA is an exact integer window sum with ONE IEEE
+    * division; the two cross-row double means (per-(group, phase) and
+    * the 24-value re-centering) fold in pinned (hour) / (phase) order —
+    * the mutualInformation sorted-fold discipline — so every output
+    * replays bit-exact. Scale shape: one corpus-scale keyed count, then
+    * hour-scale windows and two tiny keyed folds.
+    *
+    * @return (group, hour_id, n_events, trend, seasonal, residual) for
+    *         interior hours, 6-rounded */
+  def seasonalDecompose(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0, s"even period >= 2: $period")
+    val half = period / 2
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+    val wT = Window.partitionBy(col("__g")).orderBy(col("__h"))
+      .rangeBetween(-half, half)
+    val tr = h
+      .withColumn("__wn", count(lit(1)).over(wT))
+      .withColumn("__ws", sum(col("__x")).over(wT))
+      .filter(col("__wn") === period + 1)
+      .withColumn("__trend",
+        col("__ws").cast("double") / lit((period + 1).toDouble))
+      .withColumn("__d", col("__x").cast("double") - col("__trend"))
+      .withColumn("__hod", pmod(col("__h"), lit(period.toLong)))
+      .localCheckpoint(true) // seasonal folds + the output join share it
+    val sHod = tr.groupBy(col("__g"), col("__hod"))
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("__h"), col("__d")))),
+        lit(0.0), (acc, x) => acc + x("__d")) /
+        count(lit(1)).cast("double")).as("__sraw"))
+    val sBar = sHod.groupBy(col("__g"))
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("__hod"), col("__sraw")))),
+        lit(0.0), (acc, x) => acc + x("__sraw")) /
+        count(lit(1)).cast("double")).as("__sbar"))
+    val seas = sHod.join(sBar, Seq("__g"))
+      .select(col("__g"), col("__hod"),
+        (col("__sraw") - col("__sbar")).as("__seas"))
+    tr.join(broadcast(seas), Seq("__g", "__hod"))
+      .select(col("__g").as(groupCol), col("__h").as("hour_id"),
+        col("__x").as("n_events"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__d") - col("__seas"), 6).as("residual"))
+  }
+
+  /** Per-day exact quantile trend: p50/p90 of the value column for
+    * every (group, day) — "how is the metric's distribution drifting
+    * day over day", the banded sibling of [[graft.stats.Descriptive]]'s
+    * corpus percentiles. Ranks come from the [[trimmedMean]]
+    * distinct-value cumsum (quantized values collapse first; the
+    * cumulative window partitions by (group, day) — never a global
+    * sort), and each quantile is the minimal value whose cumulative
+    * count reaches the exact integer target rank n·p div 100 (floored
+    * at 1). All-integer selection; the only IEEE step is the final
+    * unit rescale.
+    *
+    * @return (group, day_id, n, p50, p90), 6-rounded */
+  def dailyQuantiles(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      tsCol: String = "ts",
+      dayUs: Long = 86400000000L,
+      quantScale: Long = 1000L): DataFrame = {
+    require(quantScale > 0, "positive quantScale")
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val vc = events
+      .select(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${dayUs}L").as("__day"), q.as("__q"))
+      .groupBy(col("__g"), col("__day"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g"), col("__day")).orderBy(col("__q"))))
+    val tot = vc.groupBy(col("__g"), col("__day"))
+      .agg(sum(col("__c")).as("__n"))
+    def rankCut(pPct: Int) =
+      min(when(col("__cum") >=
+        greatest(expr(s"(__n * ${pPct}L) div 100L"), lit(1L)),
+        col("__q")))
+    cum.join(tot, Seq("__g", "__day"))
+      .groupBy(col("__g"), col("__day"), col("__n"))
+      .agg(rankCut(50).as("__p50"), rankCut(90).as("__p90"))
+      .select(col("__g").as(groupCol), col("__day").as("day_id"),
+        col("__n").as("n"),
+        round(col("__p50").cast("double") / lit(quantScale.toDouble), 6)
+          .as("p50"),
+        round(col("__p90").cast("double") / lit(quantScale.toDouble), 6)
+          .as("p90"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950, Sen 1968): per-group slope =
     * the MEDIAN of all pairwise slopes (x_j−x_i)/(h_j−h_i) over the
     * hourly series, intercept = the median residual under that slope —

@@ -863,6 +863,77 @@ class ReportsSpec extends SparkSpec {
     r.getDouble(5) shouldBe 5.0 +- 1e-9
   }
 
+  behavior of "ljungBox"
+
+  it should "flag an alternating series and fold a constant one to Q = 0" in {
+    // counts alternate 5/15 by hour: strong negative lag-1, positive
+    // lag-2 autocorrelation -> large Q; lag pairs must come from the
+    // hour equi-join (48 hours, no gaps)
+    val alt = (0 until 48).flatMap { h =>
+      val n = if (h % 2 == 0) 5 else 15
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val r = Reports.ljungBox(alt).collect()(0)
+    r.getAs[Long]("n_hours") shouldBe 48L
+    r.getAs[Double]("r1") should be < -0.8
+    r.getAs[Double]("r2") should be > 0.8
+    r.getAs[Double]("q_stat") should be > 100.0
+    // constant series: zero variance -> NULL lags, Q folds to 0
+    val flat = (0 until 48).flatMap(h =>
+      (0 until 7).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val f = Reports.ljungBox(flat).collect()(0)
+    f.isNullAt(2) shouldBe true // r1
+    f.getAs[Double]("q_stat") shouldBe 0.0 +- 1e-9
+  }
+
+  behavior of "seasonalDecompose"
+
+  it should "recover a flat series exactly and localize a planted phase spike" in {
+    // flat 7 events/hour over 4 days: trend 7, seasonal 0, residual 0
+    val flat = (0 until 96).flatMap(h =>
+      (0 until 7).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val fr = Reports.seasonalDecompose(flat).collect()
+    fr.length shouldBe 96 - 24 // interior hours only (12 lost each edge)
+    fr.foreach { r =>
+      r.getAs[Double]("trend") shouldBe 7.0 +- 1e-9
+      r.getAs[Double]("seasonal") shouldBe 0.0 +- 1e-9
+      r.getAs[Double]("residual") shouldBe 0.0 +- 1e-9
+    }
+    // phase-0 hours spike to 30: the seasonal component must carry the
+    // spike at phase 0 and the additive identity must hold per row
+    val spiky = (0 until 96).flatMap { h =>
+      val n = if (h % 24 == 0) 30 else 7
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val sr = Reports.seasonalDecompose(spiky).collect()
+    val byPhase = sr.groupBy(r => r.getAs[Long]("hour_id") % 24)
+    val s0 = byPhase(0L).map(_.getAs[Double]("seasonal")).head
+    byPhase.filterKeys(_ != 0L).values.flatten
+      .map(_.getAs[Double]("seasonal")).foreach(s => s0 should be > s + 10.0)
+    sr.foreach { r =>
+      (r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")) shouldBe
+        r.getAs[Long]("n_events").toDouble +- 1e-5
+    }
+  }
+
+  behavior of "dailyQuantiles"
+
+  it should "cut exact integer target ranks per (group, day)" in {
+    // day 0: values 1..10 -> p50 = rank-5 value = 5, p90 = rank-9 = 9;
+    // day 1: constant 4 -> both quantiles 4
+    val ev = ((1 to 10).map(v => ("g", v * 1000L, v.toDouble)) ++
+      (1 to 6).map(i => ("g", 86400000000L + i * 1000L, 4.0)))
+      .toDF("event_type", "ts", "value")
+    val got = Reports.dailyQuantiles(ev, quantScale = 1L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got(0L) shouldBe ((10L, 5.0, 9.0))
+    got(1L) shouldBe ((6L, 4.0, 4.0))
+  }
+
   behavior of "theilSenTrend"
 
   it should "recover a planted slope through an outlier hour OLS would chase" in {
