@@ -128,6 +128,10 @@ object EventStreams {
   final case class HwPoint(event_type: String, n_points: Long,
     last_hour: Long, hw_level: Double, hw_trend: Double,
     hw_season_next: Double, forecast_next: Double)
+  final case class SsEntry(user: Long, n: Long, err: Long)
+  final case class SsState(entries: Seq[SsEntry], processed: Long)
+  final case class SsPoint(event_type: String, user_id: Long,
+    n_est: Long, err: Long, n_processed: Long)
   final case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long, totalValue: Double)
   final case class Session(
       user_id: Long,
@@ -806,6 +810,64 @@ object EventStreams {
           val nextSlot = if (lastH == Long.MinValue) 0
             else (((lastH + 1) % seasonLen) + seasonLen).toInt % seasonLen
           HwPoint(tpe, n, lastH, l, b, s(nextSlot), l + b + s(nextSlot))
+      }
+  }
+
+  /** Streaming heavy hitters per event type — SpaceSaving (Metwally,
+    * Agrawal & El Abbadi 2005) as a `flatMapGroupsWithState` twin of
+    * the exact [[graft.operators.Joins.keyFrequency]] census: a
+    * capacity-`k` summary of user_ids whose guarantees hold at ANY
+    * stream length in O(k) state — every user with true count > N/k is
+    * in the table, estimates never under-count, and `n_est − err ≤
+    * true ≤ n_est`. The monitoring tier when the exact census's keyed
+    * shuffle is too slow to re-run per micro-batch.
+    *
+    * Update rule per arriving event: increment a tracked user; insert
+    * untracked users while under capacity; otherwise OVERWRITE the
+    * minimum-count entry (deterministic victim: (n, user) ascending)
+    * with count min+1 and error min. Within-batch fold order follows
+    * the shuffle iterator — two runs may differ on sub-guarantee
+    * entries (documented; the r11 verdict's determinism taxonomy:
+    * guarantees, not bit-layout, are the contract here), which is why
+    * this twin is spec-pinned on its GUARANTEES against the exact
+    * census rather than oracle-replayed.
+    *
+    * Emits the full table per group per batch (Update mode — latest
+    * wins downstream); no watermark: the summary is a running census.
+    * Works identically on a batch Dataset (one giant "batch"). */
+  def heavyHittersStream(
+      events: Dataset[Event],
+      capacity: Int = 10): Dataset[SsPoint] = {
+    import events.sparkSession.implicits._
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SsState, SsPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Event], state: GroupState[SsState]) =>
+          val st = state.getOption.getOrElse(SsState(Seq.empty, 0L))
+          var table = scala.collection.mutable.Map(
+            st.entries.map(e => e.user -> (e.n, e.err)): _*)
+          var processed = st.processed
+          it.foreach { e =>
+            processed += 1L
+            table.get(e.user_id) match {
+              case Some((n, err)) => table(e.user_id) = (n + 1L, err)
+              case None if table.size < capacity =>
+                table(e.user_id) = (1L, 0L)
+              case None =>
+                val (victim, (vn, _)) =
+                  table.minBy { case (u, (n, _)) => (n, u) }
+                table -= victim
+                table(e.user_id) = (vn + 1L, vn)
+            }
+          }
+          val entries = table.toSeq
+            .map { case (u, (n, err)) => SsEntry(u, n, err) }
+            .sortBy(e => (-e.n, e.user))
+          state.update(SsState(entries, processed))
+          entries.iterator.map(e =>
+            SsPoint(tpe, e.user, e.n, e.err, processed))
       }
   }
 

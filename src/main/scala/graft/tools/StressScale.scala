@@ -998,6 +998,48 @@ object StressScale {
         q.stop()
         spark.table("hw_stream_2m").count()
       },
+      // ---- round-12 wave ----------------------------------------------
+      // Spearman at 2M events: the user-keyed agg is the corpus cost;
+      // both rank passes ride the banded census over DISTINCT values
+      timeNoop("spearman_2m")(
+        graft.operators.Reports.spearmanCorr(
+          events2m.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+              / 100.0)))),
+      // Theil-Sen at 2M events x 20 types: pairwise stays calendar-
+      // bounded (~259k pairs per type over 720 hours) however many rows
+      timeNoop("theilsen_2m")(
+        graft.operators.Reports.theilSenTrend(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // Ljung-Box at 2M events x 20 types: lag pairs equi-join the
+      // hour frame; moments are decimal sums over it
+      timeNoop("ljung_box_2m")(
+        graft.operators.Reports.ljungBox(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // DP quantile at 2M events: distinct-value frame + Gumbel argmax
+      timeNoop("dp_quantile_2m")(
+        graft.operators.Reports.dpQuantile(
+          events2m
+            .withColumn("event_type",
+              concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+                / 100.0)))),
+      // SpaceSaving streaming twin at 2M events (single giant batch on
+      // the bounded Dataset path): O(capacity) state per type
+      time("heavy_hitters_2m_spacesaving") {
+        import spark.implicits._
+        val ds = events2m.select(
+          col("user_id"),
+          timestamp_micros(col("ts")).as("ts"),
+          concat(lit("t"), pmod(col("user_id"), lit(20))).as("event_type"),
+          lit(1.0).as("value"))
+          .as[graft.streaming.EventStreams.Event]
+        graft.streaming.EventStreams.heavyHittersStream(ds, capacity = 16)
+          .count()
+      },
       // split-conformal at 2M events: the residual rank rides the
       // distinct-residual frame (bounded by value quantization), never a
       // per-group collect

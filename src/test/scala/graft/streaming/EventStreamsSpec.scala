@@ -496,6 +496,51 @@ class EventStreamsSpec extends SparkSpec {
     got.values.map(_._2).sum shouldBe 3000000L // 10^6 per credited conversion
   }
 
+  "heavyHittersStream" should "hold the SpaceSaving guarantees against the exact census across batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, i: Int) = EventStreams.Event(
+      u, new java.sql.Timestamp(i * 1000L), "click", 1.0)
+    // planted skew: three heavy users among 40 singletons; N = 220,
+    // capacity 10 -> threshold N/k = 22: users 1 (100), 2 (50), 3 (30)
+    // are GUARANTEED table members whatever the fold order
+    val all = ((1 to 100).map(i => ev(1L, i)) ++
+      (1 to 50).map(i => ev(2L, 200 + i)) ++
+      (1 to 30).map(i => ev(3L, 300 + i)) ++
+      (100L until 140L).map(u => ev(u, 400 + u.toInt)))
+    val (b1, b2) = new scala.util.Random(7).shuffle(all).splitAt(110)
+    val trueCounts = all.groupBy(_.user_id).view.mapValues(_.size.toLong)
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.heavyHittersStream(stream.toDS(), capacity = 10)
+      .writeStream.format("memory").queryName("hh_pts")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hh_pts").collect()
+    val lastN = rows.map(_.getAs[Long]("n_processed")).max
+    lastN shouldBe 220L
+    val table = rows.filter(_.getAs[Long]("n_processed") == lastN)
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_est"), r.getAs[Long]("err")))
+    table.length should be <= 10
+    val tracked = table.map(_._1).toSet
+    Set(1L, 2L, 3L).subsetOf(tracked) shouldBe true
+    // estimates never under-count, and est - err never over-counts
+    table.foreach { case (u, est, err) =>
+      val truth = trueCounts(u)
+      withClue(s"user $u est=$est err=$err true=$truth: ") {
+        est should be >= truth
+        (est - err) should be <= truth
+      }
+    }
+    // the three guaranteed heavies carry exact or near-exact counts
+    table.filter(t => t._1 <= 3L).foreach { case (u, est, err) =>
+      (est - err) should be <= trueCounts(u)
+      est should be >= trueCounts(u)
+    }
+  }
+
   "holtWintersStream" should "fold only watermark-closed hours and match the batch operator exactly" in {
     implicit val sqlCtx = spark.sqlContext
     val hours = Seq(0L -> 3, 1L -> 1, 24L -> 2, 25L -> 4, 49L -> 2)
