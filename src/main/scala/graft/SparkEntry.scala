@@ -1573,6 +1573,13 @@ object SparkEntry {
     "holt_winters" -> ((s, d) =>
       graft.streaming.EventStreams.holtWinters(eventsUs(s, d))),
 
+    // Rolling-origin backtest of the Holt-Winters forecaster: the same
+    // dyadic fold, emitting one-step-ahead |err| / |err|/actual sums
+    // past a two-season warmup — MAE/MAPE per type, replayed by the
+    // same recursive CTE with accumulator columns
+    "holt_winters_backtest" -> ((s, d) =>
+      graft.streaming.EventStreams.holtWintersBacktest(eventsUs(s, d))),
+
     // Skip-gram (center, context) pair table within a ±2 window, pairs
     // with corpus count >= 5 — row-local generation, one keyed count
     "skipgram_pairs" -> ((s, d) =>
@@ -5905,6 +5912,49 @@ object SparkEntry {
          |  l AS hw_level, b AS hw_trend,
          |  s[((last_hour + 1) % 24) + 1] AS hw_season_next,
          |  l + b + s[((last_hour + 1) % 24) + 1] AS forecast_next
+         |FROM r WHERE k = len(xs)""".stripMargin
+    },
+
+    // mirrors EventStreams.holtWintersBacktest: the holt_winters
+    // recursion with three accumulator columns — error terms reference
+    // only PRE-step state (l, b, s), warmup gate k >= 48
+    "holt_winters_backtest" -> {
+      val x = "CAST(struct_extract(xs[k+1], 'cnt') AS DOUBLE)"
+      val slot = "(CAST(struct_extract(xs[k+1], 'hour') % 24 AS BIGINT) + 1)"
+      val sOld = s"s[$slot]"
+      val ln = s"0.5 * ($x - $sOld) + 0.5 * (l + b)"
+      val err = s"abs($x - (l + b + $sOld))"
+      s"""WITH RECURSIVE g AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+         |    list_sort(list(struct_pack(hour := hour, cnt := cnt))) AS xs
+         |  FROM g GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, n_points, xs, 1 AS k,
+         |    CAST(struct_extract(xs[1], 'cnt') AS DOUBLE) AS l,
+         |    CAST(0.0 AS DOUBLE) AS b,
+         |    list_transform(range(24), z -> CAST(0.0 AS DOUBLE)) AS s,
+         |    CAST(0.0 AS DOUBLE) AS sae, CAST(0 AS BIGINT) AS ne,
+         |    CAST(0.0 AS DOUBLE) AS sape
+         |  FROM p
+         |  UNION ALL
+         |  SELECT event_type, n_points, xs, k + 1,
+         |    $ln,
+         |    0.25 * (($ln) - l) + 0.75 * b,
+         |    list_transform(s, (sv, si) -> CASE WHEN si = $slot
+         |      THEN 0.25 * ($x - ($ln)) + 0.75 * $sOld ELSE sv END),
+         |    CASE WHEN k >= 48 THEN sae + $err ELSE sae END,
+         |    CASE WHEN k >= 48 THEN ne + 1 ELSE ne END,
+         |    CASE WHEN k >= 48 THEN sape + $err / $x ELSE sape END
+         |  FROM r WHERE k < len(xs))
+         |SELECT event_type, n_points, ne AS n_eval,
+         |  CASE WHEN ne > 0 THEN round(sae / CAST(ne AS DOUBLE), 6) END
+         |    AS mae,
+         |  CASE WHEN ne > 0 THEN round(sape / CAST(ne AS DOUBLE), 6) END
+         |    AS mape
          |FROM r WHERE k = len(xs)""".stripMargin
     },
 

@@ -341,6 +341,88 @@ object EventStreams {
         element_at(st.getField("s"), nextSlot)).as("forecast_next"))
   }
 
+  /** Rolling-origin BACKTEST of the [[holtWinters]] forecaster: replay
+    * the same fold over the hourly series, but before absorbing each
+    * point emit the one-step-ahead forecast l + b + s[phase] and
+    * accumulate |err| and |err|/actual — MAE and MAPE per group, the
+    * "should we trust this forecaster on this series" report a capacity
+    * planner reads before wiring forecasts into autoscaling. Points
+    * inside the `warmup` prefix (default two seasons) are folded but
+    * not scored — zero-initialized seasonals make early forecasts
+    * meaningless, the standard rolling-origin discipline (Tashman
+    * 2000).
+    *
+    * Determinism: the fold is the EXACT [[holtWinters]] recursion
+    * (dyadic α/β/γ so both engines' coefficient arithmetic is
+    * bit-identical) with three accumulator fields riding the same
+    * struct; error terms reference only PRE-step state, so the SQL
+    * recursive CTE replays them verbatim. Scale shape: unchanged —
+    * one corpus-scale keyed count, then a calendar-bounded per-group
+    * fold. Hourly counts are ≥ 1 by construction, so MAPE's divisor
+    * never vanishes.
+    *
+    * @return (event_type, n_points, n_eval, mae, mape), 6-rounded;
+    *         NULL scores when nothing outlived the warmup */
+  def holtWintersBacktest(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25,
+      seasonLen: Int = 24,
+      warmup: Int = 48): DataFrame = {
+    require(seasonLen >= 1, s"seasonLen must be positive: $seasonLen")
+    require(warmup >= 1, s"warmup must be >= 1: $warmup")
+    val hourly = events
+      .groupBy(col(typeCol), expr(s"$tsCol div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val packed = hourly.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_points"),
+        sort_array(collect_list(struct(col("hour"), col("cnt")))).as("__xs"))
+    val m = seasonLen.toLong
+    val st = aggregate(col("__xs"),
+      struct(lit(null).cast("double").as("l"), lit(0.0).as("b"),
+        array_repeat(lit(0.0), seasonLen).as("s"), lit(0L).as("np"),
+        lit(0.0).as("sae"), lit(0L).as("ne"), lit(0.0).as("sape")),
+      (s0, x) => {
+        val i = pmod(x.getField("hour"), lit(m)).cast("int")
+        val v = x.getField("cnt").cast("double")
+        val l = s0.getField("l")
+        val b = s0.getField("b")
+        val sArr = s0.getField("s")
+        val sOld = element_at(sArr, i + 1)
+        val lNew = lit(alpha) * (v - sOld) + lit(1.0 - alpha) * (l + b)
+        val bNew = lit(beta) * (lNew - l) + lit(1.0 - beta) * b
+        val sNewV = lit(gamma) * (v - lNew) + lit(1.0 - gamma) * sOld
+        val doEval = s0.getField("np") >= warmup
+        val err = abs(v - (l + b + sOld))
+        val sae = when(doEval, s0.getField("sae") + err)
+          .otherwise(s0.getField("sae"))
+        val ne = when(doEval, s0.getField("ne") + 1L)
+          .otherwise(s0.getField("ne"))
+        val sape = when(doEval, s0.getField("sape") + err / v)
+          .otherwise(s0.getField("sape"))
+        val np = s0.getField("np") + lit(1L)
+        when(l.isNull,
+          struct(v.as("l"), lit(0.0).as("b"), sArr.as("s"), np.as("np"),
+            s0.getField("sae").as("sae"), s0.getField("ne").as("ne"),
+            s0.getField("sape").as("sape")))
+          .otherwise(struct(lNew.as("l"), bNew.as("b"),
+            transform(sArr,
+              (sv, idx) => when(idx === i, sNewV).otherwise(sv)).as("s"),
+            np.as("np"), sae.as("sae"), ne.as("ne"), sape.as("sape")))
+      })
+    packed.select(col(typeCol), col("n_points"),
+      st.getField("ne").as("n_eval"),
+      when(st.getField("ne") > 0,
+        round(st.getField("sae") / st.getField("ne").cast("double"), 6))
+        .as("mae"),
+      when(st.getField("ne") > 0,
+        round(st.getField("sape") / st.getField("ne").cast("double"), 6))
+        .as("mape"))
+  }
+
   /** Rolling 7-day (windowDays) distinct active users per day — the DAU/
     * WAU report, EXACT. A sliding-window COUNT DISTINCT cannot be
     * composed from per-day partials (distinct does not sum), and the

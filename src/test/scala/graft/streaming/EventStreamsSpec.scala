@@ -496,6 +496,27 @@ class EventStreamsSpec extends SparkSpec {
     got.values.map(_._2).sum shouldBe 3000000L // 10^6 per credited conversion
   }
 
+  "holtWintersBacktest" should "score only past the warmup and prefer the learnable series" in {
+    def series(f: Int => Int) = (0 until 240).flatMap(h =>
+      (0 until f(h)).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    def bt(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.holtWintersBacktest(df).collect()(0)
+    // clean 24-periodic signal vs the same base with a chaotic hash
+    // overlay: the forecaster must track the first far better
+    val periodic = bt(series(h => 10 + 5 * ((h % 24) / 12)))
+    val noisy = bt(series(h =>
+      10 + (math.abs(scala.util.hashing.MurmurHash3.stringHash(h.toString)) % 13)))
+    periodic.getAs[Long]("n_eval") shouldBe 240L - 48L
+    periodic.getAs[Double]("mae") should be < noisy.getAs[Double]("mae")
+    periodic.getAs[Double]("mape") should be < 0.1
+    // a series shorter than the warmup has nothing to score: stated NULLs
+    val short = EventStreams.holtWintersBacktest(
+      series(h => if (h < 24) 5 else 0)).collect()(0)
+    short.getAs[Long]("n_eval") shouldBe 0L
+    short.isNullAt(3) shouldBe true
+  }
+
   "heavyHittersStream" should "hold the SpaceSaving guarantees against the exact census across batches" in {
     implicit val sqlCtx = spark.sqlContext
     def ev(u: Long, i: Int) = EventStreams.Event(
