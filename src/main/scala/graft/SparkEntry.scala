@@ -2477,6 +2477,22 @@ object SparkEntry {
     "ljung_box" -> ((s, d) =>
       graft.operators.Reports.ljungBox(eventsUs(s, d))),
 
+    // Lead–lag sweep over all type pairs × lags −6..6: exact moments
+    // per (pair, lag) on the hour equi-join, guarded Pearson finish,
+    // deterministic (|r| desc, lag) winner per pair
+    "lead_lag" -> ((s, d) =>
+      graft.operators.Reports.leadLag(eventsUs(s, d))),
+
+    // Hot-streak census: longest consecutive above-median hour run per
+    // type — exact doubled-median cut + the h − row_number islands trick
+    "hot_streaks" -> ((s, d) =>
+      graft.operators.Reports.hotStreaks(eventsUs(s, d))),
+
+    // Sequence predictability: H(next) vs H(next|prev) in bits over the
+    // exact transition matrix, pinned-order entropy folds
+    "transition_entropy" -> ((s, d) =>
+      graft.streaming.EventStreams.transitionEntropy(eventsUs(s, d))),
+
     // Classical additive decomposition of the hourly series: exact
     // 25-hour MA trend (dense-window interior only), pinned-fold
     // seasonal means re-centered to zero, residual remainder
@@ -8032,6 +8048,120 @@ object SparkEntry {
         |     + coalesce(r6 * r6 / (CAST(n AS DOUBLE) - 6.0), 0.0)), 6)
         |    AS q_stat
         |FROM wide""".stripMargin,
+
+    // mirrors Reports.leadLag: the same hour equi-join per (pair, lag),
+    // HUGEINT moments, the guarded per-factor-cast Pearson shape, and
+    // the (|r| desc, lag) QUALIFY winner (NULLs last in both engines)
+    "lead_lag" ->
+      """WITH h AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT unnest(range(-6, 7)) AS lag),
+        |p AS (
+        |  SELECT a.t AS ta, b.t AS tb, l.lag, a.x AS xa, b.x AS xb
+        |  FROM h a CROSS JOIN l
+        |  JOIN h b ON b.hh = a.hh + l.lag AND a.t < b.t),
+        |m AS (
+        |  SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+        |    sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+        |    sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+        |    sum(CAST(xb AS HUGEINT) * xb) AS syy
+        |  FROM p GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT ta, tb, lag, n_pairs,
+        |    CASE WHEN CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx
+        |                   AS DOUBLE) > 0
+        |          AND CAST(n_pairs * syy - CAST(sy AS HUGEINT) * sy
+        |                   AS DOUBLE) > 0
+        |    THEN CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / sqrt(CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx
+        |                  AS DOUBLE)
+        |           * CAST(n_pairs * syy - CAST(sy AS HUGEINT) * sy
+        |                  AS DOUBLE))
+        |    END AS r
+        |  FROM m)
+        |SELECT ta AS type_a, tb AS type_b, CAST(lag AS BIGINT) AS best_lag,
+        |  n_pairs, round(r, 6) AS r
+        |FROM r
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY ta, tb ORDER BY abs(r) DESC, lag) = 1""".stripMargin,
+
+    // mirrors Reports.hotStreaks: the doubled exact median cut, the
+    // hh − row_number() islands key, the same (len desc, start) winner
+    "hot_streaks" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |vc AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY x) AS cm
+        |  FROM vc),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+        |med AS (
+        |  SELECT cum.g,
+        |    CAST(min(CASE WHEN cm >= (n + 1) // 2 THEN x END)
+        |       + min(CASE WHEN cm >= n // 2 + 1 THEN x END) AS BIGINT)
+        |      AS med2
+        |  FROM cum JOIN tot ON cum.g = tot.g GROUP BY cum.g),
+        |ab AS (SELECT h.g, hh FROM h JOIN med ON h.g = med.g
+        |       WHERE x * 2 > med2),
+        |isl AS (
+        |  SELECT g, hh - row_number() OVER (PARTITION BY g ORDER BY hh)
+        |           AS grp, hh
+        |  FROM ab),
+        |runs AS (
+        |  SELECT g, grp, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(min(hh) AS BIGINT) AS s, CAST(max(hh) AS BIGINT) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT g, len, s, e,
+        |    row_number() OVER (PARTITION BY g ORDER BY len DESC, s) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ns
+        |  FROM runs)
+        |SELECT best.g AS event_type,
+        |  round(CAST(med2 AS DOUBLE) / 2.0, 6) AS median,
+        |  ns AS n_streaks, len AS longest_hours,
+        |  s AS longest_start, e AS longest_end
+        |FROM best JOIN med ON best.g = med.g WHERE rk = 1""".stripMargin,
+
+    // mirrors EventStreams.transitionEntropy: the same lag-window
+    // transition census, pinned (from,to)- and to-ordered entropy folds
+    // with the 0.0-prepend, identical /ln(2.0) bit conversion
+    "transition_entropy" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS f, event_type AS t,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |cf AS (SELECT f, CAST(sum(n) AS BIGINT) AS cf FROM c GROUP BY 1),
+        |ct AS (SELECT t, CAST(sum(n) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(count(DISTINCT t) AS BIGINT) AS n_states
+        |      FROM c),
+        |hc AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(
+        |      CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * (ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0))
+        |      ORDER BY f, t)), (p, q) -> p + q) AS h_cond
+        |  FROM c JOIN cf USING (f) CROSS JOIN g),
+        |hn AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(
+        |      CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * (ln(CAST(nn AS DOUBLE) / CAST(ct AS DOUBLE)) / ln(2.0))
+        |      ORDER BY t)), (p, q) -> p + q) AS h_next
+        |  FROM ct CROSS JOIN g)
+        |SELECT nn AS n_transitions, n_states,
+        |  round(h_next, 6) AS h_next_bits, round(h_cond, 6) AS h_cond_bits,
+        |  CASE WHEN h_next > 0.0
+        |    THEN round(1.0 - h_cond / h_next, 6) END AS predictability
+        |FROM g, hn, hc""".stripMargin,
 
     // mirrors Reports.seasonalDecompose: the same dense-RANGE-window MA
     // (wn = 25 filter), identical detrend shape, pinned hour-/phase-

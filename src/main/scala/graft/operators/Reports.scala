@@ -1304,6 +1304,135 @@ object Reports {
         round(nD * (nD + lit(2.0)) * qTerms, 6).as("q_stat")): _*)
   }
 
+  /** Lead–lag discovery between every pair of event types: for lags
+    * −`maxLagH`..+`maxLagH`, the Pearson correlation of the two hourly
+    * series at that offset, keeping each pair's best alignment by
+    * |r| — "errors trail clicks by 2 hours" as a table, the
+    * cross-metric causality HINT (not proof) an incident review or
+    * pipeline-dependency map starts from. [[kendallTau]] reads one
+    * chosen pair; this sweeps all pairs × lags.
+    *
+    * Exactness: per (pair, lag) the five moment sums are exact bigint/
+    * decimal over the hour equi-join (h matched to h+lag — gaps simply
+    * contribute no pair), r is the one fixed IEEE expression with
+    * per-factor casts, and the winner is a deterministic (|r| desc,
+    * lag, …) window cut. Scale shape: the corpus collapses to the
+    * hour frame once; everything after is (types² × lags) ×
+    * calendar-bounded.
+    *
+    * @return one row per unordered type pair: (type_a, type_b,
+    *         best_lag, n_pairs, r), r 6-rounded; positive best_lag =
+    *         type_b trails type_a */
+  def leadLag(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxLagH: Int = 6): DataFrame = {
+    require(maxLagH >= 0 && maxLagH <= 48, s"maxLagH in [0,48]: $maxLagH")
+    val spark = events.sparkSession
+    val h = events
+      .groupBy(col(typeCol).as("__t"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // both sides of the lag join share it
+    val lags = broadcast(spark.range(-maxLagH, maxLagH + 1L)
+      .select(col("id").as("__lag")))
+    val a = h.select(col("__t").as("__ta"), col("__h"), col("__x").as("__xa"))
+      .crossJoin(lags)
+      .withColumn("__hk", col("__h") + col("__lag"))
+    val b = h.select(col("__t").as("__tb"), col("__h").as("__hk"),
+      col("__x").as("__xb"))
+    val paired = a.join(b, Seq("__hk")).filter(col("__ta") < col("__tb"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = paired.groupBy(col("__ta"), col("__tb"), col("__lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
+        sum(d(col("__xa")) * col("__xb")).as("__sxy"),
+        sum(d(col("__xa")) * col("__xa")).as("__sxx"),
+        sum(d(col("__xb")) * col("__xb")).as("__syy"))
+    val n = d(col("n_pairs"))
+    val d1 = (n * col("__sxx") - d(col("__sx")) * col("__sx")).cast("double")
+    val d2 = (n * col("__syy") - d(col("__sy")) * col("__sy")).cast("double")
+    val r = when(d1 > 0.0 && d2 > 0.0,
+      (n * col("__sxy") - d(col("__sx")) * col("__sy")).cast("double") /
+        sqrt(d1 * d2))
+    val scored = m.select(col("__ta"), col("__tb"), col("__lag"),
+      col("n_pairs"), r.as("__r"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__ta"), col("__tb"))
+          .orderBy(abs(col("__r")).desc, col("__lag").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__ta").as("type_a"), col("__tb").as("type_b"),
+        col("__lag").as("best_lag"), col("n_pairs"),
+        round(col("__r"), 6).as("r"))
+  }
+
+  /** Hot-streak report: for each group, the LONGEST run of consecutive
+    * hours with activity strictly above the group's median hourly count
+    * — "how long do surges last", the gaps-and-islands census a
+    * capacity planner sizes burst headroom from.
+    *
+    * Exactness: the median is the exact distinct-value cumsum rank cut
+    * ([[trimmedMean]] discipline, doubled to stay integral under even
+    * counts: 2x > 2·median ⟺ above); islands come from the classic
+    * `hour − row_number()` constant-key trick over the group-partitioned
+    * hour window (consecutive OBSERVED hours — a silent hour breaks a
+    * streak by definition here, since it cannot be "above median");
+    * everything is integer, the winner is a deterministic (len desc,
+    * start) cut. Scale shape: corpus → hour frame, then hour-scale
+    * windows.
+    *
+    * @return (group, median2 /2-scaled exact median/, n_streaks,
+    *         longest_hours, longest_start, longest_end) */
+  def hotStreaks(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // median census + streak pass share it
+    // exact median in doubled units via the distinct-value cumsum
+    val vc = h.groupBy(col("__g"), col("__x")).agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"))))
+    val tot = vc.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val med = cum.join(tot, Seq("__g"))
+      .groupBy(col("__g"), col("__n"))
+      .agg((min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__x"))) +
+        min(when(col("__cum") >= expr("__n div 2 + 1"), col("__x"))))
+        .as("__med2"))
+    val above = h.join(broadcast(med.select(col("__g"), col("__med2"))),
+      Seq("__g"))
+      .filter(col("__x") * 2 > col("__med2"))
+    val islands = above
+      .withColumn("__grp",
+        col("__h") - row_number().over(
+          Window.partitionBy(col("__g")).orderBy(col("__h"))))
+      .groupBy(col("__g"), col("__grp"))
+      .agg(count(lit(1)).as("__len"), min(col("__h")).as("__start"),
+        max(col("__h")).as("__end"))
+    islands
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__len").desc, col("__start").asc)))
+      .withColumn("__ns", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+      .filter(col("__rk") === 1)
+      .join(med.select(col("__g"), col("__med2")), Seq("__g"))
+      .select(col("__g").as(groupCol),
+        round(col("__med2").cast("double") / lit(2.0), 6).as("median"),
+        col("__ns").as("n_streaks"),
+        col("__len").as("longest_hours"),
+        col("__start").as("longest_start"),
+        col("__end").as("longest_end"))
+  }
+
   /** Classical additive seasonal decomposition per group (the
     * moving-average method, Macaulay 1931 — the model STL refines):
     * x = trend + seasonal + residual over the hourly series, with

@@ -645,6 +645,68 @@ object EventStreams {
         sum(col("n_transitions")).over(byFrom).cast("double")).as("p"))
   }
 
+  /** Sequence predictability report: Shannon entropy of the next event
+    * type, unconditional H(next) vs conditional on the previous step
+    * H(next | prev), both in bits, over [[eventTransitions]]' exact
+    * count matrix — predictability = 1 − H(next|prev)/H(next) is the
+    * share of next-step uncertainty the previous step already resolves
+    * (≈ 0: the funnel is memoryless noise; → 1: journeys are
+    * near-deterministic and a Markov attribution / next-step cache is
+    * worth wiring).
+    *
+    * Exactness: all cell/marginal counts integral (type-vocab-bounded
+    * frames); each entropy is a SINGLE pinned-order fold over its cell
+    * list — H(next|prev) = Σ c/N·log₂(cf/c) folded in (from, to) order,
+    * H(next) = Σ ct/N·log₂(N/ct) in to-order (the mutualInformation
+    * sorted-fold discipline), one 6-round each.
+    *
+    * @return one row: (n_transitions, n_states, h_next_bits,
+    *         h_cond_bits, predictability) */
+  def transitionEntropy(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val cells = eventTransitions(events, userCol, tsCol, typeCol, idCol)
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+      .localCheckpoint(true) // marginals + both folds share it
+    val fromTot = cells.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("__cf"))
+    val toTot = cells.groupBy(col("to_type"))
+      .agg(sum(col("n_transitions")).as("__ct"))
+    val grand = broadcast(cells.agg(
+      sum(col("n_transitions")).as("__n"),
+      countDistinct(col("to_type")).as("n_states")))
+    val lg2 = math.log(2.0)
+    val condTerms = cells.join(fromTot, Seq("from_type")).crossJoin(grand)
+      .select(col("from_type"), col("to_type"),
+        (col("n_transitions").cast("double") / col("__n").cast("double") *
+          (log(col("__cf").cast("double") /
+            col("n_transitions").cast("double")) / lit(lg2))).as("__term"))
+    val hCond = condTerms
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("from_type"), col("to_type"),
+          col("__term")))),
+        lit(0.0), (acc, x) => acc + x("__term")).as("h_cond_bits"))
+    val nextTerms = toTot.crossJoin(grand)
+      .select(col("to_type"),
+        (col("__ct").cast("double") / col("__n").cast("double") *
+          (log(col("__n").cast("double") / col("__ct").cast("double")) /
+            lit(lg2))).as("__term"))
+    val hNext = nextTerms
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("to_type"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x("__term")).as("h_next_bits"))
+    grand.crossJoin(broadcast(hNext)).crossJoin(broadcast(hCond))
+      .select(col("__n").as("n_transitions"), col("n_states"),
+        round(col("h_next_bits"), 6).as("h_next_bits"),
+        round(col("h_cond_bits"), 6).as("h_cond_bits"),
+        when(col("h_next_bits") > 0.0,
+          round(lit(1.0) - col("h_cond_bits") / col("h_next_bits"), 6))
+          .as("predictability"))
+  }
+
   /** Per-user inter-arrival burstiness (Goh & Barabási 2008): B =
     * (σ−μ)/(σ+μ) over the user's event gaps — the behavioral signature
     * that separates Poisson-like humans (B ≈ 0), metronomic bots

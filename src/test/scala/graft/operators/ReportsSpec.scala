@@ -983,6 +983,50 @@ class ReportsSpec extends SparkSpec {
     Reports.spearmanCorr(flat).collect()(0).isNullAt(1) shouldBe true
   }
 
+  behavior of "leadLag"
+
+  it should "recover a planted offset in either direction" in {
+    // series b repeats series a 2 hours later; series c LEADS a by 1
+    // (grids offset from hour 6 so no series touches negative hours —
+    // trunc division would fold hour -1 into hour 0 and corrupt counts)
+    def emit(t: String, h: Int, n: Int) =
+      (0 until n).map(i => (t, h * 3600000000L + i * 1000L))
+    val base = (0 until 72).map(h => 3 + (h * h % 11))
+    val ev = (base.zipWithIndex.flatMap { case (n, h) => emit("a", h + 6, n) } ++
+      base.zipWithIndex.flatMap { case (n, h) => emit("b", h + 8, n) } ++
+      base.zipWithIndex.flatMap { case (n, h) => emit("c", h + 5, n) })
+      .toDF("event_type", "ts")
+    val got = Reports.leadLag(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    got(("a", "b"))._1 shouldBe 2L // b trails a by 2
+    got(("a", "b"))._2 shouldBe 1.0 +- 1e-9
+    got(("a", "c"))._1 shouldBe -1L // c leads a by 1
+    got(("a", "c"))._2 shouldBe 1.0 +- 1e-9
+  }
+
+  behavior of "hotStreaks"
+
+  it should "find the longest above-median island with exact medians" in {
+    // 11 hours, six 1s and five 9s: exact median 1 (doubled 2);
+    // above-median islands = {3,4} and {6,7,8} -> longest 3 @ hours 6-8
+    val counts = Seq(1, 1, 1, 9, 9, 1, 9, 9, 9, 1, 1)
+    val ev = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val r = Reports.hotStreaks(ev).collect()(0)
+    r.getDouble(1) shouldBe 1.0 +- 1e-9 // median
+    r.getLong(2) shouldBe 2L // n_streaks
+    r.getLong(3) shouldBe 3L // longest
+    r.getLong(4) shouldBe 6L
+    r.getLong(5) shouldBe 8L
+    // a constant series has nothing above its own median: empty report
+    val flat = (0 until 10).flatMap(h =>
+      (0 until 4).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    Reports.hotStreaks(flat).count() shouldBe 0L
+  }
+
   behavior of "dpQuantile"
 
   it should "concentrate on the true quantile at high epsilon and replay deterministically" in {

@@ -496,6 +496,28 @@ class EventStreamsSpec extends SparkSpec {
     got.values.map(_._2).sum shouldBe 3000000L // 10^6 per credited conversion
   }
 
+  "transitionEntropy" should "report 1 for deterministic chains and less for mixed ones" in {
+    def ev(u: Long, i: Int, t: String) =
+      (i.toLong + u * 1000L, u * 10000000000L + i * 1000000L, u, t, 1.0)
+    // every user strictly alternates a->b->a->b: knowing prev fully
+    // determines next (H_cond = 0, predictability = 1) while the
+    // marginal is a coin flip (H_next = 1 bit)
+    val det = (1L to 5L).flatMap(u => (0 until 20).map(i =>
+      ev(u, i, if (i % 2 == 0) "a" else "b")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStreams.transitionEntropy(det).collect()(0)
+    r.getAs[Double]("h_next_bits") shouldBe 1.0 +- 0.01
+    r.getAs[Double]("h_cond_bits") shouldBe 0.0 +- 1e-9
+    r.getAs[Double]("predictability") shouldBe 1.0 +- 0.01
+    // hash-scrambled next steps: prev resolves (almost) nothing
+    val mixed = (1L to 5L).flatMap(u => (0 until 40).map(i =>
+      ev(u, i, "t" + (math.abs(scala.util.hashing.MurmurHash3
+        .stringHash(s"$u:$i")) % 2))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = EventStreams.transitionEntropy(mixed).collect()(0)
+    m.getAs[Double]("predictability") should be < 0.3
+  }
+
   "holtWintersBacktest" should "score only past the warmup and prefer the learnable series" in {
     def series(f: Int => Int) = (0 until 240).flatMap(h =>
       (0 until f(h)).map(i => ("g", h * 3600000000L + i * 1000L)))
