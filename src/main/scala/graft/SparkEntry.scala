@@ -2504,6 +2504,12 @@ object SparkEntry {
     "daily_quantiles" -> ((s, d) =>
       graft.operators.Reports.dailyQuantiles(eventsUs(s, d))),
 
+    // Seasonality-aware anomalies: hours whose decomposition residual
+    // exceeds 3x the residual MAD — rank-selected median/MAD over the
+    // 6-rounded residuals, one IEEE cut
+    "seasonal_anomalies" -> ((s, d) =>
+      graft.operators.Reports.seasonalAnomalies(eventsUs(s, d))),
+
     // Spearman rank correlation of per-user activity vs value mass:
     // Pearson over doubled midranks (tie-exact integers via the banded
     // rank census), five decimal moment sums, one IEEE finish
@@ -2761,6 +2767,44 @@ object SparkEntry {
   private def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared WITH-prefix for the seasonal-decomposition oracles
+    * (`seasonal_decompose`, `seasonal_anomalies`): the dense-window MA
+    * detrend + pinned-fold seasonal means, ending at CTE
+    * `dec(g, hh, x, trend, seasonal, residual)` with 6-rounded
+    * components. */
+  private val seasonalDecSql: String =
+    """WITH h AS (
+      |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, count(*) OVER win AS wn,
+      |    CAST(sum(x) OVER win AS BIGINT) AS ws
+      |  FROM h WINDOW win AS (PARTITION BY g ORDER BY hh
+      |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |tr AS (
+      |  SELECT g, hh, x, CAST(ws AS DOUBLE) / 25.0 AS trend,
+      |    CAST(x AS DOUBLE) - CAST(ws AS DOUBLE) / 25.0 AS d,
+      |    hh % 24 AS hod
+      |  FROM w WHERE wn = 25),
+      |sh AS (
+      |  SELECT g, hod,
+      |    list_reduce(list_prepend(0.0, list(d ORDER BY hh)),
+      |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sraw
+      |  FROM tr GROUP BY 1, 2),
+      |sb AS (
+      |  SELECT g,
+      |    list_reduce(list_prepend(0.0, list(sraw ORDER BY hod)),
+      |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sbar
+      |  FROM sh GROUP BY 1),
+      |se AS (SELECT sh.g, hod, sraw - sbar AS seas
+      |       FROM sh JOIN sb ON sh.g = sb.g),
+      |dec AS (
+      |  SELECT tr.g, hh, x,
+      |    round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+      |    round(d - seas, 6) AS residual
+      |  FROM tr JOIN se ON tr.g = se.g AND tr.hod = se.hod)""".stripMargin
 
   /** Shared WITH-prefix for the BFS-walk oracles (`graph_bfs`,
     * `graph_hop_histogram`): the 3-NN edge construction plus the
@@ -8167,36 +8211,44 @@ object SparkEntry {
     // (wn = 25 filter), identical detrend shape, pinned hour-/phase-
     // ordered folds for the two cross-row double means
     "seasonal_decompose" ->
-      """WITH h AS (
-        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
-        |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT *, count(*) OVER win AS wn,
-        |    CAST(sum(x) OVER win AS BIGINT) AS ws
-        |  FROM h WINDOW win AS (PARTITION BY g ORDER BY hh
-        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |tr AS (
-        |  SELECT g, hh, x, CAST(ws AS DOUBLE) / 25.0 AS trend,
-        |    CAST(x AS DOUBLE) - CAST(ws AS DOUBLE) / 25.0 AS d,
-        |    hh % 24 AS hod
-        |  FROM w WHERE wn = 25),
-        |sh AS (
-        |  SELECT g, hod,
-        |    list_reduce(list_prepend(0.0, list(d ORDER BY hh)),
-        |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sraw
-        |  FROM tr GROUP BY 1, 2),
-        |sb AS (
-        |  SELECT g,
-        |    list_reduce(list_prepend(0.0, list(sraw ORDER BY hod)),
-        |      (p, q) -> p + q) / CAST(count(*) AS DOUBLE) AS sbar
-        |  FROM sh GROUP BY 1),
-        |se AS (SELECT sh.g, hod, sraw - sbar AS seas
-        |       FROM sh JOIN sb ON sh.g = sb.g)
-        |SELECT tr.g AS event_type, hh AS hour_id, x AS n_events,
-        |  round(trend, 6) AS trend, round(seas, 6) AS seasonal,
-        |  round(d - seas, 6) AS residual
-        |FROM tr JOIN se ON tr.g = se.g AND tr.hod = se.hod""".stripMargin,
+      s"""$seasonalDecSql
+         |SELECT g AS event_type, hh AS hour_id, x AS n_events,
+         |  trend, seasonal, residual
+         |FROM dec""".stripMargin,
+
+    // mirrors Reports.seasonalAnomalies: the decomposition prefix, then
+    // rank-selected median/MAD over the 6-rounded residuals and the
+    // identical dev > 3·MAD cut
+    "seasonal_anomalies" ->
+      s"""$seasonalDecSql,
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY g
+         |      ORDER BY residual, hh) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM dec),
+         |med AS (
+         |  SELECT g, (max(CASE WHEN rn = (n + 1) // 2 THEN residual END)
+         |           + max(CASE WHEN rn = n // 2 + 1 THEN residual END))
+         |           / 2.0 AS medr
+         |  FROM rk GROUP BY g),
+         |dv AS (
+         |  SELECT dec.g, hh, x, residual, medr,
+         |    abs(residual - medr) AS dev
+         |  FROM dec JOIN med ON dec.g = med.g),
+         |dr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY g
+         |      ORDER BY dev, hh) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM dv),
+         |mad AS (
+         |  SELECT g, (max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+         |           + max(CASE WHEN rn = n // 2 + 1 THEN dev END))
+         |           / 2.0 AS madr
+         |  FROM dr GROUP BY g)
+         |SELECT dv.g AS event_type, hh AS hour_id, x AS n_events,
+         |  residual, round(medr, 6) AS med_resid, round(madr, 6) AS mad_resid
+         |FROM dv JOIN mad ON dv.g = mad.g
+         |WHERE dev > 3.0 * madr""".stripMargin,
 
     // mirrors Reports.dailyQuantiles: distinct-value cumsum ranks per
     // (type, day), the same integer target-rank cuts

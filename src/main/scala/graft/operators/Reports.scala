@@ -1496,6 +1496,57 @@ object Reports {
         round(col("__d") - col("__seas"), 6).as("residual"))
   }
 
+  /** Seasonality-aware anomaly detection: hours whose
+    * [[seasonalDecompose]] RESIDUAL deviates from the residual median
+    * by more than `k`× the residual MAD — the detector that stays
+    * quiet through the nightly lull and the weekday peak the plain
+    * z-score detectors ([[graft.SparkEntry]]'s window_anomalies family)
+    * must alert through, because trend and season are subtracted
+    * before scoring.
+    *
+    * Determinism: residuals are the decomposition's 6-rounded doubles;
+    * median and MAD are exact rank selections over them (rows at ranks
+    * ⌊(n+1)/2⌋ and ⌊n/2⌋+1 averaged, (value, hour) total order), and
+    * the cut `dev > k·MAD` is one IEEE comparison — all replayed by
+    * the same SQL. A zero-MAD group (over half its residuals
+    * identical) flags every nonzero deviation, the standard MAD-filter
+    * degeneracy, documented.
+    *
+    * @return flagged hours: (group, hour_id, n_events, residual,
+    *         med_resid, mad_resid) */
+  def seasonalAnomalies(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      period: Int = 24,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val dec = seasonalDecompose(events, groupCol, tsCol, hourUs, period)
+      .localCheckpoint(true) // median, MAD and the cut share it
+    val wAll = Window.partitionBy(col(groupCol))
+    def medianOf(df: DataFrame, valueCol: String, outCol: String) =
+      df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(valueCol), col("hour_id"))))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy(col(groupCol))
+        .agg(((max(when(col("__rn") === expr("(__n + 1) div 2"),
+          col(valueCol))) +
+          max(when(col("__rn") === expr("__n div 2 + 1"), col(valueCol)))) /
+          lit(2.0)).as(outCol))
+    val med = medianOf(dec, "residual", "__medr")
+    val dv = dec.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("residual") - col("__medr")))
+    val mad = medianOf(dv, "__dev", "__madr")
+    dv.join(broadcast(mad), Seq(groupCol))
+      .filter(col("__dev") > lit(k) * col("__madr"))
+      .select(col(groupCol), col("hour_id"), col("n_events"),
+        col("residual"),
+        round(col("__medr"), 6).as("med_resid"),
+        round(col("__madr"), 6).as("mad_resid"))
+  }
+
   /** Per-day exact quantile trend: p50/p90 of the value column for
     * every (group, day) — "how is the metric's distribution drifting
     * day over day", the banded sibling of [[graft.stats.Descriptive]]'s

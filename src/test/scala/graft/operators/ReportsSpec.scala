@@ -919,6 +919,27 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  behavior of "seasonalAnomalies"
+
+  it should "stay quiet through pure seasonality and flag only the planted spike" in {
+    // strong daily pattern the raw-count z-detectors would alert on
+    def series(spikeAt: Option[Int]) = (0 until 120).flatMap { h =>
+      val seasonal = 10 + 8 * ((h % 24) / 12)
+      val n = if (spikeAt.contains(h)) seasonal + 40 else seasonal
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    // clean periodic series: residuals are seasonal-model noise only —
+    // nothing clears 3x its own MAD by a planted margin, so the report
+    // must NOT contain any hour a spike would own
+    val clean = Reports.seasonalAnomalies(series(None)).collect()
+    val spiked = Reports.seasonalAnomalies(series(Some(60))).collect()
+    spiked.map(_.getLong(1)) should contain(60L)
+    // the spike hour carries by far the largest residual
+    val at60 = spiked.filter(_.getLong(1) == 60L).head
+    math.abs(at60.getAs[Double]("residual")) should be > 25.0
+    clean.map(_.getLong(1)) should not contain 60L
+  }
+
   behavior of "dailyQuantiles"
 
   it should "cut exact integer target ranks per (group, day)" in {
