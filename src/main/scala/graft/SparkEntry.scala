@@ -2488,6 +2488,21 @@ object SparkEntry {
     "hot_streaks" -> ((s, d) =>
       graft.operators.Reports.hotStreaks(eventsUs(s, d))),
 
+    // Coverage-gap census: silent-hour accounting per type — integer
+    // consecutive-hour diffs, deterministic longest-gap winner
+    "coverage_gaps" -> ((s, d) =>
+      graft.operators.Reports.coverageGaps(eventsUs(s, d))),
+
+    // Weekday-vs-weekend Welch t per type over hourly counts: exact
+    // class moments, n-scaled variance shapes, Welch–Satterthwaite df
+    "weekend_effect" -> ((s, d) =>
+      graft.operators.Reports.weekendEffect(eventsUs(s, d))),
+
+    // Ingest freshness: last hour, frontier lag, final-day volume —
+    // two keyed aggs + a 1-row frontier broadcast, all integers
+    "freshness" -> ((s, d) =>
+      graft.operators.Reports.freshness(eventsUs(s, d))),
+
     // Sequence predictability: H(next) vs H(next|prev) in bits over the
     // exact transition matrix, pinned-order entropy folds
     "transition_entropy" -> ((s, d) =>
@@ -8171,6 +8186,102 @@ object SparkEntry {
         |  ns AS n_streaks, len AS longest_hours,
         |  s AS longest_start, e AS longest_end
         |FROM best JOIN med ON best.g = med.g WHERE rk = 1""".stripMargin,
+
+    // mirrors Reports.coverageGaps: the same lag-window hour diffs and
+    // (len desc, start) winner, zero-filled gapless groups
+    "coverage_gaps" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT g, hh,
+        |         lag(hh) OVER (PARTITION BY g ORDER BY hh) AS prev
+        |       FROM h),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(max(hh) - min(hh) + 1 AS BIGINT) AS span_hours
+        |  FROM h GROUP BY 1),
+        |gp AS (
+        |  SELECT g, CAST(hh - prev - 1 AS BIGINT) AS len,
+        |    CAST(prev + 1 AS BIGINT) AS s, CAST(hh - 1 AS BIGINT) AS e
+        |  FROM lg WHERE prev IS NOT NULL AND hh - prev > 1),
+        |best AS (
+        |  SELECT g, len, s, e,
+        |    row_number() OVER (PARTITION BY g ORDER BY len DESC, s) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM gp)
+        |SELECT tot.g AS event_type, n_hours, span_hours,
+        |  CAST(span_hours - n_hours AS BIGINT) AS missing_hours,
+        |  coalesce(ng, 0) AS n_gaps, coalesce(len, 0) AS max_gap,
+        |  s AS max_gap_start, e AS max_gap_end
+        |FROM tot LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  ON tot.g = b.g""".stripMargin,
+
+    // mirrors Reports.weekendEffect: identical n-scaled variance-over-n
+    // shapes (vwd/vwe as CTE columns — same IEEE values), the same
+    // guarded t and Welch–Satterthwaite df chains
+    "weekend_effect" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT g, x, ((hh // 24) % 7) >= 5 AS we FROM h),
+        |m AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_wd,
+        |    CAST(sum(CASE WHEN NOT we THEN x ELSE 0 END) AS BIGINT)
+        |      AS s_wd,
+        |    sum(CASE WHEN NOT we THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS ss_wd,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+        |    CAST(sum(CASE WHEN we THEN x ELSE 0 END) AS BIGINT) AS s_we,
+        |    sum(CASE WHEN we THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS ss_we
+        |  FROM f GROUP BY 1),
+        |v AS (
+        |  SELECT *,
+        |    (CAST(n_wd AS DOUBLE) * CAST(ss_wd AS DOUBLE)
+        |      - CAST(s_wd AS DOUBLE) * CAST(s_wd AS DOUBLE))
+        |      / (CAST(n_wd AS DOUBLE) * (CAST(n_wd AS DOUBLE) - 1.0))
+        |      / CAST(n_wd AS DOUBLE) AS vwd,
+        |    (CAST(n_we AS DOUBLE) * CAST(ss_we AS DOUBLE)
+        |      - CAST(s_we AS DOUBLE) * CAST(s_we AS DOUBLE))
+        |      / (CAST(n_we AS DOUBLE) * (CAST(n_we AS DOUBLE) - 1.0))
+        |      / CAST(n_we AS DOUBLE) AS vwe
+        |  FROM m),
+        |z AS (SELECT *, vwd + vwe AS se2 FROM v)
+        |SELECT g AS event_type, n_wd, n_we,
+        |  CASE WHEN n_wd > 0
+        |    THEN round(CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE), 6)
+        |  END AS mean_wd,
+        |  CASE WHEN n_we > 0
+        |    THEN round(CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE), 6)
+        |  END AS mean_we,
+        |  CASE WHEN n_wd >= 2 AND n_we >= 2 AND se2 > 0.0
+        |    THEN round((CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)
+        |      - CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
+        |      / sqrt(se2), 6)
+        |  END AS t_welch,
+        |  CASE WHEN n_wd >= 2 AND n_we >= 2 AND se2 > 0.0
+        |    THEN round(se2 * se2
+        |      / (vwd * vwd / (CAST(n_wd AS DOUBLE) - 1.0)
+        |       + vwe * vwe / (CAST(n_we AS DOUBLE) - 1.0)), 6)
+        |  END AS df
+        |FROM z""".stripMargin,
+
+    // mirrors Reports.freshness: frontier broadcast + per-type census
+    "freshness" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh
+        |  FROM events),
+        |fr AS (SELECT CAST(max(hh) AS BIGINT) AS front FROM e)
+        |SELECT g AS event_type, CAST(max(hh) AS BIGINT) AS last_hour,
+        |  CAST(front - max(hh) AS BIGINT) AS hours_behind,
+        |  CAST(sum(CASE WHEN hh > front - 24 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_last_24h,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM e, fr GROUP BY g, front""".stripMargin,
 
     // mirrors EventStreams.transitionEntropy: the same lag-window
     // transition census, pinned (from,to)- and to-ordered entropy folds

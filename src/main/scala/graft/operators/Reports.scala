@@ -1496,6 +1496,139 @@ object Reports {
         round(col("__d") - col("__seas"), 6).as("residual"))
   }
 
+  /** Coverage-gap census — the COLD sibling of [[hotStreaks]]: per
+    * group, how much of the observed hour span is silent, how many
+    * distinct gaps there are, and where the longest one sits — the
+    * first question after "is the pipeline even delivering" (a stuck
+    * upstream shows up here hours before any statistical detector).
+    *
+    * Exactness: gaps are integer differences of consecutive OBSERVED
+    * hours (one group-partitioned lag window over the hour frame); the
+    * longest-gap winner is a deterministic (len desc, start) cut; all
+    * outputs integral. Scale shape: corpus → hour frame, then
+    * hour-scale windows.
+    *
+    * @return (group, n_hours, span_hours, missing_hours, n_gaps,
+    *         max_gap, max_gap_start, max_gap_end); groups with no gap
+    *         report zeros and NULL bounds */
+  def coverageGaps(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+    val lagged = h.withColumn("__prev",
+      lag(col("__h"), 1).over(
+        Window.partitionBy(col("__g")).orderBy(col("__h"))))
+    val tot = h.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_hours"),
+        (max(col("__h")) - min(col("__h")) + 1L).as("span_hours"))
+    val gaps = lagged
+      .filter(col("__prev").isNotNull && col("__h") - col("__prev") > 1L)
+      .select(col("__g"), (col("__h") - col("__prev") - 1L).as("__len"),
+        (col("__prev") + 1L).as("__start"), (col("__h") - 1L).as("__end"))
+    val best = gaps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__len").desc, col("__start").asc)))
+      .withColumn("__ng", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+      .filter(col("__rk") === 1)
+      .select(col("__g"), col("__ng"), col("__len"), col("__start"),
+        col("__end"))
+    tot.join(best, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_hours"), col("span_hours"),
+        (col("span_hours") - col("n_hours")).as("missing_hours"),
+        coalesce(col("__ng"), lit(0L)).as("n_gaps"),
+        coalesce(col("__len"), lit(0L)).as("max_gap"),
+        col("__start").as("max_gap_start"),
+        col("__end").as("max_gap_end"))
+  }
+
+  /** Weekday-vs-weekend contrast per group: Welch's unequal-variance t
+    * (Welch 1947) between the two classes of hourly counts, with the
+    * Welch–Satterthwaite df — "does this metric actually behave
+    * differently on weekends", the covariate contrast the hash-armed
+    * [[abTest]] cannot ask. Weekend = epoch-day mod 7 ∈ {5, 6} (the
+    * [[seasonalProfile]] stable relabeling — calendar alignment is a
+    * rename).
+    *
+    * Exactness: per-class n/Σx/Σx² are exact integers; sample
+    * variances use the n-scaled form (n·Σx² − (Σx)²)/(n·(n−1)) as ONE
+    * IEEE expression each, then t and df are fixed IEEE chains over
+    * them — identical textual shape in the SQL replay. Degenerate
+    * classes (n < 2 or both variances zero) emit stated NULLs.
+    *
+    * @return (group, n_wd, n_we, mean_wd, mean_we, t_welch, df),
+    *         6-rounded */
+  def weekendEffect(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__we", expr("(__h div 24) % 7") >= 5L)
+    def side(flag: Boolean, sfx: String) = Seq(
+      sum(when(col("__we") === flag, 1L).otherwise(0L)).as(s"n_$sfx"),
+      sum(when(col("__we") === flag, col("__x")).otherwise(0L))
+        .as(s"__s_$sfx"),
+      sum(when(col("__we") === flag,
+        col("__x").cast("decimal(19,0)") * col("__x")).otherwise(lit(0)))
+        .as(s"__ss_$sfx"))
+    val aggs = side(false, "wd") ++ side(true, "we")
+    val m = h.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"__s_$s").cast("double") / nD(s)
+    // sample variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+    def vOver(s: String) = // v/n in one shape
+      (nD(s) * col(s"__ss_$s").cast("double") -
+        col(s"__s_$s").cast("double") * col(s"__s_$s").cast("double")) /
+        (nD(s) * (nD(s) - lit(1.0))) / nD(s)
+    val se2 = vOver("wd") + vOver("we")
+    val ok = col("n_wd") >= 2L && col("n_we") >= 2L && se2 > 0.0
+    val t = (mean("wd") - mean("we")) / sqrt(se2)
+    val df = se2 * se2 /
+      (vOver("wd") * vOver("wd") / (nD("wd") - lit(1.0)) +
+        vOver("we") * vOver("we") / (nD("we") - lit(1.0)))
+    m.select(col("__g").as(groupCol), col("n_wd"), col("n_we"),
+      when(col("n_wd") > 0L, round(mean("wd"), 6)).as("mean_wd"),
+      when(col("n_we") > 0L, round(mean("we"), 6)).as("mean_we"),
+      when(ok, round(t, 6)).as("t_welch"),
+      when(ok, round(df, 6)).as("df"))
+  }
+
+  /** Ingest freshness report: per group, the last observed hour, how
+    * many hours it trails the stream's frontier, and the final-day
+    * volume beside the lifetime total — the staleness dashboard row
+    * ("source X stopped 6 hours ago; source Y is alive but thin").
+    * All-integer: two keyed aggs plus a 1-row frontier broadcast.
+    *
+    * @return (group, last_hour, hours_behind, n_last_24h, n_total) */
+  def freshness(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val e = events.select(col(groupCol).as("__g"),
+      expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+    val frontier = broadcast(e.agg(max(col("__h")).as("__front")))
+    e.crossJoin(frontier)
+      .groupBy(col("__g"), col("__front"))
+      .agg(max(col("__h")).as("last_hour"),
+        sum(when(col("__h") > col("__front") - 24L, 1L).otherwise(0L))
+          .as("n_last_24h"),
+        count(lit(1)).as("n_total"))
+      .select(col("__g").as(groupCol), col("last_hour"),
+        (col("__front") - col("last_hour")).as("hours_behind"),
+        col("n_last_24h"), col("n_total"))
+  }
+
   /** Seasonality-aware anomaly detection: hours whose
     * [[seasonalDecompose]] RESIDUAL deviates from the residual median
     * by more than `k`× the residual MAD — the detector that stays

@@ -919,6 +919,67 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  behavior of "coverageGaps"
+
+  it should "account for silent spans and locate the longest one" in {
+    // observed hours 0,1,5,6,7,12: gaps 2-4 (len 3) and 8-11 (len 4)
+    val ev = Seq(0, 1, 5, 6, 7, 12).flatMap(h =>
+      (0 until 2).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val r = Reports.coverageGaps(ev).collect()(0)
+    r.getLong(1) shouldBe 6L // n_hours
+    r.getLong(2) shouldBe 13L // span
+    r.getLong(3) shouldBe 7L // missing
+    r.getLong(4) shouldBe 2L // n_gaps
+    r.getLong(5) shouldBe 4L // max gap
+    r.getLong(6) shouldBe 8L
+    r.getLong(7) shouldBe 11L
+    // a dense series: zeros and NULL bounds, not a missing row
+    val dense = (0 until 5).flatMap(h =>
+      (0 until 2).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val d = Reports.coverageGaps(dense).collect()(0)
+    d.getLong(4) shouldBe 0L
+    d.getLong(5) shouldBe 0L
+    d.isNullAt(6) shouldBe true
+  }
+
+  behavior of "weekendEffect"
+
+  it should "separate a planted weekend lift and match the hand Welch t" in {
+    // 3 full weeks: weekday hours 10 events, weekend hours 10 + (h%3)
+    // noise + 12 lift — strongly separated classes
+    val ev = (0 until 21 * 24).flatMap { h =>
+      val we = (h / 24) % 7 >= 5
+      val n = if (we) 22 + h % 3 else 10 + h % 3
+      (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
+    }.toDF("event_type", "ts")
+    val r = Reports.weekendEffect(ev).collect()(0)
+    r.getLong(1) shouldBe 15L * 24L // weekday hours
+    r.getLong(2) shouldBe 6L * 24L
+    r.getAs[Double]("mean_wd") shouldBe 11.0 +- 0.01
+    r.getAs[Double]("mean_we") shouldBe 23.0 +- 0.01
+    r.getAs[Double]("t_welch") should be < -100.0 // huge separation
+    r.getAs[Double]("df") should be > 100.0
+  }
+
+  behavior of "freshness"
+
+  it should "measure frontier lag and final-day volume per type" in {
+    // type a alive at the frontier (hour 100), type b stopped at hour 90
+    val ev = ((90 to 100).flatMap(h => (0 until 2).map(i =>
+      ("a", h * 3600000000L + i * 1000L))) ++
+      (80 to 90).flatMap(h => (0 until 3).map(i =>
+        ("b", h * 3600000000L + i * 1000L))))
+      .toDF("event_type", "ts")
+    val got = Reports.freshness(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got("a") shouldBe ((100L, 0L, 22L, 22L)) // all 11 hours in window
+    // b: last 90, behind 10; hours > 76 -> 77..90 observed = 80..90
+    got("b") shouldBe ((90L, 10L, 33L, 33L))
+  }
+
   behavior of "seasonalAnomalies"
 
   it should "stay quiet through pure seasonality and flag only the planted spike" in {
