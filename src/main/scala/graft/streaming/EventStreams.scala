@@ -990,7 +990,7 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (tpe: String, it: Iterator[Event], state: GroupState[SsState]) =>
           val st = state.getOption.getOrElse(SsState(Seq.empty, 0L))
-          var table = scala.collection.mutable.Map(
+          val table = scala.collection.mutable.Map(
             st.entries.map(e => e.user -> (e.n, e.err)): _*)
           var processed = st.processed
           it.foreach { e =>

@@ -910,7 +910,7 @@ class ReportsSpec extends SparkSpec {
     val sr = Reports.seasonalDecompose(spiky).collect()
     val byPhase = sr.groupBy(r => r.getAs[Long]("hour_id") % 24)
     val s0 = byPhase(0L).map(_.getAs[Double]("seasonal")).head
-    byPhase.filterKeys(_ != 0L).values.flatten
+    byPhase.view.filterKeys(_ != 0L).toMap.values.flatten
       .map(_.getAs[Double]("seasonal")).foreach(s => s0 should be > s + 10.0)
     sr.foreach { r =>
       (r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
