@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Direct pins for the shared banded prefix-sum census — until now it
+  * was exercised only through its consumers (mannWhitneyU, revenueGini,
+  * doubledMidranks), so a regression in the offset arithmetic would
+  * surface as three cryptic downstream failures instead of one local
+  * one. */
+class BandedSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "Banded.bandCensus"
+
+  it should "produce exclusive per-group offsets in band order and exact totals" in {
+    // group g1: bands 0 (w 3), 2 (w 5), 5 (w 1); g2: band 1 (w 4)
+    val perBand = Seq(
+      ("g1", 0L, 2L), ("g1", 0L, 1L), ("g1", 2L, 5L), ("g1", 5L, 1L),
+      ("g2", 1L, 4L))
+      .toDF("g", "__band", "w")
+    val (rows, totals) = Banded.bandCensus(perBand, Seq("g"), "w")
+    val byKey = rows.map { case (k, b, off) => (k.head, b) -> off }.toMap
+    byKey((("g1"), 0L)) shouldBe 0L
+    byKey((("g1"), 2L)) shouldBe 3L // everything in band 0
+    byKey((("g1"), 5L)) shouldBe 8L // bands 0 + 2
+    byKey((("g2"), 1L)) shouldBe 0L // offsets restart per group
+    totals(Seq("g1")) shouldBe 9L
+    totals(Seq("g2")) shouldBe 4L
+  }
+
+  it should "handle negative bands in ascending order and the empty-group case" in {
+    // trunc-div banding puts negatives below zero; the offset scan must
+    // order -2 < 0 < 3
+    val perBand = Seq((-2L, 1L), (0L, 10L), (3L, 100L))
+      .toDF("__band", "w")
+    val (rows, totals) = Banded.bandCensus(perBand, Seq(), "w")
+    rows.map { case (_, b, off) => b -> off }.toMap shouldBe
+      Map(-2L -> 0L, 0L -> 1L, 3L -> 11L)
+    totals(Seq()) shouldBe 111L
+    // empty input: no rows, no totals, no crash
+    val (er, et) = Banded.bandCensus(
+      perBand.filter(col("w") < 0), Seq(), "w")
+    er shouldBe empty
+    et shouldBe empty
+  }
+
+  it should "fail fast before any collect when the cell census exceeds maxBands" in {
+    val wide = (1L to 50L).map(b => (b, 1L)).toDF("__band", "w")
+    val e = intercept[IllegalArgumentException] {
+      Banded.bandCensus(wide, Seq(), "w", maxBands = 10L)
+    }
+    e.getMessage should include("maxBands")
+  }
+}

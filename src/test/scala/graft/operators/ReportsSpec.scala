@@ -1087,6 +1087,21 @@ class ReportsSpec extends SparkSpec {
     got(("a", "c"))._2 shouldBe 1.0 +- 1e-9
   }
 
+  it should "emit a stated NULL winner when one series is constant" in {
+    // series d is flat: zero variance at every lag -> every r NULL; the
+    // winner row still ships (NULLs-last ordering picks lag -6) with a
+    // NULL r rather than an ANSI crash or a dropped pair
+    val ev = ((0 until 48).flatMap(h => (0 until (3 + h % 5)).map(i =>
+      ("a", (h + 6) * 3600000000L + i * 1000L))) ++
+      (0 until 48).flatMap(h => (0 until 4).map(i =>
+        ("d", (h + 6) * 3600000000L + i * 1000L))))
+      .toDF("event_type", "ts")
+    val row = Reports.leadLag(ev).collect()
+      .filter(r => r.getString(0) == "a" && r.getString(1) == "d")
+    row.length shouldBe 1
+    row.head.isNullAt(4) shouldBe true
+  }
+
   behavior of "hotStreaks"
 
   it should "find the longest above-median island with exact medians" in {
