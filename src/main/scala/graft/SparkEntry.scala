@@ -2317,10 +2317,13 @@ object SparkEntry {
 
     // DP median via the exponential mechanism: distinct-value
     // candidates, utility -|rank-target|, Gumbel-max over the seeded
-    // md5-uniform — exact rank arithmetic, one fixed IEEE score shape,
-    // deterministic argmax; rank_error reports realized utility loss
+    // md5-uniform keyed per (releaseId, group, value) — exact rank
+    // arithmetic, one fixed IEEE score shape, deterministic argmax; the
+    // release ships ONLY (group, dp_quantile, epsilon) — exact
+    // quantile/count/rank-error live in dpQuantileDebug for specs
     "dp_quantile" -> ((s, d) =>
-      graft.operators.Reports.dpQuantile(t(s, d, "events"))),
+      graft.operators.Reports.dpQuantile(t(s, d, "events"),
+        releaseId = "r13")),
 
     // Snapshot drift: PSI over n_chars deciles between the even- and
     // odd-id halves of the corpus (stand-ins for yesterday/today) —
@@ -7570,24 +7573,20 @@ object SparkEntry {
         |    -abs(cum.cm - tot.target) AS u,
         |    -ln(-ln((CAST(concat('0x',
         |        substr(md5(concat('42', ':',
-        |          concat(cum.g, '|', CAST(cum.q AS VARCHAR)))), 1, 8))
+        |          concat('r13', '|', cum.g, '|',
+        |            CAST(cum.q AS VARCHAR)))), 1, 8))
         |        AS BIGINT) + 0.5) / 4294967296.0)) AS gum
         |  FROM cum JOIN tot ON cum.g = tot.g),
         |pick AS (
-        |  SELECT g, n, q, u FROM (
+        |  SELECT g, q FROM (
         |    SELECT *, row_number() OVER (PARTITION BY g
         |      ORDER BY 0.5 * CAST(u AS DOUBLE) + gum DESC, q) AS rk
         |    FROM sc)
-        |  WHERE rk = 1),
-        |ex AS (
-        |  SELECT g, min(CASE WHEN cm >= greatest(target, 1) THEN q END)
-        |           AS eq
-        |  FROM sc GROUP BY 1)
-        |SELECT pick.g AS event_type, n,
-        |  round(CAST(pick.q AS DOUBLE) / 1000.0, 6) AS dp_quantile,
-        |  round(CAST(eq AS DOUBLE) / 1000.0, 6) AS exact_quantile,
-        |  CAST(-u AS BIGINT) AS rank_error
-        |FROM pick JOIN ex ON pick.g = ex.g""".stripMargin,
+        |  WHERE rk = 1)
+        |SELECT g AS event_type,
+        |  round(CAST(q AS DOUBLE) / 1000.0, 6) AS dp_quantile,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM pick""".stripMargin,
 
     // mirrors Reports.driftPsi: dense 10-bin spine left-joined to the
     // two snapshots' binned counts, add-one smoothing, the same pinned
@@ -8225,7 +8224,7 @@ object SparkEntry {
         |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
         |    CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
-        |f AS (SELECT g, x, ((hh // 24) % 7) >= 5 AS we FROM h),
+        |f AS (SELECT g, x, (((hh // 24) + 3) % 7) >= 5 AS we FROM h),
         |m AS (
         |  SELECT g,
         |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)

@@ -371,18 +371,31 @@ object Reports {
           greatest(col("n_subwords"), lit(1L)).cast("double"), 6)
           .as("chars_per_subword"))
 
-  /** Differentially-private quantile via the EXPONENTIAL mechanism
-    * (McSherry & Talwar 2007; the standard DP-quantile instantiation,
-    * e.g. Smith 2011): candidates are the observed distinct values,
-    * utility u(v) = −|rank(v) − target|, and the release samples
-    * v ∝ exp(ε·u/2) — realized deterministically by the Gumbel-max
-    * trick with the house md5-uniform (argmax of ε·u/2 + G, G =
-    * −ln(−ln U)), so a release replays bit-for-bit in SQL. The
-    * `rank_error` column reports the realized utility loss; the same
-    * seed/secrecy caveats as [[dpCounts]] apply (determinism is the
-    * testing contract, the seed is operationally secret, and noise is
-    * keyed per (group, value) so releases over different groups don't
-    * share draws).
+  /** Quantile release via the EXPONENTIAL mechanism (McSherry & Talwar
+    * 2007; the standard DP-quantile instantiation, e.g. Smith 2011):
+    * candidates are the observed distinct values, utility u(v) =
+    * −|rank(v) − target|, and the release samples v ∝ exp(ε·u/2) —
+    * realized deterministically by the Gumbel-max trick with the house
+    * md5-uniform (argmax of ε·u/2 + G, G = −ln(−ln U)), so a release
+    * replays bit-for-bit in SQL. The release output carries ONLY the
+    * selected value (plus ε): the exact quantile, the realized rank
+    * error, and the exact group count are all withheld — publishing any
+    * of them alongside the noisy pick would void the mechanism (release
+    * counts separately through [[dpCounts]], whose ε composes
+    * additively). Specs and debugging use [[dpQuantileDebug]] instead.
+    *
+    * `releaseId` is the per-release nonce, folded into the noise key
+    * exactly as in [[dpCounts]]: WITHOUT it, repeat releases over
+    * evolving data would reuse Gumbel draws keyed only on
+    * (seed, group, value) and expose exact rank movements between
+    * snapshots. Every publication MUST carry a fresh releaseId, and ε
+    * composes additively across releases. The same seed-secrecy caveat
+    * as [[dpCounts]] applies (determinism is the testing contract).
+    * Honest-label caveat: the candidate support is the OBSERVED distinct
+    * values — a data-dependent set, so the guarantee is the folklore
+    * exponential-mechanism-over-observed-support one, not strict ε-DP
+    * over neighboring datasets (a strict variant needs a data-independent
+    * candidate grid; `quantScale` already defines one if needed).
     *
     * Scale shape: the corpus collapses to the (group, distinct value,
     * count) frame; ranks are the [[trimmedMean]] value-ordered cumsum;
@@ -391,8 +404,7 @@ object Reports {
     *
     * @param pPct target quantile in integer percent (exact rank
     *             arithmetic: target = n·pPct div 100)
-    * @return one row per group: (group, n, dp_quantile, exact_quantile,
-    *         rank_error) */
+    * @return one row per group: (group, dp_quantile, epsilon) */
   def dpQuantile(
       events: DataFrame,
       groupCol: String = "event_type",
@@ -400,9 +412,33 @@ object Reports {
       pPct: Int = 50,
       epsilon: Double = 1.0,
       seed: Long = 42L,
-      quantScale: Long = 1000L): DataFrame = {
+      quantScale: Long = 1000L,
+      releaseId: String = "r0"): DataFrame =
+    dpQuantileDebug(events, groupCol, valueCol, pPct, epsilon, seed,
+      quantScale, releaseId)
+      .select(col(groupCol), col("dp_quantile"), col("epsilon"))
+
+  /** Diagnostic tier of [[dpQuantile]]: the same mechanism, same noise
+    * key, but the output keeps the exact group count, exact quantile and
+    * realized rank error NEXT TO the noisy pick. This frame is for specs
+    * and utility audits ONLY — it is, by construction, not a private
+    * release (the whole point of [[dpQuantile]] is that these columns
+    * never ship together).
+    *
+    * @return one row per group: (group, n, dp_quantile, exact_quantile,
+    *         rank_error, epsilon) */
+  def dpQuantileDebug(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      pPct: Int = 50,
+      epsilon: Double = 1.0,
+      seed: Long = 42L,
+      quantScale: Long = 1000L,
+      releaseId: String = "r0"): DataFrame = {
     require(pPct >= 1 && pPct <= 99, s"pPct in [1,99]: $pPct")
     require(epsilon > 0 && quantScale > 0, "positive epsilon/quantScale")
+    require(releaseId.nonEmpty, "releaseId must be non-empty")
     val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
     val vc = events.select(col(groupCol).as("__g"), q.as("__q"))
       .groupBy(col("__g"), col("__q"))
@@ -413,7 +449,7 @@ object Reports {
     val tot = vc.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
       .withColumn("__target", expr(s"(__n * ${pPct}L) div 100L"))
     val bucket = graft.functions.HashFunctions.md5Bucket(seed,
-      concat_ws("|", col("__g"), col("__q").cast("string")))
+      concat_ws("|", lit(releaseId), col("__g"), col("__q").cast("string")))
     val scored = cum.join(tot, Seq("__g"))
       .withColumn("__u", -abs(col("__cum") - col("__target")))
       .withColumn("__gum",
@@ -435,7 +471,8 @@ object Reports {
           .as("dp_quantile"),
         round(col("__eq").cast("double") / lit(quantScale.toDouble), 6)
           .as("exact_quantile"),
-        (-col("__u")).as("rank_error"))
+        (-col("__u")).as("rank_error"),
+        lit(epsilon).as("epsilon"))
   }
 
   /** Differentially-private group counts: exact per-group counts plus
@@ -1248,7 +1285,8 @@ object Reports {
     * moments share it); everything after is hour-scale.
     *
     * @return (group, n_hours, r1..r6, q_stat), 6-rounded; NULL lags
-    *         (no pairs) contribute 0 to Q */
+    *         (no pairs) contribute 0 to Q, and a group with zero pairs
+    *         at EVERY lag still emits its row (all-NULL r's, q_stat 0) */
   def ljungBox(
       events: DataFrame,
       groupCol: String = "event_type",
@@ -1282,8 +1320,13 @@ object Reports {
       .groupBy(col("__g"), col("__k"))
       .agg(sum((d(col("__n")) * col("__xa") - col("__s")) *
         (d(col("__n")) * col("__xb") - col("__s"))).as("__num"))
-    // a constant series (den = 0) has no ACF: NULL lags, Q folds to 0
-    val r = nums.join(den, Seq("__g"))
+    // a constant series (den = 0) has no ACF: NULL lags, Q folds to 0.
+    // The lag grid is den × lags LEFT-joined to nums (mirroring the SQL
+    // oracle) so a degenerate group with ZERO pairs at every lag — one
+    // observed hour, or all hours further apart than maxLag — still
+    // emits its row with NULL r1..r6 and q_stat 0 instead of vanishing
+    val r = den.crossJoin(lags)
+      .join(nums, Seq("__g", "__k"), "left")
       .select(col("__g"), col("__k"),
         when(col("__den") > 0,
           col("__num").cast("double") / col("__den").cast("double"))
@@ -1552,9 +1595,11 @@ object Reports {
     * (Welch 1947) between the two classes of hourly counts, with the
     * Welch–Satterthwaite df — "does this metric actually behave
     * differently on weekends", the covariate contrast the hash-armed
-    * [[abTest]] cannot ask. Weekend = epoch-day mod 7 ∈ {5, 6} (the
-    * [[seasonalProfile]] stable relabeling — calendar alignment is a
-    * rename).
+    * [[abTest]] cannot ask. Weekend = (epoch-day + 3) mod 7 ∈ {5, 6}:
+    * epoch day 0 (1970-01-01) is a THURSDAY, so the +3 shift maps real
+    * Saturday/Sunday onto classes {5, 6} — the contrast is calendar-
+    * true on real epoch-microsecond timestamps, not just a stable
+    * relabeling of synthetic streams (UTC day boundaries, documented).
     *
     * Exactness: per-class n/Σx/Σx² are exact integers; sample
     * variances use the n-scaled form (n·Σx² − (Σx)²)/(n·(n−1)) as ONE
@@ -1573,7 +1618,8 @@ object Reports {
       .groupBy(col(groupCol).as("__g"),
         expr(s"`$tsCol` div ${hourUs}L").as("__h"))
       .agg(count(lit(1)).as("__x"))
-      .withColumn("__we", expr("(__h div 24) % 7") >= 5L)
+      // epoch day 0 is a Thursday: +3 puts real Sat/Sun at {5, 6}
+      .withColumn("__we", expr("((__h div 24) + 3) % 7") >= 5L)
     def side(flag: Boolean, sfx: String) = Seq(
       sum(when(col("__we") === flag, 1L).otherwise(0L)).as(s"n_$sfx"),
       sum(when(col("__we") === flag, col("__x")).otherwise(0L))

@@ -887,6 +887,29 @@ class ReportsSpec extends SparkSpec {
     f.getAs[Double]("q_stat") shouldBe 0.0 +- 1e-9
   }
 
+  it should "emit degenerate groups (zero lag pairs at every lag) with NULL lags and Q = 0" in {
+    // group "one": a single observed hour -> no pair exists at any lag;
+    // group "far": two hours 100 apart -> every lag 1..6 misses. Both
+    // must still appear (the oracle's den CROSS JOIN lag-grid LEFT JOIN
+    // shape), not vanish through an inner join on nums
+    val df = (
+      (0 until 4).map(i => ("one", 1000L + i.toLong)) ++
+        Seq(("far", 0L), ("far", 100L * 3600000000L)) ++
+        (0 until 48).map(h => ("ok", h * 3600000000L)))
+      .toDF("event_type", "ts")
+    val got = Reports.ljungBox(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got.keySet shouldBe Set("one", "far", "ok")
+    val one = got("one")
+    one.getAs[Long]("n_hours") shouldBe 1L
+    (2 to 7).foreach(i => one.isNullAt(i) shouldBe true) // r1..r6
+    one.getAs[Double]("q_stat") shouldBe 0.0 +- 1e-9
+    val far = got("far")
+    far.getAs[Long]("n_hours") shouldBe 2L
+    (2 to 7).foreach(i => far.isNullAt(i) shouldBe true)
+    far.getAs[Double]("q_stat") shouldBe 0.0 +- 1e-9
+  }
+
   behavior of "seasonalDecompose"
 
   it should "recover a flat series exactly and localize a planted phase spike" in {
@@ -947,10 +970,11 @@ class ReportsSpec extends SparkSpec {
   behavior of "weekendEffect"
 
   it should "separate a planted weekend lift and match the hand Welch t" in {
-    // 3 full weeks: weekday hours 10 events, weekend hours 10 + (h%3)
-    // noise + 12 lift — strongly separated classes
+    // 3 full weeks planted on the REAL calendar: epoch day 0 is a
+    // Thursday, so day d is weekend iff (d + 3) % 7 >= 5 (Sat/Sun);
+    // weekday hours 10 + (h%3) events, weekend hours +12 lift
     val ev = (0 until 21 * 24).flatMap { h =>
-      val we = (h / 24) % 7 >= 5
+      val we = (h / 24 + 3) % 7 >= 5
       val n = if (we) 22 + h % 3 else 10 + h % 3
       (0 until n).map(i => ("g", h * 3600000000L + i * 1000L))
     }.toDF("event_type", "ts")
@@ -961,6 +985,20 @@ class ReportsSpec extends SparkSpec {
     r.getAs[Double]("mean_we") shouldBe 23.0 +- 0.01
     r.getAs[Double]("t_welch") should be < -100.0 // huge separation
     r.getAs[Double]("df") should be > 100.0
+  }
+
+  it should "classify real calendar Saturdays/Sundays as weekend" in {
+    // 2026-08-15 is a Saturday, 2026-08-17 a Monday (UTC): one event
+    // each; only the Saturday hour may land in the weekend class
+    val sat = java.time.Instant.parse("2026-08-15T12:00:00Z")
+    val mon = java.time.Instant.parse("2026-08-17T12:00:00Z")
+    def us(i: java.time.Instant) =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val ev = Seq(("g", us(sat)), ("g", us(mon)))
+      .toDF("event_type", "ts")
+    val r = Reports.weekendEffect(ev).collect()(0)
+    r.getAs[Long]("n_wd") shouldBe 1L // the Monday hour
+    r.getAs[Long]("n_we") shouldBe 1L // the Saturday hour
   }
 
   behavior of "freshness"
@@ -1130,20 +1168,34 @@ class ReportsSpec extends SparkSpec {
     val df = (1 to 100).map(v => ("g", v.toDouble))
       .toDF("event_type", "value")
     // eps = 1000: utility dominates the Gumbel keys -> the rank-0-error
-    // candidate (value 50, cum = target = 50) wins outright
-    val sharp = Reports.dpQuantile(df, epsilon = 1000.0, quantScale = 1L)
-      .collect()(0)
+    // candidate (value 50, cum = target = 50) wins outright; exact
+    // quantile and rank error live ONLY on the debug tier
+    val sharp = Reports.dpQuantileDebug(
+      df, epsilon = 1000.0, quantScale = 1L).collect()(0)
     sharp.getAs[Double]("dp_quantile") shouldBe 50.0 +- 1e-9
     sharp.getAs[Double]("exact_quantile") shouldBe 50.0 +- 1e-9
     sharp.getAs[Long]("rank_error") shouldBe 0L
-    // the release is a pure function of (data, seed): two runs agree;
-    // a different seed is a different (still valid) draw
-    val a = Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L)
-      .collect()(0)
+    // the release is a pure function of (data, seed, releaseId): two
+    // runs agree; the release frame ships ONLY the noisy pick
+    val rel = Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L)
+    rel.columns.toSeq shouldBe Seq("event_type", "dp_quantile", "epsilon")
+    val a = rel.collect()(0)
     val b = Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L)
       .collect()(0)
     a.getAs[Double]("dp_quantile") shouldBe b.getAs[Double]("dp_quantile")
-    a.getAs[Long]("rank_error") should be >= 0L
+    // the release pick equals the debug tier's pick under one nonce
+    val dbg = Reports.dpQuantileDebug(df, epsilon = 0.05, quantScale = 1L)
+      .collect()(0)
+    a.getAs[Double]("dp_quantile") shouldBe
+      dbg.getAs[Double]("dp_quantile")
+    // fresh nonce = fresh Gumbel keys: across many releaseIds at low
+    // epsilon the draws move (no reuse across repeat publications)
+    val picks = Seq("r0", "r1", "r2", "r3", "r4").map(rid =>
+      Reports.dpQuantile(df, epsilon = 0.05, quantScale = 1L,
+        releaseId = rid).collect()(0).getAs[Double]("dp_quantile"))
+    picks.distinct.size should be > 1
+    an[IllegalArgumentException] should be thrownBy
+      Reports.dpQuantile(df, releaseId = "")
   }
 
   behavior of "experimentSizing"

@@ -10,7 +10,19 @@
 # headline counts from the freshly-generated artifacts, and makes the
 # snapshot commit itself. A feature commit after this one simply
 # requires running it again — there is no partial path that ships a
-# query unrecorded.
+# query unrecorded among the artifacts THIS script owns (TIMINGS_rN,
+# STRESS_rN, PLANS.md, README counts).
+#
+# Artifact ownership, explicitly: the judged BENCH_r<N>.json and
+# CORRECTNESS_r<N>.json are NOT produced here — the driver's verdict
+# flow generates both from its own sf0.1 bench run and sf0.01 DuckDB
+# oracle replay after the round ends, and commits them at the START of
+# round N+1 (e.g. commit 19bd61c "round 12: verdict/advice/
+# correctness/bench"). Steps [2] and [3] below run the SAME binaries
+# (graft.Verify + tools/check_oracle.py; graft.Bench) as pre-flight
+# equivalents, so a green close predicts a green driver pair; the
+# driver's copies are the judged record and land one round later by
+# design.
 #
 # Usage: tools/close_round.sh <round-number> [--stress]
 #   --stress additionally re-runs StressScale + StressPipeline into
