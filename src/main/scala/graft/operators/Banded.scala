@@ -43,10 +43,31 @@ object Banded {
       weightCol: String,
       maxBands: Long = 1000000L)
       : (Seq[(Seq[Any], Long, Long)], Map[Seq[Any], Long]) = {
+    val (rows, totals) =
+      bandCensusN(perBand, groupCols, Seq(weightCol), maxBands)
+    (rows.map { case (g, b, offs) => (g, b, offs.head) },
+      totals.view.mapValues(_.head).toMap)
+  }
+
+  /** [[bandCensus]] for operators carrying SEVERAL weights through one
+    * banded pass (e.g. vocabGrowth's parallel token and new-term
+    * cumsums): one guarded census, one collect, one exclusive prefix
+    * scan per weight — never two censuses over the same frame.
+    *
+    * @return (offset rows `(groupKey, band, exclusiveOffsets —
+    *         one per weightCol, in order)`, per-group grand totals) */
+  def bandCensusN(
+      perBand: DataFrame,
+      groupCols: Seq[String],
+      weightCols: Seq[String],
+      maxBands: Long = 1000000L)
+      : (Seq[(Seq[Any], Long, Seq[Long])], Map[Seq[Any], Seq[Long]]) = {
     require(maxBands > 0, "positive maxBands")
+    require(weightCols.nonEmpty, "at least one weight column")
     val keyCols = (groupCols :+ "__band").map(col)
-    val agg = perBand.groupBy(keyCols: _*)
-      .agg(sum(col(weightCol)).as("__t"))
+    val aggs = weightCols.zipWithIndex.map { case (w, i) =>
+      sum(col(w)).as(s"__t$i") }
+    val agg = perBand.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val nBands = agg.count()
     require(nBands <= maxBands,
       s"bandCensus: $nBands (group, band) cells exceed maxBands=$maxBands" +
@@ -56,16 +77,19 @@ object Banded {
     val rows = agg.collect().map { r =>
       (groupCols.indices.map(r.get).toSeq: Seq[Any],
         r.getLong(groupCols.length),
-        r.getLong(groupCols.length + 1))
+        weightCols.indices.map(i => r.getLong(groupCols.length + 1 + i)))
     }.toSeq
     val byGroup = rows.groupBy(_._1)
     val offsets = byGroup.toSeq.flatMap { case (g, rs) =>
       val sorted = rs.sortBy(_._2)
-      sorted.map(_._2)
-        .zip(sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
-        .map { case (b, off) => (g, b, off) }
+      val offs = sorted.map(_._3)
+        .scanLeft(weightCols.map(_ => 0L): Seq[Long]) { (acc, t) =>
+          acc.lazyZip(t).map(_ + _) }
+        .dropRight(1)
+      sorted.map(_._2).zip(offs).map { case (b, off) => (g, b, off) }
     }
-    val totals = byGroup.view.mapValues(_.map(_._3).sum).toMap
+    val totals = byGroup.view.mapValues(rs =>
+      rs.map(_._3).reduce((a, b) => a.lazyZip(b).map(_ + _))).toMap
     (offsets, totals)
   }
 }

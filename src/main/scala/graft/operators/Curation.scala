@@ -1731,18 +1731,15 @@ object Curation {
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
       .withColumn("__band", floor(col(idCol) / docsPerBand).cast("long"))
       .localCheckpoint() // pass 1's collect + pass 2 share the blocks
-    val totals = base.groupBy(col("__band"))
-      .agg(sum(col("n_tokens")).as("t"), sum(col("new_terms")).as("v"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var accT = 0L
-    var accV = 0L
-    val offsets = totals.map { case (b, tSum, vSum) =>
-      val row = (b, accT, accV); accT += tSum; accV += vSum; row
-    }
+    // pass 1: the shared guarded census (Banded owns the maxBands
+    // fail-fast); both running sums ride ONE collect + prefix scan
+    val (offRows, _) = Banded.bandCensusN(
+      base.select(col("__band"), col("n_tokens"), col("new_terms")),
+      Seq.empty, Seq("n_tokens", "new_terms"))
+    val offsets = offRows.map { case (_, b, offs) => (b, offs(0), offs(1)) }
     val spark = docs.sparkSession
     import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__band", "__offT", "__offV")
+    val offsetsDf = offsets.toDF("__band", "__offT", "__offV")
     val w = Window.partitionBy(col("__band")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     base.join(broadcast(offsetsDf), Seq("__band"))

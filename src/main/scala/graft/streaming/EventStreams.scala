@@ -261,6 +261,25 @@ object EventStreams {
       (st.getField("l") + st.getField("b")).as("forecast"))
   }
 
+  /** Fail-fast census for single-row series folds (the theilSenTrend
+    * guard discipline): asserts no group in `hourly` holds more than
+    * `maxHours` points before a collect_list assembles the series onto
+    * one row. One 1-row collect over the already-reduced hour frame. */
+  private def censusSeriesLength(
+      hourly: DataFrame, typeCol: String, maxHours: Long,
+      op: String): Unit = {
+    require(maxHours >= 1, s"maxHours must be >= 1: $maxHours")
+    val widest = hourly.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__nh"))
+      .agg(max(col("__nh")).as("__w")).collect()(0)
+    val span = if (widest.isNullAt(0)) 0L else widest.getLong(0)
+    require(span <= maxHours,
+      s"$op: $span observed hours in one group exceed " +
+        s"maxHours=$maxHours — the fold assembles each group's full " +
+        "series onto one row; widen the bucket, shorten the window, " +
+        "or raise maxHours only if the series fits in one task")
+  }
+
   /** Holt–Winters additive TRIPLE-exponential smoothing (Winters 1960)
     * per event type over the hourly count series — [[holtSmooth]] plus
     * a fixed `seasonLen`-slot additive seasonal state indexed by
@@ -278,7 +297,11 @@ object EventStreams {
     * the fold then runs per type on the calendar-bounded hour list
     * (8,760 points/year — the cusum/user_growth bound), assembled in
     * pinned sort_array order; seasonal state is a fixed array of m
-    * doubles. Nothing here scales with event count after the first agg.
+    * doubles. Nothing here scales with event count after the first agg,
+    * and the per-group series length is fail-fast census-guarded
+    * (`maxHours`, the theilSenTrend discipline): a caller feeding
+    * sub-hour buckets or a decade of history learns the single-row
+    * fold cost up front instead of OOMing one task.
     *
     * Replay: a recursive-CTE oracle steps the same recurrence with the
     * l_t expression repeated VERBATIM inside b_t and s_i (the
@@ -302,13 +325,16 @@ object EventStreams {
       alpha: Double = 0.5,
       beta: Double = 0.25,
       gamma: Double = 0.25,
-      seasonLen: Int = 24): DataFrame = {
+      seasonLen: Int = 24,
+      maxHours: Long = 50000L): DataFrame = {
     require(seasonLen >= 1, s"seasonLen must be positive: $seasonLen")
     require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 &&
       gamma > 0 && gamma <= 1, s"alpha/beta/gamma in (0,1]")
     val hourly = events
       .groupBy(col(typeCol), expr(s"$tsCol div 3600000000").as("hour"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // length census + the packed fold share it
+    censusSeriesLength(hourly, typeCol, maxHours, "holtWinters")
     val packed = hourly.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_points"),
         max(col("hour")).as("last_hour"),
@@ -358,7 +384,8 @@ object EventStreams {
     * struct; error terms reference only PRE-step state, so the SQL
     * recursive CTE replays them verbatim. Scale shape: unchanged —
     * one corpus-scale keyed count, then a calendar-bounded per-group
-    * fold. Hourly counts are ≥ 1 by construction, so MAPE's divisor
+    * fold behind the same `maxHours` length census as [[holtWinters]].
+    * Hourly counts are ≥ 1 by construction, so MAPE's divisor
     * never vanishes.
     *
     * @return (event_type, n_points, n_eval, mae, mape), 6-rounded;
@@ -371,12 +398,15 @@ object EventStreams {
       beta: Double = 0.25,
       gamma: Double = 0.25,
       seasonLen: Int = 24,
-      warmup: Int = 48): DataFrame = {
+      warmup: Int = 48,
+      maxHours: Long = 50000L): DataFrame = {
     require(seasonLen >= 1, s"seasonLen must be positive: $seasonLen")
     require(warmup >= 1, s"warmup must be >= 1: $warmup")
     val hourly = events
       .groupBy(col(typeCol), expr(s"$tsCol div 3600000000").as("hour"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // length census + the packed fold share it
+    censusSeriesLength(hourly, typeCol, maxHours, "holtWintersBacktest")
     val packed = hourly.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_points"),
         sort_array(collect_list(struct(col("hour"), col("cnt")))).as("__xs"))
@@ -540,17 +570,12 @@ object EventStreams {
       .agg(count(lit(1)).as("n_new_users"))
       .withColumn("__band", expr(s"day div $bandDays"))
       .localCheckpoint(true)
-    // pass 1: per-band totals -> exclusive cumulative offsets (driver,
-    // bounded by calendar bands)
-    val bandTotals = perDay.groupBy(col("__band"))
-      .agg(sum(col("n_new_users")).as("__t"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = bandTotals
-      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
-      .toSeq
+    // pass 1: the shared guarded census (Banded owns the maxBands
+    // fail-fast and the exclusive-offset scan)
+    val (offRows, _) = graft.operators.Banded.bandCensus(
+      perDay.select(col("__band"), col("n_new_users")),
+      Seq.empty, "n_new_users")
+    val offsets = offRows.map { case (_, b, off) => (b, off) }
     // pass 2: per-band running sum (partitioned window) + band offset
     perDay
       .join(broadcast(offsets.toDF("__band", "__offset")), Seq("__band"))
@@ -658,7 +683,11 @@ object EventStreams {
     * frames); each entropy is a SINGLE pinned-order fold over its cell
     * list — H(next|prev) = Σ c/N·log₂(cf/c) folded in (from, to) order,
     * H(next) = Σ ct/N·log₂(N/ct) in to-order (the mutualInformation
-    * sorted-fold discipline), one 6-round each.
+    * sorted-fold discipline), one 6-round each. The fold collects the
+    * FULL cell matrix into one row, so the cell count is fail-fast
+    * census-guarded (`maxCells`, the [[graft.operators.Reports]]
+    * mutualInformation discipline): a caller feeding a high-cardinality
+    * type column learns the cost up front instead of OOMing one task.
     *
     * @return one row: (n_transitions, n_states, h_next_bits,
     *         h_cond_bits, predictability) */
@@ -667,10 +696,18 @@ object EventStreams {
       userCol: String = "user_id",
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id",
+      maxCells: Long = 1L << 20): DataFrame = {
+    require(maxCells > 0, s"maxCells must be positive: $maxCells")
     val cells = eventTransitions(events, userCol, tsCol, typeCol, idCol)
       .select(col("from_type"), col("to_type"), col("n_transitions"))
-      .localCheckpoint(true) // marginals + both folds share it
+      .localCheckpoint(true) // census + marginals + both folds share it
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"transitionEntropy: $nCells (from,to) cells exceed " +
+        s"maxCells=$maxCells — the entropy folds collect the full " +
+        "transition matrix onto one row; bucket the type vocabulary " +
+        "or raise maxCells only if the cells fit in one task")
     val fromTot = cells.groupBy(col("from_type"))
       .agg(sum(col("n_transitions")).as("__cf"))
     val toTot = cells.groupBy(col("to_type"))

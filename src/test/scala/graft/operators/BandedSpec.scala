@@ -53,4 +53,42 @@ class BandedSpec extends SparkSpec {
     }
     e.getMessage should include("maxBands")
   }
+
+  behavior of "Banded.bandCensusN"
+
+  it should "scan one exclusive prefix per weight in a single pass" in {
+    // two weights riding one census: the per-band offsets must advance
+    // independently (tokens 3/5, new terms 2/0)
+    val perBand = Seq((0L, 3L, 2L), (1L, 5L, 0L), (2L, 7L, 4L))
+      .toDF("__band", "t", "v")
+    val (rows, totals) =
+      Banded.bandCensusN(perBand, Seq(), Seq("t", "v"))
+    val byBand = rows.map { case (_, b, offs) => b -> offs }.toMap
+    byBand(0L) shouldBe Seq(0L, 0L)
+    byBand(1L) shouldBe Seq(3L, 2L)
+    byBand(2L) shouldBe Seq(8L, 2L)
+    totals(Seq()) shouldBe Seq(15L, 6L)
+  }
+
+  it should "back the migrated userGrowth/vocabGrowth callers with identical curves" in {
+    // userGrowth: 3 users first appearing on days 0, 0, 130 (bands 0
+    // and 1 at bandDays=128) -> running totals 2 then 3
+    val ev = Seq((1L, 0L), (2L, 3600000000L), (1L, 5L),
+      (3L, 130L * 86400000000L))
+      .toDF("user_id", "ts")
+    val ug = graft.streaming.EventStreams.userGrowth(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ug shouldBe Array((0L, 2L, 2L), (130L, 1L, 3L))
+    // vocabGrowth with docsPerBand=2: cum_tokens/cum_vocab must equal
+    // the global running sums across the band boundary
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d e"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val vg = Curation.vocabGrowth(docs, docsPerBand = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("cum_vocab")))
+    vg shouldBe Array((0L, 2L, 2L), (1L, 4L, 3L), (2L, 7L, 5L),
+      (3L, 8L, 5L))
+  }
 }

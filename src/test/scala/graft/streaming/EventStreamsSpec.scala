@@ -518,6 +518,20 @@ class EventStreamsSpec extends SparkSpec {
     m.getAs[Double]("predictability") should be < 0.3
   }
 
+  it should "fail fast when the (from,to) cell matrix exceeds maxCells" in {
+    // one user walking 40 distinct types in sequence -> 39 distinct
+    // (from,to) cells; a maxCells below that must census-abort BEFORE
+    // the single-row entropy folds, and a roomier cap must pass
+    val walk = (0 until 40).map(i =>
+      (i.toLong, i * 1000000L, 1L, s"t$i", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ex = the[IllegalArgumentException] thrownBy
+      EventStreams.transitionEntropy(walk, maxCells = 10L).collect()
+    ex.getMessage should include("exceed maxCells=10")
+    EventStreams.transitionEntropy(walk, maxCells = 64L)
+      .collect()(0).getAs[Long]("n_transitions") shouldBe 39L
+  }
+
   "holtWintersBacktest" should "score only past the warmup and prefer the learnable series" in {
     def series(f: Int => Int) = (0 until 240).flatMap(h =>
       (0 until f(h)).map(i => ("g", h * 3600000000L + i * 1000L)))
@@ -537,6 +551,21 @@ class EventStreamsSpec extends SparkSpec {
       series(h => if (h < 24) 5 else 0)).collect()(0)
     short.getAs[Long]("n_eval") shouldBe 0L
     short.isNullAt(3) shouldBe true
+  }
+
+  it should "census-guard the per-group series length like holtWinters" in {
+    // 100 observed hours in one group: a maxHours below the span must
+    // abort BEFORE the collect_list fold; the default cap stays idle
+    val wide = (0 until 100).map(h => ("g", h * 3600000000L))
+      .toDF("event_type", "ts")
+    val exB = the[IllegalArgumentException] thrownBy
+      EventStreams.holtWintersBacktest(wide, maxHours = 50L)
+    exB.getMessage should include("holtWintersBacktest: 100 observed")
+    val exW = the[IllegalArgumentException] thrownBy
+      EventStreams.holtWinters(wide, maxHours = 50L)
+    exW.getMessage should include("holtWinters: 100 observed")
+    EventStreams.holtWinters(wide).collect()(0)
+      .getAs[Long]("n_points") shouldBe 100L
   }
 
   "heavyHittersStream" should "hold the SpaceSaving guarantees against the exact census across batches" in {
