@@ -923,8 +923,10 @@ object SparkEntry {
 
     // BPE tokenizer: merges trained on the vocabulary-sized word-freq
     // table (driver loop never touches the corpus), corpus encoded via a
-    // broadcast segmentation lookup. Iterative training has no SQL
-    // replay — rows-only check; semantics pinned in BpeSpec.
+    // broadcast segmentation lookup. The merge sequence is deterministic
+    // given (word-freq, nMerges, minPairFreq), so the oracle replays
+    // training as 20 unrolled argmax+replace CTE stages (bpeEncodeSql);
+    // semantics also pinned in BpeSpec.
     "bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       graft.operators.Bpe.encode(docs,
@@ -3086,6 +3088,66 @@ object SparkEntry {
        |  round(-list_reduce(xs, (x, y) -> x + y) / CAST(nb AS DOUBLE), 6) AS nll
        |FROM agg""".stripMargin
 
+  /** DuckDB replay of the full BPE train-then-encode pipeline
+    * (bpe_encode). The merge SEQUENCE is deterministic given the
+    * word-frequency table, nMerges and minPairFreq (argmax pair weight,
+    * ties lexicographic on (a, b)), and ONE greedy left-to-right
+    * non-overlapping merge application over a word's symbols equals ONE
+    * string `replace()` over a bracketed symbol string — each symbol
+    * stored as chr(1)·sym·chr(2), so the pattern chr(1)a chr(2)chr(1)b
+    * chr(2) is unambiguous, adjacent occurrences cannot share
+    * characters, and replace()'s left-to-right non-overlapping scan IS
+    * [[graft.operators.Bpe]]'s applyMerge fold (a fused symbol a+b can
+    * never re-match as `a` within the same pass: a = a+b needs empty b).
+    * The 20 merges unroll as 20 verbatim CTE stage pairs — m_i (the
+    * guarded 0-or-1-row argmax) and s_i (the LEFT JOIN application;
+    * an exhausted m_i passes s_{i-1} through unchanged, matching the
+    * trainer's early stop, and stays exhausted for every later stage
+    * since the frame is then a fixed point). */
+  private lazy val bpeEncodeSql: String = {
+    val nMerges = 20
+    def symsOf(seg: String) =
+      s"regexp_extract_all($seg, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)"
+    val stages = (1 to nMerges).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT syms[j] AS a, syms[j + 1] AS b, sum(freq) AS w
+         |    FROM (
+         |      SELECT freq, syms, unnest(range(1, len(syms))) AS j
+         |      FROM (SELECT freq, ${symsOf("seg")} AS syms
+         |            FROM s${i - 1}) _e$i) _j$i
+         |    GROUP BY 1, 2 HAVING sum(freq) >= 2
+         |    ORDER BY w DESC, a, b LIMIT 1) _m$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN m.a IS NULL THEN seg
+         |         ELSE replace(seg,
+         |           chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+         |           chr(1) || m.a || m.b || chr(2)) END AS seg
+         |  FROM s${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter($toksSql, t -> t <> '')) AS word
+       |    FROM documents) _w
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seg
+       |  FROM wf),
+       |$stages,
+       |segn AS (
+       |  SELECT word, CAST(len(${symsOf("seg")}) AS BIGINT) AS n_subwords
+       |  FROM s$nMerges),
+       |tok AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |    unnest(range(0, len(toks))) AS pos
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) _b)
+       |SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos, t.word, n_subwords
+       |FROM tok t JOIN segn USING (word)
+       |WHERE t.word <> ''""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.operators.Curation.skipgramPairs]] with
     * window=2 and NO minCount cut (shared by skipgram_pairs and
     * pmi_collocations). */
@@ -3107,6 +3169,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracleSqlBase +
+    // the BPE merge sequence is deterministic given (word-freq table,
+    // nMerges, minPairFreq): the oracle unrolls the 20 training merges
+    // as verbatim argmax+replace CTE stages and re-encodes by lookup
+    ("bpe_encode" -> bpeEncodeSql) +
     // vector_pq_persisted retrieves with a saved-then-loaded codebook; a
     // correct round-trip is bit-identical to the in-memory tier, so it
     // replays the SAME SQL as vector_pq_topk
