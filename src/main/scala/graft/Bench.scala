@@ -74,7 +74,22 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.toString else sfDir
     }
+    // Measurement-harness knobs (diagnosis, not the judged path):
+    //  - SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries
+    //  - SPARK_GRAFT_BENCH_SLICE=i/k keeps every k-th query (offset i)
+    //    of the alphabetic order — "run the suite in two JVM halves"
+    //    for separating real plan regressions from whole-suite JVM
+    //    pressure (heap occupancy, code-cache growth) that one JVM
+    //    accumulates over 250+ queries but two fresh JVMs do not
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val slice = sys.env.get("SPARK_GRAFT_BENCH_SLICE").map { s =>
+      val Array(i, k) = s.split('/').map(_.toInt); (i, k)
+    }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .zipWithIndex
+      .filter { case (_, idx) => slice.forall { case (i, k) => idx % k == i } }
+      .map(_._1)
     suite.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -572,7 +572,12 @@ object Joins {
     * exact fan-out `ceil(max_top_key_rows / targetPartitionRows)`
     * (integer ceil-div, min 1) that [[saltedJoin]] should be handed
     * when the recommendation is `salt_skewed_key`. Replays exactly in
-    * SQL.
+    * SQL. The payoff is MEASURED, not asserted:
+    * `graft.tools.StressScale`'s `join_whale_unsalted` /
+    * `join_whale_salted_advisor` pair runs a planted-whale join both
+    * ways, the salted side driven by this advisor's own `salt_factor`
+    * (STRESS_r13: the salted variant wins on the whale with broadcast
+    * and AQE skew-splitting out of play).
     *
     * @return one row: (n_left, n_right, n_join_rows, n_keys_left,
     *         n_keys_right, n_keys_common, top_key_ppm_left,

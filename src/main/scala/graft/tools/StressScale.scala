@@ -1125,6 +1125,41 @@ object StressScale {
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
+    // Advisor -> executor payoff, EMPIRICALLY: one planted-whale fact
+    // (half of 2M rows on a single key) joined to a 1000-key dim,
+    // unsalted vs salted with the advisor's OWN salt_factor, collected
+    // from the advisor row exactly as a planner would. Both rows run
+    // with broadcast and AQE's skew splitter DISABLED (restored after):
+    // the pair isolates the salting mechanism in the regime it exists
+    // for — a dim past the broadcast budget (modeled via
+    // broadcastRows = 1) and a runtime that cannot rebalance the hot
+    // key. targetPartitionRows = 62500 sizes salted sub-partitions to
+    // the 32-core box the suite runs on.
+    val whalePair: Seq[(String, Double, Long)] = {
+      val fact = spark.range(8000000L).select(
+        when(col("id") < 4000000L, lit(0L))
+          .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        (col("id") * 7L).as("dim_attr"))
+      val adv = Joins.joinAdvisor(fact.select("k"), dim.select("k"), "k",
+        broadcastRows = 1L, targetPartitionRows = 62500L).collect()(0)
+      assert(adv.getAs[String]("recommendation") == "salt_skewed_key",
+        s"whale pair expects salt_skewed_key, got $adv")
+      val sf = adv.getAs[Long]("salt_factor").toInt
+      val saveB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val saveS = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try Seq(
+        timeNoop("join_whale_unsalted")(fact.join(dim, Seq("k"))),
+        timeNoop("join_whale_salted_advisor")(
+          Joins.saltedJoin(fact, dim, "k", saltFactor = sf)))
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saveB)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saveS)
+      }
+    }
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and
     // strictly better trained) and recall@10 vs exact L2 for 32 queries.
@@ -1153,7 +1188,7 @@ object StressScale {
       (recallOf(seedCb), recallOf(trainedCb),
         Sim.pqDistortion(sample, seedCb), Sim.pqDistortion(sample, trainedCb))
     }
-    val qs = results.map { case (k, s, rows) =>
+    val qs = (results ++ whalePair).map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
     }.mkString("{", ",", "}")
     println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,"ops":$qs}""")

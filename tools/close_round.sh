@@ -64,10 +64,17 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   echo "BENCH FAILED — see /tmp/close_bench.log" >&2; exit 1; }
 grep -o '{"metric".*' /tmp/close_bench.log > "TIMINGS_r${N}.json"
 python3 - "$N" <<'EOF'
-import json, sys
-d = json.load(open(f"TIMINGS_r{sys.argv[1]}.json"))
+import json, os, sys
+path = f"TIMINGS_r{sys.argv[1]}.json"
+d = json.load(open(path))
 assert d.get("errors") in ({}, None), f"bench errors: {d['errors']}"
 assert d.get("nFailed", 1) == 0, f"bench nFailed={d.get('nFailed')}"
+# attach the round's measurement-methodology note when one exists
+# (tools/timings_method_r<N>.txt — e.g. the r13 split-JVM drift study)
+note = f"tools/timings_method_r{sys.argv[1]}.txt"
+if os.path.exists(note):
+    d["method"] = open(note).read().strip()
+    json.dump(d, open(path, "w"))
 print(f"bench OK: {d['nOk']} queries, total {d['value']}{d['unit']}")
 EOF
 
