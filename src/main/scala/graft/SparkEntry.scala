@@ -2678,7 +2678,83 @@ object SparkEntry {
             shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
             .as(Seq("band_idx", "band_val")))
         .select(col("doc_id"), col("band_idx").cast("long").as("band_idx"),
-          col("band_val")))
+          col("band_val"))),
+
+    // ---- round-13 statistical-testing / distribution-distance wave ----
+
+    // Mann–Kendall monotone-trend test per type over hourly counts:
+    // exact pairwise sign sum, tie-corrected 18·Var(S) in BIGINT, one
+    // continuity-corrected IEEE z — theilSenTrend decides the slope,
+    // this decides whether a trend exists at all
+    "mann_kendall" -> ((s, d) =>
+      graft.operators.Reports.mannKendall(eventsUs(s, d))),
+
+    // Wald–Wolfowitz runs test per type: above/below-exact-median sign
+    // sequence over observed hours, run count from ONE group-partitioned
+    // lag window, exact-integer moments into one IEEE z
+    "runs_test" -> ((s, d) =>
+      graft.operators.Reports.runsTest(eventsUs(s, d))),
+
+    // Two-sample KS over n_chars between the even/odd corpus halves:
+    // banded ECDF prefix sums (bandCensusN carries both sides through
+    // one guarded census), exact DECIMAL scaled gaps, sup + smallest
+    // attaining value, one final IEEE division
+    "ks_two_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.ksTwoSample(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"))
+    }),
+
+    // 1-Wasserstein drift over the same halves on the driftPsi bin
+    // grid: exact decimal gap sums over the bounded below-self-join
+    // cumsums (no window), one IEEE finish — "how much mass moved and
+    // how far" next to KS's worst-point gap
+    "wasserstein_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.wasserstein1(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), width = 100L, nBins = 64)
+    }),
+
+    // Bounded symmetric drift pair (JSD bits + Hellinger) on driftPsi's
+    // exact grid and smoothing — thresholdable across metrics where
+    // PSI explodes on disjoint support
+    "drift_js_hellinger" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.driftDistances(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), width = 100L, nBins = 10)
+    }),
+
+    // Cohen's kappa between two REAL quality gates (length rule vs
+    // token-count rule): 2x2 exact table, decimal marginal products,
+    // one IEEE kappa — do the gates agree beyond chance
+    "cohens_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.cohensKappa(docs,
+        col("n_chars") >= 500L,
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint") >= 80L)
+    }),
+
+    // Benjamini–Hochberg FDR gate over a 200-test calibration battery
+    // under the global null (seeded md5-uniform p per type x metric):
+    // banded p-ranks, exact permille threshold compare — the expected
+    // discovery set is (near-)empty, which IS the calibration read
+    "bh_fdr" -> ((s, d) => {
+      val battery = eventsUs(s, d).select(col("event_type")).distinct()
+        .crossJoin(s.range(10).select(col("id").as("metric_idx")))
+        .select(concat_ws(":", col("event_type"), col("metric_idx"))
+          .as("key"))
+        .select(col("key"),
+          ((graft.functions.HashFunctions.md5Bucket(11L, col("key"))
+            .cast("double") + 0.5) / 4294967296.0).as("p"))
+      graft.operators.Reports.bhFdr(battery, "key", "p", qPermille = 50L)
+    })
   )
 
   /** Per-round INNER plans for the iterative operators, keyed by the
@@ -8852,6 +8928,292 @@ object SparkEntry {
          |SELECT e.vec_id, CAST(p.pidx AS BIGINT) AS j,
          |  $planeDot * ${1.0 / math.sqrt(16.0)} AS v
          |FROM embeddings e CROSS JOIN planes p""".stripMargin
-    }
+    },
+
+    // mirrors Reports.mannKendall: the same hourly frame, exact
+    // pairwise sign sum, BIGINT tie-corrected 18-Var, identical
+    // continuity-corrected z shape and the round-then-compare trend
+    "mann_kendall" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT g, CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tiecorr
+        |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+        |        FROM h GROUP BY 1, 2) _t
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT a.g,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM h a JOIN h b ON b.g = a.g AND b.hh > a.hh
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT ties.g, n, coalesce(s_stat, 0) AS s_stat,
+        |    n * (n - 1) * (n * 2 + 5) - tiecorr AS var_s18
+        |  FROM ties LEFT JOIN s ON ties.g = s.g),
+        |z AS (
+        |  SELECT *,
+        |    round(CASE
+        |      WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)
+        |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END, 6) AS zr
+        |  FROM j)
+        |SELECT g AS event_type, n AS n_hours, s_stat,
+        |  CAST(var_s18 AS BIGINT) AS var_s18,
+        |  CASE WHEN var_s18 > 0 THEN zr END AS z,
+        |  CASE WHEN var_s18 <= 0 THEN 'too_short'
+        |       WHEN zr > 1.96 THEN 'increasing'
+        |       WHEN zr < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // mirrors Reports.runsTest: exact doubled median from the cum
+    // frame, sign walk via one partitioned lag, identical IEEE
+    // E[R]/Var[R]/z chains
+    "runs_test" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |vc AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY x) AS cm
+        |  FROM vc),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+        |med AS (
+        |  SELECT cum.g,
+        |    min(CASE WHEN cm >= (n + 1) // 2 THEN x END)
+        |      + min(CASE WHEN cm >= n // 2 + 1 THEN x END) AS med2
+        |  FROM cum JOIN tot ON cum.g = tot.g GROUP BY 1),
+        |sg AS (
+        |  SELECT h.g, hh,
+        |    CASE WHEN x * 2 > med2 THEN 1
+        |         WHEN x * 2 < med2 THEN -1 END AS s
+        |  FROM h JOIN med ON h.g = med.g),
+        |walk AS (
+        |  SELECT g, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY g ORDER BY hh) IS NULL
+        |           THEN 1
+        |         WHEN lag(s) OVER (PARTITION BY g ORDER BY hh) <> s
+        |           THEN 1 ELSE 0 END AS chg
+        |  FROM sg WHERE s IS NOT NULL),
+        |runs AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM walk GROUP BY 1)
+        |SELECT g AS event_type, n AS n_signed, n_above, n_below, n_runs,
+        |  CASE WHEN n_above >= 1 AND n_below >= 1 AND n >= 2
+        |        AND 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |          * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |             - CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |             * (CAST(n AS DOUBLE) - 1.0)) > 0.0
+        |    THEN round((CAST(n_runs AS DOUBLE)
+        |      - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+        |          * CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |          * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |             - CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |             * (CAST(n AS DOUBLE) - 1.0))), 6) END AS z
+        |FROM runs""".stripMargin,
+
+    // mirrors Reports.ksTwoSample at width 1: the same full-outer value
+    // grid, HUGEINT scaled ECDF gaps, sup + smallest attaining value,
+    // one final IEEE division
+    "ks_two_sample" ->
+      """WITH ca AS (
+        |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 1) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 1) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |grid AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb
+        |  FROM grid),
+        |gaps AS (
+        |  SELECT v, abs(CAST(cuma AS HUGEINT) * nb
+        |    - CAST(cumb AS HUGEINT) * na) AS gap
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT max(gap) AS maxgap FROM gaps)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(d AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+        |  CAST(atv * 1 AS BIGINT) AS at_value
+        |FROM (SELECT min(v) AS atv, max(maxgap) AS d
+        |      FROM gaps JOIN mx ON gap = maxgap) _a
+        |CROSS JOIN tot""".stripMargin,
+
+    // mirrors Reports.wasserstein1: the driftPsi bin spine, cumsums via
+    // the bounded below-self-join, exact HUGEINT gap sum, one IEEE
+    // finish
+    "wasserstein_drift" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS bin),
+        |ba AS (
+        |  SELECT CAST(greatest(least(n_chars // 100, 63), 0) AS BIGINT)
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS na
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(greatest(least(n_chars // 100, 63), 0) AS BIGINT)
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |grid AS (
+        |  SELECT s.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM spine s LEFT JOIN ba ON ba.bin = s.bin
+        |               LEFT JOIN bb ON bb.bin = s.bin),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |               CAST(sum(nb) AS BIGINT) AS n_b FROM grid),
+        |cum AS (
+        |  SELECT g.bin, CAST(sum(g2.na) AS BIGINT) AS cuma,
+        |    CAST(sum(g2.nb) AS BIGINT) AS cumb
+        |  FROM grid g LEFT JOIN grid g2 ON g2.bin <= g.bin
+        |  GROUP BY 1),
+        |sm AS (
+        |  SELECT sum(abs(CAST(cuma AS HUGEINT) * n_b
+        |    - CAST(cumb AS HUGEINT) * n_a)) AS s
+        |  FROM cum CROSS JOIN tot)
+        |SELECT CAST(64 AS BIGINT) AS n_bins, CAST(100 AS BIGINT) AS width,
+        |  n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(CAST(s AS DOUBLE) * 100.0
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS w1
+        |FROM sm CROSS JOIN tot""".stripMargin,
+
+    // mirrors Reports.driftDistances: drift_psi's exact grid and
+    // add-one smoothing, the same pinned ascending-bin folds with the
+    // identical ln(2) literal, one sqrt finish for Hellinger
+    "drift_js_hellinger" -> {
+      val pa = "((CAST(struct_extract(c, 'na') AS DOUBLE) + 1.0) / " +
+        "(CAST(n_a AS DOUBLE) + CAST(n_bins AS DOUBLE)))"
+      val pb = "((CAST(struct_extract(c, 'nb') AS DOUBLE) + 1.0) / " +
+        "(CAST(n_b AS DOUBLE) + CAST(n_bins AS DOUBLE)))"
+      val mm = s"(($pa + $pb) / 2.0)"
+      val lg = math.log(2.0).toString
+      val jsdTerm =
+        s"($pa * (ln($pa / $mm) / $lg) + $pb * (ln($pb / $mm) / $lg)) / 2.0"
+      val helTerm = s"(sqrt($pa) - sqrt($pb)) * (sqrt($pa) - sqrt($pb))"
+      s"""WITH spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |ba AS (
+        |  SELECT CAST(greatest(least(n_chars // 100, 9), 0) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS na
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(greatest(least(n_chars // 100, 9), 0) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(s.bin AS BIGINT) AS bin,
+        |    coalesce(ba.na, 0) AS na, coalesce(bb.nb, 0) AS nb
+        |  FROM spine s LEFT JOIN ba ON ba.bin = s.bin
+        |               LEFT JOIN bb ON bb.bin = s.bin),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |    list(struct_pack(bin := bin, na := na, nb := nb) ORDER BY bin)
+        |      AS g
+        |  FROM grid)
+        |SELECT n_bins, n_a, n_b,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(g, c -> $jsdTerm)), (x, y) -> x + y), 6)
+        |    AS jsd_bits,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(g, c -> $helTerm)), (x, y) -> x + y) / 2.0), 6)
+        |    AS hellinger
+        |FROM t""".stripMargin
+    },
+
+    // mirrors Reports.cohensKappa over the same two rule columns:
+    // exact 2x2 table, HUGEINT marginal products, one IEEE kappa
+    "cohens_kappa" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 500) AS ra,
+        |    (CAST(len(string_split_regex(text, '\s+')) AS BIGINT) >= 80)
+        |      AS rb
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both_pos,
+        |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_neg,
+        |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_only,
+        |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b_only
+        |  FROM f)
+        |SELECT n, n_both_pos, n_both_neg, n_a_only, n_b_only,
+        |  round(CAST(n_both_pos + n_both_neg AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(CAST(n_both_pos + n_a_only AS HUGEINT)
+        |      * (n_both_pos + n_b_only)
+        |    + CAST(n_both_neg + n_b_only AS HUGEINT)
+        |      * (n_both_neg + n_a_only) AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+        |  CASE WHEN CAST(n AS HUGEINT) * n
+        |      - (CAST(n_both_pos + n_a_only AS HUGEINT)
+        |          * (n_both_pos + n_b_only)
+        |        + CAST(n_both_neg + n_b_only AS HUGEINT)
+        |          * (n_both_neg + n_a_only)) > 0
+        |    THEN round(CAST(CAST(n AS HUGEINT) * (n_both_pos + n_both_neg)
+        |        - (CAST(n_both_pos + n_a_only AS HUGEINT)
+        |            * (n_both_pos + n_b_only)
+        |          + CAST(n_both_neg + n_b_only AS HUGEINT)
+        |            * (n_both_neg + n_a_only)) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n
+        |        - (CAST(n_both_pos + n_a_only AS HUGEINT)
+        |            * (n_both_pos + n_b_only)
+        |          + CAST(n_both_neg + n_b_only AS HUGEINT)
+        |            * (n_both_neg + n_a_only)) AS DOUBLE), 6) END AS kappa
+        |FROM m""".stripMargin,
+
+    // mirrors Reports.bhFdr over the same md5-uniform calibration
+    // battery: identical noise key, (p, key)-pinned global ranks, the
+    // same permille threshold compare and 1-row kmax broadcast
+    "bh_fdr" ->
+      """WITH battery AS (
+        |  SELECT concat_ws(':', event_type, metric_idx) AS key
+        |  FROM (SELECT DISTINCT event_type FROM events) _e
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS metric_idx) _m),
+        |p AS (
+        |  SELECT key,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('11', ':', key)),
+        |        1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS p
+        |  FROM battery),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |r AS (
+        |  SELECT key, p,
+        |    CAST(row_number() OVER (ORDER BY p, key) AS BIGINT) AS p_rank
+        |  FROM p),
+        |k AS (
+        |  SELECT max(CASE WHEN p * (1000.0 * m)
+        |      <= CAST(p_rank * 50 AS DOUBLE) THEN p_rank END) AS kmax
+        |  FROM r CROSS JOIN mm)
+        |SELECT key, p, p_rank,
+        |  CAST(CASE WHEN kmax IS NOT NULL AND p_rank <= kmax
+        |    THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        |FROM r CROSS JOIN k""".stripMargin
   )
 }

@@ -2877,4 +2877,437 @@ object Reports {
         round((col("__mu") - col("__qhat")).cast("double") / s, 6).as("lo"),
         round((col("__mu") + col("__qhat")).cast("double") / s, 6).as("hi"))
   }
+
+  // ------------------------------------------------------------------
+  // Round-13 statistical-testing / distribution-distance tier
+  // ------------------------------------------------------------------
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) per group over
+    * the hourly count series — the nonparametric "is this metric
+    * monotonically trending" companion to [[theilSenTrend]] (Theil–Sen
+    * estimates the slope; Mann–Kendall decides whether a trend exists
+    * at all, robust to outliers and any monotone transform).
+    *
+    * Exactness: S = Σ sign(x_j − x_i) over hour pairs j > i is an exact
+    * integer; the tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    * is exact BIGINT (n ≤ maxHours = 5000 keeps n³ far under 2⁶³); the
+    * continuity-corrected z = (S∓1)/√(Var) is ONE fixed IEEE chain.
+    * The pairwise expansion is calendar-bounded behind the same
+    * fail-fast `maxHours` census as [[theilSenTrend]].
+    *
+    * @return per group: (group, n_hours, s_stat, var_s18, z, trend)
+    *         with z 6-rounded and NULL (trend `too_short`) when
+    *         Var = 0 or n < 2; trend ∈ increasing/decreasing/no_trend
+    *         at the two-sided 5% gate (|z| > 1.96) */
+  def mannKendall(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxHours: Long = 5000L): DataFrame = {
+    require(maxHours >= 2, s"maxHours must be >= 2: $maxHours")
+    val hourly = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // census + tie agg + pair join share it
+    val widest = hourly.groupBy(col("__g")).agg(count(lit(1)).as("__nh"))
+      .agg(max(col("__nh")).as("__w")).collect()(0)
+    val span = if (widest.isNullAt(0)) 0L else widest.getLong(0)
+    require(span <= maxHours,
+      s"mannKendall: $span observed hours in one group exceed " +
+        s"maxHours=$maxHours (~${span * span / 2} pairs) — widen the " +
+        "bucket, shorten the window, or raise maxHours deliberately")
+    // tie census: groups of equal counts within a group's series
+    val ties = hourly.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nvals"),
+        sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1L) * (col("__t") * 2L + 5L))
+          .as("__tiecorr"))
+    val a = hourly.select(col("__g"), col("__h").as("__h1"),
+      col("__x").as("__x1"))
+    val b = hourly.select(col("__g"), col("__h").as("__h2"),
+      col("__x").as("__x2"))
+    val s = a.join(b, Seq("__g")).filter(col("__h2") > col("__h1"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__x2") > col("__x1"), 1L)
+        .when(col("__x2") < col("__x1"), -1L).otherwise(0L)).as("s_stat"))
+    val joined = ties.join(s, Seq("__g"), "left")
+      .select(col("__g"), col("__n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("__n") * (col("__n") - 1L) * (col("__n") * 2L + 5L) -
+          col("__tiecorr")).as("var_s18"))
+    val sd = sqrt(col("var_s18").cast("double") / lit(18.0))
+    val z = when(col("s_stat") > 0L,
+      (col("s_stat") - lit(1L)).cast("double") / sd)
+      .when(col("s_stat") < 0L,
+        (col("s_stat") + lit(1L)).cast("double") / sd)
+      .otherwise(lit(0.0))
+    joined.select(col("__g").as(groupCol), col("__n").as("n_hours"),
+      col("s_stat"), col("var_s18"),
+      when(col("var_s18") > 0L, round(z, 6)).as("z"),
+      when(col("var_s18") <= 0L, lit("too_short"))
+        .when(round(z, 6) > 1.96, lit("increasing"))
+        .when(round(z, 6) < -1.96, lit("decreasing"))
+        .otherwise(lit("no_trend")).as("trend"))
+  }
+
+  /** Wald–Wolfowitz runs test per group: is the hourly series random
+    * around its own median, or does it cluster (regimes, slow drifts)
+    * / alternate (oscillation) more than chance allows — the
+    * randomness gate an on-call runs BEFORE trusting a z-score
+    * detector that assumes independent observations.
+    *
+    * Signs are above/below the group's exact median hourly count
+    * (equal-to-median hours are discarded, the standard convention);
+    * the run count folds from ONE group-partitioned lag window over
+    * the hour order (no unpartitioned window); n₊/n₋ and R are exact
+    * integers, and E[R] = 1 + 2n₊n₋/n, Var[R] = 2n₊n₋(2n₊n₋−n)/
+    * (n²(n−1)) and z = (R−E)/√Var are one fixed IEEE chain.
+    *
+    * @return per group: (group, n_signed, n_above, n_below, n_runs, z)
+    *         z 6-rounded, NULL when Var degenerates (n₊ or n₋ < 1,
+    *         or n < 2) */
+  def runsTest(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint() // median ranks + the sign walk share it
+    // exact median per group: value at rank ceil(n/2) and n/2+1 averaged
+    // (the theilSenTrend selection, on the value-ordered cum frame)
+    val vc = hourly.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"))))
+    val med = cum
+      .join(vc.groupBy(col("__g")).agg(sum(col("__c")).as("__n")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg((min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__x")))
+        + min(when(col("__cum") >= expr("__n div 2 + 1"), col("__x"))))
+        .as("__med2")) // doubled median: stays integral under ties
+    val signed = hourly.join(broadcast(med), Seq("__g"))
+      .withColumn("__s",
+        when(col("__x") * 2L > col("__med2"), 1)
+          .when(col("__x") * 2L < col("__med2"), -1))
+      .filter(col("__s").isNotNull)
+    val byHour = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    val runs = signed
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(byHour).isNull, 1L)
+          .when(lag(col("__s"), 1).over(byHour) =!= col("__s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__s") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(col("__chg")).as("n_runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nD = col("__n").cast("double")
+    val eR = lit(1.0) + lit(2.0) * n1 * n2 / nD
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    val ok = col("n_above") >= 1L && col("n_below") >= 1L &&
+      col("__n") >= 2L
+    runs.select(col("__g").as(groupCol), col("__n").as("n_signed"),
+      col("n_above"), col("n_below"), col("n_runs"),
+      when(ok && varR > 0.0,
+        round((col("n_runs").cast("double") - eR) / sqrt(varR), 6)).as("z"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between snapshots `a` and
+    * `b` over one integer-quantized metric: D = sup_v |F_a(v) − F_b(v)|
+    * — the distribution-drift test that sees SHAPE changes PSI's
+    * coarse bins blur ([[driftPsi]] reads decile mass shifts; KS reads
+    * the worst pointwise ECDF gap, at full value resolution).
+    *
+    * Exactness: per distinct value the scaled gap |cumA·n_b − cumB·n_a|
+    * is an exact DECIMAL(38,0) (no rank arithmetic overflows at any
+    * corpus size); D is its max over values, ONE final IEEE division
+    * by n_a·n_b. ECDFs are banded prefix sums ([[Banded.bandCensusN]]
+    * carrying both sides' weights through one guarded census — no
+    * unpartitioned window at any value-domain size); `at_value` pins
+    * the smallest value attaining the sup, deterministic under ties.
+    *
+    * @param metric non-negative integer-valued column (quantize floats
+    *               upstream; `width` > 1 coarsens the value grid and
+    *               tests the width-quantized metric, documented)
+    * @return one row: (n_a, n_b, d_stat, at_value); empty input on
+    *         either side yields an empty frame (no ECDF exists) */
+  def ksTwoSample(
+      a: DataFrame,
+      b: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 1L,
+      bandWidth: Long = 1024L,
+      maxBands: Long = 1000000L): DataFrame = {
+    require(width > 0 && bandWidth > 0, "positive width/bandWidth")
+    def counted(df: DataFrame, nCol: String): DataFrame =
+      df.select(floor(metric.cast("bigint") / lit(width))
+        .cast("bigint").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as(nCol))
+    val grid = counted(a, "__ca")
+      .join(counted(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__band", expr(s"__v div ${bandWidth}L"))
+      .localCheckpoint(true) // census + ranked pass + argmax share it
+    val (offRows, totals) = Banded.bandCensusN(
+      grid.select(col("__band"), col("__ca"), col("__cb")),
+      Seq.empty, Seq("__ca", "__cb"), maxBands)
+    val Seq(nA, nB) = totals.getOrElse(Seq.empty, Seq(0L, 0L))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val offsets = offRows.map { case (_, bd, offs) => (bd, offs(0), offs(1)) }
+      .toDF("__band", "__offA", "__offB")
+    val w = Window.partitionBy(col("__band")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val gaps = grid.join(broadcast(offsets), Seq("__band"))
+      .select(col("__v"),
+        (d(sum(col("__ca")).over(w) + col("__offA")) * lit(nB) -
+          d(sum(col("__cb")).over(w) + col("__offB")) * lit(nA))
+          .as("__gap"))
+      .select(col("__v"), abs(col("__gap")).as("__gap"))
+      .localCheckpoint(true) // max + argmax share it
+    val top = gaps.agg(max(col("__gap")).as("__maxgap"))
+    gaps.crossJoin(broadcast(top))
+      .filter(col("__gap") === col("__maxgap"))
+      .agg(min(col("__v")).as("__atv"), max(col("__maxgap")).as("__d"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        round(col("__d").cast("double") /
+          (lit(nA).cast("double") * lit(nB).cast("double")), 6)
+          .as("d_stat"),
+        (col("__atv") * lit(width)).as("at_value"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between snapshots `a` and
+    * `b` over one binned metric: W₁ = Σ_bins |F_a − F_b| · width — the
+    * "how much mass moved, and how far" magnitude that complements
+    * [[ksTwoSample]]'s worst-point gap and [[driftPsi]]'s
+    * likelihood-ratio mass score (KS can be large on a hairline shift;
+    * W₁ weighs shifts by distance).
+    *
+    * Exactness: on the dense `nBins` grid (the [[driftPsi]] spine;
+    * clamped bins, so all mass stays on the grid) the per-bin scaled
+    * gap |cumA·n_b − cumB·n_a| is exact DECIMAL(38,0); cumulative
+    * sums come from the bounded below-self-join (the hopHistogram
+    * shape — the grid is nBins cells, never corpus-scale, and there is
+    * NO window anywhere); the decimal gap-sum is order-blind, and W₁
+    * is ONE final IEEE expression.
+    *
+    * @return one row: (n_bins, width, n_a, n_b, w1) with
+    *         w1 = Σ·width/(n_a·n_b), 6-rounded */
+  /** Jensen–Shannon divergence (bits) and Hellinger distance between
+    * two corpus snapshots over one binned metric — the bounded,
+    * symmetric drift pair next to [[driftPsi]]'s unbounded
+    * likelihood-ratio score (JSD ∈ [0,1] bit, Hellinger ∈ [0,1]: safe
+    * to threshold and compare across metrics; PSI explodes on
+    * disjoint supports).
+    *
+    * Bins, add-one smoothing and the PINNED ascending-bin fold are
+    * exactly [[driftPsi]]'s (identical p̂ definitions, so the three
+    * scores are comparable); JSD folds 0.5·[KL(p̂ᵃ‖m) + KL(p̂ᵇ‖m)] with
+    * m = (p̂ᵃ+p̂ᵇ)/2 in log₂; Hellinger folds Σ(√p̂ᵃ−√p̂ᵇ)² and takes
+    * √(·/2) once. One row out, 6-rounded.
+    *
+    * @return (n_bins, n_a, n_b, jsd_bits, hellinger) */
+  def driftDistances(
+      a: DataFrame,
+      b: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 100L,
+      nBins: Int = 10): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    def binned(df: DataFrame, nCol: String): DataFrame = {
+      val v = metric.cast("bigint")
+      df.select(greatest(
+        least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L)),
+        lit(0L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
+    }
+    val spark = a.sparkSession
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val grid = spine
+      .join(binned(a, "__na"), Seq("bin"), "left")
+      .join(binned(b, "__nb"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val lg2 = math.log(2.0)
+    grid.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"),
+      sort_array(collect_list(struct(col("bin"), col("__na"), col("__nb"))))
+        .as("__g"))
+      .select(col("n_bins"), col("n_a"), col("n_b"),
+        round(aggregate(col("__g"), lit(0.0), (acc, c) => {
+          val pa = (c.getField("__na").cast("double") + 1.0) /
+            (col("n_a").cast("double") + col("n_bins").cast("double"))
+          val pb = (c.getField("__nb").cast("double") + 1.0) /
+            (col("n_b").cast("double") + col("n_bins").cast("double"))
+          val m = (pa + pb) / 2.0
+          acc + (pa * (log(pa / m) / lit(lg2)) +
+            pb * (log(pb / m) / lit(lg2))) / 2.0
+        }), 6).as("jsd_bits"),
+        round(sqrt(aggregate(col("__g"), lit(0.0), (acc, c) => {
+          val pa = (c.getField("__na").cast("double") + 1.0) /
+            (col("n_a").cast("double") + col("n_bins").cast("double"))
+          val pb = (c.getField("__nb").cast("double") + 1.0) /
+            (col("n_b").cast("double") + col("n_bins").cast("double"))
+          acc + (sqrt(pa) - sqrt(pb)) * (sqrt(pa) - sqrt(pb))
+        }) / lit(2.0)), 6).as("hellinger"))
+  }
+
+  /** Cohen's κ inter-rater agreement (Cohen 1960) between two boolean
+    * verdict columns — "do these two quality gates actually agree
+    * beyond chance", the calibration read before treating one labeler
+    * as ground truth for the other (κ ≈ 0: agreement is what two
+    * coins would produce; ≥ 0.6: substantial).
+    *
+    * Exactness: the 2×2 table is one keyed agg of exact BIGINTs;
+    * p_o, p_e and κ = (n·agree − Σ marginal products)/(n² − Σ) are
+    * each ONE fixed IEEE expression over DECIMAL(38,0) products (no
+    * n² overflow at any corpus size).
+    *
+    * @return one row: (n, n_both_pos, n_both_neg, n_a_only, n_b_only,
+    *         po, pe, kappa), 6-rounded; NULL κ when p_e = 1 (both
+    *         raters constant) */
+  def cohensKappa(
+      df: DataFrame,
+      raterA: org.apache.spark.sql.Column,
+      raterB: org.apache.spark.sql.Column): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = df.select(raterA.as("__ra"), raterB.as("__rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("n_both_pos"),
+        sum(when(!col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("n_both_neg"),
+        sum(when(col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("n_a_only"),
+        sum(when(!col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("n_b_only"))
+    val a1 = col("n_both_pos") + col("n_a_only")
+    val b1 = col("n_both_pos") + col("n_b_only")
+    val a0 = col("n_both_neg") + col("n_b_only")
+    val b0 = col("n_both_neg") + col("n_a_only")
+    val agree = col("n_both_pos") + col("n_both_neg")
+    val peNum = d(a1) * b1 + d(a0) * b0 // n² scale, exact
+    m.select(col("n"), col("n_both_pos"), col("n_both_neg"),
+      col("n_a_only"), col("n_b_only"),
+      round(agree.cast("double") / col("n").cast("double"), 6).as("po"),
+      round(peNum.cast("double") /
+        (d(col("n")) * col("n")).cast("double"), 6).as("pe"),
+      when(d(col("n")) * col("n") - peNum > 0,
+        round((d(col("n")) * agree - peNum).cast("double") /
+          (d(col("n")) * col("n") - peNum).cast("double"), 6))
+        .as("kappa"))
+  }
+
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over a
+    * battery of p-values: rank p ascending, find the largest k with
+    * p_(k) ≤ k·q/m, reject ranks 1..k — the multiple-comparison gate
+    * an experimentation platform MUST put between "we ran m tests" and
+    * "these are significant" (at m = 200 metrics, q = 5%, raw
+    * thresholds would hallucinate ~10 winners from pure noise).
+    *
+    * Ranks are banded prefix sums over the quantized p domain
+    * ([[Banded.bandCensus]] — no unpartitioned window over the
+    * battery); ties pin by (p, key). The threshold compare
+    * p·(1000·m) ≤ rank·q‰ is ONE fixed IEEE shape; k broadcasts back
+    * as a 1-row frame. q is taken in PERMILLE so the rational side of
+    * the compare stays exact integer arithmetic.
+    *
+    * @return per test: (key, p, p_rank, rejected 0/1) */
+  def bhFdr(
+      pvals: DataFrame,
+      keyCol: String = "key",
+      pCol: String = "p",
+      qPermille: Long = 50L,
+      maxBands: Long = 1000000L): DataFrame = {
+    require(qPermille >= 1 && qPermille <= 999,
+      s"qPermille in [1,999]: $qPermille")
+    val base = pvals.select(col(keyCol).as("__k"),
+      col(pCol).cast("double").as("__p"))
+      .withColumn("__band",
+        greatest(least(floor(col("__p") * lit(1000.0)).cast("bigint"),
+          lit(1000L)), lit(0L)))
+      .withColumn("__one", lit(1L))
+      .localCheckpoint(true) // census + ranked pass share it
+    val (offRows, totals) = Banded.bandCensus(
+      base.select(col("__band"), col("__one")),
+      Seq.empty, "__one", maxBands)
+    val m = totals.getOrElse(Seq.empty, 0L)
+    val spark = pvals.sparkSession
+    import spark.implicits._
+    val offsets = offRows.map { case (_, bd, off) => (bd, off) }
+      .toDF("__band", "__off")
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col("__p"), col("__k"))
+    val ranked = base.join(broadcast(offsets), Seq("__band"))
+      .select(col("__k"), col("__p"),
+        (row_number().over(w) + col("__off")).as("p_rank"))
+      .localCheckpoint(true) // k-scan + the verdict pass share it
+    val kRow = ranked.agg(
+      max(when(col("__p") * lit(1000.0 * m) <=
+        (col("p_rank") * lit(qPermille)).cast("double"), col("p_rank")))
+        .as("__kmax"))
+    ranked.crossJoin(broadcast(kRow))
+      .select(col("__k").as(keyCol), col("__p").as(pCol), col("p_rank"),
+        when(col("__kmax").isNotNull && col("p_rank") <= col("__kmax"),
+          lit(1L)).otherwise(lit(0L)).as("rejected"))
+  }
+
+  def wasserstein1(
+      a: DataFrame,
+      b: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 100L,
+      nBins: Int = 64): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    def binned(df: DataFrame, nCol: String): DataFrame = {
+      val v = metric.cast("bigint")
+      df.select(greatest(
+        least(floor(v / lit(width)).cast("bigint"), lit(nBins - 1L)),
+        lit(0L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
+    }
+    val spark = a.sparkSession
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val grid = spine
+      .join(binned(a, "__na"), Seq("bin"), "left")
+      .join(binned(b, "__nb"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .localCheckpoint(true) // totals + the below-self-join share it
+    val cum = grid
+      .join(grid.select(col("bin").as("__b2"), col("__na").as("__na2"),
+        col("__nb").as("__nb2")), col("__b2") <= col("bin"), "left")
+      .groupBy(col("bin"))
+      .agg(sum(col("__na2")).as("__cumA"), sum(col("__nb2")).as("__cumB"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val tot = grid.agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(d(col("__cumA")) * col("n_b") -
+          d(col("__cumB")) * col("n_a"))).as("__s"))
+      .select(lit(nBins.toLong).as("n_bins"), lit(width).as("width"),
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("__s").cast("double") * lit(width.toDouble) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("w1"))
+  }
 }

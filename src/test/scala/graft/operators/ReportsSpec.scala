@@ -1400,4 +1400,144 @@ class ReportsSpec extends SparkSpec {
     val wb = rb.getDouble(4) - rb.getDouble(3)
     wb should be < ws / 4.0
   }
+
+  behavior of "mannKendall"
+
+  it should "match the hand S/Var on a clean ramp and census-guard wide series" in {
+    // counts strictly increase by hour (h+1 events at hour h) over 48
+    // hours: S = 48·47/2 = 1128, no ties -> 18·Var = 48·47·101
+    val up = (0 until 48).flatMap(h =>
+      (0 to h).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val r = Reports.mannKendall(up).collect()(0)
+    r.getAs[Long]("n_hours") shouldBe 48L
+    r.getAs[Long]("s_stat") shouldBe 1128L
+    r.getAs[Long]("var_s18") shouldBe 48L * 47L * 101L
+    r.getAs[Double]("z") shouldBe
+      (1127.0 / math.sqrt(48.0 * 47.0 * 101.0 / 18.0)) +- 1e-6
+    r.getAs[String]("trend") shouldBe "increasing"
+    // constant series: every pair ties -> Var = 0 -> stated too_short
+    val flat = (0 until 48).flatMap(h =>
+      (0 until 3).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    val f = Reports.mannKendall(flat).collect()(0)
+    f.getAs[Long]("s_stat") shouldBe 0L
+    f.getAs[Long]("var_s18") shouldBe 0L
+    f.isNullAt(4) shouldBe true // z
+    f.getAs[String]("trend") shouldBe "too_short"
+    val wide = (0 until 100).map(h => ("g", h * 3600000000L))
+      .toDF("event_type", "ts")
+    an[IllegalArgumentException] should be thrownBy
+      Reports.mannKendall(wide, maxHours = 50L)
+  }
+
+  behavior of "runsTest"
+
+  it should "read alternation as excess runs and clustering as too few" in {
+    def series(f: Int => Int) = (0 until 40).flatMap(h =>
+      (0 until f(h)).map(i => ("g", h * 3600000000L + i * 1000L)))
+      .toDF("event_type", "ts")
+    // 10/20 alternating: every hour is a run -> R = 40 >> E[R] = 21
+    val alt = Reports.runsTest(series(h =>
+      if (h % 2 == 0) 10 else 20)).collect()(0)
+    alt.getAs[Long]("n_above") shouldBe 20L
+    alt.getAs[Long]("n_below") shouldBe 20L
+    alt.getAs[Long]("n_runs") shouldBe 40L
+    alt.getAs[Double]("z") should be > 5.0
+    // 20 lows then 20 highs: two runs -> far below expectation
+    val clu = Reports.runsTest(series(h =>
+      if (h < 20) 10 else 20)).collect()(0)
+    clu.getAs[Long]("n_runs") shouldBe 2L
+    clu.getAs[Double]("z") should be < -5.0
+    // constant series: every hour equals the median, nothing signed
+    Reports.runsTest(series(_ => 7)).count() shouldBe 0L
+  }
+
+  behavior of "ksTwoSample"
+
+  it should "pin the sup gap and its location on shifted samples" in {
+    val a = (1 to 100).map(v => Tuple1(v.toLong)).toDF("m")
+    val b = (51 to 150).map(v => Tuple1(v.toLong)).toDF("m")
+    val r = Reports.ksTwoSample(a, b, col("m")).collect()(0)
+    r.getAs[Long]("n_a") shouldBe 100L
+    r.getAs[Long]("n_b") shouldBe 100L
+    r.getAs[Double]("d_stat") shouldBe 0.5 +- 1e-9
+    r.getAs[Long]("at_value") shouldBe 50L // F_a = .5, F_b = 0 first here
+    // identical samples: zero distance
+    Reports.ksTwoSample(a, a, col("m")).collect()(0)
+      .getAs[Double]("d_stat") shouldBe 0.0 +- 1e-12
+  }
+
+  behavior of "wasserstein1"
+
+  it should "scale with how FAR mass moved, unlike KS" in {
+    val at0 = (1 to 100).map(_ => Tuple1(0L)).toDF("m")
+    val at1 = (1 to 100).map(_ => Tuple1(100L)).toDF("m")
+    val at2 = (1 to 100).map(_ => Tuple1(200L)).toDF("m")
+    def w1(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      Reports.wasserstein1(x, y, col("m")).collect()(0)
+        .getAs[Double]("w1")
+    w1(at0, at1) shouldBe 100.0 +- 1e-9 // one bin of width 100
+    w1(at0, at2) shouldBe 200.0 +- 1e-9 // twice as far -> twice the cost
+    w1(at0, at0) shouldBe 0.0 +- 1e-12
+  }
+
+  behavior of "driftDistances"
+
+  it should "stay bounded: 0 on identity, toward 1 bit on disjoint support" in {
+    val lo = (1 to 200).map(_ => Tuple1(0L)).toDF("m")
+    val hi = (1 to 200).map(_ => Tuple1(900L)).toDF("m")
+    val same = Reports.driftDistances(lo, lo, col("m")).collect()(0)
+    same.getAs[Double]("jsd_bits") shouldBe 0.0 +- 1e-9
+    same.getAs[Double]("hellinger") shouldBe 0.0 +- 1e-9
+    val far = Reports.driftDistances(lo, hi, col("m")).collect()(0)
+    far.getAs[Double]("jsd_bits") should be > 0.8
+    far.getAs[Double]("jsd_bits") should be <= 1.0
+    far.getAs[Double]("hellinger") should be > 0.8
+    far.getAs[Double]("hellinger") should be <= 1.0
+  }
+
+  behavior of "cohensKappa"
+
+  it should "match the hand 2x2 kappa and read chance agreement as 0" in {
+    // planted table: both-pos 20, a-only 30, b-only 10, both-neg 40
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(30)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(40)((false, false))
+    val df = rows.toDF("ra", "rb")
+    val r = Reports.cohensKappa(df, col("ra"), col("rb")).collect()(0)
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Double]("po") shouldBe 0.6 +- 1e-9
+    r.getAs[Double]("pe") shouldBe 0.5 +- 1e-9 // (50·30 + 50·70)/10⁴
+    r.getAs[Double]("kappa") shouldBe 0.2 +- 1e-9
+    // perfect agreement -> kappa 1; constant raters -> stated NULL
+    val agree = Seq.fill(30)((true, true)) ++ Seq.fill(30)((false, false))
+    Reports.cohensKappa(agree.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0).getAs[Double]("kappa") shouldBe 1.0 +- 1e-9
+    val const = Seq.fill(30)((true, true))
+    Reports.cohensKappa(const.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0).isNullAt(7) shouldBe true
+  }
+
+  behavior of "bhFdr"
+
+  it should "reject exactly the BH prefix and nothing under the null" in {
+    val ps = Seq("a" -> 0.001, "b" -> 0.002, "c" -> 0.003,
+      "d" -> 0.2, "e" -> 0.3, "f" -> 0.4, "g" -> 0.5, "h" -> 0.6,
+      "i" -> 0.7, "j" -> 0.8).toDF("key", "p")
+    val got = Reports.bhFdr(ps, "key", "p", qPermille = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("p_rank"), r.getAs[Long]("rejected")))).toMap
+    // thresholds k·0.05/10: ranks 1..3 pass (0.005/0.01/0.015), rank 4
+    // (p = 0.2 > 0.02) fails -> kmax = 3
+    got("a") shouldBe ((1L, 1L))
+    got("b") shouldBe ((2L, 1L))
+    got("c") shouldBe ((3L, 1L))
+    got("d") shouldBe ((4L, 0L))
+    got.values.map(_._2).sum shouldBe 3L
+    // all-large p: nothing rejected (kmax NULL path)
+    val none = Seq("a" -> 0.5, "b" -> 0.6, "c" -> 0.9).toDF("key", "p")
+    Reports.bhFdr(none, "key", "p").collect()
+      .map(_.getAs[Long]("rejected")).sum shouldBe 0L
+  }
 }
