@@ -1121,7 +1121,24 @@ object StressScale {
               concat(lit("t"), pmod(col("user_id"), lit(20))))
             .withColumn("value",
               (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
-                / 100.0))))
+                / 100.0)))),
+      // Mann–Kendall at 2M events x 20 types: the pairwise sign sum
+      // runs on the calendar-bounded hour frame (720 hours/type), never
+      // the stream
+      timeNoop("mann_kendall_2m")(
+        graft.operators.Reports.mannKendall(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // two-sample KS at 2M rows with a 100k-value grid: the banded
+      // ECDF pass (bandCensusN) is the measured shape
+      timeNoop("ks_2m")(
+        graft.operators.Reports.ksTwoSample(
+          events2m.filter(col("event_id") % 2 === 0)
+            .select(pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          events2m.filter(col("event_id") % 2 === 1)
+            .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
+              .as("m")),
+          col("m")))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
