@@ -2741,6 +2741,25 @@ object SparkEntry {
           .cast("bigint") >= 80L)
     }),
 
+    // TextRank keywords: PageRank (exact-integer ppm, truncating div)
+    // over the symmetric window-2 co-occurrence graph — replays as the
+    // pagerank_knn unrolled-CTE discipline on the skipgram table
+    "text_rank" -> ((s, d) =>
+      graft.operators.Curation.textRank(t(s, d, "documents"))),
+
+    // RAKE keywords: stopword-bounded phrase islands (one doc window),
+    // deg/freq word scores over the phrase-member frame, pinned
+    // position-order phrase folds, TakeOrderedAndProject cut
+    "rake_keywords" -> ((s, d) =>
+      graft.operators.Curation.rakeKeywords(t(s, d, "documents"),
+        stopwords = Seq("the", "a", "of", "and"))),
+
+    // Multi-window SLO burn: trailing 1h/6h/24h/7d error shares in
+    // exact ppm against a 200000-ppm budget over the hour frame
+    "slo_burn" -> ((s, d) =>
+      graft.operators.Reports.sloBurn(eventsUs(s, d),
+        budgetPpm = 200000L)),
+
     // Benjamini–Hochberg FDR gate over a 200-test calibration battery
     // under the global null (seeded md5-uniform p per type x metric):
     // banded p-ranks, exact permille threshold compare — the expected
@@ -9188,6 +9207,113 @@ object SparkEntry {
         |          + CAST(n_both_neg + n_b_only AS HUGEINT)
         |            * (n_both_neg + n_a_only)) AS DOUBLE), 6) END AS kappa
         |FROM m""".stripMargin,
+
+    // mirrors Curation.textRank: the shared skipgram pair table as the
+    // edge set, pagerank_knn's exact-ppm unrolled iterations, the
+    // (rank desc, term) QUALIFY cut
+    "text_rank" ->
+      s"""WITH pairs AS ($skipgramTableSql),
+        |edges AS (SELECT center AS src, context AS dst FROM pairs),
+        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |         FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT center AS id FROM pairs),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (
+        |  SELECT e.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+        |  FROM edges e JOIN outd o USING (src)
+        |  JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN s1 ON s1.dst = n.id),
+        |s2 AS (
+        |  SELECT e.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+        |  FROM edges e JOIN outd o USING (src)
+        |  JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN s2 ON s2.dst = n.id),
+        |s3 AS (
+        |  SELECT e.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+        |  FROM edges e JOIN outd o USING (src)
+        |  JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN s3 ON s3.dst = n.id)
+        |SELECT id AS term, r AS rank_ppm FROM r3
+        |QUALIFY row_number() OVER (ORDER BY r DESC, id) <= 20""".stripMargin,
+
+    // mirrors Curation.rakeKeywords: the same filtered-token positions,
+    // pos - row_number islands, deg/freq member scores, pinned
+    // position-order phrase folds and the rounded-score QUALIFY cut
+    "rake_keywords" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id AS doc, pos - 1 AS pos, w FROM (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |      unnest(range(1, len(toks) + 1)) AS pos
+        |    FROM base) _t
+        |  WHERE w NOT IN ('the', 'a', 'of', 'and')),
+        |members AS (
+        |  SELECT doc, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc ORDER BY pos)
+        |      AS isl
+        |  FROM toks),
+        |phrases AS (
+        |  SELECT doc, isl, CAST(count(*) AS BIGINT) AS len,
+        |    array_to_string(list(w ORDER BY pos), ' ') AS phrase
+        |  FROM members GROUP BY 1, 2
+        |  HAVING count(*) <= 3),
+        |stats AS (
+        |  SELECT w,
+        |    CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS score
+        |  FROM members m JOIN phrases p USING (doc, isl)
+        |  GROUP BY 1),
+        |ps AS (
+        |  SELECT p.phrase, p.len,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s.score ORDER BY m.pos)), (x, y) -> x + y) AS ps
+        |  FROM members m JOIN phrases p USING (doc, isl)
+        |  JOIN stats s USING (w)
+        |  GROUP BY m.doc, m.isl, p.phrase, p.len)
+        |SELECT phrase, len AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  round(max(ps), 6) AS rake_score
+        |FROM ps GROUP BY 1, 2
+        |QUALIFY row_number() OVER (ORDER BY round(max(ps), 6) DESC,
+        |  phrase) <= 20""".stripMargin,
+
+    // mirrors Reports.sloBurn: one hourly collapse, frontier + window
+    // list joins, exact integer ppm, one IEEE burn division
+    "slo_burn" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS err
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT max(hh) AS front FROM h),
+        |w AS (SELECT unnest([1, 6, 24, 168]) AS window_h),
+        |agg AS (
+        |  SELECT window_h, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(err) AS BIGINT) AS n_errors
+        |  FROM h CROSS JOIN f CROSS JOIN w
+        |  WHERE hh > front - window_h GROUP BY 1)
+        |SELECT window_h, n_total, n_errors, error_ppm,
+        |  round(CAST(error_ppm AS DOUBLE) / 200000.0, 6) AS burn_rate,
+        |  CAST(CASE WHEN error_ppm > 200000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS breached
+        |FROM (
+        |  SELECT CAST(window_h AS BIGINT) AS window_h, n_total, n_errors,
+        |    (n_errors * 1000000) // n_total AS error_ppm
+        |  FROM agg) _x""".stripMargin,
 
     // mirrors Reports.bhFdr over the same md5-uniform calibration
     // battery: identical noise key, (p, key)-pinned global ranks, the

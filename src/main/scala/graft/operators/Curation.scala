@@ -1801,4 +1801,113 @@ object Curation {
                 (col("n_points") * col("__syy") - col("__sy") * col("__sy")),
               lit(0.0)), 6).as("r2"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — the unsupervised keyword ranker
+    * that beats raw frequency by rewarding words that co-occur with
+    * other WELL-CONNECTED words. Edges are [[skipgramPairs]]' window-2
+    * co-occurrence table (symmetric by construction: (a,b) and (b,a)
+    * both materialize, so the directed walk IS the undirected one);
+    * ranks are [[graft.operators.Graphs.pageRank]]'s EXACT-integer ppm
+    * semantics (truncating div, no FP fold to pin), so the top-k
+    * replays as unrolled SQL CTEs.
+    *
+    * Scale shape: one corpus-scale keyed pair count, then every
+    * iteration runs on the vocab²-bounded edge frame; the cut plans as
+    * TakeOrderedAndProject under the (rank desc, term) total order.
+    *
+    * @return top-`topK` rows: (term, rank_ppm) */
+  def textRank(
+      docs: DataFrame,
+      window: Int = 2,
+      iters: Int = 3,
+      topK: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = skipgramPairs(docs, window, minCount = 1L, textCol, idCol)
+      .localCheckpoint() // edges + the node census share it
+    val edges = pairs.select(col("center").as("src"),
+      col("context").as("dst"))
+    // skipgram pairs are symmetric, so the center set IS the node set
+    val nodes = pairs.select(col("center").as("id")).distinct()
+    Graphs.pageRank(edges, nodes, iters)
+      .orderBy(col("rank_ppm").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as("term"), col("rank_ppm"))
+  }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    * candidate phrases are maximal runs of non-stopword tokens; each
+    * word scores deg(w)/freq(w) over the phrase table (deg = Σ phrase
+    * length across the word's phrase occurrences — co-occurrence-
+    * weighted; freq = plain occurrence count), and a phrase scores the
+    * sum of its members' scores. Multi-word technical terms ("sort
+    * merge join") outrank bare frequent words — the cheap,
+    * language-agnostic keyword tier under [[textRank]]'s graph one.
+    *
+    * Shape: one posexplode + ONE doc-partitioned window builds the
+    * phrase islands (gaps-and-islands: pos − row_number over non-stop
+    * rows); word stats are two keyed aggs over the phrase-member frame
+    * (vocab-bounded); phrase scores fold member scores in PINNED
+    * position order so the IEEE sum replays; the final cut is
+    * TakeOrderedAndProject under (score desc, phrase).
+    *
+    * @param maxPhraseLen longer runs are DROPPED (RAKE's degenerate
+    *        tail: a stopword-free document would otherwise be one
+    *        giant phrase)
+    * @return top-`topK` rows: (phrase, n_words, n_occurrences,
+    *         rake_score), score 6-rounded */
+  def rakeKeywords(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      maxPhraseLen: Int = 3,
+      topK: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword set")
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1: $maxPhraseLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Fan.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__doc"),
+        posexplode(filter(T.tokens(col(textCol)), t0 => length(t0) > 0))
+          .as(Seq("__pos", "__w")))
+      .filter(!col("__w").isInCollection(stopwords))
+    val byDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val members = toks
+      .withColumn("__isl", col("__pos") - row_number().over(byDoc))
+      .localCheckpoint(true) // phrase agg + word stats share it
+    val phrases = members
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(count(lit(1)).as("__len"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__w")))),
+          s0 => s0.getField("__w"))).as("phrase"))
+      .filter(col("__len") <= maxPhraseLen)
+      .localCheckpoint(true) // member re-join + occurrence agg share it
+    // word stats over PHRASE members (RAKE scores words by the company
+    // they keep inside phrases, not raw corpus frequency)
+    val stats = members
+      .join(phrases.select(col("__doc"), col("__isl"), col("__len")),
+        Seq("__doc", "__isl"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .as("__score"))
+    val phraseScores = members
+      .join(phrases.select(col("__doc"), col("__isl"), col("__len"),
+        col("phrase")), Seq("__doc", "__isl"))
+      .join(stats, Seq("__w"))
+      .groupBy(col("__doc"), col("__isl"), col("phrase"), col("__len"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__pos"), col("__score")))),
+        lit(0.0), (acc, c) => acc + c.getField("__score")).as("__ps"))
+    phraseScores
+      .groupBy(col("phrase"), col("__len"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__ps")).as("__s"))
+      .select(col("phrase"), col("__len").as("n_words"),
+        col("n_occurrences"), round(col("__s"), 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

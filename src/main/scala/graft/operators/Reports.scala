@@ -3107,6 +3107,54 @@ object Reports {
     *
     * @return one row: (n_bins, width, n_a, n_b, w1) with
     *         w1 = Σ·width/(n_a·n_b), 6-rounded */
+  /** Multi-window SLO error-budget burn rate (the Google SRE workbook's
+    * public multiwindow alerting shape): for each trailing window
+    * ending at the stream frontier, the exact error share in ppm, its
+    * ratio to the budget (burn = 1.0 means "spending budget exactly as
+    * fast as allowed"), and the breach flag — the on-call's "is this
+    * outage eating the month's budget in an hour" read, next to
+    * [[freshness]]'s staleness row.
+    *
+    * Exactness: the stream collapses ONCE to the (hour, total, errors)
+    * frame (map-side partials); windows join the calendar-bounded hour
+    * frame against a broadcast window list; error_ppm is exact integer
+    * div and burn one IEEE division.
+    *
+    * @param budgetPpm allowed error rate in ppm (SLO 99.9% → 1000)
+    * @return per window: (window_h, n_total, n_errors, error_ppm,
+    *         burn_rate, breached 0/1), burn 6-rounded */
+  def sloBurn(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      errorType: String = "error",
+      tsCol: String = "ts",
+      budgetPpm: Long = 1000L,
+      windowsH: Seq[Long] = Seq(1L, 6L, 24L, 168L),
+      hourUs: Long = 3600000000L): DataFrame = {
+    require(budgetPpm > 0 && windowsH.nonEmpty, "budget and windows")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = events
+      .select(expr(s"`$tsCol` div ${hourUs}L").as("__h"),
+        (col(typeCol) === errorType).as("__e"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__err"))
+      .localCheckpoint(true) // frontier + the window join share it
+    val front = broadcast(hourly.agg(max(col("__h")).as("__front")))
+    val wins = broadcast(windowsH.toDF("window_h"))
+    hourly.crossJoin(front).crossJoin(wins)
+      .filter(col("__h") > col("__front") - col("window_h"))
+      .groupBy(col("window_h"))
+      .agg(sum(col("__n")).as("n_total"), sum(col("__err")).as("n_errors"))
+      .withColumn("error_ppm", expr("(n_errors * 1000000L) div n_total"))
+      .select(col("window_h"), col("n_total"), col("n_errors"),
+        col("error_ppm"),
+        round(col("error_ppm").cast("double") / lit(budgetPpm.toDouble), 6)
+          .as("burn_rate"),
+        when(col("error_ppm") > budgetPpm, 1L).otherwise(0L).as("breached"))
+  }
+
   /** Jensen–Shannon divergence (bits) and Hellinger distance between
     * two corpus snapshots over one binned metric — the bounded,
     * symmetric drift pair next to [[driftPsi]]'s unbounded

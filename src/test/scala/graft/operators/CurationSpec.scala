@@ -853,4 +853,43 @@ class CurationSpec extends SparkSpec {
     // scaling: each vector lives in the top-2 spectral dims only
     got.values.foreach(v => v.drop(2).foreach(x => x shouldBe 0.0))
   }
+
+  behavior of "textRank"
+
+  it should "rank the co-occurrence hub first, deterministically" in {
+    // "hub" co-occurs with every other word; x/y/z only with hub (and
+    // once with each other) -> the graph walk concentrates on hub
+    val docs = Seq((0L, "hub alpha"), (1L, "hub beta"), (2L, "hub gamma"),
+      (3L, "hub delta"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val r = Curation.textRank(docs, topK = 10).collect()
+    r.head.getString(0) shouldBe "hub"
+    r.head.getAs[Long]("rank_ppm") should be >
+      r(1).getAs[Long]("rank_ppm")
+    // exact-integer ppm semantics: a re-run is bit-identical
+    Curation.textRank(docs, topK = 10).collect() shouldBe r
+  }
+
+  behavior of "rakeKeywords"
+
+  it should "match hand-computed deg/freq scores and prefer multi-word terms" in {
+    val docs = Seq(
+      (0L, "deep learning systems of the word"),
+      (1L, "deep learning of word"),
+      (2L, "word and word"))
+      .toDF("doc_id", "text")
+    val got = Curation.rakeKeywords(docs,
+      stopwords = Seq("of", "the", "and")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // freq/deg by hand: deep 2/5, learning 2/5 (score 2.5 each),
+    // systems 1/3 (3.0), word 4/4 (1.0; "word and word" is TWO islands)
+    got("deep learning systems") shouldBe ((3L, 1L, 8.0))
+    got("deep learning") shouldBe ((2L, 1L, 5.0))
+    got("word") shouldBe ((1L, 4L, 1.0))
+    // the 3-word technical term outranks the thrice-repeated bare word
+    val ordered = Curation.rakeKeywords(docs,
+      stopwords = Seq("of", "the", "and")).collect().map(_.getString(0))
+    ordered.head shouldBe "deep learning systems"
+  }
 }

@@ -1401,6 +1401,27 @@ class ReportsSpec extends SparkSpec {
     wb should be < ws / 4.0
   }
 
+  behavior of "sloBurn"
+
+  it should "burn the budget fast in short windows around a frontier incident" in {
+    // 100 quiet hours of 4 ok-events; the frontier hour adds 6 errors
+    val ev = ((0 until 100).flatMap(h => (0 until 4).map(i =>
+      ("ok", h * 3600000000L + i * 1000L))) ++
+      (0 until 6).map(i => ("error", 99L * 3600000000L + 500000L + i)))
+      .toDF("event_type", "ts")
+    val got = Reports.sloBurn(ev, budgetPpm = 100000L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5)))).toMap
+    // 1h: 10 events, 6 errors -> 600000 ppm, burn 6, breached
+    got(1L) shouldBe ((10L, 6L, 600000L, 6.0, 1L))
+    // 6h: 30 events -> exactly 200000 ppm, burn 2, breached
+    got(6L) shouldBe ((30L, 6L, 200000L, 2.0, 1L))
+    // 24h: 102 events -> 58823 ppm (exact integer div), under budget
+    got(24L) shouldBe ((102L, 6L, 58823L, 0.58823, 0L))
+    got(168L)._5 shouldBe 0L
+  }
+
   behavior of "mannKendall"
 
   it should "match the hand S/Var on a clean ramp and census-guard wide series" in {
