@@ -862,6 +862,37 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Reports.sloBurn]]'s per-hour
+    * core: hourly (total, errors, error_ppm, breached) rows emitted as
+    * the WATERMARK closes each hour — the live breach ticker feeding
+    * the same ppm budget the batch report reads over trailing
+    * multi-windows (the stream answers "did THIS hour blow the
+    * budget" the moment the hour is complete; the batch answers "how
+    * fast are the trailing windows burning"). Pure windowed streaming
+    * aggregation (Append + watermark): state is one open hour-window
+    * row per hour in flight, eviction deterministic at watermark
+    * passage; error_ppm is the exact integer div of exact counts, so a
+    * closed row equals the batch hour row bit-for-bit (parity spec).
+    */
+  def sloHourlyStream(
+      events: Dataset[Event],
+      errorType: String = "error",
+      budgetPpm: Long = 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(budgetPpm > 0, s"budgetPpm must be positive: $budgetPpm")
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === errorType, 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("window.start").as("hour_start"),
+        col("n_total"), col("n_errors"),
+        expr("(n_errors * 1000000L) div n_total").as("error_ppm"))
+      .withColumn("breached",
+        when(col("error_ppm") > budgetPpm, 1L).otherwise(0L))
+  }
+
   /** Streaming twin of [[ewmaSmooth]]: per-user EWMA state carried
     * across micro-batches with `mapGroupsWithState`, each batch emitting
     * the user's updated smoothed point (Update output mode). Events

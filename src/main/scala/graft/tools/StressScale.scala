@@ -998,6 +998,51 @@ object StressScale {
         q.stop()
         spark.table("hw_stream_2m").count()
       },
+      // SLO hourly breach ticker at 2M events on the same ordered
+      // file-source pattern: pure windowed Append agg — state is one
+      // open hour row, rows emit as the watermark closes each hour
+      time("slo_hourly_stream_2m") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("slo_stream_2m").toFile
+        val staging = java.nio.file.Files
+          .createTempDirectory("slo_stream_2m_stage").toFile
+        val spanUs2 = 30L * 24 * 3600 * 1000000L
+        val src = events2m.select(
+          col("user_id"),
+          timestamp_micros(col("ts")).as("ts"),
+          when(pmod(xxhash64(col("event_id")), lit(50)) === 0L,
+            lit("error")).otherwise(lit("ok")).as("event_type"),
+          lit(1.0).as("value"))
+        def ship(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+          val stage = new java.io.File(staging, s"c$i")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(dir, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(2000000000000L + i * 60000L)
+        }
+        for (i <- 0 until 10)
+          ship(src.filter(col("ts") >= timestamp_micros(lit(i * spanUs2 / 10))
+            && col("ts") < timestamp_micros(lit((i + 1) * spanUs2 / 10))), i)
+        import spark.implicits._
+        for (k <- 0 until 2)
+          ship(Seq((0L, new java.sql.Timestamp(spanUs2 / 1000L + 7200000L),
+            "zz", 1.0)).toDF("user_id", "ts", "event_type", "value"), 10 + k)
+        val stream = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+            "value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+          .as[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams.sloHourlyStream(stream,
+          budgetPpm = 15000L, watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName("slo_stream_2m")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table("slo_stream_2m").count()
+      },
       // ---- round-12 wave ----------------------------------------------
       // Spearman at 2M events: the user-keyed agg is the corpus cost;
       // both rank passes ride the banded census over DISTINCT values

@@ -568,6 +568,42 @@ class EventStreamsSpec extends SparkSpec {
       .getAs[Long]("n_points") shouldBe 100L
   }
 
+  "sloHourlyStream" should "emit closed hours bit-equal to the batch hour rows" in {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: Long, typ: String) =
+      EventStreams.Event(1L, new Timestamp(t), typ, 1.0)
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sloHourlyStream(stream.toDS(),
+      budgetPpm = 100000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("slo_pts")
+      .outputMode("append").start()
+    try {
+      // hour 0: 8 ok + 2 errors -> 200000 ppm, breached at a 100000
+      // budget; hour 1: 4 ok, clean
+      stream.addData((1 to 8).map(i => ev(i * 1000L, "ok")) ++
+        Seq(ev(9000L, "error"), ev(9500L, "error")) ++
+        (1 to 4).map(i => ev(3600000L + i * 1000L, "ok")): _*)
+      q.processAllAvailable()
+      // two watermark-advancing sentinels (watermark lags a batch)
+      stream.addData(ev(2L * 3600000L + 1000L, "ok"))
+      q.processAllAvailable()
+      stream.addData(ev(3L * 3600000L + 1000L, "ok"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select * from slo_pts order by hour_start").collect()
+      rows.length should be >= 2
+      val h0 = rows(0)
+      h0.getAs[Long]("n_total") shouldBe 10L
+      h0.getAs[Long]("n_errors") shouldBe 2L
+      h0.getAs[Long]("error_ppm") shouldBe 200000L
+      h0.getAs[Long]("breached") shouldBe 1L
+      val h1 = rows(1)
+      h1.getAs[Long]("n_total") shouldBe 4L
+      h1.getAs[Long]("error_ppm") shouldBe 0L
+      h1.getAs[Long]("breached") shouldBe 0L
+    } finally q.stop()
+  }
+
   "heavyHittersStream" should "hold the SpaceSaving guarantees against the exact census across batches" in {
     implicit val sqlCtx = spark.sqlContext
     def ev(u: Long, i: Int) = EventStreams.Event(
