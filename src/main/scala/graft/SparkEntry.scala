@@ -2760,6 +2760,18 @@ object SparkEntry {
       graft.operators.Reports.sloBurn(eventsUs(s, d),
         budgetPpm = 200000L)),
 
+    // Kruskal–Wallis H across event types over hourly volumes: pooled
+    // doubled midranks (tie-exact), pinned per-group rank-sum fold,
+    // exact tie correction — the k-group Mann–Whitney
+    "kruskal_wallis" -> ((s, d) =>
+      graft.operators.Reports.kruskalWallis(eventsUs(s, d))),
+
+    // Brown–Forsythe variance-equality F over median-centered absolute
+    // deviations (doubled, so .5 medians stay integral) — the robust
+    // homoscedasticity gate under abTest/weekendEffect
+    "brown_forsythe" -> ((s, d) =>
+      graft.operators.Reports.brownForsythe(eventsUs(s, d))),
+
     // Benjamini–Hochberg FDR gate over a 200-test calibration battery
     // under the global null (seeded md5-uniform p per type x metric):
     // banded p-ranks, exact permille threshold compare — the expected
@@ -9314,6 +9326,114 @@ object SparkEntry {
         |  SELECT CAST(window_h AS BIGINT) AS window_h, n_total, n_errors,
         |    (n_errors * 1000000) // n_total AS error_ppm
         |  FROM agg) _x""".stripMargin,
+
+    // mirrors Reports.kruskalWallis: the spearman_corr doubled-midrank
+    // window shape on the pooled value frame, HUGEINT rank sums, the
+    // same pinned group fold and tie-correction chain
+    "kruskal_wallis" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |gv AS (SELECT g, x AS q, CAST(count(*) AS BIGINT) AS cg
+        |       FROM h GROUP BY 1, 2),
+        |pv AS (SELECT q, CAST(sum(cg) AS BIGINT) AS c FROM gv GROUP BY 1),
+        |r AS (SELECT q,
+        |    2 * coalesce(sum(c) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS r2
+        |  FROM pv),
+        |grp AS (
+        |  SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+        |    sum(CAST(cg AS HUGEINT) * r2) AS r2g
+        |  FROM gv JOIN r USING (q) GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tsum
+        |  FROM pv),
+        |f AS (
+        |  SELECT n, tsum, CAST(count(*) AS BIGINT) AS n_groups,
+        |    list(struct_pack(g := g, ng := ng, r2g := r2g) ORDER BY g)
+        |      AS gs
+        |  FROM grp CROSS JOIN ties GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(gs, c2 ->
+        |      CAST(struct_extract(c2, 'r2g') * struct_extract(c2, 'r2g')
+        |          AS DOUBLE)
+        |        / CAST(struct_extract(c2, 'ng') AS DOUBLE))),
+        |    (x, y) -> x + y) AS sm
+        |  FROM f)
+        |SELECT n AS n_obs, n_groups,
+        |  round(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sm
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+        |  CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) > 0.0
+        |    THEN round((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        + 1.0)) * sm - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(tsum AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 6)
+        |  END AS h_corrected
+        |FROM s""".stripMargin,
+
+    // mirrors Reports.brownForsythe: the runs_test doubled-median
+    // selection, integral doubled deviations, identical pinned
+    // between/within folds and the one-IEEE F chain
+    "brown_forsythe" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |vc AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY g ORDER BY x) AS cm
+        |  FROM vc),
+        |ngt AS (SELECT g, CAST(sum(c) AS BIGINT) AS ngr
+        |        FROM vc GROUP BY 1),
+        |med AS (
+        |  SELECT cum.g,
+        |    min(CASE WHEN cm >= (ngr + 1) // 2 THEN x END)
+        |      + min(CASE WHEN cm >= ngr // 2 + 1 THEN x END) AS med2
+        |  FROM cum JOIN ngt ON cum.g = ngt.g GROUP BY 1),
+        |z AS (SELECT h.g, abs(x * 2 - med2) AS z2
+        |      FROM h JOIN med ON h.g = med.g),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ngr,
+        |    CAST(sum(z2) AS BIGINT) AS sg,
+        |    sum(CAST(z2 AS HUGEINT) * z2) AS ssg
+        |  FROM z GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(ngr) AS BIGINT) AS n_obs,
+        |    CAST(sum(sg) AS BIGINT) AS s,
+        |    list(struct_pack(g := g, ngr := ngr, sg := sg, ssg := ssg)
+        |      ORDER BY g) AS gs
+        |  FROM grp),
+        |t AS (
+        |  SELECT *,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 ->
+        |        CAST(CAST(struct_extract(c2, 'sg') AS HUGEINT)
+        |            * struct_extract(c2, 'sg') AS DOUBLE)
+        |          / CAST(struct_extract(c2, 'ngr') AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |      - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+        |        / CAST(n_obs AS DOUBLE) AS between_s,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 ->
+        |        CAST(struct_extract(c2, 'ssg') AS DOUBLE)
+        |          - CAST(CAST(struct_extract(c2, 'sg') AS HUGEINT)
+        |              * struct_extract(c2, 'sg') AS DOUBLE)
+        |            / CAST(struct_extract(c2, 'ngr') AS DOUBLE))),
+        |      (x, y) -> x + y) AS within_s
+        |  FROM f)
+        |SELECT n_obs, n_groups,
+        |  CASE WHEN n_groups >= 2 AND within_s > 0.0
+        |    THEN round((CAST(n_obs AS DOUBLE) - CAST(n_groups AS DOUBLE))
+        |      / (CAST(n_groups AS DOUBLE) - 1.0)
+        |      * (between_s / within_s), 6) END AS f_stat
+        |FROM t""".stripMargin,
 
     // mirrors Reports.bhFdr over the same md5-uniform calibration
     // battery: identical noise key, (p, key)-pinned global ranks, the

@@ -3107,6 +3107,147 @@ object Reports {
     *
     * @return one row: (n_bins, width, n_a, n_b, w1) with
     *         w1 = Σ·width/(n_a·n_b), 6-rounded */
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) across groups over
+    * the hourly count series — the k-group generalization of
+    * [[mannWhitneyU]]: "do these event types draw their hourly volumes
+    * from the same distribution", rank-based so heavy tails and
+    * outliers don't fake a difference.
+    *
+    * Exactness: pooled ranks are [[doubledMidranks]] (tie-exact
+    * integers); each group's rank sum R2_g = Σ c_gv·rank2(v) and n_g
+    * are exact BIGINT/DECIMAL; with doubled ranks H = 3/(N(N+1)) ·
+    * Σ R2_g²/n_g − 3(N+1) (the 12 becomes 3 — the 2² cancels), folded
+    * in PINNED group order with one double division per group. The tie
+    * correction 1 − Σ(t³−t)/(N³−N) uses exact decimal sums; corrected
+    * H is one IEEE chain, NULL when every observation ties (zero
+    * divisor, stated).
+    *
+    * @return one row: (n_obs, n_groups, h_stat, h_corrected),
+    *         6-rounded */
+  def kruskalWallis(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      bandWidth: Long = 1024L,
+      maxBands: Long = 1000000L,
+      maxGroups: Long = 4096L): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val hourly = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+    val gv = hourly.groupBy(col("__g"), col("__x").as("__q"))
+      .agg(count(lit(1)).as("__cg"))
+      .localCheckpoint(true) // pooled ranks + group sums share it
+    val nGroups = gv.select(col("__g")).distinct().count()
+    require(nGroups <= maxGroups,
+      s"kruskalWallis: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the H fold collects one row per group; bucket the group column")
+    val perVal = gv.groupBy(col("__q")).agg(sum(col("__cg")).as("__c"))
+      .localCheckpoint(true) // rank pass + tie census share it
+    val ranks = doubledMidranks(perVal, "__q", "__r2", bandWidth, maxBands)
+    val groups = gv.join(ranks, Seq("__q"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("__ng"),
+        sum(d(col("__cg")) * col("__r2")).as("__r2g"))
+    val ties = perVal.agg(
+      sum(col("__c")).as("__n"),
+      sum(d(col("__c")) * col("__c") * col("__c") - col("__c"))
+        .as("__tsum"))
+    val nD = col("__n").cast("double")
+    val folded = groups.crossJoin(broadcast(ties))
+      .groupBy(col("__n"), col("__tsum"))
+      .agg(count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct(col("__g"), col("__ng"),
+          col("__r2g")))).as("__gs"))
+      .withColumn("__sum",
+        aggregate(col("__gs"), lit(0.0), (acc, c) =>
+          acc + (d(c.getField("__r2g")) * c.getField("__r2g"))
+            .cast("double") / c.getField("__ng").cast("double")))
+    val h = lit(3.0) / (nD * (nD + lit(1.0))) * col("__sum") -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("__tsum").cast("double") /
+      (d(col("__n")) * col("__n") * col("__n") - col("__n")).cast("double")
+    folded.select(col("__n").as("n_obs"), col("n_groups"),
+      round(h, 6).as("h_stat"),
+      when(corr > 0.0, round(h / corr, 6)).as("h_corrected"))
+  }
+
+  /** Brown–Forsythe variance-equality test (Brown & Forsythe 1974):
+    * the one-way ANOVA F statistic over MEDIAN-centered absolute
+    * deviations — "do these groups have the same spread", the
+    * robust homoscedasticity gate a pooled-variance test
+    * ([[weekendEffect]], [[abTest]]) assumes and this checks.
+    *
+    * Exactness: deviations double to integers (z2 = |2x − med2| with
+    * the doubled exact group median, so .5 medians stay integral);
+    * per-group n/Σz2/Σz2² are exact BIGINT/DECIMAL; between/within
+    * sums fold in PINNED group order with one double division per
+    * group, and F = ((N−k)/(k−1))·(num/den) is one IEEE chain (the
+    * doubling cancels in the ratio). NULL F when the within-spread is
+    * zero or k < 2, stated.
+    *
+    * @return one row: (n_obs, n_groups, f_stat), 6-rounded */
+  def brownForsythe(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      maxGroups: Long = 4096L): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val hourly = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(true) // median ranks + deviation pass share it
+    val nGroups = hourly.select(col("__g")).distinct().count()
+    require(nGroups <= maxGroups,
+      s"brownForsythe: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the F fold collects one row per group; bucket the group column")
+    val vc = hourly.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"))))
+    val med = cum
+      .join(vc.groupBy(col("__g")).agg(sum(col("__c")).as("__ng")),
+        Seq("__g"))
+      .groupBy(col("__g"))
+      .agg((min(when(col("__cum") >= expr("(__ng + 1) div 2"), col("__x")))
+        + min(when(col("__cum") >= expr("__ng div 2 + 1"), col("__x"))))
+        .as("__med2"))
+    val z = hourly.join(broadcast(med), Seq("__g"))
+      .select(col("__g"),
+        abs(col("__x") * lit(2L) - col("__med2")).as("__z2"))
+    val groups = z.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__z2")).as("__sg"),
+        sum(d(col("__z2")) * col("__z2")).as("__ssg"))
+    val folded = groups
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__ng")).as("n_obs"),
+        sum(col("__sg")).as("__s"),
+        sort_array(collect_list(struct(col("__g"), col("__ng"),
+          col("__sg"), col("__ssg")))).as("__gs"))
+      .withColumn("__between",
+        aggregate(col("__gs"), lit(0.0), (acc, c) =>
+          acc + (d(c.getField("__sg")) * c.getField("__sg"))
+            .cast("double") / c.getField("__ng").cast("double")) -
+          (d(col("__s")) * col("__s")).cast("double") /
+            col("n_obs").cast("double"))
+      .withColumn("__within",
+        aggregate(col("__gs"), lit(0.0), (acc, c) =>
+          acc + (c.getField("__ssg").cast("double") -
+            (d(c.getField("__sg")) * c.getField("__sg")).cast("double") /
+              c.getField("__ng").cast("double"))))
+    val nD = col("n_obs").cast("double")
+    val kD = col("n_groups").cast("double")
+    folded.select(col("n_obs"), col("n_groups"),
+      when(col("n_groups") >= 2L && col("__within") > 0.0,
+        round((nD - kD) / (kD - lit(1.0)) *
+          (col("__between") / col("__within")), 6)).as("f_stat"))
+  }
+
   /** Multi-window SLO error-budget burn rate (the Google SRE workbook's
     * public multiwindow alerting shape): for each trailing window
     * ending at the stream frontier, the exact error share in ppm, its

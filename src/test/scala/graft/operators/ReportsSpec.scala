@@ -1401,6 +1401,60 @@ class ReportsSpec extends SparkSpec {
     wb should be < ws / 4.0
   }
 
+  behavior of "kruskalWallis"
+
+  it should "match the hand H on separated groups and fold to 0 on identical ones" in {
+    def series(counts: Map[String, Seq[Int]]) = counts.toSeq.flatMap {
+      case (g, cs) => cs.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (g, h * 3600000000L + i * 1000L)) }
+    }.toDF("event_type", "ts")
+    // A hours {1,2,3}, B hours {10,20,30}: no ties, R_A=6, R_B=15,
+    // H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 27/7 = 3.857143
+    val sep = Reports.kruskalWallis(
+      series(Map("a" -> Seq(1, 2, 3), "b" -> Seq(10, 20, 30))))
+      .collect()(0)
+    sep.getAs[Long]("n_obs") shouldBe 6L
+    sep.getAs[Long]("n_groups") shouldBe 2L
+    sep.getAs[Double]("h_stat") shouldBe 3.857143 +- 1e-6
+    sep.getAs[Double]("h_corrected") shouldBe 3.857143 +- 1e-6
+    // identical distributions: rank sums equal -> H = 0; the tie
+    // correction (three ties of 2) leaves 0/0.914... = 0
+    val same = Reports.kruskalWallis(
+      series(Map("a" -> Seq(1, 2, 3), "b" -> Seq(1, 2, 3))))
+      .collect()(0)
+    same.getAs[Double]("h_stat") shouldBe 0.0 +- 1e-9
+    same.getAs[Double]("h_corrected") shouldBe 0.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      Reports.kruskalWallis(
+        series(Map("a" -> Seq(1), "b" -> Seq(2), "c" -> Seq(3))),
+        maxGroups = 2L)
+  }
+
+  behavior of "brownForsythe"
+
+  it should "match the hand F on unequal spreads and 0 on equal ones" in {
+    def series(counts: Map[String, Seq[Int]]) = counts.toSeq.flatMap {
+      case (g, cs) => cs.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (g, h * 3600000000L + i * 1000L)) }
+    }.toDF("event_type", "ts")
+    // A {1,2,3} vs B {10,20,30}: doubled deviations {2,0,2}/{20,0,20},
+    // between = 216, within = 808/3, F = 4·216/(808/3) = 3.207921
+    val diff = Reports.brownForsythe(
+      series(Map("a" -> Seq(1, 2, 3), "b" -> Seq(10, 20, 30))))
+      .collect()(0)
+    diff.getAs[Long]("n_obs") shouldBe 6L
+    diff.getAs[Double]("f_stat") shouldBe 3.207921 +- 1e-5
+    // equal spreads around different centers: between-variance of the
+    // deviations is exactly 0 -> F = 0 (location does not leak in)
+    val eq = Reports.brownForsythe(
+      series(Map("a" -> Seq(1, 2, 3), "b" -> Seq(11, 12, 13))))
+      .collect()(0)
+    eq.getAs[Double]("f_stat") shouldBe 0.0 +- 1e-12
+    // a single group has no between-variance: stated NULL
+    Reports.brownForsythe(series(Map("a" -> Seq(1, 2, 3))))
+      .collect()(0).isNullAt(2) shouldBe true
+  }
+
   behavior of "sloBurn"
 
   it should "burn the budget fast in short windows around a frontier incident" in {
