@@ -2760,6 +2760,28 @@ object SparkEntry {
       graft.operators.Reports.sloBurn(eventsUs(s, d),
         budgetPpm = 200000L)),
 
+    // Cliff's delta between the even/odd corpus halves on n_chars: the
+    // how-much-bigger effect size next to KS's verdict — dominance
+    // counts from the banded ECDF (never pair enumeration), decimal
+    // exact, one IEEE division, Romano magnitude labels
+    "cliffs_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.cliffsDelta(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"))
+    }),
+
+    // Odds/risk ratios + Woolf SE between the cohens_kappa quality
+    // gates: the 2x2 association read over the same exact table
+    "odds_ratio" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Reports.oddsRatio(docs,
+        col("n_chars") >= 500L,
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint") >= 80L)
+    }),
+
     // Kruskal–Wallis H across event types over hourly volumes: pooled
     // doubled midranks (tie-exact), pinned per-group rank-sum fold,
     // exact tie correction — the k-group Mann–Whitney
@@ -9326,6 +9348,81 @@ object SparkEntry {
         |  SELECT CAST(window_h AS BIGINT) AS window_h, n_total, n_errors,
         |    (n_errors * 1000000) // n_total AS error_ppm
         |  FROM agg) _x""".stripMargin,
+
+    // mirrors Reports.cliffsDelta: ks_two_sample's value grid and ECDF
+    // cumsums, HUGEINT dominance sums, the identical division and
+    // Romano label thresholds on the rounded delta
+    "cliffs_delta" ->
+      """WITH ca AS (
+        |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 1) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 1) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |grid AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+        |cum AS (
+        |  SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cumb
+        |  FROM grid),
+        |doms AS (
+        |  SELECT sum(CAST(ca AS HUGEINT) * (cumb - cb)) AS gt,
+        |    sum(CAST(ca AS HUGEINT) * (nb - cumb)) AS lt
+        |  FROM cum CROSS JOIN tot)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(gt - lt AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |    AS cliffs_delta,
+        |  CASE WHEN abs(round(CAST(gt - lt AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)) < 0.147
+        |      THEN 'negligible'
+        |    WHEN abs(round(CAST(gt - lt AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)) < 0.33
+        |      THEN 'small'
+        |    WHEN abs(round(CAST(gt - lt AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)) < 0.474
+        |      THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM doms CROSS JOIN tot""".stripMargin,
+
+    // mirrors Reports.oddsRatio over the same two rule columns: exact
+    // 2x2, HUGEINT diagonal products, the guarded OR/RR/Woolf-SE chains
+    "odds_ratio" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 500) AS e,
+        |    (CAST(len(string_split_regex(text, '\s+')) AS BIGINT) >= 80)
+        |      AS o
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM f)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+        |    THEN round(CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE)
+        |      / CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE), 6)
+        |  END AS odds_ratio,
+        |  CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0 AND n01 > 0
+        |    THEN round((CAST(n11 AS DOUBLE) / CAST(n11 + n10 AS DOUBLE))
+        |      / (CAST(n01 AS DOUBLE) / CAST(n01 + n00 AS DOUBLE)), 6)
+        |  END AS risk_ratio,
+        |  CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+        |    THEN round(sqrt(1.0 / CAST(n11 AS DOUBLE)
+        |      + 1.0 / CAST(n10 AS DOUBLE) + 1.0 / CAST(n01 AS DOUBLE)
+        |      + 1.0 / CAST(n00 AS DOUBLE)), 6) END AS se_log_or
+        |FROM m""".stripMargin,
 
     // mirrors Reports.kruskalWallis: the spearman_corr doubled-midrank
     // window shape on the pooled value frame, HUGEINT rank sums, the

@@ -3090,6 +3090,116 @@ object Reports {
         (col("__atv") * lit(width)).as("at_value"))
   }
 
+  /** Cliff's delta ordinal effect size (Cliff 1993) between snapshots
+    * `a` and `b`: δ = (#{x>y} − #{x<y}) / (n_a·n_b) over all cross
+    * pairs — "HOW MUCH bigger does a tend to be", the magnitude read
+    * next to [[ksTwoSample]]'s is-it-different verdict (a huge corpus
+    * makes any KS gap "significant"; δ says whether anyone should
+    * care). Romano et al. 2006 magnitude labels ship with the number.
+    *
+    * Exactness: pair counts never enumerate pairs — on the distinct-
+    * value grid, #{x>y} = Σ_v ca_v · (#b strictly below v) from the
+    * same banded ECDF prefix sums as [[ksTwoSample]]
+    * ([[Banded.bandCensusN]], no unpartitioned window); every count is
+    * DECIMAL(38,0) exact at any corpus size, and δ is ONE final IEEE
+    * division. The dominance counts stay internal (they overflow
+    * BIGINT at whale scale — the gate-type rule); δ, n_a, n_b and the
+    * label ship.
+    *
+    * @return one row: (n_a, n_b, cliffs_delta 6-rounded, magnitude ∈
+    *         negligible/small/medium/large at |δ| ≥ .147/.33/.474) */
+  def cliffsDelta(
+      a: DataFrame,
+      b: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      width: Long = 1L,
+      bandWidth: Long = 1024L,
+      maxBands: Long = 1000000L): DataFrame = {
+    require(width > 0 && bandWidth > 0, "positive width/bandWidth")
+    def counted(df: DataFrame, nCol: String): DataFrame =
+      df.select(floor(metric.cast("bigint") / lit(width))
+        .cast("bigint").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as(nCol))
+    val grid = counted(a, "__ca")
+      .join(counted(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__band", expr(s"__v div ${bandWidth}L"))
+      .localCheckpoint(true) // census + the dominance pass share it
+    val (offRows, totals) = Banded.bandCensusN(
+      grid.select(col("__band"), col("__ca"), col("__cb")),
+      Seq.empty, Seq("__ca", "__cb"), maxBands)
+    val Seq(nA, nB) = totals.getOrElse(Seq.empty, Seq(0L, 0L))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val offsets = offRows.map { case (_, bd, offs) => (bd, offs(1)) }
+      .toDF("__band", "__offB")
+    val w = Window.partitionBy(col("__band")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val doms = grid.join(broadcast(offsets), Seq("__band"))
+      .select(col("__ca"), col("__cb"),
+        (sum(col("__cb")).over(w) + col("__offB")).as("__cumB"))
+      .agg(
+        sum(d(col("__ca")) * (col("__cumB") - col("__cb"))).as("__gt"),
+        sum(d(col("__ca")) * (lit(nB) - col("__cumB"))).as("__lt"))
+    val delta = round((col("__gt") - col("__lt")).cast("double") /
+      (lit(nA).cast("double") * lit(nB).cast("double")), 6)
+    doms.select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+      delta.as("cliffs_delta"),
+      when(abs(delta) < 0.147, lit("negligible"))
+        .when(abs(delta) < 0.33, lit("small"))
+        .when(abs(delta) < 0.474, lit("medium"))
+        .otherwise(lit("large")).as("magnitude"))
+  }
+
+  /** 2×2 association report between two boolean exposures: odds ratio,
+    * risk ratio and the log-OR standard error (Woolf 1955) — the
+    * epidemiology-standard effect read over the same table
+    * [[cohensKappa]] scores for agreement ("docs failing gate A are
+    * 3.2× as likely to fail gate B").
+    *
+    * Exactness: the table is one keyed agg of exact BIGINTs; OR =
+    * (n11·n00)/(n10·n01) and RR = (n11/(n11+n10))/(n01/(n01+n00)) are
+    * fixed IEEE chains over DECIMAL(38,0) products; se_log_or =
+    * √(1/a+1/b+1/c+1/d). Degenerate cells (any zero for OR/SE, empty
+    * rows for RR) emit stated NULLs.
+    *
+    * @return one row: (n, n11, n10, n01, n00, odds_ratio, risk_ratio,
+    *         se_log_or), 6-rounded */
+  def oddsRatio(
+      df: DataFrame,
+      exposure: org.apache.spark.sql.Column,
+      outcome: org.apache.spark.sql.Column): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = df.select(exposure.as("__e"), outcome.as("__o"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("n00"))
+    val allPos = col("n11") > 0L && col("n10") > 0L &&
+      col("n01") > 0L && col("n00") > 0L
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(allPos,
+        round((d(col("n11")) * col("n00")).cast("double") /
+          (d(col("n10")) * col("n01")).cast("double"), 6))
+        .as("odds_ratio"),
+      when(col("n11") + col("n10") > 0L && col("n01") + col("n00") > 0L &&
+        col("n01") > 0L,
+        round((col("n11").cast("double") /
+          (col("n11") + col("n10")).cast("double")) /
+          (col("n01").cast("double") /
+            (col("n01") + col("n00")).cast("double")), 6))
+        .as("risk_ratio"),
+      when(allPos,
+        round(sqrt(lit(1.0) / col("n11").cast("double") +
+          lit(1.0) / col("n10").cast("double") +
+          lit(1.0) / col("n01").cast("double") +
+          lit(1.0) / col("n00").cast("double")), 6)).as("se_log_or"))
+  }
+
   /** 1-Wasserstein (earth-mover) distance between snapshots `a` and
     * `b` over one binned metric: W₁ = Σ_bins |F_a − F_b| · width — the
     * "how much mass moved, and how far" magnitude that complements

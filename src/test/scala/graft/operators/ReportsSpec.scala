@@ -1401,6 +1401,48 @@ class ReportsSpec extends SparkSpec {
     wb should be < ws / 4.0
   }
 
+  behavior of "cliffsDelta"
+
+  it should "match the hand pair census and its Romano label" in {
+    val a = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("m")
+    val b = Seq(2L, 3L, 4L).map(Tuple1(_)).toDF("m")
+    // 9 pairs by hand: gt 1, lt 6, ties 2 -> delta = -5/9
+    val r = Reports.cliffsDelta(a, b, col("m")).collect()(0)
+    r.getAs[Long]("n_a") shouldBe 3L
+    r.getAs[Double]("cliffs_delta") shouldBe -0.555556 +- 1e-6
+    r.getAs[String]("magnitude") shouldBe "large"
+    // identical samples: perfect overlap -> 0, negligible
+    val same = Reports.cliffsDelta(a, a, col("m")).collect()(0)
+    same.getAs[Double]("cliffs_delta") shouldBe 0.0 +- 1e-9
+    same.getAs[String]("magnitude") shouldBe "negligible"
+    // full dominance -> +1
+    val hi = Seq(10L, 11L).map(Tuple1(_)).toDF("m")
+    Reports.cliffsDelta(hi, a, col("m")).collect()(0)
+      .getAs[Double]("cliffs_delta") shouldBe 1.0 +- 1e-9
+  }
+
+  behavior of "oddsRatio"
+
+  it should "match the hand 2x2 OR/RR/Woolf SE and guard empty cells" in {
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(30)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(40)((false, false))
+    val r = Reports.oddsRatio(rows.toDF("e", "o"), col("e"), col("o"))
+      .collect()(0)
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Double]("odds_ratio") shouldBe 2.666667 +- 1e-6
+    r.getAs[Double]("risk_ratio") shouldBe 2.0 +- 1e-9
+    r.getAs[Double]("se_log_or") shouldBe
+      math.sqrt(1.0 / 20 + 1.0 / 30 + 1.0 / 10 + 1.0 / 40) +- 1e-6
+    // a zero cell: OR and SE are stated NULLs, RR still defined
+    val z = Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(5)((false, false))
+    val rz = Reports.oddsRatio(z.toDF("e", "o"), col("e"), col("o"))
+      .collect()(0)
+    rz.isNullAt(5) shouldBe true // odds_ratio
+    rz.getAs[Double]("risk_ratio") shouldBe 2.0 +- 1e-9
+    rz.isNullAt(7) shouldBe true // se_log_or
+  }
+
   behavior of "kruskalWallis"
 
   it should "match the hand H on separated groups and fold to 0 on identical ones" in {
