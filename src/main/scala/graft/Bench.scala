@@ -18,10 +18,17 @@ import org.apache.spark.sql.SparkSession
   *    it the alphabetically-first heavy query of each codegen family
   *    absorbed the family's entire compile+JIT cost (r4: `dedup_apply`
   *    was billed 25.2 s for a 12 s pipeline).
-  *  - SPARK_GRAFT_BENCH_REPS timed passes (default 2): per-query wall =
-  *    min over passes (steady-state cost), with every pass recorded under
-  *    `queries_runs` so run-to-run spread is visible and ±10% noise can't
-  *    masquerade as a regression.
+  *  - SPARK_GRAFT_BENCH_REPS timed passes (default 3 since r14, was 2):
+  *    per-query wall = min over passes (steady-state cost), with every
+  *    pass recorded under `queries_runs` so run-to-run spread is visible
+  *    and ±10% noise can't masquerade as a regression. The r13 split-JVM
+  *    drift study proved isolated minima are the trustworthy per-query
+  *    signal; a third rep narrows the min's variance at ~1/2 suite cost.
+  *  - subset knobs are ECHOED into the JSON (`bench_only`/`bench_slice`,
+  *    r14): a leftover env var can no longer ship a partial suite that
+  *    looks like a full TIMINGS artifact (close_round.sh rejects a
+  *    non-null echo). SLICE indexes the FULL alphabetic order as
+  *    documented, independent of ONLY.
   *  - generated-class cache sized to the suite (r6): the static default
   *    `spark.sql.codegen.cache.maxEntries=100` is smaller than one pass
   *    of this suite, so every heavy query's classes were LRU-evicted
@@ -36,7 +43,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,11 +92,14 @@ object Bench {
     val slice = sys.env.get("SPARK_GRAFT_BENCH_SLICE").map { s =>
       val Array(i, k) = s.split('/').map(_.toInt); (i, k)
     }
+    // slice indexes the FULL alphabetic order (as documented) even when
+    // ONLY is also set — indexing the post-filter order would make the
+    // same slice spec select different queries depending on ONLY
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
       .zipWithIndex
       .filter { case (_, idx) => slice.forall { case (i, k) => idx % k == i } }
       .map(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     suite.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -152,9 +162,16 @@ object Bench {
       s""""${esc(k)}":"${esc(m.take(300))}""""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
+    // echo the subset knobs so a partial run can never be mistaken for a
+    // full-suite artifact (close_round.sh asserts both are null)
+    val onlyJson = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(v => s""""${esc(v)}"""").getOrElse("null")
+    val sliceJson = sys.env.get("SPARK_GRAFT_BENCH_SLICE")
+      .map(v => s""""${esc(v)}"""").getOrElse("null")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""reps":$reps,"queries_runs":$runsJson,""" +
+        s""""reps":$reps,"bench_only":$onlyJson,"bench_slice":$sliceJson,""" +
+        s""""queries_runs":$runsJson,""" +
         s""""errors":$errs,"nOk":${ok.size},"nFailed":${results.size - ok.size},""" +
         s""""sf":"${esc(sfDir)}"}""")
     spark.stop()

@@ -2922,8 +2922,7 @@ object Reports {
     val ties = hourly.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__t"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("__nvals"),
-        sum(col("__t")).as("__n"),
+      .agg(sum(col("__t")).as("__n"),
         sum(col("__t") * (col("__t") - 1L) * (col("__t") * 2L + 5L))
           .as("__tiecorr"))
     val a = hourly.select(col("__g"), col("__h").as("__h1"),
@@ -3067,6 +3066,12 @@ object Reports {
     val Seq(nA, nB) = totals.getOrElse(Seq.empty, Seq(0L, 0L))
     val spark = a.sparkSession
     import spark.implicits._
+    // documented contract: no ECDF exists for an empty side, so the result
+    // is an EMPTY frame (not a degenerate NaN/NULL row) — the census just
+    // paid for the totals, so the short-circuit is driver-side and free
+    if (nA == 0L || nB == 0L)
+      return spark.range(0).select(lit(0L).as("n_a"), lit(0L).as("n_b"),
+        lit(0.0).as("d_stat"), lit(0L).as("at_value"))
     val offsets = offRows.map { case (_, bd, offs) => (bd, offs(0), offs(1)) }
       .toDF("__band", "__offA", "__offB")
     val w = Window.partitionBy(col("__band")).orderBy(col("__v"))
@@ -3107,7 +3112,9 @@ object Reports {
     * label ship.
     *
     * @return one row: (n_a, n_b, cliffs_delta 6-rounded, magnitude ∈
-    *         negligible/small/medium/large at |δ| ≥ .147/.33/.474) */
+    *         negligible/small/medium/large at |δ| ≥ .147/.33/.474);
+    *         cliffs_delta AND magnitude are stated NULLs when either
+    *         side is empty (no pair exists to dominate) */
   def cliffsDelta(
       a: DataFrame,
       b: DataFrame,
@@ -3146,12 +3153,18 @@ object Reports {
         sum(d(col("__ca")) * (lit(nB) - col("__cumB"))).as("__lt"))
     val delta = round((col("__gt") - col("__lt")).cast("double") /
       (lit(nA).cast("double") * lit(nB).cast("double")), 6)
+    // degenerate gate: with an empty side the dominance sums are NULL (or
+    // the divisor zero) and NO pair exists — δ and its label must BOTH be
+    // stated NULLs, not the `otherwise` branch of the when-chain (abs(NULL)
+    // compares false at every tier and used to fall through to 'large')
+    val valid = lit(nA > 0L && nB > 0L)
     doms.select(lit(nA).as("n_a"), lit(nB).as("n_b"),
-      delta.as("cliffs_delta"),
-      when(abs(delta) < 0.147, lit("negligible"))
-        .when(abs(delta) < 0.33, lit("small"))
-        .when(abs(delta) < 0.474, lit("medium"))
-        .otherwise(lit("large")).as("magnitude"))
+      when(valid, delta).as("cliffs_delta"),
+      when(valid && delta.isNotNull,
+        when(abs(delta) < 0.147, lit("negligible"))
+          .when(abs(delta) < 0.33, lit("small"))
+          .when(abs(delta) < 0.474, lit("medium"))
+          .otherwise(lit("large"))).as("magnitude"))
   }
 
   /** 2×2 association report between two boolean exposures: odds ratio,
@@ -3200,23 +3213,6 @@ object Reports {
           lit(1.0) / col("n00").cast("double")), 6)).as("se_log_or"))
   }
 
-  /** 1-Wasserstein (earth-mover) distance between snapshots `a` and
-    * `b` over one binned metric: W₁ = Σ_bins |F_a − F_b| · width — the
-    * "how much mass moved, and how far" magnitude that complements
-    * [[ksTwoSample]]'s worst-point gap and [[driftPsi]]'s
-    * likelihood-ratio mass score (KS can be large on a hairline shift;
-    * W₁ weighs shifts by distance).
-    *
-    * Exactness: on the dense `nBins` grid (the [[driftPsi]] spine;
-    * clamped bins, so all mass stays on the grid) the per-bin scaled
-    * gap |cumA·n_b − cumB·n_a| is exact DECIMAL(38,0); cumulative
-    * sums come from the bounded below-self-join (the hopHistogram
-    * shape — the grid is nBins cells, never corpus-scale, and there is
-    * NO window anywhere); the decimal gap-sum is order-blind, and W₁
-    * is ONE final IEEE expression.
-    *
-    * @return one row: (n_bins, width, n_a, n_b, w1) with
-    *         w1 = Σ·width/(n_a·n_b), 6-rounded */
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) across groups over
     * the hourly count series — the k-group generalization of
     * [[mannWhitneyU]]: "do these event types draw their hourly volumes
@@ -3250,10 +3246,6 @@ object Reports {
     val gv = hourly.groupBy(col("__g"), col("__x").as("__q"))
       .agg(count(lit(1)).as("__cg"))
       .localCheckpoint(true) // pooled ranks + group sums share it
-    val nGroups = gv.select(col("__g")).distinct().count()
-    require(nGroups <= maxGroups,
-      s"kruskalWallis: $nGroups groups exceed maxGroups=$maxGroups — " +
-        "the H fold collects one row per group; bucket the group column")
     val perVal = gv.groupBy(col("__q")).agg(sum(col("__cg")).as("__c"))
       .localCheckpoint(true) // rank pass + tie census share it
     val ranks = doubledMidranks(perVal, "__q", "__r2", bandWidth, maxBands)
@@ -3261,6 +3253,14 @@ object Reports {
       .groupBy(col("__g"))
       .agg(sum(col("__cg")).as("__ng"),
         sum(d(col("__cg")) * col("__r2")).as("__r2g"))
+      .localCheckpoint(true) // census + the one-row H fold share it
+    // census the EXACT frame the fold collects (one row per group — the
+    // transitionEntropy discipline), not a separate distinct() pass that
+    // could diverge from the fold input
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"kruskalWallis: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the H fold collects one row per group; bucket the group column")
     val ties = perVal.agg(
       sum(col("__c")).as("__n"),
       sum(d(col("__c")) * col("__c") * col("__c") - col("__c"))
@@ -3311,10 +3311,6 @@ object Reports {
         expr(s"`$tsCol` div ${hourUs}L").as("__h"))
       .agg(count(lit(1)).as("__x"))
       .localCheckpoint(true) // median ranks + deviation pass share it
-    val nGroups = hourly.select(col("__g")).distinct().count()
-    require(nGroups <= maxGroups,
-      s"brownForsythe: $nGroups groups exceed maxGroups=$maxGroups — " +
-        "the F fold collects one row per group; bucket the group column")
     val vc = hourly.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__c"))
     val cum = vc.withColumn("__cum",
@@ -3333,6 +3329,13 @@ object Reports {
     val groups = z.groupBy(col("__g"))
       .agg(count(lit(1)).as("__ng"), sum(col("__z2")).as("__sg"),
         sum(d(col("__z2")) * col("__z2")).as("__ssg"))
+      .localCheckpoint(true) // census + the one-row F fold share it
+    // census the EXACT frame the fold collects (one row per group — the
+    // transitionEntropy discipline), not a separate distinct() pass
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"brownForsythe: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the F fold collects one row per group; bucket the group column")
     val folded = groups
       .agg(count(lit(1)).as("n_groups"),
         sum(col("__ng")).as("n_obs"),
@@ -3568,6 +3571,23 @@ object Reports {
           lit(1L)).otherwise(lit(0L)).as("rejected"))
   }
 
+  /** 1-Wasserstein (earth-mover) distance between snapshots `a` and
+    * `b` over one binned metric: W₁ = Σ_bins |F_a − F_b| · width — the
+    * "how much mass moved, and how far" magnitude that complements
+    * [[ksTwoSample]]'s worst-point gap and [[driftPsi]]'s
+    * likelihood-ratio mass score (KS can be large on a hairline shift;
+    * W₁ weighs shifts by distance).
+    *
+    * Exactness: on the dense `nBins` grid (the [[driftPsi]] spine;
+    * clamped bins, so all mass stays on the grid) the per-bin scaled
+    * gap |cumA·n_b − cumB·n_a| is exact DECIMAL(38,0); cumulative
+    * sums come from the bounded below-self-join (the hopHistogram
+    * shape — the grid is nBins cells, never corpus-scale, and there is
+    * NO window anywhere); the decimal gap-sum is order-blind, and W₁
+    * is ONE final IEEE expression.
+    *
+    * @return one row: (n_bins, width, n_a, n_b, w1) with
+    *         w1 = Σ·width/(n_a·n_b), 6-rounded */
   def wasserstein1(
       a: DataFrame,
       b: DataFrame,

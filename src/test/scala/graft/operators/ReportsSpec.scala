@@ -1421,6 +1421,20 @@ class ReportsSpec extends SparkSpec {
       .getAs[Double]("cliffs_delta") shouldBe 1.0 +- 1e-9
   }
 
+  it should "emit stated NULL delta AND magnitude on an empty side" in {
+    val a = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("m")
+    val none = a.filter(col("m") < 0L)
+    // the r13 advice bug: abs(NULL) < x is false at every when tier, so
+    // the label fell through to 'large' on no data
+    val r = Reports.cliffsDelta(a, none, col("m")).collect()(0)
+    r.getAs[Long]("n_b") shouldBe 0L
+    r.isNullAt(r.fieldIndex("cliffs_delta")) shouldBe true
+    r.isNullAt(r.fieldIndex("magnitude")) shouldBe true
+    val r2 = Reports.cliffsDelta(none, none, col("m")).collect()(0)
+    r2.isNullAt(r2.fieldIndex("cliffs_delta")) shouldBe true
+    r2.isNullAt(r2.fieldIndex("magnitude")) shouldBe true
+  }
+
   behavior of "oddsRatio"
 
   it should "match the hand 2x2 OR/RR/Woolf SE and guard empty cells" in {
@@ -1583,6 +1597,17 @@ class ReportsSpec extends SparkSpec {
     // identical samples: zero distance
     Reports.ksTwoSample(a, a, col("m")).collect()(0)
       .getAs[Double]("d_stat") shouldBe 0.0 +- 1e-12
+  }
+
+  it should "honor the documented contract: empty side -> empty frame" in {
+    val a = (1 to 10).map(v => Tuple1(v.toLong)).toDF("m")
+    val none = a.filter(col("m") < 0L)
+    Reports.ksTwoSample(a, none, col("m")).count() shouldBe 0L
+    Reports.ksTwoSample(none, a, col("m")).count() shouldBe 0L
+    Reports.ksTwoSample(none, none, col("m")).count() shouldBe 0L
+    // and the schema survives the short-circuit (downstream unions)
+    Reports.ksTwoSample(a, none, col("m")).columns.toSeq shouldBe
+      Seq("n_a", "n_b", "d_stat", "at_value")
   }
 
   behavior of "wasserstein1"

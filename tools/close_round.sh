@@ -24,20 +24,54 @@
 # driver's copies are the judged record and land one round later by
 # design.
 #
-# Usage: tools/close_round.sh <round-number> [--stress]
+# Usage: tools/close_round.sh <round-number> [--stress] [--isolate auto|q1,q2]
 #   --stress additionally re-runs StressScale + StressPipeline into
 #   STRESS_r<N>.json (slow, memory-hungry; run it when stressed
 #   operators changed since the last stress run — and NEVER while any
 #   other sbt/test process is alive: contention garbles the timings).
+#   --isolate re-measures the named queries (or, with `auto`, every
+#   query whose in-suite ratio vs TIMINGS_r<N-1> exceeds 1.3x) in a
+#   fresh JVM via SPARK_GRAFT_BENCH_ONLY and ships min(in-suite,
+#   isolated) — the r13 drift study's one-flag version.
 set -euo pipefail
-N="${1:?usage: tools/close_round.sh <round-number> [--stress]}"
+N="${1:?usage: tools/close_round.sh <round-number> [--stress] [--isolate auto|q1,q2]}"
+shift
 STRESS=0
-[[ "${2:-}" == "--stress" ]] && STRESS=1
+ISOLATE=""
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --stress) STRESS=1; shift ;;
+    --isolate) ISOLATE="${2:?--isolate needs auto or a query list}"; shift 2 ;;
+    *) echo "close_round: unknown arg $1" >&2; exit 1 ;;
+  esac
+done
 cd "$(dirname "$0")/.."
 
 # never two sbt processes at once (target-lock + timing pollution)
 if pgrep -f "sbt-launch" > /dev/null 2>&1; then
   echo "close_round: another sbt process is running — aborting" >&2
+  exit 1
+fi
+
+# a leftover subset knob would ship a partial TIMINGS artifact that still
+# passes nFailed==0 — refuse to close with either set (ADVICE r13)
+if [[ -n "${SPARK_GRAFT_BENCH_ONLY:-}" || -n "${SPARK_GRAFT_BENCH_SLICE:-}" ]]; then
+  echo "close_round: SPARK_GRAFT_BENCH_ONLY/SLICE set — unset them; a" \
+       "subset bench must never become the round artifact" >&2
+  exit 1
+fi
+
+# host-contention gate (the r12/r13 gotcha, previously enforced only by
+# memory): outside-container load uniformly inflates every query ~1.2x
+# and generates false regression flags. Refuse to bench above the
+# threshold; SPARK_GRAFT_CLOSE_FORCE=1 overrides deliberately.
+LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+LOAD_MAX="${SPARK_GRAFT_CLOSE_LOAD_MAX:-4.0}"
+if [[ "${SPARK_GRAFT_CLOSE_FORCE:-0}" != 1 ]] && \
+   python3 -c "import sys; sys.exit(0 if float('$LOAD1') > float('$LOAD_MAX') else 1)"; then
+  echo "close_round: 1-min load $LOAD1 > $LOAD_MAX — host is contended;" \
+       "bench numbers would be garbage. Re-run at idle or set" \
+       "SPARK_GRAFT_CLOSE_FORCE=1." >&2
   exit 1
 fi
 
@@ -69,6 +103,9 @@ path = f"TIMINGS_r{sys.argv[1]}.json"
 d = json.load(open(path))
 assert d.get("errors") in ({}, None), f"bench errors: {d['errors']}"
 assert d.get("nFailed", 1) == 0, f"bench nFailed={d.get('nFailed')}"
+# the artifact must be a FULL-suite run: the Bench knob echo is the proof
+assert d.get("bench_only") is None, f"bench_only={d['bench_only']} — partial run"
+assert d.get("bench_slice") is None, f"bench_slice={d['bench_slice']} — partial run"
 # attach the round's measurement-methodology note when one exists
 # (tools/timings_method_r<N>.txt — e.g. the r13 split-JVM drift study)
 note = f"tools/timings_method_r{sys.argv[1]}.txt"
@@ -77,6 +114,56 @@ if os.path.exists(note):
     json.dump(d, open(path, "w"))
 print(f"bench OK: {d['nOk']} queries, total {d['value']}{d['unit']}")
 EOF
+
+if [[ -n "$ISOLATE" ]]; then
+  echo "== [3b] isolated re-measure ($ISOLATE) =="
+  FLAGGED=$(python3 - "$N" "$ISOLATE" <<'EOF'
+import json, os, sys
+n, spec = int(sys.argv[1]), sys.argv[2]
+cur = json.load(open(f"TIMINGS_r{n}.json"))["queries"]
+if spec != "auto":
+    names = [q for q in spec.split(",") if q in cur]
+else:
+    prev_path = f"TIMINGS_r{n-1}.json"
+    names = []
+    if os.path.exists(prev_path):
+        prev = json.load(open(prev_path))["queries"]
+        for q, v in cur.items():
+            p = prev.get(q)
+            # flag >1.3x moves that are big enough to matter (>0.3s now)
+            if p and p > 0 and v > 0.3 and v / p > 1.3:
+                names.append(q)
+print(",".join(sorted(names)))
+EOF
+)
+  if [[ -z "$FLAGGED" ]]; then
+    echo "isolate: nothing flagged (no query >1.3x vs r$((N-1)))"
+  else
+    echo "isolate: re-measuring $FLAGGED in a fresh JVM"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_BENCH_ONLY="$FLAGGED" \
+      sbt -batch "runMain graft.Bench" > /tmp/close_bench_iso.log 2>&1 || {
+      echo "ISOLATED BENCH FAILED — see /tmp/close_bench_iso.log" >&2; exit 1; }
+    grep -o '{"metric".*' /tmp/close_bench_iso.log > /tmp/close_bench_iso.json
+    python3 - "$N" <<'EOF'
+import json, sys
+path = f"TIMINGS_r{sys.argv[1]}.json"
+d = json.load(open(path))
+iso = json.load(open("/tmp/close_bench_iso.json"))
+assert iso.get("nFailed", 1) == 0, f"isolated bench nFailed={iso.get('nFailed')}"
+d.setdefault("isolated", {})
+d.setdefault("in_suite_flagged", {})
+for q, v in iso["queries"].items():
+    d["isolated"][q] = v
+    if v < d["queries"][q]:
+        d["in_suite_flagged"][q] = d["queries"][q]
+        d["queries"][q] = v
+d["value"] = sum(v for v in d["queries"].values() if v > 0)
+json.dump(d, open(path, "w"))
+print(f"isolated minima merged for {sorted(iso['queries'])}")
+EOF
+  fi
+fi
 
 if [[ "$STRESS" == 1 ]]; then
   echo "== [4/7] stress -> STRESS_r${N}.json =="
