@@ -2807,6 +2807,38 @@ object SparkEntry {
           ((graft.functions.HashFunctions.md5Bucket(11L, col("key"))
             .cast("double") + 0.5) / 4294967296.0).as("p"))
       graft.operators.Reports.bhFdr(battery, "key", "p", qPermille = 50L)
+    }),
+
+    // ---- round-14: oracled end-to-end curation composite ----
+
+    // The training-data dress rehearsal as ONE registered query, pinning
+    // operator COMPOSITION (every stage is an already-oracled primitive):
+    // quality gate + exact dedup ([[Curation.curate]]) over the
+    // non-benchmark corpus → 3-gram decontamination against the src0
+    // benchmark → deterministic hash-Bernoulli domain mix → 64/16 chunking
+    // packed into 256-token training bins. The full DuckDB replay chains
+    // the stages as materialized CTEs (the bpe_encode discipline).
+    "curate_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // eager checkpoint: the decon shingle pass and the survivor join are
+      // two consumers — without it the whole scoring pipeline runs twice
+      val curated = graft.operators.Curation.curate(
+        docs.filter(col("source") =!= "src0"))
+        .localCheckpoint(true)
+      val decon = graft.operators.Curation.decontaminate(
+        curated, docs.filter(col("source") === "src0"),
+        shingleN = 3, maxOverlap = 0.2)
+      val clean = curated
+        .join(decon.filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val mixed = graft.operators.Curation.hashSample(
+        clean, "source", mixFractions, seed = 7L)
+      graft.operators.Curation.packSequences(
+        graft.operators.Curation.chunkTokens(mixed,
+          chunkSize = 64, overlap = 16),
+        binTokens = 256)
+        .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")
     })
   )
 
@@ -3105,8 +3137,9 @@ object SparkEntry {
   }
 
   /** DuckDB replay of the [[graft.operators.Curation.curate]] pipeline
-    * (score → filter → keep-first exact dedup on fingerprint). */
-  private val curatedSql: String =
+    * (score → filter → keep-first exact dedup on fingerprint) over
+    * `documents` restricted by `where` ("" = the whole table). */
+  private def curatedSqlFor(where: String): String =
     s"""scored AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -3115,7 +3148,7 @@ object SparkEntry {
        |    $qualitySql AS quality,
        |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
        |  FROM (SELECT *, $langIdSql AS best
-       |        FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents))),
+       |        FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents $where))),
        |filtered AS (
        |  SELECT * FROM scored
        |  WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')
@@ -3124,6 +3157,14 @@ object SparkEntry {
        |curated AS (
        |  SELECT f.doc_id, f.n_chars, f.n_tokens, f.lang_id, f.quality
        |  FROM filtered f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)""".stripMargin
+
+  private val curatedSql: String = curatedSqlFor("")
+
+  /** The r14 composite's domain-mix schedule: every non-benchmark source
+    * gets an exactly-representable keep fraction (1.0 odd / 0.5 even), so
+    * the hash-Bernoulli threshold compare is bit-stable on both engines. */
+  private val mixFractions: Map[String, Double] =
+    (1 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 0.5 else 1.0)).toMap
 
   /** DuckDB replay of [[Dedup.minhashLsh]] (md5 tier, k=8, bands=4). */
   private def minhashPairsSqlFor(docsWhere: String): String = {
@@ -4144,6 +4185,60 @@ object SparkEntry {
          |    AS contaminated
          |FROM csh c LEFT JOIN bsh b ON c.s = b.s
          |GROUP BY 1""".stripMargin
+    },
+
+    // mirrors the curate_pipeline composite stage by stage as materialized
+    // CTEs (the bpe_encode discipline): curate (source<>'src0') → 3-gram
+    // decon vs the src0 benchmark → hash-Bernoulli domain mix → 64/16
+    // chunking packed into 256-token bins. Stage bodies are textually the
+    // single-stage oracles', re-rooted on the previous stage's output.
+    "curate_pipeline" -> {
+      val mixCase = (1 to 19).map(i =>
+        s"WHEN 'src$i' THEN ${if (i % 2 == 0) "0.5" else "1.0"}")
+        .mkString(" ")
+      s"""WITH ${curatedSqlFor("WHERE source <> 'src0'")},
+         |csh AS MATERIALIZED (
+         |  SELECT dd.doc_id AS id, unnest(list_distinct(list_transform(
+         |      range(0, greatest(len(dd.toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(dd.toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+         |  FROM (SELECT d.doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |        FROM documents d JOIN curated USING (doc_id)) dd),
+         |bsh AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      range(0, greatest(len(toks) - 2, 1)),
+         |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+         |  FROM (SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+         |        FROM documents WHERE source = 'src0')),
+         |decon AS MATERIALIZED (
+         |  SELECT cs.id AS doc_id
+         |  FROM csh cs LEFT JOIN bsh bs ON cs.s = bs.s
+         |  GROUP BY 1
+         |  HAVING CAST(sum(CASE WHEN bs.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |           / count(*) < 0.2),
+         |mixed AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text
+         |  FROM decon dn JOIN documents d ON dn.doc_id = d.doc_id
+         |  WHERE CAST(concat('0x', substr(md5(concat('7', ':', CAST(d.doc_id AS VARCHAR))), 1, 8))
+         |          AS BIGINT) % 1000000
+         |        < (CASE d.source $mixCase END) * 1000000),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM mixed),
+         |n AS (SELECT doc_id, toks,
+         |        greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS INT), 1) AS nc
+         |      FROM tk),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
+         |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+         |           AS n_tokens
+         |       FROM c),
+         |st AS (SELECT doc_id, chunk_idx, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          - n_tokens AS strt
+         |      FROM ch),
+         |b AS (SELECT *, CAST(floor(strt / 256.0) AS BIGINT) AS bin_id FROM st)
+         |SELECT doc_id, chunk_idx, n_tokens, bin_id,
+         |  CAST(strt - bin_id * 256 AS BIGINT) AS bin_pos
+         |FROM b""".stripMargin
     },
 
     // mirrors Curation.decontaminateFuzzy: the minhashPairsSql machinery

@@ -82,6 +82,43 @@ class CurationSpec extends SparkSpec {
       (3L, 0, 1L, 11L), (3L, 1, 2L, 5L))
   }
 
+  "curate_pipeline composite" should "compose dedup, decon, mix and pack end to end" in {
+    // mirrors SparkEntry's curate_pipeline registration at spec scale
+    val en = "the quick brown fox and the lazy dog sit in a field of tall grass "
+    // shares NO 3-gram with `en` (doc 1 must survive the decon gate)
+    val leak = "the secret benchmark answer is alpha beta gamma and " +
+      "the answer is delta epsilon for this held out set "
+    val corpus = Seq(
+      (1L, en * 3, "src1"),
+      (2L, en * 3, "src1"), // exact dup of 1 → curate drops it
+      (3L, leak * 3, "src1"), // verbatim benchmark leak → decon drops it
+      (4L, "it was the best of times and it was the worst of times here " * 3,
+        "src1")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, leak * 3)).toDF("doc_id", "text")
+    val curated = Curation.curate(corpus).localCheckpoint(true)
+    val decon = Curation.decontaminate(curated, bench,
+      shingleN = 3, maxOverlap = 0.2)
+    val clean = curated
+      .join(decon.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+      .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+    val mixed = Curation.hashSample(clean, "source",
+      Map("src1" -> 1.0), seed = 7L)
+    val packed = Curation.packSequences(
+      Curation.chunkTokens(mixed, chunkSize = 64, overlap = 16),
+      binTokens = 256)
+      .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    // the dup and the leaked doc are gone; the survivors reach the packer
+    packed.map(_._1).distinct.sorted shouldBe Array(1L, 4L)
+    // packing invariants survive the composition: in-bin offsets bounded,
+    // and global starts reconstruct the exact running token sum
+    all(packed.map(_._5)) should (be >= 0L and be < 256L)
+    val starts = packed.map(t => t._4 * 256L + t._5)
+    starts shouldBe packed.map(_._3).scanLeft(0L)(_ + _).init
+  }
+
   it should "match the naive global-window packing on many bands" in {
     val chunks = spark.range(0, 3000).select(
       (col("id") / 3).cast("long").as("doc_id"),
