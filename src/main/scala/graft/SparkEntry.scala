@@ -2839,7 +2839,95 @@ object SparkEntry {
           chunkSize = 64, overlap = 16),
         binTokens = 256)
         .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")
-    })
+    }),
+
+    // ---- round-14: parametric inference + AR identification wave ----
+
+    // Welch unequal-variance t between the even/odd corpus halves on
+    // n_chars — the parametric mean test beside ks/cliffs on the SAME
+    // halves; one exact moment row per side, pinned IEEE t and
+    // Welch–Satterthwaite df
+    "welch_t_test" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Inference.welchTTest(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"))
+    }),
+
+    // Cohen's d + Hedges' g on the same halves: the pooled-SD effect
+    // size a power calculation consumes, next to cliffs_delta's ordinal
+    "cohens_d" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Inference.cohensD(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"))
+    }),
+
+    // One-way ANOVA F + eta² across event types over hourly counts —
+    // kruskal_wallis's parametric sibling on the identical frame
+    "anova_oneway" -> ((s, d) =>
+      graft.operators.Inference.anovaOneWay(eventsUs(s, d))),
+
+    // Bartlett equal-variance test over the same per-type hourly
+    // counts — the parametric homoscedasticity gate beside
+    // brown_forsythe's robust one
+    "bartlett_var" -> ((s, d) =>
+      graft.operators.Inference.bartlettVar(eventsUs(s, d))),
+
+    // Jarque–Bera normality per type over hourly counts: exact raw
+    // moments to 4th power, pinned central-moment expansion — the gate
+    // that picks between this wave and the r13 rank tests
+    "jarque_bera" -> ((s, d) =>
+      graft.operators.Inference.jarqueBera(eventsUs(s, d))),
+
+    // McNemar paired test between the two REAL quality gates (the
+    // cohens_kappa pair): marginal homogeneity from discordant cells —
+    // "is the new gate stricter", with Edwards continuity correction
+    "mcnemar_gates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Inference.mcnemar(docs,
+        col("n_chars") >= 500L,
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint") >= 80L)
+    }),
+
+    // Hash-deterministic permutation test of the halves' mean n_chars:
+    // 64 seeded md5-parity reassignments, one explode pass with
+    // map-side partials, add-one Monte-Carlo p
+    "permutation_test" -> ((s, d) =>
+      graft.operators.Inference.permutationTest(
+        t(s, d, "documents"), col("n_chars"), "doc_id",
+        col("doc_id") % 2 === 0, reps = 64, seed = 14L)),
+
+    // Yule–Walker AR(2) per type over hourly counts + one-step
+    // forecast from the frontier — AR identification next to
+    // holt_winters' smoothing
+    "yule_walker_ar2" -> ((s, d) =>
+      graft.operators.Inference.yuleWalkerAr2(eventsUs(s, d))),
+
+    // Durbin–Levinson PACF lags 1–3 per type: the AR-order read (where
+    // the partial autocorrelation cuts off)
+    "pacf" -> ((s, d) =>
+      graft.operators.Inference.pacfDl(eventsUs(s, d))),
+
+    // Granger lag-1 F: do click counts predict purchase counts beyond
+    // purchases' own past — closed-form nested OLS from exact moments
+    "granger_f" -> ((s, d) =>
+      graft.operators.Inference.grangerF(eventsUs(s, d),
+        causeType = "click", effectType = "purchase")),
+
+    // Hurst exponent by R/S over the global hourly series: complete
+    // 8/16/32/64-hour blocks, pinned per-w means, 4-point ln-ln fit
+    "hurst_exponent" -> ((s, d) =>
+      graft.operators.Inference.hurstExponent(eventsUs(s, d))),
+
+    // Anderson–Darling uniformity of event positions in the observed
+    // span, 1000 cells: rank-weight algebra on the cell frame — never
+    // a corpus sort
+    "ad_uniformity" -> ((s, d) =>
+      graft.operators.Inference.adUniformity(eventsUs(s, d)))
   )
 
   /** Per-round INNER plans for the iterative operators, keyed by the
@@ -9652,6 +9740,615 @@ object SparkEntry {
         |SELECT key, p, p_rank,
         |  CAST(CASE WHEN kmax IS NOT NULL AND p_rank <= kmax
         |    THEN 1 ELSE 0 END AS BIGINT) AS rejected
-        |FROM r CROSS JOIN k""".stripMargin
+        |FROM r CROSS JOIN k""".stripMargin,
+
+    // ---- round-14 parametric inference + AR identification oracles ----
+
+    // mirrors Inference.welchTTest: one exact moment row per side
+    // (HUGEINT replaying DECIMAL), the identical pinned IEEE chain for
+    // means, variances, t and the Welch–Satterthwaite df
+    "welch_t_test" ->
+      """WITH ma AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sa,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS ssa
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |mb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sb,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS ssb
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+        |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+        |    (CAST(ssa AS DOUBLE)
+        |        - CAST(sa * sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS va,
+        |    (CAST(ssb AS DOUBLE)
+        |        - CAST(sb * sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS vb
+        |  FROM ma CROSS JOIN mb)
+        |SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0
+        |    THEN round((m_a - m_b) / sqrt(va + vb), 6) END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0
+        |    THEN round((va + vb) * (va + vb)
+        |      / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+        |        + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df_welch
+        |FROM c""".stripMargin,
+
+    // mirrors Inference.cohensD: the same exact moment rows, pooled
+    // variance and the Hedges small-sample factor as one IEEE chain
+    "cohens_d" ->
+      """WITH ma AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sa,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS ssa
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |mb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sb,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS ssb
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+        |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+        |    (CAST(ssa AS DOUBLE)
+        |        - CAST(sa * sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+        |    (CAST(ssb AS DOUBLE)
+        |        - CAST(sb * sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+        |  FROM ma CROSS JOIN mb),
+        |p AS (
+        |  SELECT *,
+        |    ((CAST(n_a AS DOUBLE) - 1.0) * var_a
+        |      + (CAST(n_b AS DOUBLE) - 1.0) * var_b)
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS pooled
+        |  FROM c)
+        |SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0.0
+        |    THEN round((m_a - m_b) / sqrt(pooled), 6) END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0.0
+        |    THEN round((m_a - m_b) / sqrt(pooled) * (1.0 - 3.0
+        |      / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0)),
+        |      6) END AS hedges_g
+        |FROM p""".stripMargin,
+
+    // mirrors Inference.anovaOneWay: the brown_forsythe fold machinery
+    // on the RAW hourly counts — pinned ascending-group Σ(Sg²/ng),
+    // exact HUGEINT totals, one IEEE F and eta² finish
+    "anova_oneway" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ngr,
+        |    CAST(sum(x) AS BIGINT) AS sg,
+        |    sum(CAST(x AS HUGEINT) * x) AS ssg
+        |  FROM h GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(ngr) AS BIGINT) AS n_obs,
+        |    CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(sum(ssg) AS HUGEINT) AS sstot,
+        |    list(struct_pack(g := g, ngr := ngr, sg := sg, ssg := ssg)
+        |      ORDER BY g) AS gs
+        |  FROM grp),
+        |t AS (
+        |  SELECT *,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 ->
+        |        CAST(CAST(struct_extract(c2, 'sg') AS HUGEINT)
+        |            * struct_extract(c2, 'sg') AS DOUBLE)
+        |          / CAST(struct_extract(c2, 'ngr') AS DOUBLE))),
+        |      (x, y) -> x + y) AS gsum
+        |  FROM f),
+        |u AS (
+        |  SELECT *,
+        |    gsum - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+        |      / CAST(n_obs AS DOUBLE) AS between_s,
+        |    CAST(sstot AS DOUBLE) - gsum AS within_s
+        |  FROM t)
+        |SELECT n_obs, n_groups,
+        |  CASE WHEN n_groups >= 2 AND within_s > 0.0
+        |    THEN round((CAST(n_obs AS DOUBLE) - CAST(n_groups AS DOUBLE))
+        |      / (CAST(n_groups AS DOUBLE) - 1.0)
+        |      * (between_s / within_s), 6) END AS f_stat,
+        |  CASE WHEN n_groups >= 2 AND within_s > 0.0
+        |    THEN round(between_s / (between_s + within_s), 6) END AS eta_sq
+        |FROM u""".stripMargin,
+
+    // mirrors Inference.bartlettVar: groups with n<2 excluded (HAVING),
+    // per-group variances inside pinned ascending-group folds (Σ(nᵢ−1)s²,
+    // Σ(nᵢ−1)ln s², Σ1/(nᵢ−1), least-fold min) with the identical
+    // Double.MaxValue fold seed, one IEEE correction chain
+    "bartlett_var" -> {
+      val varE = "(CAST(struct_extract(c2, 'ssg') AS DOUBLE) " +
+        "- CAST(CAST(struct_extract(c2, 'sg') AS HUGEINT) " +
+        "* struct_extract(c2, 'sg') AS DOUBLE) " +
+        "/ CAST(struct_extract(c2, 'ngr') AS DOUBLE)) " +
+        "/ (CAST(struct_extract(c2, 'ngr') AS DOUBLE) - 1.0)"
+      val nm1 = "(CAST(struct_extract(c2, 'ngr') AS DOUBLE) - 1.0)"
+      s"""WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ngr,
+        |    CAST(sum(x) AS BIGINT) AS sg,
+        |    sum(CAST(x AS HUGEINT) * x) AS ssg
+        |  FROM h GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(ngr) AS BIGINT) AS n_obs,
+        |    list(struct_pack(g := g, ngr := ngr, sg := sg, ssg := ssg)
+        |      ORDER BY g) AS gs
+        |  FROM grp),
+        |t AS (
+        |  SELECT *,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 -> $nm1 * $varE)),
+        |      (x, y) -> x + y) AS sp_num,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 -> $nm1 * ln($varE))),
+        |      (x, y) -> x + y) AS sum_ln,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, c2 -> 1.0 / $nm1)),
+        |      (x, y) -> x + y) AS sum_inv,
+        |    list_reduce(list_prepend(
+        |      CAST('1.7976931348623157e308' AS DOUBLE),
+        |      list_transform(gs, c2 -> $varE)),
+        |      (x, y) -> least(x, y)) AS min_var
+        |  FROM f),
+        |u AS (
+        |  SELECT *, sp_num
+        |    / (CAST(n_obs AS DOUBLE) - CAST(n_groups AS DOUBLE)) AS sp2
+        |  FROM t)
+        |SELECT n_obs, n_groups,
+        |  CASE WHEN n_groups >= 2 AND min_var > 0.0
+        |    THEN round(((CAST(n_obs AS DOUBLE) - CAST(n_groups AS DOUBLE))
+        |        * ln(sp2) - sum_ln)
+        |      / (1.0 + (sum_inv - 1.0 / (CAST(n_obs AS DOUBLE)
+        |          - CAST(n_groups AS DOUBLE)))
+        |        / (3.0 * (CAST(n_groups AS DOUBLE) - 1.0))), 6)
+        |  END AS bartlett_stat
+        |FROM u""".stripMargin
+    },
+
+    // mirrors Inference.jarqueBera: exact HUGEINT raw moments to the
+    // 4th power, the identical pinned central-moment expansion (skew
+    // via m2·sqrt(m2), never pow), one IEEE JB finish per type
+    "jarque_bera" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(x) AS HUGEINT) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM h GROUP BY 1),
+        |m AS (
+        |  SELECT g, n_hours,
+        |    CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mn,
+        |    CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS r4
+        |  FROM g),
+        |cm AS (
+        |  SELECT g, n_hours,
+        |    r2 - mn * mn AS m2,
+        |    r3 - 3.0 * mn * r2 + 2.0 * mn * mn * mn AS m3,
+        |    r4 - 4.0 * mn * r3 + 6.0 * mn * mn * r2
+        |      - 3.0 * mn * mn * mn * mn AS m4
+        |  FROM m),
+        |sk AS (
+        |  SELECT g, n_hours, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skv,
+        |    m4 / (m2 * m2) - 3.0 AS ekv
+        |  FROM cm)
+        |SELECT g AS event_type, n_hours,
+        |  CASE WHEN n_hours >= 2 AND m2 > 0.0 THEN round(skv, 6) END
+        |    AS skewness,
+        |  CASE WHEN n_hours >= 2 AND m2 > 0.0 THEN round(ekv, 6) END
+        |    AS ex_kurtosis,
+        |  CASE WHEN n_hours >= 2 AND m2 > 0.0
+        |    THEN round(CAST(n_hours AS DOUBLE) / 6.0
+        |      * (skv * skv + ekv * ekv / 4.0), 6) END AS jb_stat
+        |FROM sk""".stripMargin,
+
+    // mirrors Inference.mcnemar on the cohens_kappa gate pair: exact
+    // discordant cells, exact integer continuity-corrected numerator,
+    // one IEEE division
+    "mcnemar_gates" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 500) AS ga,
+        |    (CAST(len(string_split_regex(text, '\s+')) AS BIGINT) >= 80)
+        |      AS gb
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01
+        |  FROM f)
+        |SELECT n, n10, n01,
+        |  CASE WHEN n10 + n01 > 0
+        |    THEN round(CAST(CAST(abs(n10 - n01) - 1 AS HUGEINT)
+        |        * (abs(n10 - n01) - 1) AS DOUBLE)
+        |      / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_cc
+        |FROM m""".stripMargin,
+
+    // mirrors Inference.permutationTest: the identical md5('14:r:key')
+    // parity assignment per rep (the bh_fdr noise discipline), exact
+    // per-rep sums, the same unrounded-|diff| compare and add-one p
+    "permutation_test" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS k,
+        |    CAST(n_chars AS BIGINT) AS v, doc_id % 2 = 0 AS a
+        |  FROM documents),
+        |obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS HUGEINT) AS sb
+        |  FROM base),
+        |od AS (
+        |  SELECT n, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff
+        |  FROM obs),
+        |reps AS (SELECT unnest(range(0, 64)) AS r),
+        |perm AS (
+        |  SELECT r,
+        |    CAST(concat('0x', substr(md5(concat('14', ':',
+        |      CAST(r AS VARCHAR), ':', k)), 1, 8)) AS BIGINT) % 2 AS side,
+        |    v
+        |  FROM base CROSS JOIN reps),
+        |pr AS (
+        |  SELECT r,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pna,
+        |    CAST(sum(CASE WHEN side = 0 THEN v ELSE 0 END) AS HUGEINT)
+        |      AS psa,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pnb,
+        |    CAST(sum(CASE WHEN side = 1 THEN v ELSE 0 END) AS HUGEINT)
+        |      AS psb
+        |  FROM perm GROUP BY 1),
+        |pd AS (
+        |  SELECT r, CAST(psa AS DOUBLE) / CAST(pna AS DOUBLE)
+        |    - CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE) AS dr
+        |  FROM pr WHERE pna > 0 AND pnb > 0),
+        |agg AS (
+        |  SELECT n, diff,
+        |    CAST(sum(CASE WHEN abs(dr) >= abs(diff) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM pd CROSS JOIN od GROUP BY 1, 2)
+        |SELECT n, CAST(64 AS BIGINT) AS reps, round(diff, 6) AS obs_diff,
+        |  n_ge,
+        |  round((CAST(n_ge AS DOUBLE) + 1.0) / (64.0 + 1.0), 6) AS p_value
+        |FROM agg""".stripMargin,
+
+    // mirrors Inference.yuleWalkerAr2: the same hour-frame lag
+    // equi-join, exact HUGEINT lag moments, pinned r/φ/forecast chains
+    // and NULL gates
+    "yule_walker_ar2" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM h GROUP BY 1),
+        |lp AS (
+        |  SELECT a.g, b.hh - a.hh AS l, CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+        |    CAST(sum(a.x) AS HUGEINT) AS sla,
+        |    CAST(sum(b.x) AS HUGEINT) AS slb
+        |  FROM h a JOIN h b ON b.g = a.g AND b.hh > a.hh
+        |    AND b.hh <= a.hh + 2
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT tot.g, n_hours, sx, sxx,
+        |    l1.np AS np1, l1.sxy AS sxy1, l1.sla AS sa1, l1.slb AS sb1,
+        |    l2.np AS np2, l2.sxy AS sxy2, l2.sla AS sa2, l2.slb AS sb2
+        |  FROM tot LEFT JOIN lp l1 ON l1.g = tot.g AND l1.l = 1
+        |           LEFT JOIN lp l2 ON l2.g = tot.g AND l2.l = 2),
+        |fr AS (SELECT g, max(hh) AS ht FROM h GROUP BY 1),
+        |xt AS (SELECT h.g, x AS xt
+        |       FROM h JOIN fr ON h.g = fr.g AND h.hh = fr.ht),
+        |x1 AS (SELECT h.g, x AS xt1
+        |       FROM h JOIN fr ON h.g = fr.g AND h.hh = fr.ht - 1),
+        |c AS (
+        |  SELECT w.*, xt.xt, x1.xt1,
+        |    CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mn,
+        |    CAST(sxx AS DOUBLE)
+        |      - CAST(sx * sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS c0
+        |  FROM w LEFT JOIN xt ON xt.g = w.g LEFT JOIN x1 ON x1.g = w.g),
+        |r AS (
+        |  SELECT *,
+        |    (CAST(sxy1 AS DOUBLE) - mn * CAST(sa1 AS DOUBLE)
+        |      - mn * CAST(sb1 AS DOUBLE)
+        |      + CAST(np1 AS DOUBLE) * mn * mn) / c0 AS r1,
+        |    (CAST(sxy2 AS DOUBLE) - mn * CAST(sa2 AS DOUBLE)
+        |      - mn * CAST(sb2 AS DOUBLE)
+        |      + CAST(np2 AS DOUBLE) * mn * mn) / c0 AS r2
+        |  FROM c),
+        |p AS (SELECT *, 1.0 - r1 * r1 AS den FROM r),
+        |q AS (
+        |  SELECT *, r1 * (1.0 - r2) / den AS phi1,
+        |    (r2 - r1 * r1) / den AS phi2,
+        |    (n_hours >= 3 AND c0 > 0.0 AND np1 IS NOT NULL
+        |      AND np2 IS NOT NULL) AS okr
+        |  FROM p)
+        |SELECT g AS event_type, n_hours,
+        |  CASE WHEN okr THEN round(r1, 6) END AS r1,
+        |  CASE WHEN okr THEN round(r2, 6) END AS r2,
+        |  CASE WHEN okr AND den <> 0.0 THEN round(phi1, 6) END AS phi1,
+        |  CASE WHEN okr AND den <> 0.0 THEN round(phi2, 6) END AS phi2,
+        |  CASE WHEN okr AND den <> 0.0 AND xt IS NOT NULL
+        |      AND xt1 IS NOT NULL
+        |    THEN round(mn + phi1 * (CAST(xt AS DOUBLE) - mn)
+        |      + phi2 * (CAST(xt1 AS DOUBLE) - mn), 6) END AS forecast
+        |FROM q""".stripMargin,
+
+    // mirrors Inference.pacfDl: the same lag-3 moments and the
+    // Durbin–Levinson closed form with identical denominator gates
+    "pacf" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM h GROUP BY 1),
+        |lp AS (
+        |  SELECT a.g, b.hh - a.hh AS l, CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+        |    CAST(sum(a.x) AS HUGEINT) AS sla,
+        |    CAST(sum(b.x) AS HUGEINT) AS slb
+        |  FROM h a JOIN h b ON b.g = a.g AND b.hh > a.hh
+        |    AND b.hh <= a.hh + 3
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT tot.g, n_hours, sx, sxx,
+        |    l1.np AS np1, l1.sxy AS sxy1, l1.sla AS sa1, l1.slb AS sb1,
+        |    l2.np AS np2, l2.sxy AS sxy2, l2.sla AS sa2, l2.slb AS sb2,
+        |    l3.np AS np3, l3.sxy AS sxy3, l3.sla AS sa3, l3.slb AS sb3
+        |  FROM tot LEFT JOIN lp l1 ON l1.g = tot.g AND l1.l = 1
+        |           LEFT JOIN lp l2 ON l2.g = tot.g AND l2.l = 2
+        |           LEFT JOIN lp l3 ON l3.g = tot.g AND l3.l = 3),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mn,
+        |    CAST(sxx AS DOUBLE)
+        |      - CAST(sx * sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS c0
+        |  FROM w),
+        |r AS (
+        |  SELECT *,
+        |    (CAST(sxy1 AS DOUBLE) - mn * CAST(sa1 AS DOUBLE)
+        |      - mn * CAST(sb1 AS DOUBLE)
+        |      + CAST(np1 AS DOUBLE) * mn * mn) / c0 AS r1,
+        |    (CAST(sxy2 AS DOUBLE) - mn * CAST(sa2 AS DOUBLE)
+        |      - mn * CAST(sb2 AS DOUBLE)
+        |      + CAST(np2 AS DOUBLE) * mn * mn) / c0 AS r2,
+        |    (CAST(sxy3 AS DOUBLE) - mn * CAST(sa3 AS DOUBLE)
+        |      - mn * CAST(sb3 AS DOUBLE)
+        |      + CAST(np3 AS DOUBLE) * mn * mn) / c0 AS r3
+        |  FROM c),
+        |p AS (SELECT *, 1.0 - r1 * r1 AS den2 FROM r),
+        |q AS (SELECT *, (r2 - r1 * r1) / den2 AS p2 FROM p),
+        |q2 AS (SELECT *, r1 * (1.0 - p2) AS p21 FROM q),
+        |q3 AS (
+        |  SELECT *, 1.0 - p21 * r1 - p2 * r2 AS den3,
+        |    (n_hours >= 4 AND c0 > 0.0 AND np1 IS NOT NULL
+        |      AND np2 IS NOT NULL AND np3 IS NOT NULL) AS okr
+        |  FROM q2)
+        |SELECT g AS event_type, n_hours,
+        |  CASE WHEN okr THEN round(r1, 6) END AS r1,
+        |  CASE WHEN okr THEN round(r2, 6) END AS r2,
+        |  CASE WHEN okr THEN round(r3, 6) END AS r3,
+        |  CASE WHEN okr THEN round(r1, 6) END AS pacf1,
+        |  CASE WHEN okr AND den2 <> 0.0 THEN round(p2, 6) END AS pacf2,
+        |  CASE WHEN okr AND den2 <> 0.0 AND den3 <> 0.0
+        |    THEN round((r3 - p21 * r2 - p2 * r1) / den3, 6) END AS pacf3
+        |FROM q3""".stripMargin,
+
+    // mirrors Inference.grangerF click→purchase: the same triple frame
+    // from two hour equi-joins, ten exact moments, the identical
+    // centered 2-predictor OLS solve and nested-F chain
+    "granger_f" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |y AS (SELECT hh, x AS yv FROM h WHERE g = 'purchase'),
+        |yl AS (SELECT hh + 1 AS hh, x AS y1 FROM h WHERE g = 'purchase'),
+        |xl AS (SELECT hh + 1 AS hh, x AS x1 FROM h WHERE g = 'click'),
+        |tri AS (
+        |  SELECT yv, y1, x1 FROM y JOIN yl USING (hh) JOIN xl USING (hh)),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yv) AS HUGEINT) AS sy,
+        |    CAST(sum(y1) AS HUGEINT) AS sy1,
+        |    CAST(sum(x1) AS HUGEINT) AS sx1,
+        |    sum(CAST(yv AS HUGEINT) * yv) AS syy,
+        |    sum(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+        |    sum(CAST(yv AS HUGEINT) * y1) AS syy1,
+        |    sum(CAST(yv AS HUGEINT) * x1) AS syx1,
+        |    sum(CAST(y1 AS HUGEINT) * x1) AS sy1x1
+        |  FROM tri),
+        |c AS (
+        |  SELECT n,
+        |    CAST(sy1y1 AS DOUBLE)
+        |      - CAST(sy1 * sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS s11,
+        |    CAST(sx1x1 AS DOUBLE)
+        |      - CAST(sx1 * sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS s22,
+        |    CAST(sy1x1 AS DOUBLE)
+        |      - CAST(sy1 * sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS s12,
+        |    CAST(syy1 AS DOUBLE)
+        |      - CAST(sy1 * sy AS DOUBLE) / CAST(n AS DOUBLE) AS s1y,
+        |    CAST(syx1 AS DOUBLE)
+        |      - CAST(sx1 * sy AS DOUBLE) / CAST(n AS DOUBLE) AS s2y,
+        |    CAST(syy AS DOUBLE)
+        |      - CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE) AS syyc
+        |  FROM mo),
+        |s AS (SELECT *, s11 * s22 - s12 * s12 AS det FROM c),
+        |b AS (
+        |  SELECT *, (s1y * s22 - s2y * s12) / det AS by_,
+        |    (s2y * s11 - s1y * s12) / det AS bx_
+        |  FROM s),
+        |rr AS (
+        |  SELECT *, syyc - by_ * s1y - bx_ * s2y AS rssf,
+        |    syyc - s1y * s1y / s11 AS rssr
+        |  FROM b)
+        |SELECT n AS n_triples,
+        |  CASE WHEN n >= 4 AND s11 > 0.0 AND det <> 0.0 AND rssf > 0.0
+        |    THEN round(by_, 6) END AS beta_y,
+        |  CASE WHEN n >= 4 AND s11 > 0.0 AND det <> 0.0 AND rssf > 0.0
+        |    THEN round(bx_, 6) END AS beta_x,
+        |  CASE WHEN n >= 4 AND s11 > 0.0
+        |    THEN round(rssr, 6) END AS rss_restricted,
+        |  CASE WHEN n >= 4 AND s11 > 0.0 AND det <> 0.0 AND rssf > 0.0
+        |    THEN round(rssf, 6) END AS rss_full,
+        |  CASE WHEN n >= 4 AND s11 > 0.0 AND det <> 0.0 AND rssf > 0.0
+        |    THEN round((rssr - rssf) / (rssf / (CAST(n AS DOUBLE) - 3.0)),
+        |      6) END AS f_stat
+        |FROM rr""".stripMargin,
+
+    // mirrors Inference.hurstExponent: complete blocks only, the same
+    // exact cumsum/IEEE deviation walk per block, pinned ascending-b
+    // per-window R/S folds and the pinned 4-point ln-ln slope
+    "hurst_exponent" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS wl),
+        |bl AS (SELECT wl, hh // wl AS b, hh, x FROM h CROSS JOIN w),
+        |bs AS (
+        |  SELECT wl, b, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(x) AS HUGEINT) AS bsx,
+        |    sum(CAST(x AS HUGEINT) * x) AS bsxx
+        |  FROM bl GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS BIGINT) = wl),
+        |dv AS (
+        |  SELECT bl.wl, bl.b, bs.c, bs.bsx, bs.bsxx,
+        |    CAST(sum(bl.x) OVER (PARTITION BY bl.wl, bl.b ORDER BY bl.hh
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |    - CAST(row_number() OVER (PARTITION BY bl.wl, bl.b
+        |        ORDER BY bl.hh) AS DOUBLE)
+        |      * (CAST(bs.bsx AS DOUBLE) / CAST(bs.c AS DOUBLE)) AS dev
+        |  FROM bl JOIN bs ON bl.wl = bs.wl AND bl.b = bs.b),
+        |rb AS (
+        |  SELECT wl, b, c, bsx, bsxx, max(dev) - min(dev) AS r
+        |  FROM dv GROUP BY 1, 2, 3, 4, 5),
+        |rs AS (
+        |  SELECT wl, b, r / s AS rs FROM (
+        |    SELECT *, sqrt((CAST(bsxx AS DOUBLE)
+        |        - CAST(bsx * bsx AS DOUBLE) / CAST(c AS DOUBLE))
+        |      / CAST(c AS DOUBLE)) AS s
+        |    FROM rb) _s
+        |  WHERE s > 0.0),
+        |pw AS (
+        |  SELECT wl AS window_h, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rs ORDER BY b)), (x, y) -> x + y)
+        |      / CAST(count(*) AS DOUBLE) AS rs_mean
+        |  FROM rs GROUP BY 1),
+        |fit AS (
+        |  SELECT list(struct_pack(wh := window_h, nb := n_blocks,
+        |    rm := rs_mean) ORDER BY window_h) AS ps
+        |  FROM pw),
+        |acc AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ps, p -> CASE WHEN struct_extract(p, 'rm')
+        |          > 0.0 AND struct_extract(p, 'nb') >= 1
+        |        THEN 1.0 ELSE 0.0 END)), (x, y) -> x + y) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ps, p -> CASE WHEN struct_extract(p, 'rm')
+        |          > 0.0 AND struct_extract(p, 'nb') >= 1
+        |        THEN ln(CAST(struct_extract(p, 'wh') AS DOUBLE))
+        |        ELSE 0.0 END)), (x, y) -> x + y) AS lx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ps, p -> CASE WHEN struct_extract(p, 'rm')
+        |          > 0.0 AND struct_extract(p, 'nb') >= 1
+        |        THEN ln(struct_extract(p, 'rm')) ELSE 0.0 END)),
+        |      (x, y) -> x + y) AS ly,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ps, p -> CASE WHEN struct_extract(p, 'rm')
+        |          > 0.0 AND struct_extract(p, 'nb') >= 1
+        |        THEN ln(CAST(struct_extract(p, 'wh') AS DOUBLE))
+        |          * ln(struct_extract(p, 'rm')) ELSE 0.0 END)),
+        |      (x, y) -> x + y) AS lxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ps, p -> CASE WHEN struct_extract(p, 'rm')
+        |          > 0.0 AND struct_extract(p, 'nb') >= 1
+        |        THEN ln(CAST(struct_extract(p, 'wh') AS DOUBLE))
+        |          * ln(CAST(struct_extract(p, 'wh') AS DOUBLE))
+        |        ELSE 0.0 END)), (x, y) -> x + y) AS lxx
+        |  FROM fit),
+        |he AS (
+        |  SELECT CASE WHEN k >= 2.0 AND k * lxx - lx * lx <> 0.0
+        |    THEN round((k * lxy - lx * ly) / (k * lxx - lx * lx), 6) END
+        |    AS h_est
+        |  FROM acc)
+        |SELECT window_h, n_blocks, round(rs_mean, 6) AS rs_mean, h_est
+        |FROM pw CROSS JOIN he""".stripMargin,
+
+    // mirrors Inference.adUniformity: identical integer cell/span
+    // arithmetic, the bounded below-self-join prefix, the same exact
+    // rank-weight coefficients and pinned ascending-cell ln fold
+    "ad_uniformity" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+        |  FROM events),
+        |cl AS (
+        |  SELECT (epoch_us(ts) - tmin)
+        |      // (((tmax - tmin) // 1000) + 1) AS cell,
+        |    tmax - tmin + 1 AS span
+        |  FROM events CROSS JOIN b),
+        |cc AS (
+        |  SELECT cell, span, CAST(count(*) AS BIGINT) AS c
+        |  FROM cl GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT a.cell, a.span, a.c,
+        |    CAST(coalesce(sum(b2.c), 0) AS BIGINT) AS r
+        |  FROM cc a LEFT JOIN cc b2 ON b2.cell < a.cell
+        |  GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells, max(span) AS span_us
+        |  FROM cc),
+        |tm AS (
+        |  SELECT n, n_cells, span_us, cell,
+        |    CAST(CAST(c AS HUGEINT) * (2 * r + c) AS DOUBLE)
+        |      * ln((CAST(cell AS DOUBLE) + 0.5) / 1000.0)
+        |    + CAST(CAST(c AS HUGEINT) * (2 * n - 2 * r - c) AS DOUBLE)
+        |      * ln(1.0 - (CAST(cell AS DOUBLE) + 0.5) / 1000.0) AS t
+        |  FROM pre CROSS JOIN tot),
+        |s AS (
+        |  SELECT n, n_cells, span_us,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t ORDER BY cell)), (x, y) -> x + y) AS ts
+        |  FROM tm GROUP BY 1, 2, 3)
+        |SELECT n, n_cells, span_us,
+        |  round(-CAST(n AS DOUBLE) - ts / CAST(n AS DOUBLE), 6) AS a2_stat
+        |FROM s""".stripMargin
   )
 }

@@ -3114,7 +3114,9 @@ object Reports {
     * @return one row: (n_a, n_b, cliffs_delta 6-rounded, magnitude ∈
     *         negligible/small/medium/large at |δ| ≥ .147/.33/.474);
     *         cliffs_delta AND magnitude are stated NULLs when either
-    *         side is empty (no pair exists to dominate) */
+    *         side is empty (no pair exists to dominate). Scale:
+    *         `StressScale`'s `cliffs_delta_2m` row (2M rows, 100k-value
+    *         grid) pins the banded-ECDF shape */
   def cliffsDelta(
       a: DataFrame,
       b: DataFrame,
@@ -3228,6 +3230,9 @@ object Reports {
     * H is one IEEE chain, NULL when every observation ties (zero
     * divisor, stated).
     *
+    * Scale: `StressScale`'s `kruskal_wallis_2m` row pins the shape at
+    * 2M events x 20 types (sub-linear: the cost is the hourly collapse).
+    *
     * @return one row: (n_obs, n_groups, h_stat, h_corrected),
     *         6-rounded */
   def kruskalWallis(
@@ -3297,6 +3302,9 @@ object Reports {
     * group, and F = ((N−k)/(k−1))·(num/den) is one IEEE chain (the
     * doubling cancels in the ratio). NULL F when the within-spread is
     * zero or k < 2, stated.
+    *
+    * Scale: `StressScale`'s `brown_forsythe_2m` row pins the shape at
+    * 2M events x 20 types (sub-linear: the cost is the hourly collapse).
     *
     * @return one row: (n_obs, n_groups, f_stat), 6-rounded */
   def brownForsythe(
@@ -3531,6 +3539,9 @@ object Reports {
     * as a 1-row frame. q is taken in PERMILLE so the rational side of
     * the compare stays exact integer arithmetic.
     *
+    * Scale: `StressScale`'s `bh_fdr_2m` row runs the gate over 2M
+    * hypotheses (banded p-ranks at corpus scale).
+    *
     * @return per test: (key, p, p_rank, rejected 0/1) */
   def bhFdr(
       pvals: DataFrame,
@@ -3585,6 +3596,9 @@ object Reports {
     * shape — the grid is nBins cells, never corpus-scale, and there is
     * NO window anywhere); the decimal gap-sum is order-blind, and W₁
     * is ONE final IEEE expression.
+    *
+    * Scale: `StressScale`'s `wasserstein_2m` row pins the
+    * collapse-to-spine shape at 2M rows.
     *
     * @return one row: (n_bins, width, n_a, n_b, w1) with
     *         w1 = Σ·width/(n_a·n_b), 6-rounded */

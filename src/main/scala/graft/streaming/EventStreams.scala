@@ -821,7 +821,11 @@ object EventStreams {
     * micro-batches and sessions close via EVENT-TIME TIMEOUT — a user's
     * session is emitted when the watermark passes their last activity
     * plus the gap, so state is bounded and eviction is deterministic.
-    * (The batch [[sessionize]] closes everything at the end instead.) */
+    * (The batch [[sessionize]] closes everything at the end instead.)
+    * Scale: `StressScale`'s `sessionize_stream_2m` row drives 2M events
+    * through 12 watermark-ordered micro-batches and reports max state
+    * rows from the engine's own progress metrics — one open session per
+    * recently-active user (20k), not per user ever seen. */
   def sessionizeStream(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L,
@@ -1087,16 +1091,28 @@ object EventStreams {
     * .Dedup.exact]] — drop rows whose content digest was already seen,
     * with a watermark bounding the dedup state (late duplicates beyond
     * the delay are accepted again; that is the documented trade of
-    * streaming dedup). Works identically on batch frames. */
+    * streaming dedup). Works identically on batch frames.
+    *
+    * Streaming uses `dropDuplicatesWithinWatermark`, NOT
+    * `dropDuplicates`: plain dropDuplicates only evicts state when the
+    * event-time column is part of the dedup keys, so keying on the
+    * digest alone would keep EVERY digest ever seen — state growth
+    * linear in corpus size, the exact failure the 2M-row stress twin
+    * measures (dedup_stream_2m state_rows ≈ the watermark horizon, not
+    * the distinct count). Batch frames take the plain-dropDuplicates
+    * branch (the within-watermark operator is streaming-only, and batch
+    * has no state to bound). */
   def dedupStream(
       docs: DataFrame,
       textCol: String = "text",
       tsCol: String = "ts",
-      watermarkDelay: String = "1 hour"): DataFrame =
-    docs
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val keyed = docs
       .withColumn("content_md5", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("content_md5")
+    if (docs.isStreaming) keyed.dropDuplicatesWithinWatermark("content_md5")
+    else keyed.dropDuplicates("content_md5")
+  }
 
   /** Streaming NEAR-dup admission — the streaming twin of
     * [[graft.operators.Dedup.incrementalFilter]]: each micro-batch of

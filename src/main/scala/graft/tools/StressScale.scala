@@ -1183,10 +1183,226 @@ object StressScale {
           events2m.filter(col("event_id") % 2 === 1)
             .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
               .as("m")),
-          col("m")))
+          col("m"))),
+      // ---- round-14 wave: the r13 statistical tier at 2M events --------
+      // Kruskal–Wallis at 2M events x 20 types: the pooled-midrank pass
+      // rides the banded census over the hourly-count value frame; the H
+      // fold collects one row per group (20)
+      timeNoop("kruskal_wallis_2m")(
+        graft.operators.Reports.kruskalWallis(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // Brown–Forsythe at 2M events x 20 types: exact doubled medians
+      // from the hourly cum frame, then one F fold over 20 group rows
+      timeNoop("brown_forsythe_2m")(
+        graft.operators.Reports.brownForsythe(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // Cliff's delta at 2M rows with a 100k-value grid: dominance counts
+      // from the banded ECDF (the ks_2m shape), never pair enumeration
+      timeNoop("cliffs_delta_2m")(
+        graft.operators.Reports.cliffsDelta(
+          events2m.filter(col("event_id") % 2 === 0)
+            .select(pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          events2m.filter(col("event_id") % 2 === 1)
+            .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
+              .as("m")),
+          col("m"))),
+      // 1-Wasserstein at 2M rows on the same halves: two binned counts +
+      // the 64-bin below-self-join cumsum — the stream collapses to the
+      // bin spine before any cross-bin work
+      timeNoop("wasserstein_2m")(
+        graft.operators.Reports.wasserstein1(
+          events2m.filter(col("event_id") % 2 === 0)
+            .select(pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          events2m.filter(col("event_id") % 2 === 1)
+            .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
+              .as("m")),
+          col("m"), width = 1563L, nBins = 64)),
+      // BH-FDR over 2M hypotheses under the global null (seeded
+      // md5-uniform p per key): banded p-ranks at corpus scale — the
+      // expected discovery set stays (near-)empty however many tests
+      timeNoop("bh_fdr_2m")(
+        graft.operators.Reports.bhFdr(
+          spark.range(2000000L).select(
+            concat(lit("k"), col("id")).as("key"),
+            ((graft.functions.HashFunctions.md5Bucket(11L,
+              concat(lit("k"), col("id"))).cast("double") + 0.5)
+              / 4294967296.0).as("p")))),
+      // ---- round-14 parametric-inference tier at 2M ---------------------
+      // Welch t / Cohen's d at 2M rows: each side collapses to ONE exact
+      // moment row (map-side partials) — the cheapest possible shape
+      timeNoop("welch_t_2m")(
+        graft.operators.Inference.welchTTest(
+          events2m.filter(col("event_id") % 2 === 0)
+            .select(pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          events2m.filter(col("event_id") % 2 === 1)
+            .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
+              .as("m")),
+          col("m"))),
+      timeNoop("cohens_d_2m")(
+        graft.operators.Inference.cohensD(
+          events2m.filter(col("event_id") % 2 === 0)
+            .select(pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          events2m.filter(col("event_id") % 2 === 1)
+            .select(pmod(xxhash64(col("event_id"), lit(7)), lit(100000))
+              .as("m")),
+          col("m"))),
+      // ANOVA F / Bartlett / Jarque-Bera at 2M events x 20 types: the
+      // hourly collapse is the corpus cost; folds run on 20 group rows
+      timeNoop("anova_2m")(
+        graft.operators.Inference.anovaOneWay(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      timeNoop("bartlett_2m")(
+        graft.operators.Inference.bartlettVar(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      timeNoop("jarque_bera_2m")(
+        graft.operators.Inference.jarqueBera(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // McNemar at corpus scale on two real text gates: one
+      // conditional-count pass over the documents
+      timeNoop("mcnemar_gates")(
+        graft.operators.Inference.mcnemar(docs,
+          length(col("text")) >= 250L,
+          size(split(col("text"), " ")) >= 48)),
+      // permutation test at 2M x 64 reps: the explode is the honest
+      // 128M-row CPU multiplier, but the shuffle carries only ~64 rows
+      // per partition (map-side partials) — the guarded-reps contract
+      timeNoop("permutation_2m")(
+        graft.operators.Inference.permutationTest(
+          events2m.select(col("event_id"),
+            pmod(xxhash64(col("event_id")), lit(100000)).as("m")),
+          col("m"), "event_id", col("event_id") % 2 === 0,
+          reps = 64, seed = 14L)),
+      // AR identification at 2M x 20 types: lag equi-joins ride the
+      // calendar-bounded hour frame, never the stream
+      timeNoop("yule_walker_2m")(
+        graft.operators.Inference.yuleWalkerAr2(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      timeNoop("pacf_2m")(
+        graft.operators.Inference.pacfDl(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      timeNoop("granger_2m")(
+        graft.operators.Inference.grangerF(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(4)))),
+          causeType = "t0", effectType = "t1")),
+      // Hurst R/S at 2M events: blocks partition the ~720-hour global
+      // frame; the fit folds 4 points
+      timeNoop("hurst_2m")(
+        graft.operators.Inference.hurstExponent(events2m)),
+      // AD uniformity at 2M events: the 1000-cell frame is the entire
+      // post-collapse working set
+      timeNoop("ad_uniformity_2m")(
+        graft.operators.Inference.adUniformity(events2m))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
+    // Round-14: the remaining streaming twins at 2M events, with STATE
+    // SIZE reported from the engine's own progress metrics (max
+    // numRowsTotal across micro-batches) — the number that decides
+    // whether the stateful shape survives an unbounded stream. Same
+    // ordered file-source pattern as holt_winters_stream_2m: 10
+    // event-time chunks + 2 watermark sentinels, maxFilesPerTrigger=1.
+    val streamStateRows = scala.collection.mutable.Map.empty[String, Long]
+    def shipChunks(dir: java.io.File, staging: java.io.File, mtime0: Long)(
+        df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val stage = new java.io.File(staging, s"c$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime0 + i * 60000L)
+    }
+    val streamTwins: Seq[(String, Double, Long)] = {
+      val spanUs2 = 30L * 24 * 3600 * 1000000L
+      import spark.implicits._
+      Seq(
+        // sessionize twin: flatMapGroupsWithState + EventTimeTimeout at
+        // 2M events / 20k users. The ~7h mean inter-event gap vs the
+        // 30-min session gap means most events close as singleton
+        // sessions at watermark passage — state stays one open session
+        // per RECENTLY-ACTIVE user, not per user ever seen
+        time("sessionize_stream_2m") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("sess_stream_2m").toFile
+          val staging = java.nio.file.Files
+            .createTempDirectory("sess_stream_2m_stage").toFile
+          val ship = shipChunks(dir, staging, 3000000000000L) _
+          val src = events2m.select(
+            col("user_id"),
+            timestamp_micros(col("ts")).as("ts"),
+            lit("evt").as("event_type"),
+            lit(1.0).as("value"))
+          for (i <- 0 until 10)
+            ship(src.filter(
+              col("ts") >= timestamp_micros(lit(i * spanUs2 / 10)) &&
+                col("ts") < timestamp_micros(lit((i + 1) * spanUs2 / 10))), i)
+          for (k <- 0 until 2)
+            ship(Seq((0L, new java.sql.Timestamp(spanUs2 / 1000L + 7200000L),
+              "zz", 1.0)).toDF("user_id", "ts", "event_type", "value"), 10 + k)
+          val stream = spark.readStream
+            .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+              "value DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.sessionizeStream(stream)
+            .writeStream.format("memory").queryName("sess_stream_2m")
+            .outputMode("append").start()
+          q.processAllAvailable()
+          streamStateRows("sessionize_stream_2m") = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+          q.stop()
+          spark.table("sess_stream_2m").count()
+        },
+        // exact-dedup twin: dropDuplicates behind a 1-hour watermark at
+        // 2M rows, 50% planted duplicates ADJACENT in event time (ts
+        // monotone in id, pair = id div 2) so the dedup actually fires;
+        // state is the digests inside the watermark horizon (~1h of
+        // docs), NOT every digest ever seen — the bounded-state claim
+        // the operator's scaladoc makes, read off numRowsTotal here
+        time("dedup_stream_2m") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("dedup_stream_2m").toFile
+          val staging = java.nio.file.Files
+            .createTempDirectory("dedup_stream_2m_stage").toFile
+          val ship = shipChunks(dir, staging, 4000000000000L) _
+          val src = spark.range(2000000L).select(
+            col("id").as("doc_id"),
+            timestamp_micros(col("id") * lit(spanUs2 / 2000000L)).as("ts"),
+            concat(lit("doc "),
+              pmod(xxhash64(floor(col("id") / 2L)), lit(1000000000L))
+                .cast("string")).as("text"))
+          for (i <- 0 until 10)
+            ship(src.filter(col("doc_id") >= i * 200000L &&
+              col("doc_id") < (i + 1) * 200000L), i)
+          for (k <- 0 until 2)
+            ship(Seq((0L, new java.sql.Timestamp(spanUs2 / 1000L + 7200000L),
+              "sentinel")).toDF("doc_id", "ts", "text"), 10 + k)
+          val stream = spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+          val q = graft.streaming.EventStreams
+            .dedupStream(stream, watermarkDelay = "1 hour")
+            .writeStream.format("memory").queryName("dedup_stream_2m")
+            .outputMode("append").start()
+          q.processAllAvailable()
+          streamStateRows("dedup_stream_2m") = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+          q.stop()
+          spark.table("dedup_stream_2m").count()
+        })
+    }
     // Advisor -> executor payoff, EMPIRICALLY: one planted-whale fact
     // (half of 2M rows on a single key) joined to a 1000-key dim,
     // unsalted vs salted with the advisor's OWN salt_factor, collected
@@ -1250,10 +1466,12 @@ object StressScale {
       (recallOf(seedCb), recallOf(trainedCb),
         Sim.pqDistortion(sample, seedCb), Sim.pqDistortion(sample, trainedCb))
     }
-    val qs = (results ++ whalePair).map { case (k, s, rows) =>
+    val qs = (results ++ streamTwins ++ whalePair).map { case (k, s, rows) =>
       f""""$k":{"sec":$s%.2f,"rows":$rows}"""
     }.mkString("{", ",", "}")
-    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,"ops":$qs}""")
+    val stateJson = streamStateRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${k}_state_rows":$v""" }.mkString(",")
+    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,$stateJson,"ops":$qs}""")
     spark.stop()
   }
 }
