@@ -2927,7 +2927,77 @@ object SparkEntry {
     // span, 1000 cells: rank-weight algebra on the cell frame — never
     // a corpus sort
     "ad_uniformity" -> ((s, d) =>
-      graft.operators.Inference.adUniformity(eventsUs(s, d)))
+      graft.operators.Inference.adUniformity(eventsUs(s, d))),
+
+    // DP mean with bounded per-unit contribution (clip 5000 on the
+    // per-user value sum, ε=1 split across noisy sum + noisy count,
+    // seeded channel-tagged Laplace) — completes the dp_counts /
+    // dp_quantile release trio
+    "dp_mean" -> ((s, d) =>
+      graft.operators.Reports.dpMean(eventsUs(s, d),
+        "event_type", "user_id", "value",
+        clip = 5000.0, epsilon = 1.0, releaseId = "r14",
+        quantScale = 100L)),
+
+    // Isotonic calibration of the length-score → token-gate curve via
+    // the minimax PAV characterization — three bounded joins on the
+    // 20-bin frame, no iterative pooling
+    "quality_isotonic" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Quality.isotonicCalibration(docs,
+        col("n_chars").cast("double") / lit(1000.0),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint") >= 80L,
+        nBins = 20)
+    }),
+
+    // Per-hour JS drift against the corpus-wide value distribution on
+    // a 10-bin grid — the batch half of the driftHourlyStream twin
+    "drift_hourly" -> ((s, d) =>
+      graft.operators.Reports.driftHourly(eventsUs(s, d),
+        col("value"), width = 50L, nBins = 10)),
+
+    // ---- round-14 wave 3: sample-based corpus estimation ----
+
+    // Horvitz–Thompson token-total estimate under length-weighted
+    // inclusion (π permille = clamped n_chars): the unequal-probability
+    // "scan 10% and still get an unbiased total" survey estimator
+    "ht_estimate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Estimation.htEstimate(docs,
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint"),
+        "doc_id", col("n_chars"))
+    }),
+
+    // Ratio estimator: token total from a 10% sample leveraged by the
+    // cheap corpus-wide character total — beats expansion when y
+    // tracks x, which tokens-vs-chars always do
+    "ratio_estimate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Estimation.ratioEstimate(docs,
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint"),
+        col("n_chars"), "doc_id", samplePermille = 100L)
+    }),
+
+    // Chapman capture–recapture over distinct content fingerprints:
+    // two 20% seeded samples size the true distinct-document count
+    "capture_recapture" -> ((s, d) =>
+      graft.operators.Estimation.captureRecapture(
+        t(s, d, "documents"), ratePermille = 200L)),
+
+    // Simple Good–Turing adjusted counts + unseen-mass P0 over the
+    // BIGRAM frequency spectrum (r <= 10): unigrams in this corpus
+    // have no rare tail, and LM smoothing applies GT to n-grams anyway
+    "good_turing" -> ((s, d) =>
+      graft.operators.Estimation.goodTuring(t(s, d, "documents"),
+        ngram = 2)),
+
+    // Chao1 bias-corrected richness estimate over the same bigram
+    // spectrum's singleton/doubleton cells
+    "chao1_vocab" -> ((s, d) =>
+      graft.operators.Estimation.chao1(t(s, d, "documents"), ngram = 2))
   )
 
   /** Per-round INNER plans for the iterative operators, keyed by the
@@ -10349,6 +10419,279 @@ object SparkEntry {
         |  FROM tm GROUP BY 1, 2, 3)
         |SELECT n, n_cells, span_us,
         |  round(-CAST(n AS DOUBLE) - ts / CAST(n AS DOUBLE), 6) AS a2_stat
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // mirrors Reports.dpMean: identical quantized unit sums, the same
+    // [0, 500000] clip on the quantized domain, and the channel-tagged
+    // md5('42:r14:sum|cnt:group') Laplace draws — noise replays
+    // bit-for-bit (the dp_counts discipline)
+    "dp_mean" ->
+      """WITH unit AS (
+        |  SELECT event_type AS g, user_id AS u,
+        |    sum(CAST(floor(value * 100.0) AS BIGINT)) AS us
+        |  FROM events GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS nu,
+        |    sum(greatest(least(us, 500000), 0)) AS cs
+        |  FROM unit GROUP BY 1),
+        |dr AS (
+        |  SELECT g, nu, cs,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('42', ':',
+        |        concat_ws(':', 'r14', 'sum', g))), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 4294967296.0 AS usum,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('42', ':',
+        |        concat_ws(':', 'r14', 'cnt', g))), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 4294967296.0 AS ucnt
+        |  FROM grp),
+        |nz AS (
+        |  SELECT g,
+        |    CAST(cs AS DOUBLE) / 100.0
+        |      + CASE WHEN usum < 0.5 THEN ln(usum * 2.0) * 10000.0
+        |        ELSE -ln((1.0 - usum) * 2.0) * 10000.0 END AS nsum,
+        |    CAST(nu AS DOUBLE)
+        |      + CASE WHEN ucnt < 0.5 THEN ln(ucnt * 2.0) * 2.0
+        |        ELSE -ln((1.0 - ucnt) * 2.0) * 2.0 END AS ncnt
+        |  FROM dr)
+        |SELECT g AS event_type,
+        |  CASE WHEN ncnt > 0.0 THEN round(nsum / ncnt, 6) END AS dp_mean,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(5000.0 AS DOUBLE) AS clip
+        |FROM nz""".stripMargin,
+
+    // mirrors Quality.isotonicCalibration: same binning, inclusive
+    // prefixes from the below-self-join, exact-integer range rates and
+    // the minimax max-of-mins — PAV with no pooling loop
+    "quality_isotonic" ->
+      """WITH f AS (
+        |  SELECT greatest(least(CAST(floor((CAST(n_chars AS DOUBLE)
+        |      / 1000.0) * 20.0) AS BIGINT), 19), 0) AS bin,
+        |    CASE WHEN CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      >= 80 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM f GROUP BY 1),
+        |pref AS (
+        |  SELECT a.bin, a.n, a.n_pos, CAST(sum(b.n) AS BIGINT) AS cw,
+        |    CAST(sum(b.n_pos) AS BIGINT) AS cp
+        |  FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY 1, 2, 3),
+        |rates AS (
+        |  SELECT k.bin AS kk, j.bin AS jj,
+        |    CAST(j.cp - k.cp + k.n_pos AS DOUBLE)
+        |      / CAST(j.cw - k.cw + k.n AS DOUBLE) AS rate
+        |  FROM pref k JOIN pref j ON k.bin <= j.bin),
+        |i1 AS (
+        |  SELECT i.bin AS ii, r.kk, min(r.rate) AS minr
+        |  FROM rates r JOIN bins i ON r.kk <= i.bin AND i.bin <= r.jj
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ii, max(minr) AS isov FROM i1 GROUP BY 1)
+        |SELECT bins.bin, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  round(isov, 6) AS iso_rate
+        |FROM bins JOIN iso ON bins.bin = iso.ii""".stripMargin,
+
+    // mirrors Reports.driftHourly: value truncates to BIGINT before
+    // the floor-div binning (trunc replays Spark's double→long cast),
+    // dense hour×bin grid, the drift_js_hellinger smoothing/ln(2)
+    // fold per hour against the global reference
+    "drift_hourly" -> {
+      val lg = math.log(2.0).toString
+      val pa = "((CAST(struct_extract(c2, 'c') AS DOUBLE) + 1.0) / " +
+        "(CAST(n_events AS DOUBLE) + 10.0))"
+      val pb = "((CAST(struct_extract(c2, 'rc') AS DOUBLE) + 1.0) / " +
+        "(CAST(nrt AS DOUBLE) + 10.0))"
+      val mm = s"(($pa + $pb) / 2.0)"
+      s"""WITH hb AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    greatest(least(CAST(floor(CAST(trunc(value) AS BIGINT)
+        |      / 50.0) AS BIGINT), 9), 0) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT bin, CAST(sum(c) AS BIGINT) AS rc
+        |        FROM hb GROUP BY 1),
+        |nrx AS (SELECT CAST(sum(rc) AS BIGINT) AS nrt FROM ref),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+        |refg AS (
+        |  SELECT s.bin, coalesce(rc, 0) AS rc
+        |  FROM spine s LEFT JOIN ref ON ref.bin = s.bin),
+        |hours AS (SELECT DISTINCT h FROM hb),
+        |dense AS (
+        |  SELECT hours.h, s.bin, coalesce(hb.c, 0) AS c, refg.rc
+        |  FROM hours CROSS JOIN spine s
+        |  LEFT JOIN hb ON hb.h = hours.h AND hb.bin = s.bin
+        |  JOIN refg ON refg.bin = s.bin),
+        |agg AS (
+        |  SELECT h, CAST(sum(c) AS BIGINT) AS n_events,
+        |    list(struct_pack(bin := bin, c := c, rc := rc) ORDER BY bin)
+        |      AS g
+        |  FROM dense GROUP BY 1)
+        |SELECT h AS hour_id, n_events,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(g, c2 ->
+        |      ($pa * (ln($pa / $mm) / $lg)
+        |        + $pb * (ln($pb / $mm) / $lg)) / 2.0)),
+        |    (x, y) -> x + y), 6) AS jsd_bits
+        |FROM agg CROSS JOIN nrx""".stripMargin
+    },
+
+    // ---- round-14 wave-3 estimation oracles ----
+
+    // mirrors Estimation.htEstimate: identical md5('7:key') permille
+    // draw, clamped permille inclusion, per-π exact sums folded
+    // ascending with the same y·1000/π IEEE term
+    "ht_estimate" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS k,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS y,
+        |    greatest(least(CAST(n_chars AS BIGINT), 1000), 1) AS pm
+        |  FROM documents),
+        |u AS (
+        |  SELECT *, CAST(concat('0x', substr(md5(concat('7', ':', k)),
+        |    1, 8)) AS BIGINT) % 1000 AS uu
+        |  FROM base),
+        |audit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pop,
+        |    CAST(sum(y) AS HUGEINT) AS ty
+        |  FROM base),
+        |pp AS (
+        |  SELECT pm, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(y) AS HUGEINT) AS sy
+        |  FROM u WHERE uu < pm GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(sum(ns) AS BIGINT) AS n_sample,
+        |    list(struct_pack(pm := pm, sy := sy) ORDER BY pm) AS ps
+        |  FROM pp),
+        |h AS (
+        |  SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(ps, c2 ->
+        |      CAST(struct_extract(c2, 'sy') AS DOUBLE) * 1000.0
+        |        / CAST(struct_extract(c2, 'pm') AS DOUBLE))),
+        |    (x, y) -> x + y) AS ht
+        |  FROM f)
+        |SELECT n_pop, n_sample, round(ht, 6) AS ht_total,
+        |  CAST(ty AS BIGINT) AS exact_total,
+        |  CASE WHEN ty > 0 THEN round((ht - CAST(ty AS DOUBLE))
+        |    / CAST(ty AS DOUBLE), 6) END AS rel_err
+        |FROM h CROSS JOIN audit""".stripMargin,
+
+    // mirrors Estimation.ratioEstimate: md5('8:key') 10% cut, six
+    // exact sums, one IEEE ratio/estimate chain
+    "ratio_estimate" ->
+      """WITH base AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS y,
+        |    CAST(n_chars AS BIGINT) AS x,
+        |    CAST(concat('0x', substr(md5(concat('8', ':',
+        |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 < 100
+        |      AS s
+        |  FROM documents),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pop,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sample,
+        |    CAST(sum(x) AS HUGEINT) AS tx, CAST(sum(y) AS HUGEINT) AS ty,
+        |    CAST(sum(CASE WHEN s THEN y ELSE 0 END) AS HUGEINT) AS sy,
+        |    CAST(sum(CASE WHEN s THEN x ELSE 0 END) AS HUGEINT) AS sx
+        |  FROM base),
+        |c AS (SELECT *, CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r
+        |      FROM mo)
+        |SELECT n_pop, n_sample, CAST(tx AS BIGINT) AS x_total,
+        |  CASE WHEN sx > 0 THEN round(r, 6) END AS ratio,
+        |  CASE WHEN sx > 0 THEN round(r * CAST(tx AS DOUBLE), 6) END
+        |    AS ratio_estimate,
+        |  CAST(ty AS BIGINT) AS exact_total,
+        |  CASE WHEN sx > 0 AND ty > 0
+        |    THEN round((r * CAST(tx AS DOUBLE) - CAST(ty AS DOUBLE))
+        |      / CAST(ty AS DOUBLE), 6) END AS rel_err
+        |FROM c""".stripMargin,
+
+    // mirrors Estimation.captureRecapture: distinct md5(text)
+    // fingerprints, two seeded 20% membership draws, the Chapman and
+    // Seber IEEE chains
+    "capture_recapture" ->
+      """WITH fps AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_distinct,
+        |    CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat('21',
+        |      ':', fp)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat('22',
+        |      ':', fp)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat('21',
+        |      ':', fp)), 1, 8)) AS BIGINT) % 1000 < 200
+        |      AND CAST(concat('0x', substr(md5(concat('22', ':', fp)),
+        |      1, 8)) AS BIGINT) % 1000 < 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_overlap
+        |  FROM fps)
+        |SELECT n1, n2, m_overlap,
+        |  round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |    / (CAST(m_overlap AS DOUBLE) + 1.0) - 1.0, 6) AS chapman_n,
+        |  round(sqrt((CAST(n1 AS DOUBLE) + 1.0)
+        |    * (CAST(n2 AS DOUBLE) + 1.0)
+        |    * (CAST(n1 AS DOUBLE) - CAST(m_overlap AS DOUBLE))
+        |    * (CAST(n2 AS DOUBLE) - CAST(m_overlap AS DOUBLE))
+        |    / ((CAST(m_overlap AS DOUBLE) + 1.0)
+        |      * (CAST(m_overlap AS DOUBLE) + 1.0)
+        |      * (CAST(m_overlap AS DOUBLE) + 2.0))), 6) AS se,
+        |  exact_distinct
+        |FROM mo""".stripMargin,
+
+    // mirrors Estimation.goodTuring: the freq_spectrum tokenization,
+    // shifted self-join for S(r+1), one IEEE r* division per row and
+    // the replicated P0 = S(1)/N
+    "good_turing" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tc AS (
+        |  SELECT ts[i] || ' ' || ts[i + 1] AS term,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+        |  GROUP BY 1),
+        |spec AS (SELECT f, CAST(count(*) AS BIGINT) AS n_terms
+        |         FROM tc GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(f AS HUGEINT) * n_terms) AS HUGEINT) AS n,
+        |    max(CASE WHEN f = 1 THEN n_terms END) AS s1
+        |  FROM spec),
+        |nxt AS (SELECT f - 1 AS f, n_terms AS n_types_next FROM spec)
+        |SELECT spec.f AS r, n_terms AS n_types, n_types_next,
+        |  CASE WHEN n_types_next IS NOT NULL
+        |    THEN round((CAST(spec.f AS DOUBLE) + 1.0)
+        |      * CAST(n_types_next AS DOUBLE)
+        |      / CAST(n_terms AS DOUBLE), 6) END AS r_star,
+        |  CASE WHEN n > 0 THEN round(CAST(coalesce(s1, 0) AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) END AS p0
+        |FROM spec LEFT JOIN nxt ON nxt.f = spec.f CROSS JOIN tot
+        |WHERE spec.f <= 10""".stripMargin,
+
+    // mirrors Estimation.chao1: same spectrum, the bias-corrected
+    // Chao1 IEEE chain
+    "chao1_vocab" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tc AS (
+        |  SELECT ts[i] || ' ' || ts[i + 1] AS term,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+        |  GROUP BY 1),
+        |spec AS (SELECT f, CAST(count(*) AS BIGINT) AS n_terms
+        |         FROM tc GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(coalesce(sum(n_terms), 0) AS BIGINT) AS v_obs,
+        |    CAST(coalesce(max(CASE WHEN f = 1 THEN n_terms END), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(coalesce(max(CASE WHEN f = 2 THEN n_terms END), 0)
+        |      AS BIGINT) AS n2
+        |  FROM spec)
+        |SELECT v_obs, n1, n2,
+        |  round(CAST(v_obs AS DOUBLE) + CAST(n1 AS DOUBLE)
+        |    * (CAST(n1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)), 6) AS chao1_est
+        |FROM mo""".stripMargin
   )
 }

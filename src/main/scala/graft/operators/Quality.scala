@@ -454,4 +454,75 @@ object Quality {
           .as("n_patterns_hit"))
       .withColumn("pass", col("n_matches") === 0L)
   }
+
+  /** Isotonic (monotone) calibration of a score→label curve — the
+    * nonparametric upgrade of [[classifierCalibration]]'s raw
+    * reliability diagram (Zadrozny & Elkan 2002): the weighted
+    * pool-adjacent-violators fit (Ayer et al. 1955) over the score
+    * bins, computed via the minimax characterization
+    * iso(i) = max_{k≤i} min_{j≥i} rate(k..j) (Robertson, Wright & Dykstra
+    * 1988, §1.2) — every fitted value is a contiguous-range positive
+    * rate, chosen by one max-of-mins, so the whole fit is three
+    * bounded joins on the ≤nBins bin frame instead of an iterative
+    * pool loop. The fitted curve is nondecreasing by construction and
+    * equals PAV's output exactly.
+    *
+    * Exactness: bin counts/positives are exact BIGINTs; range rates
+    * are exact-integer ratios (one IEEE division each); min/max over
+    * doubles are order-free. Empty bins carry no evidence and are
+    * absent from the output (the isotonic fit interpolates over
+    * OBSERVED bins). Scale shape: one binned keyed count over the
+    * corpus, then everything runs on the ≤nBins²·nBins/6 bounded
+    * range frame.
+    *
+    * @return per observed bin: (bin, n, n_pos, raw_rate, iso_rate),
+    *         bin-ascending, 6-rounded */
+  def isotonicCalibration(
+      docs: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 256,
+      s"isotonicCalibration: nBins=$nBins outside [2, 256] — the range " +
+        "frame is cubic in the bin count")
+    val bin = greatest(least(floor(score * lit(nBins.toDouble))
+      .cast("bigint"), lit(nBins - 1L)), lit(0L))
+    val bins = docs
+      .select(bin.as("bin"), when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .localCheckpoint(true) // prefix join + range rates share it
+    // inclusive prefixes via the bounded below-self-join (the
+    // adUniformity discipline — no single-partition window)
+    val pref = bins
+      .join(bins.select(col("bin").as("__b2"), col("n").as("__w2"),
+        col("n_pos").as("__p2")), col("__b2") <= col("bin"), "left")
+      .groupBy(col("bin"), col("n"), col("n_pos"))
+      .agg(sum(col("__w2")).as("__cw"), sum(col("__p2")).as("__cp"))
+      .localCheckpoint(true) // k-side and j-side of the range join
+    // contiguous-range rates r(k..j) = (P(j)−P(k)+pos(k)) / (...) from
+    // inclusive prefixes; ≤ nBins² ranges
+    val rates = pref.select(col("bin").as("__k"), col("__cw").as("__cwk"),
+      col("__cp").as("__cpk"), col("n").as("__wk"), col("n_pos").as("__pk"))
+      .join(pref.select(col("bin").as("__j"), col("__cw").as("__cwj"),
+        col("__cp").as("__cpj")), col("__k") <= col("__j"))
+      .select(col("__k"), col("__j"),
+        ((col("__cpj") - col("__cpk") + col("__pk")).cast("double") /
+          (col("__cwj") - col("__cwk") + col("__wk")).cast("double"))
+          .as("__rate"))
+    // iso(i) = max over k≤i of (min over j≥i of rate(k,j))
+    val iso = rates
+      .join(bins.select(col("bin").as("__i")),
+        col("__k") <= col("__i") && col("__i") <= col("__j"))
+      .groupBy(col("__i"), col("__k"))
+      .agg(min(col("__rate")).as("__minr"))
+      .groupBy(col("__i"))
+      .agg(max(col("__minr")).as("__iso"))
+    bins.join(iso, col("bin") === col("__i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("__iso"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
 }

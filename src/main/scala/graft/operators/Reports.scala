@@ -520,6 +520,177 @@ object Reports {
         lit(epsilon).as("epsilon"))
   }
 
+  /** Differentially-private group MEAN with bounded per-unit
+    * contribution — the release tier completing [[dpCounts]] (how many)
+    * and [[dpQuantile]] (where the middle is) with "how much on
+    * average": each unit's value sum CLIPS to [0, clip] (the
+    * sensitivity bound every DP aggregate needs — one user, however
+    * extreme, moves the sum by at most clip), then the classic
+    * noisy-sum / noisy-count Laplace mechanism (Dwork, McSherry,
+    * Nissim & Smith 2006) releases mean = (Σclipped + Lap(2·clip/ε)) /
+    * (n_units + Lap(2/ε)), ε split evenly across the two queries by
+    * sequential composition.
+    *
+    * Noise determinism, releaseId contract and the secret-seed caveat
+    * are EXACTLY [[dpCounts]]' (seeded md5 inverse-CDF, channel-tagged
+    * "sum"/"cnt" so the two draws are independent); the exact
+    * sum/count/mean are deliberately absent from the output —
+    * [[dpMeanDebug]] carries them for specs/audits only and is NOT a
+    * private release.
+    *
+    * Exactness: values quantize like [[abTest]] (floor(v·quantScale) →
+    * exact DECIMAL unit sums), the clip applies on the quantized
+    * integer domain, and the released mean is one pinned IEEE chain.
+    * NULL dp_mean when the noisy count is ≤ 0 (stated — a tiny cohort
+    * under heavy noise has no meaningful release).
+    *
+    * Scale shape: one unit-keyed sum (map-side partials), one group
+    * rollup of the unit frame, noise row-local on the group frame. */
+  def dpMean(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      clip: Double = 100.0,
+      epsilon: Double = 1.0,
+      seed: Long = 42L,
+      releaseId: String = "r0",
+      quantScale: Long = 1000L): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    require(clip > 0, s"clip must be positive: $clip")
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    require(releaseId.nonEmpty, "releaseId must be non-empty")
+    val clipQ = math.floor(clip * quantScale).toLong
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val unit = events
+      .select(col(groupCol).as("__g"), col(unitCol).as("__u"), q.as("__q"))
+      .groupBy(col("__g"), col("__u"))
+      .agg(sum(col("__q").cast("decimal(38,0)")).as("__us"))
+    val grp = unit.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nu"),
+        sum(greatest(least(col("__us"), lit(clipQ)), lit(0L))).as("__cs"))
+    def uDraw(tag: String) = (graft.functions.HashFunctions
+      .md5Bucket(seed, concat_ws(":", lit(releaseId), lit(tag), col("__g")))
+      .cast("double") + 0.5) / 4294967296.0
+    def lap(u: org.apache.spark.sql.Column, b: Double) =
+      when(u < 0.5, log(u * 2.0) * b)
+        .otherwise(-log((lit(1.0) - u) * 2.0) * b)
+    val bSum = 2.0 * clip / epsilon
+    val bCnt = 2.0 / epsilon
+    val noisySum = col("__cs").cast("double") / lit(quantScale.toDouble) +
+      lap(uDraw("sum"), bSum)
+    val noisyCnt = col("__nu").cast("double") + lap(uDraw("cnt"), bCnt)
+    grp.select(col("__g").as(groupCol),
+      when(noisyCnt > 0.0, round(noisySum / noisyCnt, 6)).as("dp_mean"),
+      lit(epsilon).as("epsilon"), lit(clip).as("clip"))
+  }
+
+  /** [[dpMean]]'s audit twin: the exact clipped mean, unit count and
+    * clip-loss share next to the released value. NOT a private
+    * release — specs and mechanism audits only (same labeling as
+    * [[dpQuantileDebug]]). */
+  def dpMeanDebug(
+      events: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      clip: Double = 100.0,
+      epsilon: Double = 1.0,
+      seed: Long = 42L,
+      releaseId: String = "r0",
+      quantScale: Long = 1000L): DataFrame = {
+    val clipQ = math.floor(clip * quantScale).toLong
+    val q = floor(col(valueCol) * lit(quantScale.toDouble)).cast("long")
+    val unit = events
+      .select(col(groupCol).as("__g"), col(unitCol).as("__u"), q.as("__q"))
+      .groupBy(col("__g"), col("__u"))
+      .agg(sum(col("__q").cast("decimal(38,0)")).as("__us"))
+    val grp = unit.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(greatest(least(col("__us"), lit(clipQ)), lit(0L))).as("__cs"),
+        sum(when(col("__us") > clipQ, 1L).otherwise(0L)).as("n_clipped"))
+    val released = dpMean(events, groupCol, unitCol, valueCol, clip,
+      epsilon, seed, releaseId, quantScale)
+      .select(col(groupCol).as("__g"), col("dp_mean"))
+    grp.join(released, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_units"), col("n_clipped"),
+        round(col("__cs").cast("double") / lit(quantScale.toDouble) /
+          col("n_units").cast("double"), 6).as("exact_clipped_mean"),
+        col("dp_mean"))
+  }
+
+  /** Per-hour distribution drift against the corpus-wide reference:
+    * each hour's value histogram scored by Jensen–Shannon divergence
+    * (bits) against the GLOBAL distribution on the same grid — the
+    * hourly "did traffic change shape this hour" monitor feeding the
+    * same bins [[driftPsi]]/[[driftDistances]] read snapshot-vs-
+    * snapshot, and the batch half of the
+    * [[graft.streaming.EventStreams.driftHourlyStream]] twin (which
+    * scores each hour the moment the watermark closes it, against the
+    * same broadcast reference).
+    *
+    * Exactness: the stream collapses ONCE to (hour, bin) counts (the
+    * only corpus-scale shuffle; census-guarded hour frame); the
+    * reference marginal sums that frame; each hour's JSD folds the
+    * DENSE nBins grid in pinned ascending-bin order with
+    * [[driftDistances]]' exact add-one smoothing and ln(2) literal.
+    *
+    * @return per hour: (hour_id, n_events, jsd_bits), hour-ascending,
+    *         6-rounded */
+  def driftHourly(
+      events: DataFrame,
+      metric: org.apache.spark.sql.Column,
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L,
+      width: Long = 100L,
+      nBins: Int = 10,
+      maxHours: Long = 200000L): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    val spark = events.sparkSession
+    val v = metric.cast("bigint")
+    val hb = events
+      .select(expr(s"`$tsCol` div ${hourUs}L").as("__h"),
+        greatest(least(floor(v / lit(width)).cast("bigint"),
+          lit(nBins - 1L)), lit(0L)).as("bin"))
+      .groupBy(col("__h"), col("bin"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // census + reference + hour folds share it
+    val nHours = hb.select(col("__h")).distinct().count()
+    require(nHours <= maxHours,
+      s"driftHourly: $nHours observed hours exceed maxHours=$maxHours — " +
+        "the per-hour folds assume a calendar-bounded frame")
+    val ref = hb.groupBy(col("bin")).agg(sum(col("__c")).as("__rc"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val refGrid = broadcast(spine
+      .join(ref, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__rc"), lit(0L)).as("__rc"))
+      .crossJoin(broadcast(
+        ref.agg(sum(col("__rc")).as("__nr")))))
+    val hours = hb.select(col("__h")).distinct()
+    val dense = hours.crossJoin(broadcast(spine.select(col("bin"))))
+      .join(hb, Seq("__h", "bin"), "left")
+      .select(col("__h"), col("bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .join(refGrid, Seq("bin"))
+    val lg2 = math.log(2.0)
+    dense.groupBy(col("__h"))
+      .agg(sum(col("__c")).as("n_events"),
+        max(col("__nr")).as("__nr2"),
+        sort_array(collect_list(struct(col("bin"), col("__c"),
+          col("__rc")))).as("__g"))
+      .select(col("__h").as("hour_id"), col("n_events"),
+        round(aggregate(col("__g"), lit(0.0), (acc, c) => {
+          val pa = (c.getField("__c").cast("double") + 1.0) /
+            (col("n_events").cast("double") + lit(nBins.toDouble))
+          val pb = (c.getField("__rc").cast("double") + 1.0) /
+            (col("__nr2").cast("double") + lit(nBins.toDouble))
+          val m = (pa + pb) / 2.0
+          acc + (pa * (log(pa / m) / lit(lg2)) +
+            pb * (log(pb / m) / lit(lg2))) / 2.0
+        }), 6).as("jsd_bits"))
+      .orderBy(col("hour_id"))
+  }
+
   /** Population-stability index between two corpus snapshots over one
     * numeric metric — the drift monitor a recurring ingestion runs
     * before retraining (PSI < 0.1: stable; 0.1–0.25: drifting; > 0.25:

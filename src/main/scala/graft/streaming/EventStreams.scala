@@ -897,6 +897,88 @@ object EventStreams {
         when(col("error_ppm") > budgetPpm, 1L).otherwise(0L))
   }
 
+  /** One closed hour of [[driftHourlyStream]]. */
+  final case class DriftRow(hour_id: Long, n_events: Long, jsd_bits: Double)
+
+  // not `private`: the state encoder's generated code needs public
+  // constructor/accessor access
+  final case class DriftState(counts: Array[Long], n: Long)
+
+  /** Streaming twin of [[graft.operators.Reports.driftHourly]]: each
+    * hour's value histogram is scored by Jensen–Shannon divergence
+    * against a BROADCAST reference distribution the moment the
+    * WATERMARK closes the hour — the live "did traffic change shape
+    * this hour" monitor, against the same reference the batch report
+    * scores (production wiring: train the reference once on the
+    * corpus, stream against it).
+    *
+    * State per open hour is ONE fixed-width bin-count array (nBins
+    * longs) — no growth with event volume, eviction deterministic at
+    * watermark passage via EventTimeTimeout. The JSD fold runs
+    * ascending-bin with EXACTLY the batch operator's add-one smoothing,
+    * ln(2) literal, IEEE order and HALF_UP 6-rounding, so a closed
+    * hour row equals the batch hour row bit-for-bit whenever the
+    * reference matches (parity spec). Scale:
+    * `StressScale`'s `drift_stream_2m` row drives 2M events through the
+    * ordered file source and reports max state rows. */
+  def driftHourlyStream(
+      events: Dataset[Event],
+      refCounts: Seq[Long],
+      refTotal: Long,
+      width: Long = 100L,
+      hourUs: Long = 3600000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[DriftRow] = {
+    require(width > 0 && refCounts.nonEmpty, "need width and a reference")
+    require(refCounts.forall(_ >= 0) && refTotal >= 0, "negative reference")
+    import events.sparkSession.implicits._
+    val nBins = refCounts.size
+    val lg2 = math.log(2.0)
+    def jsd(counts: Array[Long], n: Long): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < nBins) {
+        val pa = (counts(i).toDouble + 1.0) / (n.toDouble + nBins.toDouble)
+        val pb = (refCounts(i).toDouble + 1.0) /
+          (refTotal.toDouble + nBins.toDouble)
+        val m = (pa + pb) / 2.0
+        acc += (pa * (math.log(pa / m) / lg2) +
+          pb * (math.log(pb / m) / lg2)) / 2.0
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(acc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime * 1000L, hourUs))
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hourId: Long, it: Iterator[Event], state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(DriftRow(hourId, s.n, jsd(s.counts, s.n)))
+          } else {
+            val s = state.getOption
+              .getOrElse(DriftState(Array.fill(nBins)(0L), 0L))
+            var n = s.n
+            it.foreach { e =>
+              // mirror the batch op exactly: value CASTS to bigint
+              // (truncation) before the floor-div binning
+              val b = math.max(0L,
+                math.min(Math.floorDiv(e.value.toLong, width),
+                  nBins - 1L)).toInt
+              s.counts(b) += 1L
+              n += 1L
+            }
+            state.update(DriftState(s.counts, n))
+            // close when the watermark passes the hour's end
+            state.setTimeoutTimestamp((hourId + 1L) * (hourUs / 1000L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of [[ewmaSmooth]]: per-user EWMA state carried
     * across micro-batches with `mapGroupsWithState`, each batch emitting
     * the user's updated smoothed point (Update output mode). Events

@@ -1299,7 +1299,56 @@ object StressScale {
       // AD uniformity at 2M events: the 1000-cell frame is the entire
       // post-collapse working set
       timeNoop("ad_uniformity_2m")(
-        graft.operators.Inference.adUniformity(events2m))
+        graft.operators.Inference.adUniformity(events2m)),
+      // DP mean at 2M events x 20 types x 20k units: one unit-keyed sum
+      // + one group rollup; noise row-local on 20 rows
+      timeNoop("dp_mean_2m")(
+        graft.operators.Reports.dpMean(
+          events2m
+            .withColumn("event_type",
+              concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("value",
+              (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+                / 100.0)),
+          "event_type", "user_id", "value",
+          clip = 5000.0, releaseId = "stress")),
+      // isotonic calibration at corpus scale: one binned count over n
+      // docs, then three bounded joins on the 20-bin frame
+      timeNoop("quality_isotonic")(
+        graft.operators.Quality.isotonicCalibration(docs,
+          (pmod(xxhash64(col("doc_id")), lit(1000)).cast("double")
+            / 1000.0),
+          pmod(xxhash64(col("doc_id"), lit(3)), lit(4)) === 0L,
+          nBins = 20)),
+      // hourly JS drift at 2M events: the (hour, bin) collapse is the
+      // corpus cost; 720 bounded per-hour folds
+      timeNoop("drift_hourly_2m")(
+        graft.operators.Reports.driftHourly(
+          events2m.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+              / 100.0)),
+          col("value"), width = 100L, nBins = 10)),
+      // ---- round-14 wave-3 estimation tier at corpus scale ----------
+      // HT / ratio estimators: the measured cost is ONE tokenize pass
+      // over the corpus (the estimator math runs on <=1000-row frames)
+      timeNoop("ht_estimate")(
+        graft.operators.Estimation.htEstimate(docs,
+          size(split(col("text"), "\\s+")).cast("bigint"),
+          "doc_id", octet_length(col("text")))),
+      timeNoop("ratio_estimate")(
+        graft.operators.Estimation.ratioEstimate(docs,
+          size(split(col("text"), "\\s+")).cast("bigint"),
+          octet_length(col("text")), "doc_id")),
+      // capture-recapture over distinct fingerprints: one md5 pass +
+      // one distinct; the Chapman math is a 1-row finish
+      timeNoop("capture_recapture")(
+        graft.operators.Estimation.captureRecapture(docs)),
+      // richness pair over the token spectrum (the freq_spectrum
+      // collapse is the shared corpus cost)
+      timeNoop("good_turing")(
+        graft.operators.Estimation.goodTuring(docs)),
+      timeNoop("chao1_vocab")(
+        graft.operators.Estimation.chao1(docs))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
@@ -1401,6 +1450,53 @@ object StressScale {
             .foldLeft(0L)(math.max)
           q.stop()
           spark.table("dedup_stream_2m").count()
+        },
+        // hourly drift monitor twin: per-open-hour fixed nBins state,
+        // reference trained once on the same 2M events (the production
+        // wiring) — state rows = hours in flight, never event volume
+        time("drift_stream_2m") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("drift_stream_2m").toFile
+          val staging = java.nio.file.Files
+            .createTempDirectory("drift_stream_2m_stage").toFile
+          val ship = shipChunks(dir, staging, 5000000000000L) _
+          val spanUs2 = 30L * 24 * 3600 * 1000000L
+          val src = events2m.select(
+            col("user_id"),
+            timestamp_micros(col("ts")).as("ts"),
+            lit("evt").as("event_type"),
+            (pmod(xxhash64(col("event_id")), lit(100000)).cast("double")
+              / 100.0).as("value"))
+          // train the broadcast reference exactly as the batch op does
+          val ref = Array.fill(10)(0L)
+          src.select(greatest(least(
+            floor(col("value").cast("bigint") / lit(100L)).cast("bigint"),
+            lit(9L)), lit(0L)).as("bin"))
+            .groupBy("bin").count().collect()
+            .foreach(r => ref(r.getLong(0).toInt) = r.getLong(1))
+          for (i <- 0 until 10)
+            ship(src.filter(
+              col("ts") >= timestamp_micros(lit(i * spanUs2 / 10)) &&
+                col("ts") < timestamp_micros(lit((i + 1) * spanUs2 / 10))), i)
+          for (k <- 0 until 2)
+            ship(Seq((0L, new java.sql.Timestamp(spanUs2 / 1000L + 7200000L),
+              "zz", 1.0)).toDF("user_id", "ts", "event_type", "value"), 10 + k)
+          val stream = spark.readStream
+            .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+              "value DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .as[graft.streaming.EventStreams.Event]
+          val q = graft.streaming.EventStreams.driftHourlyStream(stream,
+            refCounts = ref.toSeq, refTotal = ref.sum, width = 100L)
+            .writeStream.format("memory").queryName("drift_stream_2m")
+            .outputMode("append").start()
+          q.processAllAvailable()
+          streamStateRows("drift_stream_2m") = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max)
+          q.stop()
+          spark.table("drift_stream_2m").count()
         })
     }
     // Advisor -> executor payoff, EMPIRICALLY: one planted-whale fact

@@ -259,4 +259,29 @@ class QualitySpec extends SparkSpec {
     val rows = Quality.lmScoreBackoff(docs, docs).collect()
     rows.foreach(_.getAs[Long]("n_backoff") shouldBe 0L)
   }
+  behavior of "isotonicCalibration"
+
+  it should "pool adjacent violators exactly (weighted PAV via minimax)" in {
+    // 3 bins, 5 docs each, raw rates [0.8, 0.2, 0.6]:
+    // PAV pools bins 0-1 -> [0.5, 0.5, 0.6]
+    val rows = (0 until 5).map(i => (0.05, i < 4)) ++  // bin 0: 4/5
+      (0 until 5).map(i => (0.40, i < 1)) ++           // bin 1: 1/5
+      (0 until 5).map(i => (0.90, i < 3))              // bin 2: 3/5
+    val docs = rows.toDF("score", "label")
+    val got = Quality.isotonicCalibration(docs, col("score"), col("label"),
+      nBins = 3).collect()
+    got.map(_.getDouble(4)).toSeq shouldBe Seq(0.5, 0.5, 0.6)
+    got.map(_.getDouble(3)).toSeq shouldBe Seq(0.8, 0.2, 0.6)
+  }
+
+  it should "leave an already-monotone curve untouched and stay nondecreasing" in {
+    val rows = (0 until 10).map(i => (0.05, i < 2)) ++
+      (0 until 10).map(i => (0.50, i < 5)) ++
+      (0 until 10).map(i => (0.95, i < 9))
+    val got = Quality.isotonicCalibration(rows.toDF("score", "label"),
+      col("score"), col("label"), nBins = 3).collect()
+    got.map(_.getDouble(4)).toSeq shouldBe Seq(0.2, 0.5, 0.9)
+    got.map(_.getDouble(4)).toSeq shouldBe
+      got.map(_.getDouble(4)).toSeq.sorted
+  }
 }

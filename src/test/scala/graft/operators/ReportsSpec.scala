@@ -1682,4 +1682,63 @@ class ReportsSpec extends SparkSpec {
     Reports.bhFdr(none, "key", "p").collect()
       .map(_.getAs[Long]("rejected")).sum shouldBe 0L
   }
+  behavior of "dpMean"
+
+  it should "release only (group, dp_mean, epsilon, clip) and track the exact clipped mean under weak noise" in {
+    // 3 units in one group, sums 10/20/3000 -> clip 100 bites the whale
+    val ev = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 20.0),
+      ("g", 3L, 1500.0), ("g", 3L, 1500.0)).toDF("grp", "unit", "v")
+    val rel = Reports.dpMean(ev, "grp", "unit", "v",
+      clip = 100.0, epsilon = 1e9, releaseId = "a")
+    rel.columns.toSeq shouldBe Seq("grp", "dp_mean", "epsilon", "clip")
+    // epsilon 1e9 -> noise ~1e-7: release approximates (10+20+100)/3
+    rel.collect()(0).getAs[Double]("dp_mean") shouldBe
+      (130.0 / 3.0) +- 1e-3
+    val dbg = Reports.dpMeanDebug(ev, "grp", "unit", "v",
+      clip = 100.0, epsilon = 1e9, releaseId = "a").collect()(0)
+    dbg.getAs[Long]("n_units") shouldBe 3L
+    dbg.getAs[Long]("n_clipped") shouldBe 1L
+    dbg.getAs[Double]("exact_clipped_mean") shouldBe
+      math.rint(130.0 / 3.0 * 1e6) / 1e6 +- 1e-9
+  }
+
+  it should "draw fresh noise per releaseId (no draw reuse across releases)" in {
+    val ev = Seq(("g", 1L, 50.0), ("g", 2L, 60.0)).toDF("grp", "unit", "v")
+    def rel(id: String): Double =
+      Reports.dpMean(ev, "grp", "unit", "v", clip = 100.0,
+        epsilon = 1.0, releaseId = id)
+        .collect()(0).getAs[Double]("dp_mean")
+    rel("r1") should not be rel("r2")
+  }
+
+  behavior of "driftHourly"
+
+  it should "score each hour's histogram against the global reference" in {
+    // hour 0: values all in bin 0; hour 1: values all in bin 9 ->
+    // symmetric construction, equal JSD, both > 0 vs the mixed ref
+    val hourUs = 3600000000L
+    val ev = (0 until 6).map(i => (i.toLong * 600000000L, 10.0)) ++
+      (0 until 6).map(i => (hourUs + i * 600000000L, 480.0))
+    val df = ev.toDF("ts", "value")
+    val rows = Reports.driftHourly(df, col("value"), width = 50L,
+      nBins = 10).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L)
+    rows.map(_.getLong(1)).toSeq shouldBe Seq(6L, 6L)
+    rows(0).getDouble(2) shouldBe rows(1).getDouble(2)
+    assert(rows(0).getDouble(2) > 0.0)
+  }
+
+  it should "score an hour matching the reference near zero" in {
+    val hourUs = 3600000000L
+    // both hours identical -> each matches the global mix. JSD is not
+    // EXACTLY 0: add-one smoothing weighs the hour (n=4) and the
+    // reference (n=8) differently — only near zero, vs ~0.5+ for the
+    // disjoint-bin case above
+    val ev = (0 until 4).flatMap(i =>
+      Seq((i.toLong * 600000000L, 10.0), (hourUs + i * 600000000L, 10.0)))
+    val rows = Reports.driftHourly(ev.toDF("ts", "value"), col("value"),
+      width = 50L, nBins = 10).collect()
+    rows.foreach(r => assert(r.getDouble(2) < 0.02))
+  }
 }

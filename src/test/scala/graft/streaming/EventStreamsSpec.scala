@@ -902,4 +902,70 @@ class EventStreamsSpec extends SparkSpec {
     got("a") shouldBe 0.5 +- 1e-9
     got("b") shouldBe 0.5 +- 1e-9
   }
+  "driftHourlyStream" should "close hours bit-equal to the batch report against the same reference" in {
+    implicit val sqlCtx = spark.sqlContext
+    // hour 7 skewed low, hour 8 skewed high; reference = global mix.
+    // Base sits at hour 7, not epoch 0: the initial watermark IS 0, and
+    // a first event exactly at it is dropped as late
+    val base = 7L * 3600000L
+    val evRows = (0 until 6).map(i =>
+      (7L, new Timestamp(base + i * 600000L), "e", 10.0)) ++
+      (0 until 6).map(i =>
+        (7L, new Timestamp(base + 3600000L + i * 600000L), "e", 480.0))
+    val batchDf = evRows
+      .map { case (_, t0, _, v) => (t0.getTime * 1000L, v) }
+      .toDF("ts", "value")
+    val batch = graft.operators.Reports
+      .driftHourly(batchDf, col("value"), width = 50L, nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // reference histogram exactly as the batch op derives it
+    val ref = Array.fill(10)(0L)
+    evRows.foreach { case (_, _, _, v) =>
+      ref(math.min(math.max(v.toLong / 50L, 0L), 9L).toInt) += 1L
+    }
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventStreams.driftHourlyStream(
+        stream.toDS().toDF("user_id", "ts", "event_type", "value")
+          .as[EventStreams.Event],
+        refCounts = ref.toSeq, refTotal = ref.sum,
+        width = 50L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drift_hourly_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(evRows.take(6))
+      q.processAllAvailable()
+      stream.addData(evRows.drop(6))
+      q.processAllAvailable()
+      // watermark sentinels far past hour 8 close both hours
+      stream.addData((0L, new Timestamp(base + 4 * 3600000L), "zz", 0.0))
+      q.processAllAvailable()
+      stream.addData((0L, new Timestamp(base + 5 * 3600000L), "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_hourly_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 < 9L).toSet
+      got shouldBe batch
+    } finally q.stop()
+  }
+
+  it should "keep state at one fixed-width row per open hour" in {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventStreams.driftHourlyStream(
+        stream.toDS().toDF("user_id", "ts", "event_type", "value")
+          .as[EventStreams.Event],
+        refCounts = Seq.fill(10)(1L), refTotal = 10L,
+        width = 50L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drift_state_out")
+      .outputMode("append").start()
+    try {
+      // 100 events, all inside ONE hour -> exactly one state row
+      stream.addData((0 until 100).map(i =>
+        (i.toLong, new Timestamp(i * 1000L), "e", i.toDouble)))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      st.map(_.numRowsTotal).sum shouldBe 1L
+    } finally q.stop()
+  }
 }
