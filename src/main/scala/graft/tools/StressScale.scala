@@ -1343,12 +1343,12 @@ object StressScale {
       // one distinct; the Chapman math is a 1-row finish
       timeNoop("capture_recapture")(
         graft.operators.Estimation.captureRecapture(docs)),
-      // richness pair over the token spectrum (the freq_spectrum
-      // collapse is the shared corpus cost)
+      // richness pair over the BIGRAM spectrum (matching the registered
+      // query: the hash-word corpus has no rare unigram tail either)
       timeNoop("good_turing")(
-        graft.operators.Estimation.goodTuring(docs)),
+        graft.operators.Estimation.goodTuring(docs, ngram = 2)),
       timeNoop("chao1_vocab")(
-        graft.operators.Estimation.chao1(docs))
+        graft.operators.Estimation.chao1(docs, ngram = 2))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
