@@ -2997,7 +2997,19 @@ object SparkEntry {
     // Chao1 bias-corrected richness estimate over the same bigram
     // spectrum's singleton/doubleton cells
     "chao1_vocab" -> ((s, d) =>
-      graft.operators.Estimation.chao1(t(s, d, "documents"), ngram = 2))
+      graft.operators.Estimation.chao1(t(s, d, "documents"), ngram = 2)),
+
+    // Cramér's V on the chi2_independence pair: the [0,1] effect size
+    // over the same exact cell fold — chi2 decides, V sizes
+    "cramers_v" -> ((s, d) =>
+      graft.operators.Reports.cramersV(
+        t(s, d, "documents"), "lang", "source")),
+
+    // Naive-forecast error baseline per type (Theil U2 / MASE
+    // denominator): consecutive-hour diffs, exact sums, one IEEE
+    // rmse/mae pair — what holt_winters_backtest must beat
+    "forecast_baseline" -> ((s, d) =>
+      graft.operators.Reports.forecastBaseline(eventsUs(s, d)))
   )
 
   /** Per-round INNER plans for the iterative operators, keyed by the
@@ -10692,6 +10704,64 @@ object SparkEntry {
         |  round(CAST(v_obs AS DOUBLE) + CAST(n1 AS DOUBLE)
         |    * (CAST(n1 AS DOUBLE) - 1.0)
         |    / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)), 6) AS chao1_est
-        |FROM mo""".stripMargin
+        |FROM mo""".stripMargin,
+
+    // mirrors Reports.cramersV: the chi2_independence replay plus the
+    // same one-chain V from the UNROUNDED chi2
+    "cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |am AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |bm AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(nij) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT cells.a) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT cells.b) AS BIGINT) AS kb,
+        |    list_sort(list(struct_pack(a := cells.a, b := cells.b,
+        |      nij := nij, ni := ni, nj := nj))) AS cs
+        |  FROM cells JOIN am USING (a) JOIN bm USING (b)),
+        |x AS (
+        |  SELECT *, list_reduce(list_prepend(0.0, list_transform(cs, c ->
+        |      (CAST(struct_extract(c, 'nij') AS DOUBLE)
+        |         * CAST(struct_extract(c, 'nij') AS DOUBLE)
+        |         * CAST(n_rows AS DOUBLE))
+        |        / (CAST(struct_extract(c, 'ni') AS DOUBLE)
+        |           * CAST(struct_extract(c, 'nj') AS DOUBLE)))),
+        |    (x, y) -> x + y) - CAST(n_rows AS DOUBLE) AS chi2raw
+        |  FROM j)
+        |SELECT n_cells, n_rows, (ka - 1) * (kb - 1) AS dof,
+        |  round(chi2raw, 6) AS chi2,
+        |  CASE WHEN least(ka - 1, kb - 1) >= 1 AND n_rows > 0
+        |    THEN round(sqrt(chi2raw / CAST(n_rows AS DOUBLE)
+        |      / CAST(least(ka - 1, kb - 1) AS DOUBLE)), 6) END
+        |    AS cramers_v
+        |FROM x""".stripMargin,
+
+    // mirrors Reports.forecastBaseline: the hour+1 equi-join pairs,
+    // exact HUGEINT squared-diff sums, identical rmse/mae chains
+    "forecast_baseline" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_hours
+        |        FROM h GROUP BY 1),
+        |pr AS (
+        |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS sse,
+        |    CAST(sum(abs(b.x - a.x)) AS BIGINT) AS sae
+        |  FROM h a JOIN h b ON b.g = a.g AND b.hh = a.hh + 1
+        |  GROUP BY 1)
+        |SELECT tot.g AS event_type, n_hours,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN n_pairs >= 1
+        |    THEN round(sqrt(CAST(sse AS DOUBLE)
+        |      / CAST(n_pairs AS DOUBLE)), 6) END AS naive_rmse,
+        |  CASE WHEN n_pairs >= 1
+        |    THEN round(CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+        |    END AS naive_mae
+        |FROM tot LEFT JOIN pr ON pr.g = tot.g""".stripMargin
   )
 }

@@ -2073,14 +2073,55 @@ object Reports {
       df: DataFrame,
       aCol: String,
       bCol: String,
+      maxCells: Long = 1L << 20): DataFrame =
+    chi2Folded(df, aCol, bCol, maxCells, "chiSquareIndependence")
+      .select(col("n_cells"), col("n_rows"),
+        ((col("__ka") - 1L) * (col("__kb") - 1L)).as("dof"),
+        round(col("__chi2"), 6).as("chi2"))
+
+  /** Cramér's V association strength (Cramér 1946, §21.9) for the same
+    * contingency pair — [[chiSquareIndependence]]'s EFFECT SIZE: χ²
+    * says whether the dependence beats sampling noise, V = √(χ²/(n·
+    * min(kₐ−1, k_b−1))) says how strong it is on the comparable [0,1]
+    * scale (the categorical sibling of [[Inference.cohensD]]). Shares
+    * the exact cell machinery, fold and guard with the χ² report —
+    * ONE more IEEE chain on the same folded row. NULL V when either
+    * cardinality is 1 (no association is defined), stated.
+    *
+    * @return one row: (n_cells, n_rows, dof, chi2, cramers_v),
+    *         6-rounded */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
       maxCells: Long = 1L << 20): DataFrame = {
+    val f = chi2Folded(df, aCol, bCol, maxCells, "cramersV")
+    val minK = least(col("__ka") - 1L, col("__kb") - 1L)
+    f.select(col("n_cells"), col("n_rows"),
+      ((col("__ka") - 1L) * (col("__kb") - 1L)).as("dof"),
+      round(col("__chi2"), 6).as("chi2"),
+      when(minK >= 1L && col("n_rows") > 0L,
+        round(sqrt(col("__chi2") / col("n_rows").cast("double") /
+          minK.cast("double")), 6)).as("cramers_v"))
+  }
+
+  /** The shared χ² cell collapse + pinned fold: one row with
+    * (n_cells, n_rows, __ka, __kb, __chi2 UNROUNDED) — both public
+    * views round the identical double, so the refactor cannot move a
+    * published value. */
+  private def chi2Folded(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Long,
+      opName: String): DataFrame = {
     require(maxCells > 0, s"maxCells must be positive: $maxCells")
     val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
       .localCheckpoint()
     val nCells = cells.count()
     require(nCells <= maxCells,
-      s"chiSquareIndependence: $nCells distinct ($aCol, $bCol) cells " +
+      s"$opName: $nCells distinct ($aCol, $bCol) cells " +
         s"exceed maxCells=$maxCells — this report folds the full cell " +
         s"table in one row and is meant for CATEGORICAL pairs")
     val aM = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ni"))
@@ -2095,15 +2136,61 @@ object Reports {
         sort_array(collect_list(struct(
           col("__a"), col("__b"), col("__nij"), col("__ni"), col("__nj"))))
           .as("__cells"))
-      .select(col("n_cells"), col("n_rows"),
-        ((col("__ka") - 1L) * (col("__kb") - 1L)).as("dof"),
-        round(
-          aggregate(col("__cells"), lit(0.0), (acc, c) =>
-            acc + (c.getField("__nij").cast("double") *
-              c.getField("__nij").cast("double") * n) /
-              (c.getField("__ni").cast("double") *
-                c.getField("__nj").cast("double")))
-            - n, 6).as("chi2"))
+      .withColumn("__chi2",
+        aggregate(col("__cells"), lit(0.0), (acc, c) =>
+          acc + (c.getField("__nij").cast("double") *
+            c.getField("__nij").cast("double") * n) /
+            (c.getField("__ni").cast("double") *
+              c.getField("__nj").cast("double")))
+          - n)
+  }
+
+  /** Naive-forecast error baseline per group over hourly counts — the
+    * DENOMINATOR every forecast evaluation divides by: Theil's U2
+    * (Theil 1966) benchmarks a model against the no-change forecast
+    * x̂ₜ = xₜ₋₁, and MASE (Hyndman & Koehler 2006) scales absolute
+    * errors by exactly this naive MAE. One row per group:
+    * (n_hours, n_pairs, naive_rmse, naive_mae) — compare
+    * holtWintersBacktest's one-step errors against these to decide
+    * whether the smoother earns its keep.
+    *
+    * Exactness: consecutive-hour pairs from ONE equi-join on hour+1
+    * (gap hours contribute no pair, the ljungBox convention); squared
+    * and absolute diffs accumulate exact DECIMAL/BIGINT; rmse/mae are
+    * one IEEE chain each. NULLs when a group has no pairs, stated.
+    *
+    * @return per group: (event_type, n_hours, n_pairs, naive_rmse,
+    *         naive_mae), 6-rounded */
+  def forecastBaseline(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      hourUs: Long = 3600000000L): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val h = events
+      .groupBy(col(groupCol).as("__g"),
+        expr(s"`$tsCol` div ${hourUs}L").as("__h"))
+      .agg(count(lit(1)).as("__x"))
+      .localCheckpoint(true) // totals + the pair join share it
+    val tot = h.groupBy(col("__g")).agg(count(lit(1)).as("n_hours"))
+    val pairs = h.select(col("__g"), (col("__h") + 1L).as("__h"),
+      col("__x").as("__prev"))
+      .join(h, Seq("__g", "__h"))
+      .select(col("__g"), (col("__x") - col("__prev")).as("__df"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d(col("__df")) * col("__df")).as("__sse"),
+        sum(abs(col("__df"))).as("__sae"))
+    val np = col("n_pairs").cast("double")
+    tot.join(pairs, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_hours"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs") >= 1L,
+          round(sqrt(col("__sse").cast("double") / np), 6))
+          .as("naive_rmse"),
+        when(col("n_pairs") >= 1L,
+          round(col("__sae").cast("double") / np, 6)).as("naive_mae"))
+      .orderBy(col(groupCol))
   }
 
   /** CUPED variance-reduced A/B z-test (Deng, Xu, Kohavi & Walker 2013,

@@ -1348,7 +1348,22 @@ object StressScale {
       timeNoop("good_turing")(
         graft.operators.Estimation.goodTuring(docs, ngram = 2)),
       timeNoop("chao1_vocab")(
-        graft.operators.Estimation.chao1(docs, ngram = 2))
+        graft.operators.Estimation.chao1(docs, ngram = 2)),
+      // Cramér's V at 2M events on a 20x100 contingency: the cell
+      // collapse is the corpus cost, the fold runs 2000 cells
+      timeNoop("cramers_2m")(
+        graft.operators.Reports.cramersV(
+          events2m
+            .withColumn("ua", concat(lit("t"), pmod(col("user_id"), lit(20))))
+            .withColumn("ub", pmod(xxhash64(col("user_id")), lit(100))
+              .cast("string")),
+          "ua", "ub")),
+      // naive-forecast baseline at 2M events x 20 types: one hourly
+      // collapse + one hour+1 equi-join on the calendar frame
+      timeNoop("forecast_baseline_2m")(
+        graft.operators.Reports.forecastBaseline(
+          events2m.withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(20))))))
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )

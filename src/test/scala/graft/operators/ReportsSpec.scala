@@ -1729,6 +1729,51 @@ class ReportsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) > 0.0)
   }
 
+  behavior of "cramersV"
+
+  it should "read 1 on perfect association and 0 on independence" in {
+    val perfect = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("u", "v")
+    val r = Reports.cramersV(perfect, "u", "v").collect()(0)
+    r.getAs[Double]("cramers_v") shouldBe 1.0
+    val indep = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("u", "v")
+    Reports.cramersV(indep, "u", "v").collect()(0)
+      .getAs[Double]("cramers_v") shouldBe 0.0
+  }
+
+  it should "gate V to NULL on a single-category column" in {
+    val df = Seq(("a1", "b1"), ("a1", "b2")).toDF("u", "v")
+    Reports.cramersV(df, "u", "v").collect()(0)
+      .isNullAt(4) shouldBe true
+  }
+
+  behavior of "forecastBaseline"
+
+  it should "compute naive rmse/mae from consecutive-hour diffs" in {
+    // counts [1,3,2] -> diffs [2,-1]: sse 5, sae 3
+    val hourUs = 3600000000L
+    val ev = Seq.fill(1)(("a", 0L * hourUs)) ++
+      Seq.fill(3)(("a", 1L * hourUs)) ++ Seq.fill(2)(("a", 2L * hourUs))
+    val r = Reports.forecastBaseline(ev.toDF("event_type", "ts"))
+      .collect()(0)
+    r.getLong(1) shouldBe 3L
+    r.getLong(2) shouldBe 2L
+    r.getDouble(3) shouldBe math.rint(math.sqrt(2.5) * 1e6) / 1e6 +- 1e-9
+    r.getDouble(4) shouldBe 1.5
+  }
+
+  it should "emit NULL errors for a group with no consecutive pairs" in {
+    val hourUs = 3600000000L
+    // two observed hours, 5 hours apart -> no hh+1 pair
+    val ev = Seq(("a", 0L * hourUs), ("a", 5L * hourUs))
+    val r = Reports.forecastBaseline(ev.toDF("event_type", "ts"))
+      .collect()(0)
+    r.getLong(2) shouldBe 0L
+    r.isNullAt(3) shouldBe true
+    r.isNullAt(4) shouldBe true
+  }
+
   it should "score an hour matching the reference near zero" in {
     val hourUs = 3600000000L
     // both hours identical -> each matches the global mix. JSD is not
