@@ -2894,8 +2894,9 @@ object SparkEntry {
     }),
 
     // Hash-deterministic permutation test of the halves' mean n_chars:
-    // 64 seeded md5-parity reassignments, one explode pass with
-    // map-side partials, add-one Monte-Carlo p
+    // 64 seeded reassignments read as BITS of one md5 per key (the
+    // 128-bit digest amortized across the rep explode), map-side
+    // partials, kept-rep add-one Monte-Carlo p
     "permutation_test" -> ((s, d) =>
       graft.operators.Inference.permutationTest(
         t(s, d, "documents"), col("n_chars"), "doc_id",
@@ -10063,14 +10064,16 @@ object SparkEntry {
         |  FROM f)
         |SELECT n, n10, n01,
         |  CASE WHEN n10 + n01 > 0
-        |    THEN round(CAST(CAST(abs(n10 - n01) - 1 AS HUGEINT)
-        |        * (abs(n10 - n01) - 1) AS DOUBLE)
+        |    THEN round(CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS HUGEINT)
+        |        * greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
         |      / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_cc
         |FROM m""".stripMargin,
 
-    // mirrors Inference.permutationTest: the identical md5('14:r:key')
-    // parity assignment per rep (the bh_fdr noise discipline), exact
-    // per-rep sums, the same unrounded-|diff| compare and add-one p
+    // mirrors Inference.permutationTest: rep r's side is BIT (r mod
+    // 128) of md5('14:blk:key') with blk = r div 128 (one digest per
+    // key per 128 reps — hex digit r div 4, bit r mod 4), exact
+    // per-rep sums, the same unrounded-|diff| compare, kept-rep
+    // add-one p, and the observed-side-empty NULL gate
     "permutation_test" ->
       """WITH base AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS k,
@@ -10084,16 +10087,19 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS HUGEINT) AS sb
         |  FROM base),
         |od AS (
-        |  SELECT n, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |  SELECT n, na > 0 AND nb > 0 AS ok,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
         |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff
         |  FROM obs),
-        |reps AS (SELECT unnest(range(0, 64)) AS r),
+        |hx AS (
+        |  SELECT v, md5(concat('14', ':', '0', ':', k)) AS hex
+        |  FROM base),
+        |reps AS (SELECT unnest(range(0, 64)) AS j),
         |perm AS (
-        |  SELECT r,
-        |    CAST(concat('0x', substr(md5(concat('14', ':',
-        |      CAST(r AS VARCHAR), ':', k)), 1, 8)) AS BIGINT) % 2 AS side,
-        |    v
-        |  FROM base CROSS JOIN reps),
+        |  SELECT j AS r, v,
+        |    (CAST(concat('0x', substr(hex, (j // 4) + 1, 1)) AS BIGINT)
+        |      >> (j % 4)) & 1 AS side
+        |  FROM hx CROSS JOIN reps),
         |pr AS (
         |  SELECT r,
         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -10110,13 +10116,15 @@ object SparkEntry {
         |    - CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE) AS dr
         |  FROM pr WHERE pna > 0 AND pnb > 0),
         |agg AS (
-        |  SELECT n, diff,
+        |  SELECT n, ok, diff, CAST(count(*) AS BIGINT) AS reps_kept,
         |    CAST(sum(CASE WHEN abs(dr) >= abs(diff) THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_ge
-        |  FROM pd CROSS JOIN od GROUP BY 1, 2)
-        |SELECT n, CAST(64 AS BIGINT) AS reps, round(diff, 6) AS obs_diff,
-        |  n_ge,
-        |  round((CAST(n_ge AS DOUBLE) + 1.0) / (64.0 + 1.0), 6) AS p_value
+        |      AS BIGINT) AS nge
+        |  FROM pd CROSS JOIN od GROUP BY 1, 2, 3)
+        |SELECT n, CAST(64 AS BIGINT) AS reps, reps_kept,
+        |  CASE WHEN ok THEN round(diff, 6) END AS obs_diff,
+        |  CASE WHEN ok THEN nge END AS n_ge,
+        |  CASE WHEN ok THEN round((CAST(nge AS DOUBLE) + 1.0)
+        |    / (CAST(reps_kept AS DOUBLE) + 1.0), 6) END AS p_value
         |FROM agg""".stripMargin,
 
     // mirrors Inference.yuleWalkerAr2: the same hour-frame lag
@@ -10401,8 +10409,8 @@ object SparkEntry {
         |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
         |  FROM events),
         |cl AS (
-        |  SELECT (epoch_us(ts) - tmin)
-        |      // (((tmax - tmin) // 1000) + 1) AS cell,
+        |  SELECT ((epoch_us(ts) - tmin) * 1000)
+        |      // (tmax - tmin + 1) AS cell,
         |    tmax - tmin + 1 AS span
         |  FROM events CROSS JOIN b),
         |cc AS (
@@ -10515,8 +10523,8 @@ object SparkEntry {
       val mm = s"(($pa + $pb) / 2.0)"
       s"""WITH hb AS (
         |  SELECT epoch_us(ts) // 3600000000 AS h,
-        |    greatest(least(CAST(floor(CAST(trunc(value) AS BIGINT)
-        |      / 50.0) AS BIGINT), 9), 0) AS bin,
+        |    greatest(least(CAST(trunc(value) AS BIGINT) // 50, 9),
+        |      0) AS bin,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
         |ref AS (SELECT bin, CAST(sum(c) AS BIGINT) AS rc

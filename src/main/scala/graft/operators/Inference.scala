@@ -301,8 +301,11 @@ object Inference {
     * stricter?").
     *
     * Exactness: one conditional-count aggregate (exact longs); the
-    * Edwards continuity-corrected χ² = (|b−c|−1)²/(b+c) keeps an exact
-    * integer numerator, one IEEE division. NULL χ² when b+c = 0 (no
+    * Edwards continuity-corrected χ² = (max(0, |b−c|−1))²/(b+c) keeps
+    * an exact integer numerator, one IEEE division — the max(0, ·)
+    * clamp is the standard Edwards form: without it, equal discordant
+    * cells (|b−c| = 0) would report 1/(b+c) where the correction
+    * should bottom out at exactly 0. NULL χ² when b+c = 0 (no
     * discordant pairs), stated.
     *
     * @return one row: (n, n10, n01, chi2_cc), 6-rounded */
@@ -311,7 +314,7 @@ object Inference {
       count(lit(1)).as("n"),
       sum(when(gateA && !gateB, 1L).otherwise(0L)).as("n10"),
       sum(when(!gateA && gateB, 1L).otherwise(0L)).as("n01"))
-    val diff = abs(col("n10") - col("n01")) - lit(1L)
+    val diff = greatest(abs(col("n10") - col("n01")) - lit(1L), lit(0L))
     t.select(col("n"), col("n10"), col("n01"),
       when(col("n10") + col("n01") > 0L,
         round((d(diff) * diff).cast("double") /
@@ -324,17 +327,29 @@ object Inference {
     * rows to sides, each assignment the PARITY of a seeded md5 over
     * (rep, key) — no RNG state, so any engine replays the identical
     * permutation set (the repo's seeded-sampling discipline). p =
-    * (1 + #{r : |diff_r| ≥ |observed|}) / (reps + 1), the standard
-    * add-one Monte-Carlo estimate (Phipson & Smyth 2010).
+    * (1 + #{r : |diff_r| ≥ |observed|}) / (kept + 1), the standard
+    * add-one Monte-Carlo estimate (Phipson & Smyth 2010) over the
+    * reps actually KEPT (a rep whose hash assignment empties one side
+    * has no defined diff and is dropped from both numerator and
+    * denominator — counting it as "not ≥ observed" would silently
+    * bias p downward on tiny inputs).
     *
     * Scale shape: ONE pass over rows × reps (a sequence explode) into
     * a groupBy(rep) with map-side partials — the shuffle carries ~reps
     * rows per partition, never the corpus; the rep count is the
-    * explicit, guarded CPU multiplier. Exactness: per-rep sums/counts
+    * explicit, guarded CPU multiplier. The hash cost does NOT scale
+    * with reps: rep r's side is BIT (r mod 128) of md5("seed:block:key")
+    * with block = r div 128 — one md5 per key per 128 reps, the
+    * 128-bit digest amortized across the rep fan-out (the explode
+    * copies the precomputed hex; each rep row does one digit/bit
+    * extract, not a fresh digest). Exactness: per-rep sums/counts
     * exact; each diff is one IEEE chain; the ≥ compare runs on
-    * identically-constructed doubles both sides.
+    * identically-constructed doubles both sides. When the OBSERVED
+    * split leaves either side empty there is no statistic: obs_diff,
+    * n_ge and p_value are NULL, stated.
     *
-    * @return one row: (n, reps, obs_diff, n_ge, p_value), 6-rounded */
+    * @return one row: (n, reps, reps_kept, obs_diff, n_ge, p_value),
+    *         6-rounded */
   def permutationTest(
       df: DataFrame,
       metric: Column,
@@ -357,18 +372,29 @@ object Inference {
       sum(when(!col("__a"), d(col("__v"))).otherwise(d(lit(0L)))).as("__sb"))
     val obsDiff = col("__sa").cast("double") / col("__na").cast("double") -
       col("__sb").cast("double") / col("__nb").cast("double")
-    // rep-r side assignment: first 32 md5 bits of "seed:r:key", parity.
-    // String-keyed md5 (not the murmur-based hash()) so the oracle
-    // replays byte-identically — the bh_fdr noise discipline.
-    val side = pmod(
-      conv(substring(md5(
-        concat(lit(seed.toString), lit(":"), col("__r").cast("string"),
-          lit(":"), col("__k")).cast("binary")), 1, 8), 16, 10)
-        .cast("bigint"), lit(2L))
+    val obsValid = col("__na") > 0L && col("__nb") > 0L
+    // rep-r side assignment: bit (r mod 128) of md5("seed:blk:key")
+    // with blk = r div 128 — ONE digest per key per 128 reps (hex
+    // digit (j div 4), bit (j mod 4) of that digit), computed BEFORE
+    // the rep explode so the generator copies the hex instead of
+    // re-hashing per rep. String-keyed md5 (not the murmur-based
+    // hash()) so the oracle replays byte-identically — the bh_fdr
+    // noise discipline.
+    val nBlocks = (reps + 127) / 128
     val perRep = base
-      .select(explode(sequence(lit(0), lit(reps - 1))).as("__r"),
-        col("__k"), col("__v"))
-      .withColumn("__side", side)
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("__blk"))
+      .withColumn("__hex", md5(
+        concat(lit(seed.toString), lit(":"), col("__blk").cast("string"),
+          lit(":"), col("__k")).cast("binary")))
+      .select(col("__v"), col("__blk"), col("__hex"),
+        explode(sequence(lit(0),
+          least(lit(127), lit(reps - 1) - col("__blk") * lit(128))))
+          .as("__j"))
+      .select((col("__blk") * lit(128) + col("__j")).cast("int").as("__r"),
+        col("__v"),
+        expr("(cast(conv(substring(__hex, (__j div 4) + 1, 1), 16, 10) " +
+          "as bigint) >> (__j % 4)) & 1").as("__side"))
       .groupBy(col("__r"))
       .agg(
         sum(when(col("__side") === 0L, 1L).otherwise(0L)).as("__pna"),
@@ -380,16 +406,20 @@ object Inference {
     val repDiff = col("__psa").cast("double") / col("__pna").cast("double") -
       col("__psb").cast("double") / col("__pnb").cast("double")
     perRep
-      .crossJoin(broadcast(obs.select(col("n"),
-        round(obsDiff, 6).as("obs_diff"), abs(obsDiff).as("__absobs"))))
+      .crossJoin(broadcast(obs.select(col("n"), obsValid.as("__ok"),
+        when(obsValid, round(obsDiff, 6)).as("obs_diff"),
+        when(obsValid, abs(obsDiff)).as("__absobs"))))
       .filter(col("__pna") > 0L && col("__pnb") > 0L)
-      .groupBy(col("n"), col("obs_diff"), col("__absobs"))
-      .agg(sum(when(abs(repDiff) >= col("__absobs"), 1L).otherwise(0L))
-        .as("n_ge"))
-      .select(col("n"), lit(reps.toLong).as("reps"), col("obs_diff"),
-        col("n_ge"),
-        round((col("n_ge").cast("double") + lit(1.0)) /
-          (lit(reps.toDouble) + lit(1.0)), 6).as("p_value"))
+      .groupBy(col("n"), col("__ok"), col("obs_diff"), col("__absobs"))
+      .agg(count(lit(1)).as("reps_kept"),
+        sum(when(abs(repDiff) >= col("__absobs"), 1L).otherwise(0L))
+          .as("__nge"))
+      .select(col("n"), lit(reps.toLong).as("reps"), col("reps_kept"),
+        col("obs_diff"),
+        when(col("__ok"), col("__nge")).as("n_ge"),
+        when(col("__ok"),
+          round((col("__nge").cast("double") + lit(1.0)) /
+            (col("reps_kept").cast("double") + lit(1.0)), 6)).as("p_value"))
   }
 
   /** Shared ACF machinery: per-group exact lag moments over the hourly
@@ -757,10 +787,16 @@ object Inference {
         "folds one row per cell")
     val bounds = events.agg(min(col(tsCol)).as("__tmin"),
       max(col(tsCol)).as("__tmax"))
+    // cell = ((ts − tmin) · cells) div (span) with span = tmax−tmin+1:
+    // scales the offset INTO the grid so every cell is reachable for
+    // any span (the old (span div cells)+1 width under-filled the grid
+    // whenever span was a small multiple of cells, overstating the
+    // tail deviation). Offsets are ≤ span, so the product stays within
+    // Long for span·cells < 2^63 (µs spans of years × 65536 cells).
     val counts = events.crossJoin(broadcast(bounds))
       .select(
-        expr(s"(`$tsCol` - __tmin) div " +
-          s"(((__tmax - __tmin) div ${cells}L) + 1L)").as("__cell"),
+        expr(s"((`$tsCol` - __tmin) * ${cells}L) div " +
+          s"(__tmax - __tmin + 1L)").as("__cell"),
         (col("__tmax") - col("__tmin") + lit(1L)).as("__span"))
       .groupBy(col("__cell"), col("__span"))
       .agg(count(lit(1)).as("__c"))

@@ -648,9 +648,14 @@ object Reports {
     require(width > 0 && nBins > 0, "need positive width and nBins")
     val spark = events.sparkSession
     val v = metric.cast("bigint")
+    // integer floor-div binning (`div`, not double /): exact at any
+    // magnitude, matching the streaming twin's Math.floorDiv — the
+    // double path could disagree near bin boundaries for |v| ≥ 2^53
+    // (negatives clamp to bin 0 under either rounding mode)
     val hb = events
-      .select(expr(s"`$tsCol` div ${hourUs}L").as("__h"),
-        greatest(least(floor(v / lit(width)).cast("bigint"),
+      .select(expr(s"`$tsCol` div ${hourUs}L").as("__h"), v.as("__v"))
+      .select(col("__h"),
+        greatest(least(expr(s"__v div ${width}L"),
           lit(nBins - 1L)), lit(0L)).as("bin"))
       .groupBy(col("__h"), col("bin"))
       .agg(count(lit(1)).as("__c"))

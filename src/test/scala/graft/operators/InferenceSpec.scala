@@ -143,6 +143,14 @@ class InferenceSpec extends SparkSpec {
       .isNullAt(3) shouldBe true
   }
 
+  it should "clamp the continuity correction to 0 on equal discordant cells" in {
+    // n10 = n01 = 3: Edwards max(0, |b-c|-1) = 0, NOT (0-1)^2/(b+c)
+    val df = (Seq.fill(3)((true, false)) ++ Seq.fill(3)((false, true)))
+      .toDF("ga", "gb")
+    Inference.mcnemar(df, col("ga"), col("gb")).collect()(0)
+      .getDouble(3) shouldBe 0.0
+  }
+
   behavior of "permutationTest"
 
   it should "give the minimal add-one p on a perfectly separated sample" in {
@@ -154,9 +162,33 @@ class InferenceSpec extends SparkSpec {
       col("id") % 2 === 0, reps = 64, seed = 14L).collect()(0)
     r.getLong(0) shouldBe 40L
     r.getLong(1) shouldBe 64L
-    r.getDouble(2) shouldBe 1000.0
-    r.getLong(3) shouldBe 0L
-    r.getDouble(4) shouldBe math.rint(1e6 / 65.0) / 1e6
+    r.getLong(2) shouldBe 64L // every rep keeps both sides at n = 40
+    r.getDouble(3) shouldBe 1000.0
+    r.getLong(4) shouldBe 0L
+    r.getDouble(5) shouldBe math.rint(1e6 / 65.0) / 1e6
+  }
+
+  it should "span blocks identically when reps exceed one 128-bit digest" in {
+    // reps = 130 exercises the blk = 1 branch (bits 128, 129 read the
+    // SECOND md5); the statistic stays well-defined and kept <= reps
+    val docs = (0L until 40L).map(i => (i, if (i % 2 == 0) 1000L else 0L))
+      .toDF("id", "v")
+    val r = Inference.permutationTest(docs, col("v"), "id",
+      col("id") % 2 === 0, reps = 130, seed = 14L).collect()(0)
+    r.getLong(1) shouldBe 130L
+    r.getLong(2) shouldBe 130L
+    r.getLong(4) shouldBe 0L
+    r.getDouble(5) shouldBe math.rint(1e6 / 131.0) / 1e6
+  }
+
+  it should "gate outputs to NULL when the observed split empties a side" in {
+    val docs = (0L until 8L).map(i => (i, i * 10L)).toDF("id", "v")
+    val r = Inference.permutationTest(docs, col("v"), "id",
+      col("id") < 0L, reps = 8, seed = 14L).collect()(0)
+    r.getLong(0) shouldBe 8L
+    r.isNullAt(3) shouldBe true // obs_diff
+    r.isNullAt(4) shouldBe true // n_ge
+    r.isNullAt(5) shouldBe true // p_value
   }
 
   it should "reject a reps count beyond the guard" in {
