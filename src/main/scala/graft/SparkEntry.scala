@@ -597,8 +597,10 @@ object SparkEntry {
           unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))),
 
-    // O2 seeded random shuffle + limit: deterministic per seed but not
-    // SQL-replayable — no oracle entry, rows-only check
+    // O2 seeded random shuffle + limit: the shuffle key is
+    // md5("seed:" + row values) (getStats' fingerprint discipline), so
+    // the sampled set replays verbatim in SQL — oracle-exact, where the
+    // old rand(seed) stream was engine-internal and rows-only
     "sample_random" -> ((s, d) =>
       StatsProcessor.getStats(
         t(s, d, "events"),
@@ -3010,7 +3012,33 @@ object SparkEntry {
     // denominator): consecutive-hour diffs, exact sums, one IEEE
     // rmse/mae pair — what holt_winters_backtest must beat
     "forecast_baseline" -> ((s, d) =>
-      graft.operators.Reports.forecastBaseline(eventsUs(s, d)))
+      graft.operators.Reports.forecastBaseline(eventsUs(s, d))),
+
+    // Forecast skill: the backtest's one-step errors DIVIDED by the
+    // naive baseline's — MASE = hw_mae/naive_mae (Hyndman & Koehler
+    // 2006), U2 = hw_rmse/naive_rmse (Theil 1966). < 1.0 means the
+    // smoother beats "tomorrow looks like today" and earns its keep;
+    // >= 1.0 means ship the naive forecast. Ratios divide the two
+    // PUBLISHED 6-rounded reports (both independently oracled), so
+    // the composite is one join + one IEEE division per metric.
+    "forecast_skill" -> ((s, d) => {
+      val hw = graft.streaming.EventStreams
+        .holtWintersBacktest(eventsUs(s, d))
+        .select(col("event_type"), col("n_eval"),
+          col("mae").as("__hm"), col("rmse").as("__hr"))
+      val nb = graft.operators.Reports.forecastBaseline(eventsUs(s, d))
+        .select(col("event_type"), col("n_pairs"),
+          col("naive_mae").as("__nm"), col("naive_rmse").as("__nr"))
+      hw.join(nb, Seq("event_type"))
+        .select(col("event_type"), col("n_eval"), col("n_pairs"),
+          when(col("__hm").isNotNull && col("__nm").isNotNull &&
+            col("__nm") > 0.0, round(col("__hm") / col("__nm"), 6))
+            .as("mase"),
+          when(col("__hr").isNotNull && col("__nr").isNotNull &&
+            col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
+            .as("u2"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** Per-round INNER plans for the iterative operators, keyed by the
@@ -3579,7 +3607,21 @@ object SparkEntry {
          |JOIN sp sa ON p.id_a = sa.doc_id
          |JOIN sp sb ON p.id_b = sb.doc_id
          |WHERE p.est_jaccard >= 0.5
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin) +
+    // composes the two forecast replays it divides: the backtest's
+    // 6-rounded mae/rmse over the baseline's 6-rounded naive pair —
+    // one join, one IEEE division per metric, NULL-gated like the op
+    ("forecast_skill" ->
+      s"""SELECT hw.event_type, hw.n_eval, nb.n_pairs,
+         |  CASE WHEN hw.mae IS NOT NULL AND nb.naive_mae IS NOT NULL
+         |    AND nb.naive_mae > 0.0
+         |    THEN round(hw.mae / nb.naive_mae, 6) END AS mase,
+         |  CASE WHEN hw.rmse IS NOT NULL AND nb.naive_rmse IS NOT NULL
+         |    AND nb.naive_rmse > 0.0
+         |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
+         |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
+         |JOIN (${oracleSqlBase("forecast_baseline")}) nb
+         |  ON nb.event_type = hw.event_type""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->
@@ -3614,6 +3656,16 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM (
         |  SELECT * FROM events WHERE event_type = 'click'
         |  ORDER BY ts DESC LIMIT 100)""".stripMargin,
+
+    // mirrors StatsProcessor.getStats' Left(seed) shuffle: the identical
+    // md5('42:' + projected values) fingerprint orders both engines, so
+    // the 50-row sample is the same SET (the checker compares sorted)
+    "sample_random" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_type = 'view'
+        |ORDER BY md5(concat_ws(':', '42', CAST(event_id AS VARCHAR),
+        |  CAST(user_id AS VARCHAR)))
+        |LIMIT 50""".stripMargin,
 
     "stats_agg_quantity" ->
       s"""WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
@@ -6496,7 +6548,7 @@ object SparkEntry {
          |    CAST(0.0 AS DOUBLE) AS b,
          |    list_transform(range(24), z -> CAST(0.0 AS DOUBLE)) AS s,
          |    CAST(0.0 AS DOUBLE) AS sae, CAST(0 AS BIGINT) AS ne,
-         |    CAST(0.0 AS DOUBLE) AS sape
+         |    CAST(0.0 AS DOUBLE) AS sape, CAST(0.0 AS DOUBLE) AS sse
          |  FROM p
          |  UNION ALL
          |  SELECT event_type, n_points, xs, k + 1,
@@ -6506,13 +6558,16 @@ object SparkEntry {
          |      THEN 0.25 * ($x - ($ln)) + 0.75 * $sOld ELSE sv END),
          |    CASE WHEN k >= 48 THEN sae + $err ELSE sae END,
          |    CASE WHEN k >= 48 THEN ne + 1 ELSE ne END,
-         |    CASE WHEN k >= 48 THEN sape + $err / $x ELSE sape END
+         |    CASE WHEN k >= 48 THEN sape + $err / $x ELSE sape END,
+         |    CASE WHEN k >= 48 THEN sse + ($err) * ($err) ELSE sse END
          |  FROM r WHERE k < len(xs))
          |SELECT event_type, n_points, ne AS n_eval,
          |  CASE WHEN ne > 0 THEN round(sae / CAST(ne AS DOUBLE), 6) END
          |    AS mae,
          |  CASE WHEN ne > 0 THEN round(sape / CAST(ne AS DOUBLE), 6) END
-         |    AS mape
+         |    AS mape,
+         |  CASE WHEN ne > 0 THEN round(sqrt(sse / CAST(ne AS DOUBLE)), 6)
+         |    END AS rmse
          |FROM r WHERE k = len(xs)""".stripMargin
     },
 

@@ -24,8 +24,21 @@ object StatsProcessor {
 
   /** Data-point query. `sortOrRandom`: Left(seed) ⇒ deterministic random
     * shuffle (reference shuffles client-side, StatsProcessor.scala:240-241;
-    * we push `rand(seed)` into the engine so it distributes); Right(col) ⇒
-    * sort descending by that column (the reference's `timeSorted`). */
+    * we push the shuffle key into the engine so it distributes);
+    * Right(col) ⇒ sort descending by that column (the reference's
+    * `timeSorted`).
+    *
+    * The shuffle key is md5("seed:" + the projected row's values) — a
+    * seeded content fingerprint rather than `rand(seed)`, whose stream
+    * is engine- AND partitioning-dependent. The fingerprint gives the
+    * same three properties rand promised (deterministic per seed,
+    * uniform, uncorrelated with any data order) plus one it couldn't:
+    * any engine replays the identical permutation from the row values
+    * alone (the repo's seeded-sampling md5 discipline), so the shuffled
+    * sample is oracle-checkable. Ties happen only between rows with
+    * identical fingerprints — i.e. identical projections — where order
+    * is immaterial. With a limit the plan stays TakeOrderedAndProject:
+    * per-partition top-n, no full sort at scale. */
   def getStats(
       units: DataFrame,
       selectors: Seq[Selector],
@@ -37,7 +50,9 @@ object StatsProcessor {
       if (projection.isEmpty) filtered else filtered.select(projection: _*)
     val ordered = sortOrRandom match {
       case Right(sortCol) => projected.orderBy(desc(sortCol))
-      case Left(seed)     => projected.orderBy(rand(seed))
+      case Left(seed) => projected.orderBy(md5(concat_ws(":",
+        lit(seed.toString) +:
+          projected.columns.toSeq.map(c => col(c).cast("string")): _*)))
     }
     nLimit.map(ordered.limit).getOrElse(ordered)
   }

@@ -388,8 +388,12 @@ object EventStreams {
     * Hourly counts are ≥ 1 by construction, so MAPE's divisor
     * never vanishes.
     *
-    * @return (event_type, n_points, n_eval, mae, mape), 6-rounded;
-    *         NULL scores when nothing outlived the warmup */
+    * @return (event_type, n_points, n_eval, mae, mape, rmse), 6-rounded;
+    *         NULL scores when nothing outlived the warmup. The rmse is
+    *         the numerator Theil's U2 divides by
+    *         [[graft.operators.Reports.forecastBaseline]]'s naive_rmse,
+    *         as mae is MASE's numerator over naive_mae — the
+    *         forecast_skill composite reads both. */
   def holtWintersBacktest(
       events: DataFrame,
       typeCol: String = "event_type",
@@ -414,7 +418,8 @@ object EventStreams {
     val st = aggregate(col("__xs"),
       struct(lit(null).cast("double").as("l"), lit(0.0).as("b"),
         array_repeat(lit(0.0), seasonLen).as("s"), lit(0L).as("np"),
-        lit(0.0).as("sae"), lit(0L).as("ne"), lit(0.0).as("sape")),
+        lit(0.0).as("sae"), lit(0L).as("ne"), lit(0.0).as("sape"),
+        lit(0.0).as("sse")),
       (s0, x) => {
         val i = pmod(x.getField("hour"), lit(m)).cast("int")
         val v = x.getField("cnt").cast("double")
@@ -433,15 +438,18 @@ object EventStreams {
           .otherwise(s0.getField("ne"))
         val sape = when(doEval, s0.getField("sape") + err / v)
           .otherwise(s0.getField("sape"))
+        val sse = when(doEval, s0.getField("sse") + err * err)
+          .otherwise(s0.getField("sse"))
         val np = s0.getField("np") + lit(1L)
         when(l.isNull,
           struct(v.as("l"), lit(0.0).as("b"), sArr.as("s"), np.as("np"),
             s0.getField("sae").as("sae"), s0.getField("ne").as("ne"),
-            s0.getField("sape").as("sape")))
+            s0.getField("sape").as("sape"), s0.getField("sse").as("sse")))
           .otherwise(struct(lNew.as("l"), bNew.as("b"),
             transform(sArr,
               (sv, idx) => when(idx === i, sNewV).otherwise(sv)).as("s"),
-            np.as("np"), sae.as("sae"), ne.as("ne"), sape.as("sape")))
+            np.as("np"), sae.as("sae"), ne.as("ne"), sape.as("sape"),
+            sse.as("sse")))
       })
     packed.select(col(typeCol), col("n_points"),
       st.getField("ne").as("n_eval"),
@@ -450,7 +458,10 @@ object EventStreams {
         .as("mae"),
       when(st.getField("ne") > 0,
         round(st.getField("sape") / st.getField("ne").cast("double"), 6))
-        .as("mape"))
+        .as("mape"),
+      when(st.getField("ne") > 0,
+        round(sqrt(st.getField("sse") / st.getField("ne").cast("double")),
+          6)).as("rmse"))
   }
 
   /** Rolling 7-day (windowDays) distinct active users per day — the DAU/
