@@ -139,6 +139,40 @@ object Bench {
       }
     val passes = (1 to reps).map(_ => timedPass())
 
+    // UNTIMED plan-identity pass: a normalized sha256 of each query's
+    // pre-execution physical plan (AQE initial plan — deterministic
+    // given code + files, unlike the runtime-stat-dependent final
+    // plan). The close gate compares these against the PRIOR round's
+    // TIMINGS to auto-clear bench-noise flags: a query >1.3x slower
+    // whose plan sha is UNCHANGED is host noise by construction (the
+    // r13/r14 hand-diff of normalized PLANS, mechanized). The
+    // normalization strips exactly the per-JVM counters those hand
+    // diffs stripped: expression ids, plan ids, codegen stage ids,
+    // RDD/cache ids, HOF lambda variable counters, temp/warehouse
+    // paths. Construction only — the query is never executed here.
+    def normalizePlan(p: String): String = p
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[codegen id : \\d+\\]", "[codegen id : x]")
+      .replaceAll("Scan ExistingRDD\\[[^\\]]*\\]", "Scan ExistingRDD[x]")
+      .replaceAll("ExistingRDD \\[[^\\]]*\\]", "ExistingRDD [x]")
+      .replaceAll("lambda x_\\d+", "lambda x_n")
+      .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
+      .replaceAll("file:[^\\s,\\)\\]\\}]*", "file:x")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+    val planShas: Seq[(String, String)] = suite.map { case (name, fn) =>
+      val sha =
+        try {
+          val norm = normalizePlan(
+            fn(spark, sfDir).queryExecution.executedPlan.toString)
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(norm.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        } catch { case _: Throwable => "" }
+      dropPersisted()
+      (name, sha)
+    }
+
     // per query: min over successful passes; an error in ANY pass marks
     // the query failed (loud, never averaged away)
     val results = passes.head.indices.map { i =>
@@ -168,10 +202,13 @@ object Bench {
       .map(v => s""""${esc(v)}"""").getOrElse("null")
     val sliceJson = sys.env.get("SPARK_GRAFT_BENCH_SLICE")
       .map(v => s""""${esc(v)}"""").getOrElse("null")
+    val shasJson = planShas
+      .map { case (k, v) => s""""${esc(k)}":"$v"""" }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""reps":$reps,"bench_only":$onlyJson,"bench_slice":$sliceJson,""" +
-        s""""queries_runs":$runsJson,""" +
+        s""""queries_runs":$runsJson,"plan_shas":$shasJson,""" +
         s""""errors":$errs,"nOk":${ok.size},"nFailed":${results.size - ok.size},""" +
         s""""sf":"${esc(sfDir)}"}""")
     spark.stop()

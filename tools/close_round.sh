@@ -120,19 +120,38 @@ if [[ -n "$ISOLATE" ]]; then
   FLAGGED=$(python3 - "$N" "$ISOLATE" <<'EOF'
 import json, os, sys
 n, spec = int(sys.argv[1]), sys.argv[2]
-cur = json.load(open(f"TIMINGS_r{n}.json"))["queries"]
+path = f"TIMINGS_r{n}.json"
+cur_t = json.load(open(path))
+cur = cur_t["queries"]
 if spec != "auto":
     names = [q for q in spec.split(",") if q in cur]
 else:
     prev_path = f"TIMINGS_r{n-1}.json"
     names = []
     if os.path.exists(prev_path):
-        prev = json.load(open(prev_path))["queries"]
+        prev_t = json.load(open(prev_path))
+        prev = prev_t["queries"]
         for q, v in cur.items():
             p = prev.get(q)
             # flag >1.3x moves that are big enough to matter (>0.3s now)
             if p and p > 0 and v > 0.3 and v / p > 1.3:
                 names.append(q)
+        # plan-identity auto-clear (ADVICE r14 / VERDICT r14 #2): a
+        # flagged query whose NORMALIZED plan sha256 is unchanged vs the
+        # prior round cannot be a plan regression — the slowdown is host
+        # noise by construction (the r13/r14 hand-diff, mechanized).
+        # Only a flagged query with a CHANGED/missing sha still earns an
+        # isolated re-measure. Cleared names are recorded in TIMINGS.
+        cur_sha = cur_t.get("plan_shas", {})
+        prev_sha = prev_t.get("plan_shas", {})
+        cleared = sorted(q for q in names
+                         if cur_sha.get(q) and cur_sha.get(q) == prev_sha.get(q))
+        if cleared:
+            names = [q for q in names if q not in cleared]
+            cur_t["plan_identity_cleared"] = cleared
+            json.dump(cur_t, open(path, "w"))
+            print(f"isolate: plan-identity cleared {len(cleared)}: "
+                  + ",".join(cleared), file=sys.stderr)
 print(",".join(sorted(names)))
 EOF
 )
