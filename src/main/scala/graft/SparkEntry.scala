@@ -1172,6 +1172,39 @@ object SparkEntry {
       graft.operators.Dedup.semanticDedup(e, e.filter(col("vec_id") < 8), 0.25)
     }),
 
+    // ...the same prune with the centroids saved to the Warehouse and
+    // loaded back (the vector_ivfpq_persisted production wiring: a 100 TB
+    // corpus trains/picks centroids ONCE; every dedup job loads them —
+    // re-deriving yields different cells and a different kept set).
+    // Oracle-identical to semantic_dedup, which is the point.
+    "semantic_dedup_persisted" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val wh = new graft.store.Warehouse(s, pqWarehouseDir)
+      graft.store.AnnArtifacts.saveAnchors(wh, "semdedup_anchors", anchors)
+      val la = graft.store.AnnArtifacts.loadAnchors(wh, "semdedup_anchors")
+      graft.operators.Dedup.semanticDedup(e, la, 0.25)
+    }),
+
+    // ...and the keep-BEST prune: the dropped member of each near-dup
+    // pair is the LOWER-quality one (n_chars of the paired document,
+    // ties to the smaller id) — the dedup_keep_best rule applied to the
+    // semantic neighborhoods (RefinedWeb keeps the longest; SemDeDup's
+    // arbitrary representative replaced by the quality argmax)
+    "semantic_dedup_keep_best" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val scored = e.join(
+        t(s, d, "documents").select(col("doc_id").as("vec_id"), col("n_chars")),
+        Seq("vec_id"))
+      graft.operators.Dedup.semanticDedupKeepBest(scored, anchors, 0.25,
+        "n_chars")
+    }),
+
     // Product quantization, encode side: 64-dim → 8 codes via the
     // per-slice argmin-L2 expression; deterministic seed codebook (first
     // 16 vectors' slices) so the assignment replays in SQL
@@ -2843,6 +2876,48 @@ object SparkEntry {
         .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")
     }),
 
+    // The same composite with SEMANTIC dedup swapped in for the exact
+    // fingerprint stage (the SemDeDup production variant): quality gate
+    // (Curation.gate, no dedup) → keep-best embedding-neighborhood prune
+    // over the gated docs' vectors (seed cells, cosine >= 0.25, keep the
+    // longer member) → the identical decontamination / mix / chunk /
+    // pack tail. A gated doc with NO embedding row cannot be semantically
+    // judged and passes through — dedup prunes only what it can see.
+    "curate_pipeline_semantic" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // eager checkpoint: the semantic prune and the survivor anti-join
+      // are two consumers of the gated frame (the curate_pipeline trap)
+      val gated = graft.operators.Curation.gate(
+        docs.filter(col("source") =!= "src0"))
+        .localCheckpoint(true)
+      val sem = graft.operators.Dedup.semanticDedupKeepBest(
+        gated.select(col("doc_id").as("vec_id"), col("n_chars"))
+          .join(e.select("vec_id", "embedding"), Seq("vec_id")),
+        anchors, 0.25, "n_chars")
+      val curated = gated
+        .join(sem.filter(!col("kept")).select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val decon = graft.operators.Curation.decontaminate(
+        curated, docs.filter(col("source") === "src0"),
+        shingleN = 3, maxOverlap = 0.2)
+      val clean = curated
+        .join(decon.filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val mixed = graft.operators.Curation.hashSample(
+        clean, "source", mixFractions, seed = 7L)
+      graft.operators.Curation.packSequences(
+        graft.operators.Curation.chunkTokens(mixed,
+          chunkSize = 64, overlap = 16),
+        binTokens = 256)
+        .select("doc_id", "chunk_idx", "n_tokens", "bin_id", "bin_pos")
+    }),
+
     // ---- round-14: parametric inference + AR identification wave ----
 
     // Welch unequal-variance t between the even/odd corpus halves on
@@ -3335,10 +3410,10 @@ object SparkEntry {
        |        / greatest(len($toksSql), 1)) * 4.0, 1.0) * 0.3, 6)""".stripMargin
   }
 
-  /** DuckDB replay of the [[graft.operators.Curation.curate]] pipeline
-    * (score → filter → keep-first exact dedup on fingerprint) over
-    * `documents` restricted by `where` ("" = the whole table). */
-  private def curatedSqlFor(where: String): String =
+  /** DuckDB replay of [[graft.operators.Curation.gate]] (score + filter,
+    * no dedup) over `documents` restricted by `where` — the shared
+    * prefix both dedup variants prune from. */
+  private def gatedSqlFor(where: String): String =
     s"""scored AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -3351,11 +3426,46 @@ object SparkEntry {
        |filtered AS (
        |  SELECT * FROM scored
        |  WHERE n_chars BETWEEN 50 AND 1048576 AND lang_id IN ('en')
-       |    AND quality >= 0.3),
+       |    AND quality >= 0.3)""".stripMargin
+
+  /** DuckDB replay of the [[graft.operators.Curation.curate]] pipeline
+    * (score → filter → keep-first exact dedup on fingerprint) over
+    * `documents` restricted by `where` ("" = the whole table). */
+  private def curatedSqlFor(where: String): String =
+    s"""${gatedSqlFor(where)},
        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp),
        |curated AS (
        |  SELECT f.doc_id, f.n_chars, f.n_tokens, f.lang_id, f.quality
        |  FROM filtered f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)""".stripMargin
+
+  /** The curate replay with SEMANTIC keep-best dedup in place of the
+    * exact-fingerprint stage: gated docs join their embeddings, assign
+    * to the seed cells (the semantic_dedup replay), and each near-dup
+    * pair drops its lower-n_chars member (ties to the larger id). A
+    * gated doc with no embedding row is never a loser — kept. */
+  private def curatedSemanticSqlFor(where: String): String = {
+    val asnCos = cosineSql("f2.embedding", "a.av", 64)
+    val prCos = cosineSql("x.embedding", "y.embedding", 64)
+    s"""${gatedSqlFor(where)},
+       |anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+       |         WHERE vec_id < 8),
+       |asn AS MATERIALIZED (
+       |  SELECT f2.doc_id, f2.n_chars, f2.embedding, aid AS cell
+       |  FROM (SELECT f.doc_id, f.n_chars, e.embedding
+       |        FROM filtered f JOIN embeddings e ON e.vec_id = f.doc_id) f2
+       |  CROSS JOIN anch a
+       |  QUALIFY row_number() OVER (PARTITION BY f2.doc_id
+       |                             ORDER BY $asnCos DESC, aid) = 1),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN x.n_chars >= y.n_chars THEN y.doc_id
+       |                       ELSE x.doc_id END AS doc_id
+       |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.doc_id < y.doc_id
+       |  WHERE $prCos >= 0.25),
+       |curated AS (
+       |  SELECT f.doc_id, f.n_chars, f.n_tokens, f.lang_id, f.quality
+       |  FROM filtered f LEFT JOIN losers l ON f.doc_id = l.doc_id
+       |  WHERE l.doc_id IS NULL)""".stripMargin
+  }
 
   private val curatedSql: String = curatedSqlFor("")
 
@@ -3364,6 +3474,59 @@ object SparkEntry {
     * the hash-Bernoulli threshold compare is bit-stable on both engines. */
   private val mixFractions: Map[String, Double] =
     (1 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 0.5 else 1.0)).toMap
+
+  /** The curate composite's shared tail (3-gram decontamination against
+    * the src0 benchmark → hash-Bernoulli domain mix → 64/16 chunking →
+    * 256-token bin packing), as CTEs reading whichever `curated` CTE the
+    * caller prepended — the exact-dedup and semantic-dedup pipeline
+    * replays differ ONLY in that prefix. */
+  private lazy val curatePipelineTailSql: String = {
+    val mixCase = (1 to 19).map(i =>
+      s"WHEN 'src$i' THEN ${if (i % 2 == 0) "0.5" else "1.0"}")
+      .mkString(" ")
+    s"""csh AS MATERIALIZED (
+       |  SELECT dd.doc_id AS id, unnest(list_distinct(list_transform(
+       |      range(0, greatest(len(dd.toks) - 2, 1)),
+       |      i -> array_to_string(list_slice(dd.toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+       |  FROM (SELECT d.doc_id, list_filter($toksSql, t -> t <> '') AS toks
+       |        FROM documents d JOIN curated USING (doc_id)) dd),
+       |bsh AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |      range(0, greatest(len(toks) - 2, 1)),
+       |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
+       |  FROM (SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+       |        FROM documents WHERE source = 'src0')),
+       |decon AS MATERIALIZED (
+       |  SELECT cs.id AS doc_id
+       |  FROM csh cs LEFT JOIN bsh bs ON cs.s = bs.s
+       |  GROUP BY 1
+       |  HAVING CAST(sum(CASE WHEN bs.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |           / count(*) < 0.2),
+       |mixed AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text
+       |  FROM decon dn JOIN documents d ON dn.doc_id = d.doc_id
+       |  WHERE CAST(concat('0x', substr(md5(concat('7', ':', CAST(d.doc_id AS VARCHAR))), 1, 8))
+       |          AS BIGINT) % 1000000
+       |        < (CASE d.source $mixCase END) * 1000000),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM mixed),
+       |n AS (SELECT doc_id, toks,
+       |        greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS INT), 1) AS nc
+       |      FROM tk),
+       |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
+       |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       |         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+       |           AS n_tokens
+       |       FROM c),
+       |st AS (SELECT doc_id, chunk_idx, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |          - n_tokens AS strt
+       |      FROM ch),
+       |b AS (SELECT *, CAST(floor(strt / 256.0) AS BIGINT) AS bin_id FROM st)
+       |SELECT doc_id, chunk_idx, n_tokens, bin_id,
+       |  CAST(strt - bin_id * 256 AS BIGINT) AS bin_pos
+       |FROM b""".stripMargin
+  }
 
   /** DuckDB replay of [[Dedup.minhashLsh]] (md5 tier, k=8, bands=4). */
   private def minhashPairsSqlFor(docsWhere: String): String = {
@@ -3549,6 +3712,9 @@ object SparkEntry {
     // same contract for the IVF-PQ pair of artifacts (anchors + residual
     // codebook): persisted-then-loaded must reproduce the in-memory bits
     ("vector_ivfpq_persisted" -> oracleSqlBase("vector_ivfpq_topk")) +
+    // persisted-then-loaded SemDeDup centroids must reproduce the
+    // in-memory cell assignment (and so the kept set) bit-for-bit
+    ("semantic_dedup_persisted" -> oracleSqlBase("semantic_dedup")) +
     // persisted-then-loaded kNN edges must reproduce the in-memory
     // topology bit-for-bit, so the persisted PageRank replays the same SQL
     ("pagerank_knn_persisted" -> oracleSqlBase("pagerank_knn")) +
@@ -4416,52 +4582,15 @@ object SparkEntry {
     // chunking packed into 256-token bins. Stage bodies are textually the
     // single-stage oracles', re-rooted on the previous stage's output.
     "curate_pipeline" -> {
-      val mixCase = (1 to 19).map(i =>
-        s"WHEN 'src$i' THEN ${if (i % 2 == 0) "0.5" else "1.0"}")
-        .mkString(" ")
       s"""WITH ${curatedSqlFor("WHERE source <> 'src0'")},
-         |csh AS MATERIALIZED (
-         |  SELECT dd.doc_id AS id, unnest(list_distinct(list_transform(
-         |      range(0, greatest(len(dd.toks) - 2, 1)),
-         |      i -> array_to_string(list_slice(dd.toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
-         |  FROM (SELECT d.doc_id, list_filter($toksSql, t -> t <> '') AS toks
-         |        FROM documents d JOIN curated USING (doc_id)) dd),
-         |bsh AS MATERIALIZED (
-         |  SELECT DISTINCT unnest(list_distinct(list_transform(
-         |      range(0, greatest(len(toks) - 2, 1)),
-         |      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ')))) AS s
-         |  FROM (SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
-         |        FROM documents WHERE source = 'src0')),
-         |decon AS MATERIALIZED (
-         |  SELECT cs.id AS doc_id
-         |  FROM csh cs LEFT JOIN bsh bs ON cs.s = bs.s
-         |  GROUP BY 1
-         |  HAVING CAST(sum(CASE WHEN bs.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-         |           / count(*) < 0.2),
-         |mixed AS MATERIALIZED (
-         |  SELECT d.doc_id, d.text
-         |  FROM decon dn JOIN documents d ON dn.doc_id = d.doc_id
-         |  WHERE CAST(concat('0x', substr(md5(concat('7', ':', CAST(d.doc_id AS VARCHAR))), 1, 8))
-         |          AS BIGINT) % 1000000
-         |        < (CASE d.source $mixCase END) * 1000000),
-         |tk AS (SELECT doc_id, $toksSql AS toks FROM mixed),
-         |n AS (SELECT doc_id, toks,
-         |        greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS INT), 1) AS nc
-         |      FROM tk),
-         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
-         |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
-         |         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
-         |           AS n_tokens
-         |       FROM c),
-         |st AS (SELECT doc_id, chunk_idx, n_tokens,
-         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
-         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         |          - n_tokens AS strt
-         |      FROM ch),
-         |b AS (SELECT *, CAST(floor(strt / 256.0) AS BIGINT) AS bin_id FROM st)
-         |SELECT doc_id, chunk_idx, n_tokens, bin_id,
-         |  CAST(strt - bin_id * 256 AS BIGINT) AS bin_pos
-         |FROM b""".stripMargin
+         |$curatePipelineTailSql""".stripMargin
+    },
+
+    // the SemDeDup variant: the identical decon/mix/chunk/pack tail over
+    // the semantically-deduped curated set (curatedSemanticSqlFor)
+    "curate_pipeline_semantic" -> {
+      s"""WITH ${curatedSemanticSqlFor("WHERE source <> 'src0'")},
+         |$curatePipelineTailSql""".stripMargin
     },
 
     // mirrors Curation.decontaminateFuzzy: the minhashPairsSql machinery
@@ -5922,6 +6051,32 @@ object SparkEntry {
          |                             ORDER BY $asnCos DESC, aid) = 1),
          |losers AS (
          |  SELECT DISTINCT y.vec_id
+         |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE $cos >= 0.25)
+         |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,
+         |  (l.vec_id IS NULL) AS kept
+         |FROM asn LEFT JOIN losers l ON asn.vec_id = l.vec_id""".stripMargin
+    },
+
+    // mirrors Dedup.semanticDedupKeepBest: the semantic_dedup cell
+    // assignment with each near-dup pair dropping its lower-n_chars
+    // member (ties to the larger id — a wins on q_a >= q_b)
+    "semantic_dedup_keep_best" -> {
+      val asnCos = cosineSql("e.embedding", "a.av", 64)
+      val cos = cosineSql("x.embedding", "y.embedding", 64)
+      s"""WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |           WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT e.vec_id, e.embedding, d.n_chars
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, e.n_chars, aid AS cell
+         |  FROM sc e CROSS JOIN a
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY $asnCos DESC, aid) = 1),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN x.n_chars >= y.n_chars THEN y.vec_id
+         |                       ELSE x.vec_id END AS vec_id
          |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |  WHERE $cos >= 0.25)
          |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,

@@ -41,11 +41,7 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = scoredFrame(docs, cfg, textCol, idCol)
-    val filtered = scored.filter(
-      col("n_chars").between(cfg.minChars, cfg.maxChars) &&
-        col("lang_id").isin(cfg.languages: _*) &&
-        col("quality") >= cfg.minQuality)
+    val filtered = gatedFrame(docs, cfg, textCol, idCol)
     // keep-first exact dedup on the order/duplication-robust fingerprint,
     // as a partitioned-window pick, NOT a min-id census joined back: the
     // census and join branches would be two consumers of `filtered` with
@@ -56,6 +52,31 @@ object Curation {
     filtered.withColumn("__rn", rn).filter(col("__rn") === 1)
       .drop("__rn", "fp")
   }
+
+  /** The quality GATE alone — score + filter, NO dedup stage: the frame
+    * [[curate]] exact-dedups on the content fingerprint and the
+    * semantic-dedup composite prunes by embedding neighborhood instead
+    * (swapping the dedup stage is exactly why the gate is exposed
+    * separately). Columns: (idCol, textCol, n_chars, n_tokens, lang_id,
+    * quality). */
+  def gate(
+      docs: DataFrame,
+      cfg: Config = Config(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    gatedFrame(docs, cfg, textCol, idCol).drop("fp")
+
+  /** [[gate]] with the dedup fingerprint still attached (what
+    * [[curate]]'s keep-first window consumes). */
+  private def gatedFrame(
+      docs: DataFrame,
+      cfg: Config,
+      textCol: String,
+      idCol: String): DataFrame =
+    scoredFrame(docs, cfg, textCol, idCol).filter(
+      col("n_chars").between(cfg.minChars, cfg.maxChars) &&
+        col("lang_id").isin(cfg.languages: _*) &&
+        col("quality") >= cfg.minQuality)
 
   /** Scored, unfiltered frame: every doc with its n_chars/n_tokens/
     * lang_id/quality/fingerprint — the input both [[curate]]'s gates and

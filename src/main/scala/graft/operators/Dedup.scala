@@ -1493,6 +1493,55 @@ object Dedup {
     semanticDedup(vecs, anchorSeq, threshold, vecCol, idCol)
   }
 
+  /** [[semanticDedup]] with the keep-BEST prune instead of keep-smallest-
+    * id: a vector is marked a duplicate when a same-cell neighbor at
+    * cosine >= `threshold` BEATS it on `scoreCol` (strictly higher
+    * score, ties to the smaller id) — the [[applyClustersKeepBest]]
+    * rule (RefinedWeb keeps the longest member; SemDeDup's published
+    * form keeps an arbitrary cluster representative, which production
+    * pipelines replace with the quality argmax). Dominance is pairwise,
+    * matching [[semanticDedup]]'s discipline: a loser can itself
+    * eliminate a worse vector it dominates — the kept set is the
+    * per-neighborhood quality frontier, not one survivor per connected
+    * component (that stricter form is [[connectedComponents]] +
+    * [[applyClustersKeepBest]] over these pairs).
+    *
+    * `scoreCol` must be a non-null column of `vecs` (a NULL score makes
+    * its row win every comparison vacuously). Each unordered pair is
+    * joined ONCE (id_a < id_b) and emits its loser by the dominance
+    * rule — same bounded per-cell quadratic, same subSplit whale guard,
+    * same slim id-only loser set as [[semanticDedup]].
+    *
+    * @return every input row as (idCol, cell, kept) */
+  def semanticDedupKeepBest(
+      vecs: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      threshold: Double,
+      scoreCol: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): DataFrame = {
+    val assigned = Guards.subSplit(
+      Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(scoreCol).as("__q")))
+        .withColumn("cell", Similarity.cellOf(anchors, col("v"))),
+      "cell", "id", maxCellSize)
+    val l = assigned.select(col("cell"), col("__sub"),
+      col("id").as("id_a"), col("v").as("v_a"), col("__q").as("q_a"))
+    val r = assigned.select(col("cell"), col("__sub"),
+      col("id").as("id_b"), col("v").as("v_b"), col("__q").as("q_b"))
+    val losers = l.join(r, Seq("cell", "__sub"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      // a (with the smaller id) wins ties, so b loses on q_a >= q_b
+      .select(when(col("q_a") >= col("q_b"), col("id_b"))
+        .otherwise(col("id_a")).as("__loser"))
+      .distinct()
+    assigned
+      .join(losers, assigned("id") === losers("__loser"), "left")
+      .select(col("id").as(idCol), col("cell"), col("__loser").isNull.as("kept"))
+  }
+
   def semanticDedup(
       vecs: DataFrame,
       anchors: Seq[(Long, Seq[Float])],

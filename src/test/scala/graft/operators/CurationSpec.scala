@@ -23,6 +23,13 @@ class CurationSpec extends SparkSpec {
     out shouldBe Array(1L, 6L)
   }
 
+  "gate" should "filter like curate but keep BOTH exact duplicates" in {
+    val out = Curation.gate(docs).select("doc_id").as[Long].collect().sorted
+    // same junk/short/foreign drops as curate, but 2 (exact dup of 1)
+    // survives — the gate owns scoring only; dedup is a separate stage
+    out shouldBe Array(1L, 2L, 6L)
+  }
+
   it should "score quality in [0,1] with en stopword and length signals" in {
     val scored = Curation.curate(docs, Curation.Config(
       minChars = 1, minQuality = 0.0, languages = Seq("en", "de", "und")))

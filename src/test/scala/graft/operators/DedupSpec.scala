@@ -405,6 +405,46 @@ class DedupSpec extends SparkSpec {
     r shouldBe Map(1L -> true, 2L -> true)
   }
 
+  "semanticDedupKeepBest" should "drop the lower-quality member of each near-dup pair" in {
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 10L),      // cell 0, near-dup of 2 but lower score
+      (2L, Seq(0.99f, 0.1f), 50L), // cell 0, the quality argmax => kept
+      (3L, Seq(0f, 1f), 10L),      // cell 1, kept
+      (4L, Seq(-0.1f, 1f), 5L)     // cell 1, worse than 3 => dropped
+    ).toDF("vec_id", "embedding", "score")
+    val r = Dedup.semanticDedupKeepBest(vecs, anchors, 0.9, "score")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    r(1L) shouldBe ((0L, false)) // min-id would have KEPT 1 — score rules
+    r(2L) shouldBe ((0L, true))
+    r(3L) shouldBe ((1L, true))
+    r(4L) shouldBe ((1L, false))
+  }
+
+  it should "break score ties to the smaller id" in {
+    val anchors = Seq((0L, Seq(1f, 0f)))
+    val vecs = Seq((1L, Seq(1f, 0f), 7L), (2L, Seq(0.99f, 0.1f), 7L))
+      .toDF("vec_id", "embedding", "score")
+    val r = Dedup.semanticDedupKeepBest(vecs, anchors, 0.9, "score")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> true, 2L -> false)
+  }
+
+  it should "apply dominance pairwise: a dropped vector still eliminates what it dominates" in {
+    // chain a~b~c with a !~ c (36-degree steps): b loses to a, c loses
+    // to b even though b itself is dropped — the kept set is the
+    // per-neighborhood quality frontier, not one per component
+    def v(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val anchors = Seq((0L, Seq(1f, 0f)))
+    val vecs = Seq((1L, v(0), 30L), (2L, v(36), 20L), (3L, v(72), 10L))
+      .toDF("vec_id", "embedding", "score")
+    val r = Dedup.semanticDedupKeepBest(vecs, anchors, 0.7, "score")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> true, 2L -> false, 3L -> false)
+  }
+
   behavior of "sortedNeighborhood"
 
   /** Brute-force SNM replay: global (key, id) sort, all pairs within
