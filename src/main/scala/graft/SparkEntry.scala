@@ -1205,6 +1205,41 @@ object SparkEntry {
         "n_chars")
     }),
 
+    // Connected components over the within-cell semantic pairs: the
+    // CLUSTER view of the semantic neighborhoods (min-label components,
+    // the dedup_clusters machinery on cosine edges) — pairs/clusters/
+    // apply/keep-best now exist for BOTH the minhash and semantic stacks
+    "semantic_dedup_clusters" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Dedup.connectedComponents(
+        Dedup.embeddingNearDup(
+          e.withColumn("cell",
+            Similarity.cellOf(anchors, col("embedding"))),
+          "cell", 0.25))
+    }),
+
+    // ...and the end-to-end semantic removal: ONE survivor per semantic
+    // component (the quality argmax by n_chars, ties to min id),
+    // anti-joined against the corpus — dedup_apply's semantic sibling
+    // and the stricter one-per-component form of semantic_dedup_keep_best
+    "semantic_dedup_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val clusters = Dedup.connectedComponents(
+        Dedup.embeddingNearDup(
+          e.withColumn("cell",
+            Similarity.cellOf(anchors, col("embedding"))),
+          "cell", 0.25))
+      Dedup.applyClustersKeepBest(docs, clusters, col("n_chars"))
+        .select("doc_id", "source")
+    }),
+
     // Product quantization, encode side: 64-dim → 8 codes via the
     // per-slice argmin-L2 expression; deterministic seed codebook (first
     // 16 vectors' slices) so the assignment replays in SQL
@@ -3569,6 +3604,36 @@ object SparkEntry {
        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
+  /** The same CC chain over SEMANTIC pairs (the semantic_dedup cell
+    * assignment, within-cell cosine > 0.25): `semantic_dedup_clusters`
+    * selects the labels; `semantic_dedup_apply` keeps each component's
+    * n_chars argmax and anti-joins the rest. */
+  private lazy val semanticClustersCteSql: String = {
+    val asnCos = cosineSql("e.embedding", "a.av", 64)
+    val cos = cosineSql("x.embedding", "y.embedding", 64)
+    s"""WITH RECURSIVE a AS (
+       |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+       |  WHERE vec_id < 8),
+       |asn AS (
+       |  SELECT e.vec_id, e.embedding, aid AS cell
+       |  FROM embeddings e CROSS JOIN a
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                             ORDER BY $asnCos DESC, aid) = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE $cos > 0.25),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+  }
+
   /** DuckDB replay of [[H.simhash]] over the token array of `text`. */
   private def simhashSql(nBits: Int): String = {
     val odd = H.oddHex.map(h => s"'$h'").mkString(", ")
@@ -3988,6 +4053,28 @@ object SparkEntry {
     // per component instead of the min-id keeper
     "dedup_keep_best" ->
       s"""$clustersCteSql,
+         |scored AS (
+         |  SELECT l.id, l.comp, d.n_chars
+         |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+         |ranked AS (
+         |  SELECT id, row_number() OVER (
+         |    PARTITION BY comp ORDER BY n_chars DESC, id) AS rk
+         |  FROM scored),
+         |losers AS (SELECT id FROM ranked WHERE rk > 1)
+         |SELECT d.doc_id, d.source
+         |FROM documents d ANTI JOIN losers l ON d.doc_id = l.id""".stripMargin,
+
+    // mirrors Dedup.connectedComponents over the semantic pair set —
+    // the dedup_clusters replay on cosine edges
+    "semantic_dedup_clusters" ->
+      s"""$semanticClustersCteSql
+         |SELECT id, comp FROM labels""".stripMargin,
+
+    // mirrors semantic_dedup_apply: per-component n_chars argmax kept,
+    // the rest anti-joined away (the dedup_keep_best replay on the
+    // semantic labels)
+    "semantic_dedup_apply" ->
+      s"""$semanticClustersCteSql,
          |scored AS (
          |  SELECT l.id, l.comp, d.n_chars
          |  FROM labels l JOIN documents d ON d.doc_id = l.id),

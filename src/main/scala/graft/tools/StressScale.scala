@@ -138,6 +138,21 @@ object StressScale {
       .persist()
     events2m.count()
 
+    // 2M-doc corpus on the SAME 30-word vocabulary as `docs` (10x the
+    // corpus tier): the 2M tier for the corpus-scale text operators
+    // whose working frames are vocabulary-bounded (text_rank's word
+    // graph, rake's word-score table) — the measured cost is the token
+    // explode, which is what must scale
+    val docs2mVocab = spark.range(2000000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 50).map(i =>
+        element_at(vocab,
+          (pmod(xxhash64(col("id"), lit(i)), lit(words.size)) + 1).cast("int"))): _*)
+        .as("text"),
+      (col("id") % 20).cast("string").as("source"))
+      .persist()
+    docs2mVocab.count()
+
     val lhs = events.filter(col("event_id") % 2 === 0)
     val rhs = events.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("rid"), col("user_id"), col("ts"))
@@ -1363,7 +1378,30 @@ object StressScale {
       timeNoop("forecast_baseline_2m")(
         graft.operators.Reports.forecastBaseline(
           events2m.withColumn("event_type",
-            concat(lit("t"), pmod(col("user_id"), lit(20))))))
+            concat(lit("t"), pmod(col("user_id"), lit(20)))))),
+      // ---- round-15: corpus-scale text ops at the 2M-doc tier --------
+      // (the two operators r14 left outside the stress convention)
+      timeNoop("text_rank_2m")(
+        graft.operators.Curation.textRank(docs2mVocab)),
+      timeNoop("rake_keywords_2m")(
+        graft.operators.Curation.rakeKeywords(docs2mVocab,
+          stopwords = Seq("the", "a", "of", "and"))),
+      // forecast skill at 2M x 20 types: both parents' hourly collapses
+      // plus the per-type ratio join (the registered composite's shape)
+      timeNoop("forecast_skill_2m") {
+        val ev = events2m.withColumn("event_type",
+          concat(lit("t"), pmod(col("user_id"), lit(20))))
+        val hw = graft.streaming.EventStreams.holtWintersBacktest(ev)
+          .select(col("event_type"), col("n_eval"),
+            col("mae").as("hm"), col("rmse").as("hr"))
+        val nb = graft.operators.Reports.forecastBaseline(ev)
+          .select(col("event_type"), col("n_pairs"),
+            col("naive_mae").as("nm"), col("naive_rmse").as("nr"))
+        hw.join(nb, Seq("event_type"))
+          .select(col("event_type"), col("n_eval"), col("n_pairs"),
+            round(col("hm") / col("nm"), 6).as("mase"),
+            round(col("hr") / col("nr"), 6).as("u2"))
+      }
       // (the embed_hash / text_entropy rows above now measure the native
       // one-pass kernels — compare against STRESS_r9's HOF-fold numbers)
     )
@@ -1549,6 +1587,146 @@ object StressScale {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saveS)
       }
     }
+    // ---- round-15: SemDeDup stress pair, with PLANTED ground truth ---
+    // Corpus: even ids come in 5-member families sharing ONE vector
+    // (floor(id/10)*10 seeds the hash); odd ids are uniform noise. At
+    // threshold 0.8 only planted pairs qualify (random 64-dim cosines
+    // concentrate within ~0.4 of zero), so the correct prune is EXACTLY
+    // 4 losers per family: 800,000 of 2M (40%) at the full tier.
+    val emb2m = spark.range(2000000L).select(
+      col("id").as("vec_id"),
+      when(col("id") % 2 === 0,
+        transform(sequence(lit(0), lit(63)),
+          i => ((pmod(xxhash64((floor(col("id") / 10) * 10).cast("long"), i),
+            lit(2000)) - 1000).cast("double") / 1000.0).cast("float")))
+        .otherwise(transform(sequence(lit(0), lit(63)),
+          i => ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
+            .cast("double") / 1000.0).cast("float"))).as("embedding"),
+      pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("q"))
+      .persist()
+    emb2m.count()
+    var semLosers: org.apache.spark.sql.DataFrame = null
+    var semCentroid: org.apache.spark.sql.DataFrame = null
+    val semRows: Seq[(String, Double, Long)] = Seq(
+      // 2M tier = the sign-LSH bucket path: assignment is O(planes x dim)
+      // per row so the bucket count scales with the corpus, where the
+      // centroid tier's cellOf is O(anchors x dim) per row and its
+      // within-cell quadratic is N^1.5 at the optimal anchor count —
+      // affordable at the 500k tier below, not at 2M on one box. The
+      // keep-best rule drops each qualifying pair's lower-q member.
+      // Identical family vectors share every plane sign (planted recall
+      // 1.0), so the loser count must land on exactly 800,000.
+      time("semantic_dedup_lsh_2m") {
+        val pairs = Dedup.embeddingNearDupLshMultiProbe(emb2m, 0.8,
+          nPlanes = 16, nProbe = 1, dim = 64, maxBucketSize = 8192)
+        def qOf(c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(c, lit(7)), lit(1000000L))
+        semLosers = pairs
+          .select(when(qOf(col("id_a")) >= qOf(col("id_b")), col("id_b"))
+            .otherwise(col("id_a")).as("loser"))
+          .distinct().localCheckpoint()
+        semLosers.count()
+      },
+      // the centroid tier (the oracled semantic_dedup_keep_best shape)
+      // at its in-contract scale: 1024 anchors over 500k vectors give
+      // ~500-row cells, no conservative sub-split — planted recovery
+      // must be exact here too (4/5 of the even half = 200,000 losers)
+      time("semantic_dedup_500k") {
+        val half = emb2m.filter(col("vec_id") < 500000L)
+        val anchors = half
+          .filter(col("vec_id") % 2 === 1 && col("vec_id") < 2048L)
+          .select(col("vec_id"), col("embedding")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        semCentroid = Dedup.semanticDedupKeepBest(half, anchors, 0.8, "q")
+          .localCheckpoint()
+        semCentroid.count()
+      })
+    // prune rates + cluster-size histograms (the blocking structures the
+    // quadratics actually ran in), reported as top-level JSON fields
+    val semPruned2m = semLosers.count()
+    val semPruned500k = semCentroid.filter(!col("kept")).count()
+    val bhist = emb2m.select(
+      Dedup.lshBucket(col("embedding"), Dedup.lshPlanes(64, 16, 7L)).as("b"))
+      .groupBy("b").count()
+      .agg(count(lit(1)).as("nb"), max("count").as("mx"),
+        expr("CAST(percentile(count, 0.5) AS DOUBLE)").as("p50"),
+        expr("CAST(percentile(count, 0.99) AS DOUBLE)").as("p99"))
+      .collect()(0)
+    val chist = semCentroid.groupBy("cell").count()
+      .agg(count(lit(1)).as("nc"), max("count").as("mx"),
+        expr("CAST(percentile(count, 0.5) AS DOUBLE)").as("p50"),
+        expr("CAST(percentile(count, 0.99) AS DOUBLE)").as("p99"))
+      .collect()(0)
+    val semJson =
+      f""""semantic_dedup_lsh_2m_pruned":$semPruned2m,""" +
+        f""""semantic_dedup_lsh_2m_planted":800000,""" +
+        f""""semantic_dedup_lsh_2m_prune_rate":${semPruned2m / 2e6}%.4f,""" +
+        f""""semantic_dedup_lsh_2m_buckets":${bhist.getAs[Long]("nb")},""" +
+        f""""semantic_dedup_lsh_2m_bucket_p50":${bhist.getAs[Double]("p50")}%.1f,""" +
+        f""""semantic_dedup_lsh_2m_bucket_p99":${bhist.getAs[Double]("p99")}%.1f,""" +
+        f""""semantic_dedup_lsh_2m_bucket_max":${bhist.getAs[Long]("mx")},""" +
+        f""""semantic_dedup_500k_pruned":$semPruned500k,""" +
+        f""""semantic_dedup_500k_planted":200000,""" +
+        f""""semantic_dedup_500k_prune_rate":${semPruned500k / 5e5}%.4f,""" +
+        f""""semantic_dedup_500k_cells":${chist.getAs[Long]("nc")},""" +
+        f""""semantic_dedup_500k_cell_p50":${chist.getAs[Double]("p50")}%.1f,""" +
+        f""""semantic_dedup_500k_cell_p99":${chist.getAs[Double]("p99")}%.1f,""" +
+        f""""semantic_dedup_500k_cell_max":${chist.getAs[Long]("mx")}"""
+    emb2m.unpersist()
+
+    // ---- round-15: the FULL curate composite at the 2M-doc tier, per
+    // stage (each stage starts from a materialized input, the
+    // StressPipeline discipline). The corpus interleaves en stopwords
+    // (2 of every 5 tokens) with per-doc hash words, so the language /
+    // quality gates pass and the per-doc vocabulary stays disjoint —
+    // decontamination measures its shingle join honestly instead of
+    // dropping everything (every 3-gram contains a doc-unique word).
+    docs2mVocab.unpersist()
+    val enFill = Seq("the", "a", "of", "and")
+    val docs2mEn = spark.range(2000000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 50).map { i =>
+        if (i % 5 < 2) lit(enFill((i / 5 + i) % 4))
+        else concat(lit("w"), pmod(xxhash64(col("id"), lit(i)),
+          lit(100000000L)).cast("string"))
+      }: _*).as("text"),
+      (col("id") % 20).cast("string").as("source"))
+      .persist()
+    docs2mEn.count()
+    val curateRows: Seq[(String, Double, Long)] = {
+      val corpus = docs2mEn.filter(col("source") =!= "0")
+      val bench = docs2mEn.filter(col("source") === "0")
+      var curated: org.apache.spark.sql.DataFrame = null
+      var clean: org.apache.spark.sql.DataFrame = null
+      var mixed: org.apache.spark.sql.DataFrame = null
+      val s1 = time("curate_2m_curate") {
+        curated = Curation.curate(corpus).localCheckpoint()
+        curated.count()
+      }
+      val s2 = time("curate_2m_decon") {
+        val d = Curation.decontaminate(curated, bench,
+          shingleN = 3, maxOverlap = 0.2)
+        clean = curated
+          .join(d.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+          .join(docs2mEn.select("doc_id", "source"), Seq("doc_id"))
+          .localCheckpoint()
+        clean.count()
+      }
+      val s3 = time("curate_2m_mix") {
+        mixed = Curation.hashSample(clean, "source",
+          (1 to 19).map(i => i.toString ->
+            (if (i % 2 == 0) 0.5 else 1.0)).toMap,
+          seed = 7L).localCheckpoint()
+        mixed.count()
+      }
+      val s4 = timeNoop("curate_2m_pack")(
+        Curation.packSequences(
+          Curation.chunkTokens(mixed, chunkSize = 64, overlap = 16),
+          binTokens = 256))
+      Seq(s1, s2, s3, s4)
+    }
+    docs2mEn.unpersist()
+
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective — deterministic and
     // strictly better trained) and recall@10 vs exact L2 for 32 queries.
@@ -1577,12 +1755,13 @@ object StressScale {
       (recallOf(seedCb), recallOf(trainedCb),
         Sim.pqDistortion(sample, seedCb), Sim.pqDistortion(sample, trainedCb))
     }
-    val qs = (results ++ streamTwins ++ whalePair).map { case (k, s, rows) =>
-      f""""$k":{"sec":$s%.2f,"rows":$rows}"""
-    }.mkString("{", ",", "}")
+    val qs = (results ++ streamTwins ++ whalePair ++ semRows ++ curateRows)
+      .map { case (k, s, rows) =>
+        f""""$k":{"sec":$s%.2f,"rows":$rows}"""
+      }.mkString("{", ",", "}")
     val stateJson = streamStateRows.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}_state_rows":$v""" }.mkString(",")
-    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,$stateJson,"ops":$qs}""")
+    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,$semJson,$stateJson,"ops":$qs}""")
     spark.stop()
   }
 }
