@@ -99,4 +99,38 @@ class QualityParitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     got shouldBe expected
   }
+
+  "semanticDedupKeepBest" should "match a naive dominance reference on random vectors" in {
+    val rnd = new Random(47)
+    val dim = 8
+    val vecs = (1L to 120L).map { id =>
+      (id, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f), (id * 37L) % 50L)
+    }
+    val anchors = vecs.take(4).map { case (id, v, _) => (id, v) }
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+    def cellOf(v: Seq[Float]): Long = {
+      val nv = norm(v)
+      anchors.map { case (aid, av) => (-(dot(v, av) / (nv * norm(av))), aid) }
+        .minBy(identity)._2
+    }
+    val cells = vecs.map { case (id, v, _) => id -> cellOf(v) }.toMap
+    val score = vecs.map { case (id, _, q) => id -> q }.toMap
+    val threshold = 0.5
+    // naive dominance: b loses to a when same cell, cosine >= t, and a
+    // beats b on (score desc, id asc) — evaluated over ALL pairs
+    val losers = (for {
+      (ia, va, _) <- vecs; (ib, vb, _) <- vecs
+      if ia != ib && cells(ia) == cells(ib) &&
+        dot(va, vb) / (norm(va) * norm(vb)) >= threshold &&
+        (score(ia) > score(ib) || (score(ia) == score(ib) && ia < ib))
+    } yield ib).toSet
+    val expected = vecs.map { case (id, _, _) =>
+      id -> (cells(id), !losers(id)) }.toMap
+    val got = Dedup.semanticDedupKeepBest(
+      vecs.toDF("vec_id", "embedding", "q"), anchors, threshold, "q")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    got shouldBe expected
+  }
 }

@@ -546,6 +546,10 @@ class EventStreamsSpec extends SparkSpec {
     periodic.getAs[Long]("n_eval") shouldBe 240L - 48L
     periodic.getAs[Double]("mae") should be < noisy.getAs[Double]("mae")
     periodic.getAs[Double]("mape") should be < 0.1
+    // rmse (forecast_skill's U2 numerator): same ordering, and >= mae
+    // by Jensen on every series
+    periodic.getAs[Double]("rmse") should be < noisy.getAs[Double]("rmse")
+    periodic.getAs[Double]("rmse") should be >= periodic.getAs[Double]("mae")
     // a series shorter than the warmup has nothing to score: stated NULLs
     val short = EventStreams.holtWintersBacktest(
       series(h => if (h < 24) 5 else 0)).collect()(0)
