@@ -1240,6 +1240,26 @@ object SparkEntry {
         .select("doc_id", "source")
     }),
 
+    // Semantic component SIZE distribution (dedup_cluster_report's
+    // sibling): the pre-apply observability read — one mega-component
+    // here means the threshold or cells are wrong, not real duplication
+    "semantic_cluster_report" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Dedup.connectedComponents(
+        Dedup.embeddingNearDup(
+          e.withColumn("cell",
+            Similarity.cellOf(anchors, col("embedding"))),
+          "cell", 0.25))
+        .groupBy(col("comp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    }),
+
     // Product quantization, encode side: 64-dim → 8 codes via the
     // per-slice argmin-L2 expression; deterministic seed codebook (first
     // 16 vectors' slices) so the assignment replays in SQL
@@ -3148,6 +3168,59 @@ object SparkEntry {
             col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
             .as("u2"))
         .orderBy(col("event_type"))
+    }),
+
+    // The SEASONAL naive baseline (x̂ₜ = xₜ₋₂₄, same hour yesterday) —
+    // the stronger denominator MASE uses on seasonal series; gap hours
+    // contribute no pair, as in the lag-1 row
+    "forecast_baseline_seasonal" -> ((s, d) =>
+      graft.operators.Reports.forecastBaseline(eventsUs(s, d),
+        lagHours = 24L)),
+
+    // ...and the skill ratio against it: beating "same hour yesterday"
+    // is the bar a SEASONAL smoother must clear (the hourly corpus has
+    // a planted daily cycle, so this baseline is much stronger than
+    // lag-1 and the ratio correspondingly more honest)
+    "forecast_skill_seasonal" -> ((s, d) => {
+      val hw = graft.streaming.EventStreams
+        .holtWintersBacktest(eventsUs(s, d))
+        .select(col("event_type"), col("n_eval"),
+          col("mae").as("__hm"), col("rmse").as("__hr"))
+      val nb = graft.operators.Reports.forecastBaseline(eventsUs(s, d),
+        lagHours = 24L)
+        .select(col("event_type"), col("n_pairs"),
+          col("naive_mae").as("__nm"), col("naive_rmse").as("__nr"))
+      hw.join(nb, Seq("event_type"))
+        .select(col("event_type"), col("n_eval"), col("n_pairs"),
+          when(col("__hm").isNotNull && col("__nm").isNotNull &&
+            col("__nm") > 0.0, round(col("__hm") / col("__nm"), 6))
+            .as("mase"),
+          when(col("__hr").isNotNull && col("__nr").isNotNull &&
+            col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
+            .as("u2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // One-step forecast INTERVAL: the holt_winters point forecast with
+    // a Gaussian band scaled by the backtest's one-step rmse — the
+    // capacity-planning read ("provision for hi95, alert below lo95").
+    // Both parents are oracled; the band is one IEEE chain per type.
+    "forecast_interval" -> ((s, d) => {
+      val hw = graft.streaming.EventStreams.holtWinters(eventsUs(s, d))
+        .select(col("event_type"), col("n_points"), col("forecast_next"))
+      val bt = graft.streaming.EventStreams
+        .holtWintersBacktest(eventsUs(s, d))
+        .select(col("event_type"), col("rmse"))
+      hw.join(bt, Seq("event_type"))
+        .select(col("event_type"), col("n_points"),
+          round(col("forecast_next"), 6).as("forecast_next"),
+          when(col("rmse").isNotNull,
+            round(col("forecast_next") - lit(1.96) * col("rmse"), 6))
+            .as("lo95"),
+          when(col("rmse").isNotNull,
+            round(col("forecast_next") + lit(1.96) * col("rmse"), 6))
+            .as("hi95"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3852,7 +3925,31 @@ object SparkEntry {
          |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
          |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
          |JOIN (${oracleSqlBase("forecast_baseline")}) nb
-         |  ON nb.event_type = hw.event_type""".stripMargin)
+         |  ON nb.event_type = hw.event_type""".stripMargin) +
+    // the identical ratio against the lag-24 seasonal naive
+    ("forecast_skill_seasonal" ->
+      s"""SELECT hw.event_type, hw.n_eval, nb.n_pairs,
+         |  CASE WHEN hw.mae IS NOT NULL AND nb.naive_mae IS NOT NULL
+         |    AND nb.naive_mae > 0.0
+         |    THEN round(hw.mae / nb.naive_mae, 6) END AS mase,
+         |  CASE WHEN hw.rmse IS NOT NULL AND nb.naive_rmse IS NOT NULL
+         |    AND nb.naive_rmse > 0.0
+         |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
+         |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
+         |JOIN (${oracleSqlBase("forecast_baseline_seasonal")}) nb
+         |  ON nb.event_type = hw.event_type""".stripMargin) +
+    // the point forecast with the backtest-rmse Gaussian band: both
+    // parents replay, the band is one IEEE chain over their outputs
+    ("forecast_interval" ->
+      s"""SELECT hw.event_type, hw.n_points,
+         |  round(hw.forecast_next, 6) AS forecast_next,
+         |  CASE WHEN bt.rmse IS NOT NULL
+         |    THEN round(hw.forecast_next - 1.96 * bt.rmse, 6) END AS lo95,
+         |  CASE WHEN bt.rmse IS NOT NULL
+         |    THEN round(hw.forecast_next + 1.96 * bt.rmse, 6) END AS hi95
+         |FROM (${oracleSqlBase("holt_winters")}) hw
+         |JOIN (${oracleSqlBase("holt_winters_backtest")}) bt
+         |  ON bt.event_type = hw.event_type""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->
@@ -4085,6 +4182,15 @@ object SparkEntry {
          |losers AS (SELECT id FROM ranked WHERE rk > 1)
          |SELECT d.doc_id, d.source
          |FROM documents d ANTI JOIN losers l ON d.doc_id = l.id""".stripMargin,
+
+    // mirrors the semantic_cluster_report rollup over the same labels
+    "semantic_cluster_report" ->
+      s"""$semanticClustersCteSql,
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS s
+         |       FROM labels GROUP BY 1)
+         |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(s * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // sparse similarity join (overlapping pairs only), mirroring
     // Dedup.ngramJaccardPairs' exploded shape and both skew guards
@@ -11044,29 +11150,36 @@ object SparkEntry {
         |    AS cramers_v
         |FROM x""".stripMargin,
 
-    // mirrors Reports.forecastBaseline: the hour+1 equi-join pairs,
+    // mirrors Reports.forecastBaseline: the hour+lag equi-join pairs,
     // exact HUGEINT squared-diff sums, identical rmse/mae chains
-    "forecast_baseline" ->
-      """WITH h AS (
-        |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
-        |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1, 2),
-        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_hours
-        |        FROM h GROUP BY 1),
-        |pr AS (
-        |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS sse,
-        |    CAST(sum(abs(b.x - a.x)) AS BIGINT) AS sae
-        |  FROM h a JOIN h b ON b.g = a.g AND b.hh = a.hh + 1
-        |  GROUP BY 1)
-        |SELECT tot.g AS event_type, n_hours,
-        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  CASE WHEN n_pairs >= 1
-        |    THEN round(sqrt(CAST(sse AS DOUBLE)
-        |      / CAST(n_pairs AS DOUBLE)), 6) END AS naive_rmse,
-        |  CASE WHEN n_pairs >= 1
-        |    THEN round(CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
-        |    END AS naive_mae
-        |FROM tot LEFT JOIN pr ON pr.g = tot.g""".stripMargin
+    "forecast_baseline" -> forecastBaselineSqlFor(1),
+
+    // ...and the SEASONAL naive (same hour yesterday): lag 24
+    "forecast_baseline_seasonal" -> forecastBaselineSqlFor(24)
   )
+
+  /** DuckDB replay of [[graft.operators.Reports.forecastBaseline]] at a
+    * given hour lag (1 = the no-change forecast, 24 = seasonal naive). */
+  private def forecastBaselineSqlFor(lag: Int): String =
+    s"""WITH h AS (
+       |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS hh,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_hours
+       |        FROM h GROUP BY 1),
+       |pr AS (
+       |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)) AS sse,
+       |    CAST(sum(abs(b.x - a.x)) AS BIGINT) AS sae
+       |  FROM h a JOIN h b ON b.g = a.g AND b.hh = a.hh + $lag
+       |  GROUP BY 1)
+       |SELECT tot.g AS event_type, n_hours,
+       |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN n_pairs >= 1
+       |    THEN round(sqrt(CAST(sse AS DOUBLE)
+       |      / CAST(n_pairs AS DOUBLE)), 6) END AS naive_rmse,
+       |  CASE WHEN n_pairs >= 1
+       |    THEN round(CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+       |    END AS naive_mae
+       |FROM tot LEFT JOIN pr ON pr.g = tot.g""".stripMargin
 }

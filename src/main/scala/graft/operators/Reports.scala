@@ -2170,7 +2170,9 @@ object Reports {
       events: DataFrame,
       groupCol: String = "event_type",
       tsCol: String = "ts",
-      hourUs: Long = 3600000000L): DataFrame = {
+      hourUs: Long = 3600000000L,
+      lagHours: Long = 1L): DataFrame = {
+    require(lagHours >= 1L, s"lagHours must be >= 1: $lagHours")
     val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val h = events
       .groupBy(col(groupCol).as("__g"),
@@ -2178,7 +2180,12 @@ object Reports {
       .agg(count(lit(1)).as("__x"))
       .localCheckpoint(true) // totals + the pair join share it
     val tot = h.groupBy(col("__g")).agg(count(lit(1)).as("n_hours"))
-    val pairs = h.select(col("__g"), (col("__h") + 1L).as("__h"),
+    // lagHours = 1 is Theil/MASE's no-change forecast; lagHours = m
+    // (e.g. 24) is the SEASONAL naive x̂ₜ = xₜ₋ₘ — the denominator
+    // Hyndman & Koehler recommend for seasonal series (a smoother must
+    // beat "same hour yesterday", a far stronger baseline than
+    // "last hour", or it adds nothing)
+    val pairs = h.select(col("__g"), (col("__h") + lit(lagHours)).as("__h"),
       col("__x").as("__prev"))
       .join(h, Seq("__g", "__h"))
       .select(col("__g"), (col("__x") - col("__prev")).as("__df"))
