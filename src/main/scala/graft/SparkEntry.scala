@@ -3151,24 +3151,7 @@ object SparkEntry {
     // >= 1.0 means ship the naive forecast. Ratios divide the two
     // PUBLISHED 6-rounded reports (both independently oracled), so
     // the composite is one join + one IEEE division per metric.
-    "forecast_skill" -> ((s, d) => {
-      val hw = graft.streaming.EventStreams
-        .holtWintersBacktest(eventsUs(s, d))
-        .select(col("event_type"), col("n_eval"),
-          col("mae").as("__hm"), col("rmse").as("__hr"))
-      val nb = graft.operators.Reports.forecastBaseline(eventsUs(s, d))
-        .select(col("event_type"), col("n_pairs"),
-          col("naive_mae").as("__nm"), col("naive_rmse").as("__nr"))
-      hw.join(nb, Seq("event_type"))
-        .select(col("event_type"), col("n_eval"), col("n_pairs"),
-          when(col("__hm").isNotNull && col("__nm").isNotNull &&
-            col("__nm") > 0.0, round(col("__hm") / col("__nm"), 6))
-            .as("mase"),
-          when(col("__hr").isNotNull && col("__nr").isNotNull &&
-            col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
-            .as("u2"))
-        .orderBy(col("event_type"))
-    }),
+    "forecast_skill" -> ((s, d) => forecastSkill(s, d, lagHours = 1L)),
 
     // The SEASONAL naive baseline (x̂ₜ = xₜ₋₂₄, same hour yesterday) —
     // the stronger denominator MASE uses on seasonal series; gap hours
@@ -3181,25 +3164,8 @@ object SparkEntry {
     // is the bar a SEASONAL smoother must clear (the hourly corpus has
     // a planted daily cycle, so this baseline is much stronger than
     // lag-1 and the ratio correspondingly more honest)
-    "forecast_skill_seasonal" -> ((s, d) => {
-      val hw = graft.streaming.EventStreams
-        .holtWintersBacktest(eventsUs(s, d))
-        .select(col("event_type"), col("n_eval"),
-          col("mae").as("__hm"), col("rmse").as("__hr"))
-      val nb = graft.operators.Reports.forecastBaseline(eventsUs(s, d),
-        lagHours = 24L)
-        .select(col("event_type"), col("n_pairs"),
-          col("naive_mae").as("__nm"), col("naive_rmse").as("__nr"))
-      hw.join(nb, Seq("event_type"))
-        .select(col("event_type"), col("n_eval"), col("n_pairs"),
-          when(col("__hm").isNotNull && col("__nm").isNotNull &&
-            col("__nm") > 0.0, round(col("__hm") / col("__nm"), 6))
-            .as("mase"),
-          when(col("__hr").isNotNull && col("__nr").isNotNull &&
-            col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
-            .as("u2"))
-        .orderBy(col("event_type"))
-    }),
+    "forecast_skill_seasonal" -> ((s, d) =>
+      forecastSkill(s, d, lagHours = 24L)),
 
     // One-step forecast INTERVAL: the holt_winters point forecast with
     // a Gaussian band scaled by the backtest's one-step rmse — the
@@ -3915,29 +3881,9 @@ object SparkEntry {
     // composes the two forecast replays it divides: the backtest's
     // 6-rounded mae/rmse over the baseline's 6-rounded naive pair —
     // one join, one IEEE division per metric, NULL-gated like the op
-    ("forecast_skill" ->
-      s"""SELECT hw.event_type, hw.n_eval, nb.n_pairs,
-         |  CASE WHEN hw.mae IS NOT NULL AND nb.naive_mae IS NOT NULL
-         |    AND nb.naive_mae > 0.0
-         |    THEN round(hw.mae / nb.naive_mae, 6) END AS mase,
-         |  CASE WHEN hw.rmse IS NOT NULL AND nb.naive_rmse IS NOT NULL
-         |    AND nb.naive_rmse > 0.0
-         |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
-         |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
-         |JOIN (${oracleSqlBase("forecast_baseline")}) nb
-         |  ON nb.event_type = hw.event_type""".stripMargin) +
+    ("forecast_skill" -> forecastSkillSqlFor(1)) +
     // the identical ratio against the lag-24 seasonal naive
-    ("forecast_skill_seasonal" ->
-      s"""SELECT hw.event_type, hw.n_eval, nb.n_pairs,
-         |  CASE WHEN hw.mae IS NOT NULL AND nb.naive_mae IS NOT NULL
-         |    AND nb.naive_mae > 0.0
-         |    THEN round(hw.mae / nb.naive_mae, 6) END AS mase,
-         |  CASE WHEN hw.rmse IS NOT NULL AND nb.naive_rmse IS NOT NULL
-         |    AND nb.naive_rmse > 0.0
-         |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
-         |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
-         |JOIN (${oracleSqlBase("forecast_baseline_seasonal")}) nb
-         |  ON nb.event_type = hw.event_type""".stripMargin) +
+    ("forecast_skill_seasonal" -> forecastSkillSqlFor(24)) +
     // the point forecast with the backtest-rmse Gaussian band: both
     // parents replay, the band is one IEEE chain over their outputs
     ("forecast_interval" ->
@@ -3986,13 +3932,14 @@ object SparkEntry {
         |  ORDER BY ts DESC LIMIT 100)""".stripMargin,
 
     // mirrors StatsProcessor.getStats' Left(seed) shuffle: the identical
-    // md5('42:' + projected values) fingerprint orders both engines, so
-    // the 50-row sample is the same SET (the checker compares sorted)
+    // md5('42:' + per-column md5s, NULL -> '-') fingerprint orders both
+    // engines, so the 50-row sample is the same SET (checker sorts rows)
     "sample_random" ->
       """SELECT event_id, user_id FROM events
         |WHERE event_type = 'view'
-        |ORDER BY md5(concat_ws(':', '42', CAST(event_id AS VARCHAR),
-        |  CAST(user_id AS VARCHAR)))
+        |ORDER BY md5(concat_ws(':', '42',
+        |  coalesce(md5(CAST(event_id AS VARCHAR)), '-'),
+        |  coalesce(md5(CAST(user_id AS VARCHAR)), '-')))
         |LIMIT 50""".stripMargin,
 
     "stats_agg_quantity" ->
@@ -10518,17 +10465,18 @@ object SparkEntry {
         |  SELECT r, CAST(psa AS DOUBLE) / CAST(pna AS DOUBLE)
         |    - CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE) AS dr
         |  FROM pr WHERE pna > 0 AND pnb > 0),
-        |agg AS (
-        |  SELECT n, ok, diff, CAST(count(*) AS BIGINT) AS reps_kept,
+        |ka AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS reps_kept,
         |    CAST(sum(CASE WHEN abs(dr) >= abs(diff) THEN 1 ELSE 0 END)
         |      AS BIGINT) AS nge
-        |  FROM pd CROSS JOIN od GROUP BY 1, 2, 3)
+        |  FROM pd CROSS JOIN od)
         |SELECT n, CAST(64 AS BIGINT) AS reps, reps_kept,
         |  CASE WHEN ok THEN round(diff, 6) END AS obs_diff,
-        |  CASE WHEN ok THEN nge END AS n_ge,
-        |  CASE WHEN ok THEN round((CAST(nge AS DOUBLE) + 1.0)
-        |    / (CAST(reps_kept AS DOUBLE) + 1.0), 6) END AS p_value
-        |FROM agg""".stripMargin,
+        |  CASE WHEN ok AND reps_kept > 0 THEN coalesce(nge, 0) END AS n_ge,
+        |  CASE WHEN ok AND reps_kept > 0
+        |    THEN round((CAST(coalesce(nge, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(reps_kept AS DOUBLE) + 1.0), 6) END AS p_value
+        |FROM od CROSS JOIN ka""".stripMargin,
 
     // mirrors Inference.yuleWalkerAr2: the same hour-frame lag
     // equi-join, exact HUGEINT lag moments, pinned r/φ/forecast chains
@@ -10812,8 +10760,8 @@ object SparkEntry {
         |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
         |  FROM events),
         |cl AS (
-        |  SELECT ((epoch_us(ts) - tmin) * 1000)
-        |      // (tmax - tmin + 1) AS cell,
+        |  SELECT CAST((CAST(epoch_us(ts) - tmin AS HUGEINT) * 1000)
+        |      // (tmax - tmin + 1) AS BIGINT) AS cell,
         |    tmax - tmin + 1 AS span
         |  FROM events CROSS JOIN b),
         |cc AS (
@@ -11157,6 +11105,43 @@ object SparkEntry {
     // ...and the SEASONAL naive (same hour yesterday): lag 24
     "forecast_baseline_seasonal" -> forecastBaselineSqlFor(24)
   )
+
+  /** The forecast_skill body at a given baseline lag (1 = no-change,
+    * 24 = seasonal naive) — shared by both registered skill queries. */
+  private def forecastSkill(s: SparkSession, d: String,
+      lagHours: Long): DataFrame = {
+    val hw = graft.streaming.EventStreams
+      .holtWintersBacktest(eventsUs(s, d))
+      .select(col("event_type"), col("n_eval"),
+        col("mae").as("__hm"), col("rmse").as("__hr"))
+    val nb = graft.operators.Reports.forecastBaseline(eventsUs(s, d),
+      lagHours = lagHours)
+      .select(col("event_type"), col("n_pairs"),
+        col("naive_mae").as("__nm"), col("naive_rmse").as("__nr"))
+    hw.join(nb, Seq("event_type"))
+      .select(col("event_type"), col("n_eval"), col("n_pairs"),
+        when(col("__hm").isNotNull && col("__nm").isNotNull &&
+          col("__nm") > 0.0, round(col("__hm") / col("__nm"), 6))
+          .as("mase"),
+        when(col("__hr").isNotNull && col("__nr").isNotNull &&
+          col("__nr") > 0.0, round(col("__hr") / col("__nr"), 6))
+          .as("u2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of the forecast_skill composite at a given baseline
+    * lag — the backtest ratio over [[forecastBaselineSqlFor]]'s pair. */
+  private def forecastSkillSqlFor(lag: Int): String =
+    s"""SELECT hw.event_type, hw.n_eval, nb.n_pairs,
+       |  CASE WHEN hw.mae IS NOT NULL AND nb.naive_mae IS NOT NULL
+       |    AND nb.naive_mae > 0.0
+       |    THEN round(hw.mae / nb.naive_mae, 6) END AS mase,
+       |  CASE WHEN hw.rmse IS NOT NULL AND nb.naive_rmse IS NOT NULL
+       |    AND nb.naive_rmse > 0.0
+       |    THEN round(hw.rmse / nb.naive_rmse, 6) END AS u2
+       |FROM (${oracleSqlBase("holt_winters_backtest")}) hw
+       |JOIN (${forecastBaselineSqlFor(lag)}) nb
+       |  ON nb.event_type = hw.event_type""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Reports.forecastBaseline]] at a
     * given hour lag (1 = the no-change forecast, 24 = seasonal naive). */

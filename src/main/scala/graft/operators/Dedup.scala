@@ -1506,11 +1506,15 @@ object Dedup {
     * component (that stricter form is [[connectedComponents]] +
     * [[applyClustersKeepBest]] over these pairs).
     *
-    * `scoreCol` must be a non-null column of `vecs` (a NULL score makes
-    * its row win every comparison vacuously). Each unordered pair is
-    * joined ONCE (id_a < id_b) and emits its loser by the dominance
-    * rule — same bounded per-cell quadratic, same subSplit whale guard,
-    * same slim id-only loser set as [[semanticDedup]].
+    * NULL scores sort BELOW every real score: a NULL-scored member
+    * loses to any scored neighbor, and an all-NULL pair falls back to
+    * the min-id rule — the explicit three-way branch below, because the
+    * naive `q_a >= q_b` comparison is NULL (not false) on a one-sided
+    * NULL and would silently route the WRONG member to the loser set.
+    * Each unordered pair is joined ONCE (id_a < id_b) and emits its
+    * loser by the dominance rule — same bounded per-cell quadratic,
+    * same subSplit whale guard, same slim id-only loser set as
+    * [[semanticDedup]].
     *
     * @return every input row as (idCol, cell, kept) */
   def semanticDedupKeepBest(
@@ -1530,12 +1534,16 @@ object Dedup {
       col("id").as("id_a"), col("v").as("v_a"), col("__q").as("q_a"))
     val r = assigned.select(col("cell"), col("__sub"),
       col("id").as("id_b"), col("v").as("v_b"), col("__q").as("q_b"))
+    // a (with the smaller id) wins ties; NULL scores lose to any real
+    // score and tie against each other (min-id again)
+    val aWins = when(col("q_a").isNull && col("q_b").isNull, lit(true))
+      .when(col("q_a").isNull, lit(false))
+      .when(col("q_b").isNull, lit(true))
+      .otherwise(col("q_a") >= col("q_b"))
     val losers = l.join(r, Seq("cell", "__sub"))
       .filter(col("id_a") < col("id_b") &&
         V.cosine(col("v_a"), col("v_b")) >= threshold)
-      // a (with the smaller id) wins ties, so b loses on q_a >= q_b
-      .select(when(col("q_a") >= col("q_b"), col("id_b"))
-        .otherwise(col("id_a")).as("__loser"))
+      .select(when(aWins, col("id_b")).otherwise(col("id_a")).as("__loser"))
       .distinct()
     assigned
       .join(losers, assigned("id") === losers("__loser"), "left")

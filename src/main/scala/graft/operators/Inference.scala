@@ -346,7 +346,9 @@ object Inference {
     * exact; each diff is one IEEE chain; the ≥ compare runs on
     * identically-constructed doubles both sides. When the OBSERVED
     * split leaves either side empty there is no statistic: obs_diff,
-    * n_ge and p_value are NULL, stated.
+    * n_ge and p_value are NULL, stated; likewise n_ge/p_value when
+    * reps_kept = 0 (no rep had both sides populated). Always exactly
+    * one row.
     *
     * @return one row: (n, reps, reps_kept, obs_diff, n_ge, p_value),
     *         6-rounded */
@@ -405,20 +407,27 @@ object Inference {
           .otherwise(d(lit(0L)))).as("__psb"))
     val repDiff = col("__psa").cast("double") / col("__pna").cast("double") -
       col("__psb").cast("double") / col("__pnb").cast("double")
-    perRep
-      .crossJoin(broadcast(obs.select(col("n"), obsValid.as("__ok"),
-        when(obsValid, round(obsDiff, 6)).as("obs_diff"),
-        when(obsValid, abs(obsDiff)).as("__absobs"))))
+    val obsRow = obs.select(col("n"), obsValid.as("__ok"),
+      when(obsValid, round(obsDiff, 6)).as("obs_diff"),
+      when(obsValid, abs(obsDiff)).as("__absobs"))
+    // GLOBAL aggregate over the kept reps (one row even when every rep
+    // was dropped — a groupBy on the obs keys would return an EMPTY
+    // frame at reps_kept = 0 instead of the documented stated-NULL row,
+    // e.g. on an n = 1 input where every assignment empties one side),
+    // then one broadcast crossJoin back onto the observed row
+    val kept = perRep
       .filter(col("__pna") > 0L && col("__pnb") > 0L)
-      .groupBy(col("n"), col("__ok"), col("obs_diff"), col("__absobs"))
+      .crossJoin(broadcast(obsRow.select(col("__absobs"))))
       .agg(count(lit(1)).as("reps_kept"),
         sum(when(abs(repDiff) >= col("__absobs"), 1L).otherwise(0L))
           .as("__nge"))
+    obsRow.crossJoin(broadcast(kept))
       .select(col("n"), lit(reps.toLong).as("reps"), col("reps_kept"),
         col("obs_diff"),
-        when(col("__ok"), col("__nge")).as("n_ge"),
-        when(col("__ok"),
-          round((col("__nge").cast("double") + lit(1.0)) /
+        when(col("__ok") && col("reps_kept") > 0L,
+          coalesce(col("__nge"), lit(0L))).as("n_ge"),
+        when(col("__ok") && col("reps_kept") > 0L,
+          round((coalesce(col("__nge"), lit(0L)).cast("double") + lit(1.0)) /
             (col("reps_kept").cast("double") + lit(1.0)), 6)).as("p_value"))
   }
 
@@ -791,12 +800,16 @@ object Inference {
     // scales the offset INTO the grid so every cell is reachable for
     // any span (the old (span div cells)+1 width under-filled the grid
     // whenever span was a small multiple of cells, overstating the
-    // tail deviation). Offsets are ≤ span, so the product stays within
-    // Long for span·cells < 2^63 (µs spans of years × 65536 cells).
+    // tail deviation). The product runs in DECIMAL(38,0): offset·cells
+    // would overflow Long at 65536 cells over a multi-year µs span
+    // (span > 2^63/cells ≈ 4.5 years) and wrap to a negative cell with
+    // no error — decimal keeps the integral floor-div exact at any
+    // representable span.
     val counts = events.crossJoin(broadcast(bounds))
       .select(
-        expr(s"((`$tsCol` - __tmin) * ${cells}L) div " +
-          s"(__tmax - __tmin + 1L)").as("__cell"),
+        expr(s"cast((cast(`$tsCol` - __tmin as decimal(38,0)) * " +
+          s"${cells}L) div (__tmax - __tmin + 1L) as bigint)")
+          .as("__cell"),
         (col("__tmax") - col("__tmin") + lit(1L)).as("__span"))
       .groupBy(col("__cell"), col("__span"))
       .agg(count(lit(1)).as("__c"))

@@ -28,15 +28,19 @@ object StatsProcessor {
     * Right(col) ⇒ sort descending by that column (the reference's
     * `timeSorted`).
     *
-    * The shuffle key is md5("seed:" + the projected row's values) — a
-    * seeded content fingerprint rather than `rand(seed)`, whose stream
-    * is engine- AND partitioning-dependent. The fingerprint gives the
-    * same three properties rand promised (deterministic per seed,
-    * uniform, uncorrelated with any data order) plus one it couldn't:
-    * any engine replays the identical permutation from the row values
-    * alone (the repo's seeded-sampling md5 discipline), so the shuffled
-    * sample is oracle-checkable. Ties happen only between rows with
-    * identical fingerprints — i.e. identical projections — where order
+    * The shuffle key is md5 over "seed:" plus each projected column's
+    * own md5 (NULL → the one-char sentinel "-", which no 32-hex digest
+    * can collide with) — a seeded content fingerprint rather than
+    * `rand(seed)`, whose stream is engine- AND partitioning-dependent.
+    * Hashing per column FIRST makes the composite unambiguous: a plain
+    * value concat would let ("1:2","3") collide with ("1","2:3") and
+    * concat_ws's NULL-skipping would let ("x", NULL) collide with
+    * (NULL, "x"). The fingerprint gives the same three properties rand
+    * promised (deterministic per seed, uniform, uncorrelated with any
+    * data order) plus one it couldn't: any engine replays the identical
+    * permutation from the row values alone (the repo's seeded-sampling
+    * md5 discipline), so the shuffled sample is oracle-checkable. Ties
+    * happen only between rows with identical projections, where order
     * is immaterial. With a limit the plan stays TakeOrderedAndProject:
     * per-partition top-n, no full sort at scale. */
   def getStats(
@@ -52,7 +56,8 @@ object StatsProcessor {
       case Right(sortCol) => projected.orderBy(desc(sortCol))
       case Left(seed) => projected.orderBy(md5(concat_ws(":",
         lit(seed.toString) +:
-          projected.columns.toSeq.map(c => col(c).cast("string")): _*)))
+          projected.columns.toSeq.map(c =>
+            coalesce(md5(col(c).cast("string")), lit("-"))): _*)))
     }
     nLimit.map(ordered.limit).getOrElse(ordered)
   }

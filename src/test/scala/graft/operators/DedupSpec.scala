@@ -430,6 +430,26 @@ class DedupSpec extends SparkSpec {
     r shouldBe Map(1L -> true, 2L -> false)
   }
 
+  it should "sort NULL scores below every real score" in {
+    val anchors = Seq((0L, Seq(1f, 0f)))
+    // 1 (NULL score, smaller id) loses to scored 2; the all-NULL pair
+    // (3, 4) falls back to min-id — 4 loses. All four share one cell.
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), Option.empty[Long]),
+      (2L, Seq(0.99f, 0.1f), Some(5L)))
+      .toDF("vec_id", "embedding", "score")
+    val r = Dedup.semanticDedupKeepBest(vecs, anchors, 0.9, "score")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> false, 2L -> true)
+    val nn = Seq(
+      (3L, Seq(1f, 0f), Option.empty[Long]),
+      (4L, Seq(0.99f, 0.1f), Option.empty[Long]))
+      .toDF("vec_id", "embedding", "score")
+    val r2 = Dedup.semanticDedupKeepBest(nn, anchors, 0.9, "score")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r2 shouldBe Map(3L -> true, 4L -> false)
+  }
+
   it should "apply dominance pairwise: a dropped vector still eliminates what it dominates" in {
     // chain a~b~c with a !~ c (36-degree steps): b loses to a, c loses
     // to b even though b itself is dropped — the kept set is the

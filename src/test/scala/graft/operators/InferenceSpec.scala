@@ -191,6 +191,20 @@ class InferenceSpec extends SparkSpec {
     r.isNullAt(5) shouldBe true // p_value
   }
 
+  it should "still emit ONE stated-NULL row when every rep is dropped" in {
+    // n = 1: every hash assignment puts the lone row on one side, so
+    // reps_kept = 0 — the row must survive with NULL n_ge/p_value, not
+    // vanish into an empty frame
+    val docs = Seq((1L, 5L)).toDF("id", "v")
+    val out = Inference.permutationTest(docs, col("v"), "id",
+      col("id") % 2 === 0, reps = 8, seed = 14L).collect()
+    out.length shouldBe 1
+    out(0).getLong(0) shouldBe 1L
+    out(0).getLong(2) shouldBe 0L // reps_kept
+    out(0).isNullAt(4) shouldBe true
+    out(0).isNullAt(5) shouldBe true
+  }
+
   it should "reject a reps count beyond the guard" in {
     val docs = Seq((1L, 2L)).toDF("id", "v")
     an[IllegalArgumentException] should be thrownBy
