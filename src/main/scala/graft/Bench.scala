@@ -166,6 +166,12 @@ object Bench {
       .replaceAll("cachedrdd_\\d+", "cachedrdd_x")
       .replaceAll("file:[^\\s,\\)\\]\\}]*", "file:x")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      // RDD ids differ per JVM and callsite LINE NUMBERS drift with any
+      // code motion in a shared file (the r15 close's 20 flagged movers
+      // all "differed" from r14's PLANS only by these two tokens) — both
+      // are identity-irrelevant
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+      .replaceAll("\\.scala:\\d+", ".scala:x")
     val planShas: Seq[(String, String)] = suite.map { case (name, fn) =>
       val sha =
         try {
