@@ -184,6 +184,11 @@ object Bench {
       dropPersisted()
       (name, sha)
     }
+    // a failing sha pass must be VISIBLE in the artifact (ADVICE r15): an
+    // empty sha silently keeps its query flagged in every future close —
+    // a systematically failing normalization would read as "nothing to
+    // clear" forever. The count makes that failure mode loud.
+    val planShaErrors = planShas.count(_._2.isEmpty)
 
     // per query: min over successful passes; an error in ANY pass marks
     // the query failed (loud, never averaged away)
@@ -221,6 +226,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""reps":$reps,"bench_only":$onlyJson,"bench_slice":$sliceJson,""" +
         s""""queries_runs":$runsJson,"plan_shas":$shasJson,""" +
+        s""""plan_sha_errors":$planShaErrors,""" +
         s""""errors":$errs,"nOk":${ok.size},"nFailed":${results.size - ok.size},""" +
         s""""sf":"${esc(sfDir)}"}""")
     spark.stop()

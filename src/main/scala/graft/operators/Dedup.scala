@@ -489,6 +489,18 @@ object Dedup {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
       maxDriverEdges: Long = 1000000L): DataFrame = {
+    // id-type contract (VERDICT r15): both endpoints must share ONE
+    // numeric id type — min/least give the component-minimum label, the
+    // convergence metric sums labels as decimals, and the bounded driver
+    // union-find compares collected ids via Comparable. A string or
+    // mixed-type id column would break the decimal convergence sum
+    // silently and the driver compare loudly, so fail fast here instead.
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents ids must be numeric, got $c: ${dt.simpleString}" +
+          " (hash or dictionary-encode string ids first)")
+    }
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // one lineage-truncation policy for the whole algorithm
     def snap(df: DataFrame): DataFrame =

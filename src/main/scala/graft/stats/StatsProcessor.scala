@@ -42,7 +42,17 @@ object StatsProcessor {
     * md5 discipline), so the shuffled sample is oracle-checkable. Ties
     * happen only between rows with identical projections, where order
     * is immaterial. With a limit the plan stays TakeOrderedAndProject:
-    * per-partition top-n, no full sort at scale. */
+    * per-partition top-n, no full sort at scale.
+    *
+    * Castability contract (ADVICE r15): the fingerprint casts each keyed
+    * column to string, so with an EMPTY projection the key would span
+    * ALL frame columns — including types whose string rendering is
+    * engine-dependent (timestamps, doubles) or whose hashing is simply
+    * not meaningful as a stable permutation key. An empty-projection
+    * Left(seed) therefore keys on the frame's ATOMIC columns only
+    * (maps/arrays/structs are skipped) and requires at least one such
+    * column; callers that need a specific permutation should project
+    * explicitly, as the registered `sample_random` query does. */
   def getStats(
       units: DataFrame,
       selectors: Seq[Selector],
@@ -54,10 +64,22 @@ object StatsProcessor {
       if (projection.isEmpty) filtered else filtered.select(projection: _*)
     val ordered = sortOrRandom match {
       case Right(sortCol) => projected.orderBy(desc(sortCol))
-      case Left(seed) => projected.orderBy(md5(concat_ws(":",
-        lit(seed.toString) +:
-          projected.columns.toSeq.map(c =>
-            coalesce(md5(col(c).cast("string")), lit("-"))): _*)))
+      case Left(seed) =>
+        // empty projection ⇒ key on atomic columns only (see scaladoc)
+        val keyCols =
+          if (projection.nonEmpty) projected.columns.toSeq
+          else projected.schema.fields.collect {
+            case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+              !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+          }.toSeq
+        require(keyCols.nonEmpty,
+          "Left(seed) shuffle needs at least one atomic column to key on; " +
+            "project explicitly for frames of only complex-typed columns")
+        projected.orderBy(md5(concat_ws(":",
+          lit(seed.toString) +:
+            keyCols.map(c =>
+              coalesce(md5(col(c).cast("string")), lit("-"))): _*)))
     }
     nLimit.map(ordered.limit).getOrElse(ordered)
   }

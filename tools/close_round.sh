@@ -106,6 +106,10 @@ assert d.get("nFailed", 1) == 0, f"bench nFailed={d.get('nFailed')}"
 # the artifact must be a FULL-suite run: the Bench knob echo is the proof
 assert d.get("bench_only") is None, f"bench_only={d['bench_only']} — partial run"
 assert d.get("bench_slice") is None, f"bench_slice={d['bench_slice']} — partial run"
+# a failed sha normalization must fail the close, not silently disable
+# the plan-identity diagnostic for that query forever (ADVICE r15)
+assert d.get("plan_sha_errors", 0) == 0, \
+    f"plan_sha_errors={d.get('plan_sha_errors')} — sha pass failed"
 # attach the round's measurement-methodology note when one exists
 # (tools/timings_method_r<N>.txt — e.g. the r13 split-JVM drift study)
 note = f"tools/timings_method_r{sys.argv[1]}.txt"
@@ -136,22 +140,23 @@ else:
             # flag >1.3x moves that are big enough to matter (>0.3s now)
             if p and p > 0 and v > 0.3 and v / p > 1.3:
                 names.append(q)
-        # plan-identity auto-clear (ADVICE r14 / VERDICT r14 #2): a
-        # flagged query whose NORMALIZED plan sha256 is unchanged vs the
-        # prior round cannot be a plan regression — the slowdown is host
-        # noise by construction (the r13/r14 hand-diff, mechanized).
-        # Only a flagged query with a CHANGED/missing sha still earns an
-        # isolated re-measure. Cleared names are recorded in TIMINGS.
+        # plan-identity annotation (ADVICE r15 downgraded this from a
+        # clear to a diagnostic): an unchanged NORMALIZED plan sha256 is
+        # NECESSARY but not SUFFICIENT evidence of host noise — a
+        # regression inside an expression kernel / native function leaves
+        # the plan text identical, and the normalization also erases
+        # whole Scan column lists and Statistics(...). So a sha-matched
+        # flag is recorded as plan_identity_matched but still earns its
+        # isolated re-measure; only the re-measure's min clears it.
         cur_sha = cur_t.get("plan_shas", {})
         prev_sha = prev_t.get("plan_shas", {})
-        cleared = sorted(q for q in names
+        matched = sorted(q for q in names
                          if cur_sha.get(q) and cur_sha.get(q) == prev_sha.get(q))
-        if cleared:
-            names = [q for q in names if q not in cleared]
-            cur_t["plan_identity_cleared"] = cleared
+        if matched:
+            cur_t["plan_identity_matched"] = matched
             json.dump(cur_t, open(path, "w"))
-            print(f"isolate: plan-identity cleared {len(cleared)}: "
-                  + ",".join(cleared), file=sys.stderr)
+            print(f"isolate: plan-identity matched (still re-measured) "
+                  f"{len(matched)}: " + ",".join(matched), file=sys.stderr)
 print(",".join(sorted(names)))
 EOF
 )
