@@ -294,11 +294,38 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4)),
 
-    // Production tier: xxhash64 family. Same plan shape, no cross-engine
-    // replay — no oracleSql entry, driver records a rows-only check.
-    "dedup_minhash_fast" -> ((s, d) =>
-      Dedup.minhashLsh(t(s, d, "documents"), shingleN = 5, k = 8, bands = 4,
-        tier = Dedup.FastXx)),
+    // Production tier: xxhash64 family. The pair set itself has no
+    // cross-engine replay (xxhash64 minima aren't SQL), but its RECALL
+    // GUARANTEE on identical documents is exact (VERDICT r15 #1b):
+    // byte-identical texts tokenize to identical shingle sets, hash to
+    // identical signatures under ANY hash family, land in the same
+    // bucket in EVERY band, and est_jaccard = 1 passes every gate — so
+    // the fast tier must surface every identical-text pair. Because the
+    // testdata corpus has NO natural identical pair at sf0.01, the query
+    // PLANTS them (the stress suite's planted-family discipline, fully
+    // SQL-replayable): every 97th doc rides in twice under doc_id + 1e9.
+    // The verdict row counts the ground-truth identical pairs (md5-text
+    // equi-join over the planted corpus) and pins n_missed_identical =
+    // 0. The md5 oracle tier (`dedup_minhash_pairs`) keeps grading the
+    // full banding/scoring pipeline value-exactly.
+    "dedup_minhash_fast" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 97 === 0 && col("n_chars") >= 10)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            col("text")))
+      val fast = Dedup.minhashLsh(corpus, shingleN = 5, k = 8, bands = 4,
+        tier = Dedup.FastXx).select(col("id_a"), col("id_b"))
+      val keyed = corpus.select(col("doc_id"), md5(col("text")).as("__k"))
+      val truth = keyed.as("x").join(keyed.as("y"),
+        col("x.__k") === col("y.__k") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .localCheckpoint(true) // 2 consumers: count + anti-join
+      val missed = truth.join(fast, Seq("id_a", "id_b"), "left_anti")
+      truth.agg(count(lit(1)).as("n_identical_pairs"))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed_identical")))
+    }),
 
     // Incremental admission: src0 is the incoming batch; admit only its
     // docs with no >=0.5-est-jaccard partner among the existing corpus
@@ -484,16 +511,33 @@ object SparkEntry {
         shingleN = 3, maxOverlap = 0.2)
     }),
 
-    // Bloom-tier decontamination: same semantics, benchmark compiled into
-    // one broadcast Bloom filter, corpus probed row-locally (no corpus
-    // shuffle). Bloom bits aren't SQL-replayable → rows-only; CurationSpec
-    // pins the flagged-superset property against the exact variant
+    // Bloom-tier decontamination graded against its exact twin (VERDICT
+    // r15 #1a): bloom bits aren't SQL-replayable, but the gate's SAFETY
+    // contract is — a Bloom filter has false positives, never false
+    // negatives, so every exact-flagged doc MUST be bloom-flagged (both
+    // tiers count the same DISTINCT 3-gram basis, so bloom n_hits ≥
+    // exact n_hits per doc and the ≥-threshold flag set is a superset).
+    // The verdict row pins n_false_neg = 0 and the exact-side flag count
+    // against the DuckDB replay of the exact tier; n_docs pins that the
+    // bloom side scored every corpus doc. Over-flag volume (the FP cost)
+    // stays a CurationSpec property — it depends on the bloom's hash
+    // bits, which is exactly what SQL can't replay.
     "decontaminate_bloom" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      graft.operators.Curation.decontaminateBloom(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        shingleN = 3, maxOverlap = 0.2)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val exact = graft.operators.Curation.decontaminate(
+        corpus, bench, shingleN = 3, maxOverlap = 0.2)
+        .select(col("doc_id"), col("contaminated").as("__ex"))
+      val bloom = graft.operators.Curation.decontaminateBloom(
+        corpus, bench, shingleN = 3, maxOverlap = 0.2)
+        .select(col("doc_id"), col("contaminated").as("__bl"))
+      exact.join(bloom, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__ex"), 1L).otherwise(0L)).as("n_exact_flagged"),
+          sum(when(col("__ex") && !col("__bl"), 1L).otherwise(0L))
+            .as("n_false_neg"))
     }),
 
     // Fuzzy-tier decontamination: flag corpus docs near-duplicating ANY
@@ -536,15 +580,30 @@ object SparkEntry {
       graft.operators.Dedup.repeatedSubstringSpansExact(
         t(s, d, "documents"), minLen = 12, gramN = 8)),
 
-    // Deflate compression ratio (repetition/boilerplate proxy): zlib is
-    // not SQL-replayable -> rows-only; TextFunctionsSpec pins the
-    // discrimination property and the empty-input contract
-    "text_compress_ratio" -> ((s, d) =>
+    // Deflate compression ratio (repetition/boilerplate proxy): the zlib
+    // byte count is not SQL-replayable, so the GRADED columns are per-doc
+    // boolean invariants any correct Deflate must satisfy (VERDICT r15
+    // #1f), pinned TRUE by the oracle for every doc:
+    //  - ratio_positive: a non-empty doc never compresses to 0 bytes;
+    //  - repeat_compresses: for docs of >= 200 chars, text repeated 4x
+    //    compresses STRICTLY better than the text itself (the back-
+    //    references that make the ratio a repetition signal at all —
+    //    short docs are excluded because header overhead dominates).
+    // Both kernels run the real DeflateRatio expression over the whole
+    // corpus; TextFunctionsSpec still pins the empty-input contract and
+    // the repetitive-vs-random discrimination values.
+    "text_compress_ratio" -> ((s, d) => {
+      val ratio = org.apache.spark.sql.graft.TextExpressionFunctions
+        .deflateRatioColumn(col("text"))
+      val ratio4 = org.apache.spark.sql.graft.TextExpressionFunctions
+        .deflateRatioColumn(repeat(col("text"), 4))
       t(s, d, "documents")
         .select(col("doc_id"), col("n_chars"),
-          org.apache.spark.sql.graft.TextExpressionFunctions
-            .deflateRatioColumn(col("text")).as("deflate_ratio"))
-        .withColumn("repetitive", col("deflate_ratio") < 0.3)),
+          when(coalesce(col("n_chars"), lit(0L)) === 0L, lit(true))
+            .otherwise(ratio > 0.0).as("ratio_positive"),
+          when(coalesce(col("n_chars"), lit(0L)) < 200L, lit(true))
+            .otherwise(ratio4 < ratio).as("repeat_compresses"))
+    }),
 
     // Document fingerprint (order/duplication-robust content key)
     "text_fingerprint" -> ((s, d) =>
@@ -707,10 +766,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
 
     // HLL distinct-count sketch (custom TypedImperativeAggregate) next to
-    // the exact count it approximates. Deterministic (register-max is
-    // order-blind) but approximate, so no single-SQL oracle replay —
-    // rows-only here; HllSpec pins error bounds, merge laws, and
-    // partitioning invariance
+    // the exact count it approximates. The sketch estimate itself has no
+    // SQL replay (register maxima aren't SQL), so the GRADED columns are
+    // the exact count plus `hll_ok` — the measured-against-exact-twin
+    // relative-error bound (VERDICT r15 #1c). 5% ≈ 3σ at the default
+    // precision 12 (rsd 1.6%), and the sketch is deterministic on fixed
+    // data (order-blind register max), so the boolean cannot flap.
+    // HllSpec still pins error bounds, merge laws, and partitioning
+    // invariance at the operator level.
     "hll_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(
@@ -718,8 +781,11 @@ object SparkEntry {
           // unguarded compose would count nulls where count_distinct won't
           org.apache.spark.sql.graft.SketchFunctions
             .hllCount(when(col("user_id").isNotNull,
-              xxhash64(col("user_id")))).as("hll_users"),
-          count_distinct(col("user_id")).as("exact_users"))),
+              xxhash64(col("user_id")))).as("__hll"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__hll") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("hll_ok"))),
 
     // C3 pctOf as a projected scalar
     "pct_of" -> ((s, d) =>
@@ -769,12 +835,20 @@ object SparkEntry {
     }),
 
     // IVF with Lloyd-refined anchors (each refinement round = one
-    // distributed pass). Anchors come from iterative Spark jobs — no SQL
-    // replay, driver records a rows-only check (like dedup_minhash_fast).
+    // distributed pass). Trained anchors have no SQL replay, but probing
+    // ALL nCells cells makes the RESULT anchor-independent (VERDICT r15
+    // #1d): the cells partition the corpus, so nprobe = nCells scores
+    // every corpus vector with the exact rounded cosine and the top-k
+    // must equal brute force — the oracle is the vector_knn SQL. A green
+    // row pins the whole trained pipeline end to end: training ran, the
+    // assignment is a total single-cell partition (a dropped or
+    // double-assigned vector breaks the equality), and the probe/score/
+    // rank path is exact. The nprobe < nCells recall curve stays
+    // measured by ivf_calibration + AnnRecallSpec.
     "vector_ivf_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopKKmeans(
-        e, e.filter(col("vec_id") < 5), nCells = 8, k = 3, iters = 3, nprobe = 2)
+        e, e.filter(col("vec_id") < 5), nCells = 8, k = 3, iters = 3, nprobe = 8)
         .drop("rank")
     }),
 
@@ -1296,19 +1370,38 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), loaded, k = 3).drop("rank")
     }),
 
-    // PQ retrieval with the Lloyd-TRAINED codebook + exact re-rank — the
-    // production tier (a real retrieval stack never ships seed codebooks).
-    // Training is iterative Spark jobs ⇒ rows-only check (same contract as
-    // vector_ivf_kmeans); AnnRecallSpec pins trained-vs-seed recall@10.
+    // Lloyd-TRAINED PQ codebook graded by its objective (VERDICT r15
+    // #1d): iterative float training has no SQL replay, but Lloyd's
+    // monotonicity does — under argmin-L2 assignment + mean update the
+    // distortion Σ_s min_c ‖slice−c‖² NEVER rises from its own iters=0
+    // init, so `trained_improves` is a mathematical invariant the
+    // oracle pins TRUE (both distortions measured by the distributed
+    // one-pass audit; tolerance covers IEEE partial-sum order). The
+    // trained codebook is then USED: pqEncode over the corpus, with
+    // n_encoded (= corpus count: encoding drops nothing) and
+    // codes_in_range (every code a valid [0,16) centroid id) both
+    // exact-replayable. AnnRecallSpec keeps the trained-vs-seed
+    // retrieval-recall pin; vector_pq_topk keeps grading the ADC
+    // retrieval path value-exactly.
     "vector_pq_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       // iters=2: the second Lloyd round captures most of the distortion
-      // drop (AnnRecallSpec measures iters=3); training is m×iters
-      // distributed passes and amortizes over every query the codebook
-      // serves — in production it runs once and persists (AnnArtifacts)
+      // drop; training is 1+iters distributed passes and amortizes over
+      // every query the codebook serves (AnnArtifacts persists it)
+      val init = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 0)
       val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 2)
-      Similarity.pqTopKRerank(e, e.filter(col("vec_id") < 5), cb, k = 3,
-        shortlist = 20).drop("rank")
+      val dInit = Similarity.pqDistortionDistributed(e, init)
+      val dTrained = Similarity.pqDistortionDistributed(e, cb)
+      val improves = dTrained <= dInit + 1e-9 + math.abs(dInit) * 1e-9
+      val codes = Similarity.pqEncode(e, cb)
+        .agg(count(lit(1)).as("n_encoded"),
+          sum(when(forall(col("codes"), c => c >= 0 && c < 16), 0L)
+            .otherwise(1L)).as("__bad"))
+        .select(col("n_encoded"), (col("__bad") === 0L).as("codes_in_range"))
+      e.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(codes)
+        .select(col("n_vecs"), col("n_encoded"), col("codes_in_range"),
+          lit(improves).as("trained_improves"))
     }),
 
     // IVF-PQ (FAISS IVFADC): nearest-L2 coarse cells (seed anchors
@@ -1328,20 +1421,38 @@ object SparkEntry {
         k = 3, nProbe = 2).drop("rank")
     }),
 
-    // The trained IVF-PQ tier: Lloyd-refined coarse anchors (L2
-    // assignment — the metric PQ consumes) and a Lloyd-refined RESIDUAL
-    // codebook. Both trainings are iterative Spark jobs ⇒ rows-only
-    // check (the vector_ivf_kmeans / vector_pq_kmeans contract);
-    // AnnRecallSpec pins recall against the seed tier.
+    // The trained IVF-PQ tier graded by BOTH Lloyd objectives (VERDICT
+    // r15 #1d, the vector_pq_kmeans discipline applied twice):
+    //  - coarse_improves — the L2-assigned coarse anchors' mean nearest-
+    //    anchor distance never rises from the iters=0 init (true Lloyd:
+    //    argmin-L2 assignment + mean update),
+    //  - pq_improves — the residual codebook trained ON THE TRAINED
+    //    ANCHORS' residuals never loses to its own iters=0 init on the
+    //    SAME residuals (cross-anchor-set comparisons have no such
+    //    guarantee and are deliberately not claimed).
+    // Both invariants are oracle-pinned TRUE next to the replayable
+    // corpus count; AnnRecallSpec keeps the recall-vs-seed pins and
+    // vector_ivfpq_topk keeps grading the full ADC pipeline exactly.
     "vector_ivfpq_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      val anchors0 = Similarity.kmeansAnchors(e, k = 8, iters = 0,
+        l2Assign = true)
       val anchors = Similarity.kmeansAnchors(e, k = 8, iters = 2,
         l2Assign = true)
+      val dc0 = Similarity.coarseDistortionL2(e, anchors0)
+      val dcT = Similarity.coarseDistortionL2(e, anchors)
       val res = Similarity.ivfResiduals(e, anchors)
+      val cb0 = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
+        iters = 0, vecCol = "rv")
       val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
         iters = 2, vecCol = "rv")
-      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), anchors, cb,
-        k = 3, nProbe = 2).drop("rank")
+      val dp0 = Similarity.pqDistortionDistributed(res, cb0, vecCol = "rv")
+      val dpT = Similarity.pqDistortionDistributed(res, cb, vecCol = "rv")
+      val coarseOk = dcT <= dc0 + 1e-9 + math.abs(dc0) * 1e-9
+      val pqOk = dpT <= dp0 + 1e-9 + math.abs(dp0) * 1e-9
+      e.agg(count(lit(1)).as("n_vecs"))
+        .select(col("n_vecs"), lit(8).as("n_cells"),
+          lit(coarseOk).as("coarse_improves"), lit(pqOk).as("pq_improves"))
     }),
 
     // ...and the same retrieval with BOTH artifacts (coarse anchors +
@@ -1701,11 +1812,16 @@ object SparkEntry {
     // SGNS implicitly factorizes shifted PPMI): corpus work = the
     // skipgram pair count; the factorized matrix is vocab-bounded
     // (top-64 by pair mass, <= V² cell collect), eigen is the same
-    // driver-side Jacobi as embed_pca. Rows-only (no SQL eigen); the
-    // geometry contract is pinned by CurationSpec's planted
-    // co-occurrence blocks (close within, orthogonal across)
+    // driver-side Jacobi as embed_pca. Graded via the verdict twin
+    // (VERDICT r15 #1e): per-vocab-term (term, pair_mass) rows — the
+    // whole corpus-scale half, replayed exactly from the skipgram SQL
+    // with the deterministic (mass desc, term) cut — plus the
+    // factorization invariants pinned TRUE (orthonormal basis,
+    // descending spectrum, truncated-reconstruction residual ≤ ‖M‖_F).
+    // CurationSpec keeps the planted co-occurrence geometry pins on the
+    // embedding VALUES (close within blocks, orthogonal across).
     "ppmi_svd_embeddings" -> ((s, d) =>
-      graft.operators.Curation.ppmiSvdEmbeddings(t(s, d, "documents"))),
+      graft.operators.Curation.ppmiSvdVerdict(t(s, d, "documents"))),
 
     // Reliability diagram for the hashed classifier: 20 score bins ×
     // rule-based quality agreement — one corpus projection + one keyed
@@ -2295,17 +2411,18 @@ object SparkEntry {
     "embed_covariance" -> ((s, d) =>
       Similarity.gramMatrix(t(s, d, "embeddings"), d = 64)),
 
-    // PCA projection onto the top-4 principal components of the int8
-    // code space: gramMatrix's exact integer moments → deterministic
-    // driver-side Jacobi eigen → row-local codegen'd dot per component.
-    // Rows-only (no SQL eigen); the eigen/projection contracts are
-    // pinned in SimilaritySpec (orthonormality, diagonalization
-    // residual, variance ordering, hand-checkable 2-D case)
+    // PCA over the int8 code space, graded by verdict columns (VERDICT
+    // r15 #1e): the FP eigendecomposition has no SQL replay, but a
+    // CORRECT one satisfies exact invariants the oracle pins TRUE —
+    // orthonormal eigenvectors, descending eigenvalues, the vectors
+    // diagonalize THIS covariance, explained ≤ total variance (the gap
+    // is the k-term reconstruction error, necessarily ≥ 0), and the
+    // distributed codegen'd projection is mean-centered. n_vecs pins
+    // the corpus pass. SimilaritySpec keeps the hand-checkable 2-D
+    // eigen values; the projection ROWS stay exercised by pcaVerdict's
+    // own projection pass.
     "embed_pca" -> ((s, d) =>
-      Similarity.pcaProject(t(s, d, "embeddings"), d = 64, k = 4)
-        .select(col("vec_id"), posexplode(col("pc")).as(Seq("m", "v")))
-        .select(col("vec_id"), col("m").cast("long").as("m"),
-          round(col("v"), 6).as("v"))),
+      Similarity.pcaVerdict(t(s, d, "embeddings"), d = 64, k = 4)),
 
     // Column-profiling report (the data-engineering ANALYZE staple):
     // rows / nulls / exact distincts / min / max per column. The exact
@@ -2505,10 +2622,23 @@ object SparkEntry {
 
     // Sketch tier of rolling_active_users: per-grid-day HLL instead of
     // exact countDistinct — the shuffle carries fixed-size register
-    // states, not (day, user) pairs. Approximate + hash-order-blind, so
-    // rows-only; parity vs the exact tier pinned in EventStreamsSpec
-    "rolling_active_users_hll" -> ((s, d) =>
-      graft.streaming.EventStreams.rollingActiveUsersHll(eventsUs(s, d))),
+    // states, not (day, user) pairs. The estimate has no SQL replay, so
+    // the GRADED columns are the exact tier's (day, active_1d,
+    // active_7d) joined per day with `hll_ok`, the per-day 8%-relative-
+    // error bound vs that exact twin (VERDICT r15 #1c; 8% = 5σ at
+    // precision 12's rsd 1.6% — deterministic on fixed data, cannot
+    // flap). Running both tiers in one query is the point: the sketch
+    // is graded against the exact twin day by day.
+    "rolling_active_users_hll" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val exact = graft.streaming.EventStreams.rollingActiveUsers(ev)
+      val sk = graft.streaming.EventStreams.rollingActiveUsersHll(ev)
+        .select(col("day"), col("active_7d_hll"))
+      exact.join(sk, Seq("day"))
+        .select(col("day"), col("active_1d"), col("active_7d"),
+          (abs(col("active_7d_hll") - col("active_7d")).cast("double") <=
+            col("active_7d").cast("double") * 0.08).as("hll_ok"))
+    }),
 
     // Two-sample A/B z-test per event type: md5-parity arm assignment on
     // the user (stable, portable), exact DECIMAL moment sums over the
@@ -3895,7 +4025,81 @@ object SparkEntry {
          |    THEN round(hw.forecast_next + 1.96 * bt.rmse, 6) END AS hi95
          |FROM (${oracleSqlBase("holt_winters")}) hw
          |JOIN (${oracleSqlBase("holt_winters_backtest")}) bt
-         |  ON bt.event_type = hw.event_type""".stripMargin)
+         |  ON bt.event_type = hw.event_type""".stripMargin) +
+    // ——— VERDICT r15 #1: measured-against-exact-twin verdicts for the
+    // former rows-only roster. Each oracle pins the replayable half
+    // exactly and the approximation/float half as invariant booleans ———
+    // trained IVF probing ALL cells is anchor-independent: the cells
+    // partition the corpus, so the top-k equals brute force exactly
+    ("vector_ivf_kmeans" -> oracleSqlBase("vector_knn")) +
+    // the exact tier's replay, with the per-day HLL error bound pinned
+    ("rolling_active_users_hll" ->
+      s"""SELECT r.day, r.active_1d, r.active_7d, TRUE AS hll_ok
+         |FROM (${oracleSqlBase("rolling_active_users")}) r""".stripMargin) +
+    ("hll_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin) +
+    // exact-tier flag count replayed; Bloom false negatives pinned at 0
+    // (a Bloom filter over-flags by fpp, it can never under-flag)
+    ("decontaminate_bloom" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_flagged,
+         |  CAST(0 AS BIGINT) AS n_false_neg
+         |FROM (${oracleSqlBase("decontaminate")}) _dc""".stripMargin) +
+    // Deflate invariants hold for every doc: non-empty never compresses
+    // to 0 bytes; >=200-char text repeated 4x compresses strictly better
+    ("text_compress_ratio" ->
+      """SELECT doc_id, n_chars, TRUE AS ratio_positive,
+        |  TRUE AS repeat_compresses FROM documents""".stripMargin) +
+    // identical texts collide in every band under any hash family, so
+    // the xx tier's misses on the md5-text ground truth are pinned at 0;
+    // the corpus plants every 97th doc twice so the truth set is
+    // non-empty at every SF (sf0.01 has no natural identical pair)
+    ("dedup_minhash_fast" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents
+        |  WHERE doc_id % 97 = 0 AND n_chars >= 10),
+        |t AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM corpus x JOIN corpus y
+        |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_identical_pairs,
+        |  CAST(0 AS BIGINT) AS n_missed_identical
+        |FROM t""".stripMargin) +
+    // Lloyd monotonicity + lossless encode: all booleans are invariants
+    ("vector_pq_kmeans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) AS BIGINT) AS n_encoded,
+        |  TRUE AS codes_in_range, TRUE AS trained_improves
+        |FROM embeddings""".stripMargin) +
+    ("vector_ivfpq_kmeans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 8 AS n_cells,
+        |  TRUE AS coarse_improves, TRUE AS pq_improves
+        |FROM embeddings""".stripMargin) +
+    // eigendecomposition invariants of the code-space covariance
+    ("embed_pca" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, 4 AS k,
+        |  TRUE AS evecs_orthonormal, TRUE AS evals_descending,
+        |  TRUE AS diagonalized, TRUE AS explained_le_total,
+        |  TRUE AS proj_mean_zero
+        |FROM embeddings""".stripMargin) +
+    // the corpus-scale half (skipgram masses + deterministic vocab cut)
+    // replays exactly; the factorization invariants pin TRUE
+    ("ppmi_svd_embeddings" ->
+      s"""WITH sk AS (
+         |  SELECT * FROM ($skipgramTableSql) _sk WHERE n_pairs >= 5),
+         |mass AS (
+         |  SELECT center AS term, CAST(sum(n_pairs) AS BIGINT) AS pair_mass
+         |  FROM sk GROUP BY 1)
+         |SELECT term, pair_mass, TRUE AS evecs_orthonormal,
+         |  TRUE AS evals_descending, TRUE AS recon_le_norm
+         |FROM mass
+         |QUALIFY row_number() OVER (ORDER BY pair_mass DESC, term) <= 64""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "sel_eq" ->
@@ -6200,7 +6404,12 @@ object SparkEntry {
 
     // mirrors Dedup.semanticDedupKeepBest: the semantic_dedup cell
     // assignment with each near-dup pair dropping its lower-n_chars
-    // member (ties to the larger id — a wins on q_a >= q_b)
+    // member. The CASE spells out the operator's full three-way NULL
+    // contract (NULL score loses to any real score, all-NULL ties fall
+    // back to min-id — a wins) rather than the bare `x >= y`, whose
+    // NULL result would route the loser to x: n_chars is never NULL
+    // today, but the replay must pin the STATED semantics, not
+    // accidentally agree on non-NULL data (ADVICE r15)
     "semantic_dedup_keep_best" -> {
       val asnCos = cosineSql("e.embedding", "a.av", 64)
       val cos = cosineSql("x.embedding", "y.embedding", 64)
@@ -6215,8 +6424,12 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
          |                             ORDER BY $asnCos DESC, aid) = 1),
          |losers AS (
-         |  SELECT DISTINCT CASE WHEN x.n_chars >= y.n_chars THEN y.vec_id
-         |                       ELSE x.vec_id END AS vec_id
+         |  SELECT DISTINCT CASE
+         |      WHEN x.n_chars IS NULL AND y.n_chars IS NULL THEN y.vec_id
+         |      WHEN x.n_chars IS NULL THEN x.vec_id
+         |      WHEN y.n_chars IS NULL THEN y.vec_id
+         |      WHEN x.n_chars >= y.n_chars THEN y.vec_id
+         |      ELSE x.vec_id END AS vec_id
          |  FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |  WHERE $cos >= 0.25)
          |SELECT asn.vec_id, CAST(cell AS BIGINT) AS cell,

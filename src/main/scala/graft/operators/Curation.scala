@@ -580,6 +580,35 @@ object Curation {
       minCount: Long = 5L,
       vocabSize: Int = 64,
       dim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (vocab, evals, evecs, _) =
+      ppmiEigenCore(docs, window, minCount, vocabSize, dim)
+    val terms = vocab.map(_._1)
+    // gate-facing outputs carry no array columns (the embed_pca
+    // discipline: downstream row-sorters can't order those) — one row
+    // per (term, component) scalar instead of a vector column
+    val rows = for {
+      t <- terms.indices
+      k <- 0 until dim
+    } yield (terms(t), vocab(t)._2, k.toLong,
+      evecs(k)(t) * math.sqrt(math.max(evals(k), 0.0)))
+    rows.toDF("term", "pair_mass", "component", "value")
+  }
+
+  /** Shared corpus→PPMI→eigen core of [[ppmiSvdEmbeddings]] and
+    * [[ppmiSvdVerdict]]: skipgram pair count (the one corpus-scale job),
+    * deterministic (mass desc, term) vocab cut, bounded ≤V² cell
+    * collect, PPMI matrix, driver Jacobi. Returns (vocab with masses,
+    * eigenvalues desc, eigenvectors-as-rows, the symmetrized PPMI
+    * matrix). */
+  private def ppmiEigenCore(
+      docs: DataFrame,
+      window: Int,
+      minCount: Long,
+      vocabSize: Int,
+      dim: Int): (Array[(String, Long)], Array[Double],
+        Array[Array[Double]], Array[Array[Double]]) = {
     require(vocabSize >= 2 && vocabSize <= 256,
       s"vocabSize in [2,256]: $vocabSize")
     require(dim >= 1 && dim <= vocabSize, s"dim in [1,vocabSize]: $dim")
@@ -619,15 +648,64 @@ object Curation {
     // jacobiEigen returns eigenpairs sorted by descending eigenvalue
     // with vecs(k)(t) = component t of eigenvector k, canonical sign
     val (evals, evecs) = graft.operators.Similarity.jacobiEigen(m)
-    // gate-facing outputs carry no array columns (the embed_pca
-    // discipline: downstream row-sorters can't order them) — one row
-    // per (term, component) scalar instead of a vector column
-    val rows = for {
-      t <- terms.indices
-      k <- 0 until dim
-    } yield (terms(t), vocab(t)._2, k.toLong,
-      evecs(k)(t) * math.sqrt(math.max(evals(k), 0.0)))
-    rows.toDF("term", "pair_mass", "component", "value")
+    (vocab, evals, evecs, m)
+  }
+
+  /** Driver-gradable verdict twin of [[ppmiSvdEmbeddings]] (VERDICT r15
+    * #1): one row per vocab term carrying the two columns an exact SQL
+    * oracle CAN replay — the term and its skipgram pair mass under the
+    * deterministic (mass desc, term) top-`vocabSize` cut — next to
+    * boolean invariants of a correct factorization that the oracle pins
+    * as TRUE literals:
+    *  - `evecs_orthonormal`: max |eᵢ·eⱼ − δᵢⱼ| ≤ 1e-6,
+    *  - `evals_descending`: the declared jacobiEigen sort order,
+    *  - `recon_le_norm`: ‖M − Σ_{k<dim} λ⁺ₖ eₖeₖᵀ‖_F ≤ ‖M‖_F + 1e-9.
+    *    With an orthonormal basis the truncated-spectrum residual is
+    *    Σ_{dropped} λ², never more than the full spectrum's Σλ² = ‖M‖²_F
+    *    — a factorization that inflates the residual is wrong.
+    * The corpus-scale work (skipgram count + vocab cut) is identical to
+    * the embeddings path, so a green row here pins that whole pipeline
+    * plus the eigen contracts; only the FP eigenVALUES themselves stay
+    * spec-pinned (CurationSpec's planted co-occurrence geometry). */
+  def ppmiSvdVerdict(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Long = 5L,
+      vocabSize: Int = 64,
+      dim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (vocab, evals, evecs, m) =
+      ppmiEigenCore(docs, window, minCount, vocabSize, dim)
+    val v = vocab.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val ortho = (0 until v).forall { i =>
+      (i until v).forall { j =>
+        math.abs(dot(evecs(i), evecs(j)) - (if (i == j) 1.0 else 0.0)) <= 1e-6
+      }
+    }
+    val desc = (1 until v).forall(i => evals(i - 1) >= evals(i) - 1e-9)
+    // rank-dim reconstruction with the λ⁺ clamp the embedding uses
+    val recon = Array.tabulate(v, v) { (i, j) =>
+      (0 until dim).map(k => math.max(evals(k), 0.0) * evecs(k)(i) * evecs(k)(j)).sum
+    }
+    var err = 0.0
+    var norm = 0.0
+    for (i <- 0 until v; j <- 0 until v) {
+      val d0 = m(i)(j) - recon(i)(j)
+      err += d0 * d0
+      norm += m(i)(j) * m(i)(j)
+    }
+    val reconOk = math.sqrt(err) <= math.sqrt(norm) + 1e-9
+    vocab.toSeq.toDF("term", "pair_mass")
+      .select(col("term"), col("pair_mass"),
+        lit(ortho).as("evecs_orthonormal"),
+        lit(desc).as("evals_descending"),
+        lit(reconOk).as("recon_le_norm"))
   }
 
   /** Difficulty-proportional domain reweighting (a deterministic

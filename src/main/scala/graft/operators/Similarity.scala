@@ -329,6 +329,56 @@ object Similarity {
     }.sum / vecs.length
   }
 
+  /** [[pqDistortion]] over the WHOLE corpus in one distributed pass: the
+    * per-row error Σ_s min_c ‖slice_s − c‖² comes from m codegen'd
+    * [[org.apache.spark.sql.graft.NearestCellL2DistF]] columns (same
+    * slice/tie semantics as the argmin assignment, so this is exactly
+    * the assignment's cost), reduced by one 1-row aggregate — no
+    * vectors ever reach the driver, which is what makes trained-vs-seed
+    * distortion a checkable verdict at 100 TB, not just on a collected
+    * sample. IEEE partial-sum order varies with partitioning, so
+    * consumers must compare distortions with a tolerance, never
+    * bit-exactly. */
+  def pqDistortionDistributed(
+      corpus: DataFrame,
+      cb: PqCodebook,
+      vecCol: String = "embedding"): Double = {
+    val distCols = cb.books.zipWithIndex.map { case (book, s) =>
+      val sorted = book.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+        col(vecCol), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, s * cb.width, cb.width)
+    }
+    val row = corpus
+      .select(distCols.reduce(_ + _).as("__e"))
+      .agg(sum(col("__e")).as("se"), count(lit(1)).as("n"))
+      .collect()(0)
+    require(row.getLong(1) > 0, "distortion of an empty corpus")
+    row.getDouble(0) / row.getLong(1)
+  }
+
+  /** Mean full-width squared-L2 distance to the nearest anchor — the
+    * Lloyd objective of [[kmeansAnchors]] with `l2Assign = true`,
+    * computed in one distributed pass (the coarse-quantizer half of an
+    * IVF-PQ distortion audit; [[pqDistortionDistributed]] is the
+    * residual-codebook half). Same tolerance caveat: IEEE partial-sum
+    * order varies with partitioning. */
+  def coarseDistortionL2(
+      corpus: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      vecCol: String = "embedding"): Double = {
+    require(anchors.nonEmpty, "distortion against an empty anchor set")
+    val sorted = anchors.sortBy(_._1)
+    val row = corpus
+      .select(org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+        col(vecCol), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, 0, sorted.head._2.size).as("__e"))
+      .agg(sum(col("__e")).as("se"), count(lit(1)).as("n"))
+      .collect()(0)
+    require(row.getLong(1) > 0, "distortion of an empty corpus")
+    row.getDouble(0) / row.getLong(1)
+  }
+
   /** Exact squared-L2 top-k — the ground truth the PQ tiers approximate
     * (same broadcast-queries / corpus-never-shuffled plan as
     * [[bruteForceTopK]], same ‖q−c‖² = q·q − 2 q·c + c·c codegen'd
@@ -987,14 +1037,17 @@ object Similarity {
     *
     * @return (idCol, pc: array<double> of length k, in descending
     *         explained-variance order) */
-  def pcaProject(
+  /** Shared moment/eigen core of [[pcaProject]] and [[pcaVerdict]]: one
+    * exact-integer gram pass over the int8-coded corpus, driver-side
+    * covariance + Jacobi eigen. Returns (coded frame, n, mean, cov,
+    * eigenvalues desc, eigenvectors-as-rows). */
+  private def codeEigen(
       corpus: DataFrame,
-      d: Int = 64,
-      k: Int = 8,
-      vecCol: String = "embedding",
-      idCol: String = "vec_id",
-      globalScale: Double = 1.0 / 127.0): DataFrame = {
-    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
+      d: Int,
+      vecCol: String,
+      idCol: String,
+      globalScale: Double): (DataFrame, Double, Array[Double],
+        Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
     require(globalScale > 0.0, "globalScale must be positive")
     // ONE quantization step for the whole corpus (default sized for
     // unit-range embeddings): per-row scales would L∞-normalize every
@@ -1006,7 +1059,7 @@ object Similarity {
       .agg(org.apache.spark.sql.graft.GramFunctions.gramMatrix(col("__q"), d).as("b"))
       .collect()(0).getSeq[Long](0).toArray
     val n = buf(0).toDouble
-    require(n > 0, "pcaProject needs a non-empty corpus")
+    require(n > 0, "PCA needs a non-empty corpus")
     val mean = Array.tabulate(d)(i => buf(1 + i) / n)
     val cov = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
@@ -1015,7 +1068,20 @@ object Similarity {
       cov(i)(j) = c
       cov(j)(i) = c
     }
-    val (_, vecs) = jacobiEigen(cov)
+    val (evals, vecs) = jacobiEigen(cov)
+    (coded, n, mean, cov, evals, vecs)
+  }
+
+  def pcaProject(
+      corpus: DataFrame,
+      d: Int = 64,
+      k: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      globalScale: Double = 1.0 / 127.0): DataFrame = {
+    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
+    val (coded, _, mean, _, _, vecs) =
+      codeEigen(corpus, d, vecCol, idCol, globalScale)
     val planes = (0 until k).map(m => vecs(m).map(_.toFloat))
     // constant per-component offset: Σᵢ meanᵢ·eᵢ (ascending-index driver
     // fold, float-cast planes — the same values the row-side dot sees)
@@ -1031,6 +1097,88 @@ object Similarity {
         (V.dot(qf, array(planes(m).toSeq.map(lit): _*)) - lit(offs(m))) *
           lit(globalScale)
       }: _*).as("pc"))
+  }
+
+  /** PCA verdict row — the driver-gradable twin check for [[pcaProject]]
+    * (VERDICT r15 #1: replace the rows-only record with verdict columns
+    * an exact oracle can pin). Every boolean is a mathematical invariant
+    * of a CORRECT eigendecomposition + centered projection, so the
+    * oracle is `TRUE` literals next to the replayable corpus count:
+    *  - `evecs_orthonormal`: max |eᵢ·eⱼ − δᵢⱼ| ≤ 1e-6 (Jacobi rotations
+    *    are orthogonal by construction; 1e-6 covers IEEE drift),
+    *  - `evals_descending`: λ₀ ≥ λ₁ ≥ … within 1e-9 (the declared sort
+    *    order of [[jacobiEigen]]),
+    *  - `diagonalized`: max offdiag |eᵢᵀ C eⱼ| ≤ 1e-6·(1+maxᵢ|λᵢ|) —
+    *    the vectors actually diagonalize THIS covariance,
+    *  - `explained_le_total`: Σ_{m<k} λₘ ≤ trace(C) + 1e-6 (explained
+    *    variance never exceeds total variance; the gap IS the k-term
+    *    reconstruction error, which must be ≥ 0),
+    *  - `proj_mean_zero`: per-component corpus mean of the projection is
+    *    |mean| ≤ 1e-3 (the projection subtracts the mean offset, so the
+    *    distributed dot-product path must center to FP noise — this is
+    *    the check that executes the row-side codegen'd projection).
+    * One gram pass + one projection pass; nothing corpus-scale reaches
+    * the driver. */
+  def pcaVerdict(
+      corpus: DataFrame,
+      d: Int = 64,
+      k: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      globalScale: Double = 1.0 / 127.0): DataFrame = {
+    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
+    val (coded, _, mean, cov, evals, vecs) =
+      codeEigen(corpus, d, vecCol, idCol, globalScale)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val ortho = (0 until d).forall { i =>
+      (i until d).forall { j =>
+        math.abs(dot(vecs(i), vecs(j)) - (if (i == j) 1.0 else 0.0)) <= 1e-6
+      }
+    }
+    val desc = (1 until d).forall(i => evals(i - 1) >= evals(i) - 1e-9)
+    val covTimes = (e: Array[Double]) =>
+      Array.tabulate(d)(i => dot(cov(i), e))
+    val lamScale = 1.0 + evals.map(math.abs).max
+    val diag = (0 until d).forall { i =>
+      val ce = covTimes(vecs(i))
+      (0 until d).forall(j => i == j || math.abs(dot(vecs(j), ce)) <= 1e-6 * lamScale)
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val explained = (0 until k).map(evals(_)).sum <= trace + 1e-6
+    // the distributed half: corpus mean of every projected component,
+    // via the SAME float-cast planes / offsets / codegen'd dot the
+    // pcaProject row path ships (built from this call's moments — no
+    // second gram pass)
+    val planes = (0 until k).map(m => vecs(m).map(_.toFloat))
+    val offs = planes.map { e =>
+      var s = 0.0; var i = 0
+      while (i < d) { s += mean(i) * e(i).toDouble; i += 1 }
+      s
+    }
+    val qf = transform(col("__q"), x => x.cast("float"))
+    val meansRow = coded
+      .select(array((0 until k).map { m =>
+        (V.dot(qf, array(planes(m).toSeq.map(lit): _*)) - lit(offs(m))) *
+          lit(globalScale)
+      }: _*).as("pc"))
+      .select(posexplode(col("pc")).as(Seq("m", "v")))
+      .groupBy(col("m"))
+      .agg(avg(col("v")).as("mv"))
+      .agg(max(abs(col("mv"))).as("worst"))
+      .collect()(0)
+    val projCentered = meansRow.getDouble(0) <= 1e-3
+    corpus.agg(count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"),
+        lit(k).as("k"),
+        lit(ortho).as("evecs_orthonormal"),
+        lit(desc).as("evals_descending"),
+        lit(diag).as("diagonalized"),
+        lit(explained).as("explained_le_total"),
+        lit(projCentered).as("proj_mean_zero"))
   }
 
   /** IVF recall-calibration report — the [[graft.operators.Reports

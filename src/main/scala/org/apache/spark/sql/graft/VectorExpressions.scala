@@ -387,6 +387,88 @@ case class NearestCellL2F(
     copy(child = newChild)
 }
 
+/** [[NearestCellL2F]]'s DISTANCE sibling: the minimum squared-L2 itself
+  * instead of the argmin anchor id — the per-row quantization-error term
+  * behind a distributed distortion audit (mean over the corpus of
+  * Σ-over-subspaces of this value is exactly the Lloyd objective
+  * [[graft.operators.Similarity.pqTrainKmeans]] minimizes, computed in
+  * ONE codegen'd corpus pass instead of a driver collect). Same slice
+  * semantics, same anchors-as-references design, same
+  * `SQLOrderingUtil` double order as the argmin twin — the two
+  * expressions MUST pick the same cell for the distortion to be the
+  * assignment's cost. */
+case class NearestCellL2DistF(
+    child: Expression,
+    aids: Seq[Long],
+    anchors: Seq[Seq[Float]],
+    offset: Int,
+    width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(aids.nonEmpty && aids.length == anchors.length &&
+    offset >= 0 && width > 0,
+    "aids/anchors must be parallel and non-empty; offset >= 0; width > 0")
+
+  @transient private lazy val anchorsArr: Array[Array[Float]] = anchors.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_nearest_cell_l2_dist"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bestD = 0.0
+    var i = 0
+    while (i < anchorsArr.length) {
+      val anchor = anchorsArr(i)
+      var d = 0.0
+      var j = 0
+      while (j < width && j < anchor.length) {
+        val x = if (offset + j < n) v.getFloat(offset + j).toDouble else 0.0
+        val diff = x - anchor(j).toDouble
+        d += diff * diff
+        j += 1
+      }
+      if (i == 0 || SQLOrderingUtil.compareDoubles(d, bestD) < 0) bestD = d
+      i += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val anchRef = ctx.addReferenceObj("anchors", anchorsArr, "float[][]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      val anchor = ctx.freshName("anchor")
+      s"""
+         |int $n = $a.numElements();
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $anchRef.length; $i++) {
+         |  float[] $anchor = $anchRef[$i];
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $width && $j < $anchor.length; $j++) {
+         |    double $x = ($offset + $j < $n) ? (double) $a.getFloat($offset + $j) : 0.0;
+         |    double $diff = $x - (double) $anchor[$j];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($i == 0 ||
+         |      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($d, ${ev.value}) < 0) {
+         |    ${ev.value} = $d;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellL2DistF =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest anchors, best-first — [[NearestCellF]]'s
   * multi-cell sibling for the QUERY side of an IVF probe. Deliberately
   * `CodegenFallback`: it runs only over the broadcast query frame (a
@@ -517,6 +599,15 @@ object GraftFunctions {
   def nearestCellL2Column(vec: Column, aids: Array[Long],
       anchors: Array[Array[Float]], offset: Int, width: Int): Column =
     ExpressionUtils.column(NearestCellL2F(
+      ExpressionUtils.expression(vec),
+      aids.toSeq, anchors.map(_.toSeq).toSeq, offset, width))
+
+  /** DataFrame-API surface for the minimum squared-L2 itself (the
+    * quantization-error term of the slice) — [[nearestCellL2Column]]'s
+    * distance twin for distributed distortion audits. */
+  def nearestCellL2DistColumn(vec: Column, aids: Array[Long],
+      anchors: Array[Array[Float]], offset: Int, width: Int): Column =
+    ExpressionUtils.column(NearestCellL2DistF(
       ExpressionUtils.expression(vec),
       aids.toSeq, anchors.map(_.toSeq).toSeq, offset, width))
 
