@@ -630,6 +630,25 @@ object SparkEntry {
       graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.fakeMediaTable(t(s, d, "documents")))),
 
+    // REAL audio decode end to end: every doc becomes a genuine PCM16
+    // WAV (JDK encoder) whose square-wave parameters are id arithmetic,
+    // decodeFeatures parses it back through javax.sound.sampled, and
+    // the oracle replays the decoded header fields + waveform stats
+    // (peak, signed sample sum, zero crossings) from the ids alone —
+    // a decoder that mis-parses framing, sign, or endianness cannot
+    // reproduce them
+    "multimodal_audio" -> ((s, d) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.fakeAudioTable(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"),
+          col("decodedSampleRate").as("sample_rate"),
+          col("decodedChannels").as("channels"),
+          col("decodedSamples").as("n_samples"),
+          col("peakAbs").as("peak_abs"),
+          col("sampleSum").as("sample_sum"),
+          col("zeroCrossings").as("zero_crossings"))),
+
     // Brute-force cosine top-k (broadcast queries, corpus never shuffled)
     "vector_knn" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -5204,8 +5223,34 @@ object SparkEntry {
         |  CAST(least(doc_id % 30 + 1, 8) AS INT) AS sampledFrames,
         |  CAST(NULL AS INTEGER) AS decodedWidth,
         |  CAST(NULL AS INTEGER) AS decodedHeight,
-        |  CAST(NULL AS DOUBLE) AS meanLuma
+        |  CAST(NULL AS DOUBLE) AS meanLuma,
+        |  CAST(NULL AS INTEGER) AS decodedSampleRate,
+        |  CAST(NULL AS INTEGER) AS decodedChannels,
+        |  CAST(NULL AS BIGINT) AS decodedSamples,
+        |  CAST(NULL AS BIGINT) AS peakAbs,
+        |  CAST(NULL AS BIGINT) AS sampleSum,
+        |  CAST(NULL AS BIGINT) AS zeroCrossings
         |FROM documents""".stripMargin,
+
+    // mirrors fakeAudioTable + decodeAudio: square-wave WAVs whose
+    // decoded features are pure id arithmetic — h the half-period, the
+    // signed sum telescopes to a·(2·min(r,h) − r) over the trailing
+    // partial cycle r = n mod 2h, crossings at every multiple of h
+    "multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    2 + (doc_id % 9) AS h,
+        |    400 + (doc_id % 50) * 7 AS n,
+        |    1000 + (doc_id % 20) * 100 AS a
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(a AS BIGINT) AS peak_abs,
+        |  CAST(a * (2 * least(n % (2 * h), h) - (n % (2 * h))) AS BIGINT)
+        |    AS sample_sum,
+        |  CAST((n - 1) // h AS BIGINT) AS zero_crossings
+        |FROM p""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS nFrames,

@@ -13,13 +13,17 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: payloads that are valid PNG/JPEG/GIF/BMP decode
   * through the JDK's `javax.imageio` inside the batch loop, yielding the
-  * actual dimensions and a sampled mean luminance. Audio/video decode
-  * needs native codec libraries that are NOT in this container, so those
-  * rows route through a clearly-marked STUB kernel that derives
-  * deterministic pseudo-features from the bytes. The Spark-side shape —
-  * schema, partition-preserving `mapPartitions`, batch iteration, feature
-  * struct — is real, tested plumbing either way; swapping the stub for a
-  * JNI/ffmpeg kernel touches only `stubDecodeKernel`.
+  * actual dimensions and a sampled mean luminance. AUDIO decode is REAL
+  * for the JDK-resident containers (PCM-signed WAV/AIFF/AU via
+  * `javax.sound.sampled`): header parse + one PCM pass yielding rate,
+  * channels, frame count and waveform stats. VIDEO (and compressed
+  * audio codecs like MP3/AAC) needs native libraries that are NOT in
+  * this container, so those rows route through a clearly-marked STUB
+  * kernel that derives deterministic pseudo-features from the bytes.
+  * The Spark-side shape — schema, partition-preserving `mapPartitions`,
+  * batch iteration, feature struct — is real, tested plumbing either
+  * way; swapping the stub for a JNI/ffmpeg kernel touches only
+  * `stubDecodeKernel`.
   */
 object Multimodal {
 
@@ -42,7 +46,16 @@ object Multimodal {
       // for image rows whose payload is not a decodable encoded image
       decodedWidth: Option[Int],
       decodedHeight: Option[Int],
-      meanLuma: Option[Double])
+      meanLuma: Option[Double],
+      // real audio decode (javax.sound.sampled); None for image/video
+      // rows and for audio rows whose payload is not a parseable
+      // PCM-signed WAV/AIFF/AU container
+      decodedSampleRate: Option[Int],
+      decodedChannels: Option[Int],
+      decodedSamples: Option[Long],
+      peakAbs: Option[Long],
+      sampleSum: Option[Long],
+      zeroCrossings: Option[Long])
 
   /** Wrap a text table into a fake media table: payload = utf-8 bytes,
     * metadata derived deterministically. Stands in for a real
@@ -59,6 +72,30 @@ object Multimodal {
         (col(idCol) % 480 + 1).cast("int").as("height"),
         (col(idCol) % 30 + 1).cast("int").as("nFrames")).as("meta"),
       encode(col(textCol), "UTF-8").cast("binary").as("payload"))
+
+  /** Wrap a table into a REAL audio media table: every row becomes a
+    * genuine PCM16 mono WAV (RIFF container built by the JDK encoder)
+    * whose square-wave parameters derive deterministically from the id
+    * — rate ∈ {8000,12000,16000}, half-period 2..10, 400..743 samples,
+    * amplitude 1000..2900. The decoded features (rate, sample count,
+    * peak, signed sum, zero crossings) are therefore pure id arithmetic
+    * that any SQL engine replays: [[decodeAudio]] must actually parse
+    * the header and round-trip every PCM sample (sign, endianness,
+    * framing) for the oracle to go green. Audio twin of the image
+    * path's real-PNG spec fixtures. */
+  def fakeAudioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val h = 2 + (id % 9).toInt
+      val n = 400 + (id % 50).toInt * 7
+      val a = (1000 + (id % 20).toInt * 100).toShort
+      val samples =
+        Array.tabulate(n)(i => if ((i / h) % 2 == 0) a else (-a).toShort)
+      MediaRecord(id, MediaMeta("audio", 0, 0, 1), wavBytes(rate, samples))
+    }.toDF()
+  }
 
   /** REAL image decode via the JDK's ImageIO: dimensions plus mean
     * luminance over a bounded (≤64×64) pixel sample grid, so cost per
@@ -90,11 +127,93 @@ object Multimodal {
         }
     } catch { case _: java.io.IOException => None }
 
-  /** STUB decode kernel for AUDIO/VIDEO — replace with a real native
-    * decoder. Must stay deterministic: features are pure functions of
-    * (meta, payload). */
+  /** REAL audio decode via the JDK's javax.sound.sampled: parses the
+    * container header (WAV/AIFF/AU are JDK-resident — no native codec
+    * needed) and streams the PCM frames once, yielding
+    * (sampleRate, channels, nFrames, peak |sample|, signed sample sum,
+    * zero crossings) — the last three over channel 0, so multi-channel
+    * containers still produce one deterministic waveform signature. The
+    * signed sum is the endianness/sign canary: a decoder that flips
+    * bytes or signs produces wildly different sums on any non-symmetric
+    * waveform. Only PCM_SIGNED 16-bit is claimed (the universal
+    * interchange format); anything else returns None rather than a
+    * half-right feature row. Compressed codecs (MP3/AAC/opus) need
+    * native libs that are NOT in this container and land in the stub
+    * path below. */
+  private[operators] def decodeAudio(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val ch = fmt.getChannels
+          val frameBytes = fmt.getFrameSize // = 2 * ch for PCM16
+          val be = fmt.isBigEndian
+          val buf = new Array[Byte](frameBytes * 1024)
+          var n = 0L
+          var peak = 0L
+          var sum = 0L
+          var zc = 0L
+          var prevNonNeg = true
+          var filled = 0
+          var read = ais.read(buf)
+          while (read > 0) {
+            filled = read
+            var off = 0
+            while (off + frameBytes <= filled) {
+              // channel 0 = first sample of the frame
+              val s =
+                if (be) ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+                else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+              val nonNeg = s >= 0
+              if (n > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              sum += s
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              n += 1
+              off += frameBytes
+            }
+            read = ais.read(buf)
+          }
+          Some((fmt.getSampleRate.toInt, ch, n, peak, sum, zc))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** PCM16 mono WAV bytes via the JDK encoder — the synthesis half of
+    * the audio round trip ([[decodeAudio]] is the decode half); used by
+    * [[fakeAudioTable]] and the specs. */
+  private[operators] def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte // little-endian PCM16
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** STUB decode kernel for VIDEO (and non-container audio bytes) —
+    * replace with a real native decoder. Must stay deterministic:
+    * features are pure functions of (meta, payload). */
   private def stubDecodeKernel(r: MediaRecord): MediaFeatures = {
-    // ??? <- real audio/video decode goes here (codec libs not in container)
+    // ??? <- real video decode goes here (codec libs not in container)
     var s = 0L
     var i = 0
     while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 1 }
@@ -106,20 +225,37 @@ object Multimodal {
       sampledFrames = math.min(r.meta.nFrames, 8),
       decodedWidth = None,
       decodedHeight = None,
-      meanLuma = None)
+      meanLuma = None,
+      decodedSampleRate = None,
+      decodedChannels = None,
+      decodedSamples = None,
+      peakAbs = None,
+      sampleSum = None,
+      zeroCrossings = None)
   }
 
   /** Full kernel: byte stats for every row; real ImageIO decode for image
-    * rows (None when the payload isn't an encoded image). */
+    * rows, real javax.sound decode for audio rows (None columns when the
+    * payload isn't a decodable container of the claimed type). */
   private def decodeKernel(r: MediaRecord): MediaFeatures = {
     val base = stubDecodeKernel(r)
-    if (r.meta.mediaType == "image")
-      decodeImage(r.payload) match {
-        case Some((w, h, luma)) => base.copy(
-          decodedWidth = Some(w), decodedHeight = Some(h), meanLuma = Some(luma))
-        case None => base
-      }
-    else base
+    r.meta.mediaType match {
+      case "image" =>
+        decodeImage(r.payload) match {
+          case Some((w, h, luma)) => base.copy(
+            decodedWidth = Some(w), decodedHeight = Some(h), meanLuma = Some(luma))
+          case None => base
+        }
+      case "audio" =>
+        decodeAudio(r.payload) match {
+          case Some((rate, ch, n, peak, sum, zc)) => base.copy(
+            decodedSampleRate = Some(rate), decodedChannels = Some(ch),
+            decodedSamples = Some(n), peakAbs = Some(peak),
+            sampleSum = Some(sum), zeroCrossings = Some(zc))
+          case None => base
+        }
+      case _ => base
+    }
   }
 
   /** Batched decode / feature extraction over the binary column.

@@ -59,7 +59,8 @@ class MultimodalSpec extends SparkSpec {
       // an "image" whose payload is not an encoded image → decode fields null
       Multimodal.MediaRecord(6L, Multimodal.MediaMeta("image", 1, 1, 1),
         "not an image".getBytes("UTF-8")),
-      // audio stays stubbed: no decode attempt
+      // an "audio" row whose payload is not an audio container → the
+      // audio decode attempt fails and every decode field stays null
       Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 1), png)
     ).toDS().toDF()
     val f = Multimodal.decodeFeatures(media).collect().map(x => x.doc_id -> x).toMap
@@ -72,7 +73,60 @@ class MultimodalSpec extends SparkSpec {
     f(3L).meanLuma.get shouldBe 128.0 +- 3.0 // jpeg is lossy
     f(6L).decodedWidth shouldBe None
     f(6L).byteLen shouldBe 12L // byte stats still computed
-    f(1L).decodedWidth shouldBe None // audio never decodes
+    f(1L).decodedWidth shouldBe None // image decode never runs on audio
+    f(1L).decodedSampleRate shouldBe None // png bytes are not a WAV
+  }
+
+  it should "really decode PCM WAV bytes via javax.sound.sampled" in {
+    // 11 samples at 8 kHz: +5, +5, -7, 0, -1, +2, +2, +2, -3, -3, +9
+    // peak 9; sum 11; >=0-boundary flips at i=2,3,4,5,8,10 → 6
+    val s = Array[Short](5, 5, -7, 0, -1, 2, 2, 2, -3, -3, 9)
+    val wav = Multimodal.wavBytes(8000, s)
+    val media = Seq(
+      Multimodal.MediaRecord(42L, Multimodal.MediaMeta("audio", 0, 0, 1), wav)
+    ).toDS().toDF()
+    val f = Multimodal.decodeFeatures(media).collect().head
+    f.decodedSampleRate shouldBe Some(8000)
+    f.decodedChannels shouldBe Some(1)
+    f.decodedSamples shouldBe Some(11L)
+    f.peakAbs shouldBe Some(9L)
+    f.sampleSum shouldBe Some(11L)
+    f.zeroCrossings shouldBe Some(6L)
+    f.byteLen shouldBe wav.length.toLong // container, not raw PCM, length
+  }
+
+  it should "decode the full sample range without sign or endianness errors" in {
+    val s = Array[Short](Short.MaxValue, Short.MinValue, 256, -256, 1, -1)
+    val wav = Multimodal.wavBytes(16000, s)
+    val media = Seq(
+      Multimodal.MediaRecord(7L, Multimodal.MediaMeta("audio", 0, 0, 1), wav)
+    ).toDS().toDF()
+    val f = Multimodal.decodeFeatures(media).collect().head
+    f.decodedSampleRate shouldBe Some(16000)
+    f.peakAbs shouldBe Some(32768L) // |Short.MinValue|
+    f.sampleSum shouldBe Some(s.map(_.toLong).sum)
+    f.decodedSamples shouldBe Some(6L)
+  }
+
+  "fakeAudioTable" should "round-trip its square waves through the real decoder" in {
+    val audio = Multimodal.fakeAudioTable(Seq(0L, 13L, 101L).toDF("doc_id"))
+    val f = Multimodal.decodeFeatures(audio).collect().map(x => x.doc_id -> x).toMap
+    def expected(id: Long): (Int, Long, Long, Long, Long) = {
+      val h = 2 + (id % 9).toInt
+      val n = 400 + (id % 50).toInt * 7
+      val a = 1000 + (id % 20).toInt * 100
+      val r = n % (2 * h)
+      (8000 + (id % 3).toInt * 4000, n.toLong, a.toLong,
+        a.toLong * (2 * math.min(r, h) - r), ((n - 1) / h).toLong)
+    }
+    Seq(0L, 13L, 101L).foreach { id =>
+      val (rate, n, peak, sum, zc) = expected(id)
+      f(id).decodedSampleRate shouldBe Some(rate)
+      f(id).decodedSamples shouldBe Some(n)
+      f(id).peakAbs shouldBe Some(peak)
+      f(id).sampleSum shouldBe Some(sum)
+      f(id).zeroCrossings shouldBe Some(zc)
+    }
   }
 
   private def encodeGradient(w: Int, h: Int, format: String): Array[Byte] = {
