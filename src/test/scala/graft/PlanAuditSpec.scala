@@ -388,7 +388,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   "embed_pca" should "project row-locally through the codegen'd dot kernel" in {
-    val plan = executed("embed_pca")
+    // the registered query is now the verdict row (its projection pass
+    // runs as a construction-time job), so the row-local-projection
+    // audit points at the projection operator itself
+    val plan = graft.operators.Similarity
+      .pcaProject(spark.read.parquet(s"$sf/embeddings.parquet"), d = 64, k = 4)
+      .queryExecution.executedPlan.toString
     plan should include("graft_dot")
     plan should not include "Exchange hashpartitioning"
     plan should not include "Join"
