@@ -2919,6 +2919,32 @@ object SparkEntry {
         .select(col("doc_id"), col("band_idx").cast("long").as("band_idx"),
           col("band_val"))),
 
+    // The audio twin of multimodal_phash: 64-bit fingerprint of the
+    // DECODED waveform (65 grid samples, bit = "next larger"), dumped as
+    // the four 16-bit band values. On fakeAudioTable's square waves each
+    // bit is id arithmetic — a grid sample is +a or -a by (idx/h) parity
+    // — so every bit and the banding replay exactly. Gain-invariance is
+    // structural: amplitude a never appears in the oracle's bit formula.
+    "multimodal_audio_fp" -> ((s, d) =>
+      graft.operators.Multimodal.audioFingerprints(
+        graft.operators.Multimodal.fakeAudioTable(t(s, d, "documents")))
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("afp"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .select(col("doc_id"), col("band_idx").cast("long").as("band_idx"),
+          col("band_val"))),
+
+    // ...and the waveform near-dup pairs those fingerprints feed: the
+    // same pigeonhole Hamming band join as multimodal_neardup, catching
+    // re-gained/re-encoded copies of the same recording (fakeAudioTable
+    // ids 450 apart share (period, length) but differ in amplitude —
+    // hamming 0 pairs byte-level dedup can never see)
+    "multimodal_audio_neardup" -> ((s, d) =>
+      graft.operators.Multimodal.audioNearDup(
+        graft.operators.Multimodal.fakeAudioTable(t(s, d, "documents")),
+        maxHamming = 3)),
+
     // ---- round-13 statistical-testing / distribution-distance wave ----
 
     // Mann–Kendall monotone-trend test per type over hourly counts:
@@ -9837,6 +9863,65 @@ object SparkEntry {
         |    k -> bt[b*16 + k + 1] * (CAST(1 AS BIGINT) << k)),
         |    (x, y) -> x + y) AS band_val
         |FROM (SELECT id, bt, unnest(range(0, 4)) AS b FROM bits)""".stripMargin,
+
+    // mirrors multimodal_audio_fp: fakeAudioTable's square-wave grid
+    // samples are +a/-a by (index div half-period) parity, so bit j of
+    // the decoded-waveform fingerprint is pure id arithmetic (amplitude
+    // cancels out of the strict comparison — the gain-invariance the
+    // operator claims)
+    "multimodal_audio_fp" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, 2 + (doc_id % 9) AS h,
+        |    400 + (doc_id % 50) * 7 AS n
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64),
+        |      j -> CASE WHEN ((((j+1)*n)//65)//h) % 2 = 0
+        |                  AND (((j*n)//65)//h) % 2 = 1
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM base)
+        |SELECT id AS doc_id, CAST(b AS BIGINT) AS band_idx,
+        |  list_reduce(list_transform(range(0, 16),
+        |    k -> bt[b*16 + k + 1] * (CAST(1 AS BIGINT) << k)),
+        |    (x, y) -> x + y) AS band_val
+        |FROM (SELECT id, bt, unnest(range(0, 4)) AS b FROM bits)""".stripMargin,
+
+    // mirrors multimodal_audio_neardup: the same audio bits, the same
+    // four 16-bit band assemblies, band-bucket cap, pigeonhole pair join
+    "multimodal_audio_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, 2 + (doc_id % 9) AS h,
+        |    400 + (doc_id % 50) * 7 AS n
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64),
+        |      j -> CASE WHEN ((((j+1)*n)//65)//h) % 2 = 0
+        |                  AND (((j*n)//65)//h) % 2 = 1
+        |           THEN 1 ELSE 0 END) AS bt
+        |  FROM base),
+        |bands AS (
+        |  SELECT id,
+        |    list_transform(range(0, 4),
+        |      b -> list_reduce(list_transform(range(0, 16),
+        |             k -> bt[b*16 + k + 1] * (CAST(1 AS BIGINT) << k)),
+        |           (x, y) -> x + y)) AS bv
+        |  FROM bits),
+        |banded AS (
+        |  SELECT id, bv,
+        |    concat(CAST(b AS VARCHAR), ':', CAST(bv[b+1] AS VARCHAR)) AS band
+        |  FROM (SELECT id, bv, unnest(range(0, 4)) AS b FROM bands)),
+        |kept AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+        |capped AS (SELECT banded.* FROM banded JOIN kept USING (band)),
+        |p AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    list_reduce(list_transform(range(0, 4),
+        |      i -> CAST(bit_count(xor(a.bv[i+1], b.bv[i+1])) AS BIGINT)),
+        |      (x, y) -> x + y) AS hamming
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3""".stripMargin,
 
     // mirrors Similarity.randomProjection: identical seeded planes
     // (float literals round-trip via printed repr), the same

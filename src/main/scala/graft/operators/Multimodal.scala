@@ -374,16 +374,31 @@ object Multimodal {
       media: DataFrame,
       maxHamming: Int = 3,
       nBands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    hamming64NearDup(perceptualHashes(media), "dhash",
+      maxHamming, nBands, maxBucketSize)
+
+  /** The pigeonhole Hamming self-join over any 64-bit per-row key — the
+    * shared engine of [[perceptualNearDup]] and [[audioNearDup]]: a pair
+    * within `maxHamming` bits must agree exactly on at least one of
+    * `nBands` bands (maxHamming < nBands), so candidates come from a
+    * band equi-join, never all-pairs, and `maxBucketSize` drops
+    * degenerate buckets before the self-join. */
+  private def hamming64NearDup(
+      hashes: DataFrame,
+      hashCol: String,
+      maxHamming: Int,
+      nBands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(nBands >= 1 && 64 % nBands == 0, "bands must evenly split 64 bits")
     require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val banded = Fan.spread(perceptualHashes(media))
-      .select(col("doc_id").as("id"), col("dhash"),
+    val banded = Fan.spread(hashes)
+      .select(col("doc_id").as("id"), col(hashCol).as("__h"),
         explode(array((0 until nBands).map(b =>
           concat_ws(":", lit(b),
-            shiftright(col("dhash"), b * bandBits).bitwiseAND(mask))): _*))
+            shiftright(col(hashCol), b * bandBits).bitwiseAND(mask))): _*))
           .as("band"))
       .localCheckpoint()
     val keptBands = banded.groupBy("band")
@@ -391,9 +406,9 @@ object Multimodal {
       .filter(col("_bn") <= maxBucketSize)
       .select("band")
     val capped = banded.join(keptBands, Seq("band"))
-      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("band"))
-    capped.select(col("band"), col("id").as("id_a"), col("dhash").as("h_a"))
-      .join(capped.select(col("band"), col("id").as("id_b"), col("dhash").as("h_b")),
+      .repartition(hashes.sparkSession.sparkContext.defaultParallelism, col("band"))
+    capped.select(col("band"), col("id").as("id_a"), col("__h").as("h_a"))
+      .join(capped.select(col("band"), col("id").as("id_b"), col("__h").as("h_b")),
         Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -401,4 +416,102 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- audio fingerprinting / near-dup --------------------------------
+
+  /** 65 evenly spaced channel-0 PCM samples of a decodable PCM-signed
+    * 16-bit container — the sample grid [[audioFingerprint]] compares.
+    * Frame count comes from the container header, so the pass is one
+    * streaming read picking grid points; None for non-PCM payloads. */
+  private[operators] def decodeAudioSamples(
+      payload: Array[Byte], points: Int = 65): Option[Array[Short]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || nFrames <= 0) None
+        else {
+          val frameBytes = fmt.getFrameSize
+          val be = fmt.isBigEndian
+          val out = new Array[Short](points)
+          var p = 0
+          var frame = 0L
+          val buf = new Array[Byte](frameBytes * 1024)
+          // AudioInputStream.read returns an integral number of frames
+          // by contract, so frame alignment survives buffer boundaries
+          var read = ais.read(buf)
+          while (read > 0 && p < points) {
+            var off = 0
+            while (off + frameBytes <= read && p < points) {
+              while (p < points && p.toLong * nFrames / points == frame) {
+                out(p) =
+                  if (be) ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+                  else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+                p += 1
+              }
+              frame += 1
+              off += frameBytes
+            }
+            read = if (p < points) ais.read(buf) else -1
+          }
+          if (p < points) None else Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** 64-bit waveform fingerprint: bit j = "sample at grid point j+1
+    * larger than at grid point j" over 65 evenly spaced DECODED PCM
+    * points — [[dHashBytes]]' temporal analog on the real waveform, and
+    * gain-invariant by construction (sign-of-difference survives any
+    * positive amplitude scaling, which byte-level hashing does not). */
+  private[operators] def audioFingerprint(samples: Array[Short]): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 64 && j + 1 < samples.length) {
+      if (samples(j + 1) > samples(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-row 64-bit audio fingerprint: the decoded-waveform fingerprint
+    * for PCM-decodable audio payloads (`decoded = true`), byte-stream
+    * dHash otherwise — [[perceptualHashes]]' audio twin, same batched
+    * `mapPartitions` shape. */
+  def audioFingerprints(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val viaAudio =
+            if (r.meta.mediaType == "audio")
+              decodeAudioSamples(r.payload).map(audioFingerprint)
+            else None
+          (r.doc_id, viaAudio.getOrElse(dHashBytes(r.payload)),
+            viaAudio.isDefined)
+        }
+      }
+    }.toDF("doc_id", "afp", "decoded")
+  }
+
+  /** Waveform near-duplicate pairs over the media table — the same
+    * pigeonhole Hamming join as [[perceptualNearDup]], keyed on the
+    * decoded-PCM fingerprint: re-encoded, re-gained, or re-containered
+    * copies of the same recording collide where byte-level dedup sees
+    * nothing. */
+  def audioNearDup(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    hamming64NearDup(audioFingerprints(media), "afp",
+      maxHamming, nBands, maxBucketSize)
 }

@@ -109,6 +109,27 @@ class AnnRecallSpec extends SparkSpec {
       Similarity.pqTrainKmeans(emb, 8, 16, 64, iters = 2)
   }
 
+  "pqDistortionDistributed" should "agree with the driver-side distortion" in {
+    // the one-pass codegen'd audit (NearestCellL2DistF) must compute the
+    // SAME objective as the collected-sample fold — same slices, same
+    // argmin ties — up to IEEE partial-sum order across partitions
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val seedCb = Similarity.pqTrainSeed(emb, m = 8, kPerSub = 16, dim = 64)
+    val driver = Similarity.pqDistortion(vecs, seedCb)
+    val dist = Similarity.pqDistortionDistributed(emb, seedCb)
+    dist shouldBe driver +- math.abs(driver) * 1e-9
+  }
+
+  "coarseDistortionL2" should "agree with a manual min-L2 mean" in {
+    val anchors = Similarity.kmeansAnchors(emb, k = 4, iters = 1, l2Assign = true)
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val manual = vecs.map(v => anchors.map(a => l2(v, a._2)).min).sum / vecs.size
+    val dist = Similarity.coarseDistortionL2(emb, anchors)
+    dist shouldBe manual +- math.abs(manual) * 1e-9
+  }
+
   "ivfPqTopK" should "hold an L2 recall floor and not collapse when probing wider" in {
     import org.apache.spark.sql.DataFrame
     val queries = emb.filter(col("vec_id") < 10)

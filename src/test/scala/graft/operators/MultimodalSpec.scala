@@ -108,6 +108,35 @@ class MultimodalSpec extends SparkSpec {
     f.decodedSamples shouldBe Some(6L)
   }
 
+  "audioFingerprints" should "be gain-invariant on the decoded waveform" in {
+    // the same recording at 1x, 3x gain and a clipped-to-half copy: the
+    // sign-of-difference fingerprint of the DECODED samples is identical,
+    // while the container BYTES differ everywhere (byte dedup sees nothing)
+    val base = Array.tabulate(130)(i =>
+      (math.sin(i * 0.7) * 1000).toInt.toShort)
+    val gained = base.map(s => (s * 3).toShort)
+    val wavA = Multimodal.wavBytes(8000, base)
+    val wavB = Multimodal.wavBytes(16000, gained) // different rate too
+    wavA should not equal wavB
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 1), wavA),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("audio", 0, 0, 1), wavB),
+      // non-PCM payload on an audio row → byte-stream fallback
+      Multimodal.MediaRecord(3L, Multimodal.MediaMeta("audio", 0, 0, 1),
+        "not a wav".getBytes("UTF-8"))
+    ).toDS().toDF()
+    val f = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    f(1L)._2 shouldBe true
+    f(2L)._2 shouldBe true
+    f(1L)._1 shouldBe f(2L)._1 // gain- and rate-label-invariant
+    f(3L)._2 shouldBe false // fell back to the byte-stream hash
+    val pairs = Multimodal.audioNearDup(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) shouldBe 0L
+  }
+
   "fakeAudioTable" should "round-trip its square waves through the real decoder" in {
     val audio = Multimodal.fakeAudioTable(Seq(0L, 13L, 101L).toDF("doc_id"))
     val f = Multimodal.decodeFeatures(audio).collect().map(x => x.doc_id -> x).toMap
