@@ -1562,6 +1562,106 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"), col("__loser").isNull.as("kept"))
   }
 
+  /** [[semanticDedup]] at the sign-LSH tier — the 100 TB path: the cell
+    * is [[lshBucket]] (O(nPlanes·dim) per row, no anchor broadcast, and
+    * the bucket count scales with the corpus where a centroid budget is
+    * fixed), followed by the same within-bucket keep-smallest-id prune.
+    * Same [[Guards.subSplit]] whale guard, same `cosine >= threshold`
+    * pair rule, same slim id-only loser set. Returns every input row as
+    * (idCol, bucket, kept) — [[semanticDedup]]'s contract with the
+    * bucket standing in for the cell.
+    *
+    * Trade vs the centroid tier: buckets are data-independent (no
+    * training pass, no persisted anchors to version) and assignment is
+    * cheaper, but near-dup pairs straddling a low-margin hyperplane are
+    * missed (recall knob = fewer planes or
+    * [[embeddingNearDupLshMultiProbe]]'s probes). At 2M vectors the
+    * planted-family stress row recovers 100% because identical vectors
+    * share every plane sign by construction. */
+  def semanticDedupLsh(
+      vecs: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      seed: Long = 7L,
+      dim: Int = 64,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val planes = lshPlanes(dim, nPlanes, seed)
+    val assigned = Guards.subSplit(
+      Fan.spread(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+        .withColumn("bucket", lshBucket(col("v"), planes)),
+      "bucket", "id", maxBucketSize)
+    val l = assigned.select(col("bucket"), col("__sub"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("bucket"), col("__sub"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    val losers = l.join(r, Seq("bucket", "__sub"))
+      .filter(col("id_a") < col("id_b") &&
+        V.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    assigned
+      .join(losers, assigned("id") === losers("__loser"), "left")
+      .select(col("id").as(idCol), col("bucket"),
+        col("__loser").isNull.as("kept"))
+  }
+
+  /** Incremental SEMANTIC admission — [[incrementalFilter]]'s sibling
+    * for the embedding tier, over PERSISTED anchors: each incoming
+    * vector is assigned to its cell (the zero-shuffle [[Similarity
+    * .cellOf]] projection, using the SAME anchor set the corpus was
+    * deduplicated with — [[graft.store.AnnArtifacts]] persists it; a
+    * re-derived anchor set would assign different cells and silently
+    * change the admission decision), and is admitted iff no same-cell
+    * CORPUS SURVIVOR sits at `cosine >= threshold`.
+    *
+    * Contract, mirroring [[incrementalFilter]] exactly:
+    *  - incoming-vs-incoming duplicates are NOT dropped here — that is
+    *    [[semanticDedup]]'s job on the admitted batch;
+    *  - corpus survivors are NEVER retroactively evicted — a new
+    *    higher-quality near-dup does not displace the member already
+    *    admitted. The gate avoids re-deduplicating 100 TB of corpus
+    *    for every new shard: only the slim (id, vector, cell) survivor
+    *    frame is read, and only cells the batch actually touches do
+    *    any pair work.
+    *
+    * Scale shape: both sides assign cells per-row (no shuffle), the
+    * only shuffle is the per-cell equi-join; a whale cell hash-splits
+    * via [[Guards.subSplitBy]] with the census on the SURVIVOR side
+    * (split must not depend on batch size), trading ~1/nSub in-whale
+    * admission recall for bounded work — the [[semanticDedup]] trade.
+    *
+    * @return every incoming row as (idCol, cell, admitted) */
+  def semanticIncrementalFilter(
+      incoming: DataFrame,
+      survivors: DataFrame,
+      anchors: Seq[(Long, Seq[Float])],
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxCellSize: Int = 100000): DataFrame = {
+    val inc = Fan.spread(
+      incoming.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("cell", Similarity.cellOf(anchors, col("v")))
+      .withColumn("__sur", lit(false))
+    val sur = Fan.spread(
+      survivors.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("cell", Similarity.cellOf(anchors, col("v")))
+      .withColumn("__sur", lit(true))
+    val both = Guards.subSplitBy(inc.unionByName(sur), "cell", "id",
+      maxCellSize, col("__sur"))
+    val blocked = both.filter(!col("__sur"))
+      .select(col("cell"), col("__sub"), col("id"), col("v"))
+      .join(both.filter(col("__sur"))
+        .select(col("cell"), col("__sub"), col("v").as("sv")),
+        Seq("cell", "__sub"))
+      .filter(V.cosine(col("v"), col("sv")) >= threshold)
+      .select(col("id").as("__blocked")).distinct()
+    inc.join(blocked, inc("id") === blocked("__blocked"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("__blocked").isNull.as("admitted"))
+  }
+
   def semanticDedup(
       vecs: DataFrame,
       anchors: Seq[(Long, Seq[Float])],

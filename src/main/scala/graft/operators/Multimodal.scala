@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -376,20 +376,29 @@ object Multimodal {
       nBands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame =
     hamming64NearDup(perceptualHashes(media), "dhash",
-      maxHamming, nBands, maxBucketSize)
+      maxHamming, nBands, maxBucketSize, spaceCol = col("decoded"))
 
   /** The pigeonhole Hamming self-join over any 64-bit per-row key — the
     * shared engine of [[perceptualNearDup]] and [[audioNearDup]]: a pair
     * within `maxHamming` bits must agree exactly on at least one of
     * `nBands` bands (maxHamming < nBands), so candidates come from a
     * band equi-join, never all-pairs, and `maxBucketSize` drops
-    * degenerate buckets before the self-join. */
+    * degenerate buckets before the self-join.
+    *
+    * `spaceCol` partitions the band keyspace: both callers emit REAL
+    * decoded-content hashes for decodable payloads and byte-stream
+    * dHashes otherwise, and those two hash families are semantically
+    * unrelated 64-bit values — a chance collision across them would
+    * report a meaningless "near-dup" (ADVICE r16). Banding per
+    * (space, band) keeps each family's pairs intact while making
+    * cross-space pairs structurally impossible. */
   private def hamming64NearDup(
       hashes: DataFrame,
       hashCol: String,
       maxHamming: Int,
       nBands: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      spaceCol: Column = lit(true)): DataFrame = {
     require(nBands >= 1 && 64 % nBands == 0, "bands must evenly split 64 bits")
     require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
     val bandBits = 64 / nBands
@@ -397,7 +406,7 @@ object Multimodal {
     val banded = Fan.spread(hashes)
       .select(col("doc_id").as("id"), col(hashCol).as("__h"),
         explode(array((0 until nBands).map(b =>
-          concat_ws(":", lit(b),
+          concat_ws(":", spaceCol.cast("string"), lit(b),
             shiftright(col(hashCol), b * bandBits).bitwiseAND(mask))): _*))
           .as("band"))
       .localCheckpoint()
@@ -506,12 +515,14 @@ object Multimodal {
     * pigeonhole Hamming join as [[perceptualNearDup]], keyed on the
     * decoded-PCM fingerprint: re-encoded, re-gained, or re-containered
     * copies of the same recording collide where byte-level dedup sees
-    * nothing. */
+    * nothing. Banded per `decoded` flag (the [[hamming64NearDup]]
+    * space column), so a byte-dHash of an undecodable payload can
+    * never chance-collide with a decoded-waveform fingerprint. */
   def audioNearDup(
       media: DataFrame,
       maxHamming: Int = 3,
       nBands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame =
     hamming64NearDup(audioFingerprints(media), "afp",
-      maxHamming, nBands, maxBucketSize)
+      maxHamming, nBands, maxBucketSize, spaceCol = col("decoded"))
 }

@@ -49,9 +49,12 @@ object StatsProcessor {
     * ALL frame columns — including types whose string rendering is
     * engine-dependent (timestamps, doubles) or whose hashing is simply
     * not meaningful as a stable permutation key. An empty-projection
-    * Left(seed) therefore keys on the frame's ATOMIC columns only
-    * (maps/arrays/structs are skipped) and requires at least one such
-    * column; callers that need a specific permutation should project
+    * Left(seed) therefore keys only on columns whose string rendering
+    * is canonical across engines: complex types (map/array/struct) are
+    * skipped, and so are float/double/timestamp columns, whose
+    * rendering the engine owns (1.0E7 vs 10000000.0, fractional-second
+    * and zone formats — ADVICE r16). At least one such column must
+    * remain; callers that need a specific permutation should project
     * explicitly, as the registered `sample_random` query does. */
   def getStats(
       units: DataFrame,
@@ -65,17 +68,23 @@ object StatsProcessor {
     val ordered = sortOrRandom match {
       case Right(sortCol) => projected.orderBy(desc(sortCol))
       case Left(seed) =>
-        // empty projection ⇒ key on atomic columns only (see scaladoc)
+        // empty projection ⇒ key on canonically-rendered atomic columns
+        // only (see scaladoc)
+        import org.apache.spark.sql.types._
         val keyCols =
           if (projection.nonEmpty) projected.columns.toSeq
           else projected.schema.fields.collect {
-            case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-              !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
-              !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+            case f if !f.dataType.isInstanceOf[ArrayType] &&
+              !f.dataType.isInstanceOf[MapType] &&
+              !f.dataType.isInstanceOf[StructType] &&
+              f.dataType != FloatType && f.dataType != DoubleType &&
+              f.dataType != TimestampType && f.dataType != TimestampNTZType =>
+              f.name
           }.toSeq
         require(keyCols.nonEmpty,
-          "Left(seed) shuffle needs at least one atomic column to key on; " +
-            "project explicitly for frames of only complex-typed columns")
+          "Left(seed) shuffle needs at least one canonically-rendered " +
+            "atomic column to key on; project explicitly for frames of " +
+            "only complex/float/double/timestamp columns")
         projected.orderBy(md5(concat_ws(":",
           lit(seed.toString) +:
             keyCols.map(c =>

@@ -803,6 +803,12 @@ object EventStreams {
       round((sd - mean) / (sd + mean), 6).as("burstiness"))
   }
 
+  /** Batch sessionization: lag/gap-flag/cumsum windows partitioned by
+    * user. `total_value` folds each value through `decimal(18,3)` and
+    * casts the decimal sum back to double — exact decimal addition is
+    * order-independent, so the sum is reproducible across partitionings
+    * and engines (the `window_counts_hourly` decimal discipline; a raw
+    * double fold would depend on within-session accumulation order). */
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
@@ -822,7 +828,8 @@ object EventStreams {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,3)")).cast("double")
+          .as("total_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
       .as[Session]

@@ -450,6 +450,80 @@ class DedupSpec extends SparkSpec {
     r2 shouldBe Map(3L -> true, 4L -> false)
   }
 
+  "semanticDedupLsh" should "keep the smallest id of each within-bucket near-dup neighborhood" in {
+    // identical 64-dim vectors share every plane sign, so they land in
+    // one bucket under ANY seeded plane set; the keep-min-id rule drops
+    // exactly the larger ids of the family
+    val base = Array.tabulate(64)(i => if (i % 3 == 0) 1f else -0.5f).toSeq
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) -1f else 0.7f).toSeq
+    val vecs = Seq((1L, base), (2L, base), (9L, base), (5L, other))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedupLsh(vecs, 0.99)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r(1L) shouldBe true
+    r(2L) shouldBe false
+    r(9L) shouldBe false
+    r(5L) shouldBe true
+  }
+
+  it should "emit exactly the loser set of embeddingNearDupLsh's pairs" in {
+    // deterministic pseudo-random corpus; the kept verdict must be the
+    // min-id rule applied to the standalone pair operator's output
+    // (same planes/seed; threshold avoids the >= vs > boundary)
+    def v(id: Long): Seq[Float] = Array.tabulate(64) { i =>
+      (((id * 2654435761L + i * 40503L) % 2000L) - 1000L).toFloat / 1000f
+    }.toSeq
+    val vecs = (1L to 40L).map(id => (id, v(id % 7))) // 7 families
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(vecs, 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val got = Dedup.semanticDedupLsh(vecs, 0.5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    got.filterNot(_._2).keySet shouldBe pairs
+    got.count(!_._2) should be > 0 // families must actually collide
+  }
+
+  "semanticIncrementalFilter" should "admit only incoming vectors with no same-cell survivor near-dup" in {
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val survivors = Seq((10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (1L, Seq(0.99f, 0.1f)), // cell 0, near survivor 10 => blocked
+      (2L, Seq(0.1f, 0.99f)), // cell 1, near survivor 11 => blocked
+      (3L, Seq(0.8f, -0.6f))  // cell 0, cos vs 10 = 0.8 < 0.9 => admitted
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticIncrementalFilter(incoming, survivors, anchors, 0.9)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    r(1L) shouldBe ((0L, false))
+    r(2L) shouldBe ((1L, false))
+    r(3L) shouldBe ((0L, true))
+  }
+
+  it should "not drop incoming-vs-incoming duplicates (semanticDedup's job downstream)" in {
+    // two identical incoming vectors far from every survivor: BOTH are
+    // admitted — the gate compares against the corpus only, exactly
+    // incrementalFilter's contract at the minhash tier
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val survivors = Seq((10L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val incoming = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticIncrementalFilter(incoming, survivors, anchors, 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> true, 2L -> true)
+  }
+
+  it should "block within the assigned cell only" in {
+    // the incoming vector's direction matches survivor 10, but its
+    // argmax-cosine cell is anchor 1 while 10 sits in anchor 0's cell:
+    // cells block the comparison, so it is admitted
+    val anchors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.45f)))
+    val survivors = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val incoming = Seq((1L, Seq(0.9f, 0.44f))).toDF("vec_id", "embedding")
+    val r = Dedup.semanticIncrementalFilter(incoming, survivors, anchors, 0.5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    r shouldBe Map(1L -> true)
+  }
+
   it should "apply dominance pairwise: a dropped vector still eliminates what it dominates" in {
     // chain a~b~c with a !~ c (36-degree steps): b loses to a, c loses
     // to b even though b itself is dropped — the kept set is the

@@ -137,6 +137,32 @@ class MultimodalSpec extends SparkSpec {
     pairs((1L, 2L)) shouldBe 0L
   }
 
+  "audioNearDup" should "never pair a decoded-waveform fingerprint with a byte-dHash fallback" in {
+    // forced 64-bit collision across the two hash families: a constant-
+    // sample WAV's waveform fingerprint is 0 (no "next larger" step) and
+    // an undecodable constant-byte payload's byte-dHash is also 0 — the
+    // hamming-0 pair ADVICE r16 warned about. The decoded-flag band
+    // space must keep them apart, while same-space pairs still match.
+    val flat = Array.fill[Short](130)(500)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 1),
+        Multimodal.wavBytes(8000, flat)),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("audio", 0, 0, 1),
+        Array.fill[Byte](130)(7)), // undecodable, dHashBytes = 0
+      Multimodal.MediaRecord(3L, Multimodal.MediaMeta("audio", 0, 0, 1),
+        Array.fill[Byte](130)(9))  // undecodable, dHashBytes = 0
+    ).toDS().toDF()
+    val f = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    f(1L) shouldBe ((0L, true))  // decoded space
+    f(2L) shouldBe ((0L, false)) // fallback space, same 64-bit value
+    val pairs = Multimodal.audioNearDup(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((2L, 3L))      // same-space hamming-0 pair kept
+    pairs should not contain ((1L, 2L)) // cross-space collision suppressed
+    pairs should not contain ((1L, 3L))
+  }
+
   "fakeAudioTable" should "round-trip its square waves through the real decoder" in {
     val audio = Multimodal.fakeAudioTable(Seq(0L, 13L, 101L).toDF("doc_id"))
     val f = Multimodal.decodeFeatures(audio).collect().map(x => x.doc_id -> x).toMap
