@@ -186,6 +186,72 @@ d["value"] = sum(v for v in d["queries"].values() if v > 0)
 json.dump(d, open(path, "w"))
 print(f"isolated minima merged for {sorted(iso['queries'])}")
 EOF
+
+    # window-separated re-measure (VERDICT r16 #6): the r16 method note
+    # proved this suite's bench variance can span whole HOST WINDOWS
+    # (hours) — bm25_prf/graph_assortativity ran 1.35-1.45x slow across
+    # THREE fresh JVMs one afternoon (plan shas identical, code
+    # untouched) and came back BELOW the prior round's minima that
+    # evening. A fresh-JVM re-measure alone therefore cannot keep a
+    # flag: any query still >1.3x vs r<N-1> AFTER the isolated merge
+    # earns one more subset re-measure separated by
+    # SPARK_GRAFT_CLOSE_WINDOW_MIN minutes (default 30). Only a flag
+    # that reproduces across the window gap ships as a kept flag
+    # (recorded in window_kept_flags for the method note to explain).
+    KEPT=$(python3 - "$N" "$FLAGGED" <<'EOF'
+import json, os, sys
+n, flagged = int(sys.argv[1]), sys.argv[2].split(",")
+prev_path = f"TIMINGS_r{n-1}.json"
+if not os.path.exists(prev_path):
+    print("")
+    raise SystemExit
+cur = json.load(open(f"TIMINGS_r{n}.json"))["queries"]
+prev = json.load(open(prev_path))["queries"]
+kept = [q for q in flagged
+        if prev.get(q, 0) > 0 and cur.get(q, 0) > 0.3
+        and cur[q] / prev[q] > 1.3]
+print(",".join(sorted(kept)))
+EOF
+)
+    if [[ -n "$KEPT" ]]; then
+      WIN_MIN="${SPARK_GRAFT_CLOSE_WINDOW_MIN:-30}"
+      echo "isolate: flags KEPT after fresh-JVM re-measure: $KEPT"
+      echo "isolate: sleeping ${WIN_MIN}m for the window-separated re-measure"
+      sleep "${WIN_MIN}m"
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_BENCH_ONLY="$KEPT" \
+        sbt -batch "runMain graft.Bench" > /tmp/close_bench_win.log 2>&1 || {
+        echo "WINDOW BENCH FAILED — see /tmp/close_bench_win.log" >&2; exit 1; }
+      grep -o '{"metric".*' /tmp/close_bench_win.log > /tmp/close_bench_win.json
+      python3 - "$N" <<'EOF'
+import json, sys
+n = int(sys.argv[1])
+path = f"TIMINGS_r{n}.json"
+d = json.load(open(path))
+win = json.load(open("/tmp/close_bench_win.json"))
+assert win.get("nFailed", 1) == 0, f"window bench nFailed={win.get('nFailed')}"
+d.setdefault("window_isolated", {})
+for q, v in win["queries"].items():
+    d["window_isolated"][q] = v
+    if v < d["queries"][q]:
+        d["in_suite_flagged"].setdefault(q, d["queries"][q])
+        d["queries"][q] = v
+d["value"] = sum(v for v in d["queries"].values() if v > 0)
+prev = json.load(open(f"TIMINGS_r{n-1}.json"))["queries"]
+still = sorted(q for q in win["queries"]
+               if prev.get(q, 0) > 0 and d["queries"][q] / prev[q] > 1.3)
+d["window_kept_flags"] = still
+json.dump(d, open(path, "w"))
+if still:
+    print(f"WINDOW-KEPT flags (reproduced across the gap — explain in "
+          f"the method note): {still}")
+else:
+    print("window re-measure cleared every kept flag (host-window noise)")
+EOF
+    else
+      [[ -n "$FLAGGED" ]] && \
+        echo "isolate: fresh-JVM re-measure cleared every flag"
+    fi
   fi
 fi
 
