@@ -97,6 +97,33 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Audio table of RE-GAINED duplicate families for the at-scale
+    * fingerprint stress (ids 2k and 2k+1 form family k): both members
+    * share a pseudo-random waveform seeded by the family id (xorshift-
+    * mixed, so every family's 64-bit fingerprint is effectively an
+    * independent random draw — [[fakeAudioTable]]'s 450 (h, n) square-
+    * wave combos would collapse 2M rows onto 450 fingerprints and the
+    * bucket cap would drop everything), and the odd member carries 3x
+    * gain — bytes differ everywhere, the decoded sign-of-difference
+    * fingerprint is identical. Ground truth for [[audioNearDup]] is
+    * therefore exactly one hamming-0 pair per family; cross-family
+    * hamming ≤ 3 collisions have ~2e-9 probability per candidate pair. */
+  def fakeAudioGainPairsTable(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val fam = id / 2
+      val nS = 130 + (fam % 50).toInt
+      val gain = 1 + 2 * (id % 2).toInt
+      val samples = Array.tabulate(nS) { i =>
+        var x = fam * 0x9E3779B97F4A7C15L + (i + 1) * 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 31); x *= 0x94D049BB133111EBL; x ^= (x >>> 27)
+        ((x % 1000L).toInt * gain).toShort
+      }
+      MediaRecord(id, MediaMeta("audio", 0, 0, 1), wavBytes(8000, samples))
+    }.toDF()
+  }
+
   /** REAL image decode via the JDK's ImageIO: dimensions plus mean
     * luminance over a bounded (≤64×64) pixel sample grid, so cost per
     * image is capped regardless of resolution. Returns None when the

@@ -1727,6 +1727,53 @@ object StressScale {
     }
     docs2mEn.unpersist()
 
+    // ---- round-17: audio fingerprint near-dup at the 2M tier (VERDICT
+    // r16 #3). 1M two-member re-gained families (fakeAudioGainPairsTable:
+    // shared pseudo-random waveform, odd member at 3x gain): every
+    // payload is a REAL PCM16 WAV round-tripping through javax.sound,
+    // so the timed row pays synthesis + 2M decodes + the banded
+    // pigeonhole join — the full production path. Planted recovery must
+    // be EXACT (1,000,000 pairs: gain-invariant fingerprints collide at
+    // hamming 0; chance cross-family hamming<=3 is ~2e-9 per candidate),
+    // and the fingerprint-band bucket histogram is reported so a whale
+    // bucket (fingerprint-entropy collapse) is visible, the
+    // semantic_dedup_lsh_2m discipline.
+    val M = graft.operators.Multimodal
+    val audio2m = M.fakeAudioGainPairsTable(
+      spark.range(2000000L).select(col("id").as("doc_id"))).persist()
+    audio2m.count()
+    var audioPairs: org.apache.spark.sql.DataFrame = null
+    val audioRows: Seq[(String, Double, Long)] = Seq(
+      time("audio_neardup_2m") {
+        audioPairs = M.audioNearDup(audio2m, maxHamming = 3).localCheckpoint()
+        audioPairs.count()
+      })
+    val audioTotalPairs = audioPairs.count()
+    val audioRecovered = audioPairs
+      .filter(expr("id_a div 2 = id_b div 2")).count()
+    val afps = M.audioFingerprints(audio2m).persist()
+    val audioDecoded = afps.filter(col("decoded")).count()
+    val ahist = afps.select(
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("afp"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("bi", "bv")))
+      .groupBy("bi", "bv").count()
+      .agg(count(lit(1)).as("nb"), max("count").as("mx"),
+        expr("CAST(percentile(count, 0.5) AS DOUBLE)").as("p50"),
+        expr("CAST(percentile(count, 0.99) AS DOUBLE)").as("p99"))
+      .collect()(0)
+    afps.unpersist()
+    val audioJson =
+      f""""audio_2m_decoded":$audioDecoded,""" +
+        f""""audio_2m_pairs":$audioTotalPairs,""" +
+        f""""audio_2m_recovered_planted":$audioRecovered,""" +
+        f""""audio_2m_planted":1000000,""" +
+        f""""audio_2m_buckets":${ahist.getAs[Long]("nb")},""" +
+        f""""audio_2m_bucket_p50":${ahist.getAs[Double]("p50")}%.1f,""" +
+        f""""audio_2m_bucket_p99":${ahist.getAs[Double]("p99")}%.1f,""" +
+        f""""audio_2m_bucket_max":${ahist.getAs[Long]("mx")}"""
+    audio2m.unpersist()
+
     // PQ QUALITY at corpus scale (not timings). Two numbers per codebook:
     // quantization distortion (the training objective) and recall@10 vs
     // exact L2 for 32 queries. Measured on a CLUSTERED corpus (VERDICT
@@ -1780,13 +1827,13 @@ object StressScale {
       embFam.unpersist()
       out
     }
-    val qs = (results ++ streamTwins ++ whalePair ++ semRows ++ curateRows)
+    val qs = (results ++ streamTwins ++ whalePair ++ semRows ++ curateRows ++ audioRows)
       .map { case (k, s, rows) =>
         f""""$k":{"sec":$s%.2f,"rows":$rows}"""
       }.mkString("{", ",", "}")
     val stateJson = streamStateRows.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}_state_rows":$v""" }.mkString(",")
-    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,$semJson,$stateJson,"ops":$qs}""")
+    println(f"""{"nDocs":$n,"pq_recall_seed":${pqQuality._1}%.3f,"pq_recall_trained":${pqQuality._2}%.3f,"pq_distortion_seed":${pqQuality._3}%.3f,"pq_distortion_trained":${pqQuality._4}%.3f,$semJson,$audioJson,$stateJson,"ops":$qs}""")
     spark.stop()
   }
 }

@@ -137,6 +137,25 @@ class MultimodalSpec extends SparkSpec {
     pairs((1L, 2L)) shouldBe 0L
   }
 
+  "fakeAudioGainPairsTable" should "plant one exact fingerprint pair per re-gained family" in {
+    // the at-scale stress corpus in miniature: 10 families of (1x, 3x)
+    // gain siblings — every payload decodes, each family collides at
+    // hamming 0, and NO cross-family pair sneaks in (fingerprints are
+    // pseudo-random per family)
+    val media = Multimodal.fakeAudioGainPairsTable(
+      spark.range(20).select(col("id").as("doc_id")))
+    val f = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    all(f.values.map(_._2)) shouldBe true // every WAV decodes
+    (0L until 10L).foreach { fam =>
+      f(2 * fam)._1 shouldBe f(2 * fam + 1)._1 // gain-invariant
+    }
+    f.values.map(_._1).toSet.size shouldBe 10 // distinct across families
+    val pairs = Multimodal.audioNearDup(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.toSet shouldBe (0L until 10L).map(k => (2 * k, 2 * k + 1, 0L)).toSet
+  }
+
   "audioNearDup" should "never pair a decoded-waveform fingerprint with a byte-dHash fallback" in {
     // forced 64-bit collision across the two hash families: a constant-
     // sample WAV's waveform fingerprint is 0 (no "next larger" step) and
