@@ -243,7 +243,17 @@ object Similarity {
           col("cells"))
         .withColumn("cell", element_at(col("cells"), col("s") + 1))
         .groupBy(col("s"), col("cell"), col("j"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        // decimal fold, not double: exact decimal addition is order-
+        // independent, where a double sum's partial-merge order follows
+        // shuffle-fetch completion and drifts run to run — enough to
+        // flip a float-rounded centroid's last bit and destabilize the
+        // plan sha of every query embedding the trained literals (r17:
+        // vector_ivf_kmeans sha differed between two same-code JVMs).
+        // Truncation at 1e-10 absolute is far below the 1e-7-relative
+        // float rounding the mean lands in anyway; |x| beyond the
+        // 28-digit headroom would null the sum loudly, not skew it.
+        .agg(sum(col("x").cast("decimal(38,10)")).cast("double").as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val byKey = moments.groupBy(r => (r.getInt(0), r.getLong(1)))
       books = books.zipWithIndex.map { case (book, s) =>
@@ -743,7 +753,11 @@ object Similarity {
         .select(assign(col(vecCol)).as("cell"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        // same order-independent decimal fold as pqTrainKmeans (see the
+        // rationale there): trained centroids must be bit-reproducible
+        // across JVMs or every plan embedding them changes sha per run
+        .agg(sum(col("x").cast("decimal(38,10)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = moments.groupBy(_.getLong(0))
       anchors = anchors.map { case (aid, old) =>
