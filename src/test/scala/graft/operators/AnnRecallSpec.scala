@@ -74,6 +74,24 @@ class AnnRecallSpec extends SparkSpec {
     a1 shouldBe a2
   }
 
+  it should "train bit-identical centroids under any partitioning" in {
+    // the r17 close caught trained-anchor literals flipping last bits
+    // between JVMs: a double moment-sum merges partials in shuffle-fetch
+    // order. The decimal(38,10) fold is order-independent, so training
+    // over different partition counts/layouts must agree EXACTLY — not
+    // approximately — and so must the PQ codebook trainer
+    val save = spark.conf.get("spark.sql.shuffle.partitions")
+    val a1 = Similarity.kmeansAnchors(emb.repartition(3), 4, iters = 3)
+    val c1 = Similarity.pqTrainKmeans(emb.repartition(3), 4, 8, 64, iters = 2)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val a2 = Similarity.kmeansAnchors(emb.repartition(11), 4, iters = 3)
+      val c2 = Similarity.pqTrainKmeans(emb.repartition(11), 4, 8, 64, iters = 2)
+      a2 shouldBe a1
+      c2 shouldBe c1
+    } finally spark.conf.set("spark.sql.shuffle.partitions", save)
+  }
+
   "pqTrainKmeans" should "not regress recall@10 vs the seed codebook" in {
     val queries = emb.filter(col("vec_id") < 20)
     val k = 10
