@@ -524,6 +524,27 @@ class DedupSpec extends SparkSpec {
     r shouldBe Map(1L -> true)
   }
 
+  it should "only ever ADMIT more when the whale guard fires, never block more" in {
+    // the subSplit trade is bounded work for in-whale recall: a split
+    // cell can miss a blocking survivor (falsely admitting a dup) but
+    // must never manufacture a blocker — so the admitted set under a
+    // tiny cap is a SUPERSET of the admitted set under no cap
+    val anchors = Seq((0L, Seq(1f, 0f)))
+    val survivors = (10L to 14L).map(i => (i, Seq(1f, i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    // 1..5 all sit near every survivor; 6 is orthogonal to all of them
+    val incoming = ((1L to 5L).map(i => (i, Seq(1f, i.toFloat / 100))) :+
+      ((6L, Seq(0f, 1f)))).toDF("vec_id", "embedding")
+    def admitted(cap: Int): Set[Long] =
+      Dedup.semanticIncrementalFilter(incoming, survivors, anchors, 0.9,
+        maxCellSize = cap)
+        .filter(col("admitted")).collect().map(_.getLong(0)).toSet
+    val full = admitted(100000)
+    full shouldBe Set(6L) // near-dups blocked, the orthogonal one admitted
+    val split = admitted(1) // cell of 5 survivors -> 5 sub-blocks
+    split should contain allElementsOf full
+  }
+
   it should "apply dominance pairwise: a dropped vector still eliminates what it dominates" in {
     // chain a~b~c with a !~ c (36-degree steps): b loses to a, c loses
     // to b even though b itself is dropped — the kept set is the

