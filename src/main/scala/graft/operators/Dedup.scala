@@ -68,8 +68,38 @@ object Dedup {
     * the signatures themselves again, materializes this frame once via
     * eager `localCheckpoint` (invisible to the SQL cache; blocks freed by
     * the ContextCleaner once the result is dropped — nothing for a
-    * long-lived session to leak). */
+    * long-lived session to leak).
+    *
+    * Physical shape (optimization r17, guide §2.4 "remove shuffles
+    * outright" + §1.2 step 1): signatures are computed by ONE native
+    * per-doc expression ([[org.apache.spark.sql.graft.MinhashSignature]])
+    * — no shingle explode (~300× the corpus row count), no md5-hex →
+    * `conv` re-parse, and, decisively, NO signature shuffle: the old
+    * explode + `min()` hash aggregation shipped (id, k minima) per doc
+    * through an exchange that this formulation removes from every MinHash
+    * consumer. Values are bit-identical to [[minhashSignaturesSpec]]
+    * (pinned by MinhashExpressionsSpec on the real corpus + adversarial
+    * strings); the declarative form below stays as the executable spec.
+    * Fan.spread still guards the compact-input case: the per-doc hash
+    * loop is the expensive stage and must not run on one core. */
   def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 5,
+      k: Int = 16,
+      tier: HashTier = PortableMd5): DataFrame =
+    Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .minhashSigColumn(col("__t"), shingleN, k, tier == FastXx)
+          .as("sig"))
+
+  /** The declarative explode + md5/conv + min-aggregate formulation of
+    * [[minhashSignatures]] — the executable reference spec the native
+    * expression is pinned against (and the shape the DuckDB oracle
+    * replays). Not on any query path. */
+  private[graft] def minhashSignaturesSpec(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",

@@ -45,8 +45,12 @@ object Reports {
     pairs
       .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      // native per-pair kernel (optimization r17): bit-identical to
+      // round(T.jaccard(...), 6) without materializing the intersection
+      // array per pair — this projection is the query's hot loop
       .select(col("est_jaccard"),
-        round(T.jaccard(col("__sa"), col("__sb")), 6).as("__tj"))
+        round(org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .jaccardColumn(col("__sa"), col("__sb")), 6).as("__tj"))
       .select(col("est_jaccard"), col("__tj"),
         round(abs(col("est_jaccard") - col("__tj")), 6).as("__err"))
       .groupBy(col("est_jaccard"))
@@ -97,8 +101,10 @@ object Reports {
     val truth = sets.select(col("__id").as("id_a"), col("__s").as("__sa"))
       .crossJoin(sets.select(col("__id").as("id_b"), col("__s").as("__sb")))
       .filter(col("id_a") < col("id_b"))
+      // native per-pair kernel (optimization r17): see [[lshCalibration]]
       .select(col("id_a"), col("id_b"),
-        round(T.jaccard(col("__sa"), col("__sb")), 6).as("__tj"))
+        round(org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .jaccardColumn(col("__sa"), col("__sb")), 6).as("__tj"))
       .filter(col("__tj") >= thresholds.min)
     val cand = Dedup
       .minhashLsh(sample, textCol, idCol, shingleN, k, bands,
