@@ -1617,11 +1617,17 @@ object Curation {
     import graft.functions.{HashFunctions => H}
     val spark = docs.sparkSession
     val toks = filter(T.tokens(col(textCol)), t => length(t) > 0)
+    // eager localCheckpoint (optimization r17): hb has TWO consumers — the
+    // bucket census and the per-doc scoring join — whose exchanges differ,
+    // so without materialization the tokenize → gram-explode → md5 hot
+    // loop executes twice (measured as two ~1 s duplicate stages at
+    // sf0.1). The checkpointed frame is slim: (id, source, pos, bucket).
     val hb = Fan.spread(docs.select(col(idCol), col(sourceCol), col(textCol)))
       .select(col(idCol), col(sourceCol),
         posexplode(Frequency.gramsArray(toks)).as(Seq("pos", "gram")))
       .select(col(idCol), col(sourceCol), col("pos"),
         pmod(H.md5Bucket(hashSeed, col("gram")), lit(buckets.toLong)).as("b"))
+      .localCheckpoint()
     val isTarget = col(sourceCol) === targetSource
     val counts = hb
       .groupBy(col("b"))

@@ -239,9 +239,18 @@ object Dedup {
     // AQE broadcasts the sig table when it fits).
     val l = capped.select(col("band"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("id").as("id_b"))
+    // explicit repartition BEFORE the pair distinct (optimization r17,
+    // guide §2.5): the distinct's own ENSURE_REQUIREMENTS exchange is
+    // byte-coalesced by AQE, which ran the final dedup aggregate — and
+    // every consumer fused above it (score re-attach, truth re-checks) —
+    // on ONE task. A numbered repartition on the distinct key makes the
+    // aggregate complete in place across the session's parallelism; the
+    // shuffle carries at most `bands`× the deduped pair rows of two ids,
+    // the price of trading the map-side partial for a wide final layout.
     l.join(r, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .repartition(nPart, col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -518,7 +527,8 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L,
+      maxBroadcastLabels: Long = 4000000L): DataFrame = {
     // id-type contract (VERDICT r15): both endpoints must share ONE
     // numeric id type — min/least give the component-minimum label, the
     // convergence metric sums labels as decimals, and the bounded driver
@@ -536,12 +546,22 @@ object Dedup {
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // both directions from ONE pass over pairs (a union would execute the
-    // upstream candidate-pair pipeline twice)
+    // upstream candidate-pair pipeline twice).
+    // Explicit scale-adaptive repartition before the distinct
+    // (optimization r17, guide §2.5): edge rows are two longs, so AQE's
+    // BYTE-based coalescing collapses the distinct — and every downstream
+    // sort/aggregate reading the persisted frame — to one task long
+    // before the ROW count stops mattering. A numbered repartition on the
+    // distinct's own key is coalesce-exempt, adds no extra exchange
+    // (the aggregate reuses it), and derives its count from the session's
+    // parallelism, not a constant.
+    val nPart = pairs.sparkSession.sparkContext.defaultParallelism
     val fullEdges = pairs
       .select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(nPart, col("src"), col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -580,16 +600,41 @@ object Dedup {
     // connectivity, and contracted node ids are first-round labels
     // (original ids), so the component minimum survives.
     // round 1 needs no join: with identity labels, the neighbor minimum
-    // of a node is simply min(src) over its incoming edges
+    // of a node is simply min(src) over its incoming edges.
+    // repartition-by-dst feeds the aggregate its exact required
+    // partitioning (one exchange, coalesce-exempt — see fullEdges note)
+    // the node count rides the checkpoint's own materialization job
+    // (observe — the same zero-extra-job pattern as the convergence sum)
+    val nNodesObs = org.apache.spark.sql.Observation()
     val labels1 = snap(fullEdges
+      .repartition(nPart, col("dst"))
       .groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("comp")))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .observe(nNodesObs, count(lit(1)).as("n")))
+    // Broadcast tier for the contraction joins (optimization r17, guide
+    // §3.1): labels1 is one slim (id, comp) row per node that appears in
+    // a pair. localCheckpoint erases its statistics, so the planner falls
+    // back to sort-merge — two shuffles plus sorts of the full edge set —
+    // and AQE cannot re-plan a join whose inputs are RDD scans (no
+    // shuffle stats to read). Below `maxBroadcastLabels` (default 4M
+    // rows ≈ tens of MB framed — guide §3.1's "a few hundred MB is fine"
+    // with headroom) an explicit broadcast hint turns both contraction
+    // joins into map-side hash joins fused over the persisted edge
+    // partitions: zero shuffles. The count is a metadata-cheap job on the
+    // already-materialized checkpoint. Above the guard — a label table
+    // that genuinely doesn't broadcast — the sort-merge path stands.
+    val nNodes = nNodesObs.get("n").asInstanceOf[Long]
+    val l1src = labels1.withColumnRenamed("id", "src")
+      .withColumnRenamed("comp", "csrc")
+    val l1dst = labels1.withColumnRenamed("id", "dst")
+      .withColumnRenamed("comp", "cdst")
+    val (jSrc, jDst) =
+      if (nNodes <= maxBroadcastLabels) (broadcast(l1src), broadcast(l1dst))
+      else (l1src, l1dst)
     val contracted = snap(fullEdges
-      .join(labels1.withColumnRenamed("id", "src")
-        .withColumnRenamed("comp", "csrc"), Seq("src"))
-      .join(labels1.withColumnRenamed("id", "dst")
-        .withColumnRenamed("comp", "cdst"), Seq("dst"))
+      .join(jSrc, Seq("src"))
+      .join(jDst, Seq("dst"))
       .select(col("csrc").as("src"), col("cdst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())

@@ -36,15 +36,29 @@ object Reports {
       textCol: String = "text",
       idCol: String = "doc_id",
       tier: Dedup.HashTier = Dedup.PortableMd5): DataFrame = {
+    // the candidate pairs arrive on the coalesce-exempt wide pair layout
+    // (Dedup.pairsFromSigs repartitions before its distinct — optimization
+    // r17), so the truth re-check below — the per-pair Jaccard over ~300-
+    // element shingle arrays, this query's hot loop — fuses across the
+    // session's parallelism instead of one AQE-coalesced task
     val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands,
       tier = tier)
     val sets = Fan.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         T.charShingles(col(textCol), shingleN).as("__s"))
       .localCheckpoint() // two consumers (id_a side and id_b side)
+    // explicit broadcast of the shingle-set sides (guide §3.1): the
+    // localCheckpoint erased sets' statistics, so the planner would fall
+    // back to sort-merge and re-shuffle the pairs by one id — undoing the
+    // repartition above. The set table is one row per SAMPLED doc (this
+    // is the calibration loop, run on a sample tier by design), so it
+    // broadcasts; the Jaccard projection then fuses over the wide pair
+    // partitions with no further exchange.
     pairs
-      .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .join(broadcast(sets.select(col("__id").as("id_a"), col("__s").as("__sa"))),
+        Seq("id_a"))
+      .join(broadcast(sets.select(col("__id").as("id_b"), col("__s").as("__sb"))),
+        Seq("id_b"))
       // native per-pair kernel (optimization r17): bit-identical to
       // round(T.jaccard(...), 6) without materializing the intersection
       // array per pair — this projection is the query's hot loop
@@ -106,11 +120,19 @@ object Reports {
         round(org.apache.spark.sql.graft.MinhashExpressionFunctions
           .jaccardColumn(col("__sa"), col("__sb")), 6).as("__tj"))
       .filter(col("__tj") >= thresholds.min)
+    // explicit co-partitioning of the truth⟕candidates join (optimization
+    // r17, guide §2.5): both sides are slim (id, id) rows, so AQE's
+    // byte-based coalescing ran the sort-merge — a sort of the full
+    // candidate set — on one task. Numbered repartitions on the join key
+    // are coalesce-exempt and co-partition the join at the session's
+    // parallelism with no further exchange.
+    val nPart = docs.sparkSession.sparkContext.defaultParallelism
     val cand = Dedup
       .minhashLsh(sample, textCol, idCol, shingleN, k, bands,
         tier = Dedup.PortableMd5)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
-    val flagged = truth.join(cand, Seq("id_a", "id_b"), "left")
+    val flagged = truth.repartition(nPart, col("id_a"), col("id_b"))
+      .join(cand, Seq("id_a", "id_b"), "left")
       .select(col("__tj"), coalesce(col("__hit"), lit(0L)).as("__hit"))
     val tSpine = sample.sparkSession.range(1)
       .select(explode(array(thresholds.sorted.map(lit): _*)).as("threshold"))
@@ -1990,17 +2012,33 @@ object Reports {
       .agg(count(lit(1)).as("__x"))
       .localCheckpoint() // census + pair join + residual pass share it
     val widest = hourly.groupBy(col("__g")).agg(count(lit(1)).as("__nh"))
-      .agg(max(col("__nh")).as("__w")).collect()(0)
+      .agg(max(col("__nh")).as("__w"), sum(col("__nh")).as("__tot"))
+      .collect()(0)
     val span = if (widest.isNullAt(0)) 0L else widest.getLong(0)
+    val totalHours = if (widest.isNullAt(1)) 0L else widest.getLong(1)
     require(span <= maxHours,
       s"theilSenTrend: $span observed hours in one group exceed " +
         s"maxHours=$maxHours (~${span * span / 2} pairs) — widen the " +
         "bucket, shorten the window, or raise maxHours deliberately")
-    val a = hourly.select(col("__g"), col("__h").as("__h1"),
-      col("__x").as("__x1"))
+    // Pair generation (optimization r17, guide §2.5 + §3.1): the old
+    // equi-join on __g alone hash-partitioned BY GROUP, so each group's
+    // entire hours² fan-out + slope arithmetic ran on one task (4-5 tasks
+    // total at any parallelism). Repartitioning the left side by
+    // (__g, __h) and BROADCASTING the right side keeps the fan-out on
+    // the wide layout — pair generation parallelizes over left hours,
+    // and only the per-group median windows below are group-bounded.
+    // The broadcast is safe by the operator's own contract: the hourly
+    // rollup is census-bounded (maxHours per group; `totalHours` rows in
+    // all, checked against the same order of magnitude as ONE group's
+    // pair budget) — above the bound, fall back to the keyed join.
+    val nPart = events.sparkSession.sparkContext.defaultParallelism
+    val a = hourly.repartition(nPart, col("__g"), col("__h"))
+      .select(col("__g"), col("__h").as("__h1"),
+        col("__x").as("__x1"))
     val b = hourly.select(col("__g"), col("__h").as("__h2"),
       col("__x").as("__x2"))
-    val pairs = a.join(b, Seq("__g")).filter(col("__h2") > col("__h1"))
+    val bSide = if (totalHours <= 2000000L) broadcast(b) else b
+    val pairs = a.join(bSide, Seq("__g")).filter(col("__h2") > col("__h1"))
       .select(col("__g"), col("__h1"), col("__h2"),
         ((col("__x2") - col("__x1")).cast("double") /
           (col("__h2") - col("__h1")).cast("double")).as("__s"))
