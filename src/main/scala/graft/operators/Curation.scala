@@ -1445,14 +1445,51 @@ object Curation {
     require(nFeedback > 0 && nExpand > 0, "need feedback and expansion > 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val fbIds = bm25Search(docs, terms, nFeedback, k1, b, textCol, idCol)
-      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    // ONE corpus materialization + ONE doc-length frame for BOTH rounds
+    // (optimization r17, guide §1.2 step 1): round 1 previously ran the
+    // full [[bm25Search]] from the raw input — its own parquet scan chain,
+    // its own docLens checkpoint and corpus rollup — and round 2 rebuilt
+    // the identical docLens/corpus frames from this checkpoint. The
+    // expression trees below are bm25Search's verbatim (same operand
+    // order), so round-1 scores — and therefore the feedback set, the
+    // expansion terms, and the final ranking — are bit-identical.
     val base = Fan.spread(docs.select(col(idCol), col(textCol)))
-      .localCheckpoint(true) // feedback mine + df census + round-2 tf
+      .localCheckpoint(true) // round-1 tf + feedback mine + df census + round-2 tf
     val tok = base
       .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
     val nDocs = base.count()
+    val docLens = base.select(col(idCol),
+      size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
+        .cast("long").as("dl"))
+      .localCheckpoint() // corpus rollup + both scoring joins
+    val corpus = broadcast(docLens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    // the exact bm25Search contribution tree, shared by both rounds
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val nD = col("n_docs").cast("double")
+    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val contrib = bm25Idf * (tfD * (k1 + 1.0)) /
+      (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
+        col("avgdl"))))
+    // round 1: bm25Search's plan over the shared frames
+    val tf1 = tok.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df1 = tf1.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val fbIds = tf1.join(broadcast(df1), "term")
+      .join(docLens, idCol).crossJoin(corpus)
+      .select(col(idCol), col("term"), contrib.as("s"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("s")))).as("__xs"))
+      .select(col(idCol),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x("s")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(nFeedback)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
     // candidate mining: total tf inside the feedback docs, integer-exact
     val cand = tok
       .filter(col(idCol).isin(fbIds: _*))
@@ -1472,14 +1509,8 @@ object Curation {
       .select(col("term")).collect().map(_.getString(0)).toSeq
     val weights = (terms.map((_, 1.0)) ++ expansion.map((_, expandWeight)))
       .toDF("term", "w")
-    // round 2: the bm25Search expression tree times the term weight
-    val docLens = base.select(col(idCol),
-      size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
-        .cast("long").as("dl"))
-      .localCheckpoint()
-    val corpus = broadcast(docLens.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    // round 2: the bm25Search expression tree times the term weight, over
+    // the SAME docLens/corpus frames round 1 scored with
     val tf = tok.join(broadcast(weights), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -1487,13 +1518,6 @@ object Curation {
     val joined = tf.join(broadcast(df), "term")
       .join(broadcast(weights), "term")
       .join(docLens, idCol).crossJoin(corpus)
-    val tfD = col("tf").cast("double")
-    val dfD = col("df").cast("double")
-    val nD = col("n_docs").cast("double")
-    val bm25Idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
-    val contrib = bm25Idf * (tfD * (k1 + 1.0)) /
-      (tfD + (lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
-        col("avgdl"))))
     joined
       .select(col(idCol), col("term"), (contrib * col("w")).as("s"))
       .groupBy(col(idCol))

@@ -44,17 +44,34 @@ object SparseIndex {
   private def metaTable(name: String): String = s"${name}__meta"
   private def tombTable(name: String): String = s"${name}__tomb"
 
-  private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), explode(T.tokens(col("__t"))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
-
-  private def doclensOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** ONE tokenize pass for the whole index build (optimization r17,
+    * guide §1.2 step 1 + §2.4): term frequency is a per-document
+    * aggregate, so the row-local [[org.apache.spark.sql.graft
+    * .TokenTfEntries]] kernel computes each doc's (term, tf) entries in
+    * place — the postings frame is a zero-shuffle projection (the old
+    * `explode(tokens) → groupBy(term, id)` shipped every postings row
+    * through an exchange just to merge partials that never overlap
+    * across docs, and the separate `doclensOf` re-tokenized the corpus a
+    * SECOND time). Doc length = Σtf over the same entries (= the
+    * nonzero-token count, exactly `size(filter(tokens, len > 0))`; a
+    * null text stays null through the fold). The slim (id, entries)
+    * frame is eagerly localCheckpoint-ed: postings and doc lengths both
+    * read it without re-reading or re-tokenizing the text. */
+  private def tfEntries(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     Fan.spread(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"),
-        size(filter(T.tokens(col("__t")), tk => length(tk) > 0))
-          .cast("long").as("dl"))
+        org.apache.spark.sql.graft.TextExpressionFunctions
+          .tokenTfColumn(T.tokens(col("__t"))).as("__e"))
+      .localCheckpoint()
+
+  private def postingsOf(entries: DataFrame): DataFrame =
+    entries.select(col("id"), explode(col("__e")).as("__x"))
+      .select(col("__x.term").as("term"), col("id"), col("__x.tf").as("tf"))
+
+  private def doclensOf(entries: DataFrame): DataFrame =
+    entries.select(col("id"),
+      aggregate(col("__e"), lit(0L), (acc, x) => acc + x.getField("tf"))
+        .as("dl"))
 
   /** Build and persist the full inverted index: the one corpus-scale
     * text pass, amortized over every query that follows. */
@@ -67,19 +84,24 @@ object SparseIndex {
     val spark = wh.spark
     import spark.implicits._
     // a full rebuild supersedes any previous soft-deletes: stale
-    // tombstones would silently erase re-admitted docs from the new index
-    if (wh.exists(tombTable(name)))
-      wh.overwrite(tombTable(name), wh.read(tombTable(name)).filter(lit(false)))
-    wh.overwrite(name, postingsOf(docs, textCol, idCol))
-    val dls = doclensOf(docs, textCol, idCol)
-    wh.overwrite(dlTable(name), dls)
-    // coalesce: sum(dl) is NULL over an empty corpus — an empty index is
-    // legal (first build of an incremental pipeline) and writes (0, 0)
-    val agg = wh.read(dlTable(name))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .collect()(0)
+    // tombstones would silently erase re-admitted docs from the new index.
+    // drop, not empty-overwrite: "no tombstones" needs no parquet write
+    // job, and the query-side anti-join vanishes from the plan entirely
+    if (wh.exists(tombTable(name))) wh.drop(tombTable(name))
+    val entries = tfEntries(docs, textCol, idCol)
+    wh.overwrite(name, postingsOf(entries))
+    // the meta aggregates RIDE the doc-length write job (observe — the
+    // connectedComponents zero-extra-job pattern); coalesce: sum(dl) is
+    // NULL over an empty corpus — an empty index is legal (first build of
+    // an incremental pipeline) and writes (0, 0)
+    val obs = org.apache.spark.sql.Observation()
+    wh.overwrite(dlTable(name), doclensOf(entries)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")))
+    val m = obs.get
     wh.overwrite(metaTable(name),
-      Seq((agg.getLong(0), agg.getLong(1))).toDF("n_docs", "sum_dl"))
+      Seq((m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
+        .toDF("n_docs", "sum_dl"))
   }
 
   /** Append newly-admitted docs: tokenize the NEW text only, append
@@ -97,8 +119,11 @@ object SparseIndex {
       idCol: String = "doc_id"): Unit = {
     val spark = wh.spark
     import spark.implicits._
-    wh.append(name, postingsOf(docs, textCol, idCol))
-    val dls = doclensOf(docs, textCol, idCol).localCheckpoint()
+    val entries = tfEntries(docs, textCol, idCol)
+    wh.append(name, postingsOf(entries))
+    // dls derives from the checkpointed entries, so the append and the
+    // meta delta below see the same rows without a second checkpoint
+    val dls = doclensOf(entries)
     wh.append(dlTable(name), dls)
     val delta = dls
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
@@ -133,21 +158,24 @@ object SparseIndex {
       if (wh.exists(tombTable(name))) wh.read(tombTable(name))
       else dl.select(col("id")).filter(lit(false))
     // only ids actually live in the index count against the meta —
-    // checkpointed so the append and the meta delta see the same rows
+    // checkpointed so the append and the meta delta see the same rows;
+    // the delta aggregates ride the checkpoint's materialization job
+    // (observe — no separate scan of the checkpointed frame)
+    val obs = org.apache.spark.sql.Observation()
     val newTombs = dl
       .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
       .join(existing, Seq("id"), "left_anti")
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s"))
       .localCheckpoint()
-    val delta = newTombs
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .collect()(0)
-    if (delta.getLong(0) == 0L) return
+    val delta = obs.get
+    if (delta("n").asInstanceOf[Long] == 0L) return
     if (wh.exists(tombTable(name))) wh.append(tombTable(name), newTombs.select("id"))
     else wh.overwrite(tombTable(name), newTombs.select("id"))
     val prev = wh.read(metaTable(name)).collect()(0)
     wh.overwrite(metaTable(name),
-      Seq((prev.getLong(0) - delta.getLong(0),
-        prev.getLong(1) - delta.getLong(1))).toDF("n_docs", "sum_dl"))
+      Seq((prev.getLong(0) - delta("n").asInstanceOf[Long],
+        prev.getLong(1) - delta("s").asInstanceOf[Long])).toDF("n_docs", "sum_dl"))
   }
 
   /** Fold accumulated tombstones into the postings/doc-length files (one

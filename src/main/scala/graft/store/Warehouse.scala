@@ -246,6 +246,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
     } finally s.close()
   }
 
+  /** Drop the table entirely (pointer + all retained versions) — a
+    * filesystem-only operation, no Spark job. The cheap way for a rebuild
+    * path to express "no table" where an empty-frame [[overwrite]] would
+    * pay a full parquet write job + commit just to store zero rows
+    * (optimization r17; [[SparseIndex.save]]'s tombstone reset). After a
+    * drop, [[exists]] is false and a future write starts at version 0. */
+  def drop(name: String): Unit = synchronized {
+    deleteRecursively(tableDir(name))
+  }
+
   /** Replace the table wholesale (used by tests/bootstrap). */
   def overwrite(name: String, df: DataFrame): Unit =
     overwrite(name, df, Map.empty[String, String])

@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -349,6 +350,86 @@ object TokenEntropyHelper {
   }
 }
 
+/** Per-document (term, tf) entries of a token array as ONE native kernel
+  * — the row-local replacement for `explode(tokens) → groupBy(term, id) →
+  * count(...)`. Term frequency is a PER-DOCUMENT aggregate, so computing
+  * it inside the row turns an inverted-index build
+  * ([[graft.store.SparseIndex.save]]) from a corpus-scale token explode +
+  * exchange + hash re-aggregate into a zero-shuffle projection: the
+  * explode that remains emits one row per DISTINCT (doc, term) — the
+  * postings themselves — never one per token occurrence, and no exchange
+  * follows it (optimization r17, guide §1.2 step 1 + §2.4; the map-side
+  * partials of the old groupBy already collapsed each doc's duplicates,
+  * so its exchange + final aggregate moved postings-scale rows purely to
+  * re-merge partials that never overlap across docs).
+  *
+  * Value parity with the declarative form, pinned by TokenTfSpec:
+  *  - empty tokens are skipped — exactly `filter(length(term) > 0)`;
+  *  - a null token is skipped — `length(null) > 0` filters it out;
+  *  - tf is the exact occurrence count (long, like `count(lit(1))`);
+  *  - a NULL array yields NULL (explode of null emits no rows, and the
+  *    doc-length fold over the entries stays null like
+  *    `size(filter(null, ...))`);
+  *  - entries are emitted in unsigned-byte term order (UTF8String
+  *    compareTo == `array_sort` on strings) — deterministic output, and
+  *    Σtf over the sorted entries equals the nonzero-token count, which
+  *    is what lets doc length ride the same single tokenize pass.
+  *
+  * Sort-then-run-count (the [[TokenEntropyHelper]] shape): O(n log n),
+  * zero hash state, one allocation per distinct term. */
+case class TokenTfEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_tf"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenTfHelper.entries(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTfEntries =
+    copy(child = newChild)
+}
+
+object TokenTfHelper {
+  def entries(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    // drop null/empty tokens — the `filter(length(term) > 0)` parity
+    var kept = 0
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (t.numBytes() > 0) { toks(kept) = t; kept += 1 }
+      }
+      i += 1
+    }
+    if (kept == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(toks, 0, kept,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val out = new java.util.ArrayList[Any]
+    var start = 0
+    while (start < kept) {
+      var end = start + 1
+      while (end < kept && toks(end).equals(toks(start))) end += 1
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks(start), (end - start).toLong)))
+      start = end
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) as a native
   * expression — the classic record-linkage comparator for short identity
   * strings (names, codes): insertion/deletion/transposition tolerant,
@@ -467,6 +548,10 @@ object TextExpressionFunctions {
   /** DataFrame-API surface for the one-pass token-entropy kernel. */
   def tokenEntropyColumn(toks: Column): Column =
     ExpressionUtils.column(TokenEntropy(ExpressionUtils.expression(toks)))
+
+  /** DataFrame-API surface for the row-local (term, tf) entries kernel. */
+  def tokenTfColumn(toks: Column): Column =
+    ExpressionUtils.column(TokenTfEntries(ExpressionUtils.expression(toks)))
 
   /** DataFrame-API surface for the Jaro–Winkler comparator. */
   def jaroWinklerColumn(a: Column, b: Column): Column =

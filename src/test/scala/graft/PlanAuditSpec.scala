@@ -79,13 +79,19 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
-  // the scored variants checkpoint their signature frame at construction,
-  // so the partial-aggregate property is audited on the signature frames
-  // themselves (the plans that actually run the hot explode+hash loop)
-  "minhash signatures" should "partial-min the signature aggregation" in {
+  // the r17 native kernel computes each signature in ONE per-row pass:
+  // the plan must stay a pure projection — no shingle explode, no
+  // signature aggregate, no exchange beyond the small-input Fan spread
+  // (the shape the optimization bought; a regression back to the
+  // declarative explode + min-agg pipeline re-adds a corpus-scale
+  // Generate and a shuffle to every MinHash consumer)
+  "minhash signatures" should "stay a one-pass projection (native kernel, no explode/aggregate)" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    graft.operators.Dedup.minhashSignatures(docs, k = 8)
-      .queryExecution.executedPlan.toString should include("partial_min")
+    val plan = graft.operators.Dedup.minhashSignatures(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    plan should include("graft_minhash_sig")
+    plan should not include "Generate"
+    plan should not include "HashAggregate"
   }
 
   "simhash per-doc" should "partial-aggregate the bit parities" in {
