@@ -1714,8 +1714,12 @@ object SparkEntry {
       val anchors = e.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("bigint"), col("embedding")).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // eager localCheckpoint: the reciprocity semi-join reads the edge
+      // frame TWICE — without it the whole cell-blocked kNN build
+      // executes once per side (optimization r17, guide §5)
       val edges = Similarity.knnGraph(e, anchors, k = 5)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
       // mutual restriction: an edge survives iff its reverse exists
       val mutual = edges.join(
         edges.select(col("dst").as("src"), col("src").as("dst")),

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Both edge directions from ONE pass over the input (optimization
+    * r17, guide §2.4 — the [[Dedup.connectedComponents]] discipline):
+    * `edges.unionByName(edges.reversed)` evaluates the upstream edge
+    * BUILD twice — for the kNN-graph consumers that is the whole
+    * cell-blocked scoring pipeline, the dominant cost of every graph
+    * query — while one explode of a two-struct array reads it once.
+    * Emits exactly the union's row multiset (callers `distinct`/filter
+    * as before), so every consumer's result is unchanged. */
+  private def bothDirections(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Fixed-iteration PageRank (Page et al. 1999) in EXACT integer
     * arithmetic: ranks are parts-per-million BIGINTs, each iteration is
     *
@@ -75,8 +89,7 @@ object Graphs {
       nodes: DataFrame,
       iters: Int = 3): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
-    val e = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val e = bothDirections(edges)
       .distinct()
       .localCheckpoint()
     val n = nodes.select(col("id"))
@@ -127,9 +140,12 @@ object Graphs {
       edges: DataFrame,
       nodes: DataFrame,
       iters: Int = 3): DataFrame = {
-    val labels = labelPropagation(edges, nodes, iters)
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE materialization of the (typically expensive — kNN build) edge
+    // frame feeds BOTH the LPA loop and the structural census below;
+    // previously each re-executed the full upstream build (guide §5)
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val labels = labelPropagation(e0, nodes, iters)
+    val und = bothDirections(e0)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // read by the half-edge count, degrees, and join
@@ -190,8 +206,7 @@ object Graphs {
     *         nodes carry 0 triangles and cc_ppm 0
     */
   def triangles(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = bothDirections(edges)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // referenced by degree agg, wedges, and closure
@@ -262,8 +277,7 @@ object Graphs {
     *         degree ≥ 1, undirected edge count, r rounded to 6 places
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = bothDirections(edges)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // read by the degree agg and the moment join
@@ -301,8 +315,11 @@ object Graphs {
     * @param edges directed (src, dst) — e.g. [[Similarity.knnGraph]]
     * @return (id_a, id_b) with id_a < id_b, each mutual pair once */
   def mutualKnnPairs(edges: DataFrame): DataFrame = {
+    // eager localCheckpoint: the reciprocity self-join reads e TWICE —
+    // without it the upstream kNN build executes once per side
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     e.filter(col("src") < col("dst"))
       .join(e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"))
@@ -315,8 +332,7 @@ object Graphs {
     *
     * @return (degree, n_nodes) for degrees >= 1, sorted by degree */
   def degreeHistogram(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = bothDirections(edges)
       .filter(col("src") =!= col("dst"))
       .distinct()
     und.groupBy(col("src").as("id"))
@@ -358,18 +374,25 @@ object Graphs {
       k: Int = 3,
       maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val fwd = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-    var alive = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrize + the edge count riding the checkpoint job via
+    // observe (the connectedComponents zero-extra-job pattern) — each
+    // peel round previously paid a separate count() job on top of its
+    // checkpoint, and the init evaluated the edge build twice
+    val obs0 = org.apache.spark.sql.Observation()
+    var alive = bothDirections(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
-    var aliveEdges = alive.count()
+    var aliveEdges = obs0.get("n").asInstanceOf[Long]
     var it = 0
     var converged = aliveEdges == 0L
     while (!converged && it < maxIter) {
-      val next = kCoreRound(alive, k).localCheckpoint()
-      val nextEdges = next.count()
+      val obs = org.apache.spark.sql.Observation()
+      val next = kCoreRound(alive, k)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nextEdges = obs.get("n").asInstanceOf[Long]
       converged = nextEdges == aliveEdges
       alive = next
       aliveEdges = nextEdges
@@ -496,8 +519,7 @@ object Graphs {
       maxWedgeDegree: Int = 10000): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
     require(maxWedgeDegree >= 2, s"maxWedgeDegree >= 2: $maxWedgeDegree")
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = bothDirections(edges)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // degree census + wedge join + edge anti-join
@@ -558,10 +580,20 @@ object Graphs {
     var emptyFrontier = false
     while (hop < maxHops && !emptyFrontier) {
       hop += 1
-      val next = bfsRound(e, frontier, dist, hop).localCheckpoint()
-      emptyFrontier = next.count() == 0L
+      // frontier count rides the checkpoint job (observe — no separate
+      // count() job per level); `dist` stays a UNION of the per-level
+      // checkpoints rather than re-checkpointing the whole labeling
+      // every round — each leaf is already materialized, so the union's
+      // lineage is maxHops shallow reads, and the old re-checkpoint
+      // re-wrote all prior levels' rows once per level (O(maxHops²) row
+      // writes; guide §5)
+      val obs = org.apache.spark.sql.Observation()
+      val next = bfsRound(e, frontier, dist, hop)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      emptyFrontier = obs.get("n").asInstanceOf[Long] == 0L
       if (!emptyFrontier) {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next)
         frontier = next.select(col("id"))
       }
     }
