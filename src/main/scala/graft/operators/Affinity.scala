@@ -129,10 +129,16 @@ object Affinity {
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minPairCount)
     // both directions, then rank inside each item's neighborhood
+    // one pass over the pair build for both directions (optimization
+    // r17, guide §2.4): the unionAll of two selects re-executed the
+    // whole self-join + aggregate pipeline once per direction
     val directed = pairs
-      .select(col("ia").as("item"), col("ib").as("neighbor"), col("n_both"))
-      .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"),
-        col("n_both")))
+      .select(explode(array(
+        struct(col("ia").as("item"), col("ib").as("neighbor"), col("n_both")),
+        struct(col("ib").as("item"), col("ia").as("neighbor"), col("n_both"))))
+        .as("e"))
+      .select(col("e.item").as("item"), col("e.neighbor").as("neighbor"),
+        col("e.n_both").as("n_both"))
       .join(itemCounts.select(col("it").as("item"),
         col("n_item")), Seq("item"))
       .join(itemCounts.select(col("it").as("neighbor"),
