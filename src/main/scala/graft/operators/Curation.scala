@@ -234,10 +234,17 @@ object Curation {
       df: DataFrame, textCol: String, shingleN: Int,
       id: Option[String]): DataFrame = {
     // drop the phantom empty token a leading-whitespace text produces:
-    // shingles like " a b" would otherwise pollute the overlap sets
+    // shingles like " a b" would otherwise pollute the overlap sets.
+    // Spread the RAW text, tokenize AFTER (optimization r17): the
+    // repartition is a plan barrier, so tokenize-then-spread ran the
+    // split/lower/array_remove pass fused onto the (often 1-partition)
+    // file scan — the minhashSignaturesSpec trap, ~1 s on one task at
+    // sf0.1 for the exact-decontamination stream.
     val base = Fan.spread(df.select(
       (id.map(c => Seq(col(c).as("id"))).getOrElse(Seq.empty) :+
-        array_remove(T.tokens(col(textCol)), "").as("toks")): _*))
+        col(textCol).as("__t")): _*))
+      .select((id.map(_ => col("id")).toSeq :+
+        array_remove(T.tokens(col("__t")), "").as("toks")): _*)
     base
       .select((id.map(_ => col("id")).toSeq :+ col("toks") :+
         explode(sequence(lit(1),
@@ -319,7 +326,10 @@ object Curation {
       s"benchmark has $nGrams distinct ${shingleN}-grams > expectedItems=" +
         s"$expectedItems; raise expectedItems to keep the fpp contract")
     val bloom = built.getAs[Array[Byte]]("__bloom")
-    corpus
+    Fan.spread(corpus.select(col(idCol), col(textCol)))
+      // tokenize + gram build + the per-gram bloom probes below are the
+      // row-local hot loop — they must run above the spread barrier,
+      // not fused onto a 1-partition scan (optimization r17)
       .select(col(idCol), array_remove(T.tokens(col(textCol)), "").as("__toks"))
       .select(col(idCol), array_distinct(transform(
         sequence(lit(1),
@@ -394,9 +404,11 @@ object Curation {
     // array_remove: the phantom empty token from leading whitespace must
     // not become a vocabulary entry ("" for n=1, " tok" inside bigrams) —
     // same hazard tfidfTopTerms filters per-term
+    // spread raw text, tokenize after the barrier (the shingleStream
+    // rationale — tokenize must not fuse onto a 1-partition scan)
     val ex = Fan.spread(docs
-      .select(col(idCol).as("id"),
-        array_remove(T.tokens(col(textCol)), "").as("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), array_remove(T.tokens(col("__t")), "").as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("id"),
         explode(sequence(lit(1), size(col("toks")) - lit(shingleN - 1))).as("p"),
@@ -428,8 +440,9 @@ object Curation {
     val vocab = ngramVocabulary(docs, shingleN = 1, topK = topK,
       textCol = textCol, idCol = idCol).select(col("gram").as("__vtok"))
     val ex = Fan.spread(docs.select(col(idCol).as("id"),
-        array_remove(T.tokens(col(textCol)), "").as("toks")))
-      .select(col("id"), explode(col("toks")).as("tok"))
+        col(textCol).as("__t")))
+      .select(col("id"),
+        explode(array_remove(T.tokens(col("__t")), "")).as("tok"))
     ex.join(broadcast(vocab), col("tok") === col("__vtok"), "left")
       .groupBy(col("id").as(idCol))
       .agg(

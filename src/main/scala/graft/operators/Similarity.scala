@@ -56,18 +56,33 @@ object Similarity {
       k: Int,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    def quantized(df: DataFrame, id: String, v: String) = df.select(
-      col(idCol).as(id),
-      V.quantize(col(vecCol), V.quantScale(col(vecCol))).as(v))
+    // Physical shape (optimization r17, guide §1.2 step 2 + §2.5):
+    //  - the scale is precomputed ONCE per row — inlining quantScale as
+    //    the quantize lambda's scale argument re-evaluated the
+    //    array_max(transform(abs)) per ELEMENT (interpreted HOFs have no
+    //    common-subexpression reuse), O(d²) per row;
+    //  - the zero-norm exclusion is `quantScale > 0` on the RAW vector,
+    //    value-equivalent to the old post-join dot(q,q) > 0 filter
+    //    (scale > 0 iff some |xᵢ| > 0, and then the max element
+    //    quantizes to ±127 so the self-dot is ≥ 127²; scale = 0 iff all
+    //    zeros iff the self-dot is 0) — one O(d) pass, where the old
+    //    filter's pushdown substituted the full quantize+dot into the
+    //    scan stage BELOW the Fan-spread exchange, running it on the
+    //    (often 1-partition) raw scan;
+    //  - the corpus quantization projection sits ABOVE the spread for
+    //    the same reason.
+    def quantized(df: DataFrame, id: String, v: String) = df
+      .withColumn("__s", V.quantScale(col(vecCol)))
+      .filter(col("__s") > 0.0)
+      .select(col(idCol).as(id), V.quantize(col(vecCol), col("__s")).as(v))
     val q = broadcast(quantized(queries, "query_id", "qq"))
-    val c = Fan.spread(quantized(corpus, "neighbor_id", "qc"))
+    val c = quantized(
+      Fan.spread(corpus.select(col(idCol), col(vecCol))), "neighbor_id", "qc")
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dqq", V.dotInt(col("qq"), col("qq")))
-      .withColumn("dcc", V.dotInt(col("qc"), col("qc")))
-      .filter(col("dqq") > 0 && col("dcc") > 0)
       .select(col("query_id"), col("neighbor_id"),
         (V.dotInt(col("qq"), col("qc")).cast("double") /
-          sqrt(col("dqq").cast("double") * col("dcc").cast("double"))).as("qcos"))
+          sqrt(V.dotInt(col("qq"), col("qq")).cast("double") *
+            V.dotInt(col("qc"), col("qc")).cast("double"))).as("qcos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
     scored
