@@ -1562,7 +1562,11 @@ object SparkEntry {
         l2Assign = true)
       val dc0 = Similarity.coarseDistortionL2(e, anchors0)
       val dcT = Similarity.coarseDistortionL2(e, anchors)
-      val res = Similarity.ivfResiduals(e, anchors)
+      // eager checkpoint: the residual frame has FOUR consumers (seed +
+      // trained codebook training, both distortion passes) — without it
+      // each re-runs the per-row argmin-assignment + residual projection
+      // over the corpus (optimization r17, guide §5)
+      val res = Similarity.ivfResiduals(e, anchors).localCheckpoint(true)
       val cb0 = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
         iters = 0, vecCol = "rv")
       val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
@@ -2955,9 +2959,10 @@ object SparkEntry {
     "rbo_rankings" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val terms = Seq("spark", "vector", "customer")
-      val a = graft.operators.Curation.bm25Search(docs, terms, topK = 10)
-      val b = graft.operators.Curation.bm25Search(docs, terms, topK = 10,
-        b = 0.0)
+      // one shared tokenize/docLens/tf pass for both b-variants
+      // (optimization r17 — scores bit-identical to independent calls)
+      val Seq(a, b) = graft.operators.Curation.bm25SearchVariants(
+        docs, terms, bs = Seq(0.75, 0.0), topK = 10)
       graft.operators.Retrieval.rboOverlap(a, b, k = 10, scoreCol = "bm25")
     }),
 

@@ -1234,14 +1234,44 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val (docLens, corpus, tf) = bm25Frames(docs, terms, textCol, idCol)
+    bm25ScoreTail(docLens, corpus, tf, topK, k1, b, idCol)
+  }
+
+  /** Several [[bm25Search]] variants (e.g. b on/off for ranker A/B
+    * comparison) over ONE shared tokenize/docLens/tf pass (optimization
+    * r17, guide §1.2 step 1): the corpus frames depend only on the query
+    * TERMS, not on (k1, b), so n independent bm25Search calls rebuilt n
+    * identical checkpoint sets. Scores are bit-identical to independent
+    * calls — same expression trees over the same frames. */
+  def bm25SearchVariants(
+      docs: DataFrame,
+      terms: Seq[String],
+      bs: Seq[Double],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Seq[DataFrame] = {
+    require(terms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val (docLens, corpus, tf) = bm25Frames(docs, terms, textCol, idCol)
+    bs.map(b => bm25ScoreTail(docLens, corpus, tf, topK, k1, b, idCol))
+  }
+
+  /** The shared BM25 corpus frames: doc length as a per-row count over
+    * the (empty-filtered) token vector (docs with zero tokens still
+    * count toward n_docs/avgdl), tf filtered to the query terms BEFORE
+    * aggregation. Eager localCheckpoints (the minhashLsh policy):
+    * docLens feeds both the corpus rollup and the scoring join, tf both
+    * the df aggregation and the join — without them each consumer
+    * re-scans and re-tokenizes the full corpus (4 text passes instead of
+    * 2); both frames are slim (2-3 columns, docs/terms rows, never
+    * token-scale). */
+  private def bm25Frames(
+      docs: DataFrame,
+      terms: Seq[String],
+      textCol: String,
+      idCol: String): (DataFrame, DataFrame, DataFrame) = {
     val base = Fan.spread(docs.select(col(idCol), col(textCol)))
-    // doc length as a per-row count over the (empty-filtered) token
-    // vector; docs with zero tokens still count toward n_docs/avgdl
-    // eager localCheckpoints (the minhashLsh policy): docLens feeds both
-    // the corpus rollup and the scoring join, tf feeds both the df
-    // aggregation and the join — without them each consumer re-scans and
-    // re-tokenizes the full corpus (4 text passes instead of 2); both
-    // frames are slim (2-3 columns, docs/terms rows, never token-scale)
     val docLens = base.select(col(idCol),
       size(filter(T.tokens(col(textCol)), tk => length(tk) > 0))
         .cast("long").as("dl"))
@@ -1254,6 +1284,17 @@ object Curation {
       .filter(length(col("term")) > 0 && col("term").isin(terms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    (docLens, corpus, tf)
+  }
+
+  private def bm25ScoreTail(
+      docLens: DataFrame,
+      corpus: DataFrame,
+      tf: DataFrame,
+      topK: Int,
+      k1: Double,
+      b: Double,
+      idCol: String): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = tf.join(broadcast(df), "term")
       .join(docLens, idCol).crossJoin(corpus)
