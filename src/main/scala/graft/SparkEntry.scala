@@ -1562,11 +1562,7 @@ object SparkEntry {
         l2Assign = true)
       val dc0 = Similarity.coarseDistortionL2(e, anchors0)
       val dcT = Similarity.coarseDistortionL2(e, anchors)
-      // eager checkpoint: the residual frame has FOUR consumers (seed +
-      // trained codebook training, both distortion passes) — without it
-      // each re-runs the per-row argmin-assignment + residual projection
-      // over the corpus (optimization r17, guide §5)
-      val res = Similarity.ivfResiduals(e, anchors).localCheckpoint(true)
+      val res = Similarity.ivfResiduals(e, anchors)
       val cb0 = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
         iters = 0, vecCol = "rv")
       val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
