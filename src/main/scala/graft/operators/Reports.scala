@@ -111,10 +111,24 @@ object Reports {
     val sets = Fan.spread(sample.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         T.charShingles(col(textCol), shingleN).as("__s"))
+      .select(col("__id"), col("__s"), size(col("__s")).as("__n"))
       .localCheckpoint() // both sides of the truth self-join + the LSH run
-    val truth = sets.select(col("__id").as("id_a"), col("__s").as("__sa"))
-      .crossJoin(sets.select(col("__id").as("id_b"), col("__s").as("__sb")))
-      .filter(col("id_a") < col("id_b"))
+    // size prefilter before the per-pair kernel (optimization r17, guide
+    // §1.2 step 2 — prune before the expensive inner loop, provably
+    // lossless): the kernel's intersection count is ≤ min(n_a, n_b) (raw
+    // lengths upper-bound the distinct intersection) and its denominator
+    // is ≥ max(n_a, n_b), so jaccard ≤ min/max — a pair with
+    // min < t_min · max can never reach the __tj ≥ t_min cut below, and
+    // the two-int compare replaces the ~300-element set walk for every
+    // size-incompatible pair of the sample² loop (the AllPairs length
+    // filter, applied to the truth side).
+    val truth = sets.select(col("__id").as("id_a"), col("__s").as("__sa"),
+        col("__n").as("__na"))
+      .crossJoin(sets.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__n").as("__nb")))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")).cast("double") >=
+          lit(thresholds.min) * greatest(col("__na"), col("__nb")).cast("double"))
       // native per-pair kernel (optimization r17): see [[lshCalibration]]
       .select(col("id_a"), col("id_b"),
         round(org.apache.spark.sql.graft.MinhashExpressionFunctions
@@ -2042,17 +2056,32 @@ object Reports {
       .select(col("__g"), col("__h1"), col("__h2"),
         ((col("__x2") - col("__x1")).cast("double") /
           (col("__h2") - col("__h1")).cast("double")).as("__s"))
-    val wS = Window.partitionBy(col("__g"))
-      .orderBy(col("__s"), col("__h1"), col("__h2"))
+    // Slope median via a DISTINCT-SLOPE census (optimization r17, guide
+    // §2.3 "aggregate before you shuffle" + §2.5): the old row_number
+    // window sorted every group's full hours²/2 pair stream on ONE task
+    // per group (the query's two dominant stages — parallelism was
+    // structurally #groups). Slopes repeat heavily (integer count deltas
+    // over integer hour deltas), so a (group, slope)-keyed count — fully
+    // parallel, map-side partials — collapses the stream ~10×, and the
+    // rank selection walks the small sorted census. Value-identical: the
+    // old rank's (__s, __h1, __h2) tie-break never crosses a VALUE
+    // boundary, so the element at rank r has the same __s as the census
+    // row whose cumulative count first reaches r; slopes are
+    // 0-or-finite/positive divisions (h2 > h1), never -0.0 or NaN, so
+    // double-key grouping cannot merge distinguishable sort keys.
     val wAll = Window.partitionBy(col("__g"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val med = pairs
-      .withColumn("__rk", row_number().over(wS))
-      .withColumn("__np", count(lit(1)).over(wAll))
+      .groupBy(col("__g"), col("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__np", sum(col("__c")).over(wAll))
       .groupBy(col("__g"))
       .agg(max(col("__np")).as("n_pairs"),
-        round((max(when(col("__rk") === expr("(__np + 1) div 2"),
-          col("__s"))) +
-          max(when(col("__rk") === expr("__np div 2 + 1"), col("__s")))) /
+        round((max(when(col("__cum") - col("__c") < expr("(__np + 1) div 2") &&
+          col("__cum") >= expr("(__np + 1) div 2"), col("__s"))) +
+          max(when(col("__cum") - col("__c") < expr("__np div 2 + 1") &&
+            col("__cum") >= expr("__np div 2 + 1"), col("__s")))) /
           lit(2.0), 6).as("slope_per_hour"))
     val resid = hourly
       .join(broadcast(med.select(col("__g"), col("slope_per_hour"))),
