@@ -1507,8 +1507,9 @@ object SparkEntry {
       // every query the codebook serves (AnnArtifacts persists it)
       val init = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 0)
       val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 2)
-      val dInit = Similarity.pqDistortionDistributed(e, init)
-      val dTrained = Similarity.pqDistortionDistributed(e, cb)
+      // both Lloyd objectives in ONE corpus pass (optimization r17)
+      val Seq(dInit, dTrained) =
+        Similarity.pqDistortionsDistributed(e, Seq(init, cb))
       // 1e-6 relative slack: centroid means are rounded to Float each
       // Lloyd round (~1e-7 relative), so a near-converged redraw can
       // exceed a 1e-9 tolerance without any real training regression
@@ -1560,15 +1561,17 @@ object SparkEntry {
         l2Assign = true)
       val anchors = Similarity.kmeansAnchors(e, k = 8, iters = 2,
         l2Assign = true)
-      val dc0 = Similarity.coarseDistortionL2(e, anchors0)
-      val dcT = Similarity.coarseDistortionL2(e, anchors)
+      // seed-vs-trained distortions fused into ONE pass per frame
+      // (optimization r17, guide §1.2 step 1): 4 audit scans -> 2
+      val Seq(dc0, dcT) =
+        Similarity.coarseDistortionsL2(e, Seq(anchors0, anchors))
       val res = Similarity.ivfResiduals(e, anchors)
       val cb0 = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
         iters = 0, vecCol = "rv")
       val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
         iters = 2, vecCol = "rv")
-      val dp0 = Similarity.pqDistortionDistributed(res, cb0, vecCol = "rv")
-      val dpT = Similarity.pqDistortionDistributed(res, cb, vecCol = "rv")
+      val Seq(dp0, dpT) =
+        Similarity.pqDistortionsDistributed(res, Seq(cb0, cb), vecCol = "rv")
       // same 1e-6 relative slack as vector_pq_kmeans: Float centroid
       // rounding per Lloyd round can exceed 1e-9 near convergence
       val coarseOk = dcT <= dc0 + 1e-9 + math.abs(dc0) * 1e-6

@@ -382,6 +382,54 @@ object Similarity {
     row.getDouble(0) / row.getLong(1)
   }
 
+  /** SEVERAL codebooks' mean PQ distortions in ONE corpus pass
+    * (optimization r17, guide §1.2 step 1): the seed-vs-trained Lloyd
+    * audits ran one full scan per codebook, but the per-row distance
+    * columns are independent expressions — one select + one aggregate
+    * computes every sum. Same IEEE partial-sum caveat as the
+    * single-codebook form (callers compare with relative slack). */
+  def pqDistortionsDistributed(
+      corpus: DataFrame,
+      cbs: Seq[PqCodebook],
+      vecCol: String = "embedding"): Seq[Double] = {
+    require(cbs.nonEmpty, "need at least one codebook")
+    val eCols = cbs.zipWithIndex.map { case (cb, i) =>
+      cb.books.zipWithIndex.map { case (book, s) =>
+        val sorted = book.sortBy(_._1)
+        org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+          col(vecCol), sorted.map(_._1).toArray,
+          sorted.map(_._2.toArray).toArray, s * cb.width, cb.width)
+      }.reduce(_ + _).as(s"__e$i")
+    }
+    val aggs = cbs.indices.map(i => sum(col(s"__e$i")).as(s"__s$i")) :+
+      count(lit(1)).as("__n")
+    val row = corpus.select(eCols: _*).agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(row.getLong(cbs.size) > 0, "distortion of an empty corpus")
+    cbs.indices.map(i => row.getDouble(i) / row.getLong(cbs.size))
+  }
+
+  /** SEVERAL anchor sets' mean nearest-anchor squared-L2 distances in
+    * ONE corpus pass — the coarse-quantizer analogue of
+    * [[pqDistortionsDistributed]] for seed-vs-trained audits. */
+  def coarseDistortionsL2(
+      corpus: DataFrame,
+      anchorSets: Seq[Seq[(Long, Seq[Float])]],
+      vecCol: String = "embedding"): Seq[Double] = {
+    require(anchorSets.nonEmpty && anchorSets.forall(_.nonEmpty),
+      "distortion against an empty anchor set")
+    val eCols = anchorSets.zipWithIndex.map { case (anchors, i) =>
+      val sorted = anchors.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+        col(vecCol), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, 0, sorted.head._2.size).as(s"__e$i")
+    }
+    val aggs = anchorSets.indices.map(i => sum(col(s"__e$i")).as(s"__s$i")) :+
+      count(lit(1)).as("__n")
+    val row = corpus.select(eCols: _*).agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(row.getLong(anchorSets.size) > 0, "distortion of an empty corpus")
+    anchorSets.indices.map(i => row.getDouble(i) / row.getLong(anchorSets.size))
+  }
+
   /** Mean full-width squared-L2 distance to the nearest anchor — the
     * Lloyd objective of [[kmeansAnchors]] with `l2Assign = true`,
     * computed in one distributed pass (the coarse-quantizer half of an
