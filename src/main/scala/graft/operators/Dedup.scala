@@ -632,12 +632,17 @@ object Dedup {
     val (jSrc, jDst) =
       if (nNodes <= maxBroadcastLabels) (broadcast(l1src), broadcast(l1dst))
       else (l1src, l1dst)
+    // the contracted-edge count rides the checkpoint's materialization
+    // job via observe (optimization r17 — the labels1 pattern; a
+    // separate count() was one more job per CC call)
+    val cObs = org.apache.spark.sql.Observation()
     val contracted = snap(fullEdges
       .join(jSrc, Seq("src"))
       .join(jDst, Seq("dst"))
       .select(col("csrc").as("src"), col("cdst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct()
+      .observe(cObs, count(lit(1)).as("n")))
     fullEdges.unpersist()
 
     // After one contraction the component graph is usually orders of
@@ -650,7 +655,7 @@ object Dedup {
     // that genuinely doesn't fit a driver — the distributed min-label
     // loop runs as before. Both paths produce identical labels (the
     // component's minimum original id).
-    val nEdges = contracted.count()
+    val nEdges = cObs.get("n").asInstanceOf[Long]
     val resolved =
       if (nEdges == 0) labels1
       else if (nEdges <= maxDriverEdges) {
