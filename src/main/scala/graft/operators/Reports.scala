@@ -43,9 +43,16 @@ object Reports {
     // session's parallelism instead of one AQE-coalesced task
     val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleN, k, bands,
       tier = tier)
+    // sorted-distinct per-doc sets + raw sizes: the per-pair truth
+    // re-check below uses the allocation-free merge-walk intersect (see
+    // [[lshRecall]]'s rationale — per-doc canonicalization, per-pair
+    // two-pointer walk, bit-identical ratio)
     val sets = Fan.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         T.charShingles(col(textCol), shingleN).as("__s"))
+      .select(col("__id"),
+        array_sort(array_distinct(col("__s"))).as("__sd"),
+        size(col("__s")).as("__n"))
       .localCheckpoint() // two consumers (id_a side and id_b side)
     // explicit broadcast of the shingle-set sides (guide §3.1): the
     // localCheckpoint erased sets' statistics, so the planner would fall
@@ -55,16 +62,21 @@ object Reports {
     // broadcasts; the Jaccard projection then fuses over the wide pair
     // partitions with no further exchange.
     pairs
-      .join(broadcast(sets.select(col("__id").as("id_a"), col("__s").as("__sa"))),
-        Seq("id_a"))
-      .join(broadcast(sets.select(col("__id").as("id_b"), col("__s").as("__sb"))),
-        Seq("id_b"))
-      // native per-pair kernel (optimization r17): bit-identical to
-      // round(T.jaccard(...), 6) without materializing the intersection
-      // array per pair — this projection is the query's hot loop
+      .join(broadcast(sets.select(col("__id").as("id_a"), col("__sd").as("__sda"),
+        col("__n").as("__na"))), Seq("id_a"))
+      .join(broadcast(sets.select(col("__id").as("id_b"), col("__sd").as("__sdb"),
+        col("__n").as("__nb"))), Seq("id_b"))
+      // native merge-walk kernel (optimization r17): bit-identical to
+      // round(T.jaccard(...), 6) — this projection is the query's hot
+      // loop; the two-step select evaluates the count once per pair
+      .select(col("est_jaccard"), col("__na"), col("__nb"),
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .sortedIntersectColumn(col("__sda"), col("__sdb")).cast("double")
+          .as("__ic"))
       .select(col("est_jaccard"),
-        round(org.apache.spark.sql.graft.MinhashExpressionFunctions
-          .jaccardColumn(col("__sa"), col("__sb")), 6).as("__tj"))
+        round(col("__ic") / greatest(
+          (col("__na") + col("__nb")).cast("double") - col("__ic"),
+          lit(1.0)), 6).as("__tj"))
       .select(col("est_jaccard"), col("__tj"),
         round(abs(col("est_jaccard") - col("__tj")), 6).as("__err"))
       .groupBy(col("est_jaccard"))
@@ -108,11 +120,20 @@ object Reports {
     val sample = docs.filter(
       pmod(graft.functions.HashFunctions.md5Bucket(seed, col(idCol)),
         lit(1000000L)) < lit((sampleFrac * 1000000L).toLong))
+    // per-DOC canonicalization (optimization r17, guide §1.2 step 2 —
+    // move per-pair work to per-doc): the truth kernel intersects
+    // SORTED-DISTINCT sets with an allocation-free merge walk
+    // ([[org.apache.spark.sql.graft.SortedIntersectCount]]), so the sort
+    // + dedupe happens once per doc here instead of a hash-set build per
+    // PAIR in the sample² loop; the RAW size rides along because the
+    // jaccard denominator is defined over the original arrays.
     val sets = Fan.spread(sample.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         T.charShingles(col(textCol), shingleN).as("__s"))
-      .select(col("__id"), col("__s"), size(col("__s")).as("__n"))
-      .localCheckpoint() // both sides of the truth self-join + the LSH run
+      .select(col("__id"),
+        array_sort(array_distinct(col("__s"))).as("__sd"),
+        size(col("__s")).as("__n"))
+      .localCheckpoint() // both sides of the truth self-join
     // size prefilter before the per-pair kernel (optimization r17, guide
     // §1.2 step 2 — prune before the expensive inner loop, provably
     // lossless): the kernel's intersection count is ≤ min(n_a, n_b) (raw
@@ -122,17 +143,28 @@ object Reports {
     // the two-int compare replaces the ~300-element set walk for every
     // size-incompatible pair of the sample² loop (the AllPairs length
     // filter, applied to the truth side).
-    val truth = sets.select(col("__id").as("id_a"), col("__s").as("__sa"),
+    // the two-step select keeps the merge-walk count evaluated ONCE per
+    // pair (inlining it into the ratio would re-evaluate it — interpreted
+    // projections have no common-subexpression reuse); the ratio below
+    // replicates JaccardHelper's exact IEEE sequence over RAW sizes, so
+    // __tj is bit-identical to the hash-kernel formulation (pinned by
+    // MinhashExpressionsSpec)
+    val truth = sets.select(col("__id").as("id_a"), col("__sd").as("__sda"),
         col("__n").as("__na"))
-      .crossJoin(sets.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      .crossJoin(sets.select(col("__id").as("id_b"), col("__sd").as("__sdb"),
         col("__n").as("__nb")))
       .filter(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast("double") >=
           lit(thresholds.min) * greatest(col("__na"), col("__nb")).cast("double"))
-      // native per-pair kernel (optimization r17): see [[lshCalibration]]
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .sortedIntersectColumn(col("__sda"), col("__sdb"),
+            asDeterministic = false).cast("double")
+          .as("__ic"))
       .select(col("id_a"), col("id_b"),
-        round(org.apache.spark.sql.graft.MinhashExpressionFunctions
-          .jaccardColumn(col("__sa"), col("__sb")), 6).as("__tj"))
+        round(col("__ic") / greatest(
+          (col("__na") + col("__nb")).cast("double") - col("__ic"),
+          lit(1.0)), 6).as("__tj"))
       .filter(col("__tj") >= thresholds.min)
     // explicit co-partitioning of the truth⟕candidates join (optimization
     // r17, guide §2.5): both sides are slim (id, id) rows, so AQE's

@@ -222,6 +222,81 @@ object JaccardHelper {
   }
 }
 
+/** Intersection COUNT of two SORTED-DISTINCT `array<string>` columns as
+  * one allocation-free merge walk — the per-pair kernel for truth loops
+  * whose per-DOC sets can be canonicalized once
+  * (`array_sort(array_distinct(...))` in the doc-side projection) instead
+  * of hashed per PAIR: [[JaccardSimilarity]] builds and probes a hash set
+  * for every pair evaluation (~n hash+equals of short strings plus the
+  * set allocation), while two already-sorted sides intersect in ≤ n_a+n_b
+  * unsigned-byte compares with zero allocation (optimization r17, guide
+  * §1.2 step 2 — move per-pair work to per-doc).
+  *
+  * CONTRACT: both inputs strictly ascending in UTF8String (unsigned-byte)
+  * order with no duplicates — exactly `array_sort(array_distinct(x))` for
+  * arrays without null elements, plus at most one trailing null
+  * (array_sort places nulls last; two trailing nulls match like
+  * array_intersect's null-matches-null). The count equals
+  * `size(array_intersect(a, b))` of the ORIGINAL arrays, because
+  * array_intersect is distinct-based. NULL if either array is NULL. */
+case class SortedIntersectCount(left: Expression, right: Expression,
+    asDeterministic: Boolean = true)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_n"
+  // `asDeterministic = false` is the guide §4.4 duplication stopper for
+  // consumers whose downstream FILTER references a column derived from
+  // this kernel: Catalyst pushes such filters through projections by
+  // SUBSTITUTION, so a threshold filter above a pair join lands in the
+  // join condition with the kernel inlined — evaluated twice there (the
+  // ratio references the count in numerator and denominator) plus once
+  // in the output projection. The value is pure (the flag only blocks
+  // reorder/duplication); flip it only on the expensive hot-loop sites.
+  override lazy val deterministic: Boolean = asDeterministic
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectHelper.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectHelper {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      // nulls sort last (array_sort semantics): a null on one side means
+      // only nulls remain THERE — the other side may still hold non-null
+      // elements before its own trailing null, so advance it to a null
+      // (if any) and count the null∩null match exactly once
+      if (a.isNullAt(i)) {
+        while (j < nb && !b.isNullAt(j)) j += 1
+        if (j < nb) n += 1
+        return n
+      }
+      if (b.isNullAt(j)) {
+        while (i < na && !a.isNullAt(i)) i += 1
+        if (i < na) n += 1
+        return n
+      }
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 object MinhashExpressionFunctions {
   /** DataFrame-API surface for the one-pass MinHash signature. */
   def minhashSigColumn(text: Column, shingleN: Int, k: Int, xxTier: Boolean): Column =
@@ -232,4 +307,13 @@ object MinhashExpressionFunctions {
   def jaccardColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** DataFrame-API surface for the sorted-distinct intersect count.
+    * `asDeterministic = false` stops filter-pushdown duplication (see
+    * the expression's scaladoc); values are identical either way. */
+  def sortedIntersectColumn(a: Column, b: Column,
+      asDeterministic: Boolean = true): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      asDeterministic))
 }

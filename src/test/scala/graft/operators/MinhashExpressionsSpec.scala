@@ -77,6 +77,52 @@ class MinhashExpressionsSpec extends SparkSpec {
     }
   }
 
+  "SortedIntersectCount (native)" should "reproduce the hash-kernel jaccard bit-for-bit from sorted-distinct sets + raw sizes" in {
+    // the lshRecall/lshCalibration formulation: per-doc
+    // array_sort(array_distinct(s)) + raw size, per-pair merge-walk count,
+    // ratio = ic / max((na+nb) - ic, 1) over doubles — must equal the
+    // JaccardSimilarity kernel on the ORIGINAL arrays exactly
+    val crafted = Seq[(Seq[String], Seq[String])](
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "x", "x")),
+      (Seq(), Seq("a")),
+      (Seq(), Seq()),
+      (Seq("a", null, "b"), Seq(null, "c")),
+      (Seq("x"), Seq("y")),
+      (Seq("s", "t"), Seq("s", "t")),
+      (null, Seq("a")),
+      (Seq("a"), null)
+    ).toDF("a", "b")
+    val real = {
+      val sets = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+        .select(col("doc_id").as("id"), T.charShingles(col("text"), 5).as("s"))
+      sets.select(col("s").as("a"))
+        .crossJoin(sets.select(col("s").as("b")))
+    }
+    for (rows <- Seq(crafted, real)) {
+      val ic = org.apache.spark.sql.graft.MinhashExpressionFunctions
+        .sortedIntersectColumn(
+          array_sort(array_distinct(col("a"))),
+          array_sort(array_distinct(col("b")))).cast("double")
+      val out = rows.select(
+        (ic / greatest(
+          (org.apache.spark.sql.functions.size(col("a")) +
+            org.apache.spark.sql.functions.size(col("b"))).cast("double") - ic,
+          lit(1.0))).as("native"),
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .jaccardColumn(col("a"), col("b")).as("ref")).collect()
+      out should not be empty
+      out.foreach { r =>
+        withClue(s"row $r: ") {
+          if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+          else java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+        }
+      }
+    }
+  }
+
   it should "match the reference on real shingle-set pairs" in {
     val sets = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(40)
