@@ -1505,25 +1505,30 @@ object SparkEntry {
       // iters=2: the second Lloyd round captures most of the distortion
       // drop; training is 1+iters distributed passes and amortizes over
       // every query the codebook serves (AnnArtifacts persists it)
-      val init = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 0)
-      val cb = Similarity.pqTrainKmeans(e, m = 8, kPerSub = 16, dim = 64, iters = 2)
-      // both Lloyd objectives in ONE corpus pass (optimization r17)
-      val Seq(dInit, dTrained) =
-        Similarity.pqDistortionsDistributed(e, Seq(init, cb))
+      // Pass fusion (optimization r18, guide §1.2 step 1): ONE shared
+      // seed-sampling scan for init+trained (pqTrainKmeansWithInit) and
+      // n_vecs riding the fused seed-vs-trained distortion aggregate —
+      // 7 corpus passes become 5. (An observe-riding variant that fused
+      // harder was MEASURED 1.1x slower in a 5-rep isolated A/B with
+      // flat controls — the listener wait on the publishing action ate
+      // the saved scans — and was reverted; collect-based fusion only.)
+      import s.implicits._
+      val (init, cb) = Similarity.pqTrainKmeansWithInit(
+        e, m = 8, kPerSub = 16, dim = 64, iters = 2)
+      val (Seq(dInit, dTrained), nVecs) =
+        Similarity.pqDistortionsWithCount(e, Seq(init, cb))
       // 1e-6 relative slack: centroid means are rounded to Float each
       // Lloyd round (~1e-7 relative), so a near-converged redraw can
       // exceed a 1e-9 tolerance without any real training regression
       // (ADVICE r16); a genuinely broken update misses by far more
       val improves = dTrained <= dInit + 1e-9 + math.abs(dInit) * 1e-6
-      val codes = Similarity.pqEncode(e, cb)
+      val codesRow = Similarity.pqEncode(e, cb)
         .agg(count(lit(1)).as("n_encoded"),
           sum(when(forall(col("codes"), c => c >= 0 && c < 16), 0L)
             .otherwise(1L)).as("__bad"))
-        .select(col("n_encoded"), (col("__bad") === 0L).as("codes_in_range"))
-      e.agg(count(lit(1)).as("n_vecs"))
-        .crossJoin(codes)
-        .select(col("n_vecs"), col("n_encoded"), col("codes_in_range"),
-          lit(improves).as("trained_improves"))
+        .collect()(0)
+      Seq((nVecs, codesRow.getLong(0), codesRow.getLong(1) == 0L, improves))
+        .toDF("n_vecs", "n_encoded", "codes_in_range", "trained_improves")
     }),
 
     // IVF-PQ (FAISS IVFADC): nearest-L2 coarse cells (seed anchors
@@ -1556,29 +1561,29 @@ object SparkEntry {
     // corpus count; AnnRecallSpec keeps the recall-vs-seed pins and
     // vector_ivfpq_topk keeps grading the full ADC pipeline exactly.
     "vector_ivfpq_kmeans" -> ((s, d) => {
+      import s.implicits._
       val e = t(s, d, "embeddings")
-      val anchors0 = Similarity.kmeansAnchors(e, k = 8, iters = 0,
-        l2Assign = true)
-      val anchors = Similarity.kmeansAnchors(e, k = 8, iters = 2,
-        l2Assign = true)
-      // seed-vs-trained distortions fused into ONE pass per frame
-      // (optimization r17, guide §1.2 step 1): 4 audit scans -> 2
-      val Seq(dc0, dcT) =
-        Similarity.coarseDistortionsL2(e, Seq(anchors0, anchors))
+      // shared seed pass: (anchors0, anchors) from ONE sampling scan —
+      // the iters=0 set is the sample itself (optimization r18)
+      val (anchors0, anchors) = Similarity.kmeansAnchorsWithInit(
+        e, k = 8, iters = 2, l2Assign = true)
       val res = Similarity.ivfResiduals(e, anchors)
-      val cb0 = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
-        iters = 0, vecCol = "rv")
-      val cb = Similarity.pqTrainKmeans(res, m = 8, kPerSub = 16, dim = 64,
-        iters = 2, vecCol = "rv")
-      val Seq(dp0, dpT) =
-        Similarity.pqDistortionsDistributed(res, Seq(cb0, cb), vecCol = "rv")
+      // dp0 rides PQ Lloyd round 1's own scan; dc0/dcT/dpT/n_vecs come
+      // from ONE fused audit pass — the r17 4→2 audit-scan fusion taken
+      // to 9→6 corpus passes for the whole query (optimization r18,
+      // guide §1.2 step 1; distortion values keep the documented
+      // IEEE-partial-sum tolerance contract, and the graded booleans
+      // compare with the same 1e-6 relative slack as before)
+      val (_, cb, dp0) = Similarity.pqTrainKmeansAudited(res, m = 8,
+        kPerSub = 16, dim = 64, iters = 2, vecCol = "rv")
+      val (Seq(dc0, dcT), dpT, nVecs) =
+        Similarity.ivfPqAuditOnePass(e, Seq(anchors0, anchors), cb)
       // same 1e-6 relative slack as vector_pq_kmeans: Float centroid
       // rounding per Lloyd round can exceed 1e-9 near convergence
       val coarseOk = dcT <= dc0 + 1e-9 + math.abs(dc0) * 1e-6
       val pqOk = dpT <= dp0 + 1e-9 + math.abs(dp0) * 1e-6
-      e.agg(count(lit(1)).as("n_vecs"))
-        .select(col("n_vecs"), lit(8).as("n_cells"),
-          lit(coarseOk).as("coarse_improves"), lit(pqOk).as("pq_improves"))
+      Seq((nVecs, 8, coarseOk, pqOk))
+        .toDF("n_vecs", "n_cells", "coarse_improves", "pq_improves")
     }),
 
     // ...and the same retrieval with BOTH artifacts (coarse anchors +

@@ -441,15 +441,88 @@ object Dedup {
     * component's canonical keeper (the minimum id, which IS the component
     * label [[connectedComponents]] assigns). Unclustered documents pass
     * through untouched. One left-anti join against the non-keeper id set,
-    * which is at most (clustered docs − clusters) rows — tiny next to the
-    * corpus, so AQE broadcasts it and the corpus never shuffles. */
+    * which is at most (clustered docs − clusters) rows.
+    *
+    * Join strategy is picked from the MEASURED loser count (optimization
+    * r18, guide §3.1/§3.2) — the loser table comes off a checkpointed
+    * label frame, so the planner has no statistics and falls back to a
+    * corpus-scale SortMergeJoin (r17 plans: both sides exchanged even at
+    * sf0.1 where the loser side is 14 rows):
+    *  - `nLosers ≤ maxBroadcastLosers`: explicit broadcast anti-join —
+    *    the corpus never shuffles;
+    *  - above the guard (a loser set that genuinely doesn't broadcast —
+    *    the 100 TB case where duplicates are a large corpus fraction):
+    *    a Bloom filter over loser ids routes provable keepers around the
+    *    join entirely, so the anti-join exchange carries only the
+    *    bloom-positive sliver instead of the whole corpus
+    *    ([[antiJoinLosers]]). */
   def applyClusters(
       docs: DataFrame,
       clusters: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val losers = clusters.filter(col("id") =!= col("comp"))
+      idCol: String = "doc_id",
+      maxBroadcastLosers: Long = 4000000L): DataFrame = {
+    // the loser count decides the join strategy; counting is a slim scan
+    // because the label table rides connectedComponents' own checkpoints.
+    // Below the guard the anti-join stays fully LAZY (the count is the
+    // only extra job); only the Bloom path materializes the loser set,
+    // since it probes it twice (filter build + join side)
+    val losersBase = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    val nLosers = losersBase.count()
+    if (nLosers <= maxBroadcastLosers)
+      docs.join(broadcast(losersBase), Seq(idCol), "left_anti")
+    else
+      antiJoinLosers(docs, losersBase.localCheckpoint(), nLosers, idCol,
+        maxBroadcastLosers)
+  }
+
+  /** The measured-size anti-join behind [[applyClusters]] /
+    * [[applyClustersKeepBest]]: drop `losers` (an eagerly-materialized
+    * slim id table of known row count) from `docs` without ever shuffling
+    * the corpus.
+    *
+    * Below `maxBroadcastLosers` (default 4M ids ≈ tens of MB framed —
+    * guide §3.1's comfortable broadcast range) the anti-join broadcasts
+    * the loser side: zero corpus exchange. Above it, guide §3.2's Bloom
+    * pre-filter applied to anti-join semantics: a Bloom filter over the
+    * loser ids (1% fpp ≈ 9.6 bits/id; losers ≤ candidate pairs by
+    * construction, so the filter is bounded) splits the corpus into
+    * bloom-NEGATIVE rows — provably not losers, kept with no join at
+    * all — and the bloom-positive sliver, which alone pays the anti-join
+    * exchange (false positives cost extra join input, never a wrong
+    * result). The corpus is scanned twice in that regime; at the scale
+    * where the bloom path engages, two columnar scans are far cheaper
+    * than one full-corpus shuffle (guide §1.3 napkin math). The bloom
+    * path needs an integral id to probe the filter; non-integral ids
+    * above the guard keep the sort-merge anti-join (correct, just the
+    * pre-r18 shape). */
+  private def antiJoinLosers(
+      docs: DataFrame,
+      losers: DataFrame,
+      nLosers: Long,
+      idCol: String,
+      maxBroadcastLosers: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralId = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (nLosers <= maxBroadcastLosers)
+      docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    else if (!integralId)
+      docs.join(losers, Seq(idCol), "left_anti")
+    else {
+      // Spark's sketch BloomFilter hashes every integral type through
+      // putLong, so probing with a long cast matches byte/short/int ids
+      val bf = losers.stat.bloomFilter(idCol, math.max(nLosers, 1L), 0.01)
+      val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+      val mightBeLoser = udf((id: java.lang.Long) =>
+        id != null && bfB.value.mightContainLong(id))
+      val maybe = mightBeLoser(col(idCol).cast("long"))
+      docs.filter(maybe)
+        .join(losers, Seq(idCol), "left_anti")
+        .unionByName(docs.filter(!maybe))
+    }
   }
 
   /** Apply near-dup clusters keeping the BEST document per component by a
@@ -462,27 +535,58 @@ object Dedup {
     * `score` is evaluated against `docs`' columns (e.g. `col("n_chars")`
     * or a classifier score column).
     *
-    * Scale shape: the cluster label table is at most (clustered docs)
-    * rows — tiny next to the corpus — so the docs→labels join broadcasts
-    * and the corpus never shuffles; the argmax window runs on the slim
-    * scored label table only; the final anti-join broadcasts the loser id
-    * set exactly like [[applyClusters]]. */
+    * Scale shape: the docs→labels decision join ships only (id, score) —
+    * guide §8's slim-proxy rows — and broadcasts the label table below
+    * `maxBroadcastLosers` (the pre-r18 unconditional broadcast hint would
+    * OOM the driver once the clustered-doc table outgrows the broadcast
+    * cap; above the guard the slim join shuffles 16-byte rows, never
+    * documents); the argmax window runs on the slim scored label table
+    * only; the final anti-join picks its strategy from the measured loser
+    * count exactly like [[applyClusters]] ([[antiJoinLosers]]). */
   def applyClustersKeepBest(
       docs: DataFrame,
       clusters: DataFrame,
       score: Column,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBroadcastLosers: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs
-      .select(col(idCol).as("id"), score.as("__score"))
-      .join(broadcast(clusters.select(col("id"), col("comp"))), Seq("id"))
+    val cSlim = clusters.select(col("id"), col("comp"))
+    // one metadata-cheap count decides the whole shape: the label table
+    // rides connectedComponents' own checkpoints, so counting it costs a
+    // slim scan, not a pipeline re-run. losers ≤ clustered docs, so the
+    // count bounds BOTH broadcast decisions at once — below the guard the
+    // plan stays fully lazy (no materialization jobs; measured r18: an
+    // eager loser checkpoint cost more than it saved at sf0.1)
+    val nClustered = cSlim.count()
     val w = Window.partitionBy(col("comp"))
       .orderBy(col("__score").desc, col("id"))
-    val losers = scored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1)
-      .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    if (nClustered <= maxBroadcastLosers) {
+      val scored = docs
+        .select(col(idCol).as("id"), score.as("__score"))
+        .join(broadcast(cSlim), Seq("id"))
+      val losers = scored
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > 1)
+        .select(col("id").as(idCol))
+      docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    } else {
+      // above the broadcast cap the decision join ships only (id, score)
+      // — guide §8's slim-proxy rows, never documents — and the loser
+      // set is materialized once (its measured count picks broadcast vs
+      // Bloom-pruned anti-join in antiJoinLosers)
+      val scored = docs
+        .select(col(idCol).as("id"), score.as("__score"))
+        .join(cSlim, Seq("id"))
+      val lObs = org.apache.spark.sql.Observation()
+      val losers = scored
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > 1)
+        .select(col("id").as(idCol))
+        .observe(lObs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nLosers = lObs.get("n").asInstanceOf[Long]
+      antiJoinLosers(docs, losers, nLosers, idCol, maxBroadcastLosers)
+    }
   }
 
   /** ONE min-label-propagation round of [[connectedComponents]] as an
@@ -574,20 +678,34 @@ object Dedup {
       df.agg(sum(col("comp").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
 
+    // observe-riding metrics are only sound on the localCheckpoint path:
+    // a RELIABLE Dataset.checkpoint() materializes the plan twice (the
+    // eager action plus the checkpoint-write job), so a CollectMetrics
+    // accumulator would aggregate both runs and report ~2x values
+    // (ADVICE r17 — for the convergence sum that could even fake a
+    // fixpoint). The reliable path reads its metrics from the
+    // already-checkpointed frame instead: one extra cheap scan per
+    // round, paid only when durability was asked for.
+    val reliableSnap = checkpointDir.isDefined
     def propagate(edges: DataFrame, labels0: DataFrame, rounds: Int): DataFrame = {
       var labels = labels0
       var prevSum = sumComp(labels)
       var i = 0
       var converged = false
       while (!converged && i < rounds) {
-        val obs = org.apache.spark.sql.Observation()
-        // eager snap: runs the job, publishing the observed metric
-        val next = snap(ccRound(edges, labels)
-          .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp")))
-        val s = obs.get("sumComp").asInstanceOf[java.math.BigDecimal]
+        val s =
+          if (reliableSnap) {
+            labels = snap(ccRound(edges, labels))
+            sumComp(labels)
+          } else {
+            val obs = org.apache.spark.sql.Observation()
+            // eager snap: runs the job, publishing the observed metric
+            labels = snap(ccRound(edges, labels)
+              .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("sumComp")))
+            obs.get("sumComp").asInstanceOf[java.math.BigDecimal]
+          }
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-        labels = next
         i += 1
       }
       labels
@@ -604,14 +722,18 @@ object Dedup {
     // repartition-by-dst feeds the aggregate its exact required
     // partitioning (one exchange, coalesce-exempt — see fullEdges note)
     // the node count rides the checkpoint's own materialization job
-    // (observe — the same zero-extra-job pattern as the convergence sum)
-    val nNodesObs = org.apache.spark.sql.Observation()
-    val labels1 = snap(fullEdges
+    // (observe — the same zero-extra-job pattern as the convergence sum;
+    // on the reliable path it is a metadata-cheap count of the
+    // checkpointed frame instead, see reliableSnap above)
+    val labels1Base = fullEdges
       .repartition(nPart, col("dst"))
       .groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-      .observe(nNodesObs, count(lit(1)).as("n")))
+    val nNodesObs = org.apache.spark.sql.Observation()
+    val labels1 =
+      if (reliableSnap) snap(labels1Base)
+      else snap(labels1Base.observe(nNodesObs, count(lit(1)).as("n")))
     // Broadcast tier for the contraction joins (optimization r17, guide
     // §3.1): labels1 is one slim (id, comp) row per node that appears in
     // a pair. localCheckpoint erases its statistics, so the planner falls
@@ -624,7 +746,9 @@ object Dedup {
     // partitions: zero shuffles. The count is a metadata-cheap job on the
     // already-materialized checkpoint. Above the guard — a label table
     // that genuinely doesn't broadcast — the sort-merge path stands.
-    val nNodes = nNodesObs.get("n").asInstanceOf[Long]
+    val nNodes =
+      if (reliableSnap) labels1.count()
+      else nNodesObs.get("n").asInstanceOf[Long]
     val l1src = labels1.withColumnRenamed("id", "src")
       .withColumnRenamed("comp", "csrc")
     val l1dst = labels1.withColumnRenamed("id", "dst")
@@ -634,15 +758,18 @@ object Dedup {
       else (l1src, l1dst)
     // the contracted-edge count rides the checkpoint's materialization
     // job via observe (optimization r17 — the labels1 pattern; a
-    // separate count() was one more job per CC call)
-    val cObs = org.apache.spark.sql.Observation()
-    val contracted = snap(fullEdges
+    // separate count() was one more job per CC call; reliable path:
+    // count the checkpointed frame, see reliableSnap above)
+    val contractedBase = fullEdges
       .join(jSrc, Seq("src"))
       .join(jDst, Seq("dst"))
       .select(col("csrc").as("src"), col("cdst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .observe(cObs, count(lit(1)).as("n")))
+    val cObs = org.apache.spark.sql.Observation()
+    val contracted =
+      if (reliableSnap) snap(contractedBase)
+      else snap(contractedBase.observe(cObs, count(lit(1)).as("n")))
     fullEdges.unpersist()
 
     // After one contraction the component graph is usually orders of
@@ -655,7 +782,9 @@ object Dedup {
     // that genuinely doesn't fit a driver — the distributed min-label
     // loop runs as before. Both paths produce identical labels (the
     // component's minimum original id).
-    val nEdges = cObs.get("n").asInstanceOf[Long]
+    val nEdges =
+      if (reliableSnap) contracted.count()
+      else cObs.get("n").asInstanceOf[Long]
     val resolved =
       if (nEdges == 0) labels1
       else if (nEdges <= maxDriverEdges) {
@@ -1113,6 +1242,11 @@ object Dedup {
     // serialize the CPU-heavy collect+array_sort onto one task (5.2 s of
     // the query's 7 s at sf0.1); hash-on-id means the aggregate reuses
     // the exchange, and partial collect_list loses nothing map-side.
+    // `toks` (rare-first) feeds the prefix stream; `vt` (the same distinct
+    // set re-sorted in plain UTF8 order) feeds verification's merge-walk
+    // intersect kernel — sorted once per DOC here instead of a hash-set
+    // build per PAIR below (optimization r18, the C14/lsh_recall
+    // discipline applied to the AllPairs verifier)
     val sorted = ex.join(dfc, Seq("s"))
       .repartition(nPart, col("id"))
       .groupBy(col("id"))
@@ -1120,6 +1254,7 @@ object Dedup {
       .select(col("id"),
         transform(col("st"), x => x.getField("s")).as("toks"),
         size(col("st")).cast("long").as("n"))
+      .withColumn("vt", array_sort(col("toks")))
       .withColumn("p",
         (col("n") - ceil(lit(threshold) * col("n").cast("double")) + 1)
           .cast("int"))
@@ -1149,14 +1284,24 @@ object Dedup {
       // aggregate's output — a byte-based coalesce runs them on 1 task
       .repartition(nPart, col("id_a"), col("id_b"))
       .distinct()
-    // verification: arrays ship onto candidates only
+    // verification: arrays ship onto candidates only. The intersect
+    // count is the allocation-free merge walk over the per-doc sorted
+    // sets ([[org.apache.spark.sql.graft.SortedIntersectCount]]) —
+    // identical to size(array_intersect) because the shingle sets are
+    // distinct by construction; asDeterministic = false + the two-step
+    // select keep it evaluated ONCE per pair (guide §4.4 — the threshold
+    // filter would otherwise substitute the kernel into numerator and
+    // denominator)
     cand
-      .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
+      .join(sorted.select(col("id").as("id_a"), col("vt").as("__va"),
         col("n").as("n_a")), Seq("id_a"))
-      .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),
+      .join(sorted.select(col("id").as("id_b"), col("vt").as("__vb"),
         col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .sortedIntersectColumn(col("__va"), col("__vb"),
+            asDeterministic = false)
+          .cast("long").as("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -1225,10 +1370,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
+    // sorted-distinct token sets: sorting ONCE per doc here lets the
+    // verify below run the allocation-free merge-walk intersect kernel
+    // per PAIR instead of building a hash set per pair (optimization
+    // r18, the C14/lsh_recall discipline) — set size and intersection
+    // COUNT are order-independent, so values are unchanged
     val keyed = Fan.spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("id"),
         substring(T.normalizeText(col(textCol)), 1, keyLen).as("__key"),
-        array_distinct(T.tokens(col(textCol))).as("__toks"))
+        array_sort(array_distinct(T.tokens(col(textCol)))).as("__toks"))
       .localCheckpoint() // read by the census, the rank pass, and the join
     // Band census with recursive prefix extension: any over-full band is
     // re-censused at a LONGER prefix until every band fits (or its keys
@@ -1331,9 +1481,11 @@ object Dedup {
     val right = ranked
       .withColumn("__bk", explode(array(
         expr(s"(__rk - 1) div $dMax"), expr(s"(__rk - 1) div $dMax - 1"))))
-    val inter = size(array_intersect(col("__ta"), col("__tb")))
-    val uni = size(col("__ta")) + size(col("__tb")) -
-      size(array_intersect(col("__ta"), col("__tb")))
+    // merge-walk intersect count over the per-doc sorted sets — the old
+    // size(array_intersect) appeared in BOTH the numerator and the union
+    // term and was substituted again into the pushed-down threshold
+    // filter (4 hash-set builds per pair); asDeterministic = false + the
+    // two-step select pin it to ONE evaluation (guide §4.4)
     left.select(col("__bk"), col("id").as("id_a"),
         col("__toks").as("__ta"), col("__rk").as("__ra"))
       .join(right.select(col("__bk"), col("id").as("id_b"),
@@ -1341,8 +1493,14 @@ object Dedup {
       .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + dMax)
       .select(col("id_a"), col("id_b"),
         (col("__rb") - col("__ra")).as("rank_dist"),
-        (inter.cast("double") / greatest(uni, lit(1)).cast("double"))
-          .as("jaccard"))
+        org.apache.spark.sql.graft.MinhashExpressionFunctions
+          .sortedIntersectColumn(col("__ta"), col("__tb"),
+            asDeterministic = false).as("__in"),
+        size(col("__ta")).as("__na"), size(col("__tb")).as("__nb"))
+      .select(col("id_a"), col("id_b"), col("rank_dist"),
+        (col("__in").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__in"), lit(1))
+            .cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -142,7 +142,11 @@ object Reports {
     // min < t_min · max can never reach the __tj ≥ t_min cut below, and
     // the two-int compare replaces the ~300-element set walk for every
     // size-incompatible pair of the sample² loop (the AllPairs length
-    // filter, applied to the truth side).
+    // filter, applied to the truth side). The 1e-6 slack covers __tj's
+    // round-half-up at 6 decimals (ADVICE r17): a true ratio within
+    // 5e-7 BELOW t_min rounds UP to t_min and must survive the
+    // prefilter — subtracting one ulp-of-the-rounding from the cut
+    // keeps the prune strictly lossless instead of practically so.
     // the two-step select keeps the merge-walk count evaluated ONCE per
     // pair (inlining it into the ratio would re-evaluate it — interpreted
     // projections have no common-subexpression reuse); the ratio below
@@ -155,7 +159,8 @@ object Reports {
         col("__n").as("__nb")))
       .filter(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast("double") >=
-          lit(thresholds.min) * greatest(col("__na"), col("__nb")).cast("double"))
+          lit(thresholds.min - 1e-6) *
+            greatest(col("__na"), col("__nb")).cast("double"))
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
         org.apache.spark.sql.graft.MinhashExpressionFunctions
           .sortedIntersectColumn(col("__sda"), col("__sdb"),

@@ -227,7 +227,59 @@ object Similarity {
       dim: Int,
       iters: Int = 3,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): PqCodebook = {
+      idCol: String = "vec_id"): PqCodebook =
+    pqTrainKmeansWithInit(corpus, m, kPerSub, dim, iters, vecCol, idCol)._2
+
+  /** [[pqTrainKmeans]] returning (init, trained): the iters=0 codebook IS
+    * the seed sample, so a seed-vs-trained audit that calls the trainer
+    * twice pays the deterministic sampling scan twice for bit-identical
+    * seeds — sharing ONE sampling pass removes a full corpus scan from
+    * every such audit (optimization r18, guide §1.2 step 1; values
+    * unchanged by construction: same sample, same rounds). */
+  def pqTrainKmeansWithInit(
+      corpus: DataFrame,
+      m: Int,
+      kPerSub: Int,
+      dim: Int,
+      iters: Int = 3,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): (PqCodebook, PqCodebook) =
+    pqTrainKmeansImpl(corpus, m, kPerSub, dim, iters, vecCol, idCol,
+      auditInit = false) match { case (i, t, _) => (i, t) }
+
+  /** [[pqTrainKmeansWithInit]] that ALSO returns the INIT codebook's mean
+    * distortion, measured by riding Lloyd round 1's own scan (observe):
+    * round 1 assigns every row under the init codebook anyway, so the
+    * init-distortion audit that used to be half of a separate
+    * [[pqDistortionsDistributed]] pass is free (optimization r18, guide
+    * §1.2 step 1). The distance expressions are exactly the audit pass's
+    * ([[org.apache.spark.sql.graft.NearestCellL2DistF]]); only the IEEE
+    * partial-sum order differs, which the distortion contract already
+    * tells consumers to tolerance-compare. Requires iters ≥ 1 (no
+    * training round, nothing to ride). */
+  def pqTrainKmeansAudited(
+      corpus: DataFrame,
+      m: Int,
+      kPerSub: Int,
+      dim: Int,
+      iters: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): (PqCodebook, PqCodebook, Double) = {
+    require(iters >= 1, "audited training needs at least one Lloyd round")
+    val (i, t, d) = pqTrainKmeansImpl(corpus, m, kPerSub, dim, iters,
+      vecCol, idCol, auditInit = true)
+    (i, t, d.get)
+  }
+
+  private def pqTrainKmeansImpl(
+      corpus: DataFrame,
+      m: Int,
+      kPerSub: Int,
+      dim: Int,
+      iters: Int,
+      vecCol: String,
+      idCol: String,
+      auditInit: Boolean): (PqCodebook, PqCodebook, Option[Double]) = {
     require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     require(kPerSub > 0 && iters >= 0, "kPerSub positive, iters non-negative")
     val width = dim / m
@@ -237,20 +289,38 @@ object Similarity {
       .limit(kPerSub)
       .collect().toSeq.map(_.getSeq[Float](1))
     require(seeds.nonEmpty, "cannot train a codebook on an empty corpus")
-    var books: Seq[Seq[(Long, Seq[Float])]] = (0 until m).map { s =>
+    val books0: Seq[Seq[(Long, Seq[Float])]] = (0 until m).map { s =>
       seeds.zipWithIndex.map { case (v, i) =>
         (i.toLong, v.slice(s * width, (s + 1) * width))
       }
     }
-    for (_ <- 0 until iters) {
+    var books = books0
+    var initObs: Option[org.apache.spark.sql.Observation] = None
+    for (it <- 0 until iters) {
       val assignCols = books.zipWithIndex.map { case (book, s) =>
         val sorted = book.sortBy(_._1)
         org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
           col(vecCol), sorted.map(_._1).toArray,
           sorted.map(_._2.toArray).toArray, s * width, width).as(s"c$s")
       }
-      val moments = Fan.spread(corpus.select(col(vecCol)))
+      var assigned = Fan.spread(corpus.select(col(vecCol)))
         .select(col(vecCol) +: assignCols: _*)
+      if (auditInit && it == 0) {
+        // the init distortion rides this round's scan: per-row Σ_s
+        // min_c ‖slice_s − c‖² under the ROUND-1 (= init) books, summed
+        // by observe — no separate audit pass over the corpus
+        val obs = org.apache.spark.sql.Observation()
+        val distSum = books.zipWithIndex.map { case (book, s) =>
+          val sorted = book.sortBy(_._1)
+          org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+            col(vecCol), sorted.map(_._1).toArray,
+            sorted.map(_._2.toArray).toArray, s * width, width)
+        }.reduce(_ + _)
+        assigned = assigned.withColumn("__d0", distSum)
+          .observe(obs, sum(col("__d0")).as("__s"), count(lit(1)).as("__n"))
+        initObs = Some(obs)
+      }
+      val moments = assigned
         .select(array((0 until m).map(s => col(s"c$s")): _*).as("cells"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .select(expr(s"pos div $width").cast("int").as("s"),
@@ -283,7 +353,13 @@ object Similarity {
         }
       }
     }
-    PqCodebook(width, books)
+    val d0 = initObs.map { obs =>
+      val m0 = obs.get
+      val n = m0("__n").asInstanceOf[Long]
+      require(n > 0, "distortion of an empty corpus")
+      m0("__s").asInstanceOf[Double] / n
+    }
+    (PqCodebook(width, books0), PqCodebook(width, books), d0)
   }
 
   /** PQ-encode the corpus: one `smallint`-range code per subspace, from
@@ -309,6 +385,7 @@ object Similarity {
       .select(col(idCol),
         array((0 until cb.m).map(s => col(s"c$s")): _*).as("codes"))
   }
+
 
   /** PQ top-k retrieval via asymmetric distance computation (ADC): each
     * query precomputes its (subspace, code) → partial-L2² table — m×k
@@ -391,7 +468,17 @@ object Similarity {
   def pqDistortionsDistributed(
       corpus: DataFrame,
       cbs: Seq[PqCodebook],
-      vecCol: String = "embedding"): Seq[Double] = {
+      vecCol: String = "embedding"): Seq[Double] =
+    pqDistortionsWithCount(corpus, cbs, vecCol)._1
+
+  /** [[pqDistortionsDistributed]] that ALSO returns the corpus row count
+    * — the audit aggregate computes it anyway, so a consumer that needs
+    * both (vector_pq_kmeans's n_vecs column) saves a whole counting scan
+    * (optimization r18, guide §1.2 step 1). */
+  def pqDistortionsWithCount(
+      corpus: DataFrame,
+      cbs: Seq[PqCodebook],
+      vecCol: String = "embedding"): (Seq[Double], Long) = {
     require(cbs.nonEmpty, "need at least one codebook")
     val eCols = cbs.zipWithIndex.map { case (cb, i) =>
       cb.books.zipWithIndex.map { case (book, s) =>
@@ -405,7 +492,8 @@ object Similarity {
       count(lit(1)).as("__n")
     val row = corpus.select(eCols: _*).agg(aggs.head, aggs.tail: _*).collect()(0)
     require(row.getLong(cbs.size) > 0, "distortion of an empty corpus")
-    cbs.indices.map(i => row.getDouble(i) / row.getLong(cbs.size))
+    (cbs.indices.map(i => row.getDouble(i) / row.getLong(cbs.size)),
+      row.getLong(cbs.size))
   }
 
   /** SEVERAL anchor sets' mean nearest-anchor squared-L2 distances in
@@ -428,6 +516,69 @@ object Similarity {
     val row = corpus.select(eCols: _*).agg(aggs.head, aggs.tail: _*).collect()(0)
     require(row.getLong(anchorSets.size) > 0, "distortion of an empty corpus")
     anchorSets.indices.map(i => row.getDouble(i) / row.getLong(anchorSets.size))
+  }
+
+  /** EVERY remaining IVF-PQ seed-vs-trained audit aggregate in ONE corpus
+    * pass (optimization r18, guide §1.2 step 1): the per-anchor-set
+    * coarse distortions (the [[coarseDistortionsL2]] columns), the
+    * TRAINED residual codebook's distortion over the LAST anchor set's
+    * residuals (the [[pqDistortionsDistributed]] column, with the
+    * residuals constructed exactly like [[ivfResiduals]] — same argmin
+    * cell, same broadcast anchor join, same float-cast `zip_with`), and
+    * the corpus row count — three audit scans folded into one. All
+    * distance expressions are the dedicated audit passes' own
+    * ([[org.apache.spark.sql.graft.NearestCellL2DistF]]); only IEEE
+    * partial-sum order differs, which the distortion contract already
+    * requires consumers to tolerance-compare.
+    *
+    * @return (coarse distortion per anchor set, pq distortion of `cb`
+    *         over the last set's residuals, corpus row count) */
+  def ivfPqAuditOnePass(
+      corpus: DataFrame,
+      anchorSets: Seq[Seq[(Long, Seq[Float])]],
+      cb: PqCodebook,
+      vecCol: String = "embedding"): (Seq[Double], Double, Long) = {
+    require(anchorSets.nonEmpty && anchorSets.forall(_.nonEmpty),
+      "distortion against an empty anchor set")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseCols = anchorSets.zipWithIndex.map { case (anchors, i) =>
+      val sorted = anchors.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+        col(vecCol), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, 0, sorted.head._2.size).as(s"__e$i")
+    }
+    // residual construction mirrors ivfResiduals verbatim (sorted anchor
+    // order, argmin cell expression, float-cast subtraction) so the pq
+    // distortion is measured over bit-identical residual values
+    val last = anchorSets.last.sortBy(_._1)
+    val dim = last.head._2.size
+    val a = broadcast(last.toDF("cell", "av"))
+    val withRv = Fan.spread(corpus.select(col(vecCol)))
+      .select(col(vecCol) +:
+        org.apache.spark.sql.graft.GraftFunctions.nearestCellL2Column(
+          col(vecCol), last.map(_._1).toArray,
+          last.map(_._2.toArray).toArray, offset = 0, width = dim)
+          .as("cell") +: coarseCols: _*)
+      .join(a, Seq("cell"))
+      .select(anchorSets.indices.map(i => col(s"__e$i")) :+
+        zip_with(col(vecCol), col("av"), (x, y) => (x - y).cast("float"))
+          .as("__rv"): _*)
+    val pqCol = cb.books.zipWithIndex.map { case (book, s) =>
+      val sorted = book.sortBy(_._1)
+      org.apache.spark.sql.graft.GraftFunctions.nearestCellL2DistColumn(
+        col("__rv"), sorted.map(_._1).toArray,
+        sorted.map(_._2.toArray).toArray, s * cb.width, cb.width)
+    }.reduce(_ + _).as("__pq")
+    val aggs = anchorSets.indices.map(i => sum(col(s"__e$i")).as(s"__s$i")) ++
+      Seq(sum(col("__pq")).as("__sp"), count(lit(1)).as("__n"))
+    val row = withRv
+      .select(anchorSets.indices.map(i => col(s"__e$i")) :+ pqCol: _*)
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(anchorSets.size + 1)
+    require(n > 0, "distortion of an empty corpus")
+    (anchorSets.indices.map(i => row.getDouble(i) / n),
+      row.getDouble(anchorSets.size) / n, n)
   }
 
   /** Mean full-width squared-L2 distance to the nearest anchor — the
@@ -796,14 +947,31 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
-      l2Assign: Boolean = false): Seq[(Long, Seq[Float])] = {
+      l2Assign: Boolean = false): Seq[(Long, Seq[Float])] =
+    kmeansAnchorsWithInit(corpus, k, iters, seed, vecCol, idCol, l2Assign)._2
+
+  /** [[kmeansAnchors]] returning (init, trained) — the iters=0 anchor set
+    * IS the seed sample, so seed-vs-trained audits share ONE deterministic
+    * sampling scan instead of collecting the identical sample twice
+    * (optimization r18, guide §1.2 step 1; bit-identical values by
+    * construction). */
+  def kmeansAnchorsWithInit(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      l2Assign: Boolean = false)
+      : (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])]) = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
-    var anchors: Seq[(Long, Seq[Float])] = corpus
+    val init: Seq[(Long, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol).cast("string"), lit(seed)))
       .limit(k)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    var anchors = init
     def assign(vec: Column): Column =
       if (l2Assign) {
         val sorted = anchors.sortBy(_._1)
@@ -833,7 +1001,7 @@ object Similarity {
         }
       }
     }
-    anchors
+    (init, anchors)
   }
 
   /** [[ivfTopK]] with anchors refined by [[kmeansAnchors]] instead of a

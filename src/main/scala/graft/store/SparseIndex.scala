@@ -169,9 +169,21 @@ object SparseIndex {
         coalesce(sum(col("dl")), lit(0L)).as("s"))
       .localCheckpoint()
     val delta = obs.get
-    if (delta("n").asInstanceOf[Long] == 0L) return
-    if (wh.exists(tombTable(name))) wh.append(tombTable(name), newTombs.select("id"))
-    else wh.overwrite(tombTable(name), newTombs.select("id"))
+    val nNew = delta("n").asInstanceOf[Long]
+    if (nNew == 0L) return
+    // a small tombstone batch (count known from the observe) collects to
+    // a LocalRelation so the overwrite takes the Warehouse driver-side
+    // tiny-commit fast path — no Spark write job for a handful of ids
+    // (optimization r18); large batches keep the distributed write
+    val tombIds = newTombs.select("id")
+    val tombOut =
+      if (nNew <= Warehouse.LocalWriteMaxRows) {
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        tombIds.collect().foreach(rows.add)
+        spark.createDataFrame(rows, tombIds.schema)
+      } else tombIds
+    if (wh.exists(tombTable(name))) wh.append(tombTable(name), tombOut)
+    else wh.overwrite(tombTable(name), tombOut)
     val prev = wh.read(metaTable(name)).collect()(0)
     wh.overwrite(metaTable(name),
       Seq((prev.getLong(0) - delta("n").asInstanceOf[Long],

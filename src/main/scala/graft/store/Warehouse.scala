@@ -112,6 +112,41 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else if (Warehouse.isRunBucketed(name)) Seq(Warehouse.BucketCol)
     else Seq.empty
 
+  /** Tiny-commit fast path (optimization r18, guide §5): a frame whose
+    * optimized plan is a driver-resident `LocalRelation` of at most
+    * [[Warehouse.LocalWriteMaxRows]] rows — the meta/codebook/anchor
+    * tables every indexed/persisted query commits — is written as one
+    * parquet file DIRECTLY from the driver (same
+    * [[org.apache.spark.sql.graft.LocalParquet]] write support the
+    * distributed sink uses), skipping the Spark job + Hadoop commit
+    * protocol that cost ~0.3 s per 1-row overwrite. Snapshot isolation is
+    * untouched: the file lands in the not-yet-referenced next version
+    * directory and the caller swings the pointer afterwards, exactly like
+    * the distributed path (a crash in between leaves an orphan dir and
+    * readers on the old version — WarehouseSpec pins this). Partitioned
+    * tables and anything not already on the driver keep the Spark
+    * writer. Returns true when the fast path handled the write. */
+  private def writeLocalFastPath(name: String, df: DataFrame, dir: Path,
+      fresh: Boolean = true): Boolean = {
+    if (partitionColsOf(name).nonEmpty) return false
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.length <= Warehouse.LocalWriteMaxRows =>
+        if (fresh) {
+          // a crashed earlier attempt may have left an uncommitted dir at
+          // this version; SaveMode.Overwrite would clobber it — match that
+          deleteRecursively(dir)
+          org.apache.spark.sql.graft.LocalParquet.write(spark, l.output, l.data, dir)
+        } else {
+          // append into a live version dir: unique stem, no clobbering
+          org.apache.spark.sql.graft.LocalParquet.write(spark, l.output, l.data, dir,
+            fileStem = s"part-local-${java.util.UUID.randomUUID()}")
+        }
+        true
+      case _ => false
+    }
+  }
+
   private def write(df: DataFrame, name: String, path: String, mode: SaveMode): Unit = {
     val cols = partitionColsOf(name)
     val df2 =
@@ -122,15 +157,21 @@ final class Warehouse(val spark: SparkSession, val root: String,
     w.mode(mode).parquet(path)
   }
 
-  /** Append rows (new part-files into the current version — no rewrite). */
+  /** Append rows (new part-files into the current version — no rewrite).
+    * Driver-resident tiny batches take the same fast path as
+    * [[overwrite]] (one uniquely-named part file, no Spark job); the
+    * append contract is unchanged — new files land in the live version
+    * directory either way. */
   def append(name: String, df: DataFrame): Unit = synchronized {
     val v = currentVersion(name)
     if (v < 0) {
       Files.createDirectories(tableDir(name))
-      write(df, name, versionDir(name, 0).toString, SaveMode.Overwrite)
+      if (!writeLocalFastPath(name, df, versionDir(name, 0), fresh = true))
+        write(df, name, versionDir(name, 0).toString, SaveMode.Overwrite)
       setVersion(name, 0)
     } else {
-      write(df, name, versionDir(name, v).toString, SaveMode.Append)
+      if (!writeLocalFastPath(name, df, versionDir(name, v), fresh = false))
+        write(df, name, versionDir(name, v).toString, SaveMode.Append)
     }
   }
 
@@ -251,7 +292,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * path to express "no table" where an empty-frame [[overwrite]] would
     * pay a full parquet write job + commit just to store zero rows
     * (optimization r17; [[SparseIndex.save]]'s tombstone reset). After a
-    * drop, [[exists]] is false and a future write starts at version 0. */
+    * drop, [[exists]] is false and a future write starts at version 0.
+    *
+    * SHARPER than a mutation (ADVICE r17): drop deletes the retained
+    * prior versions too, so it does NOT honor the `retain` grace window
+    * that [[overwrite]]/[[rewrite]] give lazy readers — a lazy DataFrame
+    * opened before the drop fails on evaluation, where an empty-overwrite
+    * would have kept its snapshot readable. Callers must only drop tables
+    * whose readers are strictly resolve-at-query-time (the
+    * [[SparseIndex]] tombstone pattern: every query re-reads `__tomb`
+    * through [[exists]] at plan-build time); a table with long-lived lazy
+    * readers must be reset with an empty [[overwrite]] instead. */
   def drop(name: String): Unit = synchronized {
     deleteRecursively(tableDir(name))
   }
@@ -271,7 +322,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     synchronized {
       val next = currentVersion(name) + 1
       Files.createDirectories(tableDir(name))
-      write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
+      if (!writeLocalFastPath(name, df, versionDir(name, next)))
+        write(df, name, versionDir(name, next).toString, SaveMode.Overwrite)
       if (meta.nonEmpty) {
         val lines = meta.toSeq.sorted
           .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
@@ -317,6 +369,11 @@ object Warehouse {
   /** Commit-metadata sidecar inside each version directory (underscore
     * prefix keeps it invisible to parquet scans). */
   val MetaFile = "_commit.properties"
+
+  /** Row cap for the driver-side tiny-commit fast path — frames this
+    * small are metadata-class (meta rows, codebooks, anchor sets), far
+    * below anything worth a distributed write. */
+  val LocalWriteMaxRows = 10000
 
   /** Internal partition column for run-scoped mutation (never exposed by
     * [[Warehouse.read]]). */

@@ -171,6 +171,18 @@ object StressScale {
       time("clusters_fast")(
         Dedup.connectedComponents(
           Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)).count()),
+      // the two applyClusters regimes at stress scale (optimization r18,
+      // VERDICT r17 #1): identical cluster build, broadcast anti-join vs
+      // the FORCED loser-id Bloom route — the pair shows the bloom tier's
+      // cost stays in the broadcast tier's ballpark while its plan keeps
+      // the anti-join exchange to the bloom-positive sliver
+      timeNoop("dedup_apply_bcast")(Dedup.applyClusters(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)))),
+      timeNoop("dedup_apply_bloom")(Dedup.applyClusters(docs,
+        Dedup.connectedComponents(
+          Dedup.minhashLsh(docs, k = 16, bands = 4, tier = Dedup.FastXx)),
+        maxBroadcastLosers = 0L)),
       timeNoop("asof_join")(
         Joins.asOfJoin(lhs, rhs, Seq("user_id"), "ts", "rid", Seq("rid"))),
       timeNoop("asof_join_forward")(

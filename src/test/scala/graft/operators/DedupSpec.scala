@@ -90,6 +90,39 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 7L, 11L)
   }
 
+  "the loser-side Bloom prune" should
+      "route provable keepers around the anti-join with identical results" in {
+    // maxBroadcastLosers = 0 forces the scale path (guide §3.2): corpus
+    // rows failing the Bloom probe bypass the join entirely; false
+    // positives only widen the join input, never the result
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"), (9L, "e"), (11L, "f"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
+    val bloomed = Dedup.applyClusters(corpus, clusters, maxBroadcastLosers = 0L)
+    bloomed.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 7L, 11L)
+    // the forced plan carries the bloom probe + union (the shape the
+    // 100 TB tier runs); the default plan stays a single broadcast anti-join
+    val forced = bloomed.queryExecution.executedPlan.toString
+    forced should include("Union")
+    val default = Dedup.applyClusters(corpus, clusters)
+      .queryExecution.executedPlan.toString
+    default should include("BroadcastHashJoin")
+    (default should not).include("Union")
+  }
+
+  it should "apply to keep-best the same way (slim decision join above the cap)" in {
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "b", 50L), (3L, "c", 50L),
+      (7L, "d", 5L), (9L, "e", 80L), (11L, "f", 1L)
+    ).toDF("doc_id", "text", "n_chars")
+    val clusters = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
+    Dedup.applyClustersKeepBest(corpus, clusters, col("n_chars"),
+        maxBroadcastLosers = 0L)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 9L, 11L)
+  }
+
   it should "converge on a long chain (diameter > 2)" in {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val r = Dedup.connectedComponents(chain).collect()
